@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All operators live in `graft.queries.*` modules as [[QueryDef]]s;
+  * this object flattens them into the maps the driver consumes.
+  */
 object SparkEntry {
+
+  /** Every registered operator, in declaration order. */
+  def all: Seq[QueryDef] =
+    queries_relational ++ queries_llm
+
+  private def queries_relational: Seq[QueryDef] = queries_mod(graft.queries.Relational.queries)
+  private def queries_llm: Seq[QueryDef] = Seq(
+    graft.queries.Dedup.queries,
+    graft.queries.Similarity.queries,
+    graft.queries.TextAnalysis.queries
+  ).flatten
+
+  private def queries_mod(qs: Seq[QueryDef]): Seq[QueryDef] = qs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    all.head.run(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * All operators are declarative DataFrame transforms built from
+  * codegen'd builtin functions — no UDFs, no driver-side loops — so
+  * Catalyst/Tungsten parallelize them per-partition and the only
+  * shuffles are the ones fundamental to the algorithm (the group-by on
+  * content fingerprints / LSH band hashes).
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup shuffles a 16-byte digest + id per row, never the text;
+  *  - MinHash signatures are computed map-side (one pass per row);
+  *    the candidate join shuffles on band hash with a bucket-size cap
+  *    to bound skew (hot buckets are dropped, the standard guard);
+  *  - SimHash is a pure map (zero shuffle until the chunk-bucket join).
+  */
+object DedupOps {
+
+  /** Exact duplicate groups keyed by md5 of a column (shuffle-narrow:
+    * only digest + id move). Returns (fp, keep_id, n_copies).
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word n-gram shingles of a text column. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, n))))
+  }
+
+  /** Distinct character n-gram shingles of a text column. */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+        i => substring_index_safe(c, i, n)))
+
+  private def substring_index_safe(c: Column, i: Column, n: Int): Column =
+    c.substr(i, lit(n))
+
+  /** MinHash signature (k permutations) of a shingle-array column.
+    * Permutation p is xxhash64 seeded by p as a leading column — one
+    * map-side pass, no shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      p => array_min(transform(shingles, s => xxhash64(p, s))))
+
+  /** LSH band records for a signature: (band, band_hash) structs,
+    * `bands` bands of `rows` signature positions each.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(b, slice(sig, b * rows + 1, rows)).as("band_hash")))
+
+  /** Candidate near-duplicate pairs via MinHash+LSH, verified with the
+    * exact Jaccard over the shingle sets.
+    *
+    * @param maxBucket skew guard: LSH buckets larger than this are
+    *                  dropped (a hot band hash would otherwise create a
+    *                  quadratic blow-up in the candidate join).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 16, bands: Int = 8,
+      maxBucket: Int = 64): DataFrame = {
+    val rows = k / bands
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleWords).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+    val exploded = withSig
+      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    // skew guard: drop over-full buckets before the self-join
+    val bucketed = exploded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = withSig.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of a text column — a single map-side expression
+    * (array fold over token hashes), zero shuffle.
+    */
+  def simhash64(textCol: Column): Column = {
+    val hashes = transform(tokens(textCol), t => xxhash64(t))
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, j) => a + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    // fold the 64 counters into a long: bit j set iff counter > 0
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (cnt, j) => when(cnt > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Per-doc SimHash plus the number of near-dup band peers: docs are
+    * bucketed by each of four 16-bit chunks of the simhash (two docs
+    * within Hamming distance 3 share at least one chunk).
+    */
+  def simhashWithPeers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("simhash"))
+    val chunks = base.select(col("doc_id"), col("simhash"),
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val")))).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+    val peers = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("peer"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunk_peers"))
+    base.join(peers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_chunk_peers"), lit(0L)).as("n_chunk_peers"))
+  }
+
+  /** Exact character-n-gram Jaccard similarity for all in-block pairs,
+    * blocked by a key column (e.g. language) to bound the self-join.
+    * At 100 TB-scale blocking keys must bound block sizes; prefer
+    * [[minhashLshPairs]] when no natural blocking key exists.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int): DataFrame = {
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
+      charShingles(col(textCol), n).as("tg"))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.tg"), col("b.tg"))).cast("double") /
+          size(array_union(col("a.tg"), col("b.tg"))).cast("double")).as("jaccard"))
+  }
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+
+/** Relational operator coverage (SURVEY.md §2d): scans, projection,
+  * filter, equi/semi/anti/outer/cross joins, scalar + correlated
+  * subqueries, aggregation, distinct, rollup/cube, window functions,
+  * sort/limit, set ops, table functions, lateral explode, regex,
+  * string/array/date/JSON functions, CTEs.
+  *
+  * The reference delegates all of these to its engine via
+  * `session_context.sql(query)` (reference:
+  * datafusion-postgres/src/handlers.rs:198); here Spark SQL/Catalyst
+  * plays that role. Every query is declarative DataFrame/SQL so
+  * Catalyst applies pushdown/pruning/join-selection; at 100 TB the
+  * same plans parallelize by partition with no driver-side loops.
+  */
+object Relational {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // --- aggregation over a scan with pushed-down filter (TPC-H Q1 shape)
+    Q.sameSql("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(30,10))) as double) as sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(30,10))) as double) as sum_base_price,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,10))) as double) as sum_disc_price,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(30,10))) as double) as sum_charge,
+        |  cast(min(l_quantity) as double) as min_qty,
+        |  cast(max(l_extendedprice) as double) as max_price,
+        |  count(*) as count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // --- projection + multi-predicate filter (parquet pushdown)
+    Q.sameSql("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // --- 6-way equi join + group agg (TPC-H Q5 shape)
+    Q.sameSql("q03_join_multiway",
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,10))) as double) as revenue,
+        |  count(*) as n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // --- semi join via EXISTS (Catalyst -> LeftSemi)
+    Q.sameSql("q04_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // --- anti join via NOT EXISTS (Catalyst -> LeftAnti)
+    Q.sameSql("q05_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // --- IN (subquery)
+    Q.sameSql("q06_in_subquery",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // --- uncorrelated scalar subquery (exact decimal avg threshold)
+    Q.sameSql("q07_scalar_subquery",
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice >
+        |  (SELECT cast(sum(cast(p_retailprice as decimal(30,10))) as double) FROM part)
+        |    / (SELECT count(*) FROM part)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // --- correlated scalar subquery in projection
+    Q.sameSql("q08_correlated_subquery",
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) as n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // --- window: row_number + running sum (exact decimal frame agg)
+    Q.sameSql("q09_window_running",
+      """SELECT o_orderkey, o_custkey, cast(rn as bigint) as rn,
+        |       cast(running as double) as running_spend
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) as rn,
+        |    sum(cast(o_totalprice as decimal(30,10)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as running
+        |  FROM orders) t
+        |ORDER BY o_custkey, rn""".stripMargin),
+
+    // --- window: rank/dense_rank/lag/lead/ntile over a named window
+    Q.sameSql("q10_window_rank",
+      """SELECT o_orderkey,
+        |  cast(rank() OVER w as bigint) as rnk,
+        |  cast(dense_rank() OVER w as bigint) as drnk,
+        |  lag(o_orderkey) OVER w as prev_key,
+        |  lead(o_orderkey) OVER w as next_key,
+        |  cast(ntile(4) OVER w as bigint) as quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // --- set op: INTERSECT
+    Q.sameSql("q11_intersect",
+      """SELECT c_nationkey as nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nk""".stripMargin),
+
+    // --- set op: EXCEPT
+    Q.sameSql("q12_except",
+      """SELECT n_nationkey as nk FROM nation
+        |EXCEPT
+        |SELECT c_nationkey FROM customer
+        |ORDER BY nk""".stripMargin),
+
+    // --- set op: UNION ALL of scalar aggregates
+    Q.sameSql("q13_union_all",
+      """SELECT 'cust' as src, count(*) as n FROM customer
+        |UNION ALL SELECT 'supp' as src, count(*) as n FROM supplier
+        |UNION ALL SELECT 'part' as src, count(*) as n FROM part
+        |ORDER BY src""".stripMargin),
+
+    // --- DISTINCT
+    Q.sameSql("q14_distinct",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+
+    // --- top-k (TakeOrderedAndProject — no full sort at scale)
+    Q.sameSql("q15_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin),
+
+    // --- ROLLUP (explicit NULLS FIRST: engines differ on default)
+    Q.sameSql("q16_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) as n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, n""".stripMargin),
+
+    // --- CUBE
+    Q.sameSql("q17_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) as n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
+    // --- CASE / string scalar functions
+    Q.sameSql("q18_case_string",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'low'
+        |       WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END as bucket,
+        |  upper(o_orderstatus) as status_u,
+        |  substring(o_orderpriority, 1, 1) as prio_digit,
+        |  cast(length(o_orderpriority) as int) as prio_len,
+        |  concat(o_orderstatus, '-', o_orderpriority) as tag,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') as status2
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // --- date functions
+    Q.sameSql("q19_date_parts",
+      """SELECT o_orderkey,
+        |  cast(year(o_orderdate) as int) as yr,
+        |  cast(month(o_orderdate) as int) as mo,
+        |  cast(day(o_orderdate) as int) as dy,
+        |  cast(o_orderdate as date) as odate
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // --- time-bucketed aggregation over the events stream table
+    Q.sql("q20_events_hourly",
+      """SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') as hr,
+        |  event_type, count(*) as n,
+        |  cast(sum(cast(value as decimal(30,10))) as double) as sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hr,
+        |  event_type, count(*) as n,
+        |  cast(sum(cast(value as decimal(30,10))) as double) as sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin),
+
+    // --- JSON extraction from the events.props column
+    Q.sql("q21_json_extract",
+      """SELECT event_id, cast(get_json_object(props, '$.k') as bigint) as k
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, cast(json_extract(props, '$.k') as bigint) as k
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // --- conditional aggregation (FILTER clause) + count distinct
+    Q.sameSql("q22_conditional_agg",
+      """SELECT c_mktsegment,
+        |  count(*) as n_orders,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') as n_finished,
+        |  count(DISTINCT o_custkey) as n_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // --- ordered string aggregation (pg string_agg(x, sep ORDER BY y))
+    Q.sql("q23_string_agg",
+      """SELECT n_regionkey, array_join(array_sort(collect_list(n_name)), ',') as names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) as names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // --- array functions over tokenized text
+    Q.sql("q24_array_fns",
+      """SELECT doc_id, cast(size(split(text, ' ')) as int) as n_tokens,
+        |  array_join(slice(array_sort(array_distinct(split(text, ' '))), 1, 5), '|') as first5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, cast(len(string_split(text, ' ')) as int) as n_tokens,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|') as first5
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // --- table function: integer series
+    Q.sql("q25_generate_series",
+      "SELECT id as i, id * id as sq FROM range(1, 101) ORDER BY i",
+      "SELECT cast(g as bigint) as i, cast(g * g as bigint) as sq FROM generate_series(1, 100) t(g) ORDER BY i"),
+
+    // --- lateral explode / unnest
+    Q.sql("q26_explode",
+      """SELECT doc_id, tok FROM documents
+        |LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |WHERE doc_id < 20 ORDER BY doc_id, tok""".stripMargin,
+      """SELECT doc_id, unnest(string_split(text, ' ')) as tok FROM documents
+        |WHERE doc_id < 20 ORDER BY doc_id, tok""".stripMargin),
+
+    // --- regex predicate (pg `~` operator semantics -> rlike)
+    Q.sql("q27_regex_filter",
+      "SELECT doc_id FROM documents WHERE text rlike 'merge \\\\w+ join' ORDER BY doc_id",
+      "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge \\w+ join') ORDER BY doc_id"),
+
+    // --- full outer join of two aggregated sides
+    Q.sameSql("q28_full_outer",
+      """SELECT coalesce(c.nk, s.nk) as nk, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey as nk, count(*) as n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey as nk, count(*) as n_supp FROM supplier GROUP BY s_nationkey) s
+        |ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin),
+
+    // --- cross join (small dims)
+    Q.sameSql("q29_cross_join",
+      """SELECT r1.r_name as a, r2.r_name as b
+        |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin),
+
+    // --- left outer join + group
+    Q.sameSql("q30_left_join_agg",
+      """SELECT n_nationkey, n_name, count(c_custkey) as n_cust
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin),
+
+    // --- CTE
+    Q.sameSql("q31_cte",
+      """WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+        |SELECT o_orderpriority, count(*) as n FROM big_orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  )
+}
