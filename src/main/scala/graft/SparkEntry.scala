@@ -13,14 +13,12 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     queries_relational ++ queries_llm
 
-  private def queries_relational: Seq[QueryDef] = queries_mod(graft.queries.Relational.queries)
+  private def queries_relational: Seq[QueryDef] = graft.queries.Relational.queries
   private def queries_llm: Seq[QueryDef] = Seq(
     graft.queries.Dedup.queries,
     graft.queries.Similarity.queries,
     graft.queries.TextAnalysis.queries
   ).flatten
-
-  private def queries_mod(qs: Seq[QueryDef]): Seq[QueryDef] = qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

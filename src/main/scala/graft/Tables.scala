@@ -14,9 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table as a DataFrame. */
+  /** Read one table as a DataFrame.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]); read it as long ns (legacy conf) and
+    * rebuild a timestamp at micro precision. Integer `DIV` keeps the
+    * ns→µs conversion exact (a double division would lose precision
+    * above 2^53 ns).
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every testdata table as a temp view named after it.
     * Lazy (schema-read only) — no data is scanned until an action runs,

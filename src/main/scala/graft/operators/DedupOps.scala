@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
@@ -16,7 +17,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash signatures are computed map-side (one pass per row);
   *    the candidate join shuffles on band hash with a bucket-size cap
   *    to bound skew (hot buckets are dropped, the standard guard);
-  *  - SimHash is a pure map (zero shuffle until the chunk-bucket join).
+  *  - SimHash is a pure map (zero shuffle until the chunk-bucket join),
+  *    and the chunk-bucket self-join carries the same bucket cap.
   */
 object DedupOps {
 
@@ -27,25 +29,41 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Dedup-materialize: keep the lowest-id row per exact-content group.
+    * At scale this is one hash-partitioned window over (digest), never
+    * moving the text twice.
+    */
+  def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. Texts shorter than
+    * n tokens yield an empty set (NOT a truncated shingle, and NOT a
+    * descending `sequence(1,0)=[1,0]` — Spark sequences run backwards
+    * when start > stop, so the count must be guarded before use).
+    */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, n))))
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct character n-gram shingles of a text column. */
-  def charShingles(c: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
-        i => substring_index_safe(c, i, n)))
-
-  private def substring_index_safe(c: Column, i: Column, n: Int): Column =
-    c.substr(i, lit(n))
+  /** Distinct character n-gram shingles of a text column; empty set for
+    * texts shorter than n chars (same descending-sequence guard).
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val cnt = length(c) - (n - 1)
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt), i => c.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** MinHash signature (k permutations) of a shingle-array column.
     * Permutation p is xxhash64 seeded by p as a leading column — one
@@ -60,7 +78,8 @@ object DedupOps {
     */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(b, slice(sig, b * rows + 1, rows)).as("band_hash")))
+      b => struct(b.as("band"),
+        xxhash64(b, slice(sig, b * rows + 1, lit(rows))).as("band_hash")))
 
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with the
     * exact Jaccard over the shingle sets.
@@ -80,12 +99,7 @@ object DedupOps {
     val exploded = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    // skew guard: drop over-full buckets before the self-join
-    val bucketed = exploded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val bucketed = capBuckets(exploded, Seq("band", "band_hash"), maxBucket)
     val l = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     val candidates = l.join(r, Seq("band", "band_hash"))
@@ -100,8 +114,21 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Skew guard shared by the LSH-style self-joins: drop buckets larger
+    * than maxBucket before pairing (hot buckets are near-useless for
+    * dedup and quadratic in cost).
+    */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    df.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
   /** 64-bit SimHash of a text column — a single map-side expression
-    * (array fold over token hashes), zero shuffle.
+    * (array fold over token hashes), zero shuffle. Bit shifts by a
+    * lambda-bound Column go through call_function (the Scala shims
+    * require Int shift amounts; the Catalyst ShiftRight/ShiftLeft
+    * expressions accept column shifts).
     */
   def simhash64(textCol: Column): Column = {
     val hashes = transform(tokens(textCol), t => xxhash64(t))
@@ -109,26 +136,32 @@ object DedupOps {
       hashes,
       array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, j) => a + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+        (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     // fold the 64 counters into a long: bit j set iff counter > 0
     aggregate(
       zip_with(counters, sequence(lit(0), lit(63)),
-        (cnt, j) => when(cnt > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))),
+        (cnt, j) => when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
   }
 
   /** Per-doc SimHash plus the number of near-dup band peers: docs are
     * bucketed by each of four 16-bit chunks of the simhash (two docs
-    * within Hamming distance 3 share at least one chunk).
+    * within Hamming distance 3 share at least one chunk). The chunk
+    * buckets carry the same maxBucket cap as [[minhashLshPairs]] — a
+    * 16-bit bucket space over 1B docs would otherwise mean ~15k docs
+    * per bucket and a quadratic self-join.
     */
-  def simhashWithPeers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashWithPeers(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 64): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("simhash"))
     val chunks = base.select(col("doc_id"), col("simhash"),
         explode(transform(sequence(lit(0), lit(3)),
           c => struct(c.as("chunk"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val")))).as("c"))
+            call_function("shiftright", col("simhash"), (c * 16).cast("int"))
+              .bitwiseAND(lit(0xFFFFL)).as("chunk_val")))).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
-    val peers = chunks.as("a").join(chunks.as("b"),
+    val capped = capBuckets(chunks, Seq("chunk", "chunk_val"), maxBucket)
+    val peers = capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("peer"))
@@ -141,13 +174,15 @@ object DedupOps {
 
   /** Exact character-n-gram Jaccard similarity for all in-block pairs,
     * blocked by a key column (e.g. language) to bound the self-join.
-    * At 100 TB-scale blocking keys must bound block sizes; prefer
+    * Blocks larger than maxBlock are dropped entirely — at 100 TB-scale
+    * an uncapped block is a quadratic blow-up; prefer
     * [[minhashLshPairs]] when no natural blocking key exists.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int): DataFrame = {
-    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
+      blockCol: String, n: Int, maxBlock: Int = 1000): DataFrame = {
+    val base0 = docs.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
       charShingles(col(textCol), n).as("tg"))
+    val base = capBuckets(base0, Seq("blk"), maxBlock)
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Cross-engine determinism: floats are quantized to integers
+  * (`floor(x * 10000)` as long) before any arithmetic, so dot products
+  * are exact and independent of summation order — see the QueryDef
+  * determinism contract. All scoring runs map-side through codegen'd
+  * higher-order functions (`zip_with` + `aggregate`); the only shuffle
+  * is the final top-k (TakeOrderedAndProject) or the bucket join.
+  *
+  * Scale notes (100 TB / 1B+ vectors):
+  *  - brute-force top-k against ONE query vector is a full scan but
+  *    zero shuffle: per-partition top-k then a k-row driver merge;
+  *  - the sign-bucket ANN path prunes candidates to one LSH bucket
+  *    (expected n/2^bits of the corpus) before scoring — the bucket
+  *    column is also the natural partition/bucketing key for a
+  *    pre-bucketed 100 TB layout, making lookups partition-pruned;
+  *  - all-pairs scoring is only exposed with a bucket-join shape
+  *    (pairs within LSH bucket), never a full cross join.
+  */
+object SimilarityOps {
+
+  /** Quantized vector: floor(x*10000) per element, as long. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 10000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Sign-bit LSH bucket code from the first `bits` dimensions:
+    * bit j set iff vec[j] > 0. Deterministic, engine-agnostic, and a
+    * good partition key (balanced for zero-centered embeddings).
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map(j =>
+      when(element_at(vec, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Brute-force top-k by quantized dot product against the query
+    * vector with id `queryId`. The query row is collected once
+    * (single-row lookup) and inlined as a literal-backed broadcast —
+    * the big side streams map-side into a TakeOrderedAndProject.
+    */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val scored = scoreAgainstQuery(embs, idCol, vecCol, queryId)
+    scored.orderBy(col("dot").desc, col("vec_id")).limit(k)
+  }
+
+  /** All vectors scored against the query vector (no top-k). */
+  def scoreAgainstQuery(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long): DataFrame = {
+    val q = embs.filter(col(idCol) === queryId)
+      .select(quantize(col(vecCol)).as("qv"))
+    embs.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("vec_id"),
+        qdot(quantize(col(vecCol)), col("qv")).as("dot"))
+  }
+
+  /** ANN: top-k within the query vector's sign-LSH bucket. At scale the
+    * bucket column is the table's partition key, so this plan is a
+    * partition-pruned scan of ~n/2^bits vectors instead of n.
+    */
+  def annSignBucketTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, bits: Int, k: Int): DataFrame = {
+    val withBucket = embs.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col("bucket").as("qbucket"), quantize(col(vecCol)).as("qv"))
+    withBucket.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("vec_id"), col("bucket"),
+        qdot(quantize(col(vecCol)), col("qv")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id")).limit(k)
+  }
+
+  /** Near-dup vector pairs within sign-LSH buckets (bucketed self-join,
+    * never all-pairs). Returns pairs with quantized dot >= minDot.
+    */
+  def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
+      bits: Int, minDot: Long): DataFrame = {
+    val b = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        qdot(col("a.qv"), col("b.qv")).as("dot"))
+      .filter(col("dot") >= minDot)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: language
+  * identification, quality scoring, token counting, and document
+  * fingerprinting (rolling hash).
+  *
+  * Everything is a map-side codegen'd expression over the text column
+  * — zero shuffles, so these scale linearly with corpus size and
+  * compose with the dedup/similarity stages without re-partitioning.
+  *
+  * Determinism: all scores are exact integer arithmetic (counts,
+  * ratios as integer-divided decimals cast at the end), so a DuckDB
+  * oracle reproduces them bit-for-bit.
+  */
+object TextAnalysisOps {
+
+  /** Occurrences of a literal substring, via length arithmetic —
+    * engine-agnostic (no regex dialect involved).
+    */
+  def countOccurrences(text: Column, pat: String): Column =
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
+
+  /** Stopword-marker language scores. Markers are counted as padded
+    * whole words; the padded copy `' '||text||' '` catches boundary
+    * hits. Returns (score per language struct..., lang_pred).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " a ", " and ", " of "),
+    "de" -> Seq(" der ", " die ", " und ", " das "),
+    "es" -> Seq(" el ", " la ", " los ", " que "),
+    "fr" -> Seq(" le ", " la ", " les ", " des "),
+    "zh" -> Seq(" de ", " shi ", " zai ", " he "))
+
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    langMarkers(lang).map(countOccurrences(padded, _)).reduce(_ + _)
+  }
+
+  /** Predicted language: argmax score, ties broken by lang name order
+    * (greatest-score-first scan over a fixed lang order).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val scored = docs.select(
+      (col(idCol).as("doc_id") +:
+        langs.map(l => langScore(t, l).as(s"score_$l"))): _*)
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    scored.withColumn("lang_pred",
+      langs.foldRight(lit("und")) { (l, acc) =>
+        when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+      })
+  }
+
+  /** Quality signals: char/token counts, mean token length, alpha and
+    * space ratios (exact decimal), uppercase-start flag.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val toks = split(trim(t), "\\s+")
+    val nToks = size(toks).cast("long")
+    val nSpaces = countOccurrences(t, " ")
+    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      (nChars.cast("decimal(20,6)") / greatest(nToks, lit(1L))).cast("double").as("chars_per_token"),
+      (nAlpha.cast("decimal(20,6)") / greatest(nChars, lit(1L))).cast("double").as("alpha_ratio"),
+      (nSpaces.cast("decimal(20,6)") / greatest(nChars, lit(1L))).cast("double").as("space_ratio"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (`\w+` words or single non-space symbols), and a chars/4 token
+    * estimate (the common LLM budgeting heuristic).
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(split(trim(t), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
+        .cast("long").as("bpeish_tokens"),
+      ceil(length(t).cast("double") / 4).cast("long").as("est_tokens"))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the document text:
+    * fold over character codes, h = (h*31 + code) mod 1e9+7.
+    * Exact integer arithmetic → identical in any engine.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31 + c) % 1000000007L)
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("fp"))
+}

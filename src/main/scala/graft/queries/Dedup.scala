@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{Q, QueryDef, Tables}
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table (LLM-pipeline
+  * extension — no counterpart in the reference, which serves tables
+  * as-is; see SURVEY.md §0 and the build brief).
+  *
+  * Oracle strategy: md5-keyed exact dedup and char-n-gram Jaccard are
+  * engine-agnostic (md5 / substring / list ops exist in DuckDB), so
+  * they carry full DuckDB oracles. MinHash/SimHash derive from Spark's
+  * xxhash64 — not reproducible in DuckDB — so those entries are
+  * rows-only checks, with ScalaTest specs asserting their semantics
+  * (known-duplicate fixtures) instead.
+  */
+object Dedup {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // --- exact dup groups: identical oracle (md5 hex matches across engines)
+    Q.df("q40_exact_dup_groups",
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      DedupOps.exactDupGroups(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    // --- dedup-materialize: keep lowest doc_id per content group
+    Q.df("q41_dedup_keep_first",
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.dedupKeepFirst(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    },
+
+    // --- MinHash+LSH near-dup pairs (xxhash64-based: rows-only check;
+    //     semantics pinned by DedupSpec on a known-dup fixture)
+    Q.noOracle("q42_minhash_lsh_pairs") { (s, dir) =>
+      DedupOps.minhashLshPairs(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // --- SimHash near-dup peers (xxhash64-based: rows-only check)
+    Q.noOracle("q43_simhash_peers") { (s, dir) =>
+      DedupOps.simhashWithPeers(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // --- char-3-gram Jaccard, blocked by lang, restricted to doc_id<60
+    //     to keep the all-pairs oracle cheap; exact integer set sizes →
+    //     the double division is bit-identical across engines
+    Q.df("q44_ngram_jaccard",
+      """WITH grams AS (
+        |  SELECT d.doc_id, d.lang,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(length(d.text) - 2, 0) + 1),
+        |           i -> substring(d.text, cast(i as int), 3))) AS tg
+        |  FROM documents d WHERE d.doc_id < 60)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       cast(len(list_intersect(a.tg, b.tg)) as double) /
+        |       cast(len(list_distinct(list_concat(a.tg, b.tg))) as double) AS jaccard
+        |FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      DedupOps.ngramJaccardPairs(
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 60),
+        "doc_id", "text", "lang", n = 3)
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+}

@@ -20,12 +20,16 @@ object Relational {
   val queries: Seq[QueryDef] = Seq(
 
     // --- aggregation over a scan with pushed-down filter (TPC-H Q1 shape)
+    // money sums floor-quantize to integer ticks BEFORE summing: a
+    // double→decimal cast is engine-specific in the last ulp (DuckDB
+    // converts via double arithmetic, Spark via exact BigDecimal), but
+    // floor(x*10^k) of the same IEEE double is identical everywhere.
     Q.sameSql("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |  cast(sum(cast(l_quantity as decimal(30,10))) as double) as sum_qty,
-        |  cast(sum(cast(l_extendedprice as decimal(30,10))) as double) as sum_base_price,
-        |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,10))) as double) as sum_disc_price,
-        |  cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(30,10))) as double) as sum_charge,
+        |  cast(sum(cast(floor(l_extendedprice * 100) as bigint)) as double) / 100 as sum_base_price,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000) as bigint)) as double) / 10000 as sum_disc_price,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) as bigint)) as double) / 10000 as sum_charge,
         |  cast(min(l_quantity) as double) as min_qty,
         |  cast(max(l_extendedprice) as double) as max_price,
         |  count(*) as count_order
@@ -66,13 +70,14 @@ object Relational {
     // --- anti join via NOT EXISTS (Catalyst -> LeftAnti)
     Q.sameSql("q05_anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin),
 
     // --- IN (subquery)
     Q.sameSql("q06_in_subquery",
       """SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
         |ORDER BY s_suppkey""".stripMargin),
 
     // --- uncorrelated scalar subquery (exact decimal avg threshold)
@@ -123,10 +128,10 @@ object Relational {
 
     // --- set op: EXCEPT
     Q.sameSql("q12_except",
-      """SELECT n_nationkey as nk FROM nation
+      """SELECT c_custkey as ck FROM customer
         |EXCEPT
-        |SELECT c_nationkey FROM customer
-        |ORDER BY nk""".stripMargin),
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY ck""".stripMargin),
 
     // --- set op: UNION ALL of scalar aggregates
     Q.sameSql("q13_union_all",

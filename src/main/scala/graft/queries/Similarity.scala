@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{Q, QueryDef, Tables}
+import graft.operators.SimilarityOps
+
+/** Similarity-search operators over the `embeddings` table
+  * (LLM-pipeline extension; see SURVEY.md §0).
+  *
+  * All scores are exact integer dot products over `floor(x*10000)`
+  * quantized vectors, so every query carries a full DuckDB oracle
+  * (list lambdas + list_dot_product on exact integer values).
+  */
+object Similarity {
+
+  // DuckDB fragment: quantized embedding as a list of exact doubles.
+  // The CAST to DOUBLE is load-bearing: without it DuckDB multiplies in
+  // float32 and lands one ulp off Spark's double math.
+  private val duckQ = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 10000))"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // --- brute-force top-k neighbors of vec_id=0 by quantized dot
+    Q.df("q50_topk_bruteforce",
+      s"""WITH q AS (SELECT $duckQ AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, cast(list_dot_product($duckQ, q.qv) as bigint) AS dot
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      SimilarityOps.bruteForceTopK(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20)
+    },
+
+    // --- ANN: top-k within the query's 8-bit sign-LSH bucket
+    Q.df("q51_ann_sign_bucket",
+      s"""WITH b AS (
+         |  SELECT vec_id, $duckQ AS qv,
+         |    cast((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+         |         (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+         |         (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+         |         (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+         |         (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+         |         (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+         |         (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) as bigint) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT bucket AS qbucket, qv AS qqv FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, b.bucket,
+         |       cast(list_dot_product(b.qv, q.qqv) as bigint) AS dot
+         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+         |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      SimilarityOps.annSignBucketTopK(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, bits = 8, k = 10)
+    },
+
+    // --- near-dup pairs within 6-bit sign buckets (bucketed self-join)
+    Q.df("q52_bucketed_pairs",
+      s"""WITH b AS (
+         |  SELECT vec_id AS id, $duckQ AS qv,
+         |    cast((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+         |         (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+         |         (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+         |         (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+         |         (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) as bigint) AS bucket
+         |  FROM embeddings)
+         |SELECT a.id AS vec_a, b.id AS vec_b,
+         |       cast(list_dot_product(a.qv, b.qv) as bigint) AS dot
+         |FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE list_dot_product(a.qv, b.qv) >= 20000000
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      SimilarityOps.bucketedPairs(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        bits = 6, minDot = 20000000L)
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{Q, QueryDef, Tables}
+import graft.operators.TextAnalysisOps
+
+/** Text-analysis operators over the `documents` table (LLM-pipeline
+  * extension; see SURVEY.md §0). Every query carries a full DuckDB
+  * oracle — all scores are exact integer/decimal arithmetic.
+  */
+object TextAnalysis {
+
+  // DuckDB fragment: occurrences of literal `pat` in expression `e`.
+  private def occ(e: String, pat: String): String =
+    s"cast((length($e) - length(replace($e, '$pat', ''))) / ${pat.length} as bigint)"
+
+  private def duckLangScore(lang: String): String =
+    TextAnalysisOps.langMarkers(lang)
+      .map(m => occ("(' ' || text || ' ')", m)).mkString("(", " + ", ")")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // --- language-ID: stopword-marker scores + argmax prediction
+    Q.df("q60_lang_id", {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val scores = langs.map(l => s"${duckLangScore(l)} AS score_$l").mkString(",\n  ")
+      val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN score_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+         |  $pred AS lang_pred
+         |FROM (SELECT doc_id,
+         |  $scores
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysisOps.langId(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // --- quality scoring: counts + exact-decimal ratios
+    Q.df("q61_quality_score",
+      """SELECT doc_id,
+        |  cast(length(text) as bigint) AS n_chars,
+        |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens,
+        |  cast(cast(length(text) as decimal(20,6)) /
+        |       greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) as double) AS chars_per_token,
+        |  cast(cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as decimal(20,6)) /
+        |       greatest(length(text), 1) as double) AS alpha_ratio,
+        |  cast(cast((length(text) - length(replace(text, ' ', ''))) as decimal(20,6)) /
+        |       greatest(length(text), 1) as double) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.qualityScore(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // --- token counting: whitespace, BPE-ish regex, chars/4 estimate
+    Q.df("q62_token_stats",
+      """SELECT doc_id,
+        |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS ws_tokens,
+        |  cast(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) as bigint) AS bpeish_tokens,
+        |  cast(ceil(cast(length(text) as double) / 4) as bigint) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.tokenStats(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // --- rolling-hash document fingerprint (h = h*31 + code mod 1e9+7)
+    Q.df("q63_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(cast(0 as bigint),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> cast(ascii(substring(text, cast(i as int), 1)) as bigint))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.fingerprints(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  )
+}

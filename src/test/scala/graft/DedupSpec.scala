@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup operators on known-duplicate fixtures —
+  * these pin the behavior of the xxhash64-based ops (MinHash/SimHash)
+  * that have no DuckDB oracle in the correctness gate.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longText =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearText = // one word changed
+    "the quick brown fox jumps over the lazy cat and runs far away today"
+  private def docs = Seq(
+    (1L, longText, "en"),
+    (2L, longText, "en"),            // exact dup of 1
+    (3L, nearText, "en"),            // near dup of 1
+    (4L, "completely different content about spark sql engines", "en"),
+    (5L, "ab", "en")                 // shorter than any shingle
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactDupGroups groups identical texts, keeps min id") {
+    val rows = DedupOps.exactDupGroups(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("keep_id") === 1L)
+    assert(rows.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("dedupKeepFirst drops later exact copies only") {
+    val kept = DedupOps.dedupKeepFirst(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("wordShingles yields empty set for texts shorter than n tokens") {
+    val out = Seq("one two", "one two three four").toDF("t")
+      .select(size(DedupOps.wordShingles($"t", 3)).as("n")).as[Int].collect()
+    assert(out === Array(0, 2))
+  }
+
+  test("charShingles yields empty set for texts shorter than n chars") {
+    val out = Seq("ab", "abcd").toDF("t")
+      .select(size(DedupOps.charShingles($"t", 3)).as("n")).as[Int].collect()
+    assert(out === Array(0, 2))
+  }
+
+  test("minhashLshPairs finds exact and near dups, jaccard ordered") {
+    val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash64 is identical for identical text, near for near-dup") {
+    val m = DedupOps.simhashWithPeers(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L)._1 === m(2L)._1)            // exact dup -> same simhash
+    assert(m(1L)._2 >= 1L && m(2L)._2 >= 1L) // they see each other as peers
+    val hamming = java.lang.Long.bitCount(m(1L)._1 ^ m(3L)._1)
+    assert(hamming <= 16, s"near-dup hamming $hamming")
+  }
+
+  test("ngramJaccardPairs: identical docs score 1.0 within block") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.7)
+    assert(pairs((1L, 4L)) < 0.3)
+  }
+
+  test("skew guard drops over-full buckets") {
+    // 200 identical docs: bucket size 200 > maxBucket 64 -> no pairs
+    val many = (1L to 200L).map(i => (i, longText)).toDF("doc_id", "text")
+    val n = DedupOps.minhashLshPairs(many, "doc_id", "text", maxBucket = 64).count()
+    assert(n === 0L)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy vectors: id 0 is the query; 1 is parallel to it, 2
+  // orthogonal-ish, 3 anti-parallel.
+  private def embs = Seq(
+    (0L, Array(1.0f, 0.5f, 0.0f, 0.1f)),
+    (1L, Array(0.9f, 0.45f, 0.0f, 0.09f)),
+    (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, -0.5f, 0.0f, -0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("quantize floors to exact integer ticks") {
+    val q = Seq(Array(0.00015f, -0.00015f)).toDF("v")
+      .select(SimilarityOps.quantize($"v").as("q"))
+      .as[Array[Long]].head()
+    assert(q === Array(1L, -2L)) // floor semantics, not round
+  }
+
+  test("bruteForceTopK ranks the parallel vector first, anti last") {
+    val got = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect()
+    assert(got === Array(1L, 2L, 3L))
+  }
+
+  test("qdot matches a hand-computed quantized dot product") {
+    // q(1.0)=10000, q(0.5)=5000, q(0.0)=0, q(0.1)=999 or 1000 (float repr)
+    val dot = SimilarityOps.scoreAgainstQuery(embs, "vec_id", "embedding", 0L)
+      .filter($"vec_id" === 2L).select("dot").as[Long].head()
+    assert(dot === 0L)
+  }
+
+  test("signBucket packs sign bits of leading dims") {
+    val b = embs.select($"vec_id", SimilarityOps.signBucket($"embedding", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) === (1 | 2 | 8)) // dims 1,2,4 positive; dim 3 is 0.0
+    assert(b(3L) === 0L)
+  }
+
+  test("annSignBucketTopK only scores the query's bucket") {
+    val got = SimilarityOps.annSignBucketTopK(embs, "vec_id", "embedding", 0L, 4, 10)
+      .select("vec_id").as[Long].collect()
+    assert(got === Array(1L)) // only vec 1 shares bucket 11
+  }
+
+  test("bucketedPairs joins within buckets only") {
+    val pairs = SimilarityOps.bucketedPairs(embs, "vec_id", "embedding", 4, Long.MinValue)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L))) // 2 and 3 sit in singleton buckets
+  }
+}

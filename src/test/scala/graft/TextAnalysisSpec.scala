@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysisOps
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countOccurrences counts non-overlapping literal hits") {
+    val n = Seq("a the b the c").toDF("t")
+      .select(TextAnalysisOps.countOccurrences($"t", " the ").as("n"))
+      .as[Long].head()
+    assert(n === 2L)
+  }
+
+  test("langId picks the language with the most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysisOps.langId(df, "doc_id", "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(m(1L) === "en")
+    assert(m(2L) === "de")
+    assert(m(3L) === "und") // no markers -> undetermined
+  }
+
+  test("qualityScore computes exact counts and ratios") {
+    val r = TextAnalysisOps.qualityScore(Seq((1L, "ab cd!")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_chars") === 6L)
+    assert(r.getAs[Long]("n_tokens") === 2L)
+    assert(r.getAs[Double]("chars_per_token") === 3.0)
+    val ar = r.getAs[Double]("alpha_ratio")
+    assert(ar > 0.66 && ar < 0.67) // 4 alpha chars / 6 chars
+  }
+
+  test("tokenStats: ws vs bpe-ish vs estimate") {
+    val r = TextAnalysisOps.tokenStats(Seq((1L, "hello, world! ok")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    assert(r.getAs[Long]("bpeish_tokens") === 5L) // hello , world ! ok
+    assert(r.getAs[Long]("est_tokens") === 4L)    // ceil(16/4)
+  }
+
+  test("fingerprint matches the hand-computed rolling hash") {
+    // h("ab") = (0*31+97)*31 + 98 = 3105
+    val fp = TextAnalysisOps.fingerprints(Seq((1L, "ab")).toDF("doc_id", "text"),
+      "doc_id", "text").select("fp").as[Long].head()
+    assert(fp === 3105L)
+  }
+}
