@@ -1,0 +1,139 @@
+package graft.pgwire
+
+import org.apache.spark.sql.types._
+
+/** Spark Catalyst type → PostgreSQL type OID mapping: the wire contract
+  * from SURVEY.md §1, mirroring the reference's Arrow→pg map
+  * (reference: arrow-pg/src/datatypes.rs:23-125). Spark has no unsigned
+  * types, so the UInt rows collapse; everything else is 1:1.
+  *
+  * OID-alias metadata: an IntegerType/LongType field carrying
+  * `pg.oid_alias` StructField metadata reports the pg alias OID
+  * (regclass/regtype/…) instead of int4/int8 — the reference does the
+  * same via Arrow field metadata (arrow-pg/src/datatypes.rs:137-162).
+  */
+object PgType {
+  // scalar OIDs (fixed PostgreSQL catalog values)
+  val UNKNOWN = 705
+  val BOOL = 16
+  val BYTEA = 17
+  val NAME = 19
+  val INT8 = 20
+  val INT2 = 21
+  val INT4 = 23
+  val TEXT = 25
+  val OID = 26
+  val JSON = 114
+  val FLOAT4 = 700
+  val FLOAT8 = 701
+  val VARCHAR = 1043
+  val DATE = 1082
+  val TIME = 1083
+  val TIMESTAMP = 1114
+  val TIMESTAMPTZ = 1184
+  val INTERVAL = 1186
+  val NUMERIC = 1700
+  val RECORD = 2249
+
+  // array OIDs
+  val BOOL_ARRAY = 1000
+  val BYTEA_ARRAY = 1001
+  val INT2_ARRAY = 1005
+  val INT4_ARRAY = 1007
+  val TEXT_ARRAY = 1009
+  val VARCHAR_ARRAY = 1015
+  val INT8_ARRAY = 1016
+  val FLOAT4_ARRAY = 1021
+  val FLOAT8_ARRAY = 1022
+  val TIMESTAMP_ARRAY = 1115
+  val DATE_ARRAY = 1182
+  val TIME_ARRAY = 1183
+  val TIMESTAMPTZ_ARRAY = 1185
+  val INTERVAL_ARRAY = 1187
+  val NUMERIC_ARRAY = 1231
+  val RECORD_ARRAY = 2287
+
+  // oid alias types (reference: datafusion-pg-catalog/src/pg_catalog/oid_field.rs:55-68)
+  val aliasOids: Map[String, Int] = Map(
+    "oid" -> 26, "regclass" -> 2205, "regtype" -> 2206, "regproc" -> 24,
+    "regprocedure" -> 2202, "regoper" -> 2203, "regoperator" -> 2204,
+    "regrole" -> 4096, "regnamespace" -> 4089, "regconfig" -> 3734,
+    "regdictionary" -> 3769, "regcollation" -> 4191)
+
+  val OID_ALIAS_KEY = "pg.oid_alias"
+
+  /** pg OID for a Spark type (element position of an array handled
+    * recursively; `ARRAY[NULL]`-style NullType elements report text[]
+    * like the reference, datatypes.rs:58).
+    */
+  def oidOf(dt: DataType): Int = dt match {
+    case NullType => UNKNOWN
+    case BooleanType => BOOL
+    case ByteType | ShortType => INT2
+    case IntegerType => INT4
+    case LongType => INT8
+    case FloatType => FLOAT4
+    case DoubleType => FLOAT8
+    case _: DecimalType => NUMERIC
+    case StringType => TEXT
+    case _: CharType | _: VarcharType => VARCHAR
+    case BinaryType => BYTEA
+    case DateType => DATE
+    case TimestampNTZType => TIMESTAMP
+    case TimestampType => TIMESTAMPTZ
+    case _: DayTimeIntervalType | _: YearMonthIntervalType | CalendarIntervalType => INTERVAL
+    case ArrayType(el, _) => arrayOidOf(el)
+    case _: StructType => RECORD
+    case _: MapType => TEXT // no pg map type; text-encoded
+    case other => throw new IllegalArgumentException(s"Unsupported Spark type $other")
+  }
+
+  private def arrayOidOf(el: DataType): Int = el match {
+    case NullType => TEXT_ARRAY
+    case BooleanType => BOOL_ARRAY
+    case ByteType | ShortType => INT2_ARRAY
+    case IntegerType => INT4_ARRAY
+    case LongType => INT8_ARRAY
+    case FloatType => FLOAT4_ARRAY
+    case DoubleType => FLOAT8_ARRAY
+    case _: DecimalType => NUMERIC_ARRAY
+    case StringType => TEXT_ARRAY
+    case _: CharType | _: VarcharType => VARCHAR_ARRAY
+    case BinaryType => BYTEA_ARRAY
+    case DateType => DATE_ARRAY
+    case TimestampNTZType => TIMESTAMP_ARRAY
+    case TimestampType => TIMESTAMPTZ_ARRAY
+    case _: DayTimeIntervalType | _: YearMonthIntervalType | CalendarIntervalType => INTERVAL_ARRAY
+    case _: StructType => RECORD_ARRAY
+    case ArrayType(inner, _) => arrayOidOf(inner) // pg arrays are flat; nested share the oid
+    case other => throw new IllegalArgumentException(s"Unsupported array element $other")
+  }
+
+  /** OID for a field, honoring pg.oid_alias metadata on int fields. */
+  def oidOf(f: StructField): Int =
+    if (f.metadata.contains(OID_ALIAS_KEY))
+      aliasOids.getOrElse(f.metadata.getString(OID_ALIAS_KEY), oidOf(f.dataType))
+    else oidOf(f.dataType)
+
+  /** Fixed wire sizes per OID; -1 = variable. */
+  def typlen(oid: Int): Int = oid match {
+    case BOOL => 1
+    case INT2 => 2
+    case INT4 | FLOAT4 | DATE | OID | 2205 | 2206 | 24 => 4
+    case INT8 | FLOAT8 | TIME | TIMESTAMP | TIMESTAMPTZ => 8
+    case INTERVAL => 16
+    case _ => -1
+  }
+
+  /** One RowDescription column: (name, oid, typlen). */
+  final case class FieldDesc(name: String, oid: Int, len: Int, format: Short = 0)
+
+  /** StructType → RowDescription field list
+    * (reference: arrow-pg/src/datatypes.rs:164-231).
+    */
+  def rowDescription(schema: StructType, formats: Int => Short = _ => 0): Seq[FieldDesc] =
+    schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+      val oid = oidOf(f)
+      FieldDesc(f.name, oid, typlen(oid), formats(i))
+    }
+}

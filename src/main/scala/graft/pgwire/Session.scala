@@ -1,0 +1,85 @@
+package graft.pgwire
+
+import scala.collection.mutable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Per-connection session state: GUC variables, the transaction-status
+  * state machine, cursor portals, and prepared statements.
+  *
+  * Transaction semantics mirror the reference exactly (no real
+  * transactions — a tag state machine; reference:
+  * datafusion-postgres/src/hooks/transactions.rs:24-131): BEGIN in a
+  * txn is ignored with a warning tag, COMMIT in Error state returns
+  * ROLLBACK, any non-txn statement in Error state raises 25P01.
+  */
+final class Session(val connId: Int, val user: String, val database: String) {
+
+  // ---- GUCs -------------------------------------------------------------
+  val gucs: mutable.Map[String, String] = mutable.Map(
+    "application_name" -> "",
+    "search_path" -> "\"$user\", public",
+    "datestyle" -> "ISO, MDY",
+    "intervalstyle" -> "postgres",
+    "bytea_output" -> "hex",
+    "extra_float_digits" -> "1",
+    "timezone" -> "UTC",
+    "client_encoding" -> "UTF8")
+
+  /** statement_timeout in millis; 0 = none. */
+  var statementTimeoutMs: Long = 0L
+
+  /** GUC vars whose SET pushes a ParameterStatus message
+    * (reference: set_show.rs:253-260).
+    */
+  def parameterStatusName(guc: String): Option[String] = guc match {
+    case "datestyle" => Some("DateStyle")
+    case "intervalstyle" => Some("IntervalStyle")
+    case "bytea_output" | "application_name" | "extra_float_digits" | "search_path" =>
+      Some(guc)
+    case _ => None
+  }
+
+  /** Parse pg duration syntax: bare int = ms; suffixes ms/s/min/h/d. */
+  def parseTimeout(v: String): Long = {
+    val t = v.trim.stripPrefix("'").stripSuffix("'").trim
+    val m = "^(\\d+)\\s*(ms|s|min|h|d)?$".r
+    t match {
+      case m(n, unit) =>
+        val base = n.toLong
+        unit match {
+          case null | "ms" => base
+          case "s" => base * 1000
+          case "min" => base * 60000
+          case "h" => base * 3600000
+          case "d" => base * 86400000
+        }
+      case _ => throw new IllegalArgumentException(s"invalid timeout value: $v")
+    }
+  }
+
+  // ---- transaction state machine ----------------------------------------
+  sealed trait TxnState
+  case object Idle extends TxnState
+  case object InTxn extends TxnState
+  case object Failed extends TxnState
+
+  var txn: TxnState = Idle
+
+  def txnStatusByte: Char = txn match {
+    case Idle => 'I'
+    case InTxn => 'T'
+    case Failed => 'E'
+  }
+
+  // ---- cursor portals (DECLARE/FETCH/CLOSE) ------------------------------
+  final case class Cursor(schema: StructType, it: Iterator[Row])
+  val cursors: mutable.Map[String, Cursor] = mutable.Map.empty
+
+  // ---- extended-protocol prepared statements & portals -------------------
+  final case class Prepared(sql: String, paramOids: Seq[Int], schema: Option[StructType])
+  final case class Portal(prepared: Prepared, boundSql: String,
+      resultFormats: Seq[Short], var result: Option[(StructType, Iterator[Row])])
+  val prepared: mutable.Map[String, Prepared] = mutable.Map.empty
+  val portals: mutable.Map[String, Portal] = mutable.Map.empty
+}

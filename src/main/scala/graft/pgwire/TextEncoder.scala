@@ -1,0 +1,169 @@
+package graft.pgwire
+
+import java.sql.{Date, Timestamp}
+import java.time.{Duration, Instant, LocalDate, LocalDateTime, Period, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.CalendarInterval
+
+/** Spark Row values → PostgreSQL text-format wire strings, following
+  * pg's own output conventions (the reference delegates this to
+  * pgwire's ToSqlText; behavior matrix at
+  * arrow-pg/src/encoder.rs:536-738 and list_encoder.rs/struct_encoder.rs).
+  *
+  * Null is represented as None (the DataRow writes -1 length).
+  */
+object TextEncoder {
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+
+  /** Encode one value of the given Spark type to pg text format. */
+  def encode(v: Any, dt: DataType): Option[String] =
+    if (v == null) None
+    else Some(dt match {
+      case NullType => return None
+      case BooleanType => if (v.asInstanceOf[Boolean]) "t" else "f"
+      case ByteType | ShortType | IntegerType | LongType => v.toString
+      case FloatType => formatFloat(v.asInstanceOf[Float].toDouble, isFloat4 = true)
+      case DoubleType => formatFloat(v.asInstanceOf[Double], isFloat4 = false)
+      case _: DecimalType => v.asInstanceOf[java.math.BigDecimal].toPlainString
+      case StringType | _: CharType | _: VarcharType => v.toString
+      case BinaryType => "\\x" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString
+      case DateType => v match {
+        case d: Date => d.toLocalDate.format(dateFmt)
+        case d: LocalDate => d.format(dateFmt)
+      }
+      case TimestampNTZType => v match {
+        case t: LocalDateTime => formatTs(t)
+        case t: Timestamp => formatTs(t.toLocalDateTime)
+      }
+      case TimestampType => v match {
+        // session tz is UTC throughout; pg prints tz-aware values with offset
+        case t: Timestamp => formatTs(t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime) + "+00"
+        case t: Instant => formatTs(t.atOffset(ZoneOffset.UTC).toLocalDateTime) + "+00"
+      }
+      case _: DayTimeIntervalType => formatDayTimeInterval(v.asInstanceOf[Duration])
+      case _: YearMonthIntervalType => formatYearMonthInterval(v.asInstanceOf[Period])
+      case CalendarIntervalType =>
+        val ci = v.asInstanceOf[CalendarInterval]
+        formatInterval(ci.months, ci.days, ci.microseconds)
+      case ArrayType(el, _) => encodeArray(v.asInstanceOf[scala.collection.Seq[Any]], el)
+      case st: StructType => encodeStruct(v.asInstanceOf[Row], st)
+      case MapType(kt, vt, _) => encodeMap(v.asInstanceOf[scala.collection.Map[Any, Any]], kt, vt)
+      case other => throw new IllegalArgumentException(s"Unsupported type $other")
+    })
+
+  private def formatTs(t: LocalDateTime): String = {
+    val base = t.format(tsFmt)
+    val micros = t.getNano / 1000
+    if (micros == 0) base
+    else base + "." + "%06d".format(micros).reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** pg float text: plain decimal within a sane exponent range,
+    * scientific outside it; shortest round-trip digits.
+    */
+  def formatFloat(d: Double, isFloat4: Boolean): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "Infinity"
+    else if (d.isNegInfinity) "-Infinity"
+    else {
+      val s = if (isFloat4) f(d.toFloat.toString) else f(shortestDouble(d))
+      s
+    }
+
+  private def f(s: String) = {
+    // Java prints 1.0E10 / 1.0; pg prints 1e+10 / 1. Normalize.
+    if (s.contains("E")) {
+      val Array(m, e) = s.split("E")
+      val mant = stripTrailingZero(m)
+      val exp = e.toInt
+      mant + "e" + (if (exp < 0) "-" else "+") + "%02d".format(math.abs(exp))
+    } else stripTrailingZero(s)
+  }
+
+  private def stripTrailingZero(s: String): String =
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+
+  private def shortestDouble(d: Double): String = {
+    if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+  }
+
+  /** pg interval text, verbose-ish style: "1 year 2 mons 3 days 04:05:06". */
+  def formatInterval(months: Int, days: Int, micros: Long): String = {
+    val sb = new StringBuilder
+    val years = months / 12
+    val mons = months % 12
+    if (years != 0) sb.append(s"$years year${if (math.abs(years) != 1) "s" else ""} ")
+    if (mons != 0) sb.append(s"$mons mon${if (math.abs(mons) != 1) "s" else ""} ")
+    if (days != 0) sb.append(s"$days day${if (math.abs(days) != 1) "s" else ""} ")
+    if (micros != 0 || sb.isEmpty) {
+      val neg = micros < 0
+      val am = math.abs(micros)
+      val h = am / 3600000000L
+      val m = (am % 3600000000L) / 60000000L
+      val s = (am % 60000000L) / 1000000L
+      val us = am % 1000000L
+      sb.append(if (neg) "-" else "")
+      sb.append("%02d:%02d:%02d".format(h, m, s))
+      if (us != 0) sb.append("." + "%06d".format(us).reverse.dropWhile(_ == '0').reverse)
+    }
+    sb.toString.trim
+  }
+
+  private def formatDayTimeInterval(d: Duration): String =
+    formatInterval(0, 0, d.toNanos / 1000)
+
+  private def formatYearMonthInterval(p: Period): String =
+    formatInterval(p.getYears * 12 + p.getMonths, 0, 0)
+
+  /** pg array text: {a,b,NULL}; elements quoted when they contain
+    * specials (reference regression: `{NULL}` array — encoder.rs tests).
+    */
+  def encodeArray(els: scala.collection.Seq[Any], elType: DataType): String =
+    els.map { el =>
+      encode(el, elType) match {
+        case None => "NULL"
+        case Some(s) => quoteArrayElement(s, elType)
+      }
+    }.mkString("{", ",", "}")
+
+  private def needsQuote(s: String): Boolean =
+    s.isEmpty || s.equalsIgnoreCase("null") ||
+      s.exists(c => c == ',' || c == '{' || c == '}' || c == '"' || c == '\\' || c.isWhitespace)
+
+  private def quoteArrayElement(s: String, elType: DataType): String = elType match {
+    case StringType | _: CharType | _: VarcharType | BinaryType | _: StructType |
+         CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType |
+         TimestampType | TimestampNTZType if needsQuote(s) || s.contains("\\x") =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case _ if needsQuote(s) =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case _ => s
+  }
+
+  /** pg composite text: (a,b); NULL fields empty; quoting like arrays
+    * (reference: arrow-pg/src/struct_encoder.rs:74-160).
+    */
+  def encodeStruct(row: Row, st: StructType): String =
+    st.fields.zipWithIndex.map { case (fld, i) =>
+      encode(if (row.isNullAt(i)) null else row.get(i), fld.dataType) match {
+        case None => ""
+        case Some(s) =>
+          if (s.isEmpty || s.exists(c => c == ',' || c == '(' || c == ')' || c == '"' || c == '\\' || c.isWhitespace))
+            "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          else s
+      }
+    }.mkString("(", ",", ")")
+
+  /** Maps have no pg type; hstore-style "k"=>"v" text. */
+  def encodeMap(m: scala.collection.Map[Any, Any], kt: DataType, vt: DataType): String =
+    m.map { case (k, v) =>
+      val ks = encode(k, kt).getOrElse("NULL")
+      val vs = encode(v, vt).map(s => "\"" + s + "\"").getOrElse("NULL")
+      "\"" + ks + "\"=>" + vs
+    }.mkString(", ")
+}
