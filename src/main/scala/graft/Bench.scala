@@ -27,8 +27,12 @@ object Bench {
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
       val t0 = System.nanoTime()
+      // Force FULL evaluation of every operator: a noop-sink write
+      // materializes each output row (count() would let Catalyst prune
+      // projections and eliminate sorts, timing a metadata-only scan —
+      // the round-2 verdict's under-measurement bug).
       val ok =
-        try { fns(name)(spark, sfDir).count(); true }
+        try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           false

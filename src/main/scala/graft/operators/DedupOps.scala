@@ -30,12 +30,19 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Dedup-materialize: keep the lowest-id row per exact-content group.
-    * At scale this is one hash-partitioned window over (digest), never
-    * moving the text twice.
+    *
+    * Two-phase shape for scale: phase 1 is [[exactDupGroups]] (shuffles
+    * digest + id only, map-side partial min — a hot digest with a
+    * billion copies collapses to one row per map task before the
+    * shuffle); phase 2 semi-joins the keeper ids back on the unique id
+    * column, so full rows move exactly once, hash-partitioned by a key
+    * with no skew. A window over md5(text) — the round-2 shape — would
+    * shuffle every full row AND serialize all copies of a hot document
+    * into a single task.
     */
   def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val keep = exactDupGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Whitespace tokens of a text column. */
@@ -92,10 +99,18 @@ object DedupOps {
       shingleWords: Int = 3, k: Int = 16, bands: Int = 8,
       maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
+    // The signature pipeline (tokenize → shingle → k-pass MinHash) is
+    // by far the dominant cost and feeds THREE plan branches (the band
+    // explode + both verify-join sides). Persist it once — without
+    // this, Catalyst recomputes the full pipeline per branch (the
+    // round-2 bench burned 51% of total time here). MEMORY_AND_DISK:
+    // at 100 TB the shingle sets spill to local disk rather than OOM;
+    // checkpointing signatures is the standard minhash-dedup shape.
     val withSig = docs
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleWords).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignature(col("shingles"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))

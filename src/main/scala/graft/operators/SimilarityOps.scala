@@ -82,11 +82,21 @@ object SimilarityOps {
 
   /** Near-dup vector pairs within sign-LSH buckets (bucketed self-join,
     * never all-pairs). Returns pairs with quantized dot >= minDot.
+    *
+    * Skew guard: sign-LSH buckets are balanced only for zero-centered
+    * embeddings — an all-positive corpus (common post-ReLU) collapses
+    * into ONE bucket and turns the self-join quadratic. Buckets larger
+    * than maxBucket are dropped before pairing, same policy as the
+    * DedupOps LSH joins.
     */
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
-      bits: Int, minDot: Long): DataFrame = {
-    val b = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+      bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
+    val b0 = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
+    val b = b0.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),

@@ -62,10 +62,13 @@ object Similarity {
          |         (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
          |         (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
          |         (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) as bigint) AS bucket
-         |  FROM embeddings)
+         |  FROM embeddings),
+         |capped AS (
+         |  SELECT * FROM b
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000)
          |SELECT a.id AS vec_a, b.id AS vec_b,
          |       cast(list_dot_product(a.qv, b.qv) as bigint) AS dot
-         |FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+         |FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE list_dot_product(a.qv, b.qv) >= 20000000
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
       SimilarityOps.bucketedPairs(

@@ -53,4 +53,14 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L))) // 2 and 3 sit in singleton buckets
   }
+
+  test("bucketedPairs drops over-cap buckets (ReLU-style skew guard)") {
+    // 50 identical all-positive vectors collapse into one sign bucket;
+    // with maxBucket=10 the bucket is dropped — zero pairs, not 50*49/2.
+    val skewed = (1L to 50L).map(i => (i, Array(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val n = SimilarityOps.bucketedPairs(skewed, "vec_id", "embedding",
+      bits = 4, minDot = Long.MinValue, maxBucket = 10).count()
+    assert(n === 0L)
+  }
 }
