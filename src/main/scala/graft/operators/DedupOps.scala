@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
@@ -30,6 +29,14 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Dedup-materialize: keep the lowest-id row per exact-content group.
+    *
+    * PRECONDITION: `idCol` must be unique and non-null. The semi-join
+    * on keeper ids is only equivalent to a per-group row_number pick
+    * under that contract — duplicate ids would keep every row sharing a
+    * keeper id, and all-NULL-id groups would be dropped instead of
+    * keeping one row. The testdata ids (doc_id et al) satisfy it; callers
+    * bringing their own tables must guarantee it (e.g.
+    * `monotonically_increasing_id` first).
     *
     * Two-phase shape for scale: phase 1 is [[exactDupGroups]] (shuffles
     * digest + id only, map-side partial min — a hot digest with a
@@ -88,8 +95,21 @@ object DedupOps {
       b => struct(b.as("band"),
         xxhash64(b, slice(sig, b * rows + 1, lit(rows))).as("band_hash")))
 
+  /** A result whose plan references persisted blocks, plus the cleanup
+    * that releases them. Long-lived sessions (e.g. the pgwire server)
+    * MUST call `unpersist()` after consuming `df` — otherwise every
+    * call pins cached blocks in the SparkSession for its lifetime.
+    */
+  final case class ManagedResult(df: DataFrame, unpersist: () => Unit)
+
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with the
     * exact Jaccard over the shingle sets.
+    *
+    * Convenience wrapper over [[minhashLshPairsManaged]] for one-shot
+    * sessions (Verify/Bench, which exit after the action): the cached
+    * signature blocks stay pinned until the session ends or
+    * `spark.catalog.clearCache()`. Long-lived callers must use the
+    * managed variant and unpersist after the action.
     *
     * @param maxBucket skew guard: LSH buckets larger than this are
     *                  dropped (a hot band hash would otherwise create a
@@ -97,7 +117,13 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 16, bands: Int = 8,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    minhashLshPairsManaged(docs, idCol, textCol, shingleWords, k, bands, maxBucket).df
+
+  /** [[minhashLshPairs]] with an explicit cache lifecycle handle. */
+  def minhashLshPairsManaged(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 16, bands: Int = 8,
+      maxBucket: Int = 64): ManagedResult = {
     val rows = k / bands
     // The signature pipeline (tokenize → shingle → k-pass MinHash) is
     // by far the dominant cost and feeds THREE plan branches (the band
@@ -121,23 +147,34 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val sh = withSig.select(col("doc_id"), col("shingles"))
-    candidates
+    val result = candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    ManagedResult(result, () => { withSig.unpersist(); () })
   }
 
   /** Skew guard shared by the LSH-style self-joins: drop buckets larger
     * than maxBucket before pairing (hot buckets are near-useless for
     * dedup and quadratic in cost).
+    *
+    * Implemented as a map-side-partial groupBy count semi-joined back —
+    * NOT a count window: a window partitioned by the bucket key would
+    * serialize an entire hot bucket through one task before dropping
+    * it, the exact skew shape this guard exists to prevent. The count
+    * side is one row per bucket (tiny next to the input), so AQE
+    * broadcast-joins it and a pathological bucket never funnels through
+    * a single task.
     */
-  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
-    df.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+  def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+      .select(keys.map(col): _*)
+    df.join(small, keys, "left_semi")
+  }
 
   /** 64-bit SimHash of a text column — a single map-side expression
     * (array fold over token hashes), zero shuffle. Bit shifts by a

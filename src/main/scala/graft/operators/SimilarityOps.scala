@@ -93,10 +93,10 @@ object SimilarityOps {
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
     val b0 = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
-    val b = b0.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // shared skew guard (groupBy-count semi-join — never a count window
+    // that would funnel a hot bucket through one task; see
+    // DedupOps.capBuckets scaladoc)
+    val b = DedupOps.capBuckets(b0, Seq("bucket"), maxBucket)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
