@@ -1,0 +1,320 @@
+package graft.pgwire
+
+import java.util.{Timer, TimerTask}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** A pg error carrying its SQLSTATE (maps to ErrorResponse fields). */
+final case class PgException(code: String, msg: String) extends RuntimeException(msg)
+
+/** Abstract result of one statement — the server maps these to wire
+  * messages; unit tests assert on them directly.
+  */
+sealed trait PgResult
+/** Row-returning statement; tagFor(rowCount) builds the CommandComplete
+  * tag after the stream drains.
+  */
+final case class RowSet(schema: StructType, rows: Iterator[Row],
+    tagFor: Long => String) extends PgResult
+/** Non-row statement; paramStatus are ParameterStatus pushes (SET). */
+final case class Complete(tag: String,
+    paramStatus: Seq[(String, String)] = Nil) extends PgResult
+case object EmptyQuery extends PgResult
+
+/** Statement router: the hook chain (transaction state machine,
+  * SET/SHOW, DECLARE/FETCH/CLOSE cursors — reference:
+  * datafusion-postgres/src/hooks/{transactions,set_show,cursor}.rs)
+  * in front of the compat-rewritten `spark.sql` query path
+  * (reference: src/handlers.rs:154-233).
+  */
+object Handlers {
+
+  import Compat.{Tok, Word}
+
+  def execute(spark: SparkSession, session: Session, rawSql: String): PgResult = {
+    val sql = rawSql.trim
+    if (sql.isEmpty) return EmptyQuery
+    val toks = Compat.tokenize(sql).filter(_.kind != Compat.Ws)
+    if (toks.isEmpty) return EmptyQuery
+    val head = toks.head.text.toUpperCase
+    val second = if (toks.length > 1) toks(1).text.toUpperCase else ""
+
+    // aborted-transaction guard (reference: transactions.rs:96-118)
+    if (session.txn == session.Failed &&
+      !Set("COMMIT", "END", "ROLLBACK", "ABORT").contains(head))
+      throw PgException("25P01",
+        "current transaction is aborted, commands ignored until end of transaction block")
+
+    head match {
+      case "BEGIN" | "START" =>
+        session.txn = session.InTxn
+        Complete("BEGIN")
+      case "COMMIT" | "END" =>
+        val wasFailed = session.txn == session.Failed
+        session.txn = session.Idle
+        Complete(if (wasFailed) "ROLLBACK" else "COMMIT")
+      case "ROLLBACK" | "ABORT" =>
+        session.txn = session.Idle
+        Complete("ROLLBACK")
+      case "SET" if second != "" => handleSet(spark, session, toks)
+      case "RESET" => Complete("RESET")
+      case "SHOW" if !sparkShowKeywords.contains(second) =>
+        handleShow(session, toks)
+      case "DECLARE" => handleDeclare(spark, session, toks, sql)
+      case "FETCH" | "MOVE" => handleFetch(session, toks, head == "MOVE")
+      case "CLOSE" => handleClose(session, toks)
+      case "DEALLOCATE" => Complete("DEALLOCATE")
+      case "DISCARD" =>
+        session.cursors.clear(); session.portals.clear(); session.prepared.clear()
+        Complete("DISCARD ALL")
+      case _ => runQuery(spark, session, sql, head, second)
+    }
+  }
+
+  /** Spark SHOW <x> forms passed through to the engine rather than
+    * treated as pg GUC SHOW.
+    */
+  private val sparkShowKeywords = Set(
+    "TABLES", "DATABASES", "SCHEMAS", "VIEWS", "COLUMNS", "FUNCTIONS",
+    "PARTITIONS", "CREATE", "TBLPROPERTIES", "CATALOGS")
+
+  // ---- SET / SHOW (reference: hooks/set_show.rs:25-366) -----------------
+
+  private def handleSet(spark: SparkSession, session: Session,
+      toks: Vector[Tok]): PgResult = {
+    // SET [SESSION|LOCAL] name [TO|=] value...  /  SET TIME ZONE tz
+    var i = 1
+    if (i < toks.length && (toks(i).isWord("SESSION") || toks(i).isWord("LOCAL"))) i += 1
+    if (i + 1 < toks.length && toks(i).isWord("TIME") && toks(i + 1).isWord("ZONE")) {
+      val tz = unquote(toks.drop(i + 2))
+      val zone = if (tz.equalsIgnoreCase("local") || tz.equalsIgnoreCase("default")) "UTC" else tz
+      session.gucs("timezone") = zone
+      return Complete("SET", Seq("TimeZone" -> zone))
+    }
+    if (i >= toks.length) throw PgException("42601", "syntax error in SET")
+    val name = toks(i).text.toLowerCase
+    i += 1
+    if (i < toks.length && (toks(i).isWord("TO") || toks(i).is("="))) i += 1
+    val value = unquote(toks.drop(i))
+    name match {
+      case "statement_timeout" =>
+        session.statementTimeoutMs =
+          try session.parseTimeout(value)
+          catch { case e: IllegalArgumentException => throw PgException("22023", e.getMessage) }
+        session.gucs(name) = value
+      case "timezone" => session.gucs("timezone") = value
+      case other => session.gucs(other) = value
+    }
+    val push = session.parameterStatusName(name).map(_ -> session.gucs(name)).toSeq
+    Complete("SET", push)
+  }
+
+  private def unquote(ts: Seq[Tok]): String = {
+    val raw = ts.map(_.text).mkString(" ").trim
+    if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+      raw.substring(1, raw.length - 1).replace("''", "'")
+    else raw
+  }
+
+  private def handleShow(session: Session, toks: Vector[Tok]): PgResult = {
+    val rest = toks.drop(1)
+    if (rest.isEmpty) throw PgException("42601", "syntax error in SHOW")
+    if (rest.head.isWord("ALL")) {
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("setting", StringType),
+        StructField("description", StringType)))
+      val merged = (PgCatalog.defaultGucs.toMap ++ session.gucs.toMap).toSeq.sortBy(_._1)
+      return RowSet(schema, merged.map { case (k, v) => Row(k, v, "") }.iterator,
+        n => s"SHOW")
+    }
+    val name =
+      if (rest.length >= 2 && rest(0).isWord("TIME") && rest(1).isWord("ZONE")) "timezone"
+      else rest.head.text.toLowerCase
+    val value = showValue(session, name).getOrElse(
+      throw PgException("42704", s"""unrecognized configuration parameter "$name""""))
+    val colName = if (name == "timezone") "TimeZone" else name
+    RowSet(StructType(Seq(StructField(colName, StringType))),
+      Iterator.single(Row(value)), _ => "SHOW")
+  }
+
+  def showValue(session: Session, name: String): Option[String] = name match {
+    case "server_version" => Some(PgFunctions.ServerVersion)
+    case "server_version_num" => Some("170000")
+    case "transaction_isolation" | "default_transaction_isolation" => Some("read committed")
+    case "is_superuser" => Some("on")
+    case "session_authorization" => Some(session.user)
+    case "statement_timeout" => Some(session.statementTimeoutMs.toString)
+    case other =>
+      session.gucs.get(other).orElse(PgCatalog.defaultGucs.toMap.get(other))
+  }
+
+  // ---- cursors (reference: hooks/cursor.rs:26-223) -----------------------
+
+  private def handleDeclare(spark: SparkSession, session: Session,
+      toks: Vector[Tok], sql: String): PgResult = {
+    if (toks.length < 4) throw PgException("42601", "syntax error in DECLARE")
+    val name = identText(toks(1))
+    var i = 2
+    while (i < toks.length && !toks(i).isWord("CURSOR")) {
+      if (toks(i).isWord("SCROLL") && !(i > 0 && toks(i - 1).isWord("NO")))
+        throw PgException("0A000", "SCROLL cursors are not supported")
+      i += 1
+    }
+    if (i >= toks.length) throw PgException("42601", "syntax error in DECLARE: missing CURSOR")
+    i += 1 // past CURSOR
+    if (i < toks.length && (toks(i).isWord("WITH") || toks(i).isWord("WITHOUT"))) i += 2
+    if (i >= toks.length || !toks(i).isWord("FOR"))
+      throw PgException("42601", "syntax error in DECLARE: missing FOR")
+    // recover the raw query text after FOR (token render loses spacing
+    // inside strings? no — render keeps text verbatim; but we filtered
+    // Ws tokens, so re-tokenize the raw sql instead)
+    val full = Compat.tokenize(sql)
+    var seen = 0
+    var cut = -1
+    var j = 0
+    var depth = 0
+    while (j < full.length && cut < 0) {
+      val t = full(j)
+      if (t.is("(")) depth += 1
+      else if (t.is(")")) depth -= 1
+      else if (depth == 0 && t.isWord("FOR")) cut = j
+      j += 1
+    }
+    if (cut < 0) throw PgException("42601", "syntax error in DECLARE")
+    val query = Compat.render(full.drop(cut + 1)).trim
+    if (session.cursors.contains(name))
+      throw PgException("42P03", s"""cursor "$name" already exists""")
+    val df = runSql(spark, query)
+    session.cursors(name) = session.Cursor(df.schema, df.toLocalIterator().asScala)
+    Complete("DECLARE CURSOR")
+  }
+
+  private def identText(t: Tok): String =
+    if (t.kind == Compat.QIdent) t.text.substring(1, t.text.length - 1)
+    else t.text.toLowerCase
+
+  private def handleFetch(session: Session, toks: Vector[Tok], isMove: Boolean): PgResult = {
+    // FETCH [NEXT|FORWARD n|FORWARD ALL|ALL|n] [FROM|IN] name
+    var i = 1
+    var count: Long = 1
+    var all = false
+    def bad(dir: String): Nothing =
+      throw PgException("55000", s"cursor can only scan forward")
+    if (i < toks.length) toks(i) match {
+      case t if t.isWord("NEXT") => i += 1
+      case t if t.isWord("PRIOR") || t.isWord("BACKWARD") || t.isWord("FIRST") ||
+        t.isWord("LAST") || t.isWord("ABSOLUTE") || t.isWord("RELATIVE") => bad(t.text)
+      case t if t.isWord("ALL") => all = true; i += 1
+      case t if t.isWord("FORWARD") =>
+        i += 1
+        if (i < toks.length && toks(i).kind == Compat.Num) { count = toks(i).text.toLong; i += 1 }
+        else if (i < toks.length && toks(i).isWord("ALL")) { all = true; i += 1 }
+      case t if t.kind == Compat.Num =>
+        val n = t.text.toLong
+        if (n < 0) bad("backward")
+        count = n; i += 1
+      case _ =>
+    }
+    if (i < toks.length && (toks(i).isWord("FROM") || toks(i).isWord("IN"))) i += 1
+    if (i >= toks.length) throw PgException("42601", "syntax error in FETCH: missing cursor name")
+    val name = identText(toks(i))
+    val cur = session.cursors.getOrElse(name,
+      throw PgException("34000", s"""cursor "$name" does not exist"""))
+    // drain manually — Iterator.take would invalidate cur.it for the
+    // next FETCH on the same cursor
+    val drained = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var k = 0L
+      while (cur.it.hasNext && (all || k < count)) { buf += cur.it.next(); k += 1 }
+      buf.toSeq
+    }
+    if (isMove) Complete(s"MOVE ${drained.length}")
+    else RowSet(cur.schema, drained.iterator, n => s"FETCH $n")
+  }
+
+  private def handleClose(session: Session, toks: Vector[Tok]): PgResult = {
+    if (toks.length < 2) throw PgException("42601", "syntax error in CLOSE")
+    if (toks(1).isWord("ALL")) { session.cursors.clear(); Complete("CLOSE CURSOR ALL") }
+    else {
+      val name = identText(toks(1))
+      if (session.cursors.remove(name).isEmpty)
+        throw PgException("34000", s"""cursor "$name" does not exist""")
+      Complete("CLOSE CURSOR")
+    }
+  }
+
+  // ---- query path --------------------------------------------------------
+
+  /** Compat-rewrite + (if pg_catalog is referenced) refresh the dynamic
+    * catalog views, then hand to Catalyst.
+    */
+  def runSql(spark: SparkSession, sql: String): DataFrame = {
+    val rewritten = Compat.rewrite(sql)
+    if (rewritten.toLowerCase.contains("pg_")) PgCatalog.refresh(spark)
+    spark.sql(rewritten)
+  }
+
+  private val ddlHeads = Set("CREATE", "DROP", "ALTER", "TRUNCATE",
+    "COMMENT", "REFRESH", "CACHE", "UNCACHE", "ANALYZE", "MSCK", "USE",
+    "GRANT", "REVOKE")
+
+  private def runQuery(spark: SparkSession, session: Session, sql: String,
+      head: String, second: String): PgResult = {
+    val df = runSql(spark, sql)
+    head match {
+      case "INSERT" =>
+        val n = outputRows(df)
+        Complete(s"INSERT 0 $n")
+      case "UPDATE" => Complete(s"UPDATE ${outputRows(df)}")
+      case "DELETE" => Complete(s"DELETE ${outputRows(df)}")
+      case h if ddlHeads.contains(h) =>
+        val obj = Seq("TABLE", "VIEW", "DATABASE", "SCHEMA", "FUNCTION", "INDEX")
+          .find(o => sql.toUpperCase.split("\\s+").take(4).contains(o))
+        Complete((h +: obj.toSeq).mkString(" "))
+      case _ =>
+        RowSet(df.schema, df.toLocalIterator().asScala, n => s"SELECT $n")
+    }
+  }
+
+  /** Rows written by an eagerly-executed command (INSERT tag;
+    * reference: handlers.rs:354-376 collects the count column).
+    */
+  private def outputRows(df: DataFrame): Long =
+    df.queryExecution.executedPlan.collectFirst {
+      case p if p.metrics.contains("numOutputRows") => p.metrics("numOutputRows").value
+    }.getOrElse(0L)
+
+  // ---- statement timeout (reference: handlers.rs:196-210) ---------------
+
+  /** Run `body` under the session's statement_timeout: a watchdog
+    * cancels the connection's Spark job group on expiry and the call
+    * raises 57014. Job-group scoping is per-thread, so each connection
+    * thread cancels only its own jobs.
+    */
+  def withTimeout[A](spark: SparkSession, session: Session, jobGroup: String)(body: => A): A = {
+    spark.sparkContext.setJobGroup(jobGroup, "pgwire statement", interruptOnCancel = true)
+    val ms = session.statementTimeoutMs
+    if (ms <= 0) {
+      try body finally spark.sparkContext.clearJobGroup()
+    } else {
+      @volatile var timedOut = false
+      val timer = new Timer("pg-statement-timeout", true)
+      val task = new TimerTask {
+        def run(): Unit = { timedOut = true; spark.sparkContext.cancelJobGroup(jobGroup) }
+      }
+      timer.schedule(task, ms)
+      try {
+        val r = body
+        if (timedOut)
+          throw PgException("57014", "canceling statement due to statement timeout")
+        r
+      } catch {
+        case _: Throwable if timedOut =>
+          throw PgException("57014", "canceling statement due to statement timeout")
+      } finally {
+        task.cancel(); timer.cancel(); spark.sparkContext.clearJobGroup()
+      }
+    }
+  }
+}

@@ -1,0 +1,406 @@
+package graft.pgwire
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Stable-OID assignment for catalog objects (reference:
+  * datafusion-pg-catalog/src/pg_catalog.rs:193-254 — fixed OIDs for
+  * system namespaces, a 16384+ counter for user objects, cached so
+  * pg_class / pg_attribute / pg_namespace stay mutually consistent
+  * across refreshes).
+  */
+object Oids {
+  val PgCatalogNamespace = 11
+  val PublicNamespace = 2200
+  val FirstUserOid = 16384
+
+  private val counter = new AtomicInteger(FirstUserOid)
+  private val cache = new ConcurrentHashMap[String, Integer]()
+
+  /** OID for a namespaced key ("rel:name", "db:name"), assigned once. */
+  def of(key: String): Int =
+    cache.computeIfAbsent(key, _ => Integer.valueOf(counter.getAndIncrement())).intValue()
+
+  /** Test hook: reset the assignment state (NOT used by the server). */
+  private[pgwire] def reset(): Unit = { cache.clear(); counter.set(FirstUserOid) }
+}
+
+/** pg_catalog emulation over the live Spark catalog: the dynamic core
+  * (pg_class / pg_attribute / pg_namespace / pg_database) plus the
+  * static tables and views psql/DBeaver/Metabase/Grafana startup
+  * queries touch (reference: datafusion-pg-catalog/src/pg_catalog/
+  * pg_class.rs:31-261, pg_attribute.rs:22-258, pg_namespace.rs:21-121,
+  * pg_database.rs:21-202, pg_tables.rs, pg_settings.rs, pg_roles.rs,
+  * pg_views.rs; static type table pg_catalog.rs:121-191).
+  *
+  * All tables are registered as UNQUALIFIED temp views (pg_class, …):
+  * Spark temp views cannot carry a schema qualifier, so [[Compat]]
+  * strips the `pg_catalog.` prefix instead of prepending it — same
+  * resolution outcome as the reference's PrependUnqualifiedPgTableName.
+  *
+  * Scale note: every catalog table is a driver-local relation of at
+  * most a few thousand rows — Catalyst plans them as LocalRelation and
+  * broadcast-joins them, mirroring the reference's recompute-per-scan
+  * MemTable strategy (pg_class.rs:116-119). They never shuffle.
+  *
+  * Deviation from pg: pg_class lists only user relations (the pg_*
+  * emulation views themselves are excluded) — keeps OIDs deterministic
+  * and introspection output focused on user tables.
+  */
+object PgCatalog {
+
+  /** Names we register (used to exclude ourselves from pg_class). */
+  val catalogViewNames: Set[String] = Set(
+    "pg_class", "pg_attribute", "pg_namespace", "pg_database", "pg_type",
+    "pg_tables", "pg_views", "pg_matviews", "pg_settings", "pg_roles",
+    "pg_am", "pg_description", "pg_index", "pg_constraint", "pg_proc",
+    "pg_attrdef", "pg_inherits", "pg_policies", "pg_replication_slots",
+    "pg_stat_user_tables", "pg_stat_gssapi", "pg_extension",
+    "pg_collation", "pg_stat_activity", "pg_get_keywords", "pg_locks")
+
+  private def mkDf(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private def register(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** User relations = temp views + catalog tables that are not ours.
+    * Sorted by name so OID assignment order (and thus first-session
+    * OIDs) is deterministic.
+    */
+  private def userTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filterNot(catalogViewNames.contains)
+      .filterNot(_.startsWith("pg_"))
+      .distinct.sorted.toSeq
+
+  // ---- dynamic core ------------------------------------------------------
+
+  private val pgNamespaceSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("nspname", StringType),
+    StructField("nspowner", IntegerType), StructField("nspacl", StringType)))
+
+  private def pgNamespace(spark: SparkSession): DataFrame =
+    mkDf(spark, pgNamespaceSchema, Seq(
+      Row(Oids.PgCatalogNamespace, "pg_catalog", 10, null),
+      Row(Oids.PublicNamespace, "public", 10, null)))
+
+  private val pgDatabaseSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("datname", StringType),
+    StructField("datdba", IntegerType), StructField("encoding", IntegerType),
+    StructField("datcollate", StringType), StructField("datctype", StringType),
+    StructField("datistemplate", BooleanType), StructField("datallowconn", BooleanType),
+    StructField("datconnlimit", IntegerType), StructField("dattablespace", IntegerType),
+    StructField("datacl", StringType)))
+
+  private def pgDatabase(spark: SparkSession): DataFrame =
+    mkDf(spark, pgDatabaseSchema, Seq(
+      Row(1, "postgres", 10, 6, "C", "C", false, true, -1, 1663, null)))
+
+  private val pgClassSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("relname", StringType),
+    StructField("relnamespace", IntegerType), StructField("reltype", IntegerType),
+    StructField("relowner", IntegerType), StructField("relam", IntegerType),
+    StructField("relfilenode", IntegerType), StructField("reltablespace", IntegerType),
+    StructField("relpages", IntegerType), StructField("reltuples", FloatType),
+    StructField("relallvisible", IntegerType), StructField("reltoastrelid", IntegerType),
+    StructField("relhasindex", BooleanType), StructField("relisshared", BooleanType),
+    StructField("relpersistence", StringType), StructField("relkind", StringType),
+    StructField("relnatts", ShortType), StructField("relchecks", ShortType),
+    StructField("relhasrules", BooleanType), StructField("relhastriggers", BooleanType),
+    StructField("relhassubclass", BooleanType), StructField("relrowsecurity", BooleanType),
+    StructField("relforcerowsecurity", BooleanType), StructField("relispopulated", BooleanType),
+    StructField("relreplident", StringType), StructField("relispartition", BooleanType),
+    StructField("relrewrite", IntegerType), StructField("relfrozenxid", IntegerType),
+    StructField("relminmxid", IntegerType), StructField("relacl", StringType),
+    StructField("reloptions", ArrayType(StringType)), StructField("relpartbound", StringType)))
+
+  private def pgClass(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
+    mkDf(spark, pgClassSchema, tables.map { case (name, schema) =>
+      Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 10, 2, 0, 0,
+        0, -1.0f, 0, 0, false, false, "p", "r", schema.fields.length.toShort,
+        0.toShort, false, false, false, false, false, true, "d", false, 0, 0, 0,
+        null, null, null)
+    })
+
+  private val pgAttributeSchema = StructType(Seq(
+    StructField("attrelid", IntegerType), StructField("attname", StringType),
+    StructField("atttypid", IntegerType), StructField("attstattarget", IntegerType),
+    StructField("attlen", ShortType), StructField("attnum", ShortType),
+    StructField("attndims", IntegerType), StructField("attcacheoff", IntegerType),
+    StructField("atttypmod", IntegerType), StructField("attbyval", BooleanType),
+    StructField("attalign", StringType), StructField("attstorage", StringType),
+    StructField("attnotnull", BooleanType), StructField("atthasdef", BooleanType),
+    StructField("atthasmissing", BooleanType), StructField("attidentity", StringType),
+    StructField("attgenerated", StringType), StructField("attisdropped", BooleanType),
+    StructField("attislocal", BooleanType), StructField("attinhcount", IntegerType),
+    StructField("attcollation", IntegerType), StructField("attacl", StringType)))
+
+  private def pgAttribute(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
+    mkDf(spark, pgAttributeSchema, tables.flatMap { case (name, schema) =>
+      val relOid = Oids.of(s"rel:$name")
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val oid = PgType.oidOf(f)
+        val ndims = f.dataType match { case _: ArrayType => 1; case _ => 0 }
+        Row(relOid, f.name, oid, -1, PgType.typlen(oid).toShort, (i + 1).toShort,
+          ndims, -1, -1, PgType.typlen(oid) > 0, "i", "p", !f.nullable, false,
+          false, "", "", false, true, 0, 0, null)
+      }
+    })
+
+  // ---- static pg_type ----------------------------------------------------
+
+  private val pgTypeSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("typname", StringType),
+    StructField("typnamespace", IntegerType), StructField("typowner", IntegerType),
+    StructField("typlen", ShortType), StructField("typbyval", BooleanType),
+    StructField("typtype", StringType), StructField("typcategory", StringType),
+    StructField("typispreferred", BooleanType), StructField("typisdefined", BooleanType),
+    StructField("typdelim", StringType), StructField("typrelid", IntegerType),
+    StructField("typelem", IntegerType), StructField("typarray", IntegerType),
+    StructField("typbasetype", IntegerType), StructField("typtypmod", IntegerType),
+    StructField("typcollation", IntegerType), StructField("typnotnull", BooleanType)))
+
+  /** (oid, name, len, category, elem, array) — fixed pg catalog values. */
+  private val typeRows: Seq[(Int, String, Int, String, Int, Int)] = Seq(
+    (16, "bool", 1, "B", 0, 1000), (17, "bytea", -1, "U", 0, 1001),
+    (18, "char", 1, "Z", 0, 1002), (19, "name", 64, "S", 0, 1003),
+    (20, "int8", 8, "N", 0, 1016), (21, "int2", 2, "N", 0, 1005),
+    (23, "int4", 4, "N", 0, 1007), (25, "text", -1, "S", 0, 1009),
+    (26, "oid", 4, "N", 0, 1028), (114, "json", -1, "U", 0, 199),
+    (700, "float4", 4, "N", 0, 1021), (701, "float8", 8, "N", 0, 1022),
+    (705, "unknown", -2, "X", 0, 0), (1042, "bpchar", -1, "S", 0, 1014),
+    (1043, "varchar", -1, "S", 0, 1015), (1082, "date", 4, "D", 0, 1182),
+    (1083, "time", 8, "D", 0, 1183), (1114, "timestamp", 8, "D", 0, 1115),
+    (1184, "timestamptz", 8, "D", 0, 1185), (1186, "interval", 16, "T", 0, 1187),
+    (1700, "numeric", -1, "N", 0, 1231), (2249, "record", -1, "P", 0, 2287),
+    (2205, "regclass", 4, "N", 0, 2210), (2206, "regtype", 4, "N", 0, 2211),
+    // array types
+    (1000, "_bool", -1, "A", 16, 0), (1001, "_bytea", -1, "A", 17, 0),
+    (1003, "_name", -1, "A", 19, 0), (1005, "_int2", -1, "A", 21, 0),
+    (1007, "_int4", -1, "A", 23, 0), (1009, "_text", -1, "A", 25, 0),
+    (1015, "_varchar", -1, "A", 1043, 0), (1016, "_int8", -1, "A", 20, 0),
+    (1021, "_float4", -1, "A", 700, 0), (1022, "_float8", -1, "A", 701, 0),
+    (1115, "_timestamp", -1, "A", 1114, 0), (1182, "_date", -1, "A", 1082, 0),
+    (1183, "_time", -1, "A", 1083, 0), (1185, "_timestamptz", -1, "A", 1184, 0),
+    (1187, "_interval", -1, "A", 1186, 0), (1231, "_numeric", -1, "A", 1700, 0),
+    (2287, "_record", -1, "A", 2249, 0))
+
+  private def pgTypeDf(spark: SparkSession): DataFrame =
+    mkDf(spark, pgTypeSchema, typeRows.map { case (oid, name, len, cat, elem, arr) =>
+      Row(oid, name, Oids.PgCatalogNamespace, 10, len.toShort, len > 0 && len <= 8,
+        "b", cat, false, true, ",", 0, elem, arr, 0, -1, 0, false)
+    })
+
+  // ---- user-facing views -------------------------------------------------
+
+  private val pgTablesSchema = StructType(Seq(
+    StructField("schemaname", StringType), StructField("tablename", StringType),
+    StructField("tableowner", StringType), StructField("tablespace", StringType),
+    StructField("hasindexes", BooleanType), StructField("hasrules", BooleanType),
+    StructField("hastriggers", BooleanType), StructField("rowsecurity", BooleanType)))
+
+  private def pgTables(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
+    mkDf(spark, pgTablesSchema, tables.map { case (name, _) =>
+      Row("public", name, "postgres", null, false, false, false, false)
+    })
+
+  /** Default GUCs surfaced in pg_settings (reference: pg_settings.rs). */
+  val defaultGucs: Seq[(String, String)] = Seq(
+    "application_name" -> "", "client_encoding" -> "UTF8",
+    "datestyle" -> "ISO, MDY", "intervalstyle" -> "postgres",
+    "bytea_output" -> "hex", "extra_float_digits" -> "1",
+    "search_path" -> "\"$user\", public", "server_encoding" -> "UTF8",
+    "server_version" -> "17.0", "server_version_num" -> "170000",
+    "statement_timeout" -> "0", "timezone" -> "UTC",
+    "transaction_isolation" -> "read committed",
+    "standard_conforming_strings" -> "on", "integer_datetimes" -> "on",
+    "max_connections" -> "64", "shared_buffers" -> "131072")
+
+  private val pgSettingsSchema = StructType(Seq(
+    StructField("name", StringType), StructField("setting", StringType),
+    StructField("unit", StringType), StructField("category", StringType),
+    StructField("short_desc", StringType), StructField("extra_desc", StringType),
+    StructField("context", StringType), StructField("vartype", StringType),
+    StructField("source", StringType), StructField("min_val", StringType),
+    StructField("max_val", StringType), StructField("enumvals", ArrayType(StringType)),
+    StructField("boot_val", StringType), StructField("reset_val", StringType),
+    StructField("sourcefile", StringType), StructField("sourceline", IntegerType),
+    StructField("pending_restart", BooleanType)))
+
+  private def pgSettings(spark: SparkSession): DataFrame =
+    mkDf(spark, pgSettingsSchema, defaultGucs.map { case (k, v) =>
+      Row(k, v, null, "Client Connection Defaults", "", null, "user", "string",
+        "default", null, null, null, v, v, null, null, false)
+    })
+
+  private val pgRolesSchema = StructType(Seq(
+    StructField("rolname", StringType), StructField("rolsuper", BooleanType),
+    StructField("rolinherit", BooleanType), StructField("rolcreaterole", BooleanType),
+    StructField("rolcreatedb", BooleanType), StructField("rolcanlogin", BooleanType),
+    StructField("rolreplication", BooleanType), StructField("rolconnlimit", IntegerType),
+    StructField("rolpassword", StringType), StructField("rolvaliduntil", StringType),
+    StructField("rolbypassrls", BooleanType), StructField("rolconfig", ArrayType(StringType)),
+    StructField("oid", IntegerType)))
+
+  private def pgRoles(spark: SparkSession): DataFrame =
+    mkDf(spark, pgRolesSchema, Seq(
+      Row("postgres", true, true, true, true, true, false, -1, "********",
+        null, false, null, 10)))
+
+  /** pg keyword list subset for the pg_get_keywords UDTF-as-view
+    * (reference ships the full static table as feather;
+    * pg_catalog.rs:650). word/catcode/barelabel/catdesc/baredesc.
+    */
+  private val keywords: Seq[(String, String)] = Seq(
+    "all" -> "R", "analyse" -> "R", "analyze" -> "R", "and" -> "R",
+    "any" -> "R", "array" -> "R", "as" -> "R", "asc" -> "R",
+    "between" -> "C", "bigint" -> "C", "boolean" -> "C", "both" -> "R",
+    "case" -> "R", "cast" -> "R", "check" -> "R", "collate" -> "R",
+    "column" -> "R", "constraint" -> "R", "create" -> "R", "cross" -> "T",
+    "current_catalog" -> "R", "current_date" -> "R", "current_role" -> "R",
+    "current_schema" -> "T", "current_time" -> "R", "current_timestamp" -> "R",
+    "current_user" -> "R", "default" -> "R", "desc" -> "R", "distinct" -> "R",
+    "do" -> "R", "else" -> "R", "end" -> "R", "except" -> "R", "exists" -> "C",
+    "false" -> "R", "fetch" -> "R", "for" -> "R", "foreign" -> "R",
+    "from" -> "R", "full" -> "T", "grant" -> "R", "group" -> "R",
+    "having" -> "R", "in" -> "R", "inner" -> "T", "intersect" -> "R",
+    "into" -> "R", "join" -> "T", "leading" -> "R", "left" -> "T",
+    "like" -> "C", "limit" -> "R", "localtime" -> "R", "localtimestamp" -> "R",
+    "not" -> "R", "null" -> "R", "offset" -> "R", "on" -> "R", "only" -> "R",
+    "or" -> "R", "order" -> "R", "outer" -> "T", "primary" -> "R",
+    "references" -> "R", "right" -> "T", "select" -> "R", "session_user" -> "R",
+    "some" -> "R", "table" -> "R", "then" -> "R", "to" -> "R", "trailing" -> "R",
+    "true" -> "R", "union" -> "R", "unique" -> "R", "user" -> "R",
+    "using" -> "R", "when" -> "R", "where" -> "R", "window" -> "R", "with" -> "R")
+
+  private val keywordsSchema = StructType(Seq(
+    StructField("word", StringType), StructField("catcode", StringType),
+    StructField("barelabel", BooleanType), StructField("catdesc", StringType),
+    StructField("baredesc", StringType)))
+
+  private def pgGetKeywords(spark: SparkSession): DataFrame =
+    mkDf(spark, keywordsSchema, keywords.map { case (w, c) =>
+      val desc = c match {
+        case "R" => "reserved"
+        case "T" => "reserved (can be function or type name)"
+        case _ => "unreserved (cannot be function or type name)"
+      }
+      Row(w, c, c != "R", desc, if (c != "R") "can be bare label" else "requires AS")
+    })
+
+  private def emptyView(spark: SparkSession, name: String, schema: StructType): Unit =
+    register(spark, name, mkDf(spark, schema, Seq.empty))
+
+  // ---- entry points ------------------------------------------------------
+
+  /** Register every static table/view once (server startup). */
+  def registerStatic(spark: SparkSession): Unit = {
+    register(spark, "pg_namespace", pgNamespace(spark))
+    register(spark, "pg_database", pgDatabase(spark))
+    register(spark, "pg_type", pgTypeDf(spark))
+    register(spark, "pg_settings", pgSettings(spark))
+    register(spark, "pg_roles", pgRoles(spark))
+    register(spark, "pg_get_keywords", pgGetKeywords(spark))
+    register(spark, "pg_am", mkDf(spark,
+      StructType(Seq(StructField("oid", IntegerType), StructField("amname", StringType),
+        StructField("amhandler", IntegerType), StructField("amtype", StringType))),
+      Seq(Row(2, "heap", 0, "t"))))
+    register(spark, "pg_collation", mkDf(spark,
+      StructType(Seq(StructField("oid", IntegerType), StructField("collname", StringType),
+        StructField("collnamespace", IntegerType))),
+      Seq(Row(100, "default", Oids.PgCatalogNamespace))))
+    register(spark, "pg_stat_gssapi", mkDf(spark,
+      StructType(Seq(StructField("pid", IntegerType),
+        StructField("gss_authenticated", BooleanType), StructField("principal", StringType),
+        StructField("encrypted", BooleanType), StructField("credentials_delegated", BooleanType))),
+      Seq(Row(1, false, null, false, false))))
+    register(spark, "pg_stat_activity", mkDf(spark,
+      StructType(Seq(StructField("pid", IntegerType), StructField("datname", StringType),
+        StructField("usename", StringType), StructField("application_name", StringType),
+        StructField("state", StringType), StructField("query", StringType))),
+      Seq(Row(1, "postgres", "postgres", "", "active", ""))))
+    // empty-but-correct-schema views (reference: pg_views.rs:7-90,
+    // empty_table.rs)
+    emptyView(spark, "pg_views", StructType(Seq(
+      StructField("schemaname", StringType), StructField("viewname", StringType),
+      StructField("viewowner", StringType), StructField("definition", StringType))))
+    emptyView(spark, "pg_matviews", StructType(Seq(
+      StructField("schemaname", StringType), StructField("matviewname", StringType),
+      StructField("matviewowner", StringType), StructField("tablespace", StringType),
+      StructField("hasindexes", BooleanType), StructField("ispopulated", BooleanType),
+      StructField("definition", StringType))))
+    emptyView(spark, "pg_description", StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("objsubid", IntegerType), StructField("description", StringType))))
+    emptyView(spark, "pg_index", StructType(Seq(
+      StructField("indexrelid", IntegerType), StructField("indrelid", IntegerType),
+      StructField("indnatts", ShortType), StructField("indnkeyatts", ShortType),
+      StructField("indisunique", BooleanType), StructField("indisprimary", BooleanType),
+      StructField("indisclustered", BooleanType), StructField("indisvalid", BooleanType),
+      StructField("indkey", ArrayType(ShortType)), StructField("indexprs", StringType),
+      StructField("indpred", StringType))))
+    emptyView(spark, "pg_constraint", StructType(Seq(
+      StructField("oid", IntegerType), StructField("conname", StringType),
+      StructField("connamespace", IntegerType), StructField("contype", StringType),
+      StructField("condeferrable", BooleanType), StructField("condeferred", BooleanType),
+      StructField("convalidated", BooleanType), StructField("conrelid", IntegerType),
+      StructField("contypid", IntegerType), StructField("conindid", IntegerType),
+      StructField("confrelid", IntegerType), StructField("conkey", ArrayType(ShortType)),
+      StructField("confkey", ArrayType(ShortType)), StructField("conbin", StringType))))
+    emptyView(spark, "pg_proc", StructType(Seq(
+      StructField("oid", IntegerType), StructField("proname", StringType),
+      StructField("pronamespace", IntegerType), StructField("prorettype", IntegerType),
+      StructField("pronargs", ShortType), StructField("proargtypes", ArrayType(IntegerType)),
+      StructField("prokind", StringType))))
+    emptyView(spark, "pg_attrdef", StructType(Seq(
+      StructField("oid", IntegerType), StructField("adrelid", IntegerType),
+      StructField("adnum", ShortType), StructField("adbin", StringType))))
+    emptyView(spark, "pg_inherits", StructType(Seq(
+      StructField("inhrelid", IntegerType), StructField("inhparent", IntegerType),
+      StructField("inhseqno", IntegerType))))
+    emptyView(spark, "pg_policies", StructType(Seq(
+      StructField("schemaname", StringType), StructField("tablename", StringType),
+      StructField("policyname", StringType), StructField("permissive", StringType),
+      StructField("roles", ArrayType(StringType)), StructField("cmd", StringType),
+      StructField("qual", StringType), StructField("with_check", StringType))))
+    emptyView(spark, "pg_replication_slots", StructType(Seq(
+      StructField("slot_name", StringType), StructField("plugin", StringType),
+      StructField("slot_type", StringType), StructField("datoid", IntegerType),
+      StructField("active", BooleanType))))
+    emptyView(spark, "pg_stat_user_tables", StructType(Seq(
+      StructField("relid", IntegerType), StructField("schemaname", StringType),
+      StructField("relname", StringType), StructField("seq_scan", LongType),
+      StructField("seq_tup_read", LongType), StructField("idx_scan", LongType),
+      StructField("n_live_tup", LongType), StructField("n_dead_tup", LongType))))
+    emptyView(spark, "pg_extension", StructType(Seq(
+      StructField("oid", IntegerType), StructField("extname", StringType),
+      StructField("extowner", IntegerType), StructField("extnamespace", IntegerType),
+      StructField("extrelocatable", BooleanType), StructField("extversion", StringType))))
+    emptyView(spark, "pg_locks", StructType(Seq(
+      StructField("locktype", StringType), StructField("database", IntegerType),
+      StructField("relation", IntegerType), StructField("pid", IntegerType),
+      StructField("mode", StringType), StructField("granted", BooleanType))))
+  }
+
+  /** Recompute the dynamic tables from the live catalog (the reference
+    * recomputes per scan, pg_class.rs:116-119; we recompute per query
+    * that touches pg_catalog — see Handlers).
+    */
+  def refresh(spark: SparkSession): Unit = {
+    val tables = userTables(spark).map(n => n -> spark.table(n).schema)
+    register(spark, "pg_class", pgClass(spark, tables))
+    register(spark, "pg_attribute", pgAttribute(spark, tables))
+    register(spark, "pg_tables", pgTables(spark, tables))
+  }
+
+  /** Full registration: static + first dynamic snapshot. */
+  def registerAll(spark: SparkSession): Unit = {
+    registerStatic(spark)
+    refresh(spark)
+  }
+}

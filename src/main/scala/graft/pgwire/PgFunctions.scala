@@ -1,0 +1,325 @@
+package graft.pgwire
+
+import org.apache.spark.sql.SparkSession
+
+/** PostgreSQL system + math UDF packs registered into a SparkSession
+  * (reference: datafusion-pg-catalog/src/pg_catalog.rs:1073-1572 —
+  * system/compat scalars; datafusion-pg-functions/src/numeric/ — math
+  * pack). Spark's FunctionRegistry keys by name only (no overloads),
+  * so multi-arity reference functions are registered at their most
+  * common arity and [[Compat]] pads the other call shapes.
+  *
+  * Scale note: these are constant/stub scalar UDFs evaluated on tiny
+  * catalog relations or literal rows — never in a 100 TB hot path, so
+  * the non-codegen UDF cost is irrelevant. Heavy-path functions (the
+  * LLM-pipeline operators) stay builtin-expression-only.
+  */
+object PgFunctions {
+
+  val ServerVersion = "17.0"
+  val VersionString =
+    s"PostgreSQL $ServerVersion (graft-spark), Apache Spark SQL engine"
+
+  /** pg reserved keywords that quote_ident must quote. */
+  private val reservedWords: Set[String] = Set(
+    "all", "analyse", "analyze", "and", "any", "array", "as", "asc",
+    "asymmetric", "both", "case", "cast", "check", "collate", "column",
+    "constraint", "create", "current_catalog", "current_date",
+    "current_role", "current_time", "current_timestamp", "current_user",
+    "default", "deferrable", "desc", "distinct", "do", "else", "end",
+    "except", "false", "fetch", "for", "foreign", "from", "grant",
+    "group", "having", "in", "initially", "intersect", "into", "lateral",
+    "leading", "limit", "localtime", "localtimestamp", "not", "null",
+    "offset", "on", "only", "or", "order", "placing", "primary",
+    "references", "returning", "select", "session_user", "some",
+    "symmetric", "table", "then", "to", "trailing", "true", "union",
+    "unique", "user", "using", "variadic", "when", "where", "window",
+    "with")
+
+  /** pg quote_ident: quote unless all-lowercase [a-z_][a-z0-9_$]* and
+    * not reserved (reference: quote_ident_udf.rs:13-143).
+    */
+  def quoteIdent(s: String): String = {
+    if (s == null) return null
+    val safe = s.nonEmpty &&
+      (s.head.isLower || s.head == '_') &&
+      s.forall(c => (c.isLower || c.isDigit || c == '_' || c == '$')) &&
+      !reservedWords.contains(s)
+    if (safe) s else "\"" + s.replace("\"", "\"\"") + "\""
+  }
+
+  /** pg parse_ident: split a qualified identifier into parts, honoring
+    * double-quoting (reference: quote_ident_udf.rs:144-425).
+    */
+  def parseIdent(s: String): Array[String] = {
+    if (s == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i).isWhitespace) i += 1
+      if (i >= n) return fail(s)
+      if (s.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (s.charAt(i) == '"' && i + 1 < n && s.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+          else if (s.charAt(i) == '"') { i += 1; closed = true }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+        if (!closed || sb.isEmpty) return fail(s)
+        out += sb.toString
+      } else {
+        val start = i
+        if (!(s.charAt(i).isLetter || s.charAt(i) == '_')) return fail(s)
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '$')) i += 1
+        out += s.substring(start, i).toLowerCase
+      }
+      while (i < n && s.charAt(i).isWhitespace) i += 1
+      if (i < n) {
+        if (s.charAt(i) != '.') return fail(s)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+  private def fail(s: String): Array[String] =
+    throw new IllegalArgumentException(s"""string is not a valid identifier: "$s"""")
+
+  /** format_type(oid, typemod) → display name with typemod decoding
+    * (reference: pg_catalog/format_type.rs:18-274).
+    */
+  def formatType(oid: Integer, typemod: Integer): String = {
+    if (oid == null) return null
+    val tm = if (typemod == null) -1 else typemod.intValue()
+    def mod(base: String): String =
+      if (tm >= 4) base + "(" + (tm - 4) + ")" else base
+    oid.intValue() match {
+      case 16 => "boolean"
+      case 17 => "bytea"
+      case 18 => "\"char\""
+      case 19 => "name"
+      case 20 => "bigint"
+      case 21 => "smallint"
+      case 23 => "integer"
+      case 25 => "text"
+      case 26 => "oid"
+      case 114 => "json"
+      case 700 => "real"
+      case 701 => "double precision"
+      case 705 => "unknown"
+      case 1042 => mod("character")
+      case 1043 => mod("character varying")
+      case 1082 => "date"
+      case 1083 => "time without time zone"
+      case 1114 => "timestamp without time zone"
+      case 1184 => "timestamp with time zone"
+      case 1186 => "interval"
+      case 1700 =>
+        if (tm >= 4) {
+          val p = ((tm - 4) >> 16) & 0xFFFF
+          val s = (tm - 4) & 0xFFFF
+          s"numeric($p,$s)"
+        } else "numeric"
+      case 2249 => "record"
+      case 1000 => "boolean[]"
+      case 1001 => "bytea[]"
+      case 1005 => "smallint[]"
+      case 1007 => "integer[]"
+      case 1009 => "text[]"
+      case 1015 => "character varying[]"
+      case 1016 => "bigint[]"
+      case 1021 => "real[]"
+      case 1022 => "double precision[]"
+      case 1115 => "timestamp without time zone[]"
+      case 1182 => "date[]"
+      case 1185 => "timestamp with time zone[]"
+      case 1231 => "numeric[]"
+      case other => "???"
+    }
+  }
+
+  /** pg_size_pretty(bigint). */
+  def sizePretty(bytes: java.lang.Long): String = {
+    if (bytes == null) return null
+    var v = bytes.longValue().toDouble
+    val units = Seq("bytes", "kB", "MB", "GB", "TB", "PB")
+    var u = 0
+    if (math.abs(v) < 10240) return s"${bytes} bytes"
+    v = v / 1024; u = 1
+    while (math.abs(v) >= 10240 && u < units.length - 1) { v = v / 1024; u += 1 }
+    s"${math.round(v)} ${units(u)}"
+  }
+
+  // ---- degree trig with pg exactness (numeric/degree_trig.rs) -----------
+
+  def sind(x: java.lang.Double): java.lang.Double = {
+    if (x == null) return null
+    val d = x.doubleValue()
+    if (d.isNaN || d.isInfinite) return Double.NaN
+    val m = ((d % 360) + 360) % 360
+    if (m % 30 == 0) {
+      // exact at multiples of 30 degrees (public pg behavior)
+      val table = Map(0.0 -> 0.0, 30.0 -> 0.5, 90.0 -> 1.0, 150.0 -> 0.5,
+        180.0 -> 0.0, 210.0 -> -0.5, 270.0 -> -1.0, 330.0 -> -0.5,
+        60.0 -> math.sin(math.toRadians(60)), 120.0 -> math.sin(math.toRadians(120)),
+        240.0 -> math.sin(math.toRadians(240)), 300.0 -> math.sin(math.toRadians(300)))
+      table(m)
+    } else math.sin(math.toRadians(d))
+  }
+
+  def cosd(x: java.lang.Double): java.lang.Double = {
+    if (x == null) return null
+    val d = x.doubleValue()
+    if (d.isNaN || d.isInfinite) return Double.NaN
+    sind(d + 90.0)
+  }
+
+  def tand(x: java.lang.Double): java.lang.Double = {
+    if (x == null) return null
+    val d = x.doubleValue()
+    if (d.isNaN || d.isInfinite) return Double.NaN
+    val m = ((d % 360) + 360) % 360
+    if (m % 45 == 0) m match {
+      case 0.0 | 180.0 => 0.0
+      case 45.0 | 225.0 => 1.0
+      case 135.0 | 315.0 => -1.0
+      case 90.0 => Double.PositiveInfinity
+      case 270.0 => Double.NegativeInfinity
+    } else {
+      val s: Double = sind(d)
+      val c: Double = cosd(d)
+      s / c
+    }
+  }
+
+  def cotd(x: java.lang.Double): java.lang.Double = {
+    if (x == null) return null
+    val d = x.doubleValue()
+    if (d.isNaN || d.isInfinite) return Double.NaN
+    val m = ((d % 360) + 360) % 360
+    if (m % 45 == 0) m match {
+      case 0.0 | 180.0 => Double.PositiveInfinity
+      case 90.0 | 270.0 => 0.0
+      case 45.0 | 225.0 => 1.0
+      case 135.0 | 315.0 => -1.0
+    } else {
+      val s: Double = sind(d)
+      val c: Double = cosd(d)
+      c / s
+    }
+  }
+
+  def asind(x: java.lang.Double): java.lang.Double = {
+    if (x == null) return null
+    val d = x.doubleValue()
+    if (d == 0.5) 30.0 else if (d == -0.5) -30.0
+    else if (d == 1.0) 90.0 else if (d == -1.0) -90.0
+    else if (d == 0.0) 0.0
+    else math.toDegrees(math.asin(d))
+  }
+
+  def acosd(x: java.lang.Double): java.lang.Double = {
+    if (x == null) return null
+    val d = x.doubleValue()
+    if (d == 0.5) 60.0 else if (d == -0.5) 120.0
+    else if (d == 1.0) 0.0 else if (d == -1.0) 180.0
+    else if (d == 0.0) 90.0
+    else math.toDegrees(math.acos(d))
+  }
+
+  def atand(x: java.lang.Double): java.lang.Double = {
+    if (x == null) return null
+    val d = x.doubleValue()
+    if (d == 1.0) 45.0 else if (d == -1.0) -45.0 else if (d == 0.0) 0.0
+    else math.toDegrees(math.atan(d))
+  }
+
+  def atan2d(y: java.lang.Double, x: java.lang.Double): java.lang.Double = {
+    if (y == null || x == null) return null
+    math.toDegrees(math.atan2(y.doubleValue(), x.doubleValue()))
+  }
+
+  // ---- registration ------------------------------------------------------
+
+  /** Register the system/compat pack (§2b) + math pack (§2c). */
+  def registerAll(spark: SparkSession): Unit = {
+    val u = spark.udf
+
+    // system / catalog compat (pg_catalog.rs:1073-1572)
+    u.register("pg_current_database", () => "postgres")
+    u.register("pg_current_schema", () => "public")
+    u.register("pg_current_schemas", (implicitToo: Boolean) =>
+      if (implicitToo) Array("pg_catalog", "public") else Array("public"))
+    u.register("version", () => VersionString)
+    u.register("pg_get_userbyid", (oid: Int) => "postgres")
+    u.register("pg_table_is_visible", (oid: Int) => true)
+    u.register("has_table_privilege",
+      (user: String, table: String, priv: String) => true)
+    u.register("has_schema_privilege",
+      (user: String, schema: String, priv: String) => true)
+    u.register("has_database_privilege",
+      (user: String, db: String, priv: String) => true)
+    u.register("has_any_column_privilege",
+      (user: String, table: String, priv: String) => true)
+    u.register("format_type", (oid: Integer, typemod: Integer) => formatType(oid, typemod))
+    u.register("pg_get_expr", (expr: String, relid: Integer, pretty: Boolean) => "")
+    u.register("pg_get_partkeydef", (oid: Int) => "")
+    u.register("pg_relation_is_publishable", (oid: Int) => true)
+    u.register("pg_get_statisticsobjdef_columns", (oid: Int) => null: String)
+    u.register("pg_encoding_to_char", (enc: Int) => if (enc == 6) "UTF-8" else "")
+    u.register("pg_backend_pid", () => 1)
+    u.register("pg_relation_size", (oid: Int) => 0L)
+    u.register("pg_total_relation_size", (oid: Int) => 0L)
+    u.register("pg_database_size", (name: String) => 0L)
+    u.register("pg_stat_get_numscans", (oid: Int) => 0L)
+    u.register("pg_get_constraintdef", (oid: Integer, pretty: Boolean) => "")
+    u.register("pg_partition_ancestors", (oid: Int) => Array(oid))
+    u.register("quote_ident", (s: String) => quoteIdent(s))
+    u.register("parse_ident", (s: String) => parseIdent(s))
+    u.register("pg_size_pretty", (b: java.lang.Long) => sizePretty(b))
+    u.register("obj_description", (oid: Integer, catalog: String) => null: String)
+    u.register("shobj_description", (oid: Integer, catalog: String) => null: String)
+    u.register("col_description", (oid: Integer, colnum: Integer) => null: String)
+    u.register("txid_current", () => 0L)
+    u.register("pg_is_in_recovery", () => false)
+    u.register("current_setting", (name: String) =>
+      PgCatalog.defaultGucs.toMap.getOrElse(name, null: String))
+    // pg array bounds semantics: 1-based, NULL on null/empty/other dims
+    // (reference: array_bounds_udf.rs:33-345)
+    u.register("array_upper", (arr: Seq[Any], dim: Int) =>
+      if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(arr.length))
+    u.register("array_lower", (arr: Seq[Any], dim: Int) =>
+      if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(1))
+    u.register("pg_array_length", (arr: Seq[Any], dim: Int) =>
+      if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(arr.length))
+
+    // math pack (datafusion-pg-functions/src/numeric/)
+    u.register("div", (y: java.math.BigDecimal, x: java.math.BigDecimal) =>
+      if (y == null || x == null || x.signum() == 0) null
+      else y.divideToIntegralValue(x))
+    u.register("sind", (x: java.lang.Double) => sind(x))
+    u.register("cosd", (x: java.lang.Double) => cosd(x))
+    u.register("tand", (x: java.lang.Double) => tand(x))
+    u.register("cotd", (x: java.lang.Double) => cotd(x))
+    u.register("asind", (x: java.lang.Double) => asind(x))
+    u.register("acosd", (x: java.lang.Double) => acosd(x))
+    u.register("atand", (x: java.lang.Double) => atand(x))
+    u.register("atan2d", (y: java.lang.Double, x: java.lang.Double) => atan2d(y, x))
+    u.register("erf", (x: java.lang.Double) =>
+      if (x == null) null else java.lang.Double.valueOf(org.apache.commons.math3.special.Erf.erf(x.doubleValue())))
+    u.register("erfc", (x: java.lang.Double) =>
+      if (x == null) null else java.lang.Double.valueOf(org.apache.commons.math3.special.Erf.erfc(x.doubleValue())))
+    u.register("gamma", (x: java.lang.Double) =>
+      if (x == null) null else java.lang.Double.valueOf(org.apache.commons.math3.special.Gamma.gamma(x.doubleValue())))
+    u.register("lgamma", (x: java.lang.Double) =>
+      if (x == null) null else java.lang.Double.valueOf(org.apache.commons.math3.special.Gamma.logGamma(x.doubleValue())))
+    u.register("random_normal",
+      (mean: java.lang.Double, stddev: java.lang.Double) => {
+        val m = if (mean == null) 0.0 else mean.doubleValue()
+        val s = if (stddev == null) 1.0 else stddev.doubleValue()
+        java.lang.Double.valueOf(m + s * java.util.concurrent.ThreadLocalRandom.current().nextGaussian())
+      }).asNondeterministic()
+  }
+}

@@ -62,35 +62,48 @@ object TextEncoder {
     else base + "." + "%06d".format(micros).reverse.dropWhile(_ == '0').reverse
   }
 
-  /** pg float text: plain decimal within a sane exponent range,
-    * scientific outside it; shortest round-trip digits.
+  /** pg float text (Ryu-style): shortest round-trip digits, plain
+    * decimal within the pg exponent window, `d.ddde±XX` outside it.
+    * pg prints `0.0001` (not `1.0E-4`) and `1e-05`; the decimal window
+    * is exponent ∈ [-4, 15] for float8 and [-4, 5] for float4
+    * (matching pg's float8out/float4out Ryu output).
     */
   def formatFloat(d: Double, isFloat4: Boolean): String =
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "Infinity"
     else if (d.isNegInfinity) "-Infinity"
+    else if (d == 0.0) { if (1 / d < 0) "-0" else "0" }
     else {
-      val s = if (isFloat4) f(d.toFloat.toString) else f(shortestDouble(d))
-      s
+      val neg = d < 0
+      // Java's toString is already shortest-round-trip; re-format it.
+      val s =
+        if (isFloat4) java.lang.Float.toString(math.abs(d).toFloat)
+        else java.lang.Double.toString(math.abs(d))
+      val (mant, exp) =
+        if (s.contains("E")) { val Array(m, e) = s.split("E"); (m, e.toInt) }
+        else (s, 0)
+      val dot = mant.indexOf('.')
+      val digits0 = mant.replace(".", "")
+      val intLen = if (dot < 0) mant.length else dot
+      val stripped = digits0.dropWhile(_ == '0')
+      val lead = digits0.length - stripped.length
+      val e10 = intLen + exp - lead - 1 // exponent of first significant digit
+      val sig0 = stripped.reverse.dropWhile(_ == '0').reverse
+      val sig = if (sig0.isEmpty) "0" else sig0
+      val maxDecimalExp = if (isFloat4) 5 else 15
+      val body =
+        if (e10 > maxDecimalExp || e10 < -4) {
+          val m = if (sig.length == 1) sig else sig.head + "." + sig.tail
+          m + "e" + (if (e10 < 0) "-" else "+") + "%02d".format(math.abs(e10))
+        } else if (e10 >= sig.length - 1) {
+          sig + "0" * (e10 - sig.length + 1)
+        } else if (e10 >= 0) {
+          sig.substring(0, e10 + 1) + "." + sig.substring(e10 + 1)
+        } else {
+          "0." + "0" * (-e10 - 1) + sig
+        }
+      (if (neg) "-" else "") + body
     }
-
-  private def f(s: String) = {
-    // Java prints 1.0E10 / 1.0; pg prints 1e+10 / 1. Normalize.
-    if (s.contains("E")) {
-      val Array(m, e) = s.split("E")
-      val mant = stripTrailingZero(m)
-      val exp = e.toInt
-      mant + "e" + (if (exp < 0) "-" else "+") + "%02d".format(math.abs(exp))
-    } else stripTrailingZero(s)
-  }
-
-  private def stripTrailingZero(s: String): String =
-    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-
-  private def shortestDouble(d: Double): String = {
-    if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
-  }
 
   /** pg interval text, verbose-ish style: "1 year 2 mons 3 days 04:05:06". */
   def formatInterval(months: Int, days: Int, micros: Long): String = {

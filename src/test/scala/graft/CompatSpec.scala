@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pgwire.Compat
+
+/** Unit tests for the pg→Spark SQL compat rewriter (mirrors the
+  * reference's rule tests in datafusion-pg-catalog/src/sql/rules.rs).
+  */
+class CompatSpec extends AnyFunSuite {
+
+  test("regex operators rewrite to RLIKE forms") {
+    assert(Compat.rewrite("SELECT * FROM t WHERE name ~ '^pg_'") ===
+      "SELECT * FROM t WHERE name RLIKE '^pg_'")
+    assert(Compat.rewrite("SELECT * FROM t WHERE name !~ '^pg_'") ===
+      "SELECT * FROM t WHERE name NOT RLIKE '^pg_'")
+    assert(Compat.rewrite("SELECT * FROM t WHERE name ~* 'abc'") ===
+      "SELECT * FROM t WHERE name RLIKE '(?i)abc'")
+    assert(Compat.rewrite("SELECT * FROM t WHERE name !~* 'abc'") ===
+      "SELECT * FROM t WHERE name NOT RLIKE '(?i)abc'")
+  }
+
+  test("prefix ~ (bitwise NOT) is left alone") {
+    assert(Compat.rewrite("SELECT ~ 5") === "SELECT ~ 5")
+  }
+
+  test("OPERATOR(pg_catalog.~) collapses to the operator") {
+    assert(Compat.rewrite("SELECT 'a' OPERATOR(pg_catalog.~) 'b'") ===
+      "SELECT 'a' RLIKE 'b'")
+  }
+
+  test("= ANY(array) becomes array_contains") {
+    assert(Compat.rewrite("SELECT * FROM t WHERE x = ANY(arr)") ===
+      "SELECT * FROM t WHERE array_contains(arr, x)")
+    assert(Compat.rewrite("SELECT * FROM t WHERE t.x = ANY(t.arr)") ===
+      "SELECT * FROM t WHERE array_contains(t.arr, t.x)")
+  }
+
+  test("<> ALL(array) becomes NOT array_contains") {
+    assert(Compat.rewrite("SELECT * FROM t WHERE x <> ALL(arr)") ===
+      "SELECT * FROM t WHERE NOT array_contains(arr, x)")
+  }
+
+  test("= ANY over a '{...}' literal builds the array literal") {
+    val out = Compat.rewrite("SELECT * FROM t WHERE x = ANY('{a,b}')")
+    assert(out === "SELECT * FROM t WHERE array_contains(CAST(ARRAY('a','b') AS ARRAY<string>), x)")
+  }
+
+  test("'{...}'::type[] literal becomes a typed array") {
+    assert(Compat.rewrite("SELECT '{1,2,3}'::int4[]") ===
+      "SELECT CAST(ARRAY('1','2','3') AS ARRAY<int>)")
+    assert(Compat.rewrite("SELECT '{a,NULL,\"c,d\"}'::text[]") ===
+      "SELECT CAST(ARRAY('a',NULL,'c,d') AS ARRAY<string>)")
+  }
+
+  test("pg type names map in :: casts") {
+    assert(Compat.rewrite("SELECT x::int8 FROM t") === "SELECT x::bigint FROM t")
+    assert(Compat.rewrite("SELECT x::text FROM t") === "SELECT x::string FROM t")
+    assert(Compat.rewrite("SELECT CAST(x AS int2) FROM t") ===
+      "SELECT CAST(x AS smallint) FROM t")
+    // alias position must NOT be touched
+    assert(Compat.rewrite("SELECT x AS text FROM t") === "SELECT x AS text FROM t")
+  }
+
+  test("::regclass on a name literal becomes a pg_class lookup") {
+    val out = Compat.rewrite("SELECT 'lineitem'::regclass")
+    assert(out.contains("FROM pg_class WHERE relname = 'lineitem'"))
+    assert(Compat.rewrite("SELECT '16384'::regclass") === "SELECT CAST(16384 AS INT)")
+  }
+
+  test("pg_catalog qualifier is stripped") {
+    assert(Compat.rewrite("SELECT * FROM pg_catalog.pg_class") ===
+      "SELECT * FROM pg_class")
+    assert(Compat.rewrite("SELECT pg_catalog.format_type(25, NULL)") ===
+      "SELECT format_type(25, NULL)")
+  }
+
+  test("COLLATE clauses are dropped") {
+    assert(Compat.rewrite("SELECT a FROM t ORDER BY a COLLATE pg_catalog.default") ===
+      "SELECT a FROM t ORDER BY a")
+    assert(Compat.rewrite("SELECT a COLLATE \"C\" FROM t") === "SELECT a FROM t")
+  }
+
+  test("bare session variables become function calls") {
+    assert(Compat.rewrite("SELECT current_user") ===
+      "SELECT current_user() AS current_user")
+    assert(Compat.rewrite("SELECT current_catalog") ===
+      "SELECT pg_current_database() AS current_catalog")
+    assert(Compat.rewrite("SELECT current_schema()") ===
+      "SELECT pg_current_schema()")
+    // WHERE position gets no alias
+    assert(Compat.rewrite("SELECT 1 WHERE 'postgres' = session_user") ===
+      "SELECT 1 WHERE 'postgres' = current_user()")
+  }
+
+  test("current_database() is renamed to the UDF") {
+    assert(Compat.rewrite("SELECT current_database()") ===
+      "SELECT pg_current_database()")
+  }
+
+  test("version() gets its pg column name") {
+    assert(Compat.rewrite("SELECT version()") === "SELECT version() AS version")
+    // already aliased: untouched
+    assert(Compat.rewrite("SELECT version() AS v") === "SELECT version() AS v")
+  }
+
+  test("E'...' strings fold to plain strings") {
+    assert(Compat.rewrite("SELECT E'a'") === "SELECT 'a'")
+  }
+
+  test("statement splitter is quote- and comment-aware") {
+    assert(Compat.splitStatements("SELECT 1; SELECT 2") ===
+      Seq("SELECT 1", "SELECT 2"))
+    assert(Compat.splitStatements("SELECT 'a;b'; SELECT 2") ===
+      Seq("SELECT 'a;b'", "SELECT 2"))
+    assert(Compat.splitStatements("-- c;\nSELECT 1") === Seq("-- c;\nSELECT 1"))
+    assert(Compat.splitStatements("  ;;  ") === Seq.empty)
+  }
+
+  test("blacklisted client queries get canned replacements") {
+    val pgcli = "SELECT s_p.nspname AS parentschema, t_p.relname AS parenttable FROM pg_catalog.pg_constraint fk"
+    assert(Compat.applyBlacklist(pgcli).isDefined)
+    assert(Compat.applyBlacklist("SELECT 1").isEmpty)
+  }
+}

@@ -1,0 +1,456 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable.ArrayBuffer
+import org.scalatest.BeforeAndAfterAll
+import graft.pgwire.PgServer
+
+/** End-to-end pgwire server tests over a raw socket — the Scala
+  * analogue of the reference's MockClient harness
+  * (datafusion-postgres/src/testing.rs:20-60) plus its handler tests
+  * (handlers.rs:485-928): startup handshake, simple + multi-statement
+  * queries, type round-trips, SET/SHOW with ParameterStatus, the
+  * transaction tag state machine, DECLARE/FETCH/CLOSE cursors,
+  * pg_catalog introspection joins, the extended protocol, and
+  * statement_timeout.
+  */
+class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private var server: PgServer = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    import spark.implicits._
+    (0 until 7).map(i => (i, s"name_$i")).toDF("id", "name")
+      .createOrReplaceTempView("t7")
+    server = new PgServer(spark)
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    super.afterAll()
+  }
+
+  // ---- minimal pg wire client -------------------------------------------
+
+  final case class Reply(
+      fields: Seq[(String, Int)], // (name, typeOid) of last RowDescription
+      rows: Seq[Seq[Option[String]]],
+      binRows: Seq[Seq[Option[Array[Byte]]]],
+      tags: Seq[String],
+      errors: Seq[(String, String)], // (sqlstate, message)
+      paramStatus: Map[String, String],
+      txnStatus: Char,
+      emptyQuery: Boolean,
+      suspended: Boolean,
+      paramOids: Seq[Int],
+      noData: Boolean)
+
+  final class Client(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(60000)
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    private def cstr(o: DataOutputStream, s: String): Unit = {
+      o.write(s.getBytes(UTF_8)); o.writeByte(0)
+    }
+    private def send(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+      val buf = new ByteArrayOutputStream()
+      body(new DataOutputStream(buf))
+      out.writeByte(tpe); out.writeInt(buf.size + 4); buf.writeTo(out); out.flush()
+    }
+
+    def startup(user: String = "postgres", password: Option[String] = None): Reply = {
+      val buf = new ByteArrayOutputStream()
+      val o = new DataOutputStream(buf)
+      o.writeInt(196608)
+      cstr(o, "user"); cstr(o, user)
+      cstr(o, "database"); cstr(o, "postgres")
+      o.writeByte(0)
+      out.writeInt(buf.size + 4); buf.writeTo(out); out.flush()
+      password.foreach { p => // wait for AuthenticationCleartextPassword
+        val (tpe, body) = read()
+        assert(tpe == 'R', s"expected auth request, got $tpe")
+        send('p')(cstr(_, p))
+      }
+      drain()
+    }
+
+    def query(sql: String): Reply = { send('Q')(cstr(_, sql)); drain() }
+
+    def parse(name: String, sql: String, oids: Seq[Int] = Nil): Unit =
+      send('P') { o => cstr(o, name); cstr(o, sql); o.writeShort(oids.length); oids.foreach(o.writeInt) }
+
+    def bind(portal: String, stmt: String, params: Seq[Option[String]],
+        resultFormats: Seq[Short] = Nil): Unit =
+      send('B') { o =>
+        cstr(o, portal); cstr(o, stmt)
+        o.writeShort(0) // all params text
+        o.writeShort(params.length)
+        params.foreach {
+          case None => o.writeInt(-1)
+          case Some(v) => val b = v.getBytes(UTF_8); o.writeInt(b.length); o.write(b)
+        }
+        o.writeShort(resultFormats.length); resultFormats.foreach(f => o.writeShort(f))
+      }
+
+    def describe(kind: Char, name: String): Unit =
+      send('D') { o => o.writeByte(kind); cstr(o, name) }
+
+    def execute(portal: String, maxRows: Int = 0): Unit =
+      send('E') { o => cstr(o, portal); o.writeInt(maxRows) }
+
+    def sync(): Reply = { send('S')(_ => ()); drain() }
+
+    def close(): Unit = { send('X')(_ => ()); sock.close() }
+
+    private def read(): (Char, Array[Byte]) = {
+      val tpe = in.read()
+      assert(tpe >= 0, "connection closed")
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      (tpe.toChar, body)
+    }
+
+    /** Read messages until ReadyForQuery; fold into a Reply. */
+    def drain(): Reply = {
+      var fields = Seq.empty[(String, Int)]
+      var fieldFormats = Seq.empty[Short]
+      val rows = ArrayBuffer.empty[Seq[Option[String]]]
+      val binRows = ArrayBuffer.empty[Seq[Option[Array[Byte]]]]
+      val tags = ArrayBuffer.empty[String]
+      val errors = ArrayBuffer.empty[(String, String)]
+      var params = Map.empty[String, String]
+      var empty = false
+      var suspended = false
+      var paramOids = Seq.empty[Int]
+      var noData = false
+      while (true) {
+        val (tpe, body) = read()
+        val b = java.nio.ByteBuffer.wrap(body)
+        def str(from: Int): String = {
+          var end = from; while (end < body.length && body(end) != 0) end += 1
+          new String(body, from, end - from, UTF_8)
+        }
+        tpe match {
+          case 'Z' =>
+            return Reply(fields, rows.toSeq, binRows.toSeq, tags.toSeq, errors.toSeq,
+              params, body(0).toChar, empty, suspended, paramOids, noData)
+          case 'T' =>
+            val n = b.getShort
+            val fs = ArrayBuffer.empty[(String, Int)]
+            val fmts = ArrayBuffer.empty[Short]
+            var pos = 2
+            (0 until n).foreach { _ =>
+              val name = str(pos); pos += name.getBytes(UTF_8).length + 1
+              val bb = java.nio.ByteBuffer.wrap(body, pos, 18)
+              bb.getInt; bb.getShort // table oid, attnum
+              val oid = bb.getInt
+              bb.getShort; bb.getInt // typlen, typmod
+              val fmt = bb.getShort
+              fs += (name -> oid); fmts += fmt
+              pos += 18
+            }
+            fields = fs.toSeq; fieldFormats = fmts.toSeq
+          case 'D' =>
+            val n = b.getShort
+            var pos = 2
+            val vals = ArrayBuffer.empty[Option[Array[Byte]]]
+            (0 until n).foreach { _ =>
+              val len = java.nio.ByteBuffer.wrap(body, pos, 4).getInt; pos += 4
+              if (len < 0) vals += None
+              else { vals += Some(body.slice(pos, pos + len)); pos += len }
+            }
+            val textRow = vals.zipWithIndex.map { case (v, i) =>
+              val fmt = if (i < fieldFormats.length) fieldFormats(i) else 0
+              if (fmt == 0) v.map(new String(_, UTF_8)) else None
+            }
+            rows += textRow.toSeq
+            binRows += vals.toSeq
+          case 'C' => tags += str(0)
+          case 'E' =>
+            // parse field map
+            var pos = 0
+            var code = ""; var msg = ""
+            while (pos < body.length && body(pos) != 0) {
+              val fld = body(pos).toChar
+              val v = str(pos + 1)
+              if (fld == 'C') code = v
+              if (fld == 'M') msg = v
+              pos += 2 + v.getBytes(UTF_8).length
+            }
+            errors += (code -> msg)
+          case 'S' =>
+            val k = str(0); val v = str(k.getBytes(UTF_8).length + 1)
+            params += (k -> v)
+          case 'I' => empty = true
+          case 's' => suspended = true
+          case 't' =>
+            val n = b.getShort
+            paramOids = (0 until n).map(_ => b.getInt)
+          case 'n' => noData = true
+          case 'R' | 'K' | '1' | '2' | '3' | 'N' => // auth ok, key data, parse/bind/close complete, notice
+          case other => fail(s"unexpected message type $other")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  private def connect(): Client = {
+    val c = new Client(server.boundPort)
+    val r = c.startup()
+    assert(r.txnStatus === 'I')
+    c
+  }
+
+  // ---- tests -------------------------------------------------------------
+
+  test("startup handshake reports server parameters") {
+    val c = new Client(server.boundPort)
+    val r = c.startup()
+    assert(r.paramStatus("server_version") === "17.0")
+    assert(r.paramStatus("client_encoding") === "UTF8")
+    assert(r.paramStatus("TimeZone") === "UTC")
+    c.close()
+  }
+
+  test("SELECT 1 round-trips (the reference's smoke query)") {
+    val c = connect()
+    val r = c.query("SELECT 1")
+    assert(r.rows === Seq(Seq(Some("1"))))
+    assert(r.tags === Seq("SELECT 1"))
+    c.close()
+  }
+
+  test("multi-type query: RowDescription OIDs + text encodings") {
+    val c = connect()
+    val r = c.query(
+      "SELECT 1::int4 AS i, 'x' AS s, true AS b, 1.5::float8 AS f, " +
+        "DATE '2024-01-01' AS d, array(1, 2) AS a, 0.0001::float8 AS tiny")
+    assert(r.fields.map(_._2) === Seq(23, 25, 16, 701, 1082, 1007, 701))
+    assert(r.rows.head === Seq(Some("1"), Some("x"), Some("t"), Some("1.5"),
+      Some("2024-01-01"), Some("{1,2}"), Some("0.0001")))
+    c.close()
+  }
+
+  test("multi-statement simple query returns one result set per statement") {
+    val c = connect()
+    val r = c.query("SELECT 1; SELECT 2")
+    assert(r.tags === Seq("SELECT 1", "SELECT 1"))
+    assert(r.rows === Seq(Seq(Some("1")), Seq(Some("2"))))
+    c.close()
+  }
+
+  test("empty query gets EmptyQueryResponse") {
+    val c = connect()
+    assert(c.query("").emptyQuery)
+    assert(c.query("  ;  ").emptyQuery)
+    c.close()
+  }
+
+  test("error recovery: bad SQL errors, connection stays usable") {
+    val c = connect()
+    val r1 = c.query("SELECT FROM nope WHERE")
+    assert(r1.errors.nonEmpty)
+    val r2 = c.query("SELECT 42")
+    assert(r2.rows === Seq(Seq(Some("42"))))
+    c.close()
+  }
+
+  test("unknown table maps to SQLSTATE 42P01") {
+    val c = connect()
+    val r = c.query("SELECT * FROM no_such_table_xyz")
+    assert(r.errors.head._1 === "42P01")
+    c.close()
+  }
+
+  test("SET pushes ParameterStatus; SHOW reads it back") {
+    val c = connect()
+    val r1 = c.query("SET application_name = 'mytool'")
+    assert(r1.tags === Seq("SET"))
+    assert(r1.paramStatus.get("application_name") === Some("mytool"))
+    val r2 = c.query("SHOW application_name")
+    assert(r2.rows === Seq(Seq(Some("mytool"))))
+    val r3 = c.query("SET statement_timeout = '5s'")
+    assert(r3.tags === Seq("SET"))
+    assert(c.query("SHOW statement_timeout").rows === Seq(Seq(Some("5000"))))
+    assert(c.query("SHOW server_version").rows === Seq(Seq(Some("17.0"))))
+    assert(c.query("SHOW TIME ZONE").fields.map(_._1) === Seq("TimeZone"))
+    val bad = c.query("SHOW no_such_guc")
+    assert(bad.errors.head._1 === "42704")
+    c.query("SET statement_timeout = 0")
+    c.close()
+  }
+
+  test("transaction tag state machine (reference transactions.rs)") {
+    val c = connect()
+    assert(c.query("BEGIN").tags === Seq("BEGIN"))
+    val r = c.query("SELECT 1")
+    assert(r.txnStatus === 'T')
+    // error flips to Failed state
+    val e = c.query("SELECT * FROM missing_t")
+    assert(e.txnStatus === 'E')
+    // non-txn statement in failed txn → 25P01
+    val blocked = c.query("SELECT 1")
+    assert(blocked.errors.head._1 === "25P01")
+    // COMMIT in failed state reports ROLLBACK
+    val commit = c.query("COMMIT")
+    assert(commit.tags === Seq("ROLLBACK"))
+    assert(commit.txnStatus === 'I')
+    assert(c.query("SELECT 1").rows.nonEmpty)
+    c.close()
+  }
+
+  test("DECLARE / FETCH / CLOSE cursor lifecycle (reference cursor.rs)") {
+    val c = connect()
+    assert(c.query("DECLARE cur1 CURSOR FOR SELECT id FROM t7 ORDER BY id").tags ===
+      Seq("DECLARE CURSOR"))
+    val f1 = c.query("FETCH 3 FROM cur1")
+    assert(f1.tags === Seq("FETCH 3"))
+    assert(f1.rows.map(_.head.get) === Seq("0", "1", "2"))
+    val f2 = c.query("FETCH NEXT FROM cur1")
+    assert(f2.rows.map(_.head.get) === Seq("3"))
+    val f3 = c.query("FETCH ALL FROM cur1")
+    assert(f3.rows.map(_.head.get) === Seq("4", "5", "6"))
+    val f4 = c.query("FETCH 5 FROM cur1") // exhausted
+    assert(f4.tags === Seq("FETCH 0"))
+    // backward scan rejected
+    assert(c.query("FETCH PRIOR FROM cur1").errors.head._1 === "55000")
+    assert(c.query("CLOSE cur1").tags === Seq("CLOSE CURSOR"))
+    assert(c.query("FETCH 1 FROM cur1").errors.head._1 === "34000")
+    assert(c.query("CLOSE nope").errors.head._1 === "34000")
+    c.close()
+  }
+
+  test("pg_catalog: psql-style introspection join runs (tests/psql.rs)") {
+    val c = connect()
+    val r = c.query(
+      """SELECT n.nspname AS schema, c.relname AS name
+        |FROM pg_catalog.pg_class c
+        |LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+        |WHERE c.relkind IN ('r','p','v','m','S','f')
+        |  AND n.nspname <> 'pg_catalog'
+        |  AND n.nspname !~ '^pg_toast'
+        |ORDER BY 1, 2""".stripMargin)
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.rows.exists(_(1) === Some("t7")))
+    assert(r.rows.forall(_(0) === Some("public")))
+    c.close()
+  }
+
+  test("pg_catalog: pg_attribute lists t7 columns with type oids") {
+    val c = connect()
+    val r = c.query(
+      """SELECT a.attname, a.atttypid
+        |FROM pg_attribute a JOIN pg_class cl ON cl.oid = a.attrelid
+        |WHERE cl.relname = 't7' ORDER BY a.attnum""".stripMargin)
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.rows === Seq(
+      Seq(Some("id"), Some("23")), Seq(Some("name"), Some("25"))))
+    c.close()
+  }
+
+  test("system UDFs: version/current_schema/quote_ident/format_type") {
+    val c = connect()
+    val r = c.query("SELECT version()")
+    assert(r.fields.map(_._1) === Seq("version"))
+    assert(r.rows.head.head.get.startsWith("PostgreSQL"))
+    assert(c.query("SELECT current_schema()").rows === Seq(Seq(Some("public"))))
+    assert(c.query("SELECT current_database()").rows === Seq(Seq(Some("postgres"))))
+    assert(c.query("SELECT quote_ident('select')").rows === Seq(Seq(Some("\"select\""))))
+    assert(c.query("SELECT format_type(1043, 36)").rows ===
+      Seq(Seq(Some("character varying(32)"))))
+    c.close()
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute with a parameter") {
+    val c = connect()
+    c.parse("s1", "SELECT $1::int + 1 AS v", Seq(23))
+    c.describe('S', "s1")
+    c.bind("p1", "s1", Seq(Some("41")))
+    c.execute("p1")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.paramOids === Seq(23))
+    assert(r.fields.map(_._1) === Seq("v"))
+    assert(r.rows === Seq(Seq(Some("42"))))
+    assert(r.tags === Seq("SELECT 1"))
+    c.close()
+  }
+
+  test("extended protocol: maxRows suspends the portal and resumes") {
+    val c = connect()
+    c.parse("s2", "SELECT id FROM t7 ORDER BY id")
+    c.bind("p2", "s2", Nil)
+    c.execute("p2", maxRows = 4)
+    val r1 = c.sync()
+    assert(r1.suspended)
+    assert(r1.rows.map(_.head.get) === Seq("0", "1", "2", "3"))
+    c.bind("p2b", "s2", Nil)
+    c.execute("p2b")
+    val r2 = c.sync()
+    assert(r2.rows.map(_.head.get) === (0 until 7).map(_.toString))
+    assert(r2.tags === Seq("SELECT 7"))
+    c.close()
+  }
+
+  test("extended protocol: binary result format round-trips an int8") {
+    val c = connect()
+    c.parse("s3", "SELECT 258::int8 AS v")
+    c.bind("p3", "s3", Nil, resultFormats = Seq(1))
+    c.execute("p3")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.binRows.head.head.get.toSeq === Seq[Byte](0, 0, 0, 0, 0, 0, 1, 2))
+    c.close()
+  }
+
+  test("extended protocol: text param NULL binds as SQL NULL") {
+    val c = connect()
+    c.parse("s4", "SELECT $1::text IS NULL AS isnull", Seq(25))
+    c.bind("p4", "s4", Seq(None))
+    c.execute("p4")
+    val r = c.sync()
+    assert(r.rows === Seq(Seq(Some("t"))))
+    c.close()
+  }
+
+  test("statement_timeout cancels a long-running statement with 57014") {
+    val c = connect()
+    c.query("SET statement_timeout = 300")
+    val t0 = System.nanoTime()
+    val r = c.query(
+      "SELECT max(xxhash64(concat(cast(id AS string), 'x'))) FROM range(2000000000)")
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r.errors.headOption.map(_._1) === Some("57014"), r.errors.toString)
+    assert(elapsedMs < 30000, s"timeout took ${elapsedMs}ms")
+    c.query("SET statement_timeout = 0")
+    c.close()
+  }
+
+  test("cleartext auth accepts the right password and rejects the wrong one") {
+    val authed = new PgServer(spark, authMethod = "cleartext",
+      passwords = Map("alice" -> "secret"))
+    authed.start()
+    try {
+      val ok = new Client(authed.boundPort)
+      val r = ok.startup(user = "alice", password = Some("secret"))
+      assert(r.txnStatus === 'I')
+      assert(ok.query("SELECT 1").rows === Seq(Seq(Some("1"))))
+      ok.close()
+      val bad = new Client(authed.boundPort)
+      intercept[Throwable] {
+        val r2 = bad.startup(user = "alice", password = Some("wrong"))
+        assert(r2.errors.nonEmpty) // either error reply or closed conn
+        throw new RuntimeException("got error reply as expected")
+      }
+      bad.close()
+    } finally authed.stop()
+  }
+}
