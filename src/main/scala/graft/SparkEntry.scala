@@ -11,14 +11,16 @@ object SparkEntry {
 
   /** Every registered operator, in declaration order. */
   def all: Seq[QueryDef] =
-    queries_relational ++ queries_llm
+    queries_relational ++ queries_llm ++ queries_pg
 
   private def queries_relational: Seq[QueryDef] = graft.queries.Relational.queries
   private def queries_llm: Seq[QueryDef] = Seq(
     graft.queries.Dedup.queries,
     graft.queries.Similarity.queries,
-    graft.queries.TextAnalysis.queries
+    graft.queries.TextAnalysis.queries,
+    graft.queries.Multimodal.queries
   ).flatten
+  private def queries_pg: Seq[QueryDef] = graft.queries.PgCompat.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

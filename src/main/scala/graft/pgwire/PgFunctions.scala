@@ -299,6 +299,12 @@ object PgFunctions {
     u.register("div", (y: java.math.BigDecimal, x: java.math.BigDecimal) =>
       if (y == null || x == null || x.signum() == 0) null
       else y.divideToIntegralValue(x))
+    // pg mod: sign-of-dividend, NULL on zero divisor (the reference's
+    // documented deviation from pg's error — mod_op.rs:18; Spark 4 ANSI
+    // mode would raise DIVIDE_BY_ZERO, so the guard is explicit)
+    u.register("pg_mod", (y: java.lang.Long, x: java.lang.Long) =>
+      if (y == null || x == null || x.longValue() == 0L) null
+      else java.lang.Long.valueOf(y.longValue() % x.longValue()))
     u.register("sind", (x: java.lang.Double) => sind(x))
     u.register("cosd", (x: java.lang.Double) => cosd(x))
     u.register("tand", (x: java.lang.Double) => tand(x))

@@ -1,0 +1,154 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import graft.{Q, QueryDef, Tables}
+import graft.pgwire.{Handlers, PgCatalog, PgFunctions}
+
+/** Oracle-verified queries for the pg-compat surface: the system/math
+  * UDF packs (SURVEY §2b/§2c), the pg_catalog emulation (§2a #12-19),
+  * the compat SQL rewrites (§2a #20-23), and CSV/JSON source parity
+  * (§2a #11). UDF results are pinned against literal oracles; catalog
+  * queries against the deterministic OID assignment (sorted table
+  * names, 16384+).
+  */
+object PgCompat {
+
+  private def withUdfs(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    PgFunctions.registerAll(s)
+    fn(s, dir)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+
+    Q.df("q70_system_udfs",
+      """SELECT '"select"' AS qi_reserved, 'abc' AS qi_plain, '"Abc"' AS qi_mixed,
+        |  '"a b"' AS qi_space, ['a','b'] AS pi, 'character varying(32)' AS ft_varchar,
+        |  'integer' AS ft_int, 'numeric(6,2)' AS ft_num, 'UTF-8' AS enc,
+        |  '1206 kB' AS sz, 'public' AS cs, 'postgres' AS cdb,
+        |  CAST(1 AS INT) AS pid, true AS htp""".stripMargin) {
+      withUdfs((s, _) => s.sql(
+        """SELECT quote_ident('select') AS qi_reserved, quote_ident('abc') AS qi_plain,
+          |  quote_ident('Abc') AS qi_mixed, quote_ident('a b') AS qi_space,
+          |  parse_ident('a.b') AS pi, format_type(1043, 36) AS ft_varchar,
+          |  format_type(23, -1) AS ft_int, format_type(1700, 393222) AS ft_num,
+          |  pg_encoding_to_char(6) AS enc, pg_size_pretty(CAST(1234567 AS BIGINT)) AS sz,
+          |  pg_current_schema() AS cs, pg_current_database() AS cdb,
+          |  CAST(pg_backend_pid() AS INT) AS pid,
+          |  has_table_privilege('postgres', 'region', 'SELECT') AS htp""".stripMargin))
+    },
+
+    Q.df("q71_math_udfs",
+      """SELECT CAST(0.5 AS DOUBLE) AS s30, CAST(0.5 AS DOUBLE) AS c60,
+        |  CAST(1.0 AS DOUBLE) AS t45, CAST(1.0 AS DOUBLE) AS ct45,
+        |  CAST(30.0 AS DOUBLE) AS as5, CAST(180.0 AS DOUBLE) AS ac1,
+        |  CAST(45.0 AS DOUBLE) AS at1, CAST(3.0 AS DOUBLE) AS dv,
+        |  CAST(0.0 AS DOUBLE) AS e0, CAST(1.0 AS DOUBLE) AS ec0,
+        |  CAST(0.0 AS DOUBLE) AS lg1, CAST(3 AS BIGINT) AS wb,
+        |  CAST(1 AS BIGINT) AS m1, CAST(-1 AS BIGINT) AS m2,
+        |  CAST(NULL AS BIGINT) AS m0""".stripMargin) {
+      withUdfs((s, _) => s.sql(
+        """SELECT sind(30.0D) AS s30, cosd(60.0D) AS c60, tand(45.0D) AS t45,
+          |  cotd(45.0D) AS ct45, asind(0.5D) AS as5, acosd(-1.0D) AS ac1,
+          |  atand(1.0D) AS at1,
+          |  CAST(div(CAST(17 AS DECIMAL(10,2)), CAST(5 AS DECIMAL(10,2))) AS DOUBLE) AS dv,
+          |  erf(0.0D) AS e0, erfc(0.0D) AS ec0, lgamma(1.0D) AS lg1,
+          |  width_bucket(5.35D, 0.024D, 10.06D, 5L) AS wb,
+          |  pg_mod(7L, 3L) AS m1, pg_mod(-7L, 3L) AS m2, pg_mod(5L, 0L) AS m0""".stripMargin))
+    },
+
+    Q.df("q72_pg_class",
+      """SELECT * FROM (VALUES
+        |  (16384,'customer',2200,'r',5),(16385,'documents',2200,'r',5),
+        |  (16386,'embeddings',2200,'r',3),(16387,'events',2200,'r',6),
+        |  (16388,'lineitem',2200,'r',11),(16389,'nation',2200,'r',3),
+        |  (16390,'orders',2200,'r',6),(16391,'part',2200,'r',6),
+        |  (16392,'region',2200,'r',2),(16393,'supplier',2200,'r',4))
+        |  AS t(oid, relname, relnamespace, relkind, relnatts)
+        |ORDER BY relname""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      PgCatalog.registerAll(s)
+      s.sql(
+        """SELECT CAST(oid AS INT) AS oid, relname,
+          |  CAST(relnamespace AS INT) AS relnamespace, relkind,
+          |  CAST(relnatts AS INT) AS relnatts
+          |FROM pg_class ORDER BY relname""".stripMargin)
+    },
+
+    Q.df("q73_pg_namespace",
+      "SELECT * FROM (VALUES (11,'pg_catalog'),(2200,'public')) AS t(oid, nspname) ORDER BY oid") {
+      (s, dir) =>
+        PgCatalog.registerAll(s)
+        s.sql("SELECT CAST(oid AS INT) AS oid, nspname FROM pg_namespace ORDER BY oid")
+    },
+
+    Q.df("q74_pg_type",
+      """SELECT * FROM (VALUES
+        |  (16,'bool','B'),(20,'int8','N'),(23,'int4','N'),(25,'text','S'),
+        |  (701,'float8','N'),(1043,'varchar','S'),(1082,'date','D'),
+        |  (1114,'timestamp','D'),(1184,'timestamptz','D'),(1700,'numeric','N'))
+        |  AS t(oid, typname, typcategory) ORDER BY oid""".stripMargin) { (s, dir) =>
+      PgCatalog.registerAll(s)
+      s.sql(
+        """SELECT CAST(oid AS INT) AS oid, typname, typcategory FROM pg_type
+          |WHERE oid IN (16,20,23,25,701,1043,1082,1114,1184,1700)
+          |ORDER BY oid""".stripMargin)
+    },
+
+    Q.df("q75_pg_attribute",
+      """SELECT * FROM (VALUES
+        |  ('nation','n_nationkey',23,1),('nation','n_name',25,2),
+        |  ('nation','n_regionkey',23,3),
+        |  ('region','r_regionkey',23,1),('region','r_name',25,2))
+        |  AS t(relname, attname, atttypid, attnum)
+        |ORDER BY relname, attnum""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      PgCatalog.registerAll(s)
+      s.sql(
+        """SELECT cl.relname, a.attname, CAST(a.atttypid AS INT) AS atttypid,
+          |  CAST(a.attnum AS INT) AS attnum
+          |FROM pg_attribute a JOIN pg_class cl ON a.attrelid = cl.oid
+          |WHERE cl.relname IN ('region','nation')
+          |ORDER BY cl.relname, attnum""".stripMargin)
+    },
+
+    // compat rewrites exercised through the server's query path
+    // (Handlers.runSql = Compat.rewrite + spark.sql)
+    Q.df("q76_regex_compat",
+      """SELECT r_name FROM region
+        |WHERE regexp_matches(r_name, '[AE]') AND NOT regexp_matches(r_name, '(?i)euro')
+        |ORDER BY r_name""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      Handlers.runSql(s,
+        "SELECT r_name FROM region WHERE r_name ~ '[AE]' AND r_name !~* 'euro' ORDER BY r_name")
+    },
+
+    Q.df("q77_any_compat",
+      "SELECT n_name FROM nation WHERE n_nationkey IN (1,3,5) ORDER BY n_name") { (s, dir) =>
+      Tables.register(s, dir)
+      Handlers.runSql(s,
+        "SELECT n_name FROM nation WHERE n_nationkey = ANY('{1,3,5}'::int4[]) ORDER BY n_name")
+    },
+
+    // file-source parity (reference CLI registers CSV/JSON/parquet —
+    // datafusion-postgres-cli/src/main.rs:55-191): round-trip region
+    // through each format and verify against the parquet oracle
+    Q.df("q78_csv_source",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      val reg = s.read.parquet(s"$dir/region.parquet")
+      val tmp = Files.createDirectories(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_csv_src")).toString
+      reg.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(reg.schema).csv(tmp)
+        .orderBy("r_regionkey")
+    },
+
+    Q.df("q79_json_source",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      val reg = s.read.parquet(s"$dir/region.parquet")
+      val tmp = Files.createDirectories(
+        Paths.get(sys.props("java.io.tmpdir"), "graft_json_src")).toString
+      reg.coalesce(1).write.mode("overwrite").json(tmp)
+      s.read.schema(reg.schema).json(tmp).orderBy("r_regionkey")
+    })
+}
