@@ -32,7 +32,8 @@ object Handlers {
 
   import Compat.{Tok, Word}
 
-  def execute(spark: SparkSession, session: Session, rawSql: String): PgResult = {
+  def execute(spark: SparkSession, session: Session, rawSql: String,
+      auth: Option[AuthManager] = None, hooks: Seq[QueryHook] = Nil): PgResult = {
     val sql = rawSql.trim
     if (sql.isEmpty) return EmptyQuery
     val toks = Compat.tokenize(sql).filter(_.kind != Compat.Ws)
@@ -45,6 +46,25 @@ object Handlers {
       !Set("COMMIT", "END", "ROLLBACK", "ABORT").contains(head))
       throw PgException("25P01",
         "current transaction is aborted, commands ignored until end of transaction block")
+
+    // pluggable hooks run first; the first Some short-circuits
+    // (reference: hooks/mod.rs:22-77, handlers.rs:181-191)
+    val hookResult = hooks.view.flatMap(_.handle(spark, session, sql)).headOption
+    if (hookResult.isDefined) return hookResult.get
+
+    // RBAC statement hooks + permission gate (reference:
+    // hooks/permissions.rs, auth.rs)
+    if (auth.isDefined) {
+      val a = auth.get
+      (head, second) match {
+        case ("CREATE", "USER") | ("CREATE", "ROLE") |
+             ("DROP", "USER") | ("DROP", "ROLE") |
+             ("GRANT", _) | ("REVOKE", _) =>
+          return handleRbac(a, toks, head, second)
+        case _ =>
+          a.checkStatement(session.user, head, referencedTables(toks))
+      }
+    }
 
     head match {
       case "BEGIN" | "START" =>
@@ -244,6 +264,97 @@ object Handlers {
     }
   }
 
+  // ---- RBAC statements (reference: auth.rs, permissions.rs) -------------
+
+  /** Tables referenced by a statement — the scopes the permission gate
+    * checks. Heuristic token scan (FROM/JOIN/INTO/UPDATE targets);
+    * pg_catalog names are excluded (readable by everyone).
+    */
+  def referencedTables(toks: Vector[Tok]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val isIntro = t.isWord("FROM") || t.isWord("JOIN") || t.isWord("INTO") ||
+        (t.isWord("UPDATE") && i == 0) || (t.isWord("TABLE") && i <= 1)
+      if (isIntro && i + 1 < toks.length) {
+        val n = toks(i + 1)
+        if (n.kind == Word && !n.isWord("SELECT") && !n.isWord("LATERAL")) {
+          // take last segment of a qualified chain
+          var j = i + 1
+          var name = n.text
+          while (j + 2 < toks.length && toks(j + 1).is(".") && toks(j + 2).kind == Word) {
+            name = toks(j + 2).text; j += 2
+          }
+          val lower = name.toLowerCase
+          if (!lower.startsWith("pg_") && lower != "range" && lower != "generate_series")
+            out += lower
+          i = j
+        }
+      }
+      i += 1
+    }
+    out.distinct.toSeq
+  }
+
+  private def handleRbac(a: AuthManager, toks: Vector[Tok],
+      head: String, second: String): PgResult = (head, second) match {
+    case ("CREATE", "USER") =>
+      val name = toks(2).text.toLowerCase
+      var password: Option[String] = None
+      var superuser = false
+      var i = 3
+      while (i < toks.length) {
+        if (toks(i).isWord("PASSWORD") && i + 1 < toks.length) {
+          val p = toks(i + 1).text
+          password = Some(if (p.startsWith("'")) p.substring(1, p.length - 1) else p)
+          i += 1
+        } else if (toks(i).isWord("SUPERUSER")) superuser = true
+        i += 1
+      }
+      a.createUser(name, password, superuser)
+      Complete("CREATE USER")
+    case ("CREATE", "ROLE") =>
+      a.createRole(toks(2).text.toLowerCase); Complete("CREATE ROLE")
+    case ("DROP", "USER") =>
+      if (!a.dropUser(toks(2).text.toLowerCase))
+        throw PgException("42704", s"""user "${toks(2).text}" does not exist""")
+      Complete("DROP USER")
+    case ("DROP", "ROLE") =>
+      if (!a.dropRole(toks(2).text.toLowerCase))
+        throw PgException("42704", s"""role "${toks(2).text}" does not exist""")
+      Complete("DROP ROLE")
+    case ("GRANT", _) | ("REVOKE", _) =>
+      val isGrant = head == "GRANT"
+      val kw = if (isGrant) "TO" else "FROM"
+      val onIdx = toks.indexWhere(_.isWord("ON"))
+      val kwIdx = toks.indexWhere(_.isWord(kw))
+      if (kwIdx < 0) throw PgException("42601", s"syntax error in $head")
+      val grantee = toks(kwIdx + 1).text.toLowerCase
+      if (onIdx < 0) {
+        // GRANT role TO user/role
+        val role = toks(1).text.toLowerCase
+        if (isGrant) a.grantRole(role, grantee) else a.revokeRole(role, grantee)
+      } else {
+        // GRANT perm[, perm] ON [TABLE] t | ALL TABLES TO role
+        val perms = toks.slice(1, onIdx).filter(_.kind == Word).map(_.text.toUpperCase)
+          .flatMap {
+            case "ALL" => Permission.values.toSeq
+            case "PRIVILEGES" => Nil
+            case p => Permission.values.find(_.toString.toUpperCase == p).toSeq
+          }
+        val tgt = toks.slice(onIdx + 1, kwIdx).filter(_.kind == Word)
+          .filterNot(t => t.isWord("TABLE") || t.isWord("TABLES"))
+        val table = tgt.headOption.map(t =>
+          if (t.isWord("ALL")) "*" else t.text.toLowerCase).getOrElse("*")
+        perms.foreach { p =>
+          if (isGrant) a.grant(grantee, table, p) else a.revoke(grantee, table, p)
+        }
+      }
+      Complete(if (isGrant) "GRANT" else "REVOKE")
+    case _ => throw PgException("42601", s"unsupported $head statement")
+  }
+
   // ---- query path --------------------------------------------------------
 
   /** Compat-rewrite + (if pg_catalog is referenced) refresh the dynamic
@@ -279,11 +390,20 @@ object Handlers {
 
   /** Rows written by an eagerly-executed command (INSERT tag;
     * reference: handlers.rs:354-376 collects the count column).
+    * Eager commands surface as CommandResultExec whose real write plan
+    * (with the numOutputRows metric) hangs off commandPhysicalPlan,
+    * not the children — unwrap it first.
     */
-  private def outputRows(df: DataFrame): Long =
-    df.queryExecution.executedPlan.collectFirst {
+  private def outputRows(df: DataFrame): Long = {
+    val top = df.queryExecution.executedPlan
+    val root = top match {
+      case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+      case p => p
+    }
+    root.collectFirst {
       case p if p.metrics.contains("numOutputRows") => p.metrics("numOutputRows").value
     }.getOrElse(0L)
+  }
 
   // ---- statement timeout (reference: handlers.rs:196-210) ---------------
 

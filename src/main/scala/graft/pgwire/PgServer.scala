@@ -30,7 +30,9 @@ final class PgServer(
     port: Int = 0,
     maxConnections: Int = 64,
     authMethod: String = "trust",
-    passwords: Map[String, String] = Map.empty) {
+    passwords: Map[String, String] = Map.empty,
+    val auth: AuthManager = new AuthManager(),
+    hooks: Seq[QueryHook] = Nil) {
 
   private val server = new ServerSocket()
   private val connIds = new AtomicInteger(1)
@@ -134,7 +136,7 @@ final class PgServer(
       Messages.authCleartext(out); out.flush()
       val msg = Messages.readMessage(in)
       val given = msg.cStringAt(0)
-      val ok = passwords.get(user).contains(given)
+      val ok = passwords.get(user).orElse(auth.password(user)).contains(given)
       if (!ok) {
         Messages.errorResponse(out, "28P01", s"""password authentication failed for user "$user"""")
         out.flush()
@@ -146,7 +148,7 @@ final class PgServer(
       Messages.authMd5(out, salt); out.flush()
       val msg = Messages.readMessage(in)
       val given = msg.cStringAt(0)
-      val ok = passwords.get(user).exists { pass =>
+      val ok = passwords.get(user).orElse(auth.password(user)).exists { pass =>
         val inner = md5hex((pass + user).getBytes(UTF_8))
         val expect = "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
         expect == given
@@ -225,7 +227,7 @@ final class PgServer(
     statements.foreach { stmt =>
       if (!failed) {
         try Handlers.withTimeout(spark, session, jobGroup) {
-          Handlers.execute(spark, session, stmt) match {
+          Handlers.execute(spark, session, stmt, Some(auth), hooks) match {
             case EmptyQuery => Messages.emptyQueryResponse(out)
             case Complete(tag, push) =>
               push.foreach { case (k, v) => Messages.parameterStatus(out, k, v) }
@@ -462,7 +464,7 @@ final class PgServer(
 
     Handlers.withTimeout(spark, session, jobGroup) {
       if (portal.result.isEmpty) {
-        Handlers.execute(spark, session, portal.boundSql) match {
+        Handlers.execute(spark, session, portal.boundSql, Some(auth), hooks) match {
           case EmptyQuery =>
             Messages.emptyQueryResponse(out); return
           case Complete(tag, push) =>

@@ -434,9 +434,106 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("pg_get_keywords() UDTF-as-view works through the TVF rewrite") {
+    val c = connect()
+    val r = c.query("SELECT word FROM pg_get_keywords() WHERE catcode = 'R' ORDER BY word LIMIT 3")
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.rows.map(_.head.get) === Seq("all", "analyse", "analyze"))
+    c.close()
+  }
+
+  test("SHOW ALL lists settings with three columns") {
+    val c = connect()
+    val r = c.query("SHOW ALL")
+    assert(r.fields.map(_._1) === Seq("name", "setting", "description"))
+    assert(r.rows.exists(_.head === Some("server_version")))
+    c.close()
+  }
+
+  test("DDL + INSERT round-trip: CREATE TABLE / INSERT 0 n / CTAS / DROP") {
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS pgtest_ins")
+    val ct = c.query("CREATE TABLE pgtest_ins(id INT) USING parquet")
+    assert(ct.errors.isEmpty, ct.errors.toString)
+    assert(ct.tags === Seq("CREATE TABLE"))
+    val ins = c.query("INSERT INTO pgtest_ins VALUES (1), (2), (3)")
+    assert(ins.errors.isEmpty, ins.errors.toString)
+    assert(ins.tags === Seq("INSERT 0 3"))
+    assert(c.query("SELECT count(*) FROM pgtest_ins").rows === Seq(Seq(Some("3"))))
+    val ctas = c.query("CREATE TABLE pgtest_ctas USING parquet AS SELECT id * 2 AS x FROM pgtest_ins")
+    assert(ctas.errors.isEmpty, ctas.errors.toString)
+    assert(ctas.tags === Seq("CREATE TABLE"))
+    assert(c.query("SELECT count(*) FROM pgtest_ctas").rows === Seq(Seq(Some("3"))))
+    assert(c.query("DROP TABLE pgtest_ins").tags === Seq("DROP TABLE"))
+    assert(c.query("DROP TABLE pgtest_ctas").tags === Seq("DROP TABLE"))
+    c.close()
+  }
+
+  test("RBAC: readonly user can SELECT but not CREATE (42501)") {
+    val c = connect()
+    assert(c.query("CREATE USER alice WITH PASSWORD 'pw'").tags === Seq("CREATE USER"))
+    assert(c.query("GRANT readonly TO alice").tags === Seq("GRANT"))
+    // new connection as alice (trust auth: no password prompt)
+    val a = new Client(server.boundPort)
+    a.startup(user = "alice")
+    assert(a.query("SELECT id FROM t7 ORDER BY id LIMIT 1").rows === Seq(Seq(Some("0"))))
+    val denied = a.query("CREATE TABLE alice_t(id INT) USING parquet")
+    assert(denied.errors.head._1 === "42501")
+    a.close()
+    // revoke the role: SELECT now denied too
+    assert(c.query("REVOKE readonly FROM alice").tags === Seq("REVOKE"))
+    val b = new Client(server.boundPort)
+    b.startup(user = "alice")
+    assert(b.query("SELECT id FROM t7 LIMIT 1").errors.head._1 === "42501")
+    b.close()
+    c.query("DROP USER alice")
+    c.close()
+  }
+
+  test("RBAC: per-table GRANT scopes access") {
+    val c = connect()
+    c.query("CREATE USER carol")
+    c.query("CREATE ROLE t7_reader")
+    assert(c.query("GRANT SELECT ON t7 TO t7_reader").tags === Seq("GRANT"))
+    c.query("GRANT t7_reader TO carol")
+    val a = new Client(server.boundPort)
+    a.startup(user = "carol")
+    assert(a.query("SELECT count(*) FROM t7").rows === Seq(Seq(Some("7"))))
+    assert(a.query("SELECT 1 FROM range(3)").errors.head._1 === "42501")
+    a.close()
+    c.query("DROP USER carol"); c.query("DROP ROLE t7_reader")
+    c.close()
+  }
+
+  test("custom QueryHook intercepts before the engine") {
+    import graft.pgwire.{PgResult, QueryHook, RowSet, Session => PgSession}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val hook = new QueryHook {
+      def handle(s: org.apache.spark.sql.SparkSession, sess: PgSession,
+          sql: String): Option[PgResult] =
+        if (sql.trim.equalsIgnoreCase("SELECT magic")) Some(RowSet(
+          StructType(Seq(StructField("magic", StringType))),
+          Iterator.single(org.apache.spark.sql.Row("abracadabra")),
+          n => s"SELECT $n"))
+        else None
+    }
+    val hooked = new PgServer(spark, hooks = Seq(hook))
+    hooked.start()
+    try {
+      val c = new Client(hooked.boundPort)
+      c.startup()
+      assert(c.query("SELECT magic").rows === Seq(Seq(Some("abracadabra"))))
+      assert(c.query("SELECT 1").rows === Seq(Seq(Some("1")))) // passthrough
+      c.close()
+    } finally hooked.stop()
+  }
+
   test("cleartext auth accepts the right password and rejects the wrong one") {
-    val authed = new PgServer(spark, authMethod = "cleartext",
-      passwords = Map("alice" -> "secret"))
+    // AuthManager-backed credential lookup (reference DfAuthSource)
+    val am = new graft.pgwire.AuthManager
+    am.createUser("alice", Some("secret"))
+    am.grantRole("dbadmin", "alice")
+    val authed = new PgServer(spark, authMethod = "cleartext", auth = am)
     authed.start()
     try {
       val ok = new Client(authed.boundPort)
