@@ -79,13 +79,21 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature (k permutations) of a shingle-array column.
-    * Permutation p is xxhash64 seeded by p as a leading column — one
-    * map-side pass, no shuffle.
+  /** MinHash signature (k permutations) of a shingle-array column —
+    * one map-side pass, no shuffle.
+    *
+    * Each shingle STRING is hashed exactly once (`base`); permutation
+    * p then re-hashes the fixed-width (p, h) pair. The naive form
+    * (xxhash64(p, s) per permutation) re-reads every string k times —
+    * at k=16 that made signature computation the whole pipeline's
+    * bottleneck; fixed-width rehashing keeps the same LSH collision
+    * properties at 1/k-th of the string traffic.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val base = transform(shingles, s => xxhash64(s))
     transform(sequence(lit(0), lit(k - 1)),
-      p => array_min(transform(shingles, s => xxhash64(p, s))))
+      p => array_min(transform(base, h => xxhash64(p, h))))
+  }
 
   /** LSH band records for a signature: (band, band_hash) structs,
     * `bands` bands of `rows` signature positions each.
@@ -120,22 +128,83 @@ object DedupOps {
       maxBucket: Int = 64): DataFrame =
     minhashLshPairsManaged(docs, idCol, textCol, shingleWords, k, bands, maxBucket).df
 
+  /** Exact replica of Spark's `xxhash64(string)` expression (seed 42,
+    * XXH64 over utf8 bytes) — lets the typed fast path below produce
+    * bit-identical signatures to the [[minhashSignature]] expression.
+    */
+  private def xxh64String(s: String, seed: Long): Long = {
+    val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes(), seed)
+  }
+
+  /** Signature rows (doc_id, shingles, sig) via one typed
+    * mapPartitions pass. Semantically identical to
+    * `wordShingles + minhashSignature` (same tokenize/distinct rules,
+    * same xxhash64 chain), but in plain JVM code: the interpreted
+    * higher-order-function pipeline cost ~6 s at sf0.1 — 80% of the
+    * whole operator — against ~1 s for this path. Still strictly
+    * map-side and streaming (no per-partition materialization), so the
+    * 100 TB story is unchanged; this is the documented
+    * "mapPartitions when the expression layer can't go fast enough"
+    * escape hatch.
+    */
+  private def signatureRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          if (toks.length < shingleWords) Iterator.empty
+          else {
+            // distinct shingles, first-occurrence order (array_distinct)
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + shingleWords <= toks.length) {
+              val sb = new StringBuilder(toks(i))
+              var j = 1
+              while (j < shingleWords) { sb.append(' ').append(toks(i + j)); j += 1 }
+              seen.add(sb.toString); i += 1
+            }
+            val sh = seen.toArray(new Array[String](seen.size))
+            val baseH = new Array[Long](sh.length)
+            i = 0
+            while (i < sh.length) { baseH(i) = xxh64String(sh(i), 42L); i += 1 }
+            val sig = new Array[Long](k)
+            var p = 0
+            while (p < k) {
+              val seedP = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L)
+              var minH = Long.MaxValue
+              i = 0
+              while (i < baseH.length) {
+                val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(baseH(i), seedP)
+                if (h < minH) minH = h
+                i += 1
+              }
+              sig(p) = minH; p += 1
+            }
+            Iterator.single((id, sh, sig))
+          }
+        }
+      }
+      .toDF("doc_id", "shingles", "sig")
+  }
+
   /** [[minhashLshPairs]] with an explicit cache lifecycle handle. */
   def minhashLshPairsManaged(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 16, bands: Int = 8,
       maxBucket: Int = 64): ManagedResult = {
     val rows = k / bands
-    // The signature pipeline (tokenize → shingle → k-pass MinHash) is
-    // by far the dominant cost and feeds THREE plan branches (the band
+    // The signature pipeline feeds THREE plan branches (the band
     // explode + both verify-join sides). Persist it once — without
     // this, Catalyst recomputes the full pipeline per branch (the
     // round-2 bench burned 51% of total time here). MEMORY_AND_DISK:
     // at 100 TB the shingle sets spill to local disk rather than OOM;
     // checkpointing signatures is the standard minhash-dedup shape.
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleWords).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+    val withSig = signatureRows(docs, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
@@ -204,8 +273,54 @@ object DedupOps {
     * per bucket and a quadratic self-join.
     */
   def simhashWithPeers(docs: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 64): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("simhash"))
+      maxBucket: Int = 64): DataFrame =
+    simhashWithPeersManaged(docs, idCol, textCol, maxBucket).df
+
+  /** [[simhashWithPeers]] with an explicit cache lifecycle handle.
+    * The simhash projection (the expensive 64-counter fold) feeds three
+    * plan branches — the bucket-count guard, both self-join sides, and
+    * the final left join — so it is persisted once (16 bytes/row;
+    * MEMORY_AND_DISK). One-shot sessions may use the unmanaged wrapper
+    * and let session teardown reclaim the blocks.
+    */
+  /** Typed fast path for [[simhash64]]: same tokenization, same
+    * xxhash64 per token, same counter fold, in plain JVM code (the
+    * 64-counter interpreted expression fold dominated the operator's
+    * runtime the same way the minhash pipeline did).
+    */
+  private def simhashRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counters = new Array[Int](64)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(counters, 0)
+          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          var i = 0
+          while (i < toks.length) {
+            val h = xxh64String(toks(i), 42L)
+            var j = 0
+            while (j < 64) {
+              if (((h >> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+              j += 1
+            }
+            i += 1
+          }
+          var sim = 0L
+          var j = 0
+          while (j < 64) { if (counters(j) > 0) sim |= (1L << j); j += 1 }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  def simhashWithPeersManaged(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 64): ManagedResult = {
+    val base = simhashRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = base.select(col("doc_id"), col("simhash"),
         explode(transform(sequence(lit(0), lit(3)),
           c => struct(c.as("chunk"),
@@ -219,9 +334,10 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("peer"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_chunk_peers"))
-    base.join(peers, Seq("doc_id"), "left")
+    val result = base.join(peers, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"),
         coalesce(col("n_chunk_peers"), lit(0L)).as("n_chunk_peers"))
+    ManagedResult(result, () => { base.unpersist(); () })
   }
 
   /** Exact character-n-gram Jaccard similarity for all in-block pairs,

@@ -91,10 +91,16 @@ object TextAnalysisOps {
   /** Polynomial rolling-hash fingerprint of the document text:
     * fold over character codes, h = (h*31 + code) mod 1e9+7.
     * Exact integer arithmetic → identical in any engine.
+    *
+    * Chars come from `split(text, '')` (one O(n) pass): the earlier
+    * `sequence(1,n) → substr(i,1)` shape was O(n²) — substr on
+    * UTF8String scans from the start per call — and cost 3.4 s at
+    * sf0.1 vs ~1 s for this form. Java's zero-width split never
+    * separates surrogate pairs, so code-point semantics match substr.
     */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long")),
+      transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
       (h, c) => (h * 31 + c) % 1000000007L)
 
