@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+
+/** Custom typed aggregates — the UDAF surface (SURVEY §2d "UDF
+  * surface"). pg's `string_agg(x, sep ORDER BY y)` guarantees element
+  * order; Spark's collect_list does not, so exact pg semantics need a
+  * typed Aggregator (SURVEY §7 "custom Catalyst work" table).
+  *
+  * Scale note: the buffer collects (sortKey, value) pairs per group —
+  * fine for the bounded groups string_agg is used on (catalog strings,
+  * per-key labels). Map-side partial aggregation still applies: the
+  * reduce/merge path is associative and the sort happens once at
+  * finish.
+  */
+object PgAggregates {
+
+  /** string_agg(value, sortKey): values joined by `sep` in ascending
+    * sortKey order (NULL values skipped like pg; ties keep merge
+    * order, made deterministic by sorting on (sortKey, value)).
+    */
+  final class OrderedStringAgg(sep: String)
+      extends Aggregator[(String, String), List[(String, String)], String] {
+    override def zero: List[(String, String)] = Nil
+    override def reduce(b: List[(String, String)], a: (String, String)): List[(String, String)] =
+      if (a._1 == null) b else (a._2, a._1) :: b // store (sortKey, value)
+    override def merge(b1: List[(String, String)], b2: List[(String, String)]): List[(String, String)] =
+      b1 ::: b2
+    override def finish(r: List[(String, String)]): String =
+      if (r.isEmpty) null
+      else r.sortBy(p => (Option(p._1).getOrElse(""), p._2)).map(_._2).mkString(sep)
+    override def bufferEncoder: Encoder[List[(String, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Register the pack into a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("ordered_string_agg",
+      functions.udaf(new OrderedStringAgg(","), Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+  }
+}

@@ -150,6 +150,8 @@ object Handlers {
     }
     val name =
       if (rest.length >= 2 && rest(0).isWord("TIME") && rest(1).isWord("ZONE")) "timezone"
+      else if (rest.length >= 2 && rest(0).isWord("TRANSACTION") && rest(1).isWord("ISOLATION"))
+        "transaction_isolation"
       else rest.head.text.toLowerCase
     val value = showValue(session, name).getOrElse(
       throw PgException("42704", s"""unrecognized configuration parameter "$name""""))

@@ -104,6 +104,7 @@ object PgCatalog {
   private val pgClassSchema = StructType(Seq(
     StructField("oid", IntegerType), StructField("relname", StringType),
     StructField("relnamespace", IntegerType), StructField("reltype", IntegerType),
+    StructField("reloftype", IntegerType),
     StructField("relowner", IntegerType), StructField("relam", IntegerType),
     StructField("relfilenode", IntegerType), StructField("reltablespace", IntegerType),
     StructField("relpages", IntegerType), StructField("reltuples", FloatType),
@@ -121,7 +122,7 @@ object PgCatalog {
 
   private def pgClass(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
     mkDf(spark, pgClassSchema, tables.map { case (name, schema) =>
-      Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 10, 2, 0, 0,
+      Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10, 2, 0, 0,
         0, -1.0f, 0, 0, false, false, "p", "r", schema.fields.length.toShort,
         0.toShort, false, false, false, false, false, true, "d", false, 0, 0, 0,
         null, null, null)
@@ -163,7 +164,8 @@ object PgCatalog {
     StructField("typdelim", StringType), StructField("typrelid", IntegerType),
     StructField("typelem", IntegerType), StructField("typarray", IntegerType),
     StructField("typbasetype", IntegerType), StructField("typtypmod", IntegerType),
-    StructField("typcollation", IntegerType), StructField("typnotnull", BooleanType)))
+    StructField("typcollation", IntegerType), StructField("typnotnull", BooleanType),
+    StructField("typinput", StringType)))
 
   /** (oid, name, len, category, elem, array) — fixed pg catalog values. */
   private val typeRows: Seq[(Int, String, Int, String, Int, Int)] = Seq(
@@ -193,7 +195,8 @@ object PgCatalog {
   private def pgTypeDf(spark: SparkSession): DataFrame =
     mkDf(spark, pgTypeSchema, typeRows.map { case (oid, name, len, cat, elem, arr) =>
       Row(oid, name, Oids.PgCatalogNamespace, 10, len.toShort, len > 0 && len <= 8,
-        "b", cat, false, true, ",", 0, elem, arr, 0, -1, 0, false)
+        "b", cat, false, true, ",", 0, elem, arr, 0, -1, 0, false,
+        (if (name.startsWith("_")) "array_in" else name + "in"))
     })
 
   // ---- user-facing views -------------------------------------------------
@@ -385,6 +388,15 @@ object PgCatalog {
       StructField("locktype", StringType), StructField("database", IntegerType),
       StructField("relation", IntegerType), StructField("pid", IntegerType),
       StructField("mode", StringType), StructField("granted", BooleanType))))
+    emptyView(spark, "pg_enum", StructType(Seq(
+      StructField("oid", IntegerType), StructField("enumtypid", IntegerType),
+      StructField("enumsortorder", FloatType), StructField("enumlabel", StringType))))
+    emptyView(spark, "pg_policy", StructType(Seq(
+      StructField("oid", IntegerType), StructField("polname", StringType),
+      StructField("polrelid", IntegerType), StructField("polcmd", StringType),
+      StructField("polpermissive", BooleanType),
+      StructField("polroles", ArrayType(IntegerType)),
+      StructField("polqual", StringType), StructField("polwithcheck", StringType))))
   }
 
   /** Recompute the dynamic tables from the live catalog (the reference

@@ -291,9 +291,24 @@ final class PgServer(
     val name = readCStr(in)
     val sql = readCStr(in)
     val n = in.readShort()
-    val oids = (0 until n).map(_ => in.readInt())
+    val clientOids = (0 until n).map(_ => in.readInt())
+    // merge client-declared types with $N::type cast inference
+    // (reference: planner.rs:9-66 — explicit Cast(Placeholder) types
+    // override, client hints win over inference)
+    val nParams = math.max(n.toInt, maxParamIndex(sql))
+    val inferred = Compat.inferParamOids(sql, nParams)
+    val oids = (0 until nParams).map { i =>
+      val client = if (i < clientOids.length) clientOids(i) else 0
+      if (client != 0) client else inferred(i)
+    }
     session.prepared(name) = session.Prepared(sql, oids, None)
   }
+
+  private def maxParamIndex(sql: String): Int =
+    Compat.tokenize(sql).collect {
+      case t if t.kind == Compat.Word && t.text.matches("\\$\\d+") =>
+        t.text.substring(1).toInt
+    }.maxOption.getOrElse(0)
 
   private def handleBind(session: Session, msg: Messages.Msg): Unit = {
     val in = msg.in

@@ -21,6 +21,18 @@ object PgCompat {
 
   def queries: Seq[QueryDef] = Seq(
 
+    // typed Aggregator UDAF surface (SURVEY §2d "UDF surface"): pg
+    // string_agg ORDER BY semantics that collect_list cannot guarantee
+    Q.df("q32_ordered_string_agg",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      graft.functions.PgAggregates.registerAll(s)
+      s.sql(
+        """SELECT n_regionkey, ordered_string_agg(n_name, n_name) AS names
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
     Q.df("q70_system_udfs",
       """SELECT '"select"' AS qi_reserved, 'abc' AS qi_plain, '"Abc"' AS qi_mixed,
         |  '"a b"' AS qi_space, ['a','b'] AS pi, 'character varying(32)' AS ft_varchar,

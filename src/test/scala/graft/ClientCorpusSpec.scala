@@ -1,0 +1,216 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import graft.pgwire.{Handlers, PgCatalog, PgFunctions, Session}
+
+/** Client-tool regression corpus — real startup/introspection SQL
+  * captured from psql \d, DBeaver, Metabase, Grafana and pgcli,
+  * replayed through the full compat + handler path; asserts no error,
+  * mirroring the reference's signature test strategy
+  * (datafusion-postgres/tests/{psql,dbeaver,metabase,grafana}.rs).
+  */
+class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    import spark.implicits._
+    (0 until 5).map(i => (i, s"v$i")).toDF("id", "v").createOrReplaceTempView("tt")
+    PgCatalog.registerAll(spark)
+    PgFunctions.registerAll(spark)
+  }
+
+  private def run(sql: String): Unit = {
+    val session = new Session(1, "postgres", "postgres")
+    val result = Handlers.execute(spark, session, sql)
+    result match {
+      case graft.pgwire.RowSet(_, rows, _) => rows.size // drain
+      case _ =>
+    }
+  }
+
+  private val psqlQueries = Seq(
+    // \d pattern lookup: OPERATOR() regex + COLLATE + visibility UDF
+    """SELECT c.oid,
+      |  n.nspname,
+      |  c.relname
+      |FROM pg_catalog.pg_class c
+      |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+      |WHERE c.relname OPERATOR(pg_catalog.~) '^(tt)$' COLLATE pg_catalog.default
+      |  AND pg_catalog.pg_table_is_visible(c.oid)
+      |ORDER BY 2, 3""".stripMargin,
+    // \d table header: reloftype::regtype::text chain + pg_am join
+    """SELECT c.relchecks, c.relkind, c.relhasindex, c.relhasrules, c.relhastriggers,
+      |  c.relrowsecurity, c.relforcerowsecurity, false AS relhasoids, c.relispartition,
+      |  '', c.reltablespace,
+      |  CASE WHEN c.reloftype = 0 THEN '' ELSE c.reloftype::pg_catalog.regtype::pg_catalog.text END,
+      |  c.relpersistence, c.relreplident, am.amname
+      |FROM pg_catalog.pg_class c
+      | LEFT JOIN pg_catalog.pg_class tc ON (c.reltoastrelid = tc.oid)
+      |LEFT JOIN pg_catalog.pg_am am ON (c.relam = am.oid)
+      |WHERE c.oid = '16384'""".stripMargin,
+    // \d columns: format_type + correlated pg_attrdef/pg_collation subqueries
+    """SELECT a.attname,
+      |  pg_catalog.format_type(a.atttypid, a.atttypmod),
+      |  (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid, true)
+      |   FROM pg_catalog.pg_attrdef d
+      |   WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum AND a.atthasdef),
+      |  a.attnotnull,
+      |  (SELECT c.collname FROM pg_catalog.pg_collation c, pg_catalog.pg_type t
+      |   WHERE c.oid = a.attcollation AND t.oid = a.atttypid AND a.attcollation <> t.typcollation) AS attcollation,
+      |  a.attidentity,
+      |  a.attgenerated
+      |FROM pg_catalog.pg_attribute a
+      |WHERE a.attrelid = '16384' AND a.attnum > 0 AND NOT a.attisdropped
+      |ORDER BY a.attnum""".stripMargin,
+    // \d policies / ext-stats / publications (blacklisted, canned empty)
+    "SELECT pol.polname, pol.polpermissive FROM pg_catalog.pg_policy pol WHERE pol.polrelid = '16384' ORDER BY 1",
+    "SELECT oid, stxrelid::pg_catalog.regclass FROM pg_catalog.pg_statistic_ext WHERE stxrelid = '16384'",
+    "SELECT pubname , NULL , NULL FROM pg_catalog.pg_publication p WHERE TRUE")
+
+  private val dbeaverQueries = Seq(
+    "SET extra_float_digits = 3",
+    "SET application_name = 'PostgreSQL JDBC Driver'",
+    "SELECT current_schema(),session_user",
+    """SELECT n.oid,n.*,d.description FROM pg_catalog.pg_namespace n
+      |LEFT OUTER JOIN pg_catalog.pg_description d ON d.objoid=n.oid
+      |  AND d.objsubid=0 AND d.classoid='pg_namespace'::regclass
+      |ORDER BY nspname""".stripMargin,
+    """SELECT n.nspname = ANY(current_schemas(true)), n.nspname, t.typname
+      |FROM pg_catalog.pg_type t JOIN pg_catalog.pg_namespace n ON t.typnamespace = n.oid
+      |WHERE t.oid = 1034""".stripMargin,
+    "SELECT typinput='pg_catalog.array_in'::regproc as is_array, typtype, typname, pg_type.oid FROM pg_catalog.pg_type WHERE pg_type.oid = 1034",
+    "SHOW search_path",
+    "SELECT db.oid,db.* FROM pg_catalog.pg_database db WHERE datname='postgres'",
+    "SELECT * FROM pg_catalog.pg_settings where name='standard_conforming_strings'",
+    """SELECT string_agg(word, ',' ) from pg_catalog.pg_get_keywords()
+      |where word <> ALL ('{select,from,where,order,group,by,limit}'::text[])""".stripMargin,
+    "SELECT version()",
+    "SELECT * FROM pg_catalog.pg_enum WHERE 1<>1 LIMIT 1",
+    "SELECT reltype FROM pg_catalog.pg_class WHERE 1<>1 LIMIT 1",
+    """SELECT t.oid,t.*,c.relkind,
+      |  format_type(nullif(t.typbasetype, 0), t.typtypmod) as base_type_name, d.description
+      |FROM pg_catalog.pg_type t
+      |LEFT OUTER JOIN pg_catalog.pg_type et ON et.oid=t.typelem
+      |LEFT OUTER JOIN pg_catalog.pg_class c ON c.oid=t.typrelid
+      |LEFT OUTER JOIN pg_catalog.pg_description d ON t.oid=d.objoid
+      |WHERE t.typname IS NOT NULL AND (c.relkind IS NULL OR c.relkind = 'c')
+      |  AND (et.typcategory IS NULL OR et.typcategory <> 'C')""".stripMargin,
+    """SELECT c.oid,c.*,d.description,
+      |  pg_catalog.pg_get_expr(c.relpartbound, c.oid) as partition_expr,
+      |  pg_catalog.pg_get_partkeydef(c.oid) as partition_key
+      |FROM pg_catalog.pg_class c
+      |LEFT OUTER JOIN pg_catalog.pg_description d ON d.objoid=c.oid
+      |  AND d.objsubid=0 AND d.classoid='pg_class'::regclass
+      |WHERE c.relnamespace=11 AND c.relkind not in ('i','I','c')""".stripMargin,
+    """select c.oid,pg_catalog.pg_total_relation_size(c.oid) as total_rel_size,
+      |  pg_catalog.pg_relation_size(c.oid) as rel_size
+      | FROM pg_class c
+      | WHERE c.relnamespace='public'""".stripMargin,
+    """SELECT i.*,i.indkey as keys,c.relname,c.relnamespace,c.relam,c.reltablespace,
+      |  tc.relname as tabrelname,dsc.description,
+      |  pg_catalog.pg_get_expr(i.indpred, i.indrelid) as pred_expr,
+      |  pg_catalog.pg_get_expr(i.indexprs, i.indrelid, true) as expr,
+      |  pg_catalog.pg_relation_size(i.indexrelid) as index_rel_size,
+      |  pg_catalog.pg_stat_get_numscans(i.indexrelid) as index_num_scans
+      |FROM pg_catalog.pg_index i
+      |INNER JOIN pg_catalog.pg_class c ON c.oid=i.indexrelid
+      |INNER JOIN pg_catalog.pg_class tc ON tc.oid=i.indrelid
+      |LEFT OUTER JOIN pg_catalog.pg_description dsc ON i.indexrelid=dsc.objoid
+      |WHERE  i.indrelid=1 ORDER BY tabrelname, c.relname""".stripMargin,
+    """SELECT c.oid,c.*,t.relname as tabrelname,rt.relnamespace as refnamespace,d.description,
+      |  case when c.contype='c' then "substring"(pg_get_constraintdef(c.oid), 7) else null end consrc_copy
+      |FROM pg_catalog.pg_constraint c
+      |INNER JOIN pg_catalog.pg_class t ON t.oid=c.conrelid
+      |LEFT OUTER JOIN pg_catalog.pg_class rt ON rt.oid=c.confrelid
+      |LEFT OUTER JOIN pg_catalog.pg_description d ON d.objoid=c.oid
+      |  AND d.objsubid=0 AND d.classoid='pg_constraint'::regclass
+      |WHERE c.conrelid=1
+      |ORDER BY c.oid""".stripMargin)
+
+  private val metabaseQueries = Seq(
+    "SET extra_float_digits = 2",
+    "SHOW TRANSACTION ISOLATION LEVEL",
+    "SET SESSION CHARACTERISTICS AS TRANSACTION ISOLATION LEVEL READ UNCOMMITTED",
+    """SELECT nspname AS "TABLE_SCHEM", current_database() AS "TABLE_CATALOG"
+      |FROM pg_catalog.pg_namespace
+      |WHERE nspname <> 'pg_toast'
+      |  AND (nspname !~ '^pg_temp_'  OR nspname = (pg_catalog.current_schemas(true))[1])
+      |  AND (nspname !~ '^pg_toast_temp_'  OR nspname = replace((pg_catalog.current_schemas(true))[1], 'pg_temp_', 'pg_toast_temp_'))
+      |ORDER BY "TABLE_SCHEM"""".stripMargin,
+    """with table_privileges as (
+      | select
+      |   NULL as role,
+      |   t.schemaname as schema,
+      |   t.objectname as table,
+      |   pg_catalog.has_any_column_privilege(current_user, '"' || replace(t.schemaname, '"', '""') || '"' || '.' || '"' || replace(t.objectname, '"', '""') || '"',  'update') as update,
+      |   pg_catalog.has_any_column_privilege(current_user, '"' || replace(t.schemaname, '"', '""') || '"' || '.' || '"' || replace(t.objectname, '"', '""') || '"',  'select') as select,
+      |   pg_catalog.has_any_column_privilege(current_user, '"' || replace(t.schemaname, '"', '""') || '"' || '.' || '"' || replace(t.objectname, '"', '""') || '"',  'insert') as insert,
+      |   pg_catalog.has_table_privilege(     current_user, '"' || replace(t.schemaname, '"', '""') || '"' || '.' || '"' || replace(t.objectname, '"', '""') || '"',  'delete') as delete
+      | from (
+      |   select schemaname, tablename as objectname from pg_catalog.pg_tables
+      |   union
+      |   select schemaname, viewname as objectname from pg_catalog.pg_views
+      |   union
+      |   select schemaname, matviewname as objectname from pg_catalog.pg_matviews
+      | ) t
+      | where t.schemaname !~ '^pg_'
+      |   and t.schemaname <> 'information_schema'
+      |   and pg_catalog.has_schema_privilege(current_user, t.schemaname, 'usage')
+      |)
+      |select t.*
+      |from table_privileges t""".stripMargin,
+    """SELECT "n"."nspname" AS "schema", "c"."relname" AS "name",
+      |  CASE "c"."relkind" WHEN 'r' THEN 'TABLE' WHEN 'p' THEN 'PARTITIONED TABLE'
+      |    WHEN 'v' THEN 'VIEW' WHEN 'f' THEN 'FOREIGN TABLE' WHEN 'm' THEN 'MATERIALIZED VIEW'
+      |    ELSE NULL END AS "type",
+      |  "d"."description" AS "description", "stat"."n_live_tup" AS "estimated_row_count"
+      |FROM "pg_catalog"."pg_class" AS "c"
+      |INNER JOIN "pg_catalog"."pg_namespace" AS "n" ON "c"."relnamespace" = "n"."oid"
+      |LEFT JOIN "pg_catalog"."pg_description" AS "d" ON ("c"."oid" = "d"."objoid")
+      |  AND ("d"."objsubid" = '0') AND ("d"."classoid" = 'pg_class'::regclass)
+      |LEFT JOIN "pg_stat_user_tables" AS "stat" ON ("n"."nspname" = "stat"."schemaname")
+      |  AND ("c"."relname" = "stat"."relname")
+      |WHERE ("c"."relnamespace" = "n"."oid") AND ("n"."nspname" !~ '^pg_')
+      |  AND ("n"."nspname" <> 'information_schema')
+      |  AND c.relkind in ('r', 'p', 'v', 'f', 'm') AND ("n"."nspname" IN ('public'))
+      |ORDER BY "type" ASC, "schema" ASC, "name" ASC""".stripMargin,
+    "show timezone")
+
+  private val grafanaQueries = Seq(
+    "SELECT current_setting('search_path')",
+    // table + column discovery (search_path lateral expansion — served
+    // via the blacklist like the reference's partial entry)
+    """SELECT
+      |  CASE WHEN
+      |      quote_ident(table_schema) IN (SELECT 'public')
+      |  THEN quote_ident(table_name)
+      |  ELSE quote_ident(table_schema) || '.' || quote_ident(table_name)
+      |END AS "table"
+      |FROM information_schema.tables
+      |WHERE quote_ident(table_schema) NOT IN ('information_schema', 'pg_catalog')
+      |ORDER BY CASE WHEN quote_ident(table_schema) IN (SELECT 'public') THEN 0 ELSE 1 END, 1""".stripMargin,
+    """SELECT quote_ident(column_name) AS "column", data_type AS "type"
+      |FROM information_schema.columns
+      |WHERE quote_ident(table_name) = 'public.games'""".stripMargin)
+
+  private val pgcliQueries = Seq(
+    """SELECT s_p.nspname AS parentschema, t_p.relname AS parenttable
+      |FROM pg_catalog.pg_constraint fk""".stripMargin)
+
+  test("psql \\d corpus runs clean") { psqlQueries.foreach(run) }
+  test("dbeaver startup corpus runs clean") { dbeaverQueries.foreach(run) }
+  test("metabase startup corpus runs clean") { metabaseQueries.foreach(run) }
+  test("grafana corpus runs clean") { grafanaQueries.foreach(run) }
+  test("pgcli corpus runs clean") { pgcliQueries.foreach(run) }
+
+  test("blacklisted grafana table query serves the public table list") {
+    import graft.pgwire.RowSet
+    val session = new Session(2, "postgres", "postgres")
+    Handlers.execute(spark, session, grafanaQueries(1)) match {
+      case RowSet(schema, rows, _) =>
+        assert(schema.fields.map(_.name).toSeq === Seq("table"))
+        assert(rows.toSeq.map(_.getString(0)).contains("tt"))
+      case other => fail(s"expected RowSet, got $other")
+    }
+  }
+}

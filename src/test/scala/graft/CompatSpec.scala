@@ -116,6 +116,36 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.splitStatements("  ;;  ") === Seq.empty)
   }
 
+  test("multi-arity UDF calls are padded to the registered arity") {
+    assert(Compat.rewrite("SELECT pg_get_expr(adbin, adrelid)") ===
+      "SELECT pg_get_expr(adbin, adrelid, false)")
+    assert(Compat.rewrite("SELECT pg_get_expr(adbin, adrelid, true)") ===
+      "SELECT pg_get_expr(adbin, adrelid, true)")
+    assert(Compat.rewrite("SELECT has_table_privilege('t', 'SELECT')") ===
+      "SELECT has_table_privilege('postgres', 't', 'SELECT')")
+    assert(Compat.rewrite("SELECT pg_get_constraintdef(oid)") ===
+      "SELECT pg_get_constraintdef(oid, false)")
+  }
+
+  test("parameter OIDs are inferred from $N::type casts") {
+    assert(Compat.inferParamOids("SELECT $1::int8 + $2::int4 WHERE x = $3", 3) ===
+      Seq(20, 23, 0))
+    assert(Compat.inferParamOids("SELECT $1::text", 1) === Seq(25))
+  }
+
+  test("quoted function names unquote; quoted identifiers become backticks") {
+    assert(Compat.rewrite("""SELECT "substring"(x, 7) FROM t""") ===
+      "SELECT substring(x, 7) FROM t")
+    assert(Compat.rewrite("""SELECT "c"."relname" AS "name" FROM "pg_catalog"."pg_class" AS "c"""") ===
+      "SELECT `c`.`relname` AS `name` FROM `pg_class` AS `c`")
+  }
+
+  test("'pg_class'::regclass uses the fixed catalog OID, not a subquery") {
+    assert(Compat.rewrite("SELECT 'pg_class'::regclass") === "SELECT CAST(1259 AS INT)")
+    // user tables still go through the live catalog lookup
+    assert(Compat.rewrite("SELECT 'lineitem'::regclass").contains("FROM pg_class WHERE relname"))
+  }
+
   test("blacklisted client queries get canned replacements") {
     val pgcli = "SELECT s_p.nspname AS parentschema, t_p.relname AS parenttable FROM pg_catalog.pg_constraint fk"
     assert(Compat.applyBlacklist(pgcli).isDefined)

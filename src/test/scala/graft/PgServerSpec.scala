@@ -411,6 +411,19 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("extended protocol: param type inferred from $1::type when client sends none") {
+    val c = connect()
+    c.parse("s5", "SELECT $1::int8 * 2 AS v") // no OIDs declared
+    c.describe('S', "s5")
+    c.bind("p5", "s5", Seq(Some("21")))
+    c.execute("p5")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.paramOids === Seq(20)) // inferred int8
+    assert(r.rows === Seq(Seq(Some("42"))))
+    c.close()
+  }
+
   test("extended protocol: text param NULL binds as SQL NULL") {
     val c = connect()
     c.parse("s4", "SELECT $1::text IS NULL AS isnull", Seq(25))
