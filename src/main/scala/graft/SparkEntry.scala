@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Dedup.queries,
     graft.queries.Similarity.queries,
     graft.queries.TextAnalysis.queries,
-    graft.queries.Multimodal.queries
+    graft.queries.Multimodal.queries,
+    graft.queries.Streaming.queries
   ).flatten
   private def queries_pg: Seq[QueryDef] = graft.queries.PgCompat.queries
 

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the event/document pipelines
+  * (SURVEY §0: no counterpart in the reference — this is the
+  * LLM-pipeline extension's streaming path; the reference's closest
+  * construct is the forward-only cursor).
+  *
+  * Every transform is expressed on the unified Dataset API, so the
+  * SAME function runs in batch (watermarks are eliminated by Catalyst
+  * on non-streaming plans — used by the DuckDB-oracle queries) and in
+  * `readStream` mode (used by StreamingSpec through MemoryStream).
+  *
+  * Scale notes (100 TB/day streams):
+  *  - all aggregations are keyed by (window, type) or user_id, so
+  *    state is hash-partitioned across executors and bounded by the
+  *    watermark horizon — no unbounded state;
+  *  - dedup state holds only the content digest within the watermark,
+  *    never the document body;
+  *  - sessionization state is one fixed-width struct per active user.
+  */
+object StreamOps {
+
+  /** Hourly windowed event metrics with a late-data watermark:
+    * the streaming analogue of the q20 hourly rollup. In append mode a
+    * window finalizes (emits) once the watermark passes its end.
+    */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,10)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup: keep the first document per content digest
+    * within the watermark horizon. State stores only (digest) — the
+    * bounded-state streaming analogue of DedupOps.dedupKeepFirst.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  // ---- gap-based sessionization (flatMapGroupsWithState) ---------------
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Per-user session assembly with an inactivity gap: a session
+    * closes when no event arrives for `gapMs` of EVENT time (enforced
+    * via event-time timeout against the watermark). Custom state via
+    * flatMapGroupsWithState — the KeyValueGroupedDataset path the
+    * builder brief calls out.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the gap deadline: close the session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val events = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) => // gap exceeded within the batch
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last-event + gap
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured Streaming semantics through MemoryStream: watermarked
+  * window finalization, within-watermark dedup, and gap sessionization
+  * via flatMapGroupsWithState event-time timeouts.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def startQuery(df: org.apache.spark.sql.DataFrame, table: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(table).outputMode("append").start()
+
+  test("hourlyEventCounts finalizes a window once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = startQuery(
+      StreamOps.hourlyEventCounts(input.toDF(), watermark = "30 minutes"),
+      "hourly_out")
+    try {
+      input.addData(
+        Event(1, ts(0), "view", 1.0),
+        Event(2, ts(10), "view", 2.0),
+        Event(3, ts(20), "click", 4.0))
+      q.processAllAvailable()
+      // nothing final yet: watermark has not passed the 10:00 window end
+      assert(spark.table("hourly_out").count() === 0)
+      // event 100 min later pushes the watermark past 11:00
+      input.addData(Event(4, ts(120), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("view", 2L, 3.0), ("click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streamingDedup keeps the first doc per digest within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = startQuery(StreamOps.streamingDedup(docs), "dedup_out")
+    try {
+      input.addData((1L, ts(0), "same text"), (2L, ts(1), "same text"),
+        (3L, ts(2), "other text"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+      assert(kept === Array(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = startQuery(
+      StreamOps.sessionize(input.toDS(), gapMs = 5 * 60 * 1000, watermark = "1 minute").toDF(),
+      "session_out")
+    try {
+      input.addData(
+        Event(7, ts(0), "view", 1.0),
+        Event(7, ts(2), "click", 2.0),
+        Event(7, ts(4), "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("session_out").count() === 0) // still open
+      // 30 minutes later: watermark passes last+gap, session times out
+      input.addData(Event(8, ts(30), "view", 0.5))
+      q.processAllAvailable()
+      val s = spark.table("session_out")
+        .select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(s.toSeq === Seq((7L, 3, 6.0)))
+    } finally q.stop()
+  }
+
+  test("the same hourly transform runs in batch mode (watermark eliminated)") {
+    val batch = Seq(
+      Event(1, ts(0), "view", 1.0), Event(2, ts(10), "view", 2.0)).toDF()
+    val out = StreamOps.hourlyEventCounts(batch)
+      .select("event_type", "n", "sum_value").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq(("view", 2L, 3.0)))
+  }
+}
