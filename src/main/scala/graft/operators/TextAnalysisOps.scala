@@ -31,13 +31,18 @@ object TextAnalysisOps {
     "en" -> Seq(" the ", " a ", " and ", " of "),
     "de" -> Seq(" der ", " die ", " und ", " das "),
     "es" -> Seq(" el ", " la ", " los ", " que "),
-    "fr" -> Seq(" le ", " la ", " les ", " des "),
-    "zh" -> Seq(" de ", " shi ", " zai ", " he "))
+    "fr" -> Seq(" le ", " la ", " les ", " des "))
 
-  def langScore(text: Column, lang: String): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    langMarkers(lang).map(countOccurrences(padded, _)).reduce(_ + _)
-  }
+  def langScore(text: Column, lang: String): Column =
+    if (lang == "zh")
+      // CJK ideograph count — space-delimited stopword markers are
+      // meaningless for unsegmented Chinese text (round-3 advice); any
+      // han character is a positive zh signal
+      length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("long")
+    else {
+      val padded = concat(lit(" "), text, lit(" "))
+      langMarkers(lang).map(countOccurrences(padded, _)).reduce(_ + _)
+    }
 
   /** Predicted language: argmax score, ties broken by lang name order
     * (greatest-score-first scan over a fixed lang order).

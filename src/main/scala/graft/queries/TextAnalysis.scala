@@ -14,7 +14,11 @@ object TextAnalysis {
     s"cast((length($e) - length(replace($e, '$pat', ''))) / ${pat.length} as bigint)"
 
   private def duckLangScore(lang: String): String =
-    TextAnalysisOps.langMarkers(lang)
+    if (lang == "zh")
+      // CJK ideograph count (matches TextAnalysisOps.langScore's
+      // [^一-鿿] negation; RE2 hex-escape syntax)
+      """cast(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) as bigint)"""
+    else TextAnalysisOps.langMarkers(lang)
       .map(m => occ("(' ' || text || ' ')", m)).mkString("(", " + ", ")")
 
   val queries: Seq[QueryDef] = Seq(

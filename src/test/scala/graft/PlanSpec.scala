@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: assert Catalyst actually produces the plan
+  * shapes the operators are designed around (predicate pushdown,
+  * column pruning, broadcast joins, top-k, map-side dedup) — the
+  * 100 TB-scale contract, checked at sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan text after executing the query. */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters are pushed into the parquet scan, columns pruned") {
+    val p = executedPlan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "expected parquet PushedFilters")
+    assert(p.contains("l_discount"), "pushed filter should mention l_discount")
+    // ReadSchema must NOT include untouched wide columns
+    assert(!p.contains("l_extendedprice"), "column pruning failed: l_extendedprice read")
+    assert(!p.contains("l_returnflag"), "column pruning failed: l_returnflag read")
+  }
+
+  test("q03: 6-way join broadcasts the small dimension sides") {
+    val p = executedPlan("q03_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("q15: ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
+    val p = executedPlan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should avoid a full sort")
+  }
+
+  test("q40: exact dedup shuffles digest+id only, with map-side partial agg") {
+    val p = executedPlan("q40_exact_dup_groups")
+    assert(p.contains("partial_min"),
+      "expected map-side partial min before the shuffle")
+    // no Exchange may partition by (or carry) the raw text column — the
+    // md5 projection must happen below the partial aggregate, map-side
+    val exchanges = p.linesIterator.filter(_.trim.matches(".*Exchange (hash|range).*")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("text#")),
+      s"document text crossed a shuffle: ${exchanges.mkString("; ")}")
+  }
+
+  test("q50: brute-force top-k broadcasts the single-row query vector") {
+    val p = executedPlan("q50_topk_bruteforce")
+    assert(p.contains("Broadcast"), "query-vector side should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "scored stream should take-ordered")
+  }
+
+  test("q01: aggregation has a map-side partial phase") {
+    val p = executedPlan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "expected partial aggregation before the group-by shuffle")
+  }
+}

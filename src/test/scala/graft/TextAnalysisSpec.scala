@@ -17,13 +17,15 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
       (2L, "der hund und die katze und das haus"),
-      (3L, "xyzzy plugh")
+      (3L, "xyzzy plugh"),
+      (4L, "你好世界这是一段真正的中文文本") // real (unsegmented) Chinese
     ).toDF("doc_id", "text")
     val m = TextAnalysisOps.langId(df, "doc_id", "text")
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
     assert(m(1L) === "en")
     assert(m(2L) === "de")
     assert(m(3L) === "und") // no markers -> undetermined
+    assert(m(4L) === "zh")  // CJK chars, no space-delimited markers
   }
 
   test("qualityScore computes exact counts and ratios") {
