@@ -28,6 +28,13 @@ object SimilarityOps {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 10000).cast("long"))
 
+  /** Coarser quantization for cosine work: floor(x*1000). Keeps every
+    * intermediate of the squared-cosine inequality (dot², 25·dot²,
+    * 16·|a|²·|b|²) inside exact int64 range for ~64-dim unit vectors.
+    */
+  def quantize1k(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
   /** Exact integer dot product of two quantized vectors. */
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
@@ -89,6 +96,33 @@ object SimilarityOps {
     * than maxBucket are dropped before pairing, same policy as the
     * DedupOps LSH joins.
     */
+  /** Embedding-cosine near-duplicate pairs within sign-LSH buckets:
+    * emits pairs with cosine(a,b) >= num/den (e.g. 4/5 = 0.8), decided
+    * ENTIRELY in exact integer arithmetic so any engine reproduces it:
+    *
+    *   cos >= n/d  ⟺  dot > 0  ∧  d²·dot² >= n²·|a|²·|b|²
+    *
+    * over floor(x*1000)-quantized components. Same bucket-join shape
+    * (never all-pairs) and skew cap as [[bucketedPairs]].
+    */
+  def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+      bits: Int, cosNum: Int, cosDen: Int, maxBucket: Int = 10000): DataFrame = {
+    val b0 = embs.select(col(idCol).as("id"), quantize1k(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val b = DedupOps.capBuckets(b0, Seq("bucket"), maxBucket)
+    val dot = qdot(col("a.qv"), col("b.qv"))
+    val na2 = qdot(col("a.qv"), col("a.qv"))
+    val nb2 = qdot(col("b.qv"), col("b.qv"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        dot.as("dot"), na2.as("na2"), nb2.as("nb2"))
+      .filter(col("dot") > 0 &&
+        lit(cosDen.toLong * cosDen) * col("dot") * col("dot") >=
+          lit(cosNum.toLong * cosNum) * col("na2") * col("nb2"))
+      .select(col("vec_a"), col("vec_b"), col("dot"))
+  }
+
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
     val b0 = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),

@@ -75,6 +75,39 @@ object Similarity {
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
         bits = 6, minDot = 20000000L)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // --- embedding-cosine near-dup pairs (cos >= 0.3), decided in
+    // exact integer arithmetic: 100·dot² >= 9·|a|²·|b|² over
+    // floor(x*1000)-quantized vectors
+    Q.df("q53_cosine_pairs", {
+      val q1k = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))"
+      s"""WITH b AS (
+         |  SELECT vec_id AS id, $q1k AS qv,
+         |    cast((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+         |         (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+         |         (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+         |         (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+         |         (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) as bigint) AS bucket
+         |  FROM embeddings),
+         |capped AS (
+         |  SELECT * FROM b
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000),
+         |p AS (
+         |  SELECT a.id AS vec_a, b.id AS vec_b,
+         |    cast(list_dot_product(a.qv, b.qv) as bigint) AS dot,
+         |    cast(list_dot_product(a.qv, a.qv) as bigint) AS na2,
+         |    cast(list_dot_product(b.qv, b.qv) as bigint) AS nb2
+         |  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id)
+         |SELECT vec_a, vec_b, dot FROM p
+         |WHERE dot > 0 AND 100 * dot * dot >= 9 * na2 * nb2
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, dir) =>
+      SimilarityOps.cosinePairs(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        bits = 6, cosNum = 3, cosDen = 10)
+        .orderBy("vec_a", "vec_b")
     }
   )
 }

@@ -54,6 +54,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 1L))) // 2 and 3 sit in singleton buckets
   }
 
+  test("cosinePairs keeps high-cosine pairs and rejects low-cosine ones") {
+    // v1 ∥ v2 (cos=1), v3 nearly orthogonal to both but same sign bucket
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f, 0.01f, 0.01f)),
+      (2L, Array(0.25f, 0.25f, 0.005f, 0.005f)),
+      (3L, Array(0.01f, 0.01f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.cosinePairs(vecs, "vec_id", "embedding",
+      bits = 4, cosNum = 4, cosDen = 5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("bucketedPairs drops over-cap buckets (ReLU-style skew guard)") {
     // 50 identical all-positive vectors collapse into one sign bucket;
     // with maxBucket=10 the bucket is dropped — zero pairs, not 50*49/2.
