@@ -364,7 +364,9 @@ object Handlers {
     */
   def runSql(spark: SparkSession, sql: String): DataFrame = {
     val rewritten = Compat.rewrite(sql)
-    if (rewritten.toLowerCase.contains("pg_")) PgCatalog.refresh(spark)
+    val lower = rewritten.toLowerCase
+    if (lower.contains("pg_") || lower.contains("information_schema"))
+      PgCatalog.refresh(spark)
     spark.sql(rewritten)
   }
 

@@ -76,6 +76,7 @@ object PgCatalog {
       .map(_.name)
       .filterNot(catalogViewNames.contains)
       .filterNot(_.startsWith("pg_"))
+      .filterNot(_.startsWith("information_schema"))
       .distinct.sorted.toSeq
 
   // ---- dynamic core ------------------------------------------------------
@@ -399,6 +400,34 @@ object PgCatalog {
       StructField("polqual", StringType), StructField("polwithcheck", StringType))))
   }
 
+  // ---- information_schema (ANSI view of the same snapshot; clients
+  // reach it via Compat's information_schema.X → information_schema_X
+  // qualifier fold) ------------------------------------------------------
+
+  private val infoTablesSchema = StructType(Seq(
+    StructField("table_catalog", StringType), StructField("table_schema", StringType),
+    StructField("table_name", StringType), StructField("table_type", StringType)))
+
+  private val infoColumnsSchema = StructType(Seq(
+    StructField("table_catalog", StringType), StructField("table_schema", StringType),
+    StructField("table_name", StringType), StructField("column_name", StringType),
+    StructField("ordinal_position", IntegerType), StructField("column_default", StringType),
+    StructField("is_nullable", StringType), StructField("data_type", StringType)))
+
+  private def infoTables(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
+    mkDf(spark, infoTablesSchema, tables.map { case (name, _) =>
+      Row("postgres", "public", name, "BASE TABLE")
+    })
+
+  private def infoColumns(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
+    mkDf(spark, infoColumnsSchema, tables.flatMap { case (name, schema) =>
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        Row("postgres", "public", name, f.name, i + 1, null,
+          if (f.nullable) "YES" else "NO",
+          PgFunctions.formatType(PgType.oidOf(f), -1))
+      }
+    })
+
   /** Recompute the dynamic tables from the live catalog (the reference
     * recomputes per scan, pg_class.rs:116-119; we recompute per query
     * that touches pg_catalog — see Handlers).
@@ -408,6 +437,8 @@ object PgCatalog {
     register(spark, "pg_class", pgClass(spark, tables))
     register(spark, "pg_attribute", pgAttribute(spark, tables))
     register(spark, "pg_tables", pgTables(spark, tables))
+    register(spark, "information_schema_tables", infoTables(spark, tables))
+    register(spark, "information_schema_columns", infoColumns(spark, tables))
   }
 
   /** Full registration: static + first dynamic snapshot. */

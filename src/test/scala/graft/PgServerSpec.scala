@@ -447,6 +447,21 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("information_schema.tables/columns resolve (JDBC introspection path)") {
+    val c = connect()
+    val t = c.query(
+      "SELECT table_name, table_type FROM information_schema.tables WHERE table_schema = 'public' ORDER BY table_name")
+    assert(t.errors.isEmpty, t.errors.toString)
+    assert(t.rows.exists(_(0) === Some("t7")))
+    val cols = c.query(
+      """SELECT column_name, data_type, ordinal_position FROM information_schema.columns
+        |WHERE table_name = 't7' ORDER BY ordinal_position""".stripMargin)
+    assert(cols.errors.isEmpty, cols.errors.toString)
+    assert(cols.rows.map(r => (r(0).get, r(1).get)) ===
+      Seq(("id", "integer"), ("name", "text")))
+    c.close()
+  }
+
   test("pg_get_keywords() UDTF-as-view works through the TVF rewrite") {
     val c = connect()
     val r = c.query("SELECT word FROM pg_get_keywords() WHERE catcode = 'R' ORDER BY word LIMIT 3")
