@@ -245,6 +245,16 @@ object DedupOps {
     df.join(small, keys, "left_semi")
   }
 
+  /** The buckets [[capBuckets]] would DROP, with their sizes — run this
+    * alongside a capped pipeline to report recall loss instead of
+    * silently losing hot content (a pipeline health metric: a sudden
+    * spike in dropped-bucket mass usually means boilerplate flooding).
+    */
+  def overCapBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** 64-bit SimHash of a text column — a single map-side expression
     * (array fold over token hashes), zero shuffle. Bit shifts by a
     * lambda-bound Column go through call_function (the Scala shims

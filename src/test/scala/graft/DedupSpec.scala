@@ -79,4 +79,16 @@ class DedupSpec extends SparkSpec {
     val n = DedupOps.minhashLshPairs(many, "doc_id", "text", maxBucket = 64).count()
     assert(n === 0L)
   }
+
+  test("overCapBuckets reports the dropped buckets and their sizes") {
+    val rows = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")
+    val dropped = DedupOps.overCapBuckets(rows, Seq("k"), maxBucket = 2).collect()
+    assert(dropped.length === 1)
+    assert(dropped.head.getString(0) === "a")
+    assert(dropped.head.getAs[Long]("bucket_n") === 3L)
+    // capBuckets keeps exactly the complement
+    val kept = DedupOps.capBuckets(rows, Seq("k"), maxBucket = 2)
+      .select("k").as[String].collect().toSet
+    assert(kept === Set("b"))
+  }
 }
