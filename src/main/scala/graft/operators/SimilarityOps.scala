@@ -107,16 +107,18 @@ object SimilarityOps {
     */
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, cosNum: Int, cosDen: Int, maxBucket: Int = 10000): DataFrame = {
+    // |v|² is computed ONCE per row in the pre-join projection — as a
+    // per-pair expression it would be re-evaluated for every candidate
+    // pair (~bucket²/2 times per vector)
     val b0 = embs.select(col(idCol).as("id"), quantize1k(col(vecCol)).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n2", qdot(col("qv"), col("qv")))
     val b = DedupOps.capBuckets(b0, Seq("bucket"), maxBucket)
     val dot = qdot(col("a.qv"), col("b.qv"))
-    val na2 = qdot(col("a.qv"), col("a.qv"))
-    val nb2 = qdot(col("b.qv"), col("b.qv"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        dot.as("dot"), na2.as("na2"), nb2.as("nb2"))
+        dot.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
       .filter(col("dot") > 0 &&
         lit(cosDen.toLong * cosDen) * col("dot") * col("dot") >=
           lit(cosNum.toLong * cosNum) * col("na2") * col("nb2"))
