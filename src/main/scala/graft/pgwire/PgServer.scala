@@ -279,7 +279,13 @@ final class PgServer(
           else if (cond.contains("UNRESOLVED_ROUTINE")) "42883"
           else "42601"
         (sqlState, Option(ae.getMessage).getOrElse("analysis error"))
-      case other => ("XX000", Option(other.getMessage).getOrElse(other.getClass.getName))
+      case other =>
+        val m = Option(other.getMessage).getOrElse(other.getClass.getName)
+        // job killed via cancelJobGroup (CancelRequest path) → pg's
+        // "query canceled" SQLSTATE rather than an internal error
+        if (m.toLowerCase.contains("cancelled") || m.toLowerCase.contains("canceled"))
+          ("57014", "canceling statement due to user request")
+        else ("XX000", m)
     }
     Messages.errorResponse(out, code, msg)
   }

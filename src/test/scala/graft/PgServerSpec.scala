@@ -47,7 +47,8 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
       emptyQuery: Boolean,
       suspended: Boolean,
       paramOids: Seq[Int],
-      noData: Boolean)
+      noData: Boolean,
+      backendKey: Option[(Int, Int)]) // (pid, secret) from BackendKeyData
 
   final class Client(port: Int) {
     private val sock = new Socket("127.0.0.1", port)
@@ -130,6 +131,7 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
       var suspended = false
       var paramOids = Seq.empty[Int]
       var noData = false
+      var backendKey: Option[(Int, Int)] = None
       while (true) {
         val (tpe, body) = read()
         val b = java.nio.ByteBuffer.wrap(body)
@@ -140,7 +142,7 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
         tpe match {
           case 'Z' =>
             return Reply(fields, rows.toSeq, binRows.toSeq, tags.toSeq, errors.toSeq,
-              params, body(0).toChar, empty, suspended, paramOids, noData)
+              params, body(0).toChar, empty, suspended, paramOids, noData, backendKey)
           case 'T' =>
             val n = b.getShort
             val fs = ArrayBuffer.empty[(String, Int)]
@@ -194,7 +196,8 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
             val n = b.getShort
             paramOids = (0 until n).map(_ => b.getInt)
           case 'n' => noData = true
-          case 'R' | 'K' | '1' | '2' | '3' | 'N' => // auth ok, key data, parse/bind/close complete, notice
+          case 'K' => backendKey = Some((b.getInt, b.getInt))
+          case 'R' | '1' | '2' | '3' | 'N' => // auth ok, parse/bind/close complete, notice
           case other => fail(s"unexpected message type $other")
         }
       }
@@ -431,6 +434,26 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.execute("p4")
     val r = c.sync()
     assert(r.rows === Seq(Seq(Some("t"))))
+    c.close()
+  }
+
+  test("CancelRequest from a second socket kills the running statement (57014)") {
+    val c = new Client(server.boundPort)
+    val (pid, secret) = c.startup().backendKey.getOrElse(fail("no BackendKeyData"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slow = Future(c.query(
+      "SELECT max(xxhash64(concat(cast(id AS string), 'x'))) FROM range(5000000000)"))
+    Thread.sleep(1500) // let the job start
+    // pg cancel: separate connection carrying the key
+    val cancelSock = new Socket("127.0.0.1", server.boundPort)
+    val co = new DataOutputStream(cancelSock.getOutputStream)
+    co.writeInt(16); co.writeInt(80877102); co.writeInt(pid); co.writeInt(secret)
+    co.flush(); cancelSock.close()
+    val r = Await.result(slow, 60.seconds)
+    assert(r.errors.headOption.map(_._1) === Some("57014"), r.errors.toString)
+    assert(c.query("SELECT 1").rows === Seq(Seq(Some("1")))) // conn survives
     c.close()
   }
 
