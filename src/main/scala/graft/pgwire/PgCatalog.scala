@@ -93,14 +93,16 @@ object PgCatalog {
   private val pgDatabaseSchema = StructType(Seq(
     StructField("oid", IntegerType), StructField("datname", StringType),
     StructField("datdba", IntegerType), StructField("encoding", IntegerType),
+    StructField("datlocprovider", StringType),
     StructField("datcollate", StringType), StructField("datctype", StringType),
+    StructField("daticulocale", StringType), StructField("daticurules", StringType),
     StructField("datistemplate", BooleanType), StructField("datallowconn", BooleanType),
     StructField("datconnlimit", IntegerType), StructField("dattablespace", IntegerType),
-    StructField("datacl", StringType)))
+    StructField("datacl", ArrayType(StringType))))
 
   private def pgDatabase(spark: SparkSession): DataFrame =
     mkDf(spark, pgDatabaseSchema, Seq(
-      Row(1, "postgres", 10, 6, "C", "C", false, true, -1, 1663, null)))
+      Row(1, "postgres", 10, 6, "c", "C", "C", null, null, false, true, -1, 1663, null)))
 
   private val pgClassSchema = StructType(Seq(
     StructField("oid", IntegerType), StructField("relname", StringType),
@@ -354,6 +356,7 @@ object PgCatalog {
       StructField("condeferrable", BooleanType), StructField("condeferred", BooleanType),
       StructField("convalidated", BooleanType), StructField("conrelid", IntegerType),
       StructField("contypid", IntegerType), StructField("conindid", IntegerType),
+      StructField("conparentid", IntegerType),
       StructField("confrelid", IntegerType), StructField("conkey", ArrayType(ShortType)),
       StructField("confkey", ArrayType(ShortType)), StructField("conbin", StringType))))
     emptyView(spark, "pg_proc", StructType(Seq(
@@ -366,7 +369,11 @@ object PgCatalog {
       StructField("adnum", ShortType), StructField("adbin", StringType))))
     emptyView(spark, "pg_inherits", StructType(Seq(
       StructField("inhrelid", IntegerType), StructField("inhparent", IntegerType),
-      StructField("inhseqno", IntegerType))))
+      StructField("inhseqno", IntegerType),
+      StructField("inhdetachpending", BooleanType))))
+    emptyView(spark, "pg_auth_members", StructType(Seq(
+      StructField("roleid", IntegerType), StructField("member", IntegerType),
+      StructField("grantor", IntegerType), StructField("admin_option", BooleanType))))
     emptyView(spark, "pg_policies", StructType(Seq(
       StructField("schemaname", StringType), StructField("tablename", StringType),
       StructField("policyname", StringType), StructField("permissive", StringType),

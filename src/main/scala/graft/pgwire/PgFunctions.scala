@@ -294,6 +294,12 @@ object PgFunctions {
       if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(1))
     u.register("pg_array_length", (arr: Seq[Any], dim: Int) =>
       if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(arr.length))
+    // pg string_to_array splits on a LITERAL delimiter (Spark's split
+    // takes a regex, so '.'-style delimiters would explode)
+    u.register("pg_string_to_array", (s: String, d: String) =>
+      if (s == null) null
+      else if (d == null || d.isEmpty) Array(s)
+      else s.split(java.util.regex.Pattern.quote(d), -1))
 
     // math pack (datafusion-pg-functions/src/numeric/)
     u.register("div", (y: java.math.BigDecimal, x: java.math.BigDecimal) =>

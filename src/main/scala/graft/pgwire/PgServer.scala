@@ -345,6 +345,16 @@ final class PgServer(
       session.Portal(prep, boundSql, resultFormats, None)
   }
 
+  /** Array parameter OIDs → Spark element type (reference supports 9
+    * array param types; arrow-pg/src/datatypes/df.rs).
+    */
+  private val arrayElemType: Map[Int, String] = Map(
+    PgType.BOOL_ARRAY -> "boolean", PgType.INT2_ARRAY -> "smallint",
+    PgType.INT4_ARRAY -> "int", PgType.INT8_ARRAY -> "bigint",
+    PgType.FLOAT4_ARRAY -> "float", PgType.FLOAT8_ARRAY -> "double",
+    PgType.TEXT_ARRAY -> "string", PgType.VARCHAR_ARRAY -> "string",
+    PgType.NUMERIC_ARRAY -> "decimal(38,18)")
+
   /** Decode one bind parameter into a SQL literal (reference param
     * coercion matrix: arrow-pg/src/datatypes/df.rs:282-880).
     */
@@ -367,6 +377,8 @@ final class PgServer(
           s"X'$hex'"
         case PgType.DATE => s"DATE '${s.replace("'", "''")}'"
         case PgType.TIMESTAMP | PgType.TIMESTAMPTZ => s"TIMESTAMP '${s.replace("'", "''")}'"
+        case oid if arrayElemType.contains(oid) =>
+          Compat.arrayLiteralSql(s, arrayElemType(oid))
         case _ => "'" + s.replace("'", "''") + "'"
       }
     } else {

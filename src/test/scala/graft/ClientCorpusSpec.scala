@@ -65,7 +65,42 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     // \d policies / ext-stats / publications (blacklisted, canned empty)
     "SELECT pol.polname, pol.polpermissive FROM pg_catalog.pg_policy pol WHERE pol.polrelid = '16384' ORDER BY 1",
     "SELECT oid, stxrelid::pg_catalog.regclass FROM pg_catalog.pg_statistic_ext WHERE stxrelid = '16384'",
-    "SELECT pubname , NULL , NULL FROM pg_catalog.pg_publication p WHERE TRUE")
+    "SELECT pubname , NULL , NULL FROM pg_catalog.pg_publication p WHERE TRUE",
+    // \l database listing (locale provider + acl array handling)
+    """SELECT
+      |  d.datname as "Name",
+      |  pg_catalog.pg_get_userbyid(d.datdba) as "Owner",
+      |  pg_catalog.pg_encoding_to_char(d.encoding) as "Encoding",
+      |  CASE d.datlocprovider WHEN 'b' THEN 'builtin' WHEN 'c' THEN 'libc' WHEN 'i' THEN 'icu' END AS "Locale Provider",
+      |  d.datcollate as "Collate",
+      |  d.datctype as "Ctype",
+      |  d.daticulocale as "Locale",
+      |  d.daticurules as "ICU Rules",
+      |  CASE WHEN pg_catalog.array_length(d.datacl, 1) = 0 THEN '(none)' ELSE pg_catalog.array_to_string(d.datacl, E'\n') END AS "Access privileges"
+      |FROM pg_catalog.pg_database d
+      |ORDER BY 1""".stripMargin,
+    // \d inheritance probes (column ::regclass casts dropped to int)
+    """SELECT c.oid::pg_catalog.regclass
+      |FROM pg_catalog.pg_class c, pg_catalog.pg_inherits i
+      |WHERE c.oid = i.inhparent AND i.inhrelid = '16384'
+      |  AND c.relkind != 'p' AND c.relkind != 'I'
+      |ORDER BY inhseqno""".stripMargin,
+    """SELECT c.oid::pg_catalog.regclass, c.relkind, inhdetachpending, pg_catalog.pg_get_expr(c.relpartbound, c.oid)
+      |FROM pg_catalog.pg_class c, pg_catalog.pg_inherits i
+      |WHERE c.oid = i.inhrelid AND i.inhparent = '16384'
+      |ORDER BY pg_catalog.pg_get_expr(c.relpartbound, c.oid) = 'DEFAULT', c.oid""".stripMargin,
+    // \d foreign keys on the table / referencing it
+    """SELECT true as sametable, conname,
+      |  pg_catalog.pg_get_constraintdef(r.oid, true) as condef,
+      |  conrelid::pg_catalog.regclass AS ontable
+      |FROM pg_catalog.pg_constraint r
+      |WHERE r.conrelid = '16384' AND r.contype = 'f' AND conparentid = 0
+      |ORDER BY conname""".stripMargin,
+    // partition-ancestors variant (blacklisted, canned empty)
+    """SELECT conname, conrelid::pg_catalog.regclass AS ontable,
+      |  pg_catalog.pg_get_constraintdef(oid, true) AS condef
+      |FROM pg_catalog.pg_constraint c
+      |WHERE contype = 'f' AND conparentid = 0 ORDER BY conname""".stripMargin)
 
   private val dbeaverQueries = Seq(
     "SET extra_float_digits = 3",

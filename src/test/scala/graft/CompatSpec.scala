@@ -146,6 +146,26 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.rewrite("SELECT 'lineitem'::regclass").contains("FROM pg_class WHERE relname"))
   }
 
+  test("pg 1-based array subscripts shift to Spark's 0-based") {
+    assert(Compat.rewrite("SELECT (pg_current_schemas(true))[1]") ===
+      "SELECT (pg_current_schemas(true))[0]")
+    assert(Compat.rewrite("SELECT arr[3] FROM t") === "SELECT arr[2] FROM t")
+    // non-literal subscripts untouched
+    assert(Compat.rewrite("SELECT arr[i] FROM t") === "SELECT arr[i] FROM t")
+  }
+
+  test("array_to_string / string_to_array map to Spark equivalents") {
+    assert(Compat.rewrite("SELECT array_to_string(a, ',') FROM t") ===
+      "SELECT array_join(a, ',') FROM t")
+    assert(Compat.rewrite("SELECT string_to_array(s, '.') FROM t") ===
+      "SELECT pg_string_to_array(s, '.') FROM t")
+  }
+
+  test("arrayLiteralSql builds a typed Spark array from pg text form") {
+    assert(Compat.arrayLiteralSql("{1,2,3}", "int") ===
+      "CAST(ARRAY('1','2','3') AS ARRAY<int>)")
+  }
+
   test("blacklisted client queries get canned replacements") {
     val pgcli = "SELECT s_p.nspname AS parentschema, t_p.relname AS parenttable FROM pg_catalog.pg_constraint fk"
     assert(Compat.applyBlacklist(pgcli).isDefined)

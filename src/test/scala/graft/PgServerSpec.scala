@@ -427,6 +427,17 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("extended protocol: int4[] array parameter binds from pg text form") {
+    val c = connect()
+    c.parse("s6", "SELECT array_contains($1, 2) AS has2, size($1) AS n", Seq(1007))
+    c.bind("p6", "s6", Seq(Some("{1,2,3}")))
+    c.execute("p6")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.rows === Seq(Seq(Some("t"), Some("3"))))
+    c.close()
+  }
+
   test("extended protocol: text param NULL binds as SQL NULL") {
     val c = connect()
     c.parse("s4", "SELECT $1::text IS NULL AS isnull", Seq(25))
