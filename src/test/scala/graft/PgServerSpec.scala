@@ -590,6 +590,24 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     } finally hooked.stop()
   }
 
+  test("concurrent connections interleave queries safely") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).map { cid =>
+      Future {
+        val c = connect()
+        try (1 to 8).map { i =>
+          val r = c.query(s"SELECT $cid * 100 + $i AS v, count(*) FROM t7 GROUP BY 1")
+          assert(r.errors.isEmpty, r.errors.toString)
+          r.rows.head.head.get.toInt
+        } finally c.close()
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    assert(results.flatten.toSet === (for (c <- 1 to 4; i <- 1 to 8) yield c * 100 + i).toSet)
+  }
+
   test("cleartext auth accepts the right password and rejects the wrong one") {
     // AuthManager-backed credential lookup (reference DfAuthSource)
     val am = new graft.pgwire.AuthManager
