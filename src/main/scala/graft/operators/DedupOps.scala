@@ -149,7 +149,7 @@ object DedupOps {
     * "mapPartitions when the expression layer can't go fast enough"
     * escape hatch.
     */
-  private def signatureRows(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def signatureRows(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -298,7 +298,7 @@ object DedupOps {
     * 64-counter interpreted expression fold dominated the operator's
     * runtime the same way the minhash pipeline did).
     */
-  private def simhashRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def simhashRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))

@@ -80,6 +80,28 @@ class DedupSpec extends SparkSpec {
     assert(n === 0L)
   }
 
+  test("typed minhash fast path is bit-identical to the expression pipeline") {
+    val exprSide = docs
+      .select($"doc_id",
+        DedupOps.wordShingles($"text", 3).as("shingles"))
+      .filter(size($"shingles") > 0)
+      .withColumn("sig", DedupOps.minhashSignature($"shingles", 16))
+      .select("doc_id", "shingles", "sig")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Long](2))).toSet
+    val typedSide = DedupOps.signatureRows(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Long](2))).toSet
+    assert(typedSide === exprSide)
+  }
+
+  test("typed simhash fast path is bit-identical to the expression fold") {
+    val exprSide = docs
+      .select($"doc_id", DedupOps.simhash64($"text").as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typedSide = DedupOps.simhashRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(typedSide === exprSide)
+  }
+
   test("overCapBuckets reports the dropped buckets and their sizes") {
     val rows = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")
     val dropped = DedupOps.overCapBuckets(rows, Seq("k"), maxBucket = 2).collect()
