@@ -86,7 +86,13 @@ object Handlers {
       case "CLOSE" => handleClose(session, toks)
       case "DEALLOCATE" => Complete("DEALLOCATE")
       case "DISCARD" =>
+        // pg DISCARD ALL: drop cursors/portals/statements AND reset
+        // session state to defaults
         session.cursors.clear(); session.portals.clear(); session.prepared.clear()
+        session.gucs.clear()
+        new Session(session.connId, session.user, session.database)
+          .gucs.foreach { case (k, v) => session.gucs(k) = v }
+        session.statementTimeoutMs = 0L
         Complete("DISCARD ALL")
       case _ => runQuery(spark, session, sql, head, second)
     }
@@ -158,6 +164,28 @@ object Handlers {
     val colName = if (name == "timezone") "TimeZone" else name
     RowSet(StructType(Seq(StructField(colName, StringType))),
       Iterator.single(Row(value)), _ => "SHOW")
+  }
+
+  /** Result schema of a SHOW statement without executing it — used by
+    * extended-protocol Describe so clients get a RowDescription instead
+    * of NoData followed by surprise DataRows.
+    */
+  def showSchema(session: Session, sql: String): Option[StructType] = {
+    val toks = Compat.tokenize(sql).filter(_.kind != Compat.Ws)
+    if (toks.isEmpty || !toks.head.isWord("SHOW")) return None
+    val rest = toks.drop(1)
+    if (rest.isEmpty) return None
+    if (rest.head.isWord("ALL"))
+      Some(StructType(Seq(StructField("name", StringType),
+        StructField("setting", StringType), StructField("description", StringType))))
+    else {
+      val name =
+        if (rest.length >= 2 && rest(0).isWord("TIME") && rest(1).isWord("ZONE")) "TimeZone"
+        else if (rest.length >= 2 && rest(0).isWord("TRANSACTION") && rest(1).isWord("ISOLATION"))
+          "transaction_isolation"
+        else rest.head.text.toLowerCase
+      Some(StructType(Seq(StructField(name, StringType))))
+    }
   }
 
   def showValue(session: Session, name: String): Option[String] = name match {

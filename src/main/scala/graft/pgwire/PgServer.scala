@@ -456,7 +456,8 @@ final class PgServer(
     } else {
       val portal = session.portals.getOrElse(name,
         throw PgException("34000", s"""portal "$name" does not exist"""))
-      schemaOf(portal.boundSql) match {
+      Handlers.showSchema(session, portal.boundSql)
+        .orElse(schemaOf(portal.boundSql)) match {
         case Some(schema) =>
           val fmts = portal.resultFormats
           Messages.rowDescription(out, PgType.rowDescription(schema,

@@ -590,6 +590,24 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     } finally hooked.stop()
   }
 
+  test("extended-protocol SHOW describes a RowDescription; DISCARD ALL resets session") {
+    val c = connect()
+    c.query("SET application_name = 'before_discard'")
+    c.query("SET statement_timeout = '7s'")
+    c.parse("sh1", "SHOW application_name")
+    c.bind("ph1", "sh1", Nil)
+    c.describe('P', "ph1")
+    c.execute("ph1")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.fields.map(_._1) === Seq("application_name"))
+    assert(r.rows === Seq(Seq(Some("before_discard"))))
+    assert(c.query("DISCARD ALL").tags === Seq("DISCARD ALL"))
+    assert(c.query("SHOW application_name").rows === Seq(Seq(Some(""))))
+    assert(c.query("SHOW statement_timeout").rows === Seq(Seq(Some("0"))))
+    c.close()
+  }
+
   test("concurrent connections interleave queries safely") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
