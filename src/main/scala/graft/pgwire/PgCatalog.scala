@@ -405,6 +405,109 @@ object PgCatalog {
       StructField("polpermissive", BooleanType),
       StructField("polroles", ArrayType(IntegerType)),
       StructField("polqual", StringType), StructField("polwithcheck", StringType))))
+    // remaining static-catalog long tail clients scan (schema-correct,
+    // zero rows — reference ships these as feather files,
+    // pg_catalog.rs:121-191)
+    emptyView(spark, "pg_publication", StructType(Seq(
+      StructField("oid", IntegerType), StructField("pubname", StringType),
+      StructField("pubowner", IntegerType), StructField("puballtables", BooleanType),
+      StructField("pubinsert", BooleanType), StructField("pubupdate", BooleanType),
+      StructField("pubdelete", BooleanType))))
+    emptyView(spark, "pg_publication_rel", StructType(Seq(
+      StructField("oid", IntegerType), StructField("prpubid", IntegerType),
+      StructField("prrelid", IntegerType), StructField("prqual", StringType),
+      StructField("prattrs", ArrayType(ShortType)))))
+    emptyView(spark, "pg_publication_namespace", StructType(Seq(
+      StructField("oid", IntegerType), StructField("pnpubid", IntegerType),
+      StructField("pnnspid", IntegerType))))
+    emptyView(spark, "pg_statistic_ext", StructType(Seq(
+      StructField("oid", IntegerType), StructField("stxrelid", IntegerType),
+      StructField("stxname", StringType), StructField("stxnamespace", IntegerType),
+      StructField("stxstattarget", IntegerType),
+      StructField("stxkind", ArrayType(StringType)))))
+    emptyView(spark, "pg_sequence", StructType(Seq(
+      StructField("seqrelid", IntegerType), StructField("seqtypid", IntegerType),
+      StructField("seqstart", LongType), StructField("seqincrement", LongType),
+      StructField("seqmax", LongType), StructField("seqmin", LongType),
+      StructField("seqcache", LongType), StructField("seqcycle", BooleanType))))
+    emptyView(spark, "pg_trigger", StructType(Seq(
+      StructField("oid", IntegerType), StructField("tgrelid", IntegerType),
+      StructField("tgname", StringType), StructField("tgfoid", IntegerType),
+      StructField("tgtype", ShortType), StructField("tgenabled", StringType),
+      StructField("tgisinternal", BooleanType))))
+    emptyView(spark, "pg_rewrite", StructType(Seq(
+      StructField("oid", IntegerType), StructField("rulename", StringType),
+      StructField("ev_class", IntegerType), StructField("ev_type", StringType),
+      StructField("ev_enabled", StringType), StructField("is_instead", BooleanType))))
+    emptyView(spark, "pg_depend", StructType(Seq(
+      StructField("classid", IntegerType), StructField("objid", IntegerType),
+      StructField("objsubid", IntegerType), StructField("refclassid", IntegerType),
+      StructField("refobjid", IntegerType), StructField("refobjsubid", IntegerType),
+      StructField("deptype", StringType))))
+    emptyView(spark, "pg_shdescription", StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("description", StringType))))
+    emptyView(spark, "pg_tablespace", StructType(Seq(
+      StructField("oid", IntegerType), StructField("spcname", StringType),
+      StructField("spcowner", IntegerType), StructField("spcacl", ArrayType(StringType)),
+      StructField("spcoptions", ArrayType(StringType)))))
+    emptyView(spark, "pg_event_trigger", StructType(Seq(
+      StructField("oid", IntegerType), StructField("evtname", StringType),
+      StructField("evtevent", StringType), StructField("evtowner", IntegerType),
+      StructField("evtenabled", StringType))))
+    emptyView(spark, "pg_language", StructType(Seq(
+      StructField("oid", IntegerType), StructField("lanname", StringType),
+      StructField("lanowner", IntegerType), StructField("lanispl", BooleanType))))
+    emptyView(spark, "pg_aggregate", StructType(Seq(
+      StructField("aggfnoid", IntegerType), StructField("aggkind", StringType),
+      StructField("aggnumdirectargs", ShortType), StructField("aggtransfn", StringType))))
+    emptyView(spark, "pg_operator", StructType(Seq(
+      StructField("oid", IntegerType), StructField("oprname", StringType),
+      StructField("oprnamespace", IntegerType), StructField("oprleft", IntegerType),
+      StructField("oprright", IntegerType), StructField("oprresult", IntegerType))))
+    emptyView(spark, "pg_opclass", StructType(Seq(
+      StructField("oid", IntegerType), StructField("opcname", StringType),
+      StructField("opcmethod", IntegerType), StructField("opcintype", IntegerType))))
+    emptyView(spark, "pg_cast", StructType(Seq(
+      StructField("oid", IntegerType), StructField("castsource", IntegerType),
+      StructField("casttarget", IntegerType), StructField("castfunc", IntegerType),
+      StructField("castcontext", StringType), StructField("castmethod", StringType))))
+    emptyView(spark, "pg_conversion", StructType(Seq(
+      StructField("oid", IntegerType), StructField("conname", StringType),
+      StructField("connamespace", IntegerType), StructField("conforencoding", IntegerType),
+      StructField("contoencoding", IntegerType))))
+    emptyView(spark, "pg_default_acl", StructType(Seq(
+      StructField("oid", IntegerType), StructField("defaclrole", IntegerType),
+      StructField("defaclnamespace", IntegerType), StructField("defaclobjtype", StringType),
+      StructField("defaclacl", ArrayType(StringType)))))
+    emptyView(spark, "pg_partitioned_table", StructType(Seq(
+      StructField("partrelid", IntegerType), StructField("partstrat", StringType),
+      StructField("partnatts", ShortType), StructField("partattrs", ArrayType(ShortType)))))
+    emptyView(spark, "pg_range", StructType(Seq(
+      StructField("rngtypid", IntegerType), StructField("rngsubtype", IntegerType),
+      StructField("rngcollation", IntegerType))))
+    emptyView(spark, "pg_user_mapping", StructType(Seq(
+      StructField("oid", IntegerType), StructField("umuser", IntegerType),
+      StructField("umserver", IntegerType), StructField("umoptions", ArrayType(StringType)))))
+    emptyView(spark, "pg_foreign_server", StructType(Seq(
+      StructField("oid", IntegerType), StructField("srvname", StringType),
+      StructField("srvowner", IntegerType), StructField("srvfdw", IntegerType))))
+    emptyView(spark, "pg_foreign_data_wrapper", StructType(Seq(
+      StructField("oid", IntegerType), StructField("fdwname", StringType),
+      StructField("fdwowner", IntegerType), StructField("fdwhandler", IntegerType))))
+    emptyView(spark, "pg_foreign_table", StructType(Seq(
+      StructField("ftrelid", IntegerType), StructField("ftserver", IntegerType),
+      StructField("ftoptions", ArrayType(StringType)))))
+    emptyView(spark, "pg_subscription", StructType(Seq(
+      StructField("oid", IntegerType), StructField("subname", StringType),
+      StructField("subowner", IntegerType), StructField("subenabled", BooleanType))))
+    emptyView(spark, "pg_shadow", StructType(Seq(
+      StructField("usename", StringType), StructField("usesysid", IntegerType),
+      StructField("usecreatedb", BooleanType), StructField("usesuper", BooleanType),
+      StructField("passwd", StringType))))
+    emptyView(spark, "pg_user", StructType(Seq(
+      StructField("usename", StringType), StructField("usesysid", IntegerType),
+      StructField("usecreatedb", BooleanType), StructField("usesuper", BooleanType))))
   }
 
   // ---- information_schema (ANSI view of the same snapshot; clients

@@ -255,7 +255,7 @@ final class PgServer(
 
   private def encodeTextRow(row: Row, schema: StructType): Seq[Option[Array[Byte]]] =
     schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
-      TextEncoder.encode(if (row.isNullAt(i)) null else row.get(i), f.dataType)
+      TextEncoder.encodeField(if (row.isNullAt(i)) null else row.get(i), f)
         .map(_.getBytes(UTF_8))
     }
 
@@ -263,8 +263,12 @@ final class PgServer(
       formats: Int => Short): Seq[Option[Array[Byte]]] =
     schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
       val v = if (row.isNullAt(i)) null else row.get(i)
-      if (formats(i) == 1) BinaryEncoder.encode(v, f.dataType)
-      else TextEncoder.encode(v, f.dataType).map(_.getBytes(UTF_8))
+      if (formats(i) == 1) {
+        // TIME binary = micros-since-midnight int8
+        if (v != null && PgType.isTimeField(f))
+          Some(BinaryEncoder.be8(v.asInstanceOf[Long] / 1000))
+        else BinaryEncoder.encode(v, f.dataType)
+      } else TextEncoder.encodeField(v, f).map(_.getBytes(UTF_8))
     }
 
   private def writeError(out: DataOutputStream, e: Throwable): Unit = {

@@ -62,6 +62,17 @@ object PgType {
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 
+  /** Spark has no TIME type (SURVEY §1): a LongType column tagged with
+    * this metadata key = "time" carries nanos-since-midnight and is
+    * reported/encoded as pg TIME (OID 1083).
+    */
+  val PG_TYPE_KEY = "pg.type"
+
+  /** True when the field is the nanos-since-midnight TIME encoding. */
+  def isTimeField(f: StructField): Boolean =
+    f.dataType == LongType && f.metadata.contains(PG_TYPE_KEY) &&
+      f.metadata.getString(PG_TYPE_KEY) == "time"
+
   /** pg OID for a Spark type (element position of an array handled
     * recursively; `ARRAY[NULL]`-style NullType elements report text[]
     * like the reference, datatypes.rs:58).
@@ -109,9 +120,10 @@ object PgType {
     case other => throw new IllegalArgumentException(s"Unsupported array element $other")
   }
 
-  /** OID for a field, honoring pg.oid_alias metadata on int fields. */
+  /** OID for a field, honoring pg.oid_alias / pg.type=time metadata. */
   def oidOf(f: StructField): Int =
-    if (f.metadata.contains(OID_ALIAS_KEY))
+    if (isTimeField(f)) TIME
+    else if (f.metadata.contains(OID_ALIAS_KEY))
       aliasOids.getOrElse(f.metadata.getString(OID_ALIAS_KEY), oidOf(f.dataType))
     else oidOf(f.dataType)
 

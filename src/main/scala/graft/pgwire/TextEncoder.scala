@@ -19,6 +19,26 @@ object TextEncoder {
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
 
+  /** pg TIME text from nanos-since-midnight (the SURVEY §1 TIME
+    * encoding: LongType + pg.type=time metadata).
+    */
+  def encodeTime(nanos: Long): String = {
+    val us = nanos / 1000
+    val h = us / 3600000000L
+    val m = (us % 3600000000L) / 60000000L
+    val s = (us % 60000000L) / 1000000L
+    val frac = us % 1000000L
+    val base = "%02d:%02d:%02d".format(h, m, s)
+    if (frac == 0) base
+    else base + "." + "%06d".format(frac).reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** Field-aware encode: honors pg.type=time metadata, else by type. */
+  def encodeField(v: Any, f: StructField): Option[String] =
+    if (v == null) None
+    else if (PgType.isTimeField(f)) Some(encodeTime(v.asInstanceOf[Long]))
+    else encode(v, f.dataType)
+
   /** Encode one value of the given Spark type to pg text format. */
   def encode(v: Any, dt: DataType): Option[String] =
     if (v == null) None

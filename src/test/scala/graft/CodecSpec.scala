@@ -106,6 +106,18 @@ class CodecSpec extends AnyFunSuite {
       "2024-03-07 12:30:45+00")
   }
 
+  test("pg TIME: LongType + pg.type=time metadata (SURVEY §1 contract)") {
+    val f = StructField("t", LongType,
+      metadata = new MetadataBuilder().putString(PgType.PG_TYPE_KEY, "time").build())
+    assert(PgType.oidOf(f) === 1083)
+    // 12:30:45.5 = (12*3600 + 30*60 + 45) * 1e9 + 5e8 nanos
+    val nanos = (12L * 3600 + 30 * 60 + 45) * 1000000000L + 500000000L
+    assert(TextEncoder.encodeField(nanos, f) === Some("12:30:45.5"))
+    assert(TextEncoder.encodeTime(0L) === "00:00:00")
+    // plain long field without the tag stays int8
+    assert(PgType.oidOf(StructField("x", LongType)) === 20)
+  }
+
   test("interval text form") {
     assert(TextEncoder.formatInterval(14, 3, 3600000000L + 61000000L) ===
       "1 year 2 mons 3 days 01:01:01")
