@@ -91,6 +91,20 @@ object Messages {
   def authMd5(out: DataOutputStream, salt: Array[Byte]): Unit =
     msg(out, 'R') { o => o.writeInt(5); o.write(salt) }
 
+  /** AuthenticationSASL: advertise mechanisms (null-terminated list). */
+  def authSasl(out: DataOutputStream, mechanisms: Seq[String]): Unit =
+    msg(out, 'R') { o =>
+      o.writeInt(10)
+      mechanisms.foreach(cstr(o, _))
+      o.writeByte(0)
+    }
+
+  def authSaslContinue(out: DataOutputStream, data: Array[Byte]): Unit =
+    msg(out, 'R') { o => o.writeInt(11); o.write(data) }
+
+  def authSaslFinal(out: DataOutputStream, data: Array[Byte]): Unit =
+    msg(out, 'R') { o => o.writeInt(12); o.write(data) }
+
   def parameterStatus(out: DataOutputStream, k: String, v: String): Unit =
     msg(out, 'S') { o => cstr(o, k); cstr(o, v) }
 

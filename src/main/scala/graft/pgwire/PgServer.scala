@@ -158,6 +158,44 @@ final class PgServer(
         out.flush()
       }
       ok
+    case "scram-sha-256" =>
+      passwords.get(user).orElse(auth.password(user)) match {
+        case None =>
+          Messages.errorResponse(out, "28P01",
+            s"""password authentication failed for user "$user"""")
+          out.flush(); false
+        case Some(pass) =>
+          Messages.authSasl(out, Seq("SCRAM-SHA-256")); out.flush()
+          val init = Messages.readMessage(in).in
+          val mech = {
+            val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+            var b = init.read()
+            while (b > 0) { buf += b.toByte; b = init.read() }
+            new String(buf.toArray, UTF_8)
+          }
+          if (mech != "SCRAM-SHA-256") {
+            Messages.errorResponse(out, "28000", s"unsupported SASL mechanism $mech")
+            out.flush(); return false
+          }
+          val n = init.readInt()
+          val clientFirst = { val b = new Array[Byte](n); init.readFully(b); new String(b, UTF_8) }
+          val salt = new Array[Byte](16); rng.nextBytes(salt)
+          val nonceBytes = new Array[Byte](18); rng.nextBytes(nonceBytes)
+          val scram = new Scram(user, pass,
+            java.util.Base64.getEncoder.encodeToString(nonceBytes), salt)
+          Messages.authSaslContinue(out,
+            scram.serverFirstMessage(clientFirst).getBytes(UTF_8))
+          out.flush()
+          val clientFinal = new String(Messages.readMessage(in).body, UTF_8)
+          scram.verifyClientFinal(clientFinal) match {
+            case Some(serverFinal) =>
+              Messages.authSaslFinal(out, serverFinal.getBytes(UTF_8)); true
+            case None =>
+              Messages.errorResponse(out, "28P01",
+                s"""password authentication failed for user "$user"""")
+              out.flush(); false
+          }
+      }
     case other =>
       Messages.errorResponse(out, "28000", s"unsupported auth method $other"); out.flush()
       false

@@ -626,6 +626,94 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(results.flatten.toSet === (for (c <- 1 to 4; i <- 1 to 8) yield c * 100 + i).toSet)
   }
 
+  test("SCRAM-SHA-256 handshake authenticates per RFC 5802") {
+    import java.util.Base64
+    import javax.crypto.Mac
+    import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+    import javax.crypto.SecretKeyFactory
+    import java.security.MessageDigest
+    def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256")); m.doFinal(data)
+    }
+    val am = new graft.pgwire.AuthManager
+    am.createUser("scramuser", Some("tops3cret"))
+    am.grantRole("dbadmin", "scramuser")
+    val srv = new PgServer(spark, authMethod = "scram-sha-256", auth = am)
+    srv.start()
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      sock.setSoTimeout(30000)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      def cstr(o: DataOutputStream, s: String): Unit = { o.write(s.getBytes(UTF_8)); o.writeByte(0) }
+      def send(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+        val buf = new ByteArrayOutputStream(); body(new DataOutputStream(buf))
+        out.writeByte(tpe); out.writeInt(buf.size + 4); buf.writeTo(out); out.flush()
+      }
+      def read(): (Char, Array[Byte]) = {
+        val t = in.read(); val len = in.readInt()
+        val b = new Array[Byte](len - 4); in.readFully(b); (t.toChar, b)
+      }
+      // startup
+      val sb = new ByteArrayOutputStream(); val so = new DataOutputStream(sb)
+      so.writeInt(196608); cstr(so, "user"); cstr(so, "scramuser")
+      cstr(so, "database"); cstr(so, "postgres"); so.writeByte(0)
+      out.writeInt(sb.size + 4); sb.writeTo(out); out.flush()
+      // AuthenticationSASL
+      val (t1, b1) = read()
+      assert(t1 == 'R' && java.nio.ByteBuffer.wrap(b1).getInt == 10)
+      assert(new String(b1, 4, b1.length - 6, UTF_8).startsWith("SCRAM-SHA-256"))
+      // client-first
+      val cnonce = "clientnonce12345"
+      val clientFirstBare = s"n=scramuser,r=$cnonce"
+      val clientFirst = "n,," + clientFirstBare
+      send('p') { o =>
+        cstr(o, "SCRAM-SHA-256")
+        val d = clientFirst.getBytes(UTF_8); o.writeInt(d.length); o.write(d)
+      }
+      // server-first
+      val (t2, b2) = read()
+      assert(t2 == 'R' && java.nio.ByteBuffer.wrap(b2).getInt == 11)
+      val serverFirst = new String(b2, 4, b2.length - 4, UTF_8)
+      val attrs = serverFirst.split(",").map(f => f.substring(0, 1) -> f.substring(2)).toMap
+      val nonce = attrs("r"); val salt = Base64.getDecoder.decode(attrs("s"))
+      val iters = attrs("i").toInt
+      assert(nonce.startsWith(cnonce))
+      // client-final with proof
+      val spec = new PBEKeySpec("tops3cret".toCharArray, salt, iters, 256)
+      val salted = SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(spec).getEncoded
+      val clientKey = hmac(salted, "Client Key".getBytes(UTF_8))
+      val storedKey = MessageDigest.getInstance("SHA-256").digest(clientKey)
+      val withoutProof = s"c=biws,r=$nonce"
+      val authMsg = (clientFirstBare + "," + serverFirst + "," + withoutProof).getBytes(UTF_8)
+      val sig = hmac(storedKey, authMsg)
+      val proof = clientKey.zip(sig).map { case (a, b) => (a ^ b).toByte }
+      send('p')(o => o.write(
+        (withoutProof + ",p=" + Base64.getEncoder.encodeToString(proof)).getBytes(UTF_8)))
+      // SASLFinal (server signature) then AuthOk then ReadyForQuery
+      val (t3, b3) = read()
+      assert(t3 == 'R' && java.nio.ByteBuffer.wrap(b3).getInt == 12)
+      val serverKey = hmac(salted, "Server Key".getBytes(UTF_8))
+      val expectV = "v=" + Base64.getEncoder.encodeToString(hmac(serverKey, authMsg))
+      assert(new String(b3, 4, b3.length - 4, UTF_8) === expectV)
+      var done = false
+      while (!done) { val (t, _) = read(); if (t == 'Z') done = true }
+      // authenticated: run a query
+      send('Q')(cstr(_, "SELECT 7"))
+      var saw7 = false
+      done = false
+      while (!done) {
+        val (t, b) = read()
+        if (t == 'D') saw7 = new String(b, 6, b.length - 6, UTF_8) == "7"
+        if (t == 'Z') done = true
+      }
+      assert(saw7)
+      sock.close()
+    } finally srv.stop()
+  }
+
   test("cleartext auth accepts the right password and rejects the wrong one") {
     // AuthManager-backed credential lookup (reference DfAuthSource)
     val am = new graft.pgwire.AuthManager
