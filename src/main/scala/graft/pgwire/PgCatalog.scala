@@ -549,6 +549,16 @@ object PgCatalog {
     register(spark, "pg_tables", pgTables(spark, tables))
     register(spark, "information_schema_tables", infoTables(spark, tables))
     register(spark, "information_schema_columns", infoColumns(spark, tables))
+    register(spark, "information_schema_schemata", mkDf(spark,
+      StructType(Seq(StructField("catalog_name", StringType),
+        StructField("schema_name", StringType), StructField("schema_owner", StringType))),
+      Seq(Row("postgres", "public", "postgres"),
+        Row("postgres", "pg_catalog", "postgres"),
+        Row("postgres", "information_schema", "postgres"))))
+    register(spark, "information_schema_views", mkDf(spark,
+      StructType(Seq(StructField("table_catalog", StringType),
+        StructField("table_schema", StringType), StructField("table_name", StringType),
+        StructField("view_definition", StringType))), Seq.empty))
   }
 
   /** Full registration: static + first dynamic snapshot. */
