@@ -32,7 +32,8 @@ final class PgServer(
     authMethod: String = "trust",
     passwords: Map[String, String] = Map.empty,
     val auth: AuthManager = new AuthManager(),
-    hooks: Seq[QueryHook] = Nil) {
+    hooks: Seq[QueryHook] = Nil,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   private val server = new ServerSocket()
   private val connIds = new AtomicInteger(1)
@@ -78,15 +79,28 @@ final class PgServer(
 
   // ---- connection lifecycle ---------------------------------------------
 
-  private def handleConnection(sock: Socket): Unit = {
-    sock.setTcpNoDelay(true)
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private def handleConnection(rawSock: Socket): Unit = {
+    rawSock.setTcpNoDelay(true)
+    var sock: Socket = rawSock
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 
-    // startup phase: deny SSL/GSS upgrades, handle cancel, read params
+    // startup phase: negotiate SSL (accept when a TLS context is
+    // configured, else deny → client falls back to plaintext), handle
+    // cancel, read params
     var startup: Messages.StartupParams = null
     while (startup == null) {
       Messages.readStartup(in) match {
+        case Messages.SslRequest if tls.isDefined =>
+          out.writeByte('S'); out.flush()
+          val ssl = tls.get.getSocketFactory
+            .createSocket(sock, sock.getInetAddress.getHostAddress, sock.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          ssl.startHandshake()
+          sock = ssl
+          in = new DataInputStream(new BufferedInputStream(ssl.getInputStream))
+          out = new DataOutputStream(new BufferedOutputStream(ssl.getOutputStream))
         case Messages.SslRequest | Messages.GssRequest =>
           Messages.sslDeny(out); out.flush()
         case Messages.Cancel(pid, secret) =>

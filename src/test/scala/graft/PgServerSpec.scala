@@ -626,6 +626,72 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(results.flatten.toSet === (for (c <- 1 to 4; i <- 1 to 8) yield c * 100 + i).toSet)
   }
 
+  test("TLS: SSLRequest upgrades the connection and queries run over it") {
+    // self-signed cert minted with the JDK keytool
+    val ksPath = java.nio.file.Files.createTempDirectory("pgtls").resolve("ks.p12")
+    val keytool = new ProcessBuilder(
+      s"${sys.props("java.home")}/bin/keytool", "-genkeypair", "-alias", "pg",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "1").inheritIO().start()
+    assert(keytool.waitFor() === 0, "keytool failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = java.nio.file.Files.newInputStream(ksPath)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance("SunX509")
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+
+    val srv = new PgServer(spark, tls = Some(ctx))
+    srv.start()
+    try {
+      val plain = new Socket("127.0.0.1", srv.boundPort)
+      plain.setSoTimeout(30000)
+      val pout = new DataOutputStream(plain.getOutputStream)
+      pout.writeInt(8); pout.writeInt(80877103); pout.flush() // SSLRequest
+      assert(plain.getInputStream.read() === 'S'.toInt)
+      // trust-all client context for the self-signed cert
+      val trustAll = new javax.net.ssl.X509TrustManager {
+        def getAcceptedIssuers = new Array[java.security.cert.X509Certificate](0)
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      }
+      val cctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      cctx.init(null, Array(trustAll), null)
+      val ssl = cctx.getSocketFactory
+        .createSocket(plain, "localhost", srv.boundPort, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(true)
+      ssl.startHandshake()
+      // speak the normal protocol inside the tunnel
+      val in = new DataInputStream(new BufferedInputStream(ssl.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(ssl.getOutputStream))
+      def cstr(o: DataOutputStream, s: String): Unit = { o.write(s.getBytes(UTF_8)); o.writeByte(0) }
+      val sb = new ByteArrayOutputStream(); val so = new DataOutputStream(sb)
+      so.writeInt(196608); cstr(so, "user"); cstr(so, "postgres")
+      cstr(so, "database"); cstr(so, "postgres"); so.writeByte(0)
+      out.writeInt(sb.size + 4); sb.writeTo(out); out.flush()
+      def read(): (Char, Array[Byte]) = {
+        val t = in.read(); val len = in.readInt()
+        val b = new Array[Byte](len - 4); in.readFully(b); (t.toChar, b)
+      }
+      var done = false
+      while (!done) { val (t, _) = read(); if (t == 'Z') done = true }
+      val qb = new ByteArrayOutputStream(); val qo = new DataOutputStream(qb)
+      cstr(qo, "SELECT 99")
+      out.writeByte('Q'); out.writeInt(qb.size + 4); qb.writeTo(out); out.flush()
+      var saw = false; done = false
+      while (!done) {
+        val (t, b) = read()
+        if (t == 'D') saw = new String(b, 6, b.length - 6, UTF_8) == "99"
+        if (t == 'Z') done = true
+      }
+      assert(saw, "query result did not arrive over TLS")
+      ssl.close()
+    } finally srv.stop()
+  }
+
   test("SCRAM-SHA-256 handshake authenticates per RFC 5802") {
     import java.util.Base64
     import javax.crypto.Mac
