@@ -458,6 +458,31 @@ final class PgServer(
             Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000).toInt,
             java.time.ZoneOffset.UTC)
           s"TIMESTAMP '$ldt'"
+        case oid if arrayElemType.contains(oid) =>
+          // pg array binary: ndim, hasnull, eloid, [dim, lbound]*,
+          // then (len, bytes) per element (JDBC setArray sends this)
+          val ndim = buf.getInt
+          if (ndim > 1)
+            throw PgException("0A000", "multidimensional array parameters not supported")
+          buf.getInt // hasnull
+          val elemOid = buf.getInt
+          val els = scala.collection.mutable.ArrayBuffer.empty[String]
+          if (ndim == 1) {
+            val dim = buf.getInt
+            buf.getInt // lower bound
+            (0 until dim).foreach { _ =>
+              val len = buf.getInt
+              if (len < 0) els += "NULL"
+              else {
+                val eb = new Array[Byte](len)
+                buf.get(eb)
+                els += paramToLiteral(eb, elemOid, 1)
+              }
+            }
+          }
+          val sparkElem = arrayElemType(oid)
+          if (els.isEmpty) s"CAST(ARRAY() AS ARRAY<$sparkElem>)"
+          else s"CAST(ARRAY(${els.mkString(",")}) AS ARRAY<$sparkElem>)"
         case other =>
           throw PgException("0A000", s"binary format for type OID $other not supported")
       }

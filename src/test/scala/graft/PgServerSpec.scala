@@ -99,6 +99,18 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
         o.writeShort(resultFormats.length); resultFormats.foreach(f => o.writeShort(f))
       }
 
+    def bindBinary(portal: String, stmt: String, params: Seq[Option[Array[Byte]]]): Unit =
+      send('B') { o =>
+        cstr(o, portal); cstr(o, stmt)
+        o.writeShort(1); o.writeShort(1) // all params binary
+        o.writeShort(params.length)
+        params.foreach {
+          case None => o.writeInt(-1)
+          case Some(b) => o.writeInt(b.length); o.write(b)
+        }
+        o.writeShort(0)
+      }
+
     def describe(kind: Char, name: String): Unit =
       send('D') { o => o.writeByte(kind); cstr(o, name) }
 
@@ -432,6 +444,21 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.parse("s6", "SELECT array_contains($1, 2) AS has2, size($1) AS n", Seq(1007))
     c.bind("p6", "s6", Seq(Some("{1,2,3}")))
     c.execute("p6")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.rows === Seq(Seq(Some("t"), Some("3"))))
+    c.close()
+  }
+
+  test("extended protocol: int4[] BINARY array parameter (JDBC setArray wire form)") {
+    val c = connect()
+    c.parse("s7", "SELECT array_contains($1, 20) AS has20, size($1) AS n", Seq(1007))
+    val buf = java.nio.ByteBuffer.allocate(20 + 3 * 8)
+    buf.putInt(1).putInt(0).putInt(23) // ndim, hasnull, int4 elem oid
+    buf.putInt(3).putInt(1) // dim, lower bound
+    Seq(10, 20, 30).foreach(v => buf.putInt(4).putInt(v))
+    c.bindBinary("p7", "s7", Seq(Some(buf.array())))
+    c.execute("p7")
     val r = c.sync()
     assert(r.errors.isEmpty, r.errors.toString)
     assert(r.rows === Seq(Seq(Some("t"), Some("3"))))
