@@ -288,7 +288,7 @@ final class PgServer(
               Messages.rowDescription(out, PgType.rowDescription(schema))
               var n = 0L
               rows.foreach { row =>
-                Messages.dataRow(out, encodeTextRow(row, schema))
+                Messages.dataRow(out, encodeTextRow(row, schema, session))
                 n += 1
               }
               Messages.commandComplete(out, tagFor(n))
@@ -305,14 +305,23 @@ final class PgServer(
     out.flush()
   }
 
-  private def encodeTextRow(row: Row, schema: StructType): Seq[Option[Array[Byte]]] =
+  /** Session timezone GUC → ZoneId (UTC on anything unparseable). */
+  private def sessionZone(session: Session): java.time.ZoneId =
+    try java.time.ZoneId.of(session.gucs.getOrElse("timezone", "UTC"))
+    catch { case NonFatal(_) => java.time.ZoneOffset.UTC }
+
+  private def encodeTextRow(row: Row, schema: StructType,
+      session: Session): Seq[Option[Array[Byte]]] = {
+    val zone = sessionZone(session)
     schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
-      TextEncoder.encodeField(if (row.isNullAt(i)) null else row.get(i), f)
+      TextEncoder.encodeField(if (row.isNullAt(i)) null else row.get(i), f, zone)
         .map(_.getBytes(UTF_8))
     }
+  }
 
-  private def encodeRow(row: Row, schema: StructType,
-      formats: Int => Short): Seq[Option[Array[Byte]]] =
+  private def encodeRow(row: Row, schema: StructType, session: Session,
+      formats: Int => Short): Seq[Option[Array[Byte]]] = {
+    val zone = sessionZone(session)
     schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
       val v = if (row.isNullAt(i)) null else row.get(i)
       if (formats(i) == 1) {
@@ -320,8 +329,9 @@ final class PgServer(
         if (v != null && PgType.isTimeField(f))
           Some(BinaryEncoder.be8(v.asInstanceOf[Long] / 1000))
         else BinaryEncoder.encode(v, f.dataType)
-      } else TextEncoder.encodeField(v, f).map(_.getBytes(UTF_8))
+      } else TextEncoder.encodeField(v, f, zone).map(_.getBytes(UTF_8))
     }
+  }
 
   private def writeError(out: DataOutputStream, e: Throwable): Unit = {
     val (code, msg) = e match {
@@ -594,7 +604,7 @@ final class PgServer(
       var n = 0L
       var suspended = false
       while (rows.hasNext && !suspended) {
-        Messages.dataRow(out, encodeRow(rows.next(), schema, fmtAt))
+        Messages.dataRow(out, encodeRow(rows.next(), schema, session, fmtAt))
         n += 1
         portal.sent += 1
         if (maxRows > 0 && n >= maxRows && rows.hasNext) suspended = true

@@ -33,11 +33,35 @@ object TextEncoder {
     else base + "." + "%06d".format(frac).reverse.dropWhile(_ == '0').reverse
   }
 
-  /** Field-aware encode: honors pg.type=time metadata, else by type. */
-  def encodeField(v: Any, f: StructField): Option[String] =
+  /** Field-aware encode: honors pg.type=time metadata and the session
+    * timezone for timestamptz (pg renders TIMESTAMPTZ at the TimeZone
+    * GUC with its UTC offset; reference: set_show.rs TimeZone handling).
+    */
+  def encodeField(v: Any, f: StructField,
+      zone: java.time.ZoneId = ZoneOffset.UTC): Option[String] =
     if (v == null) None
     else if (PgType.isTimeField(f)) Some(encodeTime(v.asInstanceOf[Long]))
-    else encode(v, f.dataType)
+    else f.dataType match {
+      case TimestampType =>
+        val instant = v match {
+          case t: Timestamp => t.toInstant
+          case t: Instant => t
+        }
+        Some(formatTsTz(instant, zone))
+      case _ => encode(v, f.dataType)
+    }
+
+  /** pg timestamptz text at a zone: "yyyy-MM-dd HH:mm:ss[.ffffff]±HH[:MM]". */
+  def formatTsTz(instant: Instant, zone: java.time.ZoneId): String = {
+    val zoned = instant.atZone(zone)
+    val base = formatTs(zoned.toLocalDateTime)
+    val totalSec = zoned.getOffset.getTotalSeconds
+    val sign = if (totalSec < 0) "-" else "+"
+    val abs = math.abs(totalSec)
+    val hh = abs / 3600
+    val mm = (abs % 3600) / 60
+    base + sign + "%02d".format(hh) + (if (mm != 0) ":%02d".format(mm) else "")
+  }
 
   /** Encode one value of the given Spark type to pg text format. */
   def encode(v: Any, dt: DataType): Option[String] =

@@ -303,6 +303,19 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("SET TIME ZONE shifts timestamptz text rendering") {
+    val c = connect()
+    // Spark session tz is UTC: this literal is the instant 12:00Z
+    assert(c.query("SELECT TIMESTAMP '2024-01-15 12:00:00' AS t").rows ===
+      Seq(Seq(Some("2024-01-15 12:00:00+00"))))
+    val set = c.query("SET TIME ZONE 'America/New_York'")
+    assert(set.paramStatus.get("TimeZone") === Some("America/New_York"))
+    assert(c.query("SELECT TIMESTAMP '2024-01-15 12:00:00' AS t").rows ===
+      Seq(Seq(Some("2024-01-15 07:00:00-05")))) // EST = UTC-5 in January
+    c.query("SET TIME ZONE 'UTC'")
+    c.close()
+  }
+
   test("transaction tag state machine (reference transactions.rs)") {
     val c = connect()
     assert(c.query("BEGIN").tags === Seq("BEGIN"))
