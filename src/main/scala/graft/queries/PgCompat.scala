@@ -35,14 +35,14 @@ object PgCompat {
 
     Q.df("q70_system_udfs",
       """SELECT '"select"' AS qi_reserved, 'abc' AS qi_plain, '"Abc"' AS qi_mixed,
-        |  '"a b"' AS qi_space, ['a','b'] AS pi, 'character varying(32)' AS ft_varchar,
+        |  '"a b"' AS qi_space, 'a|b' AS pi, 'character varying(32)' AS ft_varchar,
         |  'integer' AS ft_int, 'numeric(6,2)' AS ft_num, 'UTF-8' AS enc,
         |  '1206 kB' AS sz, 'public' AS cs, 'postgres' AS cdb,
         |  CAST(1 AS INT) AS pid, true AS htp""".stripMargin) {
       withUdfs((s, _) => s.sql(
         """SELECT quote_ident('select') AS qi_reserved, quote_ident('abc') AS qi_plain,
           |  quote_ident('Abc') AS qi_mixed, quote_ident('a b') AS qi_space,
-          |  parse_ident('a.b') AS pi, format_type(1043, 36) AS ft_varchar,
+          |  array_join(parse_ident('a.b'), '|') AS pi, format_type(1043, 36) AS ft_varchar,
           |  format_type(23, -1) AS ft_int, format_type(1700, 393222) AS ft_num,
           |  pg_encoding_to_char(6) AS enc, pg_size_pretty(CAST(1234567 AS BIGINT)) AS sz,
           |  pg_current_schema() AS cs, pg_current_database() AS cdb,
@@ -58,7 +58,7 @@ object PgCompat {
         |  CAST(0.0 AS DOUBLE) AS e0, CAST(1.0 AS DOUBLE) AS ec0,
         |  CAST(0.0 AS DOUBLE) AS lg1, CAST(3 AS BIGINT) AS wb,
         |  CAST(1 AS BIGINT) AS m1, CAST(-1 AS BIGINT) AS m2,
-        |  CAST(NULL AS BIGINT) AS m0""".stripMargin) {
+        |  true AS m0_null""".stripMargin) {
       withUdfs((s, _) => s.sql(
         """SELECT sind(30.0D) AS s30, cosd(60.0D) AS c60, tand(45.0D) AS t45,
           |  cotd(45.0D) AS ct45, asind(0.5D) AS as5, acosd(-1.0D) AS ac1,
@@ -66,7 +66,8 @@ object PgCompat {
           |  CAST(div(CAST(17 AS DECIMAL(10,2)), CAST(5 AS DECIMAL(10,2))) AS DOUBLE) AS dv,
           |  erf(0.0D) AS e0, erfc(0.0D) AS ec0, lgamma(1.0D) AS lg1,
           |  width_bucket(5.35D, 0.024D, 10.06D, 5L) AS wb,
-          |  pg_mod(7L, 3L) AS m1, pg_mod(-7L, 3L) AS m2, pg_mod(5L, 0L) AS m0""".stripMargin))
+          |  pg_mod(7L, 3L) AS m1, pg_mod(-7L, 3L) AS m2,
+          |  pg_mod(5L, 0L) IS NULL AS m0_null""".stripMargin))
     },
 
     Q.df("q72_pg_class",
