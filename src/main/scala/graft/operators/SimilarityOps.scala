@@ -35,9 +35,24 @@ object SimilarityOps {
   def quantize1k(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized vectors — the
+    * reference HOF formulation. Kept as the semantic spec for the
+    * native expression below (VectorExpressionsSpec proves them
+    * bit-identical); hot paths use [[qdot]].
+    */
+  def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer dot product via the native codegen'd expression
+    * (graft.functions.VectorExpressions.VecLongDot): a primitive loop
+    * inside whole-stage codegen instead of the interpreted HOF lambda
+    * path. Callers must run on a session with the graft functions
+    * registered — every operator here installs them idempotently.
+    */
+  def qdot(a: Column, b: Column): Column = call_function("vec_ldot", a, b)
+
+  /** Squared norm via the native expression (single child evaluation). */
+  def qnorm2(a: Column): Column = call_function("vec_lnorm2", a)
 
   /** Sign-bit LSH bucket code from the first `bits` dimensions:
     * bit j set iff vec[j] > 0. Deterministic, engine-agnostic, and a
@@ -62,6 +77,7 @@ object SimilarityOps {
   /** All vectors scored against the query vector (no top-k). */
   def scoreAgainstQuery(embs: DataFrame, idCol: String, vecCol: String,
       queryId: Long): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
     val q = embs.filter(col(idCol) === queryId)
       .select(quantize(col(vecCol)).as("qv"))
     embs.crossJoin(broadcast(q))
@@ -76,6 +92,7 @@ object SimilarityOps {
     */
   def annSignBucketTopK(embs: DataFrame, idCol: String, vecCol: String,
       queryId: Long, bits: Int, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
     val withBucket = embs.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), bits).as("bucket"))
     val q = withBucket.filter(col(idCol) === queryId)
@@ -107,12 +124,13 @@ object SimilarityOps {
     */
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, cosNum: Int, cosDen: Int, maxBucket: Int = 10000): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
     // |v|² is computed ONCE per row in the pre-join projection — as a
     // per-pair expression it would be re-evaluated for every candidate
     // pair (~bucket²/2 times per vector)
     val b0 = embs.select(col(idCol).as("id"), quantize1k(col(vecCol)).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("n2", qdot(col("qv"), col("qv")))
+      .withColumn("n2", qnorm2(col("qv")))
     val b = DedupOps.capBuckets(b0, Seq("bucket"), maxBucket)
     val dot = qdot(col("a.qv"), col("b.qv"))
     b.as("a").join(b.as("b"),
@@ -127,6 +145,7 @@ object SimilarityOps {
 
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
     val b0 = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
       signBucket(col(vecCol), bits).as("bucket"))
     // shared skew guard (groupBy-count semi-join — never a count window
