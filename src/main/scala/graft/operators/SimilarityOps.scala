@@ -143,6 +143,90 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"), col("dot"))
   }
 
+  // ---- IVF (inverted-file) ANN: coarse quantizer + probed search ----
+
+  /** Nearest-centroid assignment as a pair of Columns (cluster, dot)
+    * over the quantized vector `qv`. One projection, k codegen'd dot
+    * products per row (whole-stage codegen's subexpression elimination
+    * evaluates the quantization once); argmax decided by `greatest`
+    * over (dot, -cid) structs so ties break to the SMALLEST centroid
+    * id — the same ordering the DuckDB oracle pins with
+    * `ORDER BY dot DESC, cid`.
+    */
+  private def nearestCentroid(cents: Seq[(Long, Array[Long])], qv: Column): (Column, Column) = {
+    require(cents.size >= 2, "IVF needs at least 2 centroids")
+    val scored = cents.map { case (cid, cv) =>
+      struct(qdot(qv, typedlit(cv)).as("dot"), lit(-cid).as("neg"))
+    }
+    val best = greatest(scored: _*)
+    (-best.getField("neg"), best.getField("dot"))
+  }
+
+  /** Collect `centroidIds` rows as quantized driver-side arrays — a
+    * k-row lookup, the same broadcast-sized collect as the query side
+    * of [[bruteForceTopK]].
+    */
+  private def collectCentroids(embs: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long]): Seq[(Long, Array[Long])] = {
+    val cents = embs.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), quantize(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.size == ids.distinct.size,
+      s"missing centroid rows: wanted ${ids.distinct.size}, found ${cents.size}")
+    cents
+  }
+
+  /** IVF coarse-quantizer assignment: every vector mapped to its
+    * nearest centroid (max quantized dot, ties to smallest cid).
+    *
+    * Scale shape: centroids are a driver-side constant (k rows)
+    * inlined as literals, so assignment is a single map-side
+    * projection — no join, no shuffle, linear in corpus size. At
+    * 100 TB this is the indexing pass whose output is written
+    * partitioned/bucketed BY `cluster`; [[ivfTopK]] then becomes a
+    * partition-pruned scan of nprobe/k of the corpus.
+    */
+  def ivfAssign(embs: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long]): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
+    val cents = collectCentroids(embs, idCol, vecCol, centroidIds)
+    val (cluster, dot) = nearestCentroid(cents, quantize(col(vecCol)))
+    embs.select(col(idCol).as("vec_id"), cluster.as("cluster"), dot.as("dot"))
+  }
+
+  /** IVF probed top-k: score the query against the k centroids on the
+    * driver, keep the `nprobe` nearest inverted lists, and run the
+    * exact top-k only over vectors assigned to those lists.
+    *
+    * Here the assignment is recomputed on the fly (map-side filter —
+    * the testdata is an unindexed heap); against an [[ivfAssign]]-
+    * partitioned layout the filter becomes partition pruning and the
+    * scan touches ~nprobe/k of the data. Candidate scoring and the
+    * final TakeOrderedAndProject are identical to [[bruteForceTopK]].
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      centroidIds: Seq[Long], nprobe: Int, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
+    val cents = collectCentroids(embs, idCol, vecCol, centroidIds)
+    val Seq((_, qvec)) = collectCentroids(embs, idCol, vecCol, Seq(queryId))
+    def ddot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val probed = cents.map { case (cid, cv) => (ddot(cv, qvec), cid) }
+      .sortBy { case (d, cid) => (-d, cid) }
+      .take(nprobe).map(_._2)
+    val qv = quantize(col(vecCol))
+    val (cluster, _) = nearestCentroid(cents, qv)
+    embs.select(col(idCol).as("vec_id"), cluster.as("cluster"),
+        qdot(qv, typedlit(qvec)).as("dot"))
+      .filter(col("cluster").isin(probed: _*) && col("vec_id") =!= queryId)
+      .orderBy(col("dot").desc, col("vec_id")).limit(k)
+  }
+
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
     graft.functions.VectorExpressions.install(embs.sparkSession)

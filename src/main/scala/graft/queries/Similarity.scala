@@ -17,7 +17,52 @@ object Similarity {
   // float32 and lands one ulp off Spark's double math.
   private val duckQ = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 10000))"
 
+  // IVF coarse centroids: a fixed, deterministic spread of vec_ids
+  // that exists at every scale factor (embeddings has >= 500 rows).
+  private val ivfCents = Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)
+  private val ivfCentsSql = ivfCents.mkString("(", ",", ")")
+
+  // shared oracle CTEs: quantized vectors + centroid set + per-vector
+  // nearest centroid (max dot, ties to smallest cid — the operator's
+  // pinned tie-break)
+  private val ivfBase =
+    s"""e AS (SELECT vec_id, $duckQ AS qv FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, qv FROM e WHERE vec_id IN $ivfCentsSql),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |    CAST(list_dot_product(e.qv, c.qv) AS BIGINT) AS dot
+       |  FROM e CROSS JOIN cent c),
+       |best AS (SELECT vec_id, cid, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+       |  FROM scored)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+
+    // --- IVF coarse-quantizer assignment: nearest centroid per vector
+    Q.df("q54_ivf_assign",
+      s"""WITH $ivfBase
+         |SELECT vec_id, cid AS cluster, dot FROM best
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      SimilarityOps.ivfAssign(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding", ivfCents)
+        .orderBy("vec_id")
+    },
+
+    // --- IVF probed top-k: nprobe=2 inverted lists, exact rerank
+    Q.df("q55_ivf_topk",
+      s"""WITH $ivfBase,
+         |q AS (SELECT qv FROM e WHERE vec_id = 0),
+         |probes AS (SELECT c.cid FROM cent c, q
+         |  ORDER BY CAST(list_dot_product(c.qv, q.qv) AS BIGINT) DESC, c.cid
+         |  LIMIT 2)
+         |SELECT b.vec_id, b.cid AS cluster,
+         |  CAST(list_dot_product(e.qv, q.qv) AS BIGINT) AS dot
+         |FROM best b JOIN e ON e.vec_id = b.vec_id, q
+         |WHERE b.rn = 1 AND b.cid IN (SELECT cid FROM probes) AND b.vec_id <> 0
+         |ORDER BY dot DESC, b.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      SimilarityOps.ivfTopK(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, centroidIds = ivfCents, nprobe = 2, k = 10)
+    },
 
     // --- brute-force top-k neighbors of vec_id=0 by quantized dot
     Q.df("q50_topk_bruteforce",

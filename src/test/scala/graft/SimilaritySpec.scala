@@ -67,6 +67,44 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ivfAssign maps each vector to its max-dot centroid") {
+    // centroids 0 and 2: vec 1 is parallel to 0 (positive dot, zero vs
+    // centroid 2); vec 3 is anti-parallel to 0 (negative dot) so its
+    // best list is centroid 2 (dot 0)
+    val got = SimilarityOps.ivfAssign(embs, "vec_id", "embedding", Seq(0L, 2L))
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("ivfAssign breaks dot ties to the smallest centroid id") {
+    // a vector orthogonal to BOTH centroids scores dot=0 against each
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfAssign(vecs, "vec_id", "embedding", Seq(0L, 5L))
+      .filter($"vec_id" === 9L).select("cluster").as[Long].head()
+    assert(got === 0L)
+  }
+
+  test("ivfTopK probing every list reproduces the brute-force ranking") {
+    val brute = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivf = SimilarityOps.ivfTopK(embs, "vec_id", "embedding", 0L,
+      centroidIds = Seq(0L, 2L), nprobe = 2, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK with nprobe=1 searches only the nearest inverted list") {
+    // query 0's nearest centroid is itself; only vec 1 shares that list
+    val ivf = SimilarityOps.ivfTopK(embs, "vec_id", "embedding", 0L,
+      centroidIds = Seq(0L, 2L), nprobe = 1, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf === Seq(1L))
+  }
+
   test("bucketedPairs drops over-cap buckets (ReLU-style skew guard)") {
     // 50 identical all-positive vectors collapse into one sign bucket;
     // with maxBucket=10 the bucket is dropped — zero pairs, not 50*49/2.
