@@ -22,5 +22,25 @@ object Streaming {
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hr", "event_type")
+    },
+
+    // stream-static broadcast enrichment: events joined to the
+    // customer→nation dim, counted per (hour, nation)
+    Q.df("q94_stream_enriched",
+      """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hr,
+        |  n.n_name, count(*) AS n
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY hr, n_name""".stripMargin) { (s, dir) =>
+      val dim = Tables.t(s, dir, "customer")
+        .join(Tables.t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      StreamOps.enrichedHourlyByDim(
+        Tables.t(s, dir, "events"), dim, "user_id", "c_custkey", "n_name")
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("n_name"), col("n"))
+        .orderBy("hr", "n_name")
     })
 }

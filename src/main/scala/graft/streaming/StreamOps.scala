@@ -38,6 +38,25 @@ object StreamOps {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension and aggregate per (window, dim value). Stream-static
+    * joins carry NO streaming state — the dim side is broadcast to
+    * every executor once per micro-batch plan, and each batch joins
+    * map-side; only the windowed agg keeps (bounded, watermarked)
+    * state. At 100 TB/day this is the canonical enrichment shape: the
+    * dim must stay broadcast-sized (dims beyond that become a
+    * stream-stream join or a state-store lookup, different operator).
+    */
+  def enrichedHourlyByDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String, dimVal: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col(eventKey) === col(dimKey))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(dimVal))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col(dimVal), col("n"))
+
   /** Streaming exact dedup: keep the first document per content digest
     * within the watermark horizon. State stores only (digest) — the
     * bounded-state streaming analogue of DedupOps.dedupKeepFirst.

