@@ -111,4 +111,28 @@ object TextAnalysisOps {
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("fp"))
+
+  /** Deterministic train/val/test split, keyed by CONTENT hash (first
+    * 8 hex chars of md5 as an int, mod 100), not by row id: byte-equal
+    * documents always land in the same split, so exact duplicates can
+    * never leak from train into eval. Map-side, linear, zero shuffle,
+    * stable across runs/engines/cluster sizes (md5 is md5 everywhere
+    * — the same property the dedup digests rely on).
+    *
+    * Boundaries: bucket < trainPct → train; < trainPct+valPct → val;
+    * else test.
+    */
+  def trainSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.select(
+      col(idCol).as("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -80,6 +80,18 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.fingerprints(Tables.t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // --- deterministic content-keyed train/val/test split (80/10/10)
+    Q.df("q64_train_split",
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.trainSplit(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

@@ -52,4 +52,19 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id", "text").select("fp").as[Long].head()
     assert(fp === 3105L)
   }
+
+  test("trainSplit: content-keyed, duplicate docs share a split, boundaries hold") {
+    // md5("hello") = 5d41402a… → 0x5d41402a = 1564557354 → bucket 54 → train
+    val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "different doc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.trainSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    assert(got(1L) === ((54L, "train")))
+    assert(got(1L) === got(2L)) // byte-equal docs can never cross splits
+    got.values.foreach { case (b, s) =>
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s === expected)
+    }
+  }
 }
