@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal (as-of) join — an operator Spark has no native form of
+  * (DuckDB: `ASOF JOIN`; also kdb's `aj`, Flink's temporal join). For
+  * each left row, attach the single right row with the greatest
+  * rightTime <= leftTime within the same key.
+  *
+  * Built by COMPOSING existing operators (the preference order for
+  * custom semantics — no custom physical plan needed here): tag and
+  * union both inputs, run ONE window over (key ORDER BY time) that
+  * forward-fills the latest right payload, keep the left rows. Cost is
+  * a single hash shuffle of both inputs on the key plus a
+  * within-partition sort — exactly what a sort-merge join would pay —
+  * with no range-condition row explosion (a naive `l.key = r.key AND
+  * l.t >= r.t` join materializes every earlier right row per left row
+  * before aggregating them back down).
+  *
+  * Scale notes (100 TB):
+  *  - state per window partition is one payload struct (last seen),
+  *    so memory is O(1) per key regardless of row count;
+  *  - a pathologically hot key serializes its own partition (window
+  *    partitions cannot be split by AQE). The scale path is
+  *    time-bucketing: window over (key, month) with a per-bucket
+  *    boundary carry — same shape, two passes;
+  *  - right rows are dropped after the fill, so only the left side's
+  *    row count survives the shuffle.
+  *
+  * Preconditions (enforced by construction or documented):
+  *  - right must be unique per (key, time): pre-aggregate to pin the
+  *    tie-break (e.g. groupBy(key, time).agg(max(id))) — SQL engines
+  *    leave the equal-time tie unspecified, so the operator refuses to
+  *    guess;
+  *  - NULL right keys never match (filtered, matching SQL equality);
+  *    NULL-key left rows get a NULL payload;
+  *  - payload column names must not collide with left column names.
+  */
+object TemporalOps {
+
+  /** As-of join `left` to `right`: every left row + `payload` columns
+    * of the latest right row with rightTime <= leftTime, same key
+    * (NULL payload when no such row — LEFT OUTER as-of semantics).
+    */
+  def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"payload collides with left columns: $collisions")
+
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(payload.map(col): _*)
+    val rType = StructType(payload.map(p => right.schema(p)))
+    val lType = StructType(left.schema.fields)
+
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__left"), lStruct.as("__lrow"),
+      lit(null).cast(rType).as("__rrow"))
+    // NULL right keys can never equality-match a left key
+    val r = right.filter(col(rightKey).isNotNull).select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__left"), lit(null).cast(lType).as("__lrow"),
+      rStruct.as("__rrow"))
+
+    // right rows order BEFORE left rows at equal time (0 < 1), so a
+    // right row at exactly leftTime matches the >= contract
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__fill", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__left") === 1)
+      .select(col("__lrow.*") +: payload.map(p => col(s"__fill.$p").as(p)): _*)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.{Q, QueryDef}
+import graft.{Q, QueryDef, Tables}
+import org.apache.spark.sql.functions._
 
 /** Relational operator coverage (SURVEY.md §2d): scans, projection,
   * filter, equi/semi/anti/outer/cross joins, scalar + correlated
@@ -267,6 +268,32 @@ object Relational {
     Q.sameSql("q31_cte",
       """WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 400000)
         |SELECT o_orderpriority, count(*) as n FROM big_orders
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // --- as-of join (TemporalOps): each event annotated with the
+    // latest order (by o_orderdate <= ts) of the same customer. The
+    // oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the composed
+    // union+window operator is pinned against a real engine's as-of
+    // semantics; the right side is pre-aggregated per (key, time) to
+    // make the equal-time tie-break explicit on both sides.
+    Q.df("q33_asof_join",
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TemporalOps
+      val events = Tables.t(s, dir, "events")
+      val o = Tables.t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      TemporalOps.asofJoin(events, "user_id", "ts",
+          o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date"))
+        .orderBy("event_id")
+    }
   )
 }
