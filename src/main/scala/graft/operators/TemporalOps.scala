@@ -77,4 +77,41 @@ object TemporalOps {
       .filter(col("__left") === 1)
       .select(col("__lrow.*") +: payload.map(p => col(s"__fill.$p").as(p)): _*)
   }
+
+  /** Keyless point-in-interval range join: every (point, interval)
+    * pair with lo <= pointTime <= hi — WITHOUT the cartesian product a
+    * naive `ON t BETWEEN lo AND hi` theta-join costs in Spark
+    * (BroadcastNestedLoopJoin: every point against every interval).
+    * DuckDB runs this shape natively via IEJoin; this is the
+    * equivalent scale shape for Spark's hash-join machinery.
+    *
+    * Shape: time is chunked into fixed buckets; each interval explodes
+    * into the buckets it covers (fan-out bounded by
+    * duration/bucketSeconds + 1), each point maps to exactly ONE
+    * bucket, and the equi-join on bucket carries the pair — so a
+    * matching pair meets in exactly one bucket and needs no dedup.
+    * The exact containment predicate then filters bucket-mates.
+    *
+    * Scale notes:
+    *  - pick bucketSeconds near the median interval length: too small
+    *    multiplies interval fan-out, too large multiplies
+    *    false bucket-mates the filter must discard;
+    *  - work is hash-partitioned by bucket — a hot time window (flash
+    *    event) concentrates in its bucket's task; salt the bucket id
+    *    with a point-side hash suffix if one wall-clock hour dominates;
+    *  - both sides shuffle once, on the bucket id.
+    */
+  def rangeJoin(points: DataFrame, ptTime: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val pb = points.withColumn("__b",
+      floor(unix_timestamp(col(ptTime)) / bucketSeconds).cast("long"))
+    val ib = intervals.withColumn("__b", explode(sequence(
+      floor(unix_timestamp(col(loCol)) / bucketSeconds).cast("long"),
+      floor(unix_timestamp(col(hiCol)) / bucketSeconds).cast("long"))))
+    pb.join(ib, Seq("__b"))
+      .filter(col(ptTime) >= col(loCol) && col(ptTime) <= col(hiCol))
+      .drop("__b")
+  }
 }

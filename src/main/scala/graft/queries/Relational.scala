@@ -294,6 +294,29 @@ object Relational {
         .select(col("event_id"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date"))
         .orderBy("event_id")
+    },
+
+    // --- keyless range join (TemporalOps.rangeJoin): every purchase
+    // (sampled) opens a 10-minute window; count ALL events inside it.
+    // DuckDB's oracle runs its native IEJoin; the Spark side is the
+    // bucket-join shape that avoids the BroadcastNestedLoop cartesian.
+    Q.df("q34_range_join",
+      """WITH i AS (SELECT event_id AS interval_id, ts AS lo,
+        |             ts + INTERVAL 10 MINUTE AS hi
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND event_id % 20 = 0)
+        |SELECT i.interval_id, count(*) AS n
+        |FROM i JOIN events e ON e.ts >= i.lo AND e.ts <= i.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.TemporalOps
+      val ev = Tables.t(s, dir, "events")
+      val iv = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+        .select(col("event_id").as("interval_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      TemporalOps.rangeJoin(ev, "ts", iv, "lo", "hi", bucketSeconds = 600L)
+        .groupBy("interval_id").agg(count(lit(1)).as("n"))
+        .orderBy("interval_id")
     }
   )
 }

@@ -45,6 +45,31 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("event_id", "user_id", "ts", "order_id", "rt"))
   }
 
+  test("rangeJoin matches inclusive bounds across bucket boundaries") {
+    val points = Seq(
+      (1L, t("2024-01-01 10:00:00")), // == lo of A: inclusive
+      (2L, t("2024-01-01 11:30:00")), // inside A, crosses an hour bucket
+      (3L, t("2024-01-01 12:00:00")), // == hi of A: inclusive
+      (4L, t("2024-01-01 12:00:01")), // just past hi
+      (5L, t("2024-01-01 03:00:00"))  // matches nothing
+    ).toDF("pid", "ts")
+    val intervals = Seq(
+      ("A", t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00")),
+      ("B", t("2024-01-01 11:00:00"), t("2024-01-01 11:59:59"))
+    ).toDF("iid", "lo", "hi")
+    val got = TemporalOps.rangeJoin(points, "ts", intervals, "lo", "hi")
+      .select("pid", "iid").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "A"), (2L, "A"), (3L, "A"), (2L, "B")))
+  }
+
+  test("rangeJoin emits each matching pair exactly once (no bucket dups)") {
+    // interval spans 3 hourly buckets; the midpoint point must appear once
+    val points = Seq((1L, t("2024-01-01 11:00:00"))).toDF("pid", "ts")
+    val intervals = Seq(("A", t("2024-01-01 10:30:00"), t("2024-01-01 12:30:00")))
+      .toDF("iid", "lo", "hi")
+    assert(TemporalOps.rangeJoin(points, "ts", intervals, "lo", "hi").count() === 1)
+  }
+
   test("asofJoin rejects payload/left column collisions") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoin(left, "user_id", "ts",
