@@ -61,4 +61,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       "expected partial aggregation before the group-by shuffle")
   }
+
+  test("q33: as-of join is union+window — no join node, no cartesian") {
+    val p = executedPlan("q33_asof_join")
+    assert(p.contains("Window"), "as-of should run as a window fill")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "as-of must not fall back to a nested-loop/cartesian join")
+  }
+
+  test("q34: range join is a hash equi-join on the bucket, never a nested loop") {
+    val p = executedPlan("q34_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a cartesian shape:\n$p")
+    assert(p.contains("Join"), "expected a (hash) join on the bucket id")
+  }
+
+  test("q54: IVF assignment is map-side — no Exchange before the projection") {
+    val df = SparkEntry.queries("q54_ivf_assign")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the harness ORDER BY (range); the
+    // assignment itself must not hash-shuffle anything
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"IVF assignment should not shuffle:\n$p")
+    assert(p.contains("vec_ldot"), "assignment should use the native expression")
+  }
 }
