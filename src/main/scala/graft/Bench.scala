@@ -21,9 +21,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warmup: the bench measures operators,
     // not session startup (without this the first query absorbs ~6 s of
-    // class loading + codegen framework init).
+    // class loading + codegen framework init). The warmup exercises the
+    // codegen templates the suite reuses — decimal partial aggregation,
+    // window, broadcast hash join — on the 5-row region table, so the
+    // first REAL query pays for its operator, not for compiling Spark's
+    // aggregate/window/join codegen classes (round-5 profiling: first
+    // run +1–2 s vs steady state purely from template compilation).
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    region.createOrReplaceTempView("warmup_region")
+    spark.sql(
+      """SELECT r_regionkey, sum(cast(r_regionkey as decimal(30,10))),
+        |  count(*), min(r_name), max(r_regionkey)
+        |FROM warmup_region GROUP BY r_regionkey""".stripMargin).collect()
+    spark.sql(
+      """SELECT r_regionkey, sum(r_regionkey) OVER (ORDER BY r_name),
+        |  row_number() OVER (PARTITION BY r_regionkey ORDER BY r_name)
+        |FROM warmup_region""".stripMargin).collect()
+    spark.sql(
+      """SELECT a.r_name FROM warmup_region a
+        |JOIN warmup_region b ON a.r_regionkey = b.r_regionkey
+        |ORDER BY a.r_name LIMIT 3""".stripMargin).collect()
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
