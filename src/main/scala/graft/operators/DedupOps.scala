@@ -225,6 +225,68 @@ object DedupOps {
     ManagedResult(result, () => { withSig.unpersist(); () })
   }
 
+  /** Portable MinHash+LSH near-dup pairs: the SAME pipeline shape as
+    * [[minhashLshPairs]] (shingle → signature → banded buckets → skew
+    * cap → candidate join → exact-Jaccard verify) built ENTIRELY from
+    * engine-agnostic arithmetic, so the whole operator — candidate
+    * generation included — is verifiable against a DuckDB oracle
+    * (q45):
+    *  - shingle hash: polynomial rolling hash mod 1e9+7 (the q63
+    *    fingerprint — already oracle-pinned);
+    *  - permutations: affine maps h → ((2p+1)·h + p) mod 1e9+7
+    *    (odd multipliers, all intermediates < 3.3e10 — exact int64 in
+    *    every engine);
+    *  - band key: positional pair-encode sig[2b]·(1e9+7) + sig[2b+1]
+    *    (collision-free, < 9.3e17 — no hash needed).
+    *
+    * Product deployments use [[minhashLshPairs]] (xxhash64 + the typed
+    * fast path: better dispersion, ~an order faster on long texts);
+    * this variant exists so the LSH mechanism itself carries a
+    * hash-matched oracle rather than a rows-only check.
+    */
+  def portableMinhashPairsManaged(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 64): ManagedResult = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    require(rows == 2, "band pair-encoding expects exactly 2 rows per band")
+    val M = 1000000007L
+    val hv = transform(col("sh"), s => graft.operators.TextAnalysisOps.fingerprint(s))
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
+        p => array_min(transform(hv, h => ((p * 2 + 1) * h + p) % M))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandrec = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            (element_at(col("sig"), b * 2 + 1) * M +
+              element_at(col("sig"), b * 2 + 2)).as("band_hash")))).as("r"))
+      .select(col("doc_id"), col("r.band").as("band"), col("r.band_hash").as("band_hash"))
+    val capped = capBuckets(bandrec, Seq("band", "band_hash"), maxBucket)
+    val l = capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = base.select(col("doc_id"), col("sh"))
+    val result = cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    ManagedResult(result, () => { base.unpersist(); () })
+  }
+
+  /** One-shot wrapper over [[portableMinhashPairsManaged]]. */
+  def portableMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame =
+    portableMinhashPairsManaged(docs, idCol, textCol, shingleWords, k, bands, maxBucket).df
+
   /** Skew guard shared by the LSH-style self-joins: drop buckets larger
     * than maxBucket before pairing (hot buckets are near-useless for
     * dedup and quadratic in cost).

@@ -70,6 +70,59 @@ object Dedup {
         Tables.t(s, dir, "documents").filter(col("doc_id") < 60),
         "doc_id", "text", "lang", n = 3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // portable MinHash+LSH: the whole pipeline (shingle → rolling-hash
+    // signature → pair-encoded bands → QUALIFY-capped buckets →
+    // candidate join → exact Jaccard) reproduced in DuckDB, so the LSH
+    // mechanism itself is hash-verified — q42 (xxhash64 product path)
+    // keeps the rows-only check + DedupSpec pinning.
+    Q.df("q45_portable_minhash",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hv
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      p -> list_min(list_transform(hv, h -> ((2*p+1)*h + p) % 1000000007))) AS sg
+        |  FROM hs
+        |),
+        |bandrec AS (
+        |  SELECT doc_id, b,
+        |    sg[CAST(2*b+1 AS INT)] * 1000000007 + sg[CAST(2*b+2 AS INT)] AS bh
+        |  FROM sig, range(0, 4) t(b)
+        |),
+        |capped AS (
+        |  SELECT * FROM bandrec QUALIFY count(*) OVER (PARTITION BY b, bh) <= 64
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM capped a JOIN capped c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |    len(list_distinct(x.sh || y.sh)) AS jaccard
+        |FROM cand JOIN base x ON x.doc_id = cand.doc_a
+        |          JOIN base y ON y.doc_id = cand.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      DedupOps.portableMinhashPairs(
+        Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

@@ -56,6 +56,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("portableMinhashPairs finds the same dup structure as the product path") {
+    val pairs = DedupOps.portableMinhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
   test("simhash64 is identical for identical text, near for near-dup") {
     val m = DedupOps.simhashWithPeers(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
