@@ -287,6 +287,55 @@ object DedupOps {
       maxBucket: Int = 64): DataFrame =
     portableMinhashPairsManaged(docs, idCol, textCol, shingleWords, k, bands, maxBucket).df
 
+  /** Portable 32-bit SimHash with capped chunk-peer counts — the
+    * [[simhashWithPeers]] shape (map-side hash → 8-bit chunk buckets →
+    * skew cap → self-join peer count) over rolling-hash token digests
+    * instead of xxhash64, so the whole operator is DuckDB-verifiable
+    * (q46). Bit j of the simhash is set iff more token hashes have bit
+    * j set than clear (ties → clear, both engines). Product
+    * deployments use the 64-bit xxhash64 path.
+    */
+  def portableSimhashPeersManaged(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 64): ManagedResult = {
+    val hv = transform(tokens(col(textCol)),
+      t => graft.operators.TextAnalysisOps.fingerprint(t))
+    val counters = aggregate(
+      hv,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)))
+    val sim = aggregate(
+      zip_with(counters, sequence(lit(0), lit(31)),
+        (cnt, j) => when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), sim.as("simhash32"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = base.select(col("doc_id"), col("simhash32"),
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("chunk"),
+            call_function("shiftright", col("simhash32"), (c * 8).cast("int"))
+              .bitwiseAND(lit(255L)).as("chunk_val")))).as("c"))
+      .select(col("doc_id"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+    val capped = capBuckets(chunks, Seq("chunk", "chunk_val"), maxBucket)
+    val peers = capped.as("a").join(capped.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("peer"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunk_peers"))
+    val result = base.join(peers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash32"),
+        coalesce(col("n_chunk_peers"), lit(0L)).as("n_chunk_peers"))
+    ManagedResult(result, () => { base.unpersist(); () })
+  }
+
+  /** One-shot wrapper over [[portableSimhashPeersManaged]]. */
+  def portableSimhashPeers(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 64): DataFrame =
+    portableSimhashPeersManaged(docs, idCol, textCol, maxBucket).df
+
   /** Skew guard shared by the LSH-style self-joins: drop buckets larger
     * than maxBucket before pairing (hot buckets are near-useless for
     * dedup and quadratic in cost).

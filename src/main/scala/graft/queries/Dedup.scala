@@ -123,6 +123,47 @@ object Dedup {
       DedupOps.portableMinhashPairs(
         Tables.t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // portable 32-bit simhash + capped chunk peers, DuckDB-verified
+    // (q43's xxhash64 path keeps the rows-only check + spec pinning)
+    Q.df("q46_portable_simhash",
+      """WITH hv AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      s -> list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(s) + 1),
+        |            i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000007)) AS hs
+        |  FROM documents
+        |),
+        |sim AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 32),
+        |      j -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> CAST(j AS INT)) & 1 = 1)) > len(hs)
+        |                THEN 1 << CAST(j AS INT) ELSE 0 END)) AS simhash32
+        |  FROM hv
+        |),
+        |chunks AS (
+        |  SELECT doc_id, simhash32, c, (simhash32 >> CAST(8*c AS INT)) & 255 AS cv
+        |  FROM sim, range(0, 4) t(c)
+        |),
+        |capped AS (
+        |  SELECT * FROM chunks QUALIFY count(*) OVER (PARTITION BY c, cv) <= 64
+        |),
+        |peers AS (
+        |  SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_chunk_peers
+        |  FROM capped a JOIN capped b ON a.c = b.c AND a.cv = b.cv AND a.doc_id <> b.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT s.doc_id, CAST(s.simhash32 AS BIGINT) AS simhash32,
+        |  COALESCE(p.n_chunk_peers, 0) AS n_chunk_peers
+        |FROM sim s LEFT JOIN peers p ON s.doc_id = p.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.portableSimhashPeers(
+        Tables.t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

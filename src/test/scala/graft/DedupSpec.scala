@@ -63,6 +63,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("portableSimhashPeers: identical docs share simhash32 and count each other") {
+    val got = DedupOps.portableSimhashPeers(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 === got(2L)._1) // identical text, identical hash
+    assert(got(1L)._2 >= 1L && got(2L)._2 >= 1L) // they share all chunks
+  }
+
   test("simhash64 is identical for identical text, near for near-dup") {
     val m = DedupOps.simhashWithPeers(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
