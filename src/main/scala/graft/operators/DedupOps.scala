@@ -244,6 +244,82 @@ object DedupOps {
     * this variant exists so the LSH mechanism itself carries a
     * hash-matched oracle rather than a rows-only check.
     */
+  /** Rolling hash of a string's code points — the JVM twin of
+    * [[graft.operators.TextAnalysisOps.fingerprint]] (split("")+ascii
+    * never separates surrogate pairs, so both walk code points).
+    */
+  private def rollingHashJvm(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Expression form of the portable signature projection — the
+    * semantic spec; [[portableSignatureRows]] is the bit-identical
+    * typed fast path the pipeline actually runs (the triple-nested
+    * per-shingle-per-char HOF costs ~14 s at sf0.1 vs ~1 s typed —
+    * the same interpreted-lambda tax signatureRows escapes).
+    */
+  private[graft] def portableSignatureExpr(docs: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int, k: Int): DataFrame = {
+    val M = 1000000007L
+    val hv = transform(col("sh"), s => graft.operators.TextAnalysisOps.fingerprint(s))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
+        p => array_min(transform(hv, h => ((p * 2 + 1) * h + p) % M))))
+  }
+
+  private[graft] def portableSignatureRows(docs: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val M = 1000000007L
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          if (toks.length < shingleWords) Iterator.empty
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + shingleWords <= toks.length) {
+              val sb = new StringBuilder(toks(i))
+              var j = 1
+              while (j < shingleWords) { sb.append(' ').append(toks(i + j)); j += 1 }
+              seen.add(sb.toString); i += 1
+            }
+            val sh = seen.toArray(new Array[String](seen.size))
+            val hv = new Array[Long](sh.length)
+            i = 0
+            while (i < sh.length) { hv(i) = rollingHashJvm(sh(i)); i += 1 }
+            val sig = new Array[Long](k)
+            var p = 0
+            while (p < k) {
+              var minH = Long.MaxValue
+              i = 0
+              while (i < hv.length) {
+                val h = ((p * 2 + 1) * hv(i) + p) % M
+                if (h < minH) minH = h
+                i += 1
+              }
+              sig(p) = minH; p += 1
+            }
+            Iterator.single((id, sh, sig))
+          }
+        }
+      }
+      .toDF("doc_id", "sh", "sig")
+  }
+
   def portableMinhashPairsManaged(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 8, bands: Int = 4,
       maxBucket: Int = 64): ManagedResult = {
@@ -251,13 +327,7 @@ object DedupOps {
     val rows = k / bands
     require(rows == 2, "band pair-encoding expects exactly 2 rows per band")
     val M = 1000000007L
-    val hv = transform(col("sh"), s => graft.operators.TextAnalysisOps.fingerprint(s))
-    val base = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        wordShingles(col(textCol), shingleWords).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)),
-        p => array_min(transform(hv, h => ((p * 2 + 1) * h + p) % M))))
+    val base = portableSignatureRows(docs, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandrec = base.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -295,8 +365,12 @@ object DedupOps {
     * j set than clear (ties → clear, both engines). Product
     * deployments use the 64-bit xxhash64 path.
     */
-  def portableSimhashPeersManaged(docs: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 64): ManagedResult = {
+  /** Expression form of the portable 32-bit simhash — the semantic
+    * spec; the pipeline runs [[portableSimhashRows]] (bit-identical,
+    * typed) for the same interpreted-fold reason as the minhash path.
+    */
+  private[graft] def portableSimhashExpr(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val hv = transform(tokens(col(textCol)),
       t => graft.operators.TextAnalysisOps.fingerprint(t))
     val counters = aggregate(
@@ -309,8 +383,42 @@ object DedupOps {
       zip_with(counters, sequence(lit(0), lit(31)),
         (cnt, j) => when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
-    val base = docs
-      .select(col(idCol).cast("long").as("doc_id"), sim.as("simhash32"))
+    docs.select(col(idCol).cast("long").as("doc_id"), sim.as("simhash32"))
+  }
+
+  private[graft] def portableSimhashRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counters = new Array[Int](32)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(counters, 0)
+          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          var i = 0
+          while (i < toks.length) {
+            val h = rollingHashJvm(toks(i))
+            var j = 0
+            while (j < 32) {
+              if (((h >> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+              j += 1
+            }
+            i += 1
+          }
+          var sim = 0L
+          var j = 0
+          while (j < 32) { if (counters(j) > 0) sim |= (1L << j); j += 1 }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "simhash32")
+  }
+
+  def portableSimhashPeersManaged(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 64): ManagedResult = {
+    val base = portableSimhashRows(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = base.select(col("doc_id"), col("simhash32"),
         explode(transform(sequence(lit(0), lit(3)),

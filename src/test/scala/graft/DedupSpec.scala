@@ -63,6 +63,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("typed portable-minhash fast path is bit-identical to the expression pipeline") {
+    val a = DedupOps.portableSignatureExpr(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect()
+    val b = DedupOps.portableSignatureRows(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(x.getSeq[String](1) === y.getSeq[String](1))
+      assert(x.getSeq[Long](2) === y.getSeq[Long](2))
+    }
+  }
+
+  test("typed portable-simhash fast path is bit-identical to the expression fold") {
+    val a = DedupOps.portableSimhashExpr(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = DedupOps.portableSimhashRows(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a === b)
+  }
+
   test("portableSimhashPeers: identical docs share simhash32 and count each other") {
     val got = DedupOps.portableSimhashPeers(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
