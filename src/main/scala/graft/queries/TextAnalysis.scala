@@ -84,7 +84,7 @@ object TextAnalysis {
 
     // --- deterministic content-keyed train/val/test split (80/10/10)
     Q.df("q64_train_split",
-      """SELECT doc_id, b AS bucket,
+      """SELECT doc_id, CAST(b AS BIGINT) AS bucket,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
         |        CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
