@@ -209,25 +209,35 @@ object VectorExpressions {
   /** (identifier, info, builder) triples for SparkSessionExtensions
     * `injectFunction` and for direct FunctionRegistry registration.
     */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name requires exactly $n arguments, got ${args.length}")
+      build(args)
+    }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("vec_ldot"),
         new ExpressionInfo(classOf[VecLongDot].getName, "vec_ldot"),
-        (args: Seq[Expression]) => VecLongDot(args(0), args(1))),
+        arity("vec_ldot", 2)(args => VecLongDot(args(0), args(1)))),
       (FunctionIdentifier("vec_lnorm2"),
         new ExpressionInfo(classOf[VecLongNorm2].getName, "vec_lnorm2"),
-        (args: Seq[Expression]) => VecLongNorm2(args(0))),
+        arity("vec_lnorm2", 1)(args => VecLongNorm2(args(0)))),
       (FunctionIdentifier("vec_fdot"),
         new ExpressionInfo(classOf[VecFloatDot].getName, "vec_fdot"),
-        (args: Seq[Expression]) => VecFloatDot(args(0), args(1))))
+        arity("vec_fdot", 2)(args => VecFloatDot(args(0), args(1)))))
 
   /** Idempotently register on an already-built session (the extensions
     * route below is preferred when the caller controls the builder).
+    * Skips names that already resolve, so operator-level install calls
+    * on a long-lived session don't spam 'function replaced' warnings.
     */
   def install(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     descriptions.foreach { case (ident, info, builder) =>
-      reg.registerFunction(ident, info, builder)
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
     }
   }
 }

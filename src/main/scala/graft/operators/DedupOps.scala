@@ -128,6 +128,26 @@ object DedupOps {
       maxBucket: Int = 64): DataFrame =
     minhashLshPairsManaged(docs, idCol, textCol, shingleWords, k, bands, maxBucket).df
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Exact replica of [[tokens]] (`split(trim(text), "\\s+")`) for the
+    * typed fast paths: Spark's `trim` strips SPACES only (not \n\t\r —
+    * unlike Java's String.trim), and Spark's `split` is Pattern.split
+    * with limit -1, which KEEPS leading/trailing empty tokens. DuckDB's
+    * trim/regexp_split_to_array behave identically (verified on edge
+    * corpora), so all three walks of a document agree token-for-token.
+    * NULL text maps to an empty token array (callers decide NULL
+    * semantics before/after).
+    */
+  private[graft] def sparkTokens(text: String): Array[String] = {
+    if (text == null) return Array.empty[String]
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    wsPattern.split(text.substring(b, e), -1)
+  }
+
   /** Exact replica of Spark's `xxhash64(string)` expression (seed 42,
     * XXH64 over utf8 bytes) — lets the typed fast path below produce
     * bit-identical signatures to the [[minhashSignature]] expression.
@@ -157,7 +177,7 @@ object DedupOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          val toks = sparkTokens(text)
           if (toks.length < shingleWords) Iterator.empty
           else {
             // distinct shingles, first-occurrence order (array_distinct)
@@ -286,7 +306,7 @@ object DedupOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          val toks = sparkTokens(text)
           if (toks.length < shingleWords) Iterator.empty
           else {
             val seen = new java.util.LinkedHashSet[String]()
@@ -371,8 +391,10 @@ object DedupOps {
     */
   private[graft] def portableSimhashExpr(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val hv = transform(tokens(col(textCol)),
-      t => graft.operators.TextAnalysisOps.fingerprint(t))
+    // same NULL-text ≡ simhash-0 convention as [[simhash64]]
+    val hv = coalesce(transform(tokens(col(textCol)),
+      t => graft.operators.TextAnalysisOps.fingerprint(t)),
+      array().cast("array<long>"))
     val counters = aggregate(
       hv,
       array_repeat(lit(0L), 32),
@@ -396,7 +418,7 @@ object DedupOps {
         val counters = new Array[Int](32)
         it.map { case (id, text) =>
           java.util.Arrays.fill(counters, 0)
-          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          val toks = sparkTokens(text)
           var i = 0
           while (i < toks.length) {
             val h = rollingHashJvm(toks(i))
@@ -481,7 +503,11 @@ object DedupOps {
     * expressions accept column shifts).
     */
   def simhash64(textCol: Column): Column = {
-    val hashes = transform(tokens(textCol), t => xxhash64(t))
+    // NULL text ≡ zero tokens ≡ simhash 0 — the typed fast path and
+    // the DuckDB portable oracle both land there; without the coalesce
+    // the aggregate propagates NULL and the paths diverge
+    val hashes = coalesce(transform(tokens(textCol), t => xxhash64(t)),
+      array().cast("array<long>"))
     val counters = aggregate(
       hashes,
       array_repeat(lit(0L), 64),
@@ -526,7 +552,7 @@ object DedupOps {
         val counters = new Array[Int](64)
         it.map { case (id, text) =>
           java.util.Arrays.fill(counters, 0)
-          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          val toks = sparkTokens(text)
           var i = 0
           while (i < toks.length) {
             val h = xxh64String(toks(i), 42L)

@@ -105,6 +105,11 @@ object TemporalOps {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketSeconds: Long = 3600L): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must not share column names: $shared")
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "column name __b is reserved by rangeJoin")
     val pb = points.withColumn("__b",
       floor(unix_timestamp(col(ptTime)) / bucketSeconds).cast("long"))
     val ib = intervals.withColumn("__b", explode(sequence(

@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     (5L, "ab", "en")                 // shorter than any shingle
   ).toDF("doc_id", "text", "lang")
 
+  /** [[docs]] plus the tokenization edge cases where Java's
+    * trim/split would diverge from Spark's (space-only trim, empties
+    * kept by split limit -1) — used by the fast-path bit-identity
+    * tests so the typed walks stay pinned to the expression semantics
+    * on real-corpus shapes, not just clean prose.
+    */
+  private def edgeDocs = docs.union(Seq(
+    (6L, "alpha beta gamma\n", "en"),       // trailing newline
+    (7L, "\talpha beta gamma", "en"),       // leading tab
+    (8L, " alpha  beta   gamma ", "en"),    // extra spaces
+    (9L, "", "en"),                         // empty text
+    (10L, null.asInstanceOf[String], "en")  // NULL text
+  ).toDF("doc_id", "text", "lang"))
+
   test("exactDupGroups groups identical texts, keeps min id") {
     val rows = DedupOps.exactDupGroups(docs, "doc_id", "text")
       .filter($"n_copies" > 1).collect()
@@ -64,9 +78,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("typed portable-minhash fast path is bit-identical to the expression pipeline") {
-    val a = DedupOps.portableSignatureExpr(docs, "doc_id", "text", 3, 8)
+    val a = DedupOps.portableSignatureExpr(edgeDocs, "doc_id", "text", 3, 8)
       .orderBy("doc_id").collect()
-    val b = DedupOps.portableSignatureRows(docs, "doc_id", "text", 3, 8)
+    val b = DedupOps.portableSignatureRows(edgeDocs, "doc_id", "text", 3, 8)
       .orderBy("doc_id").collect()
     assert(a.length === b.length)
     a.zip(b).foreach { case (x, y) =>
@@ -77,9 +91,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("typed portable-simhash fast path is bit-identical to the expression fold") {
-    val a = DedupOps.portableSimhashExpr(docs, "doc_id", "text")
+    val a = DedupOps.portableSimhashExpr(edgeDocs, "doc_id", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val b = DedupOps.portableSimhashRows(docs, "doc_id", "text")
+    val b = DedupOps.portableSimhashRows(edgeDocs, "doc_id", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a === b)
   }
@@ -116,23 +130,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("typed minhash fast path is bit-identical to the expression pipeline") {
-    val exprSide = docs
+    val exprSide = edgeDocs
       .select($"doc_id",
         DedupOps.wordShingles($"text", 3).as("shingles"))
       .filter(size($"shingles") > 0)
       .withColumn("sig", DedupOps.minhashSignature($"shingles", 16))
       .select("doc_id", "shingles", "sig")
       .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Long](2))).toSet
-    val typedSide = DedupOps.signatureRows(docs, "doc_id", "text", 3, 16)
+    val typedSide = DedupOps.signatureRows(edgeDocs, "doc_id", "text", 3, 16)
       .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Long](2))).toSet
     assert(typedSide === exprSide)
   }
 
   test("typed simhash fast path is bit-identical to the expression fold") {
-    val exprSide = docs
+    val exprSide = edgeDocs
       .select($"doc_id", DedupOps.simhash64($"text").as("simhash"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val typedSide = DedupOps.simhashRows(docs, "doc_id", "text")
+    val typedSide = DedupOps.simhashRows(edgeDocs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(typedSide === exprSide)
   }

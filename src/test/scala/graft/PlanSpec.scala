@@ -77,13 +77,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q54: IVF assignment is map-side — no Exchange before the projection") {
-    val df = SparkEntry.queries("q54_ivf_assign")(spark, dir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
     // the only exchange allowed is the harness ORDER BY (range); the
     // assignment itself must not hash-shuffle anything
+    val p = executedPlan("q54_ivf_assign")
     assert(!p.contains("Exchange hashpartitioning"),
       s"IVF assignment should not shuffle:\n$p")
     assert(p.contains("vec_ldot"), "assignment should use the native expression")
+  }
+
+  test("q94: stream-static enrichment broadcasts the dim side") {
+    val p = executedPlan("q94_stream_enriched")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim side must ride a broadcast join, not a shuffle:\n$p")
   }
 }
