@@ -42,5 +42,21 @@ object Streaming {
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("n_name"), col("n"))
         .orderBy("hr", "n_name")
+    },
+
+    // stream-stream attribution join (batch twin): purchases within
+    // one hour after a view by the same user
+    Q.df("q95_stream_attribution",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      StreamOps.attributionJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy("view_id", "purchase_id")
     })
 }

@@ -57,6 +57,33 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour_start"), col(dimVal), col("n"))
 
+  /** Stream-stream attribution join: (view, purchase) pairs of the
+    * same user where the purchase lands within `window` AFTER the
+    * view. Both inputs carry watermarks and the join condition carries
+    * the time-range bound — that is what makes streaming state FINITE:
+    * a buffered view is evicted once the watermark passes
+    * view_ts + window, a purchase once it passes its own timestamp; an
+    * unconstrained stream-stream equi-join would buffer both streams
+    * forever. State is hash-partitioned by user, so it scales out with
+    * executors like every other keyed operator here.
+    *
+    * Inputs are event-shaped (event_id, user_id, ts); in batch mode
+    * the watermarks are eliminated and this is a plain self-join —
+    * which is how the DuckDB oracle (q95) verifies it.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, expr(
+        s"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval $window"))
+      .select(col("view_id"), col("purchase_id"))
+  }
+
   /** Streaming exact dedup: keep the first document per content digest
     * within the watermark horizon. State stores only (digest) — the
     * bounded-state streaming analogue of DedupOps.dedupKeepFirst.

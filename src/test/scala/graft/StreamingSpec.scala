@@ -68,6 +68,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin pairs views with purchases inside the window, both streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    // Event has no event_id field; derive one from `value`
+    def withId(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("event_id", org.apache.spark.sql.functions.col("value").cast("long"))
+    val df = StreamOps.attributionJoin(withId(views.toDF()), withId(purchases.toDF()),
+      window = "1 hour", watermark = "30 minutes")
+    val q = startQuery(df, "attr_out")
+    try {
+      // Event(user_id, ts, type, value); event ids come from value here
+      views.addData(Event(1, ts(0), "view", 100.0))
+      purchases.addData(
+        Event(1, ts(30), "purchase", 200.0),  // same user, inside window
+        Event(1, ts(150), "purchase", 201.0), // same user, outside window
+        Event(2, ts(10), "purchase", 202.0))  // other user
+      q.processAllAvailable()
+      val got = spark.table("attr_out").count()
+      assert(got === 1L) // only the in-window same-user purchase matches
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps the first doc per digest within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
