@@ -135,4 +135,51 @@ object TextAnalysisOps {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test").as("split"))
   }
+
+  /** Deterministic stratified sampling: keep `pctByStratum(stratum)`
+    * percent of each stratum (language, source, …), decided by a
+    * SALTED content hash — the salt decorrelates the sampling decision
+    * from [[trainSplit]]'s bucket so sampling then splitting behaves
+    * like two independent draws. Same scale/stability properties as
+    * trainSplit: map-side, no shuffle, no RNG, identical on any
+    * cluster size or engine (vs `df.stat.sampleBy`, whose seed-based
+    * draw is neither cross-engine nor content-stable).
+    */
+  def stratifiedSample(docs: DataFrame, textCol: String, stratumCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((defaultPct +: pctByStratum.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "percentages must be within [0, 100]")
+    val bucket = conv(substring(md5(concat(col(textCol), lit("#strat"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    // sorted fold keeps the when-chain deterministic across Map orderings
+    val pct = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) => when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    docs.filter(bucket < pct)
+  }
+
+  /** ALL word n-grams of a text column (NOT distinct — frequency
+    * counting needs multiplicity; contrast DedupOps.wordShingles).
+    * Texts shorter than n tokens yield an empty array.
+    */
+  def wordGramsAll(c: Column, n: Int): Column = {
+    val toks = DedupOps.tokens(c)
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-level top-k n-gram vocabulary with counts (vocabulary /
+    * stopword induction). Shape at scale: explode is map-side, the
+    * groupBy count does ONE shuffle on the gram with map-side partial
+    * aggregation (hot grams collapse per-partition first — "the the"
+    * appearing a billion times is one partial row per map task), and
+    * the top-k is a TakeOrderedAndProject, never a global sort. Ties
+    * break lexicographically so the result is deterministic.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(wordGramsAll(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(k)
 }

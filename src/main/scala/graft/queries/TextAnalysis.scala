@@ -92,6 +92,35 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.trainSplit(Tables.t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // --- deterministic stratified sample: 50% of en, 20% of the rest,
+    // decided by a salted content hash (no RNG, engine-stable)
+    Q.df("q65_stratified_sample",
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |        CAST(('0x' || substring(md5(text || '#strat'), 1, 8)) AS UBIGINT) % 100 AS b
+        |      FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.stratifiedSample(Tables.t(s, dir, "documents"),
+          "text", "lang", Map("en" -> 50), defaultPct = 20)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // --- top-20 word bigrams with counts (vocabulary induction)
+    Q.df("q66_top_ngrams",
+      """WITH toksrc AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+        |  FROM toksrc WHERE len(toks) >= 2
+        |)
+        |SELECT gram, count(*) AS n FROM grams
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.topNgrams(Tables.t(s, dir, "documents"), "text", n = 2, k = 20)
     }
   )
 }

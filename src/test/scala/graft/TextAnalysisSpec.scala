@@ -53,6 +53,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp === 3105L)
   }
 
+  test("stratifiedSample keeps per-stratum rates, deterministically") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i", if (i <= 100) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysisOps.stratifiedSample(docs, "text", "lang",
+      Map("en" -> 100, "de" -> 0), defaultPct = 50)
+      .select("lang").as[String].collect()
+    assert(kept.count(_ == "en") === 100) // 100% of en kept
+    assert(!kept.contains("de"))          // 0% of de kept
+    // repeatable: same input, same sample
+    val again = TextAnalysisOps.stratifiedSample(docs, "text", "lang",
+      Map("en" -> 100, "de" -> 0), defaultPct = 50).count()
+    assert(again === 100L)
+  }
+
+  test("topNgrams counts multiplicity and breaks ties lexicographically") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x y")).toDF("doc_id", "text")
+    // bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x","x y"
+    val got = TextAnalysisOps.topNgrams(docs, "text", 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("trainSplit: content-keyed, duplicate docs share a split, boundaries hold") {
     // md5("hello") = 5d41402a… → 0x5d41402a = 1564557354 → bucket 54 → train
     val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "different doc"))
