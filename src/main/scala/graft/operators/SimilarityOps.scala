@@ -227,6 +227,32 @@ object SimilarityOps {
       .orderBy(col("dot").desc, col("vec_id")).limit(k)
   }
 
+  /** One Lloyd/k-means update step for the IVF coarse quantizer:
+    * assign every vector to its nearest centroid (same map-side argmax
+    * as [[ivfAssign]]), then emit per-(cluster, dimension) SUMS of the
+    * quantized components plus member counts — the caller divides
+    * sum/count to get the new centroid. Emitting exact integer sums
+    * instead of means keeps the operator bit-reproducible on any
+    * engine/partitioning (double means are summation-order dependent).
+    *
+    * Scale shape: assignment is map-side; `posexplode` fans each row
+    * into `dim` (cluster, pos, q) rows that partial-aggregate BEFORE
+    * the one shuffle on (cluster, pos) — k·dim result rows total, so
+    * the reduce side is trivially small no matter the corpus size.
+    * Iterating = feeding the new centroids back in; each step is one
+    * shuffle.
+    */
+  def ivfCentroidStep(embs: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long]): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
+    val cents = collectCentroids(embs, idCol, vecCol, centroidIds)
+    val qv = quantize(col(vecCol))
+    val (cluster, _) = nearestCentroid(cents, qv)
+    embs.select(cluster.as("cluster"), posexplode(qv).as(Seq("pos", "q")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("n"))
+  }
+
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
     graft.functions.VectorExpressions.install(embs.sparkSession)

@@ -97,6 +97,21 @@ object Similarity {
         queryId = 0L, bits = 8, k = 10)
     },
 
+    // --- one k-means/Lloyd step over the IVF lists: exact per-cluster
+    // per-dimension quantized sums + counts (sum, not mean: integer
+    // sums are order-independent, double means are not)
+    Q.df("q56_ivf_centroid_step",
+      s"""WITH $ivfBase
+         |SELECT b.cid AS cluster, t.pos - 1 AS pos,
+         |  CAST(sum(e.qv[CAST(t.pos AS INT)]) AS BIGINT) AS q_sum, count(*) AS n
+         |FROM best b JOIN e ON e.vec_id = b.vec_id, range(1, 65) t(pos)
+         |WHERE b.rn = 1
+         |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin) { (s, dir) =>
+      SimilarityOps.ivfCentroidStep(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding", ivfCents)
+        .orderBy("cluster", "pos")
+    },
+
     // --- near-dup pairs within 6-bit sign buckets (bucketed self-join)
     Q.df("q52_bucketed_pairs",
       s"""WITH b AS (

@@ -97,6 +97,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("ivfCentroidStep sums quantized components per (cluster, dim)") {
+    val got = SimilarityOps.ivfCentroidStep(embs, "vec_id", "embedding", Seq(0L, 2L))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // cluster 0 holds vecs 0 and 1: dim0 q-sum = 10000 + 8999
+    // (q(0.9f) floors to 8999 — float 0.9 is 0.8999999761… as double)
+    assert(got((0L, 0)) === ((18999L, 2L)))
+    // cluster 2 holds vecs 2 and 3: dim0 q-sum = 0 + (-10000)
+    assert(got((2L, 0)) === ((-10000L, 2L)))
+    assert(got.keys.map(_._2).max === 3) // all 4 dims present
+  }
+
   test("ivfTopK with nprobe=1 searches only the nearest inverted list") {
     // query 0's nearest centroid is itself; only vec 1 shares that list
     val ivf = SimilarityOps.ivfTopK(embs, "vec_id", "embedding", 0L,
