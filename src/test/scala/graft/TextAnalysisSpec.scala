@@ -75,6 +75,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("typed gramRows matches explode(wordGramsAll) gram-for-gram") {
+    val docs = Seq((1L, "a b a b c"), (2L, "one two"), (3L, "solo"),
+      (4L, " padded  text \n"), (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val exprSide = docs
+      .select(explode(TextAnalysisOps.wordGramsAll($"text", 2)).as("gram"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val typedSide = TextAnalysisOps.gramRows(docs, "text", 2)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(typedSide === exprSide)
+  }
+
   test("trainSplit: content-keyed, duplicate docs share a split, boundaries hold") {
     // md5("hello") = 5d41402a… → 0x5d41402a = 1564557354 → bucket 54 → train
     val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "different doc"))
