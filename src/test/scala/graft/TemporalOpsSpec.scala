@@ -70,6 +70,56 @@ class TemporalOpsSpec extends SparkSpec {
     assert(TemporalOps.rangeJoin(points, "ts", intervals, "lo", "hi").count() === 1)
   }
 
+  // deterministic pseudo-random stream (no RNG: reproducible failures)
+  private def mix(i: Long, salt: Long): Long =
+    math.abs(i * 6364136223846793005L + salt * 1442695040888963407L) % 100000L
+
+  test("asofJoin matches a naive per-row reference on pseudo-random data") {
+    val base = 86400000L
+    // keys 1..5, minute-grained times with deliberate collisions
+    val leftRows = (1L to 200L).map(i =>
+      (i, mix(i, 1) % 5 + 1, new Timestamp(base + (mix(i, 2) % 500) * 60000L)))
+    // unique per (key, time): keep max payload id — the operator's
+    // documented pre-aggregation contract
+    val rightRows = (1L to 150L)
+      .map(i => ((mix(i, 3) % 6 + 1, new Timestamp(base + (mix(i, 4) % 500) * 60000L)), i))
+      .groupBy(_._1).map { case ((k, t), vs) => (k, t, vs.map(_._2).max) }.toSeq
+    val left = leftRows.toDF("event_id", "user_id", "ts")
+    val right = rightRows.toDF("k", "rt", "order_id")
+    val got = TemporalOps.asofJoin(left, "user_id", "ts", right, "k", "rt", Seq("order_id"))
+      .select("event_id", "order_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    leftRows.foreach { case (id, key, lt) =>
+      val candidates = rightRows.filter { case (k, rt, _) =>
+        k == key && !rt.after(lt)
+      }
+      val expected =
+        if (candidates.isEmpty) -1L
+        else candidates.maxBy { case (_, rt, _) => rt.getTime }._3
+      assert(got(id) === expected, s"left row $id key $key at $lt")
+    }
+  }
+
+  test("rangeJoin matches a naive double loop, including sub-second edges") {
+    val base = 86400000L
+    // half-second offsets stress the second-truncated bucket math
+    val points = (1L to 300L).map(i =>
+      (i, new Timestamp(base + (mix(i, 5) % 20000) * 500L)))
+    val intervals = (1L to 50L).map { i =>
+      val lo = base + (mix(i, 6) % 18000) * 500L
+      (s"i$i", new Timestamp(lo), new Timestamp(lo + (mix(i, 7) % 40000) * 500L))
+    }
+    val got = TemporalOps.rangeJoin(points.toDF("pid", "ts"),
+        "ts", intervals.toDF("iid", "lo", "hi"), "lo", "hi", bucketSeconds = 601L)
+      .select("pid", "iid").as[(Long, String)].collect().toSet
+    val expected = (for {
+      (pid, t) <- points
+      (iid, lo, hi) <- intervals
+      if !t.before(lo) && !t.after(hi)
+    } yield (pid, iid)).toSet
+    assert(got === expected)
+  }
+
   test("asofJoin rejects payload/left column collisions") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoin(left, "user_id", "ts",
