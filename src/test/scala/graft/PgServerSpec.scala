@@ -254,6 +254,15 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("graft-native vector functions are callable over the wire") {
+    val c = connect()
+    val r = c.query(
+      "SELECT vec_ldot(CAST(array(1, 2, 3) AS ARRAY<BIGINT>), " +
+        "CAST(array(4, 5, 6) AS ARRAY<BIGINT>)) AS d")
+    assert(r.rows === Seq(Seq(Some("32"))))
+    c.close()
+  }
+
   test("multi-statement simple query returns one result set per statement") {
     val c = connect()
     val r = c.query("SELECT 1; SELECT 2")
