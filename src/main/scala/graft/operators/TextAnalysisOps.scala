@@ -189,6 +189,27 @@ object TextAnalysisOps {
       .toDF("gram")
   }
 
+  /** Per-stratum corpus statistics via sketch aggregates: discrete
+    * median through `percentile_approx` (Greenwald-Khanna quantile
+    * summary — at `accuracy` >> group size the sketch is exact and
+    * matches DuckDB's `quantile_disc`, which is how the q67 oracle
+    * pins it), exact distinct cardinality, and the HLL++ estimate
+    * (`approx_count_distinct` — deterministic: register-max merges are
+    * commutative, so the estimate is stable under any partitioning;
+    * TextAnalysisSpec pins the error bound and repartition stability).
+    *
+    * Scale: one shuffle on the stratum with partial sketch merges —
+    * sketches are the whole point at 100 TB, where exact medians would
+    * need a per-group sort and exact distincts a second shuffle.
+    */
+  def corpusStats(docs: DataFrame, stratumCol: String, valCol: String,
+      accuracy: Int = 100000): DataFrame =
+    docs.groupBy(col(stratumCol))
+      .agg(
+        percentile_approx(col(valCol), lit(0.5), lit(accuracy)).as("median"),
+        countDistinct(col(valCol)).as("n_distinct"),
+        approx_count_distinct(col(valCol)).as("n_distinct_hll"))
+
   /** Corpus-level top-k n-gram vocabulary with counts (vocabulary /
     * stopword induction). Shape at scale: gram generation is map-side
     * (typed flatMap), the groupBy count does ONE shuffle on the gram

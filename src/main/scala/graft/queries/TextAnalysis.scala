@@ -121,6 +121,19 @@ object TextAnalysis {
         |SELECT gram, count(*) AS n FROM grams
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin) { (s, dir) =>
       TextAnalysisOps.topNgrams(Tables.t(s, dir, "documents"), "text", n = 2, k = 20)
+    },
+
+    // --- sketch-aggregate stats: GK-sketch discrete median (exact at
+    // accuracy >> group size — pinned against DuckDB quantile_disc)
+    // + exact distinct; the HLL++ estimate is spec-only (DuckDB's HLL
+    // is a different sketch, so no cross-engine hash exists for it)
+    Q.df("q67_corpus_stats",
+      """SELECT lang, quantile_disc(n_chars, 0.5) AS median,
+        |  count(DISTINCT n_chars) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.corpusStats(Tables.t(s, dir, "documents"), "lang", "n_chars")
+        .select("lang", "median", "n_distinct")
+        .orderBy("lang")
     }
   )
 }

@@ -87,6 +87,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(typedSide === exprSide)
   }
 
+  test("corpusStats: exact median at high accuracy, HLL within bound and repartition-stable") {
+    val docs = (1L to 400L).map { i =>
+      val v = (i * 2654435761L) % 997L // pseudo-random values, dups included
+      (i, if (i % 2 == 0) "a" else "b", v)
+    }.toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysisOps.corpusStats(docs, "lang", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got.foreach { case (lang, (med, nd, hll)) =>
+      // HLL++ estimate within its default ~5% rsd of the exact count
+      assert(math.abs(hll - nd).toDouble / nd < 0.15, s"$lang hll=$hll exact=$nd")
+      // the sketch median must be an actual data value (discrete)
+      val vals = docs.filter($"lang" === lang).select("n_chars").as[Long].collect()
+      assert(vals.contains(med))
+    }
+    // determinism: a different partitioning must give identical output
+    val repart = TextAnalysisOps.corpusStats(docs.repartition(13), "lang", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(repart === got)
+  }
+
   test("trainSplit: content-keyed, duplicate docs share a split, boundaries hold") {
     // md5("hello") = 5d41402a… → 0x5d41402a = 1564557354 → bucket 54 → train
     val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "different doc"))
