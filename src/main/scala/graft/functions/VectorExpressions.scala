@@ -229,6 +229,22 @@ object VectorExpressions {
         new ExpressionInfo(classOf[VecFloatDot].getName, "vec_fdot"),
         arity("vec_fdot", 2)(args => VecFloatDot(args(0), args(1)))))
 
+  /** Optimizer rule: `vec_ldot(x, x)` → `vec_lnorm2(x)` whenever both
+    * sides are semantically the same expression — the dot-with-self
+    * shape evaluates its child twice (and, under whole-stage codegen,
+    * materializes the quantized array twice); the norm form evaluates
+    * it once. Injected via [[graft.GraftExtensions]], so any caller
+    * writing the natural `vec_ldot(v, v)` gets the cheaper plan
+    * without knowing vec_lnorm2 exists.
+    */
+  object SelfDotToNorm extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.transformAllExpressions {
+        case VecLongDot(a, b) if a.semanticEquals(b) => VecLongNorm2(a)
+      }
+  }
+
   /** Idempotently register on an already-built session (the extensions
     * route below is preferred when the caller controls the builder).
     * Skips names that already resolve, so operator-level install calls

@@ -100,6 +100,25 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule rewrites vec_ldot(x, x) to vec_lnorm2(x)") {
+    // a file-backed plan — local/literal self-dots constant-fold away
+    // before the rule's effect is observable
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(SimilarityOps.quantize(col("embedding")).as("qv"))
+    val df = embs.select(call_function("vec_ldot", $"qv", $"qv").as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("vec_lnorm2"),
+      s"self-dot not rewritten:\n${df.queryExecution.optimizedPlan}")
+    // and it still computes the same value as the unfused form
+    val fused = df.orderBy("d").as[Long].head()
+    val manual = embs.select(SimilarityOps.qdotHof($"qv", $"qv").as("d"))
+      .orderBy("d").as[Long].head()
+    assert(fused === manual)
+    // non-identical children stay a dot product
+    val keep = embs.select(call_function("vec_ldot", $"qv",
+      org.apache.spark.sql.functions.reverse($"qv")).as("d"))
+    assert(keep.queryExecution.optimizedPlan.toString.contains("vec_ldot"))
+  }
+
   test("extensions route: functions resolve in plain SQL") {
     val r = spark.sql(
       """SELECT vec_ldot(array(1L,2L,3L), array(4L,5L,6L)) AS d,
