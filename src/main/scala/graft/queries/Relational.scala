@@ -317,6 +317,70 @@ object Relational {
       TemporalOps.rangeJoin(ev, "ts", iv, "lo", "hi", bucketSeconds = 600L)
         .groupBy("interval_id").agg(count(lit(1)).as("n"))
         .orderBy("interval_id")
+    },
+
+    // --- recursive CTE (Spark 4 WITH RECURSIVE): dense daily spine
+    // zero-filling days with no events — the gap-filling analytics
+    // pattern. Recursion depth = day span (~30), safely inside
+    // Spark's recursion limit.
+    Q.sql("q35_recursive_spine",
+      sparkSql =
+        """WITH RECURSIVE bounds AS (
+          |  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+          |  FROM events),
+          |spine(d) AS (
+          |  SELECT lo FROM bounds
+          |  UNION ALL
+          |  SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi),
+          |daily AS (
+          |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+          |  FROM events GROUP BY 1)
+          |SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+          |  coalesce(daily.n_events, 0) AS n_events
+          |FROM spine s LEFT JOIN daily ON s.d = daily.d
+          |ORDER BY day""".stripMargin,
+      duckSql =
+        """WITH RECURSIVE bounds AS (
+          |  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+          |  FROM events),
+          |spine(d) AS (
+          |  SELECT lo FROM bounds
+          |  UNION ALL
+          |  SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi),
+          |daily AS (
+          |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+          |  FROM events GROUP BY 1)
+          |SELECT strftime(s.d, '%Y-%m-%d') AS day,
+          |  coalesce(daily.n_events, 0) AS n_events
+          |FROM spine s LEFT JOIN daily ON s.d = daily.d
+          |ORDER BY day""".stripMargin),
+
+    // --- LATERAL correlated subquery: top-2 customers per nation
+    Q.sameSql("q36_lateral_topn",
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin),
+
+    // --- pivot: events per nation-region row, one column per type
+    // (DataFrame pivot with an explicit value list; oracle = the CASE
+    // aggregation DuckDB spells it as)
+    Q.df("q37_pivot",
+      """SELECT date_part('day', ts) AS dy,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY dy""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(dayofmonth(col("ts")).cast("long").as("dy"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("dy")
     }
   )
 }
