@@ -381,6 +381,55 @@ object Relational {
         .count()
         .na.fill(0L)
         .orderBy("dy")
+    },
+
+    // --- value-based window frame: 7-day trailing event volume
+    // (RANGE BETWEEN INTERVAL — a frame bound by ORDER-BY value, not
+    // row position; the moving-aggregate shape row frames can't spell)
+    Q.sql("q38_range_frame",
+      sparkSql =
+        """WITH daily AS (
+          |  SELECT date_trunc('day', ts) AS d, count(*) AS n FROM events GROUP BY 1)
+          |SELECT date_format(d, 'yyyy-MM-dd') AS day,
+          |  sum(n) OVER (ORDER BY d
+          |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS trailing_7d
+          |FROM daily ORDER BY day""".stripMargin,
+      duckSql =
+        """WITH daily AS (
+          |  SELECT date_trunc('day', ts) AS d, count(*) AS n FROM events GROUP BY 1)
+          |SELECT strftime(d, '%Y-%m-%d') AS day,
+          |  sum(n) OVER (ORDER BY d
+          |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS trailing_7d
+          |FROM daily ORDER BY day""".stripMargin),
+
+    // --- unpivot/melt: per-nation acctbal stats as (stat, value) rows
+    Q.df("q39_unpivot",
+      """WITH s AS (
+        |  SELECT n_name,
+        |    CAST(count(*) AS DOUBLE) AS n_customers,
+        |    CAST(sum(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_bal,
+        |    CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+        |    CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, stat, value FROM (
+        |  SELECT n_name, 'n_customers' AS stat, n_customers AS value FROM s
+        |  UNION ALL SELECT n_name, 'sum_bal', sum_bal FROM s
+        |  UNION ALL SELECT n_name, 'min_bal', min_bal FROM s
+        |  UNION ALL SELECT n_name, 'max_bal', max_bal FROM s)
+        |ORDER BY n_name, stat""".stripMargin) { (s, dir) =>
+      val stats = Tables.t(s, dir, "customer")
+        .join(Tables.t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).cast("double").as("n_customers"),
+          (sum(floor(col("c_acctbal").cast("double") * 100).cast("long")).cast("double") / 100).as("sum_bal"),
+          min(col("c_acctbal")).cast("double").as("min_bal"),
+          max(col("c_acctbal")).cast("double").as("max_bal"))
+      stats.unpivot(Array(col("n_name")),
+          Array(col("n_customers"), col("sum_bal"), col("min_bal"), col("max_bal")),
+          "stat", "value")
+        .orderBy("n_name", "stat")
     }
   )
 }
