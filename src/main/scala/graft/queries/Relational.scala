@@ -323,37 +323,44 @@ object Relational {
     // zero-filling days with no events — the gap-filling analytics
     // pattern. Recursion depth = day span (~30), safely inside
     // Spark's recursion limit.
-    Q.sql("q35_recursive_spine",
-      sparkSql =
-        """WITH RECURSIVE bounds AS (
-          |  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
-          |  FROM events),
-          |spine(d) AS (
-          |  SELECT lo FROM bounds
-          |  UNION ALL
-          |  SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi),
-          |daily AS (
-          |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
-          |  FROM events GROUP BY 1)
-          |SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
-          |  coalesce(daily.n_events, 0) AS n_events
-          |FROM spine s LEFT JOIN daily ON s.d = daily.d
-          |ORDER BY day""".stripMargin,
-      duckSql =
-        """WITH RECURSIVE bounds AS (
-          |  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
-          |  FROM events),
-          |spine(d) AS (
-          |  SELECT lo FROM bounds
-          |  UNION ALL
-          |  SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi),
-          |daily AS (
-          |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
-          |  FROM events GROUP BY 1)
-          |SELECT strftime(s.d, '%Y-%m-%d') AS day,
-          |  coalesce(daily.n_events, 0) AS n_events
-          |FROM spine s LEFT JOIN daily ON s.d = daily.d
-          |ORDER BY day""".stripMargin),
+    Q.df("q35_recursive_spine",
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+        |  FROM events),
+        |spine(d) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi),
+        |daily AS (
+        |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(s.d, '%Y-%m-%d') AS day,
+        |  coalesce(daily.n_events, 0) AS n_events
+        |FROM spine s LEFT JOIN daily ON s.d = daily.d
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      // resolve the spine bounds ONCE (1-row metadata-grade lookup):
+      // Spark materializes each recursion step as its own job, so a
+      // `bounds` CTE referenced inside the recursive branch re-scans
+      // events per iteration — 30 extra scans at a 30-day span
+      val b = s.sql(
+        """SELECT date_format(date_trunc('day', min(ts)), 'yyyy-MM-dd HH:mm:ss') AS lo,
+          |  date_format(date_trunc('day', max(ts)), 'yyyy-MM-dd HH:mm:ss') AS hi
+          |FROM events""".stripMargin).head()
+      s.sql(
+        s"""WITH RECURSIVE spine(d) AS (
+           |  SELECT TIMESTAMP '${b.getString(0)}'
+           |  UNION ALL
+           |  SELECT d + INTERVAL 1 DAY FROM spine
+           |  WHERE d < TIMESTAMP '${b.getString(1)}'),
+           |daily AS (
+           |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+           |  FROM events GROUP BY 1)
+           |SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+           |  coalesce(daily.n_events, 0) AS n_events
+           |FROM spine s LEFT JOIN daily ON s.d = daily.d
+           |ORDER BY day""".stripMargin)
+    },
 
     // --- LATERAL correlated subquery: top-2 customers per nation
     Q.sameSql("q36_lateral_topn",
