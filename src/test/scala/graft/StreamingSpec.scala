@@ -105,6 +105,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet file sink with checkpoint: the production write path") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = StreamOps.streamingDedup(docs)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"), (3L, ts(2), "beta"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept === Array(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: per-batch dedup-merge, the upsert escape hatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // merge: first doc_id per content digest wins across batches
+        batch.select(org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("text")).as("fp"),
+            org.apache.spark.sql.functions.col("doc_id"))
+          .collect().foreach(r => seen.putIfAbsent(r.getString(0), r.getLong(1)))
+      }
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "same")); q.processAllAvailable()
+      input.addData((2L, ts(1), "same"), (3L, ts(2), "other")); q.processAllAvailable()
+      assert(seen.size() === 2)
+      assert(seen.values().contains(1L) && seen.values().contains(3L))
+      assert(!seen.values().contains(2L)) // later dup lost the merge
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
