@@ -55,19 +55,25 @@ object DedupOps {
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word n-gram shingles of a text column. Texts shorter than
-    * n tokens yield an empty set (NOT a truncated shingle, and NOT a
-    * descending `sequence(1,0)=[1,0]` — Spark sequences run backwards
-    * when start > stop, so the count must be guarded before use).
+  /** ALL word n-grams, with multiplicity, in document order. Texts
+    * shorter than n tokens yield an empty array (NOT a truncated
+    * shingle, and NOT a descending `sequence(1,0)=[1,0]` — Spark
+    * sequences run backwards when start > stop, so the count must be
+    * guarded before use).
     */
-  def wordShingles(c: Column, n: Int): Column = {
+  def wordGramsAll(c: Column, n: Int): Column = {
     val toks = tokens(c)
     val cnt = size(toks) - (n - 1)
     when(cnt >= 1,
-      array_distinct(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles of a text column (the deduplicated
+    * view of [[wordGramsAll]], first-occurrence order).
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    array_distinct(wordGramsAll(c, n))
 
   /** Distinct character n-gram shingles of a text column; empty set for
     * texts shorter than n chars (same descending-sequence guard).

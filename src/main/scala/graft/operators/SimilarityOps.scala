@@ -246,9 +246,12 @@ object SimilarityOps {
       centroidIds: Seq[Long]): DataFrame = {
     graft.functions.VectorExpressions.install(embs.sparkSession)
     val cents = collectCentroids(embs, idCol, vecCol, centroidIds)
-    val qv = quantize(col(vecCol))
-    val (cluster, _) = nearestCentroid(cents, qv)
-    embs.select(cluster.as("cluster"), posexplode(qv).as(Seq("pos", "q")))
+    // materialize the quantized vector ONCE: the argmax projection and
+    // the posexplode live in different operators (Project vs Generate),
+    // and codegen subexpression elimination does not span them
+    val withQv = embs.select(quantize(col(vecCol)).as("__qv"))
+    val (cluster, _) = nearestCentroid(cents, col("__qv"))
+    withQv.select(cluster.as("cluster"), posexplode(col("__qv")).as(Seq("pos", "q")))
       .groupBy("cluster", "pos")
       .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("n"))
   }

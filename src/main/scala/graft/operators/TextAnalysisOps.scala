@@ -149,7 +149,10 @@ object TextAnalysisOps {
       pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
     require((defaultPct +: pctByStratum.values.toSeq).forall(p => p >= 0 && p <= 100),
       "percentages must be within [0, 100]")
-    val bucket = conv(substring(md5(concat(col(textCol), lit("#strat"))), 1, 8), 16, 10)
+    // NULL text hashes as '' so the row still gets a deterministic
+    // bucket (trainSplit's convention: NULLs are routed, not dropped)
+    val bucket = conv(substring(
+      md5(concat(coalesce(col(textCol), lit("")), lit("#strat"))), 1, 8), 16, 10)
       .cast("long") % 100
     // sorted fold keeps the when-chain deterministic across Map orderings
     val pct = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
@@ -159,16 +162,11 @@ object TextAnalysisOps {
   }
 
   /** ALL word n-grams of a text column (NOT distinct — frequency
-    * counting needs multiplicity; contrast DedupOps.wordShingles).
-    * Texts shorter than n tokens yield an empty array.
+    * counting needs multiplicity; `DedupOps.wordShingles` is the
+    * deduplicated view of this same walk). Texts shorter than n
+    * tokens yield an empty array.
     */
-  def wordGramsAll(c: Column, n: Int): Column = {
-    val toks = DedupOps.tokens(c)
-    val cnt = size(toks) - (n - 1)
-    when(cnt >= 1,
-      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordGramsAll(c: Column, n: Int): Column = DedupOps.wordGramsAll(c, n)
 
   /** Typed twin of `explode(wordGramsAll)` — per-token interpreted
     * lambdas cost ~3 s at sf0.1 vs well under 1 s for this flatMap;
@@ -198,9 +196,12 @@ object TextAnalysisOps {
     * commutative, so the estimate is stable under any partitioning;
     * TextAnalysisSpec pins the error bound and repartition stability).
     *
-    * Scale: one shuffle on the stratum with partial sketch merges —
-    * sketches are the whole point at 100 TB, where exact medians would
-    * need a per-group sort and exact distincts a second shuffle.
+    * Scale: the sketch columns (median, HLL) merge partially in ONE
+    * shuffle on the stratum. The EXACT distinct column is the
+    * cross-check the oracle and the spec grade the HLL against — it
+    * plans as the classic two-shuffle distinct aggregate, so at
+    * 100 TB you drop it and keep `n_distinct_hll`; that trade is the
+    * point of carrying both here.
     */
   def corpusStats(docs: DataFrame, stratumCol: String, valCol: String,
       accuracy: Int = 100000): DataFrame =

@@ -347,7 +347,11 @@ object Relational {
         """SELECT date_format(date_trunc('day', min(ts)), 'yyyy-MM-dd HH:mm:ss') AS lo,
           |  date_format(date_trunc('day', max(ts)), 'yyyy-MM-dd HH:mm:ss') AS hi
           |FROM events""".stripMargin).head()
-      s.sql(
+      // empty/all-NULL ts → empty spine (what the oracle's recursive
+      // bounds CTE yields), not a TIMESTAMP 'null' parse error
+      if (b.isNullAt(0))
+        s.sql("SELECT CAST(NULL AS STRING) AS day, CAST(NULL AS BIGINT) AS n_events WHERE false")
+      else s.sql(
         s"""WITH RECURSIVE spine(d) AS (
            |  SELECT TIMESTAMP '${b.getString(0)}'
            |  UNION ALL

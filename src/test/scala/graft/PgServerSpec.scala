@@ -255,12 +255,23 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("graft-native vector functions are callable over the wire") {
-    val c = connect()
-    val r = c.query(
-      "SELECT vec_ldot(CAST(array(1, 2, 3) AS ARRAY<BIGINT>), " +
-        "CAST(array(4, 5, 6) AS ARRAY<BIGINT>)) AS d")
-    assert(r.rows === Seq(Seq(Some("32"))))
-    c.close()
+    // the shared session already carries graft.GraftExtensions, which
+    // would make this pass vacuously — exercise PgServer.start's own
+    // install path on a session whose registry LACKS the function
+    val bare = spark.newSession()
+    bare.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_ldot"))
+    val srv2 = new graft.pgwire.PgServer(bare)
+    srv2.start()
+    try {
+      val c = new Client(srv2.boundPort)
+      c.startup()
+      val r = c.query(
+        "SELECT vec_ldot(CAST(array(1, 2, 3) AS ARRAY<BIGINT>), " +
+          "CAST(array(4, 5, 6) AS ARRAY<BIGINT>)) AS d")
+      assert(r.rows === Seq(Seq(Some("32"))))
+      c.close()
+    } finally srv2.stop()
   }
 
   test("multi-statement simple query returns one result set per statement") {
