@@ -256,6 +256,35 @@ object SimilarityOps {
       .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("n"))
   }
 
+  /** One full Lloyd iteration: recompute each centroid as the exact
+    * integer mean of its members (q_sum / n — Long division truncates
+    * toward zero, same as DuckDB's `//`, so both engines derive
+    * identical centroids), then REASSIGN every vector against the
+    * updated centroids and report the new cluster sizes.
+    *
+    * The centroid state between the two passes is k·dim longs — a
+    * driver-side constant (same class of lookup as the IVF centroid
+    * collect), so iterating k-means is: one shuffle per iteration for
+    * the sums, a tiny driver update, and a map-side reassignment.
+    * Clusters that lose every member simply drop out (no empty-cluster
+    * re-seeding — deterministic, and pinned by the oracle).
+    */
+  def ivfLloydReassign(embs: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long]): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
+    val step = ivfCentroidStep(embs, idCol, vecCol, centroidIds).collect()
+    val dim = step.map(_.getInt(1)).max + 1
+    val updated: Seq[(Long, Array[Long])] = step.groupBy(_.getLong(0)).map {
+      case (cid, rows) =>
+        val arr = new Array[Long](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+        (cid, arr)
+    }.toSeq.sortBy(_._1)
+    val (cluster, _) = nearestCentroid(updated, quantize(col(vecCol)))
+    embs.select(cluster.as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+  }
+
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
     graft.functions.VectorExpressions.install(embs.sparkSession)

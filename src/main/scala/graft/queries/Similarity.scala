@@ -112,6 +112,36 @@ object Similarity {
         .orderBy("cluster", "pos")
     },
 
+    // --- a full Lloyd iteration: integer-mean centroid update, then
+    // reassignment counts against the UPDATED centroids (q_sum // n on
+    // both engines — truncating integer division matches Scala's)
+    Q.df("q57_ivf_lloyd_reassign",
+      s"""WITH $ivfBase,
+         |step AS (
+         |  SELECT b.cid AS cluster, t.pos AS pos,
+         |    sum(e.qv[CAST(t.pos AS INT)]) AS q_sum, count(*) AS n
+         |  FROM best b JOIN e ON e.vec_id = b.vec_id, range(1, 65) t(pos)
+         |  WHERE b.rn = 1 GROUP BY 1, 2),
+         |newcent AS (
+         |  SELECT cluster AS cid,
+         |    list(CAST(CAST(q_sum AS BIGINT) // n AS DOUBLE) ORDER BY pos) AS qv
+         |  FROM step GROUP BY 1),
+         |rescored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    CAST(list_dot_product(e.qv, c.qv) AS BIGINT) AS dot
+         |  FROM e CROSS JOIN newcent c),
+         |rebest AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM rescored)
+         |SELECT cid AS cluster, count(*) AS n_members
+         |FROM rebest WHERE rn = 1
+         |GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      SimilarityOps.ivfLloydReassign(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding", ivfCents)
+        .orderBy("cluster")
+    },
+
     // --- near-dup pairs within 6-bit sign buckets (bucketed self-join)
     Q.df("q52_bucketed_pairs",
       s"""WITH b AS (

@@ -108,6 +108,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got.keys.map(_._2).max === 3) // all 4 dims present
   }
 
+  test("ivfLloydReassign: stable toy clustering keeps its membership") {
+    // centroids 0 and 2; means of {v0,v1} and {v2,v3} stay closest to
+    // their own members, so one Lloyd step preserves the partition
+    val got = SimilarityOps.ivfLloydReassign(embs, "vec_id", "embedding", Seq(0L, 2L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 2L -> 2L))
+  }
+
   test("ivfTopK with nprobe=1 searches only the nearest inverted list") {
     // query 0's nearest centroid is itself; only vec 1 shares that list
     val ivf = SimilarityOps.ivfTopK(embs, "vec_id", "embedding", 0L,
