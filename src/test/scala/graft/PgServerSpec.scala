@@ -355,6 +355,39 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("transaction command variants + edge cases (reference test_transactions.py)") {
+    val c = connect()
+    // BEGIN/END spelling variants
+    val variants = Seq(
+      "BEGIN" -> "COMMIT",
+      "BEGIN TRANSACTION" -> "COMMIT TRANSACTION",
+      "BEGIN WORK" -> "COMMIT WORK",
+      "START TRANSACTION" -> "END",
+      "BEGIN" -> "END TRANSACTION")
+    variants.foreach { case (b, e) =>
+      assert(c.query(b).errors.isEmpty, s"$b failed")
+      assert(c.query("SELECT 1").rows === Seq(Seq(Some("1"))))
+      val done = c.query(e)
+      assert(done.errors.isEmpty, s"$e failed")
+      assert(done.txnStatus === 'I', s"$e did not end the txn")
+    }
+    // ROLLBACK spelling variants (ABORT included)
+    Seq("ROLLBACK", "ROLLBACK TRANSACTION", "ROLLBACK WORK", "ABORT").foreach { rb =>
+      c.query("BEGIN"); c.query("SELECT 1")
+      val done = c.query(rb)
+      assert(done.errors.isEmpty, s"$rb failed")
+      assert(done.txnStatus === 'I', s"$rb did not end the txn")
+    }
+    // COMMIT / ROLLBACK outside a transaction do not error
+    assert(c.query("COMMIT").errors.isEmpty)
+    assert(c.query("ROLLBACK").errors.isEmpty)
+    // nested BEGIN is tolerated (pg warns, does not error)
+    assert(c.query("BEGIN").errors.isEmpty)
+    assert(c.query("BEGIN").errors.isEmpty)
+    assert(c.query("COMMIT").txnStatus === 'I')
+    c.close()
+  }
+
   test("DECLARE / FETCH / CLOSE cursor lifecycle (reference cursor.rs)") {
     val c = connect()
     assert(c.query("DECLARE cur1 CURSOR FOR SELECT id FROM t7 ORDER BY id").tags ===
