@@ -355,6 +355,50 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("all-types parquet round-trips over the wire (reference all_types.parquet)") {
+    // mirror of tests-integration/create_arrow_testfile.py: base
+    // scalars + list-of-each + struct + list-of-struct, with NULLs at
+    // every nesting level, served from a real parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft-alltypes").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, 1.0D, 'a', true, DATE '2012-01-01', TIMESTAMP '2012-01-01 00:00:00',
+        |   array(1, NULL, 2), array('a', NULL, 'b'),
+        |   named_struct('i', 1, 'f', 1.0D, 's', 'a'),
+        |   array(named_struct('i', 1, 'f', 1.0D, 's', 'a'))),
+        |  (NULL, CAST(NULL AS DOUBLE), NULL, NULL, NULL, NULL,
+        |   NULL, NULL,
+        |   named_struct('i', CAST(NULL AS INT), 'f', CAST(NULL AS DOUBLE), 's', CAST(NULL AS STRING)),
+        |   NULL),
+        |  (2, 2.0D, 'b', false, DATE '2012-01-02', TIMESTAMP '2012-01-02 00:00:00',
+        |   array(3), array('c'),
+        |   named_struct('i', 2, 'f', 2.0D, 's', 'b'),
+        |   array(named_struct('i', 2, 'f', 2.0D, 's', 'b')))
+        |AS t(int32, float64, string, bool, date32, ts, int_list, str_list, struct, list_struct)
+        |""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("all_types")
+    val c = connect()
+    val r = c.query("SELECT * FROM all_types ORDER BY int32 NULLS LAST")
+    assert(r.fields.length === 10)
+    assert(r.rows.length === 3)
+    val byName = r.fields.map(_._1).zipWithIndex.toMap
+    def cell(row: Int, colName: String): Option[String] = r.rows(row)(byName(colName))
+    assert(cell(0, "int32") === Some("1"))
+    assert(cell(0, "int_list") === Some("{1,NULL,2}"))
+    assert(cell(0, "str_list") === Some("{a,NULL,b}"))
+    // Spark TimestampType is instant-semantics → pg timestamptz (+00)
+    assert(cell(0, "ts") === Some("2012-01-01 00:00:00+00"))
+    assert(cell(0, "struct").exists(_.startsWith("(1,1")))
+    assert(cell(0, "list_struct").exists(_.startsWith("{\"(")))
+    // the all-NULL row: scalars and lists are NULL; the struct exists
+    // with every field NULL
+    assert(cell(2, "int32") === None)
+    assert(cell(2, "int_list") === None)
+    assert(cell(2, "struct") === Some("(,,)"))
+    c.close()
+  }
+
   test("transaction command variants + edge cases (reference test_transactions.py)") {
     val c = connect()
     // BEGIN/END spelling variants
