@@ -326,7 +326,8 @@ object PgFunctions {
     u.register("gamma", (x: java.lang.Double) =>
       if (x == null) null else java.lang.Double.valueOf(org.apache.commons.math3.special.Gamma.gamma(x.doubleValue())))
     u.register("lgamma", (x: java.lang.Double) =>
-      if (x == null) null else java.lang.Double.valueOf(org.apache.commons.math3.special.Gamma.logGamma(x.doubleValue())))
+      // + 0.0 normalizes commons-math's -0.0 at x=1,2 to pg's (and DuckDB's) 0.0
+      if (x == null) null else java.lang.Double.valueOf(org.apache.commons.math3.special.Gamma.logGamma(x.doubleValue()) + 0.0))
     u.register("random_normal",
       (mean: java.lang.Double, stddev: java.lang.Double) => {
         val m = if (mean == null) 0.0 else mean.doubleValue()

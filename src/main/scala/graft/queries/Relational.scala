@@ -402,15 +402,15 @@ object Relational {
         """WITH daily AS (
           |  SELECT date_trunc('day', ts) AS d, count(*) AS n FROM events GROUP BY 1)
           |SELECT date_format(d, 'yyyy-MM-dd') AS day,
-          |  sum(n) OVER (ORDER BY d
-          |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS trailing_7d
+          |  CAST(sum(n) OVER (ORDER BY d
+          |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d
           |FROM daily ORDER BY day""".stripMargin,
       duckSql =
         """WITH daily AS (
           |  SELECT date_trunc('day', ts) AS d, count(*) AS n FROM events GROUP BY 1)
           |SELECT strftime(d, '%Y-%m-%d') AS day,
-          |  sum(n) OVER (ORDER BY d
-          |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS trailing_7d
+          |  CAST(sum(n) OVER (ORDER BY d
+          |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d
           |FROM daily ORDER BY day""".stripMargin),
 
     // --- unpivot/melt: per-nation acctbal stats as (stat, value) rows
