@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warmup: the bench measures operators,

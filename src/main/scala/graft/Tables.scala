@@ -14,17 +14,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table as a DataFrame.
-    *
+  /** Session config every graft session needs at construction time:
     * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read it as long ns (legacy conf) and
-    * rebuild a timestamp at micro precision. Integer `DIV` keeps the
-    * ns→µs conversion exact (a double division would lose precision
-    * above 2^53 ns).
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as long ns. Set once at
+    * session build (Verify/Bench/Cli/SparkSpec) — NOT inside read
+    * helpers, which the live multi-connection server shares and which
+    * must therefore stay free of session-global side effects.
+    */
+  val sessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Read one table as a DataFrame. Pure — requires [[sessionConfs]]
+    * to have been applied at session construction.
+    *
+    * `events.ts` arrives as long ns (see [[sessionConfs]]); rebuild a
+    * timestamp at micro precision. Integer `DIV` keeps the ns→µs
+    * conversion exact (a double division would lose precision above
+    * 2^53 ns).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

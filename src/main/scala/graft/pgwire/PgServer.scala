@@ -373,9 +373,15 @@ final class PgServer(
     // override, client hints win over inference)
     val nParams = math.max(n.toInt, maxParamIndex(sql))
     val inferred = Compat.inferParamOids(sql, nParams)
-    val oids = (0 until nParams).map { i =>
+    var oids = (0 until nParams).map { i =>
       val client = if (i < clientOids.length) clientOids(i) else 0
       if (client != 0) client else inferred(i)
+    }
+    // params the client left untyped and no `$N::type` cast names: walk
+    // the parsed plan for usage context (reference planner.rs:38-66)
+    if (oids.contains(0)) {
+      val planTypes = ParamInfer.infer(spark, sql, nParams)
+      oids = oids.zip(planTypes).map { case (o, p) => if (o != 0) o else p }
     }
     session.prepared(name) = session.Prepared(sql, oids, None)
   }

@@ -34,189 +34,6 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     super.afterAll()
   }
 
-  // ---- minimal pg wire client -------------------------------------------
-
-  final case class Reply(
-      fields: Seq[(String, Int)], // (name, typeOid) of last RowDescription
-      rows: Seq[Seq[Option[String]]],
-      binRows: Seq[Seq[Option[Array[Byte]]]],
-      tags: Seq[String],
-      errors: Seq[(String, String)], // (sqlstate, message)
-      paramStatus: Map[String, String],
-      txnStatus: Char,
-      emptyQuery: Boolean,
-      suspended: Boolean,
-      paramOids: Seq[Int],
-      noData: Boolean,
-      backendKey: Option[(Int, Int)]) // (pid, secret) from BackendKeyData
-
-  final class Client(port: Int) {
-    private val sock = new Socket("127.0.0.1", port)
-    sock.setSoTimeout(60000)
-    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-
-    private def cstr(o: DataOutputStream, s: String): Unit = {
-      o.write(s.getBytes(UTF_8)); o.writeByte(0)
-    }
-    private def send(tpe: Char)(body: DataOutputStream => Unit): Unit = {
-      val buf = new ByteArrayOutputStream()
-      body(new DataOutputStream(buf))
-      out.writeByte(tpe); out.writeInt(buf.size + 4); buf.writeTo(out); out.flush()
-    }
-
-    def startup(user: String = "postgres", password: Option[String] = None): Reply = {
-      val buf = new ByteArrayOutputStream()
-      val o = new DataOutputStream(buf)
-      o.writeInt(196608)
-      cstr(o, "user"); cstr(o, user)
-      cstr(o, "database"); cstr(o, "postgres")
-      o.writeByte(0)
-      out.writeInt(buf.size + 4); buf.writeTo(out); out.flush()
-      password.foreach { p => // wait for AuthenticationCleartextPassword
-        val (tpe, body) = read()
-        assert(tpe == 'R', s"expected auth request, got $tpe")
-        send('p')(cstr(_, p))
-      }
-      drain()
-    }
-
-    def query(sql: String): Reply = { send('Q')(cstr(_, sql)); drain() }
-
-    def parse(name: String, sql: String, oids: Seq[Int] = Nil): Unit =
-      send('P') { o => cstr(o, name); cstr(o, sql); o.writeShort(oids.length); oids.foreach(o.writeInt) }
-
-    def bind(portal: String, stmt: String, params: Seq[Option[String]],
-        resultFormats: Seq[Short] = Nil): Unit =
-      send('B') { o =>
-        cstr(o, portal); cstr(o, stmt)
-        o.writeShort(0) // all params text
-        o.writeShort(params.length)
-        params.foreach {
-          case None => o.writeInt(-1)
-          case Some(v) => val b = v.getBytes(UTF_8); o.writeInt(b.length); o.write(b)
-        }
-        o.writeShort(resultFormats.length); resultFormats.foreach(f => o.writeShort(f))
-      }
-
-    def bindBinary(portal: String, stmt: String, params: Seq[Option[Array[Byte]]]): Unit =
-      send('B') { o =>
-        cstr(o, portal); cstr(o, stmt)
-        o.writeShort(1); o.writeShort(1) // all params binary
-        o.writeShort(params.length)
-        params.foreach {
-          case None => o.writeInt(-1)
-          case Some(b) => o.writeInt(b.length); o.write(b)
-        }
-        o.writeShort(0)
-      }
-
-    def describe(kind: Char, name: String): Unit =
-      send('D') { o => o.writeByte(kind); cstr(o, name) }
-
-    def execute(portal: String, maxRows: Int = 0): Unit =
-      send('E') { o => cstr(o, portal); o.writeInt(maxRows) }
-
-    def sync(): Reply = { send('S')(_ => ()); drain() }
-
-    def close(): Unit = { send('X')(_ => ()); sock.close() }
-
-    private def read(): (Char, Array[Byte]) = {
-      val tpe = in.read()
-      assert(tpe >= 0, "connection closed")
-      val len = in.readInt()
-      val body = new Array[Byte](len - 4)
-      in.readFully(body)
-      (tpe.toChar, body)
-    }
-
-    /** Read messages until ReadyForQuery; fold into a Reply. */
-    def drain(): Reply = {
-      var fields = Seq.empty[(String, Int)]
-      var fieldFormats = Seq.empty[Short]
-      val rows = ArrayBuffer.empty[Seq[Option[String]]]
-      val binRows = ArrayBuffer.empty[Seq[Option[Array[Byte]]]]
-      val tags = ArrayBuffer.empty[String]
-      val errors = ArrayBuffer.empty[(String, String)]
-      var params = Map.empty[String, String]
-      var empty = false
-      var suspended = false
-      var paramOids = Seq.empty[Int]
-      var noData = false
-      var backendKey: Option[(Int, Int)] = None
-      while (true) {
-        val (tpe, body) = read()
-        val b = java.nio.ByteBuffer.wrap(body)
-        def str(from: Int): String = {
-          var end = from; while (end < body.length && body(end) != 0) end += 1
-          new String(body, from, end - from, UTF_8)
-        }
-        tpe match {
-          case 'Z' =>
-            return Reply(fields, rows.toSeq, binRows.toSeq, tags.toSeq, errors.toSeq,
-              params, body(0).toChar, empty, suspended, paramOids, noData, backendKey)
-          case 'T' =>
-            val n = b.getShort
-            val fs = ArrayBuffer.empty[(String, Int)]
-            val fmts = ArrayBuffer.empty[Short]
-            var pos = 2
-            (0 until n).foreach { _ =>
-              val name = str(pos); pos += name.getBytes(UTF_8).length + 1
-              val bb = java.nio.ByteBuffer.wrap(body, pos, 18)
-              bb.getInt; bb.getShort // table oid, attnum
-              val oid = bb.getInt
-              bb.getShort; bb.getInt // typlen, typmod
-              val fmt = bb.getShort
-              fs += (name -> oid); fmts += fmt
-              pos += 18
-            }
-            fields = fs.toSeq; fieldFormats = fmts.toSeq
-          case 'D' =>
-            val n = b.getShort
-            var pos = 2
-            val vals = ArrayBuffer.empty[Option[Array[Byte]]]
-            (0 until n).foreach { _ =>
-              val len = java.nio.ByteBuffer.wrap(body, pos, 4).getInt; pos += 4
-              if (len < 0) vals += None
-              else { vals += Some(body.slice(pos, pos + len)); pos += len }
-            }
-            val textRow = vals.zipWithIndex.map { case (v, i) =>
-              val fmt = if (i < fieldFormats.length) fieldFormats(i) else 0
-              if (fmt == 0) v.map(new String(_, UTF_8)) else None
-            }
-            rows += textRow.toSeq
-            binRows += vals.toSeq
-          case 'C' => tags += str(0)
-          case 'E' =>
-            // parse field map
-            var pos = 0
-            var code = ""; var msg = ""
-            while (pos < body.length && body(pos) != 0) {
-              val fld = body(pos).toChar
-              val v = str(pos + 1)
-              if (fld == 'C') code = v
-              if (fld == 'M') msg = v
-              pos += 2 + v.getBytes(UTF_8).length
-            }
-            errors += (code -> msg)
-          case 'S' =>
-            val k = str(0); val v = str(k.getBytes(UTF_8).length + 1)
-            params += (k -> v)
-          case 'I' => empty = true
-          case 's' => suspended = true
-          case 't' =>
-            val n = b.getShort
-            paramOids = (0 until n).map(_ => b.getInt)
-          case 'n' => noData = true
-          case 'K' => backendKey = Some((b.getInt, b.getInt))
-          case 'R' | '1' | '2' | '3' | 'N' => // auth ok, parse/bind/close complete, notice
-          case other => fail(s"unexpected message type $other")
-        }
-      }
-      throw new IllegalStateException("unreachable")
-    }
-  }
-
   private def connect(): Client = {
     val c = new Client(server.boundPort)
     val r = c.startup()

@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config(Tables.sessionConfs)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
