@@ -616,14 +616,16 @@ final class PgServer(
       while (rows.hasNext && !suspended) {
         Messages.dataRow(out, encodeRow(rows.next(), schema, session, fmtAt))
         n += 1
-        portal.sent += 1
         if (maxRows > 0 && n >= maxRows && rows.hasNext) suspended = true
       }
       if (suspended) Messages.portalSuspended(out)
       else {
-        Messages.commandComplete(out, portal.tagFor(portal.sent))
+        // pg's CommandComplete after a multi-Execute portal counts only
+        // the FINAL batch, not the cumulative portal total (postgres.c
+        // exec_execute_message reports this PortalRun's nprocessed) —
+        // found by the pgjdbc setFetchSize conversation test
+        Messages.commandComplete(out, portal.tagFor(n))
         portal.result = None
-        portal.sent = 0
       }
     }
   }

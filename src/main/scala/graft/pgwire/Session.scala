@@ -82,8 +82,6 @@ final class Session(val connId: Int, val user: String, val database: String) {
       resultFormats: Seq[Short], var result: Option[(StructType, Iterator[Row])]) {
     /** CommandComplete tag builder, set when execution starts. */
     var tagFor: Long => String = n => s"SELECT $n"
-    /** Rows already sent across suspended Execute rounds. */
-    var sent: Long = 0
   }
   val prepared: mutable.Map[String, Prepared] = mutable.Map.empty
   val portals: mutable.Map[String, Portal] = mutable.Map.empty
