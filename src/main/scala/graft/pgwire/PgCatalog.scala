@@ -57,6 +57,7 @@ object PgCatalog {
     "pg_class", "pg_attribute", "pg_namespace", "pg_database", "pg_type",
     "pg_tables", "pg_views", "pg_matviews", "pg_settings", "pg_roles",
     "pg_am", "pg_description", "pg_index", "pg_constraint", "pg_proc",
+    "pg_operator", "pg_cast",
     "pg_attrdef", "pg_inherits", "pg_policies", "pg_replication_slots",
     "pg_stat_user_tables", "pg_stat_gssapi", "pg_extension",
     "pg_collation", "pg_stat_activity", "pg_get_keywords", "pg_locks")
@@ -302,6 +303,100 @@ object PgCatalog {
   private def emptyView(spark: SparkSession, name: String, schema: StructType): Unit =
     register(spark, name, mkDf(spark, schema, Seq.empty))
 
+  // ---- populated static tables: pg_proc / pg_operator / pg_cast ----------
+  // (reference ships these as populated feathers, pg_catalog.rs:493-1071;
+  // here pg_proc is derived from the live function pack and
+  // pg_operator/pg_cast carry the standard pg rows clients probe for)
+
+  private val pgProcSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("proname", StringType),
+    StructField("pronamespace", IntegerType), StructField("prorettype", IntegerType),
+    StructField("pronargs", ShortType), StructField("proargtypes", ArrayType(IntegerType)),
+    StructField("proargnames", ArrayType(StringType)), StructField("prokind", StringType),
+    StructField("proretset", BooleanType), StructField("provolatile", StringType),
+    StructField("prolang", IntegerType), StructField("prosrc", StringType),
+    StructField("proisstrict", BooleanType), StructField("prosecdef", BooleanType)))
+
+  private def pgProc(spark: SparkSession): DataFrame =
+    mkDf(spark, pgProcSchema, PgFunctions.procs.map { p =>
+      Row(PgFunctions.procOid(p.name), p.name, Oids.PgCatalogNamespace,
+        p.retOid, p.argOids.length.toShort, p.argOids,
+        null, p.kind, false, if (p.volatile) "v" else "i",
+        12, p.name, false, false)
+    })
+
+  private val pgOperatorSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("oprname", StringType),
+    StructField("oprnamespace", IntegerType), StructField("oprkind", StringType),
+    StructField("oprleft", IntegerType), StructField("oprright", IntegerType),
+    StructField("oprresult", IntegerType), StructField("oprcom", IntegerType),
+    StructField("oprnegate", IntegerType), StructField("oprcode", StringType)))
+
+  /** Standard comparison / arithmetic / concat operators with pg's real
+    * OIDs (public PostgreSQL catalog values — clients resolve operators
+    * by (oprname, oprleft, oprright) but some tooling displays the OID).
+    * Layout per type: (=, <>, <, <=, >, >=) then arithmetic.
+    */
+  private def pgOperator(spark: SparkSession): DataFrame = {
+    val B = 16; val I4 = 23; val I8 = 20; val F8 = 701; val T = 25
+    def cmp(eq: Int, ne: Int, lt: Int, le: Int, gt: Int, ge: Int, ty: Int, code: String) = Seq(
+      Row(eq, "=", Oids.PgCatalogNamespace, "b", ty, ty, B, eq, ne, s"${code}eq"),
+      Row(ne, "<>", Oids.PgCatalogNamespace, "b", ty, ty, B, ne, eq, s"${code}ne"),
+      Row(lt, "<", Oids.PgCatalogNamespace, "b", ty, ty, B, gt, ge, s"${code}lt"),
+      Row(le, "<=", Oids.PgCatalogNamespace, "b", ty, ty, B, ge, gt, s"${code}le"),
+      Row(gt, ">", Oids.PgCatalogNamespace, "b", ty, ty, B, lt, le, s"${code}gt"),
+      Row(ge, ">=", Oids.PgCatalogNamespace, "b", ty, ty, B, le, lt, s"${code}ge"))
+    def arith(pl: Int, mi: Int, mul: Int, dv: Int, ty: Int, code: String) = Seq(
+      Row(pl, "+", Oids.PgCatalogNamespace, "b", ty, ty, ty, pl, 0, s"${code}pl"),
+      Row(mi, "-", Oids.PgCatalogNamespace, "b", ty, ty, ty, 0, 0, s"${code}mi"),
+      Row(mul, "*", Oids.PgCatalogNamespace, "b", ty, ty, ty, mul, 0, s"${code}mul"),
+      Row(dv, "/", Oids.PgCatalogNamespace, "b", ty, ty, ty, 0, 0, s"${code}div"))
+    val rows =
+      Seq(Row(91, "=", Oids.PgCatalogNamespace, "b", B, B, B, 91, 85, "booleq"),
+        Row(85, "<>", Oids.PgCatalogNamespace, "b", B, B, B, 85, 91, "boolne")) ++
+      cmp(96, 518, 97, 523, 521, 525, I4, "int4") ++
+      cmp(410, 411, 412, 414, 413, 415, I8, "int8") ++
+      cmp(98, 531, 664, 665, 666, 667, T, "text") ++
+      cmp(670, 671, 672, 673, 674, 675, F8, "float8") ++
+      arith(551, 552, 514, 528, I4, "int4") ++
+      arith(684, 685, 686, 687, I8, "int8") ++
+      arith(591, 592, 594, 593, F8, "float8") ++
+      Seq(
+        Row(654, "||", Oids.PgCatalogNamespace, "b", T, T, T, 0, 0, "textcat"),
+        Row(1209, "~~", Oids.PgCatalogNamespace, "b", T, T, B, 0, 1210, "textlike"),
+        Row(1210, "!~~", Oids.PgCatalogNamespace, "b", T, T, B, 0, 1209, "textnlike"))
+    mkDf(spark, pgOperatorSchema, rows)
+  }
+
+  private val pgCastSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("castsource", IntegerType),
+    StructField("casttarget", IntegerType), StructField("castfunc", IntegerType),
+    StructField("castcontext", StringType), StructField("castmethod", StringType)))
+
+  /** The numeric/temporal cast lattice drivers consult for implicit-cast
+    * compatibility: widening = implicit 'i', narrowing = assignment 'a',
+    * varchar↔text binary-coercible. OIDs are local (pg_cast OIDs are
+    * never client-hardcoded).
+    */
+  private def pgCast(spark: SparkSession): DataFrame = {
+    val I2 = 21; val I4 = 23; val I8 = 20; val F4 = 700; val F8 = 701
+    val NUM = 1700; val T = 25; val VC = 1043; val D = 1082; val TS = 1114; val TSZ = 1184
+    val implicitCasts = Seq(
+      I2 -> I4, I2 -> I8, I4 -> I8, I2 -> F4, I2 -> F8, I4 -> F4, I4 -> F8,
+      I8 -> F4, I8 -> F8, F4 -> F8, I2 -> NUM, I4 -> NUM, I8 -> NUM,
+      NUM -> F4, NUM -> F8, D -> TS, D -> TSZ, TS -> TSZ)
+    val assignmentCasts = Seq(
+      I4 -> I2, I8 -> I4, I8 -> I2, F8 -> F4, F4 -> NUM, F8 -> NUM,
+      NUM -> I2, NUM -> I4, NUM -> I8, F4 -> I4, F8 -> I4, F4 -> I8, F8 -> I8,
+      TS -> D, TSZ -> D, TSZ -> TS)
+    val binaryCoercible = Seq(T -> VC, VC -> T)
+    val rows =
+      implicitCasts.zipWithIndex.map { case ((s, t), i) => Row(9100 + i, s, t, 0, "i", "f") } ++
+      assignmentCasts.zipWithIndex.map { case ((s, t), i) => Row(9200 + i, s, t, 0, "a", "f") } ++
+      binaryCoercible.zipWithIndex.map { case ((s, t), i) => Row(9300 + i, s, t, 0, "i", "b") }
+    mkDf(spark, pgCastSchema, rows)
+  }
+
   // ---- entry points ------------------------------------------------------
 
   /** Register every static table/view once (server startup). */
@@ -359,11 +454,9 @@ object PgCatalog {
       StructField("conparentid", IntegerType),
       StructField("confrelid", IntegerType), StructField("conkey", ArrayType(ShortType)),
       StructField("confkey", ArrayType(ShortType)), StructField("conbin", StringType))))
-    emptyView(spark, "pg_proc", StructType(Seq(
-      StructField("oid", IntegerType), StructField("proname", StringType),
-      StructField("pronamespace", IntegerType), StructField("prorettype", IntegerType),
-      StructField("pronargs", ShortType), StructField("proargtypes", ArrayType(IntegerType)),
-      StructField("prokind", StringType))))
+    register(spark, "pg_proc", pgProc(spark))
+    register(spark, "pg_operator", pgOperator(spark))
+    register(spark, "pg_cast", pgCast(spark))
     emptyView(spark, "pg_attrdef", StructType(Seq(
       StructField("oid", IntegerType), StructField("adrelid", IntegerType),
       StructField("adnum", ShortType), StructField("adbin", StringType))))
@@ -461,17 +554,9 @@ object PgCatalog {
     emptyView(spark, "pg_aggregate", StructType(Seq(
       StructField("aggfnoid", IntegerType), StructField("aggkind", StringType),
       StructField("aggnumdirectargs", ShortType), StructField("aggtransfn", StringType))))
-    emptyView(spark, "pg_operator", StructType(Seq(
-      StructField("oid", IntegerType), StructField("oprname", StringType),
-      StructField("oprnamespace", IntegerType), StructField("oprleft", IntegerType),
-      StructField("oprright", IntegerType), StructField("oprresult", IntegerType))))
     emptyView(spark, "pg_opclass", StructType(Seq(
       StructField("oid", IntegerType), StructField("opcname", StringType),
       StructField("opcmethod", IntegerType), StructField("opcintype", IntegerType))))
-    emptyView(spark, "pg_cast", StructType(Seq(
-      StructField("oid", IntegerType), StructField("castsource", IntegerType),
-      StructField("casttarget", IntegerType), StructField("castfunc", IntegerType),
-      StructField("castcontext", StringType), StructField("castmethod", StringType))))
     emptyView(spark, "pg_conversion", StructType(Seq(
       StructField("oid", IntegerType), StructField("conname", StringType),
       StructField("connamespace", IntegerType), StructField("conforencoding", IntegerType),

@@ -241,6 +241,101 @@ object PgFunctions {
     math.toDegrees(math.atan2(y.doubleValue(), x.doubleValue()))
   }
 
+  // ---- pg_proc registry --------------------------------------------------
+
+  /** One pg_proc row: name, argument type OIDs, return OID, prokind. */
+  final case class ProcDef(name: String, argOids: Seq[Int], retOid: Int,
+      kind: String = "f", volatile: Boolean = false)
+
+  /** The function pack as pg_proc content (reference ships populated
+    * pg_proc feathers — pg_catalog.rs:493-1071; here the rows are
+    * derived from what [[registerAll]] + the graft-native expressions
+    * actually register, so `psql \df` answers truthfully for THIS
+    * server). OIDs are assigned deterministically from 90000 in name
+    * order — pg_proc OIDs are looked up by name by every known client,
+    * never hardcoded, so stable-but-nonstandard values are safe.
+    */
+  val procs: Seq[ProcDef] = {
+    val B = 16; val I4 = 23; val I8 = 20; val F8 = 701; val T = 25
+    val N = 19; val OID = 26; val NUM = 1700; val TARR = 1009; val AARR = 2277
+    val defs = Seq(
+      ProcDef("pg_current_database", Nil, N),
+      ProcDef("pg_current_schema", Nil, N),
+      ProcDef("pg_current_schemas", Seq(B), TARR),
+      ProcDef("version", Nil, T),
+      ProcDef("pg_get_userbyid", Seq(OID), N),
+      ProcDef("pg_table_is_visible", Seq(OID), B),
+      ProcDef("pg_function_is_visible", Seq(OID), B),
+      ProcDef("has_table_privilege", Seq(T, T, T), B),
+      ProcDef("has_schema_privilege", Seq(T, T, T), B),
+      ProcDef("has_database_privilege", Seq(T, T, T), B),
+      ProcDef("has_any_column_privilege", Seq(T, T, T), B),
+      ProcDef("format_type", Seq(OID, I4), T),
+      ProcDef("pg_get_expr", Seq(T, OID, B), T),
+      ProcDef("pg_get_function_arguments", Seq(OID), T),
+      ProcDef("pg_get_function_result", Seq(OID), T),
+      ProcDef("pg_get_partkeydef", Seq(OID), T),
+      ProcDef("pg_relation_is_publishable", Seq(OID), B),
+      ProcDef("pg_get_statisticsobjdef_columns", Seq(OID), T),
+      ProcDef("pg_encoding_to_char", Seq(I4), N),
+      ProcDef("pg_backend_pid", Nil, I4),
+      ProcDef("pg_relation_size", Seq(OID), I8),
+      ProcDef("pg_total_relation_size", Seq(OID), I8),
+      ProcDef("pg_database_size", Seq(T), I8),
+      ProcDef("pg_stat_get_numscans", Seq(OID), I8),
+      ProcDef("pg_get_constraintdef", Seq(OID, B), T),
+      ProcDef("pg_partition_ancestors", Seq(OID), 1007),
+      ProcDef("quote_ident", Seq(T), T),
+      ProcDef("parse_ident", Seq(T), TARR),
+      ProcDef("pg_size_pretty", Seq(I8), T),
+      ProcDef("obj_description", Seq(OID, T), T),
+      ProcDef("shobj_description", Seq(OID, T), T),
+      ProcDef("col_description", Seq(OID, I4), T),
+      ProcDef("txid_current", Nil, I8),
+      ProcDef("pg_is_in_recovery", Nil, B),
+      ProcDef("current_setting", Seq(T), T),
+      ProcDef("pg_get_keywords", Nil, 2249, kind = "f"),
+      ProcDef("array_upper", Seq(AARR, I4), I4),
+      ProcDef("array_lower", Seq(AARR, I4), I4),
+      ProcDef("pg_array_length", Seq(AARR, I4), I4),
+      ProcDef("pg_string_to_array", Seq(T, T), TARR),
+      ProcDef("div", Seq(NUM, NUM), NUM),
+      ProcDef("pg_mod", Seq(NUM, NUM), NUM),
+      ProcDef("sind", Seq(F8), F8), ProcDef("cosd", Seq(F8), F8),
+      ProcDef("tand", Seq(F8), F8), ProcDef("cotd", Seq(F8), F8),
+      ProcDef("asind", Seq(F8), F8), ProcDef("acosd", Seq(F8), F8),
+      ProcDef("atand", Seq(F8), F8), ProcDef("atan2d", Seq(F8, F8), F8),
+      ProcDef("erf", Seq(F8), F8), ProcDef("erfc", Seq(F8), F8),
+      ProcDef("gamma", Seq(F8), F8), ProcDef("lgamma", Seq(F8), F8),
+      ProcDef("random_normal", Seq(F8, F8), F8, volatile = true),
+      // graft-native Catalyst vector expressions (VectorExpressions)
+      ProcDef("vec_ldot", Seq(1016, 1016), I8),
+      ProcDef("vec_lnorm2", Seq(1016), I8),
+      ProcDef("vec_fdot", Seq(1021, 1021), F8),
+      // typed Aggregator UDAFs (PgAggregates)
+      ProcDef("ordered_string_agg", Seq(T, T), T, kind = "a"))
+    defs.sortBy(_.name)
+  }
+
+  /** proname → pg_proc OID, 90000+, name-sorted for determinism. */
+  val procOid: Map[String, Int] = procs.zipWithIndex.map {
+    case (p, i) => p.name -> (90000 + i)
+  }.toMap
+
+  private val procByOid: Map[Int, ProcDef] =
+    procs.map(p => procOid(p.name) -> p).toMap
+
+  /** pg_get_function_arguments: comma-joined arg type names (our pack
+    * declares no argument names, which pg renders as bare types). */
+  def functionArguments(oid: Integer): String =
+    if (oid == null) null
+    else procByOid.get(oid.intValue())
+      .map(_.argOids.map(formatType(_, -1)).mkString(", ")).orNull
+
+  def functionResult(oid: Integer): String =
+    if (oid == null) null
+    else procByOid.get(oid.intValue()).map(p => formatType(p.retOid, -1)).orNull
+
   // ---- registration ------------------------------------------------------
 
   /** Register the system/compat pack (§2b) + math pack (§2c). */
@@ -255,6 +350,9 @@ object PgFunctions {
     u.register("version", () => VersionString)
     u.register("pg_get_userbyid", (oid: Int) => "postgres")
     u.register("pg_table_is_visible", (oid: Int) => true)
+    u.register("pg_function_is_visible", (oid: Int) => true)
+    u.register("pg_get_function_arguments", (oid: Integer) => functionArguments(oid))
+    u.register("pg_get_function_result", (oid: Integer) => functionResult(oid))
     u.register("has_table_privilege",
       (user: String, table: String, priv: String) => true)
     u.register("has_schema_privilege",

@@ -125,6 +125,64 @@ object PgCompat {
           |ORDER BY cl.relname, attnum""".stripMargin)
     },
 
+    // populated pg_proc: the function pack is introspectable the way
+    // psql \df reads it (name + signature strings + kind); signatures
+    // rendered by pg_get_function_arguments/result over the proc OID
+    Q.df("q80_pg_proc",
+      """SELECT * FROM (VALUES
+        |  ('atan2d','double precision','double precision, double precision','f'),
+        |  ('div','numeric','numeric, numeric','f'),
+        |  ('lgamma','double precision','double precision','f'),
+        |  ('ordered_string_agg','text','text, text','a'),
+        |  ('quote_ident','text','text','f'),
+        |  ('random_normal','double precision','double precision, double precision','f'),
+        |  ('vec_fdot','double precision','real[], real[]','f'),
+        |  ('version','text','','f'))
+        |  AS t(proname, result_type, arg_types, prokind)
+        |ORDER BY proname""".stripMargin) { (s, dir) =>
+      PgFunctions.registerAll(s)
+      PgCatalog.registerAll(s)
+      s.sql(
+        """SELECT proname, pg_get_function_result(oid) AS result_type,
+          |  pg_get_function_arguments(oid) AS arg_types, prokind
+          |FROM pg_proc
+          |WHERE proname IN ('atan2d','div','lgamma','ordered_string_agg',
+          |                  'quote_ident','random_normal','vec_fdot','version')
+          |ORDER BY proname""".stripMargin)
+    },
+
+    // populated pg_operator/pg_cast: standard operator OIDs (public pg
+    // catalog values) and the implicit/assignment cast lattice
+    Q.df("q81_operator_cast",
+      """SELECT * FROM (VALUES
+        |  (96,'=','int4eq',23),(410,'=','int8eq',20),(98,'=','texteq',25),
+        |  (670,'=','float8eq',701),(654,'||','textcat',25),(1209,'~~','textlike',25))
+        |  AS t(oid, oprname, oprcode, oprleft) ORDER BY oid""".stripMargin) { (s, dir) =>
+      PgCatalog.registerAll(s)
+      s.sql(
+        """SELECT CAST(oid AS INT) AS oid, oprname, oprcode, CAST(oprleft AS INT) AS oprleft
+          |FROM pg_operator
+          |WHERE oprcode IN ('int4eq','int8eq','texteq','float8eq','textcat','textlike')
+          |ORDER BY oid""".stripMargin)
+    },
+
+    Q.df("q82_pg_cast_lattice",
+      """SELECT * FROM (VALUES
+        |  (21,20,'i'),(23,20,'i'),(20,23,'a'),(23,21,'a'),
+        |  (700,701,'i'),(701,700,'a'),(1082,1114,'i'),(1114,1082,'a'),
+        |  (25,1043,'i'),(1043,25,'i'))
+        |  AS t(castsource, casttarget, castcontext)
+        |ORDER BY castsource, casttarget""".stripMargin) { (s, dir) =>
+      PgCatalog.registerAll(s)
+      s.sql(
+        """SELECT CAST(castsource AS INT) AS castsource,
+          |  CAST(casttarget AS INT) AS casttarget, castcontext
+          |FROM pg_cast
+          |WHERE (castsource, casttarget) IN ((21,20),(23,20),(20,23),(23,21),
+          |  (700,701),(701,700),(1082,1114),(1114,1082),(25,1043),(1043,25))
+          |ORDER BY castsource, casttarget""".stripMargin)
+    },
+
     // compat rewrites exercised through the server's query path
     // (Handlers.runSql = Compat.rewrite + spark.sql)
     Q.df("q76_regex_compat",

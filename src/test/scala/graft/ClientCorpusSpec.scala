@@ -238,6 +238,54 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
   test("grafana corpus runs clean") { grafanaQueries.foreach(run) }
   test("pgcli corpus runs clean") { pgcliQueries.foreach(run) }
 
+  test("psql \\df returns the registered function pack from pg_proc") {
+    import graft.pgwire.RowSet
+    val session = new Session(3, "postgres", "postgres")
+    // psql \df's exact query (describe.c listFunctions), pattern-free
+    val dfQuery =
+      """SELECT n.nspname as "Schema",
+        |  p.proname as "Name",
+        |  pg_catalog.pg_get_function_result(p.oid) as "Result data type",
+        |  pg_catalog.pg_get_function_arguments(p.oid) as "Argument data types",
+        | CASE p.prokind
+        |  WHEN 'a' THEN 'agg'
+        |  WHEN 'w' THEN 'window'
+        |  WHEN 'p' THEN 'proc'
+        |  ELSE 'func'
+        | END as "Type"
+        |FROM pg_catalog.pg_proc p
+        |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = p.pronamespace
+        |WHERE pg_catalog.pg_function_is_visible(p.oid)
+        |ORDER BY 1, 2, 4""".stripMargin
+    Handlers.execute(spark, session, dfQuery) match {
+      case RowSet(_, rows, _) =>
+        val byName = rows.toSeq.map(r => r.getString(1) -> (r.getString(2), r.getString(3), r.getString(4))).toMap
+        assert(byName("lgamma") === (("double precision", "double precision", "func")))
+        assert(byName("atan2d") === (("double precision", "double precision, double precision", "func")))
+        assert(byName("ordered_string_agg") === (("text", "text, text", "agg")))
+        assert(byName("vec_ldot") === (("bigint", "bigint[], bigint[]", "func")))
+        assert(byName.size >= 50)
+      case other => fail(s"expected RowSet, got $other")
+    }
+  }
+
+  test("pg_operator and pg_cast carry the standard rows") {
+    import graft.pgwire.RowSet
+    val session = new Session(4, "postgres", "postgres")
+    Handlers.execute(spark, session,
+      "SELECT oid, oprcode FROM pg_catalog.pg_operator WHERE oprname = '=' AND oprleft = 23") match {
+      case RowSet(_, rows, _) =>
+        assert(rows.toSeq.map(r => (r.getInt(0), r.getString(1))) === Seq((96, "int4eq")))
+      case other => fail(s"expected RowSet, got $other")
+    }
+    Handlers.execute(spark, session,
+      "SELECT castcontext FROM pg_catalog.pg_cast WHERE castsource = 23 AND casttarget = 20") match {
+      case RowSet(_, rows, _) =>
+        assert(rows.toSeq.map(_.getString(0)) === Seq("i")) // int4→int8 implicit
+      case other => fail(s"expected RowSet, got $other")
+    }
+  }
+
   test("blacklisted grafana table query serves the public table list") {
     import graft.pgwire.RowSet
     val session = new Session(2, "postgres", "postgres")
