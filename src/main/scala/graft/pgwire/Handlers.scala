@@ -412,6 +412,9 @@ object Handlers {
       case "UPDATE" => Complete(s"UPDATE ${outputRows(df)}")
       case "DELETE" => Complete(s"DELETE ${outputRows(df)}")
       case h if ddlHeads.contains(h) =>
+        // the relation set (or a same-named schema) changed: next
+        // catalog-touching query must rebuild the dynamic views
+        PgCatalog.invalidate()
         val obj = Seq("TABLE", "VIEW", "DATABASE", "SCHEMA", "FUNCTION", "INDEX")
           .find(o => sql.toUpperCase.split("\\s+").take(4).contains(o))
         Complete((h +: obj.toSeq).mkString(" "))

@@ -623,12 +623,30 @@ object PgCatalog {
       }
     })
 
-  /** Recompute the dynamic tables from the live catalog (the reference
-    * recomputes per scan, pg_class.rs:116-119; we recompute per query
-    * that touches pg_catalog — see Handlers).
+  /** Per-session fingerprint of the last dynamic snapshot; refresh is a
+    * no-op while it is unchanged (temp views are session-scoped, so the
+    * cache must be too — weak keys let dropped sessions collect). DDL
+    * through the server calls [[invalidate]], so CREATE OR REPLACE of a
+    * same-named view (invisible to the name fingerprint) still forces a
+    * rebuild.
+    */
+  private val lastSnapshot =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Seq[String]]())
+
+  def invalidate(): Unit = lastSnapshot.clear()
+
+  /** Recompute the dynamic tables from the live catalog — but only when
+    * the user-table set actually changed (the reference recomputes per
+    * scan but only the ONE table being scanned, pg_class.rs:116-119;
+    * recomputing all dynamic views on every catalog-touching query cost
+    * ~0.7 s/query — round-5 verdict finding #4).
     */
   def refresh(spark: SparkSession): Unit = {
-    val tables = userTables(spark).map(n => n -> spark.table(n).schema)
+    val names = userTables(spark)
+    if (names == lastSnapshot.get(spark)) return
+    lastSnapshot.put(spark, names)
+    val tables = names.map(n => n -> spark.table(n).schema)
     register(spark, "pg_class", pgClass(spark, tables))
     register(spark, "pg_attribute", pgAttribute(spark, tables))
     register(spark, "pg_tables", pgTables(spark, tables))
@@ -646,9 +664,17 @@ object PgCatalog {
         StructField("view_definition", StringType))), Seq.empty))
   }
 
-  /** Full registration: static + first dynamic snapshot. */
+  private val staticDone =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Full registration: static (once per session) + dynamic snapshot.
+    * Static content never changes after registration, so per-query
+    * callers (the q-entries, Handlers) pay only the fingerprint check.
+    */
   def registerAll(spark: SparkSession): Unit = {
-    registerStatic(spark)
+    if (staticDone.put(spark, java.lang.Boolean.TRUE) == null)
+      registerStatic(spark)
     refresh(spark)
   }
 }

@@ -124,6 +124,13 @@ final class PgServer(
     val jobGroup = s"pgwire-conn-$connId"
     cancelKeys.put(connId, (secret, jobGroup))
     val session = new Session(connId, user, database)
+    // pg applies startup-packet parameters as session settings (pgjdbc
+    // ships DateStyle/TimeZone/extra_float_digits this way)
+    startup.params.foreach { case (k, v) =>
+      val lk = k.toLowerCase
+      if (lk != "user" && lk != "database" && lk != "options" && lk != "replication")
+        session.gucs(lk) = v
+    }
 
     Messages.authOk(out)
     Seq(
@@ -314,18 +321,25 @@ final class PgServer(
     try java.time.ZoneId.of(session.gucs.getOrElse("timezone", "UTC"))
     catch { case NonFatal(_) => java.time.ZoneOffset.UTC }
 
+  /** Output-format GUC bundle for this session (FormatOptions). */
+  private def sessionFmt(session: Session): TextEncoder.Fmt =
+    TextEncoder.Fmt.fromGucs(sessionZone(session),
+      session.gucs.get("datestyle"),
+      session.gucs.get("bytea_output"),
+      session.gucs.get("extra_float_digits"))
+
   private def encodeTextRow(row: Row, schema: StructType,
       session: Session): Seq[Option[Array[Byte]]] = {
-    val zone = sessionZone(session)
+    val fmt = sessionFmt(session)
     schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
-      TextEncoder.encodeField(if (row.isNullAt(i)) null else row.get(i), f, zone)
+      TextEncoder.encodeField(if (row.isNullAt(i)) null else row.get(i), f, fmt)
         .map(_.getBytes(UTF_8))
     }
   }
 
   private def encodeRow(row: Row, schema: StructType, session: Session,
       formats: Int => Short): Seq[Option[Array[Byte]]] = {
-    val zone = sessionZone(session)
+    val fmt = sessionFmt(session)
     schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
       val v = if (row.isNullAt(i)) null else row.get(i)
       if (formats(i) == 1) {
@@ -333,7 +347,7 @@ final class PgServer(
         if (v != null && PgType.isTimeField(f))
           Some(BinaryEncoder.be8(v.asInstanceOf[Long] / 1000))
         else BinaryEncoder.encode(v, f.dataType)
-      } else TextEncoder.encodeField(v, f, zone).map(_.getBytes(UTF_8))
+      } else TextEncoder.encodeField(v, f, fmt).map(_.getBytes(UTF_8))
     }
   }
 

@@ -16,6 +16,42 @@ import org.apache.spark.unsafe.types.CalendarInterval
   */
 object TextEncoder {
 
+  /** Output-format GUCs (pg FormatOptions; reference delegates to
+    * pgwire's ToSqlText + FormatOptions, encoder.rs:259-534):
+    * DateStyle (style + field order), bytea_output, extra_float_digits.
+    *
+    * extra_float_digits ≥ 1 → shortest-round-trip (pg 12+ default);
+    * ≤ 0 → `%.*g` with 15+n (float8) / 6+n (float4) significant digits.
+    */
+  final case class Fmt(
+      zone: java.time.ZoneId = ZoneOffset.UTC,
+      dateStyle: String = "iso",   // iso | sql | postgres | german
+      dateOrder: String = "mdy",   // mdy | dmy | ymd
+      byteaEscape: Boolean = false,
+      extraFloatDigits: Int = 1)
+
+  object Fmt {
+    val default: Fmt = Fmt()
+
+    /** Parse from GUC values as pg does: DateStyle is a comma list where
+      * each item is either a style or an order, last mention wins. */
+    def fromGucs(zone: java.time.ZoneId, dateStyle: Option[String],
+        byteaOutput: Option[String], extraFloatDigits: Option[String]): Fmt = {
+      var style = "iso"; var order = "mdy"
+      dateStyle.foreach(_.split(',').map(_.trim.toLowerCase).foreach {
+        case s @ ("iso" | "sql" | "postgres") => style = s
+        case "german" => style = "german"; order = "dmy"
+        case o @ ("mdy" | "dmy" | "ymd") => order = o
+        case ("us") => order = "mdy"
+        case ("european" | "euro") => order = "dmy"
+        case _ =>
+      })
+      Fmt(zone, style, order,
+        byteaEscape = byteaOutput.exists(_.equalsIgnoreCase("escape")),
+        extraFloatDigits = extraFloatDigits.flatMap(_.toIntOption).getOrElse(1))
+    }
+  }
+
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
 
@@ -37,8 +73,11 @@ object TextEncoder {
     * timezone for timestamptz (pg renders TIMESTAMPTZ at the TimeZone
     * GUC with its UTC offset; reference: set_show.rs TimeZone handling).
     */
+  def encodeField(v: Any, f: StructField, zone: java.time.ZoneId): Option[String] =
+    encodeField(v, f, Fmt(zone = zone))
+
   def encodeField(v: Any, f: StructField,
-      zone: java.time.ZoneId = ZoneOffset.UTC): Option[String] =
+      fmt: Fmt = Fmt.default): Option[String] =
     if (v == null) None
     else if (PgType.isTimeField(f)) Some(encodeTime(v.asInstanceOf[Long]))
     else f.dataType match {
@@ -47,14 +86,17 @@ object TextEncoder {
           case t: Timestamp => t.toInstant
           case t: Instant => t
         }
-        Some(formatTsTz(instant, zone))
-      case _ => encode(v, f.dataType)
+        Some(formatTsTz(instant, fmt))
+      case _ => encode(v, f.dataType, fmt)
     }
 
   /** pg timestamptz text at a zone: "yyyy-MM-dd HH:mm:ss[.ffffff]±HH[:MM]". */
-  def formatTsTz(instant: Instant, zone: java.time.ZoneId): String = {
-    val zoned = instant.atZone(zone)
-    val base = formatTs(zoned.toLocalDateTime)
+  def formatTsTz(instant: Instant, zone: java.time.ZoneId): String =
+    formatTsTz(instant, Fmt(zone = zone))
+
+  def formatTsTz(instant: Instant, fmt: Fmt): String = {
+    val zoned = instant.atZone(fmt.zone)
+    val base = formatTs(zoned.toLocalDateTime, fmt)
     val totalSec = zoned.getOffset.getTotalSeconds
     val sign = if (totalSec < 0) "-" else "+"
     val abs = math.abs(totalSec)
@@ -64,47 +106,87 @@ object TextEncoder {
   }
 
   /** Encode one value of the given Spark type to pg text format. */
-  def encode(v: Any, dt: DataType): Option[String] =
+  def encode(v: Any, dt: DataType, fmt: Fmt = Fmt.default): Option[String] =
     if (v == null) None
     else Some(dt match {
       case NullType => return None
       case BooleanType => if (v.asInstanceOf[Boolean]) "t" else "f"
       case ByteType | ShortType | IntegerType | LongType => v.toString
-      case FloatType => formatFloat(v.asInstanceOf[Float].toDouble, isFloat4 = true)
-      case DoubleType => formatFloat(v.asInstanceOf[Double], isFloat4 = false)
+      case FloatType => formatFloat(v.asInstanceOf[Float].toDouble, isFloat4 = true, fmt.extraFloatDigits)
+      case DoubleType => formatFloat(v.asInstanceOf[Double], isFloat4 = false, fmt.extraFloatDigits)
       case _: DecimalType => v.asInstanceOf[java.math.BigDecimal].toPlainString
       case StringType | _: CharType | _: VarcharType => v.toString
-      case BinaryType => "\\x" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString
+      case BinaryType => formatBytea(v.asInstanceOf[Array[Byte]], fmt.byteaEscape)
       case DateType => v match {
-        case d: Date => d.toLocalDate.format(dateFmt)
-        case d: LocalDate => d.format(dateFmt)
+        case d: Date => formatDate(d.toLocalDate, fmt)
+        case d: LocalDate => formatDate(d, fmt)
       }
       case TimestampNTZType => v match {
-        case t: LocalDateTime => formatTs(t)
-        case t: Timestamp => formatTs(t.toLocalDateTime)
+        case t: LocalDateTime => formatTs(t, fmt)
+        case t: Timestamp => formatTs(t.toLocalDateTime, fmt)
       }
       case TimestampType => v match {
         // session tz is UTC throughout; pg prints tz-aware values with offset
-        case t: Timestamp => formatTs(t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime) + "+00"
-        case t: Instant => formatTs(t.atOffset(ZoneOffset.UTC).toLocalDateTime) + "+00"
+        case t: Timestamp => formatTs(t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime, fmt) + "+00"
+        case t: Instant => formatTs(t.atOffset(ZoneOffset.UTC).toLocalDateTime, fmt) + "+00"
       }
       case _: DayTimeIntervalType => formatDayTimeInterval(v.asInstanceOf[Duration])
       case _: YearMonthIntervalType => formatYearMonthInterval(v.asInstanceOf[Period])
       case CalendarIntervalType =>
         val ci = v.asInstanceOf[CalendarInterval]
         formatInterval(ci.months, ci.days, ci.microseconds)
-      case ArrayType(el, _) => encodeArray(v.asInstanceOf[scala.collection.Seq[Any]], el)
+      case ArrayType(el, _) => encodeArray(v.asInstanceOf[scala.collection.Seq[Any]], el, fmt)
       case st: StructType => encodeStruct(v.asInstanceOf[Row], st)
       case MapType(kt, vt, _) => encodeMap(v.asInstanceOf[scala.collection.Map[Any, Any]], kt, vt)
       case other => throw new IllegalArgumentException(s"Unsupported type $other")
     })
 
-  private def formatTs(t: LocalDateTime): String = {
-    val base = t.format(tsFmt)
+  private def formatTs(t: LocalDateTime): String = formatTs(t, Fmt.default)
+
+  private def formatTs(t: LocalDateTime, fmt: Fmt): String = {
     val micros = t.getNano / 1000
-    if (micros == 0) base
-    else base + "." + "%06d".format(micros).reverse.dropWhile(_ == '0').reverse
+    val frac =
+      if (micros == 0) ""
+      else "." + "%06d".format(micros).reverse.dropWhile(_ == '0').reverse
+    val time = "%02d:%02d:%02d".format(t.getHour, t.getMinute, t.getSecond) + frac
+    fmt.dateStyle match {
+      case "iso" => t.format(tsFmt) + frac
+      case "german" => formatDate(t.toLocalDate, fmt) + " " + time
+      case "sql" => formatDate(t.toLocalDate, fmt) + " " + time
+      case "postgres" =>
+        // "Wed Mar 01 14:30:00 2024" (day-of-week style; deviation:
+        // tz-aware values keep the ISO ±HH offset suffix rather than
+        // a zone abbreviation)
+        val dow = t.getDayOfWeek.getDisplayName(
+          java.time.format.TextStyle.SHORT, java.util.Locale.ENGLISH)
+        val mon = t.getMonth.getDisplayName(
+          java.time.format.TextStyle.SHORT, java.util.Locale.ENGLISH)
+        s"$dow $mon %02d".format(t.getDayOfMonth) + s" $time ${t.getYear}"
+    }
   }
+
+  /** pg DateStyle-aware DATE text. */
+  private def formatDate(d: LocalDate, fmt: Fmt): String = fmt.dateStyle match {
+    case "iso" => d.format(dateFmt)
+    case "german" => "%02d.%02d.%04d".format(d.getDayOfMonth, d.getMonthValue, d.getYear)
+    case "sql" =>
+      if (fmt.dateOrder == "dmy") "%02d/%02d/%04d".format(d.getDayOfMonth, d.getMonthValue, d.getYear)
+      else "%02d/%02d/%04d".format(d.getMonthValue, d.getDayOfMonth, d.getYear)
+    case "postgres" =>
+      if (fmt.dateOrder == "dmy") "%02d-%02d-%04d".format(d.getDayOfMonth, d.getMonthValue, d.getYear)
+      else "%02d-%02d-%04d".format(d.getMonthValue, d.getDayOfMonth, d.getYear)
+  }
+
+  /** bytea_output: hex (default) or pg escape format (printables
+    * verbatim, backslash doubled, the rest octal-escaped). */
+  private def formatBytea(b: Array[Byte], escape: Boolean): String =
+    if (!escape) "\\x" + b.map("%02x".format(_)).mkString
+    else b.map { x =>
+      val c = x & 0xff
+      if (c == '\\') "\\\\"
+      else if (c >= 32 && c <= 126) c.toChar.toString
+      else "\\%03o".format(c)
+    }.mkString
 
   /** pg float text (Ryu-style): shortest round-trip digits, plain
     * decimal within the pg exponent window, `d.ddde±XX` outside it.
@@ -112,16 +194,23 @@ object TextEncoder {
     * is exponent ∈ [-4, 15] for float8 and [-4, 5] for float4
     * (matching pg's float8out/float4out Ryu output).
     */
-  def formatFloat(d: Double, isFloat4: Boolean): String =
+  def formatFloat(d: Double, isFloat4: Boolean, extraFloatDigits: Int = 1): String =
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "Infinity"
     else if (d.isNegInfinity) "-Infinity"
     else if (d == 0.0) { if (1 / d < 0) "-0" else "0" }
     else {
       val neg = d < 0
-      // Java's toString is already shortest-round-trip; re-format it.
+      // extra_float_digits ≥ 1 → shortest round-trip (Java's toString);
+      // ≤ 0 → pg's pre-Ryu `%.*g` with DIG+n significant digits
+      val ndig =
+        if (extraFloatDigits >= 1) 0
+        else math.max(1, (if (isFloat4) 6 else 15) + extraFloatDigits)
       val s =
-        if (isFloat4) java.lang.Float.toString(math.abs(d).toFloat)
+        if (ndig > 0)
+          new java.math.BigDecimal(math.abs(d))
+            .round(new java.math.MathContext(ndig)).toString
+        else if (isFloat4) java.lang.Float.toString(math.abs(d).toFloat)
         else java.lang.Double.toString(math.abs(d))
       val (mant, exp) =
         if (s.contains("E")) { val Array(m, e) = s.split("E"); (m, e.toInt) }
@@ -134,7 +223,9 @@ object TextEncoder {
       val e10 = intLen + exp - lead - 1 // exponent of first significant digit
       val sig0 = stripped.reverse.dropWhile(_ == '0').reverse
       val sig = if (sig0.isEmpty) "0" else sig0
-      val maxDecimalExp = if (isFloat4) 5 else 15
+      // %g switches to scientific at the precision; Ryu at the pg window
+      val maxDecimalExp =
+        if (ndig > 0) ndig - 1 else if (isFloat4) 5 else 15
       val body =
         if (e10 > maxDecimalExp || e10 < -4) {
           val m = if (sig.length == 1) sig else sig.head + "." + sig.tail
@@ -180,9 +271,10 @@ object TextEncoder {
   /** pg array text: {a,b,NULL}; elements quoted when they contain
     * specials (reference regression: `{NULL}` array — encoder.rs tests).
     */
-  def encodeArray(els: scala.collection.Seq[Any], elType: DataType): String =
+  def encodeArray(els: scala.collection.Seq[Any], elType: DataType,
+      fmt: Fmt = Fmt.default): String =
     els.map { el =>
-      encode(el, elType) match {
+      encode(el, elType, fmt) match {
         case None => "NULL"
         case Some(s) => quoteArrayElement(s, elType)
       }

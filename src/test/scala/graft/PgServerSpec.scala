@@ -756,4 +756,46 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
       bad.close()
     } finally authed.stop()
   }
+
+  test("format GUCs: DateStyle, bytea_output, extra_float_digits change wire text") {
+    val c = connect()
+    val probe = "SELECT DATE '2024-03-01' AS d, TIMESTAMP_NTZ '2024-03-01 14:30:00' AS ts, " +
+      "X'481b' AS b, CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS f"
+    // defaults: ISO date, hex bytea, shortest-precise float
+    val iso = c.query(probe)
+    assert(iso.rows.head === Seq(Some("2024-03-01"), Some("2024-03-01 14:30:00"),
+      Some("\\x481b"), Some("0.30000000000000004")))
+
+    assert(c.query("SET datestyle = 'German'").paramStatus("DateStyle") === "German")
+    assert(c.query("SELECT DATE '2024-03-01'").rows.head.head === Some("01.03.2024"))
+    c.query("SET datestyle = 'SQL, DMY'")
+    assert(c.query(probe).rows.head.take(2) ===
+      Seq(Some("01/03/2024"), Some("01/03/2024 14:30:00")))
+    c.query("SET datestyle = 'Postgres, MDY'")
+    assert(c.query("SELECT TIMESTAMP_NTZ '2024-03-01 14:30:00'").rows.head.head ===
+      Some("Fri Mar 01 14:30:00 2024"))
+    c.query("SET datestyle = 'ISO, MDY'")
+
+    c.query("SET bytea_output = escape")
+    assert(c.query("SELECT X'481b'").rows.head.head === Some("H\\033"))
+    c.query("SET bytea_output = hex")
+
+    // extra_float_digits = 0 → pg pre-Ryu %.15g (rounds the noise away)
+    c.query("SET extra_float_digits = 0")
+    assert(c.query("SELECT CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)").rows.head.head ===
+      Some("0.3"))
+    c.query("SET extra_float_digits = 3")
+    assert(c.query("SELECT CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)").rows.head.head ===
+      Some("0.30000000000000004"))
+    c.close()
+  }
+
+  test("startup-packet parameters are applied as session GUCs") {
+    val c = new Client(server.boundPort)
+    c.startup(extraParams = Seq("DateStyle" -> "German", "application_name" -> "myapp"))
+    assert(c.query("SHOW datestyle").rows.head.head === Some("German"))
+    assert(c.query("SHOW application_name").rows.head.head === Some("myapp"))
+    assert(c.query("SELECT DATE '2024-03-01'").rows.head.head === Some("01.03.2024"))
+    c.close()
+  }
 }
