@@ -51,6 +51,46 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // --- cap-policy health metric: per chunk index, bucket census and
+    //     the row mass a drop-based cap would lose (the required
+    //     "dropped-bucket mass" output; oracle replicates the portable
+    //     simhash32 chunk bucketing)
+    Q.df("q83_simhash_cap_report",
+      """WITH hv AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      s -> list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(s) + 1),
+        |            i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000007)) AS hs
+        |  FROM documents
+        |),
+        |sim AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 32),
+        |      j -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> CAST(j AS INT)) & 1 = 1)) > len(hs)
+        |                THEN 1 << CAST(j AS INT) ELSE 0 END)) AS simhash32
+        |  FROM hv
+        |),
+        |buckets AS (
+        |  SELECT c AS chunk, (simhash32 >> CAST(8*c AS INT)) & 255 AS cv,
+        |    count(*) AS bucket_n
+        |  FROM sim, range(0, 4) t(c)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(chunk AS BIGINT) AS chunk,
+        |  count(*) AS n_buckets,
+        |  CAST(sum(CASE WHEN bucket_n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS overcap_buckets,
+        |  CAST(sum(CASE WHEN bucket_n > 64 THEN bucket_n ELSE 0 END) AS BIGINT) AS dropped_rows
+        |FROM buckets GROUP BY chunk ORDER BY chunk""".stripMargin) { (s, dir) =>
+      DedupOps.portableSimhashCapReport(
+        Tables.t(s, dir, "documents"), "doc_id", "text", 64)
+        .selectExpr("CAST(chunk AS BIGINT) AS chunk", "n_buckets",
+          "overcap_buckets", "dropped_rows")
+        .orderBy("chunk")
+    },
+
     // --- char-3-gram Jaccard, blocked by lang, restricted to doc_id<60
     //     to keep the all-pairs oracle cheap; exact integer set sizes →
     //     the double division is bit-identical across engines

@@ -122,11 +122,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 4L)) < 0.3)
   }
 
-  test("skew guard drops over-full buckets") {
-    // 200 identical docs: bucket size 200 > maxBucket 64 -> no pairs
+  test("skew guard drops over-full buckets under a fixed drop policy") {
+    // 200 identical docs: bucket size 200 > cap 64 -> no pairs
     val many = (1L to 200L).map(i => (i, longText)).toDF("doc_id", "text")
-    val n = DedupOps.minhashLshPairs(many, "doc_id", "text", maxBucket = 64).count()
+    val n = DedupOps.minhashLshPairs(many, "doc_id", "text",
+      cap = DedupOps.CapPolicy.Fixed(64)).count()
     assert(n === 0L)
+  }
+
+  test("adaptive cap with sampling keeps recall on hot buckets (the default)") {
+    // Same 200 identical docs: the drop policy above zeroes recall; the
+    // default Adaptive policy thins the hot band buckets to ~cap members
+    // and still emits duplicate pairs — a 10x corpus cannot silently
+    // lose the signal (round-5 verdict finding #3).
+    val many = (1L to 200L).map(i => (i, longText)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(many, "doc_id", "text")
+    val n = pairs.count()
+    assert(n > 0L, "sampling policy must keep some duplicate pairs")
+    // thinned to ~cap members per bucket: far below the quadratic 19900
+    assert(n < 10000L, s"thinning must bound the pair count, got $n")
+    // every surviving pair is a true duplicate
+    assert(pairs.filter($"jaccard" < 1.0).count() === 0L)
+
+    // simhash path: 200 identical docs all land in the same 4 chunk
+    // buckets; sampling keeps a bounded peer signal instead of zero
+    val m = DedupOps.simhashWithPeers(many, "doc_id", "text",
+      cap = DedupOps.CapPolicy.Adaptive(factor = 8.0, floor = 16))
+      .agg(org.apache.spark.sql.functions.sum($"n_chunk_peers")).head.getLong(0)
+    assert(m > 0L, "adaptive simhash cap must keep some peers")
+  }
+
+  test("portableSimhashCapReport surfaces dropped-bucket mass") {
+    val many = (1L to 100L).map(i => (i, longText)).toDF("doc_id", "text")
+    val rep = DedupOps.portableSimhashCapReport(many, "doc_id", "text", maxBucket = 64)
+      .collect()
+    assert(rep.length === 4) // one row per chunk index
+    // all 100 identical docs share each chunk bucket: every chunk
+    // reports one over-cap bucket of 100 rows
+    rep.foreach { r =>
+      assert(r.getAs[Long]("overcap_buckets") === 1L)
+      assert(r.getAs[Long]("dropped_rows") === 100L)
+    }
   }
 
   test("typed minhash fast path is bit-identical to the expression pipeline") {
