@@ -64,12 +64,23 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+    // 3-decimal (1 ms) timings: the full-precision doubles pushed the
+    // one-line artifact past the driver's stdout tail window in round 5
+    def r3(v: Double): String =
+      if (v < 0) "-1.0" else (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    println(line)
+    // the driver captures only the stdout TAIL — with 80+ queries the
+    // one JSON line can exceed the window and truncate q01–q17 (it did
+    // in round 5); a file copy makes the artifact unconditionally whole
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
   }
 }
