@@ -224,4 +224,106 @@ object TextAnalysisOps {
     gramRows(docs, textCol, n)
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(k)
+
+  /** (doc_id, gram) rows — [[gramRows]] with the id threaded through,
+    * for per-document gram work (contamination, repetition). */
+  private[graft] def idGramRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text)
+          if (toks.length < n) Iterator.empty
+          else (0 to toks.length - n).iterator
+            .map(i => (id, toks.slice(i, i + n).mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "gram")
+  }
+
+  /** Benchmark-contamination check: for every training document, the
+    * number of distinct word n-grams it shares with ANY document of the
+    * eval/benchmark set, plus a contaminated flag at `minOverlap`.
+    * The standard decontamination pass a pretraining pipeline runs
+    * before training (n-gram overlap against held-out benchmarks).
+    *
+    * Scale shape: both gram walks are map-side typed flatMaps; the eval
+    * side is deduplicated to distinct grams and BROADCAST (benchmark
+    * suites are tiny next to a 100 TB corpus — a few million grams);
+    * the probe is then a map-side broadcast semi-join per training
+    * gram, and the per-doc count is one shuffle on doc_id with partial
+    * aggregation. No shuffle ever carries document text.
+    */
+  def contaminationCheck(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minOverlap: Int = 1): DataFrame = {
+    val trainGrams = idGramRows(train, idCol, textCol, n)
+    val evalGrams = eval.select(wordGramsAll(col(textCol), n).as("grams"))
+      .select(explode(col("grams")).as("gram")).distinct()
+    val overlaps = trainGrams
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .distinct() // distinct (doc_id, gram) AFTER the cheap semi-join
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol).cast("long").as("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Per-document repetition score: total n-gram count, the count of
+    * the most frequent n-gram, and their ratio — the classic
+    * boilerplate/template filter (a high top-gram fraction means the
+    * document repeats itself). One typed map pass, per-document local
+    * hashmap: a document's grams never leave their partition, so the
+    * operator is shuffle-free and linear regardless of corpus size.
+    * The ratio divides the same two int64s in both engines (one IEEE
+    * division — bit-identical cross-engine).
+    */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text)
+          val total = math.max(0, toks.length - n + 1)
+          if (total == 0) (id, 0L, 0L, 0.0)
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            var i = 0
+            var top = 0
+            while (i < total) {
+              val g = toks.slice(i, i + n).mkString(" ")
+              val c = counts.merge(g, 1, (a, b) => a + b)
+              if (c > top) top = c
+              i += 1
+            }
+            (id, total.toLong, top.toLong, top.toDouble / total)
+          }
+        }
+      }
+      .toDF("doc_id", "n_grams", "top_gram_n", "rep_ratio")
+  }
+
+  /** PII scrubbing: count and redact email addresses and IPv4-shaped
+    * literals (the minimal scrub set every published pipeline applies).
+    * Pure map-side regexp work — linear, shuffle-free; both patterns
+    * are valid in Java regex and RE2, so the operator is oracle-able.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>").as("clean_text"))
 }

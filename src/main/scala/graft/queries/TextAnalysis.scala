@@ -134,6 +134,92 @@ object TextAnalysis {
       TextAnalysisOps.corpusStats(Tables.t(s, dir, "documents"), "lang", "n_chars")
         .select("lang", "median", "n_distinct")
         .orderBy("lang")
+    },
+
+    // --- benchmark decontamination: distinct 5-gram overlap of every
+    // training doc (id % 37 != 0) against the held-out eval slice
+    // (id % 37 == 0); broadcast eval grams, text never shuffles
+    Q.df("q84_contamination",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |    i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+        |  FROM toksrc WHERE len(toks) >= 5
+        |),
+        |eval_grams AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0
+        |),
+        |olap AS (
+        |  SELECT g.doc_id, count(DISTINCT g.gram) AS n_overlap
+        |  FROM grams g JOIN eval_grams e ON g.gram = e.gram
+        |  WHERE g.doc_id % 37 <> 0
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  COALESCE(o.n_overlap, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN olap o ON d.doc_id = o.doc_id
+        |WHERE d.doc_id % 37 <> 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      TextAnalysisOps.contaminationCheck(
+        docs.filter("doc_id % 37 != 0"), docs.filter("doc_id % 37 = 0"),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
+    // --- repetition/boilerplate filter: top-3-gram fraction per doc
+    Q.df("q85_repetition",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |counts AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(max(c) AS BIGINT) AS top_gram_n
+        |  FROM counts GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.top_gram_n, 0) AS top_gram_n,
+        |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+        |    THEN CAST(a.top_gram_n AS DOUBLE) / a.n_grams ELSE 0.0 END AS rep_ratio
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.repetitionScore(
+        Tables.t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // --- PII scrub: count + redact emails and IPv4 literals. The
+    // corpus is synthetic, so both engines inject the same
+    // deterministic PII before scrubbing — the redaction itself is
+    // what the oracle grades
+    Q.df("q86_pii_scrub",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+        |    '.com or 10.' || (doc_id % 200) || '.0.7 now' AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM seeded ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val seeded = Tables.t(s, dir, "documents").selectExpr("doc_id",
+        """concat(text, ' contact user', doc_id, '@mail', doc_id % 7,
+          |'.com or 10.', doc_id % 200, '.0.7 now') AS text""".stripMargin.replace("\n", ""))
+      TextAnalysisOps.piiScrub(seeded, "doc_id", "text").orderBy("doc_id")
     }
   )
 }

@@ -123,4 +123,39 @@ class TextAnalysisSpec extends SparkSpec {
       assert(s === expected)
     }
   }
+
+  test("contaminationCheck flags train docs sharing n-grams with the eval set") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // contains eval 5-gram
+      (2L, "totally different words here now ok"),
+      (3L, "short")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.contaminationCheck(train, eval_, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((0L, false))) // shorter than n: zero grams, clean
+  }
+
+  test("repetitionScore: boilerplate scores high, varied text low, short text zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 4 trigrams, all identical
+      (2L, "one two three four five six"),    // 4 distinct trigrams
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.repetitionScore(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 4L, 1.0)))
+    assert(got(2L) === ((4L, 1L, 0.25)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("piiScrub redacts emails and IPv4s and counts them") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or 192.168.0.1 thanks"),
+      (2L, "no pii here, just 1.2 version numbers")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((1L, 1L, "mail me at <EMAIL> or <IP> thanks")))
+    assert(got(2L) === ((0L, 0L, "no pii here, just 1.2 version numbers")))
+  }
 }
