@@ -90,4 +90,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the dim side must ride a broadcast join, not a shuffle:\n$p")
   }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // The 100 TB co-located-join story: two tables bucketed by the join
+    // key with the same bucket count join WITHOUT an Exchange on either
+    // side (SortMergeJoin reads bucket-aligned scans). This is the
+    // storage layout a production deployment pre-buckets fact tables
+    // into; sf0.001 proves the plan shape.
+    import org.apache.spark.sql.functions.col
+    val ss = spark
+    import ss.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join's inputs must come straight from bucketed scans — the
+      // only allowed Exchange is the tiny post-join groupBy, so no
+      // Exchange may partition on the join key
+      assert(!plan.split("\n").exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("orderkey")),
+        s"bucketed join must not shuffle on the join key:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"expected bucketed scan:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
