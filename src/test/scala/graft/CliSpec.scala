@@ -73,4 +73,40 @@ class CliSpec extends SparkSpec {
       }
     } finally server.stop()
   }
+
+  test("the CLI main serves as a standalone process") {
+    // spawn the real `graft.Cli` main in its own JVM — the shipped
+    // product shape (reference: tests-integration/test.sh launches the
+    // CLI binary and queries it)
+    val dir = Files.createTempDirectory("graft-cli-proc")
+    Files.writeString(dir.resolve("climate.csv"),
+      "date,meantemp\n2017-01-01,15.9\n2017-01-02,18.5\n")
+    val port = { val ss = new java.net.ServerSocket(0); try ss.getLocalPort finally ss.close() }
+    val sep = java.io.File.pathSeparator
+    val cp = (Seq("target/scala-2.13/classes") ++
+      new java.io.File("/opt/spark/jars").listFiles().map(_.getPath)).mkString(sep)
+    val proc = new ProcessBuilder(
+      s"${sys.props("java.home")}/bin/java", "-Xmx2g", "-cp", cp, "graft.Cli",
+      "--dir", dir.toString, "--host", "127.0.0.1", "-p", port.toString,
+      "--master", "local[2]")
+      .redirectErrorStream(true).redirectOutput(new java.io.File("/tmp/graft-cli-proc.log"))
+      .start()
+    try {
+      // poll until the server accepts (session startup takes ~10 s)
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      var c: Client = null
+      while (c == null) {
+        try { c = new Client(port) }
+        catch { case _: java.net.ConnectException =>
+          assert(System.nanoTime() < deadline, "CLI process never came up; see /tmp/graft-cli-proc.log")
+          assert(proc.isAlive, "CLI process died; see /tmp/graft-cli-proc.log")
+          Thread.sleep(500)
+        }
+      }
+      c.startup()
+      assert(c.query("SELECT count(*) AS n FROM climate").rows === Seq(Seq(Some("2"))))
+      assert(c.query("SELECT version()").rows.head.head.get.contains("PostgreSQL"))
+      c.close()
+    } finally proc.destroyForcibly()
+  }
 }
