@@ -551,9 +551,12 @@ object PgCatalog {
     emptyView(spark, "pg_language", StructType(Seq(
       StructField("oid", IntegerType), StructField("lanname", StringType),
       StructField("lanowner", IntegerType), StructField("lanispl", BooleanType))))
-    emptyView(spark, "pg_aggregate", StructType(Seq(
-      StructField("aggfnoid", IntegerType), StructField("aggkind", StringType),
-      StructField("aggnumdirectargs", ShortType), StructField("aggtransfn", StringType))))
+    register(spark, "pg_aggregate", mkDf(spark,
+      StructType(Seq(
+        StructField("aggfnoid", IntegerType), StructField("aggkind", StringType),
+        StructField("aggnumdirectargs", ShortType), StructField("aggtransfn", StringType))),
+      PgFunctions.procs.filter(_.kind == "a").map(p =>
+        Row(PgFunctions.procOid(p.name), "n", 0.toShort, p.name))))
     emptyView(spark, "pg_opclass", StructType(Seq(
       StructField("oid", IntegerType), StructField("opcname", StringType),
       StructField("opcmethod", IntegerType), StructField("opcintype", IntegerType))))
