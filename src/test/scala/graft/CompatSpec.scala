@@ -171,4 +171,25 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.applyBlacklist(pgcli).isDefined)
     assert(Compat.applyBlacklist("SELECT 1").isEmpty)
   }
+
+  test("JSON arrows rewrite to get_json_object; lambdas untouched") {
+    assert(Compat.rewrite("SELECT data ->> 'name' FROM t") ===
+      "SELECT get_json_object(data, '$.name') FROM t")
+    assert(Compat.rewrite("SELECT t.data -> 'a' FROM t") ===
+      "SELECT get_json_object(t.data, '$.a') FROM t")
+    // chained access nests
+    assert(Compat.rewrite("SELECT data -> 'a' ->> 'b' FROM t") ===
+      "SELECT get_json_object(get_json_object(data, '$.a'), '$.b') FROM t")
+    // function-call left side
+    assert(Compat.rewrite("SELECT to_json(s) ->> 'k' FROM t") ===
+      "SELECT get_json_object(to_json(s), '$.k') FROM t")
+    // non-identifier key goes through the bracket-quoted path
+    assert(Compat.rewrite("SELECT data ->> 'a b' FROM t") ===
+      "SELECT get_json_object(data, '$[''a b'']') FROM t")
+    // Spark lambda arrows must survive verbatim
+    assert(Compat.rewrite("SELECT transform(a, x -> x + 1) FROM t") ===
+      "SELECT transform(a, x -> x + 1) FROM t")
+    assert(Compat.rewrite("SELECT aggregate(a, 0, (acc, x) -> acc + x) FROM t") ===
+      "SELECT aggregate(a, 0, (acc, x) -> acc + x) FROM t")
+  }
 }
