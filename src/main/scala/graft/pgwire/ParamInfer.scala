@@ -4,7 +4,7 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamedParameter, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast, Expression, In}
+import org.apache.spark.sql.catalyst.expressions.{BinaryArithmetic, BinaryComparison, Cast, Expression, In, Like}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.types.DataType
 
@@ -48,7 +48,8 @@ object ParamInfer {
       def record(i: Int, dt: DataType): Unit =
         if (i >= 0 && i < nParams && out(i) == 0) out(i) = PgType.oidOf(dt)
 
-      // usage pass: comparisons, IN lists, UPDATE assignments, INSERT rows
+      // usage pass: comparisons, arithmetic, LIKE, IN lists, UPDATE
+      // assignments, INSERT rows
       foreachExpr(plan) {
         case b: BinaryComparison =>
           (param(b.left), param(b.right)) match {
@@ -56,6 +57,14 @@ object ParamInfer {
             case (_, Some(i)) => attrType(b.left).foreach(record(i, _))
             case _ =>
           }
+        case b: BinaryArithmetic =>
+          (param(b.left), param(b.right)) match {
+            case (Some(i), _) => attrType(b.right).foreach(record(i, _))
+            case (_, Some(i)) => attrType(b.left).foreach(record(i, _))
+            case _ =>
+          }
+        case l: Like =>
+          param(l.right).foreach(record(_, org.apache.spark.sql.types.StringType))
         case In(v, list) =>
           param(v).foreach(i => list.view.flatMap(attrType).headOption.foreach(record(i, _)))
           attrType(v).foreach(dt => list.flatMap(param).foreach(record(_, dt)))

@@ -266,6 +266,8 @@ object PgFunctions {
       ProcDef("pg_get_userbyid", Seq(OID), N),
       ProcDef("pg_table_is_visible", Seq(OID), B),
       ProcDef("pg_function_is_visible", Seq(OID), B),
+      ProcDef("pg_operator_is_visible", Seq(OID), B),
+      ProcDef("pg_type_is_visible", Seq(OID), B),
       ProcDef("has_table_privilege", Seq(T, T, T), B),
       ProcDef("has_schema_privilege", Seq(T, T, T), B),
       ProcDef("has_database_privilege", Seq(T, T, T), B),
@@ -351,6 +353,8 @@ object PgFunctions {
     u.register("pg_get_userbyid", (oid: Int) => "postgres")
     u.register("pg_table_is_visible", (oid: Int) => true)
     u.register("pg_function_is_visible", (oid: Int) => true)
+    u.register("pg_operator_is_visible", (oid: Int) => true)
+    u.register("pg_type_is_visible", (oid: java.lang.Integer) => true)
     u.register("pg_get_function_arguments", (oid: Integer) => functionArguments(oid))
     u.register("pg_get_function_result", (oid: Integer) => functionResult(oid))
     u.register("has_table_privilege",
@@ -377,7 +381,7 @@ object PgFunctions {
     u.register("quote_ident", (s: String) => quoteIdent(s))
     u.register("parse_ident", (s: String) => parseIdent(s))
     u.register("pg_size_pretty", (b: java.lang.Long) => sizePretty(b))
-    u.register("obj_description", (oid: Integer, catalog: String) => null: String)
+    u.register("obj_description", (oid: String, catalog: String) => null: String)
     u.register("shobj_description", (oid: Integer, catalog: String) => null: String)
     u.register("col_description", (oid: Integer, colnum: Integer) => null: String)
     u.register("txid_current", () => 0L)

@@ -296,4 +296,61 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
       case other => fail(s"expected RowSet, got $other")
     }
   }
+
+  test("psql \\da, \\dC and \\do read the populated catalog") {
+    import graft.pgwire.RowSet
+    val session = new Session(5, "postgres", "postgres")
+    def rows(sql: String): Seq[org.apache.spark.sql.Row] =
+      Handlers.execute(spark, session, sql) match {
+        case RowSet(_, rs, _) => rs.toSeq
+        case other => fail(s"expected RowSet, got $other")
+      }
+    // \da (describe.c listAggregates)
+    val da = rows(
+      """SELECT n.nspname as "Schema", p.proname AS "Name",
+        |  pg_catalog.format_type(p.prorettype, NULL) AS "Result data type",
+        |  CASE WHEN p.pronargs = 0 THEN CAST('*' AS pg_catalog.text)
+        |       ELSE pg_catalog.pg_get_function_arguments(p.oid) END AS "Argument data types",
+        |  pg_catalog.obj_description(p.oid, 'pg_proc') as "Description"
+        |FROM pg_catalog.pg_proc p
+        |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = p.pronamespace
+        |WHERE p.prokind = 'a'
+        |  AND pg_catalog.pg_function_is_visible(p.oid)
+        |ORDER BY 1, 2, 4""".stripMargin)
+    assert(da.map(_.getString(1)).contains("ordered_string_agg"))
+    // \dC (listCasts)
+    val dc = rows(
+      """SELECT pg_catalog.format_type(castsource, NULL) AS "Source type",
+        |       pg_catalog.format_type(casttarget, NULL) AS "Target type",
+        |       CASE WHEN c.castmethod = 'b' THEN '(binary coercible)'
+        |            ELSE p.proname END AS "Function",
+        |       CASE WHEN c.castcontext = 'e' THEN 'no'
+        |            WHEN c.castcontext = 'a' THEN 'in assignment'
+        |            ELSE 'yes' END AS "Implicit?"
+        |FROM pg_catalog.pg_cast c
+        |     LEFT JOIN pg_catalog.pg_proc p ON c.castfunc = p.oid
+        |     LEFT JOIN pg_catalog.pg_type ts ON c.castsource = ts.oid
+        |     LEFT JOIN pg_catalog.pg_type tt ON c.casttarget = tt.oid
+        |WHERE pg_catalog.pg_type_is_visible(ts.oid) OR pg_catalog.pg_type_is_visible(tt.oid)
+        |ORDER BY 1, 2""".stripMargin)
+    assert(dc.exists(r => r.getString(0) == "integer" && r.getString(1) == "bigint" &&
+      r.getString(3) == "yes"))
+    assert(dc.exists(r => r.getString(0) == "text" &&
+      r.getString(2) == "(binary coercible)"))
+    // \do (listOperators)
+    val dop = rows(
+      """SELECT n.nspname as "Schema",
+        |  o.oprname AS "Name",
+        |  CASE WHEN o.oprkind='l' THEN NULL ELSE pg_catalog.format_type(o.oprleft, NULL) END AS "Left arg type",
+        |  CASE WHEN o.oprkind='r' THEN NULL ELSE pg_catalog.format_type(o.oprright, NULL) END AS "Right arg type",
+        |  pg_catalog.format_type(o.oprresult, NULL) AS "Result type",
+        |  coalesce(pg_catalog.obj_description(o.oid, 'pg_operator'),
+        |           pg_catalog.obj_description(o.oprcode::pg_catalog.regproc, 'pg_proc')) AS "Description"
+        |FROM pg_catalog.pg_operator o
+        |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = o.oprnamespace
+        |WHERE pg_catalog.pg_operator_is_visible(o.oid)
+        |ORDER BY 1, 2, 3, 4""".stripMargin)
+    assert(dop.exists(r => r.getString(1) == "=" && r.getString(2) == "integer"))
+    assert(dop.exists(r => r.getString(1) == "||" && r.getString(4) == "text"))
+  }
 }

@@ -130,6 +130,17 @@ class JdbcWireSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("UNTYPED param inference: arithmetic and LIKE contexts") {
+    val c = jdbcConnect()
+    c.parse("S_ar", "SELECT o_orderkey FROM orders WHERE o_totalprice + $1 > 1000", Seq(0))
+    c.describe('S', "S_ar")
+    assert(c.sync().paramOids === Seq(701), "arithmetic with a float8 column")
+    c.parse("S_lk", "SELECT count(*) FROM nation WHERE n_name LIKE $1", Seq(0))
+    c.describe('S', "S_lk")
+    assert(c.sync().paramOids === Seq(25), "LIKE pattern is text")
+    c.close()
+  }
+
   test("UNTYPED param inference: explicit cast overrides usage") {
     val c = jdbcConnect()
     c.parse("S_c", "SELECT o_orderkey FROM orders WHERE o_orderkey = CAST($1 AS INT)", Seq(0))
