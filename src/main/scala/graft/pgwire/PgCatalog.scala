@@ -397,6 +397,169 @@ object PgCatalog {
     mkDf(spark, pgCastSchema, rows)
   }
 
+  // ---- index-AM metadata: pg_opfamily / pg_amop / pg_amproc --------------
+  // Derived from the same comparison-operator registry as pgOperator above
+  // (reference ships these as populated feathers — 146/945/696 rows
+  // covering every built-in family; here we derive the families for the
+  // types this engine actually serves, keyed to the real btree/hash AM
+  // OIDs so `\d`-style client joins through pg_am resolve).
+
+  private val BtreeAm = 403
+  private val HashAm = 405
+
+  /** (family name, element type OID, btree cmp oids (=,<>,<,<=,>,>=), code). */
+  private case class OpFamily(name: String, ty: Int,
+      eq: Int, ne: Int, lt: Int, le: Int, gt: Int, ge: Int, code: String)
+
+  private val opFamilies = Seq(
+    OpFamily("integer_ops", 23, 96, 518, 97, 523, 521, 525, "int4"),
+    OpFamily("integer_ops", 20, 410, 411, 412, 414, 413, 415, "int8"),
+    OpFamily("text_ops", 25, 98, 531, 664, 665, 666, 667, "text"),
+    OpFamily("float_ops", 701, 670, 671, 672, 673, 674, 675, "float8"),
+    OpFamily("bool_ops", 16, 91, 85, 0, 0, 0, 0, "bool"))
+
+  private val pgOpfamilySchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("opfmethod", IntegerType),
+    StructField("opfname", StringType), StructField("opfnamespace", IntegerType),
+    StructField("opfowner", IntegerType)))
+
+  // Static catalog objects get fixed OIDs in the 9400+ range (local,
+  // like pg_cast's 9100-9300 above) — NEVER Oids.of, which draws from
+  // the 16384+ user counter and would shift pg_class's pinned
+  // user-table OIDs.
+  private def famOid(am: Int, name: String): Int = {
+    val idx = opFamilies.map(_.name).distinct.indexOf(name)
+    (if (am == BtreeAm) 9400 else 9420) + idx
+  }
+
+  private def pgOpfamily(spark: SparkSession): DataFrame =
+    mkDf(spark, pgOpfamilySchema,
+      opFamilies.map(_.name).distinct.flatMap { n =>
+        Seq(Row(famOid(BtreeAm, n), BtreeAm, n, Oids.PgCatalogNamespace, 10),
+          Row(famOid(HashAm, n), HashAm, n, Oids.PgCatalogNamespace, 10))
+      })
+
+  private val pgAmopSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("amopfamily", IntegerType),
+    StructField("amoplefttype", IntegerType), StructField("amoprighttype", IntegerType),
+    StructField("amopstrategy", ShortType), StructField("amoppurpose", StringType),
+    StructField("amopopr", IntegerType), StructField("amopmethod", IntegerType)))
+
+  private def pgAmop(spark: SparkSession): DataFrame =
+    mkDf(spark, pgAmopSchema, opFamilies.flatMap { f =>
+      // btree strategies 1..5 = (<, <=, =, >=, >); hash strategy 1 = (=)
+      val btree = Seq(1 -> f.lt, 2 -> f.le, 3 -> f.eq, 4 -> f.ge, 5 -> f.gt)
+        .filter(_._2 != 0)
+        .map { case (strat, opr) =>
+          Row(9440 + opFamilies.indexOf(f) * 6 + strat, famOid(BtreeAm, f.name),
+            f.ty, f.ty, strat.toShort, "s", opr, BtreeAm)
+        }
+      val hash = Seq(Row(9480 + opFamilies.indexOf(f),
+        famOid(HashAm, f.name), f.ty, f.ty, 1.toShort, "s", f.eq, HashAm))
+      btree ++ hash
+    })
+
+  private val pgAmprocSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("amprocfamily", IntegerType),
+    StructField("amproclefttype", IntegerType), StructField("amprocrighttype", IntegerType),
+    StructField("amprocnum", ShortType), StructField("amproc", StringType)))
+
+  private def pgAmproc(spark: SparkSession): DataFrame =
+    mkDf(spark, pgAmprocSchema, opFamilies.flatMap { f =>
+      Seq(
+        Row(9490 + opFamilies.indexOf(f) * 2, famOid(BtreeAm, f.name),
+          f.ty, f.ty, 1.toShort, s"bt${f.code}cmp"),
+        Row(9491 + opFamilies.indexOf(f) * 2, famOid(HashAm, f.name),
+          f.ty, f.ty, 1.toShort, s"hash${f.code}"))
+    })
+
+  // ---- text-search catalog (pg_ts_*) -------------------------------------
+  // Populated with pg's standard shape: the default parser, the five
+  // dictionary templates, simple + one snowball stemmer per language,
+  // and a config per dictionary mapping the default parser's 19 word-ish
+  // token types to that dictionary (the same cardinality the reference's
+  // feathers carry: 1 / 5 / 29 / 29 / 551 rows).
+
+  private val snowballLangs = Seq(
+    "arabic", "armenian", "basque", "catalan", "danish", "dutch", "english",
+    "finnish", "french", "german", "greek", "hindi", "hungarian", "indonesian",
+    "irish", "italian", "lithuanian", "nepali", "norwegian", "portuguese",
+    "romanian", "russian", "serbian", "spanish", "swedish", "tamil", "turkish",
+    "yiddish")
+
+  private val tsTokenTypes = Seq(
+    "asciiword", "word", "numword", "email", "url", "host", "sfloat",
+    "version", "hword_numpart", "hword_part", "hword_asciipart", "numhword",
+    "asciihword", "hword", "url_path", "file", "float", "int", "uint")
+
+  private val DefaultTsParser = 3722 // pg's "default" parser OID
+
+  private val tsNames = "simple" +: snowballLangs
+  private def tsDictOid(name: String): Int =
+    9520 + tsNames.indexOf(name.stripSuffix("_stem"))
+  private def tsConfigOid(name: String): Int = 9560 + tsNames.indexOf(name)
+  private def tsTmplOid(name: String): Int =
+    9510 + Seq("simple", "synonym", "ispell", "thesaurus", "snowball").indexOf(name)
+
+  private def pgTsParser(spark: SparkSession): DataFrame =
+    mkDf(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("prsname", StringType),
+      StructField("prsnamespace", IntegerType), StructField("prsstart", StringType),
+      StructField("prstoken", StringType), StructField("prsend", StringType),
+      StructField("prsheadline", StringType), StructField("prslextype", StringType))),
+      Seq(Row(DefaultTsParser, "default", Oids.PgCatalogNamespace, "prsd_start",
+        "prsd_nexttoken", "prsd_end", "prsd_headline", "prsd_lextype")))
+
+  private def pgTsTemplate(spark: SparkSession): DataFrame =
+    mkDf(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("tmplname", StringType),
+      StructField("tmplnamespace", IntegerType), StructField("tmplinit", StringType),
+      StructField("tmpllexize", StringType))),
+      Seq("simple", "synonym", "ispell", "thesaurus", "snowball").map(n =>
+        Row(tsTmplOid(n), n, Oids.PgCatalogNamespace,
+          s"d${n}_init", s"d${n}_lexize")))
+
+  private def pgTsDict(spark: SparkSession): DataFrame =
+    mkDf(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("dictname", StringType),
+      StructField("dictnamespace", IntegerType), StructField("dictowner", IntegerType),
+      StructField("dicttemplate", IntegerType), StructField("dictinitoption", StringType))),
+      Row(tsDictOid("simple"), "simple", Oids.PgCatalogNamespace, 10,
+        tsTmplOid("simple"), null) +:
+      snowballLangs.map(l =>
+        Row(tsDictOid(s"${l}_stem"), s"${l}_stem", Oids.PgCatalogNamespace, 10,
+          tsTmplOid("snowball"), s"language = '$l'")))
+
+  private def pgTsConfig(spark: SparkSession): DataFrame =
+    mkDf(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("cfgname", StringType),
+      StructField("cfgnamespace", IntegerType), StructField("cfgowner", IntegerType),
+      StructField("cfgparser", IntegerType))),
+      ("simple" +: snowballLangs).map(n =>
+        Row(tsConfigOid(n), n, Oids.PgCatalogNamespace, 10, DefaultTsParser)))
+
+  private def pgTsConfigMap(spark: SparkSession): DataFrame =
+    mkDf(spark, StructType(Seq(
+      StructField("mapcfg", IntegerType), StructField("maptokentype", IntegerType),
+      StructField("mapseqno", IntegerType), StructField("mapdict", IntegerType))),
+      ("simple" +: snowballLangs).flatMap { cfg =>
+        val dict = if (cfg == "simple") tsDictOid("simple") else tsDictOid(s"${cfg}_stem")
+        tsTokenTypes.zipWithIndex.map { case (_, tok) =>
+          Row(tsConfigOid(cfg), tok + 1, 1, dict)
+        }
+      })
+
+  private def pgAuthid(spark: SparkSession): DataFrame =
+    mkDf(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("rolname", StringType),
+      StructField("rolsuper", BooleanType), StructField("rolinherit", BooleanType),
+      StructField("rolcreaterole", BooleanType), StructField("rolcreatedb", BooleanType),
+      StructField("rolcanlogin", BooleanType), StructField("rolreplication", BooleanType),
+      StructField("rolbypassrls", BooleanType), StructField("rolconnlimit", IntegerType),
+      StructField("rolpassword", StringType), StructField("rolvaliduntil", StringType))),
+      Seq(Row(10, "postgres", true, true, true, true, true, false, false, -1,
+        null, null)))
+
   // ---- entry points ------------------------------------------------------
 
   /** Register every static table/view once (server startup). */
@@ -410,7 +573,11 @@ object PgCatalog {
     register(spark, "pg_am", mkDf(spark,
       StructType(Seq(StructField("oid", IntegerType), StructField("amname", StringType),
         StructField("amhandler", IntegerType), StructField("amtype", StringType))),
-      Seq(Row(2, "heap", 0, "t"))))
+      // heap + the index AMs the opfamily/amop/amproc tables reference
+      // (standard pg access-method OIDs; reference ships pg_am as a
+      // populated feather, pg_catalog.rs:493-1071)
+      Seq(Row(2, "heap", 0, "t"), Row(BtreeAm, "btree", 0, "i"),
+        Row(HashAm, "hash", 0, "i"))))
     register(spark, "pg_collation", mkDf(spark,
       StructType(Seq(StructField("oid", IntegerType), StructField("collname", StringType),
         StructField("collnamespace", IntegerType))),
@@ -596,6 +763,67 @@ object PgCatalog {
     emptyView(spark, "pg_user", StructType(Seq(
       StructField("usename", StringType), StructField("usesysid", IntegerType),
       StructField("usecreatedb", BooleanType), StructField("usesuper", BooleanType))))
+    // index-AM metadata + text-search catalog + authid (see section above)
+    register(spark, "pg_opfamily", pgOpfamily(spark))
+    register(spark, "pg_amop", pgAmop(spark))
+    register(spark, "pg_amproc", pgAmproc(spark))
+    register(spark, "pg_ts_parser", pgTsParser(spark))
+    register(spark, "pg_ts_template", pgTsTemplate(spark))
+    register(spark, "pg_ts_dict", pgTsDict(spark))
+    register(spark, "pg_ts_config", pgTsConfig(spark))
+    register(spark, "pg_ts_config_map", pgTsConfigMap(spark))
+    register(spark, "pg_authid", pgAuthid(spark))
+    // remaining reference feathers that are empty (or whose content
+    // describes state this engine does not track: planner statistics,
+    // large objects, initial ACLs) — schema-correct, zero rows
+    emptyView(spark, "pg_statistic", StructType(Seq(
+      StructField("starelid", IntegerType), StructField("staattnum", ShortType),
+      StructField("stainherit", BooleanType), StructField("stanullfrac", FloatType),
+      StructField("stawidth", IntegerType), StructField("stadistinct", FloatType),
+      StructField("stakind1", ShortType), StructField("stakind2", ShortType),
+      StructField("stakind3", ShortType), StructField("stakind4", ShortType),
+      StructField("stakind5", ShortType))))
+    emptyView(spark, "pg_statistic_ext_data", StructType(Seq(
+      StructField("stxoid", IntegerType), StructField("stxdinherit", BooleanType),
+      StructField("stxdndistinct", StringType), StructField("stxddependencies", StringType),
+      StructField("stxdmcv", StringType), StructField("stxdexpr", StringType))))
+    emptyView(spark, "pg_init_privs", StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("objsubid", IntegerType), StructField("privtype", StringType),
+      StructField("initprivs", StringType))))
+    emptyView(spark, "pg_db_role_setting", StructType(Seq(
+      StructField("setdatabase", IntegerType), StructField("setrole", IntegerType),
+      StructField("setconfig", StringType))))
+    emptyView(spark, "pg_largeobject", StructType(Seq(
+      StructField("loid", IntegerType), StructField("pageno", IntegerType),
+      StructField("data", BinaryType))))
+    emptyView(spark, "pg_largeobject_metadata", StructType(Seq(
+      StructField("oid", IntegerType), StructField("lomowner", IntegerType),
+      StructField("lomacl", StringType))))
+    emptyView(spark, "pg_parameter_acl", StructType(Seq(
+      StructField("oid", IntegerType), StructField("parname", StringType),
+      StructField("paracl", StringType))))
+    emptyView(spark, "pg_replication_origin", StructType(Seq(
+      StructField("roident", IntegerType), StructField("roname", StringType))))
+    emptyView(spark, "pg_seclabel", StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("objsubid", IntegerType), StructField("provider", StringType),
+      StructField("label", StringType))))
+    emptyView(spark, "pg_shseclabel", StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("provider", StringType), StructField("label", StringType))))
+    emptyView(spark, "pg_shdepend", StructType(Seq(
+      StructField("dbid", IntegerType), StructField("classid", IntegerType),
+      StructField("objid", IntegerType), StructField("objsubid", IntegerType),
+      StructField("refclassid", IntegerType), StructField("refobjid", IntegerType),
+      StructField("deptype", StringType))))
+    emptyView(spark, "pg_subscription_rel", StructType(Seq(
+      StructField("srsubid", IntegerType), StructField("srrelid", IntegerType),
+      StructField("srsubstate", StringType), StructField("srsublsn", StringType))))
+    emptyView(spark, "pg_transform", StructType(Seq(
+      StructField("oid", IntegerType), StructField("trftype", IntegerType),
+      StructField("trflang", IntegerType), StructField("trffromsql", IntegerType),
+      StructField("trftosql", IntegerType))))
   }
 
   // ---- information_schema (ANSI view of the same snapshot; clients

@@ -798,4 +798,52 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(c.query("SELECT DATE '2024-03-01'").rows.head.head === Some("01.03.2024"))
     c.close()
   }
+
+  test("every reference catalog export is queryable (65-table parity)") {
+    // the reference ships these 65 tables as populated feathers
+    // (datafusion-pg-catalog/pg_catalog_arrow_exports/); each must at
+    // minimum resolve and count through the server
+    val refTables = Seq(
+      "pg_aggregate", "pg_am", "pg_amop", "pg_amproc", "pg_attrdef",
+      "pg_attribute", "pg_auth_members", "pg_authid", "pg_cast", "pg_class",
+      "pg_collation", "pg_constraint", "pg_conversion", "pg_database",
+      "pg_db_role_setting", "pg_default_acl", "pg_depend", "pg_description",
+      "pg_enum", "pg_event_trigger", "pg_extension", "pg_foreign_data_wrapper",
+      "pg_foreign_server", "pg_foreign_table", "pg_get_keywords", "pg_index",
+      "pg_inherits", "pg_init_privs", "pg_language", "pg_largeobject",
+      "pg_largeobject_metadata", "pg_namespace", "pg_opclass", "pg_operator",
+      "pg_opfamily", "pg_parameter_acl", "pg_partitioned_table", "pg_policy",
+      "pg_proc", "pg_publication", "pg_publication_namespace",
+      "pg_publication_rel", "pg_range", "pg_replication_origin", "pg_rewrite",
+      "pg_seclabel", "pg_sequence", "pg_shdepend", "pg_shdescription",
+      "pg_shseclabel", "pg_statistic", "pg_statistic_ext",
+      "pg_statistic_ext_data", "pg_subscription", "pg_subscription_rel",
+      "pg_tablespace", "pg_transform", "pg_trigger", "pg_ts_config",
+      "pg_ts_config_map", "pg_ts_dict", "pg_ts_parser", "pg_ts_template",
+      "pg_type", "pg_user_mapping")
+    assert(refTables.size === 65)
+    val c = connect()
+    for (t <- refTables) {
+      val r = c.query(s"SELECT count(*) AS n FROM pg_catalog.$t")
+      assert(r.errors.isEmpty, s"$t: ${r.errors}")
+      assert(r.rows.size === 1, t)
+    }
+    // the derived content joins: amop strategies resolve to pg_operator
+    // rows through pg_opfamily/pg_am, the way \d-style tooling walks them
+    val join = c.query(
+      """SELECT am.amname, f.opfname, o.oprname, a.amopstrategy
+        |FROM pg_catalog.pg_amop a
+        |JOIN pg_catalog.pg_am am ON a.amopmethod = am.oid
+        |JOIN pg_catalog.pg_opfamily f ON a.amopfamily = f.oid
+        |JOIN pg_catalog.pg_operator o ON a.amopopr = o.oid
+        |WHERE f.opfname = 'integer_ops' AND am.amname = 'btree'
+        |  AND a.amoplefttype = 23 AND a.amopstrategy = 3""".stripMargin)
+    assert(join.rows === Seq(Seq(Some("btree"), Some("integer_ops"), Some("="), Some("3"))))
+    // text-search parity: 29 configs × 19 token mappings = 551 rows
+    assert(c.query("SELECT count(*) FROM pg_catalog.pg_ts_config").rows.head.head
+      === Some("29"))
+    assert(c.query("SELECT count(*) FROM pg_catalog.pg_ts_config_map").rows.head.head
+      === Some("551"))
+    c.close()
+  }
 }
