@@ -386,6 +386,59 @@ object DedupOps {
       maxBucket: Int = 64): DataFrame =
     portableMinhashPairsManaged(docs, idCol, textCol, shingleWords, k, bands, maxBucket).df
 
+  /** Cross-corpus MinHash near-dup join: candidate (train, eval) pairs
+    * whose band signatures collide, verified with exact Jaccard — the
+    * fuzzy-decontamination step (train corpus vs benchmark corpus)
+    * that [[graft.operators.TextAnalysisOps.contaminationCheck]]'s
+    * exact n-gram overlap cannot cover. Same portable signature
+    * arithmetic as [[portableMinhashPairs]], so the whole operator is
+    * DuckDB-verifiable.
+    *
+    * Scale: each side is signed map-side and persisted once; buckets
+    * are capped per side (skew guard); the candidate join is
+    * band-bucket equi — never train × eval. The eval side is typically
+    * tiny (a benchmark suite), so its bucket side broadcasts under AQE.
+    */
+  def crossCorpusMinhashPairsManaged(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int = 3, k: Int = 8,
+      bands: Int = 4, maxBucket: Int = 64): ManagedResult = {
+    require(k % bands == 0 && k / bands == 2,
+      "band pair-encoding expects exactly 2 rows per band")
+    val M = 1000000007L
+    def side(docs: DataFrame) =
+      portableSignatureRows(docs, idCol, textCol, shingleWords, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandRecs(base: DataFrame) = {
+      val rec = base.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              (element_at(col("sig"), b * 2 + 1) * M +
+                element_at(col("sig"), b * 2 + 2)).as("band_hash")))).as("r"))
+        .select(col("doc_id"), col("r.band").as("band"), col("r.band_hash").as("band_hash"))
+      capBuckets(rec, Seq("band", "band_hash"), maxBucket)
+    }
+    val tBase = side(train)
+    val eBase = side(eval)
+    val cand = bandRecs(tBase).withColumnRenamed("doc_id", "train_id")
+      .join(bandRecs(eBase).withColumnRenamed("doc_id", "eval_id"),
+        Seq("band", "band_hash"))
+      .select("train_id", "eval_id").distinct()
+    val result = cand
+      .join(tBase.select(col("doc_id").as("train_id"), col("sh").as("sh_t")), "train_id")
+      .join(eBase.select(col("doc_id").as("eval_id"), col("sh").as("sh_e")), "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        (size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
+          size(array_union(col("sh_t"), col("sh_e"))).cast("double")).as("jaccard"))
+    ManagedResult(result, () => { tBase.unpersist(); eBase.unpersist(); () })
+  }
+
+  /** One-shot wrapper over [[crossCorpusMinhashPairsManaged]]. */
+  def crossCorpusMinhashPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int = 3, k: Int = 8,
+      bands: Int = 4, maxBucket: Int = 64): DataFrame =
+    crossCorpusMinhashPairsManaged(train, eval, idCol, textCol,
+      shingleWords, k, bands, maxBucket).df
+
   /** Portable 32-bit SimHash with capped chunk-peer counts — the
     * [[simhashWithPeers]] shape (map-side hash → 8-bit chunk buckets →
     * skew cap → self-join peer count) over rolling-hash token digests

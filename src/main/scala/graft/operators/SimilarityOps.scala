@@ -285,6 +285,39 @@ object SimilarityOps {
       .groupBy("cluster").agg(count(lit(1)).as("n_members"))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth
+    * step every billion-vector ANN deployment applies before indexing
+    * (4× smaller than float32, SIMD-friendly dot products downstream).
+    *
+    * Determinism contract: the float vector is first put on the exact
+    * `floor(x*10000)` integer grid (see [[quantize]]); the scale is the
+    * grid's max |value| (≥1 to guard all-zero vectors); each code is
+    * `floor(v*127/scale + 0.5)` — round-half-up over exact integer
+    * products and one correctly-rounded double division, so DuckDB
+    * reproduces every code bit-for-bit. Reported per vector: the
+    * scale, the int8 codes, the saturated-code count, and the max
+    * reconstruction error on the grid (floor-millis).
+    *
+    * Scale: pure map-side projection — zero shuffle, linear in corpus
+    * size; composes with the sign-bucket/IVF layouts unchanged.
+    */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qv = quantize(col(vecCol))
+    val amax = greatest(array_max(transform(qv, v => abs(v))), lit(1L))
+      .cast("double")
+    val codes = transform(qv, v =>
+      floor(v * 127 / amax + lit(0.5)).cast("int"))
+    embs.select(col(idCol).cast("long").as("vec_id"),
+        qv.as("qv"), amax.as("amax"), codes.as("q8"))
+      .select(col("vec_id"),
+        col("amax").cast("long").as("scale"),
+        col("q8"),
+        size(filter(col("q8"), c => abs(c) === 127)).cast("long").as("n_sat"),
+        floor(array_max(zip_with(col("qv"), col("q8"),
+          (v, c) => abs(v - c * col("amax") / 127.0d))) * 1000)
+          .cast("long").as("max_err_m"))
+  }
+
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
     graft.functions.VectorExpressions.install(embs.sparkSession)

@@ -326,4 +326,30 @@ object TextAnalysisOps {
       regexp_replace(
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>").as("clean_text"))
+
+  /** URL/domain profiling: extract http(s)/www URLs map-side, reduce
+    * each to its bare domain (scheme and leading `www.` stripped, path
+    * cut), aggregate per-domain document and mention counts. The common
+    * source-mix / domain-blocklist step of web-scrape pipelines.
+    *
+    * Scale: extraction and domain-reduction are codegen'd map-side
+    * regexps over the text partition; the only shuffle is the final
+    * partial-agg count on the (tiny-cardinality) domain key — text
+    * never shuffles. Pattern is valid in Java regex and RE2, so the
+    * operator is oracle-able.
+    */
+  val UrlPattern = "(https?://|www\\.)[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[A-Za-z0-9._/-]*)?"
+
+  def urlDomainStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("url"), "^https?://", ""),
+            "^www\\.", ""),
+          "/.*$", "").as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
 }

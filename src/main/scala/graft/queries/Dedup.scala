@@ -204,6 +204,66 @@ object Dedup {
       DedupOps.portableSimhashPeers(
         Tables.t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // cross-corpus MinHash decontamination: train slice (doc_id%37<>0)
+    // vs eval slice (doc_id%37=0), band-bucket candidate join across
+    // the corpora, exact-Jaccard verify — the fuzzy complement of
+    // q84's exact n-gram contamination check. Same portable signature
+    // arithmetic as q45, so the full operator is DuckDB-verified.
+    Q.df("q47_cross_corpus_minhash",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hv
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      p -> list_min(list_transform(hv, h -> ((2*p+1)*h + p) % 1000000007))) AS sg
+        |  FROM hs
+        |),
+        |bandrec AS (
+        |  SELECT doc_id, b,
+        |    sg[CAST(2*b+1 AS INT)] * 1000000007 + sg[CAST(2*b+2 AS INT)] AS bh
+        |  FROM sig, range(0, 4) t(b)
+        |),
+        |tb AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 37 <> 0
+        |  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 64
+        |),
+        |eb AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 37 = 0
+        |  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 64
+        |),
+        |cand AS (
+        |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        |  FROM tb t JOIN eb e ON t.b = e.b AND t.bh = e.bh
+        |)
+        |SELECT train_id, eval_id,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |    len(list_distinct(x.sh || y.sh)) AS jaccard
+        |FROM cand JOIN base x ON x.doc_id = cand.train_id
+        |          JOIN base y ON y.doc_id = cand.eval_id
+        |ORDER BY train_id, eval_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      DedupOps.crossCorpusMinhashPairs(
+        docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text")
+        .orderBy("train_id", "eval_id")
     }
   )
 }

@@ -198,6 +198,27 @@ object Similarity {
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
         bits = 6, cosNum = 3, cosDen = 10)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // --- symmetric int8 quantization: per-vector scale, codes,
+    // saturation count, max grid reconstruction error (floor-millis)
+    Q.df("q58_int8_quantize",
+      s"""WITH e AS (SELECT vec_id, $duckQ AS qv FROM embeddings),
+         |a AS (SELECT vec_id, qv,
+         |  CAST(greatest(list_max(list_transform(qv, v -> abs(v))), 1.0) AS DOUBLE) AS amax
+         |  FROM e),
+         |c AS (SELECT vec_id, qv, amax,
+         |  list_transform(qv, v -> CAST(floor(v * 127 / amax + 0.5) AS INT)) AS q8
+         |  FROM a)
+         |SELECT vec_id, CAST(amax AS BIGINT) AS scale, q8,
+         |  CAST(len(list_filter(q8, q -> abs(q) = 127)) AS BIGINT) AS n_sat,
+         |  CAST(floor(list_max(list_transform(range(1, len(q8) + 1),
+         |    i -> abs(qv[CAST(i AS INT)] - q8[CAST(i AS INT)] * amax / 127.0))) * 1000)
+         |    AS BIGINT) AS max_err_m
+         |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      SimilarityOps.quantizeInt8(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
     }
   )
 }

@@ -220,6 +220,39 @@ object TextAnalysis {
         """concat(text, ' contact user', doc_id, '@mail', doc_id % 7,
           |'.com or 10.', doc_id % 200, '.0.7 now') AS text""".stripMargin.replace("\n", ""))
       TextAnalysisOps.piiScrub(seeded, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // --- URL/domain profiling: extract → domain-reduce → per-domain
+    // doc/mention counts (the source-mix step). Synthetic corpus, so
+    // both engines seed the same deterministic URLs — the extraction
+    // and domain arithmetic are what the oracle grades
+    Q.df("q87_url_domains",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' see https://host' || (doc_id % 23) || '.example.com/p/' ||
+        |    (doc_id % 5) || ' and www.ref' || (doc_id % 11) || '.org ' AS text
+        |  FROM documents
+        |),
+        |urls AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text,
+        |      '(https?://|www\.)[A-Za-z0-9.-]+\.[A-Za-z]{2,}(/[A-Za-z0-9._/-]*)?')) AS url
+        |  FROM seeded
+        |),
+        |doms AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      url, '^https?://', ''), '^www\.', ''), '/.*$', '') AS domain
+        |  FROM urls
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM doms GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val seeded = Tables.t(s, dir, "documents").selectExpr("doc_id",
+        """concat(text, ' see https://host', doc_id % 23, '.example.com/p/',
+          |doc_id % 5, ' and www.ref', doc_id % 11, '.org ') AS text"""
+          .stripMargin.replace("\n", ""))
+      TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text").orderBy("domain")
     }
   )
 }

@@ -198,4 +198,21 @@ class DedupSpec extends SparkSpec {
       .select("k").as[String].collect().toSet
     assert(kept === Set("b"))
   }
+
+  test("crossCorpusMinhashPairs finds only cross-corpus near-dups") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark physical plans here"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight")) // dup of 1
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "held out benchmark prose sharing nothing with training"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.crossCorpusMinhashPairs(train, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // both train copies hit eval doc 100 at jaccard 1.0; train-train
+    // duplication (1,3) must NOT surface; unrelated docs pair with nothing
+    assert(pairs.toSet === Set((1L, 100L, 1.0), (3L, 100L, 1.0)))
+  }
 }

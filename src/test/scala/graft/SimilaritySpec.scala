@@ -133,4 +133,18 @@ class SimilaritySpec extends SparkSpec {
       bits = 4, minDot = Long.MinValue, maxBucket = 10).count()
     assert(n === 0L)
   }
+
+  test("quantizeInt8: exact codes, saturation, grid error; zero vector guarded") {
+    val vs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(vs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Int](2), r.getLong(3), r.getLong(4)))).toMap
+    // grid (5000, -10000, 2500), scale 10000: codes 64/-127/32, one
+    // saturated; worst grid error |5000 - 64*10000/127| = 39.370...
+    assert(got(1L) === ((10000L, Seq(64, -127, 32), 1L, 39370L)))
+    // all-zero vector: scale floors at 1, codes 0, zero error
+    assert(got(2L) === ((1L, Seq(0, 0, 0), 0L, 0L)))
+  }
 }

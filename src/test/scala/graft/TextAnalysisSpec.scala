@@ -158,4 +158,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === ((1L, 1L, "mail me at <EMAIL> or <IP> thanks")))
     assert(got(2L) === ((0L, 0L, "no pii here, just 1.2 version numbers")))
   }
+
+  test("urlDomainStats strips scheme/www/path and counts docs vs mentions") {
+    val docs = Seq(
+      (1L, "see https://www.example.com/a/b and http://example.com/c"),
+      (2L, "also www.example.com plus https://other.org/x?y"),
+      (3L, "no urls, just example dot com prose")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.urlDomainStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // example.com: 3 mentions across docs 1+2; other.org: 1 mention
+    assert(got("example.com") === ((3L, 2L)))
+    assert(got("other.org") === ((1L, 1L)))
+    assert(got.size === 2)
+  }
 }
