@@ -441,6 +441,36 @@ object Relational {
           Array(col("n_customers"), col("sum_bal"), col("min_bal"), col("max_bal")),
           "stat", "value")
         .orderBy("n_name", "stat")
-    }
+    },
+
+    // --- window: distribution + value functions (percent_rank,
+    // cume_dist, first/nth/last value over an explicit rows frame)
+    Q.sameSql("q48_window_value_fns",
+      """SELECT o_orderkey,
+        |  CAST(floor(percent_rank() OVER w * 100000) AS BIGINT) AS pct_rank_100k,
+        |  CAST(floor(cume_dist() OVER w * 100000) AS BIGINT) AS cume_100k,
+        |  first_value(o_orderkey) OVER w2 AS frame_first,
+        |  nth_value(o_orderkey, 2) OVER w2 AS frame_second,
+        |  last_value(o_orderkey) OVER w2 AS frame_last
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // --- GROUPING SETS with grouping() flags (rollup/cube's general
+    // form; both engines plan one Expand + single aggregate)
+    Q.sameSql("q49_grouping_sets",
+      """SELECT n_name, o_orderpriority,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n_orders
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), ())
+        |ORDER BY g_nation, g_prio, n_name NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin)
   )
 }

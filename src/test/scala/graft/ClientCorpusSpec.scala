@@ -353,4 +353,58 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     assert(dop.exists(r => r.getString(1) == "=" && r.getString(2) == "integer"))
     assert(dop.exists(r => r.getString(1) == "||" && r.getString(4) == "text"))
   }
+
+  test("psql \\dF family reads the populated text-search catalog") {
+    import graft.pgwire.RowSet
+    val session = new Session(6, "postgres", "postgres")
+    def rows(sql: String): Seq[org.apache.spark.sql.Row] =
+      Handlers.execute(spark, session, sql) match {
+        case RowSet(_, rs, _) => rs.toSeq
+        case other => fail(s"expected RowSet, got $other")
+      }
+    // \dF (describe.c listTSConfigs)
+    val dF = rows(
+      """SELECT n.nspname as "Schema",
+        |  c.cfgname as "Name",
+        |  pg_catalog.obj_description(c.oid, 'pg_ts_config') as "Description"
+        |FROM pg_catalog.pg_ts_config c
+        |LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.cfgnamespace
+        |ORDER BY 1, 2""".stripMargin)
+    assert(dF.size === 29)
+    assert(dF.map(_.getString(1)).contains("english"))
+    // \dFd (listTSDictionaries)
+    val dFd = rows(
+      """SELECT n.nspname as "Schema", d.dictname as "Name",
+        |  pg_catalog.obj_description(d.oid, 'pg_ts_dict') as "Description"
+        |FROM pg_catalog.pg_ts_dict d
+        |LEFT JOIN pg_catalog.pg_namespace n ON n.oid = d.dictnamespace
+        |ORDER BY 1, 2""".stripMargin)
+    assert(dFd.map(_.getString(1)).contains("english_stem"))
+    // \dFp (listTSParsers)
+    val dFp = rows(
+      """SELECT n.nspname as "Schema", p.prsname as "Name",
+        |  pg_catalog.obj_description(p.oid, 'pg_ts_parser') as "Description"
+        |FROM pg_catalog.pg_ts_parser p
+        |LEFT JOIN pg_catalog.pg_namespace n ON n.oid = p.prsnamespace
+        |ORDER BY 1, 2""".stripMargin)
+    assert(dFp.map(_.getString(1)) === Seq("default"))
+    // \dFt (listTSTemplates)
+    val dFt = rows(
+      """SELECT n.nspname as "Schema", t.tmplname as "Name",
+        |  pg_catalog.obj_description(t.oid, 'pg_ts_template') as "Description"
+        |FROM pg_catalog.pg_ts_template t
+        |LEFT JOIN pg_catalog.pg_namespace n ON n.oid = t.tmplnamespace
+        |ORDER BY 1, 2""".stripMargin)
+    assert(dFt.map(_.getString(1)).contains("snowball"))
+    // config → parser → map → dict join chain (\dF+ walks this)
+    val chain = rows(
+      """SELECT c.cfgname, p.prsname, d.dictname, m.maptokentype
+        |FROM pg_catalog.pg_ts_config c
+        |JOIN pg_catalog.pg_ts_parser p ON c.cfgparser = p.oid
+        |JOIN pg_catalog.pg_ts_config_map m ON m.mapcfg = c.oid
+        |JOIN pg_catalog.pg_ts_dict d ON m.mapdict = d.oid
+        |WHERE c.cfgname = 'english' AND m.maptokentype = 1""".stripMargin)
+    assert(chain.size === 1)
+    assert(chain.head.getString(2) === "english_stem")
+  }
 }
