@@ -91,6 +91,25 @@ class PlanSpec extends SparkSpec {
       s"the dim side must ride a broadcast join, not a shuffle:\n$p")
   }
 
+  test("q58: int8 quantization is map-side — only the harness sort shuffles") {
+    val p = executedPlan("q58_int8_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization must not hash-shuffle anything:\n$p")
+  }
+
+  test("q47: cross-corpus minhash joins only on band buckets — no nested loop") {
+    val p = executedPlan("q47_cross_corpus_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus candidates must come from the band-bucket equi-join, never train × eval:\n$p")
+  }
+
+  test("q87: domain profiling aggregates with a map-side partial phase") {
+    val p = executedPlan("q87_url_domains")
+    // two-phase agg: partial_count before the exchange on the domain key
+    assert(p.contains("partial_count"),
+      s"domain counts must combine map-side before the shuffle:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // The 100 TB co-located-join story: two tables bucketed by the join
     // key with the same bucket count join WITHOUT an Exchange on either
