@@ -301,7 +301,14 @@ object SimilarityOps {
     * Scale: pure map-side projection — zero shuffle, linear in corpus
     * size; composes with the sign-bucket/IVF layouts unchanged.
     */
-  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Expression form of the int8 quantization — the semantic spec;
+    * [[quantizeInt8]] is the bit-identical typed fast path the
+    * pipeline runs (projection collapse inlines the shared `qv`/`q8`
+    * subtrees into every consumer, multiplying the interpreted-HOF
+    * cost — the same tax the minhash signature path escapes).
+    */
+  private[graft] def quantizeInt8Expr(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val qv = quantize(col(vecCol))
     val amax = greatest(array_max(transform(qv, v => abs(v))), lit(1L))
       .cast("double")
@@ -316,6 +323,45 @@ object SimilarityOps {
         floor(array_max(zip_with(col("qv"), col("q8"),
           (v, c) => abs(v - c * col("amax") / 127.0d))) * 1000)
           .cast("long").as("max_err_m"))
+  }
+
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, vec) =>
+          // identical arithmetic to quantizeInt8Expr: exact long grid,
+          // long*int products, one correctly-rounded double division
+          val n = vec.length
+          val qv = new Array[Long](n)
+          var amaxL = 1L
+          var i = 0
+          while (i < n) {
+            val v = math.floor(vec(i).toDouble * 10000).toLong
+            qv(i) = v
+            val a = math.abs(v)
+            if (a > amaxL) amaxL = a
+            i += 1
+          }
+          val amax = amaxL.toDouble
+          val q8 = new Array[Int](n)
+          var nSat = 0L
+          var maxErr = 0.0
+          i = 0
+          while (i < n) {
+            val c = math.floor(qv(i) * 127 / amax + 0.5).toInt
+            q8(i) = c
+            if (math.abs(c) == 127) nSat += 1
+            val err = math.abs(qv(i) - c * amax / 127.0)
+            if (err > maxErr) maxErr = err
+            i += 1
+          }
+          (id, amaxL, q8, nSat, math.floor(maxErr * 1000).toLong)
+        }
+      }
+      .toDF("vec_id", "scale", "q8", "n_sat", "max_err_m")
   }
 
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,

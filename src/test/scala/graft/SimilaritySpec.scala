@@ -147,4 +147,15 @@ class SimilaritySpec extends SparkSpec {
     // all-zero vector: scale floors at 1, codes 0, zero error
     assert(got(2L) === ((1L, Seq(0, 0, 0), 0L, 0L)))
   }
+
+  test("typed int8 quantization is bit-identical to the expression form") {
+    val embs = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3), r.getLong(4))
+    val typed = SimilarityOps.quantizeInt8(embs, "vec_id", "embedding")
+      .collect().map(key).toSet
+    val expr = SimilarityOps.quantizeInt8Expr(embs, "vec_id", "embedding")
+      .collect().map(key).toSet
+    assert(typed === expr)
+  }
 }
