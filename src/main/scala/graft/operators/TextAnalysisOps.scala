@@ -340,6 +340,56 @@ object TextAnalysisOps {
     */
   val UrlPattern = "(https?://|www\\.)[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[A-Za-z0-9._/-]*)?"
 
+  /** Token-window chunking (RAG/embedding prep): split each document
+    * into windows of `window` tokens advancing by `stride`, keeping
+    * the shorter tail windows. Pure map-side explode — zero shuffle,
+    * linear in corpus size; output rows feed the embedding/similarity
+    * stages directly.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ").as("chunk"),
+        size(slice(col("toks"), col("start") + 1, lit(window))).cast("long").as("n_tokens"))
+  }
+
+  /** Sequence packing (training-batch prep): assign each document the
+    * bin its first token lands in when the shard's documents are
+    * concatenated in id order and sliced into `budget`-token packs —
+    * the GPT-style concat-and-chunk layout, computed as metadata
+    * (offset + pack id) instead of materialized strings.
+    *
+    * Scale: packing is inherently sequential PER SHARD (each offset
+    * depends on every predecessor), so the shard column is the
+    * parallelism unit — one running-sum window per shard, exact long
+    * arithmetic. Global single-stream packing would funnel the corpus
+    * through one partition; shard-relative offsets are what a
+    * 1000-executor run can actually compute, and match how training
+    * shards are laid out anyway.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(shardCol).as("shard"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("stream_offset"),
+        floor((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
+  }
+
   def urlDomainStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),

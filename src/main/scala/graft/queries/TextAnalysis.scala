@@ -253,6 +253,47 @@ object TextAnalysis {
           |doc_id % 5, ' and www.ref', doc_id % 11, '.org ') AS text"""
           .stripMargin.replace("\n", ""))
       TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text").orderBy("domain")
+    },
+
+    // --- token-window chunking: 8-token windows, stride 4, short tails
+    // kept (the RAG/embedding prep step; map-side explode)
+    Q.df("q88_token_chunks",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS start FROM toksrc
+        |)
+        |SELECT doc_id, CAST(start / 4 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, CAST(start + 1 AS INT), CAST(start + 8 AS INT)), ' ') AS chunk,
+        |  CAST(len(list_slice(toks, CAST(start + 1 AS INT), CAST(start + 8 AS INT))) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.chunkTokens(Tables.t(s, dir, "documents"),
+        "doc_id", "text", window = 8, stride = 4)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // --- sequence packing: per-shard (lang) concat-and-chunk bin
+    // assignment at a 512-token budget (training-batch prep; one
+    // running-sum window per shard — the shard is the parallelism unit)
+    Q.df("q89_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, lang AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.packSequences(Tables.t(s, dir, "documents"),
+        "doc_id", "text", "lang", budget = 512L)
+        .orderBy("doc_id")
     }
   )
 }

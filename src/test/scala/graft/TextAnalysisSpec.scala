@@ -159,6 +159,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L, "no pii here, just 1.2 version numbers")))
   }
 
+  test("chunkTokens windows with stride, keeping short tails") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, "a b c d", 4L), (1L, "d e f g", 4L), (2L, "g h i j", 4L),
+      (3L, "j", 1L)))
+  }
+
+  test("packSequences assigns the bin of the doc's first token, per shard") {
+    val docs = Seq(
+      (1L, ("a " * 300).trim, "en"), (2L, ("b " * 300).trim, "en"),
+      (3L, ("c " * 100).trim, "en"), (4L, ("d " * 600).trim, "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysisOps.packSequences(docs, "doc_id", "text", "lang", budget = 512L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en stream: offsets 0, 300, 600 -> packs 0, 0, 1; de restarts at 0
+    assert(got(1L) === (("en", 300L, 0L, 0L)))
+    assert(got(2L) === (("en", 300L, 300L, 0L)))
+    assert(got(3L) === (("en", 100L, 600L, 1L)))
+    assert(got(4L) === (("de", 600L, 0L, 0L)))
+  }
+
   test("urlDomainStats strips scheme/www/path and counts docs vs mentions") {
     val docs = Seq(
       (1L, "see https://www.example.com/a/b and http://example.com/c"),
