@@ -432,6 +432,31 @@ object DedupOps {
     ManagedResult(result, () => { tBase.unpersist(); eBase.unpersist(); () })
   }
 
+  /** Blocked fuzzy string join (entity resolution): candidate pairs
+    * share a blocking key and a length band, then verify with exact
+    * edit distance (`levenshtein` is codegen'd in Spark and has
+    * identical semantics in DuckDB, so the operator is oracle-able).
+    *
+    * Scale: the join is equi on the blocking key — never all-pairs —
+    * with the shared [[capBuckets]] skew guard; the length-band
+    * predicate prunes candidates before the O(len²) distance runs.
+    * Block choice is the recall/cost dial (a good block key at corpus
+    * scale is a cheap canopy: sorted-token prefix, phonetic code, or
+    * an LSH bucket from the minhash path).
+    */
+  def fuzzyJoin(rows: DataFrame, idCol: String, strCol: String,
+      blockCol: String, maxDist: Int, maxBucket: Int = 10000): DataFrame = {
+    val base0 = rows.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"), col(blockCol).as("blk"))
+    val base = capBuckets(base0, Seq("blk"), maxBucket)
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** One-shot wrapper over [[crossCorpusMinhashPairsManaged]]. */
   def crossCorpusMinhashPairs(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, shingleWords: Int = 3, k: Int = 8,

@@ -264,6 +264,22 @@ object Dedup {
         docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
         "doc_id", "text")
         .orderBy("train_id", "eval_id")
+    },
+
+    // blocked fuzzy string join: part names within a brand block at
+    // edit distance <= 2 (entity resolution; equi-join + length band,
+    // exact levenshtein verify — identical semantics in both engines)
+    Q.df("q68_fuzzy_join",
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s, p_brand AS blk FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE abs(length(a.s) - length(b.s)) <= 2
+        |  AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      DedupOps.fuzzyJoin(Tables.t(s, dir, "part"),
+        "p_partkey", "p_name", "p_brand", maxDist = 2)
+        .orderBy("id_a", "id_b")
     }
   )
 }

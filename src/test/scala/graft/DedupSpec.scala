@@ -199,6 +199,21 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set("b"))
   }
 
+  test("fuzzyJoin blocks, length-bands, and verifies with exact edit distance") {
+    val rows = Seq(
+      (1L, "blue bolt", "A"), (2L, "blue bolts", "A"), (3L, "red widget", "A"),
+      (4L, "blue bolt", "B"), // same string, different block -> no pair
+      (5L, "bolt blue extremely long name", "A")) // length band prunes
+      .toDF("id", "name", "brand")
+    val got = DedupOps.fuzzyJoin(rows, "id", "name", "brand", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L)))
+    // cap drops the whole over-cap block
+    val capped = DedupOps.fuzzyJoin(rows, "id", "name", "brand",
+      maxDist = 2, maxBucket = 3)
+    assert(capped.count() === 0L)
+  }
+
   test("crossCorpusMinhashPairs finds only cross-corpus near-dups") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
