@@ -327,6 +327,38 @@ object TextAnalysisOps {
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>").as("clean_text"))
 
+  /** Top-k TF-IDF terms per document — the classic keyword/salience
+    * extraction pass. tf and df are exact counts; idf is the one
+    * necessarily-floating piece, pinned to the integer grid as
+    * `floor(ln(N/df)·10⁶)` so scores are exact integer products
+    * (tf·idf_u) with a total (score desc, term) tie-break.
+    *
+    * Scale: tf/df are partial-agg shuffles on (doc,term)/(term); the
+    * corpus size N rides a broadcast single-row cross join (never a
+    * driver collect); the per-doc top-k is a window over the doc key.
+    * Vocabulary (the df side) is what grows sublinearly — the join is
+    * term-keyed, so skewed stopword terms stay one-row-per-term on
+    * the df side and never hot-spot.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfc, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_u",
+        floor(log(col("n").cast("double") / col("df")) * 1000000).cast("long"))
+      .withColumn("score", col("tf") * col("idf_u"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("idf_u"), col("score"))
+  }
+
   /** URL/domain profiling: extract http(s)/www URLs map-side, reduce
     * each to its bare domain (scheme and leading `www.` stripped, path
     * cut), aggregate per-domain document and mention counts. The common

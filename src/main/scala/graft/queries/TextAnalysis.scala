@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDef, Tables}
 import graft.operators.TextAnalysisOps
+import org.apache.spark.sql.functions.col
 
 /** Text-analysis operators over the `documents` table (LLM-pipeline
   * extension; see SURVEY.md §0). Every query carries a full DuckDB
@@ -294,6 +295,33 @@ object TextAnalysis {
       TextAnalysisOps.packSequences(Tables.t(s, dir, "documents"),
         "doc_id", "text", "lang", budget = 512L)
         .orderBy("doc_id")
+    },
+
+    // --- top-3 TF-IDF terms per doc; idf pinned to the integer grid
+    // (floor(ln(N/df)*1e6)) so scores are exact integer products
+    Q.df("q69_tfidf_terms",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS idf_u
+        |  FROM tf t JOIN df USING (term) CROSS JOIN n
+        |),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, idf_u, tf * idf_u AS score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_u DESC, term) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, idf_u, score FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.tfidfTopTerms(Tables.t(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
     }
   )
 }

@@ -799,6 +799,17 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("EXPLAIN runs through the server and returns a plan") {
+    // the reference delegates EXPLAIN to its engine (handlers.rs runs
+    // it as a plain query); here Spark's EXPLAIN plays that role
+    val c = connect()
+    val r = c.query("EXPLAIN SELECT count(*) FROM t7 WHERE id > 2")
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.rows.nonEmpty)
+    assert(r.rows.map(_.head.getOrElse("")).mkString.contains("Physical Plan"))
+    c.close()
+  }
+
   test("every reference catalog export is queryable (65-table parity)") {
     // the reference ships these 65 tables as populated feathers
     // (datafusion-pg-catalog/pg_catalog_arrow_exports/); each must at

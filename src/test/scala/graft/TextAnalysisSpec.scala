@@ -159,6 +159,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L, "no pii here, just 1.2 version numbers")))
   }
 
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common zebra common common"),
+      (2L, "common apple"),
+      (3L, "common banana banana")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(4)))).toMap
+    // "common" appears in all 3 docs -> idf_u = floor(ln(1)*1e6) = 0,
+    // so the doc-unique term wins every doc despite lower tf
+    val idf1 = math.floor(math.log(3.0) * 1000000).toLong // df=1 terms
+    assert(got(1L) === (("zebra", 1L, idf1)))
+    assert(got(2L) === (("apple", 1L, idf1)))
+    assert(got(3L) === (("banana", 2L, 2 * idf1)))
+  }
+
   test("chunkTokens windows with stride, keeping short tails") {
     val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val got = TextAnalysisOps.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
