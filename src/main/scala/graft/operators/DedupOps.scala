@@ -349,22 +349,32 @@ object DedupOps {
       .toDF("doc_id", "sh", "sig")
   }
 
+  /** Pair-encoded, capped band records of a portable-signature base:
+    * band_hash = sig[2b]·M + sig[2b+1]. Shared by the self-join and
+    * cross-corpus pipelines (and mirrored verbatim by their DuckDB
+    * oracles) so the encoding cannot silently diverge between paths.
+    */
+  private def portableBandRecords(base: DataFrame, bands: Int,
+      maxBucket: Int): DataFrame = {
+    val M = 1000000007L
+    val rec = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            (element_at(col("sig"), b * 2 + 1) * M +
+              element_at(col("sig"), b * 2 + 2)).as("band_hash")))).as("r"))
+      .select(col("doc_id"), col("r.band").as("band"), col("r.band_hash").as("band_hash"))
+    capBuckets(rec, Seq("band", "band_hash"), maxBucket)
+  }
+
   def portableMinhashPairsManaged(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 8, bands: Int = 4,
       maxBucket: Int = 64): ManagedResult = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rows = k / bands
     require(rows == 2, "band pair-encoding expects exactly 2 rows per band")
-    val M = 1000000007L
     val base = portableSignatureRows(docs, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandrec = base.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            (element_at(col("sig"), b * 2 + 1) * M +
-              element_at(col("sig"), b * 2 + 2)).as("band_hash")))).as("r"))
-      .select(col("doc_id"), col("r.band").as("band"), col("r.band_hash").as("band_hash"))
-    val capped = capBuckets(bandrec, Seq("band", "band_hash"), maxBucket)
+    val capped = portableBandRecords(base, bands, maxBucket)
     val l = capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     val cand = l.join(r, Seq("band", "band_hash"))
@@ -404,23 +414,15 @@ object DedupOps {
       bands: Int = 4, maxBucket: Int = 64): ManagedResult = {
     require(k % bands == 0 && k / bands == 2,
       "band pair-encoding expects exactly 2 rows per band")
-    val M = 1000000007L
     def side(docs: DataFrame) =
       portableSignatureRows(docs, idCol, textCol, shingleWords, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bandRecs(base: DataFrame) = {
-      val rec = base.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"),
-              (element_at(col("sig"), b * 2 + 1) * M +
-                element_at(col("sig"), b * 2 + 2)).as("band_hash")))).as("r"))
-        .select(col("doc_id"), col("r.band").as("band"), col("r.band_hash").as("band_hash"))
-      capBuckets(rec, Seq("band", "band_hash"), maxBucket)
-    }
     val tBase = side(train)
     val eBase = side(eval)
-    val cand = bandRecs(tBase).withColumnRenamed("doc_id", "train_id")
-      .join(bandRecs(eBase).withColumnRenamed("doc_id", "eval_id"),
+    val cand = portableBandRecords(tBase, bands, maxBucket)
+      .withColumnRenamed("doc_id", "train_id")
+      .join(portableBandRecords(eBase, bands, maxBucket)
+        .withColumnRenamed("doc_id", "eval_id"),
         Seq("band", "band_hash"))
       .select("train_id", "eval_id").distinct()
     val result = cand
@@ -438,17 +440,20 @@ object DedupOps {
     * identical semantics in DuckDB, so the operator is oracle-able).
     *
     * Scale: the join is equi on the blocking key — never all-pairs —
-    * with the shared [[capBuckets]] skew guard; the length-band
-    * predicate prunes candidates before the O(len²) distance runs.
-    * Block choice is the recall/cost dial (a good block key at corpus
-    * scale is a cheap canopy: sorted-token prefix, phonetic code, or
-    * an LSH bucket from the minhash path).
+    * and over-cap blocks THIN to a deterministic ~maxBucket sample
+    * ([[thinBuckets]]) rather than dropping: a fixed-cardinality
+    * block key (like a brand column) would otherwise cross the cap at
+    * some scale factor and silently zero the whole result. The
+    * length-band predicate prunes candidates before the O(len²)
+    * distance runs. Block choice is the recall/cost dial (a good
+    * block key at corpus scale is a cheap canopy: sorted-token
+    * prefix, phonetic code, or an LSH bucket from the minhash path).
     */
   def fuzzyJoin(rows: DataFrame, idCol: String, strCol: String,
       blockCol: String, maxDist: Int, maxBucket: Int = 10000): DataFrame = {
     val base0 = rows.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s"), col(blockCol).as("blk"))
-    val base = capBuckets(base0, Seq("blk"), maxBucket)
+    val base = thinBuckets(base0, Seq("blk"), "id", maxBucket)
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)

@@ -333,6 +333,14 @@ object TextAnalysisOps {
     * `floor(ln(N/df)·10⁶)` so scores are exact integer products
     * (tf·idf_u) with a total (score desc, term) tie-break.
     *
+    * Determinism caveat: unlike the rest of the corpus (single
+    * correctly-rounded IEEE ops), `ln` is only ~1-ulp accurate and
+    * implementation-specific, so a (N, df) ratio whose scaled log
+    * lands within an ulp of an integer could floor differently across
+    * engines. There are at most N distinct df values per corpus and
+    * the oracle data is fixed, so the gate is stable; treat idf_u as
+    * quantized-approximate, not exact, when comparing across runtimes.
+    *
     * Scale: tf/df are partial-agg shuffles on (doc,term)/(term); the
     * corpus size N rides a broadcast single-row cross join (never a
     * driver collect); the per-doc top-k is a window over the doc key.
@@ -382,6 +390,9 @@ object TextAnalysisOps {
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     docs
+      // NULL text yields no chunks (greatest(NULL-1, 0) would otherwise
+      // manufacture one start and emit a NULL-chunk row)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col("doc_id"), col("toks"),

@@ -443,7 +443,9 @@ object PgCatalog {
     StructField("oid", IntegerType), StructField("amopfamily", IntegerType),
     StructField("amoplefttype", IntegerType), StructField("amoprighttype", IntegerType),
     StructField("amopstrategy", ShortType), StructField("amoppurpose", StringType),
-    StructField("amopopr", IntegerType), StructField("amopmethod", IntegerType)))
+    StructField("amopopr", IntegerType), StructField("amopmethod", IntegerType),
+    // psql \dAo+ joins through amopsortfamily; 0 = not an ordering op
+    StructField("amopsortfamily", IntegerType)))
 
   private def pgAmop(spark: SparkSession): DataFrame =
     mkDf(spark, pgAmopSchema, opFamilies.flatMap { f =>
@@ -452,10 +454,10 @@ object PgCatalog {
         .filter(_._2 != 0)
         .map { case (strat, opr) =>
           Row(9440 + opFamilies.indexOf(f) * 6 + strat, famOid(BtreeAm, f.name),
-            f.ty, f.ty, strat.toShort, "s", opr, BtreeAm)
+            f.ty, f.ty, strat.toShort, "s", opr, BtreeAm, 0)
         }
       val hash = Seq(Row(9480 + opFamilies.indexOf(f),
-        famOid(HashAm, f.name), f.ty, f.ty, 1.toShort, "s", f.eq, HashAm))
+        famOid(HashAm, f.name), f.ty, f.ty, 1.toShort, "s", f.eq, HashAm, 0))
       btree ++ hash
     })
 

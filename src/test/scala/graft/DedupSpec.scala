@@ -208,10 +208,18 @@ class DedupSpec extends SparkSpec {
     val got = DedupOps.fuzzyJoin(rows, "id", "name", "brand", maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 2L, 1L)))
-    // cap drops the whole over-cap block
-    val capped = DedupOps.fuzzyJoin(rows, "id", "name", "brand",
+    // over-cap blocks THIN to a deterministic sample (never drop
+    // outright — a fixed-cardinality block key would zero the result
+    // at some scale otherwise): output stays a subset of the uncapped
+    // pairs, and a within-cap block is untouched
+    val thinned = DedupOps.fuzzyJoin(rows, "id", "name", "brand",
       maxDist = 2, maxBucket = 3)
-    assert(capped.count() === 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(thinned.subsetOf(got.toSet))
+    val untouched = DedupOps.fuzzyJoin(rows, "id", "name", "brand",
+      maxDist = 2, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(untouched.toSeq === Seq((1L, 2L, 1L)))
   }
 
   test("crossCorpusMinhashPairs finds only cross-corpus near-dups") {
