@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorExpressions.descriptions.foreach(ext.injectFunction)
+    graft.functions.StringExpressions.descriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.functions.VectorExpressions.SelfDotToNorm)
   }
 }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+
+/** Native string expressions for the fuzzy-match hot path.
+  *
+  * `lev_banded(a, b, k)` is threshold-limited edit distance: exactly
+  * `levenshtein(a, b)` whenever that distance is <= k, and k+1
+  * otherwise. The DP visits only the |i-j| <= k band (Ukkonen), so a
+  * candidate pair costs O(k·len) instead of O(len²), with an early
+  * exit the moment a whole band row exceeds k — on a blocked fuzzy
+  * join almost every rejected pair aborts after two or three rows.
+  * The generated code calls [[StringExpressions.levBanded]] (a static
+  * JVM method) from inside whole-stage codegen, so pairs never leave
+  * the codegen'd loop.
+  *
+  * Semantics notes: NULL if any input is NULL (TernaryExpression
+  * null-intolerant default); `k` must be a non-negative integer;
+  * distances are over UTF-16 code units, which matches
+  * `levenshtein()` for all BMP text (the engine's corpora are BMP).
+  */
+object StringExpressions {
+
+  /** Threshold-limited Levenshtein: exact value if <= k, else k+1. */
+  def levBanded(sa: UTF8String, sb: UTF8String, k: Int): Int = {
+    val a = sa.toString
+    val b = sb.toString
+    val n = a.length
+    val m = b.length
+    val inf = k + 1
+    if (math.abs(n - m) > k) return inf
+    if (n == 0) return math.min(m, inf)
+    if (m == 0) return math.min(n, inf)
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      cur(0) = if (i <= k) i else inf
+      if (lo > 1) cur(lo - 1) = inf // stale cell from two rows ago
+      var rowMin = cur(0)
+      val ca = a.charAt(i - 1)
+      j = lo
+      while (j <= hi) {
+        var v = prev(j - 1) + (if (ca == b.charAt(j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < m) cur(hi + 1) = inf // right edge guard for next row's prev(j)
+      if (rowMin >= inf) return inf // whole band over threshold: abort
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+
+  case class LevBanded(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (first.dataType != StringType || second.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string arguments, got " +
+            s"${first.dataType.simpleString}, ${second.dataType.simpleString}")
+      else if (third.dataType != IntegerType || !third.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a literal integer threshold")
+      else TypeCheckResult.TypeCheckSuccess
+
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "lev_banded"
+
+    override def nullSafeEval(a: Any, b: Any, k: Any): Any =
+      levBanded(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+        k.asInstanceOf[Int])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, k) =>
+        s"${ev.value} = graft.functions.StringExpressions.levBanded($a, $b, $k);")
+
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): LevBanded =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name requires exactly $n arguments, got ${args.length}")
+      build(args)
+    }
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((FunctionIdentifier("lev_banded"),
+      new ExpressionInfo(classOf[LevBanded].getName, "lev_banded"),
+      arity("lev_banded", 3)(args => LevBanded(args(0), args(1), args(2)))))
+
+  /** Idempotent registration on an already-built session (same
+    * contract as [[VectorExpressions.install]]).
+    */
+  def install(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptions.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+}

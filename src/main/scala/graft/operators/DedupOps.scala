@@ -451,6 +451,7 @@ object DedupOps {
     */
   def fuzzyJoin(rows: DataFrame, idCol: String, strCol: String,
       blockCol: String, maxDist: Int, maxBucket: Int = 10000): DataFrame = {
+    graft.functions.StringExpressions.install(rows.sparkSession)
     val base0 = rows.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s"), col(blockCol).as("blk"))
     val base = thinBuckets(base0, Seq("blk"), "id", maxBucket)
@@ -458,7 +459,11 @@ object DedupOps {
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+        // banded native expression: exact levenshtein for dist <= k,
+        // k+1 beyond — the <= k filter below makes it equivalent to
+        // levenshtein() at O(k·len) with per-pair early exit
+        call_function("lev_banded", col("a.s"), col("b.s"), lit(maxDist))
+          .cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 
