@@ -50,10 +50,11 @@ final class PgServer(
     running = true
     PgCatalog.registerAll(spark)
     PgFunctions.registerAll(spark)
-    // graft-native Catalyst expressions (vec_ldot & co.) — wire
-    // clients get them even when the session was built without
+    // graft-native Catalyst expressions (vec_ldot & co., lev_banded)
+    // — wire clients get them even when the session was built without
     // spark.sql.extensions=graft.GraftExtensions
     graft.functions.VectorExpressions.install(spark)
+    graft.functions.StringExpressions.install(spark)
     val t = new Thread(() => acceptLoop(), "pgwire-accept")
     t.setDaemon(true)
     t.start()
