@@ -103,6 +103,16 @@ class PlanSpec extends SparkSpec {
       s"cross-corpus candidates must come from the band-bucket equi-join, never train × eval:\n$p")
   }
 
+  test("q69: TF-IDF broadcasts the 1-row corpus count, aggregates tf partially") {
+    val p = executedPlan("q69_tfidf_terms")
+    assert(p.contains("partial_count"),
+      s"tf/df must combine map-side before their shuffles:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the corpus-size N join must ride a broadcast, never a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in the TF-IDF plan:\n$p")
+  }
+
   test("q87: domain profiling aggregates with a map-side partial phase") {
     val p = executedPlan("q87_url_domains")
     // two-phase agg: partial_count before the exchange on the domain key
