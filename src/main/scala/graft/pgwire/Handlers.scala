@@ -85,6 +85,11 @@ object Handlers {
       case "FETCH" | "MOVE" => handleFetch(session, toks, head == "MOVE")
       case "CLOSE" => handleClose(session, toks)
       case "DEALLOCATE" => Complete("DEALLOCATE")
+      case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
+        // storage maintenance is meaningless over external parquet —
+        // accept-and-no-op with the pg tag so client scripts
+        // (pg_maintenance, scheduled VACUUM ANALYZE) run clean
+        Complete(if (head == "ANALYSE") "ANALYZE" else head)
       case "DISCARD" =>
         // pg DISCARD ALL: drop cursors/portals/statements AND reset
         // session state to defaults

@@ -799,6 +799,18 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("maintenance statements no-op with pg tags (VACUUM/ANALYZE/REINDEX)") {
+    val c = connect()
+    assert(c.query("VACUUM").tags === Seq("VACUUM"))
+    assert(c.query("VACUUM ANALYZE t7").tags === Seq("VACUUM"))
+    assert(c.query("ANALYZE t7").tags === Seq("ANALYZE"))
+    assert(c.query("ANALYSE").tags === Seq("ANALYZE"))
+    assert(c.query("REINDEX TABLE t7").tags === Seq("REINDEX"))
+    // the session still works afterwards
+    assert(c.query("SELECT count(*) FROM t7").rows === Seq(Seq(Some("7"))))
+    c.close()
+  }
+
   test("EXPLAIN runs through the server and returns a plan") {
     // the reference delegates EXPLAIN to its engine (handlers.rs runs
     // it as a plain query); here Spark's EXPLAIN plays that role
