@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{Q, QueryDef, Tables}
-import graft.operators.TextAnalysisOps
-import org.apache.spark.sql.functions.col
+import graft.operators.{DedupOps, TextAnalysisOps}
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Text-analysis operators over the `documents` table (LLM-pipeline
   * extension; see SURVEY.md §0). Every query carries a full DuckDB
@@ -322,6 +322,76 @@ object TextAnalysis {
       TextAnalysisOps.tfidfTopTerms(Tables.t(s, dir, "documents"),
         "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // --- the pipeline, end to end: quality gate → language gate →
+    // exact dedup keep-first → content-keyed split → per-(lang,split)
+    // sequence packing. Every stage is one of the oracle-verified
+    // operators above; this query pins that they COMPOSE — one DuckDB
+    // oracle over the whole five-stage chain.
+    Q.df("q99_pipeline", {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val scores = langs.map(l => s"${duckLangScore(l)} AS score_$l").mkString(",\n  ")
+      val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN score_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |    cast(cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as decimal(20,6)) /
+         |         greatest(length(text), 1) as double) AS alpha_ratio,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+         |  FROM documents),
+         |d1 AS (SELECT doc_id, text FROM q WHERE alpha_ratio >= 0.6 AND n_toks >= 5),
+         |lang AS (
+         |  SELECT doc_id, $pred AS lang_pred
+         |  FROM (SELECT doc_id, $scores FROM d1)),
+         |d2 AS (
+         |  SELECT d1.doc_id, d1.text, lang.lang_pred
+         |  FROM d1 JOIN lang USING (doc_id)
+         |  WHERE lang_pred IN ('en', 'de', 'es', 'fr')),
+         |d3 AS (
+         |  SELECT doc_id, text, lang_pred FROM (
+         |    SELECT d2.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+         |        FROM d3)),
+         |d4 AS (
+         |  SELECT d3.doc_id, d3.text, d3.lang_pred || '/' || sp.split AS shard
+         |  FROM d3 JOIN sp USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, shard,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM d4),
+         |w AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM c)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+         |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+         |FROM w ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val keepQ = TextAnalysisOps.qualityScore(docs, "doc_id", "text")
+        .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 5)
+        .select("doc_id")
+      val d1 = docs.join(keepQ, "doc_id")
+      val lang = TextAnalysisOps.langId(d1, "doc_id", "text")
+        .filter(col("lang_pred").isin("en", "de", "es", "fr"))
+        .select("doc_id", "lang_pred")
+      val d2 = d1.join(lang, "doc_id")
+      val d3 = DedupOps.dedupKeepFirst(d2, "doc_id", "text")
+      val sp = TextAnalysisOps.trainSplit(d3, "doc_id", "text")
+        .select("doc_id", "split")
+      val d4 = d3.join(sp, "doc_id")
+        .withColumn("shard_key", concat(col("lang_pred"), lit("/"), col("split")))
+      TextAnalysisOps.packSequences(d4, "doc_id", "text", "shard_key", budget = 512L)
+        .orderBy("doc_id")
     }
   )
 }
