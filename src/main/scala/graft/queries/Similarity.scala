@@ -201,7 +201,11 @@ object Similarity {
     },
 
     // --- symmetric int8 quantization: per-vector scale, codes,
-    // saturation count, max grid reconstruction error (floor-millis)
+    // saturation count, max grid reconstruction error (floor-millis).
+    // The codes travel the oracle as a CSV scalar (codes_csv), not an
+    // int array: the driver's pandas-based comparator cannot sort or
+    // hash array cells (r6 q58 harness crash). quantizeInt8's array
+    // API is unchanged; only this gate query flattens.
     Q.df("q58_int8_quantize",
       s"""WITH e AS (SELECT vec_id, $duckQ AS qv FROM embeddings),
          |a AS (SELECT vec_id, qv,
@@ -210,14 +214,20 @@ object Similarity {
          |c AS (SELECT vec_id, qv, amax,
          |  list_transform(qv, v -> CAST(floor(v * 127 / amax + 0.5) AS INT)) AS q8
          |  FROM a)
-         |SELECT vec_id, CAST(amax AS BIGINT) AS scale, q8,
+         |SELECT vec_id, CAST(amax AS BIGINT) AS scale,
+         |  array_to_string(q8, ',') AS codes_csv,
          |  CAST(len(list_filter(q8, q -> abs(q) = 127)) AS BIGINT) AS n_sat,
          |  CAST(floor(list_max(list_transform(range(1, len(q8) + 1),
          |    i -> abs(qv[CAST(i AS INT)] - q8[CAST(i AS INT)] * amax / 127.0))) * 1000)
          |    AS BIGINT) AS max_err_m
          |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col, transform}
       SimilarityOps.quantizeInt8(
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q8"), _.cast("string")), ",")
+            .as("codes_csv"),
+          col("n_sat"), col("max_err_m"))
         .orderBy("vec_id")
     }
   )
