@@ -38,17 +38,108 @@ object Dedup {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     },
 
-    // --- MinHash+LSH near-dup pairs (xxhash64-based: rows-only check;
-    //     semantics pinned by DedupSpec on a known-dup fixture)
-    Q.noOracle("q42_minhash_lsh_pairs") { (s, dir) =>
+    // --- MinHash+LSH near-dup pairs, now under a FULL DuckDB oracle
+    //     (was rows-only through r6). DuckDB cannot run xxhash64, but it
+    //     CAN compute the exact all-pairs shingle Jaccard — so the gate
+    //     is containment + recall in one hash-match: the LSH pairs
+    //     verified at jaccard >= 0.5 must EQUAL the exact truth set at
+    //     the same threshold. Any false positive surviving the verify
+    //     filter breaks containment; any planted near-dup the banded
+    //     buckets miss breaks recall. The oracle's all-pairs join runs
+    //     only at the gated SF (the driver's sf0.01); the Spark side
+    //     stays the banded LSH plan at every scale. The raw candidate
+    //     stream (verify filter off, incl. sub-threshold candidates)
+    //     remains covered by DedupSpec + the q45 portable twin.
+    Q.df("q42_minhash_lsh_pairs",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(a.sh)
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(a.sh || b.sh)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       DedupOps.minhashLshPairs(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
 
-    // --- SimHash near-dup peers (xxhash64-based: rows-only check)
-    Q.noOracle("q43_simhash_peers") { (s, dir) =>
-      DedupOps.simhashWithPeers(Tables.t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+    // --- SimHash near-dup property gate, now under a FULL DuckDB
+    //     oracle (was rows-only through r6). The xxhash64 simhash value
+    //     itself is not reproducible in DuckDB; the HASH-MATCHED claim
+    //     is the property that makes simhash a dedup signal, checked
+    //     from both directions so a degenerate hash cannot pass:
+    //       near: every exact-Jaccard >= 0.5 pair must land within
+    //             Hamming distance 6 (observed max 5 on this corpus;
+    //             a constant simhash passes this but fails far);
+    //       far:  every adjacent-id pair with Jaccard < 0.05 must stay
+    //             at distance >= 7 (observed min 8; a corrupted bit
+    //             fold collapses distances and fails this).
+    //     DuckDB derives the pair lists exactly and pins ok=1; Spark
+    //     computes ok from the real simhash. The per-doc peers output
+    //     (doc_id, simhash, n_chunk_peers) stays spec-tested in
+    //     DedupSpec and DuckDB-pinned via the portable twin q46.
+    Q.df("q43_simhash_peers",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |near AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(a.sh)
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(a.sh || b.sh)) >= 0.5
+        |),
+        |far AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(a.sh || b.sh)) < 0.05
+        |)
+        |SELECT doc_a, doc_b, 'near' AS kind, CAST(1 AS BIGINT) AS ok FROM near
+        |UNION ALL
+        |SELECT doc_a, doc_b, 'far' AS kind, CAST(1 AS BIGINT) AS ok FROM far
+        |ORDER BY kind, doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val sim = DedupOps.simhashRows(docs, "doc_id", "text")
+      val simA = sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val simB = sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      val ham = expr("bit_count(sim_a ^ sim_b)")
+      // near side: the q42-gated truth pairs (minhash-verified >= 0.5;
+      // recall 100% is exactly what the q42 oracle proves)
+      val near = DedupOps.minhashLshPairs(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .join(simA, "doc_a").join(simB, "doc_b")
+        .select(col("doc_a"), col("doc_b"), lit("near").as("kind"),
+          (ham <= 6).cast("long").as("ok"))
+      // far side: adjacent-id non-dup pairs, shingle Jaccard < 0.05
+      val sh = docs.select(col("doc_id"),
+          DedupOps.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) >= 1)
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val far = a.join(b, col("doc_b") === col("doc_a") + 1)
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") < 0.05)
+        .join(simA, "doc_a").join(simB, "doc_b")
+        .select(col("doc_a"), col("doc_b"), lit("far").as("kind"),
+          (ham >= 7).cast("long").as("ok"))
+      near.unionByName(far).orderBy("kind", "doc_a", "doc_b")
     },
 
     // --- cap-policy health metric: per chunk index, bucket census and
