@@ -81,6 +81,15 @@ object Bench {
     // in round 5); a file copy makes the artifact unconditionally whole
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case scala.util.control.NonFatal(_) => }
+    // Compact twin printed LAST: same schema, query keys shortened to
+    // their qNN prefix, so a complete parseable JSON line always sits
+    // inside the driver's tail window even when the full-name line
+    // overflows it (BENCH_r06 lost q01–q20 to exactly that overflow).
+    val qsShort = results.map { case (k, v) =>
+      "\"" + esc(k.takeWhile(_ != '_')) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

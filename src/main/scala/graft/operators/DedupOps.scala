@@ -175,6 +175,48 @@ object DedupOps {
     * "mapPartitions when the expression layer can't go fast enough"
     * escape hatch.
     */
+  /** Distinct word shingles of one text, first-occurrence order — the
+    * JVM core shared by [[signatureRows]] and [[shingleRows]]; exact
+    * replica of the [[wordShingles]] expression's semantics. Returns
+    * null (not an empty array) for texts shorter than `shingleWords`
+    * tokens so callers can drop them like the expression path does.
+    */
+  private def shinglesOf(text: String, shingleWords: Int): Array[String] = {
+    val toks = sparkTokens(text)
+    if (toks.length < shingleWords) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + shingleWords <= toks.length) {
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < shingleWords) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString); i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** (doc_id, shingles) via the typed fast path — for consumers that
+    * need the shingle sets but not minhash signatures (e.g. exact
+    * Jaccard over an already-blocked pair set). Same semantics as
+    * `select(id, wordShingles(text, n))` minus the interpreted-HOF tax;
+    * docs shorter than `shingleWords` tokens are dropped, matching
+    * [[signatureRows]].
+    */
+  private[graft] def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = shinglesOf(text, shingleWords)
+          if (sh == null) Iterator.empty else Iterator.single((id, sh))
+        }
+      }
+      .toDF("doc_id", "shingles")
+  }
+
   private[graft] def signatureRows(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, k: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -183,21 +225,11 @@ object DedupOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = sparkTokens(text)
-          if (toks.length < shingleWords) Iterator.empty
+          val sh = shinglesOf(text, shingleWords)
+          if (sh == null) Iterator.empty
           else {
-            // distinct shingles, first-occurrence order (array_distinct)
-            val seen = new java.util.LinkedHashSet[String]()
-            var i = 0
-            while (i + shingleWords <= toks.length) {
-              val sb = new StringBuilder(toks(i))
-              var j = 1
-              while (j < shingleWords) { sb.append(' ').append(toks(i + j)); j += 1 }
-              seen.add(sb.toString); i += 1
-            }
-            val sh = seen.toArray(new Array[String](seen.size))
             val baseH = new Array[Long](sh.length)
-            i = 0
+            var i = 0
             while (i < sh.length) { baseH(i) = xxh64String(sh(i), 42L); i += 1 }
             val sig = new Array[Long](k)
             var p = 0

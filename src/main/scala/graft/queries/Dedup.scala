@@ -127,12 +127,14 @@ object Dedup {
         .join(simA, "doc_a").join(simB, "doc_b")
         .select(col("doc_a"), col("doc_b"), lit("near").as("kind"),
           (ham <= 6).cast("long").as("ok"))
-      // far side: adjacent-id non-dup pairs, shingle Jaccard < 0.05
-      val sh = docs.select(col("doc_id"),
-          DedupOps.wordShingles(col("text"), 3).as("sh"))
-        .filter(size(col("sh")) >= 1)
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      // far side: adjacent-id non-dup pairs, shingle Jaccard < 0.05.
+      // Shingles come from the typed fast path (the wordShingles
+      // expression's interpreted-HOF fold cost ~12 s at sf0.1 here),
+      // persisted once because the self-join reads it from two branches.
+      val sh = DedupOps.shingleRows(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
       val far = a.join(b, col("doc_b") === col("doc_a") + 1)
         .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double") < 0.05)
