@@ -65,20 +65,53 @@ object PgCatalog {
   private def mkDf(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(rows.asJava, schema)
 
+  /** Register a catalog view. `createOrReplaceTempView` routes through
+    * a full CreateViewCommand execution (~8 ms of command analysis per
+    * view); at ~70 static views + 6 dynamic views that made the FIRST
+    * `pg_`-touching query of every session pay ~0.7 s (round-6 verdict
+    * finding #3). The catalog content is driver-local LocalRelations we
+    * built ourselves, so insert the TemporaryViewRelation directly into
+    * the SessionCatalog — the same object CreateViewCommand would store
+    * (plan-storing temp view: VIEW kind, empty storage, analyzed plan)
+    * — and keep the command path as a fallback for any plan the direct
+    * path cannot express.
+    */
   private def register(spark: SparkSession, name: String, df: DataFrame): Unit =
-    df.createOrReplaceTempView(name)
+    try {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType, TemporaryViewRelation}
+      val meta = CatalogTable(
+        identifier = TableIdentifier(name),
+        tableType = CatalogTableType.VIEW,
+        storage = CatalogStorageFormat.empty,
+        schema = df.schema,
+        properties = Map(CatalogTable.VIEW_STORING_ANALYZED_PLAN -> "true"))
+      spark.sessionState.catalog.createTempView(name,
+        TemporaryViewRelation(meta, Some(df.queryExecution.analyzed)),
+        overrideIfExists = true)
+    } catch {
+      case scala.util.control.NonFatal(_) => df.createOrReplaceTempView(name)
+    }
 
   /** User relations = temp views + catalog tables that are not ours.
     * Sorted by name so OID assignment order (and thus first-session
     * OIDs) is deterministic.
     */
-  private def userTables(spark: SparkSession): Seq[String] =
-    spark.catalog.listTables().collect()
-      .map(_.name)
+  private def userTables(spark: SparkSession): Seq[String] = {
+    // sessionState.catalog directly: spark.catalog.listTables() builds
+    // and collects a Dataset (~0.2 s of plan+job overhead per refresh
+    // fingerprint check, which every catalog-touching query pays)
+    val cat = spark.sessionState.catalog
+    val temps = cat.listLocalTempViews("*").map(_.table)
+    val perms =
+      try cat.listTables(cat.getCurrentDatabase).map(_.table)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+    (temps ++ perms)
       .filterNot(catalogViewNames.contains)
       .filterNot(_.startsWith("pg_"))
       .filterNot(_.startsWith("information_schema"))
       .distinct.sorted.toSeq
+  }
 
   // ---- dynamic core ------------------------------------------------------
 
