@@ -43,6 +43,19 @@ object Bench {
       """SELECT a.r_name FROM warmup_region a
         |JOIN warmup_region b ON a.r_regionkey = b.r_regionkey
         |ORDER BY a.r_name LIMIT 3""".stripMargin).collect()
+    // String-function warmup: Spark 4's collation-aware string ops load
+    // ICU case-mapping tables and generate MethodHandle invoker classes
+    // on FIRST use — round-7 profiling showed q18's first run paying
+    // ~6 s of that one-time JVM init while later runs took 0.6 s. Touch
+    // the case/regexp/concat paths here so query timings measure the
+    // operator, not ICU class loading.
+    spark.sql(
+      """SELECT upper(r_name), lower(r_name), initcap(r_name),
+        |  regexp_replace(r_name, '[aeiou]+', '*'),
+        |  regexp_extract(r_name, '([A-Z]+)', 1),
+        |  concat_ws('-', r_name, r_name), length(trim(r_name)),
+        |  split(r_name, ' '), substring(r_name, 1, 3), reverse(r_name)
+        |FROM warmup_region""".stripMargin).collect()
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString

@@ -80,7 +80,19 @@ object StringExpressions {
       else if (third.dataType != IntegerType || !third.foldable)
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires a literal integer threshold")
-      else TypeCheckResult.TypeCheckSuccess
+      else third.eval() match {
+        // k is foldable, so validate its VALUE at analysis time: k < 0
+        // would make inf = k+1 <= 0 and the length pre-check always
+        // true, silently reporting every pair as distance 0; k near
+        // Int.MaxValue overflows inf = k+1.
+        case null => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName threshold must not be NULL")
+        case k: Int if k < 0 => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName threshold must be non-negative, got $k")
+        case k: Int if k == Int.MaxValue => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName threshold must be < ${Int.MaxValue} (k+1 must not overflow)")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
 
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true

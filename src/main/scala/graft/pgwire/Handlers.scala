@@ -41,6 +41,10 @@ object Handlers {
     val head = toks.head.text.toUpperCase
     val second = if (toks.length > 1) toks(1).text.toUpperCase else ""
 
+    // lazy TTL sweep: an abandoned DECLARE must not pin its iterator
+    // forever once graft.cursor_ttl is set (see Session.cursorTtlMs)
+    session.sweepExpiredCursors()
+
     // aborted-transaction guard (reference: transactions.rs:96-118)
     if (session.txn == session.Failed &&
       !Set("COMMIT", "END", "ROLLBACK", "ABORT").contains(head))
@@ -98,6 +102,7 @@ object Handlers {
         new Session(session.connId, session.user, session.database)
           .gucs.foreach { case (k, v) => session.gucs(k) = v }
         session.statementTimeoutMs = 0L
+        session.cursorTtlMs = 0L
         Complete("DISCARD ALL")
       case _ => runQuery(spark, session, sql, head, second)
     }
@@ -124,13 +129,23 @@ object Handlers {
       return Complete("SET", Seq("TimeZone" -> zone))
     }
     if (i >= toks.length) throw PgException("42601", "syntax error in SET")
-    val name = toks(i).text.toLowerCase
+    // custom GUCs are dotted (extension.name) and tokenize as 3 tokens
+    var name = toks(i).text.toLowerCase
     i += 1
+    while (i + 1 < toks.length && toks(i).is(".")) {
+      name = name + "." + toks(i + 1).text.toLowerCase
+      i += 2
+    }
     if (i < toks.length && (toks(i).isWord("TO") || toks(i).is("="))) i += 1
     val value = unquote(toks.drop(i))
     name match {
       case "statement_timeout" =>
         session.statementTimeoutMs =
+          try session.parseTimeout(value)
+          catch { case e: IllegalArgumentException => throw PgException("22023", e.getMessage) }
+        session.gucs(name) = value
+      case "graft.cursor_ttl" =>
+        session.cursorTtlMs =
           try session.parseTimeout(value)
           catch { case e: IllegalArgumentException => throw PgException("22023", e.getMessage) }
         session.gucs(name) = value
@@ -163,7 +178,7 @@ object Handlers {
       if (rest.length >= 2 && rest(0).isWord("TIME") && rest(1).isWord("ZONE")) "timezone"
       else if (rest.length >= 2 && rest(0).isWord("TRANSACTION") && rest(1).isWord("ISOLATION"))
         "transaction_isolation"
-      else rest.head.text.toLowerCase
+      else rest.map(_.text.toLowerCase).mkString // dotted custom GUCs
     val value = showValue(session, name).getOrElse(
       throw PgException("42704", s"""unrecognized configuration parameter "$name""""))
     val colName = if (name == "timezone") "TimeZone" else name
@@ -276,6 +291,7 @@ object Handlers {
     val name = identText(toks(i))
     val cur = session.cursors.getOrElse(name,
       throw PgException("34000", s"""cursor "$name" does not exist"""))
+    cur.lastUsedMs = System.currentTimeMillis()
     // drain manually — Iterator.take would invalidate cur.it for the
     // next FETCH on the same cursor
     val drained = {

@@ -73,8 +73,32 @@ final class Session(val connId: Int, val user: String, val database: String) {
   }
 
   // ---- cursor portals (DECLARE/FETCH/CLOSE) ------------------------------
-  final case class Cursor(schema: StructType, it: Iterator[Row])
+  final case class Cursor(schema: StructType, it: Iterator[Row]) {
+    /** Last DECLARE/FETCH/MOVE touch, for TTL eviction. */
+    var lastUsedMs: Long = System.currentTimeMillis()
+  }
   val cursors: mutable.Map[String, Cursor] = mutable.Map.empty
+
+  /** Idle-cursor TTL in millis; 0 = disabled. The reference frees a
+    * cursor only on CLOSE or disconnect (hooks/cursor.rs:203-216) —
+    * that stays the default — but a long-lived session that DECLAREs
+    * and abandons a cursor pins its result iterator (and any Spark
+    * job feeding it) until disconnect. `SET graft.cursor_ttl = '10min'`
+    * bounds that: a cursor idle past the TTL is evicted at the next
+    * statement dispatch and subsequent FETCH/CLOSE raises 34000, the
+    * same error an unknown cursor gets.
+    */
+  var cursorTtlMs: Long = 0L
+
+  /** Evict cursors idle past the TTL; called on every statement
+    * dispatch (lazy sweep — no timer thread per connection).
+    */
+  def sweepExpiredCursors(): Unit =
+    if (cursorTtlMs > 0 && cursors.nonEmpty) {
+      val cutoff = System.currentTimeMillis() - cursorTtlMs
+      val dead = cursors.collect { case (n, c) if c.lastUsedMs < cutoff => n }
+      dead.foreach(cursors.remove)
+    }
 
   // ---- extended-protocol prepared statements & portals -------------------
   final case class Prepared(sql: String, paramOids: Seq[Int], schema: Option[StructType])

@@ -365,7 +365,12 @@ object Dedup {
     // the scale dial: brand alone leaves ~n²/25 candidate pairs, so
     // the canopy adds the name's noun — on this corpus that keeps
     // every dist<=2 pair (edits land in the adjective) at 8× fewer
-    // levenshtein evaluations
+    // levenshtein evaluations.
+    // CAP-DEPENDENCE: fuzzyJoin thins over-cap blocks with an xxhash64
+    // sample the DuckDB oracle cannot mirror, so hash-parity holds
+    // only while every block stays under maxBucket (10000). The
+    // harness asserts that invariant so a scale-factor bump fails
+    // loudly with the cause, not as a row-diff mystery.
     Q.df("q68_fuzzy_join",
       """WITH p AS (SELECT p_partkey AS id, p_name AS s,
         |    p_brand || '|' || split_part(p_name, ' ', 2) AS blk FROM part)
@@ -378,6 +383,12 @@ object Dedup {
       val parts = Tables.t(s, dir, "part").withColumn("block",
         concat(col("p_brand"), lit("|"),
           element_at(split(col("p_name"), " "), 2)))
+      val maxBlock = parts.groupBy("block").count()
+        .agg(max("count")).head.getLong(0)
+      require(maxBlock < 10000,
+        s"q68 oracle parity requires every block under fuzzyJoin's " +
+          s"thinning cap (10000); largest block has $maxBlock rows — " +
+          s"the xxhash64 thinning sample cannot be mirrored in DuckDB")
       DedupOps.fuzzyJoin(parts, "p_partkey", "p_name", "block", maxDist = 2)
         .orderBy("id_a", "id_b")
     }

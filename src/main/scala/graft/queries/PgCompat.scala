@@ -57,6 +57,7 @@ object PgCompat {
         |  CAST(45.0 AS DOUBLE) AS at1, CAST(3.0 AS DOUBLE) AS dv,
         |  CAST(0.0 AS DOUBLE) AS e0, CAST(1.0 AS DOUBLE) AS ec0,
         |  CAST(0.0 AS DOUBLE) AS lg1, CAST(3 AS BIGINT) AS wb,
+        |  CAST(2 AS INT) AS wba, CAST(0 AS INT) AS wba0,
         |  CAST(1 AS BIGINT) AS m1, CAST(-1 AS BIGINT) AS m2,
         |  true AS m0_null""".stripMargin) {
       withUdfs((s, _) => s.sql(
@@ -66,6 +67,8 @@ object PgCompat {
           |  CAST(div(CAST(17 AS DECIMAL(10,2)), CAST(5 AS DECIMAL(10,2))) AS DOUBLE) AS dv,
           |  erf(0.0D) AS e0, erfc(0.0D) AS ec0, lgamma(1.0D) AS lg1,
           |  width_bucket(5.35D, 0.024D, 10.06D, 5L) AS wb,
+          |  pg_width_bucket(25.0D, array(10.0D, 20.0D, 30.0D)) AS wba,
+          |  pg_width_bucket(5.0D, array(10.0D, 20.0D, 30.0D)) AS wba0,
           |  pg_mod(7L, 3L) AS m1, pg_mod(-7L, 3L) AS m2,
           |  pg_mod(5L, 0L) IS NULL AS m0_null""".stripMargin))
     },

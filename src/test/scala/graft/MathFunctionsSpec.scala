@@ -82,6 +82,29 @@ class MathFunctionsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(l("width_bucket(11.0D, 0.024D, 10.06D, 5L)") === Some(6L))
   }
 
+  test("width_bucket 2-arg thresholds form (reference width_bucket.rs §thresholds)") {
+    // reference tests: 25 >= [10,20] -> 2; 5 >= none -> 0; 30 >= all -> 3
+    def wb(e: String) = spark.sql(s"SELECT $e").collect().head match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getInt(0))
+    }
+    assert(wb("pg_width_bucket(25.0D, array(10.0D, 20.0D, 30.0D))") === Some(2))
+    assert(wb("pg_width_bucket(5.0D, array(10.0D, 20.0D, 30.0D))") === Some(0))
+    assert(wb("pg_width_bucket(30.0D, array(10.0D, 20.0D, 30.0D))") === Some(3))
+    assert(wb("pg_width_bucket(CAST(NULL AS DOUBLE), array(10.0D))") === None)
+    assert(wb("pg_width_bucket(CAST('NaN' AS DOUBLE), array(10.0D))") === Some(0))
+    // NULL thresholds are never counted (reference maps them to NaN)
+    assert(wb("pg_width_bucket(25.0D, array(10.0D, CAST(NULL AS DOUBLE), 20.0D))") === Some(2))
+    // the pg call shape: Compat aliases 2-arg width_bucket to pg_width_bucket
+    // while the 4-arg form stays on Spark's builtin
+    val aliased = graft.pgwire.Compat.rewrite(
+      "SELECT width_bucket(25.0, ARRAY[10.0, 20.0, 30.0])")
+    assert(aliased.toLowerCase.contains("pg_width_bucket"))
+    val untouched = graft.pgwire.Compat.rewrite(
+      "SELECT width_bucket(5.35, 0.024, 10.06, 5)")
+    assert(!untouched.toLowerCase.contains("pg_width_bucket"))
+  }
+
   test("random_normal is registered and nondeterministic-safe") {
     val vals = spark.sql(
       "SELECT random_normal(0.0D, 1.0D) FROM range(100)").collect().map(_.getDouble(0))

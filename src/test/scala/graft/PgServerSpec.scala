@@ -270,6 +270,29 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("cursor TTL: idle DECLARE'd cursor evicted, FETCH -> 34000") {
+    val c = connect()
+    // default (TTL off) matches the reference: drop on CLOSE/disconnect
+    assert(c.query("SHOW graft.cursor_ttl").errors.head._1 === "42704")
+    assert(c.query("SET graft.cursor_ttl = '150ms'").tags === Seq("SET"))
+    assert(c.query("SHOW graft.cursor_ttl").rows.head.head === Some("150ms"))
+    assert(c.query("DECLARE curttl CURSOR FOR SELECT id FROM t7 ORDER BY id").tags ===
+      Seq("DECLARE CURSOR"))
+    // a FETCH inside the TTL window succeeds and refreshes the clock
+    assert(c.query("FETCH 1 FROM curttl").rows.map(_.head.get) === Seq("0"))
+    Thread.sleep(300)
+    // idle past the TTL: the next dispatch sweeps it; FETCH sees 34000
+    assert(c.query("FETCH 1 FROM curttl").errors.head._1 === "34000")
+    // a fresh cursor under an active TTL still works end-to-end
+    assert(c.query("DECLARE curttl2 CURSOR FOR SELECT id FROM t7 ORDER BY id").tags ===
+      Seq("DECLARE CURSOR"))
+    assert(c.query("FETCH 2 FROM curttl2").rows.map(_.head.get) === Seq("0", "1"))
+    assert(c.query("CLOSE curttl2").tags === Seq("CLOSE CURSOR"))
+    // invalid TTL value -> 22023, same as statement_timeout
+    assert(c.query("SET graft.cursor_ttl = 'soon'").errors.head._1 === "22023")
+    c.close()
+  }
+
   test("pg_catalog: psql-style introspection join runs (tests/psql.rs)") {
     val c = connect()
     val r = c.query(

@@ -53,6 +53,20 @@ class StringExpressionsSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("negative / overflowing / NULL threshold rejected at analysis time") {
+    val df = Seq(("abc", "abd")).toDF("a", "b")
+    for (bad <- Seq(lit(-1), lit(Int.MaxValue), lit(null).cast("int"))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(call_function("lev_banded", $"a", $"b", bad)).collect()
+      }
+      assert(e.getMessage.contains("threshold"), s"for $bad: ${e.getMessage}")
+    }
+    // boundary: k = 0 stays legal (exact-match-or-1 semantics)
+    val ok = df.select(call_function("lev_banded", $"a", $"b", lit(0)))
+      .collect().head.getInt(0)
+    assert(ok === 1)
+  }
+
   test("NULL input and edge strings") {
     val df = Seq((null.asInstanceOf[String], "abc"), ("abc", null),
       ("", ""), ("", "abc"), ("same", "same")).toDF("a", "b")
