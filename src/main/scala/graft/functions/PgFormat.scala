@@ -1,0 +1,628 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneId, ZonedDateTime}
+import java.time.temporal.{IsoFields, JulianFields}
+
+/** PostgreSQL `to_char` / `to_number` / `to_timestamp` template engines.
+  *
+  * The reference tracks these in its hand-maintained roadmap
+  * (datafusion-pg-functions/functions.md: Data Type Formatting, all P2
+  * "planned" — src/format.rs:13 is an empty register stub), so the
+  * behavior here is implemented from the public PostgreSQL docs
+  * (Functions and Operators §9.8, Tables 9.26–9.31) and pinned by the
+  * doc's own example table in PgFormatSpec. Pure JVM string work, no
+  * Spark types — the Catalyst wrappers live in
+  * [[PgFormatExpressions]].
+  *
+  * Deviations (documented):
+  *  - locale-dependent tokens use the C/ASCII locale: `G`=',' `D`='.'
+  *    `L`='$', day/month names in English (pg's lc_numeric/lc_time
+  *    default build behavior).
+  *  - `TM` (translation mode) and `FX` are accepted and ignored.
+  */
+object PgFormat {
+
+  // ======================================================================
+  // datetime templates (pg Table 9.26/9.27)
+  // ======================================================================
+
+  sealed trait DtNode
+  final case class DtLit(s: String) extends DtNode
+  /** key is the canonical UPPER token; raw preserves the template's
+    * capitalization (drives name casing); th: 0 none / 1 "th" / 2 "TH";
+    * fm = fill mode active at this token. */
+  final case class DtTok(key: String, raw: String, th: Int, fm: Boolean) extends DtNode
+
+  /** Longest-match-first token table. `Y,YYY` must precede `Y`. */
+  private val dtKeys: Seq[String] = Seq(
+    "HH24", "HH12", "HH", "MI", "SSSSS", "SSSS", "SS", "MS", "US",
+    "A.M.", "P.M.", "AM", "PM", "B.C.", "A.D.", "BC", "AD",
+    "Y,YYY", "IYYY", "IYY", "IY", "YYYY", "YYY", "YY", "Y",
+    "MONTH", "MON", "MM", "DAY", "DY", "IDDD", "DDD", "DD", "ID", "D",
+    "IW", "WW", "W", "CC", "J", "Q", "RM", "TZH", "TZM", "TZ", "OF", "I")
+
+  def compileDt(fmt: String): Vector[DtNode] = {
+    val out = Vector.newBuilder[DtNode]
+    var i = 0
+    var fm = false
+    val n = fmt.length
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c == '"') { // quoted literal, "" escapes nothing in pg (ends)
+        val end = fmt.indexOf('"', i + 1)
+        val stop = if (end < 0) n else end
+        out += DtLit(fmt.substring(i + 1, stop))
+        i = if (end < 0) n else end + 1
+      } else if (c == '\\' && i + 1 < n) {
+        out += DtLit(fmt.substring(i + 1, i + 2)); i += 2
+      } else {
+        val up = fmt.substring(i, math.min(n, i + 5)).toUpperCase
+        if (up.startsWith("FM")) { fm = !fm; i += 2 }
+        else if (up.startsWith("FX") || up.startsWith("TM")) { i += 2 }
+        else {
+          dtKeys.find(k => up.startsWith(k)) match {
+            case Some(k) =>
+              val raw = fmt.substring(i, i + k.length)
+              i += k.length
+              var th = 0
+              if (i + 1 < n + 1 && fmt.regionMatches(true, i, "TH", 0, 2) && i + 2 <= n) {
+                th = if (fmt.charAt(i) == 'T' && fmt.charAt(i + 1) == 'H') 2 else 1
+                i += 2
+              }
+              out += DtTok(k, raw, th, fm)
+            case None =>
+              out += DtLit(c.toString); i += 1
+          }
+        }
+      }
+    }
+    // merge adjacent literals
+    out.result().foldLeft(Vector.empty[DtNode]) {
+      case (acc :+ DtLit(a), DtLit(b)) => acc :+ DtLit(a + b)
+      case (acc, x) => acc :+ x
+    }
+  }
+
+  private val monthsU = Array("JANUARY", "FEBRUARY", "MARCH", "APRIL", "MAY", "JUNE",
+    "JULY", "AUGUST", "SEPTEMBER", "OCTOBER", "NOVEMBER", "DECEMBER")
+  private val daysU = Array("SUNDAY", "MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY",
+    "FRIDAY", "SATURDAY")
+  private val romanM = Array("I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX",
+    "X", "XI", "XII")
+
+  /** pg name casing: ALLCAPS template → upper, Capitalized → title,
+    * lower → lower. Decided by the first two template chars. */
+  private def caseName(raw: String, name: String): String = {
+    val letters = raw.filter(_.isLetter)
+    val c0 = if (letters.nonEmpty) letters.charAt(0) else 'A'
+    if (Character.isUpperCase(c0)) {
+      if (letters.length > 1 && Character.isUpperCase(letters.charAt(1))) name.toUpperCase
+      else name.charAt(0).toUpper + name.substring(1).toLowerCase
+    } else name.toLowerCase
+  }
+
+  private def ordinal(v: Long, upper: Boolean): String = {
+    val s =
+      if (v < 0) "th"
+      else (v % 100) match {
+        case 11 | 12 | 13 => "th"
+        case _ => (v % 10) match {
+          case 1 => "st"; case 2 => "nd"; case 3 => "rd"; case _ => "th"
+        }
+      }
+    if (upper) s.toUpperCase else s
+  }
+
+  private def num(v: Long, width: Int, fm: Boolean, th: Int): String = {
+    val base =
+      if (fm) v.toString
+      else {
+        val s = math.abs(v).toString
+        val sign = if (v < 0) "-" else ""
+        sign + ("0" * math.max(0, width - s.length)) + s
+      }
+    base + (if (th == 0) "" else ordinal(v, th == 2))
+  }
+
+  /** Render one datetime through a compiled template. `zdt` is the
+    * timestamp in the session zone (or the naive local value for
+    * date / timestamp-without-tz, with `hasTz=false`). */
+  def formatDt(nodes: Vector[DtNode], zdt: ZonedDateTime, hasTz: Boolean): String = {
+    val sb = new StringBuilder
+    val ld = zdt.toLocalDate
+    val y = zdt.getYear // proleptic; <=0 means BC (1 - y)
+    val dispYear = if (y <= 0) 1 - y else y
+    nodes.foreach {
+      case DtLit(s) => sb.append(s)
+      case DtTok(key, raw, th, fm) =>
+        def bc(u: String, l: String): String =
+          caseName(raw, if (y <= 0) u else l) // caller passes BC/AD pair
+        key match {
+          case "HH24" => sb.append(num(zdt.getHour, 2, fm, th))
+          case "HH12" | "HH" =>
+            val h = zdt.getHour % 12; sb.append(num(if (h == 0) 12 else h, 2, fm, th))
+          case "MI" => sb.append(num(zdt.getMinute, 2, fm, th))
+          case "SS" => sb.append(num(zdt.getSecond, 2, fm, th))
+          case "SSSS" | "SSSSS" =>
+            sb.append(num(zdt.toLocalTime.toSecondOfDay.toLong, 1, true, th))
+          case "MS" => sb.append(num(zdt.getNano / 1000000L, 3, fm, th))
+          case "US" => sb.append(num(zdt.getNano / 1000L, 6, fm, th))
+          case "AM" | "PM" =>
+            sb.append(caseName(raw, if (zdt.getHour < 12) "AM" else "PM"))
+          case "A.M." | "P.M." =>
+            sb.append(caseName(raw, if (zdt.getHour < 12) "A.M." else "P.M."))
+          case "BC" | "AD" => sb.append(bc("BC", "AD"))
+          case "B.C." | "A.D." => sb.append(bc("B.C.", "A.D."))
+          case "YYYY" => sb.append(num(dispYear.toLong, 4, fm, th))
+          case "Y,YYY" =>
+            val s = num(dispYear.toLong, 4, true, 0)
+            val cut = s.length - 3
+            sb.append(s.substring(0, cut) + "," + s.substring(cut))
+            if (th != 0) sb.append(ordinal(dispYear.toLong, th == 2))
+          case "YYY" => sb.append(num(dispYear.toLong % 1000, 3, fm, th))
+          case "YY" => sb.append(num(dispYear.toLong % 100, 2, fm, th))
+          case "Y" => sb.append(num(dispYear.toLong % 10, 1, fm, th))
+          case "IYYY" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong, 4, fm, th))
+          case "IYY" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong % 1000, 3, fm, th))
+          case "IY" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong % 100, 2, fm, th))
+          case "I" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong % 10, 1, fm, th))
+          case "MONTH" => sb.append(padName(caseName(raw, monthsU(zdt.getMonthValue - 1)), 9, fm))
+          case "MON" => sb.append(caseName(raw, monthsU(zdt.getMonthValue - 1).substring(0, 3)))
+          case "MM" => sb.append(num(zdt.getMonthValue.toLong, 2, fm, th))
+          case "DAY" =>
+            sb.append(padName(caseName(raw, daysU(zdt.getDayOfWeek.getValue % 7)), 9, fm))
+          case "DY" =>
+            sb.append(caseName(raw, daysU(zdt.getDayOfWeek.getValue % 7).substring(0, 3)))
+          case "DDD" => sb.append(num(zdt.getDayOfYear.toLong, 3, fm, th))
+          case "IDDD" =>
+            val v = (ld.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR) - 1) * 7 +
+              zdt.getDayOfWeek.getValue
+            sb.append(num(v.toLong, 3, fm, th))
+          case "DD" => sb.append(num(zdt.getDayOfMonth.toLong, 2, fm, th))
+          case "D" => sb.append(num((zdt.getDayOfWeek.getValue % 7 + 1).toLong, 1, fm, th))
+          case "ID" => sb.append(num(zdt.getDayOfWeek.getValue.toLong, 1, fm, th))
+          case "WW" => sb.append(num(((zdt.getDayOfYear - 1) / 7 + 1).toLong, 2, fm, th))
+          case "IW" => sb.append(num(ld.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR).toLong, 2, fm, th))
+          case "W" => sb.append(num(((zdt.getDayOfMonth - 1) / 7 + 1).toLong, 1, fm, th))
+          case "CC" => sb.append(num(((dispYear - 1) / 100 + 1).toLong, 2, fm, th))
+          case "J" => sb.append(num(ld.getLong(JulianFields.JULIAN_DAY), 1, true, th))
+          case "Q" => sb.append(num(((zdt.getMonthValue - 1) / 3 + 1).toLong, 1, fm, th))
+          case "RM" =>
+            val r = romanM(zdt.getMonthValue - 1)
+            val cased = if (raw.charAt(0).isUpper) r else r.toLowerCase
+            sb.append(if (fm) cased else cased + (" " * (4 - cased.length)))
+          case "TZ" =>
+            if (hasTz) {
+              val abbrev = java.util.TimeZone.getTimeZone(zdt.getZone)
+                .getDisplayName(zdt.getZone.getRules.isDaylightSavings(zdt.toInstant),
+                  java.util.TimeZone.SHORT)
+              sb.append(if (raw.charAt(0).isUpper) abbrev.toUpperCase else abbrev.toLowerCase)
+            }
+          case "TZH" =>
+            val off = zdt.getOffset.getTotalSeconds
+            sb.append(f"${if (off < 0) "-" else "+"}%s${math.abs(off) / 3600}%02d")
+          case "TZM" =>
+            sb.append(f"${math.abs(zdt.getOffset.getTotalSeconds) / 60 % 60}%02d")
+          case "OF" =>
+            val off = zdt.getOffset.getTotalSeconds
+            val h = math.abs(off) / 3600; val m = math.abs(off) / 60 % 60
+            sb.append(f"${if (off < 0) "-" else "+"}%s$h%02d")
+            if (m != 0) sb.append(f":$m%02d")
+          case other => sb.append(other) // unreachable
+        }
+    }
+    sb.toString
+  }
+
+  private def padName(s: String, w: Int, fm: Boolean): String =
+    if (fm || s.length >= w) s else s + (" " * (w - s.length))
+
+  // ---- interval rendering (subset of tokens meaningful for intervals) ----
+
+  /** pg applies the time-unit tokens to an interval's components;
+    * HH24 carries total hours (can exceed 23 only via days=0 inputs —
+    * we render the day/time split as stored: months, days, micros). */
+  def formatInterval(nodes: Vector[DtNode], months: Int, days: Int, micros: Long): String = {
+    val sb = new StringBuilder
+    val totSec = micros / 1000000L
+    val us = math.abs(micros % 1000000L)
+    val hh = totSec / 3600
+    val mi = math.abs(totSec / 60 % 60)
+    val ss = math.abs(totSec % 60)
+    nodes.foreach {
+      case DtLit(s) => sb.append(s)
+      case DtTok(key, _, th, fm) => key match {
+        case "YYYY" => sb.append(num(months / 12L, 4, fm, th))
+        case "YY" => sb.append(num(months / 12L % 100, 2, fm, th))
+        case "MM" => sb.append(num(months % 12L, 2, fm, th))
+        case "DD" => sb.append(num(days.toLong, 2, fm, th))
+        case "HH24" => sb.append(num(hh, 2, fm, th))
+        case "HH12" | "HH" =>
+          val h = math.abs(hh) % 12; sb.append(num(if (h == 0) 12 else h, 2, fm, th))
+        case "MI" => sb.append(num(mi, 2, fm, th))
+        case "SS" => sb.append(num(ss, 2, fm, th))
+        case "SSSS" | "SSSSS" => sb.append(num(totSec, 1, true, th))
+        case "MS" => sb.append(num(us / 1000, 3, fm, th))
+        case "US" => sb.append(num(us, 6, fm, th))
+        case _ => // date-of-year tokens are undefined on intervals: emit nothing
+      }
+    }
+    sb.toString
+  }
+
+  // ======================================================================
+  // numeric templates (pg Table 9.28/9.29, example Table 9.31)
+  // ======================================================================
+
+  sealed trait NumItem
+  case object NDigit9 extends NumItem
+  case object NDigit0 extends NumItem
+  case object NSep extends NumItem // ',' or G
+  case object NDec extends NumItem // '.' or D
+  case object NCurr extends NumItem // L or $
+  case object NSignS extends NumItem // S at this position
+  case object NSignMI extends NumItem
+  case object NSignPL extends NumItem
+  case object NSignSG extends NumItem
+  final case class NLit(s: String) extends NumItem
+
+  final case class NumFmt(items: Vector[NumItem], fm: Boolean, pr: Boolean,
+      vPow: Int, eeee: Boolean, rn: Boolean, th: Int, hasB: Boolean) {
+    val intDigits: Int = items.takeWhile(_ != NDec).count(i => i == NDigit9 || i == NDigit0)
+    val decDigits: Int = items.dropWhile(_ != NDec).count(i => i == NDigit9 || i == NDigit0)
+    val anchoredSign: Boolean = items.exists {
+      case NSignS | NSignMI | NSignPL | NSignSG => true; case _ => false
+    }
+  }
+
+  def compileNum(fmt: String): NumFmt = {
+    val items = Vector.newBuilder[NumItem]
+    var i = 0; var fm = false; var pr = false; var v = 0; var eeee = false
+    var rn = false; var th = 0; var hasB = false
+    val n = fmt.length
+    def at(s: String): Boolean = fmt.regionMatches(true, i, s, 0, s.length)
+    while (i < n) {
+      val c = fmt.charAt(i)
+      if (c == '"') {
+        val end = fmt.indexOf('"', i + 1)
+        val stop = if (end < 0) n else end
+        items += NLit(fmt.substring(i + 1, stop))
+        i = if (end < 0) n else end + 1
+      } else if (at("FM")) { fm = true; i += 2 }
+      else if (at("TH")) { th = if (c == 'T') 2 else 1; i += 2 }
+      else if (at("PR")) { pr = true; i += 2 }
+      else if (at("MI")) { items += NSignMI; i += 2 }
+      else if (at("PL")) { items += NSignPL; i += 2 }
+      else if (at("SG")) { items += NSignSG; i += 2 }
+      else if (at("RN")) { rn = true; i += 2 }
+      else if (at("EEEE")) { eeee = true; i += 4 }
+      else if (c == 'V' || c == 'v') {
+        // digits after V are ordinary digit positions; V only records
+        // the implied 10^n shift (doc: to_char(12,'99V999') = ' 12000')
+        i += 1
+        while (i < n && (fmt.charAt(i) == '9' || fmt.charAt(i) == '0')) {
+          items += (if (fmt.charAt(i) == '9') NDigit9 else NDigit0)
+          v += 1; i += 1
+        }
+      }
+      else if (c == '9') { items += NDigit9; i += 1 }
+      else if (c == '0') { items += NDigit0; i += 1 }
+      else if (c == ',' || c == 'G' || c == 'g') { items += NSep; i += 1 }
+      else if (c == '.' || c == 'D' || c == 'd') { items += NDec; i += 1 }
+      else if (c == 'L' || c == 'l' || c == '$') { items += NCurr; i += 1 }
+      else if (c == 'S' || c == 's') { items += NSignS; i += 1 }
+      else if (c == 'B' || c == 'b') { hasB = true; i += 1 }
+      else { items += NLit(c.toString); i += 1 }
+    }
+    NumFmt(items.result(), fm, pr, v, eeee, rn, th, hasB)
+  }
+
+  private val romanH = Array("", "C", "CC", "CCC", "CD", "D", "DC", "DCC", "DCCC", "CM")
+  private val romanT = Array("", "X", "XX", "XXX", "XL", "L", "LX", "LXX", "LXXX", "XC")
+  private val romanO = Array("", "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX")
+
+  def roman(v: Int): String =
+    if (v < 1 || v > 3999) "#" * 15
+    else ("M" * (v / 1000)) + romanH(v / 100 % 10) + romanT(v / 10 % 10) + romanO(v % 10)
+
+  /** pg `to_char(numeric, text)`. */
+  def formatNum(f: NumFmt, in: JBigDecimal): String = {
+    if (f.rn) {
+      val r = roman(in.setScale(0, RoundingMode.HALF_UP).intValue())
+      return (if (f.fm) r else (" " * math.max(0, 15 - r.length)) + r) +
+        (if (f.th != 0) ordinal(in.longValue(), f.th == 2) else "")
+    }
+    val value0 = if (f.vPow == 0) in else in.movePointRight(f.vPow)
+    if (f.eeee) {
+      val neg = value0.signum() < 0
+      val fmtStr = "%." + f.decDigits + "e"
+      var s = String.format(java.util.Locale.ROOT, fmtStr, Double.box(value0.abs.doubleValue()))
+      // java gives e-04 style already ("%e" pads exponent to 2)
+      val signStr = if (neg) "-" else if (f.fm) "" else " "
+      return signStr + s
+    }
+    val neg = value0.signum() < 0
+    val rounded = value0.abs.setScale(f.decDigits, RoundingMode.HALF_UP)
+    val intPart = rounded.toBigInteger.toString
+    val overflow = intPart.length > f.intDigits && !(intPart == "0" && f.intDigits == 0)
+    val fracPart =
+      if (f.decDigits == 0) ""
+      else {
+        val s = rounded.toPlainString
+        val dot = s.indexOf('.')
+        if (dot < 0) "0" * f.decDigits else s.substring(dot + 1)
+      }
+    if (overflow) {
+      // pg fills every digit/sep/dec position with '#', including the
+      // default sign column
+      val sb = new StringBuilder
+      if (!f.anchoredSign && !f.fm) sb.append('#')
+      f.items.foreach {
+        case NDigit9 | NDigit0 | NSep => sb.append('#')
+        case NDec => sb.append('.')
+        case NLit(s) => sb.append(s)
+        case _ =>
+      }
+      return sb.toString
+    }
+    // A '0' in the integer template forces every position from it
+    // rightward to print; with an all-'9' template a zero integer part
+    // prints NO digits (doc: to_char(-0.1,'99.99') = ' -.10').
+    val intItems = f.items.takeWhile(_ != NDec)
+    var forcedFrom = Int.MaxValue // digit index (0 = leftmost template digit)
+    var di = 0
+    intItems.foreach {
+      case NDigit0 => if (forcedFrom == Int.MaxValue) forcedFrom = di; di += 1
+      case NDigit9 => di += 1
+      case _ =>
+    }
+    val forcedCount = if (forcedFrom == Int.MaxValue) 0 else f.intDigits - forcedFrom
+    val effDigits =
+      if (intPart == "0" && forcedCount == 0 && f.decDigits > 0) 0
+      else math.max(intPart.length, forcedCount)
+    val digits =
+      if (effDigits == 0) ""
+      else ("0" * math.max(0, effDigits - intPart.length)) + intPart
+
+    // walk integer items right-to-left assigning digits into slots;
+    // rendered(k) == null means "suppressed" (FM mode drops it)
+    val rendered = new Array[String](intItems.length)
+    var dRemain = digits.length
+    var k = intItems.length - 1
+    while (k >= 0) {
+      intItems(k) match {
+        case NDigit9 | NDigit0 =>
+          if (dRemain > 0) { rendered(k) = digits.substring(dRemain - 1, dRemain); dRemain -= 1 }
+          else rendered(k) = if (f.fm) null else " "
+        case NSep =>
+          rendered(k) = if (dRemain > 0) "," else if (f.fm) null else " "
+        case NCurr => rendered(k) = "$"
+        case NSignS => rendered(k) = if (neg) "-" else "+"
+        case NSignMI => rendered(k) = if (neg) "-" else if (f.fm) null else " "
+        case NSignPL => rendered(k) = if (!neg) "+" else if (f.fm) null else " "
+        case NSignSG => rendered(k) = if (neg) "-" else "+"
+        case NLit(s) => rendered(k) = s
+        case NDec => // not in intItems
+      }
+      k -= 1
+    }
+    // Default sign column (no S/MI/PL/SG and no PR... PR keeps it too):
+    // the sign hugs the first printed digit, adding one column; when no
+    // int digit printed it CONSUMES the rightmost blank slot instead.
+    val needDefaultSign = !f.anchoredSign
+    val signCh = if (f.pr) (if (neg) "<" else " ") else (if (neg) "-" else " ")
+    val intSb = new StringBuilder
+    if (f.fm) {
+      rendered.foreach(r => if (r != null) intSb.append(r))
+      if (needDefaultSign && neg && !f.pr) intSb.insert(firstDigitIdx(intSb.toString), '-')
+      else if (f.pr && neg) intSb.insert(0, '<')
+    } else if (needDefaultSign) {
+      // index (in rendered, expanded) of first actual digit char
+      var firstDigit = -1
+      var lastBlankSlot = -1
+      var outIdx = 0
+      var ki = 0
+      val offsets = new Array[Int](intItems.length)
+      while (ki < intItems.length) {
+        offsets(ki) = outIdx
+        val r = rendered(ki)
+        if (r != null) {
+          val isDigitSlot = intItems(ki) == NDigit9 || intItems(ki) == NDigit0
+          if (isDigitSlot && r != " " && firstDigit < 0) firstDigit = outIdx
+          if (isDigitSlot && r == " ") lastBlankSlot = outIdx
+          outIdx += r.length
+        }
+        ki += 1
+      }
+      rendered.foreach(r => if (r != null) intSb.append(r))
+      if (firstDigit >= 0) intSb.insert(firstDigit, signCh)
+      else if (lastBlankSlot >= 0) intSb.setCharAt(lastBlankSlot, signCh.charAt(0))
+      else intSb.append(signCh)
+    } else {
+      rendered.foreach(r => if (r != null) intSb.append(r))
+    }
+    val sb = new StringBuilder(intSb.toString)
+    // decimal part
+    val decItems = f.items.dropWhile(_ != NDec)
+    if (decItems.nonEmpty) {
+      sb.append('.')
+      // rightmost forced '0' among decimal digit positions
+      var lastForced = -1
+      var p = 0
+      decItems.drop(1).foreach {
+        case NDigit0 => lastForced = p; p += 1
+        case NDigit9 => p += 1
+        case _ =>
+      }
+      var trailing = fracPart.length
+      if (f.fm) { // trim trailing zeros beyond the last forced '0'
+        while (trailing > lastForced + 1 && trailing > 0 &&
+          fracPart.charAt(trailing - 1) == '0') trailing -= 1
+      }
+      var fi = 0
+      decItems.drop(1).foreach {
+        case NDigit9 | NDigit0 =>
+          if (fi < trailing) { sb.append(fracPart.charAt(fi)); fi += 1 }
+          else { if (!f.fm) sb.append(' '); fi += 1 }
+        case NSignS => sb.append(if (neg) "-" else "+")
+        case NSignMI => sb.append(if (neg) "-" else if (f.fm) "" else " ")
+        case NSignPL => sb.append(if (!neg) "+" else if (f.fm) "" else " ")
+        case NSignSG => sb.append(if (neg) "-" else "+")
+        case NCurr => sb.append("$")
+        case NLit(s) => sb.append(s)
+        case _ =>
+      }
+    }
+    var res = sb.toString
+    if (f.pr) res = res + (if (neg) ">" else " ")
+    if (f.th != 0)
+      res = res + ordinal(value0.setScale(0, RoundingMode.DOWN).longValue(), f.th == 2)
+    res
+  }
+
+  private def firstDigitIdx(s: String): Int = {
+    val i = s.indexWhere(_.isDigit)
+    if (i < 0) s.length else i
+  }
+
+  /** pg `to_number(text, text)` — lenient scan guided by the template:
+    * sign from '-' / trailing '-' / '<...>' anywhere, digits and one
+    * decimal point collected in order, group/currency/blank noise
+    * skipped, `V` divides back down. Covers the doc example
+    * to_number('12,454.8-', '99G999D9S') = -12454.8. */
+  def parseNum(f: NumFmt, in: String): JBigDecimal = {
+    if (in == null) return null
+    var neg = false
+    val sb = new StringBuilder
+    var seenDot = false
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (c >= '0' && c <= '9') sb.append(c)
+      else if ((c == '.') && !seenDot) { sb.append('.'); seenDot = true }
+      else if (c == '-' || c == '<') neg = true
+      i += 1
+    }
+    if (sb.isEmpty || sb.toString == ".") return null
+    var v = new JBigDecimal(sb.toString)
+    if (neg) v = v.negate()
+    if (f.vPow > 0) v = v.movePointLeft(f.vPow)
+    v
+  }
+
+  // ======================================================================
+  // to_timestamp(text, template) — parse side
+  // ======================================================================
+
+  private val monthPrefixes: Map[String, Int] =
+    monthsU.zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+
+  /** Parse `in` according to the compiled template; returns epoch
+    * micros in `zone`. pg-lenient: runs of separator literals match any
+    * whitespace/punct; numeric fields read up to their natural width. */
+  def parseDt(nodes: Vector[DtNode], in: String, zone: ZoneId): Long = {
+    var year = 1; var month = 1; var day = 1
+    var hour = 0; var min = 0; var sec = 0; var usec = 0
+    var pm = false; var sawPm = false; var hour12 = false
+    var bc = false
+    var tzOffSec: Option[Int] = None
+    var pos = 0
+    val n = in.length
+    def skipSep(): Unit = {
+      while (pos < n && !Character.isLetterOrDigit(in.charAt(pos))) pos += 1
+    }
+    def readInt(maxW: Int): Int = {
+      skipSep()
+      val st = pos
+      while (pos < n && pos - st < maxW && Character.isDigit(in.charAt(pos))) pos += 1
+      if (st == pos) 0 else in.substring(st, pos).toInt
+    }
+    def readSignedInt(maxW: Int): Int = {
+      skipSep0()
+      val negSign = pos < n && (in.charAt(pos) == '-' || in.charAt(pos) == '+')
+      val neg = negSign && in.charAt(pos) == '-'
+      if (negSign) pos += 1
+      val v = readInt(maxW)
+      if (neg) -v else v
+    }
+    def skipSep0(): Unit = { // like skipSep but keeps +/- for offsets
+      while (pos < n && !Character.isLetterOrDigit(in.charAt(pos)) &&
+        in.charAt(pos) != '+' && in.charAt(pos) != '-') pos += 1
+    }
+    def readName(): String = {
+      skipSep()
+      val st = pos
+      while (pos < n && Character.isLetter(in.charAt(pos))) pos += 1
+      in.substring(st, pos)
+    }
+    nodes.foreach {
+      case DtLit(_) => // separators are skipped lazily by the readers
+      case DtTok(key, _, _, _) => key match {
+        case "YYYY" | "Y,YYY" => year = readInt(4 + 2) // allow 5-6 digit years
+        case "YYY" => val v = readInt(3); year = if (v >= 100) 1900 + v % 1000 else 2000 + v
+        case "YY" => val v = readInt(2); year = if (v < 70) 2000 + v else 1900 + v
+        case "Y" => year = 2000 + readInt(1)
+        case "IYYY" => year = readInt(4)
+        case "MM" => month = readInt(2)
+        case "MON" | "MONTH" =>
+          val nm = readName().toUpperCase
+          monthPrefixes.collectFirst {
+            case (full, idx) if full.startsWith(nm) && nm.length >= 3 => idx
+          }.foreach(month = _)
+        case "DD" => day = readInt(2)
+        case "DDD" =>
+          val doy = readInt(3)
+          val d0 = LocalDate.ofYearDay(if (year == 0) 1 else year, math.max(1, doy))
+          month = d0.getMonthValue; day = d0.getDayOfMonth
+        case "HH24" => hour = readInt(2)
+        case "HH12" | "HH" => hour = readInt(2); hour12 = true
+        case "MI" => min = readInt(2)
+        case "SS" => sec = readInt(2)
+        case "SSSS" | "SSSSS" =>
+          val s = readInt(5); hour = s / 3600; min = s / 60 % 60; sec = s % 60
+        case "MS" => usec += readInt(3) * 1000
+        case "US" => usec += readInt(6)
+        case "AM" | "PM" | "A.M." | "P.M." =>
+          val nm = readName().toUpperCase
+          sawPm = true; pm = nm.startsWith("P")
+        case "BC" | "B.C." | "AD" | "A.D." =>
+          val nm = readName().toUpperCase
+          bc = nm.startsWith("B")
+        case "TZH" => tzOffSec = Some(tzOffSec.getOrElse(0) + readSignedInt(2) * 3600)
+        case "TZM" =>
+          val m = readInt(2)
+          tzOffSec = Some(tzOffSec.getOrElse(0) match {
+            case t if t < 0 => t - m * 60
+            case t => t + m * 60
+          })
+        case "OF" =>
+          val h = readSignedInt(2)
+          skipSep(); val m = if (pos < n && Character.isDigit(in.charAt(pos))) readInt(2) else 0
+          tzOffSec = Some(h * 3600 + (if (h < 0) -m else m) * 60)
+        case "DY" | "DAY" | "D" | "ID" => readName() // parsed and ignored (pg checks consistency; we don't)
+        case "J" =>
+          val j = readInt(7)
+          val d0 = LocalDate.MIN.`with`(JulianFields.JULIAN_DAY, j.toLong)
+          year = d0.getYear; month = d0.getMonthValue; day = d0.getDayOfMonth
+        case _ => // Q/WW/W/CC/TZ etc. contribute nothing to the point value (pg ignores)
+      }
+    }
+    if (hour12 && sawPm) {
+      val h = hour % 12
+      hour = if (pm) h + 12 else h
+    }
+    if (bc) year = 1 - year
+    val ldt = LocalDateTime.of(year, math.max(1, month), math.max(1, day), hour, min, sec, usec * 1000)
+    val z = tzOffSec match {
+      case Some(off) => ldt.atOffset(java.time.ZoneOffset.ofTotalSeconds(off)).toInstant
+      case None => ldt.atZone(zone).toInstant
+    }
+    z.getEpochSecond * 1000000L + z.getNano / 1000L
+  }
+
+  /** Timestamp micros → session-zone ZonedDateTime. */
+  def microsToZdt(micros: Long, zone: ZoneId): ZonedDateTime =
+    Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L).atZone(zone)
+}

@@ -1,0 +1,423 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.time.{LocalDate, ZoneId, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+
+/** Catalyst wrappers for the [[PgFormat]] template engines plus the
+  * pg interval functions (`age`, `justify_*`) whose natural return
+  * type is Spark's `CalendarIntervalType` (months/days/micros — the
+  * same three-field model as pg's interval).
+  *
+  * These REPLACE Spark's builtin `to_char`/`to_timestamp`/`to_date`
+  * in the session registry: on a pg wire server the pg template
+  * language ('YYYY-MM-DD', '9G999D99') is the contract, not Spark's
+  * Java patterns. Registration happens per-session via [[install]]
+  * (called from PgFunctions.registerAll), so plain Spark sessions
+  * that never touch the pg surface are unaffected.
+  *
+  * All are CodegenFallback: per-row cost is a memoized template
+  * lookup + string assembly, never the hot inner loop of a scan.
+  */
+object PgFormatExpressions {
+
+  private val dtInputs: Set[DataType] = Set(DateType, TimestampType, TimestampNTZType)
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def isInterval(dt: DataType): Boolean = dt match {
+    case CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case _ => false
+  }
+
+  /** Shared template cache: formats are almost always literals, so a
+    * tiny per-expression memo removes recompilation per row. */
+  final class FmtMemo[T](compile: String => T) {
+    private var lastKey: String = null
+    private var lastVal: T = _
+    def get(fmt: UTF8String): T = {
+      val s = fmt.toString
+      if (lastKey == null || lastKey != s) { lastVal = compile(s); lastKey = s }
+      lastVal
+    }
+  }
+
+  // ---- to_char -----------------------------------------------------------
+
+  case class PgToChar(left: Expression, right: Expression,
+      timeZoneId: Option[String] = None)
+      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
+    override def prettyName: String = "to_char"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (right.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure("to_char format must be a string")
+      else if (dtInputs.contains(left.dataType) || isNumeric(left.dataType) ||
+        isInterval(left.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"to_char does not support ${left.dataType.simpleString} input")
+
+    @transient private lazy val dtMemo = new FmtMemo(PgFormat.compileDt)
+    @transient private lazy val numMemo = new FmtMemo(PgFormat.compileNum)
+
+    override def nullSafeEval(v: Any, fmt: Any): Any = {
+      val f = fmt.asInstanceOf[UTF8String]
+      val out = left.dataType match {
+        case TimestampType =>
+          PgFormat.formatDt(dtMemo.get(f),
+            PgFormat.microsToZdt(v.asInstanceOf[Long], zoneId), hasTz = true)
+        case TimestampNTZType =>
+          PgFormat.formatDt(dtMemo.get(f),
+            PgFormat.microsToZdt(v.asInstanceOf[Long], ZoneOffset.UTC), hasTz = false)
+        case DateType =>
+          PgFormat.formatDt(dtMemo.get(f),
+            LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).atStartOfDay(ZoneOffset.UTC),
+            hasTz = false)
+        case CalendarIntervalType =>
+          val ci = v.asInstanceOf[CalendarInterval]
+          PgFormat.formatInterval(dtMemo.get(f), ci.months, ci.days, ci.microseconds)
+        case _: DayTimeIntervalType =>
+          PgFormat.formatInterval(dtMemo.get(f), 0, 0, v.asInstanceOf[Long])
+        case _: YearMonthIntervalType =>
+          PgFormat.formatInterval(dtMemo.get(f), v.asInstanceOf[Int], 0, 0L)
+        case _: DecimalType =>
+          PgFormat.formatNum(numMemo.get(f), v.asInstanceOf[Decimal].toJavaBigDecimal)
+        case DoubleType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Double]))
+        case FloatType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Float].toDouble))
+        case LongType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Long]))
+        case IntegerType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Int].toLong))
+        case ShortType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Short].toLong))
+        case ByteType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Byte].toLong))
+        case other => throw new IllegalStateException(s"to_char: $other")
+      }
+      UTF8String.fromString(out)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgToChar =
+      copy(left = l, right = r)
+  }
+
+  // ---- to_number ---------------------------------------------------------
+
+  /** pg returns numeric; we return float8 (documented deviation — the
+    * engine's numeric literals flow as DOUBLE through the pg wire). */
+  case class PgToNumber(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "to_number"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("to_number(text, text)")
+
+    @transient private lazy val memo = new FmtMemo(PgFormat.compileNum)
+
+    override def nullSafeEval(v: Any, fmt: Any): Any = {
+      val r = PgFormat.parseNum(memo.get(fmt.asInstanceOf[UTF8String]),
+        v.asInstanceOf[UTF8String].toString)
+      if (r == null) null else r.doubleValue()
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgToNumber =
+      copy(left = l, right = r)
+  }
+
+  // ---- to_timestamp / to_date -------------------------------------------
+
+  /** 2-arg pg-template parse → timestamptz. */
+  case class PgToTimestamp(left: Expression, right: Expression,
+      timeZoneId: Option[String] = None)
+      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+    override def dataType: DataType = TimestampType
+    override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
+    override def prettyName: String = "to_timestamp"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("to_timestamp(text, text)")
+
+    @transient private lazy val memo = new FmtMemo(PgFormat.compileDt)
+
+    override def nullSafeEval(v: Any, fmt: Any): Any =
+      PgFormat.parseDt(memo.get(fmt.asInstanceOf[UTF8String]),
+        v.asInstanceOf[UTF8String].toString, zoneId)
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgToTimestamp =
+      copy(left = l, right = r)
+  }
+
+  /** 1-arg to_timestamp: numeric = Unix epoch seconds (pg's
+    * to_timestamp(double precision)); string = ISO parse. */
+  case class PgEpochToTimestamp(child: Expression, timeZoneId: Option[String] = None)
+      extends UnaryExpression with TimeZoneAwareExpression with CodegenFallback {
+    override def dataType: DataType = TimestampType
+    override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
+    override def prettyName: String = "to_timestamp"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isNumeric(child.dataType) || child.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("to_timestamp(double precision | text)")
+
+    override def nullSafeEval(v: Any): Any = child.dataType match {
+      case StringType =>
+        DateTimeUtils.stringToTimestamp(v.asInstanceOf[UTF8String], zoneId).orNull
+      case _: DecimalType =>
+        math.round(v.asInstanceOf[Decimal].toDouble * 1e6)
+      case DoubleType => math.round(v.asInstanceOf[Double] * 1e6)
+      case FloatType => math.round(v.asInstanceOf[Float].toDouble * 1e6)
+      case LongType => v.asInstanceOf[Long] * 1000000L
+      case IntegerType => v.asInstanceOf[Int] * 1000000L
+      case ShortType => v.asInstanceOf[Short] * 1000000L
+      case ByteType => v.asInstanceOf[Byte] * 1000000L
+      case other => throw new IllegalStateException(s"to_timestamp: $other")
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgEpochToTimestamp =
+      copy(child = c)
+  }
+
+  /** 2-arg pg-template parse → date. */
+  case class PgToDate(left: Expression, right: Expression,
+      timeZoneId: Option[String] = None)
+      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+    override def dataType: DataType = DateType
+    override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
+    override def prettyName: String = "to_date"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("to_date(text, text)")
+
+    @transient private lazy val memo = new FmtMemo(PgFormat.compileDt)
+
+    override def nullSafeEval(v: Any, fmt: Any): Any = {
+      val micros = PgFormat.parseDt(memo.get(fmt.asInstanceOf[UTF8String]),
+        v.asInstanceOf[UTF8String].toString, ZoneOffset.UTC)
+      (Math.floorDiv(micros, 86400L * 1000000L)).toInt
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgToDate =
+      copy(left = l, right = r)
+  }
+
+  // ---- age / justify -----------------------------------------------------
+
+  private val dayTab = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+  private def daysInMonth(year: Int, mon1to12: Int): Int =
+    if (mon1to12 == 2 && java.time.Year.isLeap(year.toLong)) 29 else dayTab(mon1to12 - 1)
+
+  /** pg `age(timestamp, timestamp)`: symbolic calendar difference.
+    * Mirrors the public algorithm of pg's timestamp_age (fieldwise
+    * diff, negate when dt1<dt2, borrow chains, negate back — incl.
+    * the quirk that the day borrow reuses the same month length on
+    * every iteration). */
+  def ageFields(micros1: Long, micros2: Long, zone: ZoneId): CalendarInterval = {
+    val z1 = PgFormat.microsToZdt(micros1, zone)
+    val z2 = PgFormat.microsToZdt(micros2, zone)
+    val swap = micros1 < micros2
+    var year = z1.getYear - z2.getYear
+    var mon = z1.getMonthValue - z2.getMonthValue
+    var day = z1.getDayOfMonth - z2.getDayOfMonth
+    var hour = z1.getHour - z2.getHour
+    var min = z1.getMinute - z2.getMinute
+    var sec = z1.getSecond - z2.getSecond
+    var usec = (z1.getNano - z2.getNano) / 1000
+    if (swap) { year = -year; mon = -mon; day = -day; hour = -hour; min = -min; sec = -sec; usec = -usec }
+    while (usec < 0) { usec += 1000000; sec -= 1 }
+    while (sec < 0) { sec += 60; min -= 1 }
+    while (min < 0) { min += 60; hour -= 1 }
+    while (hour < 0) { hour += 24; day -= 1 }
+    while (day < 0) {
+      if (swap) { day += daysInMonth(z1.getYear, z1.getMonthValue); mon -= 1 }
+      else { day += daysInMonth(z2.getYear, z2.getMonthValue); mon -= 1 }
+    }
+    while (mon < 0) { mon += 12; year -= 1 }
+    var months = year * 12 + mon
+    var micros = ((hour * 60L + min) * 60L + sec) * 1000000L + usec
+    var days = day
+    if (swap) { months = -months; days = -days; micros = -micros }
+    new CalendarInterval(months, days, micros)
+  }
+
+  case class PgAge(left: Expression, right: Expression,
+      timeZoneId: Option[String] = None)
+      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+    override def dataType: DataType = CalendarIntervalType
+    override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
+    override def prettyName: String = "age"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == TimestampType && right.dataType == TimestampType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("age(timestamp, timestamp)")
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ageFields(a.asInstanceOf[Long], b.asInstanceOf[Long], zoneId)
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgAge =
+      copy(left = l, right = r)
+  }
+
+  /** justify_hours / justify_days / justify_interval over any interval
+    * type, returning the canonical CalendarInterval. Mode: 'h' = hours
+    * → days, 'd' = days → months, 'i' = both + sign borrow. */
+  case class PgJustify(child: Expression, mode: Char)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = CalendarIntervalType
+    override def prettyName: String = mode match {
+      case 'h' => "justify_hours"; case 'd' => "justify_days"; case _ => "justify_interval"
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isInterval(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName(interval)")
+
+    override def nullSafeEval(v: Any): Any = {
+      val (m0, d0, us0) = child.dataType match {
+        case CalendarIntervalType =>
+          val ci = v.asInstanceOf[CalendarInterval]; (ci.months, ci.days, ci.microseconds)
+        case _: DayTimeIntervalType => (0, 0, v.asInstanceOf[Long])
+        case _ => (v.asInstanceOf[Int], 0, 0L)
+      }
+      var months = m0.toLong; var days = d0.toLong; var micros = us0
+      val usPerDay = 86400L * 1000000L
+      if (mode == 'h' || mode == 'i') { days += micros / usPerDay; micros %= usPerDay }
+      if (mode == 'd' || mode == 'i') { months += days / 30; days %= 30 }
+      if (mode == 'i') {
+        // sign borrow so all fields share the dominant sign (pg
+        // interval_justify_interval)
+        if (months > 0 && (days < 0 || (days == 0 && micros < 0))) { months -= 1; days += 30 }
+        else if (months < 0 && (days > 0 || (days == 0 && micros > 0))) { months += 1; days -= 30 }
+        if (days > 0 && micros < 0) { days -= 1; micros += usPerDay }
+        else if (days < 0 && micros > 0) { days += 1; micros -= usPerDay }
+      }
+      new CalendarInterval(months.toInt, days.toInt, micros)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgJustify = copy(child = c)
+  }
+
+  /** Render any interval as pg's text form ("1 year 2 mons 03:00:00")
+    * — the typed bridge the q-entries and oracles compare on. */
+  case class PgIntervalText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_interval_text"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isInterval(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("pg_interval_text(interval)")
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = child.dataType match {
+        case CalendarIntervalType =>
+          val ci = v.asInstanceOf[CalendarInterval]
+          graft.pgwire.TextEncoder.formatInterval(ci.months, ci.days, ci.microseconds)
+        case _: DayTimeIntervalType =>
+          graft.pgwire.TextEncoder.formatInterval(0, 0, v.asInstanceOf[Long])
+        case _ =>
+          graft.pgwire.TextEncoder.formatInterval(v.asInstanceOf[Int], 0, 0L)
+      }
+      UTF8String.fromString(s)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgIntervalText =
+      copy(child = c)
+  }
+
+  // ---- registration ------------------------------------------------------
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(PgFormatExpressions.getClass.getName, name)
+
+  // unconditional: builder args may be unresolved (dataType would
+  // throw); SimplifyCasts removes the identity cast later
+  private def castTs(e: Expression): Expression = Cast(e, TimestampType)
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("to_char"), info("to_char"), { args =>
+      require(args.length == 2, "to_char requires 2 arguments")
+      PgToChar(args(0), args(1))
+    }),
+    (FunctionIdentifier("to_number"), info("to_number"), { args =>
+      require(args.length == 2, "to_number requires 2 arguments")
+      PgToNumber(args(0), args(1))
+    }),
+    (FunctionIdentifier("to_timestamp"), info("to_timestamp"), { args =>
+      args.length match {
+        case 1 => PgEpochToTimestamp(args(0))
+        case 2 => PgToTimestamp(args(0), args(1))
+        case n => throw new IllegalArgumentException(s"to_timestamp: $n args")
+      }
+    }),
+    (FunctionIdentifier("to_date"), info("to_date"), { args =>
+      args.length match {
+        case 1 => Cast(args(0), DateType)
+        case 2 => PgToDate(args(0), args(1))
+        case n => throw new IllegalArgumentException(s"to_date: $n args")
+      }
+    }),
+    (FunctionIdentifier("age"), info("age"), { args =>
+      args.length match {
+        case 1 => PgAge(Cast(CurrentDate(), TimestampType), castTs(args(0)))
+        case 2 => PgAge(castTs(args(0)), castTs(args(1)))
+        case n => throw new IllegalArgumentException(s"age: $n args")
+      }
+    }),
+    (FunctionIdentifier("justify_hours"), info("justify_hours"), { args =>
+      require(args.length == 1, "justify_hours requires 1 argument")
+      PgJustify(args(0), 'h')
+    }),
+    (FunctionIdentifier("justify_days"), info("justify_days"), { args =>
+      require(args.length == 1, "justify_days requires 1 argument")
+      PgJustify(args(0), 'd')
+    }),
+    (FunctionIdentifier("justify_interval"), info("justify_interval"), { args =>
+      require(args.length == 1, "justify_interval requires 1 argument")
+      PgJustify(args(0), 'i')
+    }),
+    (FunctionIdentifier("pg_interval_text"), info("pg_interval_text"), { args =>
+      require(args.length == 1, "pg_interval_text requires 1 argument")
+      PgIntervalText(args(0))
+    }),
+    // pg make_timestamptz = Spark's MakeTimestamp (TimestampType is
+    // the session-zoned instant, i.e. pg's timestamptz), with the
+    // 7th argument as the construction zone
+    (FunctionIdentifier("make_timestamptz"), info("make_timestamptz"), { args =>
+      args.length match {
+        case 6 => MakeTimestamp(args(0), args(1), args(2), args(3), args(4), args(5))
+        case 7 => MakeTimestamp(args(0), args(1), args(2), args(3), args(4), args(5),
+          Some(args(6)))
+        case n => throw new IllegalArgumentException(s"make_timestamptz: $n args")
+      }
+    }))
+
+  /** Replace-if-present registration: unlike the vec_ / lev_banded
+    * packs these intentionally SHADOW Spark builtins of the same name
+    * (pg template semantics win on the pg surface). Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptions.foreach { case (ident, i, builder) =>
+      reg.registerFunction(ident, i, builder)
+    }
+  }
+}

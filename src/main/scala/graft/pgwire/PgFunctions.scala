@@ -315,7 +315,44 @@ object PgFunctions {
       ProcDef("vec_lnorm2", Seq(1016), I8),
       ProcDef("vec_fdot", Seq(1021, 1021), F8),
       // typed Aggregator UDAFs (PgAggregates)
-      ProcDef("ordered_string_agg", Seq(T, T), T, kind = "a"))
+      ProcDef("ordered_string_agg", Seq(T, T), T, kind = "a"),
+      // formatting pack (PgFormatExpressions; functions.md §Formatting)
+      ProcDef("to_char", Seq(1114, T), T),
+      ProcDef("to_number", Seq(T, T), NUM),
+      ProcDef("to_timestamp", Seq(T, T), 1184),
+      ProcDef("to_date", Seq(T, T), 1082),
+      // datetime pack (functions.md §Date/Time)
+      ProcDef("age", Seq(1114, 1114), 1186),
+      ProcDef("justify_hours", Seq(1186), 1186),
+      ProcDef("justify_days", Seq(1186), 1186),
+      ProcDef("justify_interval", Seq(1186), 1186),
+      ProcDef("pg_interval_text", Seq(1186), T),
+      ProcDef("make_timestamptz", Seq(I4, I4, I4, I4, I4, F8), 1184),
+      ProcDef("clock_timestamp", Nil, 1184, volatile = true),
+      ProcDef("statement_timestamp", Nil, 1184, volatile = true),
+      ProcDef("transaction_timestamp", Nil, 1184, volatile = true),
+      ProcDef("timeofday", Nil, T, volatile = true),
+      ProcDef("timezone", Seq(T, 1184), 1114),
+      ProcDef("isfinite", Seq(1114), B),
+      ProcDef("pg_sleep", Seq(F8), T, volatile = true),
+      // string pack (PgStringExpressions + wrappers; functions.md §String)
+      ProcDef("format", Seq(T), T),
+      ProcDef("num_nonnulls", Seq(2276), I4),
+      ProcDef("num_nulls", Seq(2276), I4),
+      ProcDef("string_to_array", Seq(T, T, T), TARR),
+      ProcDef("regexp_split_to_array", Seq(T, T), TARR),
+      ProcDef("regexp_matches", Seq(T, T), TARR),
+      ProcDef("normalize", Seq(T, T), T),
+      ProcDef("quote_literal", Seq(T), T),
+      ProcDef("quote_nullable", Seq(T), T),
+      ProcDef("casefold", Seq(T), T),
+      ProcDef("to_ascii", Seq(T), T),
+      ProcDef("strpos", Seq(T, T), I4),
+      ProcDef("to_bin", Seq(I4), T),
+      ProcDef("to_oct", Seq(I4), T),
+      ProcDef("to_hex", Seq(I4), T),
+      ProcDef("pg_client_encoding", Nil, N),
+      ProcDef("pg_width_bucket", Seq(F8, 1022), I4))
     defs.sortBy(_.name)
   }
 
@@ -340,9 +377,66 @@ object PgFunctions {
 
   // ---- registration ------------------------------------------------------
 
-  /** Register the system/compat pack (§2b) + math pack (§2c). */
+  /** Register the system/compat pack (§2b) + math pack (§2c) + the
+    * functions.md roadmap slice (format/datetime/string — see
+    * PgFormatExpressions / PgStringExpressions). */
   def registerAll(spark: SparkSession): Unit = {
     val u = spark.udf
+    graft.functions.PgFormatExpressions.install(spark)
+    graft.functions.PgStringExpressions.install(spark)
+
+    // datetime pack (functions.md §Date/Time, all P2 planned upstream;
+    // pg semantics from the public docs §9.9)
+    u.register("clock_timestamp", () => java.time.Instant.now()).asNondeterministic()
+    u.register("statement_timestamp", () => java.time.Instant.now()).asNondeterministic()
+    u.register("transaction_timestamp", () => java.time.Instant.now()).asNondeterministic()
+    u.register("timeofday", () => {
+      val now = java.time.ZonedDateTime.now()
+      now.format(java.time.format.DateTimeFormatter.ofPattern(
+        "EEE MMM dd HH:mm:ss.SSSSSS yyyy zzz", java.util.Locale.ENGLISH))
+    }).asNondeterministic()
+    // pg timezone(zone, timestamptz) -> timestamp: the wall-clock in
+    // that zone (the AT TIME ZONE function form)
+    u.register("timezone", (zone: String, ts: java.time.Instant) =>
+      if (zone == null || ts == null) null
+      else java.time.LocalDateTime.ofInstant(ts, java.time.ZoneId.of(zone)))
+    // our timestamps have no 'infinity'; every stored value is finite
+    u.register("isfinite", (ts: java.time.Instant) => true)
+    u.register("pg_sleep", (secs: java.lang.Double) => {
+      if (secs != null && secs.doubleValue() > 0)
+        Thread.sleep(math.min(secs.doubleValue() * 1000.0, 60000.0).toLong)
+      "" // pg returns void; empty text is the closest wire rendering
+    }).asNondeterministic()
+
+    // string pack (functions.md §String; quote_literal per pg docs §9.4,
+    // casefold via ICU (pg 18), to_ascii as NFD + combining-mark strip)
+    u.register("quote_literal", (s: String) =>
+      if (s == null) null else graft.functions.PgStringExpressions.quoteLiteral(s))
+    u.register("quote_nullable", (s: String) =>
+      if (s == null) "NULL" else graft.functions.PgStringExpressions.quoteLiteral(s))
+    u.register("casefold", (s: String) =>
+      if (s == null) null else com.ibm.icu.lang.UCharacter.foldCase(s, true))
+    u.register("to_ascii", (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{Mn}+", ""))
+    u.register("strpos", (s: String, sub: String) =>
+      if (s == null || sub == null) null else Integer.valueOf(s.indexOf(sub) + 1))
+    u.register("to_bin", (x: java.lang.Integer) =>
+      if (x == null) null else Integer.toBinaryString(x.intValue()))
+    u.register("to_oct", (x: java.lang.Integer) =>
+      if (x == null) null else Integer.toOctalString(x.intValue()))
+    u.register("to_hex", (x: java.lang.Integer) =>
+      if (x == null) null else Integer.toHexString(x.intValue()))
+    u.register("pg_client_encoding", () => "UTF8")
+    // width_bucket(operand, thresholds[]) — pg's array form (reference
+    // width_bucket.rs:32-315): count of thresholds <= operand, NULL
+    // thresholds never counted, NaN operand sorts below everything.
+    // Registered under pg_width_bucket because Spark's registry cannot
+    // overload the 4-arg builtin; Compat rewrites the 2-arg call shape.
+    u.register("pg_width_bucket", (x: java.lang.Double, thresholds: Seq[java.lang.Double]) =>
+      if (x == null) null
+      else Integer.valueOf(thresholds.count(t => t != null && t.doubleValue() <= x.doubleValue())))
 
     // system / catalog compat (pg_catalog.rs:1073-1572)
     u.register("pg_current_database", () => "postgres")
