@@ -224,5 +224,109 @@ object PgCompat {
         Paths.get(sys.props("java.io.tmpdir"), "graft_json_src")).toString
       reg.coalesce(1).write.mode("overwrite").json(tmp)
       s.read.schema(reg.schema).json(tmp).orderBy("r_regionkey")
+    },
+
+    // ---- functions.md roadmap slice (round 7) --------------------------
+    // Data-driven oracles: DuckDB re-expresses each pg template with its
+    // native strftime/printf/format equivalents over the same rows.
+
+    Q.df("q100_to_char_datetime",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+        |  strftime(o_orderdate, '%a, %d %b %Y') AS pretty,
+        |  strftime(o_orderdate, '%j') AS doy,
+        |  CAST(isodow(o_orderdate) AS VARCHAR) AS idow,
+        |  printf('%02d', ((dayofyear(o_orderdate)-1)//7 + 1)) AS ww,
+        |  CAST(quarter(o_orderdate) AS VARCHAR) AS q,
+        |  strftime(to_timestamp(CAST(o_orderkey % 86400 AS DOUBLE)), '%H:%M:%S') AS epoch_hms,
+        |  CAST(o_orderdate AS DATE) AS rt_date
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
+        """SELECT o_orderkey,
+          |  to_char(o_orderdate, 'YYYY-MM-DD HH24:MI:SS') AS iso,
+          |  to_char(o_orderdate, 'Dy, DD Mon YYYY') AS pretty,
+          |  to_char(o_orderdate, 'DDD') AS doy,
+          |  to_char(o_orderdate, 'ID') AS idow,
+          |  to_char(o_orderdate, 'WW') AS ww,
+          |  to_char(o_orderdate, 'Q') AS q,
+          |  to_char(to_timestamp(CAST(o_orderkey % 86400 AS DOUBLE)), 'HH24:MI:SS') AS epoch_hms,
+          |  to_date(to_char(o_orderdate, 'DD Mon YYYY'), 'DD Mon YYYY') AS rt_date
+          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) })
+    },
+
+    Q.df("q101_to_char_numeric",
+      """SELECT o_orderkey,
+        |  printf('%.2f', o_totalprice) AS plain,
+        |  format('{:,}', o_orderkey) AS grouped,
+        |  printf('%+d', CAST(o_custkey % 7 - 3 AS INT)) AS signed,
+        |  printf('%05d', CAST(o_custkey AS INT)) AS padded,
+        |  CAST(CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS DOUBLE) AS rt_num
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
+        """SELECT o_orderkey,
+          |  to_char(o_totalprice, 'FM9999990.00') AS plain,
+          |  to_char(o_orderkey, 'FM9,999,999') AS grouped,
+          |  to_char(CAST(o_custkey % 7 - 3 AS INT), 'SG9') AS signed,
+          |  to_char(o_custkey, 'FM00000') AS padded,
+          |  to_number(to_char(o_totalprice, 'FM9999990.00'), '9999990.99') AS rt_num
+          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) })
+    },
+
+    Q.df("q102_datetime_fns",
+      """SELECT o_orderkey,
+        |  replace(CAST(age(TIMESTAMP '1998-12-01', o_orderdate) AS VARCHAR),
+        |          'month', 'mon') AS age_txt,
+        |  concat(CASE WHEN (o_orderkey % 90)//24 > 0
+        |              THEN ((o_orderkey % 90)//24) ||
+        |                (CASE WHEN (o_orderkey % 90)//24 > 1 THEN ' days' ELSE ' day' END) ||
+        |                (CASE WHEN (o_orderkey % 90) % 24 > 0 THEN ' ' ELSE '' END)
+        |              ELSE '' END,
+        |         CASE WHEN (o_orderkey % 90) % 24 > 0 OR (o_orderkey % 90)//24 = 0
+        |              THEN printf('%02d:00:00', CAST((o_orderkey % 90) % 24 AS INT))
+        |              ELSE '' END) AS jh_txt,
+        |  CAST(o_orderdate + INTERVAL 9 HOUR AS VARCHAR) AS tokyo,
+        |  true AS fin
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
+        """SELECT o_orderkey,
+          |  pg_interval_text(age(TIMESTAMP '1998-12-01', o_orderdate)) AS age_txt,
+          |  pg_interval_text(justify_hours(make_interval(0, 0, 0, 0,
+          |    CAST(o_orderkey % 90 AS INT)))) AS jh_txt,
+          |  CAST(CAST(timezone('Asia/Tokyo', o_orderdate) AS STRING) AS STRING) AS tokyo,
+          |  isfinite(o_orderdate) AS fin
+          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) })
+    },
+
+    Q.df("q103_string_fns",
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    x -> upper(x[1]) || x[2:]), ' ') AS cap,
+        |  strpos(p_name, 'o') AS pos,
+        |  '''' || replace(p_name, '''', '''''') || '''' AS lit,
+        |  p_brand || ': ' || p_type AS fmt,
+        |  array_to_string(string_split_regex(p_type, '\s+'), '|') AS words,
+        |  array_to_string(string_split(p_name, ' '), ',') AS s2a,
+        |  lower(p_type) AS folded,
+        |  strip_accents(p_name) AS ascii_name,
+        |  bin(CAST(p_size AS INT)) AS b2,
+        |  printf('%o', p_size) AS o8,
+        |  lower(to_hex(p_size)) AS h16,
+        |  CAST(2 - (p_partkey % 2) AS INT) AS nn
+        |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
+        """SELECT p_partkey,
+          |  initcap(p_name) AS cap,
+          |  strpos(p_name, 'o') AS pos,
+          |  quote_literal(p_name) AS lit,
+          |  format('%s: %s', p_brand, p_type) AS fmt,
+          |  array_join(regexp_split_to_array(p_type, '\\s+'), '|') AS words,
+          |  array_join(string_to_array(p_name, ' '), ',') AS s2a,
+          |  casefold(p_type) AS folded,
+          |  to_ascii(p_name) AS ascii_name,
+          |  to_bin(p_size) AS b2,
+          |  to_oct(p_size) AS o8,
+          |  to_hex(p_size) AS h16,
+          |  num_nonnulls(p_name, nullif(p_partkey % 2, 1)) AS nn
+          |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) })
     })
 }
