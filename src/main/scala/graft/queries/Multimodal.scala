@@ -20,14 +20,19 @@ object Multimodal {
       MultimodalOps.binaryStats(Tables.t(s, dir, "documents")).orderBy("doc_id")
     },
 
-    Q.df("q91_image_meta_stub",
+    // real header parse: payloads are synthesized VALID png/jpeg/gif
+    // bytes (dims from doc_id), then parsed back by ImageHeaders — the
+    // oracle reproduces the dim arithmetic, so a parser bug (endian,
+    // offset, SOF walk) breaks the hash match
+    Q.df("q91_image_meta",
       """SELECT doc_id,
-        |  CAST(1 + octet_length(encode(text)) % 1024 AS INT) AS width,
-        |  CAST(1 + (octet_length(encode(text)) // 1024) % 1024 AS INT) AS height,
+        |  CAST(1 + doc_id % 4096 AS INT) AS width,
+        |  CAST(1 + doc_id % 2160 AS INT) AS height,
         |  CAST(3 AS INT) AS channels,
-        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      MultimodalOps.imageMetaStub(Tables.t(s, dir, "documents"))
+      MultimodalOps.imageMeta(Tables.t(s, dir, "documents"))
         .toDF().orderBy("doc_id")
     },
 
