@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BoolAnd, VarianceSamp}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-7 slice #2 of the reference's functions.md roadmap: type
+  * introspection (`pg_typeof`), the type-generic array P2 rows
+  * (`array_fill`, `trim_array`) and the P1 aggregate aliases
+  * (`every`, `variance`, `gen_random_uuid`). Native expressions where
+  * a ScalaUDF can't express the semantics (any-type children, result
+  * type derived from an argument, aggregate aliasing).
+  */
+object PgMiscExpressions {
+
+  /** pg_typeof(any) → regtype name. The value never matters — the
+    * type is a plan-time property — so this is foldable-free constant
+    * work per row with zero input evaluation. */
+  case class PgTypeOf(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "pg_typeof"
+    override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+
+    @transient private lazy val name: UTF8String = UTF8String.fromString(
+      graft.pgwire.PgFunctions.formatType(graft.pgwire.PgType.oidOf(child.dataType), -1))
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = name
+
+    override protected def withNewChildInternal(c: Expression): PgTypeOf = copy(child = c)
+  }
+
+  /** pg array_fill(elem, ARRAY[n]) — 1-D form. The multidimensional
+    * form raises 0A000 like the engine's other flat-array limits
+    * (param codec parity: reference arrays are flat lists too). */
+  case class PgArrayFill(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(left.dataType, containsNull = true)
+    override def prettyName: String = "array_fill"
+
+    override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+      case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("array_fill(anyelement, int[])")
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val dims = right.eval(input)
+      if (dims == null) return null
+      val arr = dims.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (arr.numElements() != 1) throw new UnsupportedOperationException(
+        "array_fill: only 1-dimensional arrays are supported (0A000)")
+      val n = arr.getInt(0)
+      if (n < 0) throw new IllegalArgumentException("array_fill: negative dimension")
+      val v = left.eval(input)
+      new GenericArrayData(Array.fill[Any](n)(v))
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgArrayFill =
+      copy(left = l, right = r)
+  }
+
+  /** pg trim_array(array, n): array minus its last n elements; errors
+    * when n is negative or exceeds cardinality (pg 2202E). */
+  case class PgTrimArray(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = left.dataType
+    override def prettyName: String = "trim_array"
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (_: ArrayType, IntegerType | LongType | ShortType | ByteType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("trim_array(anyarray, int)")
+    }
+
+    override def nullSafeEval(a: Any, nRaw: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = nRaw.asInstanceOf[Int]
+      val len = arr.numElements()
+      if (n < 0 || n > len) throw new IllegalArgumentException(
+        s"trim_array: number of elements to trim ($n) out of range [0, $len] (2202E)")
+      val et = left.dataType.asInstanceOf[ArrayType].elementType
+      new GenericArrayData((0 until len - n).map(i => arr.get(i, et)).toArray)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgTrimArray =
+      copy(left = l, right = r)
+  }
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(PgMiscExpressions.getClass.getName, name)
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("pg_typeof"), info("pg_typeof"), { args =>
+      require(args.length == 1, "pg_typeof requires 1 argument")
+      PgTypeOf(args(0))
+    }),
+    (FunctionIdentifier("array_fill"), info("array_fill"), { args =>
+      require(args.length == 2, "array_fill requires 2 arguments (1-D form)")
+      PgArrayFill(args(0), args(1))
+    }),
+    (FunctionIdentifier("trim_array"), info("trim_array"), { args =>
+      require(args.length == 2, "trim_array requires 2 arguments")
+      PgTrimArray(args(0), args(1))
+    }),
+    // P1 aliases (functions.md §Aggregate / §UUID)
+    (FunctionIdentifier("every"), info("every"), { args =>
+      require(args.length == 1, "every requires 1 argument")
+      BoolAnd(args(0))
+    }),
+    (FunctionIdentifier("variance"), info("variance"), { args =>
+      require(args.length == 1, "variance requires 1 argument")
+      VarianceSamp(args(0))
+    }),
+    (FunctionIdentifier("gen_random_uuid"), info("gen_random_uuid"), { args =>
+      require(args.isEmpty, "gen_random_uuid takes no arguments")
+      Uuid()
+    }),
+    (FunctionIdentifier("uuidv4"), info("uuidv4"), { args =>
+      require(args.isEmpty, "uuidv4 takes no arguments")
+      Uuid()
+    }))
+
+  def install(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptions.foreach { case (ident, i, builder) =>
+      reg.registerFunction(ident, i, builder)
+    }
+  }
+}

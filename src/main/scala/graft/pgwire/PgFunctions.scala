@@ -241,6 +241,145 @@ object PgFunctions {
     math.toDegrees(math.atan2(y.doubleValue(), x.doubleValue()))
   }
 
+  // ---- binary / uuid / pattern helpers (functions.md slice #2) ----------
+
+  /** pg encode(bytea, format): hex | base64 | escape. */
+  def encodeBytea(b: Array[Byte], format: String): String = format.toLowerCase match {
+    case "hex" => b.map(x => f"${x & 0xff}%02x").mkString
+    case "base64" => java.util.Base64.getMimeEncoder(76, Array('\n'.toByte)).encodeToString(b)
+    case "escape" =>
+      val sb = new StringBuilder
+      b.foreach { x =>
+        val v = x & 0xff
+        if (v == '\\') sb.append("\\\\")
+        else if (v >= 32 && v <= 126) sb.append(v.toChar)
+        else sb.append(f"\\${v}%03o")
+      }
+      sb.toString
+    case other => throw new IllegalArgumentException(s"unrecognized encoding: $other")
+  }
+
+  /** pg decode(text, format). */
+  def decodeBytea(s: String, format: String): Array[Byte] = format.toLowerCase match {
+    case "hex" =>
+      val clean = s.filterNot(_.isWhitespace)
+      require(clean.length % 2 == 0, "invalid hexadecimal data: odd number of digits")
+      clean.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    case "base64" => java.util.Base64.getMimeDecoder.decode(s)
+    case "escape" =>
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\\') { out.write('\\'); i += 2 }
+          else { out.write(Integer.parseInt(s.substring(i + 1, i + 4), 8)); i += 4 }
+        } else { out.write(c); i += 1 }
+      }
+      out.toByteArray
+    case other => throw new IllegalArgumentException(s"unrecognized encoding: $other")
+  }
+
+  private def charsetOf(name: String): java.nio.charset.Charset =
+    name.toUpperCase.replace("-", "").replace("_", "") match {
+      case "UTF8" | "UNICODE" => java.nio.charset.StandardCharsets.UTF_8
+      case "LATIN1" | "ISO88591" => java.nio.charset.StandardCharsets.ISO_8859_1
+      case "SQLASCII" | "ASCII" | "USASCII" => java.nio.charset.StandardCharsets.US_ASCII
+      case "UTF16" => java.nio.charset.StandardCharsets.UTF_16
+      case other => java.nio.charset.Charset.forName(other)
+    }
+
+  def convertFrom(b: Array[Byte], enc: String): String = new String(b, charsetOf(enc))
+  def convertTo(s: String, enc: String): Array[Byte] = s.getBytes(charsetOf(enc))
+
+  /** RFC 9562 UUIDv7: 48-bit unix millis, version, 74 random bits. */
+  def uuidv7(): String = {
+    val r = java.util.concurrent.ThreadLocalRandom.current()
+    val ms = System.currentTimeMillis()
+    val hi = (ms << 16) | 0x7000L | (r.nextLong() & 0x0fffL)
+    val lo = (r.nextLong() & 0x3fffffffffffffffL) | 0x8000000000000000L
+    new java.util.UUID(hi, lo).toString
+  }
+
+  def uuidVersion(s: String): Integer =
+    try Integer.valueOf(java.util.UUID.fromString(s).version())
+    catch { case _: IllegalArgumentException => null }
+
+  /** v7 → embedded unix-millis instant; v1 → gregorian timestamp;
+    * other versions carry no timestamp (pg returns NULL). */
+  def uuidTimestamp(s: String): java.time.Instant = {
+    val u = try java.util.UUID.fromString(s)
+    catch { case _: IllegalArgumentException => return null }
+    u.version() match {
+      case 7 => java.time.Instant.ofEpochMilli(u.getMostSignificantBits >>> 16)
+      case 1 =>
+        // 100ns ticks since 1582-10-15
+        val ticks = u.timestamp()
+        java.time.Instant.ofEpochSecond(-12219292800L).plusNanos(ticks * 100)
+      case _ => null
+    }
+  }
+
+  /** pg similar_to_escape: SQL regex → POSIX regex, anchored.
+    * `%`→`.*`, `_`→`.`, escape char quotes the next char, bracket
+    * expressions pass through verbatim, SQL-regex metachars
+    * ()|*+?{} keep their meaning, POSIX-only metachars .^$\ are
+    * literal in SIMILAR TO and get escaped. */
+  def similarEscape(pat: String, esc: Option[Char] = Some('\\')): String = {
+    val sb = new StringBuilder("^(?:")
+    var i = 0
+    val n = pat.length
+    while (i < n) {
+      val c = pat.charAt(i)
+      if (esc.contains(c)) {
+        i += 1
+        if (i < n) {
+          val e = pat.charAt(i)
+          if ("\\^$.|?*+()[]{}".indexOf(e) >= 0) sb.append('\\')
+          sb.append(e)
+        }
+      } else if (c == '%') sb.append(".*")
+      else if (c == '_') sb.append('.')
+      else if (c == '[') {
+        val close = pat.indexOf(']', i + 1)
+        val stop = if (close < 0) n - 1 else close
+        sb.append(pat.substring(i, stop + 1))
+        i = stop
+      }
+      else if ("()|*+?{}".indexOf(c) >= 0) sb.append(c)
+      else if ("^$.\\".indexOf(c) >= 0) { sb.append('\\'); sb.append(c) }
+      else sb.append(c)
+      i += 1
+    }
+    sb.append(")$").toString
+  }
+
+  /** pg_input_is_valid(text, typename): try-cast over the engine's
+    * wire types. */
+  def inputIsValid(s: String, typeName: String): Boolean = {
+    if (s == null) return false
+    val t = typeName.toLowerCase.trim
+    try {
+      t match {
+        case "int2" | "smallint" => s.trim.toShort; true
+        case "int4" | "integer" | "int" => s.trim.toInt; true
+        case "int8" | "bigint" => s.trim.toLong; true
+        case "float4" | "real" | "float8" | "double precision" => s.trim.toDouble; true
+        case "numeric" | "decimal" => new java.math.BigDecimal(s.trim); true
+        case "boolean" | "bool" =>
+          Set("t", "true", "f", "false", "yes", "no", "on", "off", "1", "0")
+            .contains(s.trim.toLowerCase)
+        case "date" => java.time.LocalDate.parse(s.trim); true
+        case "timestamp" | "timestamptz" | "timestamp with time zone" |
+             "timestamp without time zone" =>
+          java.time.LocalDateTime.parse(s.trim.replace(' ', 'T')); true
+        case "uuid" => java.util.UUID.fromString(s.trim); true
+        case "text" | "varchar" | "char" | "bpchar" | "name" => true
+        case _ => true // unknown type names: pg would error; we accept
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   // ---- pg_proc registry --------------------------------------------------
 
   /** One pg_proc row: name, argument type OIDs, return OID, prokind. */
@@ -352,7 +491,34 @@ object PgFunctions {
       ProcDef("to_oct", Seq(I4), T),
       ProcDef("to_hex", Seq(I4), T),
       ProcDef("pg_client_encoding", Nil, N),
-      ProcDef("pg_width_bucket", Seq(F8, 1022), I4))
+      ProcDef("pg_width_bucket", Seq(F8, 1022), I4),
+      // binary-string pack (slice #2); 17 = bytea
+      ProcDef("encode", Seq(17, T), T),
+      ProcDef("decode", Seq(T, T), 17),
+      ProcDef("get_byte", Seq(17, I4), I4),
+      ProcDef("set_byte", Seq(17, I4, I4), 17),
+      ProcDef("get_bit", Seq(17, I4), I4),
+      ProcDef("set_bit", Seq(17, I4, I4), 17),
+      ProcDef("pg_bit_count", Seq(17), I8),
+      ProcDef("crc32", Seq(17), I8),
+      ProcDef("crc32c", Seq(17), I8),
+      ProcDef("convert_from", Seq(17, N), T),
+      ProcDef("convert_to", Seq(T, N), 17),
+      ProcDef("convert", Seq(17, N, N), 17),
+      // uuid pack; 2950 = uuid (we carry uuids as text)
+      ProcDef("gen_random_uuid", Nil, T, volatile = true),
+      ProcDef("uuidv4", Nil, T, volatile = true),
+      ProcDef("uuidv7", Nil, T, volatile = true),
+      ProcDef("uuid_extract_version", Seq(T), I4),
+      ProcDef("uuid_extract_timestamp", Seq(T), 1184),
+      // pattern / validation / introspection / array P2
+      ProcDef("similar_to_escape", Seq(T), T),
+      ProcDef("pg_input_is_valid", Seq(T, T), B),
+      ProcDef("pg_typeof", Seq(2276), T),
+      ProcDef("array_fill", Seq(2276, 1007), AARR),
+      ProcDef("trim_array", Seq(AARR, I4), AARR),
+      ProcDef("every", Seq(B), B, kind = "a"),
+      ProcDef("variance", Seq(NUM), NUM, kind = "a"))
     defs.sortBy(_.name)
   }
 
@@ -429,6 +595,78 @@ object PgFunctions {
     u.register("to_hex", (x: java.lang.Integer) =>
       if (x == null) null else Integer.toHexString(x.intValue()))
     u.register("pg_client_encoding", () => "UTF8")
+    // binary-string pack (functions.md §Binary String, all P2): pg
+    // encode/decode SHADOW Spark's charset builtins — on a pg surface
+    // encode(bytea, 'hex'|'base64'|'escape') is the contract
+    graft.functions.PgMiscExpressions.install(spark)
+    u.register("encode", (b: Array[Byte], fmt: String) =>
+      if (b == null || fmt == null) null else encodeBytea(b, fmt))
+    u.register("decode", (s: String, fmt: String) =>
+      if (s == null || fmt == null) null else decodeBytea(s, fmt))
+    u.register("get_byte", (b: Array[Byte], n: Int) => {
+      if (b == null) null
+      else {
+        if (n < 0 || n >= b.length)
+          throw new IllegalArgumentException(s"index $n out of valid range, 0..${b.length - 1}")
+        Integer.valueOf(b(n) & 0xff)
+      }
+    })
+    u.register("set_byte", (b: Array[Byte], n: Int, v: Int) => {
+      if (b == null) null
+      else {
+        if (n < 0 || n >= b.length)
+          throw new IllegalArgumentException(s"index $n out of valid range, 0..${b.length - 1}")
+        val c = b.clone(); c(n) = v.toByte; c
+      }
+    })
+    // bytea bit order: bit 0 = least significant bit of byte 0 (pg docs §9.5)
+    u.register("get_bit", (b: Array[Byte], n: Int) => {
+      if (b == null) null
+      else {
+        if (n < 0 || n >= b.length * 8)
+          throw new IllegalArgumentException(s"index $n out of valid range, 0..${b.length * 8 - 1}")
+        Integer.valueOf((b(n / 8) >> (n % 8)) & 1)
+      }
+    })
+    u.register("set_bit", (b: Array[Byte], n: Int, v: Int) => {
+      if (b == null) null
+      else {
+        if (n < 0 || n >= b.length * 8)
+          throw new IllegalArgumentException(s"index $n out of valid range, 0..${b.length * 8 - 1}")
+        val c = b.clone()
+        val mask = (1 << (n % 8)).toByte
+        c(n / 8) = if (v == 0) (c(n / 8) & ~mask).toByte else (c(n / 8) | mask).toByte
+        c
+      }
+    })
+    u.register("pg_bit_count", (b: Array[Byte]) =>
+      if (b == null) null
+      else java.lang.Long.valueOf(b.map(x => Integer.bitCount(x & 0xff).toLong).sum))
+    u.register("crc32", (b: Array[Byte]) =>
+      if (b == null) null
+      else { val c = new java.util.zip.CRC32(); c.update(b); java.lang.Long.valueOf(c.getValue) })
+    u.register("crc32c", (b: Array[Byte]) =>
+      if (b == null) null
+      else { val c = new java.util.zip.CRC32C(); c.update(b); java.lang.Long.valueOf(c.getValue) })
+    u.register("convert_from", (b: Array[Byte], enc: String) =>
+      if (b == null || enc == null) null else convertFrom(b, enc))
+    u.register("convert_to", (s: String, enc: String) =>
+      if (s == null || enc == null) null else convertTo(s, enc))
+    u.register("convert", (b: Array[Byte], from: String, to: String) =>
+      if (b == null || from == null || to == null) null
+      else convertTo(convertFrom(b, from), to))
+
+    // uuid pack (functions.md §UUID; gen_random_uuid/uuidv4 are
+    // registry aliases of Spark's Uuid in PgMiscExpressions)
+    u.register("uuidv7", () => uuidv7()).asNondeterministic()
+    u.register("uuid_extract_version", (s: String) => uuidVersion(s))
+    u.register("uuid_extract_timestamp", (s: String) => uuidTimestamp(s))
+
+    // pattern + validation
+    u.register("similar_to_escape", (p: String) =>
+      if (p == null) null else similarEscape(p))
+    u.register("pg_input_is_valid", (s: String, t: String) => inputIsValid(s, t))
+
     // width_bucket(operand, thresholds[]) — pg's array form (reference
     // width_bucket.rs:32-315): count of thresholds <= operand, NULL
     // thresholds never counted, NaN operand sorts below everything.

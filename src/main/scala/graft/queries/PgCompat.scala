@@ -297,6 +297,67 @@ object PgCompat {
           |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) })
     },
 
+    // slice #2: binary-string pack, uuid properties, type
+    // introspection, charset conversions. crc32/crc32c are pinned by
+    // public check vectors in PgFunctionSlice2Spec (DuckDB lacks them).
+    Q.df("q104_binary_uuid_fns",
+      """SELECT p_partkey,
+        |  lower(hex(encode(p_brand))) AS hexed,
+        |  to_base64(encode(p_brand)) AS b64,
+        |  CAST(ord(substr(p_brand, 1, 1)) AS INT) AS byte0,
+        |  CAST((ord(substr(p_brand, 1, 1)) >> 1) & 1 AS INT) AS bit1,
+        |  CAST(bit_count(ord(substr(p_brand, 1, 1))) AS BIGINT) AS bits0,
+        |  p_brand AS rt_charset,
+        |  CAST(7 AS INT) AS v7, CAST(4 AS INT) AS v4,
+        |  true AS ts7_ok,
+        |  'bigint' AS t_key, 'text' AS t_name, 'double precision' AS t_price,
+        |  CASE WHEN p_partkey % 2 = 0 THEN true ELSE false END AS valid_even_int
+        |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
+        """SELECT p_partkey,
+          |  encode(CAST(p_brand AS BINARY), 'hex') AS hexed,
+          |  encode(CAST(p_brand AS BINARY), 'base64') AS b64,
+          |  get_byte(CAST(p_brand AS BINARY), 0) AS byte0,
+          |  get_bit(CAST(p_brand AS BINARY), 1) AS bit1,
+          |  pg_bit_count(CAST(substring(p_brand, 1, 1) AS BINARY)) AS bits0,
+          |  convert_from(convert_to(p_brand, 'UTF8'), 'UTF8') AS rt_charset,
+          |  uuid_extract_version(uuidv7()) AS v7,
+          |  uuid_extract_version(gen_random_uuid()) AS v4,
+          |  abs(unix_millis(uuid_extract_timestamp(uuidv7())) -
+          |      unix_millis(clock_timestamp())) < 60000 AS ts7_ok,
+          |  pg_typeof(p_partkey) AS t_key, pg_typeof(p_name) AS t_name,
+          |  pg_typeof(p_retailprice) AS t_price,
+          |  pg_input_is_valid(CAST(p_partkey % 2 AS STRING),
+          |    CASE WHEN p_partkey % 2 = 0 THEN 'integer' ELSE 'date' END) AS valid_even_int
+          |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) })
+    },
+
+    // slice #2: SIMILAR TO through the server rewrite path, array P2
+    // rows, P1 aggregate aliases (every/variance)
+    Q.df("q105_similar_to_arrays",
+      """SELECT p_brand,
+        |  CAST(sum(CASE WHEN regexp_full_match(p_type, '.*(BRASS|STEEL).*')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_metal,
+        |  bool_and(p_size > 0) AS all_sized,
+        |  CAST(floor(var_samp(p_size) * 1000) AS BIGINT) AS var_q,
+        |  CAST(max(len([p_size, p_size, p_size])) AS INT) AS fill3,
+        |  CAST(max(len([p_partkey, p_partkey][:1])) AS INT) AS trim1
+        |FROM part WHERE p_partkey <= 2000
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      PgFunctions.registerAll(s)
+      Handlers.runSql(s,
+        """SELECT p_brand,
+          |  CAST(sum(CASE WHEN p_type SIMILAR TO '%(BRASS|STEEL)%'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_metal,
+          |  every(p_size > 0) AS all_sized,
+          |  CAST(floor(variance(p_size) * 1000) AS BIGINT) AS var_q,
+          |  CAST(max(cardinality(array_fill(p_size, array(3)))) AS INT) AS fill3,
+          |  CAST(max(cardinality(trim_array(array(p_partkey, p_partkey), 1))) AS INT) AS trim1
+          |FROM part WHERE p_partkey <= 2000
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    },
+
     Q.df("q103_string_fns",
       """SELECT p_partkey,
         |  array_to_string(list_transform(string_split(p_name, ' '),
