@@ -358,6 +358,43 @@ object PgCompat {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     },
 
+    // ordered-set aggregates (functions.md §Aggregate P3): pg's
+    // WITHIN GROUP forms are Spark-4 native; the mode oracle is the
+    // explicit smallest-most-frequent spec, so engine tie-break rules
+    // can't flake the hash
+    Q.df("q106_ordered_set_aggs",
+      """SELECT p.p_brand,
+        |  (SELECT x FROM (SELECT p2.p_size AS x, count(*) AS c FROM part p2
+        |     WHERE p2.p_brand = p.p_brand AND p2.p_partkey <= 2000
+        |     GROUP BY 1 ORDER BY c DESC, x ASC LIMIT 1)) AS mode_size,
+        |  CAST(floor(percentile_cont(0.25) WITHIN GROUP (ORDER BY p.p_size) * 1000000)
+        |    AS BIGINT) AS p25_q,
+        |  CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY p.p_size) * 1000000)
+        |    AS BIGINT) AS p50_q,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY p.p_size) AS INT) AS p50d,
+        |  bool_or(p.p_size > 45) AS has_large,
+        |  CAST(bit_and(p.p_size) AS BIGINT) AS band,
+        |  CAST(bit_or(p.p_size) AS BIGINT) AS bor,
+        |  CAST(any_value(p.p_brand = p.p_brand) AS BOOLEAN) AS av
+        |FROM part p WHERE p.p_partkey <= 2000
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT p_brand,
+          |  mode() WITHIN GROUP (ORDER BY p_size) AS mode_size,
+          |  CAST(floor(percentile_cont(0.25) WITHIN GROUP (ORDER BY p_size) * 1000000)
+          |    AS BIGINT) AS p25_q,
+          |  CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY p_size) * 1000000)
+          |    AS BIGINT) AS p50_q,
+          |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY p_size) AS INT) AS p50d,
+          |  bool_or(p_size > 45) AS has_large,
+          |  CAST(bit_and(p_size) AS BIGINT) AS band,
+          |  CAST(bit_or(p_size) AS BIGINT) AS bor,
+          |  any_value(true) AS av
+          |FROM part WHERE p_partkey <= 2000
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    },
+
     Q.df("q103_string_fns",
       """SELECT p_partkey,
         |  array_to_string(list_transform(string_split(p_name, ' '),
