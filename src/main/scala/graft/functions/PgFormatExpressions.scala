@@ -344,6 +344,47 @@ object PgFormatExpressions {
       copy(child = c)
   }
 
+  /** pg date_bin(stride, source, origin): align `source` into the
+    * stride-wide bucket grid anchored at `origin`. Month-bearing
+    * strides error like pg ("stride must be a multiple of ...";
+    * feature not defined for variable-length months). */
+  case class PgDateBin(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = TimestampType
+    override def prettyName: String = "date_bin"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val strideOk = first.dataType match {
+        case CalendarIntervalType | _: DayTimeIntervalType => true
+        case _ => false
+      }
+      if (strideOk && second.dataType == TimestampType && third.dataType == TimestampType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "date_bin(interval, timestamp, timestamp)")
+    }
+
+    override def nullSafeEval(stride: Any, ts: Any, origin: Any): Any = {
+      val strideUs = first.dataType match {
+        case CalendarIntervalType =>
+          val ci = stride.asInstanceOf[CalendarInterval]
+          if (ci.months != 0) throw new IllegalArgumentException(
+            "date_bin: stride must not include month or year units")
+          ci.days * 86400000000L + ci.microseconds
+        case _ => stride.asInstanceOf[Long]
+      }
+      if (strideUs <= 0) throw new IllegalArgumentException(
+        "date_bin: stride must be greater than zero")
+      val t = ts.asInstanceOf[Long]
+      val o = origin.asInstanceOf[Long]
+      o + Math.floorDiv(t - o, strideUs) * strideUs
+    }
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): PgDateBin =
+      copy(first = f, second = s, third = t)
+  }
+
   // ---- registration ------------------------------------------------------
 
   private def info(name: String): ExpressionInfo =
@@ -398,6 +439,10 @@ object PgFormatExpressions {
     (FunctionIdentifier("pg_interval_text"), info("pg_interval_text"), { args =>
       require(args.length == 1, "pg_interval_text requires 1 argument")
       PgIntervalText(args(0))
+    }),
+    (FunctionIdentifier("date_bin"), info("date_bin"), { args =>
+      require(args.length == 3, "date_bin requires 3 arguments")
+      PgDateBin(args(0), Cast(args(1), TimestampType), Cast(args(2), TimestampType))
     }),
     // pg make_timestamptz = Spark's MakeTimestamp (TimestampType is
     // the session-zoned instant, i.e. pg's timestamptz), with the

@@ -358,6 +358,24 @@ object PgCompat {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     },
 
+    // extract(epoch) rewrite + date_bin, data-driven through the
+    // server path (DuckDB: epoch() and time_bucket are native)
+    Q.df("q107_epoch_date_bin",
+      """SELECT o_orderkey,
+        |  CAST(epoch(o_orderdate) AS DOUBLE) AS ep,
+        |  time_bucket(INTERVAL 7 DAY, o_orderdate,
+        |    TIMESTAMP '1992-01-01') AS wk
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      PgFunctions.registerAll(s)
+      Handlers.runSql(s,
+        """SELECT o_orderkey,
+          |  EXTRACT(EPOCH FROM o_orderdate) AS ep,
+          |  date_bin(INTERVAL '7' DAY, o_orderdate,
+          |    TIMESTAMP '1992-01-01') AS wk
+          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ordered-set aggregates (functions.md §Aggregate P3): pg's
     // WITHIN GROUP forms are Spark-4 native; the mode oracle is the
     // explicit smallest-most-frequent spec, so engine tie-break rules

@@ -99,6 +99,28 @@ class PgFunctionSlice2Spec extends SparkSpec {
     assert(rows.toSeq === Seq("abc", "adc"))
   }
 
+  test("extract(epoch) rewrite and date_bin") {
+    PgFunctions.registerAll(spark)
+    val sql = Compat.rewrite(
+      "SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-02 00:00:00.5') AS e")
+    assert(spark.sql(sql).collect().head.getDouble(0) === 86400.5)
+    // nested parens inside the expr survive the rewrite
+    val sql2 = Compat.rewrite(
+      "SELECT extract(epoch from coalesce(TIMESTAMP '1970-01-01 00:01:00', null)) AS e")
+    assert(spark.sql(sql2).collect().head.getDouble(0) === 60.0)
+    val r = spark.sql(
+      """SELECT date_bin(INTERVAL '15' MINUTE, TIMESTAMP '2026-08-12 10:07:30',
+        |  TIMESTAMP '2001-01-01') AS b,
+        |  date_bin(INTERVAL '1' DAY, TIMESTAMP '1969-12-31 13:00:00',
+        |  TIMESTAMP '1970-01-01') AS neg""".stripMargin).collect().head
+    assert(r.get(0).toString === "2026-08-12 10:00:00.0")
+    assert(r.get(1).toString === "1969-12-31 00:00:00.0")
+    val err = intercept[Exception](spark.sql(
+      "SELECT date_bin(make_interval(0, 1), TIMESTAMP '2026-01-01', TIMESTAMP '2001-01-01')")
+      .collect())
+    assert(err.getMessage.contains("month"))
+  }
+
   test("pg_typeof / pg_input_is_valid") {
     val r = one(
       """SELECT pg_typeof(1) AS t_int, pg_typeof(CAST(1 AS BIGINT)) AS t_big,
