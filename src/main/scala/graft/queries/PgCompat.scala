@@ -240,7 +240,7 @@ object PgCompat {
         |  CAST(quarter(o_orderdate) AS VARCHAR) AS q,
         |  strftime(to_timestamp(CAST(o_orderkey % 86400 AS DOUBLE)), '%H:%M:%S') AS epoch_hms,
         |  CAST(o_orderdate AS DATE) AS rt_date
-        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) {
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
         """SELECT o_orderkey,
           |  to_char(o_orderdate, 'YYYY-MM-DD HH24:MI:SS') AS iso,
@@ -251,7 +251,7 @@ object PgCompat {
           |  to_char(o_orderdate, 'Q') AS q,
           |  to_char(to_timestamp(CAST(o_orderkey % 86400 AS DOUBLE)), 'HH24:MI:SS') AS epoch_hms,
           |  to_date(to_char(o_orderdate, 'DD Mon YYYY'), 'DD Mon YYYY') AS rt_date
-          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) })
+          |FROM orders ORDER BY o_orderkey""".stripMargin) })
     },
 
     Q.df("q101_to_char_numeric",
@@ -261,7 +261,7 @@ object PgCompat {
         |  printf('%+d', CAST(o_custkey % 7 - 3 AS INT)) AS signed,
         |  printf('%05d', CAST(o_custkey AS INT)) AS padded,
         |  CAST(CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS DOUBLE) AS rt_num
-        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) {
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
         """SELECT o_orderkey,
           |  to_char(o_totalprice, 'FM9999990.00') AS plain,
@@ -269,7 +269,7 @@ object PgCompat {
           |  to_char(CAST(o_custkey % 7 - 3 AS INT), 'SG9') AS signed,
           |  to_char(o_custkey, 'FM00000') AS padded,
           |  to_number(to_char(o_totalprice, 'FM9999990.00'), '9999990.99') AS rt_num
-          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) })
+          |FROM orders ORDER BY o_orderkey""".stripMargin) })
     },
 
     Q.df("q102_datetime_fns",
@@ -286,7 +286,7 @@ object PgCompat {
         |              ELSE '' END) AS jh_txt,
         |  CAST(o_orderdate + INTERVAL 9 HOUR AS VARCHAR) AS tokyo,
         |  true AS fin
-        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) {
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
         """SELECT o_orderkey,
           |  pg_interval_text(age(TIMESTAMP '1998-12-01', o_orderdate)) AS age_txt,
@@ -294,7 +294,7 @@ object PgCompat {
           |    CAST(o_orderkey % 90 AS INT)))) AS jh_txt,
           |  CAST(CAST(timezone('Asia/Tokyo', o_orderdate) AS STRING) AS STRING) AS tokyo,
           |  isfinite(o_orderdate) AS fin
-          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) })
+          |FROM orders ORDER BY o_orderkey""".stripMargin) })
     },
 
     // slice #2: binary-string pack, uuid properties, type
@@ -312,7 +312,7 @@ object PgCompat {
         |  true AS ts7_ok,
         |  'bigint' AS t_key, 'text' AS t_name, 'double precision' AS t_price,
         |  CASE WHEN p_partkey % 2 = 0 THEN true ELSE false END AS valid_even_int
-        |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) {
+        |FROM part ORDER BY p_partkey""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
         """SELECT p_partkey,
           |  encode(CAST(p_brand AS BINARY), 'hex') AS hexed,
@@ -329,7 +329,7 @@ object PgCompat {
           |  pg_typeof(p_retailprice) AS t_price,
           |  pg_input_is_valid(CAST(p_partkey % 2 AS STRING),
           |    CASE WHEN p_partkey % 2 = 0 THEN 'integer' ELSE 'date' END) AS valid_even_int
-          |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) })
+          |FROM part ORDER BY p_partkey""".stripMargin) })
     },
 
     // slice #2: SIMILAR TO through the server rewrite path, array P2
@@ -342,7 +342,7 @@ object PgCompat {
         |  CAST(floor(var_samp(p_size) * 1000) AS BIGINT) AS var_q,
         |  CAST(max(len([p_size, p_size, p_size])) AS INT) AS fill3,
         |  CAST(max(len([p_partkey, p_partkey][:1])) AS INT) AS trim1
-        |FROM part WHERE p_partkey <= 2000
+        |FROM part
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
       Tables.register(s, dir)
       PgFunctions.registerAll(s)
@@ -354,7 +354,7 @@ object PgCompat {
           |  CAST(floor(variance(p_size) * 1000) AS BIGINT) AS var_q,
           |  CAST(max(cardinality(array_fill(p_size, array(3)))) AS INT) AS fill3,
           |  CAST(max(cardinality(trim_array(array(p_partkey, p_partkey), 1))) AS INT) AS trim1
-          |FROM part WHERE p_partkey <= 2000
+          |FROM part
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     },
 
@@ -365,7 +365,7 @@ object PgCompat {
         |  CAST(epoch(o_orderdate) AS DOUBLE) AS ep,
         |  time_bucket(INTERVAL 7 DAY, o_orderdate,
         |    TIMESTAMP '1992-01-01') AS wk
-        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       Tables.register(s, dir)
       PgFunctions.registerAll(s)
       Handlers.runSql(s,
@@ -373,7 +373,7 @@ object PgCompat {
           |  EXTRACT(EPOCH FROM o_orderdate) AS ep,
           |  date_bin(INTERVAL '7' DAY, o_orderdate,
           |    TIMESTAMP '1992-01-01') AS wk
-          |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
+          |FROM orders ORDER BY o_orderkey""".stripMargin)
     },
 
     // ordered-set aggregates (functions.md §Aggregate P3): pg's
@@ -383,7 +383,7 @@ object PgCompat {
     Q.df("q106_ordered_set_aggs",
       """SELECT p.p_brand,
         |  (SELECT x FROM (SELECT p2.p_size AS x, count(*) AS c FROM part p2
-        |     WHERE p2.p_brand = p.p_brand AND p2.p_partkey <= 2000
+        |     WHERE p2.p_brand = p.p_brand
         |     GROUP BY 1 ORDER BY c DESC, x ASC LIMIT 1)) AS mode_size,
         |  CAST(floor(percentile_cont(0.25) WITHIN GROUP (ORDER BY p.p_size) * 1000000)
         |    AS BIGINT) AS p25_q,
@@ -394,7 +394,7 @@ object PgCompat {
         |  CAST(bit_and(p.p_size) AS BIGINT) AS band,
         |  CAST(bit_or(p.p_size) AS BIGINT) AS bor,
         |  CAST(any_value(p.p_brand = p.p_brand) AS BOOLEAN) AS av
-        |FROM part p WHERE p.p_partkey <= 2000
+        |FROM part p
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
       Tables.register(s, dir)
       s.sql(
@@ -409,7 +409,7 @@ object PgCompat {
           |  CAST(bit_and(p_size) AS BIGINT) AS band,
           |  CAST(bit_or(p_size) AS BIGINT) AS bor,
           |  any_value(true) AS av
-          |FROM part WHERE p_partkey <= 2000
+          |FROM part
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     },
 
@@ -428,7 +428,7 @@ object PgCompat {
         |  printf('%o', p_size) AS o8,
         |  lower(to_hex(p_size)) AS h16,
         |  CAST(2 - (p_partkey % 2) AS INT) AS nn
-        |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) {
+        |FROM part ORDER BY p_partkey""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
         """SELECT p_partkey,
           |  initcap(p_name) AS cap,
@@ -443,6 +443,6 @@ object PgCompat {
           |  to_oct(p_size) AS o8,
           |  to_hex(p_size) AS h16,
           |  num_nonnulls(p_name, nullif(p_partkey % 2, 1)) AS nn
-          |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin) })
+          |FROM part ORDER BY p_partkey""".stripMargin) })
     })
 }
