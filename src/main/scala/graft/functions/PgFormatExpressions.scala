@@ -42,13 +42,16 @@ object PgFormatExpressions {
   }
 
   /** Shared template cache: formats are almost always literals, so a
-    * tiny per-expression memo removes recompilation per row. */
+    * tiny per-expression memo removes recompilation per row. Keys on
+    * the UTF8String bytes directly — no per-row String allocation. */
   final class FmtMemo[T](compile: String => T) {
-    private var lastKey: String = null
+    private var lastKey: UTF8String = null
     private var lastVal: T = _
     def get(fmt: UTF8String): T = {
-      val s = fmt.toString
-      if (lastKey == null || lastKey != s) { lastVal = compile(s); lastKey = s }
+      if (lastKey == null || !lastKey.equals(fmt)) {
+        lastVal = compile(fmt.toString)
+        lastKey = fmt.clone()
+      }
       lastVal
     }
   }
@@ -57,11 +60,25 @@ object PgFormatExpressions {
 
   case class PgToChar(left: Expression, right: Expression,
       timeZoneId: Option[String] = None)
-      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+      extends BinaryExpression with TimeZoneAwareExpression {
 
     override def dataType: DataType = StringType
     override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
     override def prettyName: String = "to_char"
+
+    // codegen as a direct call on this expression object: the template
+    // memo and session zone ride along via addReferenceObj, and the
+    // surrounding projection stays inside whole-stage codegen (the
+    // CodegenFallback wrapper costs an interpreted projection per row —
+    // measured 2.3s -> see BENCH q100 before/after)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val self = ctx.addReferenceObj("pgToChar", this, classOf[PgToChar].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = (UTF8String) $self.nullSafeEval($l, $r);")
+    }
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (right.dataType != StringType)
@@ -117,9 +134,22 @@ object PgFormatExpressions {
   /** pg returns numeric; we return float8 (documented deviation — the
     * engine's numeric literals flow as DOUBLE through the pg wire). */
   case class PgToNumber(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "to_number"
+    override def nullable: Boolean = true
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val self = ctx.addReferenceObj("pgToNumber", this, classOf[PgToNumber].getName)
+      val rv = ctx.freshName("toNum")
+      nullSafeCodeGen(ctx, ev, (l, r) => s"""
+        Object $rv = $self.nullSafeEval($l, $r);
+        if ($rv == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) $rv; }
+      """)
+    }
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (left.dataType == StringType && right.dataType == StringType)
