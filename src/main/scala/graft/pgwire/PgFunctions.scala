@@ -20,6 +20,10 @@ object PgFunctions {
   val VersionString =
     s"PostgreSQL $ServerVersion (graft-spark), Apache Spark SQL engine"
 
+  /** Row shape of pg_input_error_info (pg returns a record). */
+  final case class ErrorInfo(message: String, detail: String, hint: String,
+      sql_error_code: String)
+
   /** pg reserved keywords that quote_ident must quote. */
   private val reservedWords: Set[String] = Set(
     "all", "analyse", "analyze", "and", "any", "array", "as", "asc",
@@ -518,8 +522,85 @@ object PgFunctions {
       ProcDef("array_fill", Seq(2276, 1007), AARR),
       ProcDef("trim_array", Seq(AARR, I4), AARR),
       ProcDef("every", Seq(B), B, kind = "a"),
-      ProcDef("variance", Seq(NUM), NUM, kind = "a"))
-    defs.sortBy(_.name)
+      ProcDef("variance", Seq(NUM), NUM, kind = "a"),
+      ProcDef("pg_input_error_info", Seq(T, T), 2249),
+      ProcDef("min_scale", Seq(NUM), I4),
+      ProcDef("scale", Seq(NUM), I4))
+    val natives = nativePassthrough.map { case (name, args, ret, kind) =>
+      ProcDef(name, args, ret, kind)
+    }
+    (defs ++ natives).sortBy(_.name)
+  }
+
+  /** pg-named functions the server serves directly from Spark's
+    * builtin registry — listed in pg_proc so `psql \df abs` answers
+    * truthfully. Signatures are the primary pg overload. */
+  // def, not val: referenced by `procs` which is declared ABOVE this
+  // point (object vals initialize in declaration order)
+  private def nativePassthrough: Seq[(String, Seq[Int], Int, String)] = {
+    val B = 16; val I4 = 23; val I8 = 20; val F8 = 701; val T = 25
+    val NUM = 1700; val DATE = 1082; val TS = 1114; val TSTZ = 1184; val IV = 1186
+    Seq(
+      // math
+      ("abs", Seq(NUM), NUM, "f"), ("ceil", Seq(NUM), NUM, "f"),
+      ("ceiling", Seq(NUM), NUM, "f"), ("floor", Seq(NUM), NUM, "f"),
+      ("round", Seq(NUM, I4), NUM, "f"), ("trunc", Seq(NUM, I4), NUM, "f"),
+      ("sign", Seq(NUM), NUM, "f"), ("mod", Seq(NUM, NUM), NUM, "f"),
+      ("power", Seq(F8, F8), F8, "f"), ("sqrt", Seq(F8), F8, "f"),
+      ("cbrt", Seq(F8), F8, "f"), ("exp", Seq(F8), F8, "f"),
+      ("ln", Seq(F8), F8, "f"), ("log", Seq(F8), F8, "f"),
+      ("log10", Seq(F8), F8, "f"), ("log2", Seq(F8), F8, "f"),
+      ("pi", Nil, F8, "f"), ("degrees", Seq(F8), F8, "f"),
+      ("radians", Seq(F8), F8, "f"), ("random", Nil, F8, "f"),
+      ("factorial", Seq(I8), NUM, "f"), ("gcd", Seq(I8, I8), I8, "f"),
+      ("lcm", Seq(I8, I8), I8, "f"),
+      ("sin", Seq(F8), F8, "f"), ("cos", Seq(F8), F8, "f"),
+      ("tan", Seq(F8), F8, "f"), ("cot", Seq(F8), F8, "f"),
+      ("asin", Seq(F8), F8, "f"), ("acos", Seq(F8), F8, "f"),
+      ("atan", Seq(F8), F8, "f"), ("atan2", Seq(F8, F8), F8, "f"),
+      ("sinh", Seq(F8), F8, "f"), ("cosh", Seq(F8), F8, "f"),
+      ("tanh", Seq(F8), F8, "f"), ("asinh", Seq(F8), F8, "f"),
+      ("acosh", Seq(F8), F8, "f"), ("atanh", Seq(F8), F8, "f"),
+      // string
+      ("length", Seq(T), I4, "f"), ("char_length", Seq(T), I4, "f"),
+      ("octet_length", Seq(T), I4, "f"), ("bit_length", Seq(T), I4, "f"),
+      ("lower", Seq(T), T, "f"), ("upper", Seq(T), T, "f"),
+      ("substr", Seq(T, I4, I4), T, "f"), ("replace", Seq(T, T, T), T, "f"),
+      ("concat", Seq(T, T), T, "f"), ("concat_ws", Seq(T, T), T, "f"),
+      ("btrim", Seq(T, T), T, "f"), ("ltrim", Seq(T, T), T, "f"),
+      ("rtrim", Seq(T, T), T, "f"), ("lpad", Seq(T, I4, T), T, "f"),
+      ("rpad", Seq(T, I4, T), T, "f"), ("split_part", Seq(T, T, I4), T, "f"),
+      ("left", Seq(T, I4), T, "f"), ("right", Seq(T, I4), T, "f"),
+      ("repeat", Seq(T, I4), T, "f"), ("reverse", Seq(T), T, "f"),
+      ("translate", Seq(T, T, T), T, "f"), ("ascii", Seq(T), I4, "f"),
+      ("chr", Seq(I4), T, "f"), ("md5", Seq(T), T, "f"),
+      ("starts_with", Seq(T, T), B, "f"), ("initcap", Seq(T), T, "f"),
+      ("regexp_count", Seq(T, T), I4, "f"), ("regexp_instr", Seq(T, T), I4, "f"),
+      ("regexp_like", Seq(T, T), B, "f"), ("regexp_replace", Seq(T, T, T), T, "f"),
+      ("regexp_substr", Seq(T, T), T, "f"),
+      // datetime
+      ("now", Nil, TSTZ, "f"), ("date_trunc", Seq(T, TS), TS, "f"),
+      ("date_part", Seq(T, TS), F8, "f"), ("make_date", Seq(I4, I4, I4), DATE, "f"),
+      ("make_timestamp", Seq(I4, I4, I4, I4, I4, F8), TS, "f"),
+      ("make_interval", Seq(I4, I4, I4, I4, I4, I4, F8), IV, "f"),
+      ("localtimestamp", Nil, TS, "f"),
+      // aggregates / misc
+      ("sum", Seq(NUM), NUM, "a"), ("avg", Seq(NUM), NUM, "a"),
+      ("min", Seq(NUM), NUM, "a"), ("max", Seq(NUM), NUM, "a"),
+      ("count", Seq(2276), I8, "a"), ("string_agg", Seq(T, T), T, "a"),
+      ("array_agg", Seq(2276), 2277, "a"), ("bool_and", Seq(B), B, "a"),
+      ("bool_or", Seq(B), B, "a"), ("some", Seq(B), B, "a"),
+      ("any_value", Seq(2276), 2276, "a"), ("mode", Nil, 2276, "a"),
+      ("percentile_cont", Seq(F8), F8, "a"), ("percentile_disc", Seq(F8), F8, "a"),
+      ("bit_and", Seq(I8), I8, "a"), ("bit_or", Seq(I8), I8, "a"),
+      ("bit_xor", Seq(I8), I8, "a"),
+      ("stddev", Seq(NUM), NUM, "a"), ("stddev_pop", Seq(NUM), NUM, "a"),
+      ("stddev_samp", Seq(NUM), NUM, "a"), ("var_pop", Seq(NUM), NUM, "a"),
+      ("var_samp", Seq(NUM), NUM, "a"),
+      ("corr", Seq(F8, F8), F8, "a"), ("covar_pop", Seq(F8, F8), F8, "a"),
+      ("covar_samp", Seq(F8, F8), F8, "a"),
+      ("coalesce", Seq(2276), 2276, "f"), ("nullif", Seq(2276, 2276), 2276, "f"),
+      ("greatest", Seq(2276), 2276, "f"), ("least", Seq(2276), 2276, "f"))
   }
 
   /** proname → pg_proc OID, 90000+, name-sorted for determinism. */
@@ -666,6 +747,16 @@ object PgFunctions {
     u.register("similar_to_escape", (p: String) =>
       if (p == null) null else similarEscape(p))
     u.register("pg_input_is_valid", (s: String, t: String) => inputIsValid(s, t))
+    // record-returning twin: NULL members when the input is valid
+    u.register("pg_input_error_info", (s: String, t: String) =>
+      if (inputIsValid(s, t)) ErrorInfo(null, null, null, null)
+      else ErrorInfo(s"invalid input syntax for type $t: \"$s\"", null, null, "22P02"))
+    // numeric-internal pair (functions.md §Math P3): meaningful on the
+    // DECIMAL literals/columns that keep their scale through Catalyst
+    u.register("min_scale", (x: java.math.BigDecimal) =>
+      if (x == null) null else Integer.valueOf(math.max(0, x.stripTrailingZeros.scale)))
+    u.register("scale", (x: java.math.BigDecimal) =>
+      if (x == null) null else Integer.valueOf(x.scale))
 
     // width_bucket(operand, thresholds[]) — pg's array form (reference
     // width_bucket.rs:32-315): count of thresholds <= operand, NULL

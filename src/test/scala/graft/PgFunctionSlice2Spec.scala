@@ -136,6 +136,23 @@ class PgFunctionSlice2Spec extends SparkSpec {
     assert(r.getBoolean(5) && !r.getBoolean(6) && r.getBoolean(7) && !r.getBoolean(8))
   }
 
+  test("pg_input_error_info / min_scale / scale / \\df passthrough rows") {
+    val r = one(
+      """SELECT pg_input_error_info('42', 'integer').sql_error_code IS NULL AS ok,
+        |  pg_input_error_info('abc', 'integer').sql_error_code AS code,
+        |  pg_input_error_info('abc', 'integer').message AS msg,
+        |  min_scale(CAST(1.5000 AS DECIMAL(10, 4))) AS ms,
+        |  scale(CAST(1.5000 AS DECIMAL(10, 4))) AS sc""".stripMargin)
+    assert(r.getBoolean(0))
+    assert(r.getString(1) === "22P02")
+    assert(r.getString(2).contains("invalid input syntax"))
+    assert(r.getInt(3) === 1 && r.getInt(4) === 4)
+    // native passthrough rows exist with the right kind
+    assert(PgFunctions.procs.exists(p => p.name == "abs" && p.kind == "f"))
+    assert(PgFunctions.procs.exists(p => p.name == "mode" && p.kind == "a"))
+    assert(PgFunctions.procOid.contains("percentile_cont"))
+  }
+
   test("array_fill / trim_array / every / variance") {
     val r = one(
       """SELECT array_fill(7, array(3)) AS af,
