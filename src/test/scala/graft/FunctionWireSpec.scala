@@ -67,6 +67,17 @@ class FunctionWireSpec extends SparkSpec {
     c.close()
   }
 
+  test("set-returning splitters rewrite to generators") {
+    val c = connect()
+    val r = c.query("SELECT regexp_split_to_table('a1b2c', '[0-9]') AS part")
+    assert(r.errors.isEmpty, r.errors)
+    assert(r.rows.map(_.head) === Seq(Some("a"), Some("b"), Some("c")))
+    val r2 = c.query("SELECT string_to_table('x,y', ',') AS v")
+    assert(r2.errors.isEmpty, r2.errors)
+    assert(r2.rows.map(_.head) === Seq(Some("x"), Some("y")))
+    c.close()
+  }
+
   test("binary + uuid + typeof packs over the wire") {
     val c = connect()
     val r = c.query(
