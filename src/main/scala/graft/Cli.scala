@@ -14,15 +14,18 @@ import org.apache.spark.sql.SparkSession
 
 import graft.pgwire.{AuthManager, PgServer}
 
-/** The product entry point: serve CSV/JSON/Parquet files as tables over
-  * the PostgreSQL wire protocol — the reference's CLI shape
+/** The product entry point: serve CSV/JSON/Parquet/Arrow/Avro files as
+  * tables over the PostgreSQL wire protocol — the reference's CLI shape
   * (reference: datafusion-postgres-cli/src/main.rs:55-191: `--csv
-  * name:path`, `--json`, `--parquet`, `--dir`, `-p`, `--host`,
-  * `--tls-cert`/`--tls-key`).
+  * name:path`, `--json`, `--parquet`, `--arrow`, `--avro`, `--dir`,
+  * `-p`, `--host`, `--tls-cert`/`--tls-key`).
   *
   * Differences from the reference, stated up front:
-  *  - `--arrow`/`--avro` are recognized but rejected: neither datasource
-  *    jar ships in this build's Spark distribution.
+  *  - `--arrow`/`--avro` read via the in-distribution arrow-vector /
+  *    avro jars and materialize on the driver with a 1 GiB guard
+  *    (graft.sources.ArrowAvroSources) — registration-sized files,
+  *    same as the reference CLI's usage; big data goes through the
+  *    distributed parquet path.
   *  - extra flags the reference configures elsewhere: `--auth`
   *    (trust|cleartext|md5|scram-sha-256), `--user name:password`
   *    (repeatable), `--max-connections`, `--master`.
@@ -40,6 +43,8 @@ object Cli {
       csv: Vector[(String, String)] = Vector.empty,
       json: Vector[(String, String)] = Vector.empty,
       parquet: Vector[(String, String)] = Vector.empty,
+      arrow: Vector[(String, String)] = Vector.empty,
+      avro: Vector[(String, String)] = Vector.empty,
       dir: Option[String] = None,
       host: String = "127.0.0.1",
       port: Int = 5432,
@@ -55,8 +60,10 @@ object Cli {
       |  --csv name:path       register a CSV file as table `name` (repeatable)
       |  --json name:path      register a JSON-lines file as table `name` (repeatable)
       |  --parquet name:path   register a Parquet file/dir as table `name` (repeatable)
-      |  --dir path, -d path   register every .csv/.json/.parquet file in path,
-      |                        table name = file stem
+      |  --arrow name:path     register an Arrow IPC file as table `name` (repeatable)
+      |  --avro name:path      register an Avro container file as table `name` (repeatable)
+      |  --dir path, -d path   register every .csv/.json/.parquet/.arrow/.avro
+      |                        file in path, table name = file stem
       |  -p port               listen port (default 5432)
       |  --host addr           bind address (default 127.0.0.1)
       |  --tls-cert path       PEM certificate (chain) — enables TLS with --tls-key
@@ -81,9 +88,8 @@ object Cli {
     case "--csv" :: v :: rest => parse(rest, o.copy(csv = o.csv :+ splitDef(v, "--csv")))
     case "--json" :: v :: rest => parse(rest, o.copy(json = o.json :+ splitDef(v, "--json")))
     case "--parquet" :: v :: rest => parse(rest, o.copy(parquet = o.parquet :+ splitDef(v, "--parquet")))
-    case ("--arrow" | "--avro") :: _ :: _ =>
-      throw new IllegalArgumentException(
-        "--arrow/--avro: the arrow/avro datasources are not bundled in this build")
+    case "--arrow" :: v :: rest => parse(rest, o.copy(arrow = o.arrow :+ splitDef(v, "--arrow")))
+    case "--avro" :: v :: rest => parse(rest, o.copy(avro = o.avro :+ splitDef(v, "--avro")))
     case ("--dir" | "-d") :: v :: rest => parse(rest, o.copy(dir = Some(v)))
     case "-p" :: v :: rest => parse(rest, o.copy(port = v.toInt))
     case "--port" :: v :: rest => parse(rest, o.copy(port = v.toInt))
@@ -116,6 +122,8 @@ object Cli {
             case "csv" => out = out.copy(csv = out.csv :+ defn)
             case "json" => out = out.copy(json = out.json :+ defn)
             case "parquet" => out = out.copy(parquet = out.parquet :+ defn)
+            case "arrow" | "arrows" => out = out.copy(arrow = out.arrow :+ defn)
+            case "avro" => out = out.copy(avro = out.avro :+ defn)
             case _ => // not a table file
           }
         }
@@ -165,6 +173,14 @@ object Cli {
     o.parquet.foreach { case (name, path) =>
       spark.read.parquet(path).createOrReplaceTempView(name)
       System.err.println(s"[graft] loaded $path as table $name (parquet)")
+    }
+    o.arrow.foreach { case (name, path) =>
+      graft.sources.ArrowAvroSources.readArrow(spark, path).createOrReplaceTempView(name)
+      System.err.println(s"[graft] loaded $path as table $name (arrow)")
+    }
+    o.avro.foreach { case (name, path) =>
+      graft.sources.ArrowAvroSources.readAvro(spark, path).createOrReplaceTempView(name)
+      System.err.println(s"[graft] loaded $path as table $name (avro)")
     }
   }
 

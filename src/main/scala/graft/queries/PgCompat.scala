@@ -226,6 +226,61 @@ object PgCompat {
       s.read.schema(reg.schema).json(tmp).orderBy("r_regionkey")
     },
 
+    // arrow/avro source parity (reference CLI main.rs:132-182): write
+    // region through each REAL format with the in-distribution libs,
+    // read back via the CLI's source readers, verify against parquet
+    Q.df("q108_arrow_source",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      import org.apache.arrow.vector._
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASch}
+      import scala.jdk.CollectionConverters._
+      val rows = s.read.parquet(s"$dir/region.parquet")
+        .select("r_regionkey", "r_name").collect()
+      val path = Files.createTempFile("graft_q108", ".arrow")
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val schema = new ASch(Seq(
+        new Field("r_regionkey", FieldType.nullable(new ArrowType.Int(64, true)), null),
+        new Field("r_name", FieldType.nullable(ArrowType.Utf8.INSTANCE), null)).asJava)
+      val root = VectorSchemaRoot.create(schema, alloc)
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      w.start()
+      val k = root.getVector("r_regionkey").asInstanceOf[BigIntVector]
+      val n = root.getVector("r_name").asInstanceOf[VarCharVector]
+      k.allocateNew(rows.length); n.allocateNew()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        k.setSafe(i, r.getAs[Number](0).longValue())
+        n.setSafe(i, r.getString(1).getBytes("UTF-8"))
+      }
+      root.setRowCount(rows.length)
+      w.writeBatch(); w.end(); w.close(); ch.close(); root.close(); alloc.close()
+      graft.sources.ArrowAvroSources.readArrow(s, path.toString).orderBy("r_regionkey")
+    },
+
+    Q.df("q109_avro_source",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      import org.apache.avro.SchemaBuilder
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val rows = s.read.parquet(s"$dir/region.parquet")
+        .select("r_regionkey", "r_name").collect()
+      val aschema = SchemaBuilder.record("region").fields()
+        .requiredLong("r_regionkey").requiredString("r_name").endRecord()
+      val f = Files.createTempFile("graft_q109", ".avro").toFile
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](aschema))
+      w.create(aschema, f)
+      rows.foreach { r =>
+        val rec = new GenericData.Record(aschema)
+        rec.put("r_regionkey", r.getAs[Number](0).longValue())
+        rec.put("r_name", r.getString(1))
+        w.append(rec)
+      }
+      w.close()
+      graft.sources.ArrowAvroSources.readAvro(s, f.getPath).orderBy("r_regionkey")
+    },
+
     // ---- functions.md roadmap slice (round 7) --------------------------
     // Data-driven oracles: DuckDB re-expresses each pg template with its
     // native strftime/printf/format equivalents over the same rows.

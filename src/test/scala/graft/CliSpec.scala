@@ -51,7 +51,7 @@ class CliSpec extends SparkSpec {
   test("bad args are rejected with a usable message") {
     intercept[IllegalArgumentException](Cli.serve(Array("--csv", "no-colon-here")))
     intercept[IllegalArgumentException](Cli.serve(Array("--bogus", "x")))
-    intercept[IllegalArgumentException](Cli.serve(Array("--avro", "t:/tmp/x.avro")))
+    intercept[IllegalArgumentException](Cli.serve(Array("--avro", "no-colon-either")))
     intercept[IllegalArgumentException](
       Cli.serve(Array("--tls-cert", "/tmp/only-cert.pem", "-p", "0")))
   }
