@@ -97,6 +97,30 @@ class ArrowAvroSourceSpec extends SparkSpec {
     f.delete()
   }
 
+  test("--avro registration serves a real Avro file over the wire") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val aschema = SchemaBuilder.record("m").fields()
+      .requiredString("k").requiredLong("v").endRecord()
+    val f = Files.createTempFile("graft_cli_avro", ".avro").toFile
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](aschema))
+    w.create(aschema, f)
+    Seq(("a", 1L), ("b", 2L), ("c", 3L)).foreach { case (k, v) =>
+      val r = new GenericData.Record(aschema); r.put("k", k); r.put("v", v); w.append(r)
+    }
+    w.close()
+    val (_, server) = Cli.serve(Array(
+      "--avro", s"metrics:${f.getPath}", "--host", "127.0.0.1", "-p", "0"))
+    try {
+      val c = new Client(server.boundPort)
+      c.startup()
+      assert(c.query("SELECT sum(v) FROM metrics").rows === Seq(Seq(Some("6"))))
+      assert(c.query("SELECT k FROM metrics WHERE v = 2").rows === Seq(Seq(Some("b"))))
+      c.close()
+    } finally { server.stop(); f.delete() }
+  }
+
   test("size guard refuses oversized files with a clear message") {
     val path = Files.createTempFile("graft_arrow_big", ".arrow")
     try {
