@@ -518,15 +518,35 @@ object PgFormat {
   private val monthPrefixes: Map[String, Int] =
     monthsU.zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
 
+  /** Natural digit width of a numeric datetime keyword. */
+  private def dtWidth(key: String): Int = key match {
+    case "YYYY" | "Y,YYY" | "IYYY" => 4
+    case "YYY" | "DDD" | "MS" | "IDDD" => 3
+    case "US" => 6
+    case "J" => 7
+    case "SSSS" | "SSSSS" => 5
+    case "Y" | "D" | "ID" | "Q" | "W" => 1
+    case _ => 2
+  }
+
+  private def isNumericTok(key: String): Boolean = key match {
+    case "MON" | "MONTH" | "DAY" | "DY" | "AM" | "PM" | "A.M." | "P.M." |
+         "BC" | "AD" | "B.C." | "A.D." | "TZ" | "RM" => false
+    case _ => true
+  }
+
   /** Parse `in` according to the compiled template; returns epoch
-    * micros in `zone`. pg-lenient: runs of separator literals match any
-    * whitespace/punct; numeric fields read up to their natural width. */
+    * micros in `zone`. pg-lenient: runs of separator literals match
+    * any whitespace/punct. A numeric field immediately followed by
+    * another numeric field is limited to its keyword width (pg's rule
+    * that makes 'YYYYMMDD' parse); otherwise it reads greedily. */
   def parseDt(nodes: Vector[DtNode], in: String, zone: ZoneId): Long = {
     var year = 1; var month = 1; var day = 1
     var hour = 0; var min = 0; var sec = 0; var usec = 0
     var pm = false; var sawPm = false; var hour12 = false
     var bc = false
     var tzOffSec: Option[Int] = None
+    var tzNeg = false
     var pos = 0
     val n = in.length
     def skipSep(): Unit = {
@@ -541,10 +561,10 @@ object PgFormat {
     def readSignedInt(maxW: Int): Int = {
       skipSep0()
       val negSign = pos < n && (in.charAt(pos) == '-' || in.charAt(pos) == '+')
-      val neg = negSign && in.charAt(pos) == '-'
+      tzNeg = negSign && in.charAt(pos) == '-'
       if (negSign) pos += 1
       val v = readInt(maxW)
-      if (neg) -v else v
+      if (tzNeg) -v else v
     }
     def skipSep0(): Unit = { // like skipSep but keeps +/- for offsets
       while (pos < n && !Character.isLetterOrDigit(in.charAt(pos)) &&
@@ -556,10 +576,25 @@ object PgFormat {
       while (pos < n && Character.isLetter(in.charAt(pos))) pos += 1
       in.substring(st, pos)
     }
-    nodes.foreach {
+    // pg limits a numeric field to its keyword width when the next
+    // template node is another numeric field (no separator between)
+    val adjacent: Vector[Boolean] = nodes.zipWithIndex.map { case (node, i) =>
+      node match {
+        case DtTok(k, _, _, _) if isNumericTok(k) =>
+          (i + 1 < nodes.length) && (nodes(i + 1) match {
+            case DtTok(k2, _, _, _) => isNumericTok(k2)
+            case _ => false
+          })
+        case _ => false
+      }
+    }
+    nodes.zipWithIndex.foreach { case (node, nodeIdx) =>
+      def w(key: String, greedy: Int): Int =
+        if (adjacent(nodeIdx)) dtWidth(key) else greedy
+      node match {
       case DtLit(_) => // separators are skipped lazily by the readers
       case DtTok(key, _, _, _) => key match {
-        case "YYYY" | "Y,YYY" => year = readInt(4 + 2) // allow 5-6 digit years
+        case "YYYY" | "Y,YYY" => year = readInt(w(key, 4 + 2)) // allow 5-6 digit years
         case "YYY" => val v = readInt(3); year = if (v >= 100) 1900 + v % 1000 else 2000 + v
         case "YY" => val v = readInt(2); year = if (v < 70) 2000 + v else 1900 + v
         case "Y" => year = 2000 + readInt(1)
@@ -591,15 +626,14 @@ object PgFormat {
           bc = nm.startsWith("B")
         case "TZH" => tzOffSec = Some(tzOffSec.getOrElse(0) + readSignedInt(2) * 3600)
         case "TZM" =>
+          // sign comes from the TZH read: '-00:30' must subtract even
+          // though the hour field itself is zero
           val m = readInt(2)
-          tzOffSec = Some(tzOffSec.getOrElse(0) match {
-            case t if t < 0 => t - m * 60
-            case t => t + m * 60
-          })
+          tzOffSec = Some(tzOffSec.getOrElse(0) + (if (tzNeg) -m * 60 else m * 60))
         case "OF" =>
           val h = readSignedInt(2)
           skipSep(); val m = if (pos < n && Character.isDigit(in.charAt(pos))) readInt(2) else 0
-          tzOffSec = Some(h * 3600 + (if (h < 0) -m else m) * 60)
+          tzOffSec = Some(h * 3600 + (if (tzNeg) -m else m) * 60)
         case "DY" | "DAY" | "D" | "ID" => readName() // parsed and ignored (pg checks consistency; we don't)
         case "J" =>
           val j = readInt(7)
@@ -607,6 +641,7 @@ object PgFormat {
           year = d0.getYear; month = d0.getMonthValue; day = d0.getDayOfMonth
         case _ => // Q/WW/W/CC/TZ etc. contribute nothing to the point value (pg ignores)
       }
+    }
     }
     if (hour12 && sawPm) {
       val h = hour % 12

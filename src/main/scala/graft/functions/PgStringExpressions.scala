@@ -158,7 +158,9 @@ object PgStringExpressions {
       val nullRaw = nullStr.eval(input)
       val nullMark = if (nullRaw == null) null else nullRaw.asInstanceOf[UTF8String].toString
       val fields: Array[String] =
-        if (dRaw == null) s.toCharArray.map(_.toString)
+        if (dRaw == null) // pg: one element per CHARACTER (code point,
+          // not UTF-16 unit — surrogate halves are not valid text)
+          s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
         else {
           val d = dRaw.asInstanceOf[UTF8String].toString
           if (d.isEmpty) Array(s)

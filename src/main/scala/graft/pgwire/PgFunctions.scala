@@ -305,21 +305,27 @@ object PgFunctions {
     new java.util.UUID(hi, lo).toString
   }
 
-  def uuidVersion(s: String): Integer =
+  def uuidVersion(s: String): Integer = {
+    if (s == null) return null
     try Integer.valueOf(java.util.UUID.fromString(s).version())
     catch { case _: IllegalArgumentException => null }
+  }
 
   /** v7 → embedded unix-millis instant; v1 → gregorian timestamp;
     * other versions carry no timestamp (pg returns NULL). */
   def uuidTimestamp(s: String): java.time.Instant = {
+    if (s == null) return null
     val u = try java.util.UUID.fromString(s)
     catch { case _: IllegalArgumentException => return null }
     u.version() match {
       case 7 => java.time.Instant.ofEpochMilli(u.getMostSignificantBits >>> 16)
       case 1 =>
-        // 100ns ticks since 1582-10-15
+        // 100ns ticks since 1582-10-15; ticks * 100 would overflow Long
+        // nanos for any timestamp after ~1874, so split sec/nano
         val ticks = u.timestamp()
-        java.time.Instant.ofEpochSecond(-12219292800L).plusNanos(ticks * 100)
+        java.time.Instant.ofEpochSecond(-12219292800L)
+          .plusSeconds(ticks / 10000000L)
+          .plusNanos((ticks % 10000000L) * 100L)
       case _ => null
     }
   }
@@ -361,7 +367,7 @@ object PgFunctions {
   /** pg_input_is_valid(text, typename): try-cast over the engine's
     * wire types. */
   def inputIsValid(s: String, typeName: String): Boolean = {
-    if (s == null) return false
+    if (s == null || typeName == null) return false
     val t = typeName.toLowerCase.trim
     try {
       t match {
@@ -668,7 +674,13 @@ object PgFunctions {
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
         .replaceAll("\\p{Mn}+", ""))
     u.register("strpos", (s: String, sub: String) =>
-      if (s == null || sub == null) null else Integer.valueOf(s.indexOf(sub) + 1))
+      if (s == null || sub == null) null
+      else {
+        // pg counts CHARACTERS; convert the UTF-16 index to a code
+        // point position so supplementary-plane text agrees with pg
+        val i = s.indexOf(sub)
+        Integer.valueOf(if (i < 0) 0 else s.codePointCount(0, i) + 1)
+      })
     u.register("to_bin", (x: java.lang.Integer) =>
       if (x == null) null else Integer.toBinaryString(x.intValue()))
     u.register("to_oct", (x: java.lang.Integer) =>
@@ -746,7 +758,8 @@ object PgFunctions {
     // pattern + validation
     u.register("similar_to_escape", (p: String) =>
       if (p == null) null else similarEscape(p))
-    u.register("pg_input_is_valid", (s: String, t: String) => inputIsValid(s, t))
+    u.register("pg_input_is_valid", (s: String, t: String) =>
+      if (t == null) null else java.lang.Boolean.valueOf(inputIsValid(s, t)))
     // record-returning twin: NULL members when the input is valid
     u.register("pg_input_error_info", (s: String, t: String) =>
       if (inputIsValid(s, t)) ErrorInfo(null, null, null, null)
@@ -764,7 +777,7 @@ object PgFunctions {
     // Registered under pg_width_bucket because Spark's registry cannot
     // overload the 4-arg builtin; Compat rewrites the 2-arg call shape.
     u.register("pg_width_bucket", (x: java.lang.Double, thresholds: Seq[java.lang.Double]) =>
-      if (x == null) null
+      if (x == null || thresholds == null) null
       else Integer.valueOf(thresholds.count(t => t != null && t.doubleValue() <= x.doubleValue())))
 
     // system / catalog compat (pg_catalog.rs:1073-1572)

@@ -141,7 +141,13 @@ object Dedup {
         .join(simA, "doc_a").join(simB, "doc_b")
         .select(col("doc_a"), col("doc_b"), lit("far").as("kind"),
           (ham >= 7).cast("long").as("ok"))
-      near.unionByName(far).orderBy("kind", "doc_a", "doc_b")
+      // eager localCheckpoint materializes the (small) gate rows so the
+      // big shingle cache can be released NOW — ManagedResult
+      // convention: a persist must not outlive its query
+      val result = near.unionByName(far).orderBy("kind", "doc_a", "doc_b")
+        .localCheckpoint(true)
+      sh.unpersist(false)
+      result
     },
 
     // --- cap-policy health metric: per chunk index, bucket census and

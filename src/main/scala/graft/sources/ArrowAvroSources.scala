@@ -70,6 +70,31 @@ object ArrowAvroSources {
     case x => x // primitives, LocalDateTime, epoch-day ints handled by schema
   }
 
+  /** Per-column converter from the Arrow field type: tz-aware
+    * timestamp vectors surface raw Longs in their declared unit
+    * (getObject on TimeStamp*TZVector returns Long, not a date-time
+    * object), DateDay surfaces epoch-day ints, DateMilli surfaces
+    * LocalDateTime. */
+  private def arrowConverter(f: Field): Any => Any = f.getType match {
+    case t: ArrowType.Timestamp if t.getTimezone != null =>
+      import org.apache.arrow.vector.types.TimeUnit
+      val toInstant: Long => java.time.Instant = t.getUnit match {
+        case TimeUnit.SECOND => java.time.Instant.ofEpochSecond(_)
+        case TimeUnit.MILLISECOND => java.time.Instant.ofEpochMilli(_)
+        case TimeUnit.MICROSECOND => us => java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        case TimeUnit.NANOSECOND => ns => java.time.Instant.ofEpochSecond(
+          Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+      }
+      { case null => null; case x: java.lang.Long => toInstant(x.longValue()); case x => x }
+    case _: ArrowType.Date =>
+      { case null => null
+        case x: java.lang.Integer => java.time.LocalDate.ofEpochDay(x.longValue())
+        case x: java.time.LocalDateTime => x.toLocalDate // DateMilliVector
+        case x => x }
+    case _ => convertArrow
+  }
+
   def readArrow(spark: SparkSession, path: String): DataFrame = {
     sizeGuard(path, "arrow")
     val alloc = new org.apache.arrow.memory.RootAllocator()
@@ -80,20 +105,15 @@ object ArrowAvroSources {
         val root = reader.getVectorSchemaRoot
         val fields = root.getSchema.getFields.asScala.toSeq
         val schema = StructType(fields.map(arrowToSpark))
+        val convs = fields.map(arrowConverter)
         val rows = new java.util.ArrayList[Row]()
         while (reader.loadNextBatch()) {
           val vectors = root.getFieldVectors.asScala.toSeq
           var i = 0
           val n = root.getRowCount
           while (i < n) {
-            rows.add(Row.fromSeq(vectors.map { v =>
-              val raw = v.getObject(i)
-              (convertArrow(raw), schema(v.getName).dataType) match {
-                case (x: Int, DateType) => java.time.LocalDate.ofEpochDay(x.toLong)
-                case (x: java.time.LocalDateTime, TimestampType) =>
-                  x.atZone(java.time.ZoneOffset.UTC).toInstant
-                case (x, _) => x
-              }
+            rows.add(Row.fromSeq(vectors.zip(convs).map { case (v, conv) =>
+              conv(v.getObject(i))
             }))
             i += 1
           }
@@ -160,7 +180,12 @@ object ArrowAvroSources {
         case _ =>
           val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
       }
-    case f: GenericData.Fixed => f.bytes().clone()
+    case f: GenericData.Fixed => s.getLogicalType match {
+      // Spark's own Avro writer encodes decimals as FIXED by default
+      case d: LogicalTypes.Decimal =>
+        new java.math.BigDecimal(new java.math.BigInteger(f.bytes()), d.getScale)
+      case _ => f.bytes().clone()
+    }
     case i: java.lang.Integer if s.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
       java.time.LocalDate.ofEpochDay(i.longValue())
     case l: java.lang.Long => s.getLogicalType match {

@@ -121,6 +121,35 @@ class PgFunctionSlice2Spec extends SparkSpec {
     assert(err.getMessage.contains("month"))
   }
 
+  test("review fixes: uuid v1 timestamp, YYYYMMDD parse, tz sign, NULL strictness") {
+    // v1 uuid minted from known gregorian ticks: the old ticks*100 Long
+    // overflow put modern v1 timestamps centuries in the past
+    val v1 = "c232ab00-9414-11ec-b3c8-9f6bdeced846" // RFC 9562 v1 vector: 2022-02-22 2:22:22 PM GMT-5
+    val ts = PgFunctions.uuidTimestamp(v1)
+    assert(ts.toString === "2022-02-22T19:22:22Z")
+    assert(PgFunctions.uuidVersion(null) === null)
+    assert(PgFunctions.uuidTimestamp(null) === null)
+    // separator-less template: each field limited to keyword width
+    PgFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT to_date('20260812', 'YYYYMMDD') AS d,
+        |  to_char(to_timestamp('2026-08-12 10:00 -00:30', 'YYYY-MM-DD HH24:MI TZH:TZM'),
+        |    'YYYY-MM-DD HH24:MI') AS tz,
+        |  pg_width_bucket(1.0D, CAST(NULL AS ARRAY<DOUBLE>)) IS NULL AS wb_null,
+        |  pg_input_is_valid('x', CAST(NULL AS STRING)) IS NULL AS valid_null,
+        |  strpos('xbc', 'b') AS sp
+        |""".stripMargin).collect().head
+    assert(r.get(0).toString === "2026-08-12")
+    // -00:30 must SUBTRACT: 10:00 at -00:30 is 10:30 UTC
+    assert(r.getString(1) === "2026-08-12 10:30")
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) === 2)
+    // code-point semantics for NULL-delimiter split
+    val cps = spark.sql("SELECT string_to_array('a𝔞b', NULL) AS a")
+      .collect().head.getSeq[String](0)
+    assert(cps === Seq("a", "𝔞", "b"))
+  }
+
   test("pg_typeof / pg_input_is_valid") {
     val r = one(
       """SELECT pg_typeof(1) AS t_int, pg_typeof(CAST(1 AS BIGINT)) AS t_big,
