@@ -531,7 +531,12 @@ object PgFunctions {
       ProcDef("variance", Seq(NUM), NUM, kind = "a"),
       ProcDef("pg_input_error_info", Seq(T, T), 2249),
       ProcDef("min_scale", Seq(NUM), I4),
-      ProcDef("scale", Seq(NUM), I4))
+      ProcDef("scale", Seq(NUM), I4),
+      ProcDef("pg_postmaster_start_time", Nil, 1184),
+      ProcDef("pg_conf_load_time", Nil, 1184),
+      ProcDef("pg_jit_available", Nil, B),
+      ProcDef("inet_client_addr", Nil, T),
+      ProcDef("inet_server_addr", Nil, T))
     val natives = nativePassthrough.map { case (name, args, ret, kind) =>
       ProcDef(name, args, ret, kind)
     }
@@ -688,6 +693,16 @@ object PgFunctions {
     u.register("to_hex", (x: java.lang.Integer) =>
       if (x == null) null else Integer.toHexString(x.intValue()))
     u.register("pg_client_encoding", () => "UTF8")
+    // sysinfo probes (dashboards poll these): start time = JVM start
+    u.register("pg_postmaster_start_time", () =>
+      java.time.Instant.ofEpochMilli(
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime))
+    u.register("pg_conf_load_time", () =>
+      java.time.Instant.ofEpochMilli(
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime))
+    u.register("pg_jit_available", () => false)
+    u.register("inet_client_addr", () => null: String)
+    u.register("inet_server_addr", () => null: String)
     // binary-string pack (functions.md §Binary String, all P2): pg
     // encode/decode SHADOW Spark's charset builtins — on a pg surface
     // encode(bytea, 'hex'|'base64'|'escape') is the contract
