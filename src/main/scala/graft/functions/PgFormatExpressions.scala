@@ -44,15 +44,19 @@ object PgFormatExpressions {
   /** Shared template cache: formats are almost always literals, so a
     * tiny per-expression memo removes recompilation per row. Keys on
     * the UTF8String bytes directly — no per-row String allocation. */
+  /** Single-entry compile cache. One volatile reference to an immutable
+    * (key, value) pair so concurrent evaluators of a shared expression
+    * instance never observe a key paired with a stale compiled value. */
   final class FmtMemo[T](compile: String => T) {
-    private var lastKey: UTF8String = null
-    private var lastVal: T = _
+    @volatile private var entry: (UTF8String, T) = null
     def get(fmt: UTF8String): T = {
-      if (lastKey == null || !lastKey.equals(fmt)) {
-        lastVal = compile(fmt.toString)
-        lastKey = fmt.clone()
+      val e = entry
+      if (e != null && e._1.equals(fmt)) e._2
+      else {
+        val v = compile(fmt.toString)
+        entry = (fmt.clone(), v)
+        v
       }
-      lastVal
     }
   }
 
@@ -200,6 +204,9 @@ object PgFormatExpressions {
     override def dataType: DataType = TimestampType
     override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
     override def prettyName: String = "to_timestamp"
+    // the string branch yields null on unparseable input even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (isNumeric(child.dataType) || child.dataType == StringType)

@@ -204,15 +204,21 @@ object PgStringExpressions {
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("regexp_split_to_array(text, text[, text])")
 
-    @transient private var lastPat: (String, String) = null
-    @transient private var compiled: Pattern = null
+    // one volatile (key, pattern) pair: concurrent evaluators never see
+    // a flags/pattern string paired with a stale compiled regex
+    @transient @volatile private var cached: ((String, String), Pattern) = null
 
     override def nullSafeEval(s: Any, p: Any, fl: Any): Any = {
       val ps = p.asInstanceOf[UTF8String].toString
       val fs = fl.asInstanceOf[UTF8String].toString
-      if (lastPat == null || lastPat != ((ps, fs))) {
-        compiled = Pattern.compile(ps, pgFlags(fs)); lastPat = (ps, fs)
-      }
+      val c = cached
+      val compiled =
+        if (c != null && c._1 == ((ps, fs))) c._2
+        else {
+          val pat = Pattern.compile(ps, pgFlags(fs))
+          cached = ((ps, fs), pat)
+          pat
+        }
       new GenericArrayData(compiled.split(s.asInstanceOf[UTF8String].toString, -1)
         .map(x => UTF8String.fromString(x): Any))
     }
@@ -240,17 +246,21 @@ object PgStringExpressions {
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("regexp_matches(text, text[, text])")
 
-    @transient private var lastPat: (String, String) = null
-    @transient private var compiled: Pattern = null
+    @transient @volatile private var cached: ((String, String), Pattern) = null
 
     override def nullSafeEval(s: Any, p: Any, fl: Any): Any = {
       val fs = fl.asInstanceOf[UTF8String].toString
       if (fs.contains('g')) throw new IllegalArgumentException(
         "regexp_matches 'g' flag is set-returning; not supported as a scalar")
       val ps = p.asInstanceOf[UTF8String].toString
-      if (lastPat == null || lastPat != ((ps, fs))) {
-        compiled = Pattern.compile(ps, pgFlags(fs)); lastPat = (ps, fs)
-      }
+      val c = cached
+      val compiled =
+        if (c != null && c._1 == ((ps, fs))) c._2
+        else {
+          val pat = Pattern.compile(ps, pgFlags(fs))
+          cached = ((ps, fs), pat)
+          pat
+        }
       val m = compiled.matcher(s.asInstanceOf[UTF8String].toString)
       if (!m.find()) null
       else if (m.groupCount() == 0)

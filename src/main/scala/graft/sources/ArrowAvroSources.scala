@@ -95,12 +95,35 @@ object ArrowAvroSources {
     case _ => convertArrow
   }
 
+  /** The IPC *file* format opens with the magic "ARROW1"; the *stream*
+    * format (conventional extension .arrows) has no magic and must go
+    * through ArrowStreamReader — ArrowFileReader requires the footer
+    * and throws on stream files. Sniff instead of trusting extensions. */
+  private def isArrowFileFormat(path: String): Boolean = {
+    val in = Files.newInputStream(Paths.get(path))
+    try {
+      val magic = new Array[Byte](6)
+      var off = 0
+      while (off < 6) {
+        val n = in.read(magic, off, 6 - off)
+        if (n < 0) return false
+        off += n
+      }
+      java.util.Arrays.equals(magic, "ARROW1".getBytes("US-ASCII"))
+    } finally in.close()
+  }
+
   def readArrow(spark: SparkSession, path: String): DataFrame = {
     sizeGuard(path, "arrow")
     val alloc = new org.apache.arrow.memory.RootAllocator()
     val ch = FileChannel.open(Paths.get(path))
     try {
-      val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+      val reader: org.apache.arrow.vector.ipc.ArrowReader =
+        if (isArrowFileFormat(path))
+          new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+        else
+          new org.apache.arrow.vector.ipc.ArrowStreamReader(
+            java.nio.channels.Channels.newInputStream(ch), alloc)
       try {
         val root = reader.getVectorSchemaRoot
         val fields = root.getSchema.getFields.asScala.toSeq

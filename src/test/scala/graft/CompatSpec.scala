@@ -192,4 +192,18 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.rewrite("SELECT aggregate(a, 0, (acc, x) -> acc + x) FROM t") ===
       "SELECT aggregate(a, 0, (acc, x) -> acc + x) FROM t")
   }
+
+  test("EXTRACT(EPOCH) rewrite keeps Op parens balanced for later passes") {
+    // The epoch rewrite hides 4 opens in its prefix Word and 4 closes in
+    // its suffix Word, but the original Op '(' / Op ')' pair must stay so
+    // matchParen-based passes (here the CAST type mapper) still work.
+    val out = Compat.rewrite("SELECT CAST(EXTRACT(EPOCH FROM ts) AS int8) FROM t")
+    assert(out.contains("unix_micros"))
+    assert(out.toLowerCase.contains("as bigint"), out)
+    assert(out.count(_ == '(') === out.count(_ == ')'))
+    // same through a SIMILAR TO pass appended after the epoch rewrite
+    val out2 = Compat.rewrite(
+      "SELECT 1 FROM t WHERE EXTRACT(EPOCH FROM ts) > 0 AND name SIMILAR TO 'a%'")
+    assert(out2.contains("RLIKE"), out2)
+  }
 }
