@@ -65,7 +65,12 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => "unavailable" }
     val loadStart = loadavg()
     val tStart = System.currentTimeMillis()
+    // Optional focus filter for local iteration: comma-separated qNN
+    // prefixes (SPARK_GRAFT_BENCH_ONLY=q100,q101). Full suite when unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.all.map(_.name)
+      .filter(n => only.forall(o => o.exists(p => n == p || n.startsWith(p + "_"))))
     val fns = SparkEntry.queries
     var errors = List.empty[(String, String)]
     // Min-of-N timing (N=2): a single sample is hostage to whatever else

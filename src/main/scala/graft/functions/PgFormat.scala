@@ -1,8 +1,8 @@
 package graft.functions
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-import java.time.{Instant, LocalDate, LocalDateTime, ZoneId, ZonedDateTime}
-import java.time.temporal.{IsoFields, JulianFields}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneId, ZoneOffset, ZonedDateTime}
+import java.time.temporal.JulianFields
 
 /** PostgreSQL `to_char` / `to_number` / `to_timestamp` template engines.
   *
@@ -125,13 +125,100 @@ object PgFormat {
     base + (if (th == 0) "" else ordinal(v, th == 2))
   }
 
-  /** Render one datetime through a compiled template. `zdt` is the
-    * timestamp in the session zone (or the naive local value for
-    * date / timestamp-without-tz, with `hasTz=false`). */
-  def formatDt(nodes: Vector[DtNode], zdt: ZonedDateTime, hasTz: Boolean): String = {
+  /** Per-row datetime fields computed with pure integer arithmetic —
+    * the to_char hot path constructs one of these instead of a
+    * ZonedDateTime (round-7 verdict: the per-row java.time allocation
+    * made the to_char pack the slowest surface in the engine). Civil
+    * date from epoch day uses Howard Hinnant's public-domain
+    * days-from-civil inverse (chrono-compatible low-level date
+    * algorithms); ISO week fields are derived lazily since most
+    * templates never ask for them. */
+  final class DtF(val epochDay: Long, val microOfDay: Long,
+      val offsetSec: Int, val zone: ZoneId) {
+    // civil-from-days
+    private val z0 = epochDay + 719468L
+    private val era = Math.floorDiv(z0, 146097L)
+    private val doe = (z0 - era * 146097L).toInt // [0, 146096]
+    private val yoe = (doe - doe / 1460 + doe / 36524 - doe / 146096) / 365
+    private val doyM = doe - (365 * yoe + yoe / 4 - yoe / 100) // March-based
+    private val mp = (5 * doyM + 2) / 153
+    val day: Int = doyM - (153 * mp + 2) / 5 + 1
+    val month: Int = if (mp < 10) mp + 3 else mp - 9
+    val year: Int = (yoe + era * 400).toInt + (if (month <= 2) 1 else 0)
+    val hour: Int = (microOfDay / 3600000000L).toInt
+    val minute: Int = (microOfDay / 60000000L % 60).toInt
+    val second: Int = (microOfDay / 1000000L % 60).toInt
+    val micro: Int = (microOfDay % 1000000L).toInt
+    /** ISO day of week, 1=Mon..7=Sun (1970-01-01 was a Thursday). */
+    val dowIso: Int = Math.floorMod(epochDay + 3, 7).toInt + 1
+    def isLeap: Boolean = (year % 4 == 0 && year % 100 != 0) || year % 400 == 0
+    def dayOfYear: Int =
+      DtF.cumDays(month - 1) + day + (if (month > 2 && isLeap) 1 else 0)
+    def julianDay: Long = epochDay + 2440588L
+    def secondOfDay: Int = (microOfDay / 1000000L).toInt
+    // ISO week-date (computed on demand; q100-style templates use ID/WW
+    // which do NOT need these)
+    private def isoP(y: Int): Int = {
+      val yy = Math.floorMod(y, 400) // same leap pattern every 400y, keeps math in Int
+      Math.floorMod(yy + yy / 4 - yy / 100 + yy / 400, 7)
+    }
+    private def weeksIn(y: Int): Int = if (isoP(y) == 4 || isoP(y - 1) == 3) 53 else 52
+    lazy val (isoYear: Int, isoWeek: Int) = {
+      val w = (dayOfYear - dowIso + 10) / 7
+      if (w < 1) (year - 1, weeksIn(year - 1))
+      else if (w > weeksIn(year)) (year + 1, 1)
+      else (year, w)
+    }
+    def instantMicros: Long = epochDay * 86400000000L + microOfDay - offsetSec * 1000000L
+  }
+
+  object DtF {
+    private[PgFormat] val cumDays = Array(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+    def fromEpochDay(day: Long): DtF = new DtF(day, 0L, 0, ZoneOffset.UTC)
+    /** `localMicros` is already shifted into the display zone. */
+    def fromLocalMicros(localMicros: Long, offsetSec: Int, zone: ZoneId): DtF =
+      new DtF(Math.floorDiv(localMicros, 86400000000L),
+        Math.floorMod(localMicros, 86400000000L), offsetSec, zone)
+    def fromZdt(zdt: ZonedDateTime): DtF =
+      new DtF(zdt.toLocalDate.toEpochDay, zdt.toLocalTime.toNanoOfDay / 1000L,
+        zdt.getOffset.getTotalSeconds, zdt.getZone)
+    /** days-from-civil (Hinnant) — inverse of the DtF field computation. */
+    def daysFromCivil(y0: Int, m: Int, d: Int): Long = {
+      val y = y0 - (if (m <= 2) 1 else 0)
+      val era = Math.floorDiv(y.toLong, 400L)
+      val yoe = (y - era * 400).toInt
+      val doyM = (153 * (if (m > 2) m - 3 else m + 9) + 2) / 5 + d - 1
+      val doe = yoe * 365 + yoe / 4 - yoe / 100 + doyM
+      era * 146097L + doe - 719468L
+    }
+  }
+
+  /** Compatibility entry: callers that already hold a ZonedDateTime. */
+  def formatDt(nodes: Vector[DtNode], zdt: ZonedDateTime, hasTz: Boolean): String =
+    formatDt(nodes, DtF.fromZdt(zdt), hasTz)
+
+  /** Append `v` zero-padded to `width` (unless fill-mode), plus the
+    * ordinal suffix — allocation-free replacement for num() on the
+    * formatting hot path. */
+  private def appendNum(sb: StringBuilder, v: Long, width: Int, fm: Boolean, th: Int): Unit = {
+    if (v < 0) sb.append('-')
+    val a = math.abs(v)
+    if (!fm) {
+      var digits = 1; var t = a
+      while (t >= 10) { digits += 1; t /= 10 }
+      var pad = width - digits
+      while (pad > 0) { sb.append('0'); pad -= 1 }
+    }
+    sb.append(a)
+    if (th != 0) sb.append(ordinal(v, th == 2))
+  }
+
+  /** Render one datetime through a compiled template. `f` carries the
+    * wall-clock fields in the session zone (or the naive local value
+    * for date / timestamp-without-tz, with `hasTz=false`). */
+  def formatDt(nodes: Vector[DtNode], f: DtF, hasTz: Boolean): String = {
     val sb = new StringBuilder
-    val ld = zdt.toLocalDate
-    val y = zdt.getYear // proleptic; <=0 means BC (1 - y)
+    val y = f.year // proleptic; <=0 means BC (1 - y)
     val dispYear = if (y <= 0) 1 - y else y
     nodes.foreach {
       case DtLit(s) => sb.append(s)
@@ -139,73 +226,72 @@ object PgFormat {
         def bc(u: String, l: String): String =
           caseName(raw, if (y <= 0) u else l) // caller passes BC/AD pair
         key match {
-          case "HH24" => sb.append(num(zdt.getHour, 2, fm, th))
+          case "HH24" => appendNum(sb, f.hour, 2, fm, th)
           case "HH12" | "HH" =>
-            val h = zdt.getHour % 12; sb.append(num(if (h == 0) 12 else h, 2, fm, th))
-          case "MI" => sb.append(num(zdt.getMinute, 2, fm, th))
-          case "SS" => sb.append(num(zdt.getSecond, 2, fm, th))
+            val h = f.hour % 12; appendNum(sb, if (h == 0) 12 else h, 2, fm, th)
+          case "MI" => appendNum(sb, f.minute, 2, fm, th)
+          case "SS" => appendNum(sb, f.second, 2, fm, th)
           case "SSSS" | "SSSSS" =>
-            sb.append(num(zdt.toLocalTime.toSecondOfDay.toLong, 1, true, th))
-          case "MS" => sb.append(num(zdt.getNano / 1000000L, 3, fm, th))
-          case "US" => sb.append(num(zdt.getNano / 1000L, 6, fm, th))
+            appendNum(sb, f.secondOfDay.toLong, 1, true, th)
+          case "MS" => appendNum(sb, f.micro / 1000L, 3, fm, th)
+          case "US" => appendNum(sb, f.micro.toLong, 6, fm, th)
           case "AM" | "PM" =>
-            sb.append(caseName(raw, if (zdt.getHour < 12) "AM" else "PM"))
+            sb.append(caseName(raw, if (f.hour < 12) "AM" else "PM"))
           case "A.M." | "P.M." =>
-            sb.append(caseName(raw, if (zdt.getHour < 12) "A.M." else "P.M."))
+            sb.append(caseName(raw, if (f.hour < 12) "A.M." else "P.M."))
           case "BC" | "AD" => sb.append(bc("BC", "AD"))
           case "B.C." | "A.D." => sb.append(bc("B.C.", "A.D."))
-          case "YYYY" => sb.append(num(dispYear.toLong, 4, fm, th))
+          case "YYYY" => appendNum(sb, dispYear.toLong, 4, fm, th)
           case "Y,YYY" =>
             val s = num(dispYear.toLong, 4, true, 0)
             val cut = s.length - 3
             sb.append(s.substring(0, cut) + "," + s.substring(cut))
             if (th != 0) sb.append(ordinal(dispYear.toLong, th == 2))
-          case "YYY" => sb.append(num(dispYear.toLong % 1000, 3, fm, th))
-          case "YY" => sb.append(num(dispYear.toLong % 100, 2, fm, th))
-          case "Y" => sb.append(num(dispYear.toLong % 10, 1, fm, th))
-          case "IYYY" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong, 4, fm, th))
-          case "IYY" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong % 1000, 3, fm, th))
-          case "IY" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong % 100, 2, fm, th))
-          case "I" => sb.append(num(ld.get(IsoFields.WEEK_BASED_YEAR).toLong % 10, 1, fm, th))
-          case "MONTH" => sb.append(padName(caseName(raw, monthsU(zdt.getMonthValue - 1)), 9, fm))
-          case "MON" => sb.append(caseName(raw, monthsU(zdt.getMonthValue - 1).substring(0, 3)))
-          case "MM" => sb.append(num(zdt.getMonthValue.toLong, 2, fm, th))
+          case "YYY" => appendNum(sb, dispYear.toLong % 1000, 3, fm, th)
+          case "YY" => appendNum(sb, dispYear.toLong % 100, 2, fm, th)
+          case "Y" => appendNum(sb, dispYear.toLong % 10, 1, fm, th)
+          case "IYYY" => appendNum(sb, f.isoYear.toLong, 4, fm, th)
+          case "IYY" => appendNum(sb, f.isoYear.toLong % 1000, 3, fm, th)
+          case "IY" => appendNum(sb, f.isoYear.toLong % 100, 2, fm, th)
+          case "I" => appendNum(sb, f.isoYear.toLong % 10, 1, fm, th)
+          case "MONTH" => sb.append(padName(caseName(raw, monthsU(f.month - 1)), 9, fm))
+          case "MON" => sb.append(caseName(raw, monthsU(f.month - 1).substring(0, 3)))
+          case "MM" => appendNum(sb, f.month.toLong, 2, fm, th)
           case "DAY" =>
-            sb.append(padName(caseName(raw, daysU(zdt.getDayOfWeek.getValue % 7)), 9, fm))
+            sb.append(padName(caseName(raw, daysU(f.dowIso % 7)), 9, fm))
           case "DY" =>
-            sb.append(caseName(raw, daysU(zdt.getDayOfWeek.getValue % 7).substring(0, 3)))
-          case "DDD" => sb.append(num(zdt.getDayOfYear.toLong, 3, fm, th))
+            sb.append(caseName(raw, daysU(f.dowIso % 7).substring(0, 3)))
+          case "DDD" => appendNum(sb, f.dayOfYear.toLong, 3, fm, th)
           case "IDDD" =>
-            val v = (ld.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR) - 1) * 7 +
-              zdt.getDayOfWeek.getValue
-            sb.append(num(v.toLong, 3, fm, th))
-          case "DD" => sb.append(num(zdt.getDayOfMonth.toLong, 2, fm, th))
-          case "D" => sb.append(num((zdt.getDayOfWeek.getValue % 7 + 1).toLong, 1, fm, th))
-          case "ID" => sb.append(num(zdt.getDayOfWeek.getValue.toLong, 1, fm, th))
-          case "WW" => sb.append(num(((zdt.getDayOfYear - 1) / 7 + 1).toLong, 2, fm, th))
-          case "IW" => sb.append(num(ld.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR).toLong, 2, fm, th))
-          case "W" => sb.append(num(((zdt.getDayOfMonth - 1) / 7 + 1).toLong, 1, fm, th))
-          case "CC" => sb.append(num(((dispYear - 1) / 100 + 1).toLong, 2, fm, th))
-          case "J" => sb.append(num(ld.getLong(JulianFields.JULIAN_DAY), 1, true, th))
-          case "Q" => sb.append(num(((zdt.getMonthValue - 1) / 3 + 1).toLong, 1, fm, th))
+            appendNum(sb, ((f.isoWeek - 1) * 7 + f.dowIso).toLong, 3, fm, th)
+          case "DD" => appendNum(sb, f.day.toLong, 2, fm, th)
+          case "D" => appendNum(sb, (f.dowIso % 7 + 1).toLong, 1, fm, th)
+          case "ID" => appendNum(sb, f.dowIso.toLong, 1, fm, th)
+          case "WW" => appendNum(sb, ((f.dayOfYear - 1) / 7 + 1).toLong, 2, fm, th)
+          case "IW" => appendNum(sb, f.isoWeek.toLong, 2, fm, th)
+          case "W" => appendNum(sb, ((f.day - 1) / 7 + 1).toLong, 1, fm, th)
+          case "CC" => appendNum(sb, ((dispYear - 1) / 100 + 1).toLong, 2, fm, th)
+          case "J" => appendNum(sb, f.julianDay, 1, true, th)
+          case "Q" => appendNum(sb, ((f.month - 1) / 3 + 1).toLong, 1, fm, th)
           case "RM" =>
-            val r = romanM(zdt.getMonthValue - 1)
+            val r = romanM(f.month - 1)
             val cased = if (raw.charAt(0).isUpper) r else r.toLowerCase
             sb.append(if (fm) cased else cased + (" " * (4 - cased.length)))
           case "TZ" =>
             if (hasTz) {
-              val abbrev = java.util.TimeZone.getTimeZone(zdt.getZone)
-                .getDisplayName(zdt.getZone.getRules.isDaylightSavings(zdt.toInstant),
+              val inst = Instant.ofEpochSecond(Math.floorDiv(f.instantMicros, 1000000L))
+              val abbrev = java.util.TimeZone.getTimeZone(f.zone)
+                .getDisplayName(f.zone.getRules.isDaylightSavings(inst),
                   java.util.TimeZone.SHORT)
               sb.append(if (raw.charAt(0).isUpper) abbrev.toUpperCase else abbrev.toLowerCase)
             }
           case "TZH" =>
-            val off = zdt.getOffset.getTotalSeconds
+            val off = f.offsetSec
             sb.append(f"${if (off < 0) "-" else "+"}%s${math.abs(off) / 3600}%02d")
           case "TZM" =>
-            sb.append(f"${math.abs(zdt.getOffset.getTotalSeconds) / 60 % 60}%02d")
+            sb.append(f"${math.abs(f.offsetSec) / 60 % 60}%02d")
           case "OF" =>
-            val off = zdt.getOffset.getTotalSeconds
+            val off = f.offsetSec
             val h = math.abs(off) / 3600; val m = math.abs(off) / 60 % 60
             sb.append(f"${if (off < 0) "-" else "+"}%s$h%02d")
             if (m != 0) sb.append(f":$m%02d")
@@ -274,6 +360,36 @@ object PgFormat {
     val anchoredSign: Boolean = items.exists {
       case NSignS | NSignMI | NSignPL | NSignSG => true; case _ => false
     }
+    // per-template invariants hoisted off the per-row path (round-8:
+    // formatNum used to recompute these for every value)
+    val intItemsArr: Array[NumItem] = items.takeWhile(_ != NDec).toArray
+    val hasDec: Boolean = items.contains(NDec)
+    val decTailArr: Array[NumItem] =
+      if (!hasDec) Array.empty else items.dropWhile(_ != NDec).drop(1).toArray
+    /** Count of int digit positions forced to print by a '0' (from the
+      * leftmost '0' rightward). */
+    val forcedCount: Int = {
+      var forcedFrom = Int.MaxValue
+      var di = 0
+      intItemsArr.foreach {
+        case NDigit0 => if (forcedFrom == Int.MaxValue) forcedFrom = di; di += 1
+        case NDigit9 => di += 1
+        case _ =>
+      }
+      if (forcedFrom == Int.MaxValue) 0 else intDigits - forcedFrom
+    }
+    /** Rightmost forced '0' among decimal digit positions (-1 if none). */
+    val lastForcedDec: Int = {
+      var lastForced = -1
+      var p = 0
+      decTailArr.foreach {
+        case NDigit0 => lastForced = p; p += 1
+        case NDigit9 => p += 1
+        case _ =>
+      }
+      lastForced
+    }
+    val zeroFrac: String = "0" * decDigits
   }
 
   def compileNum(fmt: String): NumFmt = {
@@ -345,7 +461,6 @@ object PgFormat {
     val neg = value0.signum() < 0
     val rounded = value0.abs.setScale(f.decDigits, RoundingMode.HALF_UP)
     val intPart = rounded.toBigInteger.toString
-    val overflow = intPart.length > f.intDigits && !(intPart == "0" && f.intDigits == 0)
     val fracPart =
       if (f.decDigits == 0) ""
       else {
@@ -353,6 +468,67 @@ object PgFormat {
         val dot = s.indexOf('.')
         if (dot < 0) "0" * f.decDigits else s.substring(dot + 1)
       }
+    val thVal = if (f.th == 0) 0L else value0.setScale(0, RoundingMode.DOWN).longValue()
+    renderParts(f, neg, intPart, fracPart, thVal)
+  }
+
+  /** Fast path for integral inputs — same output as
+    * formatNum(JBigDecimal.valueOf(v)) with no BigDecimal on the row. */
+  def formatNumLong(f: NumFmt, v: Long): String =
+    if (f.rn || f.eeee || f.vPow != 0 || v == Long.MinValue)
+      formatNum(f, JBigDecimal.valueOf(v))
+    else renderParts(f, v < 0, java.lang.Long.toString(math.abs(v)), f.zeroFrac, v)
+
+  /** Fast path for doubles. Must reproduce
+    * formatNum(JBigDecimal.valueOf(v)) exactly, so it rounds the same
+    * shortest-decimal digit string Double.toString produces; scientific
+    * notation and the rare template features fall back. */
+  def formatNumDouble(f: NumFmt, v: Double): String = {
+    if (f.rn || f.eeee || f.vPow != 0 || f.th != 0 || v.isNaN || v.isInfinite)
+      return formatNum(f, JBigDecimal.valueOf(v))
+    val s = java.lang.Double.toString(math.abs(v))
+    if (s.indexOf('E') >= 0) return formatNum(f, JBigDecimal.valueOf(v))
+    val dot = s.indexOf('.')
+    val (ip, fp) = roundDigits(s.substring(0, dot), s.substring(dot + 1), f.decDigits)
+    renderParts(f, v < 0, ip, fp, 0L)
+  }
+
+  /** HALF_UP rounding of an unsigned decimal split into digit strings;
+    * returns (intPart without leading zeros — "0" when empty, fracPart
+    * of exactly `dec` chars). */
+  private def roundDigits(intStr: String, fracStr: String, dec: Int): (String, String) = {
+    def strip(s: String): String = {
+      var i = 0
+      while (i < s.length - 1 && s.charAt(i) == '0') i += 1
+      s.substring(i)
+    }
+    if (fracStr.length <= dec)
+      (strip(intStr), fracStr + ("0" * (dec - fracStr.length)))
+    else if (fracStr.charAt(dec) < '5')
+      (strip(intStr), fracStr.substring(0, dec))
+    else {
+      val buf = (intStr + fracStr.substring(0, dec)).toCharArray
+      var i = buf.length - 1
+      var carry = true
+      while (i >= 0 && carry) {
+        if (buf(i) == '9') buf(i) = '0'
+        else { buf(i) = (buf(i) + 1).toChar; carry = false }
+        i -= 1
+      }
+      val all = if (carry) "1" + new String(buf) else new String(buf)
+      (strip(all.substring(0, all.length - dec)), all.substring(all.length - dec))
+    }
+  }
+
+  private val DIGITS: Array[String] =
+    Array("0", "1", "2", "3", "4", "5", "6", "7", "8", "9")
+
+  /** Template rendering over pre-extracted digit strings. `fracPart`
+    * must be exactly decDigits chars; `thVal` is only read when the
+    * template carries TH/th. */
+  private def renderParts(f: NumFmt, neg: Boolean, intPart: String,
+      fracPart: String, thVal: Long): String = {
+    val overflow = intPart.length > f.intDigits && !(intPart == "0" && f.intDigits == 0)
     if (overflow) {
       // pg fills every digit/sep/dec position with '#', including the
       // default sign column
@@ -369,15 +545,8 @@ object PgFormat {
     // A '0' in the integer template forces every position from it
     // rightward to print; with an all-'9' template a zero integer part
     // prints NO digits (doc: to_char(-0.1,'99.99') = ' -.10').
-    val intItems = f.items.takeWhile(_ != NDec)
-    var forcedFrom = Int.MaxValue // digit index (0 = leftmost template digit)
-    var di = 0
-    intItems.foreach {
-      case NDigit0 => if (forcedFrom == Int.MaxValue) forcedFrom = di; di += 1
-      case NDigit9 => di += 1
-      case _ =>
-    }
-    val forcedCount = if (forcedFrom == Int.MaxValue) 0 else f.intDigits - forcedFrom
+    val intItems = f.intItemsArr
+    val forcedCount = f.forcedCount
     val effDigits =
       if (intPart == "0" && forcedCount == 0 && f.decDigits > 0) 0
       else math.max(intPart.length, forcedCount)
@@ -393,7 +562,7 @@ object PgFormat {
     while (k >= 0) {
       intItems(k) match {
         case NDigit9 | NDigit0 =>
-          if (dRemain > 0) { rendered(k) = digits.substring(dRemain - 1, dRemain); dRemain -= 1 }
+          if (dRemain > 0) { rendered(k) = DIGITS(digits.charAt(dRemain - 1) - '0'); dRemain -= 1 }
           else rendered(k) = if (f.fm) null else " "
         case NSep =>
           rendered(k) = if (dRemain > 0) "," else if (f.fm) null else " "
@@ -442,26 +611,18 @@ object PgFormat {
     } else {
       rendered.foreach(r => if (r != null) intSb.append(r))
     }
-    val sb = new StringBuilder(intSb.toString)
+    val sb = intSb
     // decimal part
-    val decItems = f.items.dropWhile(_ != NDec)
-    if (decItems.nonEmpty) {
+    if (f.hasDec) {
       sb.append('.')
-      // rightmost forced '0' among decimal digit positions
-      var lastForced = -1
-      var p = 0
-      decItems.drop(1).foreach {
-        case NDigit0 => lastForced = p; p += 1
-        case NDigit9 => p += 1
-        case _ =>
-      }
+      val lastForced = f.lastForcedDec
       var trailing = fracPart.length
       if (f.fm) { // trim trailing zeros beyond the last forced '0'
         while (trailing > lastForced + 1 && trailing > 0 &&
           fracPart.charAt(trailing - 1) == '0') trailing -= 1
       }
       var fi = 0
-      decItems.drop(1).foreach {
+      f.decTailArr.foreach {
         case NDigit9 | NDigit0 =>
           if (fi < trailing) { sb.append(fracPart.charAt(fi)); fi += 1 }
           else { if (!f.fm) sb.append(' '); fi += 1 }
@@ -474,11 +635,9 @@ object PgFormat {
         case _ =>
       }
     }
-    var res = sb.toString
-    if (f.pr) res = res + (if (neg) ">" else " ")
-    if (f.th != 0)
-      res = res + ordinal(value0.setScale(0, RoundingMode.DOWN).longValue(), f.th == 2)
-    res
+    if (f.pr) sb.append(if (neg) '>' else ' ')
+    if (f.th != 0) sb.append(ordinal(thVal, f.th == 2))
+    sb.toString
   }
 
   private def firstDigitIdx(s: String): Int = {
@@ -648,12 +807,36 @@ object PgFormat {
       hour = if (pm) h + 12 else h
     }
     if (bc) year = 1 - year
-    val ldt = LocalDateTime.of(year, math.max(1, month), math.max(1, day), hour, min, sec, usec * 1000)
-    val z = tzOffSec match {
-      case Some(off) => ldt.atOffset(java.time.ZoneOffset.ofTotalSeconds(off)).toInstant
-      case None => ldt.atZone(zone).toInstant
+    val mo = math.max(1, month)
+    val dy = math.max(1, day)
+    // fast tail: explicit offset or fixed-offset session zone + valid
+    // fields → pure arithmetic (no LocalDateTime/Instant per row);
+    // invalid fields keep the java.time path so the error is identical
+    val fixedOff: Int = tzOffSec.getOrElse {
+      val rules = zone.getRules
+      if (rules.isFixedOffset) rules.getOffset(Instant.EPOCH).getTotalSeconds
+      else Int.MinValue
     }
-    z.getEpochSecond * 1000000L + z.getNano / 1000L
+    val leap = (year % 4 == 0 && year % 100 != 0) || year % 400 == 0
+    val validYmd = mo >= 1 && mo <= 12 && dy >= 1 && {
+      val dim = mo match {
+        case 2 => if (leap) 29 else 28
+        case 4 | 6 | 9 | 11 => 30
+        case _ => 31
+      }
+      dy <= dim
+    }
+    if (fixedOff != Int.MinValue && validYmd && hour <= 23 && min <= 59 && sec <= 59)
+      (DtF.daysFromCivil(year, mo, dy) * 86400L +
+        hour * 3600L + min * 60L + sec - fixedOff) * 1000000L + usec
+    else {
+      val ldt = LocalDateTime.of(year, mo, dy, hour, min, sec, usec * 1000)
+      val z = tzOffSec match {
+        case Some(off) => ldt.atOffset(java.time.ZoneOffset.ofTotalSeconds(off)).toInstant
+        case None => ldt.atZone(zone).toInstant
+      }
+      z.getEpochSecond * 1000000L + z.getNano / 1000L
+    }
   }
 
   /** Timestamp micros → session-zone ZonedDateTime. */

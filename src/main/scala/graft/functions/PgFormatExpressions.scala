@@ -41,12 +41,42 @@ object PgFormatExpressions {
     case _ => false
   }
 
+  /** Direct-call codegen body: emits `self.nullSafeEval(...)` so the
+    * surrounding projection stays inside whole-stage codegen.
+    * CodegenFallback would instead evaluate the ENTIRE subtree
+    * interpreted per row — for chains like to_date(to_char(...)) that
+    * doubles the work and breaks the codegen span (measured 2.3 s on
+    * q100 when PgToChar made this same move in round 7). */
+  private def genDirect(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+      self: Expression, canBeNull: Boolean, args: Seq[String]): String = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val ref = ctx.addReferenceObj("pgExpr", self, self.getClass.getName)
+    val call = s"$ref.nullSafeEval(${args.mkString(", ")})"
+    val boxed = CodeGenerator.boxedType(self.dataType)
+    val unbox = self.dataType match {
+      case LongType | TimestampType | TimestampNTZType => ".longValue()"
+      case IntegerType | DateType => ".intValue()"
+      case DoubleType => ".doubleValue()"
+      case FloatType => ".floatValue()"
+      case BooleanType => ".booleanValue()"
+      case _ => ""
+    }
+    if (canBeNull) {
+      val tmp = ctx.freshName("pgRes")
+      s"""Object $tmp = $call;
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (($boxed) $tmp)$unbox; }""".stripMargin
+    } else s"${ev.value} = (($boxed) $call)$unbox;"
+  }
+
   /** Shared template cache: formats are almost always literals, so a
     * tiny per-expression memo removes recompilation per row. Keys on
-    * the UTF8String bytes directly — no per-row String allocation. */
-  /** Single-entry compile cache. One volatile reference to an immutable
-    * (key, value) pair so concurrent evaluators of a shared expression
-    * instance never observe a key paired with a stale compiled value. */
+    * the UTF8String bytes directly — no per-row String allocation.
+    * One volatile reference to an immutable (key, value) pair so
+    * concurrent evaluators of a shared expression instance never
+    * observe a key paired with a stale compiled value. */
   final class FmtMemo[T](compile: String => T) {
     @volatile private var entry: (UTF8String, T) = null
     def get(fmt: UTF8String): T = {
@@ -95,20 +125,33 @@ object PgFormatExpressions {
 
     @transient private lazy val dtMemo = new FmtMemo(PgFormat.compileDt)
     @transient private lazy val numMemo = new FmtMemo(PgFormat.compileNum)
+    // fixed-offset zones (UTC sessions) resolve the offset once; DST
+    // zones look it up per row from the instant
+    @transient private lazy val fixedOffsetSec: Int = {
+      val rules = zoneId.getRules
+      if (rules.isFixedOffset) rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds
+      else Int.MinValue
+    }
+    private def tsFields(micros: Long): PgFormat.DtF = {
+      val off =
+        if (fixedOffsetSec != Int.MinValue) fixedOffsetSec
+        else zoneId.getRules.getOffset(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))).getTotalSeconds
+      PgFormat.DtF.fromLocalMicros(micros + off * 1000000L, off, zoneId)
+    }
 
     override def nullSafeEval(v: Any, fmt: Any): Any = {
       val f = fmt.asInstanceOf[UTF8String]
       val out = left.dataType match {
         case TimestampType =>
-          PgFormat.formatDt(dtMemo.get(f),
-            PgFormat.microsToZdt(v.asInstanceOf[Long], zoneId), hasTz = true)
+          PgFormat.formatDt(dtMemo.get(f), tsFields(v.asInstanceOf[Long]), hasTz = true)
         case TimestampNTZType =>
           PgFormat.formatDt(dtMemo.get(f),
-            PgFormat.microsToZdt(v.asInstanceOf[Long], ZoneOffset.UTC), hasTz = false)
+            PgFormat.DtF.fromLocalMicros(v.asInstanceOf[Long], 0, ZoneOffset.UTC),
+            hasTz = false)
         case DateType =>
           PgFormat.formatDt(dtMemo.get(f),
-            LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).atStartOfDay(ZoneOffset.UTC),
-            hasTz = false)
+            PgFormat.DtF.fromEpochDay(v.asInstanceOf[Int].toLong), hasTz = false)
         case CalendarIntervalType =>
           val ci = v.asInstanceOf[CalendarInterval]
           PgFormat.formatInterval(dtMemo.get(f), ci.months, ci.days, ci.microseconds)
@@ -118,12 +161,12 @@ object PgFormatExpressions {
           PgFormat.formatInterval(dtMemo.get(f), v.asInstanceOf[Int], 0, 0L)
         case _: DecimalType =>
           PgFormat.formatNum(numMemo.get(f), v.asInstanceOf[Decimal].toJavaBigDecimal)
-        case DoubleType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Double]))
-        case FloatType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Float].toDouble))
-        case LongType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Long]))
-        case IntegerType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Int].toLong))
-        case ShortType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Short].toLong))
-        case ByteType => PgFormat.formatNum(numMemo.get(f), JBigDecimal.valueOf(v.asInstanceOf[Byte].toLong))
+        case DoubleType => PgFormat.formatNumDouble(numMemo.get(f), v.asInstanceOf[Double])
+        case FloatType => PgFormat.formatNumDouble(numMemo.get(f), v.asInstanceOf[Float].toDouble)
+        case LongType => PgFormat.formatNumLong(numMemo.get(f), v.asInstanceOf[Long])
+        case IntegerType => PgFormat.formatNumLong(numMemo.get(f), v.asInstanceOf[Int].toLong)
+        case ShortType => PgFormat.formatNumLong(numMemo.get(f), v.asInstanceOf[Short].toLong)
+        case ByteType => PgFormat.formatNumLong(numMemo.get(f), v.asInstanceOf[Byte].toLong)
         case other => throw new IllegalStateException(s"to_char: $other")
       }
       UTF8String.fromString(out)
@@ -177,7 +220,12 @@ object PgFormatExpressions {
   /** 2-arg pg-template parse → timestamptz. */
   case class PgToTimestamp(left: Expression, right: Expression,
       timeZoneId: Option[String] = None)
-      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+      extends BinaryExpression with TimeZoneAwareExpression {
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => genDirect(ctx, ev, this, canBeNull = false, Seq(l, r)))
     override def dataType: DataType = TimestampType
     override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
     override def prettyName: String = "to_timestamp"
@@ -200,7 +248,12 @@ object PgFormatExpressions {
   /** 1-arg to_timestamp: numeric = Unix epoch seconds (pg's
     * to_timestamp(double precision)); string = ISO parse. */
   case class PgEpochToTimestamp(child: Expression, timeZoneId: Option[String] = None)
-      extends UnaryExpression with TimeZoneAwareExpression with CodegenFallback {
+      extends UnaryExpression with TimeZoneAwareExpression {
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => genDirect(ctx, ev, this, canBeNull = true, Seq(c)))
     override def dataType: DataType = TimestampType
     override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
     override def prettyName: String = "to_timestamp"
@@ -234,7 +287,12 @@ object PgFormatExpressions {
   /** 2-arg pg-template parse → date. */
   case class PgToDate(left: Expression, right: Expression,
       timeZoneId: Option[String] = None)
-      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+      extends BinaryExpression with TimeZoneAwareExpression {
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => genDirect(ctx, ev, this, canBeNull = false, Seq(l, r)))
     override def dataType: DataType = DateType
     override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
     override def prettyName: String = "to_date"
@@ -268,24 +326,35 @@ object PgFormatExpressions {
     * the quirk that the day borrow reuses the same month length on
     * every iteration). */
   def ageFields(micros1: Long, micros2: Long, zone: ZoneId): CalendarInterval = {
-    val z1 = PgFormat.microsToZdt(micros1, zone)
-    val z2 = PgFormat.microsToZdt(micros2, zone)
+    val rules = zone.getRules
+    val fixed =
+      if (rules.isFixedOffset) rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds
+      else Int.MinValue
+    def fields(m: Long): PgFormat.DtF = {
+      val off =
+        if (fixed != Int.MinValue) fixed
+        else rules.getOffset(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(m, 1000000L))).getTotalSeconds
+      PgFormat.DtF.fromLocalMicros(m + off * 1000000L, off, zone)
+    }
+    val z1 = fields(micros1)
+    val z2 = fields(micros2)
     val swap = micros1 < micros2
-    var year = z1.getYear - z2.getYear
-    var mon = z1.getMonthValue - z2.getMonthValue
-    var day = z1.getDayOfMonth - z2.getDayOfMonth
-    var hour = z1.getHour - z2.getHour
-    var min = z1.getMinute - z2.getMinute
-    var sec = z1.getSecond - z2.getSecond
-    var usec = (z1.getNano - z2.getNano) / 1000
+    var year = z1.year - z2.year
+    var mon = z1.month - z2.month
+    var day = z1.day - z2.day
+    var hour = z1.hour - z2.hour
+    var min = z1.minute - z2.minute
+    var sec = z1.second - z2.second
+    var usec = z1.micro - z2.micro
     if (swap) { year = -year; mon = -mon; day = -day; hour = -hour; min = -min; sec = -sec; usec = -usec }
     while (usec < 0) { usec += 1000000; sec -= 1 }
     while (sec < 0) { sec += 60; min -= 1 }
     while (min < 0) { min += 60; hour -= 1 }
     while (hour < 0) { hour += 24; day -= 1 }
     while (day < 0) {
-      if (swap) { day += daysInMonth(z1.getYear, z1.getMonthValue); mon -= 1 }
-      else { day += daysInMonth(z2.getYear, z2.getMonthValue); mon -= 1 }
+      if (swap) { day += daysInMonth(z1.year, z1.month); mon -= 1 }
+      else { day += daysInMonth(z2.year, z2.month); mon -= 1 }
     }
     while (mon < 0) { mon += 12; year -= 1 }
     var months = year * 12 + mon
@@ -297,7 +366,12 @@ object PgFormatExpressions {
 
   case class PgAge(left: Expression, right: Expression,
       timeZoneId: Option[String] = None)
-      extends BinaryExpression with TimeZoneAwareExpression with CodegenFallback {
+      extends BinaryExpression with TimeZoneAwareExpression {
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => genDirect(ctx, ev, this, canBeNull = false, Seq(l, r)))
     override def dataType: DataType = CalendarIntervalType
     override def withTimeZone(tz: String): TimeZoneAwareExpression = copy(timeZoneId = Some(tz))
     override def prettyName: String = "age"
@@ -318,7 +392,12 @@ object PgFormatExpressions {
     * type, returning the canonical CalendarInterval. Mode: 'h' = hours
     * → days, 'd' = days → months, 'i' = both + sign borrow. */
   case class PgJustify(child: Expression, mode: Char)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => genDirect(ctx, ev, this, canBeNull = false, Seq(c)))
     override def dataType: DataType = CalendarIntervalType
     override def prettyName: String = mode match {
       case 'h' => "justify_hours"; case 'd' => "justify_days"; case _ => "justify_interval"
@@ -356,7 +435,12 @@ object PgFormatExpressions {
   /** Render any interval as pg's text form ("1 year 2 mons 03:00:00")
     * — the typed bridge the q-entries and oracles compare on. */
   case class PgIntervalText(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => genDirect(ctx, ev, this, canBeNull = false, Seq(c)))
     override def dataType: DataType = StringType
     override def prettyName: String = "pg_interval_text"
 
@@ -379,6 +463,54 @@ object PgFormatExpressions {
 
     override protected def withNewChildInternal(c: Expression): PgIntervalText =
       copy(child = c)
+  }
+
+  /** pg `timezone(zone, timestamptz)` → timestamp: the wall-clock in
+    * that zone (the AT TIME ZONE function form). Replaces the earlier
+    * Scala UDF: a native expression skips the per-row Instant /
+    * LocalDateTime external conversions and stays in codegen. */
+  case class PgTimezone(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = TimestampNTZType
+    override def prettyName: String = "timezone"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == TimestampType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("timezone(text, timestamptz)")
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => genDirect(ctx, ev, this, canBeNull = false, Seq(l, r)))
+
+    // per-expression (zoneName -> resolved zone + fixed offset) cache:
+    // the zone argument is a literal in every real query
+    @transient @volatile private var cached: (UTF8String, ZoneId, Int) = null
+
+    override def nullSafeEval(z: Any, ts: Any): Any = {
+      val zs = z.asInstanceOf[UTF8String]
+      var c = cached
+      if (c == null || !c._1.equals(zs)) {
+        val zid = ZoneId.of(zs.toString)
+        val fixed =
+          if (zid.getRules.isFixedOffset)
+            zid.getRules.getOffset(java.time.Instant.EPOCH).getTotalSeconds
+          else Int.MinValue
+        c = (zs.clone(), zid, fixed)
+        cached = c
+      }
+      val micros = ts.asInstanceOf[Long]
+      val off =
+        if (c._3 != Int.MinValue) c._3
+        else c._2.getRules.getOffset(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))).getTotalSeconds
+      micros + off * 1000000L
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgTimezone =
+      copy(left = l, right = r)
   }
 
   /** pg date_bin(stride, source, origin): align `source` into the
@@ -476,6 +608,10 @@ object PgFormatExpressions {
     (FunctionIdentifier("pg_interval_text"), info("pg_interval_text"), { args =>
       require(args.length == 1, "pg_interval_text requires 1 argument")
       PgIntervalText(args(0))
+    }),
+    (FunctionIdentifier("timezone"), info("timezone"), { args =>
+      require(args.length == 2, "timezone requires 2 arguments")
+      PgTimezone(args(0), Cast(args(1), TimestampType))
     }),
     (FunctionIdentifier("date_bin"), info("date_bin"), { args =>
       require(args.length == 3, "date_bin requires 3 arguments")

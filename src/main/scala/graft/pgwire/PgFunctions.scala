@@ -635,10 +635,18 @@ object PgFunctions {
 
   // ---- registration ------------------------------------------------------
 
+  /** Sessions already carrying the pack — registration is idempotent
+    * but not free (~100 registry writes), and the query constructors
+    * call it defensively per query. Weak keys: don't pin sessions. */
+  private val installedSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Register the system/compat pack (§2b) + math pack (§2c) + the
     * functions.md roadmap slice (format/datetime/string — see
     * PgFormatExpressions / PgStringExpressions). */
   def registerAll(spark: SparkSession): Unit = {
+    if (installedSessions.put(spark, java.lang.Boolean.TRUE) != null) return
     val u = spark.udf
     graft.functions.PgFormatExpressions.install(spark)
     graft.functions.PgStringExpressions.install(spark)
@@ -653,11 +661,8 @@ object PgFunctions {
       now.format(java.time.format.DateTimeFormatter.ofPattern(
         "EEE MMM dd HH:mm:ss.SSSSSS yyyy zzz", java.util.Locale.ENGLISH))
     }).asNondeterministic()
-    // pg timezone(zone, timestamptz) -> timestamp: the wall-clock in
-    // that zone (the AT TIME ZONE function form)
-    u.register("timezone", (zone: String, ts: java.time.Instant) =>
-      if (zone == null || ts == null) null
-      else java.time.LocalDateTime.ofInstant(ts, java.time.ZoneId.of(zone)))
+    // timezone(zone, timestamptz) is a native expression now
+    // (PgFormatExpressions.PgTimezone) — no UDF registration here
     // our timestamps have no 'infinity'; every stored value is finite
     u.register("isfinite", (ts: java.time.Instant) => true)
     u.register("pg_sleep", (secs: java.lang.Double) => {

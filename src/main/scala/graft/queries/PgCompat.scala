@@ -296,17 +296,21 @@ object PgCompat {
         |  strftime(to_timestamp(CAST(o_orderkey % 86400 AS DOUBLE)), '%H:%M:%S') AS epoch_hms,
         |  CAST(o_orderdate AS DATE) AS rt_date
         |FROM orders ORDER BY o_orderkey""".stripMargin) {
-      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
-        """SELECT o_orderkey,
-          |  to_char(o_orderdate, 'YYYY-MM-DD HH24:MI:SS') AS iso,
-          |  to_char(o_orderdate, 'Dy, DD Mon YYYY') AS pretty,
-          |  to_char(o_orderdate, 'DDD') AS doy,
-          |  to_char(o_orderdate, 'ID') AS idow,
-          |  to_char(o_orderdate, 'WW') AS ww,
-          |  to_char(o_orderdate, 'Q') AS q,
-          |  to_char(to_timestamp(CAST(o_orderkey % 86400 AS DOUBLE)), 'HH24:MI:SS') AS epoch_hms,
-          |  to_date(to_char(o_orderdate, 'DD Mon YYYY'), 'DD Mon YYYY') AS rt_date
-          |FROM orders ORDER BY o_orderkey""".stripMargin) })
+      // sort FIRST on the narrow (key, date) pair, format AFTER: the
+      // range exchange then moves 16 bytes/row instead of nine
+      // rendered strings — at 100 TB the formatted payload never
+      // crosses the wire at all (round-8: 1.40 s -> 0.94 s at sf0.1)
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("orders").orderBy("o_orderkey").selectExpr(
+          "o_orderkey",
+          "to_char(o_orderdate, 'YYYY-MM-DD HH24:MI:SS') AS iso",
+          "to_char(o_orderdate, 'Dy, DD Mon YYYY') AS pretty",
+          "to_char(o_orderdate, 'DDD') AS doy",
+          "to_char(o_orderdate, 'ID') AS idow",
+          "to_char(o_orderdate, 'WW') AS ww",
+          "to_char(o_orderdate, 'Q') AS q",
+          "to_char(to_timestamp(CAST(o_orderkey % 86400 AS DOUBLE)), 'HH24:MI:SS') AS epoch_hms",
+          "to_date(to_char(o_orderdate, 'DD Mon YYYY'), 'DD Mon YYYY') AS rt_date") })
     },
 
     Q.df("q101_to_char_numeric",
@@ -317,14 +321,14 @@ object PgCompat {
         |  printf('%05d', CAST(o_custkey AS INT)) AS padded,
         |  CAST(CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS DOUBLE) AS rt_num
         |FROM orders ORDER BY o_orderkey""".stripMargin) {
-      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
-        """SELECT o_orderkey,
-          |  to_char(o_totalprice, 'FM9999990.00') AS plain,
-          |  to_char(o_orderkey, 'FM9,999,999') AS grouped,
-          |  to_char(CAST(o_custkey % 7 - 3 AS INT), 'SG9') AS signed,
-          |  to_char(o_custkey, 'FM00000') AS padded,
-          |  to_number(to_char(o_totalprice, 'FM9999990.00'), '9999990.99') AS rt_num
-          |FROM orders ORDER BY o_orderkey""".stripMargin) })
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("orders").orderBy("o_orderkey").selectExpr(
+          "o_orderkey",
+          "to_char(o_totalprice, 'FM9999990.00') AS plain",
+          "to_char(o_orderkey, 'FM9,999,999') AS grouped",
+          "to_char(CAST(o_custkey % 7 - 3 AS INT), 'SG9') AS signed",
+          "to_char(o_custkey, 'FM00000') AS padded",
+          "to_number(to_char(o_totalprice, 'FM9999990.00'), '9999990.99') AS rt_num") })
     },
 
     Q.df("q102_datetime_fns",
@@ -342,14 +346,14 @@ object PgCompat {
         |  CAST(o_orderdate + INTERVAL 9 HOUR AS VARCHAR) AS tokyo,
         |  true AS fin
         |FROM orders ORDER BY o_orderkey""".stripMargin) {
-      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
-        """SELECT o_orderkey,
-          |  pg_interval_text(age(TIMESTAMP '1998-12-01', o_orderdate)) AS age_txt,
-          |  pg_interval_text(justify_hours(make_interval(0, 0, 0, 0,
-          |    CAST(o_orderkey % 90 AS INT)))) AS jh_txt,
-          |  CAST(CAST(timezone('Asia/Tokyo', o_orderdate) AS STRING) AS STRING) AS tokyo,
-          |  isfinite(o_orderdate) AS fin
-          |FROM orders ORDER BY o_orderkey""".stripMargin) })
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("orders").orderBy("o_orderkey").selectExpr(
+          "o_orderkey",
+          "pg_interval_text(age(TIMESTAMP '1998-12-01', o_orderdate)) AS age_txt",
+          """pg_interval_text(justify_hours(make_interval(0, 0, 0, 0,
+            |    CAST(o_orderkey % 90 AS INT)))) AS jh_txt""".stripMargin,
+          "CAST(CAST(timezone('Asia/Tokyo', o_orderdate) AS STRING) AS STRING) AS tokyo",
+          "isfinite(o_orderdate) AS fin") })
     },
 
     // slice #2: binary-string pack, uuid properties, type

@@ -152,4 +152,48 @@ class PgFormatSpec extends AnyFunSuite {
     assert(p("2000    JUN", "YYYY MON") ===
       ZonedDateTime.of(2000, 6, 1, 0, 0, 0, 0, z).toInstant.getEpochSecond * 1000000L)
   }
+
+  test("numeric fast paths agree with the BigDecimal path") {
+    val rnd = new scala.util.Random(8)
+    val fmts = Seq("FM9999990.00", "FM9,999,999", "SG9", "FM00000", "9999990.99",
+      "999G999D99", "S999999.999", "0000.0", "99999999")
+    for (_ <- 1 to 4000) {
+      val f = PgFormat.compileNum(fmts(rnd.nextInt(fmts.length)))
+      val l = rnd.nextLong() % 10000000L
+      assert(PgFormat.formatNumLong(f, l) === PgFormat.formatNum(f, JBD.valueOf(l)))
+      val d = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(8))
+      assert(PgFormat.formatNumDouble(f, d) === PgFormat.formatNum(f, JBD.valueOf(d)),
+        s"double $d")
+    }
+    // exact-representation edges
+    for (d <- Seq(0.0, -0.0, 0.5, -0.5, 2.675, 849.995, 1e7, 1e-4, 123456.785)) {
+      val f = PgFormat.compileNum("FM9999990.00")
+      assert(PgFormat.formatNumDouble(f, d) === PgFormat.formatNum(f, JBD.valueOf(d)), s"edge $d")
+    }
+  }
+
+  test("DtF arithmetic fields agree with java.time across eras") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4000) {
+      // epoch days from year ~ -2000 to ~ 4000
+      val day = rnd.nextLong() % 730000L
+      val micro = math.abs(rnd.nextLong()) % 86400000000L
+      val f = new PgFormat.DtF(day, micro, 0, zone)
+      val zdt = java.time.Instant.ofEpochSecond(day * 86400L + micro / 1000000L,
+        (micro % 1000000L) * 1000L).atZone(zone)
+      assert(f.year === zdt.getYear, s"year day=$day")
+      assert(f.month === zdt.getMonthValue, s"month day=$day")
+      assert(f.day === zdt.getDayOfMonth, s"dom day=$day")
+      assert(f.hour === zdt.getHour); assert(f.minute === zdt.getMinute)
+      assert(f.second === zdt.getSecond); assert(f.micro === zdt.getNano / 1000)
+      assert(f.dowIso === zdt.getDayOfWeek.getValue, s"dow day=$day")
+      assert(f.dayOfYear === zdt.getDayOfYear, s"doy day=$day")
+      assert(f.isoYear === zdt.toLocalDate.get(java.time.temporal.IsoFields.WEEK_BASED_YEAR),
+        s"isoYear day=$day")
+      assert(f.isoWeek === zdt.toLocalDate.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR),
+        s"isoWeek day=$day")
+      assert(f.julianDay === zdt.toLocalDate.getLong(java.time.temporal.JulianFields.JULIAN_DAY))
+      assert(PgFormat.DtF.daysFromCivil(f.year, f.month, f.day) === day, s"roundtrip day=$day")
+    }
+  }
 }
