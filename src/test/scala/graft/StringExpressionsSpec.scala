@@ -37,6 +37,25 @@ class StringExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("lev_banded: non-ASCII decode path and prefix/suffix stripping agree") {
+    val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+    def check(a: String, b: String, k: Int): Unit =
+      assert(StringExpressions.levBanded(
+        UTF8String.fromString(a), UTF8String.fromString(b), k) ===
+        math.min(lev.apply(a, b), k + 1), s"a=$a b=$b k=$k")
+    // non-ASCII forces the char path; mixed pairs exercise both probes
+    check("café", "cafe", 2)
+    check("grün", "gruen", 3)
+    check("日本語", "日本", 2)
+    check("naïve", "naive", 1)
+    // shared-prefix/suffix heavy (the blocked-join hot case)
+    check("goldenrod lavender spring chocolate lace",
+      "goldenrod lavender sprint chocolate lace", 2)
+    check("identical string", "identical string", 2)
+    check("prefix-only-differs-x", "prefix-only-differs-y", 0)
+    check("abc", "abcabc", 2)
+  }
+
   test("lev_banded agrees with Spark's levenshtein through SQL, both paths") {
     val pairs = (0 until 40).map(i => (rndStr(i * 3 + 2), rndStr(i * 5 + 9)))
       .toDF("a", "b")
