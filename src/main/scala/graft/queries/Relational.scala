@@ -108,8 +108,11 @@ object Relational {
         |  FROM orders) t
         |ORDER BY o_custkey, rn""".stripMargin),
 
-    // --- window: rank/dense_rank/lag/lead/ntile over a named window
-    Q.sameSql("q10_window_rank",
+    // --- window: rank/dense_rank/lag/lead/ntile over a named window.
+    // Spark side runs the window then gathers for the deterministic
+    // final order (Q.oracleOrder): a full ORDER BY would add a range
+    // exchange whose bound-sampling re-executes the window stage.
+    Q.df("q10_window_rank",
       """SELECT o_orderkey,
         |  cast(rank() OVER w as bigint) as rnk,
         |  cast(dense_rank() OVER w as bigint) as drnk,
@@ -118,7 +121,19 @@ object Relational {
         |  cast(ntile(4) OVER w as bigint) as quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin),
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      Q.oracleOrder(s.sql(
+        """SELECT o_orderkey,
+          |  cast(rank() OVER w as bigint) as rnk,
+          |  cast(dense_rank() OVER w as bigint) as drnk,
+          |  lag(o_orderkey) OVER w as prev_key,
+          |  lead(o_orderkey) OVER w as next_key,
+          |  cast(ntile(4) OVER w as bigint) as quartile
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"""
+          .stripMargin), "o_orderkey")
+    },
 
     // --- set op: INTERSECT
     Q.sameSql("q11_intersect",
@@ -289,11 +304,12 @@ object Relational {
       val o = Tables.t(s, dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(max("o_orderkey").as("o_orderkey"))
-      TemporalOps.asofJoin(events, "user_id", "ts",
-          o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
-        .select(col("event_id"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date"))
-        .orderBy("event_id")
+      Q.oracleOrder(
+        TemporalOps.asofJoin(events, "user_id", "ts",
+            o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+          .select(col("event_id"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date")),
+        "event_id")
     },
 
     // --- keyless range join (TemporalOps.rangeJoin): every purchase
@@ -444,8 +460,9 @@ object Relational {
     },
 
     // --- window: distribution + value functions (percent_rank,
-    // cume_dist, first/nth/last value over an explicit rows frame)
-    Q.sameSql("q48_window_value_fns",
+    // cume_dist, first/nth/last value over an explicit rows frame);
+    // gathered final order for the same range-sample reason as q10
+    Q.df("q48_window_value_fns",
       """SELECT o_orderkey,
         |  CAST(floor(percent_rank() OVER w * 100000) AS BIGINT) AS pct_rank_100k,
         |  CAST(floor(cume_dist() OVER w * 100000) AS BIGINT) AS cume_100k,
@@ -457,7 +474,22 @@ object Relational {
         |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
         |  w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
         |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
-        |ORDER BY o_orderkey""".stripMargin),
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      Q.oracleOrder(s.sql(
+        """SELECT o_orderkey,
+          |  CAST(floor(percent_rank() OVER w * 100000) AS BIGINT) AS pct_rank_100k,
+          |  CAST(floor(cume_dist() OVER w * 100000) AS BIGINT) AS cume_100k,
+          |  first_value(o_orderkey) OVER w2 AS frame_first,
+          |  nth_value(o_orderkey, 2) OVER w2 AS frame_second,
+          |  last_value(o_orderkey) OVER w2 AS frame_last
+          |FROM orders
+          |WINDOW
+          |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+          |  w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+          |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin),
+        "o_orderkey")
+    },
 
     // --- GROUPING SETS with grouping() flags (rollup/cube's general
     // form; both engines plan one Expand + single aggregate)
