@@ -790,7 +790,15 @@ object Compat {
   private def rewriteSetReturning(ts: ArrayBuffer[Tok]): Unit = {
     val wraps = Map(
       "regexp_split_to_table" -> "regexp_split_to_array",
-      "string_to_table" -> "string_to_array")
+      "string_to_table" -> "string_to_array",
+      // json set-returning fns: the engine-side functions yield the
+      // array form; explode restores pg's one-row-per-element shape
+      "json_array_elements" -> "json_array_elements",
+      "json_array_elements_text" -> "json_array_elements_text",
+      "jsonb_array_elements" -> "json_array_elements",
+      "jsonb_array_elements_text" -> "json_array_elements_text",
+      "json_object_keys" -> "json_object_keys",
+      "jsonb_object_keys" -> "json_object_keys")
     var i = 0
     while (i < ts.length) {
       val t = ts(i)

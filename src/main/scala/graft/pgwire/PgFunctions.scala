@@ -521,6 +521,25 @@ object PgFunctions {
       ProcDef("uuidv7", Nil, T, volatile = true),
       ProcDef("uuid_extract_version", Seq(T), I4),
       ProcDef("uuid_extract_timestamp", Seq(T), 1184),
+      // json pack (PgJsonExpressions; functions.md §JSON — reference
+      // blocks ALL 67 upstream); 114 = json, 3802 = jsonb, 2276 = any
+      ProcDef("json_build_object", Seq(2276), 114),
+      ProcDef("jsonb_build_object", Seq(2276), 3802),
+      ProcDef("json_build_array", Seq(2276), 114),
+      ProcDef("jsonb_build_array", Seq(2276), 3802),
+      ProcDef("row_to_json", Seq(2249), 114),
+      ProcDef("json_extract_path", Seq(114, 1009), 114),
+      ProcDef("jsonb_extract_path", Seq(3802, 1009), 3802),
+      ProcDef("json_extract_path_text", Seq(114, 1009), T),
+      ProcDef("jsonb_extract_path_text", Seq(3802, 1009), T),
+      ProcDef("json_typeof", Seq(114), T),
+      ProcDef("jsonb_typeof", Seq(3802), T),
+      ProcDef("json_array_length", Seq(114), I4),
+      ProcDef("json_array_elements", Seq(114), 114),
+      ProcDef("json_array_elements_text", Seq(114), T),
+      ProcDef("json_object_keys", Seq(114), T),
+      ProcDef("json_strip_nulls", Seq(114), 114),
+      ProcDef("jsonb_strip_nulls", Seq(3802), 3802),
       // pattern / validation / introspection / array P2
       ProcDef("similar_to_escape", Seq(T), T),
       ProcDef("pg_input_is_valid", Seq(T, T), B),
@@ -650,6 +669,7 @@ object PgFunctions {
     val u = spark.udf
     graft.functions.PgFormatExpressions.install(spark)
     graft.functions.PgStringExpressions.install(spark)
+    graft.functions.PgJsonExpressions.install(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

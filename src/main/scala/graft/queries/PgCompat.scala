@@ -503,5 +503,69 @@ object PgCompat {
           |  to_hex(p_size) AS h16,
           |  num_nonnulls(p_name, nullif(p_partkey % 2, 1)) AS nn
           |FROM part ORDER BY p_partkey""".stripMargin) })
+    },
+
+    // ---- JSON function pack (round 8) ---------------------------------
+    // The reference blocks all 67 json fns upstream ("no JSON/JSONB
+    // type in DataFusion", functions.md §functions-json); these are
+    // the top-traffic ones, oracled against DuckDB's native json
+    // extension over the same rows. Values travel as text; rendering
+    // is jsonb-style compact (documented deviation from pg json's
+    // cosmetic whitespace).
+
+    Q.df("q110_json_scalars",
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::VARCHAR AS jep,
+        |  json_extract_string(props, '$.k') AS jept,
+        |  lower(json_type(props)) AS jt,
+        |  CASE WHEN json_type(json_extract(props, '$.k'))
+        |         IN ('UBIGINT','BIGINT','HUGEINT','DOUBLE') THEN 'number'
+        |       ELSE lower(json_type(json_extract(props, '$.k'))) END AS jtk,
+        |  json_object('id', event_id, 'type', event_type)::VARCHAR AS jbo,
+        |  json_array(event_id, event_type)::VARCHAR AS jba,
+        |  to_json(struct_pack(e := event_id, t := event_type))::VARCHAR AS rtj,
+        |  json_object('a', event_id)::VARCHAR AS jsn,
+        |  CAST(json_array_length(json_array(event_id, event_type, event_type))
+        |    AS BIGINT) AS jal
+        |FROM events ORDER BY event_id""".stripMargin) {
+      // sort narrow first: the range exchange fans the single-split
+      // events scan out to 32 partitions, so the JSON projection runs
+      // parallel and never crosses the wire (the q100 shape)
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("events").orderBy("event_id").selectExpr(
+          "event_id",
+          "json_extract_path(props, 'k') AS jep",
+          "json_extract_path_text(props, 'k') AS jept",
+          "json_typeof(props) AS jt",
+          "json_typeof(json_extract_path(props, 'k')) AS jtk",
+          "json_build_object('id', event_id, 'type', event_type) AS jbo",
+          "json_build_array(event_id, event_type) AS jba",
+          "row_to_json(named_struct('e', event_id, 't', event_type)) AS rtj",
+          "json_strip_nulls(json_build_object('a', event_id, 'b', NULL)) AS jsn",
+          """CAST(json_array_length(json_build_array(event_id, event_type, event_type))
+            |    AS BIGINT) AS jal""".stripMargin) })
+    },
+
+    // set-returning forms: pg's one-row-per-element/key shape via the
+    // same explode rewrite the Compat layer applies to client SQL
+    Q.df("q111_json_sets",
+      """SELECT event_id, src, v FROM (
+        |  SELECT event_id, 'elem' AS src,
+        |    unnest(json_extract_string(json_array(event_id % 5, event_type), '$[*]')) AS v
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'key' AS src, unnest(json_keys(props)) AS v
+        |  FROM events)
+        |ORDER BY event_id, src, v""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        graft.Q.oracleOrder(s.sql(
+          """SELECT event_id, src, v FROM (
+            |  SELECT event_id, 'elem' AS src,
+            |    explode(json_array_elements_text(
+            |      json_build_array(event_id % 5, event_type))) AS v
+            |  FROM events
+            |  UNION ALL
+            |  SELECT event_id, 'key' AS src, explode(json_object_keys(props)) AS v
+            |  FROM events)""".stripMargin), "event_id", "src", "v") })
     })
 }

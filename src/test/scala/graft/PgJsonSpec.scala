@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Engine-level vectors for the JSON pack (PgJsonExpressions) — the
+  * expected strings follow the public PostgreSQL docs §9.16 examples,
+  * restated in the engine's compact (jsonb-style) rendering.
+  */
+class PgJsonSpec extends SparkSpec {
+
+  private def one(sql: String): String = {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    spark.sql(s"SELECT $sql AS r").collect()(0).get(0) match {
+      case null => null
+      case s => s.toString
+    }
+  }
+
+  test("json_build_object / json_build_array / row_to_json render compact") {
+    assert(one("json_build_object('a', 1, 'b', 'x')") === """{"a":1,"b":"x"}""")
+    assert(one("json_build_object('k', NULL)") === """{"k":null}""")
+    assert(one("json_build_object()") === "{}")
+    assert(one("json_build_array(1, 'a', NULL, true, 1.5)") === """[1,"a",null,true,1.5]""")
+    assert(one("json_build_array()") === "[]")
+    assert(one("row_to_json(named_struct('i', 7, 's', 'hi', 'n', CAST(NULL AS INT)))") ===
+      """{"i":7,"s":"hi","n":null}""")
+    // nested spark-native structures render structurally
+    assert(one("row_to_json(named_struct('a', array(1, 2), 's', named_struct('x', 'y')))") ===
+      """{"a":[1,2],"s":{"x":"y"}}""")
+    // string escaping: quotes, real newline (char 10), backslash
+    assert(one("""json_build_object('q', concat('he said "hi"', char(10)))""") ===
+      """{"q":"he said \"hi\"\n"}""")
+    assert(one("""json_build_object('p', 'a\\b')""") === """{"p":"a\\b"}""")
+    // date renders ISO-quoted
+    assert(one("json_build_array(DATE '2026-08-13')") === """["2026-08-13"]""")
+    // null key errors like pg
+    val e = intercept[Exception](one("json_build_object(CAST(NULL AS STRING), 1)"))
+    assert(e.getMessage.contains("cannot be null"))
+  }
+
+  test("json_extract_path / _text walk objects and arrays") {
+    val j = """'{"a": {"b": [10, {"c": "deep"}]}, "s": "txt", "z": null}'"""
+    assert(one(s"json_extract_path($j, 'a', 'b', '0')") === "10")
+    assert(one(s"json_extract_path($j, 'a', 'b', '1', 'c')") === "\"deep\"")
+    assert(one(s"json_extract_path_text($j, 'a', 'b', '1', 'c')") === "deep")
+    assert(one(s"json_extract_path($j, 's')") === "\"txt\"")
+    assert(one(s"json_extract_path_text($j, 's')") === "txt")
+    // json mode keeps the json null; text mode maps it to SQL NULL
+    assert(one(s"json_extract_path($j, 'z')") === "null")
+    assert(one(s"json_extract_path_text($j, 'z')") === null)
+    assert(one(s"json_extract_path($j, 'missing')") === null)
+    assert(one(s"json_extract_path($j, 'a', 'b', '9')") === null)
+    assert(one(s"json_extract_path($j, 'a', 'b', 'x')") === null)
+    // jsonb_ aliases resolve
+    assert(one(s"jsonb_extract_path_text($j, 's')") === "txt")
+  }
+
+  test("json_typeof over every type tag") {
+    assert(one("json_typeof('{}')") === "object")
+    assert(one("json_typeof('[1]')") === "array")
+    assert(one("json_typeof('\"s\"')") === "string")
+    assert(one("json_typeof('1.5')") === "number")
+    assert(one("json_typeof('true')") === "boolean")
+    assert(one("json_typeof('null')") === "null")
+  }
+
+  test("json_strip_nulls removes object fields, keeps array nulls") {
+    assert(one("""json_strip_nulls('{"a":1,"b":null,"c":{"d":null,"e":2},"f":[null,1]}')""") ===
+      """{"a":1,"c":{"e":2},"f":[null,1]}""")
+  }
+
+  test("json_array_elements[_text] as arrays; set-returning via Compat explode") {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val elems = spark.sql("""SELECT json_array_elements('[1, "a", {"x": 2}, null]') AS v""")
+      .collect()(0).getSeq[String](0)
+    assert(elems === Seq("1", "\"a\"", "{\"x\":2}", "null"))
+    val rows = spark.sql(
+      """SELECT explode(json_array_elements_text('["b", "a", null]')) AS v""")
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    assert(rows === Seq("b", "a", null))
+    // the compat rewriter turns pg's set-returning call into explode
+    val rewritten = graft.pgwire.Compat.rewrite(
+      "SELECT json_array_elements_text(j) FROM t")
+    assert(rewritten.contains("explode(json_array_elements_text"), rewritten)
+    val r2 = graft.pgwire.Compat.rewrite("SELECT jsonb_object_keys(j) FROM t")
+    assert(r2.contains("explode(json_object_keys"), r2)
+    // scalar input errors like pg
+    val e = intercept[Exception](one("json_array_elements('5')"))
+    assert(e.getMessage.contains("cannot extract elements"), e.getMessage)
+  }
+
+  test("invalid json errors like pg") {
+    val e = intercept[Exception](one("json_typeof('{nope')"))
+    assert(e.getMessage.contains("invalid input syntax for type json"), e.getMessage)
+  }
+}
