@@ -699,31 +699,65 @@ object Compat {
   def arrayLiteralSql(pgText: String, sparkElem: String): String =
     arrayLiteralTokens("'" + pgText.replace("'", "''") + "'", sparkElem)
 
-  /** '{a,b,NULL}' → CAST(ARRAY('a','b',NULL) AS ARRAY<elem>). */
+  /** '{a,b,NULL}' → CAST(ARRAY('a','b',NULL) AS ARRAY<elem>).
+    * Nested text form ('{{1,2},{3,4}}', psycopg with numpy-shaped
+    * data) recurses into ARRAY<ARRAY<elem>> — parity-PLUS: the
+    * reference's decode is flat-only (arrow-pg/src/datatypes/
+    * df.rs:555-877). */
   private def arrayLiteralTokens(strTok: String, sparkElem: String): String = {
     val bare = strTok.substring(1, strTok.length - 1).trim
     val body = bare.substring(1, bare.length - 1)
-    val parts = splitArrayBody(body)
-    val els = parts.map { raw =>
-      val v = raw.trim
-      if (v.isEmpty || v.equalsIgnoreCase("null")) "NULL"
-      else {
-        val unq =
-          if (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2)
-            v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
-          else v
-        "'" + unq.replace("'", "''") + "'"
-      }
-    }
     val elemSql = if (sparkElem == "decimal") "decimal(38,18)" else sparkElem
-    if (els.isEmpty) s"CAST(ARRAY() AS ARRAY<$elemSql>)"
-    else s"CAST(ARRAY(${els.mkString(",")}) AS ARRAY<$elemSql>)"
+    val (sql, depth, _) = arrayBodyToSql(body)
+    val castType = (1 to depth).foldLeft(elemSql) { (t, _) => s"ARRAY<$t>" }
+    s"CAST($sql AS $castType)"
   }
 
+  /** Render one array body (no outer braces) to an ARRAY(...) SQL
+    * expression; returns (sql, nesting depth ≥ 1, element count).
+    * pg arrays are rectangular — mixed depth or ragged dimensions are
+    * 22P02 like pg's "multidimensional arrays must have array
+    * expressions with matching dimensions". */
+  private def arrayBodyToSql(body: String): (String, Int, Int) = {
+    val parts = splitArrayBody(body)
+    if (parts.isEmpty) ("ARRAY()", 1, 0)
+    else if (parts.head.trim.startsWith("{")) {
+      val sub = parts.map { raw =>
+        val v = raw.trim
+        if (!(v.startsWith("{") && v.endsWith("}")))
+          throw PgException("22P02",
+            "malformed array literal: mixed nesting depth")
+        arrayBodyToSql(v.substring(1, v.length - 1))
+      }
+      val depth = sub.head._2
+      val count = sub.head._3
+      if (sub.exists(s => s._2 != depth || s._3 != count))
+        throw PgException("22P02",
+          "malformed array literal: multidimensional arrays must have " +
+            "array expressions with matching dimensions")
+      (s"ARRAY(${sub.map(_._1).mkString(",")})", depth + 1, sub.length)
+    } else {
+      val els = parts.map { raw =>
+        val v = raw.trim
+        if (v.isEmpty || v.equalsIgnoreCase("null")) "NULL"
+        else {
+          val unq =
+            if (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2)
+              v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+            else v
+          "'" + unq.replace("'", "''") + "'"
+        }
+      }
+      (s"ARRAY(${els.mkString(",")})", 1, els.length)
+    }
+  }
+
+  /** Split one nesting level: commas at brace depth 0, quotes respected. */
   private def splitArrayBody(body: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
+    var depth = 0
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
@@ -732,7 +766,9 @@ object Compat {
         else if (c == '"') { inQ = false; cur.append(c) }
         else cur.append(c)
       } else if (c == '"') { inQ = true; cur.append(c) }
-      else if (c == ',') { out += cur.toString; cur.clear() }
+      else if (c == '{') { depth += 1; cur.append(c) }
+      else if (c == '}') { depth -= 1; cur.append(c) }
+      else if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
       else cur.append(c)
       i += 1
     }

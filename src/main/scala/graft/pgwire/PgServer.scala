@@ -495,29 +495,39 @@ final class PgServer(
           s"TIMESTAMP '$ldt'"
         case oid if arrayElemType.contains(oid) =>
           // pg array binary: ndim, hasnull, eloid, [dim, lbound]*,
-          // then (len, bytes) per element (JDBC setArray sends this)
+          // then (len, bytes) per element in row-major order (JDBC
+          // setArray sends ndim=1; psycopg sends numpy-shaped data as
+          // ndim>=2 — decoded to nested ARRAYs, parity-PLUS over the
+          // reference's flat-only decode, arrow-pg/src/datatypes/
+          // df.rs:555-877)
           val ndim = buf.getInt
-          if (ndim > 1)
-            throw PgException("0A000", "multidimensional array parameters not supported")
           buf.getInt // hasnull
           val elemOid = buf.getInt
-          val els = scala.collection.mutable.ArrayBuffer.empty[String]
-          if (ndim == 1) {
-            val dim = buf.getInt
-            buf.getInt // lower bound
-            (0 until dim).foreach { _ =>
-              val len = buf.getInt
-              if (len < 0) els += "NULL"
-              else {
-                val eb = new Array[Byte](len)
-                buf.get(eb)
-                els += paramToLiteral(eb, elemOid, 1)
-              }
+          val dims = (0 until ndim).map { _ =>
+            val d = buf.getInt; buf.getInt /* lower bound */ ; d
+          }
+          val flat = scala.collection.mutable.ArrayBuffer.empty[String]
+          (0 until dims.product).foreach { _ =>
+            val len = buf.getInt
+            if (len < 0) flat += "NULL"
+            else {
+              val eb = new Array[Byte](len)
+              buf.get(eb)
+              flat += paramToLiteral(eb, elemOid, 1)
             }
           }
+          // fold row-major elements into nested ARRAY(...) level by
+          // level, innermost (last) dimension first
+          var groups: Seq[String] = flat.toSeq
+          dims.reverse.dropRight(1).foreach { d =>
+            groups = groups.grouped(d).map(g => s"ARRAY(${g.mkString(",")})").toSeq
+          }
           val sparkElem = arrayElemType(oid)
-          if (els.isEmpty) s"CAST(ARRAY() AS ARRAY<$sparkElem>)"
-          else s"CAST(ARRAY(${els.mkString(",")}) AS ARRAY<$sparkElem>)"
+          val castType = (1 to math.max(1, ndim)).foldLeft(sparkElem) {
+            (t, _) => s"ARRAY<$t>"
+          }
+          if (ndim == 0) s"CAST(ARRAY() AS ARRAY<$sparkElem>)"
+          else s"CAST(ARRAY(${groups.mkString(",")}) AS $castType)"
         case other =>
           throw PgException("0A000", s"binary format for type OID $other not supported")
       }

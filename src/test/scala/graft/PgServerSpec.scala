@@ -415,6 +415,39 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("extended protocol: MULTIDIM array params, text and binary (parity-plus)") {
+    // text form: psycopg renders numpy-shaped data as '{{1,2},{3,4}}'
+    val c = connect()
+    // pg-style 1-based subscripts (Compat shifts them): [2][2] = 4
+    c.parse("s8", "SELECT size($1) AS n_rows, $1[2][2] AS corner, size($1[1]) AS n_inner",
+      Seq(1007))
+    c.bind("p8", "s8", Seq(Some("{{1,2},{3,4}}")))
+    c.execute("p8")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.rows === Seq(Seq(Some("2"), Some("4"), Some("2"))))
+    // ragged nesting rejected with pg's 22P02
+    c.parse("s8b", "SELECT size($1) AS n", Seq(1007))
+    c.bind("p8b", "s8b", Seq(Some("{{1,2},{3}}")))
+    c.execute("p8b")
+    val r2 = c.sync()
+    assert(r2.errors.headOption.map(_._1) === Some("22P02"), r2.errors.toString)
+    // binary form: ndim=2, dims (2,3), row-major elements 1..6 →
+    // [[1,2,3],[4,5,6]]; pg-style [2][3] = 6
+    c.parse("s9", "SELECT size($1) AS n_rows, $1[2][3] AS corner", Seq(1007))
+    val buf = java.nio.ByteBuffer.allocate(12 + 2 * 8 + 6 * 8)
+    buf.putInt(2).putInt(0).putInt(23) // ndim, hasnull, int4 elem oid
+    buf.putInt(2).putInt(1) // dim 1, lower bound
+    buf.putInt(3).putInt(1) // dim 2, lower bound
+    (1 to 6).foreach(v => buf.putInt(4).putInt(v))
+    c.bindBinary("p9", "s9", Seq(Some(buf.array())))
+    c.execute("p9")
+    val r3 = c.sync()
+    assert(r3.errors.isEmpty, r3.errors.toString)
+    assert(r3.rows === Seq(Seq(Some("2"), Some("6"))))
+    c.close()
+  }
+
   test("extended protocol: text param NULL binds as SQL NULL") {
     val c = connect()
     c.parse("s4", "SELECT $1::text IS NULL AS isnull", Seq(25))
