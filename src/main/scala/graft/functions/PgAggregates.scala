@@ -36,9 +36,58 @@ object PgAggregates {
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** json_agg(to_jsonb(value), sortKey): json array of the pre-rendered
+    * values in ascending sortKey order. A NULL rendered value means the
+    * SQL value was NULL → pg json_agg includes it as json null. NULL
+    * on empty groups (pg). */
+  final class OrderedJsonAgg
+      extends Aggregator[(String, String), List[(String, String)], String] {
+    override def zero: List[(String, String)] = Nil
+    override def reduce(b: List[(String, String)], a: (String, String)): List[(String, String)] =
+      (a._2, if (a._1 == null) "null" else a._1) :: b // (sortKey, jsonText)
+    override def merge(b1: List[(String, String)], b2: List[(String, String)]): List[(String, String)] =
+      b1 ::: b2
+    override def finish(r: List[(String, String)]): String =
+      if (r.isEmpty) null
+      else r.sortBy(p => (Option(p._1).getOrElse(""), p._2))
+        .map(_._2).mkString("[", ",", "]")
+    override def bufferEncoder: Encoder[List[(String, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** json_object_agg(key, to_jsonb(value)): json object in ascending
+    * key order (pg preserves input order; a distributed merge has no
+    * input order, so key order is the deterministic choice — same
+    * stance as OrderedStringAgg's tie rule). NULL keys error like pg;
+    * NULL rendered values become json null. */
+  final class OrderedJsonObjectAgg
+      extends Aggregator[(String, String), List[(String, String)], String] {
+    override def zero: List[(String, String)] = Nil
+    override def reduce(b: List[(String, String)], a: (String, String)): List[(String, String)] = {
+      if (a._1 == null) throw new IllegalArgumentException(
+        "json_object_agg: field name must not be null")
+      (a._1, if (a._2 == null) "null" else a._2) :: b
+    }
+    override def merge(b1: List[(String, String)], b2: List[(String, String)]): List[(String, String)] =
+      b1 ::: b2
+    override def finish(r: List[(String, String)]): String =
+      if (r.isEmpty) null
+      else r.sortBy(p => (p._1, p._2))
+        .map(p => PgJsonExpressions.jsonQuote(p._1) + ":" + p._2)
+        .mkString("{", ",", "}")
+    override def bufferEncoder: Encoder[List[(String, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
   /** Register the pack into a session. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("ordered_string_agg",
       functions.udaf(new OrderedStringAgg(","), Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+    spark.udf.register("ordered_json_agg",
+      functions.udaf(new OrderedJsonAgg, Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+    spark.udf.register("ordered_json_object_agg",
+      functions.udaf(new OrderedJsonObjectAgg, Encoders.tuple(Encoders.STRING, Encoders.STRING)))
   }
 }

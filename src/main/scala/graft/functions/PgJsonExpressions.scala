@@ -337,6 +337,36 @@ object PgJsonExpressions {
       copy(child = c)
   }
 
+  /** JSON-quote a string (for aggregate key rendering). */
+  def jsonQuote(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    escapeTo(sb, s)
+    sb.toString
+  }
+
+  /** to_jsonb(anyelement): any supported value rendered as compact
+    * json text; SQL NULL → SQL NULL (pg). Named to_jsonb, NOT to_json:
+    * Spark's own to_json(struct|map|array) keeps its native meaning —
+    * for record inputs use row_to_json. */
+  case class PgToJsonb(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "to_jsonb"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (supported(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"to_jsonb: unsupported type ${child.dataType.simpleString}")
+
+    override def nullSafeEval(v: Any): Any = {
+      val sb = new java.lang.StringBuilder(32)
+      render(sb, v, child.dataType)
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgToJsonb = copy(child = c)
+  }
+
   /** json_strip_nulls(json): remove null-valued OBJECT fields at every
     * depth; array nulls are kept (pg semantics). */
   case class PgJsonStripNulls(child: Expression)
@@ -408,6 +438,8 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_array_elements_text"), info("json_array_elements_text"),
       (args: Seq[Expression]) => { require(args.length == 1)
         PgJsonArrayElements(args.head, text = true) }),
+    (FunctionIdentifier("to_jsonb"), info("to_jsonb"),
+      (args: Seq[Expression]) => { require(args.length == 1); PgToJsonb(args.head) }),
     (FunctionIdentifier("json_strip_nulls"), info("json_strip_nulls"),
       (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),
     (FunctionIdentifier("jsonb_strip_nulls"), info("jsonb_strip_nulls"),

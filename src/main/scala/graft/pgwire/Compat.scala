@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->")
+  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -1013,11 +1013,13 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
-      if (t.kind == Op && (t.text == "->" || t.text == "->>")) {
+      if (t.kind == Op && (t.text == "->" || t.text == "->>" ||
+        t.text == "#>" || t.text == "#>>")) {
         val rhs = nextIdx(ts, i)
         val p = prevIdx(ts, i)
         if (rhs >= 0 && ts(rhs).kind == Str && p >= 0 &&
-          (ts(p).kind == Word || ts(p).kind == QIdent || ts(p).is(")") || ts(p).is("]"))) {
+          (ts(p).kind == Word || ts(p).kind == QIdent || ts(p).kind == Str ||
+            ts(p).is(")") || ts(p).is("]"))) {
           // find the start of the left-side value expression
           var start = p
           if (ts(p).is(")")) {
@@ -1048,9 +1050,24 @@ object Compat {
           if (ts(i - 1).kind == Ws) { ts.remove(i - 1); i -= 1; r -= 1 }
           val rhs2 = r
           val key = ts(rhs2).text.substring(1, ts(rhs2).text.length - 1).replace("''", "'")
-          val path =
-            if (key.matches("[A-Za-z0-9_]+")) "'$." + key + "'"
-            else "'$[''" + key.replace("'", "''''") + "'']'"
+          // -> / ->> take one key; #> / #>> take a pg path array
+          // literal '{a,b,0}' — both become a JSONPath for
+          // get_json_object (digits index arrays, identifiers dot in,
+          // anything else bracket-quotes)
+          def seg(e: String): String =
+            if (e.nonEmpty && e.forall(_.isDigit)) s"[$e]"
+            else if (e.matches("[A-Za-z0-9_]+")) "." + e
+            else "['" + e + "']"
+          val rawPath =
+            if (t.text.startsWith("#")) {
+              val body = key.trim.stripPrefix("{").stripSuffix("}")
+              val els =
+                if (body.trim.isEmpty) Seq.empty
+                else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+              "$" + els.map(seg).mkString
+            } else if (key.matches("[A-Za-z0-9_]+")) "$." + key
+            else "$['" + key + "']"
+          val path = "'" + rawPath.replace("'", "''") + "'"
           // rewrite right-to-left so indices stay valid
           ts(rhs2) = Tok(Str, path)
           ts(i) = Tok(Op, ",")

@@ -540,6 +540,11 @@ object PgFunctions {
       ProcDef("json_object_keys", Seq(114), T),
       ProcDef("json_strip_nulls", Seq(114), 114),
       ProcDef("jsonb_strip_nulls", Seq(3802), 3802),
+      ProcDef("to_jsonb", Seq(2276), 3802),
+      ProcDef("json_agg", Seq(2276), 114, kind = "a"),
+      ProcDef("json_object_agg", Seq(2276, 2276), 114, kind = "a"),
+      ProcDef("ordered_json_agg", Seq(T, T), T, kind = "a"),
+      ProcDef("ordered_json_object_agg", Seq(T, T), T, kind = "a"),
       // pattern / validation / introspection / array P2
       ProcDef("similar_to_escape", Seq(T), T),
       ProcDef("pg_input_is_valid", Seq(T, T), B),
@@ -670,6 +675,7 @@ object PgFunctions {
     graft.functions.PgFormatExpressions.install(spark)
     graft.functions.PgStringExpressions.install(spark)
     graft.functions.PgJsonExpressions.install(spark)
+    graft.functions.PgAggregates.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

@@ -546,6 +546,26 @@ object PgCompat {
             |    AS BIGINT) AS jal""".stripMargin) })
     },
 
+    // json aggregates, q32's ordered-UDAF pattern: pg guarantees
+    // element order via ORDER BY inside the aggregate, which a
+    // distributed partial-agg cannot see — ordered_json_agg carries
+    // the sort key explicitly (DuckDB oracle composes string_agg of
+    // to_json values, its json_group_* macros reject ORDER BY)
+    Q.df("q112_json_aggs",
+      """SELECT n_regionkey,
+        |  '[' || string_agg(to_json(n_name)::VARCHAR, ',' ORDER BY n_name) || ']'
+        |    AS names_json,
+        |  '{' || string_agg(to_json(n_name)::VARCHAR || ':' ||
+        |      to_json(n_nationkey)::VARCHAR, ',' ORDER BY n_name) || '}'
+        |    AS kv_json
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
+        """SELECT n_regionkey,
+          |  ordered_json_agg(to_jsonb(n_name), n_name) AS names_json,
+          |  ordered_json_object_agg(n_name, to_jsonb(n_nationkey)) AS kv_json
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) })
+    },
+
     // set-returning forms: pg's one-row-per-element/key shape via the
     // same explode rewrite the Compat layer applies to client SQL
     Q.df("q111_json_sets",

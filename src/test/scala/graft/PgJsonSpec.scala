@@ -93,4 +93,33 @@ class PgJsonSpec extends SparkSpec {
     val e = intercept[Exception](one("json_typeof('{nope')"))
     assert(e.getMessage.contains("invalid input syntax for type json"), e.getMessage)
   }
+
+  test("to_jsonb renders scalars; json aggregates order and null-handle like pg") {
+    assert(one("to_jsonb(5)") === "5")
+    assert(one("to_jsonb('a \"b\"')") === "\"a \\\"b\\\"\"")
+    assert(one("to_jsonb(CAST(NULL AS INT))") === null)
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT k,
+        |  ordered_json_agg(to_jsonb(v), v) AS ja,
+        |  ordered_json_object_agg(v, to_jsonb(n)) AS jo
+        |FROM VALUES ('g', 'b', 2), ('g', 'a', 1), ('h', 'z', NULL) AS t(k, v, n)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(rows(0).getString(1) === """["a","b"]""")
+    assert(rows(0).getString(2) === """{"a":1,"b":2}""")
+    // SQL NULL value aggregates as json null (pg json_agg behavior)
+    assert(rows(1).getString(2) === """{"z":null}""")
+  }
+
+  test("#> and #>> path operators rewrite through Compat") {
+    assert(graft.pgwire.Compat.rewrite("SELECT data #> '{a,b}' FROM t") ===
+      "SELECT get_json_object(data, '$.a.b') FROM t")
+    assert(graft.pgwire.Compat.rewrite("SELECT data #>> '{a,0,b c}' FROM t") ===
+      "SELECT get_json_object(data, '$.a[0][''b c'']') FROM t")
+    // end-to-end over a literal
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val v = spark.sql(graft.pgwire.Compat.rewrite(
+      """SELECT '{"a": [{"b": 7}]}' #> '{a,0,b}' AS r""")).collect()(0).getString(0)
+    assert(v === "7")
+  }
 }
