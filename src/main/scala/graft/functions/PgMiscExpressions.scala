@@ -93,6 +93,64 @@ object PgMiscExpressions {
       copy(left = l, right = r)
   }
 
+  /** generate_subscripts(arr, dim[, reverse]) → int[] of 1-based
+    * subscripts for `dim` (the pg original is set-returning — Compat
+    * wraps the call in explode, same as json_array_elements). dim > 1
+    * descends into nested arrays, using the first element per pg's
+    * rectangularity contract; NULL/absent dims yield an empty set. */
+  case class PgGenerateSubscripts(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "generate_subscripts"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length < 2 || children.length > 3)
+        return TypeCheckResult.TypeCheckFailure(
+          "generate_subscripts(anyarray, int[, bool])")
+      children.head.dataType match {
+        case _: ArrayType =>
+        case _ => return TypeCheckResult.TypeCheckFailure(
+          "generate_subscripts: first argument must be an array")
+      }
+      if (children(1).dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure("generate_subscripts: dim must be int")
+      else if (children.length == 3 && children(2).dataType != BooleanType)
+        TypeCheckResult.TypeCheckFailure("generate_subscripts: reverse must be bool")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr0 = children.head.eval(input)
+      val dim0 = children(1).eval(input)
+      if (arr0 == null || dim0 == null) return new GenericArrayData(Array.empty[Any])
+      val rev = children.length == 3 && {
+        val r = children(2).eval(input)
+        r != null && r.asInstanceOf[Boolean]
+      }
+      var dt = children.head.dataType
+      var arr = arr0.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var level = dim0.asInstanceOf[Int]
+      while (level > 1) {
+        dt match {
+          case ArrayType(inner: ArrayType, _) if arr.numElements() > 0 && !arr.isNullAt(0) =>
+            arr = arr.getArray(0); dt = inner
+          case _ => return new GenericArrayData(Array.empty[Any])
+        }
+        level -= 1
+      }
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = if (rev) n - i else i + 1; i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgGenerateSubscripts =
+      copy(children = newChildren)
+  }
+
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(PgMiscExpressions.getClass.getName, name)
 
@@ -125,6 +183,9 @@ object PgMiscExpressions {
     (FunctionIdentifier("uuidv4"), info("uuidv4"), { args =>
       require(args.isEmpty, "uuidv4 takes no arguments")
       Uuid()
+    }),
+    (FunctionIdentifier("generate_subscripts"), info("generate_subscripts"), { args =>
+      PgGenerateSubscripts(args)
     }))
 
   def install(spark: SparkSession): Unit = {

@@ -834,7 +834,8 @@ object Compat {
       "jsonb_array_elements" -> "json_array_elements",
       "jsonb_array_elements_text" -> "json_array_elements_text",
       "json_object_keys" -> "json_object_keys",
-      "jsonb_object_keys" -> "json_object_keys")
+      "jsonb_object_keys" -> "json_object_keys",
+      "generate_subscripts" -> "generate_subscripts")
     var i = 0
     while (i < ts.length) {
       val t = ts(i)

@@ -550,6 +550,7 @@ object PgFunctions {
       ProcDef("pg_input_is_valid", Seq(T, T), B),
       ProcDef("pg_typeof", Seq(2276), T),
       ProcDef("array_fill", Seq(2276, 1007), AARR),
+      ProcDef("generate_subscripts", Seq(2277, I4), I4),
       ProcDef("trim_array", Seq(AARR, I4), AARR),
       ProcDef("every", Seq(B), B, kind = "a"),
       ProcDef("variance", Seq(NUM), NUM, kind = "a"),

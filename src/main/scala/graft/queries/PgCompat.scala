@@ -566,6 +566,20 @@ object PgCompat {
           |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) })
     },
 
+    // generate_subscripts (functions.md §SRF, P2 upstream): 1-based
+    // subscript series per array, exploded to pg's set shape
+    Q.df("q113_generate_subscripts",
+      """SELECT p_partkey,
+        |  CAST(generate_subscripts(string_split(p_name, ' '), 1) AS BIGINT) AS i
+        |FROM part ORDER BY p_partkey, i""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        graft.Q.oracleOrder(s.sql(
+          """SELECT p_partkey, CAST(i0 AS BIGINT) AS i FROM (
+            |  SELECT p_partkey,
+            |    explode(generate_subscripts(split(p_name, ' '), 1)) AS i0
+            |  FROM part)""".stripMargin), "p_partkey", "i") })
+    },
+
     // set-returning forms: pg's one-row-per-element/key shape via the
     // same explode rewrite the Compat layer applies to client SQL
     Q.df("q111_json_sets",

@@ -111,6 +111,20 @@ class PgJsonSpec extends SparkSpec {
     assert(rows(1).getString(2) === """{"z":null}""")
   }
 
+  test("generate_subscripts: dims, reverse, nested, and the explode rewrite") {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    def arr(sql: String): Seq[Int] =
+      spark.sql(s"SELECT $sql AS r").collect()(0).getSeq[Int](0)
+    assert(arr("generate_subscripts(array('a','b','c'), 1)") === Seq(1, 2, 3))
+    assert(arr("generate_subscripts(array('a','b','c'), 1, true)") === Seq(3, 2, 1))
+    assert(arr("generate_subscripts(array(array(1,2),array(3,4),array(5,6)), 2)") ===
+      Seq(1, 2))
+    assert(arr("generate_subscripts(array('a'), 2)") === Seq.empty)
+    assert(arr("generate_subscripts(CAST(NULL AS ARRAY<INT>), 1)") === Seq.empty)
+    assert(graft.pgwire.Compat.rewrite("SELECT generate_subscripts(a, 1) FROM t")
+      .contains("explode(generate_subscripts"))
+  }
+
   test("#> and #>> path operators rewrite through Compat") {
     assert(graft.pgwire.Compat.rewrite("SELECT data #> '{a,b}' FROM t") ===
       "SELECT get_json_object(data, '$.a.b') FROM t")
