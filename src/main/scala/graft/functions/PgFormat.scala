@@ -694,12 +694,42 @@ object PgFormat {
     case _ => true
   }
 
+  /** Compiled parse template: the nodes plus the adjacency flags that
+    * used to be recomputed per parsed value (round-8: parseDt ran once
+    * per row on the to_date/to_timestamp hot path). */
+  final class DtParse(val nodes: Vector[DtNode]) {
+    // pg limits a numeric field to its keyword width when the next
+    // template node is another numeric field (no separator between)
+    val adjacent: Array[Boolean] = {
+      val out = new Array[Boolean](nodes.length)
+      var i = 0
+      while (i < nodes.length) {
+        out(i) = nodes(i) match {
+          case DtTok(k, _, _, _) if isNumericTok(k) =>
+            (i + 1 < nodes.length) && (nodes(i + 1) match {
+              case DtTok(k2, _, _, _) => isNumericTok(k2)
+              case _ => false
+            })
+          case _ => false
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  def compileDtParse(fmt: String): DtParse = new DtParse(compileDt(fmt))
+
   /** Parse `in` according to the compiled template; returns epoch
     * micros in `zone`. pg-lenient: runs of separator literals match
     * any whitespace/punct. A numeric field immediately followed by
     * another numeric field is limited to its keyword width (pg's rule
     * that makes 'YYYYMMDD' parse); otherwise it reads greedily. */
-  def parseDt(nodes: Vector[DtNode], in: String, zone: ZoneId): Long = {
+  def parseDt(nodes: Vector[DtNode], in: String, zone: ZoneId): Long =
+    parseDt(new DtParse(nodes), in, zone)
+
+  def parseDt(tpl: DtParse, in: String, zone: ZoneId): Long = {
+    val nodes = tpl.nodes
     var year = 1; var month = 1; var day = 1
     var hour = 0; var min = 0; var sec = 0; var usec = 0
     var pm = false; var sawPm = false; var hour12 = false
@@ -735,18 +765,7 @@ object PgFormat {
       while (pos < n && Character.isLetter(in.charAt(pos))) pos += 1
       in.substring(st, pos)
     }
-    // pg limits a numeric field to its keyword width when the next
-    // template node is another numeric field (no separator between)
-    val adjacent: Vector[Boolean] = nodes.zipWithIndex.map { case (node, i) =>
-      node match {
-        case DtTok(k, _, _, _) if isNumericTok(k) =>
-          (i + 1 < nodes.length) && (nodes(i + 1) match {
-            case DtTok(k2, _, _, _) => isNumericTok(k2)
-            case _ => false
-          })
-        case _ => false
-      }
-    }
+    val adjacent = tpl.adjacent
     nodes.zipWithIndex.foreach { case (node, nodeIdx) =>
       def w(key: String, greedy: Int): Int =
         if (adjacent(nodeIdx)) dtWidth(key) else greedy
@@ -761,9 +780,14 @@ object PgFormat {
         case "MM" => month = readInt(2)
         case "MON" | "MONTH" =>
           val nm = readName().toUpperCase
-          monthPrefixes.collectFirst {
-            case (full, idx) if full.startsWith(nm) && nm.length >= 3 => idx
-          }.foreach(month = _)
+          if (nm.length >= 3) {
+            var mi = 0
+            var found = false
+            while (mi < 12 && !found) {
+              if (monthsU(mi).startsWith(nm)) { month = mi + 1; found = true }
+              mi += 1
+            }
+          }
         case "DD" => day = readInt(2)
         case "DDD" =>
           val doy = readInt(3)

@@ -235,7 +235,7 @@ object PgFormatExpressions {
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("to_timestamp(text, text)")
 
-    @transient private lazy val memo = new FmtMemo(PgFormat.compileDt)
+    @transient private lazy val memo = new FmtMemo(PgFormat.compileDtParse)
 
     override def nullSafeEval(v: Any, fmt: Any): Any =
       PgFormat.parseDt(memo.get(fmt.asInstanceOf[UTF8String]),
@@ -302,7 +302,7 @@ object PgFormatExpressions {
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("to_date(text, text)")
 
-    @transient private lazy val memo = new FmtMemo(PgFormat.compileDt)
+    @transient private lazy val memo = new FmtMemo(PgFormat.compileDtParse)
 
     override def nullSafeEval(v: Any, fmt: Any): Any = {
       val micros = PgFormat.parseDt(memo.get(fmt.asInstanceOf[UTF8String]),

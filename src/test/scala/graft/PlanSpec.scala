@@ -120,6 +120,29 @@ class PlanSpec extends SparkSpec {
       s"domain counts must combine map-side before the shuffle:\n$p")
   }
 
+  test("q100: sort-narrow-first — Project sits ABOVE Sort, scan reads 2 columns") {
+    // the round-8 contract: formatted strings must be computed after
+    // the range exchange so the shuffle moves bytes, not payload
+    val df = SparkEntry.queries("q100_to_char_datetime")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val proj = p.indexOf("Project")
+    val sort = p.indexOf("Sort")
+    assert(proj >= 0 && sort >= 0 && proj < sort,
+      s"expected Project above Sort (format after the exchange):\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate"),
+      "scan should read only the key and date columns")
+  }
+
+  test("q68: the cap guard rides the counts join — exactly one aggregate, no extra job") {
+    val df = SparkEntry.queries("q68_fuzzy_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("raise_error"), "over-cap guard must be in-plan (loud at execution)")
+    assert(!p.contains("RangePartitioning"),
+      s"final order must be the gathered sort, not a sampling range exchange:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // The 100 TB co-located-join story: two tables bucketed by the join
     // key with the same bucket count join WITHOUT an Exchange on either
