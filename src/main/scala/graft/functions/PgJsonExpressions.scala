@@ -404,6 +404,130 @@ object PgJsonExpressions {
       copy(child = c)
   }
 
+  /** pg jsonb containment (`@>`), from the documented §8.14.3 rules:
+    * objects contain every RHS key with a containing value, arrays
+    * contain every RHS element in some LHS element, scalars compare
+    * equal — with pg's special exception that a top-level array
+    * contains a top-level scalar. */
+  /** jsonb equality: numbers compare numerically (pg jsonb: 1 = 1.0),
+    * everything else by structural equality. */
+  private def nodeEq(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isNumber && b.isNumber) a.decimalValue.compareTo(b.decimalValue) == 0
+    else a == b
+
+  private[functions] def jsonContains(h: JsonNode, n: JsonNode, top: Boolean): Boolean = {
+    if (h.isObject && n.isObject) {
+      val it = n.fields()
+      var ok = true
+      while (ok && it.hasNext) {
+        val e = it.next()
+        val hv = h.get(e.getKey)
+        ok = hv != null && jsonContains(hv, e.getValue, top = false)
+      }
+      ok
+    } else if (h.isArray && n.isArray) {
+      var ok = true
+      var i = 0
+      while (ok && i < n.size()) {
+        val e = n.get(i)
+        var found = false
+        var j = 0
+        while (!found && j < h.size()) {
+          val x = h.get(j)
+          found =
+            if (e.isObject || e.isArray) x.getNodeType == e.getNodeType &&
+              jsonContains(x, e, top = false)
+            else nodeEq(x, e)
+          j += 1
+        }
+        ok = found
+        i += 1
+      }
+      ok
+    } else if (h.isArray && !n.isContainerNode && top) {
+      // top-level special exception: array contains scalar
+      var found = false
+      var j = 0
+      while (!found && j < h.size()) { found = nodeEq(h.get(j), n); j += 1 }
+      found
+    } else nodeEq(h, n)
+  }
+
+  /** pg_contains(l, r): pg's `@>` for BOTH meanings — anyarray @>
+    * anyarray (every RHS element appears in LHS) and jsonb @> jsonb
+    * (structural containment). The wire operator rewrite cannot see
+    * types, so this expression dispatches on the analyzed input type. */
+  case class PgContains(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "pg_contains"
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pg_contains(anyarray, anyarray) or pg_contains(json, json)")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = left.dataType match {
+      case ArrayType(et, _) =>
+        val h = l.asInstanceOf[ArrayData]
+        val n = r.asInstanceOf[ArrayData]
+        var ok = true
+        var i = 0
+        while (ok && i < n.numElements()) {
+          val e = if (n.isNullAt(i)) null else n.get(i, et)
+          var found = false
+          var j = 0
+          while (!found && j < h.numElements()) {
+            val x = if (h.isNullAt(j)) null else h.get(j, et)
+            found = (x == null && e == null) || (x != null && x == e)
+            j += 1
+          }
+          ok = found
+          i += 1
+        }
+        ok
+      case _ =>
+        jsonContains(parse(l.asInstanceOf[UTF8String].toString),
+          parse(r.asInstanceOf[UTF8String].toString), top = true)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgContains =
+      copy(left = l, right = r)
+  }
+
+  /** jsonb_exists(json, key) — pg's `?`: object has the key, array
+    * has the string element, or a string scalar equals it. */
+  case class PgJsonbExists(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "jsonb_exists"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("jsonb_exists(json, text)")
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val node = parse(l.asInstanceOf[UTF8String].toString)
+      val key = r.asInstanceOf[UTF8String].toString
+      if (node.isObject) node.has(key)
+      else if (node.isArray) {
+        var found = false
+        var i = 0
+        while (!found && i < node.size()) {
+          found = node.get(i).isTextual && node.get(i).textValue() == key
+          i += 1
+        }
+        found
+      } else node.isTextual && node.textValue() == key
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgJsonbExists =
+      copy(left = l, right = r)
+  }
+
   // ---- registration ------------------------------------------------------
 
   private def info(name: String): ExpressionInfo =
@@ -438,6 +562,14 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_array_elements_text"), info("json_array_elements_text"),
       (args: Seq[Expression]) => { require(args.length == 1)
         PgJsonArrayElements(args.head, text = true) }),
+    (FunctionIdentifier("pg_contains"), info("pg_contains"),
+      (args: Seq[Expression]) => { require(args.length == 2); PgContains(args(0), args(1)) }),
+    (FunctionIdentifier("jsonb_contains"), info("jsonb_contains"),
+      (args: Seq[Expression]) => { require(args.length == 2); PgContains(args(0), args(1)) }),
+    (FunctionIdentifier("pg_contained"), info("pg_contained"),
+      (args: Seq[Expression]) => { require(args.length == 2); PgContains(args(1), args(0)) }),
+    (FunctionIdentifier("jsonb_exists"), info("jsonb_exists"),
+      (args: Seq[Expression]) => { require(args.length == 2); PgJsonbExists(args(0), args(1)) }),
     (FunctionIdentifier("to_jsonb"), info("to_jsonb"),
       (args: Seq[Expression]) => { require(args.length == 1); PgToJsonb(args.head) }),
     (FunctionIdentifier("json_strip_nulls"), info("json_strip_nulls"),

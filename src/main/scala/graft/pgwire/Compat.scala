@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>")
+  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>", "@>", "<@")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -1010,43 +1010,70 @@ object Compat {
     * (`a->'b'->>'c'`) nest naturally because the rewritten call ends in
     * `)`, a valid left side for the next arrow.
     */
+  /** Walk back from `p` (the last token of a value expression) to its
+    * first token: through a closing paren to the matching open +
+    * callee name, or through a qualified  word (. word)*  chain. */
+  private def lhsStart(ts: ArrayBuffer[Tok], p: Int): Int = {
+    if (ts(p).is(")")) {
+      var depth = 1
+      var j = p - 1
+      while (j >= 0 && depth > 0) {
+        if (ts(j).is(")")) depth += 1
+        else if (ts(j).is("(")) depth -= 1
+        if (depth > 0) j -= 1
+      }
+      val before = prevIdx(ts, j)
+      if (before >= 0 && ts(before).kind == Word) before else j
+    } else {
+      var j = p
+      var cont = true
+      while (cont) {
+        val dot = prevIdx(ts, j)
+        val w = if (dot >= 0 && ts(dot).is(".")) prevIdx(ts, dot) else -1
+        if (w >= 0 && (ts(w).kind == Word || ts(w).kind == QIdent)) { j = w }
+        else cont = false
+      }
+      j
+    }
+  }
+
+  private def isValueEnd(t: Tok): Boolean =
+    t.kind == Word || t.kind == QIdent || t.kind == Str || t.is(")") || t.is("]")
+
   private def rewriteJsonOps(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
-      if (t.kind == Op && (t.text == "->" || t.text == "->>" ||
+      if (t.kind == Op && (t.text == "@>" || t.text == "<@" || t.text == "?")) {
+        // containment / key-exists: wrap both operands in the
+        // type-dispatching function (pg_contains covers anyarray @>
+        // anyarray AND jsonb @> jsonb; `?` is jsonb_exists)
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
+          (ts(rhs).kind == Str || ts(rhs).kind == Word || ts(rhs).kind == QIdent)) {
+          val start = lhsStart(ts, p)
+          val fn = t.text match {
+            case "@>" => "pg_contains"
+            case "<@" => "pg_contained"
+            case _ => "jsonb_exists"
+          }
+          var opIdx = i
+          var rhs2 = rhs
+          if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+            ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+          }
+          ts.insert(rhs2 + 1, Tok(Op, ")"))
+          ts(opIdx) = Tok(Op, ",")
+          ts.insertAll(start, Seq(Tok(Word, fn), Tok(Op, "(")))
+          i = start
+        }
+      } else if (t.kind == Op && (t.text == "->" || t.text == "->>" ||
         t.text == "#>" || t.text == "#>>")) {
         val rhs = nextIdx(ts, i)
         val p = prevIdx(ts, i)
-        if (rhs >= 0 && ts(rhs).kind == Str && p >= 0 &&
-          (ts(p).kind == Word || ts(p).kind == QIdent || ts(p).kind == Str ||
-            ts(p).is(")") || ts(p).is("]"))) {
-          // find the start of the left-side value expression
-          var start = p
-          if (ts(p).is(")")) {
-            // walk back to the matching open paren; include a callee name
-            var depth = 1
-            var j = p - 1
-            while (j >= 0 && depth > 0) {
-              if (ts(j).is(")")) depth += 1
-              else if (ts(j).is("(")) depth -= 1
-              if (depth > 0) j -= 1
-            }
-            start = j
-            val before = prevIdx(ts, start)
-            if (before >= 0 && ts(before).kind == Word) start = before
-          } else {
-            // qualified name: walk back over  word (. word)*
-            var j = p
-            var cont = true
-            while (cont) {
-              val dot = prevIdx(ts, j)
-              val w = if (dot >= 0 && ts(dot).is(".")) prevIdx(ts, dot) else -1
-              if (w >= 0 && (ts(w).kind == Word || ts(w).kind == QIdent)) { j = w }
-              else cont = false
-            }
-            start = j
-          }
+        if (rhs >= 0 && ts(rhs).kind == Str && p >= 0 && isValueEnd(ts(p))) {
+          val start = lhsStart(ts, p)
           var r = rhs
           if (ts(i - 1).kind == Ws) { ts.remove(i - 1); i -= 1; r -= 1 }
           val rhs2 = r

@@ -541,6 +541,10 @@ object PgFunctions {
       ProcDef("json_strip_nulls", Seq(114), 114),
       ProcDef("jsonb_strip_nulls", Seq(3802), 3802),
       ProcDef("to_jsonb", Seq(2276), 3802),
+      ProcDef("jsonb_contains", Seq(3802, 3802), B),
+      ProcDef("jsonb_exists", Seq(3802, T), B),
+      ProcDef("pg_contains", Seq(2276, 2276), B),
+      ProcDef("pg_contained", Seq(2276, 2276), B),
       ProcDef("json_agg", Seq(2276), 114, kind = "a"),
       ProcDef("json_object_agg", Seq(2276, 2276), 114, kind = "a"),
       ProcDef("ordered_json_agg", Seq(T, T), T, kind = "a"),

@@ -566,6 +566,28 @@ object PgCompat {
           |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) })
     },
 
+    // jsonb containment (@>) and key-exists (?) — DuckDB's
+    // json_contains verified against pg's documented §8.14.3 truth
+    // table (incl. the top-level array-contains-scalar exception and
+    // numeric equality) before being adopted as the oracle
+    Q.df("q114_json_containment",
+      """SELECT event_id,
+        |  json_contains(props, '{"k": 42}') AS c_obj,
+        |  json_contains(json_array(event_id % 5, event_type),
+        |                json_array('view')) AS c_arr,
+        |  (event_type = 'view') AS e_arr,
+        |  json_extract(props, '$.k') IS NOT NULL AS e_key
+        |FROM events ORDER BY event_id""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("events").orderBy("event_id").selectExpr(
+          "event_id",
+          """pg_contains(props, '{"k": 42}') AS c_obj""",
+          """pg_contains(json_build_array(event_id % 5, event_type),
+            |  json_build_array('view')) AS c_arr""".stripMargin,
+          "jsonb_exists(json_build_array(event_type, 'extra'), 'view') AS e_arr",
+          "jsonb_exists(props, 'k') AS e_key") })
+    },
+
     // generate_subscripts (functions.md §SRF, P2 upstream): 1-based
     // subscript series per array, exploded to pg's set shape
     Q.df("q113_generate_subscripts",

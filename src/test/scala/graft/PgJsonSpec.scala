@@ -125,6 +125,37 @@ class PgJsonSpec extends SparkSpec {
       .contains("explode(generate_subscripts"))
   }
 
+  test("jsonb containment and key-exists match pg §8.14.3") {
+    // the pg doc's own containment examples, restated
+    assert(one("""pg_contains('{"a":1,"b":2}', '{"a":1}')""") === "true")
+    assert(one("""pg_contains('[1,2,3]', '[3,1]')""") === "true")
+    assert(one("""pg_contains('[1,2,3]', '1')""") === "true") // top-level scalar exception
+    assert(one("""pg_contains('{"a":[1,2]}', '{"a":1}')""") === "false") // not below top
+    assert(one("""pg_contains('{"a":{"b":1,"c":2}}', '{"a":{"b":1}}')""") === "true")
+    assert(one("""pg_contains('[[1,2]]', '[[1]]')""") === "true")
+    assert(one("""pg_contains('{"a":1}', '{"a":2}')""") === "false")
+    assert(one("""pg_contains('[1.0]', '[1]')""") === "true") // numeric equality
+    // anyarray @> anyarray dispatch
+    assert(one("pg_contains(array(1,2,3), array(3,1))") === "true")
+    assert(one("pg_contains(array(1,2), array(4))") === "false")
+    // jsonb_exists: object key / array element / string scalar
+    assert(one("""jsonb_exists('{"a":1}', 'a')""") === "true")
+    assert(one("""jsonb_exists('["a","b"]', 'b')""") === "true")
+    assert(one("""jsonb_exists('"a"', 'a')""") === "true")
+    assert(one("""jsonb_exists('{"a":1}', 'z')""") === "false")
+    // operator rewrites: @> / <@ / ?
+    assert(graft.pgwire.Compat.rewrite("SELECT a @> b FROM t") ===
+      "SELECT pg_contains(a, b) FROM t")
+    assert(graft.pgwire.Compat.rewrite("SELECT a <@ b FROM t") ===
+      "SELECT pg_contained(a, b) FROM t")
+    assert(graft.pgwire.Compat.rewrite("SELECT j ? 'k' FROM t") ===
+      "SELECT jsonb_exists(j, 'k') FROM t")
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val v = spark.sql(graft.pgwire.Compat.rewrite(
+      """SELECT '{"k": [1, 2]}' @> '{"k": [2]}' AS r""")).collect()(0).getBoolean(0)
+    assert(v)
+  }
+
   test("#> and #>> path operators rewrite through Compat") {
     assert(graft.pgwire.Compat.rewrite("SELECT data #> '{a,b}' FROM t") ===
       "SELECT get_json_object(data, '$.a.b') FROM t")
