@@ -132,6 +132,27 @@ object PgJsonExpressions {
 
   // ---- scalar expressions ------------------------------------------------
 
+  /** In pg, json_build_* embeds a json-TYPED argument raw and quotes a
+    * text one. Json travels as text here, so the type distinction is
+    * recovered from the expression tree: a value child that is itself
+    * a JSON-producing expression embeds raw — same rule, same
+    * observable behavior (a text column still quotes, exactly as a
+    * text argument does in pg without a ::json cast). */
+  private def producesJson(e: Expression): Boolean = e match {
+    case a: Alias => producesJson(a.child)
+    case _: PgJsonBuildObject | _: PgJsonBuildArray | _: PgRowToJson | _: PgToJsonb |
+         _: PgJsonStripNulls | _: PgJsonbSet | _: PgJsonbInsert | _: PgJsonbDelete |
+         _: PgJsonbDeletePath | _: PgJsonbConcat | _: PgJsonObject => true
+    case p: PgJsonExtractPath => !p.text
+    case _ => false
+  }
+
+  /** Render one build_* value: raw for json-producing children. */
+  private def renderArg(sb: java.lang.StringBuilder, child: Expression, v: Any): Unit =
+    if (v != null && producesJson(child))
+      sb.append(v.asInstanceOf[UTF8String].toString)
+    else render(sb, v, child.dataType)
+
   /** json_build_object(k1, v1, ...) — alternating keys and values.
     * NULL keys error (pg: "argument N cannot be null"). */
   case class PgJsonBuildObject(children: Seq[Expression])
@@ -163,7 +184,7 @@ object PgJsonExpressions {
         }
         escapeTo(sb, kStr)
         sb.append(':')
-        render(sb, children(i + 1).eval(input), children(i + 1).dataType)
+        renderArg(sb, children(i + 1), children(i + 1).eval(input))
         i += 2
       }
       sb.append('}')
@@ -192,7 +213,7 @@ object PgJsonExpressions {
       var i = 0
       while (i < children.length) {
         if (i > 0) sb.append(',')
-        render(sb, children(i).eval(input), children(i).dataType)
+        renderArg(sb, children(i), children(i).eval(input))
         i += 1
       }
       sb.append(']')
@@ -528,6 +549,453 @@ object PgJsonExpressions {
       copy(left = l, right = r)
   }
 
+  // ---- mutators (slice #2: set / insert / delete / concat / pretty) -----
+
+  /** Accept a pg path argument as either text[] (ARRAY['a','0']) or a
+    * pg array literal string ('{a,0}') — clients use both shapes with
+    * the path-oriented functions and the `#-` operator. */
+  private def pathOf(v: Any, dt: DataType): Array[String] = dt match {
+    case ArrayType(StringType, _) =>
+      val a = v.asInstanceOf[ArrayData]
+      val out = new Array[String](a.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (a.isNullAt(i)) null else a.getUTF8String(i).toString
+        i += 1
+      }
+      out
+    case StringType =>
+      val s = v.asInstanceOf[UTF8String].toString.trim
+      val body = s.stripPrefix("{").stripSuffix("}").trim
+      if (body.isEmpty) Array.empty
+      else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    case other => throw new IllegalArgumentException(
+      s"json path must be text[] or a '{...}' literal, got ${other.simpleString}")
+  }
+
+  private def pathTypeOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) | StringType => true
+    case _ => false
+  }
+
+  /** Walk to the PARENT of the last path step. Returns null when an
+    * intermediate step does not exist / is not a container — pg's
+    * "all earlier steps in the path must exist, or the target is
+    * returned unchanged". Negative array indices count from the end. */
+  private def walkParent(root: JsonNode, path: Array[String]): JsonNode = {
+    var node = root
+    var i = 0
+    while (i < path.length - 1) {
+      if (node == null || path(i) == null) return null
+      if (node.isObject) node = node.get(path(i))
+      else if (node.isArray) {
+        val idx =
+          try path(i).trim.toInt
+          catch { case _: NumberFormatException => return null }
+        val k = if (idx < 0) node.size() + idx else idx
+        node = if (k >= 0 && k < node.size()) node.get(k) else null
+      } else return null
+      i += 1
+    }
+    node
+  }
+
+  /** jsonb_set(target, path text[], new_value jsonb[, create bool]).
+    * pg semantics: STRICT (SQL NULL in → SQL NULL out — the documented
+    * jsonb_set footgun); scalar target errors; missing intermediate
+    * steps return the target unchanged; with create_if_missing an
+    * out-of-range positive index appends, negative prepends. */
+  case class PgJsonbSet(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_set"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if ((children.length == 3 || children.length == 4) &&
+        children(0).dataType == StringType && pathTypeOk(children(1).dataType) &&
+        children(2).dataType == StringType &&
+        (children.length == 3 || children(3).dataType == BooleanType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "jsonb_set(jsonb, text[], jsonb[, boolean])")
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+      if (!root.isContainerNode) throw new IllegalArgumentException(
+        "cannot set path in scalar")
+      val path = pathOf(vs(1), children(1).dataType)
+      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      val nv = parse(vs(2).asInstanceOf[UTF8String].toString).deepCopy[JsonNode]()
+      val create = if (children.length == 4) vs(3).asInstanceOf[Boolean] else true
+      val parent = walkParent(root, path)
+      val last = path(path.length - 1)
+      parent match {
+        case o: ObjectNode if last != null =>
+          if (o.has(last) || create) o.set(last, nv)
+        case a: ArrayNode =>
+          val idx = try last.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"path element at position ${path.length} is not an integer: \"$last\"")
+          }
+          val k = if (idx < 0) a.size() + idx else idx
+          if (k >= 0 && k < a.size()) a.set(k, nv)
+          else if (create) { if (idx < 0) a.insert(0, nv) else a.add(nv) }
+        case _ => // intermediate step missing → target unchanged
+      }
+      UTF8String.fromString(root.toString)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgJsonbSet = copy(children = newChildren)
+  }
+
+  /** jsonb_insert(target, path, new_value[, insert_after]) — array
+    * element: insert before (after if flag); object: only a NEW key
+    * ("cannot replace existing key"). STRICT like jsonb_set. */
+  case class PgJsonbInsert(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_insert"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if ((children.length == 3 || children.length == 4) &&
+        children(0).dataType == StringType && pathTypeOk(children(1).dataType) &&
+        children(2).dataType == StringType &&
+        (children.length == 3 || children(3).dataType == BooleanType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "jsonb_insert(jsonb, text[], jsonb[, boolean])")
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+      if (!root.isContainerNode) throw new IllegalArgumentException(
+        "cannot set path in scalar")
+      val path = pathOf(vs(1), children(1).dataType)
+      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      val nv = parse(vs(2).asInstanceOf[UTF8String].toString).deepCopy[JsonNode]()
+      val after = if (children.length == 4) vs(3).asInstanceOf[Boolean] else false
+      val parent = walkParent(root, path)
+      val last = path(path.length - 1)
+      parent match {
+        case o: ObjectNode if last != null =>
+          if (o.has(last)) throw new IllegalArgumentException(
+            "cannot replace existing key")
+          o.set(last, nv)
+        case a: ArrayNode =>
+          val idx = try last.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"path element at position ${path.length} is not an integer: \"$last\"")
+          }
+          val k0 = if (idx < 0) a.size() + idx else idx
+          val k = math.max(0, math.min(a.size(), if (after) k0 + 1 else k0))
+          a.insert(k, nv)
+        case _ => // intermediate step missing → target unchanged
+      }
+      UTF8String.fromString(root.toString)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgJsonbInsert = copy(children = newChildren)
+  }
+
+  /** jsonb_delete(target, key|index) — pg's `-` operator: text deletes
+    * an object key or ALL equal string array elements; integer deletes
+    * the array element at that index (negative from the end,
+    * out-of-range is a no-op). Deleting from a scalar errors; integer
+    * delete from an object errors (pg messages). */
+  case class PgJsonbDelete(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "jsonb_delete"
+
+    private def intRight: Boolean = right.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && (right.dataType == StringType || intRight))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("jsonb_delete(jsonb, text|integer)")
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val root = parse(l.asInstanceOf[UTF8String].toString)
+      if (!root.isContainerNode) throw new IllegalArgumentException(
+        "cannot delete from scalar")
+      if (intRight) {
+        if (!root.isArray) throw new IllegalArgumentException(
+          "cannot delete from object using integer index")
+        val a = root.asInstanceOf[ArrayNode]
+        val idx = r.asInstanceOf[Number].intValue()
+        val k = if (idx < 0) a.size() + idx else idx
+        if (k >= 0 && k < a.size()) a.remove(k)
+      } else {
+        val key = r.asInstanceOf[UTF8String].toString
+        root match {
+          case o: ObjectNode => o.remove(key)
+          case a: ArrayNode =>
+            var i = a.size() - 1
+            while (i >= 0) {
+              if (a.get(i).isTextual && a.get(i).textValue() == key) a.remove(i)
+              i -= 1
+            }
+          case _ =>
+        }
+      }
+      UTF8String.fromString(root.toString)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgJsonbDelete =
+      copy(left = l, right = r)
+  }
+
+  /** jsonb_delete_path(target, path text[]) — pg's `#-`. Missing paths
+    * are a no-op; scalar target errors. */
+  case class PgJsonbDeletePath(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "jsonb_delete_path"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && pathTypeOk(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("jsonb_delete_path(jsonb, text[])")
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val root = parse(l.asInstanceOf[UTF8String].toString)
+      if (!root.isContainerNode) throw new IllegalArgumentException(
+        "cannot delete path in scalar")
+      val path = pathOf(r, right.dataType)
+      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      val parent = walkParent(root, path)
+      val last = path(path.length - 1)
+      parent match {
+        case o: ObjectNode if last != null => o.remove(last)
+        case a: ArrayNode =>
+          val idx = try last.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"path element at position ${path.length} is not an integer: \"$last\"")
+          }
+          val k = if (idx < 0) a.size() + idx else idx
+          if (k >= 0 && k < a.size()) a.remove(k)
+        case _ =>
+      }
+      UTF8String.fromString(root.toString)
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PgJsonbDeletePath = copy(left = l, right = r)
+  }
+
+  /** jsonb_concat(a, b) — pg's jsonb `||`: object+object merges (RHS
+    * wins per key), array+array concatenates, and any non-array side
+    * of a mixed pair is wrapped as a single-element array (pg §9.45). */
+  case class PgJsonbConcat(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "jsonb_concat"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("jsonb_concat(jsonb, jsonb)")
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = parse(l.asInstanceOf[UTF8String].toString)
+      val b = parse(r.asInstanceOf[UTF8String].toString)
+      val out: JsonNode =
+        if (a.isObject && b.isObject) {
+          val o = a.deepCopy[ObjectNode]()
+          o.setAll(b.asInstanceOf[ObjectNode])
+          o
+        } else {
+          val arr = mapper.createArrayNode()
+          if (a.isArray) arr.addAll(a.asInstanceOf[ArrayNode]) else arr.add(a)
+          if (b.isArray) arr.addAll(b.asInstanceOf[ArrayNode]) else arr.add(b)
+          arr
+        }
+      UTF8String.fromString(out.toString)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgJsonbConcat =
+      copy(left = l, right = r)
+  }
+
+  /** jsonb_pretty(jsonb) — pg's printer: 4-space indent, `"key": v`,
+    * every container's closing bracket on its own line at the parent
+    * indent (so an empty object prints as `{\n}` — pg behavior). */
+  case class PgJsonbPretty(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "jsonb_pretty"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("jsonb_pretty(jsonb)")
+
+    private def indent(sb: java.lang.StringBuilder, level: Int): Unit = {
+      sb.append('\n')
+      var i = 0
+      while (i < level * 4) { sb.append(' '); i += 1 }
+    }
+
+    private def pp(sb: java.lang.StringBuilder, node: JsonNode, level: Int): Unit = {
+      if (node.isObject) {
+        sb.append('{')
+        val it = node.fields()
+        var first = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (!first) sb.append(',')
+          first = false
+          indent(sb, level + 1)
+          escapeTo(sb, e.getKey)
+          sb.append(": ")
+          pp(sb, e.getValue, level + 1)
+        }
+        indent(sb, level)
+        sb.append('}')
+      } else if (node.isArray) {
+        sb.append('[')
+        var i = 0
+        while (i < node.size()) {
+          if (i > 0) sb.append(',')
+          indent(sb, level + 1)
+          pp(sb, node.get(i), level + 1)
+          i += 1
+        }
+        indent(sb, level)
+        sb.append(']')
+      } else sb.append(node.toString)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val sb = new java.lang.StringBuilder(64)
+      pp(sb, parse(v.asInstanceOf[UTF8String].toString), 0)
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgJsonbPretty = copy(child = c)
+  }
+
+  /** json_each[_text](json) → array<struct<key,value>>; the pg
+    * original is set-returning with columns (key, value) — Compat
+    * rewrites the call to inline(json_each(x)). Non-objects error
+    * (pg: "cannot deconstruct a scalar / an array"). */
+  case class PgJsonEach(child: Expression, text: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = true))), containsNull = false)
+    override def prettyName: String = if (text) "json_each_text" else "json_each"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName(json)")
+
+    override def nullSafeEval(v: Any): Any = {
+      val node = parse(v.asInstanceOf[UTF8String].toString)
+      if (!node.isObject) throw new IllegalArgumentException(
+        if (node.isArray) "cannot deconstruct an array as an object"
+        else "cannot deconstruct a scalar")
+      val out = new Array[Any](node.size())
+      val it = node.fields()
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next()
+        val value =
+          if (text && e.getValue.isNull) null
+          else if (text && e.getValue.isTextual) UTF8String.fromString(e.getValue.textValue())
+          else UTF8String.fromString(e.getValue.toString)
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(e.getKey), value)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgJsonEach = copy(child = c)
+  }
+
+  /** json_object(text[]) / json_object(keys text[], values text[]) —
+    * build an object of string values from a flat k,v,k,v array, an
+    * array of [k,v] pairs, or two parallel arrays. Null keys error
+    * (pg); null values render as JSON null. */
+  case class PgJsonObject(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_object"
+
+    private def flatStringArray(dt: DataType): Boolean = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    private def pairArray(dt: DataType): Boolean = dt match {
+      case ArrayType(ArrayType(StringType, _), _) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = children.map(_.dataType) match {
+      case Seq(dt) if flatStringArray(dt) || pairArray(dt) => TypeCheckResult.TypeCheckSuccess
+      case Seq(a, b) if flatStringArray(a) && flatStringArray(b) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "json_object(text[]) or json_object(text[], text[])")
+    }
+
+    private def strAt(a: ArrayData, i: Int): String =
+      if (a.isNullAt(i)) null else a.getUTF8String(i).toString
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val o = mapper.createObjectNode()
+      def put(k: String, v: String): Unit = {
+        if (k == null) throw new IllegalArgumentException(
+          "null value not allowed for object key")
+        if (v == null) o.putNull(k) else o.put(k, v)
+      }
+      if (children.length == 2) {
+        val ks = vs(0).asInstanceOf[ArrayData]
+        val us = vs(1).asInstanceOf[ArrayData]
+        if (ks.numElements() != us.numElements()) throw new IllegalArgumentException(
+          "mismatched array dimensions")
+        var i = 0
+        while (i < ks.numElements()) { put(strAt(ks, i), strAt(us, i)); i += 1 }
+      } else children.head.dataType match {
+        case ArrayType(StringType, _) =>
+          val a = vs(0).asInstanceOf[ArrayData]
+          if (a.numElements() % 2 != 0) throw new IllegalArgumentException(
+            "array must have even number of elements")
+          var i = 0
+          while (i < a.numElements()) { put(strAt(a, i), strAt(a, i + 1)); i += 2 }
+        case _ =>
+          val a = vs(0).asInstanceOf[ArrayData]
+          var i = 0
+          while (i < a.numElements()) {
+            if (a.isNullAt(i)) throw new IllegalArgumentException(
+              "null value not allowed for object key")
+            val pair = a.getArray(i)
+            if (pair.numElements() != 2) throw new IllegalArgumentException(
+              "array must have two columns")
+            put(strAt(pair, 0), strAt(pair, 1))
+            i += 1
+          }
+      }
+      UTF8String.fromString(o.toString)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgJsonObject = copy(children = newChildren)
+  }
+
   // ---- registration ------------------------------------------------------
 
   private def info(name: String): ExpressionInfo =
@@ -575,7 +1043,36 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_strip_nulls"), info("json_strip_nulls"),
       (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),
     (FunctionIdentifier("jsonb_strip_nulls"), info("jsonb_strip_nulls"),
-      (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }))
+      (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),
+    (FunctionIdentifier("jsonb_set"), info("jsonb_set"),
+      (args: Seq[Expression]) => PgJsonbSet(args)),
+    (FunctionIdentifier("jsonb_insert"), info("jsonb_insert"),
+      (args: Seq[Expression]) => PgJsonbInsert(args)),
+    (FunctionIdentifier("jsonb_delete"), info("jsonb_delete"),
+      (args: Seq[Expression]) => { require(args.length == 2); PgJsonbDelete(args(0), args(1)) }),
+    (FunctionIdentifier("jsonb_delete_path"), info("jsonb_delete_path"),
+      (args: Seq[Expression]) => { require(args.length == 2)
+        PgJsonbDeletePath(args(0), args(1)) }),
+    (FunctionIdentifier("jsonb_concat"), info("jsonb_concat"),
+      (args: Seq[Expression]) => { require(args.length == 2); PgJsonbConcat(args(0), args(1)) }),
+    (FunctionIdentifier("jsonb_pretty"), info("jsonb_pretty"),
+      (args: Seq[Expression]) => { require(args.length == 1); PgJsonbPretty(args.head) }),
+    (FunctionIdentifier("json_each"), info("json_each"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonEach(args.head, text = false) }),
+    (FunctionIdentifier("json_each_text"), info("json_each_text"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonEach(args.head, text = true) }),
+    (FunctionIdentifier("jsonb_each"), info("jsonb_each"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonEach(args.head, text = false) }),
+    (FunctionIdentifier("jsonb_each_text"), info("jsonb_each_text"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonEach(args.head, text = true) }),
+    (FunctionIdentifier("json_object"), info("json_object"),
+      (args: Seq[Expression]) => PgJsonObject(args)),
+    (FunctionIdentifier("jsonb_object"), info("jsonb_object"),
+      (args: Seq[Expression]) => PgJsonObject(args)))
   // json_array_length and json_object_keys are Spark builtins with the
   // same names and compatible semantics — not re-registered here.
 

@@ -151,6 +151,52 @@ object PgMiscExpressions {
       copy(children = newChildren)
   }
 
+  /** pg 16 `array_sample(arr, n)` — n distinct elements in random
+    * order (partial Fisher–Yates). Errors when n is outside
+    * [0, length] (pg message). Volatile, like pg. */
+  case class PgArraySample(left: Expression, right: Expression)
+      extends BinaryExpression with Nondeterministic with CodegenFallback {
+    override def dataType: DataType = left.dataType
+    override def prettyName: String = "array_sample"
+
+    @transient private var rng: java.util.Random = _
+    override protected def initializeInternal(partitionIndex: Int): Unit =
+      rng = new java.util.Random(
+        scala.util.hashing.byteswap64(partitionIndex + 982451653L))
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (_: ArrayType, IntegerType | LongType | ShortType | ByteType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("array_sample(anyarray, integer)")
+    }
+
+    override protected def evalInternal(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val l = left.eval(input)
+      val r = right.eval(input)
+      if (l == null || r == null) return null
+      val et = left.dataType.asInstanceOf[ArrayType].elementType
+      val arr = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = r.asInstanceOf[Number].intValue()
+      val len = arr.numElements()
+      if (n < 0 || n > len) throw new IllegalArgumentException(
+        s"sample size must be between 0 and $len")
+      val pool = new Array[Any](len)
+      var i = 0
+      while (i < len) { pool(i) = if (arr.isNullAt(i)) null else arr.get(i, et); i += 1 }
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        val j = i + rng.nextInt(len - i)
+        out(i) = pool(j); pool(j) = pool(i)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgArraySample =
+      copy(left = l, right = r)
+  }
+
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(PgMiscExpressions.getClass.getName, name)
 
@@ -186,6 +232,17 @@ object PgMiscExpressions {
     }),
     (FunctionIdentifier("generate_subscripts"), info("generate_subscripts"), { args =>
       PgGenerateSubscripts(args)
+    }),
+    // pg 16 array randomizers (functions.md §Array P2): array_shuffle
+    // rides Spark's native Shuffle; array_sample is the pg partial
+    // Fisher–Yates with the pg range check
+    (FunctionIdentifier("array_shuffle"), info("array_shuffle"), { args =>
+      require(args.length == 1, "array_shuffle requires 1 argument")
+      Shuffle(args(0), None)
+    }),
+    (FunctionIdentifier("array_sample"), info("array_sample"), { args =>
+      require(args.length == 2, "array_sample requires 2 arguments")
+      PgArraySample(args(0), args(1))
     }))
 
   def install(spark: SparkSession): Unit = {

@@ -336,6 +336,89 @@ object PgStringExpressions {
       copy(left = l, right = r)
   }
 
+  // ---- unistr / unicode_assigned -----------------------------------------
+
+  /** pg `unistr(text)` — decode Unicode escapes: `\XXXX` (4 hex),
+    * `\+XXXXXX` (6 hex), `\uXXXX`, `\UXXXXXXXX`; `\\` is a literal
+    * backslash. Separately-written surrogate halves combine, as in pg. */
+  case class PgUnistr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "unistr"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("unistr(text)")
+
+    private def hex(s: String, from: Int, len: Int): Int = {
+      if (from + len > s.length) throw new IllegalArgumentException(
+        "invalid Unicode escape")
+      var v = 0
+      var i = from
+      while (i < from + len) {
+        val d = Character.digit(s.charAt(i), 16)
+        if (d < 0) throw new IllegalArgumentException("invalid Unicode escape")
+        v = (v << 4) | d
+        i += 1
+      }
+      v
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val out = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c != '\\') { out.append(c); i += 1 }
+        else if (i + 1 < s.length && s.charAt(i + 1) == '\\') { out.append('\\'); i += 2 }
+        else {
+          val (cp, used) = s.charAt(if (i + 1 < s.length) i + 1 else i) match {
+            case 'u' => (hex(s, i + 2, 4), 6)
+            case 'U' => (hex(s, i + 2, 8), 10)
+            case '+' => (hex(s, i + 2, 6), 8)
+            case _ => (hex(s, i + 1, 4), 5)
+          }
+          if (cp > 0x10FFFF) throw new IllegalArgumentException(
+            "invalid Unicode escape")
+          // append surrogate halves as chars so split pairs combine
+          if (cp < 0x10000) out.append(cp.toChar) else out.appendCodePoint(cp)
+          i += used
+        }
+      }
+      UTF8String.fromString(out.toString)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgUnistr = copy(child = c)
+  }
+
+  /** pg `unicode_assigned(text)` — true when every character is an
+    * assigned Unicode codepoint. */
+  case class PgUnicodeAssigned(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "unicode_assigned"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("unicode_assigned(text)")
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      var i = 0
+      var ok = true
+      while (ok && i < s.length) {
+        val cp = s.codePointAt(i)
+        ok = Character.isDefined(cp)
+        i += Character.charCount(cp)
+      }
+      ok
+    }
+
+    override protected def withNewChildInternal(c: Expression): PgUnicodeAssigned =
+      copy(child = c)
+  }
+
   // ---- registration ------------------------------------------------------
 
   private def info(name: String): ExpressionInfo =
@@ -388,6 +471,14 @@ object PgStringExpressions {
         case 2 => PgNormalize(args(0), args(1))
         case n => throw new IllegalArgumentException(s"normalize: $n args")
       }
+    }),
+    (FunctionIdentifier("unistr"), info("unistr"), { args =>
+      require(args.length == 1, "unistr requires 1 argument")
+      PgUnistr(args(0))
+    }),
+    (FunctionIdentifier("unicode_assigned"), info("unicode_assigned"), { args =>
+      require(args.length == 1, "unicode_assigned requires 1 argument")
+      PgUnicodeAssigned(args(0))
     }))
 
   /** Shadows `initcap`; adds the rest. Idempotent per session. */

@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>", "@>", "<@")
+  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -825,17 +825,22 @@ object Compat {
     */
   private def rewriteSetReturning(ts: ArrayBuffer[Tok]): Unit = {
     val wraps = Map(
-      "regexp_split_to_table" -> "regexp_split_to_array",
-      "string_to_table" -> "string_to_array",
+      "regexp_split_to_table" -> ("explode", "regexp_split_to_array"),
+      "string_to_table" -> ("explode", "string_to_array"),
       // json set-returning fns: the engine-side functions yield the
       // array form; explode restores pg's one-row-per-element shape
-      "json_array_elements" -> "json_array_elements",
-      "json_array_elements_text" -> "json_array_elements_text",
-      "jsonb_array_elements" -> "json_array_elements",
-      "jsonb_array_elements_text" -> "json_array_elements_text",
-      "json_object_keys" -> "json_object_keys",
-      "jsonb_object_keys" -> "json_object_keys",
-      "generate_subscripts" -> "generate_subscripts")
+      // (inline for the two-column key/value fns)
+      "json_array_elements" -> ("explode", "json_array_elements"),
+      "json_array_elements_text" -> ("explode", "json_array_elements_text"),
+      "jsonb_array_elements" -> ("explode", "json_array_elements"),
+      "jsonb_array_elements_text" -> ("explode", "json_array_elements_text"),
+      "json_object_keys" -> ("explode", "json_object_keys"),
+      "jsonb_object_keys" -> ("explode", "json_object_keys"),
+      "json_each" -> ("inline", "json_each"),
+      "json_each_text" -> ("inline", "json_each_text"),
+      "jsonb_each" -> ("inline", "json_each"),
+      "jsonb_each_text" -> ("inline", "json_each_text"),
+      "generate_subscripts" -> ("explode", "generate_subscripts"))
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
@@ -844,8 +849,9 @@ object Compat {
         if (open >= 0 && ts(open).is("(")) {
           val close = matchParen(ts, open)
           if (close > 0) {
+            val (gen, fn) = wraps(t.text.toLowerCase)
             ts.insert(close + 1, Tok(Word, ")"))
-            ts(i) = Tok(Word, "explode(" + wraps(t.text.toLowerCase))
+            ts(i) = Tok(Word, gen + "(" + fn)
           }
         }
       }
@@ -1044,10 +1050,12 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
-      if (t.kind == Op && (t.text == "@>" || t.text == "<@" || t.text == "?")) {
-        // containment / key-exists: wrap both operands in the
-        // type-dispatching function (pg_contains covers anyarray @>
-        // anyarray AND jsonb @> jsonb; `?` is jsonb_exists)
+      if (t.kind == Op && (t.text == "@>" || t.text == "<@" || t.text == "?" ||
+        t.text == "#-")) {
+        // containment / key-exists / path-delete: wrap both operands
+        // in the dispatching function (pg_contains covers anyarray @>
+        // anyarray AND jsonb @> jsonb; `?` is jsonb_exists; `#-` is
+        // jsonb_delete_path, whose rhs may be ARRAY[..] or '{a,b}')
         val rhs = nextIdx(ts, i)
         val p = prevIdx(ts, i)
         if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
@@ -1056,12 +1064,32 @@ object Compat {
           val fn = t.text match {
             case "@>" => "pg_contains"
             case "<@" => "pg_contained"
+            case "#-" => "jsonb_delete_path"
             case _ => "jsonb_exists"
           }
           var opIdx = i
           var rhs2 = rhs
           if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
             ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+          }
+          // a Word rhs may be a call or ARRAY[..] constructor — extend
+          // to the matching close so the whole value is wrapped
+          if (ts(rhs2).kind == Word) {
+            val nxt = nextIdx(ts, rhs2)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt)
+              if (close > 0) rhs2 = close
+            } else if (nxt >= 0 && ts(nxt).is("[")) {
+              var depth = 0
+              var j = nxt
+              var close = -1
+              while (j < ts.length && close < 0) {
+                if (ts(j).is("[")) depth += 1
+                else if (ts(j).is("]")) { depth -= 1; if (depth == 0) close = j }
+                j += 1
+              }
+              if (close > 0) rhs2 = close
+            }
           }
           ts.insert(rhs2 + 1, Tok(Op, ")"))
           ts(opIdx) = Tok(Op, ",")

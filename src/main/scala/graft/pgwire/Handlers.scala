@@ -291,7 +291,6 @@ object Handlers {
     val name = identText(toks(i))
     val cur = session.cursors.getOrElse(name,
       throw PgException("34000", s"""cursor "$name" does not exist"""))
-    cur.lastUsedMs = System.currentTimeMillis()
     // drain manually — Iterator.take would invalidate cur.it for the
     // next FETCH on the same cursor
     val drained = {
@@ -300,6 +299,10 @@ object Handlers {
       while (cur.it.hasNext && (all || k < count)) { buf += cur.it.next(); k += 1 }
       buf.toSeq
     }
+    // touch AFTER draining: pulling a partition can run a Spark job,
+    // and that time is activity, not idleness — the TTL clock starts
+    // when the FETCH completes
+    cur.lastUsedMs = System.currentTimeMillis()
     if (isMove) Complete(s"MOVE ${drained.length}")
     else RowSet(cur.schema, drained.iterator, n => s"FETCH $n")
   }

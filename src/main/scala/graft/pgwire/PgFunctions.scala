@@ -545,6 +545,20 @@ object PgFunctions {
       ProcDef("jsonb_exists", Seq(3802, T), B),
       ProcDef("pg_contains", Seq(2276, 2276), B),
       ProcDef("pg_contained", Seq(2276, 2276), B),
+      // json mutator slice (round 8): set/insert/delete/concat/pretty/
+      // each/object; 1009 = text[]
+      ProcDef("jsonb_set", Seq(3802, 1009, 3802, B), 3802),
+      ProcDef("jsonb_insert", Seq(3802, 1009, 3802, B), 3802),
+      ProcDef("jsonb_delete", Seq(3802, T), 3802),
+      ProcDef("jsonb_delete_path", Seq(3802, 1009), 3802),
+      ProcDef("jsonb_concat", Seq(3802, 3802), 3802),
+      ProcDef("jsonb_pretty", Seq(3802), T),
+      ProcDef("json_each", Seq(114), 2249),
+      ProcDef("json_each_text", Seq(114), 2249),
+      ProcDef("jsonb_each", Seq(3802), 2249),
+      ProcDef("jsonb_each_text", Seq(3802), 2249),
+      ProcDef("json_object", Seq(1009), 114),
+      ProcDef("jsonb_object", Seq(1009), 3802),
       ProcDef("json_agg", Seq(2276), 114, kind = "a"),
       ProcDef("json_object_agg", Seq(2276, 2276), 114, kind = "a"),
       ProcDef("ordered_json_agg", Seq(T, T), T, kind = "a"),

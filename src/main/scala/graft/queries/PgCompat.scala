@@ -623,5 +623,38 @@ object PgCompat {
             |  UNION ALL
             |  SELECT event_id, 'key' AS src, explode(json_object_keys(props)) AS v
             |  FROM events)""".stripMargin), "event_id", "src", "v") })
+    },
+
+    // json mutator slice (round 8): jsonb_set/insert/delete[_path]/
+    // concat/pretty/json_object. DuckDB has no jsonb mutators, so the
+    // oracle composes each expected string independently from scalar
+    // primitives (the q112 convention) — a construction-vs-mutation
+    // cross-check, not a same-function echo
+    Q.df("q115_jsonb_mutators",
+      """SELECT event_id,
+        |  '{"id":' || event_id || ',"k":' || (event_id % 7) || '}' AS s1,
+        |  '{"id":' || event_id || ',"t":' || to_json(event_type)::VARCHAR || '}' AS s2,
+        |  '[1,' || (event_id % 5) || ',2,3]' AS ins,
+        |  '{"a":1,"b":' || event_id || '}' AS cat,
+        |  '{"t":' || to_json(event_type)::VARCHAR || '}' AS del,
+        |  '{"a":{"c":' || event_id || '}}' AS delp,
+        |  '{' || chr(10) || '    "k": ' || event_id || chr(10) || '}' AS pretty,
+        |  '{"t":' || to_json(event_type)::VARCHAR || '}' AS jo
+        |FROM events ORDER BY event_id""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("events").orderBy("event_id").selectExpr(
+          "event_id",
+          "jsonb_set(json_build_object('id', event_id, 'k', 1), array('k'), " +
+            "to_jsonb(event_id % 7)) AS s1",
+          "jsonb_set(json_build_object('id', event_id), array('t'), " +
+            "to_jsonb(event_type), true) AS s2",
+          "jsonb_insert(json_build_array(1, 2, 3), array('1'), " +
+            "to_jsonb(event_id % 5)) AS ins",
+          "jsonb_concat(json_build_object('a', 1), json_build_object('b', event_id)) AS cat",
+          "jsonb_delete(json_build_object('a', 1, 't', event_type), 'a') AS del",
+          "jsonb_delete_path(json_build_object('a', " +
+            "json_build_object('b', 1, 'c', event_id)), array('a','b')) AS delp",
+          "jsonb_pretty(json_build_object('k', event_id)) AS pretty",
+          "json_object(array('t', event_type)) AS jo") })
     })
 }

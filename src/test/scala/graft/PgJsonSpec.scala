@@ -33,6 +33,14 @@ class PgJsonSpec extends SparkSpec {
     assert(one("""json_build_object('p', 'a\\b')""") === """{"p":"a\\b"}""")
     // date renders ISO-quoted
     assert(one("json_build_array(DATE '2026-08-13')") === """["2026-08-13"]""")
+    // a json-producing argument embeds raw (pg: json-typed arg);
+    // a plain string still quotes (pg: text arg without ::json)
+    assert(one("json_build_object('a', json_build_object('b', 1))") ===
+      """{"a":{"b":1}}""")
+    assert(one("json_build_array(json_build_array(1, 2), '[3]')") ===
+      """[[1,2],"[3]"]""")
+    assert(one("json_build_object('a', jsonb_set('{\"x\":1}', array('x'), '2'))") ===
+      """{"a":{"x":2}}""")
     // null key errors like pg
     val e = intercept[Exception](one("json_build_object(CAST(NULL AS STRING), 1)"))
     assert(e.getMessage.contains("cannot be null"))
@@ -154,6 +162,121 @@ class PgJsonSpec extends SparkSpec {
     val v = spark.sql(graft.pgwire.Compat.rewrite(
       """SELECT '{"k": [1, 2]}' @> '{"k": [2]}' AS r""")).collect()(0).getBoolean(0)
     assert(v)
+  }
+
+  test("jsonb_set: replace, create, negative index, strict nulls, pg errors") {
+    // pg docs examples, compact rendering
+    assert(one("""jsonb_set('[{"f1":1,"f2":null},2,null,3]', array('0','f1'), '[2,3,4]')""") ===
+      """[{"f1":[2,3,4],"f2":null},2,null,3]""")
+    assert(one("""jsonb_set('[{"f1":1,"f2":null},2]', array('0','f3'), '[2,3,4]')""") ===
+      """[{"f1":1,"f2":null,"f3":[2,3,4]},2]""")
+    // create_if_missing=false leaves the target unchanged
+    assert(one("""jsonb_set('{"a":1}', array('b'), '2', false)""") === """{"a":1}""")
+    assert(one("""jsonb_set('{"a":1}', array('b'), '2', true)""") === """{"a":1,"b":2}""")
+    // array index: in-range replaces, negative counts from end,
+    // out-of-range appends (positive) / prepends (negative)
+    assert(one("""jsonb_set('[1,2,3]', array('1'), '9')""") === "[1,9,3]")
+    assert(one("""jsonb_set('[1,2,3]', array('-1'), '9')""") === "[1,2,9]")
+    assert(one("""jsonb_set('[1,2,3]', array('7'), '9')""") === "[1,2,3,9]")
+    assert(one("""jsonb_set('[1,2,3]', array('-7'), '9')""") === "[9,1,2,3]")
+    // missing intermediate step → unchanged
+    assert(one("""jsonb_set('{"a":1}', array('x','y'), '2')""") === """{"a":1}""")
+    // pg literal '{a,b}' path shape also accepted
+    assert(one("""jsonb_set('{"a":{"b":1}}', '{a,b}', '5')""") === """{"a":{"b":5}}""")
+    // STRICT: SQL NULL new_value → SQL NULL (the documented footgun)
+    assert(one("""jsonb_set('{"a":1}', array('a'), CAST(NULL AS STRING))""") === null)
+    // scalar target errors
+    val e = intercept[Exception](one("""jsonb_set('5', array('a'), '1')"""))
+    assert(e.getMessage.contains("cannot set path in scalar"))
+  }
+
+  test("jsonb_insert: before/after, object new-key only") {
+    assert(one("""jsonb_insert('{"a":[0,1,2]}', array('a','1'), '"new"')""") ===
+      """{"a":[0,"new",1,2]}""")
+    assert(one("""jsonb_insert('{"a":[0,1,2]}', array('a','1'), '"new"', true)""") ===
+      """{"a":[0,1,"new",2]}""")
+    assert(one("""jsonb_insert('[1,2]', array('-1'), '9')""") === "[1,9,2]")
+    assert(one("""jsonb_insert('{"a":1}', array('b'), '2')""") === """{"a":1,"b":2}""")
+    val e = intercept[Exception](one("""jsonb_insert('{"a":1}', array('a'), '2')"""))
+    assert(e.getMessage.contains("cannot replace existing key"))
+  }
+
+  test("jsonb_delete / jsonb_delete_path and the #- operator") {
+    assert(one("""jsonb_delete('{"a":1,"b":2}', 'a')""") === """{"b":2}""")
+    // array: ALL equal string elements go
+    assert(one("""jsonb_delete('["a","b","a"]', 'a')""") === """["b"]""")
+    // integer index, negative from end, out-of-range no-op
+    assert(one("""jsonb_delete('[1,2,3]', 1)""") === "[1,3]")
+    assert(one("""jsonb_delete('[1,2,3]', -1)""") === "[1,2]")
+    assert(one("""jsonb_delete('[1,2,3]', 9)""") === "[1,2,3]")
+    val e1 = intercept[Exception](one("""jsonb_delete('{"a":1}', 0)"""))
+    assert(e1.getMessage.contains("integer index"))
+    val e2 = intercept[Exception](one("""jsonb_delete('"x"', 'x')"""))
+    assert(e2.getMessage.contains("cannot delete from scalar"))
+    // path delete: pg doc example + missing path no-op
+    assert(one("""jsonb_delete_path('["a",{"b":1,"c":2}]', array('1','b'))""") ===
+      """["a",{"c":2}]""")
+    assert(one("""jsonb_delete_path('{"a":1}', array('x','y'))""") === """{"a":1}""")
+    // the #- operator rewrites with both rhs shapes
+    assert(graft.pgwire.Compat.rewrite("SELECT j #- '{1,b}' FROM t") ===
+      "SELECT jsonb_delete_path(j, '{1,b}') FROM t")
+    // the ARRAY[..] constructor is itself normalized by the array
+    // rewrite pass, so the rhs lands as array('a','b')
+    assert(graft.pgwire.Compat.rewrite("SELECT j #- ARRAY['a','b'] FROM t") ===
+      "SELECT jsonb_delete_path(j, array('a','b')) FROM t")
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val v = spark.sql(graft.pgwire.Compat.rewrite(
+      """SELECT '{"a":{"b":1},"c":2}' #- '{a,b}' AS r""")).collect()(0).getString(0)
+    assert(v === """{"a":{},"c":2}""")
+  }
+
+  test("jsonb_concat follows pg §9.45 shape rules") {
+    assert(one("""jsonb_concat('{"a":1,"b":2}', '{"b":3,"c":4}')""") ===
+      """{"a":1,"b":3,"c":4}""")
+    assert(one("""jsonb_concat('[1,2]', '[3,4]')""") === "[1,2,3,4]")
+    assert(one("""jsonb_concat('[1,2]', '3')""") === "[1,2,3]")
+    assert(one("""jsonb_concat('{"a":1}', '[2]')""") === """[{"a":1},2]""")
+    assert(one("""jsonb_concat('1', '2')""") === "[1,2]")
+  }
+
+  test("jsonb_pretty prints the pg 4-space layout") {
+    assert(one("""jsonb_pretty('{"a":1,"b":[1,2],"c":{"d":"x"}}')""") ===
+      "{\n    \"a\": 1,\n    \"b\": [\n        1,\n        2\n    ],\n    " +
+        "\"c\": {\n        \"d\": \"x\"\n    }\n}")
+    assert(one("jsonb_pretty('{}')") === "{\n}")
+    assert(one("jsonb_pretty('5')") === "5")
+  }
+
+  test("json_each[_text] deconstructs objects; Compat inlines the set form") {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT inline(json_each('{"a":"x","b":[1],"z":null}'))""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "\"x\""), ("b", "[1]"), ("z", "null")))
+    val rowsT = spark.sql(
+      """SELECT inline(json_each_text('{"a":"x","z":null}'))""").collect()
+    assert(rowsT.map(r => (r.getString(0), Option(r.getString(1)).orNull)).toSeq ===
+      Seq(("a", "x"), ("z", null)))
+    assert(graft.pgwire.Compat.rewrite("SELECT json_each(j) FROM t")
+      .contains("inline(json_each"))
+    assert(graft.pgwire.Compat.rewrite("SELECT jsonb_each_text(j) FROM t")
+      .contains("inline(json_each_text"))
+    val e = intercept[Exception](one("json_each('[1]')"))
+    assert(e.getMessage.contains("cannot deconstruct"))
+  }
+
+  test("json_object builds from flat, pair, and two-array shapes") {
+    assert(one("json_object(array('a','1','b','2'))") === """{"a":"1","b":"2"}""")
+    assert(one("json_object(array(array('a','1'),array('b','2')))") ===
+      """{"a":"1","b":"2"}""")
+    assert(one("json_object(array('k','v'), array('a','b'))") ===
+      """{"k":"a","v":"b"}""")
+    assert(one("json_object(array('a'), array(CAST(NULL AS STRING)))") ===
+      """{"a":null}""")
+    val e = intercept[Exception](one("json_object(array('a','1','b'))"))
+    assert(e.getMessage.contains("even number"))
+    val e2 = intercept[Exception](one("json_object(array('a'), array('1','2'))"))
+    assert(e2.getMessage.contains("mismatched array dimensions"))
   }
 
   test("#> and #>> path operators rewrite through Compat") {

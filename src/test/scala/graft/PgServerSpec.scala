@@ -274,13 +274,13 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     val c = connect()
     // default (TTL off) matches the reference: drop on CLOSE/disconnect
     assert(c.query("SHOW graft.cursor_ttl").errors.head._1 === "42704")
-    assert(c.query("SET graft.cursor_ttl = '150ms'").tags === Seq("SET"))
-    assert(c.query("SHOW graft.cursor_ttl").rows.head.head === Some("150ms"))
+    assert(c.query("SET graft.cursor_ttl = '400ms'").tags === Seq("SET"))
+    assert(c.query("SHOW graft.cursor_ttl").rows.head.head === Some("400ms"))
     assert(c.query("DECLARE curttl CURSOR FOR SELECT id FROM t7 ORDER BY id").tags ===
       Seq("DECLARE CURSOR"))
     // a FETCH inside the TTL window succeeds and refreshes the clock
     assert(c.query("FETCH 1 FROM curttl").rows.map(_.head.get) === Seq("0"))
-    Thread.sleep(300)
+    Thread.sleep(900)
     // idle past the TTL: the next dispatch sweeps it; FETCH sees 34000
     assert(c.query("FETCH 1 FROM curttl").errors.head._1 === "34000")
     // a fresh cursor under an active TTL still works end-to-end
