@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@")
+  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -73,14 +73,22 @@ object Compat {
           else i += 1
         }
         val raw = sql.substring(s, i)
-        out += Tok(Str, if (escaped) raw.substring(1) else raw)
+        // pg standard strings ('...') hold backslashes LITERALLY;
+        // Spark's parser escape-processes them. Double them so the
+        // engine restores the client's bytes. E'...' bodies stay
+        // verbatim — Spark's escape set approximates pg's E-escapes.
+        out += Tok(Str,
+          if (escaped) raw.substring(1)
+          else if (raw.indexOf('\\') >= 0) raw.replace("\\", "\\\\")
+          else raw)
       } else if (c == '$' && peek(1) == '$') {
         // dollar-quoted string $$...$$ → plain string literal
+        // (literal text: backslashes doubled for the Spark parser)
         val close = sql.indexOf("$$", i + 2)
         val end = if (close < 0) n else close + 2
         val body = sql.substring(i + 2, if (close < 0) n else close)
         i = end
-        out += Tok(Str, "'" + body.replace("'", "''") + "'")
+        out += Tok(Str, "'" + body.replace("\\", "\\\\").replace("'", "''") + "'")
       } else if (c == '"') {
         val s = i; i += 1
         while (i < n && sql.charAt(i) != '"') i += 1
@@ -840,7 +848,10 @@ object Compat {
       "json_each_text" -> ("inline", "json_each_text"),
       "jsonb_each" -> ("inline", "json_each"),
       "jsonb_each_text" -> ("inline", "json_each_text"),
-      "generate_subscripts" -> ("explode", "generate_subscripts"))
+      "generate_subscripts" -> ("explode", "generate_subscripts"),
+      // jsonb_path_query is set-returning in pg; the engine-side
+      // expression yields text[] of the matched items
+      "jsonb_path_query" -> ("explode", "jsonb_path_query"))
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
@@ -920,12 +931,16 @@ object Compat {
             val hasEscape = escKw >= 0 && ts(escKw).kind == Word &&
               ts(escKw).text.equalsIgnoreCase("ESCAPE") &&
               escLit >= 0 && ts(escLit).kind == Str
+            // token text is Spark-encoded (tokenize doubled literal
+            // backslashes) — collapse when INTERPRETING the content
             if (hasEscape) {
-              val inner = ts(escLit).text.drop(1).dropRight(1).replace("''", "'")
+              val inner = ts(escLit).text.drop(1).dropRight(1)
+                .replace("''", "'").replace("\\\\", "\\")
               esc = inner.headOption
             }
             if (ts(patIdx).kind == Str) {
-              val inner = ts(patIdx).text.drop(1).dropRight(1).replace("''", "'")
+              val inner = ts(patIdx).text.drop(1).dropRight(1)
+                .replace("''", "'").replace("\\\\", "\\")
               val translated = PgFunctions.similarEscape(inner, esc)
               ts(patIdx) = Tok(Str,
                 "'" + translated.replace("\\", "\\\\").replace("'", "''") + "'")
@@ -1051,7 +1066,7 @@ object Compat {
     while (i < ts.length) {
       val t = ts(i)
       if (t.kind == Op && (t.text == "@>" || t.text == "<@" || t.text == "?" ||
-        t.text == "#-")) {
+        t.text == "#-" || t.text == "@?" || t.text == "@@")) {
         // containment / key-exists / path-delete: wrap both operands
         // in the dispatching function (pg_contains covers anyarray @>
         // anyarray AND jsonb @> jsonb; `?` is jsonb_exists; `#-` is
@@ -1065,6 +1080,8 @@ object Compat {
             case "@>" => "pg_contains"
             case "<@" => "pg_contained"
             case "#-" => "jsonb_delete_path"
+            case "@?" => "jsonb_path_exists"
+            case "@@" => "jsonb_path_match"
             case _ => "jsonb_exists"
           }
           var opIdx = i

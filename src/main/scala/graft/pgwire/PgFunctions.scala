@@ -484,6 +484,8 @@ object PgFunctions {
       ProcDef("timezone", Seq(T, 1184), 1114),
       ProcDef("isfinite", Seq(1114), B),
       ProcDef("pg_sleep", Seq(F8), T, volatile = true),
+      ProcDef("pg_sleep_for", Seq(1186), T, volatile = true),
+      ProcDef("pg_sleep_until", Seq(1184), T, volatile = true),
       // string pack (PgStringExpressions + wrappers; functions.md §String)
       ProcDef("format", Seq(T), T),
       ProcDef("num_nonnulls", Seq(2276), I4),
@@ -492,6 +494,10 @@ object PgFunctions {
       ProcDef("regexp_split_to_array", Seq(T, T), TARR),
       ProcDef("regexp_matches", Seq(T, T), TARR),
       ProcDef("normalize", Seq(T, T), T),
+      ProcDef("unistr", Seq(T), T),
+      ProcDef("unicode_assigned", Seq(T), B),
+      ProcDef("array_sample", Seq(2277, I4), 2277, volatile = true),
+      ProcDef("array_shuffle", Seq(2277), 2277, volatile = true),
       ProcDef("quote_literal", Seq(T), T),
       ProcDef("quote_nullable", Seq(T), T),
       ProcDef("casefold", Seq(T), T),
@@ -559,6 +565,12 @@ object PgFunctions {
       ProcDef("jsonb_each_text", Seq(3802), 2249),
       ProcDef("json_object", Seq(1009), 114),
       ProcDef("jsonb_object", Seq(1009), 3802),
+      // SQL/JSON path family (PgJsonPathExpressions); 4072 = jsonpath
+      ProcDef("jsonb_path_exists", Seq(3802, 4072, 3802, B), B),
+      ProcDef("jsonb_path_match", Seq(3802, 4072, 3802, B), B),
+      ProcDef("jsonb_path_query", Seq(3802, 4072, 3802, B), 3802),
+      ProcDef("jsonb_path_query_array", Seq(3802, 4072, 3802, B), 3802),
+      ProcDef("jsonb_path_query_first", Seq(3802, 4072, 3802, B), 3802),
       ProcDef("json_agg", Seq(2276), 114, kind = "a"),
       ProcDef("json_object_agg", Seq(2276, 2276), 114, kind = "a"),
       ProcDef("ordered_json_agg", Seq(T, T), T, kind = "a"),
@@ -694,6 +706,7 @@ object PgFunctions {
     graft.functions.PgFormatExpressions.install(spark)
     graft.functions.PgStringExpressions.install(spark)
     graft.functions.PgJsonExpressions.install(spark)
+    graft.functions.PgJsonPathExpressions.install(spark)
     graft.functions.PgAggregates.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
@@ -714,6 +727,20 @@ object PgFunctions {
       if (secs != null && secs.doubleValue() > 0)
         Thread.sleep(math.min(secs.doubleValue() * 1000.0, 60000.0).toLong)
       "" // pg returns void; empty text is the closest wire rendering
+    }).asNondeterministic()
+    // interval / until forms (functions.md §Date/Time P2); same 60 s
+    // safety cap as pg_sleep — a SELECT must not pin an executor
+    u.register("pg_sleep_for", (d: java.time.Duration) => {
+      if (d != null && !d.isNegative && !d.isZero)
+        Thread.sleep(math.min(d.toMillis, 60000L))
+      ""
+    }).asNondeterministic()
+    u.register("pg_sleep_until", (ts: java.time.Instant) => {
+      if (ts != null) {
+        val ms = ts.toEpochMilli - System.currentTimeMillis()
+        if (ms > 0) Thread.sleep(math.min(ms, 60000L))
+      }
+      ""
     }).asNondeterministic()
 
     // string pack (functions.md §String; quote_literal per pg docs §9.4,

@@ -656,5 +656,68 @@ object PgCompat {
             "json_build_object('b', 1, 'c', event_id)), array('a','b')) AS delp",
           "jsonb_pretty(json_build_object('k', event_id)) AS pretty",
           "json_object(array('t', event_type)) AS jo") })
+    },
+
+    // unistr / normalize / unicode_assigned plus the volatile array
+    // randomizers: randomness is gated on its deterministic LAWS
+    // (sample size, distinctness, shuffle-is-permutation) — the values
+    // themselves are volatile by spec, exactly as in pg
+    Q.df("q116_unicode_sample",
+      """SELECT p_partkey,
+        |  'h' || p_name AS uni,
+        |  nfc_normalize('e' || chr(769)) || p_name AS nrm,
+        |  TRUE AS ua,
+        |  least(2, len(string_split(p_name, ' '))) AS ss,
+        |  TRUE AS perm,
+        |  TRUE AS dis
+        |FROM part ORDER BY p_partkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("part").orderBy("p_partkey").selectExpr(
+          "p_partkey",
+          """unistr('\\0068') || p_name AS uni""",
+          """normalize(unistr('e\\0301') || p_name) AS nrm""",
+          "unicode_assigned(p_name) AS ua",
+          "CAST(size(array_sample(split(p_name, ' '), " +
+            "least(2, size(split(p_name, ' '))))) AS BIGINT) AS ss",
+          "array_sort(array_shuffle(split(p_name, ' '))) = " +
+            "array_sort(split(p_name, ' ')) AS perm",
+          "size(array_distinct(array_sample(sequence(1, 10), 5))) = 5 AS dis") })
+    },
+
+    // SQL/JSON path family (PgJsonPathExpressions): filters with vars,
+    // query_array/first, match, size(), and the real events.props
+    // column; the DuckDB oracle recomputes each path's meaning from
+    // list/json primitives (the q112 convention)
+    Q.df("q117_jsonpath",
+      """SELECT event_id,
+        |  (event_id % 5 >= 4 OR event_id % 7 >= 4) AS ex,
+        |  to_json(list_filter([event_id % 3, event_id % 5, event_id % 7],
+        |    x -> x > 1))::VARCHAR AS arr,
+        |  CAST(list_filter([event_id % 3, event_id % 5, event_id % 7],
+        |    x -> x > 1)[1] AS VARCHAR) AS fst,
+        |  (event_id % 2 = 0) AS mt,
+        |  to_json(event_type)::VARCHAR AS typ,
+        |  '3' AS sz,
+        |  json_extract(props, '$.k')::VARCHAR AS k,
+        |  (json_extract(props, '$.k')::INT > 50) AS kx
+        |FROM events ORDER BY event_id""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("events").orderBy("event_id").selectExpr(
+          "event_id",
+          "jsonb_path_exists(json_build_object('vals', json_build_array(" +
+            "event_id % 3, event_id % 5, event_id % 7)), " +
+            "'$.vals[*] ? (@ >= $m)', '{\"m\":4}') AS ex",
+          "jsonb_path_query_array(json_build_object('vals', json_build_array(" +
+            "event_id % 3, event_id % 5, event_id % 7)), " +
+            "'$.vals[*] ? (@ > 1)') AS arr",
+          "jsonb_path_query_first(json_build_object('vals', json_build_array(" +
+            "event_id % 3, event_id % 5, event_id % 7)), " +
+            "'$.vals[*] ? (@ > 1)') AS fst",
+          "jsonb_path_match(json_build_object('id', event_id), '$.id % 2 == 0') AS mt",
+          "jsonb_path_query_first(json_build_object('t', event_type), '$.t') AS typ",
+          "jsonb_path_query_first(json_build_object('vals', json_build_array(" +
+            "event_id % 3, event_id % 5, event_id % 7)), '$.vals.size()') AS sz",
+          "jsonb_path_query_first(props, '$.k') AS k",
+          "jsonb_path_exists(props, '$.k ? (@ > 50)') AS kx") })
     })
 }

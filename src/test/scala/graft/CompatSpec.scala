@@ -193,6 +193,33 @@ class CompatSpec extends AnyFunSuite {
       "SELECT aggregate(a, 0, (acc, x) -> acc + x) FROM t")
   }
 
+  test("jsonpath operators @? / @@ and set-returning jsonb_path_query") {
+    assert(Compat.rewrite("SELECT data @? '$.a[*] ? (@ > 2)' FROM t") ===
+      "SELECT jsonb_path_exists(data, '$.a[*] ? (@ > 2)') FROM t")
+    assert(Compat.rewrite("SELECT data @@ '$.a == 1' FROM t") ===
+      "SELECT jsonb_path_match(data, '$.a == 1') FROM t")
+    // set-returning form explodes the text[] of matches
+    assert(Compat.rewrite("SELECT jsonb_path_query(data, '$.a[*]') FROM t") ===
+      "SELECT explode(jsonb_path_query(data, '$.a[*]')) FROM t")
+  }
+
+  test("pg standard strings keep backslashes literally (doubled for Spark)") {
+    // pg '...' holds backslashes literally; Spark's parser would eat
+    // them, so the tokenizer doubles. Regex operators now carry their
+    // patterns intact through ~ / !~ → rlike.
+    assert(Compat.rewrite("""SELECT 'a\d+'""") === """SELECT 'a\\d+'""")
+    assert(Compat.rewrite("""SELECT name FROM t WHERE name ~ '^\d{3}'""") ===
+      """SELECT name FROM t WHERE name RLIKE '^\\d{3}'""")
+    // E'...' bodies stay verbatim: Spark's escape set serves them
+    assert(Compat.rewrite("""SELECT E'a\nb'""") === """SELECT 'a\nb'""")
+    // dollar-quoted text is literal text
+    assert(Compat.rewrite("""SELECT $$a\b$$""") === """SELECT 'a\\b'""")
+    // SIMILAR TO translation interprets the pg bytes, then re-encodes:
+    // \% is a literal percent, not a wildcard
+    assert(Compat.rewrite("""SELECT x SIMILAR TO '10\%' FROM t""") ===
+      """SELECT x RLIKE '^(?:10%)$' FROM t""")
+  }
+
   test("EXTRACT(EPOCH) rewrite keeps Op parens balanced for later passes") {
     // The epoch rewrite hides 4 opens in its prefix Word and 4 closes in
     // its suffix Word, but the original Op '(' / Op ')' pair must stay so

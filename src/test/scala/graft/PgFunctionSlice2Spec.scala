@@ -182,6 +182,51 @@ class PgFunctionSlice2Spec extends SparkSpec {
     assert(PgFunctions.procOid.contains("percentile_cont"))
   }
 
+  test("unistr decodes all four escape shapes; unicode_assigned probes") {
+    // Spark's SQL literals escape-process backslashes, so each pg
+    // backslash is doubled here; unistr receives the single form
+    val r = one(
+      """SELECT unistr('d\\0061t\\+000061') AS a,
+        |  unistr('dat\\U00000061') AS b,
+        |  unistr('\\+01F600') AS emoji,
+        |  unistr('a\\\\b') AS bs,
+        |  unistr('\\D83D\\DE00') AS surrogates,
+        |  unicode_assigned('data') AS ok,
+        |  unicode_assigned(unistr('\\+10FFFE')) AS bad""".stripMargin)
+    assert(r.getString(0) === "data")
+    assert(r.getString(1) === "data")
+    assert(r.getString(2) === new String(Character.toChars(0x1F600)))
+    assert(r.getString(3) === "a\\b")
+    // split surrogate pair combines, as in pg
+    assert(r.getString(4) === new String(Character.toChars(0x1F600)))
+    assert(r.getBoolean(5))
+    assert(!r.getBoolean(6))
+    val e = intercept[Exception](one("SELECT unistr('\\\\00zz')"))
+    assert(e.getMessage.contains("invalid Unicode escape"))
+  }
+
+  test("array_sample / array_shuffle: pg range check + permutation laws") {
+    val r = one(
+      """SELECT array_sample(sequence(1, 10), 4) AS samp,
+        |  array_shuffle(sequence(1, 6)) AS shuf,
+        |  array_sample(array(1, 2), 0) AS empty""".stripMargin)
+    val samp = r.getSeq[Int](0)
+    assert(samp.length === 4 && samp.distinct.length === 4 &&
+      samp.forall(v => v >= 1 && v <= 10))
+    assert(r.getSeq[Int](1).sorted === Seq(1, 2, 3, 4, 5, 6))
+    assert(r.getSeq[Int](2) === Seq.empty)
+    val e = intercept[Exception](one("SELECT array_sample(array(1, 2), 5)"))
+    assert(e.getMessage.contains("sample size must be between 0 and 2"))
+  }
+
+  test("pg_sleep_for / pg_sleep_until accept interval and timestamp") {
+    val t0 = System.nanoTime()
+    one("SELECT pg_sleep_for(INTERVAL '0.2' SECOND) AS s")
+    assert((System.nanoTime() - t0) / 1e9 >= 0.15)
+    // a past timestamp returns immediately
+    one("SELECT pg_sleep_until(TIMESTAMP '2000-01-01 00:00:00') AS s")
+  }
+
   test("array_fill / trim_array / every / variance") {
     val r = one(
       """SELECT array_fill(7, array(3)) AS af,
