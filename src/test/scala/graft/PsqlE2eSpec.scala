@@ -1,0 +1,148 @@
+package graft
+
+import scala.sys.process._
+
+/** End-to-end test with a REAL PostgreSQL client: the `psql` binary
+  * (libpq) from the container's PostgreSQL 15 installation, driven
+  * against the in-process server. This is the live-client coverage
+  * the reference gets from its integration suite
+  * (`tests-integration/test_csv.py` runs psql-style clients over a
+  * socket); every byte on the wire here is produced and consumed by
+  * stock libpq, not by our own test client.
+  *
+  * Cancels (does not fail) when no psql binary is installed.
+  */
+class PsqlE2eSpec extends SparkSpec {
+
+  private lazy val psqlPath: Option[String] =
+    Seq("/usr/bin/psql", "/usr/local/bin/psql").find(p => new java.io.File(p).canExecute)
+
+  /** Run psql -X (no rc file) unaligned tuples-only against the
+    * server; returns (exit code, stdout, stderr). */
+  private def psql(port: Int, sql: String, extraArgs: Seq[String] = Nil): (Int, String, String) = {
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val cmd = Seq(psqlPath.get, "-X", "-A", "-t", "-h", "127.0.0.1",
+      "-p", port.toString, "-U", "postgres", "-d", "postgres",
+      "-v", "ON_ERROR_STOP=1") ++ extraArgs ++ Seq("-c", sql)
+    val code = Process(cmd, None, "PGCONNECT_TIMEOUT" -> "10")
+      .!(ProcessLogger(s => { out ++= s; out += '\n' }, s => { err ++= s; err += '\n' }))
+    (code, out.toString, err.toString)
+  }
+
+  /** Pipe a multi-line psql script via stdin — the only way psql
+    * processes inline meta-commands like \bind. */
+  private def psqlScript(port: Int, script: String): (Int, String, String) = {
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val cmd = Seq(psqlPath.get, "-X", "-A", "-t", "-h", "127.0.0.1",
+      "-p", port.toString, "-U", "postgres", "-d", "postgres",
+      "-v", "ON_ERROR_STOP=1")
+    val in = new java.io.ByteArrayInputStream(script.getBytes("UTF-8"))
+    val code = (Process(cmd, None, "PGCONNECT_TIMEOUT" -> "10") #< in)
+      .!(ProcessLogger(s => { out ++= s; out += '\n' }, s => { err ++= s; err += '\n' }))
+    (code, out.toString, err.toString)
+  }
+
+  private def withServer(f: Int => Unit): Unit = {
+    val (_, server) = Cli.serve(Array(
+      "--parquet", "nation:/root/testdata/sf0.001/nation.parquet",
+      "--parquet", "region:/root/testdata/sf0.001/region.parquet",
+      "--host", "127.0.0.1", "-p", "0"))
+    try f(server.boundPort) finally server.stop()
+  }
+
+  test("psql: simple query round-trips typed values") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port, "SELECT 1 AS one")
+      assert(c1 === 0, e1)
+      assert(o1.trim === "1")
+      val (c2, o2, _) = psql(port,
+        "SELECT 42::int8 AS i, 'txt' AS t, 1.5::float8 AS f, true AS b, " +
+          "NULL AS n, ARRAY[1,2,3] AS a, DATE '2026-08-13' AS d")
+      assert(c2 === 0)
+      assert(o2.trim === "42|txt|1.5|t||{1,2,3}|2026-08-13")
+      // count over the served parquet — the reference's smoke check
+      val (c3, o3, _) = psql(port, "SELECT count(*) FROM nation")
+      assert(c3 === 0)
+      assert(o3.trim === "25")
+    }
+  }
+
+  test("psql: real queries — join, agg, regex op, jsonpath op") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port,
+        "SELECT r.r_name, count(*) AS n FROM nation n JOIN region r " +
+          "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name")
+      assert(c1 === 0, e1)
+      assert(o1.linesIterator.size === 5)
+      assert(o1.linesIterator.next() === "AFRICA|5")
+      val (c2, o2, _) = psql(port,
+        "SELECT n_name FROM nation WHERE n_name ~ '^NATION_[12]$' ORDER BY n_name")
+      assert(c2 === 0)
+      assert(o2.trim.linesIterator.toSeq === Seq("NATION_1", "NATION_2"))
+      val (c3, o3, _) = psql(port,
+        """SELECT '{"a":[1,2,3]}' @? '$.a[*] ? (@ > 2)' AS hit""")
+      assert(c3 === 0)
+      assert(o3.trim === "t")
+    }
+  }
+
+  test("psql: backslash introspection commands (\\dt, \\d table, \\df)") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      // \dt runs a multi-join pg_catalog query with ::regclass casts —
+      // the heaviest client-SQL compat path, produced by real psql
+      val (c1, o1, e1) = psql(port, "\\dt")
+      assert(c1 === 0, e1)
+      assert(o1.contains("nation") && o1.contains("region"))
+      val (c2, o2, e2) = psql(port, "\\d nation")
+      assert(c2 === 0, e2)
+      assert(o2.contains("n_nationkey") && o2.contains("integer"))
+      assert(o2.contains("n_name") && o2.contains("text"))
+      val (c3, o3, e3) = psql(port, "\\df abs")
+      assert(c3 === 0, e3)
+      assert(o3.contains("abs"))
+      val (c4, o4, e4) = psql(port, "\\dn")
+      assert(c4 === 0, e4)
+      assert(o4.contains("public"))
+    }
+  }
+
+  test("psql: multi-statement scripts, transactions, errors") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      // (psql 15 has no \bind — extended protocol stays covered by
+      // JdbcWireSpec's pgjdbc byte replay)
+      val (c1, o1, e1) = psqlScript(port,
+        "SELECT n_name FROM nation WHERE n_nationkey = 7;\n" +
+          "SELECT count(*) AS c FROM nation WHERE n_regionkey < 2;\n")
+      assert(c1 === 0, e1)
+      assert(o1.trim.linesIterator.toSeq.head === "NATION_7")
+      // transaction tags through libpq
+      val (c2, o2, e2) = psql(port, "BEGIN; SELECT 1; COMMIT;")
+      assert(c2 === 0, e2)
+      // a SQL error yields a pg-shaped message and nonzero exit
+      val (c3, _, e3) = psql(port, "SELECT * FROM no_such_table")
+      assert(c3 !== 0)
+      assert(e3.contains("ERROR"))
+      // the connection-level session survives errors: new connection fine
+      val (c4, o4, _) = psql(port, "SELECT 2")
+      assert(c4 === 0 && o4.trim === "2")
+    }
+  }
+
+  test("psql: SET/SHOW GUCs and server parameter reporting") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port, "SET extra_float_digits = 0; SHOW extra_float_digits;")
+      assert(c1 === 0, e1)
+      assert(o1.trim.endsWith("0"))
+      val (c2, o2, _) = psql(port, "SHOW server_version")
+      assert(c2 === 0)
+      assert(o2.trim.nonEmpty)
+    }
+  }
+}
