@@ -22,9 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * subscripts `[n]`, `[last]`, `[a to b]`, `[n, m]`, `[*]`, filters
   * `?(pred)` with `==/!=/<>/</<=/>/>=`, `&&`, `||`, `!`, `exists()`,
   * `like_regex` (flags i s m q x), `starts with`, `is unknown`,
-  * arithmetic `+ - * / %`, and item methods `.type()`, `.size()`,
-  * `.double()`, `.abs()`, `.floor()`, `.ceiling()`.
-  * Not implemented (documented): `.datetime()`, `.keyvalue()`, `.**`.
+  * arithmetic `+ - * / %`, item methods `.type()`, `.size()`,
+  * `.double()`, `.abs()`, `.floor()`, `.ceiling()`, `.keyvalue()`,
+  * `.datetime()` / `.datetime(template)`, and the recursive descent
+  * accessor `.**` / `.**{n}` / `.**{n to m}` (bounds may be `last`).
+  *
+  * Deviation from pg (documented): `.keyvalue()` emits sequential
+  * per-document object ids (0, 1, 2, …) where pg emits jsonb
+  * byte-offset ids — pg's docs call the id "an implementation-
+  * dependent unique identifier", and the offsets are unportable.
   *
   * Error semantics follow pg: structural errors are suppressed in lax
   * mode, errors inside filter predicates collapse to `unknown`, and
@@ -40,6 +46,11 @@ object PgJsonPath {
     * not inside filter predicates, not by the `silent` argument
     * (pinned against PostgreSQL 15: `$nope` errors in all of them). */
   final class VarError(msg: String) extends RuntimeException(msg)
+
+  /** Datetime comparisons that would need a session time zone are
+    * hard errors in pg — not suppressed by filters or `silent`
+    * (pinned: date vs timestamptz errors through both). */
+  final class TzError(msg: String) extends RuntimeException(msg)
 
   // ---- AST -----------------------------------------------------------------
 
@@ -58,6 +69,10 @@ object PgJsonPath {
   final case class Index(base: PExpr, subs: Seq[(PExpr, Option[PExpr])]) extends PExpr
   final case class Filter(base: PExpr, pred: PExpr) extends PExpr
   final case class Method(base: PExpr, name: String) extends PExpr
+  /** `.**{lo to hi}`; -1 encodes the `last` keyword (lower bound:
+    * deepest level of each branch = leaves; upper bound: unbounded). */
+  final case class AnyPath(base: PExpr, lo: Int, hi: Int) extends PExpr
+  final case class Datetime(base: PExpr, template: Option[String]) extends PExpr
   final case class Arith(op: Char, l: PExpr, r: PExpr) extends PExpr
   final case class Neg(e: PExpr) extends PExpr
   final case class Cmp(op: String, l: PExpr, r: PExpr) extends PExpr
@@ -262,7 +277,30 @@ object PgJsonPath {
     }
 
     private val methods =
-      Set("type", "size", "double", "abs", "floor", "ceiling")
+      Set("type", "size", "double", "abs", "floor", "ceiling", "keyvalue")
+
+    /** `{n}` / `{n to m}` after `**`; `last` → -1. */
+    private def levelBounds(): (Int, Int) = {
+      ws()
+      if (peekCh != '{') (0, -1)
+      else {
+        p += 1
+        def bound(): Int = {
+          ws()
+          if (tryWord("last")) -1
+          else {
+            val st = p
+            while (p < s.length && s.charAt(p).isDigit) p += 1
+            if (p == st) err("expected level in .**{}")
+            s.substring(st, p).toInt
+          }
+        }
+        val lo = bound()
+        val hi = if (tryWord("to")) bound() else lo
+        ws(); eat('}')
+        (lo, hi)
+      }
+    }
 
     private def accessors(base0: PExpr): PExpr = {
       var base = base0
@@ -272,12 +310,24 @@ object PgJsonPath {
         peekCh match {
           case '.' =>
             p += 1; ws()
-            if (peekCh == '*') { p += 1; base = WildMember(base) }
+            if (peekCh == '*') {
+              p += 1
+              if (peekCh == '*') {
+                p += 1
+                val (lo, hi) = levelBounds()
+                base = AnyPath(base, lo, hi)
+              } else base = WildMember(base)
+            }
             else if (peekCh == '"') base = Member(base, quotedString())
             else {
               val name = ident()
               ws()
-              if (peekCh == '(' && methods.contains(name)) {
+              if (peekCh == '(' && name == "datetime") {
+                p += 1; ws()
+                val tpl = if (peekCh == '"') Some(quotedString()) else None
+                ws(); eat(')')
+                base = Datetime(base, tpl)
+              } else if (peekCh == '(' && methods.contains(name)) {
                 p += 1; ws(); eat(')')
                 base = Method(base, name)
               } else if (peekCh == '(') err(s"unsupported jsonpath method .$name()")
@@ -320,7 +370,142 @@ object PgJsonPath {
   private case object TFalse extends T3
   private case object TUnknown extends T3
 
-  private final class Ctx(val root: JsonNode, val vars: JsonNode, val lax: Boolean)
+  private final class Ctx(val root: JsonNode, val vars: JsonNode, val lax: Boolean) {
+    // sequential per-document object ids for .keyvalue() (documented
+    // deviation: pg emits jsonb byte offsets)
+    private var nextObjId = 0
+    private val objIds = new java.util.IdentityHashMap[JsonNode, Integer]()
+    def objId(n: JsonNode): Int = {
+      val cached = objIds.get(n)
+      if (cached != null) cached.intValue()
+      else { val id = nextObjId; nextObjId += 1; objIds.put(n, id); id }
+    }
+  }
+
+  // ---- datetime items (.datetime()) ----------------------------------------
+
+  /** Kinds: 0 date, 1 time, 2 timetz, 3 timestamp, 4 timestamptz.
+    * `sortMicros` is UTC-normalized for the tz kinds; the node renders
+    * (and string-compares, when it leaks into text context) as the
+    * canonical pg text. Extends TextNode so `.toString` quotes. */
+  final class DtVal(text: String, val kind: Int, val sortMicros: Long)
+    extends TextNode(text)
+
+  private val kindNames = Array("date", "time without time zone",
+    "time with time zone", "timestamp without time zone",
+    "timestamp with time zone")
+
+  private val reDate = "(\\d{4})-(\\d{2})-(\\d{2})".r
+  private val reTime = "(\\d{2}):(\\d{2}):(\\d{2})(\\.\\d{1,6})?([+-]\\d{2}(?::?\\d{2})?|Z)?".r
+  private val reTs =
+    "(\\d{4})-(\\d{2})-(\\d{2})[ T](\\d{2}):(\\d{2}):(\\d{2})(\\.\\d{1,6})?([+-]\\d{2}(?::?\\d{2})?|Z)?".r
+
+  private def fracMicros(f: String): Int =
+    if (f == null) 0 else (f.drop(1).padTo(6, '0')).toInt
+
+  private def fracText(usec: Int): String =
+    if (usec == 0) ""
+    else "." + f"$usec%06d".reverse.dropWhile(_ == '0').reverse
+
+  private def offSeconds(o: String): Int = {
+    if (o == "Z") return 0
+    val sign = if (o.charAt(0) == '-') -1 else 1
+    val digits = o.substring(1).replace(":", "")
+    val h = digits.substring(0, 2).toInt
+    val m = if (digits.length >= 4) digits.substring(2, 4).toInt else 0
+    sign * (h * 3600 + m * 60)
+  }
+
+  private def offText(sec: Int): String = {
+    val s = math.abs(sec)
+    f"${if (sec < 0) "-" else "+"}%s${s / 3600}%02d:${s % 3600 / 60}%02d"
+  }
+
+  private def timeText(h: Int, mi: Int, se: Int, usec: Int): String =
+    f"$h%02d:$mi%02d:$se%02d" + fracText(usec)
+
+  /** ISO parse for the argless `.datetime()` — pg's recognized set
+    * (seconds are required; pinned: "2023-08-15 12:34" errors). */
+  private def parseIsoDt(s: String): DtVal = s match {
+    case reDate(y, m, d) =>
+      val days = java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toEpochDay
+      new DtVal(s, 0, days * 86_400_000_000L)
+    case reTs(y, mo, d, h, mi, se, fr, off) =>
+      val usec = fracMicros(fr)
+      val ld = java.time.LocalDate.of(y.toInt, mo.toInt, d.toInt)
+      val base = ld.toEpochDay * 86_400_000_000L +
+        (h.toInt * 3600L + mi.toInt * 60L + se.toInt) * 1_000_000L + usec
+      val body = s"${ld}T" + timeText(h.toInt, mi.toInt, se.toInt, usec)
+      if (off == null) new DtVal(body, 3, base)
+      else {
+        val o = offSeconds(off)
+        new DtVal(body + offText(o), 4, base - o * 1_000_000L)
+      }
+    case reTime(h, mi, se, fr, off) =>
+      val usec = fracMicros(fr)
+      val base = (h.toInt * 3600L + mi.toInt * 60L + se.toInt) * 1_000_000L + usec
+      val body = timeText(h.toInt, mi.toInt, se.toInt, usec)
+      if (off == null) new DtVal(body, 1, base)
+      else {
+        val o = offSeconds(off)
+        new DtVal(body + offText(o), 2, base - o * 1_000_000L)
+      }
+    case _ => throw new PathError(
+      s"""datetime format is not recognized: "$s"""")
+  }
+
+  /** Template-argument `.datetime(tpl)` via the to_timestamp engine;
+    * the result kind follows which field families the template sets. */
+  private def parseTplDt(s: String, tpl: String): DtVal = {
+    val compiled =
+      try PgFormat.compileDtParse(tpl)
+      catch { case e: Exception => throw new PathError(e.getMessage) }
+    val keys = compiled.nodes.collect { case t: PgFormat.DtTok => t.key }.toSet
+    val dateKeys = Set("YYYY", "YYY", "YY", "Y", "Y,YYY", "IYYY", "MM", "MON",
+      "MONTH", "DD", "DDD", "J", "RM", "CC", "WW", "IW", "W", "D", "ID", "Q")
+    val timeKeys = Set("HH24", "HH12", "HH", "MI", "SS", "SSSS", "SSSSS", "MS",
+      "US", "FF1", "FF2", "FF3", "FF4", "FF5", "FF6", "AM", "PM", "A.M.", "P.M.")
+    val hasDate = keys.exists(dateKeys)
+    val hasTime = keys.exists(timeKeys)
+    val hasTz = keys.contains("TZH") || keys.contains("TZM") || keys.contains("OF")
+    val micros =
+      try PgFormat.parseDt(compiled, s, java.time.ZoneOffset.UTC)
+      catch { case e: Exception => throw new PathError(
+        s"""datetime format is not recognized: "$s"""") }
+    val days = Math.floorDiv(micros, 86_400_000_000L)
+    val tod = Math.floorMod(micros, 86_400_000_000L)
+    val ld = java.time.LocalDate.ofEpochDay(days)
+    val h = (tod / 3_600_000_000L).toInt
+    val mi = (tod % 3_600_000_000L / 60_000_000L).toInt
+    val se = (tod % 60_000_000L / 1_000_000L).toInt
+    val usec = (tod % 1_000_000L).toInt
+    if (hasDate && hasTime)
+      new DtVal(s"${ld}T" + timeText(h, mi, se, usec) +
+        (if (hasTz) offText(0) else ""), if (hasTz) 4 else 3, micros)
+    else if (hasDate) new DtVal(ld.toString, 0, days * 86_400_000_000L)
+    else new DtVal(timeText(h, mi, se, usec), if (hasTz) 2 else 1, tod)
+  }
+
+  /** Compare two datetime items: Some(sign) if comparable, None if
+    * unknown, TzError if the pair needs a session time zone (pinned
+    * matrix: date↔timestamp promote; date/timestamp↔timestamptz and
+    * time↔timetz are hard errors; the rest are unknown). */
+  private def compareDt(a: DtVal, b: DtVal): Option[Int] = {
+    def tzErr(x: DtVal, y: DtVal): Nothing = {
+      val n = Array("date", "time", "timetz", "timestamp", "timestamptz")
+      throw new TzError(s"cannot convert value from ${n(x.kind)} to " +
+        s"${n(y.kind)} without time zone usage")
+    }
+    val (ka, kb) = (a.kind, b.kind)
+    if (ka == kb) Some(java.lang.Long.compare(a.sortMicros, b.sortMicros))
+    else if ((ka == 0 && kb == 3) || (ka == 3 && kb == 0))
+      Some(java.lang.Long.compare(a.sortMicros, b.sortMicros))
+    else if ((ka == 0 || ka == 3) && kb == 4) tzErr(a, b)
+    else if (ka == 4 && (kb == 0 || kb == 3)) tzErr(a, b)
+    else if (ka == 1 && kb == 2) tzErr(a, b)
+    else if (ka == 2 && kb == 1) tzErr(a, b)
+    else None
+  }
 
   private def unwrap1(n: JsonNode): Seq[JsonNode] =
     if (n.isArray) (0 until n.size()).map(n.get) else Seq(n)
@@ -403,12 +588,77 @@ object PgJsonPath {
         nodes.filter(n => evalPred(pred, ctx, n) == TTrue)
       }
 
+    case AnyPath(base, lo, hi) =>
+      // recursive descent, preorder, no lax unwrapping (pg pins:
+      // `$.**` on [] yields the root itself)
+      evalSeq(base, ctx, item).flatMap { root =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+        val hiB = if (hi < 0) Int.MaxValue else hi
+        def kids(x: JsonNode): Seq[JsonNode] =
+          if (x.isObject) {
+            val it = x.fields()
+            val b = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+            while (it.hasNext) b += it.next().getValue
+            b.toSeq
+          } else if (x.isArray) (0 until x.size()).map(x.get)
+          else Nil
+        def walk(x: JsonNode, level: Int): Unit = {
+          val ks = kids(x)
+          // lower bound `last` = the deepest level of each branch,
+          // i.e. the nodes with no children (pinned: `$.**{last}` on
+          // {"a":1,"b":{"c":2}} yields [1, 2], not just depth-max)
+          val emit = if (lo < 0) ks.isEmpty else level >= lo
+          if (emit && level <= hiB) out += x
+          if (level < hiB) ks.foreach(walk(_, level + 1))
+        }
+        walk(root, 0)
+        out.toSeq
+      }
+
+    case Datetime(base, tplOpt) =>
+      evalSeq(base, ctx, item).flatMap { n0 =>
+        val nodes = if (ctx.lax) unwrap1(n0) else Seq(n0)
+        nodes.map {
+          case dt: DtVal => dt // idempotent
+          case n if n.isTextual =>
+            tplOpt match {
+              case Some(tpl) => parseTplDt(n.textValue(), tpl)
+              case None => parseIsoDt(n.textValue())
+            }
+          case _ => throw new PathError(
+            "jsonpath item method .datetime() can only be applied to a string")
+        }
+      }
+
+    case Method(base, "keyvalue") =>
+      evalSeq(base, ctx, item).flatMap { n0 =>
+        val nodes = if (ctx.lax) unwrap1(n0) else Seq(n0)
+        nodes.flatMap { n =>
+          if (n.isObject) {
+            val id = ctx.objId(n)
+            val it = n.fields()
+            val out = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+            while (it.hasNext) {
+              val e = it.next()
+              val o = F.objectNode()
+              o.put("id", id)
+              o.put("key", e.getKey)
+              o.set[JsonNode]("value", e.getValue)
+              out += o
+            }
+            out.toSeq
+          } else throw new PathError(
+            "jsonpath item method .keyvalue() can only be applied to an object")
+        }
+      }
+
     case Method(base, name) =>
       evalSeq(base, ctx, item).map { n =>
         name match {
           case "type" =>
             TextNode.valueOf(
-              if (n.isObject) "object"
+              if (n.isInstanceOf[DtVal]) kindNames(n.asInstanceOf[DtVal].kind)
+              else if (n.isObject) "object"
               else if (n.isArray) "array"
               else if (n.isTextual) "string"
               else if (n.isNumber) "number"
@@ -570,12 +820,19 @@ object PgJsonPath {
         case _ => TFalse
       }
     }
-    val cmp: Option[Int] =
-      if (a.isNumber && b.isNumber) Some(a.decimalValue().compareTo(b.decimalValue()))
-      else if (a.isTextual && b.isTextual) Some(a.textValue().compareTo(b.textValue()))
-      else if (a.isBoolean && b.isBoolean)
-        Some(java.lang.Boolean.compare(a.booleanValue(), b.booleanValue()))
-      else None
+    val cmp: Option[Int] = (a, b) match {
+      // datetime items compare by instant (and intercept BEFORE the
+      // textual branch — DtVal extends TextNode); a datetime against
+      // a plain string is a type mismatch -> unknown
+      case (da: DtVal, db: DtVal) => compareDt(da, db)
+      case (_: DtVal, _) | (_, _: DtVal) => None
+      case _ =>
+        if (a.isNumber && b.isNumber) Some(a.decimalValue().compareTo(b.decimalValue()))
+        else if (a.isTextual && b.isTextual) Some(a.textValue().compareTo(b.textValue()))
+        else if (a.isBoolean && b.isBoolean)
+          Some(java.lang.Boolean.compare(a.booleanValue(), b.booleanValue()))
+        else None
+    }
     cmp match {
       case None => TUnknown
       case Some(c) =>

@@ -134,10 +134,133 @@ class PgJsonPathSpec extends SparkSpec {
     assert(str("jsonb_path_query_array(CAST(NULL AS STRING), '$')") === null)
   }
 
+  test(".** recursive descent with level bounds (pg 15 pinned)") {
+    val d = """'{"a":{"b":1},"c":[2,3]}'"""
+    assert(str(s"jsonb_path_query_array($d, '$$.**')") ===
+      """[{"a":{"b":1},"c":[2,3]},{"b":1},1,[2,3],2,3]""")
+    assert(str(s"jsonb_path_query_array($d, '$$.**{1}')") === """[{"b":1},[2,3]]""")
+    assert(str(s"jsonb_path_query_array($d, '$$.**{1 to 2}')") ===
+      """[{"b":1},1,[2,3],2,3]""")
+    // `last` lower bound = deepest level of each branch (the leaves)
+    assert(str(s"jsonb_path_query_array($d, '$$.**{last}')") === "[1,2,3]")
+    assert(str(s"""jsonb_path_query_array('{"a":1,"b":{"c":2}}', '$$.**{last}')""") ===
+      "[1,2]")
+    assert(str(s"""jsonb_path_query_array('[[1,[2]],3]', '$$.**{last}')""") === "[1,2,3]")
+    // `last` upper bound = unbounded
+    assert(str(s"""jsonb_path_query_array('{"a":{"b":1}}', '$$.**{1 to last}')""") ===
+      """[{"b":1},1]""")
+    assert(str(s"""jsonb_path_query_array('{"a":{"b":{"c":1}}}', '$$.**{2 to last}')""") ===
+      """[{"c":1},1]""")
+    // an empty root is itself level 0
+    assert(str(s"jsonb_path_query_array('[]', '$$.**')") === "[[]]")
+    // descent + filter finds nested values at any depth
+    assert(str(s"""jsonb_path_query_array('{"x":{"deep":{"v":9}},"v":1}',
+      '$$.** ? (@.type() == "number" && @ > 5)')""".stripMargin.replace("\n", " ")) === "[9]")
+  }
+
+  test(".keyvalue() emits id/key/value objects (sequential ids)") {
+    assert(str(s"""jsonb_path_query_array('{"a":1,"b":"x"}', '$$.keyvalue()')""") ===
+      """[{"id":0,"key":"a","value":1},{"id":0,"key":"b","value":"x"}]""")
+    // lax unwraps an array of objects
+    assert(str(s"""jsonb_path_query_array('[{"b":1}]', '$$.keyvalue()')""") ===
+      """[{"id":0,"key":"b","value":1}]""")
+    assert(str(s"jsonb_path_query_array('{}', '$$.keyvalue()')") === "[]")
+    // two distinct objects get distinct ids
+    assert(str(s"""jsonb_path_query_array('[{"a":1},{"b":2}]', '$$[*].keyvalue().id')""") ===
+      "[0,1]")
+    val e = intercept[Exception](str(s"jsonb_path_query_array('3', '$$.keyvalue()')"))
+    assert(e.getMessage.contains("keyvalue"))
+  }
+
+  test(".datetime() parses ISO forms, renders canonically, types correctly") {
+    assert(str(s"""jsonb_path_query_first('"2023-08-15"', '$$.datetime()')""") ===
+      "\"2023-08-15\"")
+    assert(str(s"""jsonb_path_query_first('"2023-08-15 12:34:56"', '$$.datetime()')""") ===
+      "\"2023-08-15T12:34:56\"")
+    assert(str(s"""jsonb_path_query_first('"12:34:56"', '$$.datetime()')""") ===
+      "\"12:34:56\"")
+    assert(str(
+      s"""jsonb_path_query_first('"2023-08-15 12:34:56+05:30"', '$$.datetime()')""") ===
+      "\"2023-08-15T12:34:56+05:30\"")
+    // bare-hour offset normalizes; fraction trims trailing zeros
+    assert(str(
+      s"""jsonb_path_query_first('"2023-08-15 12:34:56+05"', '$$.datetime()')""") ===
+      "\"2023-08-15T12:34:56+05:00\"")
+    assert(str(s"""jsonb_path_query_first('"12:34:56.120"', '$$.datetime()')""") ===
+      "\"12:34:56.12\"")
+    assert(str(
+      s"""jsonb_path_query_first('"2023-08-15 12:34:56.123456"', '$$.datetime()')""") ===
+      "\"2023-08-15T12:34:56.123456\"")
+    // .type() names the five pg kinds
+    assert(str(s"""jsonb_path_query_first('"2023-08-15"', '$$.datetime().type()')""") ===
+      "\"date\"")
+    assert(str(s"""jsonb_path_query_first('"12:34:56.123"', '$$.datetime().type()')""") ===
+      "\"time without time zone\"")
+    assert(str(s"""jsonb_path_query_first('"10:00:00+03"', '$$.datetime().type()')""") ===
+      "\"time with time zone\"")
+    assert(str(
+      s"""jsonb_path_query_first('"2023-08-15 10:00:00+02"', '$$.datetime().type()')""") ===
+      "\"timestamp with time zone\"")
+    // errors match pg's wording; seconds are required
+    val e1 = intercept[Exception](
+      str(s"""jsonb_path_query_first('"bad"', '$$.datetime()')"""))
+    assert(e1.getMessage.contains("datetime format is not recognized"))
+    val e2 = intercept[Exception](
+      str(s"""jsonb_path_query_first('"2023-08-15 12:34"', '$$.datetime()')"""))
+    assert(e2.getMessage.contains("datetime format is not recognized"))
+    val e3 = intercept[Exception](
+      str(s"jsonb_path_query_first('5', '$$.datetime()')"))
+    assert(e3.getMessage.contains("can only be applied to a string"))
+  }
+
+  test(".datetime(template) via the to_char engine; comparisons by instant") {
+    assert(str(
+      s"""jsonb_path_query_first('"15-08-2023"', '$$.datetime("DD-MM-YYYY")')""") ===
+      "\"2023-08-15\"")
+    assert(str(
+      s"""jsonb_path_query_first('"15 Aug 2023"', '$$.datetime("DD Mon YYYY")')""") ===
+      "\"2023-08-15\"")
+    assert(str(s"""jsonb_path_query_first('"2023-08-15 5:30 PM"',
+      '$$.datetime("YYYY-MM-DD HH:MI PM")')""".stripMargin.replace("\n", " ")) ===
+      "\"2023-08-15T17:30:00\"")
+    // comparisons: same kind, and date promotes against timestamp
+    assert(str(s"""jsonb_path_query_array('["2023-08-15","2023-09-01"]',
+      '$$[*] ? (@.datetime() > "2023-08-20".datetime())')""".stripMargin.replace("\n", " ")) ===
+      """["2023-09-01"]""")
+    assert(str(s"""jsonb_path_query_array('["10:00:00","14:00:00"]',
+      '$$[*] ? (@.datetime() < "12:00:00".datetime())')""".stripMargin.replace("\n", " ")) ===
+      """["10:00:00"]""")
+    // the filter yields the ORIGINAL item, not the converted one
+    assert(str(s"""jsonb_path_query_array('["2023-08-15 00:00:00","2023-08-16"]',
+      '$$[*] ? (@.datetime() < "2023-08-15 12:00:00".datetime())')"""
+      .stripMargin.replace("\n", " ")) === """["2023-08-15 00:00:00"]""")
+    // an unparseable value inside a filter is unknown, not an error
+    assert(str(s"""jsonb_path_query_array('["bad","2023-08-15"]',
+      '$$[*] ? (@.datetime() > "2023-08-14".datetime())')"""
+      .stripMargin.replace("\n", " ")) === """["2023-08-15"]""")
+    // time vs date is unknown; datetime vs raw string is unknown
+    assert(str(s"""jsonb_path_query_array('["10:00:00"]',
+      '$$[*] ? (@.datetime() < "2023-08-15".datetime())')"""
+      .stripMargin.replace("\n", " ")) === "[]")
+    assert(str(s"""jsonb_path_query_array('["2023-08-15"]',
+      '$$[*] ? (@.datetime() == "2023-08-15")')"""
+      .stripMargin.replace("\n", " ")) === "[]")
+    // tz-requiring comparisons are HARD errors — not filter-absorbed,
+    // not silenced (pg 15 pinned)
+    val e = intercept[Exception](str(s"""jsonb_path_query_array('["2023-08-15"]',
+      '$$[*] ? (@.datetime() > "2023-08-14 00:00:00+02".datetime())')"""
+      .stripMargin.replace("\n", " ")))
+    assert(e.getMessage.contains("without time zone usage"))
+    val e2 = intercept[Exception](str(s"""jsonb_path_query_array('["2023-08-15"]',
+      '$$[*] ? (@.datetime() > "2023-08-14 00:00:00+02".datetime())', '{}', true)"""
+      .stripMargin.replace("\n", " ")))
+    assert(e2.getMessage.contains("without time zone usage"))
+  }
+
   test("parse errors name the position; unsupported methods are loud") {
     val e1 = intercept[Exception](str(s"jsonb_path_exists('{}', '$$.')"))
     assert(e1.getMessage.contains("syntax error in jsonpath"))
-    val e2 = intercept[Exception](str(s"jsonb_path_exists('{}', '$$.a.datetime()')"))
+    val e2 = intercept[Exception](str(s"jsonb_path_exists('{}', '$$.a.bogus()')"))
     assert(e2.getMessage.contains("unsupported jsonpath method"))
     // unknown variable errors (matches pg message shape) — even
     // inside a filter, and even with silent=true (pg 15 pinned)
