@@ -45,6 +45,16 @@ object PgJsonExpressions {
         s"invalid input syntax for type json: ${e.getMessage}")
     }
 
+  /** Parse straight from a UTF8String's bytes — skips the UTF-16
+    * round-trip on the per-row hot path (Jackson decodes UTF-8
+    * natively). */
+  private[functions] def parse(s: org.apache.spark.unsafe.types.UTF8String): JsonNode =
+    try mapper.readTree(s.getBytes)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"invalid input syntax for type json: ${e.getMessage}")
+    }
+
   // ---- pg-style compact rendering of Catalyst values ---------------------
 
   private def escapeTo(sb: java.lang.StringBuilder, s: String): Unit = {

@@ -904,16 +904,30 @@ abstract class PgJsonPathFunction extends Expression with CodegenFallback {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName(jsonb, jsonpath[, vars jsonb[, silent boolean]])")
 
-  // (pathString, compiled) — one volatile ref, consistent under races
-  @volatile private var memo: (String, PgJsonPath.Path) = null
+  // (pathBytes, compiled) — one volatile ref, consistent under races;
+  // keyed on the UTF8String so the per-row hit path allocates nothing
+  @volatile private var memo: (UTF8String, PgJsonPath.Path) = null
+  @volatile private var varsMemo: (UTF8String, JsonNode) = null
 
-  protected def compiled(path: String): PgJsonPath.Path = {
+  protected def compiled(path: UTF8String): PgJsonPath.Path = {
     val m = memo
     if (m != null && m._1 == path) m._2
     else {
-      val c = PgJsonPath.compile(path)
-      memo = (path, c)
+      val c = PgJsonPath.compile(path.toString)
+      memo = (path.clone(), c)
       c
+    }
+  }
+
+  /** The vars argument is almost always a literal — cache its parse.
+    * Callers only read the returned tree, never mutate it. */
+  protected def parsedVars(vars: UTF8String): JsonNode = {
+    val m = varsMemo
+    if (m != null && m._1 == vars) m._2
+    else {
+      val v = PgJsonExpressions.parse(vars)
+      varsMemo = (vars.clone(), v)
+      v
     }
   }
 
@@ -929,10 +943,10 @@ abstract class PgJsonPathFunction extends Expression with CodegenFallback {
     if (vs.exists(_ == null)) return null
     val silent = children.length == 4 && vs(3).asInstanceOf[Boolean]
     try {
-      val json = PgJsonExpressions.parse(vs(0).asInstanceOf[UTF8String].toString)
-      val path = compiled(vs(1).asInstanceOf[UTF8String].toString)
+      val json = PgJsonExpressions.parse(vs(0).asInstanceOf[UTF8String])
+      val path = compiled(vs(1).asInstanceOf[UTF8String])
       val vars =
-        if (children.length >= 3) PgJsonExpressions.parse(vs(2).asInstanceOf[UTF8String].toString)
+        if (children.length >= 3) parsedVars(vs(2).asInstanceOf[UTF8String])
         else null
       run(json, path, vars)
     } catch {
