@@ -662,6 +662,139 @@ object PgJsonExpressions {
         newChildren: IndexedSeq[Expression]): PgJsonbSet = copy(children = newChildren)
   }
 
+  /** jsonb_set_lax: like jsonb_set but a SQL NULL new_value is handled
+    * per null_value_treatment — 'use_json_null' (default) | 'delete_key'
+    * | 'return_target' | 'raise_exception'. All pinned against pg 15.
+    * Strict on every argument EXCEPT new_value. */
+  case class PgJsonbSetLax(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jsonb_set_lax"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.length >= 3 && children.length <= 5 &&
+        children(0).dataType == StringType && pathTypeOk(children(1).dataType) &&
+        // a bare NULL new_value types as NullType — the whole point
+        // of the _lax form
+        (children(2).dataType == StringType || children(2).dataType == NullType) &&
+        (children.length < 4 || children(3).dataType == BooleanType) &&
+        (children.length < 5 || children(4).dataType == StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "jsonb_set_lax(jsonb, text[], jsonb[, boolean[, text]])")
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      // strict on all but new_value (index 2)
+      if (vs.zipWithIndex.exists { case (v, i) => v == null && i != 2 }) return null
+      val treatment =
+        if (children.length == 5) vs(4).asInstanceOf[UTF8String].toString
+        else "use_json_null"
+      val create = if (children.length >= 4) vs(3).asInstanceOf[Boolean] else true
+      val newValue: UTF8String =
+        if (vs(2) != null) vs(2).asInstanceOf[UTF8String]
+        else treatment match {
+          case "use_json_null" => UTF8String.fromString("null")
+          case "return_target" => return vs(0)
+          case "raise_exception" => throw new IllegalArgumentException(
+            "JSON value must not be null")
+          case "delete_key" =>
+            // delegate to the path-delete semantics
+            val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+            if (!root.isContainerNode) throw new IllegalArgumentException(
+              "cannot delete path in scalar")
+            val path = pathOf(vs(1), children(1).dataType)
+            if (path.isEmpty) return UTF8String.fromString(root.toString)
+            val parent = walkParent(root, path)
+            val last = path(path.length - 1)
+            parent match {
+              case o: ObjectNode => o.remove(last)
+              case a: ArrayNode =>
+                val idx = try last.trim.toInt catch {
+                  case _: NumberFormatException => throw new IllegalArgumentException(
+                    s"path element at position ${path.length} is not an integer: \"$last\"")
+                }
+                val k = if (idx < 0) a.size() + idx else idx
+                if (k >= 0 && k < a.size()) a.remove(k)
+              case _ =>
+            }
+            return UTF8String.fromString(root.toString)
+          case other => throw new IllegalArgumentException(
+            s"""null_value_treatment must be "delete_key", "return_target", """ +
+              """"use_json_null", or "raise_exception"""")
+        }
+      // non-null (or use_json_null) → plain jsonb_set semantics
+      val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+      if (!root.isContainerNode) throw new IllegalArgumentException(
+        "cannot set path in scalar")
+      val path = pathOf(vs(1), children(1).dataType)
+      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      val nv = parse(newValue.toString).deepCopy[JsonNode]()
+      val parent = walkParent(root, path)
+      val last = path(path.length - 1)
+      parent match {
+        case o: ObjectNode if last != null =>
+          if (o.has(last) || create) o.set(last, nv)
+        case a: ArrayNode =>
+          val idx = try last.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"path element at position ${path.length} is not an integer: \"$last\"")
+          }
+          val k = if (idx < 0) a.size() + idx else idx
+          if (k >= 0 && k < a.size()) a.set(k, nv)
+          else if (create) { if (idx < 0) a.insert(0, nv) else a.add(nv) }
+        case _ =>
+      }
+      UTF8String.fromString(root.toString)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgJsonbSetLax = copy(children = newChildren)
+  }
+
+  /** array_to_json(anyarray[, pretty]) — pg renders the array as json;
+    * pretty=true joins TOP-LEVEL elements with ",\n " (pinned). */
+  case class PgArrayToJson(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "array_to_json"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if ((children.length == 1 || children.length == 2) &&
+        children(0).dataType.isInstanceOf[ArrayType] &&
+        supported(children(0).dataType) &&
+        (children.length == 1 || children(1).dataType == BooleanType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("array_to_json(anyarray[, boolean])")
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val arr = vs(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val et = children(0).dataType.asInstanceOf[ArrayType].elementType
+      val pretty = children.length == 2 && vs(1).asInstanceOf[Boolean]
+      val sb = new java.lang.StringBuilder(32)
+      if (!pretty) render(sb, arr, children(0).dataType)
+      else {
+        sb.append('[')
+        var i = 0
+        while (i < arr.numElements()) {
+          if (i > 0) sb.append(",\n ")
+          if (arr.isNullAt(i)) sb.append("null")
+          else render(sb, arr.get(i, et), et)
+          i += 1
+        }
+        sb.append(']')
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgArrayToJson = copy(children = newChildren)
+  }
+
   /** jsonb_insert(target, path, new_value[, insert_after]) — array
     * element: insert before (after if flag); object: only a NEW key
     * ("cannot replace existing key"). STRICT like jsonb_set. */
@@ -1056,6 +1189,10 @@ object PgJsonExpressions {
       (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),
     (FunctionIdentifier("jsonb_set"), info("jsonb_set"),
       (args: Seq[Expression]) => PgJsonbSet(args)),
+    (FunctionIdentifier("jsonb_set_lax"), info("jsonb_set_lax"),
+      (args: Seq[Expression]) => PgJsonbSetLax(args)),
+    (FunctionIdentifier("array_to_json"), info("array_to_json"),
+      (args: Seq[Expression]) => PgArrayToJson(args)),
     (FunctionIdentifier("jsonb_insert"), info("jsonb_insert"),
       (args: Seq[Expression]) => PgJsonbInsert(args)),
     (FunctionIdentifier("jsonb_delete"), info("jsonb_delete"),

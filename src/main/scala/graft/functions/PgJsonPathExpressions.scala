@@ -370,7 +370,8 @@ object PgJsonPath {
   private case object TFalse extends T3
   private case object TUnknown extends T3
 
-  private final class Ctx(val root: JsonNode, val vars: JsonNode, val lax: Boolean) {
+  private final class Ctx(val root: JsonNode, val vars: JsonNode, val lax: Boolean,
+      val tzAware: Boolean = false) {
     // sequential per-document object ids for .keyvalue() (documented
     // deviation: pg emits jsonb byte offsets)
     private var nextObjId = 0
@@ -490,7 +491,7 @@ object PgJsonPath {
     * unknown, TzError if the pair needs a session time zone (pinned
     * matrix: date↔timestamp promote; date/timestamp↔timestamptz and
     * time↔timetz are hard errors; the rest are unknown). */
-  private def compareDt(a: DtVal, b: DtVal): Option[Int] = {
+  private def compareDt(a: DtVal, b: DtVal, tzAware: Boolean): Option[Int] = {
     def tzErr(x: DtVal, y: DtVal): Nothing = {
       val n = Array("date", "time", "timetz", "timestamp", "timestamptz")
       throw new TzError(s"cannot convert value from ${n(x.kind)} to " +
@@ -500,10 +501,14 @@ object PgJsonPath {
     if (ka == kb) Some(java.lang.Long.compare(a.sortMicros, b.sortMicros))
     else if ((ka == 0 && kb == 3) || (ka == 3 && kb == 0))
       Some(java.lang.Long.compare(a.sortMicros, b.sortMicros))
-    else if ((ka == 0 || ka == 3) && kb == 4) tzErr(a, b)
-    else if (ka == 4 && (kb == 0 || kb == 3)) tzErr(a, b)
-    else if (ka == 1 && kb == 2) tzErr(a, b)
-    else if (ka == 2 && kb == 1) tzErr(a, b)
+    else if ((ka == 0 || ka == 3) && kb == 4)
+      // the *_tz family treats the session zone as UTC (the engine's
+      // pinned zone), making the conversion well-defined
+      if (tzAware) Some(java.lang.Long.compare(a.sortMicros, b.sortMicros)) else tzErr(a, b)
+    else if (ka == 4 && (kb == 0 || kb == 3))
+      if (tzAware) Some(java.lang.Long.compare(a.sortMicros, b.sortMicros)) else tzErr(a, b)
+    else if ((ka == 1 && kb == 2) || (ka == 2 && kb == 1))
+      if (tzAware) Some(java.lang.Long.compare(a.sortMicros, b.sortMicros)) else tzErr(a, b)
     else None
   }
 
@@ -767,7 +772,7 @@ object PgJsonPath {
         val rs = if (ctx.lax) rs0.flatMap(unwrap1) else rs0
         var sawUnknown = false
         var sawTrue = false
-        for (a <- ls; b <- rs) cmpPair(op, a, b) match {
+        for (a <- ls; b <- rs) cmpPair(op, a, b, ctx) match {
           case TTrue => sawTrue = true
           case TUnknown => sawUnknown = true
           case TFalse =>
@@ -809,7 +814,7 @@ object PgJsonPath {
     * non-null is false for == (true for !=), ordering with null is
     * false; cross-type comparisons are unknown; numbers numerically,
     * strings by code point, booleans false < true. */
-  private def cmpPair(op: String, a: JsonNode, b: JsonNode): T3 = {
+  private def cmpPair(op: String, a: JsonNode, b: JsonNode, ctx: Ctx): T3 = {
     val aNull = a.isNull
     val bNull = b.isNull
     if (aNull || bNull) {
@@ -824,7 +829,7 @@ object PgJsonPath {
       // datetime items compare by instant (and intercept BEFORE the
       // textual branch — DtVal extends TextNode); a datetime against
       // a plain string is a type mismatch -> unknown
-      case (da: DtVal, db: DtVal) => compareDt(da, db)
+      case (da: DtVal, db: DtVal) => compareDt(da, db, ctx.tzAware)
       case (_: DtVal, _) | (_, _: DtVal) => None
       case _ =>
         if (a.isNumber && b.isNumber) Some(a.decimalValue().compareTo(b.decimalValue()))
@@ -852,8 +857,9 @@ object PgJsonPath {
 
   /** Run the path; a predicate path yields its single ternary item
     * (pg behavior: `jsonb_path_query('{}', '$.a == 1')` → null item). */
-  def query(json: JsonNode, path: Path, vars: JsonNode): Seq[JsonNode] = {
-    val ctx = new Ctx(json, vars, path.lax)
+  def query(json: JsonNode, path: Path, vars: JsonNode,
+      tzAware: Boolean = false): Seq[JsonNode] = {
+    val ctx = new Ctx(json, vars, path.lax, tzAware)
     if (path.isPredicate)
       Seq(evalPred(path.expr, ctx, json) match {
         case TTrue => BooleanNode.TRUE
@@ -864,13 +870,15 @@ object PgJsonPath {
   }
 
   /** jsonb_path_exists: does the path yield any item. */
-  def exists(json: JsonNode, path: Path, vars: JsonNode): Boolean =
-    query(json, path, vars).nonEmpty
+  def exists(json: JsonNode, path: Path, vars: JsonNode,
+      tzAware: Boolean = false): Boolean =
+    query(json, path, vars, tzAware).nonEmpty
 
   /** jsonb_path_match: the path must yield a single boolean;
     * unknown → SQL NULL; anything else errors (silent → null). */
-  def matches(json: JsonNode, path: Path, vars: JsonNode): java.lang.Boolean = {
-    val ctx = new Ctx(json, vars, path.lax)
+  def matches(json: JsonNode, path: Path, vars: JsonNode,
+      tzAware: Boolean = false): java.lang.Boolean = {
+    val ctx = new Ctx(json, vars, path.lax, tzAware)
     if (path.isPredicate)
       evalPred(path.expr, ctx, json) match {
         case TTrue => java.lang.Boolean.TRUE
@@ -955,31 +963,35 @@ abstract class PgJsonPathFunction extends Expression with CodegenFallback {
   }
 }
 
-case class PgJsonbPathExists(children: Seq[Expression]) extends PgJsonPathFunction {
+case class PgJsonbPathExists(children: Seq[Expression], tz: Boolean = false)
+    extends PgJsonPathFunction {
   override def dataType: DataType = BooleanType
-  override def prettyName: String = "jsonb_path_exists"
+  override def prettyName: String = if (tz) "jsonb_path_exists_tz" else "jsonb_path_exists"
   override protected def run(json: JsonNode, path: PgJsonPath.Path, vars: JsonNode): Any =
-    PgJsonPath.exists(json, path, vars)
+    PgJsonPath.exists(json, path, vars, tz)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PgJsonbPathExists = copy(children = newChildren)
 }
 
-case class PgJsonbPathMatch(children: Seq[Expression]) extends PgJsonPathFunction {
+case class PgJsonbPathMatch(children: Seq[Expression], tz: Boolean = false)
+    extends PgJsonPathFunction {
   override def dataType: DataType = BooleanType
-  override def prettyName: String = "jsonb_path_match"
+  override def prettyName: String = if (tz) "jsonb_path_match_tz" else "jsonb_path_match"
   override protected def run(json: JsonNode, path: PgJsonPath.Path, vars: JsonNode): Any = {
-    val r = PgJsonPath.matches(json, path, vars)
+    val r = PgJsonPath.matches(json, path, vars, tz)
     if (r == null) null else r.booleanValue()
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PgJsonbPathMatch = copy(children = newChildren)
 }
 
-case class PgJsonbPathQueryFirst(children: Seq[Expression]) extends PgJsonPathFunction {
+case class PgJsonbPathQueryFirst(children: Seq[Expression], tz: Boolean = false)
+    extends PgJsonPathFunction {
   override def dataType: DataType = StringType
-  override def prettyName: String = "jsonb_path_query_first"
+  override def prettyName: String =
+    if (tz) "jsonb_path_query_first_tz" else "jsonb_path_query_first"
   override protected def run(json: JsonNode, path: PgJsonPath.Path, vars: JsonNode): Any =
-    PgJsonPath.query(json, path, vars).headOption match {
+    PgJsonPath.query(json, path, vars, tz).headOption match {
       case Some(n) => UTF8String.fromString(n.toString)
       case None => null
     }
@@ -987,15 +999,17 @@ case class PgJsonbPathQueryFirst(children: Seq[Expression]) extends PgJsonPathFu
       newChildren: IndexedSeq[Expression]): PgJsonbPathQueryFirst = copy(children = newChildren)
 }
 
-case class PgJsonbPathQueryArray(children: Seq[Expression]) extends PgJsonPathFunction {
+case class PgJsonbPathQueryArray(children: Seq[Expression], tz: Boolean = false)
+    extends PgJsonPathFunction {
   override def dataType: DataType = StringType
-  override def prettyName: String = "jsonb_path_query_array"
+  override def prettyName: String =
+    if (tz) "jsonb_path_query_array_tz" else "jsonb_path_query_array"
   // pg: a silent-suppressed error wraps the empty sequence -> '[]'
   override protected def suppressed: Any = UTF8String.fromString("[]")
   override protected def run(json: JsonNode, path: PgJsonPath.Path, vars: JsonNode): Any = {
     val sb = new java.lang.StringBuilder(32)
     sb.append('[')
-    val items = PgJsonPath.query(json, path, vars)
+    val items = PgJsonPath.query(json, path, vars, tz)
     var i = 0
     while (i < items.length) {
       if (i > 0) sb.append(',')
@@ -1011,11 +1025,12 @@ case class PgJsonbPathQueryArray(children: Seq[Expression]) extends PgJsonPathFu
 
 /** jsonb_path_query is set-returning in pg — exposed as text[] and
   * rewritten to explode(...) by Compat, like json_array_elements. */
-case class PgJsonbPathQuery(children: Seq[Expression]) extends PgJsonPathFunction {
+case class PgJsonbPathQuery(children: Seq[Expression], tz: Boolean = false)
+    extends PgJsonPathFunction {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
-  override def prettyName: String = "jsonb_path_query"
+  override def prettyName: String = if (tz) "jsonb_path_query_tz" else "jsonb_path_query"
   override protected def run(json: JsonNode, path: PgJsonPath.Path, vars: JsonNode): Any = {
-    val items = PgJsonPath.query(json, path, vars)
+    val items = PgJsonPath.query(json, path, vars, tz)
     val out = new Array[Any](items.length)
     var i = 0
     while (i < items.length) { out(i) = UTF8String.fromString(items(i).toString); i += 1 }
@@ -1039,7 +1054,19 @@ object PgJsonPathExpressions {
     (FunctionIdentifier("jsonb_path_query_array"), info("jsonb_path_query_array"),
       (args: Seq[Expression]) => PgJsonbPathQueryArray(args)),
     (FunctionIdentifier("jsonb_path_query"), info("jsonb_path_query"),
-      (args: Seq[Expression]) => PgJsonbPathQuery(args)))
+      (args: Seq[Expression]) => PgJsonbPathQuery(args)),
+    // *_tz twins: identical except tz-requiring datetime comparisons
+    // resolve against the engine's pinned UTC session zone
+    (FunctionIdentifier("jsonb_path_exists_tz"), info("jsonb_path_exists_tz"),
+      (args: Seq[Expression]) => PgJsonbPathExists(args, tz = true)),
+    (FunctionIdentifier("jsonb_path_match_tz"), info("jsonb_path_match_tz"),
+      (args: Seq[Expression]) => PgJsonbPathMatch(args, tz = true)),
+    (FunctionIdentifier("jsonb_path_query_first_tz"), info("jsonb_path_query_first_tz"),
+      (args: Seq[Expression]) => PgJsonbPathQueryFirst(args, tz = true)),
+    (FunctionIdentifier("jsonb_path_query_array_tz"), info("jsonb_path_query_array_tz"),
+      (args: Seq[Expression]) => PgJsonbPathQueryArray(args, tz = true)),
+    (FunctionIdentifier("jsonb_path_query_tz"), info("jsonb_path_query_tz"),
+      (args: Seq[Expression]) => PgJsonbPathQuery(args, tz = true)))
 
   def install(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry

@@ -225,6 +225,7 @@ object Compat {
 
   /** Function renames applied when followed by '('. */
   private val fnRename: Map[String, String] = Map(
+    "jsonb_array_length" -> "json_array_length", // Spark builtin twin
     "current_database" -> "pg_current_database",
     "current_schemas" -> "pg_current_schemas",
     "array_length" -> "pg_array_length",
@@ -312,6 +313,7 @@ object Compat {
     rewriteBareVars(ts)
     renameFunctions(ts)
     rewriteAnyAll(ts)
+    rewriteJsonAggs(ts)
     rewriteSetReturning(ts)
     rewriteExtractEpoch(ts)
     rewriteSimilarTo(ts)
@@ -817,6 +819,82 @@ object Compat {
               ts.remove(start, close - start + 1)
               ts.insert(start, Tok(Word, repl))
               i = start
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg json aggregates → the engine's ordered UDAFs. Spark has no
+    * `json_agg`; `ordered_json_agg(to_jsonb(e), key)` carries pg's
+    * rendering plus a deterministic order (pg's input order is not
+    * reproducible across a distributed partial agg, so the value — or
+    * the aggregate-internal ORDER BY key when one is written — is the
+    * sort key):
+    *   json[b]_agg(e)             → ordered_json_agg(to_jsonb(e), CAST(e AS STRING))
+    *   json[b]_agg(e ORDER BY k)  → ordered_json_agg(to_jsonb(e), CAST(k AS STRING))
+    *   json[b]_object_agg(k, v)   → ordered_json_object_agg(CAST(k AS STRING), to_jsonb(v))
+    * The spliced Word tokens keep their hidden parens balanced so
+    * matchParen-based later passes stay consistent.
+    */
+  private def rewriteJsonAggs(ts: ArrayBuffer[Tok]): Unit = {
+    val aggNames = Set("json_agg", "jsonb_agg")
+    val objNames = Set("json_object_agg", "jsonb_object_agg")
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      val lower = if (t.kind == Word) t.text.toLowerCase else ""
+      if (aggNames.contains(lower) || objNames.contains(lower)) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            // depth-1 scan for ORDER BY (agg form) or the arg comma
+            var depth = 0
+            var orderIdx = -1
+            var commaIdx = -1
+            var j = open
+            while (j <= close) {
+              val tok = ts(j)
+              if (tok.is("(") || tok.is("[")) depth += 1
+              else if (tok.is(")") || tok.is("]")) depth -= 1
+              else if (depth == 1 && tok.kind == Word &&
+                tok.text.equalsIgnoreCase("ORDER") && orderIdx < 0) {
+                val nb = nextIdx(ts, j)
+                if (nb >= 0 && ts(nb).kind == Word && ts(nb).text.equalsIgnoreCase("BY"))
+                  orderIdx = j
+              } else if (depth == 1 && tok.is(",") && commaIdx < 0) commaIdx = j
+              j += 1
+            }
+            if (objNames.contains(lower) && commaIdx > 0) {
+              val keyToks = ts.slice(open + 1, commaIdx).toVector
+              val valToks = ts.slice(commaIdx + 1, close).toVector
+              val rebuilt = ArrayBuffer(Tok(Word, "ordered_json_object_agg(CAST(")) ++
+                keyToks ++ ArrayBuffer(Tok(Word, " AS STRING), to_jsonb(")) ++
+                valToks ++ ArrayBuffer(Tok(Word, "))"))
+              ts.remove(i, close - i + 1)
+              ts.insertAll(i, rebuilt)
+              i += rebuilt.length - 1
+            } else if (aggNames.contains(lower)) {
+              val exprEnd = if (orderIdx > 0) orderIdx else close
+              val exprToks = ts.slice(open + 1, exprEnd).toVector
+              val keyToks =
+                if (orderIdx > 0) {
+                  val by = nextIdx(ts, orderIdx) // the BY token
+                  // strip direction / nulls-placement words: the UDAF
+                  // sorts ascending by the key's string form
+                  ts.slice(by + 1, close).toVector.filterNot(tok =>
+                    tok.kind == Word && Set("ASC", "DESC", "NULLS", "FIRST", "LAST")
+                      .contains(tok.text.toUpperCase))
+                } else exprToks
+              val rebuilt = ArrayBuffer(Tok(Word, "ordered_json_agg(to_jsonb(")) ++
+                exprToks ++ ArrayBuffer(Tok(Word, "), CAST(")) ++
+                keyToks ++ ArrayBuffer(Tok(Word, " AS STRING))"))
+              ts.remove(i, close - i + 1)
+              ts.insertAll(i, rebuilt)
+              i += rebuilt.length - 1
             }
           }
         }

@@ -571,6 +571,16 @@ object PgFunctions {
       ProcDef("jsonb_path_query", Seq(3802, 4072, 3802, B), 3802),
       ProcDef("jsonb_path_query_array", Seq(3802, 4072, 3802, B), 3802),
       ProcDef("jsonb_path_query_first", Seq(3802, 4072, 3802, B), 3802),
+      ProcDef("jsonb_path_exists_tz", Seq(3802, 4072, 3802, B), B),
+      ProcDef("jsonb_path_match_tz", Seq(3802, 4072, 3802, B), B),
+      ProcDef("jsonb_path_query_tz", Seq(3802, 4072, 3802, B), 3802),
+      ProcDef("jsonb_path_query_array_tz", Seq(3802, 4072, 3802, B), 3802),
+      ProcDef("jsonb_path_query_first_tz", Seq(3802, 4072, 3802, B), 3802),
+      ProcDef("jsonb_set_lax", Seq(3802, 1009, 3802, B, T), 3802),
+      ProcDef("array_to_json", Seq(2277, B), 114),
+      ProcDef("jsonb_agg", Seq(2276), 3802, kind = "a"),
+      ProcDef("jsonb_object_agg", Seq(2276, 2276), 3802, kind = "a"),
+      ProcDef("jsonb_array_length", Seq(3802), I4),
       ProcDef("json_agg", Seq(2276), 114, kind = "a"),
       ProcDef("json_object_agg", Seq(2276, 2276), 114, kind = "a"),
       ProcDef("ordered_json_agg", Seq(T, T), T, kind = "a"),

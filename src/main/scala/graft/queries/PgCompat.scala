@@ -719,5 +719,28 @@ object PgCompat {
             "event_id % 3, event_id % 5, event_id % 7)), '$.vals.size()') AS sz",
           "jsonb_path_query_first(props, '$.k') AS k",
           "jsonb_path_exists(props, '$.k ? (@ > 50)') AS kx") })
+    },
+
+    // round-8 slice #3: jsonb_set_lax treatments, array_to_json
+    // (compact + pretty + nested), oracled by string composition
+    Q.df("q118_jsonb_lax",
+      """SELECT event_id,
+        |  '{"k":null}' AS sl1,
+        |  '{}' AS sl2,
+        |  '{"k":' || event_id || '}' AS sl3,
+        |  '[' || (event_id % 3) || ',' || (event_id % 5) || ']' AS atj,
+        |  '[' || (event_id % 3) || ',' || chr(10) || ' ' || (event_id % 5) || ']' AS atjp
+        |FROM events ORDER BY event_id""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.table("events").orderBy("event_id").selectExpr(
+          "event_id",
+          "jsonb_set_lax(json_build_object('k', event_id), array('k'), " +
+            "CAST(NULL AS STRING)) AS sl1",
+          "jsonb_set_lax(json_build_object('k', event_id), array('k'), " +
+            "CAST(NULL AS STRING), true, 'delete_key') AS sl2",
+          "jsonb_set_lax(json_build_object('k', event_id), array('k'), " +
+            "CAST(NULL AS STRING), true, 'return_target') AS sl3",
+          "array_to_json(array(event_id % 3, event_id % 5)) AS atj",
+          "array_to_json(array(event_id % 3, event_id % 5), true) AS atjp") })
     })
 }

@@ -290,4 +290,81 @@ class PgJsonSpec extends SparkSpec {
       """SELECT '{"a": [{"b": 7}]}' #> '{a,0,b}' AS r""")).collect()(0).getString(0)
     assert(v === "7")
   }
+
+  test("jsonb_set_lax null_value_treatment modes (pg 15 pinned)") {
+    assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING))""") ===
+      """{"a":null}""")
+    assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
+      'use_json_null')""".stripMargin.replace("\n", " ")) === """{"a":null}""")
+    assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
+      'delete_key')""".stripMargin.replace("\n", " ")) === "{}")
+    assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
+      'return_target')""".stripMargin.replace("\n", " ")) === """{"a":1}""")
+    val e = intercept[Exception](one(
+      """jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
+        'raise_exception')""".stripMargin.replace("\n", " ")))
+    assert(e.getMessage.contains("JSON value must not be null"))
+    val e2 = intercept[Exception](one(
+      """jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true, 'bogus')"""))
+    assert(e2.getMessage.contains("null_value_treatment"))
+    // non-null value behaves exactly like jsonb_set
+    assert(one("""jsonb_set_lax('{"a":1}', array('a'), '9', false)""") === """{"a":9}""")
+    assert(one("""jsonb_set_lax('{"a":1}', array('b'), '2', false)""") === """{"a":1}""")
+  }
+
+  test("array_to_json renders arrays (nested + pretty, pg 15 pinned)") {
+    assert(one("array_to_json(array(1, 2))") === "[1,2]")
+    assert(one("array_to_json(array(array(1, 5), array(99, 100)))") ===
+      "[[1,5],[99,100]]")
+    assert(one("array_to_json(array('a', 'b'), false)") === """["a","b"]""")
+    // pretty joins top-level elements with ",\n " (newline + 1 space)
+    assert(one("array_to_json(array(1, 2), true)") === "[1,\n 2]")
+    assert(one("array_to_json(array(array(1, 2), array(3, 4)), true)") ===
+      "[[1,2],\n [3,4]]")
+    assert(one("array_to_json(CAST(NULL AS ARRAY<INT>))") === null)
+  }
+
+  test("json[b]_agg and json[b]_object_agg rewrite to the ordered UDAFs") {
+    import graft.pgwire.Compat
+    assert(Compat.rewrite("SELECT json_agg(x) FROM t") ===
+      "SELECT ordered_json_agg(to_jsonb(x), CAST(x AS STRING)) FROM t")
+    assert(Compat.rewrite("SELECT jsonb_agg(v ORDER BY k) FROM t") ===
+      "SELECT ordered_json_agg(to_jsonb(v ), CAST( k AS STRING)) FROM t")
+    assert(Compat.rewrite("SELECT json_object_agg(k, v) FROM t") ===
+      "SELECT ordered_json_object_agg(CAST(k AS STRING), to_jsonb( v)) FROM t")
+    // end-to-end through the engine
+    graft.pgwire.PgFunctions.registerAll(spark)
+    def run(sql: String): String =
+      spark.sql(graft.pgwire.Compat.rewrite(sql)).collect()(0).getString(0)
+    // NULL keys sort first in the deterministic ordering
+    assert(run("SELECT json_agg(x) AS a FROM (VALUES (2),(1),(NULL)) t(x)") ===
+      "[null,1,2]")
+    assert(run("SELECT jsonb_agg(x) AS a FROM (VALUES ('b'),('a')) t(x)") ===
+      """["a","b"]""")
+    assert(run("SELECT json_object_agg(k, v) AS o FROM (VALUES ('b',2),('a',1)) t(k,v)") ===
+      """{"a":1,"b":2}""")
+    assert(run("SELECT jsonb_object_agg(k, v) AS o " +
+      "FROM (VALUES ('a',NULL),('b',2)) t(k,v)") === """{"a":null,"b":2}""")
+    // jsonb_array_length renames to the Spark builtin
+    assert(Compat.rewrite("SELECT jsonb_array_length('[1,2,3]') FROM t") ===
+      "SELECT json_array_length('[1,2,3]') FROM t")
+  }
+
+  test("jsonb_path_*_tz variants resolve tz-mixed datetime comparisons") {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    def b(sql: String): Any = spark.sql(s"SELECT $sql AS r").collect()(0).get(0)
+    // the non-tz form hard-errors on this comparison (PgJsonPathSpec);
+    // the _tz twin resolves it against the engine's pinned UTC zone
+    assert(b("""jsonb_path_exists_tz('["2023-08-15"]',
+      '$[*] ? (@.datetime() > "2023-08-14 00:00:00+02".datetime())')"""
+      .stripMargin.replace("\n", " ")) === true)
+    assert(b("""jsonb_path_match_tz('"2023-08-15"',
+      '$.datetime() < "2023-08-15 01:00:00+00".datetime()')"""
+      .stripMargin.replace("\n", " ")) === true)
+    assert(b("""jsonb_path_query_array_tz('["10:00:00"]',
+      '$[*] ? (@.datetime() < "11:00:00+00".datetime())')"""
+      .stripMargin.replace("\n", " ")) === """["10:00:00"]""")
+    assert(b("""jsonb_path_query_first_tz('["2023-08-15"]', '$[0].datetime()')""") ===
+      "\"2023-08-15\"")
+  }
 }
