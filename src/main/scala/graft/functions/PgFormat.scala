@@ -58,7 +58,9 @@ object PgFormat {
         out += DtLit(fmt.substring(i + 1, i + 2)); i += 2
       } else {
         val up = fmt.substring(i, math.min(n, i + 5)).toUpperCase
-        if (up.startsWith("FM")) { fm = !fm; i += 2 }
+        // FM is a one-shot prefix: it modifies ONLY the next keyword
+        // (pg 15 pinned: 'Month FMMonth Month' pads the third Month)
+        if (up.startsWith("FM")) { fm = true; i += 2 }
         else if (up.startsWith("FX") || up.startsWith("TM")) { i += 2 }
         else {
           dtKeys.find(k => up.startsWith(k)) match {
@@ -71,6 +73,7 @@ object PgFormat {
                 i += 2
               }
               out += DtTok(k, raw, th, fm)
+              fm = false
             case None =>
               out += DtLit(c.toString); i += 1
           }
@@ -309,6 +312,100 @@ object PgFormat {
   /** pg applies the time-unit tokens to an interval's components;
     * HH24 carries total hours (can exceed 23 only via days=0 inputs —
     * we render the day/time split as stored: months, days, micros). */
+  /** pg interval input text → (months, days, micros); None when the
+    * text doesn't parse. Handles `N unit` runs (pg unit spellings
+    * incl. mon/yr/w abbreviations), fractional quantities spilling to
+    * finer fields (pg: '1.5 days' = 1 day 12:00:00), a bare
+    * HH:MM[:SS[.f]] time part, per-field signs, and trailing 'ago'
+    * (negates everything). */
+  def parseIntervalText(s: String): Option[(Int, Int, Long)] = {
+    var months = 0L; var days = 0L; var micros = 0L
+    var ago = false
+    val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return None
+    val usPerDay = 86400000000L
+    var i = 0
+    var pendingNum: Option[java.math.BigDecimal] = None
+    def addUnit(unit: String, q: java.math.BigDecimal): Boolean = {
+      val us: Long = unit match {
+        case "microsecond" | "microseconds" | "us" => 1L
+        case "millisecond" | "milliseconds" | "ms" => 1000L
+        case "second" | "seconds" | "sec" | "secs" | "s" => 1000000L
+        case "minute" | "minutes" | "min" | "mins" | "m" => 60000000L
+        case "hour" | "hours" | "hr" | "hrs" | "h" => 3600000000L
+        case "day" | "days" | "d" =>
+          val whole = q.setScale(0, java.math.RoundingMode.DOWN)
+          days += whole.longValueExact()
+          micros += q.subtract(whole).multiply(new JBigDecimal(usPerDay)).longValue()
+          return true
+        case "week" | "weeks" | "w" =>
+          val d = q.multiply(new JBigDecimal(7))
+          val whole = d.setScale(0, java.math.RoundingMode.DOWN)
+          days += whole.longValueExact()
+          micros += d.subtract(whole).multiply(new JBigDecimal(usPerDay)).longValue()
+          return true
+        case "month" | "months" | "mon" | "mons" =>
+          val whole = q.setScale(0, java.math.RoundingMode.DOWN)
+          months += whole.longValueExact()
+          val fracDays = q.subtract(whole).multiply(new JBigDecimal(30))
+          val wholeD = fracDays.setScale(0, java.math.RoundingMode.DOWN)
+          days += wholeD.longValueExact()
+          micros += fracDays.subtract(wholeD).multiply(new JBigDecimal(usPerDay)).longValue()
+          return true
+        case "year" | "years" | "yr" | "yrs" | "y" =>
+          months += q.multiply(new JBigDecimal(12))
+            .setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+          return true
+        case "decade" | "decades" => months += q.multiply(new JBigDecimal(120))
+            .setScale(0, java.math.RoundingMode.DOWN).longValueExact(); return true
+        case "century" | "centuries" => months += q.multiply(new JBigDecimal(1200))
+            .setScale(0, java.math.RoundingMode.DOWN).longValueExact(); return true
+        case "millennium" | "millenniums" | "millennia" =>
+          months += q.multiply(new JBigDecimal(12000))
+            .setScale(0, java.math.RoundingMode.DOWN).longValueExact(); return true
+        case _ => return false
+      }
+      micros += q.multiply(new JBigDecimal(us)).longValue()
+      true
+    }
+    val timeRe = "([+-]?)(\\d+):(\\d{1,2})(?::(\\d{1,2})(\\.\\d+)?)?".r
+    while (i < toks.length) {
+      val t = toks(i)
+      t match {
+        case "ago" if i == toks.length - 1 => ago = true
+        case timeRe(sg, hh, mm, ss, fr) if pendingNum.isEmpty =>
+          val sign = if (sg == "-") -1L else 1L
+          var us = hh.toLong * 3600000000L + mm.toLong * 60000000L
+          if (ss != null) us += ss.toLong * 1000000L
+          if (fr != null) us += new JBigDecimal(fr).multiply(new JBigDecimal(1000000))
+            .setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+          micros += sign * us
+        case _ =>
+          val isNum = t.matches("[+-]?\\d+(\\.\\d+)?")
+          if (isNum) {
+            if (pendingNum.nonEmpty) return None
+            pendingNum = Some(new JBigDecimal(t))
+          } else pendingNum match {
+            case Some(q) =>
+              if (!addUnit(t, q)) return None
+              pendingNum = None
+            case None =>
+              // a unit with implied quantity 1? pg requires a number
+              return None
+          }
+      }
+      i += 1
+    }
+    pendingNum match {
+      case Some(q) => micros += q.multiply(new JBigDecimal(1000000L)).longValue()
+      case None =>
+    }
+    if (ago) { months = -months; days = -days; micros = -micros }
+    if (months > Int.MaxValue || months < Int.MinValue ||
+      days > Int.MaxValue || days < Int.MinValue) None
+    else Some((months.toInt, days.toInt, micros))
+  }
+
   def formatInterval(nodes: Vector[DtNode], months: Int, days: Int, micros: Long): String = {
     val sb = new StringBuilder
     val totSec = micros / 1000000L
@@ -528,16 +625,34 @@ object PgFormat {
     * template carries TH/th. */
   private def renderParts(f: NumFmt, neg: Boolean, intPart: String,
       fracPart: String, thVal: Long): String = {
-    val overflow = intPart.length > f.intDigits && !(intPart == "0" && f.intDigits == 0)
-    if (overflow) {
-      // pg fills every digit/sep/dec position with '#', including the
-      // default sign column
+    // pg 15 pinned: a format with NO digit positions renders its
+    // literals only — no sign column, no overflow ('XXXX' -> "XXXX")
+    val hasDigits = f.intDigits > 0 || f.decDigits > 0
+    if (!hasDigits) {
       val sb = new StringBuilder
-      if (!f.anchoredSign && !f.fm) sb.append('#')
+      f.items.foreach {
+        case NLit(s) => sb.append(s)
+        case NDec => sb.append('.')
+        case _ =>
+      }
+      return sb.toString
+    }
+    // pg 15 pinned: ANY integer part (even "0") overflows when it has
+    // more digits than slots; '#' fills digit/sep positions while sign
+    // tokens render normally ('999' -> ' ###', 'S999' -> '+###',
+    // '999MI' -> '### ', 'FM999' -> '###')
+    val overflow = intPart.length > f.intDigits
+    if (overflow) {
+      val sb = new StringBuilder
+      if (!f.anchoredSign && !f.fm) sb.append(if (neg) '-' else ' ')
       f.items.foreach {
         case NDigit9 | NDigit0 | NSep => sb.append('#')
         case NDec => sb.append('.')
         case NLit(s) => sb.append(s)
+        case NSignS | NSignSG => sb.append(if (neg) '-' else '+')
+        case NSignMI => sb.append(if (neg) '-' else ' ')
+        case NSignPL => sb.append(if (neg) "" else "+")
+        case NCurr => sb.append('$')
         case _ =>
       }
       return sb.toString

@@ -41,6 +41,19 @@ object PgFormatExpressions {
     case _ => false
   }
 
+  /** Split a DayTimeInterval's micros into pg's (days, micros) pair.
+    * Spark stores INTERVAL '35 days' as one micros value, but the
+    * TYPE's start field says whether the pg literal had a day field —
+    * pg keeps '35 days' and '840:00:00' distinct (justify_days moves
+    * only days; the text forms differ), so a day-leading type splits
+    * at whole days and an hour-or-finer type keeps pure time. */
+  def dayTimeParts(micros: Long, dt: DayTimeIntervalType): (Int, Long) =
+    if (dt.startField == DayTimeIntervalType.DAY) {
+      val usPerDay = 86400000000L
+      val d = micros / usPerDay
+      (d.toInt, micros - d * usPerDay)
+    } else (0, micros)
+
   /** Direct-call codegen body: emits `self.nullSafeEval(...)` so the
     * surrounding projection stays inside whole-stage codegen.
     * CodegenFallback would instead evaluate the ENTIRE subtree
@@ -155,8 +168,9 @@ object PgFormatExpressions {
         case CalendarIntervalType =>
           val ci = v.asInstanceOf[CalendarInterval]
           PgFormat.formatInterval(dtMemo.get(f), ci.months, ci.days, ci.microseconds)
-        case _: DayTimeIntervalType =>
-          PgFormat.formatInterval(dtMemo.get(f), 0, 0, v.asInstanceOf[Long])
+        case dt: DayTimeIntervalType =>
+          val (dd, us) = PgFormatExpressions.dayTimeParts(v.asInstanceOf[Long], dt)
+          PgFormat.formatInterval(dtMemo.get(f), 0, dd, us)
         case _: YearMonthIntervalType =>
           PgFormat.formatInterval(dtMemo.get(f), v.asInstanceOf[Int], 0, 0L)
         case _: DecimalType =>
@@ -411,7 +425,9 @@ object PgFormatExpressions {
       val (m0, d0, us0) = child.dataType match {
         case CalendarIntervalType =>
           val ci = v.asInstanceOf[CalendarInterval]; (ci.months, ci.days, ci.microseconds)
-        case _: DayTimeIntervalType => (0, 0, v.asInstanceOf[Long])
+        case dt: DayTimeIntervalType =>
+          val (dd, us) = PgFormatExpressions.dayTimeParts(v.asInstanceOf[Long], dt)
+          (0, dd, us)
         case _ => (v.asInstanceOf[Int], 0, 0L)
       }
       var months = m0.toLong; var days = d0.toLong; var micros = us0
@@ -453,8 +469,9 @@ object PgFormatExpressions {
         case CalendarIntervalType =>
           val ci = v.asInstanceOf[CalendarInterval]
           graft.pgwire.TextEncoder.formatInterval(ci.months, ci.days, ci.microseconds)
-        case _: DayTimeIntervalType =>
-          graft.pgwire.TextEncoder.formatInterval(0, 0, v.asInstanceOf[Long])
+        case dt: DayTimeIntervalType =>
+          val (dd, us) = PgFormatExpressions.dayTimeParts(v.asInstanceOf[Long], dt)
+          graft.pgwire.TextEncoder.formatInterval(0, dd, us)
         case _ =>
           graft.pgwire.TextEncoder.formatInterval(v.asInstanceOf[Int], 0, 0L)
       }
@@ -513,6 +530,31 @@ object PgFormatExpressions {
       copy(left = l, right = r)
   }
 
+  /** pg interval input parser as an expression: `pg_interval('1 mon
+    * -1 hour')` → CalendarInterval. Compat reroutes bare INTERVAL
+    * 'text' literals here when Spark's own literal syntax can't carry
+    * them (mixed year-month + day-time fields, pg-only unit
+    * spellings, 'ago'). */
+  case class PgIntervalLiteral(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = CalendarIntervalType
+    override def prettyName: String = "pg_interval"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("pg_interval(text)")
+    override def foldable: Boolean = child.foldable
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      PgFormat.parseIntervalText(s) match {
+        case Some((m, d, us)) => new CalendarInterval(m, d, us)
+        case None => throw new IllegalArgumentException(
+          s"""invalid input syntax for type interval: "$s"""")
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): PgIntervalLiteral =
+      copy(child = c)
+  }
+
   /** pg date_bin(stride, source, origin): align `source` into the
     * stride-wide bucket grid anchored at `origin`. Month-bearing
     * strides error like pg ("stride must be a multiple of ...";
@@ -525,6 +567,7 @@ object PgFormatExpressions {
     override def checkInputDataTypes(): TypeCheckResult = {
       val strideOk = first.dataType match {
         case CalendarIntervalType | _: DayTimeIntervalType => true
+        case StringType => true // pg interval input text, parsed per row
         case _ => false
       }
       if (strideOk && second.dataType == TimestampType && third.dataType == TimestampType)
@@ -540,6 +583,16 @@ object PgFormatExpressions {
           if (ci.months != 0) throw new IllegalArgumentException(
             "date_bin: stride must not include month or year units")
           ci.days * 86400000000L + ci.microseconds
+        case StringType =>
+          val txt = stride.asInstanceOf[UTF8String].toString
+          PgFormat.parseIntervalText(txt) match {
+            case Some((m, d, us)) =>
+              if (m != 0) throw new IllegalArgumentException(
+                "date_bin: stride must not include month or year units")
+              d * 86400000000L + us
+            case None => throw new IllegalArgumentException(
+              s"""invalid input syntax for type interval: "$txt"""")
+          }
         case _ => stride.asInstanceOf[Long]
       }
       if (strideUs <= 0) throw new IllegalArgumentException(
@@ -612,6 +665,10 @@ object PgFormatExpressions {
     (FunctionIdentifier("timezone"), info("timezone"), { args =>
       require(args.length == 2, "timezone requires 2 arguments")
       PgTimezone(args(0), Cast(args(1), TimestampType))
+    }),
+    (FunctionIdentifier("pg_interval"), info("pg_interval"), { args =>
+      require(args.length == 1, "pg_interval requires 1 argument")
+      PgIntervalLiteral(args(0))
     }),
     (FunctionIdentifier("date_bin"), info("date_bin"), { args =>
       require(args.length == 3, "date_bin requires 3 arguments")

@@ -200,7 +200,100 @@ object PgMiscExpressions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(PgMiscExpressions.getClass.getName, name)
 
+  /** pg div(numeric, numeric): integral quotient as a scale-0 numeric
+    * ("2", not "2.000000000000000000" — a ScalaUDF's BigDecimal return
+    * is pinned to DecimalType(38,18)). NULL on zero divisor, keeping
+    * the engine's documented deviation from pg's division-by-zero
+    * error (mod_op.rs parity). */
+  case class PgDiv(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    private def toBd(v: Any, dt: DataType): java.math.BigDecimal = dt match {
+      case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+      case DoubleType => java.math.BigDecimal.valueOf(v.asInstanceOf[Double])
+      case FloatType => java.math.BigDecimal.valueOf(v.asInstanceOf[Float].toDouble)
+      case _ => new java.math.BigDecimal(v.toString)
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.isInstanceOf[NumericType] &&
+        right.dataType.isInstanceOf[NumericType]) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("div(numeric, numeric)")
+    override def dataType: DataType = DecimalType(38, 0)
+    override def nullable: Boolean = true
+    override def prettyName: String = "div"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val l = left.eval(input)
+      val r = right.eval(input)
+      if (l == null || r == null) return null
+      val d = toBd(r, right.dataType)
+      if (d.signum() == 0) return null
+      Decimal(toBd(l, left.dataType).divideToIntegralValue(d).setScale(0))
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PgDiv = copy(left = l, right = r)
+  }
+
+  /** pg trunc: `trunc(numeric[, s])` truncates toward zero to scale s
+    * (result typed at that scale so the wire text matches pg — 42.43,
+    * not 42.430000…); with a STRING second argument it falls through
+    * to Spark's date-trunc so client SQL like trunc(d, 'MM') keeps
+    * working after Compat renames 2-arg trunc here. */
+  case class PgTrunc(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    private def isDateForm: Boolean =
+      children.length == 2 && children(1).dataType == StringType
+    private lazy val dateDelegate: Expression = TruncDate(children(0), children(1))
+    private lazy val scaleArg: Int = children match {
+      case Seq(_) => 0
+      case Seq(_, e) if e.foldable && e.dataType == IntegerType =>
+        val v = e.eval(null)
+        if (v == null) 0 else v.asInstanceOf[Int]
+      case _ => 0
+    }
+    override def nullable: Boolean = true
+    override def dataType: DataType =
+      if (isDateForm) dateDelegate.dataType
+      else DecimalType(38, math.max(0, math.min(18, scaleArg)))
+    override def prettyName: String = "trunc"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isDateForm) dateDelegate.checkInputDataTypes()
+      else if ((children.length == 1 || children.length == 2) &&
+        children(0).dataType.isInstanceOf[NumericType] &&
+        (children.length == 1 || children(1).dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("trunc(numeric[, int]) or trunc(date, fmt)")
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      if (isDateForm) return dateDelegate.eval(input)
+      val v = children(0).eval(input)
+      if (v == null) return null
+      val s =
+        if (children.length == 2) {
+          val sv = children(1).eval(input)
+          if (sv == null) return null
+          sv.asInstanceOf[Int]
+        } else 0
+      val bd = children(0).dataType match {
+        case _: DecimalType =>
+          v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+        case DoubleType => java.math.BigDecimal.valueOf(v.asInstanceOf[Double])
+        case FloatType => java.math.BigDecimal.valueOf(v.asInstanceOf[Float].toDouble)
+        case _ => new java.math.BigDecimal(v.toString)
+      }
+      val t = bd.setScale(s, java.math.RoundingMode.DOWN)
+        .setScale(math.max(0, math.min(18, s)), java.math.RoundingMode.DOWN)
+      org.apache.spark.sql.types.Decimal(t)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgTrunc = copy(children = newChildren)
+  }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("div"), info("div"), { args =>
+      require(args.length == 2, "div requires 2 arguments")
+      PgDiv(args(0), args(1))
+    }),
+    (FunctionIdentifier("pg_trunc"), info("pg_trunc"), { args =>
+      PgTrunc(args)
+    }),
     (FunctionIdentifier("pg_typeof"), info("pg_typeof"), { args =>
       require(args.length == 1, "pg_typeof requires 1 argument")
       PgTypeOf(args(0))

@@ -81,6 +81,28 @@ object Compat {
           if (escaped) raw.substring(1)
           else if (raw.indexOf('\\') >= 0) raw.replace("\\", "\\\\")
           else raw)
+      } else if ((c == 'U' || c == 'u') && peek(1) == '&' && peek(2) == '\'') {
+        // U&'...' unicode-escape literal: decode \XXXX and \+XXXXXX
+        // here, emit a plain literal (re-escaped for Spark's parser)
+        i += 2 // U&
+        i += 1 // opening quote
+        val body = new java.lang.StringBuilder()
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (ch == '\'' && peek(1) == '\'') { body.append('\''); i += 2 }
+          else if (ch == '\'') { i += 1; done = true }
+          else if (ch == '\\' && peek(1) == '\\') { body.append('\\'); i += 2 }
+          else if (ch == '\\' && peek(1) == '+' && i + 7 < n) {
+            body.appendCodePoint(Integer.parseInt(sql.substring(i + 2, i + 8), 16))
+            i += 8
+          } else if (ch == '\\' && i + 4 < n) {
+            body.append(Integer.parseInt(sql.substring(i + 1, i + 5), 16).toChar)
+            i += 5
+          } else { body.append(ch); i += 1 }
+        }
+        out += Tok(Str, "'" + body.toString
+          .replace("\\", "\\\\").replace("'", "''") + "'")
       } else if (c == '$' && peek(1) == '$') {
         // dollar-quoted string $$...$$ → plain string literal
         // (literal text: backslashes doubled for the Spark parser)
@@ -226,6 +248,7 @@ object Compat {
   /** Function renames applied when followed by '('. */
   private val fnRename: Map[String, String] = Map(
     "jsonb_array_length" -> "json_array_length", // Spark builtin twin
+    "starts_with" -> "startswith", // Spark builtin, same semantics
     "current_database" -> "pg_current_database",
     "current_schemas" -> "pg_current_schemas",
     "array_length" -> "pg_array_length",
@@ -315,13 +338,17 @@ object Compat {
     rewriteAnyAll(ts)
     rewriteJsonAggs(ts)
     rewriteSetReturning(ts)
+    rewriteSubstringRegex(ts)
+    quoteNormalizeForms(ts)
+    rewriteIntervalLiterals(ts)
     rewriteExtractEpoch(ts)
     rewriteSimilarTo(ts)
     rewriteRegexOps(ts)
     rewriteJsonOps(ts)
     rewriteCastTypes(ts)
-    padFunctionArgs(ts)
+    wrapByteaLiteralArgs(ts)
     renameFunctionsByArity(ts)
+    padFunctionArgs(ts)
     shiftArraySubscripts(ts)
     aliasVersionCall(ts)
     stripTvfParens(ts)
@@ -347,13 +374,28 @@ object Compat {
     ("has_table_privilege", 2, "'postgres', ", false), // 2-arg = current user
     ("has_schema_privilege", 2, "'postgres', ", false),
     ("has_database_privilege", 2, "'postgres', ", false),
-    ("has_any_column_privilege", 2, "'postgres', ", false))
+    ("has_any_column_privilege", 2, "'postgres', ", false),
+    // pg regexp family optional args (start, N, endoption, flags,
+    // subexpr) — renameFunctionsByArity routed these to the pg_
+    // full-arity UDFs; fill the defaults
+    ("pg_regexp_count", 3, ", ''", true),
+    ("pg_regexp_instr", 3, ", 1, 0, '', 0", true),
+    ("pg_regexp_instr", 4, ", 0, '', 0", true),
+    ("pg_regexp_instr", 5, ", '', 0", true),
+    ("pg_regexp_instr", 6, ", 0", true),
+    ("pg_regexp_substr", 3, ", 1, '', 0", true),
+    ("pg_regexp_substr", 4, ", '', 0", true),
+    ("pg_regexp_substr", 5, ", 0", true),
+    ("pg_regexp_replace", 3, ", '', -1, ''", true),
+    ("pg_regexp_replace", 4, ", -1, ''", true),
+    ("pg_regexp_replace", 5, ", ''", true))
 
   private def padFunctionArgs(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {
       if (ts(i).kind == Word) {
-        padSpec.find(_._1 == ts(i).text.toLowerCase).foreach { case (_, fromArity, pad, append) =>
+        val specs = padSpec.filter(_._1 == ts(i).text.toLowerCase)
+        if (specs.nonEmpty) {
           val open = nextIdx(ts, i)
           if (open >= 0 && ts(open).is("(")) {
             val close = matchParen(ts, open)
@@ -368,7 +410,7 @@ object Compat {
                 j += 1
               }
               val argc = if (empty) 0 else commas + 1
-              if (argc == fromArity) {
+              specs.find(_._2 == argc).foreach { case (_, _, pad, append) =>
                 if (append) ts.insert(close, Tok(Word, pad))
                 else ts.insert(open + 1, Tok(Word, pad))
               }
@@ -388,33 +430,61 @@ object Compat {
     * 183-227) lives under pg_width_bucket.
     */
   private val arityRenameSpec: Seq[(String, Int, String)] = Seq(
-    ("width_bucket", 2, "pg_width_bucket"))
+    ("width_bucket", 2, "pg_width_bucket"),
+    // pg trunc(numeric[, s]) vs Spark trunc(date, fmt): pg_trunc
+    // dispatches on the second argument's type, so both forms route
+    // through it (Spark has no 1-arg trunc at all)
+    ("trunc", 1, "pg_trunc"),
+    ("trunc", 2, "pg_trunc"),
+    // pg regexp optional-arg forms Spark's builtins can't take (or
+    // take with DIFFERENT meaning — Spark's 3rd regexp_instr arg is a
+    // group index where pg's is a start position; Spark's 3-arg
+    // regexp_replace replaces every match where pg replaces the
+    // first). Renamed here, defaults padded in padSpec.
+    ("regexp_like", 3, "pg_regexp_like"),
+    ("regexp_count", 3, "pg_regexp_count"),
+    ("regexp_count", 4, "pg_regexp_count"),
+    ("regexp_instr", 3, "pg_regexp_instr"),
+    ("regexp_instr", 4, "pg_regexp_instr"),
+    ("regexp_instr", 5, "pg_regexp_instr"),
+    ("regexp_instr", 6, "pg_regexp_instr"),
+    ("regexp_instr", 7, "pg_regexp_instr"),
+    ("regexp_substr", 3, "pg_regexp_substr"),
+    ("regexp_substr", 4, "pg_regexp_substr"),
+    ("regexp_substr", 5, "pg_regexp_substr"),
+    ("regexp_substr", 6, "pg_regexp_substr"),
+    ("regexp_replace", 3, "pg_regexp_replace"),
+    ("regexp_replace", 4, "pg_regexp_replace"),
+    ("regexp_replace", 5, "pg_regexp_replace"),
+    ("regexp_replace", 6, "pg_regexp_replace"))
 
   private def renameFunctionsByArity(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {
       if (ts(i).kind == Word) {
-        arityRenameSpec.find(_._1 == ts(i).text.toLowerCase).foreach {
-          case (_, atArity, newName) =>
-            val open = nextIdx(ts, i)
-            if (open >= 0 && ts(open).is("(")) {
-              val close = matchParen(ts, open)
-              if (close > 0) {
-                // brackets nest too: ARRAY[a, b] commas are not arg
-                // separators
-                var commas = 0; var depth = 0; var j = open + 1
-                var empty = true
-                while (j < close) {
-                  if (ts(j).is("(") || ts(j).is("[")) depth += 1
-                  else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
-                  else if (depth == 0 && ts(j).is(",")) commas += 1
-                  if (ts(j).kind != Ws) empty = false
-                  j += 1
-                }
-                val argc = if (empty) 0 else commas + 1
-                if (argc == atArity) ts(i) = Tok(Word, newName)
+        val specs = arityRenameSpec.filter(_._1 == ts(i).text.toLowerCase)
+        if (specs.nonEmpty) {
+          val open = nextIdx(ts, i)
+          if (open >= 0 && ts(open).is("(")) {
+            val close = matchParen(ts, open)
+            if (close > 0) {
+              // brackets nest too: ARRAY[a, b] commas are not arg
+              // separators
+              var commas = 0; var depth = 0; var j = open + 1
+              var empty = true
+              while (j < close) {
+                if (ts(j).is("(") || ts(j).is("[")) depth += 1
+                else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+                else if (depth == 0 && ts(j).is(",")) commas += 1
+                if (ts(j).kind != Ws) empty = false
+                j += 1
+              }
+              val argc = if (empty) 0 else commas + 1
+              specs.find(_._2 == argc).foreach { case (_, _, newName) =>
+                ts(i) = Tok(Word, newName)
               }
             }
+          }
         }
       }
       i += 1
@@ -948,6 +1018,111 @@ object Compat {
     }
   }
 
+  /** pg `substring(string FROM 'pattern')` is the POSIX-regex form
+    * (returns the first match, or capture group 1 when the pattern
+    * has one; NULL when no match). Spark's FROM/FOR grammar is
+    * position-only, so a string-literal FROM operand (with no FOR)
+    * reroutes to the pg_substring_re UDF. */
+  /** pg `normalize(x, NFC)` takes its form as a bare KEYWORD; the
+    * engine's normalize UDF takes it as text. Quote the keyword. */
+  private def quoteNormalizeForms(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("normalize")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            var j = open + 1; var depth = 0
+            while (j < close) {
+              if (ts(j).is("(")) depth += 1
+              else if (ts(j).is(")")) depth -= 1
+              else if (depth == 0 && ts(j).kind == Word &&
+                "(?i)NFK?[CD]".r.matches(ts(j).text))
+                ts(j) = Tok(Str, "'" + ts(j).text.toUpperCase + "'")
+              j += 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def rewriteSubstringRegex(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && t.text.equalsIgnoreCase("substring")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            // depth-1 FROM whose operand is a string literal right
+            // before the close paren
+            var j = open + 1; var depth = 0; var fromIdx = -1
+            while (j < close) {
+              if (ts(j).is("(") || ts(j).is("[")) depth += 1
+              else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+              else if (depth == 0 && ts(j).isWord("FROM")) fromIdx = j
+              j += 1
+            }
+            if (fromIdx > 0) {
+              val pat = nextIdx(ts, fromIdx)
+              if (pat >= 0 && ts(pat).kind == Str && nextIdx(ts, pat) == close) {
+                ts(fromIdx) = Tok(Op, ",")
+                ts(i) = Tok(Word, "pg_substring_re")
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Bare `INTERVAL 'text'` literals that Spark's parser cannot carry
+    * — pg-only unit spellings (mon/yr/w), mixed year-month AND
+    * day-time fields in one literal, trailing 'ago' — reroute to the
+    * pg_interval expression (pg's input parser, CalendarInterval
+    * result). Literals Spark understands, and the qualified forms
+    * (INTERVAL '1' DAY, INTERVAL '3' MONTH), stay native so their
+    * types keep Catalyst's interval arithmetic fast paths. */
+  private def rewriteIntervalLiterals(ts: ArrayBuffer[Tok]): Unit = {
+    val ymUnits = "(?i)\\b(mons?|months?|yrs?|years?|decades?|centur|millenn)".r
+    val dtUnits = "(?i)\\b(days?|weeks?|hours?|hrs?|mins?|minutes?|secs?|seconds?|\\d+:\\d)".r
+    val pgOnly = "(?i)\\b(mons?|yrs?|ago)\\b".r
+    // fractional quantities above seconds spill into finer fields in
+    // pg ('1.5 days' = 1 day 12:00:00); Spark's literal parser rejects
+    val fracUnit = "(?i)\\d+\\.\\d+\\s*(day|week|mon|year|yr|hour|hr|min)".r
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("INTERVAL")) {
+        val lit = nextIdx(ts, i)
+        if (lit >= 0 && ts(lit).kind == Str) {
+          // qualified form? (a unit keyword right after the literal)
+          val after = nextIdx(ts, lit)
+          val qualified = after >= 0 && ts(after).kind == Word &&
+            "(?i)(year|month|week|day|hour|minute|second)s?".r
+              .matches(ts(after).text)
+          if (!qualified) {
+            val body = ts(lit).text.drop(1).dropRight(1).replace("''", "'")
+            val mixed = ymUnits.findFirstIn(body).nonEmpty &&
+              dtUnits.findFirstIn(body).nonEmpty
+            if (mixed || pgOnly.findFirstIn(body).nonEmpty ||
+              fracUnit.findFirstIn(body).nonEmpty) {
+              ts(i) = Tok(Word, "pg_interval")
+              ts.insert(lit + 1, Tok(Op, ")"))
+              ts.insert(lit, Tok(Op, "("))
+              i = lit + 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   /** `EXTRACT(EPOCH FROM expr)` → seconds-since-epoch as double.
     * Spark's EXTRACT has no EPOCH field at all, and pg clients
     * (Grafana time math, ORMs) lean on it heavily. The expr is kept
@@ -959,7 +1134,25 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
-      if (t.kind == Word && t.text.equalsIgnoreCase("EXTRACT")) {
+      if (t.kind == Word && t.text.equalsIgnoreCase("date_part")) {
+        // date_part('epoch', e) — same expansion as EXTRACT(EPOCH
+        // FROM e); Spark's date_part has no epoch field either
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val f = nextIdx(ts, open)
+          val comma = if (f >= 0) nextIdx(ts, f) else -1
+          if (f >= 0 && ts(f).kind == Str &&
+            ts(f).text.drop(1).dropRight(1).equalsIgnoreCase("epoch") &&
+            comma >= 0 && ts(comma).is(",")) {
+            val close = matchParen(ts, open)
+            if (close > 0) {
+              ts.insert(close + 1, Tok(Word, " AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"))
+              ts.remove(f, comma - f + 1)
+              ts(i) = Tok(Word, "(CAST(unix_micros(CAST(")
+            }
+          }
+        }
+      } else if (t.kind == Word && t.text.equalsIgnoreCase("EXTRACT")) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
           val fieldIdx = nextIdx(ts, open)
@@ -1239,7 +1432,18 @@ object Compat {
     while (i < ts.length) {
       if (ts(i).is("::")) {
         val t = nextIdx(ts, i)
-        if (t >= 0 && ts(t).kind == Word) mapTypeAt(ts, t)
+        val p = prevIdx(ts, i)
+        // '...'::bytea must go through pg's bytea input parser
+        // ('\x…' hex / octal escapes) — Spark's STRING->BINARY cast
+        // would take the literal's UTF-8 bytes instead
+        if (t >= 0 && ts(t).kind == Word &&
+          ts(t).text.equalsIgnoreCase("bytea") && p >= 0 && ts(p).kind == Str) {
+          val lit = ts(p)
+          ts.remove(p, t - p + 1)
+          ts.insertAll(p,
+            Seq(Tok(Word, "pg_to_bytea"), Tok(Op, "("), lit, Tok(Op, ")")))
+          i = p + 3
+        } else if (t >= 0 && ts(t).kind == Word) mapTypeAt(ts, t)
       } else if (ts(i).isWord("CAST")) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
@@ -1257,6 +1461,35 @@ object Compat {
               }
               j += 1
             }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg implicitly converts an untyped string literal to bytea via
+    * the bytea input parser when it's passed to a bytea-taking
+    * function — `encode('123\000\001', 'base64')` reads the octal
+    * escapes. Wrap FIRST-argument string literals of the bytea
+    * functions in pg_to_bytea so the same bytes arrive. (Typed
+    * binary columns pass through untouched.) */
+  private val byteaArgFns = Set("encode", "get_byte", "set_byte", "get_bit",
+    "set_bit", "crc32", "crc32c", "convert_from", "convert", "bit_count")
+  private def wrapByteaLiteralArgs(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && byteaArgFns.contains(t.text.toLowerCase)) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val a = nextIdx(ts, open)
+          if (a >= 0 && ts(a).kind == Str) {
+            val lit = ts(a)
+            ts.remove(a)
+            ts.insertAll(a,
+              Seq(Tok(Word, "pg_to_bytea"), Tok(Op, "("), lit, Tok(Op, ")")))
+            i = a + 3
           }
         }
       }

@@ -247,6 +247,173 @@ object PgFunctions {
 
   // ---- binary / uuid / pattern helpers (functions.md slice #2) ----------
 
+  /** Compile a POSIX-ish pattern with pg's regexp flags (docs Table
+    * 9.24): pg defaults to newline-INSENSITIVE matching ('.' matches
+    * newline), so DOTALL is on unless 'n'/'m' asks for line mode. */
+  private def pgRegex(pattern: String, flags: String): java.util.regex.Pattern = {
+    import java.util.regex.Pattern
+    var f = Pattern.DOTALL
+    (if (flags == null) "" else flags).foreach {
+      case 'i' => f |= Pattern.CASE_INSENSITIVE
+      case 'c' => f &= ~Pattern.CASE_INSENSITIVE
+      case 'n' | 'm' => f = (f & ~Pattern.DOTALL) | Pattern.MULTILINE
+      case 's' => f |= Pattern.DOTALL
+      case 'x' => f |= Pattern.COMMENTS
+      case 'q' => f |= Pattern.LITERAL
+      case 'g' => // occurrence-handled by callers
+      case other => throw new IllegalArgumentException(
+        s"""invalid regular expression option: "$other"""")
+    }
+    Pattern.compile(pattern, f)
+  }
+
+  /** Find the Nth match at-or-after 1-based char `start`. */
+  private def nthMatch(s: String, p: String, start: Int, n: Int,
+      flags: String): Option[java.util.regex.Matcher] = {
+    if (start < 1) throw new IllegalArgumentException(
+      "invalid value for parameter \"start\": " + start)
+    val m = pgRegex(p, flags).matcher(s)
+    var count = 0
+    var from = start - 1
+    while (from <= s.length && m.find(from)) {
+      count += 1
+      if (count == n) return Some(m)
+      from = if (m.end() == m.start()) m.end() + 1 else m.end()
+    }
+    None
+  }
+
+  def pgRegexpLike(s: String, p: String, flags: String): Boolean =
+    pgRegex(p, flags).matcher(s).find()
+
+  def pgRegexpCount(s: String, p: String, start: Int, flags: String): Int = {
+    if (start < 1) throw new IllegalArgumentException(
+      "invalid value for parameter \"start\": " + start)
+    val m = pgRegex(p, flags).matcher(s)
+    var count = 0
+    var from = start - 1
+    while (from <= s.length && m.find(from)) {
+      count += 1
+      from = if (m.end() == m.start()) m.end() + 1 else m.end()
+    }
+    count
+  }
+
+  def pgRegexpInstr(s: String, p: String, start: Int, n: Int, endOpt: Int,
+      flags: String, subexpr: Int): Int =
+    nthMatch(s, p, start, math.max(1, n), flags) match {
+      case None => 0
+      case Some(m) =>
+        val (st, en) =
+          if (subexpr > 0) {
+            if (m.start(subexpr) < 0) return 0
+            (m.start(subexpr), m.end(subexpr))
+          } else (m.start(), m.end())
+        if (endOpt == 1) en + 1 else st + 1
+    }
+
+  def pgRegexpSubstr(s: String, p: String, start: Int, n: Int,
+      flags: String, subexpr: Int): String =
+    nthMatch(s, p, start, math.max(1, n), flags) match {
+      case None => null
+      case Some(m) => if (subexpr > 0) m.group(subexpr) else m.group()
+    }
+
+  /** pg regexp_replace: 4th positional may be flags (text) or start
+    * (int, arrives as its decimal text through the UDF signature);
+    * n = -1 means "not given" (first match unless 'g'), n = 0 means
+    * every match, n > 0 the Nth match only. */
+  def pgRegexpReplace(s: String, p: String, r: String, fourth: String,
+      n: Int, flags: String): String = {
+    var start = 1
+    var fl = if (flags == null) "" else flags
+    var occ = n
+    if (fourth != null && fourth.nonEmpty) {
+      if (fourth.forall(_.isDigit)) start = fourth.toInt
+      else { fl = fourth + fl }
+    }
+    if (occ < 0) occ = if (fl.contains('g')) 0 else 1
+    val javaRepl = pgReplToJava(r)
+    if (occ == 0) {
+      // every match from start
+      val prefix = s.substring(0, math.min(start - 1, s.length))
+      val rest = s.substring(math.min(start - 1, s.length))
+      prefix + pgRegex(p, fl).matcher(rest).replaceAll(javaRepl)
+    } else {
+      nthMatch(s, p, start, occ, fl) match {
+        case None => s
+        case Some(m) =>
+          // appendReplacement copies everything before the match from
+          // the matcher's append position (still 0 — only find() ran)
+          val sb = new StringBuffer(s.length)
+          m.appendReplacement(sb, javaRepl)
+          m.appendTail(sb)
+          sb.toString
+      }
+    }
+  }
+
+  /** pg replacement syntax: \1..\9 group refs, \& whole match, \\ a
+    * literal backslash → Java's $1..$9 / $0 / \\. */
+  private def pgReplToJava(r: String): String = {
+    val sb = new java.lang.StringBuilder(r.length + 8)
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '\\' && i + 1 < r.length) {
+        val d = r.charAt(i + 1)
+        if (d.isDigit) { sb.append('$').append(d); i += 2 }
+        else if (d == '&') { sb.append("$0"); i += 2 }
+        else if (d == '\\') { sb.append("\\\\"); i += 2 }
+        else { sb.append('\\').append(d); i += 2 }
+      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** pg text -> bytea input (docs §8.4): hex form `\x…` (whitespace
+    * between pairs allowed) or escape form (`\\`, `\nnn` octal, other
+    * bytes literal — non-ASCII as their UTF-8 bytes). */
+  def parseByteaInput(s: String): Array[Byte] = {
+    if (s.length >= 2 && s.charAt(0) == '\\' &&
+      (s.charAt(1) == 'x' || s.charAt(1) == 'X')) {
+      val hex = s.substring(2).filterNot(_.isWhitespace)
+      if (hex.length % 2 != 0) throw new IllegalArgumentException(
+        "invalid hexadecimal data: odd number of digits")
+      val out = new Array[Byte](hex.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val hi = Character.digit(hex.charAt(2 * i), 16)
+        val lo = Character.digit(hex.charAt(2 * i + 1), 16)
+        if (hi < 0 || lo < 0) throw new IllegalArgumentException(
+          s"""invalid hexadecimal digit: "${hex.charAt(2 * i + (if (hi < 0) 0 else 1))}"""")
+        out(i) = ((hi << 4) | lo).toByte
+        i += 1
+      }
+      out
+    } else {
+      val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = new java.io.ByteArrayOutputStream(in.length)
+      var i = 0
+      def isOct(b: Byte): Boolean = b >= '0' && b <= '7'
+      while (i < in.length) {
+        val b = in(i)
+        if (b == '\\') {
+          if (i + 1 < in.length && in(i + 1) == '\\') { bb.write('\\'); i += 2 }
+          else if (i + 3 < in.length && isOct(in(i + 1)) && isOct(in(i + 2)) &&
+            isOct(in(i + 3))) {
+            bb.write(((in(i + 1) - '0') * 64 + (in(i + 2) - '0') * 8 +
+              (in(i + 3) - '0')) & 0xff)
+            i += 4
+          } else throw new IllegalArgumentException(
+            "invalid input syntax for type bytea")
+        } else { bb.write(b); i += 1 }
+      }
+      bb.toByteArray
+    }
+  }
+
   /** pg encode(bytea, format): hex | base64 | escape. */
   def encodeBytea(b: Array[Byte], format: String): String = format.toLowerCase match {
     case "hex" => b.map(x => f"${x & 0xff}%02x").mkString
@@ -451,6 +618,9 @@ object PgFunctions {
       ProcDef("pg_array_length", Seq(AARR, I4), I4),
       ProcDef("pg_string_to_array", Seq(T, T), TARR),
       ProcDef("div", Seq(NUM, NUM), NUM),
+      ProcDef("gcd", Seq(I8, I8), I8),
+      ProcDef("lcm", Seq(I8, I8), I8),
+      ProcDef("starts_with", Seq(T, T), B),
       ProcDef("pg_mod", Seq(NUM, NUM), NUM),
       ProcDef("sind", Seq(F8), F8), ProcDef("cosd", Seq(F8), F8),
       ProcDef("tand", Seq(F8), F8), ProcDef("cotd", Seq(F8), F8),
@@ -794,6 +964,45 @@ object PgFunctions {
     // encode/decode SHADOW Spark's charset builtins — on a pg surface
     // encode(bytea, 'hex'|'base64'|'escape') is the contract
     graft.functions.PgMiscExpressions.install(spark)
+    // pg text -> bytea input conversion (docs §8.4): '\x...' hex form
+    // or the escape form with \\ and \nnn octal. Compat routes
+    // '...'::bytea casts and string-literal args of bytea functions
+    // through this (Spark's STRING->BINARY cast takes the UTF-8 bytes
+    // of the literal text, which is never what a pg client means).
+    u.register("pg_to_bytea", (s: String) =>
+      if (s == null) null else parseByteaInput(s))
+    // pg regexp optional-arg family (start / N / endoption / flags /
+    // subexpr forms Spark's builtins lack) — Compat renames + pads the
+    // call sites to these full-arity UDFs
+    u.register("pg_regexp_like", (s: String, p: String, fl: String) =>
+      if (s == null || p == null || fl == null) null
+      else java.lang.Boolean.valueOf(pgRegexpLike(s, p, fl)))
+    u.register("pg_regexp_count", (s: String, p: String, st: java.lang.Integer, fl: String) =>
+      if (s == null || p == null || st == null || fl == null) null
+      else Integer.valueOf(pgRegexpCount(s, p, st, fl)))
+    u.register("pg_regexp_instr", (s: String, p: String, st: java.lang.Integer,
+        n: java.lang.Integer, eo: java.lang.Integer, fl: String, sub: java.lang.Integer) =>
+      if (s == null || p == null || st == null || n == null || eo == null ||
+        fl == null || sub == null) null
+      else Integer.valueOf(pgRegexpInstr(s, p, st, n, eo, fl, sub)))
+    u.register("pg_regexp_substr", (s: String, p: String, st: java.lang.Integer,
+        n: java.lang.Integer, fl: String, sub: java.lang.Integer) =>
+      if (s == null || p == null || st == null || n == null || fl == null || sub == null) null
+      else pgRegexpSubstr(s, p, st, n, fl, sub))
+    u.register("pg_regexp_replace", (s: String, p: String, r: String,
+        fourth: String, n: java.lang.Integer, fl: String) =>
+      if (s == null || p == null || r == null || n == null) null
+      else pgRegexpReplace(s, p, r, fourth, n, fl))
+    // substring(string FROM 'pattern'): first POSIX match, or group 1
+    // when the pattern captures (Compat rewrites the FROM form here)
+    u.register("pg_substring_re", (s: String, p: String) =>
+      if (s == null || p == null) null
+      else {
+        val m = pgRegex(p, "").matcher(s)
+        if (!m.find()) null
+        else if (m.groupCount() >= 1) m.group(1)
+        else m.group()
+      })
     u.register("encode", (b: Array[Byte], fmt: String) =>
       if (b == null || fmt == null) null else encodeBytea(b, fmt))
     u.register("decode", (s: String, fmt: String) =>
@@ -942,9 +1151,40 @@ object PgFunctions {
       else s.split(java.util.regex.Pattern.quote(d), -1))
 
     // math pack (datafusion-pg-functions/src/numeric/)
-    u.register("div", (y: java.math.BigDecimal, x: java.math.BigDecimal) =>
-      if (y == null || x == null || x.signum() == 0) null
-      else y.divideToIntegralValue(x))
+    // div is a native expression now (PgMiscExpressions.PgDiv) so the
+    // quotient carries scale 0 on the wire like pg
+    u.register("gcd", (y: java.lang.Long, x: java.lang.Long) =>
+      if (y == null || x == null) null
+      else java.lang.Long.valueOf(
+        java.math.BigInteger.valueOf(y).gcd(java.math.BigInteger.valueOf(x)).longValueExact()))
+    u.register("lcm", (y: java.lang.Long, x: java.lang.Long) =>
+      if (y == null || x == null) null
+      else if (y.longValue() == 0L || x.longValue() == 0L) java.lang.Long.valueOf(0L)
+      else {
+        val a = java.math.BigInteger.valueOf(y).abs()
+        val b = java.math.BigInteger.valueOf(x).abs()
+        java.lang.Long.valueOf(a.divide(a.gcd(b)).multiply(b).longValueExact())
+      })
+    // pg chr/left/right shadows: Spark's chr is byte-oriented (mod
+    // 256) where pg's is a Unicode code point; Spark's left/right
+    // return '' for negative n where pg drops from the other end
+    u.register("chr", (n: java.lang.Integer) => {
+      if (n == null) null
+      else if (n.intValue() == 0)
+        throw new IllegalArgumentException("null character not permitted")
+      else if (n.intValue() < 0 || n.intValue() > 0x10FFFF)
+        throw new IllegalArgumentException(
+          s"requested character too large for encoding: $n")
+      else new String(Character.toChars(n.intValue()))
+    })
+    u.register("left", (s: String, n: java.lang.Integer) =>
+      if (s == null || n == null) null
+      else if (n.intValue() >= 0) s.substring(0, math.min(n.intValue(), s.length))
+      else s.substring(0, math.max(0, s.length + n.intValue())))
+    u.register("right", (s: String, n: java.lang.Integer) =>
+      if (s == null || n == null) null
+      else if (n.intValue() >= 0) s.substring(math.max(0, s.length - n.intValue()))
+      else s.substring(math.min(-n.intValue(), s.length)))
     // pg mod: sign-of-dividend, NULL on zero divisor (the reference's
     // documented deviation from pg's error — mod_op.rs:18; Spark 4 ANSI
     // mode would raise DIVIDE_BY_ZERO, so the guard is explicit)

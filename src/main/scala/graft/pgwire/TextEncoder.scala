@@ -130,7 +130,12 @@ object TextEncoder {
         case t: Timestamp => formatTs(t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime, fmt) + "+00"
         case t: Instant => formatTs(t.atOffset(ZoneOffset.UTC).toLocalDateTime, fmt) + "+00"
       }
-      case _: DayTimeIntervalType => formatDayTimeInterval(v.asInstanceOf[Duration])
+      case dt: DayTimeIntervalType =>
+        // a day-leading type renders its whole days as pg days
+        // ('35 days', not '840:00:00') — see dayTimeParts
+        val us = v.asInstanceOf[Duration].toNanos / 1000
+        val (dd, rest) = graft.functions.PgFormatExpressions.dayTimeParts(us, dt)
+        formatInterval(0, dd, rest)
       case _: YearMonthIntervalType => formatYearMonthInterval(v.asInstanceOf[Period])
       case CalendarIntervalType =>
         val ci = v.asInstanceOf[CalendarInterval]

@@ -69,9 +69,19 @@ class PgFormatSpec extends AnyFunSuite {
     assert(toChar(5.2, "FMRN") === "V")
   }
 
-  test("overflow fills digit positions with #") {
-    assert(toChar(12345, "999") === "####")
-    assert(toChar(12345, "9,999") === "######")
+  test("overflow fills digit positions with # (sign column stays)") {
+    // live pg 15 pinned: the default sign column renders as space (or
+    // '-'), NOT '#' — the docs' '####' example doesn't match pg 15
+    assert(toChar(12345, "999") === " ###")
+    assert(toChar(12345, "9,999") === " #####")
+    assert(toChar(-12345, "999") === "-###")
+    assert(toChar(12345, "S999") === "+###")
+    assert(toChar(12345, "999MI") === "### ")
+    assert(toChar(12345, "FM999") === "###")
+    // a format with no digit positions renders literals only
+    assert(toChar(123, "XXXX") === "XXXX")
+    // any integer part overflows a zero-slot template (pg: ' .#')
+    assert(toCharD("0.5", ".9") === " .#")
   }
 
   test("rounding is half-up away from zero") {
@@ -119,10 +129,14 @@ class PgFormatSpec extends AnyFunSuite {
     assert(dt("RM rm") === "VIII viii")
   }
 
-  test("datetime: ordinals, quoted literals, FM toggling") {
+  test("datetime: ordinals, quoted literals, FM one-shot prefix") {
     assert(dt("DDth \"of\" FMMonth") === "12th of August")
     assert(dt("HH12 A.M.") === "03 P.M.")
     assert(dt("\"Year: \"YYYY") === "Year: 2026")
+    // live pg 15 pinned: FM modifies ONLY the next keyword — it is
+    // not a toggle ('Month FMMonth Month' pads the third Month again)
+    assert(dt("Month FMMonth Month") === "August    August August   ")
+    assert(dt("FMDay, DD FMMonth YYYY") === "Wednesday, 12 August 2026")
   }
 
   test("datetime: timezone tokens on UTC") {
