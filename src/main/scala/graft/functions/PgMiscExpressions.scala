@@ -286,7 +286,110 @@ object PgMiscExpressions {
         newChildren: IndexedSeq[Expression]): PgTrunc = copy(children = newChildren)
   }
 
+  /** array_positions(arr, elem): 1-based indexes of EVERY match
+    * (NULL matches NULL, as in pg). */
+  case class PgArrayPositions(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "array_positions"
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(et, _) if et == right.dataType ||
+        right.dataType == NullType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("array_positions(anyarray, anyelement)")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = left.eval(input)
+      if (arr == null) return null
+      val target = right.eval(input)
+      val et = left.dataType.asInstanceOf[ArrayType].elementType
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < a.numElements()) {
+        val el = if (a.isNullAt(i)) null else a.get(i, et)
+        val hit =
+          if (el == null || target == null) el == null && target == null
+          else el == target || java.util.Objects.deepEquals(el, target)
+        if (hit) out += (i + 1)
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PgArrayPositions = copy(left = l, right = r)
+  }
+
+  /** array_replace(arr, from, to): every element equal to `from`
+    * becomes `to` (NULLs replaceable, as in pg). */
+  case class PgArrayReplace(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = children(0).dataType
+    override def nullable: Boolean = children(0).nullable
+    override def prettyName: String = "array_replace"
+    override def checkInputDataTypes(): TypeCheckResult = children(0).dataType match {
+      case _: ArrayType if children.length == 3 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "array_replace(anyarray, anyelement, anyelement)")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = children(0).eval(input)
+      if (arr == null) return null
+      val from = children(1).eval(input)
+      val to = children(2).eval(input)
+      val et = children(0).dataType.asInstanceOf[ArrayType].elementType
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val out = new Array[Any](a.numElements())
+      var i = 0
+      while (i < a.numElements()) {
+        val el = if (a.isNullAt(i)) null else a.get(i, et)
+        val hit =
+          if (el == null || from == null) el == null && from == null
+          else java.util.Objects.deepEquals(el, from) || el == from
+        out(i) = if (hit) to else el
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgArrayReplace = copy(children = newChildren)
+  }
+
+  /** array_ndims(arr): static nesting depth of the array TYPE. */
+  case class PgArrayNdims(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "array_ndims"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("array_ndims(anyarray)")
+    }
+    private def depth(dt: DataType): Int = dt match {
+      case ArrayType(et, _) => 1 + depth(et)
+      case _ => 0
+    }
+    override def nullSafeEval(v: Any): Any = depth(child.dataType)
+    override protected def withNewChildInternal(c: Expression): PgArrayNdims =
+      copy(child = c)
+  }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_positions"), info("array_positions"), { args =>
+      require(args.length == 2, "array_positions requires 2 arguments")
+      PgArrayPositions(args(0), args(1))
+    }),
+    (FunctionIdentifier("array_replace"), info("array_replace"), { args =>
+      PgArrayReplace(args)
+    }),
+    (FunctionIdentifier("array_ndims"), info("array_ndims"), { args =>
+      require(args.length == 1, "array_ndims requires 1 argument")
+      PgArrayNdims(args(0))
+    }),
+    (FunctionIdentifier("pg_array_prepend"), info("pg_array_prepend"), { args =>
+      require(args.length == 2, "array_prepend requires 2 arguments")
+      // pg argument order is (elem, array); Spark's is (array, elem)
+      ArrayPrepend(args(1), args(0))
+    }),
     (FunctionIdentifier("div"), info("div"), { args =>
       require(args.length == 2, "div requires 2 arguments")
       PgDiv(args(0), args(1))

@@ -430,7 +430,13 @@ object PgStringExpressions {
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("format"), info("format"), { args =>
       require(args.nonEmpty, "format requires at least the format string")
-      PgFormatStr(args.head +: args.tail.map(a => Cast(a, StringType)))
+      // each arg renders via its pg OUTPUT function: booleans are
+      // 't'/'f' (Spark's cast would say 'true'/'false')
+      PgFormatStr(args.head +: args.tail.map {
+        case a if a.dataType == BooleanType =>
+          CaseWhen(Seq((IsNull(a), nullStr), (a, Literal("t"))), Some(Literal("f")))
+        case a => Cast(a, StringType)
+      })
     }),
     (FunctionIdentifier("num_nonnulls"), info("num_nonnulls"),
       args => NumNonNulls(args, negate = false)),

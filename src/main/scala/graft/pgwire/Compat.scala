@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@")
+  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -249,6 +249,8 @@ object Compat {
   private val fnRename: Map[String, String] = Map(
     "jsonb_array_length" -> "json_array_length", // Spark builtin twin
     "starts_with" -> "startswith", // Spark builtin, same semantics
+    "array_cat" -> "concat", // Spark concat concatenates arrays
+    "array_prepend" -> "pg_array_prepend", // Spark's takes (arr, elem)
     "current_database" -> "pg_current_database",
     "current_schemas" -> "pg_current_schemas",
     "array_length" -> "pg_array_length",
@@ -334,7 +336,13 @@ object Compat {
     // replacement renders its operand tokens into one composite token
     // that later word-level passes can no longer see into
     rewriteBareVars(ts)
+    // pg concat() skips NULLs (never returns NULL); Spark's concat is
+    // null-on-null. concat_ws('') carries pg's exact semantics. Must
+    // run BEFORE renameFunctions so array_cat -> concat (Spark array
+    // concat) is not re-rewritten.
+    rewriteConcatNullSafe(ts)
     renameFunctions(ts)
+    rewriteMathOps(ts)
     rewriteAnyAll(ts)
     rewriteJsonAggs(ts)
     rewriteSetReturning(ts)
@@ -388,7 +396,8 @@ object Compat {
     ("pg_regexp_substr", 5, ", 0", true),
     ("pg_regexp_replace", 3, ", '', -1, ''", true),
     ("pg_regexp_replace", 4, ", -1, ''", true),
-    ("pg_regexp_replace", 5, ", ''", true))
+    ("pg_regexp_replace", 5, ", ''", true),
+    ("pg_substr", 2, ", 2147483647", true))
 
   private def padFunctionArgs(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
@@ -456,7 +465,19 @@ object Compat {
     ("regexp_replace", 3, "pg_regexp_replace"),
     ("regexp_replace", 4, "pg_regexp_replace"),
     ("regexp_replace", 5, "pg_regexp_replace"),
-    ("regexp_replace", 6, "pg_regexp_replace"))
+    ("regexp_replace", 6, "pg_regexp_replace"),
+    // pg log(x) is base-10 (Spark's is ln — a silently-wrong answer);
+    // the 2-arg log(b, x) form agrees between the two
+    ("log", 1, "log10"),
+    // Spark's 2-arg ltrim/rtrim take (trimStr, srcStr) — reversed
+    ("ltrim", 2, "pg_ltrim"),
+    ("rtrim", 2, "pg_rtrim"),
+    // pg substr counts from-position (0 and negatives clamp into the
+    // string); Spark treats 0 as 1 and negatives as from-the-end
+    ("substr", 2, "pg_substr"),
+    ("substr", 3, "pg_substr"),
+    ("substring", 2, "pg_substr"),
+    ("substring", 3, "pg_substr"))
 
   private def renameFunctionsByArity(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
@@ -1023,6 +1044,106 @@ object Compat {
     * has one; NULL when no match). Spark's FROM/FOR grammar is
     * position-only, so a string-literal FROM operand (with no FOR)
     * reroutes to the pg_substring_re UDF. */
+  /** `concat(a, b, …)` → `concat_ws('', a, b, …)`: pg concat skips
+    * NULL arguments and never returns NULL; Spark's concat is
+    * null-on-null. Runs before renameFunctions so the array_cat →
+    * concat rename (array concatenation) is unaffected. */
+  private def rewriteConcatNullSafe(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("concat")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          ts(i) = Tok(Word, "concat_ws")
+          ts.insert(open + 1, Tok(Word, "'', "))
+          i = open + 1
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg math operators Spark lacks (or reads differently): `^` is
+    * power in pg but XOR in Spark (a silently-wrong answer), `#` is
+    * pg's XOR, `|/` square root, `||/` cube root, `@` absolute value.
+    * Binary ops reuse the value-extent machinery; the unary ops wrap
+    * the following value. */
+  private def rewriteMathOps(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Op && t.text == "^") {
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && (isValueEnd(ts(p)) || ts(p).kind == Num)) {
+          val start = lhsStart(ts, p)
+          var opIdx = i
+          var rhs2 = rhs
+          if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+            ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+          }
+          rhs2 = extendValue(ts, rhs2)
+          ts.insert(rhs2 + 1, Tok(Op, ")"))
+          ts(opIdx) = Tok(Op, ",")
+          ts.insertAll(start, Seq(Tok(Word, "power"), Tok(Op, "(")))
+          i = start
+        }
+      } else if (t.kind == Op && t.text == "#") {
+        // pg XOR → Spark's ^ operator (only when both sides are
+        // values — `#-`/`#>` were tokenized as their own ops already)
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && (isValueEnd(ts(p)) || ts(p).kind == Num) &&
+          (ts(rhs).kind == Num || ts(rhs).kind == Word || ts(rhs).is("(")))
+          ts(i) = Tok(Op, "^")
+      } else if (t.kind == Op &&
+        (t.text == "|/" || t.text == "||/" || t.text == "@")) {
+        // unary prefix ops: valid only when NOT following a value
+        // (a leading KEYWORD like SELECT/WHERE/AND is not a value)
+        val p = prevIdx(ts, i)
+        val rhs = nextIdx(ts, i)
+        val leadKw = p >= 0 && ts(p).kind == Word &&
+          Set("SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
+            "ELSE", "BY", "HAVING", "ON", "SET", "RETURN", "CASE", "IN")
+            .contains(ts(p).text.toUpperCase)
+        if (rhs >= 0 && (p < 0 || !isValueEnd(ts(p)) || leadKw)) {
+          val fn = t.text match {
+            case "|/" => "sqrt"; case "||/" => "cbrt"; case _ => "abs"
+          }
+          val end = extendValue(ts, rhs)
+          ts.insert(end + 1, Tok(Op, ")"))
+          ts(i) = Tok(Word, fn)
+          ts.insert(i + 1, Tok(Op, "("))
+          i = end + 1
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Extend a value start index over a call's parens, a bracket
+    * subscript, or a parenthesized expression; also swallows a
+    * leading unary minus on a number. */
+  private def extendValue(ts: ArrayBuffer[Tok], at: Int): Int = {
+    var v = at
+    if (ts(v).is("(")) {
+      val close = matchParen(ts, v)
+      return if (close > 0) close else v
+    }
+    if ((ts(v).text == "-" || ts(v).text == "+") && ts(v).kind == Op) {
+      val n = nextIdx(ts, v)
+      if (n >= 0) v = n
+    }
+    if (ts(v).kind == Word) {
+      val nxt = nextIdx(ts, v)
+      if (nxt >= 0 && ts(nxt).is("(")) {
+        val close = matchParen(ts, nxt)
+        if (close > 0) return close
+      }
+    }
+    v
+  }
+
   /** pg `normalize(x, NFC)` takes its form as a bare KEYWORD; the
     * engine's normalize UDF takes it as text. Quote the keyword. */
   private def quoteNormalizeForms(ts: ArrayBuffer[Tok]): Unit = {
@@ -1072,6 +1193,21 @@ object Compat {
               if (pat >= 0 && ts(pat).kind == Str && nextIdx(ts, pat) == close) {
                 ts(fromIdx) = Tok(Op, ",")
                 ts(i) = Tok(Word, "pg_substring_re")
+              } else {
+                // positional FROM n [FOR m] — route to pg_substr for
+                // pg's 0/negative-start clamping semantics
+                var forIdx = -1
+                var k = fromIdx + 1; var d2 = 0
+                while (k < close) {
+                  if (ts(k).is("(") || ts(k).is("[")) d2 += 1
+                  else if (ts(k).is(")") || ts(k).is("]")) d2 -= 1
+                  else if (d2 == 0 && ts(k).isWord("FOR")) forIdx = k
+                  k += 1
+                }
+                ts(fromIdx) = Tok(Op, ",")
+                if (forIdx > 0) ts(forIdx) = Tok(Op, ",")
+                else ts.insert(close, Tok(Word, ", 2147483647"))
+                ts(i) = Tok(Word, "pg_substr")
               }
             }
           }
@@ -1091,7 +1227,7 @@ object Compat {
   private def rewriteIntervalLiterals(ts: ArrayBuffer[Tok]): Unit = {
     val ymUnits = "(?i)\\b(mons?|months?|yrs?|years?|decades?|centur|millenn)".r
     val dtUnits = "(?i)\\b(days?|weeks?|hours?|hrs?|mins?|minutes?|secs?|seconds?|\\d+:\\d)".r
-    val pgOnly = "(?i)\\b(mons?|yrs?|ago)\\b".r
+    val pgOnly = "(?i)\\b(mons?|yrs?|mins?|secs?|hrs?|ago)\\b".r
     // fractional quantities above seconds spill into finer fields in
     // pg ('1.5 days' = 1 day 12:00:00); Spark's literal parser rejects
     val fracUnit = "(?i)\\d+\\.\\d+\\s*(day|week|mon|year|yr|hour|hr|min)".r
@@ -1130,26 +1266,58 @@ object Compat {
     * string inputs all work; interval inputs are out of scope (no
     * Spark shape for them).
     */
+  /** pg EXTRACT fields Spark's EXTRACT lacks (epoch, dow/isodow
+    * numbering, century-family, sub-second aggregates), as
+    * (prefix, suffix) pairs spliced around the kept `(expr)` — the
+    * original Op parens stay so matchParen-based passes remain
+    * consistent; hidden parens in the Word tokens balance in the
+    * final SQL text. All pinned against live pg 15. */
+  private val extractFieldMap: Map[String, (String, String)] = Map(
+    "epoch" -> ("(CAST(unix_micros(CAST(",
+      " AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"),
+    "dow" -> ("(dayofweek", " - 1)"), // pg: 0 = Sunday
+    "isodow" -> ("(weekday", " + 1)"), // pg: 7 = Sunday
+    "decade" -> ("CAST(floor(year", " / 10) AS BIGINT)"),
+    "century" -> ("CAST(ceil(year", " / 100.0) AS BIGINT)"),
+    "millennium" -> ("CAST(ceil(year", " / 1000.0) AS BIGINT)"),
+    // seconds-and-finer aggregates ride Spark's fractional SECOND
+    // field, which also works for the TIME type
+    "microseconds" -> ("CAST(extract(SECOND FROM ",
+      ") * 1000000 AS BIGINT)"),
+    "milliseconds" -> ("CAST(extract(SECOND FROM ",
+      ") * 1000 AS DECIMAL(20,3))"))
+
   private def rewriteExtractEpoch(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
       if (t.kind == Word && t.text.equalsIgnoreCase("date_part")) {
-        // date_part('epoch', e) — same expansion as EXTRACT(EPOCH
-        // FROM e); Spark's date_part has no epoch field either
+        // date_part('field', e) — same expansions as EXTRACT
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
           val f = nextIdx(ts, open)
           val comma = if (f >= 0) nextIdx(ts, f) else -1
-          if (f >= 0 && ts(f).kind == Str &&
-            ts(f).text.drop(1).dropRight(1).equalsIgnoreCase("epoch") &&
-            comma >= 0 && ts(comma).is(",")) {
-            val close = matchParen(ts, open)
-            if (close > 0) {
-              ts.insert(close + 1, Tok(Word, " AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"))
-              ts.remove(f, comma - f + 1)
-              ts(i) = Tok(Word, "(CAST(unix_micros(CAST(")
+          if (f >= 0 && ts(f).kind == Str && comma >= 0 && ts(comma).is(",")) {
+            val field = ts(f).text.drop(1).dropRight(1).toLowerCase
+            extractFieldMap.get(field).foreach { case (prefix, suffix) =>
+              val close = matchParen(ts, open)
+              if (close > 0) {
+                ts.insert(close + 1, Tok(Word, suffix))
+                ts.remove(f, comma - f + 1)
+                ts(i) = Tok(Word, prefix)
+              }
             }
+          }
+        }
+      } else if (t.kind == Word && t.text.equalsIgnoreCase("date_trunc")) {
+        // Spark's date_trunc returns NULL for pg's coarse fields
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val f = nextIdx(ts, open)
+          if (f >= 0 && ts(f).kind == Str) {
+            val field = ts(f).text.drop(1).dropRight(1).toLowerCase
+            if (field == "decade" || field == "century" || field == "millennium")
+              ts(i) = Tok(Word, "pg_date_trunc")
           }
         }
       } else if (t.kind == Word && t.text.equalsIgnoreCase("EXTRACT")) {
@@ -1158,19 +1326,20 @@ object Compat {
           val fieldIdx = nextIdx(ts, open)
           val fromIdx = if (fieldIdx >= 0) nextIdx(ts, fieldIdx) else -1
           if (fieldIdx >= 0 && ts(fieldIdx).kind == Word &&
-            ts(fieldIdx).text.equalsIgnoreCase("EPOCH") &&
+            extractFieldMap.contains(ts(fieldIdx).text.toLowerCase) &&
             fromIdx >= 0 && ts(fromIdx).kind == Word &&
             ts(fromIdx).text.equalsIgnoreCase("FROM")) {
+            val (prefix, suffix) = extractFieldMap(ts(fieldIdx).text.toLowerCase)
             val close = matchParen(ts, open)
             if (close > 0) {
               // Keep ts(close) as the Op ')' and append the suffix as its
               // own Word token so matchParen (which counts only Op-kind
-              // tokens) stays balanced for later passes: the prefix Word
-              // hides 4 opens, the suffix Word hides 4 closes.
-              ts.insert(close + 1, Tok(Word, " AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"))
-              // drop EPOCH FROM (and the Ws between them), keep '('
+              // tokens) stays balanced for later passes; the hidden
+              // parens in prefix/suffix balance in the final SQL text.
+              ts.insert(close + 1, Tok(Word, suffix))
+              // drop FIELD FROM (and the Ws between them), keep '('
               ts.remove(fieldIdx, fromIdx - fieldIdx + 1)
-              ts(i) = Tok(Word, "(CAST(unix_micros(CAST(")
+              ts(i) = Tok(Word, prefix)
             }
           }
         }
@@ -1337,7 +1506,7 @@ object Compat {
     while (i < ts.length) {
       val t = ts(i)
       if (t.kind == Op && (t.text == "@>" || t.text == "<@" || t.text == "?" ||
-        t.text == "#-" || t.text == "@?" || t.text == "@@")) {
+        t.text == "#-" || t.text == "@?" || t.text == "@@" || t.text == "&&")) {
         // containment / key-exists / path-delete: wrap both operands
         // in the dispatching function (pg_contains covers anyarray @>
         // anyarray AND jsonb @> jsonb; `?` is jsonb_exists; `#-` is
@@ -1353,6 +1522,7 @@ object Compat {
             case "#-" => "jsonb_delete_path"
             case "@?" => "jsonb_path_exists"
             case "@@" => "jsonb_path_match"
+            case "&&" => "arrays_overlap" // pg array overlap operator
             case _ => "jsonb_exists"
           }
           var opIdx = i
@@ -1443,7 +1613,16 @@ object Compat {
           ts.insertAll(p,
             Seq(Tok(Word, "pg_to_bytea"), Tok(Op, "("), lit, Tok(Op, ")")))
           i = p + 3
-        } else if (t >= 0 && ts(t).kind == Word) mapTypeAt(ts, t)
+        } else if (t >= 0 && ts(t).kind == Word) {
+          // pg bool input accepts on/off, which Spark's cast rejects
+          if ((ts(t).text.equalsIgnoreCase("boolean") ||
+            ts(t).text.equalsIgnoreCase("bool")) && p >= 0 && ts(p).kind == Str) {
+            val body = ts(p).text.drop(1).dropRight(1).trim.toLowerCase
+            if (body == "on") ts(p) = Tok(Str, "'true'")
+            else if (body == "off") ts(p) = Tok(Str, "'false'")
+          }
+          mapTypeAt(ts, t)
+        }
       } else if (ts(i).isWord("CAST")) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
@@ -1456,7 +1635,20 @@ object Compat {
               else if (ts(j).is(")")) depth -= 1
               else if (depth == 0 && ts(j).isWord("AS")) {
                 val t = nextIdx(ts, j)
-                if (t >= 0 && t < close && ts(t).kind == Word) mapTypeAt(ts, t)
+                if (t >= 0 && t < close && ts(t).kind == Word) {
+                  // CAST('off' AS boolean): pg bool input accepts
+                  // on/off — rewrite the literal for Spark's cast
+                  if (ts(t).text.equalsIgnoreCase("boolean") ||
+                    ts(t).text.equalsIgnoreCase("bool")) {
+                    val lit = nextIdx(ts, open)
+                    if (lit >= 0 && ts(lit).kind == Str && nextIdx(ts, lit) == j) {
+                      val body = ts(lit).text.drop(1).dropRight(1).trim.toLowerCase
+                      if (body == "on") ts(lit) = Tok(Str, "'true'")
+                      else if (body == "off") ts(lit) = Tok(Str, "'false'")
+                    }
+                  }
+                  mapTypeAt(ts, t)
+                }
                 j = close
               }
               j += 1

@@ -1145,10 +1145,54 @@ object PgFunctions {
       if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(arr.length))
     // pg string_to_array splits on a LITERAL delimiter (Spark's split
     // takes a regex, so '.'-style delimiters would explode)
+    // pg 15 pinned: '' input -> empty array; NULL delimiter -> one
+    // element per CHARACTER; '' delimiter -> the whole string
     u.register("pg_string_to_array", (s: String, d: String) =>
       if (s == null) null
-      else if (d == null || d.isEmpty) Array(s)
+      else if (s.isEmpty) Array.empty[String]
+      else if (d == null) s.map(_.toString).toArray
+      else if (d.isEmpty) Array(s)
       else s.split(java.util.regex.Pattern.quote(d), -1))
+    // pg 2-arg ltrim/rtrim: (src, set) — Spark's builtins reversed it
+    u.register("pg_ltrim", (s: String, set: String) =>
+      if (s == null || set == null) null
+      else {
+        var i = 0
+        while (i < s.length && set.indexOf(s.charAt(i)) >= 0) i += 1
+        s.substring(i)
+      })
+    u.register("pg_rtrim", (s: String, set: String) =>
+      if (s == null || set == null) null
+      else {
+        var i = s.length
+        while (i > 0 && set.indexOf(s.charAt(i - 1)) >= 0) i -= 1
+        s.substring(0, i)
+      })
+    // pg substr: the [start, start+count) window INTERSECTED with the
+    // string (start 0 and negatives clamp; Spark wraps them around)
+    u.register("pg_substr", (s: String, start: Int, count: Int) =>
+      if (s == null) null
+      else {
+        if (count < 0) throw new IllegalArgumentException(
+          "negative substring length not allowed")
+        val from = math.max(1L, start.toLong)
+        val until = math.min(s.length.toLong + 1, start.toLong + count.toLong)
+        if (until <= from) "" else s.substring(from.toInt - 1, until.toInt - 1)
+      })
+    // pg date_trunc coarse fields (Spark returns NULL for these)
+    u.register("pg_date_trunc", (field: String, ts: java.time.Instant) =>
+      if (field == null || ts == null) null
+      else {
+        val y = ts.atOffset(java.time.ZoneOffset.UTC).getYear
+        val y0 = field.toLowerCase match {
+          case "decade" => y - Math.floorMod(y, 10)
+          case "century" => y - Math.floorMod(y - 1, 100)
+          case "millennium" => y - Math.floorMod(y - 1, 1000)
+          case other => throw new IllegalArgumentException(
+            s"unsupported pg_date_trunc field: $other")
+        }
+        java.time.LocalDate.of(y0, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      })
 
     // math pack (datafusion-pg-functions/src/numeric/)
     // div is a native expression now (PgMiscExpressions.PgDiv) so the

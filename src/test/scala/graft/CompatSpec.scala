@@ -134,8 +134,10 @@ class CompatSpec extends AnyFunSuite {
   }
 
   test("quoted function names unquote; quoted identifiers become backticks") {
+    // (the unquoted name then rides the normal pipeline — 2-arg
+    // substring routes to pg_substr for pg's start-clamping)
     assert(Compat.rewrite("""SELECT "substring"(x, 7) FROM t""") ===
-      "SELECT substring(x, 7) FROM t")
+      "SELECT pg_substr(x, 7, 2147483647) FROM t")
     assert(Compat.rewrite("""SELECT "c"."relname" AS "name" FROM "pg_catalog"."pg_class" AS "c"""") ===
       "SELECT `c`.`relname` AS `name` FROM `pg_class` AS `c`")
   }

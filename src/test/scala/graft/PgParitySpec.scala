@@ -102,4 +102,69 @@ class PgParitySpec extends SparkSpec {
     assert(one("""normalize(U&'\0061\0301', NFC) = U&'\00E1'""") === "t")
     assert(one("normalize('abc', NFKC)") === "abc")
   }
+
+  test("array functions: positions/replace/cat/ndims/prepend, && overlap") {
+    assert(one("array_positions(array['a','b','a'], 'a')") === "{1,3}")
+    assert(one("array_replace(array[1,2,5,4], 5, 3)") === "{1,2,3,4}")
+    assert(one("array_cat(array[1,2], array[3,4])") === "{1,2,3,4}")
+    assert(one("array_prepend(0, array[1,2])") === "{0,1,2}")
+    assert(one("array_ndims(array[1,2,3])") === "1")
+    assert(one("array_ndims(array[array[1],array[2]])") === "2")
+    assert(one("array[1,2] && array[2,3]") === "t")
+    assert(one("array[1,2] && array[3,4]") === "f")
+    assert(one("string_to_array('a,b,c', NULL)") === """{a,",",b,",",c}""")
+    assert(one("string_to_array('', ',')") === "{}")
+  }
+
+  test("concat skips NULLs; format renders booleans as t/f") {
+    assert(one("concat('a', NULL, 'c')") === "ac")
+    assert(one("concat('a', 42)") === "a42")
+    assert(one("format('%s %s', 1.5, true)") === "1.5 t")
+  }
+
+  test("pg math operators: ^ power, # xor, |/ sqrt, @ abs; log is base 10") {
+    assert(one("2^10") === "1024")
+    assert(one("2 ^ 10") === "1024")
+    assert(one("3 # 5") === "6")
+    assert(one("|/ 25.0") === "5")
+    // abs of numeric keeps the value's scale (pg prints 5.0)
+    assert(one("@ -5.0") === "5.0")
+    assert(one("log(100)") === "2")
+    assert(one("log(2.0, 64.0)") === "6")
+  }
+
+  test("string edges: ltrim/rtrim sets, substr clamping, bool casts") {
+    assert(one("ltrim('zzzytest', 'xyz')") === "test")
+    assert(one("rtrim('testxxzx', 'xyz')") === "test")
+    assert(one("substr('alphabet', 0, 3)") === "al")
+    assert(one("substr('alphabet', -2, 5)") === "al")
+    assert(one("substr('alphabet', 3, 2)") === "ph")
+    assert(one("substr('alphabet', 3)") === "phabet")
+    assert(one("substring('alphabet' from 0 for 3)") === "al")
+    assert(one("CAST('off' AS boolean)") === "f")
+    assert(one("'on'::boolean") === "t")
+  }
+
+  test("extract pg-only fields and coarse date_trunc") {
+    assert(one("extract(dow from DATE '2023-08-13')") === "0") // Sunday
+    assert(one("extract(isodow from DATE '2023-08-13')") === "7")
+    assert(one("extract(dow from DATE '2023-08-14')") === "1") // Monday
+    assert(one("extract(isodow from DATE '2023-08-14')") === "1")
+    assert(one("extract(decade from DATE '2023-08-15')") === "202")
+    assert(one("extract(century from DATE '2023-08-15')") === "21")
+    assert(one("extract(millennium from DATE '2023-08-15')") === "3")
+    assert(one("extract(microseconds from TIMESTAMP '2023-08-15 12:34:56.5')") ===
+      "56500000")
+    assert(one("extract(milliseconds from TIMESTAMP '2023-08-15 12:34:56.5')") ===
+      "56500.000")
+    assert(one("date_part('dow', DATE '2023-08-13')") === "0")
+    assert(one("date_trunc('decade', DATE '2023-08-15')") === "2020-01-01 00:00:00+00")
+    assert(one("date_trunc('century', DATE '2023-08-15')") === "2001-01-01 00:00:00+00")
+    assert(one("date_trunc('millennium', DATE '2023-08-15')") === "2001-01-01 00:00:00+00")
+  }
+
+  test("to_char over abbreviated interval literals") {
+    assert(one("to_char(INTERVAL '4 hours 3 mins 2 secs', 'HH24:MI:SS')") ===
+      "04:03:02")
+  }
 }
