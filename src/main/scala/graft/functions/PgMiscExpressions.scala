@@ -373,7 +373,61 @@ object PgMiscExpressions {
       copy(child = c)
   }
 
+  /** pg generate_series (the array it explodes to): integer form
+    * counts by step and is EMPTY when the step points away from stop
+    * (Spark's sequence() would auto-reverse); the timestamp/date form
+    * delegates to Sequence with the same direction rule. */
+  case class PgSeries(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    private def isTemporal: Boolean = children.head.dataType match {
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    private lazy val seqDelegate: Expression = Sequence(
+      Cast(children(0), TimestampType, Some("UTC")),
+      Cast(children(1), TimestampType, Some("UTC")),
+      Some(children(2)), Some("UTC"))
+    override def nullable: Boolean = true
+    override def dataType: DataType =
+      if (isTemporal) ArrayType(TimestampType, containsNull = false)
+      else ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "generate_series"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.length != 3) TypeCheckResult.TypeCheckFailure(
+        "generate_series(start, stop[, step])")
+      else if (isTemporal) seqDelegate.checkInputDataTypes()
+      else if (children.forall(_.dataType.isInstanceOf[NumericType]))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("generate_series(start, stop[, step])")
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      if (isTemporal) return seqDelegate.eval(input)
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      def toL(v: Any): Long = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case d: Decimal => d.toLong
+        case other => other.toString.toLong
+      }
+      val start = toL(vs(0)); val stop = toL(vs(1)); val step = toL(vs(2))
+      if (step == 0L) throw new IllegalArgumentException(
+        "step size cannot equal zero")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var v = start
+      if (step > 0) while (v <= stop) { out += v; v += step }
+      else while (v >= stop) { out += v; v += step }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PgSeries = copy(children = newChildren)
+  }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("pg_series"), info("pg_series"), { args =>
+      PgSeries(args)
+    }),
     (FunctionIdentifier("array_positions"), info("array_positions"), { args =>
       require(args.length == 2, "array_positions requires 2 arguments")
       PgArrayPositions(args(0), args(1))

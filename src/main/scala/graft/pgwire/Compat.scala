@@ -243,7 +243,9 @@ object Compat {
     "current_role" -> "current_user()",
     "user" -> "current_user()", // pg treats bare `user` as session_user
     "current_catalog" -> "pg_current_database()",
-    "current_schema" -> "pg_current_schema()")
+    "current_schema" -> "pg_current_schema()",
+    // pg's tz-less now; Spark's localtimestamp() is TimestampNTZ
+    "localtimestamp" -> "localtimestamp()")
 
   /** Function renames applied when followed by '('. */
   private val fnRename: Map[String, String] = Map(
@@ -343,6 +345,7 @@ object Compat {
     rewriteConcatNullSafe(ts)
     renameFunctions(ts)
     rewriteMathOps(ts)
+    rewriteBetweenSymmetric(ts)
     rewriteAnyAll(ts)
     rewriteJsonAggs(ts)
     rewriteSetReturning(ts)
@@ -885,18 +888,24 @@ object Compat {
     * (reference: rules.rs:304-449 — same two supported cases).
     */
   private def rewriteAnyAll(ts: ArrayBuffer[Tok]): Unit = {
+    val cmpOps = Set("=", "<>", "!=", "<", "<=", ">", ">=")
     var i = 0
     while (i < ts.length) {
-      val isEq = ts(i).is("=")
-      val isNe = ts(i).is("<>") || ts(i).is("!=")
-      if (isEq || isNe) {
+      if (ts(i).kind == Op && cmpOps.contains(ts(i).text)) {
+        val op = ts(i).text
         val kw = nextIdx(ts, i)
-        if (kw >= 0 && ((isEq && ts(kw).isWord("ANY")) || (isNe && ts(kw).isWord("ALL")))) {
+        val isAny = kw >= 0 && (ts(kw).isWord("ANY") || ts(kw).isWord("SOME"))
+        val isAll = kw >= 0 && ts(kw).isWord("ALL")
+        if (isAny || isAll) {
           val open = nextIdx(ts, kw)
           if (open >= 0 && ts(open).is("(")) {
+            // subqueries (SELECT ...) keep Spark's native ANY/ALL-less
+            // forms elsewhere; only array operands rewrite here
+            val inner1 = nextIdx(ts, open)
+            val isSubquery = inner1 >= 0 && ts(inner1).isWord("SELECT")
             val close = matchParen(ts, open)
             val p = prevIdx(ts, i)
-            if (close > 0 && p >= 0) {
+            if (!isSubquery && close > 0 && p >= 0) {
               val start = primaryStart(ts, p)
               val lhs = render(ts.slice(start, p + 1).toSeq).trim
               val innerToks = ts.slice(open + 1, close)
@@ -906,9 +915,44 @@ object Compat {
                   isArrayLiteral(innerNonWs.head.text))
                   arrayLiteralTokens(innerNonWs.head.text, "string")
                 else render(innerToks.toSeq).trim
-              val repl = (if (isNe) "NOT " else "") + s"array_contains($arrSql, $lhs)"
+              // fast paths keep the codegen'd array_contains; the
+              // general comparison forms ride exists/forall lambdas
+              val repl =
+                if (op == "=" && isAny) s"array_contains($arrSql, $lhs)"
+                else if ((op == "<>" || op == "!=") && isAll)
+                  s"NOT array_contains($arrSql, $lhs)"
+                else {
+                  val sparkOp = if (op == "<>") "!=" else op
+                  val fn = if (isAny) "exists" else "forall"
+                  s"$fn($arrSql, pg__x -> ($lhs) $sparkOp pg__x)"
+                }
               ts.remove(start, close - start + 1)
               ts.insert(start, Tok(Word, repl))
+              i = start
+            }
+          }
+        }
+      } else if (ts(i).isWord("OVERLAPS")) {
+        // (s1, e1) OVERLAPS (s2, e2) → pg_overlaps(s1, e1, s2, e2)
+        val p = prevIdx(ts, i)
+        val open2 = nextIdx(ts, i)
+        if (p >= 0 && ts(p).is(")") && open2 >= 0 && ts(open2).is("(")) {
+          // matching '(' of the left pair by backward scan
+          var depth = 1; var start = p - 1
+          while (start >= 0 && depth > 0) {
+            if (ts(start).is(")")) depth += 1
+            else if (ts(start).is("(")) depth -= 1
+            if (depth > 0) start -= 1
+          }
+          if (start >= 0 && ts(start).is("(")) {
+            val close2 = matchParen(ts, open2)
+            if (close2 > 0) {
+              // right pair: '(' → ','; drop the left ')' and the
+              // OVERLAPS keyword; prepend the function name
+              ts(open2) = Tok(Op, ",")
+              ts.remove(i) // OVERLAPS (indices after i shift left by 1)
+              ts.remove(p) // left ')'
+              ts.insert(start, Tok(Word, "pg_overlaps"))
               i = start
             }
           }
@@ -933,11 +977,57 @@ object Compat {
   private def rewriteJsonAggs(ts: ArrayBuffer[Tok]): Unit = {
     val aggNames = Set("json_agg", "jsonb_agg")
     val objNames = Set("json_object_agg", "jsonb_object_agg")
+    // aggregate-internal ORDER BY (Spark can't parse it): sorted by
+    // VALUE deterministically — the same convention as the json aggs
+    val orderedAggs = Set("string_agg", "array_agg")
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
       val lower = if (t.kind == Word) t.text.toLowerCase else ""
-      if (aggNames.contains(lower) || objNames.contains(lower)) {
+      if (orderedAggs.contains(lower)) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            var depth = 0; var orderIdx = -1; var commaIdx = -1
+            var j = open
+            while (j <= close) {
+              val tok = ts(j)
+              if (tok.is("(") || tok.is("[")) depth += 1
+              else if (tok.is(")") || tok.is("]")) depth -= 1
+              else if (depth == 1 && tok.kind == Word &&
+                tok.text.equalsIgnoreCase("ORDER") && orderIdx < 0) {
+                val nb = nextIdx(ts, j)
+                if (nb >= 0 && ts(nb).kind == Word && ts(nb).text.equalsIgnoreCase("BY"))
+                  orderIdx = j
+              } else if (depth == 1 && tok.is(",") && commaIdx < 0) commaIdx = j
+              j += 1
+            }
+            if (orderIdx > 0) {
+              val desc = ts.slice(orderIdx, close).exists(tok =>
+                tok.kind == Word && tok.text.equalsIgnoreCase("DESC"))
+              val sortOpen = if (desc) "reverse(array_sort(collect_list("
+                else "array_sort(collect_list("
+              val sortClose = if (desc) ")))" else "))"
+              val rebuilt =
+                if (lower == "string_agg" && commaIdx > 0 && commaIdx < orderIdx) {
+                  val e = ts.slice(open + 1, commaIdx).toVector
+                  val d = ts.slice(commaIdx + 1, orderIdx).toVector
+                  ArrayBuffer(Tok(Word, "array_join(" + sortOpen)) ++ e ++
+                    ArrayBuffer(Tok(Word, sortClose + ", ")) ++ d ++
+                    ArrayBuffer(Tok(Word, ")"))
+                } else {
+                  val e = ts.slice(open + 1, orderIdx).toVector
+                  ArrayBuffer(Tok(Word, sortOpen)) ++ e ++
+                    ArrayBuffer(Tok(Word, sortClose))
+                }
+              ts.remove(i, close - i + 1)
+              ts.insertAll(i, rebuilt)
+              i += rebuilt.length - 1
+            }
+          }
+        }
+      } else if (aggNames.contains(lower) || objNames.contains(lower)) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
           val close = matchParen(ts, open)
@@ -1020,7 +1110,10 @@ object Compat {
       "generate_subscripts" -> ("explode", "generate_subscripts"),
       // jsonb_path_query is set-returning in pg; the engine-side
       // expression yields text[] of the matched items
-      "jsonb_path_query" -> ("explode", "jsonb_path_query"))
+      "jsonb_path_query" -> ("explode", "jsonb_path_query"),
+      // pg's integer series (empty when the step points away from
+      // stop — Spark's sequence() would auto-reverse)
+      "generate_series" -> ("explode", "pg_series"))
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
@@ -1030,7 +1123,20 @@ object Compat {
           val close = matchParen(ts, open)
           if (close > 0) {
             val (gen, fn) = wraps(t.text.toLowerCase)
-            ts.insert(close + 1, Tok(Word, ")"))
+            if (t.text.equalsIgnoreCase("generate_series")) {
+              // default step: pad the 2-arg form here (the wrap fuses
+              // the name, so padFunctionArgs can't see it later)
+              var commas = 0; var depth = 0; var j = open + 1
+              while (j < close) {
+                if (ts(j).is("(") || ts(j).is("[")) depth += 1
+                else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+                else if (depth == 0 && ts(j).is(",")) commas += 1
+                j += 1
+              }
+              if (commas == 1) ts.insert(close, Tok(Word, ", 1"))
+            }
+            val close2 = matchParen(ts, open)
+            ts.insert(close2 + 1, Tok(Word, ")"))
             ts(i) = Tok(Word, gen + "(" + fn)
           }
         }
@@ -1044,6 +1150,45 @@ object Compat {
     * has one; NULL when no match). Spark's FROM/FOR grammar is
     * position-only, so a string-literal FROM operand (with no FOR)
     * reroutes to the pg_substring_re UDF. */
+  /** `x BETWEEN SYMMETRIC a AND b` → `x BETWEEN least(a,b) AND
+    * greatest(a,b)` (Spark has no SYMMETRIC). `a` runs to the
+    * depth-0 AND; `b` is the following value extent. */
+  private def rewriteBetweenSymmetric(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("BETWEEN")) {
+        val sym = nextIdx(ts, i)
+        if (sym >= 0 && ts(sym).isWord("SYMMETRIC")) {
+          // find the depth-0 AND after SYMMETRIC
+          var j = sym + 1; var depth = 0; var andIdx = -1
+          while (j < ts.length && andIdx < 0) {
+            if (ts(j).is("(") || ts(j).is("[")) depth += 1
+            else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+            else if (depth == 0 && ts(j).isWord("AND")) andIdx = j
+            j += 1
+          }
+          if (andIdx > 0) {
+            val bStart = nextIdx(ts, andIdx)
+            if (bStart >= 0) {
+              val bEnd = extendValue(ts, bStart)
+              val aToks = ts.slice(sym + 1, andIdx).toVector
+              val bToks = ts.slice(bStart, bEnd + 1).toVector
+              val lo = ArrayBuffer(Tok(Word, " least(")) ++ aToks ++
+                ArrayBuffer(Tok(Op, ",")) ++ bToks ++ ArrayBuffer(Tok(Word, ")"))
+              val hi = ArrayBuffer(Tok(Word, " greatest(")) ++ aToks ++
+                ArrayBuffer(Tok(Op, ",")) ++ bToks ++ ArrayBuffer(Tok(Word, ")"))
+              // splice: BETWEEN <lo> AND <hi>
+              ts.remove(sym, bEnd - sym + 1)
+              ts.insertAll(sym, lo ++ ArrayBuffer(Tok(Word, " AND")) ++ hi)
+              i = sym
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   /** `concat(a, b, …)` → `concat_ws('', a, b, …)`: pg concat skips
     * NULL arguments and never returns NULL; Spark's concat is
     * null-on-null. Runs before renameFunctions so the array_cat →
@@ -1725,9 +1870,16 @@ object Compat {
           // SELECT-list occurrences get an alias so the output column
           // keeps the pg name; elsewhere (WHERE x = current_user) the
           // bare call substitutes in place.
-          val inSelectList = pv >= 0 && (ts(pv).isWord("SELECT") || ts(pv).is(","))
+          // alias only a WHOLE select item (next token ends it) — a
+          // bare var inside a larger expression must not grow an alias
+          val itemEnd = nx < 0 || ts(nx).is(",") || ts(nx).isWord("FROM")
+          val inSelectList = pv >= 0 && (ts(pv).isWord("SELECT") || ts(pv).is(",")) &&
+            itemEnd
           if (!followedByParen && !qualified)
-            ts(i) = Tok(Word, if (inSelectList) repl + " AS " + ts(i).text else repl)
+            // backtick the alias: some pg bare vars (localtimestamp)
+            // are reserved words in Spark's parser
+            ts(i) = Tok(Word,
+              if (inSelectList) repl + " AS `" + ts(i).text + "`" else repl)
           else if (followedByParen && !qualified) {
             // current_schema() / current_database() style calls
             val name = ts(i).text.toLowerCase

@@ -971,6 +971,18 @@ object PgFunctions {
     // of the literal text, which is never what a pg client means).
     u.register("pg_to_bytea", (s: String) =>
       if (s == null) null else parseByteaInput(s))
+    // pg generate_series: integer AND timestamp forms dispatch by
+    // type in the PgSeries expression (PgMiscExpressions)
+    // pg (s1,e1) OVERLAPS (s2,e2): half-open comparison after
+    // normalizing each pair (pg swaps when start > end)
+    u.register("pg_overlaps", (s1: java.time.Instant, e1: java.time.Instant,
+        s2: java.time.Instant, e2: java.time.Instant) =>
+      if (s1 == null || e1 == null || s2 == null || e2 == null) null
+      else {
+        val (a1, b1) = if (s1.isAfter(e1)) (e1, s1) else (s1, e1)
+        val (a2, b2) = if (s2.isAfter(e2)) (e2, s2) else (s2, e2)
+        java.lang.Boolean.valueOf(a1.isBefore(b2) && a2.isBefore(b1))
+      })
     // pg regexp optional-arg family (start / N / endoption / flags /
     // subexpr forms Spark's builtins lack) — Compat renames + pads the
     // call sites to these full-arity UDFs

@@ -81,10 +81,16 @@ class CompatSpec extends AnyFunSuite {
   }
 
   test("bare session variables become function calls") {
+    // aliases are backticked (localtimestamp is reserved in Spark)
     assert(Compat.rewrite("SELECT current_user") ===
-      "SELECT current_user() AS current_user")
+      "SELECT current_user() AS `current_user`")
     assert(Compat.rewrite("SELECT current_catalog") ===
-      "SELECT pg_current_database() AS current_catalog")
+      "SELECT pg_current_database() AS `current_catalog`")
+    assert(Compat.rewrite("SELECT localtimestamp") ===
+      "SELECT localtimestamp() AS `localtimestamp`")
+    // a bare var inside a larger select item gets NO alias
+    assert(Compat.rewrite("SELECT localtimestamp <= localtimestamp") ===
+      "SELECT localtimestamp() <= localtimestamp()")
     assert(Compat.rewrite("SELECT current_schema()") ===
       "SELECT pg_current_schema()")
     // WHERE position gets no alias

@@ -167,4 +167,54 @@ class PgParitySpec extends SparkSpec {
     assert(one("to_char(INTERVAL '4 hours 3 mins 2 secs', 'HH24:MI:SS')") ===
       "04:03:02")
   }
+
+  private def rows(expr: String): Seq[String] = {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val sql = graft.pgwire.Compat.rewrite(s"SELECT $expr")
+    val df = spark.sql(sql)
+    df.collect().toSeq.map(r =>
+      graft.pgwire.TextEncoder.encodeField(r.get(0), df.schema.fields(0),
+        java.time.ZoneOffset.UTC).getOrElse("<NULL>"))
+  }
+
+  test("generate_series: direction rule, step, temporal form") {
+    assert(rows("generate_series(1, 3)") === Seq("1", "2", "3"))
+    assert(rows("generate_series(5, 1, -2)") === Seq("5", "3", "1"))
+    // pg: wrong-direction series is EMPTY (Spark sequence reverses)
+    assert(rows("generate_series(5, 1)") === Seq.empty)
+    assert(rows("generate_series(DATE '2023-01-01', DATE '2023-01-03', " +
+      "INTERVAL '1' DAY)") === Seq("2023-01-01 00:00:00+00",
+      "2023-01-02 00:00:00+00", "2023-01-03 00:00:00+00"))
+  }
+
+  test("grammar: ANY/ALL/SOME over arrays, OVERLAPS, BETWEEN SYMMETRIC") {
+    assert(one("'a' < ANY (ARRAY['b', 'c'])") === "t")
+    assert(one("'z' > ALL (ARRAY['a', 'b'])") === "t")
+    assert(one("3 = SOME (ARRAY[1, 2, 3])") === "t")
+    assert(one("5 = ANY (ARRAY[1, 2, 3])") === "f")
+    assert(one("1 <> ALL (ARRAY[2, 3])") === "t")
+    assert(one("(DATE '2023-01-01', DATE '2023-06-01') OVERLAPS " +
+      "(DATE '2023-05-01', DATE '2023-12-01')") === "t")
+    assert(one("(DATE '2023-01-01', DATE '2023-02-01') OVERLAPS " +
+      "(DATE '2023-05-01', DATE '2023-12-01')") === "f")
+    assert(one("2 BETWEEN SYMMETRIC 3 AND 1") === "t")
+    assert(one("4 BETWEEN SYMMETRIC 3 AND 1") === "f")
+    assert(one("localtimestamp <= localtimestamp") === "t")
+  }
+
+  test("aggregate-internal ORDER BY for string_agg / array_agg") {
+    def agg(expr: String, from: String): String = {
+      graft.pgwire.PgFunctions.registerAll(spark)
+      val sql = graft.pgwire.Compat.rewrite(s"SELECT $expr FROM $from")
+      val df = spark.sql(sql)
+      graft.pgwire.TextEncoder.encodeField(df.collect()(0).get(0),
+        df.schema.fields(0), java.time.ZoneOffset.UTC).getOrElse("<NULL>")
+    }
+    assert(agg("string_agg(x, ',' ORDER BY x)", "(VALUES ('b'),('a')) t(x)") === "a,b")
+    assert(agg("string_agg(x, '-' ORDER BY x DESC)", "(VALUES ('b'),('a')) t(x)") ===
+      "b-a")
+    assert(agg("array_agg(x ORDER BY x DESC)", "(VALUES (1),(3),(2)) t(x)") ===
+      "{3,2,1}")
+    assert(agg("array_agg(x ORDER BY x)", "(VALUES (3),(1),(2)) t(x)") === "{1,2,3}")
+  }
 }
