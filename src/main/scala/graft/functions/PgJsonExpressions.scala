@@ -152,9 +152,36 @@ object PgJsonExpressions {
     case a: Alias => producesJson(a.child)
     case _: PgJsonBuildObject | _: PgJsonBuildArray | _: PgRowToJson | _: PgToJsonb |
          _: PgJsonStripNulls | _: PgJsonbSet | _: PgJsonbInsert | _: PgJsonbDelete |
-         _: PgJsonbDeletePath | _: PgJsonbConcat | _: PgJsonObject => true
+         _: PgJsonbDeletePath | _: PgJsonbConcat | _: PgJsonObject |
+         _: PgJsonbNormalize => true
     case p: PgJsonExtractPath => !p.text
     case _ => false
+  }
+
+  /** pg_jsonb(text) — Compat's marker for a `'…'::json` / `::jsonb`
+    * cast: validates like pg's json input parser and renders compact
+    * (the engine's jsonb normalization). Being a json-PRODUCING node,
+    * json_build_* embeds arguments under this marker raw instead of
+    * re-quoting them — the observable behavior of a jsonb-typed
+    * argument in pg. */
+  case class PgJsonbNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_jsonb"
+    // deliberately NOT foldable (UnaryExpression would inherit the
+    // child's foldability): constant folding would collapse the marker
+    // into a plain string literal and json_build_* would lose the
+    // json-typedness of the argument
+    override def foldable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cannot cast type ${other.simpleString} to json")
+    }
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(parse(v.asInstanceOf[UTF8String]).toString)
+    override protected def withNewChildInternal(c: Expression): PgJsonbNormalize =
+      copy(child = c)
   }
 
   /** Render one build_* value: raw for json-producing children. */
@@ -591,7 +618,10 @@ object PgJsonExpressions {
   /** Walk to the PARENT of the last path step. Returns null when an
     * intermediate step does not exist / is not a container — pg's
     * "all earlier steps in the path must exist, or the target is
-    * returned unchanged". Negative array indices count from the end. */
+    * returned unchanged". Negative array indices count from the end.
+    * A NON-INTEGER step against an array is not a missing step: pg
+    * raises "path element at position N is not an integer" (22P02)
+    * for jsonb_set/_lax/insert/delete_path alike. */
   private def walkParent(root: JsonNode, path: Array[String]): JsonNode = {
     var node = root
     var i = 0
@@ -601,7 +631,11 @@ object PgJsonExpressions {
       else if (node.isArray) {
         val idx =
           try path(i).trim.toInt
-          catch { case _: NumberFormatException => return null }
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"path element at position ${i + 1} is not an integer: " +
+                "\"" + path(i) + "\"")
+          }
         val k = if (idx < 0) node.size() + idx else idx
         node = if (k >= 0 && k < node.size()) node.get(k) else null
       } else return null
@@ -1219,7 +1253,10 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_object"), info("json_object"),
       (args: Seq[Expression]) => PgJsonObject(args)),
     (FunctionIdentifier("jsonb_object"), info("jsonb_object"),
-      (args: Seq[Expression]) => PgJsonObject(args)))
+      (args: Seq[Expression]) => PgJsonObject(args)),
+    (FunctionIdentifier("pg_jsonb"), info("pg_jsonb"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonbNormalize(args.head) }))
   // json_array_length and json_object_keys are Spark builtins with the
   // same names and compatible semantics — not re-registered here.
 

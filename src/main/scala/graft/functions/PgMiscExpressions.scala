@@ -249,10 +249,17 @@ object PgMiscExpressions {
         if (v == null) 0 else v.asInstanceOf[Int]
       case _ => 0
     }
+    // a NON-foldable scale column can request any scale at runtime —
+    // declare the max representable scale and rescale in eval so the
+    // emitted Decimal always agrees with dataType
+    private lazy val scaleKnown: Boolean = children.length == 1 ||
+      (children(1).foldable && children(1).dataType == IntegerType)
+    private lazy val declaredScale: Int =
+      if (scaleKnown) math.max(0, math.min(18, scaleArg)) else 18
     override def nullable: Boolean = true
     override def dataType: DataType =
       if (isDateForm) dateDelegate.dataType
-      else DecimalType(38, math.max(0, math.min(18, scaleArg)))
+      else DecimalType(38, declaredScale)
     override def prettyName: String = "trunc"
     override def checkInputDataTypes(): TypeCheckResult =
       if (isDateForm) dateDelegate.checkInputDataTypes()
@@ -279,7 +286,7 @@ object PgMiscExpressions {
         case _ => new java.math.BigDecimal(v.toString)
       }
       val t = bd.setScale(s, java.math.RoundingMode.DOWN)
-        .setScale(math.max(0, math.min(18, s)), java.math.RoundingMode.DOWN)
+        .setScale(declaredScale, java.math.RoundingMode.DOWN)
       org.apache.spark.sql.types.Decimal(t)
     }
     override protected def withNewChildrenInternal(

@@ -737,7 +737,12 @@ object Compat {
       if (ts(i).is("::")) {
         val p = prevIdx(ts, i)
         val t = nextIdx(ts, i)
-        if (p >= 0 && t >= 0 && ts(p).kind == Str && isArrayLiteral(ts(p).text)) {
+        if (p >= 0 && t >= 0 && ts(p).kind == Str && isArrayLiteral(ts(p).text) &&
+          // a bare ::json/::jsonb cast of a '{…}' literal is a JSON
+          // document, not a pg array literal (json[] still qualifies)
+          !(Set("json", "jsonb").contains(ts(t).text.toLowerCase) && {
+            val b1 = nextIdx(ts, t); !(b1 >= 0 && ts(b1).is("["))
+          })) {
           // determine element type + whether [] follows
           val (elemPg, lastTypeIdx) = {
             val w = ts(t).text.toLowerCase
@@ -962,15 +967,66 @@ object Compat {
     }
   }
 
+  /** Split a token run on depth-0 commas (for ORDER BY key lists). */
+  private def splitTopLevel(toks: Vector[Tok]): Vector[Vector[Tok]] = {
+    val out = Vector.newBuilder[Vector[Tok]]
+    var depth = 0
+    var cur = Vector.newBuilder[Tok]
+    toks.foreach { t =>
+      if (t.is("(") || t.is("[")) depth += 1
+      else if (t.is(")") || t.is("]")) depth -= 1
+      if (depth == 0 && t.is(",")) { out += cur.result(); cur = Vector.newBuilder[Tok] }
+      else cur += t
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def isDirWord(t: Tok): Boolean = t.kind == Word &&
+    Set("ASC", "DESC", "NULLS", "FIRST", "LAST").contains(t.text.toUpperCase)
+
+  /** Tokens for a key-ordered collect:
+    * `[reverse(]array_sort(collect_list(named_struct(
+    *   'n0',(k0) IS NULL,'k0',k0,…,'v',v)))[)]`.
+    * Catalyst sorts the struct field-by-field, so ORDER BY keys keep
+    * their SQL types (numeric keys sort numerically, not as strings).
+    * The IS NULL discriminator fields give pg's default null
+    * placement (NULLS LAST ascending — Catalyst's bare struct sort
+    * would put null fields first; reversed for DESC this also yields
+    * pg's NULLS FIRST). The value rides last so ties resolve
+    * deterministically. */
+  private def sortedStructToks(keys: Vector[Vector[Tok]], value: Seq[Tok],
+      desc: Boolean): ArrayBuffer[Tok] = {
+    val out = ArrayBuffer[Tok]()
+    out += Tok(Word, (if (desc) "reverse(" else "") +
+      "array_sort(collect_list(named_struct(")
+    keys.zipWithIndex.foreach { case (k, i) =>
+      out += Tok(Word, s"'n$i',(")
+      out ++= k
+      out += Tok(Word, s") IS NULL,'k$i',")
+      out ++= k
+      out += Tok(Word, ",")
+    }
+    out += Tok(Word, "'v',")
+    out ++= value
+    out += Tok(Word, ")))" + (if (desc) ")" else ""))
+    out
+  }
+
   /** pg json aggregates → the engine's ordered UDAFs. Spark has no
     * `json_agg`; `ordered_json_agg(to_jsonb(e), key)` carries pg's
     * rendering plus a deterministic order (pg's input order is not
-    * reproducible across a distributed partial agg, so the value — or
-    * the aggregate-internal ORDER BY key when one is written — is the
-    * sort key):
+    * reproducible across a distributed partial agg, so the value is
+    * the sort key):
     *   json[b]_agg(e)             → ordered_json_agg(to_jsonb(e), CAST(e AS STRING))
-    *   json[b]_agg(e ORDER BY k)  → ordered_json_agg(to_jsonb(e), CAST(k AS STRING))
     *   json[b]_object_agg(k, v)   → ordered_json_object_agg(CAST(k AS STRING), to_jsonb(v))
+    * An aggregate-internal ORDER BY (which Spark cannot parse) keeps
+    * the USER'S key with its SQL type via a struct sort:
+    *   json[b]_agg(e ORDER BY k)  →
+    *     nullif(concat('[', array_join(transform(
+    *       array_sort(collect_list(named_struct('k0',k,'v',
+    *         coalesce(to_jsonb(e),'null')))), gv -> gv.v), ','), ']'), '[]')
+    * and string_agg/array_agg the same way (array_join/plain transform).
     * The spliced Word tokens keep their hidden parens balanced so
     * matchParen-based later passes stay consistent.
     */
@@ -1004,22 +1060,24 @@ object Compat {
               j += 1
             }
             if (orderIdx > 0) {
-              val desc = ts.slice(orderIdx, close).exists(tok =>
+              val by = nextIdx(ts, orderIdx) // the BY token
+              val keySlice = ts.slice(by + 1, close).toVector
+              val desc = keySlice.exists(tok =>
                 tok.kind == Word && tok.text.equalsIgnoreCase("DESC"))
-              val sortOpen = if (desc) "reverse(array_sort(collect_list("
-                else "array_sort(collect_list("
-              val sortClose = if (desc) ")))" else "))"
+              val keys = splitTopLevel(keySlice).map(_.filterNot(isDirWord))
               val rebuilt =
                 if (lower == "string_agg" && commaIdx > 0 && commaIdx < orderIdx) {
                   val e = ts.slice(open + 1, commaIdx).toVector
                   val d = ts.slice(commaIdx + 1, orderIdx).toVector
-                  ArrayBuffer(Tok(Word, "array_join(" + sortOpen)) ++ e ++
-                    ArrayBuffer(Tok(Word, sortClose + ", ")) ++ d ++
+                  ArrayBuffer(Tok(Word, "array_join(transform(")) ++
+                    sortedStructToks(keys, e, desc) ++
+                    ArrayBuffer(Tok(Word, ", gv -> gv.v), ")) ++ d ++
                     ArrayBuffer(Tok(Word, ")"))
                 } else {
                   val e = ts.slice(open + 1, orderIdx).toVector
-                  ArrayBuffer(Tok(Word, sortOpen)) ++ e ++
-                    ArrayBuffer(Tok(Word, sortClose))
+                  ArrayBuffer(Tok(Word, "transform(")) ++
+                    sortedStructToks(keys, e, desc) ++
+                    ArrayBuffer(Tok(Word, ", gv -> gv.v)"))
                 }
               ts.remove(i, close - i + 1)
               ts.insertAll(i, rebuilt)
@@ -1059,20 +1117,27 @@ object Compat {
               ts.insertAll(i, rebuilt)
               i += rebuilt.length - 1
             } else if (aggNames.contains(lower)) {
-              val exprEnd = if (orderIdx > 0) orderIdx else close
-              val exprToks = ts.slice(open + 1, exprEnd).toVector
-              val keyToks =
+              val rebuilt =
                 if (orderIdx > 0) {
-                  val by = nextIdx(ts, orderIdx) // the BY token
-                  // strip direction / nulls-placement words: the UDAF
-                  // sorts ascending by the key's string form
-                  ts.slice(by + 1, close).toVector.filterNot(tok =>
-                    tok.kind == Word && Set("ASC", "DESC", "NULLS", "FIRST", "LAST")
-                      .contains(tok.text.toUpperCase))
-                } else exprToks
-              val rebuilt = ArrayBuffer(Tok(Word, "ordered_json_agg(to_jsonb(")) ++
-                exprToks ++ ArrayBuffer(Tok(Word, "), CAST(")) ++
-                keyToks ++ ArrayBuffer(Tok(Word, " AS STRING))"))
+                  // keep the user's typed ORDER BY key: struct-sort,
+                  // render each element (SQL NULL → json null), join
+                  val exprToks = ts.slice(open + 1, orderIdx).toVector
+                  val by = nextIdx(ts, orderIdx)
+                  val keySlice = ts.slice(by + 1, close).toVector
+                  val desc = keySlice.exists(tok =>
+                    tok.kind == Word && tok.text.equalsIgnoreCase("DESC"))
+                  val keys = splitTopLevel(keySlice).map(_.filterNot(isDirWord))
+                  val value = (ArrayBuffer(Tok(Word, "coalesce(to_jsonb(")) ++
+                    exprToks ++ ArrayBuffer(Tok(Word, "), 'null')"))).toSeq
+                  ArrayBuffer(Tok(Word, "nullif(concat('[', array_join(transform(")) ++
+                    sortedStructToks(keys, value, desc) ++
+                    ArrayBuffer(Tok(Word, ", gv -> gv.v), ','), ']'), '[]')"))
+                } else {
+                  val exprToks = ts.slice(open + 1, close).toVector
+                  ArrayBuffer(Tok(Word, "ordered_json_agg(to_jsonb(")) ++
+                    exprToks ++ ArrayBuffer(Tok(Word, "), CAST(")) ++
+                    exprToks ++ ArrayBuffer(Tok(Word, " AS STRING))"))
+                }
               ts.remove(i, close - i + 1)
               ts.insertAll(i, rebuilt)
               i += rebuilt.length - 1
@@ -1757,6 +1822,24 @@ object Compat {
           ts.remove(p, t - p + 1)
           ts.insertAll(p,
             Seq(Tok(Word, "pg_to_bytea"), Tok(Op, "("), lit, Tok(Op, ")")))
+          i = p + 3
+        } else if (t >= 0 && ts(t).kind == Word && p >= 0 &&
+          (ts(t).text.equalsIgnoreCase("json") || ts(t).text.equalsIgnoreCase("jsonb")) && {
+            val b = nextIdx(ts, t); !(b >= 0 && ts(b).is("["))
+          }) {
+          // `expr::json[b]` → pg_jsonb(expr): validates + normalizes,
+          // and marks the value json-typed so json_build_* embeds it
+          // raw instead of re-quoting (pg's jsonb-argument behavior)
+          var start = primaryStart(ts, p)
+          // absorb a chained cast on the left: a::text::json starts at a
+          var pb = prevIdx(ts, start)
+          while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
+            start = primaryStart(ts, prevIdx(ts, pb))
+            pb = prevIdx(ts, start)
+          }
+          ts.remove(i, t - i + 1)
+          ts.insert(p + 1, Tok(Op, ")"))
+          ts.insertAll(start, Seq(Tok(Word, "pg_jsonb"), Tok(Op, "(")))
           i = p + 3
         } else if (t >= 0 && ts(t).kind == Word) {
           // pg bool input accepts on/off, which Spark's cast rejects

@@ -48,6 +48,22 @@ class MathFunctionsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(d("CAST(div(CAST(7 AS DECIMAL(10,2)), CAST(0 AS DECIMAL(10,2))) AS DOUBLE)") === None)
   }
 
+  test("trunc with a NON-foldable scale column keeps the decimal value intact") {
+    // declared type is DecimalType(38,18) when the scale is a column;
+    // the runtime truncation must agree with it (42.43, not 4243)
+    val rows = spark.sql(
+      "SELECT pg_trunc(CAST(42.4382 AS DECIMAL(10,4)), s) AS t " +
+        "FROM VALUES (2), (0), (-1) AS v(s)").collect()
+    assert(rows(0).getDecimal(0).compareTo(new java.math.BigDecimal("42.43")) === 0)
+    assert(rows(1).getDecimal(0).compareTo(new java.math.BigDecimal("42")) === 0)
+    assert(rows(2).getDecimal(0).compareTo(new java.math.BigDecimal("40")) === 0)
+    // foldable scale still declares the tight pg scale
+    val f = spark.sql("SELECT pg_trunc(CAST(42.4382 AS DECIMAL(10,4)), 2)")
+    assert(f.schema.fields(0).dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    assert(f.collect()(0).getDecimal(0).toPlainString === "42.43")
+  }
+
   test("degree trig is exact at the special angles (math.slt §trig)") {
     assert(d("sind(30.0D)") === Some(0.5))
     assert(d("sind(90.0D)") === Some(1.0))

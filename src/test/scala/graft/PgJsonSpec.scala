@@ -328,8 +328,10 @@ class PgJsonSpec extends SparkSpec {
     import graft.pgwire.Compat
     assert(Compat.rewrite("SELECT json_agg(x) FROM t") ===
       "SELECT ordered_json_agg(to_jsonb(x), CAST(x AS STRING)) FROM t")
-    assert(Compat.rewrite("SELECT jsonb_agg(v ORDER BY k) FROM t") ===
-      "SELECT ordered_json_agg(to_jsonb(v ), CAST( k AS STRING)) FROM t")
+    // aggregate-internal ORDER BY keeps the user's TYPED key (struct
+    // sort) — a numeric key must sort numerically, not as a string
+    assert(Compat.rewrite("SELECT jsonb_agg(v ORDER BY k) FROM t")
+      .contains("array_sort(collect_list(named_struct("))
     assert(Compat.rewrite("SELECT json_object_agg(k, v) FROM t") ===
       "SELECT ordered_json_object_agg(CAST(k AS STRING), to_jsonb( v)) FROM t")
     // end-to-end through the engine

@@ -216,5 +216,47 @@ class PgParitySpec extends SparkSpec {
     assert(agg("array_agg(x ORDER BY x DESC)", "(VALUES (1),(3),(2)) t(x)") ===
       "{3,2,1}")
     assert(agg("array_agg(x ORDER BY x)", "(VALUES (3),(1),(2)) t(x)") === "{1,2,3}")
+    // the ORDER BY key is NOT the aggregated expression — pg orders by
+    // the KEY (live pg 15: "b,a" / "{b,a}")
+    assert(agg("string_agg(name, ',' ORDER BY id)",
+      "(VALUES (2,'a'),(1,'b')) t(id,name)") === "b,a")
+    assert(agg("array_agg(name ORDER BY id)",
+      "(VALUES (2,'a'),(1,'b')) t(id,name)") === "{b,a}")
+    // numeric ORDER BY keys sort numerically, not as strings
+    // (live pg 15: [2, 10]; compact rendering is the documented deviation)
+    assert(agg("json_agg(x ORDER BY x)", "(VALUES (2),(10)) t(x)") === "[2,10]")
+    assert(agg("jsonb_agg(x ORDER BY x DESC)", "(VALUES (2),(10),(1)) t(x)") ===
+      "[10,2,1]")
+    // NULL keys place like pg: NULLS LAST ascending
+    assert(agg("json_agg(x ORDER BY x)", "(VALUES ('b'),(NULL),('a')) t(x)") ===
+      """["a","b",null]""")
+    assert(agg("string_agg(x, ',' ORDER BY x)", "(VALUES ('b'),(NULL),('a')) t(x)") ===
+      "a,b")
+    // multiple ORDER BY keys
+    assert(agg("string_agg(name, ',' ORDER BY grp, id)",
+      "(VALUES (2,2,'a'),(1,1,'b'),(1,0,'c')) t(grp,id,name)") === "c,b,a")
+  }
+
+  test("jsonb mutators raise pg's non-integer path element error (live pg 15)") {
+    // pg: ERROR: path element at position 2 is not an integer: "x"
+    val e1 = intercept[Exception](one("""jsonb_set('{"a":[1]}','{a,x,b}','2')"""))
+    assert(e1.getMessage.contains("path element at position 2 is not an integer"),
+      e1.getMessage)
+    val e2 = intercept[Exception](
+      one("""jsonb_delete_path('{"a":[1]}', '{a,x,b}')"""))
+    assert(e2.getMessage.contains("path element at position 2 is not an integer"),
+      e2.getMessage)
+    // …but an intermediate MISSING OBJECT key still no-ops (live pg 15)
+    assert(one("""jsonb_set('{"a":{"q":1}}','{a,x,b}','2')""") === """{"a":{"q":1}}""")
+  }
+
+  test("::json/::jsonb cast marks values json-typed for json_build_* (live pg 15)") {
+    // pg embeds a jsonb-typed argument raw: {"k" : {"a": 1}}
+    assert(one("""json_build_object('k', '{"a":1}'::jsonb)""") === """{"k":{"a":1}}""")
+    assert(one("""json_build_array('[1,2]'::json, 'txt')""") === """[[1,2],"txt"]""")
+    // the cast alone validates + normalizes
+    assert(one("""'{"a" :  1}'::jsonb""") === """{"a":1}""")
+    val e = intercept[Exception](one("'{nope'::jsonb"))
+    assert(e.getMessage.contains("invalid input syntax for type json"), e.getMessage)
   }
 }
