@@ -22,7 +22,18 @@ object Tables {
     * must therefore stay free of session-global side effects.
     */
   val sessionConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // AQE's partition coalescing floors partitions at 1 MiB
+      // (minPartitionSize), which collapses a compute-bound projection
+      // over a SMALL shuffle — e.g. sort→project of per-row JSON /
+      // to_char expressions at bench scale — to ONE task and
+      // serializes it (measured 0.50 s → 0.17 s on a 3-mutator
+      // projection at sf0.1 by keeping 32-way parallelism). 16 KiB
+      // keeps parallelism-first coalescing effective for CPU-bound
+      // stages; at production scale shuffle partitions are far above
+      // either floor, so the setting is inert there.
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB")
 
   /** Read one table as a DataFrame. Pure — requires [[sessionConfs]]
     * to have been applied at session construction.

@@ -55,6 +55,44 @@ object PgJsonExpressions {
         s"invalid input syntax for type json: ${e.getMessage}")
     }
 
+  // 8 (documentBytes, parsedTree) slots per thread — see parseCached
+  private final class DocMemo {
+    val keys = new Array[org.apache.spark.unsafe.types.UTF8String](8)
+    val vals = new Array[JsonNode](8)
+    var next = 0
+  }
+  private val docMemo = new ThreadLocal[DocMemo] {
+    override def initialValue(): DocMemo = new DocMemo
+  }
+
+  /** Parse with a small per-thread memo keyed on the document BYTES:
+    * a projection evaluating several JSON expressions over the same
+    * column (the common client shape — 8 extracts of one `props`
+    * document) parses each row's document once instead of once per
+    * call. All 51 JSON expressions are CodegenFallback, which Spark's
+    * common-subexpression elimination does not cover — this memo is
+    * the equivalent at the data layer. 8 round-robin slots absorb a
+    * projection that interleaves several DIFFERENT built documents
+    * per row (q114 cycles 6); byte-compare fails fast on length, so
+    * misses stay cheap. The returned tree is SHARED and must NOT be mutated;
+    * mutators take `parseCached(s).deepCopy()` (cheaper than
+    * re-tokenizing on a hit). Keys are cloned because row UTF8Strings
+    * point into reused buffers. */
+  private[functions] def parseCached(s: org.apache.spark.unsafe.types.UTF8String): JsonNode = {
+    val m = docMemo.get()
+    var i = 0
+    while (i < 8) {
+      val k = m.keys(i)
+      if (k != null && k.equals(s)) return m.vals(i)
+      i += 1
+    }
+    val n = parse(s)
+    m.keys(m.next) = s.clone()
+    m.vals(m.next) = n
+    m.next = (m.next + 1) & 7
+    n
+  }
+
   // ---- pg-style compact rendering of Catalyst values ---------------------
 
   private def escapeTo(sb: java.lang.StringBuilder, s: String): Unit = {
@@ -326,7 +364,7 @@ object PgJsonExpressions {
         path(i - 1) = p.asInstanceOf[UTF8String].toString
         i += 1
       }
-      val node = walk(parse(j.asInstanceOf[UTF8String].toString), path.toSeq)
+      val node = walk(parseCached(j.asInstanceOf[UTF8String]), path.toSeq)
       if (node == null || (text && node.isNull)) null
       else if (text && node.isTextual) UTF8String.fromString(node.textValue())
       else UTF8String.fromString(node.toString)
@@ -347,7 +385,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure("json_typeof(json)")
 
     override def nullSafeEval(v: Any): Any = {
-      val node = parse(v.asInstanceOf[UTF8String].toString)
+      val node = parseCached(v.asInstanceOf[UTF8String])
       val t =
         if (node.isObject) "object"
         else if (node.isArray) "array"
@@ -375,7 +413,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure(s"$prettyName(json)")
 
     override def nullSafeEval(v: Any): Any = {
-      val node = parse(v.asInstanceOf[UTF8String].toString)
+      val node = parseCached(v.asInstanceOf[UTF8String])
       if (!node.isArray) throw new IllegalArgumentException(
         s"cannot extract elements from a ${if (node.isObject) "object" else "scalar"}")
       val out = new Array[Any](node.size())
@@ -453,7 +491,7 @@ object PgJsonExpressions {
     }
 
     override def nullSafeEval(v: Any): Any = {
-      val node = parse(v.asInstanceOf[UTF8String].toString)
+      val node = parseCached(v.asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       strip(node)
       UTF8String.fromString(node.toString)
     }
@@ -547,8 +585,8 @@ object PgJsonExpressions {
         }
         ok
       case _ =>
-        jsonContains(parse(l.asInstanceOf[UTF8String].toString),
-          parse(r.asInstanceOf[UTF8String].toString), top = true)
+        jsonContains(parseCached(l.asInstanceOf[UTF8String]),
+          parse(r.asInstanceOf[UTF8String]), top = true)
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): PgContains =
@@ -568,7 +606,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure("jsonb_exists(json, text)")
 
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val node = parse(l.asInstanceOf[UTF8String].toString)
+      val node = parseCached(l.asInstanceOf[UTF8String])
       val key = r.asInstanceOf[UTF8String].toString
       if (node.isObject) node.has(key)
       else if (node.isArray) {
@@ -667,12 +705,12 @@ object PgJsonExpressions {
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val vs = children.map(_.eval(input))
       if (vs.exists(_ == null)) return null
-      val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+      val root = parseCached(vs(0).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot set path in scalar")
       val path = pathOf(vs(1), children(1).dataType)
       if (path.isEmpty) return UTF8String.fromString(root.toString)
-      val nv = parse(vs(2).asInstanceOf[UTF8String].toString).deepCopy[JsonNode]()
+      val nv = parseCached(vs(2).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       val create = if (children.length == 4) vs(3).asInstanceOf[Boolean] else true
       val parent = walkParent(root, path)
       val last = path(path.length - 1)
@@ -735,7 +773,7 @@ object PgJsonExpressions {
             "JSON value must not be null")
           case "delete_key" =>
             // delegate to the path-delete semantics
-            val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+            val root = parseCached(vs(0).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
             if (!root.isContainerNode) throw new IllegalArgumentException(
               "cannot delete path in scalar")
             val path = pathOf(vs(1), children(1).dataType)
@@ -759,12 +797,12 @@ object PgJsonExpressions {
               """"use_json_null", or "raise_exception"""")
         }
       // non-null (or use_json_null) → plain jsonb_set semantics
-      val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+      val root = parseCached(vs(0).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot set path in scalar")
       val path = pathOf(vs(1), children(1).dataType)
       if (path.isEmpty) return UTF8String.fromString(root.toString)
-      val nv = parse(newValue.toString).deepCopy[JsonNode]()
+      val nv = parseCached(newValue).deepCopy[JsonNode]()
       val parent = walkParent(root, path)
       val last = path(path.length - 1)
       parent match {
@@ -850,12 +888,12 @@ object PgJsonExpressions {
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val vs = children.map(_.eval(input))
       if (vs.exists(_ == null)) return null
-      val root = parse(vs(0).asInstanceOf[UTF8String].toString)
+      val root = parseCached(vs(0).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot set path in scalar")
       val path = pathOf(vs(1), children(1).dataType)
       if (path.isEmpty) return UTF8String.fromString(root.toString)
-      val nv = parse(vs(2).asInstanceOf[UTF8String].toString).deepCopy[JsonNode]()
+      val nv = parseCached(vs(2).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       val after = if (children.length == 4) vs(3).asInstanceOf[Boolean] else false
       val parent = walkParent(root, path)
       val last = path(path.length - 1)
@@ -902,7 +940,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure("jsonb_delete(jsonb, text|integer)")
 
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val root = parse(l.asInstanceOf[UTF8String].toString)
+      val root = parseCached(l.asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot delete from scalar")
       if (intRight) {
@@ -945,7 +983,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure("jsonb_delete_path(jsonb, text[])")
 
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val root = parse(l.asInstanceOf[UTF8String].toString)
+      val root = parseCached(l.asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot delete path in scalar")
       val path = pathOf(r, right.dataType)
@@ -984,8 +1022,8 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure("jsonb_concat(jsonb, jsonb)")
 
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = parse(l.asInstanceOf[UTF8String].toString)
-      val b = parse(r.asInstanceOf[UTF8String].toString)
+      val a = parseCached(l.asInstanceOf[UTF8String])
+      val b = parse(r.asInstanceOf[UTF8String])
       val out: JsonNode =
         if (a.isObject && b.isObject) {
           val o = a.deepCopy[ObjectNode]()
@@ -1054,7 +1092,7 @@ object PgJsonExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val sb = new java.lang.StringBuilder(64)
-      pp(sb, parse(v.asInstanceOf[UTF8String].toString), 0)
+      pp(sb, parseCached(v.asInstanceOf[UTF8String]), 0)
       UTF8String.fromString(sb.toString)
     }
 
@@ -1077,7 +1115,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure(s"$prettyName(json)")
 
     override def nullSafeEval(v: Any): Any = {
-      val node = parse(v.asInstanceOf[UTF8String].toString)
+      val node = parseCached(v.asInstanceOf[UTF8String])
       if (!node.isObject) throw new IllegalArgumentException(
         if (node.isArray) "cannot deconstruct an array as an object"
         else "cannot deconstruct a scalar")

@@ -373,10 +373,13 @@ object PgJsonPath {
   private final class Ctx(val root: JsonNode, val vars: JsonNode, val lax: Boolean,
       val tzAware: Boolean = false) {
     // sequential per-document object ids for .keyvalue() (documented
-    // deviation: pg emits jsonb byte offsets)
+    // deviation: pg emits jsonb byte offsets); lazily allocated — a
+    // Ctx is built per CALL per row, and almost no path uses
+    // .keyvalue(), so the map must not cost the common case
     private var nextObjId = 0
-    private val objIds = new java.util.IdentityHashMap[JsonNode, Integer]()
+    private var objIds: java.util.IdentityHashMap[JsonNode, Integer] = null
     def objId(n: JsonNode): Int = {
+      if (objIds == null) objIds = new java.util.IdentityHashMap[JsonNode, Integer]()
       val cached = objIds.get(n)
       if (cached != null) cached.intValue()
       else { val id = nextObjId; nextObjId += 1; objIds.put(n, id); id }
@@ -951,7 +954,10 @@ abstract class PgJsonPathFunction extends Expression with CodegenFallback {
     if (vs.exists(_ == null)) return null
     val silent = children.length == 4 && vs(3).asInstanceOf[Boolean]
     try {
-      val json = PgJsonExpressions.parse(vs(0).asInstanceOf[UTF8String])
+      // path evaluation never mutates the document → the shared
+      // per-thread parse memo applies (8 jsonb_path_* calls over the
+      // same column parse the row's document once)
+      val json = PgJsonExpressions.parseCached(vs(0).asInstanceOf[UTF8String])
       val path = compiled(vs(1).asInstanceOf[UTF8String])
       val vars =
         if (children.length >= 3) parsedVars(vs(2).asInstanceOf[UTF8String])

@@ -702,23 +702,27 @@ object PgCompat {
         |  (json_extract(props, '$.k')::INT > 50) AS kx
         |FROM events ORDER BY event_id""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir)
-        s.table("events").orderBy("event_id").selectExpr(
-          "event_id",
-          "jsonb_path_exists(json_build_object('vals', json_build_array(" +
-            "event_id % 3, event_id % 5, event_id % 7)), " +
-            "'$.vals[*] ? (@ >= $m)', '{\"m\":4}') AS ex",
-          "jsonb_path_query_array(json_build_object('vals', json_build_array(" +
-            "event_id % 3, event_id % 5, event_id % 7)), " +
-            "'$.vals[*] ? (@ > 1)') AS arr",
-          "jsonb_path_query_first(json_build_object('vals', json_build_array(" +
-            "event_id % 3, event_id % 5, event_id % 7)), " +
-            "'$.vals[*] ? (@ > 1)') AS fst",
-          "jsonb_path_match(json_build_object('id', event_id), '$.id % 2 == 0') AS mt",
-          "jsonb_path_query_first(json_build_object('t', event_type), '$.t') AS typ",
-          "jsonb_path_query_first(json_build_object('vals', json_build_array(" +
-            "event_id % 3, event_id % 5, event_id % 7)), '$.vals.size()') AS sz",
-          "jsonb_path_query_first(props, '$.k') AS k",
-          "jsonb_path_exists(props, '$.k ? (@ > 50)') AS kx") })
+        // build each document ONCE in a lower projection (Catalyst's
+        // CollapseProject keeps multi-use non-cheap expressions
+        // un-inlined), then run the 4 path queries over it — the
+        // shared-document parse memo in PgJsonExpressions turns the
+        // repeated jsonb_path_* calls into one parse per doc per row.
+        // Sort first (narrow) so the JSON work stays in the parallel
+        // post-shuffle stage.
+        s.table("events").orderBy("event_id")
+          .selectExpr("event_id", "props", "event_type",
+            "json_build_object('vals', json_build_array(" +
+              "event_id % 3, event_id % 5, event_id % 7)) AS vdoc")
+          .selectExpr(
+            "event_id",
+            "jsonb_path_exists(vdoc, '$.vals[*] ? (@ >= $m)', '{\"m\":4}') AS ex",
+            "jsonb_path_query_array(vdoc, '$.vals[*] ? (@ > 1)') AS arr",
+            "jsonb_path_query_first(vdoc, '$.vals[*] ? (@ > 1)') AS fst",
+            "jsonb_path_match(json_build_object('id', event_id), '$.id % 2 == 0') AS mt",
+            "jsonb_path_query_first(json_build_object('t', event_type), '$.t') AS typ",
+            "jsonb_path_query_first(vdoc, '$.vals.size()') AS sz",
+            "jsonb_path_query_first(props, '$.k') AS k",
+            "jsonb_path_exists(props, '$.k ? (@ > 50)') AS kx") })
     },
 
     // round-8 slice #3: jsonb_set_lax treatments, array_to_json
