@@ -356,6 +356,7 @@ object Compat {
     rewriteSimilarTo(ts)
     rewriteRegexOps(ts)
     rewriteJsonOps(ts)
+    rewriteLimitCast(ts)
     rewriteCastTypes(ts)
     wrapByteaLiteralArgs(ts)
     renameFunctionsByArity(ts)
@@ -656,7 +657,10 @@ object Compat {
 
   /** `pg_catalog.name` → `name` — Spark temp views/functions are
     * unqualified, so the qualifier is stripped (the inverse of the
-    * reference's prepend rule, same resolution outcome).
+    * reference's prepend rule, same resolution outcome). `public.name`
+    * strips the same way: served tables live in pg's default schema,
+    * and schema-qualifying clients (postgres_fdw's remote SQL always
+    * writes `public.t`) must resolve to the same temp views.
     * `information_schema.name` folds to the `information_schema_name`
     * view for the same reason.
     */
@@ -664,7 +668,9 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val isPgCat = ts(i).isWord("pg_catalog") ||
-        (ts(i).kind == QIdent && ts(i).text.equalsIgnoreCase("\"pg_catalog\""))
+        (ts(i).kind == QIdent && ts(i).text.equalsIgnoreCase("\"pg_catalog\"")) ||
+        ts(i).isWord("public") ||
+        (ts(i).kind == QIdent && ts(i).text == "\"public\"")
       val isInfoSchema = ts(i).isWord("information_schema")
       if (isPgCat || isInfoSchema) {
         val dot = nextIdx(ts, i)
@@ -1807,6 +1813,25 @@ object Compat {
   /** Map pg type names after `::` and inside CAST(... AS t). Handles
     * `[]` suffix → ARRAY<t> (reference PgOidTypePlanner analogue).
     */
+  /** `LIMIT n::bigint` → `LIMIT n` — postgres_fdw's remote SQL casts
+    * every LIMIT to bigint, and Spark requires an INT limit literal. */
+  private def rewriteLimitCast(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("LIMIT")) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && ts(n).kind == Num) {
+          val c = nextIdx(ts, n)
+          if (c >= 0 && ts(c).is("::")) {
+            val t = nextIdx(ts, c)
+            if (t >= 0 && ts(t).kind == Word) ts.remove(c, t - c + 1)
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteCastTypes(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {

@@ -74,6 +74,19 @@ class CompatSpec extends AnyFunSuite {
       "SELECT format_type(25, NULL)")
   }
 
+  test("public schema qualifier and FDW LIMIT casts (postgres_fdw remote SQL)") {
+    // postgres_fdw always schema-qualifies and bigint-casts its LIMIT
+    assert(Compat.rewrite("SELECT n_name FROM public.nation") ===
+      "SELECT n_name FROM nation")
+    assert(Compat.rewrite("SELECT * FROM \"public\".\"nation\" LIMIT 3::bigint") ===
+      "SELECT * FROM `nation` LIMIT 3")
+    assert(Compat.rewrite(
+      "SELECT count(*) FROM public.events ORDER BY 1 LIMIT 2::bigint") ===
+      "SELECT count(*) FROM events ORDER BY 1 LIMIT 2")
+    // a string literal 'public' is untouched
+    assert(Compat.rewrite("SELECT 'public'") === "SELECT 'public'")
+  }
+
   test("COLLATE clauses are dropped") {
     assert(Compat.rewrite("SELECT a FROM t ORDER BY a COLLATE pg_catalog.default") ===
       "SELECT a FROM t ORDER BY a")
