@@ -348,6 +348,7 @@ object Compat {
     rewriteBetweenSymmetric(ts)
     rewriteAnyAll(ts)
     rewriteJsonAggs(ts)
+    rewriteJsonToRecord(ts)
     rewriteSetReturning(ts)
     rewriteSubstringRegex(ts)
     quoteNormalizeForms(ts)
@@ -1148,6 +1149,104 @@ object Compat {
               ts.insertAll(i, rebuilt)
               i += rebuilt.length - 1
             }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg type words (possibly multi-word / suffixed) → a Spark type
+    * name for the json_to_record CAST targets. */
+  private def recordColType(toks: Vector[Tok]): String = {
+    val joined = toks.map(_.text).mkString(" ").toLowerCase
+      .replaceAll("\\s+", " ").trim
+      .replace("double precision", "double")
+      .replace("character varying", "varchar")
+      .replace("timestamp with time zone", "timestamp")
+      .replace("timestamp without time zone", "timestamp")
+    val (base, suffix) = joined.indexOf('(') match {
+      case -1 => (joined, "")
+      case p => (joined.substring(0, p).trim, joined.substring(p).replaceAll("\\s", ""))
+    }
+    typeNameMap.getOrElse(base, base) + suffix
+  }
+
+  /** `json[b]_to_record(j) AS t(a int, b text)` and the set-returning
+    * `json[b]_to_recordset(j) AS t(…)` — pg's row-expansion functions
+    * (reference functions.md §JSON, blocked upstream). Each declared
+    * column becomes `CAST(json_extract_path_text(j,'name') AS type)`,
+    * which carries pg's per-field text-input coercion (a json string
+    * "7" populates an int column; missing keys go NULL; extra keys are
+    * ignored) — Spark's from_json would instead null out coercible
+    * fields. A json/jsonb-typed column keeps the raw json form.
+    * The recordset form explodes the array first. A preceding comma
+    * gets an explicit LATERAL so the pg implicit-lateral correlated
+    * shape (`FROM t, json_to_record(t.j) AS r(…)`) still plans. */
+  private def rewriteJsonToRecord(ts: ArrayBuffer[Tok]): Unit = {
+    val names = Set("json_to_record", "jsonb_to_record",
+      "json_to_recordset", "jsonb_to_recordset")
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && names.contains(t.text.toLowerCase)) {
+        val setForm = t.text.toLowerCase.endsWith("recordset")
+        val open = nextIdx(ts, i)
+        val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+        if (close > 0) {
+          // [AS] alias ( coldefs )
+          var a = nextIdx(ts, close)
+          if (a >= 0 && ts(a).isWord("AS")) a = nextIdx(ts, a)
+          val aliasOk = a >= 0 && (ts(a).kind == Word || ts(a).kind == QIdent)
+          val open2 = if (aliasOk) nextIdx(ts, a) else -1
+          val close2 = if (open2 >= 0 && ts(open2).is("(")) matchParen(ts, open2) else -1
+          if (close2 > 0) {
+            val alias =
+              if (ts(a).kind == QIdent)
+                "`" + ts(a).text.substring(1, ts(a).text.length - 1) + "`"
+              else ts(a).text
+            val arg = ts.slice(open + 1, close).toVector
+            val cols = splitTopLevel(ts.slice(open2 + 1, close2).toVector)
+              .map(_.filter(c => c.kind != Ws))
+            val src: Seq[Tok] =
+              if (setForm) Seq(Tok(Word, "__je"))
+              else arg
+            val colToks = ArrayBuffer[Tok]()
+            cols.zipWithIndex.foreach { case (col, ci) =>
+              if (ci > 0) colToks += Tok(Word, ", ")
+              val rawName = col.head.text
+              val name = if (col.head.kind == QIdent)
+                rawName.substring(1, rawName.length - 1) else rawName
+              val sparkType = recordColType(col.tail)
+              val key = "'" + name.replace("'", "''") + "'"
+              val outName = if (col.head.kind == QIdent) "`" + name + "`" else name
+              if (sparkType == "string" &&
+                col.tail.headOption.exists(w =>
+                  Set("json", "jsonb").contains(w.text.toLowerCase))) {
+                colToks += Tok(Word, "json_extract_path(")
+                colToks ++= src
+                colToks += Tok(Word, s", $key) AS $outName")
+              } else {
+                colToks += Tok(Word, "CAST(json_extract_path_text(")
+                colToks ++= src
+                colToks += Tok(Word, s", $key) AS $sparkType) AS $outName")
+              }
+            }
+            val prev = prevIdx(ts, i)
+            val needLateral = prev >= 0 && ts(prev).is(",")
+            val rebuilt = ArrayBuffer[Tok]()
+            if (needLateral) rebuilt += Tok(Word, "LATERAL ")
+            rebuilt += Tok(Word, "(SELECT ")
+            rebuilt ++= colToks
+            if (setForm) {
+              rebuilt += Tok(Word, " FROM (SELECT explode(json_array_elements(")
+              rebuilt ++= arg
+              rebuilt += Tok(Word, ")) AS __je)")
+            }
+            rebuilt += Tok(Word, s") AS $alias")
+            ts.remove(i, close2 - i + 1)
+            ts.insertAll(i, rebuilt)
+            i += rebuilt.length - 1
           }
         }
       }

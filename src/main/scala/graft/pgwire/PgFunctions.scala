@@ -729,6 +729,12 @@ object PgFunctions {
       ProcDef("jsonb_delete_path", Seq(3802, 1009), 3802),
       ProcDef("jsonb_concat", Seq(3802, 3802), 3802),
       ProcDef("jsonb_pretty", Seq(3802), T),
+      // row expansion (Compat.rewriteJsonToRecord): record-returning,
+      // 2249 = record
+      ProcDef("json_to_record", Seq(114), 2249),
+      ProcDef("jsonb_to_record", Seq(3802), 2249),
+      ProcDef("json_to_recordset", Seq(114), 2249),
+      ProcDef("jsonb_to_recordset", Seq(3802), 2249),
       ProcDef("json_each", Seq(114), 2249),
       ProcDef("json_each_text", Seq(114), 2249),
       ProcDef("jsonb_each", Seq(3802), 2249),

@@ -746,5 +746,26 @@ object PgCompat {
             "CAST(NULL AS STRING), true, 'return_target') AS sl3",
           "array_to_json(array(event_id % 3, event_id % 5)) AS atj",
           "array_to_json(array(event_id % 3, event_id % 5), true) AS atjp") })
+    },
+
+    // round-9: json_to_record row expansion (functions.md §JSON,
+    // blocked upstream) — runs the WIRE path end-to-end: the pg
+    // implicit-lateral call shape goes through Compat.rewriteJsonToRecord
+    // into CAST(json_extract_path_text(..)) columns, which carries
+    // pg's per-field text-input coercion (missing key → NULL, string
+    // number → int). Oracle recomposes each field from DuckDB json
+    // primitives.
+    Q.df("q119_json_to_record",
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::INT AS k,
+        |  CAST(NULL AS VARCHAR) AS missing_col,
+        |  json_extract_string(props, '$.k') AS kt
+        |FROM events ORDER BY event_id""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        s.sql(graft.pgwire.Compat.rewrite(
+          """SELECT event_id, r.k, r.missing_col, r2.k AS kt
+            |FROM events, json_to_record(props) AS r(k int, missing_col text),
+            |  json_to_record(props) AS r2(k text)
+            |ORDER BY event_id""".stripMargin)) })
     })
 }

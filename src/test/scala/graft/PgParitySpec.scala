@@ -250,6 +250,34 @@ class PgParitySpec extends SparkSpec {
     assert(one("""jsonb_set('{"a":{"q":1}}','{a,x,b}','2')""") === """{"a":{"q":1}}""")
   }
 
+  test("json_to_record / json_to_recordset row expansion (live pg 15)") {
+    def rows(sql: String): Seq[String] = {
+      graft.pgwire.PgFunctions.registerAll(spark)
+      val df = spark.sql(graft.pgwire.Compat.rewrite(sql))
+      df.collect().toSeq.map(r => df.schema.fields.indices.map(i =>
+        graft.pgwire.TextEncoder.encodeField(r.get(i), df.schema.fields(i),
+          java.time.ZoneOffset.UTC).getOrElse("<NULL>")).mkString("|"))
+    }
+    // extra keys ignored; declared columns fill by name
+    assert(rows("""SELECT a, b FROM
+      json_to_record('{"a":1,"b":"x","extra":9}') AS t(a int, b text)""") ===
+      Seq("1|x"))
+    // missing keys → NULL; a json string "7" coerces into int (pg
+    // text-input conversion)
+    assert(rows("""SELECT a, c FROM json_to_record('{"a":1}') AS t(a int, c text)""") ===
+      Seq("1|<NULL>"))
+    assert(rows("""SELECT a FROM jsonb_to_record('{"a":"7"}') AS t(a int)""") ===
+      Seq("7"))
+    // typed columns: date and double precision
+    assert(rows("""SELECT d, f FROM
+      json_to_record('{"d":"2024-01-02","f":2.5}') AS t(d date, f double precision)""") ===
+      Seq("2024-01-02|2.5"))
+    // recordset: one row per array element
+    assert(rows("""SELECT x, y FROM
+      json_to_recordset('[{"x":1,"y":"a"},{"x":2}]') AS t(x int, y text)""") ===
+      Seq("1|a", "2|<NULL>"))
+  }
+
   test("::json/::jsonb cast marks values json-typed for json_build_* (live pg 15)") {
     // pg embeds a jsonb-typed argument raw: {"k" : {"a": 1}}
     assert(one("""json_build_object('k', '{"a":1}'::jsonb)""") === """{"k":{"a":1}}""")
