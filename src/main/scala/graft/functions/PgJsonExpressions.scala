@@ -7,7 +7,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -69,7 +68,8 @@ object PgJsonExpressions {
     * a projection evaluating several JSON expressions over the same
     * column (the common client shape — 8 extracts of one `props`
     * document) parses each row's document once instead of once per
-    * call. All 51 JSON expressions are CodegenFallback, which Spark's
+    * call. The JSON expressions evaluate behind opaque
+    * [[PgVariadicDirectGen]] object calls, which Spark's
     * common-subexpression elimination does not cover — this memo is
     * the equivalent at the data layer. 8 round-robin slots absorb a
     * projection that interleaves several DIFFERENT built documents
@@ -203,7 +203,7 @@ object PgJsonExpressions {
     * re-quoting them — the observable behavior of a jsonb-typed
     * argument in pg. */
   case class PgJsonbNormalize(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "pg_jsonb"
     // deliberately NOT foldable (UnaryExpression would inherit the
@@ -231,7 +231,7 @@ object PgJsonExpressions {
   /** json_build_object(k1, v1, ...) — alternating keys and values.
     * NULL keys error (pg: "argument N cannot be null"). */
   case class PgJsonBuildObject(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
     override def prettyName: String = "json_build_object"
@@ -244,13 +244,13 @@ object PgJsonExpressions {
         TypeCheckResult.TypeCheckFailure("json_build_object: unsupported argument type")
       else TypeCheckResult.TypeCheckSuccess
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def evalVals(vs: Array[Any]): Any = {
       val sb = new java.lang.StringBuilder(64)
       sb.append('{')
       var i = 0
       while (i < children.length) {
         if (i > 0) sb.append(',')
-        val k = children(i).eval(input)
+        val k = vs(i)
         if (k == null) throw new IllegalArgumentException(
           s"json_build_object: argument ${i + 1} cannot be null")
         val kStr = children(i).dataType match {
@@ -259,7 +259,7 @@ object PgJsonExpressions {
         }
         escapeTo(sb, kStr)
         sb.append(':')
-        renderArg(sb, children(i + 1), children(i + 1).eval(input))
+        renderArg(sb, children(i + 1), vs(i + 1))
         i += 2
       }
       sb.append('}')
@@ -272,7 +272,7 @@ object PgJsonExpressions {
 
   /** json_build_array(v1, v2, ...). */
   case class PgJsonBuildArray(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
     override def prettyName: String = "json_build_array"
@@ -282,13 +282,13 @@ object PgJsonExpressions {
         TypeCheckResult.TypeCheckFailure("json_build_array: unsupported argument type")
       else TypeCheckResult.TypeCheckSuccess
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def evalVals(vs: Array[Any]): Any = {
       val sb = new java.lang.StringBuilder(64)
       sb.append('[')
       var i = 0
       while (i < children.length) {
         if (i > 0) sb.append(',')
-        renderArg(sb, children(i), children(i).eval(input))
+        renderArg(sb, children(i), vs(i))
         i += 1
       }
       sb.append(']')
@@ -301,7 +301,7 @@ object PgJsonExpressions {
 
   /** row_to_json(record) — render a struct with its field names. */
   case class PgRowToJson(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "row_to_json"
 
@@ -342,7 +342,7 @@ object PgJsonExpressions {
     * returns the element as json text; `text=true` unquotes strings
     * and maps json null to SQL NULL (pg's ->>/#>> semantics). */
   case class PgJsonExtractPath(children: Seq[Expression], text: Boolean)
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String =
@@ -353,13 +353,13 @@ object PgJsonExpressions {
         TypeCheckResult.TypeCheckFailure(s"$prettyName(json, text...)")
       else TypeCheckResult.TypeCheckSuccess
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val j = children.head.eval(input)
+    override def evalVals(vs: Array[Any]): Any = {
+      val j = vs(0)
       if (j == null) return null
-      val path = new Array[String](children.length - 1)
+      val path = new Array[String](vs.length - 1)
       var i = 1
-      while (i < children.length) {
-        val p = children(i).eval(input)
+      while (i < vs.length) {
+        val p = vs(i)
         if (p == null) return null
         path(i - 1) = p.asInstanceOf[UTF8String].toString
         i += 1
@@ -376,7 +376,7 @@ object PgJsonExpressions {
 
   /** json_typeof(json) → object|array|string|number|boolean|null. */
   case class PgJsonTypeof(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "json_typeof"
 
@@ -403,7 +403,7 @@ object PgJsonExpressions {
     * pg original is set-returning — Compat rewrites the call to
     * explode(json_array_elements(x)). Non-arrays error like pg. */
   case class PgJsonArrayElements(child: Expression, text: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String =
       if (text) "json_array_elements_text" else "json_array_elements"
@@ -445,7 +445,7 @@ object PgJsonExpressions {
     * Spark's own to_json(struct|map|array) keeps its native meaning —
     * for record inputs use row_to_json. */
   case class PgToJsonb(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "to_jsonb"
 
@@ -466,7 +466,7 @@ object PgJsonExpressions {
   /** json_strip_nulls(json): remove null-valued OBJECT fields at every
     * depth; array nulls are kept (pg semantics). */
   case class PgJsonStripNulls(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "json_strip_nulls"
 
@@ -554,9 +554,12 @@ object PgJsonExpressions {
     * (structural containment). The wire operator rewrite cannot see
     * types, so this expression dispatches on the analyzed input type. */
   case class PgContains(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgVariadicDirectGen {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "pg_contains"
+
+    override def evalVals(vs: Array[Any]): Any =
+      if (vs(0) == null || vs(1) == null) null else nullSafeEval(vs(0), vs(1))
 
     override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
       case (ArrayType(a, _), ArrayType(b, _)) if a == b => TypeCheckResult.TypeCheckSuccess
@@ -596,9 +599,12 @@ object PgJsonExpressions {
   /** jsonb_exists(json, key) — pg's `?`: object has the key, array
     * has the string element, or a string scalar equals it. */
   case class PgJsonbExists(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgVariadicDirectGen {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "jsonb_exists"
+
+    override def evalVals(vs: Array[Any]): Any =
+      if (vs(0) == null || vs(1) == null) null else nullSafeEval(vs(0), vs(1))
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (left.dataType == StringType && right.dataType == StringType)
@@ -688,7 +694,7 @@ object PgJsonExpressions {
     * steps return the target unchanged; with create_if_missing an
     * out-of-range positive index appends, negative prepends. */
   case class PgJsonbSet(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "jsonb_set"
@@ -702,8 +708,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure(
         "jsonb_set(jsonb, text[], jsonb[, boolean])")
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val vs = children.map(_.eval(input))
+    override def evalVals(vs: Array[Any]): Any = {
       if (vs.exists(_ == null)) return null
       val root = parseCached(vs(0).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
@@ -739,7 +744,7 @@ object PgJsonExpressions {
     * | 'return_target' | 'raise_exception'. All pinned against pg 15.
     * Strict on every argument EXCEPT new_value. */
   case class PgJsonbSetLax(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "jsonb_set_lax"
@@ -756,8 +761,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure(
         "jsonb_set_lax(jsonb, text[], jsonb[, boolean[, text]])")
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val vs = children.map(_.eval(input))
+    override def evalVals(vs: Array[Any]): Any = {
       // strict on all but new_value (index 2)
       if (vs.zipWithIndex.exists { case (v, i) => v == null && i != 2 }) return null
       val treatment =
@@ -828,7 +832,7 @@ object PgJsonExpressions {
   /** array_to_json(anyarray[, pretty]) — pg renders the array as json;
     * pretty=true joins TOP-LEVEL elements with ",\n " (pinned). */
   case class PgArrayToJson(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "array_to_json"
@@ -841,8 +845,7 @@ object PgJsonExpressions {
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("array_to_json(anyarray[, boolean])")
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val vs = children.map(_.eval(input))
+    override def evalVals(vs: Array[Any]): Any = {
       if (vs.exists(_ == null)) return null
       val arr = vs(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val et = children(0).dataType.asInstanceOf[ArrayType].elementType
@@ -871,7 +874,7 @@ object PgJsonExpressions {
     * element: insert before (after if flag); object: only a NEW key
     * ("cannot replace existing key"). STRICT like jsonb_set. */
   case class PgJsonbInsert(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "jsonb_insert"
@@ -885,8 +888,7 @@ object PgJsonExpressions {
       else TypeCheckResult.TypeCheckFailure(
         "jsonb_insert(jsonb, text[], jsonb[, boolean])")
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val vs = children.map(_.eval(input))
+    override def evalVals(vs: Array[Any]): Any = {
       if (vs.exists(_ == null)) return null
       val root = parseCached(vs(0).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
@@ -925,7 +927,7 @@ object PgJsonExpressions {
     * out-of-range is a no-op). Deleting from a scalar errors; integer
     * delete from an object errors (pg messages). */
   case class PgJsonbDelete(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "jsonb_delete"
 
@@ -973,7 +975,7 @@ object PgJsonExpressions {
   /** jsonb_delete_path(target, path text[]) — pg's `#-`. Missing paths
     * are a no-op; scalar target errors. */
   case class PgJsonbDeletePath(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "jsonb_delete_path"
 
@@ -1012,7 +1014,7 @@ object PgJsonExpressions {
     * wins per key), array+array concatenates, and any non-array side
     * of a mixed pair is wrapped as a single-element array (pg §9.45). */
   case class PgJsonbConcat(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "jsonb_concat"
 
@@ -1046,7 +1048,7 @@ object PgJsonExpressions {
     * every container's closing bracket on its own line at the parent
     * indent (so an empty object prints as `{\n}` — pg behavior). */
   case class PgJsonbPretty(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "jsonb_pretty"
 
@@ -1104,7 +1106,7 @@ object PgJsonExpressions {
     * rewrites the call to inline(json_each(x)). Non-objects error
     * (pg: "cannot deconstruct a scalar / an array"). */
   case class PgJsonEach(child: Expression, text: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("key", StringType, nullable = false),
       StructField("value", StringType, nullable = true))), containsNull = false)
@@ -1143,7 +1145,7 @@ object PgJsonExpressions {
     * array of [k,v] pairs, or two parallel arrays. Null keys error
     * (pg); null values render as JSON null. */
   case class PgJsonObject(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "json_object"
@@ -1168,8 +1170,7 @@ object PgJsonExpressions {
     private def strAt(a: ArrayData, i: Int): String =
       if (a.isNullAt(i)) null else a.getUTF8String(i).toString
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val vs = children.map(_.eval(input))
+    override def evalVals(vs: Array[Any]): Any = {
       if (vs.exists(_ == null)) return null
       val o = mapper.createObjectNode()
       def put(k: String, v: String): Unit = {

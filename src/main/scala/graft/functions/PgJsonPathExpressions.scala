@@ -7,7 +7,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -902,7 +901,7 @@ object PgJsonPath {
   * Children: (target, path[, vars[, silent]]). STRICT: null in →
   * null out. The compiled path is memoized behind a single immutable
   * tuple reference so concurrent evaluation stays consistent. */
-abstract class PgJsonPathFunction extends Expression with CodegenFallback {
+abstract class PgJsonPathFunction extends Expression with PgVariadicDirectGen {
   def children: Seq[Expression]
   override def nullable: Boolean = true
 
@@ -949,9 +948,9 @@ abstract class PgJsonPathFunction extends Expression with CodegenFallback {
     * jsonb_path_query_array which yields an empty array). */
   protected def suppressed: Any = null
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.exists(_ == null)) return null
+  override def evalVals(vs: Array[Any]): Any = {
+    var i = 0
+    while (i < vs.length) { if (vs(i) == null) return null; i += 1 }
     val silent = children.length == 4 && vs(3).asInstanceOf[Boolean]
     try {
       // path evaluation never mutates the document → the shared
