@@ -34,8 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PgJsonExpressions {
 
-  // ObjectMapper is thread-safe after configuration
+  // ObjectMapper is thread-safe after configuration.
+  // USE_BIG_DECIMAL_FOR_FLOATS + WRITE_BIGDECIMAL_AS_PLAIN give pg's
+  // numeric treatment of json numbers: '1.50' keeps its scale and
+  // '1e3' renders as 1000 (pg jsonb normalizes through numeric;
+  // doubles would yield 1.5 / 1000.0).
   private val mapper = new ObjectMapper()
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+    .configure(com.fasterxml.jackson.databind.SerializationFeature.WRITE_BIGDECIMAL_AS_PLAIN, true)
 
   private[functions] def parse(s: String): JsonNode =
     try mapper.readTree(s)
@@ -121,8 +127,20 @@ object PgJsonExpressions {
     dt match {
       case StringType => escapeTo(sb, v.asInstanceOf[UTF8String].toString)
       case BooleanType => sb.append(if (v.asInstanceOf[Boolean]) "true" else "false")
-      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+      case ByteType | ShortType | IntegerType | LongType =>
         sb.append(v.toString)
+      case FloatType | DoubleType =>
+        // pg float→json uses float8out's shortest form (1.0 → 1,
+        // 1e20 → 1e+20); non-finite values become STRINGS (pinned:
+        // to_json('inf'::float8) → "Infinity")
+        val d = v match {
+          case f: java.lang.Float => f.toDouble
+          case x => x.asInstanceOf[Double]
+        }
+        val t = graft.pgwire.TextEncoder.formatFloat(d,
+          isFloat4 = dt == FloatType)
+        if (d.isNaN || d.isInfinite) sb.append('"').append(t).append('"')
+        else sb.append(t)
       case _: DecimalType => sb.append(v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString)
       case DateType =>
         val f = PgFormat.DtF.fromEpochDay(v.asInstanceOf[Int].toLong)
@@ -331,7 +349,10 @@ object PgJsonExpressions {
         val idx =
           try path(i).trim.toInt
           catch { case _: NumberFormatException => return null }
-        node = if (idx >= 0 && idx < node.size()) node.get(idx) else null
+        // negative subscripts count from the end (pg json_extract_path
+        // and `->'/#>` accept them; pinned live: …('{"a":[1,2,3]}','a','-1') → 3)
+        val k = if (idx < 0) node.size() + idx else idx
+        node = if (k >= 0 && k < node.size()) node.get(k) else null
       } else return null
       i += 1
     }
@@ -936,15 +957,44 @@ object PgJsonExpressions {
       case _ => false
     }
 
+    private def arrRight: Boolean = right.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+
     override def checkInputDataTypes(): TypeCheckResult =
-      if (left.dataType == StringType && (right.dataType == StringType || intRight))
+      if (left.dataType == StringType &&
+        (right.dataType == StringType || intRight || arrRight))
         TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("jsonb_delete(jsonb, text|integer)")
+      else TypeCheckResult.TypeCheckFailure("jsonb_delete(jsonb, text|integer|text[])")
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val root = parseCached(l.asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot delete from scalar")
+      if (arrRight) {
+        // jsonb - text[]: delete every listed key (objects) / element
+        // (string arrays) left-to-right
+        val keys = r.asInstanceOf[ArrayData]
+        var ki = 0
+        while (ki < keys.numElements()) {
+          if (!keys.isNullAt(ki)) {
+            val key = keys.getUTF8String(ki).toString
+            root match {
+              case o: ObjectNode => o.remove(key)
+              case a: ArrayNode =>
+                var i = a.size() - 1
+                while (i >= 0) {
+                  if (a.get(i).isTextual && a.get(i).textValue() == key) a.remove(i)
+                  i -= 1
+                }
+              case _ =>
+            }
+          }
+          ki += 1
+        }
+        return UTF8String.fromString(root.toString)
+      }
       if (intRight) {
         if (!root.isArray) throw new IllegalArgumentException(
           "cannot delete from object using integer index")
@@ -1161,10 +1211,54 @@ object PgJsonExpressions {
 
     override def checkInputDataTypes(): TypeCheckResult = children.map(_.dataType) match {
       case Seq(dt) if flatStringArray(dt) || pairArray(dt) => TypeCheckResult.TypeCheckSuccess
+      case Seq(StringType) => TypeCheckResult.TypeCheckSuccess // pg array literal text
       case Seq(a, b) if flatStringArray(a) && flatStringArray(b) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "json_object(text[]) or json_object(text[], text[])")
+    }
+
+    /** Split a pg array-literal body on depth-0 commas (quotes and
+      * nested braces respected). */
+    private def splitTop(body: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new java.lang.StringBuilder
+      var depth = 0
+      var inQ = false
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (inQ) {
+          if (c == '\\' && i + 1 < body.length) { cur.append(c).append(body.charAt(i + 1)); i += 1 }
+          else { if (c == '"') inQ = false; cur.append(c) }
+        } else c match {
+          case '"' => inQ = true; cur.append(c)
+          case '{' => depth += 1; cur.append(c)
+          case '}' => depth -= 1; cur.append(c)
+          case ',' if depth == 0 => out += cur.toString; cur.setLength(0)
+          case _ => cur.append(c)
+        }
+        i += 1
+      }
+      if (cur.length > 0 || out.nonEmpty) out += cur.toString
+      out.toSeq
+    }
+
+    /** Un-quote one pg array-literal element; bare NULL is null. */
+    private def unq(e0: String): String = {
+      val e = e0.trim
+      if (e.startsWith("\"") && e.endsWith("\"") && e.length >= 2) {
+        val sb = new java.lang.StringBuilder
+        var i = 1
+        while (i < e.length - 1) {
+          val c = e.charAt(i)
+          if (c == '\\' && i + 1 < e.length - 1) { sb.append(e.charAt(i + 1)); i += 1 }
+          else sb.append(c)
+          i += 1
+        }
+        sb.toString
+      } else if (e.equalsIgnoreCase("null")) null
+      else e
     }
 
     private def strAt(a: ArrayData, i: Int): String =
@@ -1186,6 +1280,34 @@ object PgJsonExpressions {
         var i = 0
         while (i < ks.numElements()) { put(strAt(ks, i), strAt(us, i)); i += 1 }
       } else children.head.dataType match {
+        case StringType =>
+          // pg array literal text: '{a,1,b,2}' (flat) or
+          // '{{a,1},{b,2}}' (pairs) — the json_object(text) call shape
+          val raw = vs(0).asInstanceOf[UTF8String].toString.trim
+          if (!(raw.startsWith("{") && raw.endsWith("}")))
+            throw new IllegalArgumentException(
+              "malformed array literal: \"" + raw + "\"")
+          val body = raw.substring(1, raw.length - 1).trim
+          if (body.isEmpty) ()
+          else {
+            val els = splitTop(body)
+            if (els.forall(_.trim.startsWith("{"))) {
+              els.foreach { e0 =>
+                val e = e0.trim
+                if (!e.endsWith("}")) throw new IllegalArgumentException(
+                  "malformed array literal: \"" + raw + "\"")
+                val pair = splitTop(e.substring(1, e.length - 1))
+                if (pair.length != 2) throw new IllegalArgumentException(
+                  "array must have two columns")
+                put(unq(pair(0)), unq(pair(1)))
+              }
+            } else {
+              if (els.length % 2 != 0) throw new IllegalArgumentException(
+                "array must have even number of elements")
+              var i = 0
+              while (i < els.length) { put(unq(els(i)), unq(els(i + 1))); i += 2 }
+            }
+          }
         case ArrayType(StringType, _) =>
           val a = vs(0).asInstanceOf[ArrayData]
           if (a.numElements() % 2 != 0) throw new IllegalArgumentException(
@@ -1255,6 +1377,13 @@ object PgJsonExpressions {
     (FunctionIdentifier("jsonb_exists"), info("jsonb_exists"),
       (args: Seq[Expression]) => { require(args.length == 2); PgJsonbExists(args(0), args(1)) }),
     (FunctionIdentifier("to_jsonb"), info("to_jsonb"),
+      (args: Seq[Expression]) => { require(args.length == 1); PgToJsonb(args.head) }),
+    // pg to_json: same rendering as to_jsonb here (json/jsonb differ
+    // only in preserved whitespace, which this engine normalizes —
+    // documented deviation). Shadows Spark's struct-only to_json so
+    // scalar arguments work like pg; no engine-side SQL relies on the
+    // built-in.
+    (FunctionIdentifier("to_json"), info("to_json"),
       (args: Seq[Expression]) => { require(args.length == 1); PgToJsonb(args.head) }),
     (FunctionIdentifier("json_strip_nulls"), info("json_strip_nulls"),
       (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),

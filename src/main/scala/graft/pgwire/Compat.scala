@@ -356,6 +356,7 @@ object Compat {
     rewriteExtractEpoch(ts)
     rewriteSimilarTo(ts)
     rewriteRegexOps(ts)
+    rewriteJsonbDeleteConcat(ts)
     rewriteJsonOps(ts)
     rewriteLimitCast(ts)
     rewriteCastTypes(ts)
@@ -1789,7 +1790,7 @@ object Compat {
   /** Walk back from `p` (the last token of a value expression) to its
     * first token: through a closing paren to the matching open +
     * callee name, or through a qualified  word (. word)*  chain. */
-  private def lhsStart(ts: ArrayBuffer[Tok], p: Int): Int = {
+  private def lhsStartOne(ts: ArrayBuffer[Tok], p: Int): Int = {
     if (ts(p).is(")")) {
       var depth = 1
       var j = p - 1
@@ -1813,8 +1814,132 @@ object Compat {
     }
   }
 
+  /** Start of the value expression ending at `p`, absorbing `::type`
+    * casts: for `'{"a":1}'::jsonb @> …` the lhs is the WHOLE cast, not
+    * the bare type word the operator happens to touch (the sweep-4
+    * regression: operators after a cast wrapped only `jsonb`). */
+  private def lhsStart(ts: ArrayBuffer[Tok], p: Int): Int = {
+    var start = lhsStartOne(ts, p)
+    var before = prevIdx(ts, start)
+    while (before >= 0 && ts(before).is("::") && {
+      val operand = prevIdx(ts, before)
+      operand >= 0 && isValueEnd(ts(operand))
+    }) {
+      start = lhsStartOne(ts, prevIdx(ts, before))
+      before = prevIdx(ts, start)
+    }
+    start
+  }
+
   private def isValueEnd(t: Tok): Boolean =
     t.kind == Word || t.kind == QIdent || t.kind == Str || t.is(")") || t.is("]")
+
+  /** Function calls whose result is jsonb-typed in pg — used to
+    * resolve the overloaded `-` and `||` operators below. */
+  private val jsonbProducers = Set(
+    "pg_jsonb", "to_jsonb", "jsonb_set", "jsonb_set_lax", "jsonb_insert",
+    "jsonb_delete", "jsonb_delete_path", "jsonb_concat", "jsonb_strip_nulls",
+    "jsonb_build_object", "jsonb_build_array", "jsonb_object",
+    "jsonb_path_query_first", "jsonb_path_query_array", "jsonb_agg",
+    "jsonb_object_agg")
+
+  /** Does the value expression ENDING at `e` carry an explicit jsonb
+    * type — a `::json[b]` cast or a jsonb-returning function call?
+    * (Plain string columns are indistinguishable from jsonb here; pg
+    * resolves these operators by static type, so only annotated
+    * values dispatch.) */
+  private def jsonbMarked(ts: ArrayBuffer[Tok], e: Int): Boolean = {
+    if (e < 0) false
+    else if (ts(e).kind == Word &&
+      (ts(e).text.equalsIgnoreCase("json") || ts(e).text.equalsIgnoreCase("jsonb"))) {
+      val c = prevIdx(ts, e)
+      c >= 0 && ts(c).is("::")
+    } else if (ts(e).is(")")) {
+      var depth = 1
+      var j = e - 1
+      while (j >= 0 && depth > 0) {
+        if (ts(j).is(")")) depth += 1
+        else if (ts(j).is("(")) depth -= 1
+        if (depth > 0) j -= 1
+      }
+      val w = prevIdx(ts, j)
+      w >= 0 && ts(w).kind == Word && jsonbProducers.contains(ts(w).text.toLowerCase)
+    } else false
+  }
+
+  /** End index of the value starting at `s`: a call or ARRAY[..]
+    * extends to its close; trailing `::type[[]]` casts are absorbed. */
+  private def valueEnd(ts: ArrayBuffer[Tok], s: Int): Int = {
+    var e = s
+    if (ts(s).kind == Word) {
+      val nxt = nextIdx(ts, s)
+      if (nxt >= 0 && ts(nxt).is("(")) {
+        val c = matchParen(ts, nxt); if (c > 0) e = c
+      } else if (nxt >= 0 && ts(nxt).is("[")) {
+        var depth = 0; var j = nxt; var close = -1
+        while (j < ts.length && close < 0) {
+          if (ts(j).is("[")) depth += 1
+          else if (ts(j).is("]")) { depth -= 1; if (depth == 0) close = j }
+          j += 1
+        }
+        if (close > 0) e = close
+      }
+    }
+    var c = nextIdx(ts, e)
+    while (c >= 0 && ts(c).is("::")) {
+      val t = nextIdx(ts, c)
+      if (t >= 0 && ts(t).kind == Word) {
+        e = t
+        val b1 = nextIdx(ts, t)
+        if (b1 >= 0 && ts(b1).is("[")) {
+          val b2 = nextIdx(ts, b1)
+          if (b2 >= 0 && ts(b2).is("]")) e = b2
+        } else if (b1 >= 0 && ts(b1).is("(")) {
+          val pc = matchParen(ts, b1); if (pc > 0) e = pc
+        }
+        c = nextIdx(ts, e)
+      } else c = -1
+    }
+    e
+  }
+
+  /** pg's overloaded jsonb operators that collide with arithmetic and
+    * string/array concat: `jsonb - text|int|text[]` (delete) and
+    * `jsonb || jsonb` (concat). Dispatch needs a static jsonb type on
+    * an operand — an explicit `::json[b]` cast or a jsonb-producing
+    * call (matching pg, which resolves overloads by operand type).
+    * Runs before rewriteCastTypes so the `::jsonb` spelling is still
+    * visible. */
+  private def rewriteJsonbDeleteConcat(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Op && (t.text == "-" || t.text == "||")) {
+        val p = prevIdx(ts, i)
+        val rhs = nextIdx(ts, i)
+        if (p >= 0 && rhs >= 0 && isValueEnd(ts(p))) {
+          val rhsStart =
+            if (t.text == "-" && ts(rhs).kind == Op && ts(rhs).text == "-") nextIdx(ts, rhs)
+            else rhs
+          val rhsOk = rhsStart >= 0 && (ts(rhsStart).kind == Str ||
+            ts(rhsStart).kind == Num || ts(rhsStart).kind == Word ||
+            ts(rhsStart).kind == QIdent)
+          val rEnd = if (rhsOk) valueEnd(ts, rhsStart) else -1
+          val dispatch = rhsOk && (jsonbMarked(ts, p) ||
+            (t.text == "||" && jsonbMarked(ts, rEnd)))
+          if (dispatch) {
+            val fn = if (t.text == "-") "jsonb_delete" else "jsonb_concat"
+            val start = lhsStart(ts, p)
+            ts.insert(rEnd + 1, Tok(Op, ")"))
+            ts(i) = Tok(Op, ",")
+            ts.insertAll(start, Seq(Tok(Word, fn), Tok(Op, "(")))
+            i = start
+          }
+        }
+      }
+      i += 1
+    }
+  }
 
   private def rewriteJsonOps(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
@@ -1871,37 +1996,50 @@ object Compat {
         }
       } else if (t.kind == Op && (t.text == "->" || t.text == "->>" ||
         t.text == "#>" || t.text == "#>>")) {
+        // pg-exact extraction: `->`/`#>` keep the json form (strings
+        // stay quoted), `->>`/`#>>` unquote — json_extract_path vs
+        // json_extract_path_text, which also handle integer subscripts
+        // (negative counts from the end) like pg. This replaced the
+        // earlier get_json_object mapping, which conflated the two
+        // operator families (both returned unquoted text).
         val rhs = nextIdx(ts, i)
         val p = prevIdx(ts, i)
-        if (rhs >= 0 && ts(rhs).kind == Str && p >= 0 && isValueEnd(ts(p))) {
+        // rhs: 'key' | '{a,b,0}' (path ops) | 0 | -1 (array subscript)
+        val negNum = rhs >= 0 && ts(rhs).kind == Op && ts(rhs).text == "-" && {
+          val n2 = nextIdx(ts, rhs); n2 >= 0 && ts(n2).kind == Num
+        }
+        val rhsOk = rhs >= 0 && (ts(rhs).kind == Str ||
+          (!t.text.startsWith("#") && (ts(rhs).kind == Num || negNum)))
+        if (rhsOk && p >= 0 && isValueEnd(ts(p))) {
           val start = lhsStart(ts, p)
           var r = rhs
           if (ts(i - 1).kind == Ws) { ts.remove(i - 1); i -= 1; r -= 1 }
-          val rhs2 = r
-          val key = ts(rhs2).text.substring(1, ts(rhs2).text.length - 1).replace("''", "'")
-          // -> / ->> take one key; #> / #>> take a pg path array
-          // literal '{a,b,0}' — both become a JSONPath for
-          // get_json_object (digits index arrays, identifiers dot in,
-          // anything else bracket-quotes)
-          def seg(e: String): String =
-            if (e.nonEmpty && e.forall(_.isDigit)) s"[$e]"
-            else if (e.matches("[A-Za-z0-9_]+")) "." + e
-            else "['" + e + "']"
-          val rawPath =
-            if (t.text.startsWith("#")) {
-              val body = key.trim.stripPrefix("{").stripSuffix("}")
-              val els =
-                if (body.trim.isEmpty) Seq.empty
-                else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-              "$" + els.map(seg).mkString
-            } else if (key.matches("[A-Za-z0-9_]+")) "$." + key
-            else "$['" + key + "']"
-          val path = "'" + rawPath.replace("'", "''") + "'"
-          // rewrite right-to-left so indices stay valid
-          ts(rhs2) = Tok(Str, path)
-          ts(i) = Tok(Op, ",")
-          ts.insert(rhs2 + 1, Tok(Op, ")"))
-          ts.insertAll(start, Seq(Tok(Word, "get_json_object"), Tok(Op, "(")))
+          val fn =
+            if (t.text.endsWith(">>")) "json_extract_path_text"
+            else "json_extract_path"
+          def lit(e: String): String = "'" + e.replace("'", "''") + "'"
+          val (args, endIdx) =
+            if (ts(r).kind == Num) (lit(ts(r).text), r)
+            else if (negNum) {
+              val n2 = nextIdx(ts, r)
+              (lit("-" + ts(n2).text), n2)
+            } else {
+              val key = ts(r).text.substring(1, ts(r).text.length - 1).replace("''", "'")
+              if (t.text.startsWith("#")) {
+                val body = key.trim.stripPrefix("{").stripSuffix("}")
+                val els =
+                  if (body.trim.isEmpty) Seq.empty
+                  else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+                (els.map(lit).mkString(", "), r)
+              } else (lit(key), r)
+            }
+          ts.remove(r, endIdx - r + 1)
+          ts.insert(r, Tok(Word, args))
+          // `#> '{}'` has no path elements: emit fn(target) (pg
+          // returns the whole document)
+          ts(i) = if (args.nonEmpty) Tok(Op, ",") else Tok(Word, " ")
+          ts.insert(r + 1, Tok(Op, ")"))
+          ts.insertAll(start, Seq(Tok(Word, fn), Tok(Op, "(")))
           i = start // rescan from the wrapped call
         }
       }
@@ -1965,6 +2103,19 @@ object Compat {
           ts.insert(p + 1, Tok(Op, ")"))
           ts.insertAll(start, Seq(Tok(Word, "pg_jsonb"), Tok(Op, "(")))
           i = p + 3
+        } else if (t >= 0 && ts(t).kind == Word &&
+          (ts(t).text.equalsIgnoreCase("numeric") || ts(t).text.equalsIgnoreCase("decimal")) &&
+          p >= 0 && ts(p).kind == Num && {
+            val b = nextIdx(ts, t); !(b >= 0 && (ts(b).is("(") || ts(b).is("[")))
+          }) {
+          // `1.50::numeric` — pg numeric is arbitrary-precision and
+          // KEEPS the literal's scale (renders 1.50). Spark's bare
+          // DECIMAL is (10,0) and would round to 2. Dropping the cast
+          // keeps the literal's own DecimalType(p,s) — exactly pg's
+          // displayed scale. (Non-literal operands fall through to the
+          // decimal(38,18) mapping, the documented deviation class.)
+          ts.remove(i, t - i + 1)
+          i -= 1
         } else if (t >= 0 && ts(t).kind == Word) {
           // pg bool input accepts on/off, which Spark's cast rejects
           if ((ts(t).text.equalsIgnoreCase("boolean") ||
@@ -2058,6 +2209,11 @@ object Compat {
           ts.remove(t, b2 - t + 1)
         } else ts.remove(t)
         ts.insert(t, Tok(Word, s"ARRAY<$elem>"))
+      } else if (mapped == "decimal" && !(b1 >= 0 && ts(b1).is("("))) {
+        // bare `numeric` (no precision): Spark's bare DECIMAL is
+        // (10,0), which destroys fractional digits — use the engine's
+        // documented wide default instead
+        ts(t) = Tok(Word, "decimal(38,18)")
       } else ts(t) = Tok(Word, mapped)
     }
   }

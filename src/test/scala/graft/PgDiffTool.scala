@@ -44,6 +44,10 @@ object PgDiffTool {
               .replace("\n", " ").take(80) + ">"
         }
       out.println(v + "\t=>\t" + res.replace("\n", "\\n"))
+      // optional third arg: also log the rewritten SQL for debugging
+      if (args.length > 2)
+        System.err.println("REWRITE: " + v + "  ==>  " +
+          (try pgwire.Compat.rewrite(s"SELECT $v") catch { case e: Throwable => "<" + e.getMessage + ">" }))
     }
     out.close()
     spark.stop()
