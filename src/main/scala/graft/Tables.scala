@@ -38,15 +38,24 @@ object Tables {
   /** Read one table as a DataFrame. Pure — requires [[sessionConfs]]
     * to have been applied at session construction.
     *
-    * `events.ts` arrives as long ns (see [[sessionConfs]]); rebuild a
-    * timestamp at micro precision. Integer `DIV` keeps the ns→µs
-    * conversion exact (a double division would lose precision above
-    * 2^53 ns).
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(NANOS) (read as long ns via
+    * [[sessionConfs]]; integer `DIV` keeps the ns→µs conversion exact
+    * where a double division would lose precision above 2^53 ns) and
+    * plain timestamp[us] (read as TIMESTAMP_NTZ). Normalize both to
+    * session-local TimestampType so every downstream query sees one
+    * type; sessions run in UTC, so the NTZ cast preserves wall-clock.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   private val registered =
@@ -61,6 +70,12 @@ object Tables {
     * query suite replaces these ten view names.
     */
   def register(spark: SparkSession, dir: String): Unit =
-    if (registered.put(spark, dir) != dir)
+    if (registered.get(spark) != dir) {
+      // memoize only after every view registered — a mid-loop failure
+      // (e.g. a schema drift in one table) must not leave the memo set
+      // with a partial catalog (observed: pg_class reporting 7/10
+      // tables after an events-schema change aborted the loop).
       all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
 }
