@@ -24,16 +24,17 @@ object Tables {
   val sessionConfs: Map[String, String] =
     Map(
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-      // AQE's partition coalescing floors partitions at 1 MiB
-      // (minPartitionSize), which collapses a compute-bound projection
-      // over a SMALL shuffle — e.g. sort→project of per-row JSON /
-      // to_char expressions at bench scale — to ONE task and
-      // serializes it (measured 0.50 s → 0.17 s on a 3-mutator
-      // projection at sf0.1 by keeping 32-way parallelism). 16 KiB
-      // keeps parallelism-first coalescing effective for CPU-bound
-      // stages; at production scale shuffle partitions are far above
-      // either floor, so the setting is inert there.
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB")
+      // Keep AQE's default 1 MiB coalescing floor. Round 10 dropped it
+      // to 16 KiB to parallelize CPU-bound JSON projections over tiny
+      // shuffles, but interleaved A/B at sf0.1 showed the global knob
+      // destabilizes the multi-stage LSH gates (q43: 2.0 s at 1 MiB vs
+      // 3.6–13 s at 16 KiB — tiny-partition task storms across their
+      // many shuffle stages). The projection-parallelism problem is
+      // solved in the queries themselves instead: fan out BEFORE the
+      // expensive projection (repartition(defaultParallelism) →
+      // project → sort), which keeps full parallelism under any
+      // coalescing floor and is inert at production scale.
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1MB")
 
   /** Read one table as a DataFrame. Pure — requires [[sessionConfs]]
     * to have been applied at session construction.
@@ -54,7 +55,11 @@ object Tables {
       df.schema("ts").dataType match {
         case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
+        case TimestampType => df
+        case other => throw new IllegalStateException(
+          s"events.ts arrived as unexpected type $other — known layouts are " +
+            "TIMESTAMP(NANOS) (long ns), timestamp_ntz, and timestamp; a new " +
+            "testdata generation needs an explicit normalization rule here")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
@@ -70,12 +75,16 @@ object Tables {
     * query suite replaces these ten view names.
     */
   def register(spark: SparkSession, dir: String): Unit =
-    if (registered.get(spark) != dir) {
-      // memoize only after every view registered — a mid-loop failure
-      // (e.g. a schema drift in one table) must not leave the memo set
-      // with a partial catalog (observed: pg_class reporting 7/10
-      // tables after an events-schema change aborted the loop).
-      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(spark, dir)
+    // synchronized: concurrent register() on a shared session (the live
+    // multi-connection server) must not both run the registration loop.
+    registered.synchronized {
+      if (registered.get(spark) != dir) {
+        // memoize only after every view registered — a mid-loop failure
+        // (e.g. a schema drift in one table) must not leave the memo set
+        // with a partial catalog (observed: pg_class reporting 7/10
+        // tables after an events-schema change aborted the loop).
+        all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir)
+      }
     }
 }

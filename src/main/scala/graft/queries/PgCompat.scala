@@ -19,6 +19,19 @@ object PgCompat {
     fn(s, dir)
   }
 
+  /** Range-partition `df` on `key` with an EXPLICIT partition count so
+    * AQE never coalesces it (an explicit numPartitions is exempt from
+    * coalescing). Callers place an expensive projection after this and
+    * finish with `sortWithinPartitions(key)` — together exactly
+    * `orderBy(key)`'s layout, but with the projection guaranteed to run
+    * at full parallelism and the range sampler fed narrow raw rows
+    * instead of re-executing the projection (which sort-last would).
+    * Inert at production scale: defaultParallelism = total cores.
+    */
+  private def rangeFanout(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame =
+    df.repartitionByRange(s.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col(key))
+
   def queries: Seq[QueryDef] = Seq(
 
     // typed Aggregator UDAF surface (SURVEY §2d "UDF surface"): pg
@@ -528,11 +541,17 @@ object PgCompat {
         |  CAST(json_array_length(json_array(event_id, event_type, event_type))
         |    AS BIGINT) AS jal
         |FROM events ORDER BY event_id""".stripMargin) {
-      // sort narrow first: the range exchange fans the single-split
-      // events scan out to 32 partitions, so the JSON projection runs
-      // parallel and never crosses the wire (the q100 shape)
+      // One range exchange on the NARROW scan (sampling raw rows is
+      // cheap), with the expensive JSON projection placed BETWEEN the
+      // exchange and the local sort: repartitionByRange with an
+      // explicit partition count is exempt from AQE coalescing, so the
+      // projection always runs at full parallelism (the 1 MiB AQE
+      // floor serialized the old orderBy-then-project shape), and
+      // sort-last would make the range sampler execute the projection
+      // twice. sortWithinPartitions on range-partitioned data yields
+      // exactly orderBy's global layout.
       withUdfs((s, dir) => { Tables.register(s, dir)
-        s.table("events").orderBy("event_id").selectExpr(
+        rangeFanout(s, s.table("events"), "event_id").selectExpr(
           "event_id",
           "json_extract_path(props, 'k') AS jep",
           "json_extract_path_text(props, 'k') AS jept",
@@ -543,7 +562,7 @@ object PgCompat {
           "row_to_json(named_struct('e', event_id, 't', event_type)) AS rtj",
           "json_strip_nulls(json_build_object('a', event_id, 'b', NULL)) AS jsn",
           """CAST(json_array_length(json_build_array(event_id, event_type, event_type))
-            |    AS BIGINT) AS jal""".stripMargin) })
+            |    AS BIGINT) AS jal""".stripMargin).sortWithinPartitions("event_id") })
     },
 
     // json aggregates, q32's ordered-UDAF pattern: pg guarantees
@@ -579,13 +598,13 @@ object PgCompat {
         |  json_extract(props, '$.k') IS NOT NULL AS e_key
         |FROM events ORDER BY event_id""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir)
-        s.table("events").orderBy("event_id").selectExpr(
+        rangeFanout(s, s.table("events"), "event_id").selectExpr(
           "event_id",
           """pg_contains(props, '{"k": 42}') AS c_obj""",
           """pg_contains(json_build_array(event_id % 5, event_type),
             |  json_build_array('view')) AS c_arr""".stripMargin,
           "jsonb_exists(json_build_array(event_type, 'extra'), 'view') AS e_arr",
-          "jsonb_exists(props, 'k') AS e_key") })
+          "jsonb_exists(props, 'k') AS e_key").sortWithinPartitions("event_id") })
     },
 
     // generate_subscripts (functions.md §SRF, P2 upstream): 1-based
@@ -642,7 +661,7 @@ object PgCompat {
         |  '{"t":' || to_json(event_type)::VARCHAR || '}' AS jo
         |FROM events ORDER BY event_id""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir)
-        s.table("events").orderBy("event_id").selectExpr(
+        rangeFanout(s, s.table("events"), "event_id").selectExpr(
           "event_id",
           "jsonb_set(json_build_object('id', event_id, 'k', 1), array('k'), " +
             "to_jsonb(event_id % 7)) AS s1",
@@ -655,7 +674,7 @@ object PgCompat {
           "jsonb_delete_path(json_build_object('a', " +
             "json_build_object('b', 1, 'c', event_id)), array('a','b')) AS delp",
           "jsonb_pretty(json_build_object('k', event_id)) AS pretty",
-          "json_object(array('t', event_type)) AS jo") })
+          "json_object(array('t', event_type)) AS jo").sortWithinPartitions("event_id") })
     },
 
     // unistr / normalize / unicode_assigned plus the volatile array
@@ -707,9 +726,9 @@ object PgCompat {
         // un-inlined), then run the 4 path queries over it — the
         // shared-document parse memo in PgJsonExpressions turns the
         // repeated jsonb_path_* calls into one parse per doc per row.
-        // Sort first (narrow) so the JSON work stays in the parallel
-        // post-shuffle stage.
-        s.table("events").orderBy("event_id")
+        // Range-fan-out first (q110 comment), project parallel,
+        // local-sort last.
+        rangeFanout(s, s.table("events"), "event_id")
           .selectExpr("event_id", "props", "event_type",
             "json_build_object('vals', json_build_array(" +
               "event_id % 3, event_id % 5, event_id % 7)) AS vdoc")
@@ -722,7 +741,7 @@ object PgCompat {
             "jsonb_path_query_first(json_build_object('t', event_type), '$.t') AS typ",
             "jsonb_path_query_first(vdoc, '$.vals.size()') AS sz",
             "jsonb_path_query_first(props, '$.k') AS k",
-            "jsonb_path_exists(props, '$.k ? (@ > 50)') AS kx") })
+            "jsonb_path_exists(props, '$.k ? (@ > 50)') AS kx").sortWithinPartitions("event_id") })
     },
 
     // round-8 slice #3: jsonb_set_lax treatments, array_to_json
@@ -736,7 +755,7 @@ object PgCompat {
         |  '[' || (event_id % 3) || ',' || chr(10) || ' ' || (event_id % 5) || ']' AS atjp
         |FROM events ORDER BY event_id""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir)
-        s.table("events").orderBy("event_id").selectExpr(
+        rangeFanout(s, s.table("events"), "event_id").selectExpr(
           "event_id",
           "jsonb_set_lax(json_build_object('k', event_id), array('k'), " +
             "CAST(NULL AS STRING)) AS sl1",
@@ -745,7 +764,7 @@ object PgCompat {
           "jsonb_set_lax(json_build_object('k', event_id), array('k'), " +
             "CAST(NULL AS STRING), true, 'return_target') AS sl3",
           "array_to_json(array(event_id % 3, event_id % 5)) AS atj",
-          "array_to_json(array(event_id % 3, event_id % 5), true) AS atjp") })
+          "array_to_json(array(event_id % 3, event_id % 5), true) AS atjp").sortWithinPartitions("event_id") })
     },
 
     // round-9: json_to_record row expansion (functions.md §JSON,
