@@ -454,8 +454,11 @@ object PgFormat {
       vPow: Int, eeee: Boolean, rn: Boolean, th: Int, hasB: Boolean) {
     val intDigits: Int = items.takeWhile(_ != NDec).count(i => i == NDigit9 || i == NDigit0)
     val decDigits: Int = items.dropWhile(_ != NDec).count(i => i == NDigit9 || i == NDigit0)
+    // PL deliberately excluded: pg keeps the default sign column AND
+    // prints the plus — to_char(485,'PL999') = "+ 485" (live-pg pin);
+    // S/MI/SG replace the column, PL adds to it.
     val anchoredSign: Boolean = items.exists {
-      case NSignS | NSignMI | NSignPL | NSignSG => true; case _ => false
+      case NSignS | NSignMI | NSignSG => true; case _ => false
     }
     // per-template invariants hoisted off the per-row path (round-8:
     // formatNum used to recompute these for every value)

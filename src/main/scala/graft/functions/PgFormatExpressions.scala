@@ -555,6 +555,88 @@ object PgFormatExpressions {
       copy(child = c)
   }
 
+  /** EXTRACT(field FROM interval) with pg's field semantics — all
+    * pinned against live pg 15, which does NOT normalize across
+    * fields the way Spark's interval extract does: `hours` of
+    * '100 hours' is 100 (not 100 % 24), `days` of '100 hours' is 0
+    * (not 4), `epoch` uses 365.25-day years and 30-day leftover
+    * months with trunc-toward-zero division. seconds/milliseconds/
+    * epoch return numeric (6/3/6 decimals) like pg; other fields
+    * bigint. */
+  case class PgIntervalPart(fieldExpr: Expression, child: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = fieldExpr
+    override def right: Expression = child
+    private lazy val field: String =
+      fieldExpr.eval(null).asInstanceOf[UTF8String].toString.toLowerCase
+        .stripSuffix("s") match {
+        case "centurie" => "century" case "millenniums" | "millennia" => "millennium"
+        case "mon" | "month" => "month" case "yr" | "year" => "year"
+        case "hr" | "hour" => "hour" case "min" | "minute" => "minute"
+        case "sec" | "second" => "second" case f => f
+      }
+    override def prettyName: String = "pg_interval_part"
+    override def dataType: DataType = field match {
+      case "second" | "epoch" => DecimalType(38, 6)
+      case "millisecond" => DecimalType(38, 3)
+      case _ => LongType
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (!fieldExpr.foldable || fieldExpr.dataType != StringType)
+        return TypeCheckResult.TypeCheckFailure("field must be a string literal")
+      child.dataType match {
+        case CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType =>
+          if (Set("year", "month", "quarter", "day", "hour", "minute", "second",
+            "microsecond", "millisecond", "epoch", "decade", "century",
+            "millennium").contains(field)) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"""interval units "$field" not supported""")
+        case _ => TypeCheckResult.TypeCheckFailure("pg_interval_part(text, interval)")
+      }
+    }
+    override def nullSafeEval(f: Any, v: Any): Any = {
+      val (months, days, us) = child.dataType match {
+        case CalendarIntervalType =>
+          val ci = v.asInstanceOf[CalendarInterval]
+          (ci.months, ci.days, ci.microseconds)
+        case dt: DayTimeIntervalType =>
+          // flat duration: recover pg's day/time split from the
+          // literal's start field — '2 days' (DAY) has day=2, but
+          // '100 hours' (HOUR) keeps hour=100 with day=0 (pg
+          // normalizes minutes/seconds upward, never hours into days)
+          val total = v.asInstanceOf[Long]
+          if (dt.startField == DayTimeIntervalType.DAY) {
+            val d = total / 86400000000L
+            (0, d.toInt, total - d * 86400000000L)
+          } else (0, 0, total)
+        case _ => (v.asInstanceOf[Int], 0, 0L)
+      }
+      def dec(bd: java.math.BigDecimal, scale: Int) =
+        org.apache.spark.sql.types.Decimal(bd.setScale(scale), 38, scale)
+      field match {
+        case "year" => (months / 12).toLong
+        case "month" => (months % 12).toLong
+        case "quarter" => ((months % 12) / 3 + 1).toLong
+        case "day" => days.toLong
+        case "hour" => us / 3600000000L
+        case "minute" => (us / 60000000L) % 60
+        case "second" => dec(new java.math.BigDecimal(us % 60000000L).movePointLeft(6), 6)
+        case "microsecond" => us % 60000000L
+        case "millisecond" => dec(new java.math.BigDecimal(us % 60000000L).movePointLeft(3), 3)
+        case "decade" => (months / 120).toLong
+        case "century" => (months / 1200).toLong
+        case "millennium" => (months / 12000).toLong
+        case "epoch" =>
+          val secs = (months / 12).toLong * 31557600L +
+            (months % 12).toLong * 2592000L + days.toLong * 86400L
+          dec(new java.math.BigDecimal(us).movePointLeft(6)
+            .add(new java.math.BigDecimal(secs)), 6)
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgIntervalPart =
+      copy(fieldExpr = l, child = r)
+  }
+
   /** pg date_bin(stride, source, origin): align `source` into the
     * stride-wide bucket grid anchored at `origin`. Month-bearing
     * strides error like pg ("stride must be a multiple of ...";
@@ -669,6 +751,10 @@ object PgFormatExpressions {
     (FunctionIdentifier("pg_interval"), info("pg_interval"), { args =>
       require(args.length == 1, "pg_interval requires 1 argument")
       PgIntervalLiteral(args(0))
+    }),
+    (FunctionIdentifier("pg_interval_part"), info("pg_interval_part"), { args =>
+      require(args.length == 2, "pg_interval_part requires 2 arguments")
+      PgIntervalPart(args(0), args(1))
     }),
     (FunctionIdentifier("date_bin"), info("date_bin"), { args =>
       require(args.length == 3, "date_bin requires 3 arguments")

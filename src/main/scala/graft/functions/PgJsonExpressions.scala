@@ -651,6 +651,54 @@ object PgJsonExpressions {
       copy(left = l, right = r)
   }
 
+  /** jsonb_exists_any/all(json, text[]) — pg's `?|` / `?&`: ANY (resp.
+    * ALL) of the key strings exists (same per-key semantics as `?`).
+    * NULL elements in the key array never match (pg behavior).
+    */
+  case class PgJsonbExistsMulti(left: Expression, right: Expression, all: Boolean)
+      extends BinaryExpression with PgVariadicDirectGen {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = if (all) "jsonb_exists_all" else "jsonb_exists_any"
+
+    override def evalVals(vs: Array[Any]): Any =
+      if (vs(0) == null || vs(1) == null) null else nullSafeEval(vs(0), vs(1))
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName(json, text[])")
+    }
+
+    private def hasKey(node: com.fasterxml.jackson.databind.JsonNode, key: String): Boolean =
+      if (node.isObject) node.has(key)
+      else if (node.isArray) {
+        var found = false
+        var i = 0
+        while (!found && i < node.size()) {
+          found = node.get(i).isTextual && node.get(i).textValue() == key
+          i += 1
+        }
+        found
+      } else node.isTextual && node.textValue() == key
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val node = parseCached(l.asInstanceOf[UTF8String])
+      val keys = r.asInstanceOf[ArrayData]
+      var i = 0
+      var anyHit = false
+      var allHit = true
+      while (i < keys.numElements()) {
+        val hit = !keys.isNullAt(i) && hasKey(node, keys.getUTF8String(i).toString)
+        anyHit ||= hit
+        allHit &&= hit
+        i += 1
+      }
+      if (all) allHit else anyHit
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgJsonbExistsMulti =
+      copy(left = l, right = r)
+  }
+
   // ---- mutators (slice #2: set / insert / delete / concat / pretty) -----
 
   /** Accept a pg path argument as either text[] (ARRAY['a','0']) or a
@@ -1376,6 +1424,12 @@ object PgJsonExpressions {
       (args: Seq[Expression]) => { require(args.length == 2); PgContains(args(1), args(0)) }),
     (FunctionIdentifier("jsonb_exists"), info("jsonb_exists"),
       (args: Seq[Expression]) => { require(args.length == 2); PgJsonbExists(args(0), args(1)) }),
+    (FunctionIdentifier("jsonb_exists_any"), info("jsonb_exists_any"),
+      (args: Seq[Expression]) => { require(args.length == 2)
+        PgJsonbExistsMulti(args(0), args(1), all = false) }),
+    (FunctionIdentifier("jsonb_exists_all"), info("jsonb_exists_all"),
+      (args: Seq[Expression]) => { require(args.length == 2)
+        PgJsonbExistsMulti(args(0), args(1), all = true) }),
     (FunctionIdentifier("to_jsonb"), info("to_jsonb"),
       (args: Seq[Expression]) => { require(args.length == 1); PgToJsonb(args.head) }),
     // pg to_json: same rendering as to_jsonb here (json/jsonb differ

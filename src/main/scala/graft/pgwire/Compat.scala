@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/")
+  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -148,6 +148,27 @@ object Compat {
   private def nextIdx(ts: ArrayBuffer[Tok], from: Int): Int = {
     var j = from + 1; while (j < ts.length && ts(j).kind == Ws) j += 1
     if (j < ts.length) j else -1
+  }
+
+  /** Last token index of a `time` type spelling starting at the word
+    * `time` (index `t`): absorbs an optional `(p)` precision and an
+    * optional `without time zone` suffix.
+    */
+  private def timeTypeEnd(ts: ArrayBuffer[Tok], t: Int): Int = {
+    var end = t
+    val b1 = nextIdx(ts, end)
+    if (b1 >= 0 && ts(b1).is("(")) {
+      val b2 = matchParen(ts, b1)
+      if (b2 > 0) end = b2
+    }
+    val w1 = nextIdx(ts, end)
+    if (w1 >= 0 && ts(w1).isWord("without")) {
+      val w2 = nextIdx(ts, w1)
+      val w3 = if (w2 >= 0) nextIdx(ts, w2) else -1
+      if (w2 >= 0 && ts(w2).isWord("time") && w3 >= 0 && ts(w3).isWord("zone"))
+        end = w3
+    }
+    end
   }
 
   /** Given index of '(' find matching ')' index, or -1. */
@@ -334,6 +355,7 @@ object Compat {
     // must precede shiftArraySubscripts: ARRAY[5] would otherwise look
     // like an integer subscript on a value token named "array"
     rewriteArrayConstructors(ts)
+    rewriteRowConstructor(ts)
     // renames must precede ANY/ALL rewriting: the array_contains
     // replacement renders its operand tokens into one composite token
     // that later word-level passes can no longer see into
@@ -539,9 +561,13 @@ object Compat {
         toks(i + 2).kind == Word) {
         val idx = t.text.substring(1).toInt - 1
         val pgName = toks(i + 2).text.toLowerCase
-        val sparkName = typeNameMap.getOrElse(pgName, pgName)
-        if (idx >= 0 && idx < nParams)
-          sparkTypeOid.get(sparkName).foreach(inferred(idx) = _)
+        if (idx >= 0 && idx < nParams) {
+          if (pgName == "time") inferred(idx) = 1083 // TIME pseudo-type
+          else {
+            val sparkName = typeNameMap.getOrElse(pgName, pgName)
+            sparkTypeOid.get(sparkName).foreach(inferred(idx) = _)
+          }
+        }
       }
       i += 1
     }
@@ -781,6 +807,43 @@ object Compat {
     * Nested constructors resolve as the scan continues into the
     * replaced region.
     */
+  /** pg `ROW(a, b, …)` constructor → `named_struct('f1', a, 'f2', b,
+    * …)` with pg's positional field names (f1, f2, …) — the names
+    * row_to_json renders. Only the explicit ROW keyword form; bare
+    * parenthesized rows are left alone (they are also valid scalar
+    * groupings). */
+  private def rewriteRowConstructor(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("ROW")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          val firstArg = nextIdx(ts, open)
+          if (close > 0 && firstArg >= 0 && firstArg < close) {
+            // top-level comma positions, in order
+            val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var depth = 0
+            var j = open + 1
+            while (j < close) {
+              if (ts(j).is("(") || ts(j).is("[")) depth += 1
+              else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+              else if (depth == 0 && ts(j).is(",")) commas += j
+              j += 1
+            }
+            // insert field-name labels back-to-front so indices hold
+            (commas.zipWithIndex.reverse).foreach { case (c, k) =>
+              ts.insertAll(c + 1, Seq(Tok(Str, s"'f${k + 2}'"), Tok(Op, ",")))
+            }
+            ts.insertAll(open + 1, Seq(Tok(Str, "'f1'"), Tok(Op, ",")))
+            ts(i) = Tok(Word, "named_struct")
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteArrayConstructors(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {
@@ -1067,7 +1130,24 @@ object Compat {
               } else if (depth == 1 && tok.is(",") && commaIdx < 0) commaIdx = j
               j += 1
             }
-            if (orderIdx > 0) {
+            val firstTok = nextIdx(ts, open)
+            if (orderIdx < 0 && lower == "string_agg" && commaIdx > 0 &&
+              firstTok >= 0 && ts(firstTok).isWord("DISTINCT")) {
+              // pg's DISTINCT aggregation feeds values in sorted order
+              // (live-pg pin: string_agg(DISTINCT x, ',') over b,a,b →
+              // "a,b"); count(e)=0 guard restores pg's NULL-on-empty
+              val e = ts.slice(firstTok + 1, commaIdx).toVector
+              val d = ts.slice(commaIdx + 1, close).toVector
+              val rebuilt =
+                ArrayBuffer(Tok(Word, "CASE WHEN count(")) ++ e ++
+                  ArrayBuffer(Tok(Word, ") = 0 THEN CAST(NULL AS STRING) " +
+                    "ELSE array_join(array_sort(collect_set(")) ++ e ++
+                  ArrayBuffer(Tok(Word, ")), ")) ++ d ++
+                  ArrayBuffer(Tok(Word, ") END"))
+              ts.remove(i, close - i + 1)
+              ts.insertAll(i, rebuilt)
+              i += rebuilt.length - 1
+            } else if (orderIdx > 0) {
               val by = nextIdx(ts, orderIdx) // the BY token
               val keySlice = ts.slice(by + 1, close).toVector
               val desc = keySlice.exists(tok =>
@@ -1561,7 +1641,26 @@ object Compat {
             val body = ts(lit).text.drop(1).dropRight(1).replace("''", "'")
             val mixed = ymUnits.findFirstIn(body).nonEmpty &&
               dtUnits.findFirstIn(body).nonEmpty
-            if (mixed || pgOnly.findFirstIn(body).nonEmpty ||
+            // '1 day 2:03:04': word unit + colon time in one literal —
+            // valid pg, rejected by Spark's literal parser (sweep-4)
+            val dayColon = "(?i)\\d+:\\d".r.findFirstIn(body).nonEmpty &&
+              "(?i)\\b(days?|weeks?|hours?|hrs?|mins?|minutes?|secs?|seconds?)\\b".r
+                .findFirstIn(body).nonEmpty
+            // '-1 day 5 hours': mixed-sign quantities — Spark's flat
+            // DayTimeIntervalType would collapse to -19:00:00 where pg
+            // keeps independent fields ('-1 days +05:00:00'); the
+            // CalendarInterval from pg_interval preserves the split
+            val signs = "(?:^|\\s)([+-]?)\\d".r.findAllMatchIn(body)
+              .map(m => if (m.group(1) == "-") "-" else "+").toSet
+            val mixedSign = signs.size > 1
+            // EXTRACT(x FROM INTERVAL '…'): route through pg_interval's
+            // CalendarInterval so any field is extractable — Spark's
+            // typed literal INTERVAL '100' HOUR carries only the named
+            // field and errors on extract(days …), where pg returns 0
+            val pv = prevIdx(ts, i)
+            val inExtract = pv >= 0 && ts(pv).isWord("FROM")
+            if (mixed || dayColon || mixedSign || inExtract ||
+              pgOnly.findFirstIn(body).nonEmpty ||
               fracUnit.findFirstIn(body).nonEmpty) {
               ts(i) = Tok(Word, "pg_interval")
               ts.insert(lit + 1, Tok(Op, ")"))
@@ -1615,7 +1714,14 @@ object Compat {
           val comma = if (f >= 0) nextIdx(ts, f) else -1
           if (f >= 0 && ts(f).kind == Str && comma >= 0 && ts(comma).is(",")) {
             val field = ts(f).text.drop(1).dropRight(1).toLowerCase
-            extractFieldMap.get(field).foreach { case (prefix, suffix) =>
+            val operand = nextIdx(ts, comma)
+            val isInterval = operand >= 0 && ts(operand).kind == Word &&
+              (ts(operand).text.equalsIgnoreCase("INTERVAL") ||
+                ts(operand).text.equalsIgnoreCase("pg_interval"))
+            if (isInterval) {
+              // same field/arg shape as pg_interval_part — just rename
+              ts(i) = Tok(Word, "pg_interval_part")
+            } else extractFieldMap.get(field).foreach { case (prefix, suffix) =>
               val close = matchParen(ts, open)
               if (close > 0) {
                 ts.insert(close + 1, Tok(Word, suffix))
@@ -1641,7 +1747,24 @@ object Compat {
         if (open >= 0 && ts(open).is("(")) {
           val fieldIdx = nextIdx(ts, open)
           val fromIdx = if (fieldIdx >= 0) nextIdx(ts, fieldIdx) else -1
-          if (fieldIdx >= 0 && ts(fieldIdx).kind == Word &&
+          // EXTRACT(anyfield FROM INTERVAL '…') — pg does NOT
+          // normalize interval fields the way Spark does (hours of
+          // '100 hours' is 100, days is 0; epoch can't go through the
+          // timestamp-cast shape at all): route EVERY interval extract
+          // through pg_interval_part. Must be checked before the
+          // extractFieldMap branch so epoch-from-interval lands here.
+          val intervalOperand = fromIdx >= 0 && ts(fromIdx).kind == Word &&
+            ts(fromIdx).text.equalsIgnoreCase("FROM") && {
+              val operand = nextIdx(ts, fromIdx)
+              operand >= 0 && ts(operand).kind == Word &&
+                (ts(operand).text.equalsIgnoreCase("INTERVAL") ||
+                  ts(operand).text.equalsIgnoreCase("pg_interval"))
+            }
+          if (intervalOperand && fieldIdx >= 0 && ts(fieldIdx).kind == Word) {
+            ts(i) = Tok(Word, "pg_interval_part")
+            ts(fieldIdx) = Tok(Str, "'" + ts(fieldIdx).text.toLowerCase + "'")
+            ts(fromIdx) = Tok(Op, ",")
+          } else if (fieldIdx >= 0 && ts(fieldIdx).kind == Word &&
             extractFieldMap.contains(ts(fieldIdx).text.toLowerCase) &&
             fromIdx >= 0 && ts(fromIdx).kind == Word &&
             ts(fromIdx).text.equalsIgnoreCase("FROM")) {
@@ -1946,7 +2069,8 @@ object Compat {
     while (i < ts.length) {
       val t = ts(i)
       if (t.kind == Op && (t.text == "@>" || t.text == "<@" || t.text == "?" ||
-        t.text == "#-" || t.text == "@?" || t.text == "@@" || t.text == "&&")) {
+        t.text == "#-" || t.text == "@?" || t.text == "@@" || t.text == "&&" ||
+        t.text == "?|" || t.text == "?&")) {
         // containment / key-exists / path-delete: wrap both operands
         // in the dispatching function (pg_contains covers anyarray @>
         // anyarray AND jsonb @> jsonb; `?` is jsonb_exists; `#-` is
@@ -1963,6 +2087,8 @@ object Compat {
             case "@?" => "jsonb_path_exists"
             case "@@" => "jsonb_path_match"
             case "&&" => "arrays_overlap" // pg array overlap operator
+            case "?|" => "jsonb_exists_any"
+            case "?&" => "jsonb_exists_all"
             case _ => "jsonb_exists"
           }
           var opIdx = i
@@ -1988,6 +2114,25 @@ object Compat {
               }
               if (close > 0) rhs2 = close
             }
+          }
+          // absorb trailing ::type casts on the rhs — without this
+          // `a @> b::jsonb` wraps only `b`, leaving `::jsonb` dangling
+          // OUTSIDE the inserted ')' so the cast pass later wrapped the
+          // whole pg_contains call (sweep-4 finding)
+          var castOp = nextIdx(ts, rhs2)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp)
+            ty >= 0 && ts(ty).kind == Word
+          }) {
+            rhs2 = nextIdx(ts, castOp)
+            val b1 = nextIdx(ts, rhs2)
+            if (b1 >= 0 && ts(b1).is("(")) {
+              val b2 = matchParen(ts, b1); if (b2 > 0) rhs2 = b2
+            } else if (b1 >= 0 && ts(b1).is("[")) {
+              val b2 = nextIdx(ts, b1)
+              if (b2 >= 0 && ts(b2).is("]")) rhs2 = b2
+            }
+            castOp = nextIdx(ts, rhs2)
           }
           ts.insert(rhs2 + 1, Tok(Op, ")"))
           ts(opIdx) = Tok(Op, ",")
@@ -2116,6 +2261,28 @@ object Compat {
           // decimal(38,18) mapping, the documented deviation class.)
           ts.remove(i, t - i + 1)
           i -= 1
+        } else if (t >= 0 && ts(t).isWord("time") && p >= 0 && {
+            // `::time` (TIME pseudo-type, SURVEY §1: LongType nanos
+            // tagged pg.type=time) — but NOT `::time with time zone`
+            // (timetz, out of scope) and NOT `::time[]`
+            val n1 = nextIdx(ts, t)
+            !(n1 >= 0 && (ts(n1).isWord("with") || ts(n1).is("[")))
+          }) {
+          // expr::time → pg_time_in(expr); absorb an optional `(p)`
+          // precision and a `without time zone` spelling
+          val end = timeTypeEnd(ts, t)
+          // absorb a chained cast on the left: x::timestamp::time
+          // wraps the WHOLE x::timestamp (the jsonb-branch pattern)
+          var start = primaryStart(ts, p)
+          var pb = prevIdx(ts, start)
+          while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
+            start = primaryStart(ts, prevIdx(ts, pb))
+            pb = prevIdx(ts, start)
+          }
+          ts.remove(i, end - i + 1)
+          ts.insert(p + 1, Tok(Op, ")"))
+          ts.insertAll(start, Seq(Tok(Word, "pg_time_in"), Tok(Op, "(")))
+          i = p + 3
         } else if (t >= 0 && ts(t).kind == Word) {
           // pg bool input accepts on/off, which Spark's cast rejects
           if ((ts(t).text.equalsIgnoreCase("boolean") ||
@@ -2126,6 +2293,20 @@ object Compat {
           }
           mapTypeAt(ts, t)
         }
+      } else if (ts(i).isWord("TIME") && {
+          // `TIME '12:34'` literal syntax → pg_time_in('12:34').
+          // `AT TIME ZONE` / `SET TIME ZONE` are safe: their next
+          // token is the word ZONE, not a string literal.
+          val n = nextIdx(ts, i)
+          val pv = prevIdx(ts, i)
+          n >= 0 && ts(n).kind == Str && !(pv >= 0 && ts(pv).is("::"))
+        }) {
+        val n = nextIdx(ts, i)
+        val lit = ts(n)
+        ts.remove(i, n - i + 1)
+        ts.insertAll(i,
+          Seq(Tok(Word, "pg_time_in"), Tok(Op, "("), lit, Tok(Op, ")")))
+        i += 3
       } else if (ts(i).isWord("CAST")) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
@@ -2138,7 +2319,16 @@ object Compat {
               else if (ts(j).is(")")) depth -= 1
               else if (depth == 0 && ts(j).isWord("AS")) {
                 val t = nextIdx(ts, j)
-                if (t >= 0 && t < close && ts(t).kind == Word) {
+                if (t >= 0 && t < close && ts(t).isWord("time") && {
+                  val n1 = nextIdx(ts, t)
+                  !(n1 >= 0 && n1 < close && (ts(n1).isWord("with") || ts(n1).is("[")))
+                }) {
+                  // CAST(expr AS time) → pg_time_in(expr): drop
+                  // `AS time[(p)][without time zone]`, rename CAST
+                  ts.remove(j, timeTypeEnd(ts, t) - j + 1)
+                  ts(i) = Tok(Word, "pg_time_in")
+                  j = close
+                } else if (t >= 0 && t < close && ts(t).kind == Word) {
                   // CAST('off' AS boolean): pg bool input accepts
                   // on/off — rewrite the literal for Spark's cast
                   if (ts(t).text.equalsIgnoreCase("boolean") ||

@@ -419,7 +419,45 @@ object Handlers {
     val lower = rewritten.toLowerCase
     if (lower.contains("pg_") || lower.contains("information_schema"))
       PgCatalog.refresh(spark)
-    spark.sql(rewritten)
+    val df = spark.sql(rewritten)
+    if (lower.contains("pg_time_in")) tagTimeOutputs(df) else df
+  }
+
+  private val timeMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putString(PgType.PG_TYPE_KEY, "time").build()
+
+  /** Tag result columns produced by pg_time_in with pg.type=time so
+    * the wire codec reports OID 1083 and renders HH:MM:SS — the output
+    * half of the TIME pseudo-type (input half: Compat's `::time`
+    * rewrites). Detection is by expression identity: any output
+    * attribute whose defining Alias wraps a pg_time_in call, at any
+    * depth of the analyzed plan (so `SELECT t FROM (SELECT x::time AS
+    * t)` tags too).
+    */
+  private def tagTimeOutputs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ScalaUDF}
+    val timeIds = df.queryExecution.analyzed.collect { case p =>
+      p.expressions.collect {
+        case a: Alias if (a.child match {
+          case u: ScalaUDF => u.udfName.contains("pg_time_in")
+          case _ => false
+        }) => a.exprId
+      }
+    }.flatten.toSet
+    if (timeIds.isEmpty) df
+    else {
+      // withMetadata resolves by NAME, and auto-generated names like
+      // `pg_time_in(23:59:59.25)` contain dots that break resolution —
+      // rename positionally to safe names, tag, rename back (the final
+      // toDF's Aliases propagate child metadata, so the tag survives)
+      val out = df.queryExecution.analyzed.output
+      val tagIdx = out.zipWithIndex.collect {
+        case (a, i) if timeIds.contains(a.exprId) => i
+      }
+      val safe = df.toDF(out.indices.map(i => s"__g$i"): _*)
+      val tagged = tagIdx.foldLeft(safe)((d, i) => d.withMetadata(s"__g$i", timeMeta))
+      tagged.toDF(out.map(_.name): _*)
+    }
   }
 
   private val ddlHeads = Set("CREATE", "DROP", "ALTER", "TRUNCATE",

@@ -905,6 +905,13 @@ object PgFunctions {
       now.format(java.time.format.DateTimeFormatter.ofPattern(
         "EEE MMM dd HH:mm:ss.SSSSSS yyyy zzz", java.util.Locale.ENGLISH))
     }).asNondeterministic()
+    // TIME pseudo-type input (SURVEY §1): every `::time` / `TIME '…'`
+    // spelling is rewritten by Compat to this function; Handlers tags
+    // its output columns with pg.type=time so the wire codec renders
+    // OID 1083 text/binary instead of a raw bigint
+    u.register("pg_time_in", (s: String) =>
+      (if (s == null) null
+       else java.lang.Long.valueOf(PgType.timeInputNanos(s))): java.lang.Long)
     // timezone(zone, timestamptz) is a native expression now
     // (PgFormatExpressions.PgTimezone) — no UDF registration here
     // our timestamps have no 'infinity'; every stored value is finite

@@ -353,7 +353,12 @@ final class PgServer(
   }
 
   private def writeError(out: DataOutputStream, e: Throwable): Unit = {
-    val (code, msg) = e match {
+    // a PgException thrown inside a UDF (e.g. pg_time_in's 22007)
+    // surfaces wrapped in SparkException — walk the cause chain so the
+    // client sees the pg SQLSTATE, not XX000
+    val unwrapped = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(8).collectFirst { case p: PgException => p }.getOrElse(e)
+    val (code, msg) = unwrapped match {
       case PgException(c, m) => (c, m)
       case ae: org.apache.spark.sql.AnalysisException =>
         val cond = Option(ae.getCondition).getOrElse("")
@@ -467,6 +472,7 @@ final class PgServer(
           val hex = if (s.startsWith("\\x")) s.substring(2) else s
           s"X'$hex'"
         case PgType.DATE => s"DATE '${s.replace("'", "''")}'"
+        case PgType.TIME => s"pg_time_in('${s.replace("'", "''")}')"
         case PgType.TIMESTAMP | PgType.TIMESTAMPTZ => s"TIMESTAMP '${s.replace("'", "''")}'"
         case oid if arrayElemType.contains(oid) =>
           Compat.arrayLiteralSql(s, arrayElemType(oid))
@@ -487,6 +493,12 @@ final class PgServer(
         case PgType.DATE =>
           val days = buf.getInt + BinaryEncoder.PG_EPOCH_DAYS
           s"DATE '${java.time.LocalDate.ofEpochDay(days)}'"
+        case PgType.TIME =>
+          // binary TIME = micros-since-midnight int8; re-enter through
+          // pg_time_in's nanos passthrough (zero-padded to 15 digits so
+          // even 00:00:00.0005 hits the ≥9-digit passthrough rule) so
+          // the result column still tags as pg.type=time
+          s"pg_time_in('${"%015d".format(buf.getLong * 1000L)}')"
         case PgType.TIMESTAMP | PgType.TIMESTAMPTZ =>
           val micros = buf.getLong + BinaryEncoder.PG_EPOCH_MICROS
           val ldt = java.time.LocalDateTime.ofEpochSecond(

@@ -73,6 +73,62 @@ object PgType {
     f.dataType == LongType && f.metadata.contains(PG_TYPE_KEY) &&
       f.metadata.getString(PG_TYPE_KEY) == "time"
 
+  /** pg `time` input parser → nanos-since-midnight (SURVEY §1 TIME
+    * encoding; behavior pinned against live PostgreSQL 15: colon and
+    * compact (HHMM/HHMMSS[.f]) forms, AM/PM, a trailing numeric zone
+    * offset dropped, `24:00:00` allowed, fraction rounded to micros).
+    * A ≥9-digit all-digit string is treated as an already-encoded
+    * nanos value — the round-trip path when a time COLUMN is cast
+    * back to time (binary params arrive zero-padded to 15 digits for
+    * exactly this reason). Errors use pg's SQLSTATEs: 22007 invalid
+    * input syntax, 22008 field value out of range.
+    */
+  def timeInputNanos(raw: String): Long = {
+    def badSyntax() = throw PgException("22007",
+      s"""invalid input syntax for type time: "$raw"""")
+    def outOfRange() = throw PgException("22008",
+      s"""date/time field value out of range: "$raw"""")
+    val s0 = raw.trim
+    if (s0.length >= 9 && s0.forall(_.isDigit)) return s0.toLong
+    // timestamp text → time-of-day (string-cast path of timestamp::time)
+    var s = "^\\d{4}-\\d{2}-\\d{2}[ T](.+)$".r.findFirstMatchIn(s0)
+      .map(_.group(1)).getOrElse(s0)
+    val lower = s.toLowerCase
+    var meridian = 0 // 0 none, 1 am, 2 pm
+    Seq(("p.m.", 2), ("a.m.", 1), ("pm", 2), ("am", 1))
+      .find { case (suf, _) => lower.endsWith(suf) } match {
+      case Some((suf, m)) =>
+        meridian = m; s = s.dropRight(suf.length).trim
+      case None =>
+    }
+    // drop a trailing numeric zone offset: +05, -08:30, +0530
+    s = s.replaceAll("[+-]\\d{1,2}(:?\\d{2}(:?\\d{2})?)?$", "").trim
+    val colon = "^(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(\\.\\d+)?)?$".r
+    val compact = "^(\\d{2})(\\d{2})(?:(\\d{2})(\\.\\d+)?)?$".r
+    val (h, mi, se, frac) = s match {
+      case colon(hh, mm, ss, ff) =>
+        (hh.toInt, mm.toInt, Option(ss).map(_.toInt).getOrElse(0), Option(ff))
+      case compact(hh, mm, ss, ff) =>
+        (hh.toInt, mm.toInt, Option(ss).map(_.toInt).getOrElse(0), Option(ff))
+      case _ => badSyntax()
+    }
+    if (mi > 59 || se > 59) outOfRange()
+    val hour = meridian match {
+      case 0 => h
+      case _ if h > 12 || h < 1 => outOfRange()
+      case 1 => if (h == 12) 0 else h
+      case 2 => if (h == 12) 12 else h + 12
+    }
+    // fraction rounds to microseconds (pg keeps micro precision)
+    val fracNanos = frac.map { f =>
+      new java.math.BigDecimal(f).movePointRight(6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact * 1000L
+    }.getOrElse(0L)
+    val nanos = (hour * 3600L + mi * 60L + se) * 1000000000L + fracNanos
+    if (nanos > 86400L * 1000000000L) outOfRange()
+    nanos
+  }
+
   /** pg OID for a Spark type (element position of an array handled
     * recursively; `ARRAY[NULL]`-style NullType elements report text[]
     * like the reference, datatypes.rs:58).

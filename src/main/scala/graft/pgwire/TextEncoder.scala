@@ -245,14 +245,18 @@ object TextEncoder {
       (if (neg) "-" else "") + body
     }
 
-  /** pg interval text, verbose-ish style: "1 year 2 mons 3 days 04:05:06". */
+  /** pg interval text, verbose-ish style: "1 year 2 mons 3 days 04:05:06".
+    * pg pluralizes every value except exactly 1 ('-1 days', live-pg
+    * pinned), and prefixes the time part with an explicit '+' when an
+    * earlier field is negative ('-1 days +05:00:00').
+    */
   def formatInterval(months: Int, days: Int, micros: Long): String = {
     val sb = new StringBuilder
     val years = months / 12
     val mons = months % 12
-    if (years != 0) sb.append(s"$years year${if (math.abs(years) != 1) "s" else ""} ")
-    if (mons != 0) sb.append(s"$mons mon${if (math.abs(mons) != 1) "s" else ""} ")
-    if (days != 0) sb.append(s"$days day${if (math.abs(days) != 1) "s" else ""} ")
+    if (years != 0) sb.append(s"$years year${if (years != 1) "s" else ""} ")
+    if (mons != 0) sb.append(s"$mons mon${if (mons != 1) "s" else ""} ")
+    if (days != 0) sb.append(s"$days day${if (days != 1) "s" else ""} ")
     if (micros != 0 || sb.isEmpty) {
       val neg = micros < 0
       val am = math.abs(micros)
@@ -260,7 +264,7 @@ object TextEncoder {
       val m = (am % 3600000000L) / 60000000L
       val s = (am % 60000000L) / 1000000L
       val us = am % 1000000L
-      sb.append(if (neg) "-" else "")
+      sb.append(if (neg) "-" else if (days < 0 || months < 0) "+" else "")
       sb.append("%02d:%02d:%02d".format(h, m, s))
       if (us != 0) sb.append("." + "%06d".format(us).reverse.dropWhile(_ == '0').reverse)
     }

@@ -193,20 +193,31 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.applyBlacklist("SELECT 1").isEmpty)
   }
 
-  test("JSON arrows rewrite to get_json_object; lambdas untouched") {
+  test("JSON arrows rewrite to json_extract_path[_text]; lambdas untouched") {
+    // `->>` unquotes (text form), `->` keeps the json form — the
+    // pg-exact split the round-9 rewrite introduced (the earlier
+    // get_json_object mapping conflated the two operator families)
     assert(Compat.rewrite("SELECT data ->> 'name' FROM t") ===
-      "SELECT get_json_object(data, '$.name') FROM t")
+      "SELECT json_extract_path_text(data, 'name') FROM t")
     assert(Compat.rewrite("SELECT t.data -> 'a' FROM t") ===
-      "SELECT get_json_object(t.data, '$.a') FROM t")
+      "SELECT json_extract_path(t.data, 'a') FROM t")
     // chained access nests
     assert(Compat.rewrite("SELECT data -> 'a' ->> 'b' FROM t") ===
-      "SELECT get_json_object(get_json_object(data, '$.a'), '$.b') FROM t")
+      "SELECT json_extract_path_text(json_extract_path(data, 'a'), 'b') FROM t")
     // function-call left side
     assert(Compat.rewrite("SELECT to_json(s) ->> 'k' FROM t") ===
-      "SELECT get_json_object(to_json(s), '$.k') FROM t")
-    // non-identifier key goes through the bracket-quoted path
+      "SELECT json_extract_path_text(to_json(s), 'k') FROM t")
+    // integer subscript (array element, negative counts from the end)
+    assert(Compat.rewrite("SELECT data -> 0 FROM t") ===
+      "SELECT json_extract_path(data, '0') FROM t")
+    assert(Compat.rewrite("SELECT data ->> -1 FROM t") ===
+      "SELECT json_extract_path_text(data, '-1') FROM t")
+    // path operators take the '{a,b}' form
+    assert(Compat.rewrite("SELECT data #>> '{a,b}' FROM t") ===
+      "SELECT json_extract_path_text(data, 'a', 'b') FROM t")
+    // non-identifier key passes through as a single path element
     assert(Compat.rewrite("SELECT data ->> 'a b' FROM t") ===
-      "SELECT get_json_object(data, '$[''a b'']') FROM t")
+      "SELECT json_extract_path_text(data, 'a b') FROM t")
     // Spark lambda arrows must survive verbatim
     assert(Compat.rewrite("SELECT transform(a, x -> x + 1) FROM t") ===
       "SELECT transform(a, x -> x + 1) FROM t")
@@ -253,5 +264,23 @@ class CompatSpec extends AnyFunSuite {
     val out2 = Compat.rewrite(
       "SELECT 1 FROM t WHERE EXTRACT(EPOCH FROM ts) > 0 AND name SIMILAR TO 'a%'")
     assert(out2.contains("RLIKE"), out2)
+  }
+
+  test("TIME pseudo-type spellings rewrite to pg_time_in") {
+    assert(Compat.rewrite("SELECT '12:34'::time") === "SELECT pg_time_in('12:34')")
+    assert(Compat.rewrite("SELECT TIME '12:34'") === "SELECT pg_time_in('12:34')")
+    assert(Compat.rewrite("SELECT CAST(c AS time) FROM t").contains("pg_time_in(c"))
+    // precision + without-time-zone spellings absorbed
+    assert(Compat.rewrite("SELECT '12:34'::time(3)") === "SELECT pg_time_in('12:34')")
+    assert(Compat.rewrite("SELECT '12:34'::time without time zone") ===
+      "SELECT pg_time_in('12:34')")
+    // chained cast wraps the whole left-hand cast
+    assert(Compat.rewrite("SELECT ts::timestamp::time FROM t") ===
+      "SELECT pg_time_in(ts::timestamp) FROM t")
+    // AT TIME ZONE / SET TIME ZONE untouched by the literal rule
+    val atz = Compat.rewrite("SELECT ts AT TIME ZONE 'UTC' FROM t")
+    assert(!atz.contains("pg_time_in"), atz)
+    // param cast infers OID 1083
+    assert(Compat.inferParamOids("SELECT $1::time", 1) === Seq(1083))
   }
 }

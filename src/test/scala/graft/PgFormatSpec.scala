@@ -44,7 +44,9 @@ class PgFormatSpec extends AnyFunSuite {
     assert(toChar(-485, "999MI") === "485-")
     assert(toChar(485, "999MI") === "485 ")
     assert(toChar(485, "FM999MI") === "485")
-    assert(toChar(485, "PL999") === "+485")
+    // PL adds to the default sign column, it does not replace it
+    // (live pg 15: to_char(485,'PL999') = '+ 485')
+    assert(toChar(485, "PL999") === "+ 485")
     assert(toChar(485, "SG999") === "+485")
     assert(toChar(-485, "SG999") === "-485")
     assert(toChar(-485, "9SG99") === "4-85")

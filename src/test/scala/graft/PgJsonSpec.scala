@@ -280,10 +280,12 @@ class PgJsonSpec extends SparkSpec {
   }
 
   test("#> and #>> path operators rewrite through Compat") {
+    // round-9 retarget: json_extract_path[_text] (pg-exact `->` vs
+    // `->>` split), each path element its own argument
     assert(graft.pgwire.Compat.rewrite("SELECT data #> '{a,b}' FROM t") ===
-      "SELECT get_json_object(data, '$.a.b') FROM t")
+      "SELECT json_extract_path(data, 'a', 'b') FROM t")
     assert(graft.pgwire.Compat.rewrite("SELECT data #>> '{a,0,b c}' FROM t") ===
-      "SELECT get_json_object(data, '$.a[0][''b c'']') FROM t")
+      "SELECT json_extract_path_text(data, 'a', '0', 'b c') FROM t")
     // end-to-end over a literal
     graft.pgwire.PgFunctions.registerAll(spark)
     val v = spark.sql(graft.pgwire.Compat.rewrite(

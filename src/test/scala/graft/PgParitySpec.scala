@@ -287,4 +287,111 @@ class PgParitySpec extends SparkSpec {
     val e = intercept[Exception](one("'{nope'::jsonb"))
     assert(e.getMessage.contains("invalid input syntax for type json"), e.getMessage)
   }
+
+  /** Like `one` but through Handlers.runSql — the server's full query
+    * path including the pg.type=time output tagging, which the TIME
+    * rendering depends on. */
+  private def oneServer(expr: String): String = {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val df = graft.pgwire.Handlers.runSql(spark, s"SELECT $expr AS v")
+    val row = df.collect()(0)
+    graft.pgwire.TextEncoder.encodeField(row.get(0), df.schema.fields(0),
+      java.time.ZoneOffset.UTC).getOrElse("<NULL>")
+  }
+
+  test("TIME input/output parity (live pg 15 pins)") {
+    // colon, short, compact, fraction (rounded to micros), 24:00
+    assert(oneServer("'12:34:56'::time") === "12:34:56")
+    assert(oneServer("'12:34'::time") === "12:34:00")
+    assert(oneServer("'123456'::time") === "12:34:56")
+    assert(oneServer("'1234'::time") === "12:34:00")
+    assert(oneServer("'12:34:56.789'::time") === "12:34:56.789")
+    assert(oneServer("'12:34:56.123456789'::time") === "12:34:56.123457")
+    assert(oneServer("'120000.5'::time") === "12:00:00.5")
+    assert(oneServer("'24:00:00'::time") === "24:00:00")
+    // AM/PM and zone-offset dropping
+    assert(oneServer("'12:34:56 PM'::time") === "12:34:56")
+    assert(oneServer("'1:00 PM'::time") === "13:00:00")
+    assert(oneServer("'12:30 AM'::time") === "00:30:00")
+    assert(oneServer("'12:34:56+05'::time") === "12:34:56")
+    assert(oneServer("'12:34:56-08:30'::time") === "12:34:56")
+    // literal / CAST / chained-cast spellings
+    assert(oneServer("TIME '03:04'") === "03:04:00")
+    assert(oneServer("CAST('12:34:56' AS time)") === "12:34:56")
+    assert(oneServer("'2026-08-13 12:34:56'::timestamp::time") === "12:34:56")
+    assert(oneServer("'12:34:56'::time without time zone") === "12:34:56")
+    // pg error classes: 22008 out of range, 22007 invalid syntax
+    for (bad <- Seq("24:00:01", "25:00", "12:60", "13:00 PM"))
+      assert(pgCode(intercept[Exception](oneServer(s"'$bad'::time"))) === Some("22008"), bad)
+    for (bad <- Seq("abc", "996", "12"))
+      assert(pgCode(intercept[Exception](oneServer(s"'$bad'::time"))) === Some("22007"), bad)
+  }
+
+  test("TIME RowDescription OID and binary wire form") {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val df = graft.pgwire.Handlers.runSql(spark, "SELECT '12:34:56'::time AS t")
+    val f = df.schema.fields(0)
+    assert(graft.pgwire.PgType.isTimeField(f))
+    assert(graft.pgwire.PgType.oidOf(f) === 1083)
+    // binary TIME = micros-since-midnight int8
+    val nanos = df.collect()(0).getLong(0)
+    assert(nanos / 1000L === (12L * 3600 + 34 * 60 + 56) * 1000000L)
+  }
+
+  private def pgCode(e: Throwable): Option[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .collectFirst { case p: graft.pgwire.PgException => p.code }
+
+  test("sweep-4: ROW constructor, ?|/?&, @> with rhs casts (live pg 15)") {
+    assert(one("row_to_json(ROW(1, 'x'))") === """{"f1":1,"f2":"x"}""")
+    assert(one("""'{"a":1,"b":2}'::jsonb ?| array['b','x']""") === "t")
+    assert(one("""'{"a":1,"b":2}'::jsonb ?| array['y','x']""") === "f")
+    assert(one("""'{"a":1,"b":2}'::jsonb ?& array['a','b']""") === "t")
+    assert(one("""'{"a":1,"b":2}'::jsonb ?& array['a','x']""") === "f")
+    // rhs ::jsonb casts absorbed into the operator rewrite
+    assert(one("""'{"a":{"b":2}}'::jsonb @> '{"a":{}}'::jsonb""") === "t")
+    assert(one("""'[1,2,3]'::jsonb @> '3'::jsonb""") === "t")
+    assert(one("""'[[1,2]]'::jsonb @> '[2,1]'::jsonb""") === "f")
+    assert(one("""'{"a":1}'::jsonb <@ '{"a":1,"b":2}'::jsonb""") === "t")
+  }
+
+  test("sweep-4: to_char PL keeps the default sign column (live pg 15)") {
+    assert(one("to_char(485, 'PL999')") === "+ 485")
+    assert(one("to_char(485, 'FMPL999')") === "+485")
+    assert(one("to_char(-485, 'PL999')") === " -485")
+    assert(one("to_char(-485, 'FMPL999')") === "-485")
+    assert(one("to_char(485, 'SG999')") === "+485") // SG replaces the column
+    assert(one("to_char(485, '999PL')") === " 485+")
+  }
+
+  test("sweep-4: interval extract, mixed literals, pg pluralization (live pg 15)") {
+    // pg does not normalize interval fields across units
+    assert(one("extract(epoch from interval '1 day 2:03:04')") === "93784.000000")
+    assert(one("extract(hours from interval '1 day 2:03:04')") === "2")
+    assert(one("extract(hours from interval '100 hours')") === "100")
+    assert(one("extract(days from interval '100 hours')") === "0")
+    assert(one("extract(minutes from interval '100 hours')") === "0")
+    assert(one("extract(seconds from interval '1 min 30.5 sec')") === "30.500000")
+    assert(one("extract(microseconds from interval '1 min 30.5 sec')") === "30500000")
+    assert(one("extract(year from interval '14 months')") === "1")
+    assert(one("extract(month from interval '14 months')") === "2")
+    assert(one("extract(epoch from interval '1 year')") === "31557600.000000")
+    assert(one("date_part('hours', interval '100 hours')") === "100")
+    // mixed-sign literals keep pg's independent day/time fields
+    assert(one("interval '-1 day 5 hours'") === "-1 days +05:00:00")
+    assert(one("interval '1 day -5 hours'") === "1 day -05:00:00")
+    // pg pluralizes every value except exactly 1
+    assert(one("- interval '1 day 2 hours'") === "-1 days -02:00:00")
+    assert(one("interval '-1 mon'") === "-1 mons")
+    assert(one("interval '1 mon'") === "1 mon")
+    // day + colon-time in one literal
+    assert(one("interval '1 day 2:03:04'") === "1 day 02:03:04")
+  }
+
+  test("sweep-4: string_agg DISTINCT feeds values in sorted order (live pg 15)") {
+    assert(one("(SELECT string_agg(DISTINCT x, ',') FROM (VALUES ('b'),('a'),('b')) t(x))") ===
+      "a,b")
+    assert(one("(SELECT string_agg(DISTINCT x, ',') FROM (VALUES (CAST(NULL AS STRING))) t(x))") ===
+      "<NULL>")
+  }
 }

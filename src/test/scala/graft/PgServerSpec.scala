@@ -389,6 +389,33 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("extended protocol: TIME param (OID 1083) text and binary forms") {
+    // text form: $1::time infers 1083, decode goes through pg_time_in
+    val c = connect()
+    c.parse("st1", "SELECT $1::time AS t")
+    c.describe('S', "st1")
+    c.bind("pt1", "st1", Seq(Some("07:08:09.5")))
+    c.execute("pt1")
+    val r = c.sync()
+    assert(r.errors.isEmpty, r.errors.toString)
+    assert(r.paramOids === Seq(1083))
+    assert(r.rows === Seq(Seq(Some("07:08:09.5"))))
+    c.close()
+    // binary form: micros-since-midnight int8, client-declared OID;
+    // result requested binary too (micros int8 back)
+    val c2 = connect()
+    c2.parse("st2", "SELECT $1::time AS t", Seq(1083))
+    val micros = ((7L * 3600 + 8 * 60 + 9) * 1000000L) + 500000L
+    val buf = java.nio.ByteBuffer.allocate(8).putLong(micros).array()
+    c2.bindMixed("pt2", "st2", Seq((1.toShort, Some(buf))), resultFormats = Seq(1))
+    c2.execute("pt2")
+    val r2 = c2.sync()
+    assert(r2.errors.isEmpty, r2.errors.toString)
+    assert(r2.binRows.head.head.get.toSeq ===
+      java.nio.ByteBuffer.allocate(8).putLong(micros).array().toSeq)
+    c2.close()
+  }
+
   test("extended protocol: int4[] array parameter binds from pg text form") {
     val c = connect()
     c.parse("s6", "SELECT array_contains($1, 2) AS has2, size($1) AS n", Seq(1007))

@@ -145,4 +145,22 @@ class PsqlE2eSpec extends SparkSpec {
       assert(o2.trim.nonEmpty)
     }
   }
+
+  test("psql: TIME pseudo-type round-trips through a live libpq client") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port, "SELECT '12:34:56'::time")
+      assert(c1 === 0, e1)
+      assert(o1.trim === "12:34:56")
+      val (c2, o2, e2) = psql(port, "SELECT TIME '23:59:59.25'")
+      assert(c2 === 0, e2)
+      assert(o2.trim === "23:59:59.25")
+      // (extended-protocol TIME params are covered byte-level in
+      // PgServerSpec — psql 15 has no \bind, it arrived in psql 16)
+      // pg error SQLSTATE surfaces through libpq
+      val (c4, _, e4) = psql(port, "SELECT '25:00'::time")
+      assert(c4 !== 0)
+      assert(e4.contains("out of range"), e4)
+    }
+  }
 }
