@@ -1239,6 +1239,103 @@ object Compat {
 
   /** pg type words (possibly multi-word / suffixed) → a Spark type
     * name for the json_to_record CAST targets. */
+  /** `json[b]_populate_record[set](NULL::tbl, j)` → the equivalent
+    * `json[b]_to_record[set](j) AS alias(col type, …)` with the column
+    * list expanded from `tbl`'s schema (pg's table-row-type shape; the
+    * NULL base makes pg's "defaults from base" exactly to_record's
+    * missing-key→NULL). Runs BEFORE [[rewrite]] — the caller supplies
+    * `schemaOf` because the catalog lives with the SparkSession, and
+    * this module is pure text. A non-NULL base or unknown table name
+    * leaves the call untouched (the engine then errors naturally).
+    */
+  def rewritePopulateRecord(sql: String,
+      schemaOf: String => Option[Seq[(String, String)]]): String = {
+    val names = Set("json_populate_record", "jsonb_populate_record",
+      "json_populate_recordset", "jsonb_populate_recordset")
+    val ts = ArrayBuffer(tokenize(sql): _*)
+    var i = 0
+    var changed = false
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && names.contains(t.text.toLowerCase)) {
+        val setForm = t.text.toLowerCase.endsWith("recordset")
+        val open = nextIdx(ts, i)
+        val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+        if (close > 0) {
+          // first arg must be NULL :: tblname
+          var depth = 0
+          var comma = -1
+          var j = open + 1
+          while (j < close && comma < 0) {
+            if (ts(j).is("(")) depth += 1
+            else if (ts(j).is(")")) depth -= 1
+            else if (depth == 0 && ts(j).is(",")) comma = j
+            j += 1
+          }
+          val nullIdx = nextIdx(ts, open)
+          val castIdx = if (nullIdx >= 0) nextIdx(ts, nullIdx) else -1
+          val tblIdx = if (castIdx >= 0) nextIdx(ts, castIdx) else -1
+          if (comma > 0 && nullIdx >= 0 && ts(nullIdx).isWord("NULL") &&
+            castIdx >= 0 && ts(castIdx).is("::") &&
+            tblIdx >= 0 && ts(tblIdx).kind == Word && nextIdx(ts, tblIdx) == comma) {
+            schemaOf(ts(tblIdx).text.toLowerCase) match {
+              case Some(cols) if cols.nonEmpty =>
+                // alias after the call? ([AS] word, but not a coldef list)
+                var a = nextIdx(ts, close)
+                if (a >= 0 && ts(a).isWord("AS")) a = nextIdx(ts, a)
+                val keywordsAfter = Set("where", "group", "order", "limit",
+                  "having", "on", "join", "inner", "left", "right", "full",
+                  "cross", "union", "intersect", "except")
+                val aliasParen = a >= 0 && {
+                  val n = nextIdx(ts, a); n >= 0 && ts(n).is("(")
+                }
+                val hasAlias = a >= 0 && ts(a).kind == Word &&
+                  !keywordsAfter.contains(ts(a).text.toLowerCase) && !aliasParen
+                val alias = if (hasAlias) ts(a).text else t.text.toLowerCase
+                val arg2 = ts.slice(comma + 1, close).map(_.text).mkString
+                // pg spelling: bare name when identifier-plain, else
+                // double-quoted (the to_record coldef parser reads both)
+                val colDefs = cols.map { case (n, ty) =>
+                  val nm = if (n.matches("[a-z_][a-z0-9_]*")) n
+                    else "\"" + n.replace("\"", "\"\"") + "\""
+                  s"$nm $ty"
+                }.mkString(", ")
+                val fn = (if (t.text.toLowerCase.startsWith("jsonb")) "jsonb" else "json") +
+                  "_to_record" + (if (setForm) "set" else "")
+                val end = if (hasAlias) math.max(a, close) else close
+                ts.remove(i, end - i + 1)
+                ts.insert(i, Tok(Word, s"$fn($arg2) AS $alias($colDefs)"))
+                changed = true
+              case _ =>
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (changed) ts.map(_.text).mkString else sql
+  }
+
+  /** Spark DataType → the pg type-name spelling [[rewritePopulateRecord]]
+    * emits into the generated coldef list (consumed by recordColType).
+    */
+  def pgTypeNameOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "int8"
+      case IntegerType => "int4"
+      case ShortType => "int2"
+      case StringType => "text"
+      case DoubleType => "float8"
+      case FloatType => "float4"
+      case BooleanType => "bool"
+      case DateType => "date"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+      case _ => "text"
+    }
+  }
+
   private def recordColType(toks: Vector[Tok]): String = {
     val joined = toks.map(_.text).mkString(" ").toLowerCase
       .replaceAll("\\s+", " ").trim

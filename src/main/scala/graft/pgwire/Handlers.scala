@@ -415,7 +415,15 @@ object Handlers {
     * catalog views, then hand to Catalyst.
     */
   def runSql(spark: SparkSession, sql: String): DataFrame = {
-    val rewritten = Compat.rewrite(sql)
+    // json[b]_populate_record[set] needs the target table's schema to
+    // expand its column list — supplied here, where the session lives
+    val pre =
+      if (sql.toLowerCase.contains("populate_record"))
+        Compat.rewritePopulateRecord(sql, name =>
+          scala.util.Try(spark.table(name).schema).toOption
+            .map(_.fields.toSeq.map(f => (f.name, Compat.pgTypeNameOf(f.dataType)))))
+      else sql
+    val rewritten = Compat.rewrite(pre)
     val lower = rewritten.toLowerCase
     if (lower.contains("pg_") || lower.contains("information_schema"))
       PgCatalog.refresh(spark)

@@ -735,6 +735,12 @@ object PgFunctions {
       ProcDef("jsonb_to_record", Seq(3802), 2249),
       ProcDef("json_to_recordset", Seq(114), 2249),
       ProcDef("jsonb_to_recordset", Seq(3802), 2249),
+      // table-row-type form (Compat.rewritePopulateRecord):
+      // 2283 = anyelement
+      ProcDef("json_populate_record", Seq(2283, 114), 2283),
+      ProcDef("jsonb_populate_record", Seq(2283, 3802), 2283),
+      ProcDef("json_populate_recordset", Seq(2283, 114), 2283),
+      ProcDef("jsonb_populate_recordset", Seq(2283, 3802), 2283),
       ProcDef("json_each", Seq(114), 2249),
       ProcDef("json_each_text", Seq(114), 2249),
       ProcDef("jsonb_each", Seq(3802), 2249),

@@ -812,5 +812,24 @@ object PgCompat {
             |FROM events, json_to_record(props) AS r(k int, missing_col text),
             |  json_to_record(props) AS r2(k text)
             |ORDER BY event_id""".stripMargin)) })
+    },
+
+    // round-11: json[b]_populate_record[set] with pg's table-row-type
+    // base (`null::region`) — Handlers supplies region's schema to
+    // Compat.rewritePopulateRecord, which lowers to the to_record CAST
+    // shape (missing key → NULL = pg's defaults-from-NULL-base). Runs
+    // the WIRE path via Handlers.runSql. Oracle recomposes each field
+    // from the same json primitives.
+    Q.df("q120_json_populate_record",
+      """SELECT event_id,
+        |  CAST(event_id % 5 AS INTEGER) AS r_regionkey,
+        |  event_type AS r_name
+        |FROM events ORDER BY event_id""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        Handlers.runSql(s,
+          """SELECT event_id, p.r_regionkey, p.r_name
+            |FROM events, json_populate_record(null::region,
+            |  json_build_object('r_regionkey', event_id % 5, 'r_name', event_type)) AS p
+            |ORDER BY event_id""".stripMargin) })
     })
 }

@@ -388,6 +388,27 @@ class PgParitySpec extends SparkSpec {
     assert(one("interval '1 day 2:03:04'") === "1 day 02:03:04")
   }
 
+  test("json[b]_populate_record[set] expands from a table row type (live pg 15 shape)") {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    graft.Tables.register(spark, "/root/testdata/sf0.001")
+    def q(sql: String): Seq[String] =
+      graft.pgwire.Handlers.runSql(spark, sql).collect().toSeq
+        .map(_.toSeq.map(v => if (v == null) "<NULL>" else v.toString).mkString("|"))
+    // missing keys → NULL (pg: defaults from the NULL base row)
+    assert(q("""SELECT r_regionkey, r_name FROM
+      json_populate_record(null::region, '{"r_regionkey": 7}')""") === Seq("7|<NULL>"))
+    // string number coerces into the int column (pg text-input conversion)
+    assert(q("""SELECT r_regionkey FROM
+      jsonb_populate_record(null::region, '{"r_regionkey": "3"}')""") === Seq("3"))
+    // recordset: one row per array element; alias without AS
+    assert(q("""SELECT x.r_regionkey FROM jsonb_populate_recordset(null::region,
+      '[{"r_regionkey":1},{"r_regionkey":2}]') x ORDER BY 1""") === Seq("1", "2"))
+    // unknown table name → untouched call → engine error surfaces
+    val e = intercept[Exception](q(
+      "SELECT * FROM json_populate_record(null::no_such_tbl, '{}')"))
+    assert(e.getMessage != null)
+  }
+
   test("sweep-4: string_agg DISTINCT feeds values in sorted order (live pg 15)") {
     assert(one("(SELECT string_agg(DISTINCT x, ',') FROM (VALUES ('b'),('a'),('b')) t(x))") ===
       "a,b")
