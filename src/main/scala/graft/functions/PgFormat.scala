@@ -37,6 +37,7 @@ object PgFormat {
   /** Longest-match-first token table. `Y,YYY` must precede `Y`. */
   private val dtKeys: Seq[String] = Seq(
     "HH24", "HH12", "HH", "MI", "SSSSS", "SSSS", "SS", "MS", "US",
+    "FF1", "FF2", "FF3", "FF4", "FF5", "FF6",
     "A.M.", "P.M.", "AM", "PM", "B.C.", "A.D.", "BC", "AD",
     "Y,YYY", "IYYY", "IYY", "IY", "YYYY", "YYY", "YY", "Y",
     "MONTH", "MON", "MM", "DAY", "DY", "IDDD", "DDD", "DD", "ID", "D",
@@ -238,6 +239,10 @@ object PgFormat {
             appendNum(sb, f.secondOfDay.toLong, 1, true, th)
           case "MS" => appendNum(sb, f.micro / 1000L, 3, fm, th)
           case "US" => appendNum(sb, f.micro.toLong, 6, fm, th)
+          case k if k.startsWith("FF") =>
+            // FFn (pg 13+): first n digits of the fractional second
+            val n = k.charAt(2) - '0'
+            appendNum(sb, f.micro / math.pow(10, 6 - n).toLong, n, fm, th)
           case "AM" | "PM" =>
             sb.append(caseName(raw, if (f.hour < 12) "AM" else "PM"))
           case "A.M." | "P.M." =>
@@ -800,6 +805,7 @@ object PgFormat {
     case "YYYY" | "Y,YYY" | "IYYY" => 4
     case "YYY" | "DDD" | "MS" | "IDDD" => 3
     case "US" => 6
+    case k if k.startsWith("FF") => k.charAt(2) - '0'
     case "J" => 7
     case "SSSS" | "SSSSS" => 5
     case "Y" | "D" | "ID" | "Q" | "W" => 1
@@ -919,6 +925,9 @@ object PgFormat {
           val s = readInt(5); hour = s / 3600; min = s / 60 % 60; sec = s % 60
         case "MS" => usec += readInt(3) * 1000
         case "US" => usec += readInt(6)
+        case k if k.startsWith("FF") =>
+          val n = k.charAt(2) - '0'
+          usec += readInt(n) * math.pow(10, 6 - n).toInt
         case "AM" | "PM" | "A.M." | "P.M." =>
           val nm = readName().toUpperCase
           sawPm = true; pm = nm.startsWith("P")

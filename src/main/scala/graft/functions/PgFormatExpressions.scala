@@ -637,6 +637,60 @@ object PgFormatExpressions {
       copy(fieldExpr = l, child = r)
   }
 
+  /** pg date_trunc('field', interval): zero every field finer than
+    * the named one, keeping coarser fields untouched ('3 days 2:47:33'
+    * truncated at hour → '3 days 02:00:00', live-pg pinned). */
+  case class PgIntervalTrunc(fieldExpr: Expression, child: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = fieldExpr
+    override def right: Expression = child
+    override def dataType: DataType = CalendarIntervalType
+    override def prettyName: String = "pg_interval_trunc"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (!fieldExpr.foldable || fieldExpr.dataType != StringType)
+        return TypeCheckResult.TypeCheckFailure("field must be a string literal")
+      child.dataType match {
+        case CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("pg_interval_trunc(text, interval)")
+      }
+    }
+    override def nullSafeEval(f: Any, v: Any): Any = {
+      val (months, days, us) = child.dataType match {
+        case CalendarIntervalType =>
+          val ci = v.asInstanceOf[CalendarInterval]
+          (ci.months, ci.days, ci.microseconds)
+        case dt: DayTimeIntervalType =>
+          val total = v.asInstanceOf[Long]
+          if (dt.startField == DayTimeIntervalType.DAY) {
+            val d = total / 86400000000L
+            (0, d.toInt, total - d * 86400000000L)
+          } else (0, 0, total)
+        case _ => (v.asInstanceOf[Int], 0, 0L)
+      }
+      val field = f.asInstanceOf[UTF8String].toString.toLowerCase.stripSuffix("s")
+      val (m2, d2, us2) = field match {
+        case "millennium" => ((months / 12000) * 12000, 0, 0L)
+        case "century" => ((months / 1200) * 1200, 0, 0L)
+        case "decade" => ((months / 120) * 120, 0, 0L)
+        case "year" => ((months / 12) * 12, 0, 0L)
+        case "quarter" => ((months / 3) * 3, 0, 0L)
+        case "month" | "mon" => (months, 0, 0L)
+        case "day" => (months, days, 0L)
+        case "hour" => (months, days, (us / 3600000000L) * 3600000000L)
+        case "minute" | "min" => (months, days, (us / 60000000L) * 60000000L)
+        case "second" | "sec" => (months, days, (us / 1000000L) * 1000000L)
+        case "millisecond" => (months, days, (us / 1000L) * 1000L)
+        case "microsecond" => (months, days, us)
+        case other => throw new IllegalArgumentException(
+          s"""unit "$other" not supported for type interval""")
+      }
+      new CalendarInterval(m2, d2, us2)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgIntervalTrunc =
+      copy(fieldExpr = l, child = r)
+  }
+
   /** pg date_bin(stride, source, origin): align `source` into the
     * stride-wide bucket grid anchored at `origin`. Month-bearing
     * strides error like pg ("stride must be a multiple of ...";
@@ -755,6 +809,10 @@ object PgFormatExpressions {
     (FunctionIdentifier("pg_interval_part"), info("pg_interval_part"), { args =>
       require(args.length == 2, "pg_interval_part requires 2 arguments")
       PgIntervalPart(args(0), args(1))
+    }),
+    (FunctionIdentifier("pg_interval_trunc"), info("pg_interval_trunc"), { args =>
+      require(args.length == 2, "pg_interval_trunc requires 2 arguments")
+      PgIntervalTrunc(args(0), args(1))
     }),
     (FunctionIdentifier("date_bin"), info("date_bin"), { args =>
       require(args.length == 3, "date_bin requires 3 arguments")

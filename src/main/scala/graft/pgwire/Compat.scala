@@ -281,7 +281,13 @@ object Compat {
     "string_to_array" -> "pg_string_to_array", // literal (non-regex) delim
     // pg mod semantics: NULL on zero divisor (reference mod_op.rs:18);
     // Spark ANSI mode would error instead
-    "mod" -> "pg_mod")
+    "mod" -> "pg_mod",
+    // pg freezes both to the transaction start; without cross-statement
+    // transaction state, Spark's query-constant now() is the closest
+    // semantics — and it makes `now() = transaction_timestamp()` true
+    // within a statement, the idiom clients actually test (sweep-5)
+    "transaction_timestamp" -> "now",
+    "statement_timestamp" -> "now")
 
   // ---- blacklist (reference: sql/parser.rs:56-267) -----------------------
 
@@ -356,6 +362,7 @@ object Compat {
     // like an integer subscript on a value token named "array"
     rewriteArrayConstructors(ts)
     rewriteRowConstructor(ts)
+    rewriteFetchFirst(ts)
     // renames must precede ANY/ALL rewriting: the array_contains
     // replacement renders its operand tokens into one composite token
     // that later word-level passes can no longer see into
@@ -382,6 +389,7 @@ object Compat {
     rewriteJsonOps(ts)
     rewriteLimitCast(ts)
     rewriteCastTypes(ts)
+    rewriteTimeArithmetic(ts)
     wrapByteaLiteralArgs(ts)
     renameFunctionsByArity(ts)
     padFunctionArgs(ts)
@@ -468,6 +476,9 @@ object Compat {
     */
   private val arityRenameSpec: Seq[(String, Int, String)] = Seq(
     ("width_bucket", 2, "pg_width_bucket"),
+    // 3-arg string_to_array (elements equal to nullStr become NULL);
+    // the name rename to pg_string_to_array has already run
+    ("pg_string_to_array", 3, "pg_string_to_array3"),
     // pg trunc(numeric[, s]) vs Spark trunc(date, fmt): pg_trunc
     // dispatches on the second argument's type, so both forms route
     // through it (Spark has no 1-arg trunc at all)
@@ -592,6 +603,28 @@ object Compat {
           ts(n).text.forall(_.isDigit) && ts(c).is("]")) {
           val idx = ts(n).text.toLong
           if (idx >= 1) ts(n) = Tok(Num, (idx - 1).toString)
+        } else if (valueBefore && n >= 0 && c >= 0 && ts(n).kind == Num &&
+          ts(n).text.forall(_.isDigit) && ts(c).is(":")) {
+          // pg slice `v[a:b]` (1-based, inclusive) → slice(v, a, b-a+1)
+          val bIdx = nextIdx(ts, c)
+          val cls = if (bIdx >= 0) nextIdx(ts, bIdx) else -1
+          if (bIdx >= 0 && ts(bIdx).kind == Num &&
+            ts(bIdx).text.forall(_.isDigit) && cls >= 0 && ts(cls).is("]")) {
+            val a = ts(n).text.toLong
+            val b = ts(bIdx).text.toLong
+            var start = primaryStart(ts, p)
+            // primaryStart treats a preceding keyword as a function
+            // name for paren groups (`SELECT (arr)` → start at SELECT);
+            // step back inside to the group itself
+            if (ts(start).kind == Word && Set("select", "where", "when",
+              "then", "else", "and", "or", "by", "from", "in", "on")
+                .contains(ts(start).text.toLowerCase))
+              start = nextIdx(ts, start)
+            ts.remove(i, cls - i + 1)
+            ts.insert(i, Tok(Word, s", $a, ${math.max(b - a + 1, 0)})"))
+            ts.insertAll(start, Seq(Tok(Word, "slice"), Tok(Op, "(")))
+            i += 2
+          }
         }
       }
       i += 1
@@ -807,6 +840,45 @@ object Compat {
     * Nested constructors resolve as the scan continues into the
     * replaced region.
     */
+  /** SQL-standard row-limit spellings Spark's parser lacks:
+    * `FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY` → `LIMIT n` (n defaults
+    * to 1), `OFFSET n {ROW|ROWS}` → `OFFSET n`, and pg's empty
+    * grouping list `GROUP BY ()` → plain ungrouped aggregation.
+    */
+  private def rewriteFetchFirst(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("FETCH")) {
+        val kw = nextIdx(ts, i)
+        if (kw >= 0 && (ts(kw).isWord("FIRST") || ts(kw).isWord("NEXT"))) {
+          val a = nextIdx(ts, kw)
+          val (nTok, rowIdx) =
+            if (a >= 0 && ts(a).kind == Num) (ts(a).text, nextIdx(ts, a))
+            else ("1", a)
+          if (rowIdx >= 0 && (ts(rowIdx).isWord("ROW") || ts(rowIdx).isWord("ROWS"))) {
+            val only = nextIdx(ts, rowIdx)
+            if (only >= 0 && ts(only).isWord("ONLY")) {
+              ts.remove(i, only - i + 1)
+              ts.insert(i, Tok(Word, s"LIMIT $nTok"))
+            }
+          }
+        }
+      } else if (ts(i).isWord("OFFSET")) {
+        val a = nextIdx(ts, i)
+        val r = if (a >= 0 && ts(a).kind == Num) nextIdx(ts, a) else -1
+        if (r >= 0 && (ts(r).isWord("ROW") || ts(r).isWord("ROWS")))
+          ts.remove(r)
+      } else if (ts(i).isWord("GROUP")) {
+        val by = nextIdx(ts, i)
+        val open = if (by >= 0 && ts(by).isWord("BY")) nextIdx(ts, by) else -1
+        val closeP = if (open >= 0 && ts(open).is("(")) nextIdx(ts, open) else -1
+        if (closeP >= 0 && ts(closeP).is(")"))
+          ts.remove(i, closeP - i + 1)
+      }
+      i += 1
+    }
+  }
+
   /** pg `ROW(a, b, …)` constructor → `named_struct('f1', a, 'f2', b,
     * …)` with pg's positional field names (f1, f2, …) — the names
     * row_to_json renders. Only the explicit ROW keyword form; bare
@@ -1067,10 +1139,19 @@ object Compat {
     * pg's NULLS FIRST). The value rides last so ties resolve
     * deterministically. */
   private def sortedStructToks(keys: Vector[Vector[Tok]], value: Seq[Tok],
-      desc: Boolean): ArrayBuffer[Tok] = {
+      desc: Boolean, pred: Option[Seq[Tok]] = None): ArrayBuffer[Tok] = {
     val out = ArrayBuffer[Tok]()
     out += Tok(Word, (if (desc) "reverse(" else "") +
-      "array_sort(collect_list(named_struct(")
+      "array_sort(collect_list(")
+    // FILTER (WHERE pred) folds into the collected element: a false
+    // predicate yields a NULL top-level struct, which collect_list
+    // drops — exactly pg's filtered aggregation
+    pred.foreach { p =>
+      out += Tok(Word, "CASE WHEN (")
+      out ++= p
+      out += Tok(Word, ") THEN ")
+    }
+    out += Tok(Word, "named_struct(")
     keys.zipWithIndex.foreach { case (k, i) =>
       out += Tok(Word, s"'n$i',(")
       out ++= k
@@ -1080,8 +1161,23 @@ object Compat {
     }
     out += Tok(Word, "'v',")
     out ++= value
-    out += Tok(Word, ")))" + (if (desc) ")" else ""))
+    out += Tok(Word, ")")
+    pred.foreach(_ => out += Tok(Word, " END"))
+    out += Tok(Word, "))" + (if (desc) ")" else ""))
     out
+  }
+
+  /** A trailing `FILTER ( WHERE pred )` after token `close`: returns
+    * (predicate tokens, last consumed index). */
+  private def trailingFilter(ts: ArrayBuffer[Tok], close: Int): Option[(Vector[Tok], Int)] = {
+    val f = nextIdx(ts, close)
+    if (f < 0 || !ts(f).isWord("FILTER")) return None
+    val open = nextIdx(ts, f)
+    if (open < 0 || !ts(open).is("(")) return None
+    val w = nextIdx(ts, open)
+    if (w < 0 || !ts(w).isWord("WHERE")) return None
+    val end = matchParen(ts, open)
+    if (end < 0) None else Some((ts.slice(w + 1, end).toVector, end))
   }
 
   /** pg json aggregates → the engine's ordered UDAFs. Spark has no
@@ -1153,21 +1249,49 @@ object Compat {
               val desc = keySlice.exists(tok =>
                 tok.kind == Word && tok.text.equalsIgnoreCase("DESC"))
               val keys = splitTopLevel(keySlice).map(_.filterNot(isDirWord))
+              val filt = trailingFilter(ts, close)
+              val pred = filt.map(_._1.toSeq)
+              val end = filt.map(_._2).getOrElse(close)
               val rebuilt =
                 if (lower == "string_agg" && commaIdx > 0 && commaIdx < orderIdx) {
                   val e = ts.slice(open + 1, commaIdx).toVector
                   val d = ts.slice(commaIdx + 1, orderIdx).toVector
                   ArrayBuffer(Tok(Word, "array_join(transform(")) ++
-                    sortedStructToks(keys, e, desc) ++
+                    sortedStructToks(keys, e, desc, pred) ++
                     ArrayBuffer(Tok(Word, ", gv -> gv.v), ")) ++ d ++
                     ArrayBuffer(Tok(Word, ")"))
                 } else {
                   val e = ts.slice(open + 1, orderIdx).toVector
                   ArrayBuffer(Tok(Word, "transform(")) ++
-                    sortedStructToks(keys, e, desc) ++
+                    sortedStructToks(keys, e, desc, pred) ++
                     ArrayBuffer(Tok(Word, ", gv -> gv.v)"))
                 }
-              ts.remove(i, close - i + 1)
+              ts.remove(i, end - i + 1)
+              ts.insertAll(i, rebuilt)
+              i += rebuilt.length - 1
+            } else if (lower == "array_agg" &&
+              !(firstTok >= 0 && ts(firstTok).isWord("DISTINCT"))) {
+              // plain array_agg: Spark's array_agg/collect_list DROPS
+              // NULL elements; pg keeps them (live-pg pin: array_agg
+              // over lead() tail rows → {3,NULL,NULL}). Struct-wrap so
+              // the collected element is never top-level NULL, then
+              // project the value back out. A trailing FILTER folds in
+              // as a CASE (false → NULL struct → dropped).
+              val e = ts.slice(open + 1, close).toVector
+              val filt = trailingFilter(ts, close)
+              val end = filt.map(_._2).getOrElse(close)
+              val rebuilt = ArrayBuffer(Tok(Word, "transform(collect_list("))
+              filt.foreach { case (p, _) =>
+                rebuilt += Tok(Word, "CASE WHEN (")
+                rebuilt ++= p
+                rebuilt += Tok(Word, ") THEN ")
+              }
+              rebuilt += Tok(Word, "named_struct('v',")
+              rebuilt ++= e
+              rebuilt += Tok(Word, ")")
+              filt.foreach(_ => rebuilt += Tok(Word, " END"))
+              rebuilt += Tok(Word, "), gv -> gv.v)")
+              ts.remove(i, end - i + 1)
               ts.insertAll(i, rebuilt)
               i += rebuilt.length - 1
             }
@@ -1465,7 +1589,52 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
-      if (t.kind == Word && wraps.contains(t.text.toLowerCase)) {
+      if (t.kind == Word && t.text.equalsIgnoreCase("unnest")) {
+        // pg unnest: one-row-per-element (FROM or SELECT position —
+        // Spark accepts explode/inline in both). Single array →
+        // explode(arr); the multi-array ROWS FROM shorthand
+        // unnest(a, b, …) AS t(x, y, …) → inline(arrays_zip(a, b, …))
+        // (positional column aliases apply to the zipped struct).
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            var commas = 0; var depth = 0; var j = open + 1
+            while (j < close) {
+              if (ts(j).is("(") || ts(j).is("[")) depth += 1
+              else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+              else if (depth == 0 && ts(j).is(",")) commas += 1
+              j += 1
+            }
+            if (commas == 0) {
+              ts(i) = Tok(Word, "explode")
+              // `FROM unnest(a) u` names BOTH the table and the column
+              // `u` in pg; Spark's explode emits column `col`, so a
+              // bare alias (no column list) expands to `AS u(u)`.
+              // FROM/JOIN-position only — in a select list `explode(a)
+              // u` already names the column u.
+              val before = prevIdx(ts, i)
+              val fromPos = before >= 0 &&
+                (ts(before).isWord("FROM") || ts(before).isWord("JOIN"))
+              var a = nextIdx(ts, close)
+              if (a >= 0 && ts(a).isWord("AS")) a = nextIdx(ts, a)
+              if (fromPos && a >= 0 && ts(a).kind == Word &&
+                !Set("where", "group", "order", "limit", "having", "on",
+                  "join", "inner", "left", "right", "full", "cross",
+                  "union", "intersect", "except", "from")
+                  .contains(ts(a).text.toLowerCase) && {
+                  val n = nextIdx(ts, a); !(n >= 0 && ts(n).is("("))
+                }) {
+                val alias = ts(a).text
+                ts(a) = Tok(Word, s"AS $alias($alias)")
+              }
+            } else {
+              ts.insert(close + 1, Tok(Word, ")"))
+              ts(i) = Tok(Word, "inline(arrays_zip")
+            }
+          }
+        }
+      } else if (t.kind == Word && wraps.contains(t.text.toLowerCase)) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
           val close = matchParen(ts, open)
@@ -1750,13 +1919,16 @@ object Compat {
             val signs = "(?:^|\\s)([+-]?)\\d".r.findAllMatchIn(body)
               .map(m => if (m.group(1) == "-") "-" else "+").toSet
             val mixedSign = signs.size > 1
+            // bare colon time ('25:10:05'): Spark's unqualified literal
+            // parser rejects it outright; pg reads hh:mm[:ss[.f]]
+            val colonOnly = body.trim.matches("[+-]?\\d+:\\d.*")
             // EXTRACT(x FROM INTERVAL '…'): route through pg_interval's
             // CalendarInterval so any field is extractable — Spark's
             // typed literal INTERVAL '100' HOUR carries only the named
             // field and errors on extract(days …), where pg returns 0
             val pv = prevIdx(ts, i)
             val inExtract = pv >= 0 && ts(pv).isWord("FROM")
-            if (mixed || dayColon || mixedSign || inExtract ||
+            if (mixed || dayColon || mixedSign || colonOnly || inExtract ||
               pgOnly.findFirstIn(body).nonEmpty ||
               fracUnit.findFirstIn(body).nonEmpty) {
               ts(i) = Tok(Word, "pg_interval")
@@ -1829,14 +2001,36 @@ object Compat {
           }
         }
       } else if (t.kind == Word && t.text.equalsIgnoreCase("date_trunc")) {
-        // Spark's date_trunc returns NULL for pg's coarse fields
+        // Spark's date_trunc returns NULL for pg's coarse fields;
+        // an interval operand needs pg_interval_trunc entirely
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
           val f = nextIdx(ts, open)
-          if (f >= 0 && ts(f).kind == Str) {
+          val comma = if (f >= 0) nextIdx(ts, f) else -1
+          val operand = if (comma >= 0 && ts(comma).is(",")) nextIdx(ts, comma) else -1
+          if (operand >= 0 && ts(operand).kind == Word &&
+            (ts(operand).text.equalsIgnoreCase("INTERVAL") ||
+              ts(operand).text.equalsIgnoreCase("pg_interval"))) {
+            ts(i) = Tok(Word, "pg_interval_trunc")
+          } else if (f >= 0 && ts(f).kind == Str) {
             val field = ts(f).text.drop(1).dropRight(1).toLowerCase
             if (field == "decade" || field == "century" || field == "millennium")
               ts(i) = Tok(Word, "pg_date_trunc")
+          }
+        }
+      } else if (t.kind == Word && t.text.equalsIgnoreCase("isfinite")) {
+        // isfinite(interval) — every interval value here is finite
+        // (pg's 'infinity' intervals are not representable); the
+        // timestamp-typed isfinite UDF can't take the argument
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val a = nextIdx(ts, open)
+          val close = matchParen(ts, open)
+          if (close > 0 && a >= 0 && ts(a).kind == Word &&
+            (ts(a).text.equalsIgnoreCase("INTERVAL") ||
+              ts(a).text.equalsIgnoreCase("pg_interval"))) {
+            ts.remove(i, close - i + 1)
+            ts.insert(i, Tok(Word, "TRUE"))
           }
         }
       } else if (t.kind == Word && t.text.equalsIgnoreCase("EXTRACT")) {
@@ -2442,6 +2636,36 @@ object Compat {
                 j = close
               }
               j += 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** `timestamp ± time` / `date + time` (pg: the time-of-day adds as
+    * an offset, result timestamp): our TIME value is bigint nanos, so
+    * a binary +/- whose RIGHT operand is a pg_time_in call converts
+    * the nanos to a day-time interval. Runs after rewriteCastTypes
+    * (which produces the pg_time_in spelling). Left-operand time and
+    * time±interval stay unsupported (no type info at rewrite time).
+    */
+  private def rewriteTimeArithmetic(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Op && (ts(i).text == "+" || ts(i).text == "-")) {
+        val p = prevIdx(ts, i)
+        val r = nextIdx(ts, i)
+        if (p >= 0 && isValueEnd(ts(p)) && r >= 0 &&
+          ts(r).kind == Word && ts(r).text.equalsIgnoreCase("pg_time_in")) {
+          val open = nextIdx(ts, r)
+          if (open >= 0 && ts(open).is("(")) {
+            val close = matchParen(ts, open)
+            if (close > 0) {
+              ts.insert(close + 1, Tok(Word, ") / 1000000000.0)"))
+              ts.insert(r, Tok(Word, "make_dt_interval(0, 0, 0, ("))
+              i = close + 2
             }
           }
         }

@@ -1184,6 +1184,18 @@ object PgFunctions {
       else if (d == null) s.map(_.toString).toArray
       else if (d.isEmpty) Array(s)
       else s.split(java.util.regex.Pattern.quote(d), -1))
+    // 3-arg form: elements equal to nullStr → NULL (pg 15 pinned:
+    // string_to_array('a,b,c', ',', 'b') = {a,NULL,c})
+    u.register("pg_string_to_array3", (s: String, d: String, nullStr: String) => {
+      val base: Array[String] =
+        if (s == null) null
+        else if (s.isEmpty) Array.empty[String]
+        else if (d == null) s.map(_.toString).toArray
+        else if (d.isEmpty) Array(s)
+        else s.split(java.util.regex.Pattern.quote(d), -1)
+      if (base == null || nullStr == null) base
+      else base.map(e => if (e == nullStr) null else e)
+    })
     // pg 2-arg ltrim/rtrim: (src, set) — Spark's builtins reversed it
     u.register("pg_ltrim", (s: String, set: String) =>
       if (s == null || set == null) null

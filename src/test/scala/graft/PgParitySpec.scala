@@ -415,4 +415,46 @@ class PgParitySpec extends SparkSpec {
     assert(one("(SELECT string_agg(DISTINCT x, ',') FROM (VALUES (CAST(NULL AS STRING))) t(x))") ===
       "<NULL>")
   }
+
+  test("sweep-5: array_agg keeps NULL elements; FILTER folds in (live pg 15)") {
+    // Spark's collect_list silently drops NULLs; pg keeps them
+    assert(one("(SELECT array_agg(v) FROM (SELECT lead(x, 2) OVER (ORDER BY x) v " +
+      "FROM (VALUES (1),(2),(3)) t(x)) s)") === "{3,NULL,NULL}")
+    assert(one("(SELECT array_agg(x ORDER BY x) FILTER (WHERE x > 1) " +
+      "FROM (VALUES (3),(1),(2)) t(x))") === "{2,3}")
+    assert(one("(SELECT array_agg(x) FILTER (WHERE x > 1) " +
+      "FROM (VALUES (3),(1),(2)) t(x))") === "{3,2}")
+  }
+
+  test("sweep-5: grammar — FETCH FIRST, GROUP BY (), unnest, slices (live pg 15)") {
+    assert(one("(SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x FETCH FIRST 1 ROW ONLY)") === "1")
+    assert(one("(SELECT sum(x) FROM (VALUES (1),(2)) t(x) GROUP BY ())") === "3")
+    assert(one("(SELECT sum(u) FROM unnest(ARRAY[1,2,3]) u)") === "6")
+    assert(one("(SELECT string_agg(k || '=' || v, ',') FROM " +
+      "unnest(ARRAY['a','b'], ARRAY['1','2']) AS t(k, v))") === "a=1,b=2")
+    assert(one("(ARRAY[1,2,3])[1:2]") === "{1,2}")
+    assert(one("string_to_array('a,b,c', ',', 'b')") === "{a,NULL,c}")
+    assert(one("now() = transaction_timestamp()") === "t")
+  }
+
+  test("sweep-5: intervals — colon literals, to_char, date_trunc, isfinite (live pg 15)") {
+    assert(one("interval '25:10:05'") === "25:10:05")
+    assert(one("to_char(interval '25:10:05', 'HH24 MI SS')") === "25 10 05")
+    assert(one("date_trunc('hour', interval '3 days 2:47:33')") === "3 days 02:00:00")
+    assert(one("isfinite(interval '1 day')") === "t")
+    assert(one("to_char(TIMESTAMP '2024-03-07 13:05:06.345678', 'MS US FF3')") ===
+      "345 345678 345")
+    assert(one("to_char(TIMESTAMP '2024-03-07 13:05:06.345678', 'FF1 FF6')") ===
+      "3 345678")
+  }
+
+  test("sweep-5: timestamp/date ± time arithmetic (live pg 15, +00 deviation)") {
+    // TimestampType ≡ timestamptz is the documented rendering deviation
+    assert(one("timestamp '2024-03-07 10:11:12' + time '01:02:03'") ===
+      "2024-03-07 11:13:15+00")
+    assert(one("timestamp '2024-03-07' - time '01:00:00'") ===
+      "2024-03-06 23:00:00+00")
+    assert(one("date '2024-03-07' + time '12:30:00'") ===
+      "2024-03-07 12:30:00+00")
+  }
 }
