@@ -352,6 +352,7 @@ object Compat {
       case None =>
     }
     val ts = ArrayBuffer.from(tokenize(sql))
+    rewriteDistinctOn(ts)
     collapseOperatorCall(ts)
     stripCollate(ts)
     stripPgCatalogQualifier(ts)
@@ -840,6 +841,102 @@ object Compat {
     * Nested constructors resolve as the scan continues into the
     * replaced region.
     */
+  /** pg `SELECT DISTINCT ON (keys) sl FROM … [ORDER BY o]` — the
+    * keep-first-row-per-group idiom (pg requires the keys to be an
+    * ORDER BY prefix; the kept row is the first in that order) —
+    * rewritten to a row_number window:
+    *
+    *   SELECT sl FROM (SELECT *, row_number() OVER (PARTITION BY keys
+    *     ORDER BY o-or-keys) AS __gdo FROM …) __gdo_t
+    *   WHERE __gdo = 1 [ORDER BY o]
+    *
+    * The inner `SELECT *` keeps every base column visible so both the
+    * select list and the outer ORDER BY resolve unchanged. Known
+    * limits (documented): table-qualified references in the select
+    * list lose their qualifier's scope through the subquery, and a
+    * GROUP BY in the same block is unsupported.
+    */
+  private def rewriteDistinctOn(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("SELECT")) {
+        val d = nextIdx(ts, i)
+        val on = if (d >= 0 && ts(d).isWord("DISTINCT")) nextIdx(ts, d) else -1
+        val open = if (on >= 0 && ts(on).isWord("ON")) nextIdx(ts, on) else -1
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            // scope scan from after the key list: depth-0 FROM, then
+            // depth-0 ORDER BY / LIMIT / OFFSET / scope end
+            var depth = 0
+            var fromIdx = -1; var orderIdx = -1; var tailIdx = -1
+            var j = close + 1
+            var end = ts.length
+            while (j < ts.length && end == ts.length) {
+              val t = ts(j)
+              if (t.is("(")) depth += 1
+              else if (t.is(")")) { depth -= 1; if (depth < 0) end = j }
+              else if (depth == 0 && t.kind == Word) {
+                val w = t.text.toUpperCase
+                if (w == "FROM" && fromIdx < 0) fromIdx = j
+                else if (w == "ORDER" && fromIdx >= 0 && orderIdx < 0) {
+                  val by = nextIdx(ts, j)
+                  if (by >= 0 && ts(by).isWord("BY")) orderIdx = j
+                } else if ((w == "LIMIT" || w == "OFFSET") && fromIdx >= 0 &&
+                  orderIdx < 0 && tailIdx < 0) tailIdx = j
+                else if (w == "UNION" || w == "INTERSECT" || w == "EXCEPT")
+                  end = j
+              }
+              j += 1
+            }
+            if (fromIdx > 0) {
+              val keys = ts.slice(open + 1, close).toVector
+              val sl = ts.slice(close + 1, fromIdx).toVector
+              val bodyEnd = if (orderIdx > 0) orderIdx
+                else if (tailIdx > 0) tailIdx else end
+              val body = ts.slice(fromIdx, bodyEnd).toVector // FROM …
+              // ORDER BY keys for the window: the query's own ORDER BY
+              // (pg validated it starts with the keys) or the keys
+              val oby: Vector[Tok] =
+                if (orderIdx > 0) {
+                  val by = nextIdx(ts, orderIdx)
+                  // order list runs to LIMIT/OFFSET or scope end
+                  var k = by + 1; var oEnd = bodyEnd
+                  var dep = 0; oEnd = end
+                  var m = by + 1
+                  while (m < end && oEnd == end) {
+                    if (ts(m).is("(")) dep += 1
+                    else if (ts(m).is(")")) dep -= 1
+                    else if (dep == 0 && ts(m).kind == Word &&
+                      Set("LIMIT", "OFFSET").contains(ts(m).text.toUpperCase)) oEnd = m
+                    m += 1
+                  }
+                  ts.slice(by + 1, oEnd).toVector
+                } else keys
+              val tail = // everything from ORDER BY (inclusive) to scope end
+                ts.slice(bodyEnd, end).toVector
+              val rebuilt = ArrayBuffer[Tok]()
+              rebuilt += Tok(Word, "SELECT ")
+              rebuilt ++= sl
+              rebuilt += Tok(Word, " FROM (SELECT *, row_number() OVER (PARTITION BY ")
+              rebuilt ++= keys
+              rebuilt += Tok(Word, " ORDER BY ")
+              rebuilt ++= oby
+              rebuilt += Tok(Word, ") AS __gdo ")
+              rebuilt ++= body
+              rebuilt += Tok(Word, ") __gdo_t WHERE __gdo = 1 ")
+              rebuilt ++= tail
+              ts.remove(i, end - i)
+              ts.insertAll(i, rebuilt)
+              i += rebuilt.length - 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   /** SQL-standard row-limit spellings Spark's parser lacks:
     * `FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY` → `LIMIT n` (n defaults
     * to 1), `OFFSET n {ROW|ROWS}` → `OFFSET n`, and pg's empty

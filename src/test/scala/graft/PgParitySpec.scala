@@ -448,6 +448,20 @@ class PgParitySpec extends SparkSpec {
       "3 345678")
   }
 
+  test("DISTINCT ON keeps the first row per key in ORDER BY order (live pg 15)") {
+    def q(sql: String): Seq[String] =
+      graft.pgwire.Handlers.runSql(spark, sql).collect().toSeq
+        .map(_.toSeq.map(String.valueOf).mkString("|"))
+    assert(q("SELECT DISTINCT ON (x % 2) x, y FROM " +
+      "(VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')) t(x,y) ORDER BY x % 2, x DESC") ===
+      Seq("4|d", "3|c"))
+    assert(q("SELECT DISTINCT ON (y) y, x FROM (VALUES (1,'a'),(2,'a'),(3,'b')) t(x,y) " +
+      "ORDER BY y, x DESC LIMIT 1") === Seq("a|2"))
+    // without ORDER BY: one arbitrary row per key (count is defined)
+    assert(q("SELECT count(*) FROM (SELECT DISTINCT ON (y) x FROM " +
+      "(VALUES (1,'a'),(2,'a'),(3,'b')) t(x,y) ORDER BY y, x) s") === Seq("2"))
+  }
+
   test("sweep-5: timestamp/date ± time arithmetic (live pg 15, +00 deviation)") {
     // TimestampType ≡ timestamptz is the documented rendering deviation
     assert(one("timestamp '2024-03-07 10:11:12' + time '01:02:03'") ===
