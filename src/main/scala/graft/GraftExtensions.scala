@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.VectorExpressions.descriptions.foreach(ext.injectFunction)
     graft.functions.StringExpressions.descriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.functions.VectorExpressions.SelfDotToNorm)
+    // pg dialect type semantics — a no-op outside PgSemantics.withPg
+    // (the pgwire Handlers path), so plain Spark-API queries on the
+    // same session keep Spark semantics
+    ext.injectResolutionRule(_ => graft.pgwire.PgSemantics.Resolution)
   }
 }

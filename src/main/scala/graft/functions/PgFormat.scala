@@ -326,7 +326,14 @@ object PgFormat {
   def parseIntervalText(s: String): Option[(Int, Int, Long)] = {
     var months = 0L; var days = 0L; var micros = 0L
     var ago = false
+    // pg accepts glued number+unit spellings ('15h 2m 12s', '3d');
+    // split them into the number/unit token pairs the loop consumes
+    val glued = "([+-]?\\d+(?:\\.\\d+)?)([a-z]+)".r
     val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .flatMap {
+        case glued(num, unit) => Seq(num, unit)
+        case t => Seq(t)
+      }
     if (toks.isEmpty) return None
     val usPerDay = 86400000000L
     var i = 0

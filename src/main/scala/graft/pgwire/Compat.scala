@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&")
+  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -287,7 +287,11 @@ object Compat {
     // semantics — and it makes `now() = transaction_timestamp()` true
     // within a statement, the idiom clients actually test (sweep-5)
     "transaction_timestamp" -> "now",
-    "statement_timestamp" -> "now")
+    "statement_timestamp" -> "now",
+    // pg make_timestamp returns timestamp WITHOUT time zone; Spark's
+    // same-named builtin resolves in the session zone (≡ timestamptz
+    // here). The NTZ twin carries pg's type through the wire (OID 1114)
+    "make_timestamp" -> "make_timestamp_ntz")
 
   // ---- blacklist (reference: sql/parser.rs:56-267) -----------------------
 
@@ -362,7 +366,9 @@ object Compat {
     // must precede shiftArraySubscripts: ARRAY[5] would otherwise look
     // like an integer subscript on a value token named "array"
     rewriteArrayConstructors(ts)
+    rewriteRowIsNull(ts)
     rewriteRowConstructor(ts)
+    rewriteNamedMakeInterval(ts)
     rewriteFetchFirst(ts)
     // renames must precede ANY/ALL rewriting: the array_contains
     // replacement renders its operand tokens into one composite token
@@ -387,10 +393,13 @@ object Compat {
     rewriteSimilarTo(ts)
     rewriteRegexOps(ts)
     rewriteJsonbDeleteConcat(ts)
+    rewriteArrayElemConcat(ts)
     rewriteJsonOps(ts)
     rewriteLimitCast(ts)
     rewriteCastTypes(ts)
     rewriteTimeArithmetic(ts)
+    rewriteHypotheticalSet(ts)
+    castWrapRegrAvg(ts)
     wrapByteaLiteralArgs(ts)
     renameFunctionsByArity(ts)
     padFunctionArgs(ts)
@@ -1007,6 +1016,267 @@ object Compat {
             ts.insertAll(open + 1, Seq(Tok(Str, "'f1'"), Tok(Op, ",")))
             ts(i) = Tok(Word, "named_struct")
           }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg `ROW(a, b, …) IS [NOT] NULL` tests the FIELDS (IS NULL ⇔ every
+    * field null, IS NOT NULL ⇔ every field non-null — pg §9.24.6),
+    * where Spark tests the struct value itself (a constructor is never
+    * null → always false). Expand to the conjunction BEFORE the
+    * constructor becomes named_struct. Live-pg-pinned (sweep #6). */
+  private def rewriteRowIsNull(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("ROW")) {
+        val open = nextIdx(ts, i)
+        val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+        val isIdx = if (close > 0) nextIdx(ts, close) else -1
+        if (isIdx >= 0 && ts(isIdx).isWord("IS")) {
+          val a = nextIdx(ts, isIdx)
+          val (nullIdx, neg) =
+            if (a >= 0 && ts(a).isWord("NOT")) (nextIdx(ts, a), true)
+            else (a, false)
+          if (nullIdx >= 0 && ts(nullIdx).isWord("NULL")) {
+            // split constructor args on depth-0 commas
+            val args = ArrayBuffer.empty[Seq[Tok]]
+            val cur = ArrayBuffer.empty[Tok]
+            var depth = 0
+            var j = open + 1
+            while (j < close) {
+              val t = ts(j)
+              if (t.is("(") || t.is("[")) depth += 1
+              else if (t.is(")") || t.is("]")) depth -= 1
+              if (depth == 0 && t.is(",")) { args += cur.toSeq; cur.clear() }
+              else cur += t
+              j += 1
+            }
+            if (cur.nonEmpty) args += cur.toSeq
+            if (args.nonEmpty) {
+              val test = if (neg) " IS NOT NULL" else " IS NULL"
+              val repl = ArrayBuffer[Tok](Tok(Op, "("))
+              args.zipWithIndex.foreach { case (arg, k) =>
+                if (k > 0) repl += Tok(Word, " AND ")
+                repl += Tok(Op, "(")
+                repl ++= arg
+                repl += Tok(Op, ")")
+                repl += Tok(Word, test)
+              }
+              repl += Tok(Op, ")")
+              ts.remove(i, nullIdx - i + 1)
+              ts.insertAll(i, repl)
+              i += repl.length - 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg `make_interval(years => 1, days => 3)` named-notation call →
+    * the positional 7-arg form Spark's same-named builtin takes
+    * (years, months, weeks, days, hours, mins, secs; missing = 0). */
+  private def rewriteNamedMakeInterval(ts: ArrayBuffer[Tok]): Unit = {
+    val order = Seq("years", "months", "weeks", "days", "hours", "mins", "secs")
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("make_interval")) {
+        val open = nextIdx(ts, i)
+        val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+        if (close > 0 && (open + 1 until close).exists(j => ts(j).is("=>"))) {
+          // split depth-0 args; each is `name => value-tokens`
+          val args = ArrayBuffer.empty[Seq[Tok]]
+          val cur = ArrayBuffer.empty[Tok]
+          var depth = 0
+          var j = open + 1
+          while (j < close) {
+            val t = ts(j)
+            if (t.is("(") || t.is("[")) depth += 1
+            else if (t.is(")") || t.is("]")) depth -= 1
+            if (depth == 0 && t.is(",")) { args += cur.toSeq; cur.clear() }
+            else cur += t
+            j += 1
+          }
+          if (cur.nonEmpty) args += cur.toSeq
+          val named = args.flatMap { arg =>
+            val sig = arg.filter(_.kind != Ws)
+            if (sig.length >= 3 && sig(0).kind == Word && sig(1).is("=>"))
+              Some(sig(0).text.toLowerCase -> render(sig.drop(2)).trim)
+            else None
+          }.toMap
+          if (named.size == args.size && named.keySet.subsetOf(order.toSet)) {
+            val positional = order.map(n => named.getOrElse(n, "0")).mkString(", ")
+            ts.remove(open + 1, close - open - 1)
+            ts.insert(open + 1, Tok(Word, positional))
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Hypothetical-set aggregates (pg §9.22): `rank(v) WITHIN GROUP
+    * (ORDER BY x [ASC|DESC])` and the dense_rank / percent_rank /
+    * cume_dist family. Spark has no hypothetical-set aggregates; each
+    * lowers to counting aggregates over the group (live-pg-pinned,
+    * incl. NULL hypotheticals under pg's default NULLS LAST / DESC
+    * NULLS FIRST placement):
+    *   rank         = 1 + count(rows ordered before v)
+    *   dense_rank   = 1 + count(DISTINCT values ordered before v)
+    *                  (values wrapped in struct() so a NULL sort value
+    *                  still counts as one dense slot)
+    *   percent_rank = (rank − 1) / N
+    *   cume_dist    = (count(rows before-or-peer of v) + 1) / (N + 1)
+    * Single ORDER BY key, default null placement — the practical
+    * client surface; other shapes pass through (and error) rather
+    * than silently computing something else. */
+  private def rewriteHypotheticalSet(ts: ArrayBuffer[Tok]): Unit = {
+    val fns = Set("rank", "dense_rank", "percent_rank", "cume_dist")
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && fns.contains(ts(i).text.toLowerCase)) {
+        val open = nextIdx(ts, i)
+        val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+        val w = if (close > 0) nextIdx(ts, close) else -1
+        val g = if (w >= 0 && ts(w).isWord("WITHIN")) nextIdx(ts, w) else -1
+        val open2 = if (g >= 0 && ts(g).isWord("GROUP")) nextIdx(ts, g) else -1
+        val close2 = if (open2 >= 0 && ts(open2).is("(")) matchParen(ts, open2) else -1
+        if (close2 > 0) {
+          val vToks = ts.slice(open + 1, close).toSeq
+          val noComma = !vToks.exists(_.is(","))
+          val ord = nextIdx(ts, open2)
+          val by = if (ord >= 0 && ts(ord).isWord("ORDER")) nextIdx(ts, ord) else -1
+          if (noComma && vToks.exists(_.kind != Ws) && by >= 0 && ts(by).isWord("BY")) {
+            // sort key = tokens after BY, minus a trailing ASC/DESC
+            var sortToks = ts.slice(by + 1, close2).toSeq
+              .reverse.dropWhile(_.kind == Ws).reverse
+            var desc = false
+            sortToks.lastOption match {
+              case Some(t) if t.isWord("DESC") =>
+                desc = true; sortToks = sortToks.dropRight(1)
+              case Some(t) if t.isWord("ASC") => sortToks = sortToks.dropRight(1)
+              case _ =>
+            }
+            val hasNullsClause = sortToks.exists(_.isWord("NULLS"))
+            if (!hasNullsClause && sortToks.exists(_.kind != Ws)) {
+              val v = render(vToks).trim
+              val x = render(sortToks).trim
+              val before =
+                if (desc) s"(($x) > ($v) OR (($x) IS NULL AND ($v) IS NOT NULL))"
+                else s"(($x) < ($v) OR (($v) IS NULL AND ($x) IS NOT NULL))"
+              val beforeOrPeer =
+                if (desc) s"(($x) >= ($v) OR ($x) IS NULL)"
+                else s"(($x) <= ($v) OR ($v) IS NULL)"
+              val repl = ts(i).text.toLowerCase match {
+                case "rank" =>
+                  s"(1 + count(CASE WHEN $before THEN 1 END))"
+                case "dense_rank" =>
+                  s"(1 + count(DISTINCT CASE WHEN $before THEN struct($x) END))"
+                case "percent_rank" =>
+                  s"(CAST(count(CASE WHEN $before THEN 1 END) AS DOUBLE) / count(*))"
+                case _ =>
+                  s"(CAST(count(CASE WHEN $beforeOrPeer THEN 1 END) + 1 AS DOUBLE) / (count(*) + 1))"
+              }
+              ts.remove(i, close2 - i + 1)
+              ts.insert(i, Tok(Word, repl))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg `anyarray || element` / `element || anyarray` (§9.19): Spark's
+    * Concat rejects the mixed shape, so route to array_append /
+    * array_prepend. Dispatch needs a SYNTACTICALLY visible array side
+    * — an `array(…)` call (what ARRAY[…] became), an array-returning
+    * builtin, or a trailing `::type[]` cast — matching how pg resolves
+    * the overload by static type; plain column names don't dispatch
+    * (same doctrine as the jsonb operator family above). */
+  private val arrayProducerFns = Set(
+    "array", "array_append", "array_prepend", "array_remove",
+    "array_replace", "array_distinct", "array_sort", "sequence",
+    "array_cat", "concat", "slice", "pg_string_to_array", "string_to_array")
+
+  private def arrayMarkedEnd(ts: ArrayBuffer[Tok], e: Int): Boolean = {
+    if (e < 0) false
+    else if (ts(e).is("]")) {
+      // `::type[]` cast tail or ARRAY[…] (pre-constructor-pass callers)
+      true
+    } else if (ts(e).is(")")) {
+      var depth = 1
+      var j = e - 1
+      while (j >= 0 && depth > 0) {
+        if (ts(j).is(")")) depth += 1
+        else if (ts(j).is("(")) depth -= 1
+        if (depth > 0) j -= 1
+      }
+      val w = prevIdx(ts, j)
+      w >= 0 && ts(w).kind == Word &&
+        arrayProducerFns.contains(ts(w).text.toLowerCase)
+    } else false
+  }
+
+  private def rewriteArrayElemConcat(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).is("||")) {
+        val p = prevIdx(ts, i)
+        val r = nextIdx(ts, i)
+        if (p >= 0 && r >= 0) {
+          val rEnd = valueEnd(ts, r)
+          val lhsArr = arrayMarkedEnd(ts, p)
+          val rhsArr = arrayMarkedEnd(ts, rEnd)
+          if (lhsArr && !rhsArr && isValueEnd(ts(p)) &&
+            (ts(r).kind == Word || ts(r).kind == Num || ts(r).kind == Str ||
+              ts(r).is("(") || ts(r).is("-"))) {
+            // arr || elem → array_append(arr, elem)
+            val ls = lhsStart(ts, p)
+            ts(i) = Tok(Op, ",")
+            ts.insert(rEnd + 1, Tok(Op, ")"))
+            ts.insertAll(ls, Seq(Tok(Word, "array_append"), Tok(Op, "(")))
+            i = rEnd + 3
+          } else if (rhsArr && !lhsArr &&
+            (ts(p).kind == Word || ts(p).kind == Num || ts(p).kind == Str ||
+              ts(p).is(")"))) {
+            // elem || arr → array_prepend(arr, elem) (Spark arg order)
+            val ls = lhsStart(ts, p)
+            val lhsToks = ts.slice(ls, p + 1).toSeq
+            // drop `lhs ||` and wrap the array side
+            ts.remove(ls, i - ls + 1)
+            val r2 = nextIdx(ts, ls - 1) match { case -1 => ls case x => x }
+            val rEnd2 = valueEnd(ts, r2)
+            ts.insertAll(rEnd2 + 1,
+              Seq(Tok(Op, ","), Tok(Ws, " ")) ++ lhsToks ++ Seq(Tok(Op, ")")))
+            ts.insertAll(r2, Seq(Tok(Word, "array_prepend"), Tok(Op, "(")))
+            i = r2
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg's regr_avgx/regr_avgy return float8 for ANY input; Spark's
+    * return the avg result type (numeric over decimal input, which
+    * renders with trailing scale zeros). Wrap the call in a cast. */
+  private def castWrapRegrAvg(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word &&
+        (ts(i).text.equalsIgnoreCase("regr_avgx") ||
+          ts(i).text.equalsIgnoreCase("regr_avgy"))) {
+        val open = nextIdx(ts, i)
+        val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+        if (close > 0) {
+          // hidden-paren wrapper tokens (balanced in the rendered SQL)
+          ts.insert(close + 1, Tok(Word, " AS DOUBLE)"))
+          ts.insert(i, Tok(Word, "CAST("))
+          i = close + 2
         }
       }
       i += 1
@@ -1941,13 +2211,23 @@ object Compat {
             // depth-1 FROM whose operand is a string literal right
             // before the close paren
             var j = open + 1; var depth = 0; var fromIdx = -1
+            var similarIdx = -1; var escapeIdx = -1
             while (j < close) {
               if (ts(j).is("(") || ts(j).is("[")) depth += 1
               else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
               else if (depth == 0 && ts(j).isWord("FROM")) fromIdx = j
+              else if (depth == 0 && ts(j).isWord("SIMILAR")) similarIdx = j
+              else if (depth == 0 && ts(j).isWord("ESCAPE")) escapeIdx = j
               j += 1
             }
-            if (fromIdx > 0) {
+            if (similarIdx > 0 && escapeIdx > similarIdx) {
+              // SQL-standard `substring(str SIMILAR pat ESCAPE esc)`
+              // (pg §9.7.2): regex-group extraction with the #"…#"
+              // markers — route to the pg_substring_similar UDF
+              ts(escapeIdx) = Tok(Op, ",")
+              ts(similarIdx) = Tok(Op, ",")
+              ts(i) = Tok(Word, "pg_substring_similar")
+            } else if (fromIdx > 0) {
               val pat = nextIdx(ts, fromIdx)
               if (pat >= 0 && ts(pat).kind == Str && nextIdx(ts, pat) == close) {
                 ts(fromIdx) = Tok(Op, ",")
@@ -1965,7 +2245,13 @@ object Compat {
                 }
                 ts(fromIdx) = Tok(Op, ",")
                 if (forIdx > 0) ts(forIdx) = Tok(Op, ",")
-                else ts.insert(close, Tok(Word, ", 2147483647"))
+                else {
+                  // insert a REAL comma token — a composite ", N" Word
+                  // hides the comma from padFunctionArgs' arity count,
+                  // which then double-padded the 2-arg FROM form
+                  ts.insert(close, Tok(Word, " 2147483647"))
+                  ts.insert(close, Tok(Op, ","))
+                }
                 ts(i) = Tok(Word, "pg_substr")
               }
             }
@@ -2025,8 +2311,12 @@ object Compat {
             // field and errors on extract(days …), where pg returns 0
             val pv = prevIdx(ts, i)
             val inExtract = pv >= 0 && ts(pv).isWord("FROM")
+            // glued number+unit ('15h 2m 12s') — valid pg input that
+            // Spark's literal parser rejects outright
+            val gluedUnit = "(?i)\\d(us|ms|secs?|mins?|hrs?|mons?|yrs?|[smhdwy])\\b".r
+              .findFirstIn(body).nonEmpty
             if (mixed || dayColon || mixedSign || colonOnly || inExtract ||
-              pgOnly.findFirstIn(body).nonEmpty ||
+              gluedUnit || pgOnly.findFirstIn(body).nonEmpty ||
               fracUnit.findFirstIn(body).nonEmpty) {
               ts(i) = Tok(Word, "pg_interval")
               ts.insert(lit + 1, Tok(Op, ")"))
@@ -2066,7 +2356,14 @@ object Compat {
     "microseconds" -> ("CAST(extract(SECOND FROM ",
       ") * 1000000 AS BIGINT)"),
     "milliseconds" -> ("CAST(extract(SECOND FROM ",
-      ") * 1000 AS DECIMAL(20,3))"))
+      ") * 1000 AS DECIMAL(20,3))"),
+    // Julian Date: pg pins 1970-01-01 00:00 → 2440588 with the day
+    // fraction measured from midnight (live-pg: '2024-01-01 18:00' →
+    // 2460311.75, '1969-12-31 12:00' → 2440587.5). Double render
+    // matches pg exactly for dates (integer value) and up to pg's
+    // cosmetic trailing numeric zeros for timestamps.
+    "julian" -> ("(CAST(unix_micros(CAST(",
+      " AS TIMESTAMP)) AS DOUBLE) / 86400000000.0 + 2440588)"))
 
   private def rewriteExtractEpoch(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
@@ -2259,7 +2556,18 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
-      if (t.kind == Op && (t.text == "~" || t.text == "~*" || t.text == "!~" || t.text == "!~*")) {
+      // pg's LIKE-operator spellings (`~~` ≡ LIKE, `~~*` ≡ ILIKE and
+      // negations) — clients and ORMs emit them directly; Spark's
+      // parser has LIKE/ILIKE keywords with identical semantics
+      if (t.kind == Op && (t.text == "~~" || t.text == "~~*" ||
+          t.text == "!~~" || t.text == "!~~*")) {
+        ts(i) = Tok(Word, t.text match {
+          case "~~" => "LIKE"
+          case "~~*" => "ILIKE"
+          case "!~~" => "NOT LIKE"
+          case _ => "NOT ILIKE"
+        })
+      } else if (t.kind == Op && (t.text == "~" || t.text == "~*" || t.text == "!~" || t.text == "!~*")) {
         val p = prevIdx(ts, i)
         val keywordBefore = p >= 0 && ts(p).kind == Word &&
           Set("SELECT", "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN",

@@ -427,8 +427,13 @@ object Handlers {
     val lower = rewritten.toLowerCase
     if (lower.contains("pg_") || lower.contains("information_schema"))
       PgCatalog.refresh(spark)
-    val df = spark.sql(rewritten)
-    if (lower.contains("pg_time_in")) tagTimeOutputs(df) else df
+    // pg dialect type semantics: the analyzer rule (GraftExtensions
+    // sessions) fires inside withPg; the post-analysis apply covers
+    // terminal positions on sessions built without the extension
+    val df = PgSemantics(PgSemantics.withPg { spark.sql(rewritten) })
+    if (lower.contains("pg_time_in") || lower.contains("make_time("))
+      tagTimeOutputs(df)
+    else df
   }
 
   private val timeMeta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -447,7 +452,8 @@ object Handlers {
     val timeIds = df.queryExecution.analyzed.collect { case p =>
       p.expressions.collect {
         case a: Alias if (a.child match {
-          case u: ScalaUDF => u.udfName.contains("pg_time_in")
+          case u: ScalaUDF =>
+            u.udfName.exists(n => n.contains("pg_time_in") || n == "make_time")
           case _ => false
         }) => a.exprId
       }

@@ -502,8 +502,11 @@ object PgFunctions {
     * expressions pass through verbatim, SQL-regex metachars
     * ()|*+?{} keep their meaning, POSIX-only metachars .^$\ are
     * literal in SIMILAR TO and get escaped. */
-  def similarEscape(pat: String, esc: Option[Char] = Some('\\')): String = {
-    val sb = new StringBuilder("^(?:")
+  def similarEscape(pat: String, esc: Option[Char] = Some('\\')): String =
+    "^(?:" + similarBody(pat, esc) + ")$"
+
+  private def similarBody(pat: String, esc: Option[Char]): String = {
+    val sb = new StringBuilder
     var i = 0
     val n = pat.length
     while (i < n) {
@@ -528,7 +531,37 @@ object PgFunctions {
       else sb.append(c)
       i += 1
     }
-    sb.append(")$").toString
+    sb.toString
+  }
+
+  /** SQL-standard `substring(str SIMILAR pat ESCAPE esc)` (pg §9.7.2):
+    * the pattern's two escape-double-quote markers (`esc`+`"`) bracket
+    * the section to return; without markers the whole match returns.
+    * No match → NULL. Live-pg-pinned (sweep #6). */
+  def substringSimilar(s: String, pat: String, esc: String): String = {
+    if (s == null || pat == null || esc == null) return null
+    val e = if (esc.isEmpty) None else Some(esc.charAt(0))
+    // split the pattern on esc+'"' markers, keeping other escape pairs
+    val parts = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (e.contains(c) && i + 1 < pat.length && pat.charAt(i + 1) == '"') {
+        parts += new StringBuilder; i += 2
+      } else if (e.contains(c) && i + 1 < pat.length) {
+        parts.last.append(c).append(pat.charAt(i + 1)); i += 2
+      } else { parts.last.append(c); i += 1 }
+    }
+    val regex = parts.length match {
+      case 1 => "^(" + similarBody(parts(0).toString, e) + ")$"
+      case 3 => "^(?:" + similarBody(parts(0).toString, e) + ")(" +
+        similarBody(parts(1).toString, e) + ")(?:" +
+        similarBody(parts(2).toString, e) + ")$"
+      case _ => throw new IllegalArgumentException(
+        "SQL regular expression may not contain more than two escape-double-quote separators")
+    }
+    val m = java.util.regex.Pattern.compile(regex).matcher(s)
+    if (m.matches()) m.group(1) else null
   }
 
   /** pg_input_is_valid(text, typename): try-cast over the engine's
@@ -918,6 +951,16 @@ object PgFunctions {
     u.register("pg_time_in", (s: String) =>
       (if (s == null) null
        else java.lang.Long.valueOf(PgType.timeInputNanos(s))): java.lang.Long)
+    // make_time(h, m, s) → TIME (nanos-since-midnight; Handlers tags
+    // the column pg.type=time exactly like pg_time_in outputs)
+    u.register("make_time", (h: Integer, m: Integer, s: java.lang.Double) =>
+      (if (h == null || m == null || s == null) null
+       else if (h < 0 || h > 23 || m < 0 || m > 59 || s < 0 || s >= 60)
+         throw new IllegalArgumentException(
+           f"time field value out of range: $h%d:$m%d:${s.doubleValue()}%s")
+       else java.lang.Long.valueOf(
+         h.longValue() * 3600000000000L + m.longValue() * 60000000000L +
+           math.round(s.doubleValue() * 1e9))): java.lang.Long)
     // timezone(zone, timestamptz) is a native expression now
     // (PgFormatExpressions.PgTimezone) — no UDF registration here
     // our timestamps have no 'infinity'; every stored value is finite
@@ -1100,6 +1143,8 @@ object PgFunctions {
     // pattern + validation
     u.register("similar_to_escape", (p: String) =>
       if (p == null) null else similarEscape(p))
+    u.register("pg_substring_similar", (s: String, p: String, e: String) =>
+      substringSimilar(s, p, e))
     u.register("pg_input_is_valid", (s: String, t: String) =>
       if (t == null) null else java.lang.Boolean.valueOf(inputIsValid(s, t)))
     // record-returning twin: NULL members when the input is valid
@@ -1174,6 +1219,21 @@ object PgFunctions {
       if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(1))
     u.register("pg_array_length", (arr: Seq[Any], dim: Int) =>
       if (arr == null || arr.isEmpty || dim != 1) null else Integer.valueOf(arr.length))
+    // pg array_dims text form '[1:n][1:m]…' — lower bounds are always
+    // 1 here (no pg offset-array inputs exist in this engine);
+    // empty/NULL → NULL as pg
+    u.register("array_dims", (arr: Seq[Any]) =>
+      if (arr == null || arr.isEmpty) null
+      else {
+        val sb = new StringBuilder(s"[1:${arr.length}]")
+        var cur: Any = arr.head
+        while (cur.isInstanceOf[Seq[_]]) {
+          val ss = cur.asInstanceOf[Seq[_]]
+          sb.append(s"[1:${ss.length}]")
+          cur = if (ss.isEmpty) null else ss.head
+        }
+        sb.toString
+      })
     // pg string_to_array splits on a LITERAL delimiter (Spark's split
     // takes a regex, so '.'-style delimiters would explode)
     // pg 15 pinned: '' input -> empty array; NULL delimiter -> one

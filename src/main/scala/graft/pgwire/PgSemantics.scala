@@ -1,0 +1,153 @@
+package graft.pgwire
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.graftshim.DatasetShim
+import org.apache.spark.sql.types._
+
+/** Type-directed pg semantics that a TEXT rewrite cannot express —
+  * operand types are only known at analysis time. Two delivery layers:
+  *
+  *  1. [[PgSemantics.Resolution]] — an analyzer rule (injected by
+  *     `graft.GraftExtensions`) active ONLY inside
+  *     [[PgSemantics.withPg]]'s dynamic extent on the calling thread.
+  *     [[Handlers.runSql]] wraps every wire-path query in it, so pg
+  *     dialect semantics apply exactly to server/client SQL while
+  *     queries run through the plain Spark API (the oracle suite,
+  *     library users) keep Spark semantics. Running inside the
+  *     analyzer lets the rewritten types COMPOSE: `(d1 - d2) - 1`
+  *     resolves as int arithmetic because date−date becomes an int
+  *     before the outer subtraction resolves.
+  *  2. [[PgSemantics.apply]] — the same rewrites as a post-analysis
+  *     transform, for sessions built without the extension (terminal
+  *     positions only; composition needs layer 1).
+  *
+  * The rules (all live-pg-15-pinned, PgParitySpec sweep #6):
+  *
+  *  - `int / int` → truncating integer division in the wider operand
+  *    type (pg `7/2 = 3`, `-7/2 = -3`, `pg_typeof(7/2) = integer`).
+  *    Spark's analyzer coerces both sides to DOUBLE; the rule detects
+  *    that exact coercion shape and requires the casts to be
+  *    analyzer-inserted (no [[Cast.USER_SPECIFIED_CAST]] tag), so an
+  *    explicit `a::float8 / b` keeps float division.
+  *  - numeric → int casts round half-away-from-zero (pg
+  *    `2.5::int = 3`, `(-2.5)::int = -3`; Spark truncates). String
+  *    sources are untouched (documented deviation: pg ERRORS on
+  *    `'2.5'::int`, Spark's non-ANSI cast truncates).
+  *  - `date - date` → integer day count (pg int4; Spark makes an
+  *    INTERVAL DAY).
+  *  - `date ± interval` → timestamp WITHOUT time zone (pg returns
+  *    timestamp; Spark's DateAddInterval stays DATE, truncating the
+  *    time-of-day part).
+  *
+  * Reference anchor: the reference engine inherits these from
+  * DataFusion's pg-style arithmetic; here they are reconstructed
+  * against the live pg 15 oracle (PgDiffTool sweep #6).
+  */
+object PgSemantics {
+
+  private val activeFlag = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  def active: Boolean = activeFlag.get().booleanValue()
+
+  /** Run `body` with pg dialect semantics active on this thread —
+    * every plan ANALYZED inside (analysis is eager in `spark.sql`)
+    * carries the rewrites for its lifetime. */
+  def withPg[T](body: => T): T = {
+    val prev = activeFlag.get()
+    activeFlag.set(java.lang.Boolean.TRUE)
+    try body finally activeFlag.set(prev)
+  }
+
+  /** Analyzer rule — a no-op unless [[withPg]] is active on the
+    * current thread (so the shared GraftExtensions session keeps
+    * Spark semantics for everything else). */
+  object Resolution extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (!active) plan else rewriteExpressions(plan)
+  }
+
+  /** Post-analysis fallback for sessions without GraftExtensions. */
+  def apply(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val newPlan = rewriteExpressions(plan)
+    if (newPlan eq plan) df else DatasetShim.ofRows(df.sparkSession, newPlan)
+  }
+
+  private def rewriteExpressions(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // int / int (both casts analyzer-inserted) → truncating division
+      case Divide(
+            lc @ Cast(l, DoubleType, _, _),
+            rc @ Cast(r, DoubleType, _, _), _)
+          if l.resolved && r.resolved &&
+            isIntegral(l.dataType) && isIntegral(r.dataType) &&
+            notUserCast(lc) && notUserCast(rc) =>
+        Cast(new IntegralDivide(l, r), widerInt(l.dataType, r.dataType))
+
+      // fractional-numeric → integral cast: round half-away-from-zero
+      case c @ Cast(child, target, tz, mode)
+          if child.resolved && isIntegral(target) &&
+            isFractional(child.dataType) &&
+            c.getTagValue(roundedTag).isEmpty => {
+        val inner = new Round(child, Literal(0))
+        val rounded = Cast(inner, target, tz, mode)
+        rounded.setTagValue(roundedTag, ())
+        c.getTagValue(Cast.USER_SPECIFIED_CAST)
+          .foreach(_ => rounded.setTagValue(Cast.USER_SPECIFIED_CAST, ()))
+        rounded
+      }
+
+      // date - date → int day count
+      case SubtractDates(l, r, _) if l.resolved && r.resolved =>
+        DateDiff(l, r)
+
+      // date ± interval → timestamp without time zone.
+      // Three analyzer shapes cover pg's one rule: CalendarInterval
+      // (pg_interval casts) resolves to DateAddInterval; a native
+      // day-time interval literal resolves to TimestampAddInterval
+      // over an implicit date→timestamp cast (session-zoned — retarget
+      // it to NTZ); a year-month interval resolves to DateAddYMInterval
+      // (stays DATE, dropping pg's midnight time part).
+      case DateAddInterval(d, itvl, tz, _) if d.resolved && itvl.resolved =>
+        new TimestampAddInterval(Cast(d, TimestampNTZType), itvl, tz)
+      case TimestampAddInterval(c @ Cast(d, TimestampType, _, _), itvl, tz)
+          if d.resolved && d.dataType == DateType && notUserCast(c) =>
+        new TimestampAddInterval(Cast(d, TimestampNTZType), itvl, tz)
+      case DateAddYMInterval(d, itvl) if d.resolved && itvl.resolved =>
+        new TimestampAddYMInterval(Cast(d, TimestampNTZType), itvl, None)
+    }
+
+  private val roundedTag = new TreeNodeTag[Unit]("graft.pg.roundedCast")
+
+  private def notUserCast(c: Cast): Boolean =
+    c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def isFractional(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def widerInt(a: DataType, b: DataType): DataType = {
+    def rank(t: DataType): Int = t match {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType => 2
+      case _ => 3
+    }
+    // pg's common division results: int⊗int → int4, anything with an
+    // int8 side → int8 (int2/int2 → int2 in pg; int4 here renders
+    // identically in text and keeps one wire OID for the common cases)
+    if (rank(a) <= 2 && rank(b) <= 2) IntegerType else LongType
+  }
+}

@@ -831,5 +831,51 @@ object PgCompat {
             |FROM events, json_populate_record(null::region,
             |  json_build_object('r_regionkey', event_id % 5, 'r_name', event_type)) AS p
             |ORDER BY event_id""".stripMargin) })
+    },
+
+    // round-11: pg `SELECT DISTINCT ON (keys)` — keep the first row
+    // per key group in ORDER BY order (Compat lowers it to a
+    // row_number window). Ties broken by o_orderkey → deterministic.
+    // Oracle is the equivalent window formulation.
+    Q.df("q121_distinct_on",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        Handlers.runSql(s,
+          """SELECT o_custkey, o_orderkey, o_totalprice
+            |FROM (SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+            |      FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey) t
+            |ORDER BY o_custkey""".stripMargin) })
+    },
+
+    // round-11: hypothetical-set aggregates (pg §9.22) — rank /
+    // dense_rank / percent_rank / cume_dist WITHIN GROUP lower to
+    // counting aggregates (Compat.rewriteHypotheticalSet, live-pg-
+    // pinned in PgParitySpec). Oracle recomputes each from the same
+    // exact counts.
+    Q.df("q122_hypothetical_aggs",
+      """SELECT o_orderpriority,
+        |  CAST(1 + count(*) FILTER (WHERE o_totalprice < 150000.0) AS BIGINT) AS hrank,
+        |  CAST(1 + count(DISTINCT CASE WHEN o_totalprice < 150000.0
+        |                 THEN o_totalprice END) AS BIGINT) AS hdense,
+        |  CAST(count(*) FILTER (WHERE o_totalprice < 150000.0) AS DOUBLE)
+        |    / count(*) AS prank,
+        |  CAST(count(*) FILTER (WHERE o_totalprice <= 150000.0) + 1 AS DOUBLE)
+        |    / (count(*) + 1) AS cdist
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        Handlers.runSql(s,
+          """SELECT o_orderpriority,
+            |  CAST(rank(150000.0) WITHIN GROUP (ORDER BY o_totalprice) AS BIGINT) AS hrank,
+            |  CAST(dense_rank(150000.0) WITHIN GROUP (ORDER BY o_totalprice) AS BIGINT) AS hdense,
+            |  percent_rank(150000.0) WITHIN GROUP (ORDER BY o_totalprice) AS prank,
+            |  cume_dist(150000.0) WITHIN GROUP (ORDER BY o_totalprice) AS cdist
+            |FROM orders GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin) })
     })
 }

@@ -21,6 +21,7 @@ object PgDiffTool {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,8 +33,9 @@ object PgDiffTool {
     vectors.foreach { v =>
       val res =
         try {
-          val sql = pgwire.Compat.rewrite(s"SELECT $v")
-          val df = spark.sql(sql)
+          // the SAME path the live server runs: Compat rewrite +
+          // PgSemantics plan pass + TIME tagging (Handlers.runSql)
+          val df = pgwire.Handlers.runSql(spark, s"SELECT $v")
           val row = df.collect()(0)
           val f = df.schema.fields(0)
           pgwire.TextEncoder.encodeField(row.get(0), f, java.time.ZoneOffset.UTC)

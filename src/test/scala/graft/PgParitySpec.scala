@@ -16,8 +16,9 @@ class PgParitySpec extends SparkSpec {
 
   private def one(expr: String): String = {
     graft.pgwire.PgFunctions.registerAll(spark)
-    val sql = graft.pgwire.Compat.rewrite(s"SELECT $expr")
-    val df = spark.sql(sql)
+    // the SAME path the live server runs: Compat rewrite + PgSemantics
+    // plan pass + TIME tagging (Handlers.runSql)
+    val df = graft.pgwire.Handlers.runSql(spark, s"SELECT $expr")
     val row = df.collect()(0)
     graft.pgwire.TextEncoder.encodeField(row.get(0), df.schema.fields(0),
       java.time.ZoneOffset.UTC).getOrElse("<NULL>")
@@ -468,7 +469,91 @@ class PgParitySpec extends SparkSpec {
       "2024-03-07 11:13:15+00")
     assert(one("timestamp '2024-03-07' - time '01:00:00'") ===
       "2024-03-06 23:00:00+00")
+    // date + time starts from DATE, so the sweep-6 date±interval rule
+    // carries it to timestamp WITHOUT tz — pg's exact output
     assert(one("date '2024-03-07' + time '12:30:00'") ===
-      "2024-03-07 12:30:00+00")
+      "2024-03-07 12:30:00")
+  }
+
+  test("sweep-6: integer division truncates; numeric→int casts round (live pg 15)") {
+    assert(one("7 / 2") === "3")
+    assert(one("(-7) / 2") === "-3")
+    assert(one("pg_typeof(7 / 2)") === "integer")
+    assert(one("pg_typeof(7::bigint / 2)") === "bigint")
+    // explicit float cast keeps float division (USER_SPECIFIED_CAST guard)
+    assert(one("7::float8 / 2") === "3.5")
+    assert(one("cast(2.999 as int)") === "3")
+    assert(one("cast(2.5 as int)") === "3")
+    assert(one("cast(-2.5 as int)") === "-3")
+    assert(one("cast(3.5 as int)") === "4")
+    assert(one("cast(2.4 as int)") === "2")
+    // date − date is an integer day count, composable as one
+    assert(one("date '2024-03-01' - date '2024-02-01'") === "29")
+    assert(one("date '2024-03-01' - date '2024-02-01' - 1") === "28")
+    // date ± interval is a timestamp (pg: without time zone)
+    assert(one("'2024-01-01'::date - '1 day'::interval") === "2023-12-31 00:00:00")
+    assert(one("date '2024-01-01' + interval '90 minutes'") === "2024-01-01 01:30:00")
+  }
+
+  test("sweep-6: LIKE-operator spellings and ROW IS NULL field semantics (live pg 15)") {
+    assert(one("'abc' ~~ 'a%'") === "t")
+    assert(one("'abc' !~~ 'a%'") === "f")
+    assert(one("'ABC' ~~* 'a%'") === "t")
+    assert(one("'ABC' !~~* 'a%'") === "f")
+    assert(one("ROW(NULL, NULL) IS NULL") === "t")
+    assert(one("ROW(1, NULL) IS NULL") === "f")
+    assert(one("ROW(1, 2) IS NOT NULL") === "t")
+    assert(one("ROW(1, NULL) IS NOT NULL") === "f")
+  }
+
+  test("sweep-6: substring forms — 2-arg FROM and SIMILAR/ESCAPE (live pg 15)") {
+    assert(one("substring('Thomas' from 3)") === "omas")
+    assert(one("substring('Thomas' from 2 for 3)") === "hom")
+    assert(one("""substring('Thomas' similar '%#"o_a#"_' escape '#')""") === "oma")
+    assert(one("substring('Thomas' similar '%mas' escape '#')") === "Thomas")
+    assert(one("substring('Thomas' similar 'X%' escape '#')") === "<NULL>")
+  }
+
+  test("sweep-6: array ops — elem concat, array_dims (live pg 15)") {
+    assert(one("ARRAY[1,2] || 3") === "{1,2,3}")
+    assert(one("4 || ARRAY[5,6]") === "{4,5,6}")
+    assert(one("ARRAY[1] || 2 || 3") === "{1,2,3}")
+    assert(one("ARRAY[1,2] || ARRAY[3]") === "{1,2,3}")
+    assert(one("array_dims(ARRAY[1,2,3])") === "[1:3]")
+    assert(one("array_dims(ARRAY[]::int[])") === "<NULL>")
+  }
+
+  test("sweep-6: make_time/make_interval/make_timestamp/julian (live pg 15)") {
+    assert(one("make_time(8, 15, 23.5)") === "08:15:23.5")
+    assert(one("make_interval(years => 1, months => 2, days => 3)") ===
+      "1 year 2 mons 3 days")
+    assert(one("make_interval(hours => 5, secs => 1.5)") === "05:00:01.5")
+    // pg make_timestamp returns timestamp WITHOUT tz (no +00)
+    assert(one("make_timestamp(2024, 6, 1, 12, 30, 45.5)") === "2024-06-01 12:30:45.5")
+    assert(one("extract(julian from date '2024-01-01')") === "2460311")
+    assert(one("extract(julian from timestamp '1969-12-31 12:00')") === "2440587.5")
+    assert(one("to_char(interval '15h 2m 12s', 'HH24:MI:SS')") === "15:02:12")
+  }
+
+  test("sweep-6: hypothetical-set aggregates lower to counting aggregates (live pg 15)") {
+    def agg(fn: String, v: String, dirn: String = "") =
+      one(s"(SELECT $fn($v) WITHIN GROUP (ORDER BY x $dirn) " +
+        "FROM (VALUES (1.0),(2.0),(3.0),(4.0)) t(x))")
+    assert(agg("rank", "2.5") === "3")
+    assert(agg("rank", "2.5", "DESC") === "3")
+    assert(agg("percent_rank", "2.5") === "0.5")
+    assert(agg("cume_dist", "2.5") === "0.6")
+    assert(one("(SELECT dense_rank(2.5) WITHIN GROUP (ORDER BY x) " +
+      "FROM (VALUES (1.0),(2.0),(2.0),(3.0)) t(x))") === "3")
+    assert(one("(SELECT cume_dist(2.0) WITHIN GROUP (ORDER BY x) " +
+      "FROM (VALUES (1.0),(2.0),(2.0),(3.0)) t(x))") === "0.8")
+    // NULL hypothetical ranks after all non-nulls (ASC NULLS LAST)
+    assert(one("(SELECT rank(NULL::numeric) WITHIN GROUP (ORDER BY x) " +
+      "FROM (VALUES (1.0),(2.0)) t(x))") === "3")
+  }
+
+  test("sweep-6: regr_avgx/avgy are float8 for any input (live pg 15)") {
+    assert(one("(SELECT regr_avgx(y,x) FROM (VALUES (1.0,2.0),(2.0,4.1),(3.0,5.9)) t(x,y))") === "2")
+    assert(one("(SELECT regr_avgy(y,x) FROM (VALUES (1.0,2.0),(2.0,4.1),(3.0,5.9)) t(x,y))") === "4")
   }
 }
