@@ -530,6 +530,61 @@ object PgFormatExpressions {
       copy(left = l, right = r)
   }
 
+  /** The other direction of pg §9.9.4 `timezone(zone, ts)` /
+    * `ts AT TIME ZONE zone`: a naive timestamp (without time zone) is
+    * INTERPRETED in `zone` and becomes timestamptz. Dispatched by
+    * operand type at resolution (PgSemantics rewrites the registered
+    * tz-direction call when the input is TIMESTAMP_NTZ, mirroring
+    * pg's static-type overload resolution). Gap/overlap local times
+    * resolve by `ZoneRules.getOffset(LocalDateTime)` — the standard
+    * "earlier offset" convention, matching pg. */
+  case class PgTimezoneToTz(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = TimestampType
+    override def prettyName: String = "timezone"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == TimestampNTZType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("timezone(text, timestamp)")
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => genDirect(ctx, ev, this, canBeNull = false, Seq(l, r)))
+
+    @transient @volatile private var cached: (UTF8String, ZoneId, Int) = null
+
+    override def nullSafeEval(z: Any, ts: Any): Any = {
+      val zs = z.asInstanceOf[UTF8String]
+      var c = cached
+      if (c == null || !c._1.equals(zs)) {
+        val zid = ZoneId.of(zs.toString)
+        val fixed =
+          if (zid.getRules.isFixedOffset)
+            zid.getRules.getOffset(java.time.Instant.EPOCH).getTotalSeconds
+          else Int.MinValue
+        c = (zs.clone(), zid, fixed)
+        cached = c
+      }
+      val micros = ts.asInstanceOf[Long]
+      val off =
+        if (c._3 != Int.MinValue) c._3
+        else {
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          c._2.getRules.getOffset(ldt).getTotalSeconds
+        }
+      micros - off * 1000000L
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgTimezoneToTz =
+      copy(left = l, right = r)
+  }
+
   /** pg interval input parser as an expression: `pg_interval('1 mon
     * -1 hour')` → CalendarInterval. Compat reroutes bare INTERVAL
     * 'text' literals here when Spark's own literal syntax can't carry

@@ -398,6 +398,11 @@ object Compat {
     rewriteLimitCast(ts)
     rewriteCastTypes(ts)
     rewriteTimeArithmetic(ts)
+    // AT TIME ZONE first: its literal dispatch distinguishes
+    // `timestamp '…'` (→ NTZ direction) from `timestamptz '…'`, which
+    // the literal rename below collapses
+    rewriteAtTimeZone(ts)
+    rewriteTimestamptzLiterals(ts)
     rewriteHypotheticalSet(ts)
     castWrapRegrAvg(ts)
     wrapByteaLiteralArgs(ts)
@@ -1261,6 +1266,60 @@ object Compat {
     }
   }
 
+  /** pg `expr AT TIME ZONE zone` (§9.9.4) → `timezone(zone, expr)` —
+    * the same native expression behind the timezone() function, with
+    * operand-type dispatch (PgSemantics flips direction for
+    * timestamp-without-tz inputs). The `timestamp '…'` LITERAL form
+    * retargets to TIMESTAMP_NTZ first so it takes pg's
+    * naive-in-zone → timestamptz direction (the TimestampType ≡
+    * timestamptz deviation would otherwise flip it). */
+  /** Bare `timestamptz '…'` typed literals: Spark has no TIMESTAMPTZ
+    * literal keyword; its TIMESTAMP literal parses offsets and the
+    * engine's TimestampType ≡ timestamptz, so a rename carries pg's
+    * semantics exactly. */
+  private def rewriteTimestamptzLiterals(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("timestamptz")) {
+        val lit = nextIdx(ts, i)
+        if (lit >= 0 && ts(lit).kind == Str) ts(i) = Tok(Word, "timestamp")
+      }
+      i += 1
+    }
+  }
+
+  private def rewriteAtTimeZone(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("AT")) {
+        val t1 = nextIdx(ts, i)
+        val t2 = if (t1 >= 0) nextIdx(ts, t1) else -1
+        if (t1 >= 0 && ts(t1).isWord("TIME") && t2 >= 0 && ts(t2).isWord("ZONE")) {
+          val p = prevIdx(ts, i)
+          val z = nextIdx(ts, t2)
+          if (p >= 0 && z >= 0 && isValueEnd(ts(p))) {
+            val zEnd = valueEnd(ts, z)
+            var ls = lhsStart(ts, p)
+            if (ts(p).kind == Str) {
+              val tw = prevIdx(ts, p)
+              if (tw >= 0 && ts(tw).isWord("timestamp")) {
+                ts(tw) = Tok(Word, "timestamp_ntz"); ls = tw
+              } else if (tw >= 0 && ts(tw).isWord("timestamptz")) ls = tw
+            }
+            val lhsToks = ts.slice(ls, p + 1).toSeq
+            val zoneToks = ts.slice(z, zEnd + 1).toSeq
+            val repl = ArrayBuffer[Tok](Tok(Word, "timezone"), Tok(Op, "(")) ++
+              zoneToks ++ Seq(Tok(Op, ","), Tok(Ws, " ")) ++ lhsToks ++ Seq(Tok(Op, ")"))
+            ts.remove(ls, zEnd - ls + 1)
+            ts.insertAll(ls, repl)
+            i = ls + repl.length - 1
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   /** pg's regr_avgx/regr_avgy return float8 for ANY input; Spark's
     * return the avg result type (numeric over decimal input, which
     * renders with trailing scale zeros). Wrap the call in a cast. */
@@ -1570,10 +1629,37 @@ object Compat {
     // aggregate-internal ORDER BY (Spark can't parse it): sorted by
     // VALUE deterministically — the same convention as the json aggs
     val orderedAggs = Set("string_agg", "array_agg")
+    // order-INSENSITIVE aggregates: pg still accepts the clause
+    // (`max(x ORDER BY x)` is valid, a no-op) — just strip it
+    val orderFreeAggs = Set("max", "min", "sum", "avg", "count",
+      "bool_and", "bool_or", "every", "bit_and", "bit_or", "bit_xor",
+      "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+      "var_samp", "corr", "covar_pop", "covar_samp")
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
       val lower = if (t.kind == Word) t.text.toLowerCase else ""
+      if (orderFreeAggs.contains(lower)) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            var depth = 0; var orderIdx = -1
+            var j = open
+            while (j <= close && orderIdx < 0) {
+              val tok = ts(j)
+              if (tok.is("(") || tok.is("[")) depth += 1
+              else if (tok.is(")") || tok.is("]")) depth -= 1
+              else if (depth == 1 && tok.isWord("ORDER")) {
+                val nb = nextIdx(ts, j)
+                if (nb >= 0 && ts(nb).isWord("BY")) orderIdx = j
+              }
+              j += 1
+            }
+            if (orderIdx > 0) ts.remove(orderIdx, close - orderIdx)
+          }
+        }
+      }
       if (orderedAggs.contains(lower)) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {
@@ -2979,6 +3065,37 @@ object Compat {
           ts.insert(p + 1, Tok(Op, ")"))
           ts.insertAll(start, Seq(Tok(Word, "pg_time_in"), Tok(Op, "(")))
           i = p + 3
+        } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
+            val tn = ts(t).text.toLowerCase
+            (tn == "char" || tn == "bpchar" || tn == "varchar") && {
+              val b = nextIdx(ts, t); b >= 0 && ts(b).is("(")
+            }
+          }) {
+          // pg length-typed character casts (sweep #7): `x::char(n)`
+          // blank-pads AND truncates to n (bpchar semantics → rpad,
+          // which does both); `x::varchar(n)` truncates only →
+          // substr. Spark's CAST AS CHAR(n) is schema-only. Documented
+          // deviation: char(n) comparisons here are pad-SENSITIVE
+          // (pg ignores trailing blanks when comparing two bpchars).
+          val tn = ts(t).text.toLowerCase
+          val open = nextIdx(ts, t)
+          val close = matchParen(ts, open)
+          val nTok = if (open >= 0) nextIdx(ts, open) else -1
+          if (close > 0 && nTok >= 0 && ts(nTok).kind == Num) {
+            val n = ts(nTok).text
+            var start = primaryStart(ts, p)
+            var pb = prevIdx(ts, start)
+            while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
+              start = primaryStart(ts, prevIdx(ts, pb))
+              pb = prevIdx(ts, start)
+            }
+            val callee = if (tn == "varchar") "substr(CAST(" else "rpad(CAST("
+            val tail = if (tn == "varchar") s" AS STRING), 1, $n)" else s" AS STRING), $n)"
+            ts.remove(i, close - i + 1)
+            ts.insert(p + 1, Tok(Word, tail))
+            ts.insert(start, Tok(Word, callee))
+            i = p + 2
+          } else mapTypeAt(ts, t)
         } else if (t >= 0 && ts(t).kind == Word) {
           // pg bool input accepts on/off, which Spark's cast rejects
           if ((ts(t).text.equalsIgnoreCase("boolean") ||

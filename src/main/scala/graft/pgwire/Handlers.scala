@@ -534,7 +534,11 @@ object Handlers {
       val task = new TimerTask {
         def run(): Unit = { timedOut = true; spark.sparkContext.cancelJobGroup(jobGroup) }
       }
-      timer.schedule(task, ms)
+      // LEVEL-triggered: a one-shot cancel races statement planning —
+      // if the deadline passes while Catalyst is still analyzing/
+      // codegen-ing, no job exists yet, the cancel no-ops, and the
+      // job then runs unbounded. Re-fire until the body returns.
+      timer.scheduleAtFixedRate(task, ms, 250)
       try {
         val r = body
         if (timedOut)

@@ -121,7 +121,63 @@ object PgSemantics {
         new TimestampAddInterval(Cast(d, TimestampNTZType), itvl, tz)
       case DateAddYMInterval(d, itvl) if d.resolved && itvl.resolved =>
         new TimestampAddYMInterval(Cast(d, TimestampNTZType), itvl, None)
+
+      // timezone(zone, ts) / AT TIME ZONE with a timestamp-WITHOUT-tz
+      // operand: pg's overload interprets the naive value IN the zone
+      // → timestamptz. The registered builder pins the tz→ntz
+      // direction via an implicit cast; undo it when the source is NTZ
+      case graft.functions.PgFormatExpressions.PgTimezone(
+            z, c @ Cast(x, TimestampType, _, _))
+          if x.resolved && x.dataType == TimestampNTZType && notUserCast(c) =>
+        graft.functions.PgFormatExpressions.PgTimezoneToTz(z, x)
+
+      // float → text casts ride pg's output function (shortest
+      // precise form), not Spark's Double.toString
+      case Cast(f, StringType, _, _)
+          if f.resolved &&
+            (f.dataType == DoubleType || f.dataType == FloatType) =>
+        PgFloatText(f, f.dataType == FloatType)
+
+      // concat's argument conversion uses pg's OUTPUT function for
+      // booleans ('t'/'f'), not the text cast ('true'/'false') —
+      // live-pg: concat('a', true) = 'at' but true::text = 'true'
+      case cw: ConcatWs
+          if cw.resolved && cw.children.exists(isImplicitBoolStr) =>
+        ConcatWs(cw.children.map(pgBoolText))
+      case cc: Concat
+          if cc.resolved && cc.children.exists(isImplicitBoolStr) =>
+        Concat(cc.children.map(pgBoolText))
     }
+
+  /** pg float4/float8 → text uses the Ryu-style output function
+    * (shortest precise form: `1e3::text` = '1000', not '1000.0') —
+    * the SAME renderer the wire codec uses for top-level floats. */
+  case class PgFloatText(child: Expression, isFloat4: Boolean)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_float_text"
+    override def nullSafeEval(v: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        TextEncoder.formatFloat(
+          if (isFloat4) v.asInstanceOf[Float].toDouble else v.asInstanceOf[Double],
+          isFloat4))
+    override protected def withNewChildInternal(c: Expression): PgFloatText =
+      copy(child = c)
+  }
+
+  private def isImplicitBoolStr(e: Expression): Boolean = e match {
+    case c @ Cast(b, StringType, _, _) =>
+      b.resolved && b.dataType == BooleanType && notUserCast(c)
+    case _ => false
+  }
+
+  private def pgBoolText(e: Expression): Expression = e match {
+    case c @ Cast(b, StringType, _, _)
+        if b.resolved && b.dataType == BooleanType && notUserCast(c) =>
+      If(b, Literal("t"), Literal("f"))
+    case other => other
+  }
 
   private val roundedTag = new TreeNodeTag[Unit]("graft.pg.roundedCast")
 

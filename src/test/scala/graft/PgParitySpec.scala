@@ -556,4 +556,36 @@ class PgParitySpec extends SparkSpec {
     assert(one("(SELECT regr_avgx(y,x) FROM (VALUES (1.0,2.0),(2.0,4.1),(3.0,5.9)) t(x,y))") === "2")
     assert(one("(SELECT regr_avgy(y,x) FROM (VALUES (1.0,2.0),(2.0,4.1),(3.0,5.9)) t(x,y))") === "4")
   }
+
+  test("sweep-7: AT TIME ZONE both directions + timestamptz literals (live pg 15)") {
+    // naive literal interpreted IN the zone → timestamptz (+00 render)
+    assert(one("timestamp '2024-06-01 12:00:00' AT TIME ZONE 'America/New_York'") ===
+      "2024-06-01 16:00:00+00")
+    assert(one("timestamp '2024-01-15 00:00:00' AT TIME ZONE 'UTC'") ===
+      "2024-01-15 00:00:00+00")
+    // timestamptz converted TO the zone → naive timestamp
+    assert(one("timestamptz '2024-06-01 12:00:00+00' AT TIME ZONE 'America/New_York'") ===
+      "2024-06-01 08:00:00")
+    assert(one("timestamptz '2024-06-01 12:00:00+00'") === "2024-06-01 12:00:00+00")
+  }
+
+  test("sweep-7: order-insensitive aggregates accept ORDER BY; char casts (live pg 15)") {
+    assert(one("(SELECT max(x ORDER BY x) FROM (VALUES (3),(1)) t(x))") === "3")
+    assert(one("(SELECT sum(x ORDER BY x DESC) FROM (VALUES (3),(1)) t(x))") === "4")
+    // char(n) blank-pads and truncates; varchar(n) truncates
+    assert(one("'   '::char(5)") === "     ")
+    assert(one("'abcdef'::char(3)") === "abc")
+    assert(one("'ab'::varchar(1)") === "a")
+    assert(one("'ab'::varchar(10)") === "ab")
+  }
+
+  test("sweep-7: pg output functions in concat and float→text (live pg 15)") {
+    assert(one("concat('a', 2, NULL, true)") === "a2t")
+    assert(one("concat(false, 'x')") === "fx")
+    // but the text CAST of boolean stays 'true'/'false' (pg quirk)
+    assert(one("true::text") === "true")
+    assert(one("1e3::text") === "1000")
+    assert(one("1.5e-3::text") === "0.0015")
+    assert(one("(1.0::float8 / 3)::text") === "0.3333333333333333")
+  }
 }
