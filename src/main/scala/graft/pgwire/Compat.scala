@@ -491,6 +491,10 @@ object Compat {
     */
   private val arityRenameSpec: Seq[(String, Int, String)] = Seq(
     ("width_bucket", 2, "pg_width_bucket"),
+    // geo constructors' optional-SRID call shapes (SURVEY §2a#9)
+    ("st_geomfromtext", 2, "st_geomfromtext2"),
+    ("st_geometryfromtext", 2, "st_geomfromtext2"),
+    ("st_geomfromwkb", 2, "st_geomfromwkb2"),
     // 3-arg string_to_array (elements equal to nullStr become NULL);
     // the name rename to pg_string_to_array has already run
     ("pg_string_to_array", 3, "pg_string_to_array3"),
@@ -3064,6 +3068,21 @@ object Compat {
           ts.remove(i, end - i + 1)
           ts.insert(p + 1, Tok(Op, ")"))
           ts.insertAll(start, Seq(Tok(Word, "pg_time_in"), Tok(Op, "(")))
+          i = p + 3
+        } else if (t >= 0 && ts(t).isWord("geometry") && p >= 0 && {
+            val n1 = nextIdx(ts, t); !(n1 >= 0 && ts(n1).is("["))
+          }) {
+          // `expr::geometry` (SURVEY §2a#9 geo surface) → the pg
+          // geometry input function: WKT, EWKT, or hex [E]WKB
+          var start = primaryStart(ts, p)
+          var pb = prevIdx(ts, start)
+          while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
+            start = primaryStart(ts, prevIdx(ts, pb))
+            pb = prevIdx(ts, start)
+          }
+          ts.remove(i, t - i + 1)
+          ts.insert(p + 1, Tok(Op, ")"))
+          ts.insertAll(start, Seq(Tok(Word, "st_geometry_in"), Tok(Op, "(")))
           i = p + 3
         } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
             val tn = ts(t).text.toLowerCase

@@ -431,13 +431,27 @@ object Handlers {
     // sessions) fires inside withPg; the post-analysis apply covers
     // terminal positions on sessions built without the extension
     val df = PgSemantics(PgSemantics.withPg { spark.sql(rewritten) })
-    if (lower.contains("pg_time_in") || lower.contains("make_time("))
-      tagTimeOutputs(df)
-    else df
+    val timed =
+      if (lower.contains("pg_time_in") || lower.contains("make_time("))
+        tagTimeOutputs(df)
+      else df
+    if (lower.contains("st_")) tagGeometryOutputs(timed) else timed
   }
 
   private val timeMeta = new org.apache.spark.sql.types.MetadataBuilder()
     .putString(PgType.PG_TYPE_KEY, "time").build()
+
+  private val geometryMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putString(PgType.PG_TYPE_KEY, "geometry").build()
+
+  /** Tag result columns produced by geometry-returning ST_* UDFs with
+    * pg.type=geometry so the wire codec reports the GEOMETRY OID and
+    * renders hex EWKB — the output half of the geo surface (input
+    * half: Compat's `::geometry` rewrite + the ST constructors).
+    * Same Alias-identity mechanism as [[tagTimeOutputs]].
+    */
+  private def tagGeometryOutputs(df: DataFrame): DataFrame =
+    tagUdfOutputs(df, graft.functions.GeoFunctions.geometryReturning, geometryMeta)
 
   /** Tag result columns produced by pg_time_in with pg.type=time so
     * the wire codec reports OID 1083 and renders HH:MM:SS — the output
@@ -447,13 +461,20 @@ object Handlers {
     * depth of the analyzed plan (so `SELECT t FROM (SELECT x::time AS
     * t)` tags too).
     */
-  private def tagTimeOutputs(df: DataFrame): DataFrame = {
+  private def tagTimeOutputs(df: DataFrame): DataFrame =
+    tagUdfOutputs(df, n => n.contains("pg_time_in") || n == "make_time", timeMeta)
+
+  private def tagUdfOutputs(df: DataFrame, names: Set[String],
+      meta: org.apache.spark.sql.types.Metadata): DataFrame =
+    tagUdfOutputs(df, (n: String) => names.contains(n.toLowerCase), meta)
+
+  private def tagUdfOutputs(df: DataFrame, matches: String => Boolean,
+      meta: org.apache.spark.sql.types.Metadata): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, ScalaUDF}
     val timeIds = df.queryExecution.analyzed.collect { case p =>
       p.expressions.collect {
         case a: Alias if (a.child match {
-          case u: ScalaUDF =>
-            u.udfName.exists(n => n.contains("pg_time_in") || n == "make_time")
+          case u: ScalaUDF => u.udfName.exists(matches)
           case _ => false
         }) => a.exprId
       }
@@ -469,7 +490,7 @@ object Handlers {
         case (a, i) if timeIds.contains(a.exprId) => i
       }
       val safe = df.toDF(out.indices.map(i => s"__g$i"): _*)
-      val tagged = tagIdx.foldLeft(safe)((d, i) => d.withMetadata(s"__g$i", timeMeta))
+      val tagged = tagIdx.foldLeft(safe)((d, i) => d.withMetadata(s"__g$i", meta))
       tagged.toDF(out.map(_.name): _*)
     }
   }

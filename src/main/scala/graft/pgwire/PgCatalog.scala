@@ -227,7 +227,11 @@ object PgCatalog {
     (1115, "_timestamp", -1, "A", 1114, 0), (1182, "_date", -1, "A", 1082, 0),
     (1183, "_time", -1, "A", 1083, 0), (1185, "_timestamptz", -1, "A", 1184, 0),
     (1187, "_interval", -1, "A", 1186, 0), (1231, "_numeric", -1, "A", 1700, 0),
-    (2287, "_record", -1, "A", 2249, 0))
+    (2287, "_record", -1, "A", 2249, 0),
+    // PostGIS-style extension type at graft's pinned OID (PgType.GEOMETRY
+    // — per-installation in real pg, so clients look it up by name)
+    (PgType.GEOMETRY, "geometry", -1, "U", 0, PgType.GEOMETRY_ARRAY),
+    (PgType.GEOMETRY_ARRAY, "_geometry", -1, "A", PgType.GEOMETRY, 0))
 
   private def pgTypeDf(spark: SparkSession): DataFrame =
     mkDf(spark, pgTypeSchema, typeRows.map { case (oid, name, len, cat, elem, arr) =>

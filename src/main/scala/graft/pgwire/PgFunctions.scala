@@ -638,6 +638,43 @@ object PgFunctions {
       ProcDef("pg_partition_ancestors", Seq(OID), 1007),
       ProcDef("quote_ident", Seq(T), T),
       ProcDef("parse_ident", Seq(T), TARR),
+      // ---- geo pack (SURVEY §2a#9; graft.functions.GeoFunctions) ----
+      ProcDef("st_geomfromtext", Seq(T), PgType.GEOMETRY),
+      ProcDef("st_geometryfromtext", Seq(T), PgType.GEOMETRY),
+      ProcDef("st_geomfromewkt", Seq(T), PgType.GEOMETRY),
+      ProcDef("st_geomfromwkb", Seq(17), PgType.GEOMETRY),
+      ProcDef("st_geomfromewkb", Seq(17), PgType.GEOMETRY),
+      ProcDef("st_astext", Seq(PgType.GEOMETRY), T),
+      ProcDef("st_asewkt", Seq(PgType.GEOMETRY), T),
+      ProcDef("st_asbinary", Seq(PgType.GEOMETRY), 17),
+      ProcDef("st_asewkb", Seq(PgType.GEOMETRY), 17),
+      ProcDef("st_ashexewkb", Seq(PgType.GEOMETRY), T),
+      ProcDef("st_makepoint", Seq(F8, F8), PgType.GEOMETRY),
+      ProcDef("st_point", Seq(F8, F8), PgType.GEOMETRY),
+      ProcDef("st_makeline", Seq(PgType.GEOMETRY, PgType.GEOMETRY), PgType.GEOMETRY),
+      ProcDef("st_makeenvelope", Seq(F8, F8, F8, F8, I4), PgType.GEOMETRY),
+      ProcDef("st_setsrid", Seq(PgType.GEOMETRY, I4), PgType.GEOMETRY),
+      ProcDef("st_srid", Seq(PgType.GEOMETRY), I4),
+      ProcDef("st_x", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_y", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_xmin", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_ymin", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_xmax", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_ymax", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_npoints", Seq(PgType.GEOMETRY), I4),
+      ProcDef("st_geometrytype", Seq(PgType.GEOMETRY), T),
+      ProcDef("geometrytype", Seq(PgType.GEOMETRY), T),
+      ProcDef("st_isempty", Seq(PgType.GEOMETRY), B),
+      ProcDef("st_length", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_perimeter", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_area", Seq(PgType.GEOMETRY), F8),
+      ProcDef("st_distance", Seq(PgType.GEOMETRY, PgType.GEOMETRY), F8),
+      ProcDef("st_dwithin", Seq(PgType.GEOMETRY, PgType.GEOMETRY, F8), B),
+      ProcDef("st_intersects", Seq(PgType.GEOMETRY, PgType.GEOMETRY), B),
+      ProcDef("st_contains", Seq(PgType.GEOMETRY, PgType.GEOMETRY), B),
+      ProcDef("st_within", Seq(PgType.GEOMETRY, PgType.GEOMETRY), B),
+      ProcDef("st_centroid", Seq(PgType.GEOMETRY), PgType.GEOMETRY),
+      ProcDef("st_envelope", Seq(PgType.GEOMETRY), PgType.GEOMETRY),
       ProcDef("pg_size_pretty", Seq(I8), T),
       ProcDef("obj_description", Seq(OID, T), T),
       ProcDef("shobj_description", Seq(OID, T), T),
@@ -933,6 +970,7 @@ object PgFunctions {
     graft.functions.PgJsonExpressions.install(spark)
     graft.functions.PgJsonPathExpressions.install(spark)
     graft.functions.PgAggregates.registerAll(spark)
+    graft.functions.GeoFunctions.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

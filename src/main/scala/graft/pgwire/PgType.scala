@@ -34,6 +34,15 @@ object PgType {
   val INTERVAL = 1186
   val NUMERIC = 1700
   val RECORD = 2249
+  /** PostGIS-style extension type: the OID is per-installation in real
+    * pg (extension types allocate from the user counter), so clients
+    * always look it up from pg_type by name; 30001 is graft's pinned
+    * value (above the dynamic 16384+ table counter, below the 90000+
+    * proc block). SURVEY §2a#9; reference feature-gates the same
+    * surface (arrow-pg/src/geo_encoder.rs).
+    */
+  val GEOMETRY = 30001
+  val GEOMETRY_ARRAY = 30002
 
   // array OIDs
   val BOOL_ARRAY = 1000
@@ -72,6 +81,14 @@ object PgType {
   def isTimeField(f: StructField): Boolean =
     f.dataType == LongType && f.metadata.contains(PG_TYPE_KEY) &&
       f.metadata.getString(PG_TYPE_KEY) == "time"
+
+  /** True when the field is the EWKB-bytes GEOMETRY encoding
+    * (BinaryType + pg.type=geometry — SURVEY §1; the text form is hex
+    * EWKB exactly like PostGIS's geometry output function).
+    */
+  def isGeometryField(f: StructField): Boolean =
+    f.dataType == BinaryType && f.metadata.contains(PG_TYPE_KEY) &&
+      f.metadata.getString(PG_TYPE_KEY) == "geometry"
 
   /** pg `time` input parser → nanos-since-midnight (SURVEY §1 TIME
     * encoding; behavior pinned against live PostgreSQL 15: colon and
@@ -176,9 +193,10 @@ object PgType {
     case other => throw new IllegalArgumentException(s"Unsupported array element $other")
   }
 
-  /** OID for a field, honoring pg.oid_alias / pg.type=time metadata. */
+  /** OID for a field, honoring pg.oid_alias / pg.type metadata. */
   def oidOf(f: StructField): Int =
     if (isTimeField(f)) TIME
+    else if (isGeometryField(f)) GEOMETRY
     else if (f.metadata.contains(OID_ALIAS_KEY))
       aliasOids.getOrElse(f.metadata.getString(OID_ALIAS_KEY), oidOf(f.dataType))
     else oidOf(f.dataType)

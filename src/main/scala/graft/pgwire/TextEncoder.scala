@@ -80,6 +80,11 @@ object TextEncoder {
       fmt: Fmt = Fmt.default): Option[String] =
     if (v == null) None
     else if (PgType.isTimeField(f)) Some(encodeTime(v.asInstanceOf[Long]))
+    // geometry (EWKB bytes): text form is uppercase hex EWKB, exactly
+    // PostGIS's geometry output function (reference geo surface,
+    // arrow-pg/src/geo_encoder.rs — its WKB arrays render the same way)
+    else if (PgType.isGeometryField(f))
+      Some(graft.functions.Geo.bytesToHex(v.asInstanceOf[Array[Byte]]))
     else f.dataType match {
       case TimestampType =>
         val instant = v match {

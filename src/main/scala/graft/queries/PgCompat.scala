@@ -877,5 +877,44 @@ object PgCompat {
             |  cume_dist(150000.0) WITHIN GROUP (ORDER BY o_totalprice) AS cdist
             |FROM orders GROUP BY o_orderpriority
             |ORDER BY o_orderpriority""".stripMargin) })
+    },
+
+    // round-11: geo surface (SURVEY §2a#9; reference feature-gates the
+    // same encoder in arrow-pg/src/geo_encoder.rs) — points built from
+    // customer keys, WKT text, accessors, euclidean distance (IEEE
+    // sqrt is correctly rounded, so cross-engine exact), strict
+    // point-in-box containment. Runs the WIRE path (::geometry casts,
+    // ST_* names through Compat). Oracle recomposes WKT by string
+    // concat and the predicates by arithmetic — DuckDB has no spatial
+    // extension in this environment, which is exactly why the
+    // scalar-decomposed oracle shape is used.
+    Q.df("q123_geo",
+      """SELECT c_custkey,
+        |  'POINT(' || (c_custkey % 97) || ' ' || c_nationkey || ')' AS wkt,
+        |  CAST(c_custkey % 97 AS DOUBLE) AS x,
+        |  CAST(c_nationkey AS DOUBLE) AS y,
+        |  sqrt(CAST((c_custkey % 97) * (c_custkey % 97)
+        |    + c_nationkey * c_nationkey AS DOUBLE)) AS dist,
+        |  CAST(c_custkey % 97 > 5 AND c_custkey % 97 < 90
+        |    AND c_nationkey > 2 AND c_nationkey < 22 AS BOOLEAN) AS inbox,
+        |  CAST('ST_Point' AS VARCHAR) AS gtype
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        Handlers.runSql(s,
+          """SELECT c_custkey,
+            |  st_astext(st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
+            |    CAST(c_nationkey AS DOUBLE))) AS wkt,
+            |  st_x(st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
+            |    CAST(c_nationkey AS DOUBLE))) AS x,
+            |  st_y(st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
+            |    CAST(c_nationkey AS DOUBLE))) AS y,
+            |  st_distance(st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
+            |    CAST(c_nationkey AS DOUBLE)), 'POINT(0 0)'::geometry) AS dist,
+            |  st_contains('POLYGON((5 2,90 2,90 22,5 22,5 2))'::geometry,
+            |    st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
+            |      CAST(c_nationkey AS DOUBLE))) AS inbox,
+            |  st_geometrytype(st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
+            |    CAST(c_nationkey AS DOUBLE))) AS gtype
+            |FROM customer ORDER BY c_custkey""".stripMargin) })
     })
 }
