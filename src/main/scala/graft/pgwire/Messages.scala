@@ -172,4 +172,25 @@ object Messages {
       o.writeShort(oids.length)
       oids.foreach(o.writeInt)
     }
+
+  // ---- COPY sub-protocol (pg protocol §55.2.6) ---------------------------
+
+  /** CopyOutResponse: overall format 0 (text), per-column formats 0. */
+  def copyOutResponse(out: DataOutputStream, ncols: Int): Unit =
+    msg(out, 'H') { o =>
+      o.writeByte(0); o.writeShort(ncols)
+      (0 until ncols).foreach(_ => o.writeShort(0))
+    }
+
+  /** CopyInResponse: same layout, type 'G'. */
+  def copyInResponse(out: DataOutputStream, ncols: Int): Unit =
+    msg(out, 'G') { o =>
+      o.writeByte(0); o.writeShort(ncols)
+      (0 until ncols).foreach(_ => o.writeShort(0))
+    }
+
+  def copyData(out: DataOutputStream, bytes: Array[Byte]): Unit =
+    msg(out, 'd')(_.write(bytes))
+
+  def copyDone(out: DataOutputStream): Unit = msg(out, 'c')(_ => ())
 }

@@ -240,7 +240,7 @@ final class PgServer(
       msg.tpe.toChar match {
         case 'X' => return
         case 'Q' =>
-          handleSimpleQuery(out, session, jobGroup, msg.cStringAt(0))
+          handleSimpleQuery(in, out, session, jobGroup, msg.cStringAt(0))
         case 'S' => // Sync
           ignoreTillSync = false
           Messages.readyForQuery(out, session.txnStatusByte); out.flush()
@@ -279,8 +279,8 @@ final class PgServer(
 
   // ---- simple query (reference: handlers.rs:154-233) ---------------------
 
-  private def handleSimpleQuery(out: DataOutputStream, session: Session,
-      jobGroup: String, sql: String): Unit = {
+  private def handleSimpleQuery(in: DataInputStream, out: DataOutputStream,
+      session: Session, jobGroup: String, sql: String): Unit = {
     val statements = Compat.splitStatements(sql)
     if (statements.isEmpty) {
       Messages.emptyQueryResponse(out)
@@ -291,6 +291,9 @@ final class PgServer(
     statements.foreach { stmt =>
       if (!failed) {
         try Handlers.withTimeout(spark, session, jobGroup) {
+          CopyOps.parse(stmt) match {
+            case Some(spec) => handleCopy(in, out, session, spec)
+            case None =>
           Handlers.execute(spark, session, stmt, Some(auth), hooks) match {
             case EmptyQuery => Messages.emptyQueryResponse(out)
             case Complete(tag, push) =>
@@ -305,6 +308,7 @@ final class PgServer(
               }
               Messages.commandComplete(out, tagFor(n))
           }
+          }
         } catch {
           case e: Throwable =>
             writeError(out, e)
@@ -315,6 +319,119 @@ final class PgServer(
     }
     Messages.readyForQuery(out, session.txnStatusByte)
     out.flush()
+  }
+
+  /** COPY sub-protocol (parity-plus: the reference has no CopyIn/Out;
+    * psql `\copy` and every pg bulk tool depend on it). Both
+    * directions route the actual data access through
+    * [[Handlers.execute]], so RBAC, query hooks, statement timeout and
+    * transaction state apply exactly as for plain SELECT/INSERT.
+    */
+  private def handleCopy(in: DataInputStream, out: DataOutputStream,
+      session: Session, spec: CopyOps.CopySpec): Unit = {
+    val fmt = sessionFmt(session)
+    if (!spec.fromStdin) {
+      // ---- COPY ... TO STDOUT ----
+      val sql = spec.source match {
+        case Left(q) => q
+        case Right(t) =>
+          val colList =
+            if (spec.cols.nonEmpty) spec.cols.map(c => s"`$c`").mkString(", ") else "*"
+          s"SELECT $colList FROM `$t`"
+      }
+      Handlers.execute(spark, session, sql, Some(auth), hooks) match {
+        case RowSet(schema, rows, _) =>
+          Messages.copyOutResponse(out, schema.fields.length)
+          var n = 0L
+          if (spec.header)
+            Messages.copyData(out, CopyOps.encodeLine(
+              schema.fields.toSeq.map(f => Some(f.name)), spec).getBytes(UTF_8))
+          rows.foreach { row =>
+            val fields = schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+              TextEncoder.encodeField(if (row.isNullAt(i)) null else row.get(i), f, fmt)
+            }
+            Messages.copyData(out, CopyOps.encodeLine(fields, spec).getBytes(UTF_8))
+            n += 1
+          }
+          Messages.copyDone(out)
+          Messages.commandComplete(out, s"COPY $n")
+        case _ =>
+          throw PgException("42601", "COPY source did not produce a row set")
+      }
+    } else {
+      // ---- COPY <table> FROM STDIN ----
+      val table = spec.source.toOption.get
+      val tgtSchema =
+        try spark.table(table).schema
+        catch { case NonFatal(_) =>
+          throw PgException("42P01", s"""relation "$table" does not exist""") }
+      val cols =
+        if (spec.cols.nonEmpty) spec.cols else tgtSchema.fields.map(_.name).toSeq
+      cols.foreach { c =>
+        if (!tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          throw PgException("42703",
+            s"""column "$c" of relation "$table" does not exist""")
+      }
+      Messages.copyInResponse(out, cols.length)
+      out.flush()
+      // drain the COPY data stream fully BEFORE acting on it — on any
+      // failure the protocol still requires consuming up to CopyDone
+      val buf = new java.io.ByteArrayOutputStream()
+      val maxBytes = 256 * 1024 * 1024
+      var overflow = false
+      var failMsg: Option[String] = None
+      var done = false
+      while (!done) {
+        val msg = Messages.readMessage(in)
+        msg.tpe.toChar match {
+          case 'd' =>
+            if (!overflow && buf.size + msg.body.length > maxBytes) overflow = true
+            if (!overflow) buf.write(msg.body)
+          case 'c' => done = true
+          case 'f' =>
+            failMsg = Some(msg.cStringAt(0)); done = true
+          case 'H' | 'S' => // Flush/Sync mid-copy: no-op
+          case _ => // pg: other messages during CopyIn are ignored
+        }
+      }
+      failMsg.foreach(m =>
+        throw PgException("57014", s"COPY from stdin failed: $m"))
+      if (overflow)
+        throw PgException("54000",
+          "COPY FROM STDIN exceeds the 256 MiB buffer — the protocol is a " +
+            "single client stream by design; register bulk data as a file source instead")
+      val rows = CopyOps.decode(new String(buf.toByteArray, UTF_8), spec)
+      rows.zipWithIndex.foreach { case (r, idx) =>
+        if (r.length != cols.length)
+          throw PgException("22P04",
+            s"row ${idx + 1} has ${r.length} columns, expected ${cols.length}")
+      }
+      // stage as a string-typed temp view, then a plain INSERT INTO
+      // SELECT with per-column casts — the INSERT goes through
+      // Handlers.execute so permissions/hooks see a normal write
+      val viewName = s"__copy_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val strSchema = StructType(cols.map(c => StructField(c, StringType)).toArray)
+      val data = rows.map(r => Row.fromSeq(r.map(_.orNull)))
+      spark.createDataFrame(data.asJava, strSchema).createOrReplaceTempView(viewName)
+      try {
+        val sel = tgtSchema.fields.toSeq.map { f =>
+          cols.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(c) if f.dataType == BinaryType =>
+              s"pg_to_bytea(`$c`) AS `${f.name}`" // pg bytea text input (\x hex / escapes)
+            case Some(c) =>
+              s"CAST(`$c` AS ${f.dataType.sql}) AS `${f.name}`"
+            case None =>
+              s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+          }
+        }
+        Handlers.execute(spark, session,
+          s"INSERT INTO `$table` SELECT ${sel.mkString(", ")} FROM `$viewName`",
+          Some(auth), hooks) match {
+          case Complete(_, _) => Messages.commandComplete(out, s"COPY ${rows.length}")
+          case _ => throw PgException("XX000", "COPY insert did not complete")
+        }
+      } finally spark.catalog.dropTempView(viewName)
+    }
   }
 
   /** Session timezone GUC → ZoneId (UTC on anything unparseable). */

@@ -163,4 +163,36 @@ class PsqlE2eSpec extends SparkSpec {
       assert(e4.contains("out of range"), e4)
     }
   }
+
+  test("psql: \\copy drives the COPY sub-protocol through live libpq") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      // \copy ... to stdout — psql issues COPY ... TO STDOUT and
+      // relays CopyData to its stdout
+      val (c1, o1, e1) = psqlScript(port,
+        "\\copy (select r_regionkey, r_name from region order by r_regionkey) to stdout")
+      assert(c1 === 0, e1)
+      assert(o1.linesIterator.size === 5)
+      assert(o1.startsWith("0\tAFRICA"), o1)
+      // csv with header
+      val (c2, o2, e2) = psqlScript(port,
+        "\\copy (select r_regionkey from region order by r_regionkey) to stdout with csv header")
+      assert(c2 === 0, e2)
+      assert(o2.linesIterator.toSeq === Seq("r_regionkey", "0", "1", "2", "3", "4"))
+      // \copy from a client-side file: psql reads it and streams
+      // CopyData FROM STDIN
+      val f = java.nio.file.Files.createTempFile("graft_copy", ".tsv")
+      java.nio.file.Files.writeString(f, "100\talpha\n101\t\\N\n")
+      val (c3, o3, e3) = psqlScript(port,
+        s"""CREATE TABLE psql_copy_t (id INT, name STRING) USING parquet;
+           |\\copy psql_copy_t from '$f'
+           |SELECT id, coalesce(name, '?') FROM psql_copy_t ORDER BY id;
+           |DROP TABLE psql_copy_t;""".stripMargin)
+      assert(c3 === 0, e3)
+      assert(o3.contains("COPY 2"), o3)
+      assert(o3.contains("100|alpha"), o3)
+      assert(o3.contains("101|?"), o3)
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
 }

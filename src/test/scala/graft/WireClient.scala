@@ -111,6 +111,80 @@ final class Client(port: Int) {
 
   def sync(): Reply = { send('S')(_ => ()); drain() }
 
+  /** COPY ... TO STDOUT: returns (ncols from CopyOutResponse,
+    * concatenated CopyData payload, CommandComplete tag, errors).
+    */
+  def copyOut(sql: String): (Int, String, String, Seq[(String, String)]) = {
+    send('Q')(cstr(_, sql))
+    var ncols = -1
+    val data = new StringBuilder
+    var tag = ""
+    val errors = ArrayBuffer.empty[(String, String)]
+    while (true) {
+      val (tpe, body) = read()
+      tpe match {
+        case 'H' => ncols = java.nio.ByteBuffer.wrap(body, 1, 2).getShort
+        case 'd' => data.append(new String(body, UTF_8))
+        case 'c' => // CopyDone
+        case 'C' =>
+          var end = 0; while (end < body.length && body(end) != 0) end += 1
+          tag = new String(body, 0, end, UTF_8)
+        case 'E' =>
+          var pos = 0; var code = ""; var m = ""
+          while (pos < body.length && body(pos) != 0) {
+            val fld = body(pos).toChar
+            var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
+            val v = new String(body, pos + 1, end - pos - 1, UTF_8)
+            if (fld == 'C') code = v
+            if (fld == 'M') m = v
+            pos = end + 1
+          }
+          errors += (code -> m)
+        case 'Z' => return (ncols, data.toString, tag, errors.toSeq)
+        case _ => // row descriptions etc. from non-copy statements: ignore
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** COPY ... FROM STDIN: waits for CopyInResponse, sends the chunks +
+    * CopyDone (or CopyFail when `fail` is set), then drains.
+    */
+  def copyIn(sql: String, chunks: Seq[String], fail: Option[String] = None): Reply = {
+    send('Q')(cstr(_, sql))
+    // wait for CopyInResponse; an error arrives as E..Z instead
+    var ok = false
+    var err: Option[(String, String)] = None
+    while (!ok) {
+      val (tpe, body) = read()
+      tpe match {
+        case 'G' => ok = true
+        case 'E' =>
+          var pos = 0; var code = ""; var m = ""
+          while (pos < body.length && body(pos) != 0) {
+            val fld = body(pos).toChar
+            var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
+            val v = new String(body, pos + 1, end - pos - 1, UTF_8)
+            if (fld == 'C') code = v
+            if (fld == 'M') m = v
+            pos = end + 1
+          }
+          err = Some(code -> m)
+        case 'Z' =>
+          return Reply(Nil, Nil, Nil, Nil, err.toSeq, Map.empty,
+            body(0).toChar, emptyQuery = false, suspended = false, Nil,
+            noData = false, None)
+        case _ =>
+      }
+    }
+    chunks.foreach(s => send('d')(_.write(s.getBytes(UTF_8))))
+    fail match {
+      case Some(m) => send('f')(cstr(_, m))
+      case None => send('c')(_ => ())
+    }
+    drain()
+  }
+
   def close(): Unit = { send('X')(_ => ()); sock.close() }
 
   private def read(): (Char, Array[Byte]) = {
