@@ -3351,15 +3351,60 @@ object Compat {
   }
 
   /** Statement splitter: semicolon-separated, quote/comment-aware. */
+  /** Split a simple-query packet into statements at top-level `;`,
+    * returning RAW substrings of the input. This must NOT round-trip
+    * through tokenize+render: tokenize doubles backslashes inside
+    * plain string literals (the pg standard-conforming-strings
+    * adaptation applied once per [[rewrite]]), so a render-then-rewrite
+    * statement would double them twice — `LIKE 'st\_%'` arrived at the
+    * engine as `st\\\\_%` and matched nothing (caught by the round-11
+    * geo pg_proc probe). The scanner tracks quotes/comments/dollar
+    * quotes only to find true statement boundaries.
+    */
   def splitStatements(sql: String): Seq[String] = {
-    val toks = tokenize(sql)
     val out = ArrayBuffer.empty[String]
-    val cur = ArrayBuffer.empty[Tok]
-    toks.foreach { t =>
-      if (t.is(";")) { out += render(cur.toSeq); cur.clear() }
-      else cur += t
+    val n = sql.length
+    var start = 0
+    var i = 0
+    def peek(k: Int): Char = if (i + k < n) sql.charAt(i + k) else ' '
+    def wordBoundaryBefore: Boolean =
+      i == 0 || { val p = sql.charAt(i - 1); !(p.isLetterOrDigit || p == '_') }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '-' && peek(1) == '-') {
+        i += 2; while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && peek(1) == '*') {
+        i += 2
+        var depth = 1
+        while (i < n && depth > 0) {
+          if (sql.charAt(i) == '*' && peek(1) == '/') { depth -= 1; i += 2 }
+          else if (sql.charAt(i) == '/' && peek(1) == '*') { depth += 1; i += 2 }
+          else i += 1
+        }
+      } else if (c == '\'' ||
+        ((c == 'E' || c == 'e') && peek(1) == '\'' && wordBoundaryBefore)) {
+        val escaped = c != '\''
+        if (escaped) i += 1
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (escaped && ch == '\\') i += 2
+          else if (ch == '\'' && peek(1) == '\'') i += 2
+          else if (ch == '\'') { i += 1; done = true }
+          else i += 1
+        }
+      } else if (c == '"') {
+        i += 1; while (i < n && sql.charAt(i) != '"') i += 1
+        i = math.min(i + 1, n)
+      } else if (c == '$' && peek(1) == '$') {
+        val close = sql.indexOf("$$", i + 2)
+        i = if (close < 0) n else close + 2
+      } else if (c == ';') {
+        out += sql.substring(start, i); i += 1; start = i
+      } else i += 1
     }
-    if (cur.nonEmpty) out += render(cur.toSeq)
+    if (start < n) out += sql.substring(start)
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -135,6 +135,23 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.splitStatements("  ;;  ") === Seq.empty)
   }
 
+  test("statement splitter returns RAW text — backslashes must not double") {
+    // regression (round 11): tokenize+render splitting doubled literal
+    // backslashes, and the subsequent rewrite doubled them AGAIN, so a
+    // simple-query `LIKE 'st\_%'` reached the engine as st\\\\_% and
+    // matched nothing; Compat.rewrite must see the client's raw bytes
+    assert(Compat.splitStatements("""SELECT 'a\b'; SELECT 'c\_d'""") ===
+      Seq("""SELECT 'a\b'""", """SELECT 'c\_d'"""))
+    assert(Compat.splitStatements("""SELECT E'a;\'b'; SELECT 2""") ===
+      Seq("""SELECT E'a;\'b'""", "SELECT 2"))
+    assert(Compat.splitStatements("SELECT $$a;b$$; SELECT 2") ===
+      Seq("SELECT $$a;b$$", "SELECT 2"))
+    assert(Compat.splitStatements("/* x; */ SELECT 1; SELECT \"a;b\"") ===
+      Seq("/* x; */ SELECT 1", "SELECT \"a;b\""))
+    // CASE'x' must not be mistaken for an E-string (word boundary)
+    assert(Compat.splitStatements("SELECT CASE'x;y' WHEN 'x;y' THEN 1 END; SELECT 2").length === 2)
+  }
+
   test("multi-arity UDF calls are padded to the registered arity") {
     assert(Compat.rewrite("SELECT pg_get_expr(adbin, adrelid)") ===
       "SELECT pg_get_expr(adbin, adrelid, false)")
