@@ -232,7 +232,12 @@ object Compat {
     "money" -> "decimal(19,2)", "int" -> "int", "integer" -> "int",
     "smallint" -> "smallint", "bigint" -> "bigint", "varchar" -> "varchar",
     "numeric" -> "decimal", "decimal" -> "decimal", "double" -> "double",
-    "boolean" -> "boolean", "date" -> "date", "timestamp" -> "timestamp",
+    // pg plain `timestamp` is WITHOUT time zone → Spark TIMESTAMP_NTZ
+    // (round 11; previously both spellings collapsed to the session-
+    // zoned TimestampType and rendered a spurious +00 — the biggest
+    // accepted-deviation class, now closed; live-pg-pinned in
+    // PgParitySpec + CopyParitySpec)
+    "boolean" -> "boolean", "date" -> "date", "timestamp" -> "timestamp_ntz",
     "interval" -> "interval", "string" -> "string", "binary" -> "binary",
     "float" -> "float", "time" -> "bigint")
 
@@ -575,7 +580,7 @@ object Compat {
     "boolean" -> 16, "smallint" -> 21, "int" -> 23, "bigint" -> 20,
     "float" -> 700, "double" -> 701, "decimal" -> 1700, "string" -> 25,
     "varchar" -> 1043, "binary" -> 17, "date" -> 1082, "timestamp" -> 1184,
-    "interval" -> 1186)
+    "timestamp_ntz" -> 1114, "interval" -> 1186)
 
   /** Infer `$N` parameter OIDs from explicit `$N::type` casts in the
     * SQL text — the cast-derived half of the reference's placeholder
@@ -1287,6 +1292,25 @@ object Compat {
       if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("timestamptz")) {
         val lit = nextIdx(ts, i)
         if (lit >= 0 && ts(lit).kind == Str) ts(i) = Tok(Word, "timestamp")
+      } else if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("timestamp")) {
+        // pg `TIMESTAMP 'lit'` is WITHOUT time zone → TIMESTAMP_NTZ;
+        // `TIMESTAMP WITH TIME ZONE 'lit'` (no Spark literal keyword)
+        // collapses to the plain TIMESTAMP literal (≡ timestamptz).
+        // (AT TIME ZONE operands were already consumed by
+        // rewriteAtTimeZone, which runs before this pass.)
+        val w1 = nextIdx(ts, i)
+        if (w1 >= 0 && ts(w1).kind == Str) ts(i) = Tok(Word, "timestamp_ntz")
+        else if (w1 >= 0 && (ts(w1).isWord("with") || ts(w1).isWord("without"))) {
+          val w2 = nextIdx(ts, w1)
+          val w3 = if (w2 >= 0) nextIdx(ts, w2) else -1
+          val lit = if (w3 >= 0) nextIdx(ts, w3) else -1
+          if (w2 >= 0 && ts(w2).isWord("time") && w3 >= 0 && ts(w3).isWord("zone") &&
+            lit >= 0 && ts(lit).kind == Str) {
+            val ltz = ts(w1).isWord("with")
+            ts.remove(w1, w3 - w1 + 1)
+            ts(i) = Tok(Word, if (ltz) "timestamp" else "timestamp_ntz")
+          }
+        }
       }
       i += 1
     }
@@ -2074,7 +2098,8 @@ object Compat {
               val fromPos = before >= 0 &&
                 (ts(before).isWord("FROM") || ts(before).isWord("JOIN"))
               var a = nextIdx(ts, close)
-              if (a >= 0 && ts(a).isWord("AS")) a = nextIdx(ts, a)
+              val hadAs = a >= 0 && ts(a).isWord("AS")
+              if (hadAs) a = nextIdx(ts, a)
               if (fromPos && a >= 0 && ts(a).kind == Word &&
                 !Set("where", "group", "order", "limit", "having", "on",
                   "join", "inner", "left", "right", "full", "cross",
@@ -2083,7 +2108,8 @@ object Compat {
                   val n = nextIdx(ts, a); !(n >= 0 && ts(n).is("("))
                 }) {
                 val alias = ts(a).text
-                ts(a) = Tok(Word, s"AS $alias($alias)")
+                ts(a) = Tok(Word,
+                  if (hadAs) s"$alias($alias)" else s"AS $alias($alias)")
               }
             } else {
               ts.insert(close + 1, Tok(Word, ")"))
@@ -2112,6 +2138,29 @@ object Compat {
             val close2 = matchParen(ts, open)
             ts.insert(close2 + 1, Tok(Word, ")"))
             ts(i) = Tok(Word, gen + "(" + fn)
+            // pg: `FROM generate_series(...) AS g` names the COLUMN g
+            // too (single-column SRF alias rule, same as unnest above);
+            // Spark's explode emits `col`, so expand to `AS g(g)`
+            // (live-pg-pinned in CopyParitySpec multi-row case)
+            if (gen == "explode") {
+              val before = prevIdx(ts, i)
+              val fromPos = before >= 0 &&
+                (ts(before).isWord("FROM") || ts(before).isWord("JOIN"))
+              var a = nextIdx(ts, close2 + 1)
+              val hadAs = a >= 0 && ts(a).isWord("AS")
+              if (hadAs) a = nextIdx(ts, a)
+              if (fromPos && a >= 0 && ts(a).kind == Word &&
+                !Set("where", "group", "order", "limit", "having", "on",
+                  "join", "inner", "left", "right", "full", "cross",
+                  "union", "intersect", "except", "from")
+                  .contains(ts(a).text.toLowerCase) && {
+                  val n = nextIdx(ts, a); !(n >= 0 && ts(n).is("("))
+                }) {
+                val alias = ts(a).text
+                ts(a) = Tok(Word,
+                  if (hadAs) s"$alias($alias)" else s"AS $alias($alias)")
+              }
+            }
           }
         }
       }
@@ -3245,6 +3294,33 @@ object Compat {
   }
 
   private def mapTypeAt(ts: ArrayBuffer[Tok], t: Int): Unit = {
+    val raw0 = ts(t).text.toLowerCase
+    // pg timestamp spellings: `timestamp[(p)] [with|without time zone]`.
+    // Drop the precision (pg rounds to p fractional digits; the engine
+    // keeps micros — documented deviation) and resolve the tz suffix
+    // into the canonical one-word form BEFORE the name map, so plain
+    // `timestamp` → TIMESTAMP_NTZ and `with time zone` → TimestampType.
+    if ((raw0 == "timestamp" || raw0 == "timestamptz") ) {
+      val b1 = nextIdx(ts, t)
+      if (b1 >= 0 && ts(b1).is("(")) {
+        val nTok = nextIdx(ts, b1)
+        val b2 = if (nTok >= 0) nextIdx(ts, nTok) else -1
+        if (nTok >= 0 && ts(nTok).kind == Num && b2 >= 0 && ts(b2).is(")"))
+          ts.remove(b1, b2 - b1 + 1)
+      }
+      if (raw0 == "timestamp") {
+        val w1 = nextIdx(ts, t)
+        if (w1 >= 0 && (ts(w1).isWord("with") || ts(w1).isWord("without"))) {
+          val w2 = nextIdx(ts, w1)
+          val w3 = if (w2 >= 0) nextIdx(ts, w2) else -1
+          if (w2 >= 0 && ts(w2).isWord("time") && w3 >= 0 && ts(w3).isWord("zone")) {
+            val ltz = ts(w1).isWord("with")
+            ts.remove(w1, w3 - w1 + 1)
+            ts(t) = Tok(Word, if (ltz) "timestamptz" else "timestamp")
+          }
+        }
+      }
+    }
     val raw = ts(t).text.toLowerCase
     val (base, fromUnderscore) =
       if (raw.startsWith("_")) (raw.substring(1), true) else (raw, false)

@@ -254,7 +254,10 @@ object CopyOps {
       f match {
         case None => sb.append(spec.nullStr)
         case Some(v) =>
-          val needsQuote = v.isEmpty || v == spec.nullStr ||
+          // pg quotes an empty string ONLY when it would collide with
+          // the null marker (default NULL '' — live-pg-pinned in
+          // CopyParitySpec); any field equal to the marker quotes too
+          val needsQuote = v == spec.nullStr ||
             v.exists(c => c == spec.delimiter || c == '"' || c == '\n' || c == '\r')
           if (needsQuote) sb.append('"').append(v.replace("\"", "\"\"")).append('"')
           else sb.append(v)

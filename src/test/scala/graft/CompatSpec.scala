@@ -291,9 +291,10 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.rewrite("SELECT '12:34'::time(3)") === "SELECT pg_time_in('12:34')")
     assert(Compat.rewrite("SELECT '12:34'::time without time zone") ===
       "SELECT pg_time_in('12:34')")
-    // chained cast wraps the whole left-hand cast
+    // chained cast wraps the whole left-hand cast (plain ::timestamp
+    // maps to NTZ since round 11)
     assert(Compat.rewrite("SELECT ts::timestamp::time FROM t") ===
-      "SELECT pg_time_in(ts::timestamp) FROM t")
+      "SELECT pg_time_in(ts::timestamp_ntz) FROM t")
     // AT TIME ZONE / SET TIME ZONE untouched by the literal rule
     val atz = Compat.rewrite("SELECT ts AT TIME ZONE 'UTC' FROM t")
     assert(!atz.contains("pg_time_in"), atz)

@@ -7,10 +7,13 @@ package graft
   * rewrite → engine → wire text encoder.
   *
   * The round-8 differential sweep found 27 divergences; these pins
-  * cover the 23 fixed ones. The 4 remaining are documented
-  * deviations: TimestampType renders as timestamptz ("+00"), and
-  * to_number's L template follows en_US ('$') rather than the C
-  * locale.
+  * cover the 23 fixed ones. Round 11 closed the biggest remaining
+  * deviation class: plain pg `timestamp` now maps to TIMESTAMP_NTZ
+  * end-to-end (no spurious "+00"); only `timestamptz` renders with an
+  * offset. Residual documented deviations: function RETURN types that
+  * Spark fixes as session-zoned (e.g. date_trunc over DATE renders
+  * +00 where pg returns plain timestamp), and to_number's L template
+  * following en_US ('$') rather than the C locale.
   */
 class PgParitySpec extends SparkSpec {
 
@@ -463,12 +466,13 @@ class PgParitySpec extends SparkSpec {
       "(VALUES (1,'a'),(2,'a'),(3,'b')) t(x,y) ORDER BY y, x) s") === Seq("2"))
   }
 
-  test("sweep-5: timestamp/date ± time arithmetic (live pg 15, +00 deviation)") {
-    // TimestampType ≡ timestamptz is the documented rendering deviation
+  test("sweep-5: timestamp/date ± time arithmetic (live pg 15)") {
+    // round 11: plain `timestamp` is NTZ end-to-end, so these render
+    // exactly live pg's output (no +00 — the old deviation is closed)
     assert(one("timestamp '2024-03-07 10:11:12' + time '01:02:03'") ===
-      "2024-03-07 11:13:15+00")
+      "2024-03-07 11:13:15")
     assert(one("timestamp '2024-03-07' - time '01:00:00'") ===
-      "2024-03-06 23:00:00+00")
+      "2024-03-06 23:00:00")
     // date + time starts from DATE, so the sweep-6 date±interval rule
     // carries it to timestamp WITHOUT tz — pg's exact output
     assert(one("date '2024-03-07' + time '12:30:00'") ===

@@ -143,12 +143,16 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
   test("SET TIME ZONE shifts timestamptz text rendering") {
     val c = connect()
     // Spark session tz is UTC: this literal is the instant 12:00Z
-    assert(c.query("SELECT TIMESTAMP '2024-01-15 12:00:00' AS t").rows ===
+    assert(c.query("SELECT TIMESTAMPTZ '2024-01-15 12:00:00' AS t").rows ===
       Seq(Seq(Some("2024-01-15 12:00:00+00"))))
     val set = c.query("SET TIME ZONE 'America/New_York'")
     assert(set.paramStatus.get("TimeZone") === Some("America/New_York"))
-    assert(c.query("SELECT TIMESTAMP '2024-01-15 12:00:00' AS t").rows ===
+    assert(c.query("SELECT TIMESTAMPTZ '2024-01-15 12:00:00' AS t").rows ===
       Seq(Seq(Some("2024-01-15 07:00:00-05")))) // EST = UTC-5 in January
+    // plain TIMESTAMP is WITHOUT time zone (round 11): it must NOT
+    // shift with the zone GUC — exactly pg's behavior
+    assert(c.query("SELECT TIMESTAMP '2024-01-15 12:00:00' AS t").rows ===
+      Seq(Seq(Some("2024-01-15 12:00:00"))))
     c.query("SET TIME ZONE 'UTC'")
     c.close()
   }
