@@ -390,13 +390,27 @@ object PgMiscExpressions {
       case DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
-    private lazy val seqDelegate: Expression = Sequence(
-      Cast(children(0), TimestampType, Some("UTC")),
-      Cast(children(1), TimestampType, Some("UTC")),
-      Some(children(2)), Some("UTC"))
+    /** pg: generate_series over timestamp (without tz) yields
+      * timestamp; only timestamptz endpoints yield timestamptz. DATE
+      * endpoints cast to plain timestamp in pg — NTZ here too. */
+    private def ntzResult: Boolean = children.take(2).forall(_.dataType match {
+      case TimestampNTZType | DateType => true
+      case _ => false
+    })
+    private lazy val seqDelegate: Expression =
+      if (ntzResult) Sequence(
+        Cast(children(0), TimestampNTZType),
+        Cast(children(1), TimestampNTZType),
+        Some(children(2)), Some("UTC"))
+      else Sequence(
+        Cast(children(0), TimestampType, Some("UTC")),
+        Cast(children(1), TimestampType, Some("UTC")),
+        Some(children(2)), Some("UTC"))
     override def nullable: Boolean = true
     override def dataType: DataType =
-      if (isTemporal) ArrayType(TimestampType, containsNull = false)
+      if (isTemporal)
+        ArrayType(if (ntzResult) TimestampNTZType else TimestampType,
+          containsNull = false)
       else ArrayType(LongType, containsNull = false)
     override def prettyName: String = "generate_series"
     override def checkInputDataTypes(): TypeCheckResult =

@@ -408,6 +408,7 @@ object Compat {
     // the literal rename below collapses
     rewriteAtTimeZone(ts)
     rewriteTimestamptzLiterals(ts)
+    canonTimestampLiterals(ts)
     rewriteHypotheticalSet(ts)
     castWrapRegrAvg(ts)
     wrapByteaLiteralArgs(ts)
@@ -1310,6 +1311,105 @@ object Compat {
             ts.remove(w1, w3 - w1 + 1)
             ts(i) = Tok(Word, if (ltz) "timestamp" else "timestamp_ntz")
           }
+        }
+      }
+      i += 1
+    }
+  }
+
+  private val pgMonthNames: Map[String, Int] = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
+    "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
+
+  /** pg's flexible datetime input (docs §8.5.1) for timestamp
+    * LITERALS: compact digits (`20240307 101112`), month-name forms
+    * (`March 7, 2024 10:11`, `7 Mar 2024`), a `T` separator, AM/PM,
+    * and a trailing numeric zone offset (DROPPED — pg's `::timestamp`
+    * keeps the wall-clock). Returns the canonical
+    * `yyyy-MM-dd HH:mm:ss[.f]` spelling, or None when the input is
+    * already Spark-parseable ISO or not recognized (the engine's cast
+    * error then stands, matching pg's 22007 on garbage).
+    * Literal-only by construction: the rewrite fires on Str tokens, so
+    * column casts keep Spark's (pushdown-friendly) cast semantics.
+    */
+  def pgTimestampCanon(raw: String): Option[String] = {
+    val s = raw.trim
+    if (s.matches("\\d{4}-\\d{2}-\\d{2}( \\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)?"))
+      return None // canonical already
+    if (s.equalsIgnoreCase("epoch")) return Some("1970-01-01 00:00:00")
+    def time(t0: String): Option[(Int, Int, Int, String)] = {
+      val t = Option(t0).getOrElse("").trim
+      if (t.isEmpty) return Some((0, 0, 0, ""))
+      "^(\\d{1,2}):(\\d{2})(?::(\\d{2})(\\.\\d+)?)?\\s*(?:([AaPp])\\.?[Mm]\\.?)?\\s*(?:[+-]\\d{1,2}(?::?\\d{2})?)?$".r
+        .findFirstMatchIn(t).flatMap { m =>
+          var h = m.group(1).toInt
+          val mi = m.group(2).toInt
+          val se = Option(m.group(3)).map(_.toInt).getOrElse(0)
+          val fr = Option(m.group(4)).getOrElse("")
+          Option(m.group(5)).map(_.toLowerCase).foreach { ap =>
+            if (ap == "p" && h < 12) h += 12
+            else if (ap == "a" && h == 12) h = 0
+          }
+          if (h <= 24 && mi <= 59 && se <= 60) Some((h, mi, se, fr)) else None
+        }
+    }
+    def build(y: Int, mo: Int, d: Int, tp: Option[(Int, Int, Int, String)]): Option[String] =
+      tp.flatMap { case (h, mi, se, fr) =>
+        try {
+          java.time.LocalDate.of(y, mo, d) // validates the date part
+          Some(f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$se%02d$fr")
+        } catch { case _: java.time.DateTimeException => None }
+      }
+    val isoish = "^(\\d{4})-(\\d{1,2})-(\\d{1,2})(?:[T ](.+))?$".r
+    val compact = "^(\\d{4})(\\d{2})(\\d{2})(?:[ T]?(\\d{2})(\\d{2})(\\d{2})(\\.\\d+)?)?$".r
+    val monthFirst = "^([A-Za-z]{3,9})\\.?\\s+(\\d{1,2}),?\\s+(\\d{4})(?:\\s+(.+))?$".r
+    val dayFirst = "^(\\d{1,2})\\s+([A-Za-z]{3,9})\\.?,?\\s+(\\d{4})(?:\\s+(.+))?$".r
+    def month(w: String): Option[Int] = pgMonthNames.get(w.toLowerCase.take(3))
+      .filter(_ => "^(jan(uary)?|feb(ruary)?|mar(ch)?|apr(il)?|may|jun(e)?|jul(y)?|aug(ust)?|sep(tember)?|oct(ober)?|nov(ember)?|dec(ember)?)$"
+        .r.matches(w.toLowerCase))
+    s match {
+      case isoish(y, mo, d, t) => build(y.toInt, mo.toInt, d.toInt, time(t))
+      case compact(y, mo, d, hh, mi, se, fr) =>
+        val tp =
+          if (hh == null) Some((0, 0, 0, ""))
+          else Some((hh.toInt, mi.toInt, se.toInt, Option(fr).getOrElse("")))
+            .filter(t => t._1 <= 24 && t._2 <= 59 && t._3 <= 60)
+        build(y.toInt, mo.toInt, d.toInt, tp)
+      case monthFirst(mw, d, y, t) =>
+        month(mw).flatMap(mo => build(y.toInt, mo, d.toInt, time(t)))
+      case dayFirst(d, mw, y, t) =>
+        month(mw).flatMap(mo => build(y.toInt, mo, d.toInt, time(t)))
+      case _ => None
+    }
+  }
+
+  /** Canonicalize pg-flexible timestamp literal spellings wherever a
+    * string literal meets the (already-mapped) TIMESTAMP_NTZ target:
+    * `'lit'::timestamp_ntz`, `timestamp_ntz 'lit'`, and
+    * `CAST('lit' AS timestamp_ntz)`. Runs LAST so every pg spelling
+    * has been resolved to the one Spark name first.
+    */
+  private def canonTimestampLiterals(ts: ArrayBuffer[Tok]): Unit = {
+    def canon(idx: Int): Unit = {
+      val t = ts(idx).text
+      if (t.length >= 2) {
+        val body = t.drop(1).dropRight(1).replace("''", "'")
+        pgTimestampCanon(body).foreach(c =>
+          ts(idx) = Tok(Str, "'" + c.replace("'", "''") + "'"))
+      }
+    }
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("timestamp_ntz")) {
+        val n = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (n >= 0 && ts(n).kind == Str) canon(n)
+        else if (p >= 0 && ts(p).is("::")) {
+          val s0 = prevIdx(ts, p)
+          if (s0 >= 0 && ts(s0).kind == Str) canon(s0)
+        } else if (p >= 0 && ts(p).isWord("AS")) {
+          val s0 = prevIdx(ts, p)
+          if (s0 >= 0 && ts(s0).kind == Str) canon(s0)
         }
       }
       i += 1
@@ -2592,7 +2692,16 @@ object Compat {
             extractFieldMap.contains(ts(fieldIdx).text.toLowerCase) &&
             fromIdx >= 0 && ts(fromIdx).kind == Word &&
             ts(fromIdx).text.equalsIgnoreCase("FROM")) {
-            val (prefix, suffix) = extractFieldMap(ts(fieldIdx).text.toLowerCase)
+            val fieldLower = ts(fieldIdx).text.toLowerCase
+            // pg 14+: EXTRACT returns numeric — epoch renders with 6
+            // fractional digits (1709769600.000000). date_part keeps
+            // float8 (bare 1709769600), so only this branch widens.
+            // (sweep #8, live-pg-pinned)
+            val (prefix, suffix) =
+              if (fieldLower == "epoch")
+                ("(CAST(CAST(unix_micros(CAST(",
+                  " AS TIMESTAMP)) AS DOUBLE) / 1000000.0 AS DECIMAL(24,6)))")
+              else extractFieldMap(fieldLower)
             val close = matchParen(ts, open)
             if (close > 0) {
               // Keep ts(close) as the Op ')' and append the suffix as its

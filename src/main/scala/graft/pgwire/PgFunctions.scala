@@ -638,6 +638,7 @@ object PgFunctions {
       ProcDef("pg_partition_ancestors", Seq(OID), 1007),
       ProcDef("quote_ident", Seq(T), T),
       ProcDef("parse_ident", Seq(T), TARR),
+      ProcDef("like_escape", Seq(T, T), T),
       // ---- geo pack (SURVEY §2a#9; graft.functions.GeoFunctions) ----
       ProcDef("st_geomfromtext", Seq(T), PgType.GEOMETRY),
       ProcDef("st_geometryfromtext", Seq(T), PgType.GEOMETRY),
@@ -1025,6 +1026,28 @@ object PgFunctions {
 
     // string pack (functions.md §String; quote_literal per pg docs §9.4,
     // casefold via ICU (pg 18), to_ascii as NFD + combining-mark strip)
+    // pg like_escape(pattern, escape): convert a pattern with a custom
+    // escape char to the default-backslash form (sweep #8, live-pg-
+    // pinned: '\' always doubles, esc+c → \c, a trailing esc → '\',
+    // multi-char escape raises 22019)
+    u.register("like_escape", (p: String, e: String) =>
+      if (p == null || e == null) null
+      else {
+        if (e.length > 1)
+          throw PgException("22019", "invalid escape string")
+        val esc = if (e.isEmpty) -1 else e.charAt(0).toInt
+        val sb = new StringBuilder
+        var i = 0
+        while (i < p.length) {
+          val c = p.charAt(i)
+          if (c.toInt == esc) {
+            if (i + 1 < p.length) { sb.append('\\').append(p.charAt(i + 1)); i += 2 }
+            else { sb.append('\\'); i += 1 }
+          } else if (c == '\\') { sb.append("\\\\"); i += 1 }
+          else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      })
     u.register("quote_literal", (s: String) =>
       if (s == null) null else graft.functions.PgStringExpressions.quoteLiteral(s))
     u.register("quote_nullable", (s: String) =>

@@ -131,6 +131,18 @@ object PgSemantics {
           if x.resolved && x.dataType == TimestampNTZType && notUserCast(c) =>
         graft.functions.PgFormatExpressions.PgTimezoneToTz(z, x)
 
+      // date_trunc over timestamp-WITHOUT-tz or DATE input: pg
+      // returns plain timestamp (sweep #8, live-pg-pinned), but
+      // Spark's TruncTimestamp coerces to the session-zoned type via
+      // an analyzer cast. Retarget the result back to NTZ.
+      case t @ TruncTimestamp(_, c @ Cast(x, TimestampType, _, _), _)
+          if x.resolved &&
+            (x.dataType == TimestampNTZType || x.dataType == DateType) &&
+            notUserCast(c) && t.getTagValue(truncNtzTag).isEmpty => {
+        t.setTagValue(truncNtzTag, ())
+        Cast(t, TimestampNTZType)
+      }
+
       // float → text casts ride pg's output function (shortest
       // precise form), not Spark's Double.toString
       case Cast(f, StringType, _, _)
@@ -180,6 +192,7 @@ object PgSemantics {
   }
 
   private val roundedTag = new TreeNodeTag[Unit]("graft.pg.roundedCast")
+  private val truncNtzTag = new TreeNodeTag[Unit]("graft.pg.truncNtz")
 
   private def notUserCast(c: Cast): Boolean =
     c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty

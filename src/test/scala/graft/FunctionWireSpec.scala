@@ -61,9 +61,13 @@ class FunctionWireSpec extends SparkSpec {
         "WHERE x SIMILAR TO 'a_c'")
     assert(r.errors.isEmpty, r.errors)
     assert(r.rows.head.head === Some("2"))
+    // EXTRACT renders pg's numeric(…,6); date_part stays float8
     val r2 = c.query("SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-02') AS e")
     assert(r2.errors.isEmpty, r2.errors)
-    assert(r2.rows.head.head === Some("86400"))
+    assert(r2.rows.head.head === Some("86400.000000"))
+    val r3 = c.query("SELECT date_part('epoch', TIMESTAMP '1970-01-02') AS e")
+    assert(r3.errors.isEmpty, r3.errors)
+    assert(r3.rows.head.head === Some("86400"))
     c.close()
   }
 

@@ -101,13 +101,16 @@ class PgFunctionSlice2Spec extends SparkSpec {
 
   test("extract(epoch) rewrite and date_bin") {
     PgFunctions.registerAll(spark)
+    // EXTRACT returns numeric at scale 6 (pg 14+; sweep #8)
     val sql = Compat.rewrite(
       "SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-02 00:00:00.5') AS e")
-    assert(spark.sql(sql).collect().head.getDouble(0) === 86400.5)
+    assert(spark.sql(sql).collect().head.getDecimal(0) ===
+      new java.math.BigDecimal("86400.500000"))
     // nested parens inside the expr survive the rewrite
     val sql2 = Compat.rewrite(
       "SELECT extract(epoch from coalesce(TIMESTAMP '1970-01-01 00:01:00', null)) AS e")
-    assert(spark.sql(sql2).collect().head.getDouble(0) === 60.0)
+    assert(spark.sql(sql2).collect().head.getDecimal(0) ===
+      new java.math.BigDecimal("60.000000"))
     val r = spark.sql(
       """SELECT date_bin(INTERVAL '15' MINUTE, TIMESTAMP '2026-08-12 10:07:30',
         |  TIMESTAMP '2001-01-01') AS b,

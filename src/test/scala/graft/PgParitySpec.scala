@@ -186,9 +186,11 @@ class PgParitySpec extends SparkSpec {
     assert(rows("generate_series(5, 1, -2)") === Seq("5", "3", "1"))
     // pg: wrong-direction series is EMPTY (Spark sequence reverses)
     assert(rows("generate_series(5, 1)") === Seq.empty)
+    // pg: DATE endpoints cast to plain timestamp — NTZ, no offset
+    // (round 11; previously rendered the +00 deviation)
     assert(rows("generate_series(DATE '2023-01-01', DATE '2023-01-03', " +
-      "INTERVAL '1' DAY)") === Seq("2023-01-01 00:00:00+00",
-      "2023-01-02 00:00:00+00", "2023-01-03 00:00:00+00"))
+      "INTERVAL '1' DAY)") === Seq("2023-01-01 00:00:00",
+      "2023-01-02 00:00:00", "2023-01-03 00:00:00"))
   }
 
   test("grammar: ANY/ALL/SOME over arrays, OVERLAPS, BETWEEN SYMMETRIC") {
@@ -591,5 +593,57 @@ class PgParitySpec extends SparkSpec {
     assert(one("1e3::text") === "1000")
     assert(one("1.5e-3::text") === "0.0015")
     assert(one("(1.0::float8 / 3)::text") === "0.3333333333333333")
+  }
+
+  test("sweep-8: LIKE/ILIKE/SIMILAR/regex escape semantics (live pg 15)") {
+    assert(one("""'st_astext' LIKE 'st\_%'""") === "t")
+    assert(one("""'stXastext' LIKE 'st\_%'""") === "f")
+    assert(one("""'a%c' LIKE 'a\%c'""") === "t")
+    assert(one("'abc' LIKE 'a#_c' ESCAPE '#'") === "f")
+    assert(one("'a_c' LIKE 'a#_c' ESCAPE '#'") === "t")
+    assert(one("'a#c' LIKE 'a##c' ESCAPE '#'") === "t")
+    assert(one("'ABC' ILIKE 'ab_'") === "t")
+    assert(one("""'a_c' SIMILAR TO 'a\_c'""") === "t")
+    assert(one("""'backslash\' ~ '\\$'""") === "t")
+    assert(one("""'a1c' ~ 'a\dc'""") === "t")
+    assert(one("like_escape('a#_c', '#')") === """a\_c""")
+    assert(one("like_escape('a##b', '#')") === """a\#b""")
+    assert(one("""like_escape('a\b', '')""") === """a\\b""")
+    assert(one("like_escape('ab#', '#')") === """ab\""")
+  }
+
+  test("sweep-8: NTZ timestamp semantics — extract, trunc, flexible input (live pg 15)") {
+    // EXTRACT returns numeric (epoch at scale 6); date_part stays float8
+    assert(one("extract(epoch from '2024-03-07 00:00:00'::timestamp)") ===
+      "1709769600.000000")
+    assert(one("date_part('epoch', '2024-03-07 00:00:00'::timestamp)") ===
+      "1709769600")
+    // date_trunc over NTZ input returns plain timestamp (no +00)
+    assert(one("date_trunc('hour', '2024-03-07 10:41:12'::timestamp)") ===
+      "2024-03-07 10:00:00")
+    assert(one("date_trunc('week', '2024-03-07'::timestamp)") ===
+      "2024-03-04 00:00:00")
+    // pg's flexible datetime input forms for literals
+    assert(one("'20240307 101112'::timestamp") === "2024-03-07 10:11:12")
+    assert(one("'March 7, 2024 10:11'::timestamp") === "2024-03-07 10:11:00")
+    assert(one("'7 Mar 2024'::timestamp") === "2024-03-07 00:00:00")
+    assert(one("'2024-03-07 10:11:12+05'::timestamp") === "2024-03-07 10:11:12")
+    assert(one("'2024-3-7 1:02 PM'::timestamp") === "2024-03-07 13:02:00")
+    assert(one("'epoch'::timestamp") === "1970-01-01 00:00:00")
+    // series over NTZ endpoints yields NTZ rows (pg: 3 plain timestamps)
+    def q(sql: String): Seq[String] =
+      graft.pgwire.Handlers.runSql(spark, sql).collect().toSeq
+        .map(r => graft.pgwire.TextEncoder.encodeField(r.get(0),
+          graft.pgwire.Handlers.runSql(spark, sql).schema.fields(0),
+          java.time.ZoneOffset.UTC).getOrElse("<NULL>"))
+    assert(q("SELECT * FROM generate_series('2024-01-01'::timestamp, " +
+      "'2024-01-03'::timestamp, interval '1 day') AS g") ===
+      Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00"))
+    // interval corners from the same sweep
+    assert(one("justify_hours(interval '27 hours')") === "1 day 03:00:00")
+    assert(one("justify_days(interval '35 days')") === "1 mon 5 days")
+    assert(one("interval '1 day 3 hours' / 2") === "13:30:00")
+    assert(one("'2024-03-07 10:11:12'::timestamp - '2024-03-01 00:00:00'::timestamp") ===
+      "6 days 10:11:12")
   }
 }
