@@ -3546,6 +3546,61 @@ object Compat {
     * geo pg_proc probe). The scanner tracks quotes/comments/dollar
     * quotes only to find true statement boundaries.
     */
+  /** Character position of a top-level keyword (outside quotes,
+    * comments, dollar-quotes, and parentheses) in RAW statement text,
+    * or -1. Used by the INSERT…RETURNING splitter — same raw-scan
+    * rationale as [[splitStatements]].
+    */
+  def topLevelKeywordPos(sql: String, keyword: String): Int = {
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    def peek(k: Int): Char = if (i + k < n) sql.charAt(i + k) else ' '
+    def wordBoundaryBefore: Boolean =
+      i == 0 || { val p = sql.charAt(i - 1); !(p.isLetterOrDigit || p == '_') }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '-' && peek(1) == '-') {
+        i += 2; while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && peek(1) == '*') {
+        i += 2
+        var d = 1
+        while (i < n && d > 0) {
+          if (sql.charAt(i) == '*' && peek(1) == '/') { d -= 1; i += 2 }
+          else if (sql.charAt(i) == '/' && peek(1) == '*') { d += 1; i += 2 }
+          else i += 1
+        }
+      } else if (c == '\'' ||
+        ((c == 'E' || c == 'e') && peek(1) == '\'' && wordBoundaryBefore)) {
+        val escaped = c != '\''
+        if (escaped) i += 1
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (escaped && ch == '\\') i += 2
+          else if (ch == '\'' && peek(1) == '\'') i += 2
+          else if (ch == '\'') { i += 1; done = true }
+          else i += 1
+        }
+      } else if (c == '"') {
+        i += 1; while (i < n && sql.charAt(i) != '"') i += 1
+        i = math.min(i + 1, n)
+      } else if (c == '$' && peek(1) == '$') {
+        val close = sql.indexOf("$$", i + 2)
+        i = if (close < 0) n else close + 2
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && wordBoundaryBefore &&
+        sql.regionMatches(true, i, keyword, 0, keyword.length) && {
+          val after = i + keyword.length
+          after >= n || { val a = sql.charAt(after); !(a.isLetterOrDigit || a == '_') }
+        }) return i
+      else i += 1
+    }
+    -1
+  }
+
   def splitStatements(sql: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     val n = sql.length

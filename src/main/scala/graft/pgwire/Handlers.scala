@@ -89,6 +89,17 @@ object Handlers {
       case "FETCH" | "MOVE" => handleFetch(session, toks, head == "MOVE")
       case "CLOSE" => handleClose(session, toks)
       case "DEALLOCATE" => Complete("DEALLOCATE")
+      case "LISTEN" =>
+        // accepted-and-tracked per session; no cross-connection
+        // delivery — this is an analytics engine, not a message bus
+        // (documented; psql and GUI clients only need the tags)
+        if (second.nonEmpty) session.listenChannels += second.toLowerCase
+        Complete("LISTEN")
+      case "UNLISTEN" =>
+        if (second == "*") session.listenChannels.clear()
+        else session.listenChannels -= second.toLowerCase
+        Complete("UNLISTEN")
+      case "NOTIFY" => Complete("NOTIFY")
       case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
         // storage maintenance is meaningless over external parquet —
         // accept-and-no-op with the pg tag so client scripts
@@ -501,6 +512,10 @@ object Handlers {
 
   private def runQuery(spark: SparkSession, session: Session, sql: String,
       head: String, second: String): PgResult = {
+    if (head == "INSERT") {
+      val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
+      if (retPos >= 0) return insertReturning(spark, sql, retPos)
+    }
     val df = runSql(spark, sql)
     head match {
       case "INSERT" =>
@@ -518,6 +533,78 @@ object Handlers {
       case _ =>
         RowSet(df.schema, df.toLocalIterator().asScala, n => s"SELECT $n")
     }
+  }
+
+  /** `INSERT INTO t [(cols)] <VALUES|SELECT …> RETURNING exprs` —
+    * pg's insert-and-echo shape every ORM emits (parity-plus: the
+    * reference has no RETURNING). The source rows are materialized
+    * ONCE (persist), projected to the full target schema with
+    * insertion casts, written via the catalog table's insertInto, and
+    * the RETURNING projection is evaluated over the SAME materialized
+    * rows — so a non-deterministic source still echoes exactly what
+    * was written. Scale note: the INSERT write itself streams through
+    * insertInto; only the RETURNING projection is collected, and that
+    * result is client-bound by protocol (it is serialized to one
+    * socket either way).
+    */
+  private def insertReturning(spark: SparkSession, sql: String,
+      retPos: Int): PgResult = {
+    val retExprs = sql.substring(retPos + "RETURNING".length).trim
+    val insertPart = sql.substring(0, retPos).trim
+    val m = "(?is)^INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)\\s*(\\(([^)]*)\\))?\\s*(.+)$"
+      .r.findFirstMatchIn(insertPart).getOrElse(
+        throw PgException("42601", s"cannot parse INSERT for RETURNING: $insertPart"))
+    val table = {
+      val raw = m.group(1)
+      if (raw.startsWith("\"")) raw.substring(1, raw.length - 1) else raw
+    }
+    val colList = Option(m.group(3)).map(_.split(",").map(_.trim)
+      .map(c => if (c.startsWith("\"") && c.endsWith("\"")) c.substring(1, c.length - 1) else c)
+      .toSeq).getOrElse(Nil)
+    val srcText = m.group(4).trim
+    val tgtSchema =
+      try spark.table(table).schema
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$table" does not exist""") }
+    val cols = if (colList.nonEmpty) colList else tgtSchema.fields.map(_.name).toSeq
+    cols.foreach { c =>
+      if (!tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        throw PgException("42703",
+          s"""column "$c" of relation "$table" does not exist""")
+    }
+    val srcSql =
+      if (srcText.toUpperCase.startsWith("VALUES"))
+        s"SELECT * FROM ($srcText) AS __vals"
+      else srcText
+    val src = runSql(spark, srcSql)
+    if (src.schema.fields.length != cols.length)
+      throw PgException("42601",
+        s"INSERT has ${src.schema.fields.length} expressions but ${cols.length} target columns")
+    val named = src.toDF(cols: _*)
+    val viewName = s"__ins_ret_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    named.createOrReplaceTempView(viewName)
+    try {
+      val fullSel = tgtSchema.fields.toSeq.map { f =>
+        cols.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(c) => s"CAST(`$c` AS ${f.dataType.sql}) AS `${f.name}`"
+          case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+        }
+      }
+      val full = spark.sql(s"SELECT ${fullSel.mkString(", ")} FROM `$viewName`")
+        .persist()
+      try {
+        val n = full.count()
+        full.write.insertInto(table)
+        val retView = s"${viewName}_out"
+        full.createOrReplaceTempView(retView)
+        try {
+          val out = runSql(spark, s"SELECT $retExprs FROM `$retView`")
+          // materialize the (client-bound) result before unpersist
+          val rows = out.collect().toSeq
+          RowSet(out.schema, rows.iterator, _ => s"INSERT 0 $n")
+        } finally spark.catalog.dropTempView(retView)
+      } finally full.unpersist()
+    } finally spark.catalog.dropTempView(viewName)
   }
 
   /** Rows written by an eagerly-executed command (INSERT tag;

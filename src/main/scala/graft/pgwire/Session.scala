@@ -29,6 +29,11 @@ final class Session(val connId: Int, val user: String, val database: String) {
   /** statement_timeout in millis; 0 = none. */
   var statementTimeoutMs: Long = 0L
 
+  /** LISTEN registrations (session-scoped; see Handlers LISTEN/NOTIFY —
+    * an analytics server has no cross-connection delivery, documented).
+    */
+  val listenChannels: mutable.Set[String] = mutable.Set.empty
+
   /** GUC vars whose SET pushes a ParameterStatus message
     * (reference: set_show.rs:253-260).
     */

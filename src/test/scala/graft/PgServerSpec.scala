@@ -140,6 +140,52 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("INSERT ... RETURNING echoes the inserted rows (pg ORM shape)") {
+    val c = connect()
+    c.query("CREATE TABLE ret_t (id INT, name STRING, val DOUBLE) USING parquet")
+    // VALUES insert, RETURNING *
+    val r1 = c.query(
+      "INSERT INTO ret_t VALUES (1, 'a', 1.5), (2, 'b', 2.5) RETURNING *")
+    assert(r1.errors === Nil)
+    assert(r1.tags === Seq("INSERT 0 2"))
+    assert(r1.rows.toSet === Set(
+      Seq(Some("1"), Some("a"), Some("1.5")),
+      Seq(Some("2"), Some("b"), Some("2.5"))))
+    // column-list insert: unlisted columns NULL; RETURNING expressions
+    val r2 = c.query(
+      "INSERT INTO ret_t (val, id) VALUES (9.5, 9) RETURNING id * 10 AS x, name")
+    assert(r2.errors === Nil)
+    assert(r2.tags === Seq("INSERT 0 1"))
+    assert(r2.rows === Seq(Seq(Some("90"), None)))
+    // INSERT ... SELECT ... RETURNING
+    val r3 = c.query(
+      "INSERT INTO ret_t SELECT id + 100, name, val FROM ret_t WHERE id <= 2 " +
+        "RETURNING id")
+    assert(r3.errors === Nil)
+    assert(r3.tags === Seq("INSERT 0 2"))
+    assert(r3.rows.flatMap(_.head).map(_.toInt).sorted === Seq(101, 102))
+    assert(c.query("SELECT count(*) FROM ret_t").rows === Seq(Seq(Some("5"))))
+    // errors keep pg SQLSTATEs
+    val bad = c.query("INSERT INTO no_table VALUES (1) RETURNING *")
+    assert(bad.errors.map(_._1) === Seq("42P01"))
+    val bad2 = c.query("INSERT INTO ret_t (nope) VALUES (1) RETURNING *")
+    assert(bad2.errors.map(_._1) === Seq("42703"))
+    // RETURNING inside a string literal must NOT trigger the splitter
+    val lit = c.query("SELECT 'VALUES RETURNING x' AS s")
+    assert(lit.rows === Seq(Seq(Some("VALUES RETURNING x"))))
+    c.query("DROP TABLE ret_t")
+    c.close()
+  }
+
+  test("LISTEN / UNLISTEN / NOTIFY accept with pg tags") {
+    val c = connect()
+    assert(c.query("LISTEN mychan").tags === Seq("LISTEN"))
+    assert(c.query("NOTIFY mychan").tags === Seq("NOTIFY"))
+    assert(c.query("UNLISTEN mychan").tags === Seq("UNLISTEN"))
+    assert(c.query("UNLISTEN *").tags === Seq("UNLISTEN"))
+    c.close()
+  }
+
   test("SET TIME ZONE shifts timestamptz text rendering") {
     val c = connect()
     // Spark session tz is UTC: this literal is the instant 12:00Z
