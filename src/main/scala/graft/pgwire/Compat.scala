@@ -375,6 +375,8 @@ object Compat {
     rewriteRowConstructor(ts)
     rewriteNamedMakeInterval(ts)
     rewriteFetchFirst(ts)
+    rewriteTablesample(ts)
+    rewriteArraySubquery(ts)
     // renames must precede ANY/ALL rewriting: the array_contains
     // replacement renders its operand tokens into one composite token
     // that later word-level passes can no longer see into
@@ -630,13 +632,20 @@ object Compat {
           if (idx >= 1) ts(n) = Tok(Num, (idx - 1).toString)
         } else if (valueBefore && n >= 0 && c >= 0 && ts(n).kind == Num &&
           ts(n).text.forall(_.isDigit) && ts(c).is(":")) {
-          // pg slice `v[a:b]` (1-based, inclusive) → slice(v, a, b-a+1)
+          // pg slice `v[a:b]` (1-based, inclusive) → slice(v, a, b-a+1);
+          // open upper bound `v[a:]` → slice to end (length clamps)
           val bIdx = nextIdx(ts, c)
-          val cls = if (bIdx >= 0) nextIdx(ts, bIdx) else -1
-          if (bIdx >= 0 && ts(bIdx).kind == Num &&
-            ts(bIdx).text.forall(_.isDigit) && cls >= 0 && ts(cls).is("]")) {
+          val closedEnd = bIdx >= 0 && ts(bIdx).kind == Num &&
+            ts(bIdx).text.forall(_.isDigit) && {
+              val x = nextIdx(ts, bIdx); x >= 0 && ts(x).is("]")
+            }
+          val openEnd = bIdx >= 0 && ts(bIdx).is("]")
+          if (closedEnd || openEnd) {
+            val cls = if (closedEnd) nextIdx(ts, bIdx) else bIdx
             val a = ts(n).text.toLong
-            val b = ts(bIdx).text.toLong
+            val len =
+              if (closedEnd) math.max(ts(bIdx).text.toLong - a + 1, 0)
+              else 1000000000L // slice() clamps to the array end
             var start = primaryStart(ts, p)
             // primaryStart treats a preceding keyword as a function
             // name for paren groups (`SELECT (arr)` → start at SELECT);
@@ -646,7 +655,28 @@ object Compat {
                 .contains(ts(start).text.toLowerCase))
               start = nextIdx(ts, start)
             ts.remove(i, cls - i + 1)
-            ts.insert(i, Tok(Word, s", $a, ${math.max(b - a + 1, 0)})"))
+            ts.insert(i, Tok(Word, s", $a, $len)"))
+            ts.insertAll(start, Seq(Tok(Word, "slice"), Tok(Op, "(")))
+            i += 2
+          }
+        } else if (valueBefore && n >= 0 && ts(n).is(":")) {
+          // pg open lower bound `v[:b]` / full slice `v[:]`
+          val bIdx = nextIdx(ts, n)
+          val closedEnd = bIdx >= 0 && ts(bIdx).kind == Num &&
+            ts(bIdx).text.forall(_.isDigit) && {
+              val x = nextIdx(ts, bIdx); x >= 0 && ts(x).is("]")
+            }
+          val openEnd = bIdx >= 0 && ts(bIdx).is("]")
+          if (closedEnd || openEnd) {
+            val cls = if (closedEnd) nextIdx(ts, bIdx) else bIdx
+            val len = if (closedEnd) ts(bIdx).text.toLong else 1000000000L
+            var start = primaryStart(ts, p)
+            if (ts(start).kind == Word && Set("select", "where", "when",
+              "then", "else", "and", "or", "by", "from", "in", "on")
+                .contains(ts(start).text.toLowerCase))
+              start = nextIdx(ts, start)
+            ts.remove(i, cls - i + 1)
+            ts.insert(i, Tok(Word, s", 1, $len)"))
             ts.insertAll(start, Seq(Tok(Word, "slice"), Tok(Op, "(")))
             i += 2
           }
@@ -980,7 +1010,14 @@ object Compat {
             val only = nextIdx(ts, rowIdx)
             if (only >= 0 && ts(only).isWord("ONLY")) {
               ts.remove(i, only - i + 1)
-              ts.insert(i, Tok(Word, s"LIMIT $nTok"))
+              // SQL-standard clause order is `OFFSET n ROWS FETCH …`,
+              // but Spark's parser wants LIMIT before OFFSET — when an
+              // OFFSET immediately precedes, insert the LIMIT before it
+              val pNum = prevIdx(ts, i)
+              val pOff = if (pNum >= 0 && ts(pNum).kind == Num) prevIdx(ts, pNum) else -1
+              if (pOff >= 0 && ts(pOff).isWord("OFFSET"))
+                ts.insert(pOff, Tok(Word, s"LIMIT $nTok "))
+              else ts.insert(i, Tok(Word, s"LIMIT $nTok"))
             }
           }
         }
@@ -995,6 +1032,121 @@ object Compat {
         val closeP = if (open >= 0 && ts(open).is("(")) nextIdx(ts, open) else -1
         if (closeP >= 0 && ts(closeP).is(")"))
           ts.remove(i, closeP - i + 1)
+      }
+      i += 1
+    }
+  }
+
+  /** pg `TABLESAMPLE BERNOULLI(p)` / `SYSTEM(p)` → Spark
+    * `TABLESAMPLE (p PERCENT)`. Spark's percent sampling is row-level
+    * Bernoulli; pg's SYSTEM is page-level — the sampled FRACTION
+    * matches, page clustering doesn't exist over columnar scans
+    * (documented deviation). REPEATABLE(seed) passes through.
+    */
+  private def rewriteTablesample(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("TABLESAMPLE")) {
+        val m = nextIdx(ts, i)
+        if (m >= 0 && (ts(m).isWord("BERNOULLI") || ts(m).isWord("SYSTEM"))) {
+          val open = nextIdx(ts, m)
+          if (open >= 0 && ts(open).is("(")) {
+            val close = matchParen(ts, open)
+            if (close > 0) {
+              ts.insert(close, Tok(Word, " PERCENT"))
+              ts.remove(m)
+              // pg puts TABLESAMPLE AFTER the alias; Spark's grammar
+              // wants it between the table and the alias — relocate
+              // when an alias precedes
+              var segEnd = matchParen(ts, nextIdx(ts, i))
+              val r = nextIdx(ts, segEnd)
+              if (r >= 0 && ts(r).isWord("REPEATABLE")) {
+                val ro = nextIdx(ts, r)
+                if (ro >= 0 && ts(ro).is("(")) {
+                  val rc = matchParen(ts, ro)
+                  if (rc > 0) segEnd = rc
+                }
+              }
+              val stopWords = Set("where", "group", "order", "limit",
+                "having", "on", "join", "inner", "left", "right", "full",
+                "cross", "union", "intersect", "except", "from", "as")
+              var aliasStart = -1
+              val pA = prevIdx(ts, i)
+              if (pA >= 0 && ts(pA).is(")")) {
+                // alias with a column list: scan back to its '('
+                var depth = 0
+                var j = pA
+                while (j >= 0 && aliasStart < 0) {
+                  if (ts(j).is(")")) depth += 1
+                  else if (ts(j).is("(")) {
+                    depth -= 1
+                    if (depth == 0) {
+                      val w = prevIdx(ts, j)
+                      if (w >= 0 && ts(w).kind == Word &&
+                        !stopWords.contains(ts(w).text.toLowerCase)) {
+                        val as0 = prevIdx(ts, w)
+                        aliasStart =
+                          if (as0 >= 0 && ts(as0).isWord("AS")) as0 else w
+                      } else aliasStart = -2 // not an alias shape
+                    }
+                  }
+                  j -= 1
+                }
+              } else if (pA >= 0 && ts(pA).kind == Word &&
+                !stopWords.contains(ts(pA).text.toLowerCase)) {
+                val before = prevIdx(ts, pA)
+                // pA is an ALIAS only when a table-like token precedes
+                // it — a clause keyword (FROM/JOIN/',') before means pA
+                // IS the table and TABLESAMPLE is already in place
+                val keywordBefore = before >= 0 && ((ts(before).kind == Word &&
+                  Set("from", "join", "inner", "left", "right", "full",
+                    "cross", "lateral", "only", "union", "intersect",
+                    "except").contains(ts(before).text.toLowerCase)) ||
+                  ts(before).is(",") || ts(before).is("("))
+                if (before >= 0 && !keywordBefore &&
+                  (ts(before).kind == Word || ts(before).kind == QIdent ||
+                    ts(before).is(")") || ts(before).isWord("AS"))) {
+                  val as0 = prevIdx(ts, pA)
+                  aliasStart =
+                    if (as0 >= 0 && ts(as0).isWord("AS")) as0 else pA
+                }
+              }
+              if (aliasStart >= 0) {
+                val seg = ts.slice(i, segEnd + 1).toVector
+                ts.remove(i, segEnd - i + 1)
+                ts.insertAll(aliasStart, seg :+ Tok(Ws, " "))
+                i = aliasStart + seg.length
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** pg `ARRAY(subquery)` constructor → a scalar subquery collecting
+    * the single output column: `(SELECT collect_list(__c) FROM (sub)
+    * AS __asub(__c))`. pg preserves the subquery's ORDER BY; here the
+    * order survives for the single-partition result sizes a scalar
+    * array implies (a multi-partition unordered subquery has no pg-
+    * defined order either).
+    */
+  private def rewriteArraySubquery(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("ARRAY")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val first = nextIdx(ts, open)
+          if (first >= 0 && (ts(first).isWord("SELECT") || ts(first).isWord("WITH"))) {
+            val close = matchParen(ts, open)
+            if (close > 0) {
+              ts.insert(close + 1, Tok(Word, " AS __asub(__c))"))
+              ts(i) = Tok(Word, "(SELECT collect_list(__c) FROM")
+            }
+          }
+        }
       }
       i += 1
     }

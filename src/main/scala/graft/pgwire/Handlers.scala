@@ -115,8 +115,45 @@ object Handlers {
         session.statementTimeoutMs = 0L
         session.cursorTtlMs = 0L
         Complete("DISCARD ALL")
-      case _ => runQuery(spark, session, sql, head, second)
+      case _ => runQuery(spark, session, substituteGucFns(session, sql), head, second)
     }
+  }
+
+  /** Session-aware `current_setting('k'[, missing_ok])` and
+    * `set_config('k', 'v', is_local)` for LITERAL-argument call shapes
+    * (the only shapes clients emit): substituted textually with the
+    * session's GUC value, because a Spark UDF evaluates on executor
+    * threads with no connection context. Non-literal args fall through
+    * to the default-map UDF. set_config applies to the session map
+    * (is_local treated as SET LOCAL ≈ SET, matching the transaction
+    * model's tag-only semantics).
+    */
+  private def substituteGucFns(session: Session, sql: String): String = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("current_setting") && !lower.contains("set_config"))
+      return sql
+    def lit(v: String): String =
+      scala.util.matching.Regex.quoteReplacement("'" + v.replace("'", "''") + "'")
+    val afterSet =
+      "(?i)set_config\\(\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*,\\s*(true|false)\\s*\\)".r
+        .replaceAllIn(sql, m => {
+          val k = m.group(1).toLowerCase
+          val v = m.group(2)
+          session.gucs(k) = v
+          lit(v)
+        })
+    "(?i)current_setting\\(\\s*'([^']+)'\\s*(?:,\\s*(true|false)\\s*)?\\)".r
+      .replaceAllIn(afterSet, m => {
+        val k = m.group(1).toLowerCase
+        val missingOk = Option(m.group(2)).exists(_.toBoolean)
+        session.gucs.get(k)
+          .orElse(PgCatalog.defaultGucs.toMap.get(k)) match {
+          case Some(v) => lit(v)
+          case None if missingOk => "NULL"
+          case None => throw PgException("42704",
+            s"""unrecognized configuration parameter "$k"""")
+        }
+      })
   }
 
   /** Spark SHOW <x> forms passed through to the engine rather than

@@ -135,6 +135,24 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.splitStatements("  ;;  ") === Seq.empty)
   }
 
+  test("round-11 grammar: slices, TABLESAMPLE, ARRAY(subquery), OFFSET/FETCH order") {
+    // open-ended array slices
+    assert(Compat.rewrite("SELECT (a)[2:]").contains("slice((a), 2, 1000000000)"))
+    assert(Compat.rewrite("SELECT (a)[:2]").contains("slice((a), 1, 2)"))
+    // TABLESAMPLE: method → PERCENT, relocated before a pg-side alias
+    assert(Compat.rewrite("SELECT * FROM t TABLESAMPLE BERNOULLI(10)") ===
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(Compat.rewrite("SELECT * FROM t x TABLESAMPLE SYSTEM(5)").trim ===
+      "SELECT * FROM t TABLESAMPLE (5 PERCENT) x")
+    // ARRAY(subquery) → scalar collect_list subquery
+    assert(Compat.rewrite("SELECT ARRAY(SELECT x FROM t)") ===
+      "SELECT (SELECT collect_list(__c) FROM(SELECT x FROM t) AS __asub(__c))")
+    // SQL-standard OFFSET-then-FETCH reorders for Spark's parser
+    val of = Compat.rewrite("SELECT * FROM t ORDER BY a OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY")
+    assert(of.contains("LIMIT 3"), of)
+    assert(of.indexOf("LIMIT 3") < of.indexOf("OFFSET 2"), of)
+  }
+
   test("statement splitter returns RAW text — backslashes must not double") {
     // regression (round 11): tokenize+render splitting doubled literal
     // backslashes, and the subsequent rewrite doubled them AGAIN, so a
