@@ -381,11 +381,22 @@ object PgFormat {
       true
     }
     val timeRe = "([+-]?)(\\d+):(\\d{1,2})(?::(\\d{1,2})(\\.\\d+)?)?".r
+    val ymRe = "([+-]?)(\\d+)-(\\d+)".r
     while (i < toks.length) {
       val t = toks(i)
       t match {
         case "ago" if i == toks.length - 1 => ago = true
-        case timeRe(sg, hh, mm, ss, fr) if pendingNum.isEmpty =>
+        case ymRe(sg, y, mo) if pendingNum.isEmpty =>
+          // SQL-standard year-month '1-2' (sign covers both fields)
+          val m = y.toLong * 12 + mo.toLong
+          months += (if (sg == "-") -m else m)
+        case timeRe(sg, hh, mm, ss, fr) =>
+          // SQL-standard 'D HH:MM:SS': a pending bare number before a
+          // time field is the day count ('3 4:05:06' = 3 days 04:05:06)
+          pendingNum.foreach { q =>
+            days += q.setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+            pendingNum = None
+          }
           val sign = if (sg == "-") -1L else 1L
           var us = hh.toLong * 3600000000L + mm.toLong * 60000000L
           if (ss != null) us += ss.toLong * 1000000L

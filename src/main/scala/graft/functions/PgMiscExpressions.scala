@@ -445,6 +445,73 @@ object PgMiscExpressions {
         newChildren: IndexedSeq[Expression]): PgSeries = copy(children = newChildren)
   }
 
+  /** Any interval type → pg's text output form ("1 year 2 mons
+    * 3 days 04:05:06") — pg's `interval::text` goes through the
+    * OUTPUT function, where Spark's cast renders "1 years 2 months"
+    * (sweep #9, live-pg-pinned). Routed in by PgSemantics.
+    */
+  case class PgIntervalText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_interval_text"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("pg_interval_text(interval)")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val (m, d, us) = PgMiscExpressions.intervalFields(v, child.dataType)
+      UTF8String.fromString(graft.pgwire.TextEncoder.formatInterval(m, d, us))
+    }
+    override protected def withNewChildInternal(c: Expression): PgIntervalText =
+      copy(child = c)
+  }
+
+  /** Internal interval value → pg's (months, days, micros) triple.
+    * DayTimeIntervalType stores only total micros; pg keeps days
+    * entered as days ('1 day 12 hours' renders "1 day 12:00:00", but
+    * '36 hours' stays "36:00:00"). The type's START field recovers the
+    * split exactly: a DAY-starting interval's leading component was
+    * spelled in days. */
+  def intervalFields(v: Any, dt: DataType): (Int, Int, Long) = dt match {
+    case CalendarIntervalType =>
+      val c = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+      (c.months, c.days, c.microseconds)
+    case d: DayTimeIntervalType =>
+      val (dd, rest) = PgFormatExpressions.dayTimeParts(v.asInstanceOf[Long], d)
+      (0, dd, rest)
+    case _: YearMonthIntervalType => (v.asInstanceOf[Int], 0, 0L)
+  }
+
+  /** Interval ± interval across Spark's three interval types — pg
+    * keeps year-month and day-time components independent
+    * (`'2 mons' - '10 days'` = "2 mons -10 days"), which needs the
+    * CalendarInterval carrier; Spark's native Add/Subtract reject the
+    * mixed-type pair outright (sweep #9). Routed in by PgSemantics
+    * when at least one side is CalendarIntervalType.
+    */
+  case class PgIntervalAdd(left: Expression, right: Expression, negate: Boolean)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = CalendarIntervalType
+    override def prettyName: String = if (negate) "pg_interval_sub" else "pg_interval_add"
+    private def isIv(dt: DataType): Boolean = dt match {
+      case CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isIv(left.dataType) && isIv(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("interval ± interval")
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (lm, ld, lu) = PgMiscExpressions.intervalFields(l, left.dataType)
+      val (rm, rd, ru) = PgMiscExpressions.intervalFields(r, right.dataType)
+      val s = if (negate) -1 else 1
+      new org.apache.spark.unsafe.types.CalendarInterval(
+        lm + s * rm, ld + s * rd, lu + s * ru)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgIntervalAdd =
+      copy(left = l, right = r)
+  }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("pg_series"), info("pg_series"), { args =>
       PgSeries(args)

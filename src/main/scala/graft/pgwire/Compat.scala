@@ -1445,6 +1445,23 @@ object Compat {
       if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("timestamptz")) {
         val lit = nextIdx(ts, i)
         if (lit >= 0 && ts(lit).kind == Str) ts(i) = Tok(Word, "timestamp")
+      } else if (ts(i).kind == Word &&
+        (ts(i).text.equalsIgnoreCase("numeric") || ts(i).text.equalsIgnoreCase("decimal"))) {
+        // `numeric '12.3450'` typed literal (sweep #9): Spark has no
+        // NUMERIC literal keyword — the bare decimal literal keeps the
+        // spelled scale exactly like pg (integer bodies take the BD
+        // suffix to stay decimal-typed, same as the ::numeric rule)
+        val lit = nextIdx(ts, i)
+        if (lit >= 0 && ts(lit).kind == Str) {
+          val body = ts(lit).text.drop(1).dropRight(1).trim
+          if (body.matches("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")) {
+            ts(lit) = Tok(Num,
+              if (body.contains('.') || body.toLowerCase.contains('e')) body
+              else body + "BD")
+            ts.remove(i)
+            i -= 1
+          }
+        }
       } else if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("timestamp")) {
         // pg `TIMESTAMP 'lit'` is WITHOUT time zone → TIMESTAMP_NTZ;
         // `TIMESTAMP WITH TIME ZONE 'lit'` (no Spark literal keyword)
@@ -1638,6 +1655,31 @@ object Compat {
             ts(i) = Tok(Word, "array")
             ts(b1) = Tok(Op, "(")
             ts(close) = Tok(Op, ")")
+            // multidimensional literal `ARRAY[[1,2],[3,4]]` (sweep #9):
+            // a '[' directly at a LIST position (after '(' or ',') is
+            // a nested constructor, never a subscript — convert it too
+            var k = b1 + 1
+            var cl = close
+            while (k < cl) {
+              if (ts(k).is("[")) {
+                val pv = prevIdx(ts, k)
+                if (pv >= 0 && (ts(pv).is("(") || ts(pv).is(","))) {
+                  var d2 = 0; var m2 = k; var c2 = -1
+                  while (m2 <= cl && c2 < 0) {
+                    if (ts(m2).is("[")) d2 += 1
+                    else if (ts(m2).is("]")) { d2 -= 1; if (d2 == 0) c2 = m2 }
+                    m2 += 1
+                  }
+                  if (c2 > 0) {
+                    ts(k) = Tok(Op, "(")
+                    ts(c2) = Tok(Op, ")")
+                    ts.insert(k, Tok(Word, "array"))
+                    cl += 1
+                  }
+                }
+              }
+              k += 1
+            }
           }
         }
       }
@@ -2696,6 +2738,10 @@ object Compat {
             // bare colon time ('25:10:05'): Spark's unqualified literal
             // parser rejects it outright; pg reads hh:mm[:ss[.f]]
             val colonOnly = body.trim.matches("[+-]?\\d+:\\d.*")
+            // SQL-standard shorthands (sweep #9): year-month '1-2' and
+            // day-plus-time '3 4:05:06'
+            val sqlStd = body.trim.matches("[+-]?\\d+-\\d+\\s*") ||
+              body.trim.matches("[+-]?\\d+\\s+[+-]?\\d+:\\d.*")
             // EXTRACT(x FROM INTERVAL '…'): route through pg_interval's
             // CalendarInterval so any field is extractable — Spark's
             // typed literal INTERVAL '100' HOUR carries only the named
@@ -2706,8 +2752,8 @@ object Compat {
             // Spark's literal parser rejects outright
             val gluedUnit = "(?i)\\d(us|ms|secs?|mins?|hrs?|mons?|yrs?|[smhdwy])\\b".r
               .findFirstIn(body).nonEmpty
-            if (mixed || dayColon || mixedSign || colonOnly || inExtract ||
-              gluedUnit || pgOnly.findFirstIn(body).nonEmpty ||
+            if (mixed || dayColon || mixedSign || colonOnly || sqlStd ||
+              inExtract || gluedUnit || pgOnly.findFirstIn(body).nonEmpty ||
               fracUnit.findFirstIn(body).nonEmpty) {
               ts(i) = Tok(Word, "pg_interval")
               ts.insert(lit + 1, Tok(Op, ")"))
@@ -3351,10 +3397,17 @@ object Compat {
           }) {
           // `1.50::numeric` — pg numeric is arbitrary-precision and
           // KEEPS the literal's scale (renders 1.50). Spark's bare
-          // DECIMAL is (10,0) and would round to 2. Dropping the cast
-          // keeps the literal's own DecimalType(p,s) — exactly pg's
-          // displayed scale. (Non-literal operands fall through to the
-          // decimal(38,18) mapping, the documented deviation class.)
+          // DECIMAL is (10,0) and would round to 2. A fractional
+          // literal keeps its own DecimalType(p,s) by dropping the
+          // cast; an INTEGER literal must stay decimal-typed (sweep
+          // #9: dropping it made `2::numeric / 3` INT division = 0,
+          // a wrong answer) — the `BD` literal suffix pins
+          // DecimalType without changing the value. (Non-literal
+          // operands fall to the decimal(38,18) mapping, the
+          // documented deviation class; division scale follows
+          // Spark's decimal rules, not pg's, also documented.)
+          if (!ts(p).text.contains('.') && !ts(p).text.toLowerCase.contains('e'))
+            ts(p) = Tok(Num, ts(p).text + "BD")
           ts.remove(i, t - i + 1)
           i -= 1
         } else if (t >= 0 && ts(t).isWord("time") && p >= 0 && {

@@ -150,6 +150,57 @@ object PgSemantics {
             (f.dataType == DoubleType || f.dataType == FloatType) =>
         PgFloatText(f, f.dataType == FloatType)
 
+      // round(float8) is half-to-EVEN in pg (2.5 → 2; numeric stays
+      // half-away) — Spark's Round is half-up for doubles; BRound IS
+      // banker's rounding (sweep #9, live-pg-pinned). This also
+      // retargets the Round the fractional-cast rule above inserts,
+      // so `2.5::float8::int` = 2 exactly like pg.
+      case r: Round
+          if r.child.resolved &&
+            (r.child.dataType == DoubleType || r.child.dataType == FloatType) =>
+        BRound(r.child, r.scale)
+
+      // interval → text rides pg's interval output function
+      // ("1 year 2 mons", not Spark's "1 years 2 months")
+      case Cast(iv, StringType, _, _)
+          if iv.resolved && (iv.dataType match {
+            case CalendarIntervalType | _: DayTimeIntervalType |
+                 _: YearMonthIntervalType => true
+            case _ => false
+          }) =>
+        graft.functions.PgMiscExpressions.PgIntervalText(iv)
+
+      // interval ± interval with a CalendarInterval side: pg keeps
+      // year-month and day-time fields independent; Spark's native
+      // arithmetic rejects the mixed pair
+      case Add(l, r, _)
+          if l.resolved && r.resolved && isIvPair(l.dataType, r.dataType) =>
+        graft.functions.PgMiscExpressions.PgIntervalAdd(l, r, negate = false)
+      case Subtract(l, r, _)
+          if l.resolved && r.resolved && isIvPair(l.dataType, r.dataType) =>
+        graft.functions.PgMiscExpressions.PgIntervalAdd(l, r, negate = true)
+      // the parser sugars `x ± INTERVAL '…'` into TimeAdd assuming a
+      // datetime left side — when x is itself an interval, it's the
+      // same interval-arithmetic case (negation already folded into
+      // the interval operand)
+      // (the parser also wraps the sugar in a cast back to the left
+      // operand's interval type — drop it, the result is pg's
+      // CalendarInterval carrier)
+      case Cast(TimestampAddInterval(l, itv, _), target, _, _)
+          if l.resolved && itv.resolved && isIvPair(l.dataType, itv.dataType) &&
+            (target match {
+              case CalendarIntervalType | _: YearMonthIntervalType |
+                   _: DayTimeIntervalType => true
+              case _ => false
+            }) =>
+        graft.functions.PgMiscExpressions.PgIntervalAdd(l, itv, negate = false)
+      case TimestampAddInterval(l, itv, _)
+          if l.resolved && itv.resolved && isIvPair(l.dataType, itv.dataType) =>
+        graft.functions.PgMiscExpressions.PgIntervalAdd(l, itv, negate = false)
+      case DateAddInterval(l, itv, _, _)
+          if l.resolved && itv.resolved && isIvPair(l.dataType, itv.dataType) =>
+        graft.functions.PgMiscExpressions.PgIntervalAdd(l, itv, negate = false)
+
       // concat's argument conversion uses pg's OUTPUT function for
       // booleans ('t'/'f'), not the text cast ('true'/'false') —
       // live-pg: concat('a', true) = 'at' but true::text = 'true'
@@ -193,6 +244,20 @@ object PgSemantics {
 
   private val roundedTag = new TreeNodeTag[Unit]("graft.pg.roundedCast")
   private val truncNtzTag = new TreeNodeTag[Unit]("graft.pg.truncNtz")
+
+  /** Both interval-typed AND not a pair Spark's native ± supports —
+    * a CalendarInterval side, or mixed year-month + day-time (pg
+    * keeps the fields independent; Spark rejects the combination). */
+  private def isIvPair(l: DataType, r: DataType): Boolean = {
+    def iv(dt: DataType): Boolean = dt match {
+      case CalendarIntervalType | _: DayTimeIntervalType |
+           _: YearMonthIntervalType => true
+      case _ => false
+    }
+    def ym(dt: DataType): Boolean = dt.isInstanceOf[YearMonthIntervalType]
+    def dt0(dt: DataType): Boolean = dt.isInstanceOf[DayTimeIntervalType]
+    iv(l) && iv(r) && !((ym(l) && ym(r)) || (dt0(l) && dt0(r)))
+  }
 
   private def notUserCast(c: Cast): Boolean =
     c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty

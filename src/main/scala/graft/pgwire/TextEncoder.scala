@@ -299,6 +299,8 @@ object TextEncoder {
       s.exists(c => c == ',' || c == '{' || c == '}' || c == '"' || c == '\\' || c.isWhitespace)
 
   private def quoteArrayElement(s: String, elType: DataType): String = elType match {
+    // nested sub-arrays render bare: pg multidim text is {{1,2},{3,4}}
+    case _: ArrayType => s
     case StringType | _: CharType | _: VarcharType | BinaryType | _: StructType |
          CalendarIntervalType | _: DayTimeIntervalType | _: YearMonthIntervalType |
          TimestampType | TimestampNTZType if needsQuote(s) || s.contains("\\x") =>

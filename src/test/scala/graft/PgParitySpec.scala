@@ -646,4 +646,32 @@ class PgParitySpec extends SparkSpec {
     assert(one("'2024-03-07 10:11:12'::timestamp - '2024-03-01 00:00:00'::timestamp") ===
       "6 days 10:11:12")
   }
+
+  test("sweep-9: rounding modes, intervals, multidim arrays, numeric literals (live pg 15)") {
+    // float8 rounds half-to-EVEN; numeric half-away-from-zero
+    assert(one("round(2.5::float8)") === "2")
+    assert(one("round(3.5::float8)") === "4")
+    assert(one("round(2.5)") === "3")
+    assert(one("2.5::float8::int") === "2")
+    assert(one("2.5::numeric::int") === "3")
+    // SQL-standard interval shorthands
+    assert(one("interval '1-2'") === "1 year 2 mons")
+    assert(one("interval '3 4:05:06'") === "3 days 04:05:06")
+    // interval output function through ::text
+    assert(one("interval '1 year 2 mons'::text") === "1 year 2 mons")
+    assert(one("interval '1 day 12 hours'::text") === "1 day 12:00:00")
+    assert(one("interval '36 hours'::text") === "36:00:00")
+    // mixed year-month/day-time arithmetic keeps fields independent
+    assert(one("interval '2 mons' - interval '10 days'") === "2 mons -10 days")
+    assert(one("interval '1 year' + interval '1 day'") === "1 year 1 day")
+    // multidimensional ARRAY literal renders pg's nested-brace form
+    assert(one("ARRAY[[1,2],[3,4]]") === "{{1,2},{3,4}}")
+    // NUMERIC typed literal keeps the spelled scale; integer ::numeric
+    // stays decimal-typed (the /3 = 0 int-division regression)
+    assert(one("numeric '12.3450'") === "12.3450")
+    assert(one("(2::numeric / 3) > 0.6") === "t")
+    // documented deviations kept visible: decimal division scale is
+    // Spark's (pg renders 20 digits), to_char L is en_US, sqrt over
+    // numeric keeps double precision
+  }
 }
