@@ -590,7 +590,10 @@ final class PgServer(
           s"X'$hex'"
         case PgType.DATE => s"DATE '${s.replace("'", "''")}'"
         case PgType.TIME => s"pg_time_in('${s.replace("'", "''")}')"
-        case PgType.TIMESTAMP | PgType.TIMESTAMPTZ => s"TIMESTAMP '${s.replace("'", "''")}'"
+        // 1114 = plain timestamp → NTZ literal; 1184 keeps the
+        // session-zoned type (Compat maps the keywords accordingly)
+        case PgType.TIMESTAMP => s"TIMESTAMP '${s.replace("'", "''")}'"
+        case PgType.TIMESTAMPTZ => s"TIMESTAMPTZ '${s.replace("'", "''")}'"
         case oid if arrayElemType.contains(oid) =>
           Compat.arrayLiteralSql(s, arrayElemType(oid))
         case _ => "'" + s.replace("'", "''") + "'"
@@ -617,11 +620,15 @@ final class PgServer(
           // the result column still tags as pg.type=time
           s"pg_time_in('${"%015d".format(buf.getLong * 1000L)}')"
         case PgType.TIMESTAMP | PgType.TIMESTAMPTZ =>
+          // binary timestamp: micros since 2000-01-01. For 1114 the
+          // value is a wall clock → NTZ literal; for 1184 it is a UTC
+          // instant → timestamptz literal with an explicit +00
           val micros = buf.getLong + BinaryEncoder.PG_EPOCH_MICROS
           val ldt = java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000).toInt,
             java.time.ZoneOffset.UTC)
-          s"TIMESTAMP '$ldt'"
+          if (oid == PgType.TIMESTAMP) s"TIMESTAMP '$ldt'"
+          else s"TIMESTAMPTZ '${ldt}+00'"
         case oid if arrayElemType.contains(oid) =>
           // pg array binary: ndim, hasnull, eloid, [dim, lbound]*,
           // then (len, bytes) per element in row-major order (JDBC

@@ -132,6 +132,17 @@ class CopyParitySpec extends SparkSpec {
       "(FORMAT csv, NULL 'NA')")
   }
 
+  test("timestamps, intervals, and multidim arrays through COPY") {
+    diff("COPY (SELECT '2024-03-07 10:11:12'::timestamp AS a, " +
+      "'2024-03-07 10:11:12+02'::timestamptz AS b, " +
+      "TIME '12:34:56.25' AS c) TO STDOUT")
+    diff("COPY (SELECT interval '1-2' AS a, interval '3 4:05:06' AS b, " +
+      "interval '2 mons' - interval '10 days' AS c) TO STDOUT")
+    diff("COPY (SELECT ARRAY[[1,2],[3,4]] AS a) TO STDOUT")
+    diff("COPY (SELECT '2024-03-07 10:11:12'::timestamp AS a, " +
+      "interval '1 day 12 hours' AS b) TO STDOUT (FORMAT csv)")
+  }
+
   test("multi-row output with ordering") {
     diff("COPY (SELECT g AS id, 'row' || g AS t FROM generate_series(1, 5) AS g " +
       "ORDER BY 1) TO STDOUT")

@@ -177,6 +177,23 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("timestamp params: OID 1114 stays NTZ, 1184 is an instant") {
+    val c = connect()
+    // text param typed timestamp (1114): wall clock, renders no offset
+    c.parse("ts1", "SELECT $1 AS t", Seq(1114))
+    c.bind("p1", "ts1", Seq(Some("2024-01-15 12:00:00")))
+    c.execute("p1")
+    val r1 = c.sync()
+    assert(r1.rows === Seq(Seq(Some("2024-01-15 12:00:00"))))
+    // text param typed timestamptz (1184): an instant, renders +00
+    c.parse("ts2", "SELECT $1 AS t", Seq(1184))
+    c.bind("p2", "ts2", Seq(Some("2024-01-15 12:00:00+02")))
+    c.execute("p2")
+    val r2 = c.sync()
+    assert(r2.rows === Seq(Seq(Some("2024-01-15 10:00:00+00"))))
+    c.close()
+  }
+
   test("LISTEN / UNLISTEN / NOTIFY accept with pg tags") {
     val c = connect()
     assert(c.query("LISTEN mychan").tags === Seq("LISTEN"))
