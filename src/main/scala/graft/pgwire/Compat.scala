@@ -374,6 +374,7 @@ object Compat {
     rewriteRowIsNull(ts)
     rewriteRowConstructor(ts)
     rewriteNamedMakeInterval(ts)
+    rewriteFetchWithTies(ts)
     rewriteFetchFirst(ts)
     rewriteTablesample(ts)
     rewriteArraySubquery(ts)
@@ -996,6 +997,82 @@ object Compat {
     * to 1), `OFFSET n {ROW|ROWS}` → `OFFSET n`, and pg's empty
     * grouping list `GROUP BY ()` → plain ungrouped aggregation.
     */
+  /** pg `ORDER BY o FETCH FIRST n ROWS WITH TIES` — LIMIT that keeps
+    * peer rows of the n-th row. Spark has no WITH TIES anywhere, so
+    * the block restructures to a rank window (same inner `SELECT *`
+    * shape as DISTINCT ON, same documented limits: no GROUP BY /
+    * DISTINCT in the block, and OFFSET between ORDER BY and FETCH is
+    * unsupported).
+    */
+  private def rewriteFetchWithTies(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("SELECT")) {
+        var depth = 0
+        var fromIdx = -1; var orderIdx = -1; var fetchIdx = -1
+        var grouped = false
+        var j = i + 1
+        var end = ts.length
+        val distinct = { val d = nextIdx(ts, i); d >= 0 && ts(d).isWord("DISTINCT") }
+        while (j < ts.length && end == ts.length) {
+          val t = ts(j)
+          if (t.is("(")) depth += 1
+          else if (t.is(")")) { depth -= 1; if (depth < 0) end = j }
+          else if (depth == 0 && t.kind == Word) {
+            val w = t.text.toUpperCase
+            if (w == "FROM" && fromIdx < 0) fromIdx = j
+            else if (w == "GROUP" || w == "HAVING") grouped = true
+            else if (w == "ORDER" && orderIdx < 0) {
+              val by = nextIdx(ts, j)
+              if (by >= 0 && ts(by).isWord("BY")) orderIdx = j
+            } else if (w == "FETCH" && fetchIdx < 0) fetchIdx = j
+            else if (w == "UNION" || w == "INTERSECT" || w == "EXCEPT") end = j
+          }
+          j += 1
+        }
+        if (fromIdx > 0 && orderIdx > 0 && fetchIdx > orderIdx && !grouped && !distinct) {
+          // FETCH {FIRST|NEXT} [n] {ROW|ROWS} WITH TIES ?
+          val kw = nextIdx(ts, fetchIdx)
+          if (kw >= 0 && (ts(kw).isWord("FIRST") || ts(kw).isWord("NEXT"))) {
+            val a = nextIdx(ts, kw)
+            val (nTok, rowIdx) =
+              if (a >= 0 && ts(a).kind == Num) (ts(a).text, nextIdx(ts, a))
+              else ("1", a)
+            if (rowIdx >= 0 && (ts(rowIdx).isWord("ROW") || ts(rowIdx).isWord("ROWS"))) {
+              val withIdx = nextIdx(ts, rowIdx)
+              val tiesIdx = if (withIdx >= 0 && ts(withIdx).isWord("WITH"))
+                nextIdx(ts, withIdx) else -1
+              if (tiesIdx >= 0 && ts(tiesIdx).isWord("TIES")) {
+                val by = nextIdx(ts, orderIdx)
+                val oby = ts.slice(by + 1, fetchIdx).toVector
+                // nothing but the order list may sit between ORDER BY
+                // and FETCH (no OFFSET support in this shape)
+                val sl = ts.slice(i + 1, fromIdx).toVector
+                val body = ts.slice(fromIdx, orderIdx).toVector
+                val rest = ts.slice(tiesIdx + 1, end).toVector
+                val rebuilt = ArrayBuffer[Tok]()
+                rebuilt += Tok(Word, "SELECT ")
+                rebuilt ++= sl
+                rebuilt += Tok(Word, " FROM (SELECT *, rank() OVER (ORDER BY ")
+                rebuilt ++= oby
+                rebuilt += Tok(Word, ") AS __wt_rk ")
+                rebuilt ++= body
+                rebuilt += Tok(Word, s") __wt_t WHERE __wt_rk <= $nTok ORDER BY ")
+                rebuilt ++= oby
+                rebuilt += Tok(Word, " ")
+                rebuilt ++= rest
+                ts.remove(i, end - i)
+                ts.insertAll(i, rebuilt)
+                i += rebuilt.length - 1
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteFetchFirst(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {

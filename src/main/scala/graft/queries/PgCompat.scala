@@ -916,5 +916,32 @@ object PgCompat {
             |  st_geometrytype(st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
             |    CAST(c_nationkey AS DOUBLE))) AS gtype
             |FROM customer ORDER BY c_custkey""".stripMargin) })
+    },
+
+    // round-11 grammar batch over the WIRE path: single-column-SRF
+    // alias rule (generate_series AS g names the column), pg array
+    // slices incl. open bounds, multidim ARRAY literals + 1-based
+    // subscripts, SQL-standard OFFSET/FETCH order. Oracle uses
+    // DuckDB's native spellings of the same constructs (its list
+    // slicing is 1-based inclusive like pg).
+    Q.df("q124_grammar",
+      """SELECT g AS n,
+        |  array_to_string(([10,20,30,40])[2:3], ',') AS mid,
+        |  array_to_string(([10,20,30,40])[2:], ',') AS tail,
+        |  array_to_string(([10,20,30,40])[:2], ',') AS head,
+        |  array_to_string(([[1,2],[3,4]])[2], ',') AS dim2,
+        |  CAST(g * 2 AS BIGINT) AS dbl
+        |FROM generate_series(2, 4) AS t(g)
+        |ORDER BY g OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        Handlers.runSql(s,
+          """SELECT g AS n,
+            |  array_to_string((ARRAY[10,20,30,40])[2:3], ',') AS mid,
+            |  array_to_string((ARRAY[10,20,30,40])[2:], ',') AS tail,
+            |  array_to_string((ARRAY[10,20,30,40])[:2], ',') AS head,
+            |  array_to_string((ARRAY[[1,2],[3,4]])[2], ',') AS dim2,
+            |  CAST(g * 2 AS BIGINT) AS dbl
+            |FROM generate_series(2, 4) AS g
+            |ORDER BY g OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY""".stripMargin) })
     })
 }

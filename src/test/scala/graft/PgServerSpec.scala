@@ -194,6 +194,20 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("FETCH FIRST ... WITH TIES keeps peer rows of the boundary") {
+    val c = connect()
+    val r = c.query(
+      "SELECT x, y FROM (VALUES (1,'a'),(2,'b'),(2,'c'),(3,'d')) t(x,y) " +
+        "ORDER BY x FETCH FIRST 2 ROWS WITH TIES")
+    assert(r.errors === Nil)
+    assert(r.rows.map(_.head) === Seq(Some("1"), Some("2"), Some("2")))
+    // all-equal keys: every row is a peer of the boundary
+    val r2 = c.query(
+      "SELECT x FROM (VALUES (5),(5),(5)) t(x) ORDER BY x FETCH FIRST ROW WITH TIES")
+    assert(r2.rows.length === 3)
+    c.close()
+  }
+
   test("LISTEN / UNLISTEN / NOTIFY accept with pg tags") {
     val c = connect()
     assert(c.query("LISTEN mychan").tags === Seq("LISTEN"))
