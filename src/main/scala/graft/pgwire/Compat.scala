@@ -2079,7 +2079,27 @@ object Compat {
               j += 1
             }
             val firstTok = nextIdx(ts, open)
-            if (orderIdx < 0 && lower == "string_agg" && commaIdx > 0 &&
+            if (lower == "array_agg" && firstTok >= 0 && ts(firstTok).isWord("DISTINCT")) {
+              // array_agg(DISTINCT e [ORDER BY e [DESC]]) — pg sorts
+              // the distinct set (the order key must equal e in pg);
+              // NULL joins the set once, NULLS LAST asc / FIRST desc;
+              // empty group → NULL (sweep #10, live-pg semantics)
+              val eEnd = if (orderIdx > 0) orderIdx else close
+              val e = ts.slice(firstTok + 1, eEnd).toVector
+              val desc = orderIdx > 0 && ts.slice(orderIdx, close).exists(tok =>
+                tok.kind == Word && tok.text.equalsIgnoreCase("DESC"))
+              val sortFlag = if (desc) "false" else "true"
+              val nullJoin = if (desc) "array_prepend" else "array_append"
+              val rebuilt =
+                ArrayBuffer(Tok(Word, "CASE WHEN count(*) = 0 THEN NULL " +
+                  "WHEN count(*) > count(")) ++ e ++
+                  ArrayBuffer(Tok(Word, s") THEN $nullJoin(sort_array(collect_set(")) ++ e ++
+                  ArrayBuffer(Tok(Word, s"), $sortFlag), NULL) ELSE sort_array(collect_set(")) ++ e ++
+                  ArrayBuffer(Tok(Word, s"), $sortFlag) END"))
+              ts.remove(i, close - i + 1)
+              ts.insertAll(i, rebuilt)
+              i += rebuilt.length - 1
+            } else if (orderIdx < 0 && lower == "string_agg" && commaIdx > 0 &&
               firstTok >= 0 && ts(firstTok).isWord("DISTINCT")) {
               // pg's DISTINCT aggregation feeds values in sorted order
               // (live-pg pin: string_agg(DISTINCT x, ',') over b,a,b →

@@ -150,6 +150,26 @@ object PgSemantics {
             (f.dataType == DoubleType || f.dataType == FloatType) =>
         PgFloatText(f, f.dataType == FloatType)
 
+      // pg avg(int/numeric) returns numeric and RENDERS at least 16
+      // fractional digits (live pg: avg of 2,3 → 2.5000000000000000);
+      // Spark's DECIMAL average keeps input-scale+4. Cast the result
+      // to scale max(16, input scale). float8 input stays float8 (pg
+      // too). (sweep #10)
+      case ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+            avg: org.apache.spark.sql.catalyst.expressions.aggregate.Average, _, _, _, _)
+          if avg.child.resolved && ae.getTagValue(avgScaleTag).isEmpty &&
+            (avg.child.dataType match {
+              case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+              case _ => false
+            }) => {
+        ae.setTagValue(avgScaleTag, ())
+        val scale = avg.child.dataType match {
+          case d: DecimalType => math.max(16, d.scale)
+          case _ => 16
+        }
+        Cast(ae, DecimalType(38, scale))
+      }
+
       // round(float8) is half-to-EVEN in pg (2.5 → 2; numeric stays
       // half-away) — Spark's Round is half-up for doubles; BRound IS
       // banker's rounding (sweep #9, live-pg-pinned). This also
@@ -244,6 +264,7 @@ object PgSemantics {
 
   private val roundedTag = new TreeNodeTag[Unit]("graft.pg.roundedCast")
   private val truncNtzTag = new TreeNodeTag[Unit]("graft.pg.truncNtz")
+  private val avgScaleTag = new TreeNodeTag[Unit]("graft.pg.avgScale")
 
   /** Both interval-typed AND not a pair Spark's native ± supports —
     * a CalendarInterval side, or mixed year-month + day-time (pg

@@ -674,4 +674,33 @@ class PgParitySpec extends SparkSpec {
     // Spark's (pg renders 20 digits), to_char L is en_US, sqrt over
     // numeric keeps double precision
   }
+
+  test("sweep-10: aggregate result rendering and DISTINCT array_agg (live pg 15)") {
+    def agg(sql: String): String = {
+      val df = graft.pgwire.Handlers.runSql(spark, s"SELECT $sql")
+      graft.pgwire.TextEncoder.encodeField(df.collect().head.get(0),
+        df.schema.fields(0), java.time.ZoneOffset.UTC).getOrElse("<NULL>")
+    }
+    // pg avg over int/numeric renders numeric with >= 16 fractional
+    // digits; float8 input stays float8
+    assert(agg("avg(x) FROM (VALUES (2),(3)) t(x)") === "2.5000000000000000")
+    assert(agg("avg(x) FROM (VALUES (2.0),(3.0)) t(x)") === "2.5000000000000000")
+    assert(agg("avg(x) FROM (VALUES (2.5::float8),(3.5::float8)) t(x)") === "3")
+    // array_agg(DISTINCT …): sorted distinct set, NULL once
+    // (NULLS LAST asc / FIRST desc), exactly live pg
+    assert(agg("array_agg(DISTINCT x ORDER BY x) FROM (VALUES (2),(1),(2)) t(x)") ===
+      "{1,2}")
+    assert(agg("array_agg(DISTINCT x ORDER BY x DESC) FROM (VALUES (2),(1),(NULL)) t(x)") ===
+      "{NULL,2,1}")
+    assert(agg("array_agg(DISTINCT x) FROM (VALUES ('b'),('a'),(NULL),('a')) t(x)") ===
+      "{a,b,NULL}")
+    // sum result types match pg: int → bigint, rendered bare
+    assert(agg("sum(x) FROM (VALUES (2),(3)) t(x)") === "5")
+    assert(agg("string_agg(x, ',' ORDER BY x DESC) FROM (VALUES ('a'),('b'),('c')) t(x)") ===
+      "c,b,a")
+    // documented deviations: stddev/variance over ints compute in
+    // float8 (pg: exact numeric at 20 digits); json_agg spacing is
+    // compact (pg spaces per-function); GROUPS frames and window
+    // EXCLUDE are unsupported (no Spark counterpart)
+  }
 }
