@@ -179,4 +179,22 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q123: geo projection is map-side over a pruned scan — one gather for the oracle sort") {
+    val p = executedPlan("q123_geo")
+    // the ST_* projection is per-row pure compute: no join, no
+    // aggregate, no mid-plan hash shuffle (AQE may plan the final
+    // oracle-ordering exchange only)
+    assert(!p.contains("Join"), s"geo projection must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"geo projection must not aggregate:\n$p")
+    // scan reads only the two columns the points are built from
+    assert(!p.contains("c_acctbal"), "column pruning failed: c_acctbal read")
+    assert(!p.contains("c_address"), "column pruning failed: c_address read")
+  }
+
+  test("q124: grammar batch plans a single-stage series expansion") {
+    val p = executedPlan("q124_grammar")
+    assert(!p.contains("Join"), s"SRF expansion must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
