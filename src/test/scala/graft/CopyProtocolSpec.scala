@@ -140,6 +140,16 @@ class CopyProtocolSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("COPY TO STDOUT renders geometry as hex EWKB (round-11 surfaces compose)") {
+    val c = connect()
+    val (_, data, tag, errs) = c.copyOut(
+      "COPY (SELECT 1 AS id, st_makepoint(1, 2) AS g) TO STDOUT")
+    assert(errs === Nil)
+    assert(data === "1\t0101000000000000000000F03F0000000000000040\n")
+    assert(tag === "COPY 1")
+    c.close()
+  }
+
   test("CopyFail surfaces 57014 and the session stays usable") {
     val c = connect()
     c.query("CREATE TABLE copy_fail (id INT) USING parquet")

@@ -164,6 +164,19 @@ class PsqlE2eSpec extends SparkSpec {
     }
   }
 
+  test("psql: geometry renders hex EWKB through live libpq") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port,
+        "SELECT st_setsrid(st_makepoint(1, 2), 4326) AS g, " +
+          "st_astext('POINT(3 4)'::geometry) AS t, " +
+          "st_distance(st_makepoint(0,0), st_makepoint(3,4)) AS d")
+      assert(c1 === 0, e1)
+      assert(o1.trim ===
+        "0101000020E6100000000000000000F03F0000000000000040|POINT(3 4)|5")
+    }
+  }
+
   test("psql: \\copy drives the COPY sub-protocol through live libpq") {
     assume(psqlPath.nonEmpty, "no psql binary installed")
     withServer { port =>
