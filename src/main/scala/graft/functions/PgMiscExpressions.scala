@@ -512,6 +512,40 @@ object PgMiscExpressions {
       copy(left = l, right = r)
   }
 
+  /** pg composite null tests (docs §9.2: famous asymmetric quirk):
+    * `row IS NULL` is true when EVERY field is null (or the row itself
+    * is), `row IS NOT NULL` is true when every field is NON-null — a
+    * mixed row fails BOTH. Spark's IsNull on a struct only checks the
+    * struct reference. Routed in by PgSemantics (sweep #11,
+    * live-pg-pinned).
+    */
+  case class PgRowNullTest(child: Expression, wantAllNull: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = false
+    override def prettyName: String = if (wantAllNull) "pg_row_is_null" else "pg_row_is_not_null"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StructType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("composite operand required")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return wantAllNull
+      val row = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val n = child.dataType.asInstanceOf[StructType].length
+      var i = 0
+      var allNull = true
+      var allSet = true
+      while (i < n) {
+        if (row.isNullAt(i)) allSet = false else allNull = false
+        i += 1
+      }
+      if (wantAllNull) allNull else allSet
+    }
+    override protected def withNewChildInternal(c: Expression): PgRowNullTest =
+      copy(child = c)
+  }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("pg_series"), info("pg_series"), { args =>
       PgSeries(args)

@@ -170,6 +170,14 @@ object PgSemantics {
         Cast(ae, DecimalType(38, scale))
       }
 
+      // pg composite null tests: `row IS NULL` ⟺ every field null,
+      // `row IS NOT NULL` ⟺ every field non-null (a mixed row fails
+      // both — pg docs §9.2). Spark checks only the struct reference.
+      case IsNull(e) if e.resolved && e.dataType.isInstanceOf[StructType] =>
+        graft.functions.PgMiscExpressions.PgRowNullTest(e, wantAllNull = true)
+      case IsNotNull(e) if e.resolved && e.dataType.isInstanceOf[StructType] =>
+        graft.functions.PgMiscExpressions.PgRowNullTest(e, wantAllNull = false)
+
       // round(float8) is half-to-EVEN in pg (2.5 → 2; numeric stays
       // half-away) — Spark's Round is half-up for doubles; BRound IS
       // banker's rounding (sweep #9, live-pg-pinned). This also

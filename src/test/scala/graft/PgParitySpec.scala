@@ -703,4 +703,13 @@ class PgParitySpec extends SparkSpec {
     // compact (pg spaces per-function); GROUPS frames and window
     // EXCLUDE are unsupported (no Spark counterpart)
   }
+
+  test("sweep-11: composite IS [NOT] NULL is field-wise (live pg 15, docs §9.2)") {
+    // the famous asymmetry: a mixed row fails BOTH tests
+    assert(one("ROW(NULL, NULL) IS NULL") === "t")
+    assert(one("ROW(1, NULL) IS NULL") === "f")
+    assert(one("ROW(1, NULL) IS NOT NULL") === "f")
+    assert(one("ROW(1, 2) IS NOT NULL") === "t")
+    assert(one("ROW(1, 2) IS NULL") === "f")
+  }
 }
