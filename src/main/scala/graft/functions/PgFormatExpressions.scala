@@ -752,7 +752,8 @@ object PgFormatExpressions {
     * feature not defined for variable-length months). */
   case class PgDateBin(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with CodegenFallback {
-    override def dataType: DataType = TimestampType
+    // pg returns the SOURCE's type: timestamp in → timestamp out
+    override def dataType: DataType = second.dataType
     override def prettyName: String = "date_bin"
 
     override def checkInputDataTypes(): TypeCheckResult = {
@@ -761,7 +762,11 @@ object PgFormatExpressions {
         case StringType => true // pg interval input text, parsed per row
         case _ => false
       }
-      if (strideOk && second.dataType == TimestampType && third.dataType == TimestampType)
+      val tsOk = Seq(second, third).forall(_.dataType match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+      if (strideOk && tsOk)
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         "date_bin(interval, timestamp, timestamp)")
@@ -871,7 +876,11 @@ object PgFormatExpressions {
     }),
     (FunctionIdentifier("date_bin"), info("date_bin"), { args =>
       require(args.length == 3, "date_bin requires 3 arguments")
-      PgDateBin(args(0), Cast(args(1), TimestampType), Cast(args(2), TimestampType))
+      // keep NTZ sources NTZ (pg: result type = source type; sweep #12)
+      def asTs(e: Expression): Expression =
+        if (e.resolved && (e.dataType == TimestampNTZType || e.dataType == TimestampType)) e
+        else Cast(e, TimestampType)
+      PgDateBin(args(0), asTs(args(1)), asTs(args(2)))
     }),
     // pg make_timestamptz = Spark's MakeTimestamp (TimestampType is
     // the session-zoned instant, i.e. pg's timestamptz), with the

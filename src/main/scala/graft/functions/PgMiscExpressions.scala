@@ -546,6 +546,65 @@ object PgMiscExpressions {
       copy(child = c)
   }
 
+  /** pg substring/substr over BYTEA: byte slicing with pg's clamp
+    * rules (start ≤ 0 clamps into the value, negative length errors).
+    * The string-typed pg_substr UDF would otherwise mangle the bytes
+    * through a UTF-8 round trip (sweep #12). */
+  case class PgByteaSubstr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "substr"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.length >= 2 && children.length <= 3 &&
+        children.head.dataType == BinaryType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("substr(bytea, int[, int])")
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val b = vs.head.asInstanceOf[Array[Byte]]
+      val s = vs(1).asInstanceOf[Number].intValue()
+      val lenOpt = if (children.length == 3) Some(vs(2).asInstanceOf[Number].intValue()) else None
+      lenOpt.foreach { l =>
+        if (l < 0) throw new IllegalArgumentException(
+          "negative substring length not allowed")
+      }
+      val endExcl = lenOpt.map(l => s.toLong + l - 1).getOrElse(Long.MaxValue)
+      val lo = math.max(s, 1)
+      val hi = math.min(endExcl, b.length.toLong).toInt
+      if (hi < lo) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(b, lo - 1, hi)
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): PgByteaSubstr =
+      copy(children = cs)
+  }
+
+  /** pg ltrim/rtrim/btrim over BYTEA: strip bytes contained in the
+    * trim set from the chosen ends. */
+  case class PgByteaTrim(left: Expression, right: Expression,
+      trimLeft: Boolean, trimRight: Boolean)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String =
+      if (trimLeft && trimRight) "btrim" else if (trimLeft) "ltrim" else "rtrim"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == BinaryType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName(bytea, bytea)")
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val b = l.asInstanceOf[Array[Byte]]
+      val set = r.asInstanceOf[Array[Byte]].toSet
+      var lo = 0
+      var hi = b.length
+      if (trimLeft) while (lo < hi && set.contains(b(lo))) lo += 1
+      if (trimRight) while (hi > lo && set.contains(b(hi - 1))) hi -= 1
+      java.util.Arrays.copyOfRange(b, lo, hi)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PgByteaTrim =
+      copy(left = l, right = r)
+  }
+
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("pg_series"), info("pg_series"), { args =>
       PgSeries(args)

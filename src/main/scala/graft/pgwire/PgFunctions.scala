@@ -639,6 +639,10 @@ object PgFunctions {
       ProcDef("quote_ident", Seq(T), T),
       ProcDef("parse_ident", Seq(T), TARR),
       ProcDef("like_escape", Seq(T, T), T),
+      ProcDef("sha224", Seq(17), 17),
+      ProcDef("sha256", Seq(17), 17),
+      ProcDef("sha384", Seq(17), 17),
+      ProcDef("sha512", Seq(17), 17),
       // ---- geo pack (SURVEY §2a#9; graft.functions.GeoFunctions) ----
       ProcDef("st_geomfromtext", Seq(T), PgType.GEOMETRY),
       ProcDef("st_geometryfromtext", Seq(T), PgType.GEOMETRY),
@@ -1026,6 +1030,16 @@ object PgFunctions {
 
     // string pack (functions.md §String; quote_literal per pg docs §9.4,
     // casefold via ICU (pg 18), to_ascii as NFD + combining-mark strip)
+    // pg sha2 family (§9.5): bytea in → bytea digest out (sweep #12;
+    // Spark's sha2 returns hex TEXT, so these are direct digests —
+    // text args arrive as their UTF-8 bytes via the implicit cast)
+    def shaUdf(alg: String): Array[Byte] => Array[Byte] = b =>
+      if (b == null) null
+      else java.security.MessageDigest.getInstance(alg).digest(b)
+    u.register("sha224", shaUdf("SHA-224"))
+    u.register("sha256", shaUdf("SHA-256"))
+    u.register("sha384", shaUdf("SHA-384"))
+    u.register("sha512", shaUdf("SHA-512"))
     // pg like_escape(pattern, escape): convert a pattern with a custom
     // escape char to the default-backslash form (sweep #8, live-pg-
     // pinned: '\' always doubles, esc+c → \c, a trailing esc → '\',

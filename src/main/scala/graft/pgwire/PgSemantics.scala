@@ -170,6 +170,40 @@ object PgSemantics {
         Cast(ae, DecimalType(38, scale))
       }
 
+      // bytea string-function dispatch (sweep #12): the pg-named
+      // string UDFs (pg_substr, pg_ltrim/pg_rtrim, btrim) are
+      // string-typed, so a BYTEA argument would round-trip through
+      // UTF-8 and mangle the bytes. Retarget to byte-level
+      // expressions when the first argument is binary (possibly
+      // behind the analyzer's implicit binary→string cast).
+      case u: ScalaUDF
+          if u.udfName.exists(n => Set("pg_substr", "pg_ltrim", "pg_rtrim",
+            "btrim").contains(n.toLowerCase)) &&
+            u.children.nonEmpty && byteaArg(u.children.head).isDefined &&
+            u.children.forall(_.resolved) => {
+        val name = u.udfName.get.toLowerCase
+        val arg0 = byteaArg(u.children.head).get
+        name match {
+          case "pg_substr" =>
+            graft.functions.PgMiscExpressions.PgByteaSubstr(
+              arg0 +: u.children.tail)
+          case "pg_ltrim" | "pg_rtrim" | "btrim" =>
+            val arg1 = u.children.tail.headOption.flatMap(byteaArg)
+              .getOrElse(Cast(u.children(1), BinaryType))
+            graft.functions.PgMiscExpressions.PgByteaTrim(arg0, arg1,
+              trimLeft = name != "pg_rtrim", trimRight = name != "pg_ltrim")
+        }
+      }
+
+      // (btrim resolves to Spark's BUILTIN StringTrimBoth, not the
+      // registered UDF — same bytea retarget)
+      case StringTrimBoth(src, Some(tr), _)
+          if src.resolved && tr.resolved && byteaArg(src).isDefined =>
+        graft.functions.PgMiscExpressions.PgByteaTrim(
+          byteaArg(src).get,
+          byteaArg(tr).getOrElse(Cast(tr, BinaryType)),
+          trimLeft = true, trimRight = true)
+
       // pg composite null tests: `row IS NULL` ⟺ every field null,
       // `row IS NOT NULL` ⟺ every field non-null (a mixed row fails
       // both — pg docs §9.2). Spark checks only the struct reference.
@@ -273,6 +307,15 @@ object PgSemantics {
   private val roundedTag = new TreeNodeTag[Unit]("graft.pg.roundedCast")
   private val truncNtzTag = new TreeNodeTag[Unit]("graft.pg.truncNtz")
   private val avgScaleTag = new TreeNodeTag[Unit]("graft.pg.avgScale")
+
+  /** The BYTEA expression behind an argument, unwrapping the
+    * analyzer's implicit binary→string cast. */
+  private def byteaArg(e: Expression): Option[Expression] = e match {
+    case c @ Cast(b, StringType, _, _)
+        if b.resolved && b.dataType == BinaryType && notUserCast(c) => Some(b)
+    case b if b.resolved && b.dataType == BinaryType => Some(b)
+    case _ => None
+  }
 
   /** Both interval-typed AND not a pair Spark's native ± supports —
     * a CalendarInterval side, or mixed year-month + day-time (pg

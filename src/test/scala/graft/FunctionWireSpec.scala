@@ -94,8 +94,9 @@ class FunctionWireSpec extends SparkSpec {
     assert(r.rows.head(0) === Some("YWI="))
     assert(r.rows.head(1) === Some("7"))
     assert(r.rows.head(2) === Some("numeric"))
-    // timestamptz in, timestamptz out -> rendered with the UTC offset
-    assert(r.rows.head(3) === Some("2026-08-12 10:00:00+00"))
+    // plain TIMESTAMP source is NTZ → date_bin keeps the source type
+    // (no offset), exactly pg
+    assert(r.rows.head(3) === Some("2026-08-12 10:00:00"))
     c.close()
   }
 }

@@ -96,9 +96,10 @@ class PgParitySpec extends SparkSpec {
     assert(one("INTERVAL '1.5 days'") === "1 day 12:00:00")
     assert(one("date_part('epoch', TIMESTAMP '2023-08-15 12:00:00')") ===
       "1692100800")
-    // stride arrives as pg's untyped literal text
+    // stride arrives as pg's untyped literal text; NTZ source stays
+    // NTZ (sweep #12 — exactly live pg)
     assert(one("date_bin('15 minutes', TIMESTAMP '2020-02-11 15:44:17', " +
-      "TIMESTAMP '2001-01-01')") === "2020-02-11 15:30:00+00")
+      "TIMESTAMP '2001-01-01')") === "2020-02-11 15:30:00")
   }
 
   test("U& literals and normalize form keywords") {
@@ -702,6 +703,30 @@ class PgParitySpec extends SparkSpec {
     // float8 (pg: exact numeric at 20 digits); json_agg spacing is
     // compact (pg spaces per-function); GROUPS frames and window
     // EXCLUDE are unsupported (no Spark counterpart)
+  }
+
+  test("sweep-12: bytea string functions, sha2 family, date_bin NTZ (live pg 15)") {
+    // byte-level substring/trim — previously mangled through the
+    // string-typed UDFs' UTF-8 round trip
+    assert(one("""substring('\x1234567890'::bytea from 2 for 3)""") === """\x345678""")
+    assert(one("""substr('\x1234567890'::bytea, 3)""") === """\x567890""")
+    assert(one("""ltrim('\x123412'::bytea, '\x12'::bytea)""") === """\x3412""")
+    assert(one("""btrim('\x12341234'::bytea, '\x12'::bytea)""") === """\x341234""")
+    // sha2 digests return bytea like pg (not Spark's hex text)
+    assert(one("sha256('abc')") ===
+      """\xba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad""")
+    assert(one("sha224('abc')") ===
+      """\x23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7""")
+    assert(one("encode(sha256('abc'), 'hex')") ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    // date_bin keeps the source's type: NTZ in → NTZ out (no +00)
+    assert(one("date_bin('1 hour', timestamp '2024-03-07 10:41', " +
+      "timestamp '2024-03-07')") === "2024-03-07 10:00:00")
+    // unicode rows verified against a UTF8-encoded cluster: char
+    // semantics (not bytes) for left/length/ascii/chr
+    assert(one("left('αβγδ', 2)") === "αβ")
+    assert(one("length('αβγδ')") === "4")
+    assert(one("chr(945)") === "α")
   }
 
   test("sweep-11: composite IS [NOT] NULL is field-wise (live pg 15, docs §9.2)") {
