@@ -140,6 +140,8 @@ object PgFunctions {
       case 1182 => "date[]"
       case 1185 => "timestamp with time zone[]"
       case 1231 => "numeric[]"
+      case PgType.GEOMETRY => "geometry"
+      case PgType.GEOMETRY_ARRAY => "geometry[]"
       case other => "???"
     }
   }
