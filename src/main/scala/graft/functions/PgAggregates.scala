@@ -50,7 +50,7 @@ object PgAggregates {
     override def finish(r: List[(String, String)]): String =
       if (r.isEmpty) null
       else r.sortBy(p => (Option(p._1).getOrElse(""), p._2))
-        .map(_._2).mkString("[", ",", "]")
+        .map(_._2).mkString("[", ", ", "]") // pg json_agg: "[1, 2]"
     override def bufferEncoder: Encoder[List[(String, String)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[String] = Encoders.STRING
@@ -61,7 +61,7 @@ object PgAggregates {
     * input order, so key order is the deterministic choice — same
     * stance as OrderedStringAgg's tie rule). NULL keys error like pg;
     * NULL rendered values become json null. */
-  final class OrderedJsonObjectAgg
+  final class OrderedJsonObjectAgg(jsonb: Boolean = false)
       extends Aggregator[(String, String), List[(String, String)], String] {
     override def zero: List[(String, String)] = Nil
     override def reduce(b: List[(String, String)], a: (String, String)): List[(String, String)] = {
@@ -73,9 +73,19 @@ object PgAggregates {
       b1 ::: b2
     override def finish(r: List[(String, String)]): String =
       if (r.isEmpty) null
-      else r.sortBy(p => (p._1, p._2))
-        .map(p => PgJsonExpressions.jsonQuote(p._1) + ":" + p._2)
-        .mkString("{", ",", "}")
+      // pg spacing is per-function: json_object_agg pads the braces
+      // (`{ "a" : 1, "b" : 2 }`); jsonb_object_agg renders canonical
+      // with jsonb's (length, bytes) key order and last-wins dedup
+      else if (jsonb) {
+        val dedup = scala.collection.mutable.LinkedHashMap[String, String]()
+        r.reverse.foreach { case (k, v) => dedup(k) = v }
+        dedup.toList.sortBy { case (k, _) =>
+          val b = k.getBytes("UTF-8"); (b.length, b.map(x => (x & 0xff).toChar).mkString)
+        }.map { case (k, v) => PgJsonExpressions.jsonQuote(k) + ": " + v }
+          .mkString("{", ", ", "}")
+      } else r.sortBy(p => (p._1, p._2))
+        .map(p => PgJsonExpressions.jsonQuote(p._1) + " : " + p._2)
+        .mkString("{ ", ", ", " }")
     override def bufferEncoder: Encoder[List[(String, String)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[String] = Encoders.STRING
@@ -88,6 +98,9 @@ object PgAggregates {
     spark.udf.register("ordered_json_agg",
       functions.udaf(new OrderedJsonAgg, Encoders.tuple(Encoders.STRING, Encoders.STRING)))
     spark.udf.register("ordered_json_object_agg",
-      functions.udaf(new OrderedJsonObjectAgg, Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+      functions.udaf(new OrderedJsonObjectAgg(), Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+    spark.udf.register("ordered_jsonb_object_agg",
+      functions.udaf(new OrderedJsonObjectAgg(jsonb = true),
+        Encoders.tuple(Encoders.STRING, Encoders.STRING)))
   }
 }

@@ -254,11 +254,23 @@ object PgJsonExpressions {
 
   private def writeCanonical(sb: java.lang.StringBuilder, node: JsonNode): Unit =
     if (node.isObject) {
+      // jsonb storage order: keys sorted by UTF-8 LENGTH, then bytes
+      // (live-pg-pinned: {"b","a","aa"} renders a, b, aa); duplicate
+      // keys already collapsed last-wins by the parser
       sb.append('{')
+      val entries = new java.util.ArrayList[java.util.Map.Entry[String, JsonNode]]()
       val it = node.properties().iterator()
+      while (it.hasNext) entries.add(it.next())
+      entries.sort { (a, b) =>
+        val ka = a.getKey.getBytes("UTF-8")
+        val kb = b.getKey.getBytes("UTF-8")
+        if (ka.length != kb.length) ka.length - kb.length
+        else java.util.Arrays.compareUnsigned(ka, kb)
+      }
       var first = true
-      while (it.hasNext) {
-        val e = it.next()
+      val eit = entries.iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
         if (!first) sb.append(", ")
         first = false
         escapeTo(sb, e.getKey)
@@ -286,7 +298,7 @@ object PgJsonExpressions {
 
   /** json_build_object(k1, v1, ...) — alternating keys and values.
     * NULL keys error (pg: "argument N cannot be null"). */
-  case class PgJsonBuildObject(children: Seq[Expression])
+  case class PgJsonBuildObject(children: Seq[Expression], jsonb: Boolean = false)
       extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
@@ -305,7 +317,7 @@ object PgJsonExpressions {
       sb.append('{')
       var i = 0
       while (i < children.length) {
-        if (i > 0) sb.append(',')
+        if (i > 0) sb.append(if (jsonb) "," else ", ")
         val k = vs(i)
         if (k == null) throw new IllegalArgumentException(
           s"json_build_object: argument ${i + 1} cannot be null")
@@ -314,12 +326,16 @@ object PgJsonExpressions {
           case _ => k.toString
         }
         escapeTo(sb, kStr)
-        sb.append(':')
+        // pg spacing is per-function: json_build_object renders
+        // `"k" : v`; the jsonb variant re-canonicalizes the whole doc
+        // below (sorted keys, `"k": v`) — live-pg-pinned
+        sb.append(if (jsonb) ":" else " : ")
         renderArg(sb, children(i + 1), vs(i + 1))
         i += 2
       }
       sb.append('}')
-      UTF8String.fromString(sb.toString)
+      if (jsonb) jsonbOut(parse(UTF8String.fromString(sb.toString)))
+      else UTF8String.fromString(sb.toString)
     }
 
     override protected def withNewChildrenInternal(
@@ -327,7 +343,7 @@ object PgJsonExpressions {
   }
 
   /** json_build_array(v1, v2, ...). */
-  case class PgJsonBuildArray(children: Seq[Expression])
+  case class PgJsonBuildArray(children: Seq[Expression], jsonb: Boolean = false)
       extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
@@ -343,12 +359,15 @@ object PgJsonExpressions {
       sb.append('[')
       var i = 0
       while (i < children.length) {
-        if (i > 0) sb.append(',')
+        // pg json_build_array renders top-level `[1, 2]` (elements
+        // themselves compact); the jsonb variant canonicalizes fully
+        if (i > 0) sb.append(if (jsonb) "," else ", ")
         renderArg(sb, children(i), vs(i))
         i += 1
       }
       sb.append(']')
-      UTF8String.fromString(sb.toString)
+      if (jsonb) jsonbOut(parse(UTF8String.fromString(sb.toString)))
+      else UTF8String.fromString(sb.toString)
     }
 
     override protected def withNewChildrenInternal(
@@ -1433,11 +1452,11 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_build_object"), info("json_build_object"),
       (args: Seq[Expression]) => PgJsonBuildObject(args)),
     (FunctionIdentifier("jsonb_build_object"), info("jsonb_build_object"),
-      (args: Seq[Expression]) => PgJsonBuildObject(args)),
+      (args: Seq[Expression]) => PgJsonBuildObject(args, jsonb = true)),
     (FunctionIdentifier("json_build_array"), info("json_build_array"),
       (args: Seq[Expression]) => PgJsonBuildArray(args)),
     (FunctionIdentifier("jsonb_build_array"), info("jsonb_build_array"),
-      (args: Seq[Expression]) => PgJsonBuildArray(args)),
+      (args: Seq[Expression]) => PgJsonBuildArray(args, jsonb = true)),
     (FunctionIdentifier("row_to_json"), info("row_to_json"),
       (args: Seq[Expression]) => { require(args.length == 1); PgRowToJson(args.head) }),
     (FunctionIdentifier("json_extract_path"), info("json_extract_path"),

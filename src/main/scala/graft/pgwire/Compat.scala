@@ -2194,7 +2194,9 @@ object Compat {
             if (objNames.contains(lower) && commaIdx > 0) {
               val keyToks = ts.slice(open + 1, commaIdx).toVector
               val valToks = ts.slice(commaIdx + 1, close).toVector
-              val rebuilt = ArrayBuffer(Tok(Word, "ordered_json_object_agg(CAST(")) ++
+              val aggFn = if (lower.startsWith("jsonb")) "ordered_jsonb_object_agg"
+                else "ordered_json_object_agg"
+              val rebuilt = ArrayBuffer(Tok(Word, s"$aggFn(CAST(")) ++
                 keyToks ++ ArrayBuffer(Tok(Word, " AS STRING), to_jsonb(")) ++
                 valToks ++ ArrayBuffer(Tok(Word, "))"))
               ts.remove(i, close - i + 1)
@@ -2215,7 +2217,7 @@ object Compat {
                     exprToks ++ ArrayBuffer(Tok(Word, "), 'null')"))).toSeq
                   ArrayBuffer(Tok(Word, "nullif(concat('[', array_join(transform(")) ++
                     sortedStructToks(keys, value, desc) ++
-                    ArrayBuffer(Tok(Word, ", gv -> gv.v), ','), ']'), '[]')"))
+                    ArrayBuffer(Tok(Word, ", gv -> gv.v), ', '), ']'), '[]')"))
                 } else {
                   val exprToks = ts.slice(open + 1, close).toVector
                   ArrayBuffer(Tok(Word, "ordered_json_agg(to_jsonb(")) ++

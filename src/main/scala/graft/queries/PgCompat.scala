@@ -560,8 +560,9 @@ object PgCompat {
         |  CASE WHEN json_type(json_extract(props, '$.k'))
         |         IN ('UBIGINT','BIGINT','HUGEINT','DOUBLE') THEN 'number'
         |       ELSE lower(json_type(json_extract(props, '$.k'))) END AS jtk,
-        |  json_object('id', event_id, 'type', event_type)::VARCHAR AS jbo,
-        |  json_array(event_id, event_type)::VARCHAR AS jba,
+        |  '{"id" : ' || event_id || ', "type" : ' || to_json(event_type)::VARCHAR
+        |    || '}' AS jbo,
+        |  '[' || event_id || ', ' || to_json(event_type)::VARCHAR || ']' AS jba,
         |  to_json(struct_pack(e := event_id, t := event_type))::VARCHAR AS rtj,
         |  json_object('a', event_id)::VARCHAR AS jsn,
         |  CAST(json_array_length(json_array(event_id, event_type, event_type))
@@ -598,10 +599,10 @@ object PgCompat {
     // to_json values, its json_group_* macros reject ORDER BY)
     Q.df("q112_json_aggs",
       """SELECT n_regionkey,
-        |  '[' || string_agg(to_json(n_name)::VARCHAR, ',' ORDER BY n_name) || ']'
+        |  '[' || string_agg(to_json(n_name)::VARCHAR, ', ' ORDER BY n_name) || ']'
         |    AS names_json,
-        |  '{' || string_agg(to_json(n_name)::VARCHAR || ':' ||
-        |      to_json(n_nationkey)::VARCHAR, ',' ORDER BY n_name) || '}'
+        |  '{ ' || string_agg(to_json(n_name)::VARCHAR || ' : ' ||
+        |      to_json(n_nationkey)::VARCHAR, ', ' ORDER BY n_name) || ' }'
         |    AS kv_json
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
@@ -677,8 +678,8 @@ object PgCompat {
     // cross-check, not a same-function echo
     Q.df("q115_jsonb_mutators",
       """SELECT event_id,
-        |  '{"id": ' || event_id || ', "k": ' || (event_id % 7) || '}' AS s1,
-        |  '{"id": ' || event_id || ', "t": ' || to_json(event_type)::VARCHAR || '}' AS s2,
+        |  '{"k": ' || (event_id % 7) || ', "id": ' || event_id || '}' AS s1,
+        |  '{"t": ' || to_json(event_type)::VARCHAR || ', "id": ' || event_id || '}' AS s2,
         |  '[1, ' || (event_id % 5) || ', 2, 3]' AS ins,
         |  '{"a": 1, "b": ' || event_id || '}' AS cat,
         |  '{"t": ' || to_json(event_type)::VARCHAR || '}' AS del,

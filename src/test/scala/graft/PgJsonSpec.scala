@@ -16,12 +16,16 @@ class PgJsonSpec extends SparkSpec {
     }
   }
 
-  test("json_build_object / json_build_array / row_to_json render compact") {
-    assert(one("json_build_object('a', 1, 'b', 'x')") === """{"a":1,"b":"x"}""")
-    assert(one("json_build_object('k', NULL)") === """{"k":null}""")
+  test("json_build_object / json_build_array spacing per pg; row_to_json compact") {
+    // pg spacing is per-function (live-pg-pinned): json_build_object
+    // renders `"k" : v`, json_build_array `[1, 2]`, row_to_json compact
+    assert(one("json_build_object('a', 1, 'b', 'x')") === """{"a" : 1, "b" : "x"}""")
+    assert(one("json_build_object('k', NULL)") === """{"k" : null}""")
     assert(one("json_build_object()") === "{}")
-    assert(one("json_build_array(1, 'a', NULL, true, 1.5)") === """[1,"a",null,true,1.5]""")
+    assert(one("json_build_array(1, 'a', NULL, true, 1.5)") === """[1, "a", null, true, 1.5]""")
     assert(one("json_build_array()") === "[]")
+    assert(one("jsonb_build_object('id', 1, 'k', 2)") === """{"k": 2, "id": 1}""")
+    assert(one("jsonb_build_array(1, 2)") === """[1, 2]""")
     assert(one("row_to_json(named_struct('i', 7, 's', 'hi', 'n', CAST(NULL AS INT)))") ===
       """{"i":7,"s":"hi","n":null}""")
     // nested spark-native structures render structurally
@@ -29,20 +33,20 @@ class PgJsonSpec extends SparkSpec {
       """{"a":[1,2],"s":{"x":"y"}}""")
     // string escaping: quotes, real newline (char 10), backslash
     assert(one("""json_build_object('q', concat('he said "hi"', char(10)))""") ===
-      """{"q":"he said \"hi\"\n"}""")
-    assert(one("""json_build_object('p', 'a\\b')""") === """{"p":"a\\b"}""")
+      """{"q" : "he said \"hi\"\n"}""")
+    assert(one("""json_build_object('p', 'a\\b')""") === """{"p" : "a\\b"}""")
     // date renders ISO-quoted
     assert(one("json_build_array(DATE '2026-08-13')") === """["2026-08-13"]""")
     // a json-producing argument embeds raw (pg: json-typed arg);
     // a plain string still quotes (pg: text arg without ::json)
     assert(one("json_build_object('a', json_build_object('b', 1))") ===
-      """{"a":{"b":1}}""")
+      """{"a" : {"b" : 1}}""")
     assert(one("json_build_array(json_build_array(1, 2), '[3]')") ===
-      """[[1,2],"[3]"]""")
+      """[[1, 2], "[3]"]""")
     // the embedded jsonb value renders canonical (": " spacing) while
     // the outer json_build_object stays compact — per-function, like pg
     assert(one("json_build_object('a', jsonb_set('{\"x\":1}', array('x'), '2'))") ===
-      """{"a":{"x": 2}}""")
+      """{"a" : {"x": 2}}""")
     // null key errors like pg
     val e = intercept[Exception](one("json_build_object(CAST(NULL AS STRING), 1)"))
     assert(e.getMessage.contains("cannot be null"))
@@ -115,10 +119,10 @@ class PgJsonSpec extends SparkSpec {
         |  ordered_json_object_agg(v, to_jsonb(n)) AS jo
         |FROM VALUES ('g', 'b', 2), ('g', 'a', 1), ('h', 'z', NULL) AS t(k, v, n)
         |GROUP BY k ORDER BY k""".stripMargin).collect()
-    assert(rows(0).getString(1) === """["a","b"]""")
-    assert(rows(0).getString(2) === """{"a":1,"b":2}""")
+    assert(rows(0).getString(1) === """["a", "b"]""")
+    assert(rows(0).getString(2) === """{ "a" : 1, "b" : 2 }""")
     // SQL NULL value aggregates as json null (pg json_agg behavior)
-    assert(rows(1).getString(2) === """{"z":null}""")
+    assert(rows(1).getString(2) === """{ "z" : null }""")
   }
 
   test("generate_subscripts: dims, reverse, nested, and the explode rewrite") {
@@ -336,14 +340,13 @@ class PgJsonSpec extends SparkSpec {
     def run(sql: String): String =
       spark.sql(graft.pgwire.Compat.rewrite(sql)).collect()(0).getString(0)
     // NULL keys sort first in the deterministic ordering
-    assert(run("SELECT json_agg(x) AS a FROM (VALUES (2),(1),(NULL)) t(x)") ===
-      "[null,1,2]")
-    assert(run("SELECT jsonb_agg(x) AS a FROM (VALUES ('b'),('a')) t(x)") ===
-      """["a","b"]""")
+    assert(run("SELECT json_agg(x) AS a FROM (VALUES (2),(1),(NULL)) t(x)") === "[null, 1, 2]")
+    assert(run("SELECT jsonb_agg(x) AS a FROM (VALUES ('b'),('a')) t(x)") === """["a", "b"]""")
     assert(run("SELECT json_object_agg(k, v) AS o FROM (VALUES ('b',2),('a',1)) t(k,v)") ===
-      """{"a":1,"b":2}""")
+      """{ "a" : 1, "b" : 2 }""")
+    // jsonb variant renders canonical (": " spacing, jsonb key order)
     assert(run("SELECT jsonb_object_agg(k, v) AS o " +
-      "FROM (VALUES ('a',NULL),('b',2)) t(k,v)") === """{"a":null,"b":2}""")
+      "FROM (VALUES ('a',NULL),('b',2)) t(k,v)") === """{"a": null, "b": 2}""")
     // jsonb_array_length renames to the Spark builtin
     assert(Compat.rewrite("SELECT jsonb_array_length('[1,2,3]') FROM t") ===
       "SELECT json_array_length('[1,2,3]') FROM t")

@@ -231,12 +231,10 @@ class PgParitySpec extends SparkSpec {
       "(VALUES (2,'a'),(1,'b')) t(id,name)") === "{b,a}")
     // numeric ORDER BY keys sort numerically, not as strings
     // (live pg 15: [2, 10]; compact rendering is the documented deviation)
-    assert(agg("json_agg(x ORDER BY x)", "(VALUES (2),(10)) t(x)") === "[2,10]")
-    assert(agg("jsonb_agg(x ORDER BY x DESC)", "(VALUES (2),(10),(1)) t(x)") ===
-      "[10,2,1]")
+    assert(agg("json_agg(x ORDER BY x)", "(VALUES (2),(10)) t(x)") === "[2, 10]")
+    assert(agg("jsonb_agg(x ORDER BY x DESC)", "(VALUES (2),(10),(1)) t(x)") === "[10, 2, 1]")
     // NULL keys place like pg: NULLS LAST ascending
-    assert(agg("json_agg(x ORDER BY x)", "(VALUES ('b'),(NULL),('a')) t(x)") ===
-      """["a","b",null]""")
+    assert(agg("json_agg(x ORDER BY x)", "(VALUES ('b'),(NULL),('a')) t(x)") === """["a", "b", null]""")
     assert(agg("string_agg(x, ',' ORDER BY x)", "(VALUES ('b'),(NULL),('a')) t(x)") ===
       "a,b")
     // multiple ORDER BY keys
@@ -287,10 +285,10 @@ class PgParitySpec extends SparkSpec {
 
   test("::json/::jsonb cast marks values json-typed for json_build_* (live pg 15)") {
     // pg embeds a jsonb-typed argument raw: {"k" : {"a": 1}}
-    // outer json_build stays compact (builder spacing is a documented
-    // deviation); the embedded jsonb renders canonical
-    assert(one("""json_build_object('k', '{"a":1}'::jsonb)""") === """{"k":{"a": 1}}""")
-    assert(one("""json_build_array('[1,2]'::json, 'txt')""") === """[[1, 2],"txt"]""")
+    // pg: `{"k" : {"a": 1}}` — builder " : " spacing around the
+    // embedded canonical jsonb
+    assert(one("""json_build_object('k', '{"a":1}'::jsonb)""") === """{"k" : {"a": 1}}""")
+    assert(one("""json_build_array('[1,2]'::json, 'txt')""") === """[[1, 2], "txt"]""")
     // the cast alone validates + normalizes
     assert(one("""'{"a" :  1}'::jsonb""") === """{"a": 1}""")
     val e = intercept[Exception](one("'{nope'::jsonb"))
