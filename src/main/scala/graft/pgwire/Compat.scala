@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&")
+  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&", "<<", ">>", "&<", "&>", "-|-")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -402,6 +402,11 @@ object Compat {
     rewriteRegexOps(ts)
     rewriteJsonbDeleteConcat(ts)
     rewriteArrayElemConcat(ts)
+    // range ops must precede the json pass: `@>`/`<@`/`&&` dispatch to
+    // the range functions only when an operand is syntactically a
+    // range; the json pass consumes whatever remains
+    rewriteRangeOps(ts)
+    rewriteRangeAccessors(ts)
     rewriteJsonOps(ts)
     rewriteLimitCast(ts)
     rewriteCastTypes(ts)
@@ -500,6 +505,13 @@ object Compat {
     */
   private val arityRenameSpec: Seq[(String, Int, String)] = Seq(
     ("width_bucket", 2, "pg_width_bucket"),
+    // range constructors' optional bound-flags argument (pg §8.17.6)
+    ("int4range", 3, "int4range3"),
+    ("int8range", 3, "int8range3"),
+    ("numrange", 3, "numrange3"),
+    ("daterange", 3, "daterange3"),
+    ("tsrange", 3, "tsrange3"),
+    ("tstzrange", 3, "tstzrange3"),
     // geo constructors' optional-SRID call shapes (SURVEY §2a#9)
     ("st_geomfromtext", 2, "st_geomfromtext2"),
     ("st_geometryfromtext", 2, "st_geomfromtext2"),
@@ -3305,6 +3317,140 @@ object Compat {
     }
   }
 
+  /** Range type names (pg §8.17) for cast/operator dispatch. */
+  private val rangeTypeNames = Set(
+    "int4range", "int8range", "numrange", "daterange", "tsrange", "tstzrange")
+
+  /** Function names whose results are range values — a syntactic
+    * range marker for operator dispatch (constructors, the `::` cast
+    * parsers, and the range→range combinators a chained rewrite has
+    * already produced).
+    */
+  private val rangeMarkerFns: Set[String] =
+    rangeTypeNames ++ rangeTypeNames.map(_ + "3") ++
+      rangeTypeNames.map(_ + "_in") ++
+      Set("range_merge", "range_union", "range_intersect", "range_minus")
+
+  /** Does this token slice syntactically produce a range value — a
+    * range constructor/combinator call or a `::<sub>range` cast?
+    */
+  private def isRangey(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i <= to && i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && rangeMarkerFns.contains(t.text.toLowerCase)) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).is("(")) return true
+      }
+      if (t.is("::")) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).kind == Word &&
+          rangeTypeNames.contains(ts(n).text.toLowerCase)) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** pg's range operators (`@>` `<@` `&&` `<<` `>>` `&<` `&>` `-|-`
+    * `+` `*` `-` and the ordering comparisons) → the range_* UDFs,
+    * dispatched SYNTACTICALLY: only when an operand is a range
+    * constructor call or `::<sub>range` cast (columns are plain text —
+    * Spark has no range type to dispatch on at runtime). Overloaded
+    * arithmetic/comparison/bitshift spellings require BOTH operands
+    * rangey; the range-only operators require either.
+    */
+  /** Cheap pre-check: any range marker word at all in the statement? */
+  private def hasRangeMarker(ts: ArrayBuffer[Tok]): Boolean =
+    ts.exists(t => t.kind == Word && rangeMarkerFns.contains(t.text.toLowerCase))
+
+  private def rewriteRangeOps(ts: ArrayBuffer[Tok]): Unit = {
+    if (!hasRangeMarker(ts)) return
+    val eitherSide = Map(
+      "@>" -> "range_contains", "<@" -> "range_contained",
+      "&&" -> "range_overlaps", "<<" -> "range_before",
+      ">>" -> "range_after", "&<" -> "range_not_extright",
+      "&>" -> "range_not_extleft", "-|-" -> "range_adjacent")
+    val bothSides = Map(
+      "+" -> "range_union", "*" -> "range_intersect", "-" -> "range_minus",
+      "<" -> "range_lt", "<=" -> "range_le",
+      ">" -> "range_gt", ">=" -> "range_ge")
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Op && (eitherSide.contains(t.text) || bothSides.contains(t.text))) {
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        // unlike jsonb, range operands include bare numbers
+        // (`int4range(1,10) @> 5`, `3 <@ r`)
+        if (rhs >= 0 && p >= 0 && (isValueEnd(ts(p)) || ts(p).kind == Num) &&
+          (ts(rhs).kind == Str || ts(rhs).kind == Word ||
+            ts(rhs).kind == QIdent || ts(rhs).kind == Num)) {
+          val start = lhsStart(ts, p)
+          // rhs extent: a call/ARRAY constructor extends to its close,
+          // then absorb trailing ::type casts (the json-pass mechanics)
+          var rhs2 = rhs
+          if (ts(rhs2).kind == Word) {
+            val nxt = nextIdx(ts, rhs2)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt)
+              if (close > 0) rhs2 = close
+            }
+          }
+          var castOp = nextIdx(ts, rhs2)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp)
+            ty >= 0 && ts(ty).kind == Word
+          }) {
+            rhs2 = nextIdx(ts, castOp)
+            val b1 = nextIdx(ts, rhs2)
+            if (b1 >= 0 && ts(b1).is("(")) {
+              val b2 = matchParen(ts, b1); if (b2 > 0) rhs2 = b2
+            }
+            castOp = nextIdx(ts, rhs2)
+          }
+          val lRangey = isRangey(ts, start, p)
+          val rRangey = isRangey(ts, rhs, rhs2)
+          val hit =
+            if (bothSides.contains(t.text)) lRangey && rRangey
+            else lRangey || rRangey
+          if (hit) {
+            val fn = eitherSide.getOrElse(t.text, bothSides(t.text))
+            var opIdx = i
+            if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+              ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+            }
+            ts.insert(rhs2 + 1, Tok(Op, ")"))
+            ts(opIdx) = Tok(Op, ",")
+            ts.insertAll(start, Seq(Tok(Word, fn), Tok(Op, "(")))
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** `lower(r)` / `upper(r)` collide with the string builtins; when
+    * the single argument is syntactically a range, dispatch to the
+    * range accessors (pg resolves the same call by argument type).
+    */
+  private def rewriteRangeAccessors(ts: ArrayBuffer[Tok]): Unit = {
+    if (!hasRangeMarker(ts)) return
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && (t.isWord("lower") || t.isWord("upper"))) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0 && isRangey(ts, open + 1, close - 1))
+            ts(i) = Tok(Word, "range_" + t.text.toLowerCase)
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteJsonOps(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {
@@ -3545,6 +3691,21 @@ object Compat {
           ts.remove(i, t - i + 1)
           ts.insert(p + 1, Tok(Op, ")"))
           ts.insertAll(start, Seq(Tok(Word, "st_geometry_in"), Tok(Op, "(")))
+          i = p + 3
+        } else if (t >= 0 && ts(t).kind == Word && p >= 0 &&
+          rangeTypeNames.contains(ts(t).text.toLowerCase)) {
+          // `expr::<sub>range` → the range input/canonicalization
+          // function (pg §8.17; PgRanges.cast)
+          val fn = ts(t).text.toLowerCase + "_in"
+          var start = primaryStart(ts, p)
+          var pb = prevIdx(ts, start)
+          while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
+            start = primaryStart(ts, prevIdx(ts, pb))
+            pb = prevIdx(ts, start)
+          }
+          ts.remove(i, t - i + 1)
+          ts.insert(p + 1, Tok(Op, ")"))
+          ts.insertAll(start, Seq(Tok(Word, fn), Tok(Op, "(")))
           i = p + 3
         } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
             val tn = ts(t).text.toLowerCase

@@ -483,7 +483,55 @@ object Handlers {
       if (lower.contains("pg_time_in") || lower.contains("make_time("))
         tagTimeOutputs(df)
       else df
-    if (lower.contains("st_")) tagGeometryOutputs(timed) else timed
+    val geod = if (lower.contains("st_")) tagGeometryOutputs(timed) else timed
+    if (lower.contains("range")) tagRangeOutputs(geod) else geod
+  }
+
+  /** Tag range-returning output columns with `pg.oid_alias=<subtype>`
+    * so the wire reports pg's range OIDs (3904/3906/…) instead of
+    * text — per-column, since the subtype differs by constructor
+    * (combinators inherit it from their inputs). Same Alias-identity
+    * mechanism as [[tagUdfOutputs]].
+    */
+  private def tagRangeOutputs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ScalaUDF}
+    import graft.functions.RangeFunctions.{combinators, constructorSubs}
+    def deepSub(e: Expression): Option[String] = e match {
+      case u: ScalaUDF if u.udfName.exists(n => constructorSubs.contains(n.toLowerCase)) =>
+        Some(constructorSubs(u.udfName.get.toLowerCase))
+      case other => other.children.iterator.map(deepSub).collectFirst { case Some(s) => s }
+    }
+    def subOf(e: Expression): Option[String] = e match {
+      case a: Alias => subOf(a.child)
+      case u: ScalaUDF =>
+        u.udfName.map(_.toLowerCase) match {
+          case Some(n) if constructorSubs.contains(n) => Some(constructorSubs(n))
+          case Some(n) if combinators.contains(n) => deepSub(u)
+          case _ => None
+        }
+      case _ => None
+    }
+    val subs = df.queryExecution.analyzed.collect { case p =>
+      p.expressions.collect {
+        case a: Alias => subOf(a).map(a.exprId -> _)
+      }.flatten
+    }.flatten.toMap
+    if (subs.isEmpty) df
+    else {
+      val out = df.queryExecution.analyzed.output
+      val tagIdx = out.zipWithIndex.collect {
+        case (a, i) if subs.contains(a.exprId) => (i, subs(a.exprId))
+      }
+      if (tagIdx.isEmpty) df
+      else {
+        val safe = df.toDF(out.indices.map(i => s"__g$i"): _*)
+        val tagged = tagIdx.foldLeft(safe) { case (d, (i, sub)) =>
+          d.withMetadata(s"__g$i", new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(PgType.OID_ALIAS_KEY, sub).build())
+        }
+        tagged.toDF(out.map(_.name): _*)
+      }
+    }
   }
 
   private val timeMeta = new org.apache.spark.sql.types.MetadataBuilder()

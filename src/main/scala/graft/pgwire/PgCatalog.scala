@@ -231,12 +231,19 @@ object PgCatalog {
     // PostGIS-style extension type at graft's pinned OID (PgType.GEOMETRY
     // — per-installation in real pg, so clients look it up by name)
     (PgType.GEOMETRY, "geometry", -1, "U", 0, PgType.GEOMETRY_ARRAY),
-    (PgType.GEOMETRY_ARRAY, "_geometry", -1, "A", PgType.GEOMETRY, 0))
+    (PgType.GEOMETRY_ARRAY, "_geometry", -1, "A", PgType.GEOMETRY, 0),
+    // range types (pg §8.17; typtype='r' via the category below)
+    (3904, "int4range", -1, "R", 0, 3905), (3905, "_int4range", -1, "A", 3904, 0),
+    (3906, "numrange", -1, "R", 0, 3907), (3907, "_numrange", -1, "A", 3906, 0),
+    (3908, "tsrange", -1, "R", 0, 3909), (3909, "_tsrange", -1, "A", 3908, 0),
+    (3910, "tstzrange", -1, "R", 0, 3911), (3911, "_tstzrange", -1, "A", 3910, 0),
+    (3912, "daterange", -1, "R", 0, 3913), (3913, "_daterange", -1, "A", 3912, 0),
+    (3926, "int8range", -1, "R", 0, 3927), (3927, "_int8range", -1, "A", 3926, 0))
 
   private def pgTypeDf(spark: SparkSession): DataFrame =
     mkDf(spark, pgTypeSchema, typeRows.map { case (oid, name, len, cat, elem, arr) =>
       Row(oid, name, Oids.PgCatalogNamespace, 10, len.toShort, len > 0 && len <= 8,
-        "b", cat, false, true, ",", 0, elem, arr, 0, -1, 0, false,
+        (if (cat == "R") "r" else "b"), cat, false, true, ",", 0, elem, arr, 0, -1, 0, false,
         (if (name.startsWith("_")) "array_in" else name + "in"))
     })
 

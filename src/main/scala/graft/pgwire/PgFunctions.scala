@@ -142,6 +142,16 @@ object PgFunctions {
       case 1231 => "numeric[]"
       case PgType.GEOMETRY => "geometry"
       case PgType.GEOMETRY_ARRAY => "geometry[]"
+      case 2276 => "\"any\""
+      case 2277 => "anyarray"
+      case 2283 => "anyelement"
+      case 3831 => "anyrange"
+      case 3904 => "int4range"
+      case 3906 => "numrange"
+      case 3908 => "tsrange"
+      case 3910 => "tstzrange"
+      case 3912 => "daterange"
+      case 3926 => "int8range"
       case other => "???"
     }
   }
@@ -645,6 +655,21 @@ object PgFunctions {
       ProcDef("sha256", Seq(17), 17),
       ProcDef("sha384", Seq(17), 17),
       ProcDef("sha512", Seq(17), 17),
+      // ---- range pack (pg §8.17/§9.19; graft.functions.RangeFunctions) ----
+      ProcDef("int4range", Seq(23, 23), 3904),
+      ProcDef("int8range", Seq(20, 20), 3926),
+      ProcDef("numrange", Seq(1700, 1700), 3906),
+      ProcDef("daterange", Seq(1082, 1082), 3912),
+      ProcDef("tsrange", Seq(1114, 1114), 3908),
+      ProcDef("tstzrange", Seq(1184, 1184), 3910),
+      ProcDef("lower", Seq(3831), 2283), // anyrange → anyelement
+      ProcDef("upper", Seq(3831), 2283),
+      ProcDef("isempty", Seq(3831), 16),
+      ProcDef("lower_inc", Seq(3831), 16),
+      ProcDef("upper_inc", Seq(3831), 16),
+      ProcDef("lower_inf", Seq(3831), 16),
+      ProcDef("upper_inf", Seq(3831), 16),
+      ProcDef("range_merge", Seq(3831, 3831), 3831),
       // ---- geo pack (SURVEY §2a#9; graft.functions.GeoFunctions) ----
       ProcDef("st_geomfromtext", Seq(T), PgType.GEOMETRY),
       ProcDef("st_geometryfromtext", Seq(T), PgType.GEOMETRY),
@@ -978,6 +1003,7 @@ object PgFunctions {
     graft.functions.PgJsonPathExpressions.install(spark)
     graft.functions.PgAggregates.registerAll(spark)
     graft.functions.GeoFunctions.registerAll(spark)
+    graft.functions.RangeFunctions.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

@@ -67,7 +67,11 @@ object PgType {
     "oid" -> 26, "regclass" -> 2205, "regtype" -> 2206, "regproc" -> 24,
     "regprocedure" -> 2202, "regoper" -> 2203, "regoperator" -> 2204,
     "regrole" -> 4096, "regnamespace" -> 4089, "regconfig" -> 3734,
-    "regdictionary" -> 3769, "regcollation" -> 4191)
+    "regdictionary" -> 3769, "regcollation" -> 4191,
+    // range types (pg §8.17) — StringType columns carrying canonical
+    // range text, tagged by Handlers.tagRangeOutputs
+    "int4range" -> 3904, "numrange" -> 3906, "tsrange" -> 3908,
+    "tstzrange" -> 3910, "daterange" -> 3912, "int8range" -> 3926)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 

@@ -944,5 +944,48 @@ object PgCompat {
             |  CAST(g * 2 AS BIGINT) AS dbl
             |FROM generate_series(2, 4) AS g
             |ORDER BY g OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY""".stripMargin) })
+    },
+
+    // Range types (pg §8.17/§9.19; graft.functions.PgRanges): the
+    // engine side runs pg spellings through the full client path
+    // (constructor canonicalization, @>/&&/-|- operator dispatch,
+    // accessor resolution against the string builtins, range_merge,
+    // a data-driven daterange); DuckDB has no range types, so the
+    // oracle computes the same canonical text + predicate algebra
+    // arithmetically. k ∈ [0,7) exercises 'empty' (k=0), adjacency
+    // (k=3), and containment/overlap edges on real keys.
+    Q.df("q125_ranges",
+      """SELECT o_orderkey,
+        |  CASE WHEN k = 0 THEN 'empty'
+        |       ELSE '[' || a || ',' || (a + k) || ')' END AS r_txt,
+        |  (a <= 25 AND 25 < a + k) AS contains25,
+        |  (k > 0 AND a < 30 AND 20 < a + k) AS ovl,
+        |  (k = 0) AS is_empty,
+        |  CASE WHEN k = 0 THEN NULL ELSE a END AS lo,
+        |  CASE WHEN k = 0 THEN NULL ELSE a + k END AS hi,
+        |  (k = 3) AS adj,
+        |  '[' || a || ',' || (a + 9) || ')' AS merged,
+        |  '[' || strftime(od, '%Y-%m-%d') || ',' ||
+        |    strftime(od + 7, '%Y-%m-%d') || ')' AS drng
+        |FROM (SELECT o_orderkey, CAST(o_custkey % 50 AS INT) AS a,
+        |        CAST(o_orderkey % 7 AS INT) AS k,
+        |        CAST(o_orderdate AS DATE) AS od FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        Handlers.runSql(s,
+          """SELECT o_orderkey,
+            |  int4range(a, a + k) AS r_txt,
+            |  int4range(a, a + k) @> 25 AS contains25,
+            |  int4range(a, a + k) && int4range(20, 30) AS ovl,
+            |  isempty(int4range(a, a + k)) AS is_empty,
+            |  CAST(lower(int4range(a, a + k)) AS INT) AS lo,
+            |  CAST(upper(int4range(a, a + k)) AS INT) AS hi,
+            |  int4range(a, a + 3) -|- int4range(a + k, a + k + 2) AS adj,
+            |  range_merge(int4range(a, a + 2), int4range(a + 5, a + 9)) AS merged,
+            |  daterange(od, od + 7) AS drng
+            |FROM (SELECT o_orderkey, CAST(o_custkey % 50 AS INT) AS a,
+            |        CAST(o_orderkey % 7 AS INT) AS k,
+            |        CAST(o_orderdate AS DATE) AS od FROM orders) t
+            |ORDER BY o_orderkey""".stripMargin) })
     })
 }

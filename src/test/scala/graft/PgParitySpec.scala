@@ -737,4 +737,149 @@ class PgParitySpec extends SparkSpec {
     assert(one("ROW(1, 2) IS NOT NULL") === "t")
     assert(one("ROW(1, 2) IS NULL") === "f")
   }
+
+  test("sweep-13: range types — full live-pg-pinned matrix (pg §8.17/§9.19)") {
+    // 109 expressions swept against live PostgreSQL 15.18 BEFORE the
+    // implementation was written; every value below is the live
+    // output (construction/canonicalization incl. discrete stepping
+    // and 'empty' collapse, text casts with quoted bounds, the full
+    // operator family @> <@ && << >> &< &> -|- + * -, accessors, the
+    // range_cmp ordering, and pg_typeof subtype recovery)
+    val pinned: Seq[(String, String)] = Seq(
+    // --- construct ---
+    ("int4range(1,5)", "[1,5)"),
+    ("int4range(1,5,'[]')", "[1,6)"),
+    ("int4range(1,5,'(]')", "[2,6)"),
+    ("int4range(1,5,'()')", "[2,5)"),
+    ("int4range(1,5,'[)')", "[1,5)"),
+    ("int4range(5,5)", "empty"),
+    ("int4range(5,5,'[]')", "[5,6)"),
+    ("int4range(NULL,5)", "(,5)"),
+    ("int4range(1,NULL)", "[1,)"),
+    ("int4range(NULL,NULL)", "(,)"),
+    ("int4range(NULL,5,'[]')", "(,6)"),
+    ("int8range(10,20,'(]')", "[11,21)"),
+    ("numrange(1.5,2.5)", "[1.5,2.5)"),
+    ("numrange(1.5,2.5,'[]')", "[1.5,2.5]"),
+    ("numrange(1.50,2)", "[1.50,2)"),
+    ("numrange(5,5)", "empty"),
+    ("numrange(5,5,'[]')", "[5,5]"),
+    ("numrange(NULL,2.5,'(]')", "(,2.5]"),
+    ("daterange('2026-01-01','2026-02-01')", "[2026-01-01,2026-02-01)"),
+    ("daterange('2026-01-01','2026-02-01','[]')", "[2026-01-01,2026-02-02)"),
+    ("daterange('2026-01-01','2026-01-01','(]')", "empty"),
+    ("tsrange('2026-01-01 00:00:00','2026-01-02 12:30:00')", "[\"2026-01-01 00:00:00\",\"2026-01-02 12:30:00\")"),
+    ("tsrange('2026-01-01 00:00:00.5','2026-01-02 00:00:00','[]')", "[\"2026-01-01 00:00:00.5\",\"2026-01-02 00:00:00\"]"),
+    ("tstzrange('2026-01-01 00:00:00+00','2026-01-02 00:00:00+00')", "[\"2026-01-01 00:00:00+00\",\"2026-01-02 00:00:00+00\")"),
+    ("'[1,5)'::int4range", "[1,5)"),
+    ("'[1,5]'::int4range", "[1,6)"),
+    ("'(1,5)'::int4range", "[2,5)"),
+    ("'empty'::int4range", "empty"),
+    ("' [1, 5) '::int4range", "[1,5)"),
+    ("'[1.5,2.5]'::numrange", "[1.5,2.5]"),
+    ("'(,5)'::int4range", "(,5)"),
+    ("'[1,)'::int4range", "[1,)"),
+    ("'(,)'::int4range", "(,)"),
+    ("'[\"2026-01-01 00:00:00\",\"2026-01-02 00:00:00\")'::tsrange", "[\"2026-01-01 00:00:00\",\"2026-01-02 00:00:00\")"),
+    ("'[2026-01-01 00:00:00,2026-01-02 00:00:00)'::tsrange", "[\"2026-01-01 00:00:00\",\"2026-01-02 00:00:00\")"),
+    ("tstzrange('2026-01-01 00:00:00.5+00','2026-01-02 00:00:00+00','(]')", "(\"2026-01-01 00:00:00.5+00\",\"2026-01-02 00:00:00+00\"]"),
+    ("daterange('2026-01-31','2026-01-31','[]')", "[2026-01-31,2026-02-01)"),
+    // --- pred ---
+    ("int4range(1,10) @> 5", "t"),
+    ("int4range(1,10) @> 10", "f"),
+    ("int4range(1,10) @> 1", "t"),
+    ("int4range(1,10) @> int4range(2,4)", "t"),
+    ("int4range(1,10) @> int4range(1,10)", "t"),
+    ("int4range(1,10) @> 'empty'::int4range", "t"),
+    ("'empty'::int4range @> 'empty'::int4range", "t"),
+    ("'empty'::int4range @> 3", "f"),
+    ("int4range(2,4) <@ int4range(1,10)", "t"),
+    ("3 <@ int4range(1,10)", "t"),
+    ("int4range(1,5) && int4range(4,8)", "t"),
+    ("int4range(1,5) && int4range(5,8)", "f"),
+    ("int4range(1,5) && 'empty'::int4range", "f"),
+    ("'empty'::int4range && 'empty'::int4range", "f"),
+    ("int4range(1,5) << int4range(5,8)", "t"),
+    ("int4range(1,5) << int4range(4,8)", "f"),
+    ("'empty'::int4range << int4range(1,2)", "f"),
+    ("int4range(1,2) << 'empty'::int4range", "f"),
+    ("int4range(5,8) >> int4range(1,5)", "t"),
+    ("int4range(1,5) &< int4range(4,8)", "t"),
+    ("int4range(4,8) &< int4range(1,5)", "f"),
+    ("'empty'::int4range &< int4range(1,5)", "f"),
+    ("int4range(4,8) &> int4range(1,5)", "t"),
+    ("int4range(1,5) -|- int4range(5,8)", "t"),
+    ("int4range(1,5) -|- int4range(6,8)", "f"),
+    ("numrange(1,2) -|- numrange(2,3)", "t"),
+    ("numrange(1,2,'[]') -|- numrange(2,3)", "f"),
+    ("numrange(1,2,'[]') -|- numrange(2,3,'(]')", "t"),
+    ("'empty'::int4range -|- 'empty'::int4range", "f"),
+    // --- setop ---
+    ("int4range(1,5) + int4range(4,8)", "[1,8)"),
+    ("int4range(1,5) + int4range(5,8)", "[1,8)"),
+    ("int4range(1,5) + 'empty'::int4range", "[1,5)"),
+    ("'empty'::int4range + 'empty'::int4range", "empty"),
+    ("int4range(1,5) * int4range(3,8)", "[3,5)"),
+    ("int4range(1,5) * int4range(6,8)", "empty"),
+    ("int4range(1,10) - int4range(5,15)", "[1,5)"),
+    ("int4range(1,10) - int4range(0,5)", "[5,10)"),
+    ("int4range(1,10) - int4range(1,10)", "empty"),
+    ("int4range(1,10) - 'empty'::int4range", "[1,10)"),
+    ("int4range(1,10) * 'empty'::int4range", "empty"),
+    // --- acc ---
+    ("lower(int4range(1,5))", "1"),
+    ("upper(int4range(1,5))", "5"),
+    ("lower(numrange(1.5,2.5))", "1.5"),
+    ("lower(daterange('2026-01-01','2026-02-01'))", "2026-01-01"),
+    ("lower(tsrange('2026-01-01 00:00:00','2026-01-02 00:00:00'))", "2026-01-01 00:00:00"),
+    ("isempty(int4range(5,5))", "t"),
+    ("isempty(int4range(1,5))", "f"),
+    ("isempty('empty'::numrange)", "t"),
+    ("lower_inc(int4range(1,5))", "t"),
+    ("upper_inc(int4range(1,5))", "f"),
+    ("upper_inc(numrange(1,5,'[]'))", "t"),
+    ("lower_inc('(,5)'::int4range)", "f"),
+    ("lower_inf('(,5)'::int4range)", "t"),
+    ("lower_inf(int4range(1,5))", "f"),
+    ("upper_inf('[1,)'::int4range)", "t"),
+    ("lower_inf('empty'::int4range)", "f"),
+    ("lower_inc('empty'::int4range)", "f"),
+    ("range_merge(int4range(1,3), int4range(8,10))", "[1,10)"),
+    ("range_merge('empty'::int4range, int4range(8,10))", "[8,10)"),
+    ("range_merge('empty'::int4range, 'empty'::int4range)", "empty"),
+    ("range_merge('(,3)'::int4range, int4range(8,10))", "(,10)"),
+    // --- ord ---
+    ("int4range(1,5) = int4range(1,5)", "t"),
+    ("int4range(1,5) = '[1,5)'::int4range", "t"),
+    ("int4range(1,5) <> int4range(1,6)", "t"),
+    ("int4range(1,5) < int4range(1,6)", "t"),
+    ("int4range(1,5) < int4range(2,3)", "t"),
+    ("int4range(2,3) > int4range(1,5)", "t"),
+    ("'empty'::int4range < int4range(1,2)", "t"),
+    // --- typeof ---
+    ("pg_typeof(int4range(1,5))", "int4range"),
+    ("pg_typeof(numrange(1,2))", "numrange"),
+    ("pg_typeof(int4range(1,5) + int4range(2,6))", "int4range"),
+    ("pg_typeof(lower(int4range(1,5)))", "integer")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $$expr")
+    // infinite/empty bounds access as NULL (live pg: empty output)
+    for (e <- Seq("lower('empty'::int4range)", "upper('empty'::int4range)",
+      "lower('(,5)'::int4range)", "upper('[1,)'::int4range)"))
+      assert(one(e) === "<NULL>", s"expr: $$e")
+    // error SQLSTATEs (live pg 15, \\set VERBOSITY verbose):
+    // 22000 bounds order + non-contiguous set ops, 22P02 malformed
+    // literal, 42601 invalid flags
+    def err(e: String): String =
+      intercept[Exception](one(e)).getMessage
+    assert(err("numrange(2.5,1.5)").contains(
+      "range lower bound must be less than or equal to range upper bound"))
+    assert(err("int4range(1,5) + int4range(7,9)").contains(
+      "result of range union would not be contiguous"))
+    assert(err("int4range(1,10) - int4range(3,5)").contains(
+      "result of range difference would not be contiguous"))
+    assert(err("'{1,5'::int4range").contains("malformed range literal"))
+    assert(err("int4range(1,5,'xx')").contains("invalid range bound flags"))
+  }
 }
