@@ -44,6 +44,8 @@ object PgMiscExpressions {
             Some(RangeFunctions.constructorSubs(n))
           case Some(n) if RangeFunctions.combinators.contains(n) =>
             u.children.iterator.map(rangeSubtype).collectFirst { case Some(s) => s }
+          case Some(n) if TextSearchFunctions.tsSubs.contains(n) =>
+            Some(TextSearchFunctions.tsSubs(n))
           case Some("range_lower" | "range_upper") =>
             // accessors yield the range's ELEMENT type
             u.children.iterator.map(rangeSubtype)

@@ -407,6 +407,8 @@ object Compat {
     // range; the json pass consumes whatever remains
     rewriteRangeOps(ts)
     rewriteRangeAccessors(ts)
+    rewriteTsOps(ts)
+    rewriteTsAccessors(ts)
     rewriteJsonOps(ts)
     rewriteLimitCast(ts)
     rewriteCastTypes(ts)
@@ -441,6 +443,13 @@ object Compat {
     * (name, arity-to-pad, tokens, append?).
     */
   private val padSpec: Seq[(String, Int, String, Boolean)] = Seq(
+    // text-search 1-arg forms default the config (pg: the
+    // default_text_search_config GUC, which ships as english)
+    ("to_tsvector", 1, "'english', ", false),
+    ("to_tsquery", 1, "'english', ", false),
+    ("plainto_tsquery", 1, "'english', ", false),
+    ("phraseto_tsquery", 1, "'english', ", false),
+    ("websearch_to_tsquery", 1, "'english', ", false),
     ("pg_get_expr", 2, ", false", true), // psql 2-arg form → (expr, oid, pretty)
     ("pg_get_constraintdef", 1, ", false", true),
     ("obj_description", 1, ", 'pg_class'", true),
@@ -505,6 +514,9 @@ object Compat {
     */
   private val arityRenameSpec: Seq[(String, Int, String)] = Seq(
     ("width_bucket", 2, "pg_width_bucket"),
+    // ts_rank normalization-argument forms
+    ("ts_rank", 3, "ts_rank3"),
+    ("ts_rank_cd", 3, "ts_rank_cd3"),
     // range constructors' optional bound-flags argument (pg §8.17.6)
     ("int4range", 3, "int4range3"),
     ("int8range", 3, "int8range3"),
@@ -3451,6 +3463,124 @@ object Compat {
     }
   }
 
+  /** Text-search type names + the functions whose results are
+    * tsvector/tsquery — syntactic markers for `@@` and length()
+    * dispatch (pg resolves these by argument type).
+    */
+  private val tsVectorFns = Set("to_tsvector", "tsvector_in", "strip", "setweight")
+  private val tsQueryFns = Set("to_tsquery", "plainto_tsquery",
+    "phraseto_tsquery", "websearch_to_tsquery", "tsquery_in")
+
+  private def hasTsMarker(ts: ArrayBuffer[Tok], from: Int, to: Int,
+      fns: Set[String], typeName: String): Boolean = {
+    var i = from
+    while (i <= to && i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && fns.contains(t.text.toLowerCase)) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).is("(")) return true
+      }
+      if (t.is("::")) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).isWord(typeName)) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** `@@` between text-search operands → ts_match (pg's tsvector @@
+    * tsquery in any operand order, plus text @@ tsquery which
+    * to_tsvector's the raw side). Runs BEFORE the json pass so the
+    * remaining `@@` instances keep their jsonpath meaning.
+    */
+  private def rewriteTsOps(ts: ArrayBuffer[Tok]): Unit = {
+    if (!ts.exists(t => t.kind == Word && (tsVectorFns.contains(t.text.toLowerCase) ||
+      tsQueryFns.contains(t.text.toLowerCase) || t.isWord("tsvector") || t.isWord("tsquery"))))
+      return
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Op && t.text == "@@") {
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
+          (ts(rhs).kind == Str || ts(rhs).kind == Word || ts(rhs).kind == QIdent)) {
+          val start = lhsStart(ts, p)
+          var rhs2 = rhs
+          if (ts(rhs2).kind == Word) {
+            val nxt = nextIdx(ts, rhs2)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt)
+              if (close > 0) rhs2 = close
+            }
+          }
+          var castOp = nextIdx(ts, rhs2)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp)
+            ty >= 0 && ts(ty).kind == Word
+          }) {
+            rhs2 = nextIdx(ts, castOp)
+            val b1 = nextIdx(ts, rhs2)
+            if (b1 >= 0 && ts(b1).is("(")) {
+              val b2 = matchParen(ts, b1); if (b2 > 0) rhs2 = b2
+            }
+            castOp = nextIdx(ts, rhs2)
+          }
+          val lVec = hasTsMarker(ts, start, p, tsVectorFns, "tsvector")
+          val lQry = hasTsMarker(ts, start, p, tsQueryFns, "tsquery")
+          val rVec = hasTsMarker(ts, rhs, rhs2, tsVectorFns, "tsvector")
+          val rQry = hasTsMarker(ts, rhs, rhs2, tsQueryFns, "tsquery")
+          if (lVec || lQry || rVec || rQry) {
+            // pg operand orders: vector @@ query as-is, query @@
+            // vector swapped; a raw-text document side goes through
+            // ts_match_text (pg's text @@ tsquery: to_tsvector first)
+            val swap = lQry && !lVec
+            val docIsVector = if (swap) rVec else lVec
+            val fnName = if (docIsVector) "ts_match" else "ts_match_text"
+            var opIdx = i
+            if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+              ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+            }
+            if (swap) {
+              // query @@ vector → ts_match*(vector, query)
+              val lhsToks = ts.slice(start, opIdx).toVector
+              val rhsToks = ts.slice(opIdx + 1, rhs2 + 1).toVector
+              ts.remove(start, rhs2 + 1 - start)
+              val rebuilt = ArrayBuffer(Tok(Word, fnName), Tok(Op, "(")) ++
+                rhsToks ++ ArrayBuffer(Tok(Op, ",")) ++ lhsToks ++ ArrayBuffer(Tok(Op, ")"))
+              ts.insertAll(start, rebuilt)
+            } else {
+              ts.insert(rhs2 + 1, Tok(Op, ")"))
+              ts(opIdx) = Tok(Op, ",")
+              ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** `length(tsvector)` collides with the string builtin: dispatch to
+    * ts_length when the argument is syntactically a tsvector.
+    */
+  private def rewriteTsAccessors(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && t.isWord("length")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0 && hasTsMarker(ts, open + 1, close - 1, tsVectorFns, "tsvector"))
+            ts(i) = Tok(Word, "ts_length")
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteJsonOps(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {
@@ -3692,10 +3822,12 @@ object Compat {
           ts.insert(p + 1, Tok(Op, ")"))
           ts.insertAll(start, Seq(Tok(Word, "st_geometry_in"), Tok(Op, "(")))
           i = p + 3
-        } else if (t >= 0 && ts(t).kind == Word && p >= 0 &&
-          rangeTypeNames.contains(ts(t).text.toLowerCase)) {
-          // `expr::<sub>range` → the range input/canonicalization
-          // function (pg §8.17; PgRanges.cast)
+        } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
+          val tn = ts(t).text.toLowerCase
+          rangeTypeNames.contains(tn) || tn == "tsvector" || tn == "tsquery"
+        }) {
+          // `expr::<sub>range` / `::tsvector` / `::tsquery` → the
+          // type's input/canonicalization function
           val fn = ts(t).text.toLowerCase + "_in"
           var start = primaryStart(ts, p)
           var pb = prevIdx(ts, start)

@@ -484,7 +484,9 @@ object Handlers {
         tagTimeOutputs(df)
       else df
     val geod = if (lower.contains("st_")) tagGeometryOutputs(timed) else timed
-    if (lower.contains("range")) tagRangeOutputs(geod) else geod
+    if (lower.contains("range") || lower.contains("tsvector") ||
+      lower.contains("tsquery") || lower.contains("setweight") ||
+      lower.contains("strip")) tagRangeOutputs(geod) else geod
   }
 
   /** Tag range-returning output columns with `pg.oid_alias=<subtype>`
@@ -501,11 +503,13 @@ object Handlers {
         Some(constructorSubs(u.udfName.get.toLowerCase))
       case other => other.children.iterator.map(deepSub).collectFirst { case Some(s) => s }
     }
+    val tsSubs = graft.functions.TextSearchFunctions.tsSubs
     def subOf(e: Expression): Option[String] = e match {
       case a: Alias => subOf(a.child)
       case u: ScalaUDF =>
         u.udfName.map(_.toLowerCase) match {
           case Some(n) if constructorSubs.contains(n) => Some(constructorSubs(n))
+          case Some(n) if tsSubs.contains(n) => Some(tsSubs(n))
           case Some(n) if combinators.contains(n) => deepSub(u)
           case _ => None
         }

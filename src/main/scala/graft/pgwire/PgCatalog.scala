@@ -238,7 +238,10 @@ object PgCatalog {
     (3908, "tsrange", -1, "R", 0, 3909), (3909, "_tsrange", -1, "A", 3908, 0),
     (3910, "tstzrange", -1, "R", 0, 3911), (3911, "_tstzrange", -1, "A", 3910, 0),
     (3912, "daterange", -1, "R", 0, 3913), (3913, "_daterange", -1, "A", 3912, 0),
-    (3926, "int8range", -1, "R", 0, 3927), (3927, "_int8range", -1, "A", 3926, 0))
+    (3926, "int8range", -1, "R", 0, 3927), (3927, "_int8range", -1, "A", 3926, 0),
+    // text-search types (pg ch. 12)
+    (3614, "tsvector", -1, "U", 0, 3643), (3643, "_tsvector", -1, "A", 3614, 0),
+    (3615, "tsquery", -1, "U", 0, 3645), (3645, "_tsquery", -1, "A", 3615, 0))
 
   private def pgTypeDf(spark: SparkSession): DataFrame =
     mkDf(spark, pgTypeSchema, typeRows.map { case (oid, name, len, cat, elem, arr) =>

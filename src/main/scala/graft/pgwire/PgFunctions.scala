@@ -146,6 +146,8 @@ object PgFunctions {
       case 2277 => "anyarray"
       case 2283 => "anyelement"
       case 3831 => "anyrange"
+      case 3614 => "tsvector"
+      case 3615 => "tsquery"
       case 3904 => "int4range"
       case 3906 => "numrange"
       case 3908 => "tsrange"
@@ -655,6 +657,19 @@ object PgFunctions {
       ProcDef("sha256", Seq(17), 17),
       ProcDef("sha384", Seq(17), 17),
       ProcDef("sha512", Seq(17), 17),
+      // ---- text search (pg ch. 12; graft.functions.TextSearch) ----
+      ProcDef("to_tsvector", Seq(T), 3614),
+      ProcDef("to_tsquery", Seq(T), 3615),
+      ProcDef("plainto_tsquery", Seq(T), 3615),
+      ProcDef("phraseto_tsquery", Seq(T), 3615),
+      ProcDef("websearch_to_tsquery", Seq(T), 3615),
+      ProcDef("setweight", Seq(3614, 18), 3614),
+      ProcDef("strip", Seq(3614), 3614),
+      ProcDef("numnode", Seq(3615), 23),
+      ProcDef("querytree", Seq(3615), T),
+      ProcDef("ts_lexize", Seq(3769, T), TARR),
+      ProcDef("ts_rank", Seq(3614, 3615), 700),
+      ProcDef("ts_rank_cd", Seq(3614, 3615), 700),
       // ---- range pack (pg §8.17/§9.19; graft.functions.RangeFunctions) ----
       ProcDef("int4range", Seq(23, 23), 3904),
       ProcDef("int8range", Seq(20, 20), 3926),
@@ -1004,6 +1019,7 @@ object PgFunctions {
     graft.functions.PgAggregates.registerAll(spark)
     graft.functions.GeoFunctions.registerAll(spark)
     graft.functions.RangeFunctions.registerAll(spark)
+    graft.functions.TextSearchFunctions.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

@@ -71,7 +71,9 @@ object PgType {
     // range types (pg §8.17) — StringType columns carrying canonical
     // range text, tagged by Handlers.tagRangeOutputs
     "int4range" -> 3904, "numrange" -> 3906, "tsrange" -> 3908,
-    "tstzrange" -> 3910, "daterange" -> 3912, "int8range" -> 3926)
+    "tstzrange" -> 3910, "daterange" -> 3912, "int8range" -> 3926,
+    // text-search types (pg ch. 12), same canonical-text model
+    "tsvector" -> 3614, "tsquery" -> 3615)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 

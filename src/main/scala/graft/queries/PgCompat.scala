@@ -987,5 +987,45 @@ object PgCompat {
             |        CAST(o_orderkey % 7 AS INT) AS k,
             |        CAST(o_orderdate AS DATE) AS od FROM orders) t
             |ORDER BY o_orderkey""".stripMargin) })
+    },
+
+    // Text search (pg ch. 12; graft.functions.TextSearch): the engine
+    // side runs pg spellings through the full client path — config
+    // arg defaulting, the @@ rewrite, length() dispatch, tsquery
+    // parsing (& | ! <-> and plainto/phraseto). The oracle uses the
+    // 'simple' config, which DuckDB can recompose with list functions
+    // (lowercased tokens, distinct-lexeme count, containment,
+    // consecutive-token phrases); 'english'-config stemming parity is
+    // pinned by PgParitySpec sweep-14 + the 2980-word/150-doc
+    // differential captures.
+    Q.df("q126_textsearch",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS INT)
+        |    AS nlex,
+        |  list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash')
+        |    AS m_hash,
+        |  (list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash') AND
+        |   list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join'))
+        |    AS m_hj,
+        |  (list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'scan') OR
+        |   list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window'))
+        |    AS m_sw,
+        |  NOT list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'batch')
+        |    AS m_nb,
+        |  (' ' || array_to_string(list_filter(
+        |     string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')
+        |   || ' ') LIKE '% merge sort %' AS m_ph
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        Handlers.runSql(s,
+          """SELECT doc_id,
+            |  length(to_tsvector('simple', text)) AS nlex,
+            |  to_tsvector('simple', text) @@ plainto_tsquery('simple', 'hash') AS m_hash,
+            |  to_tsvector('simple', text) @@ to_tsquery('simple', 'hash & join') AS m_hj,
+            |  to_tsvector('simple', text) @@ to_tsquery('simple', 'scan | window') AS m_sw,
+            |  to_tsvector('simple', text) @@ to_tsquery('simple', '!batch') AS m_nb,
+            |  to_tsvector('simple', text) @@ phraseto_tsquery('simple', 'merge sort') AS m_ph
+            |FROM documents ORDER BY doc_id""".stripMargin) })
     })
 }

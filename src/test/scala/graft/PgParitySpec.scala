@@ -882,4 +882,79 @@ class PgParitySpec extends SparkSpec {
     assert(err("'{1,5'::int4range").contains("malformed range literal"))
     assert(err("int4range(1,5,'xx')").contains("invalid range bound flags"))
   }
+
+  test("sweep-14: text search — to_tsvector/tsquery/@@/rank matrix (live pg 15)") {
+    // 58 expressions swept against live PostgreSQL 15.18 BEFORE the
+    // implementation was written (tokenizer classes incl. hyphen
+    // compounds/urls/emails/files/numbers, Porter2 stemming + the
+    // english stopword config, position semantics, tsquery parsing and
+    // canonical rendering, @@ incl. phrase distance and prefix, and
+    // EXACT ts_rank/ts_rank_cd float parity — the rank formulas were
+    // reverse-engineered from controlled probes to 8 digits). The
+    // stemmer is separately verified on 2980 live ts_lexize pairs
+    // (TsStemDiff) and to_tsvector on 150 real `documents` rows
+    // (TsDocDiff) — both 0 diffs.
+    val pinned: Seq[(String, String)] = Seq(
+    ("to_tsvector('english', 'The quick brown foxes jumped over the lazy dogs')", "'brown':3 'dog':9 'fox':4 'jump':5 'lazi':8 'quick':2"),
+    ("to_tsvector('english', 'a fat cat sat on a mat - it ate a fat rats')", "'ate':9 'cat':3 'fat':2,11 'mat':7 'rat':12 'sat':4"),
+    ("to_tsvector('simple', 'The Quick Brown Foxes!')", "'brown':3 'foxes':4 'quick':2 'the':1"),
+    ("to_tsvector('english', 'foo-bar baz')", "'bar':3 'baz':4 'foo':2 'foo-bar':1"),
+    ("to_tsvector('english', 'one-two-three four')", "'four':5 'one':2 'one-two-thre':1 'three':4 'two':3"),
+    ("to_tsvector('simple', 'foo-bar')", "'bar':3 'foo':2 'foo-bar':1"),
+    ("to_tsvector('english', 'version 1.2.3 released')", "'1.2.3':2 'releas':3 'version':1"),
+    ("to_tsvector('english', 'pi is 3.14 and e is 2.71')", "'2.71':7 '3.14':3 'e':5 'pi':1"),
+    ("to_tsvector('english', 'contact admin@example.com or visit https://example.com/page')", "'/page':7 'admin@example.com':2 'contact':1 'example.com':6 'example.com/page':5 'visit':4"),
+    ("to_tsvector('english', 'file /usr/local/bin/thing')", "'/usr/local/bin/thing':2 'file':1"),
+    ("to_tsvector('english', 'C3PO and R2D2 are droids 42')", "'42':6 'c3po':1 'droid':5 'r2d2':3"),
+    ("to_tsvector('english', 'repeated repeated repeated words')", "'repeat':1,2,3 'word':4"),
+    ("to_tsvector('english', '  punctuation!!! ... (parens) [brackets] {braces}  ')", "'brace':4 'bracket':3 'paren':2 'punctuat':1"),
+    ("to_tsvector('english', 'Don''t stop believing')", "'believ':4 'stop':3"),
+    ("to_tsvector('english', 'o''clock at the king''s castle')", "'castl':7 'clock':2 'king':5 'o':1"),
+    ("to_tsvector('english', 'x y z i a')", "'x':1 'y':2 'z':3"),
+    ("to_tsvector('english', 'under_score snake_case_name')", "'case':4 'name':5 'score':2 'snake':3"),
+    ("to_tsvector('simple', '123 45.67 1e10')", "'123':1 '1e10':3 '45.67':2"),
+    ("to_tsvector('english', 'MixedCASE WORDS lower UPPER')", "'lower':3 'mixedcas':1 'upper':4 'word':2"),
+    ("length(to_tsvector('english', 'a fat cat sat on a mat'))", "4"),
+    ("strip(to_tsvector('english', 'fat cats ate rats'))", "'ate' 'cat' 'fat' 'rat'"),
+    ("to_tsvector('english', 'supernovae explode') @@ to_tsquery('english', 'supernova')", "t"),
+    ("to_tsvector('english', 'a fat cat') @@ to_tsquery('english', 'cat & fat')", "t"),
+    ("to_tsvector('english', 'a fat cat') @@ to_tsquery('english', 'cat & dog')", "f"),
+    ("to_tsvector('english', 'a fat cat') @@ to_tsquery('english', 'cat | dog')", "t"),
+    ("to_tsvector('english', 'a fat cat') @@ to_tsquery('english', '!dog')", "t"),
+    ("to_tsvector('english', 'a fat cat') @@ to_tsquery('english', 'fat <-> cat')", "t"),
+    ("to_tsvector('english', 'fat a cat') @@ to_tsquery('english', 'fat <-> cat')", "f"),
+    ("to_tsvector('english', 'fat a cat') @@ to_tsquery('english', 'fat <2> cat')", "t"),
+    ("to_tsvector('english', 'error logs found') @@ plainto_tsquery('english', 'errors log')", "t"),
+    ("to_tsvector('english', 'error logs found') @@ phraseto_tsquery('english', 'error logs')", "t"),
+    ("to_tsvector('english', 'logs error found') @@ phraseto_tsquery('english', 'error logs')", "f"),
+    ("to_tsquery('english', 'fat & rats')", "'fat' & 'rat'"),
+    ("to_tsquery('english', 'fat & (cats | dogs)')", "'fat' & ( 'cat' | 'dog' )"),
+    ("to_tsquery('english', '!fat & rats')", "!'fat' & 'rat'"),
+    ("to_tsquery('simple', 'Fat | Rats')", "'fat' | 'rats'"),
+    ("to_tsquery('english', 'fat <-> cats')", "'fat' <-> 'cat'"),
+    ("to_tsquery('english', 'the & fat')", "'fat'"),
+    ("to_tsquery('english', 'fatties:*')", "'fatti':*"),
+    ("plainto_tsquery('english', 'The Fat Rats')", "'fat' & 'rat'"),
+    ("phraseto_tsquery('english', 'The Fat Rats')", "'fat' <-> 'rat'"),
+    ("websearch_to_tsquery('english', 'fat rats')", "'fat' & 'rat'"),
+    ("websearch_to_tsquery('english', '\"fat rats\" -dogs')", "'fat' <-> 'rat' & !'dog'"),
+    ("websearch_to_tsquery('english', 'fat or rats')", "'fat' | 'rat'"),
+    ("ts_rank(to_tsvector('english', 'a fat cat sat on a mat'), to_tsquery('english', 'cat'))", "0.06079271"),
+    ("ts_rank(to_tsvector('english', 'a fat cat fat sat fat'), to_tsquery('english', 'fat'))", "0.082745634"),
+    ("ts_rank_cd(to_tsvector('english', 'a fat cat sat on a mat'), to_tsquery('english', 'cat & mat'))", "0.025"),
+    ("'fat:2,4 cat:3'::tsvector", "'cat':3 'fat':2,4"),
+    ("'fat & rat'::tsquery", "'fat' & 'rat'"),
+    ("'fat:2A cat:3B'::tsvector", "'cat':3B 'fat':2A"),
+    ("numnode(to_tsquery('english', 'fat & rats'))", "3"),
+    ("querytree(to_tsquery('english', '!fat & rats'))", "'rat'"),
+    ("to_tsvector('english', 'The 15 quick-thinking foxes (v2.0) jumped high!')", "'15':2 'fox':6 'high':9 'jump':8 'quick':4 'quick-think':3 'think':5 'v2.0':7"),
+    ("to_tsvector('english', 'aaa2bbb ccc33 44ddd')", "'44ddd':3 'aaa2bbb':1 'ccc33':2"),
+    ("to_tsvector('english', 'hello world hello again hello')", "'hello':1,3,5 'world':2")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $$expr")
+    // empty results (empty input / all-stopword input)
+    for (e <- Seq("to_tsvector('english', '')", "to_tsvector('english', 'The The The')", "plainto_tsquery('english', 'the')"))
+      assert(one(e) === "", s"expr: $$e")
+  }
 }

@@ -1,0 +1,26 @@
+package graft
+
+/** Manual stemmer differential (like PgDiffTool): compares
+  * TextSearch.stem against a live-pg `ts_lexize('english_stem', w)`
+  * capture (word\tstem per line). Not a test — the capture file is
+  * sweep-session-local.
+  */
+object TsStemDiff {
+  def main(args: Array[String]): Unit = {
+    val lines = scala.io.Source.fromFile(args(0)).getLines().toVector
+    var bad = 0
+    lines.foreach { l =>
+      val parts = l.split("\t")
+      if (parts.length == 2) {
+        val (w, want) = (parts(0), parts(1))
+        val got = if (want == "<STOP?>") "<STOP?>"
+          else graft.functions.TextSearch.stem(w)
+        if (got != want) {
+          bad += 1
+          if (bad <= 40) println(s"DIFF $w: live=$want got=$got")
+        }
+      }
+    }
+    println(s"${lines.length} words, $bad diffs")
+  }
+}
