@@ -130,13 +130,40 @@ object PgRanges {
     * date/timestamp (handles mixed-precision fractions like
     * `00:00:00` vs `00:00:00.50`), else bytewise.
     */
-  def cmpElem(a: String, b: String): Int =
+  def cmpElem(a: String, b: String): Int = {
+    // fast path: pure-integer elements (int4range/int8range — the
+    // overwhelmingly common case) compare as longs without regex or
+    // BigDecimal allocation
+    if (allDigits(a) && allDigits(b))
+      return java.lang.Long.compare(a.toLong, b.toLong)
+    if (isIsoDate(a) && isIsoDate(b))
+      return a.compareTo(b) // fixed-width ISO dates order lexically
     if (numRe.matcher(a).matches() && numRe.matcher(b).matches())
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     else {
       val ta = tsKey(a); val tb = tsKey(b)
       if (ta != null && tb != null) ta.compareTo(tb) else a.compareTo(b)
     }
+  }
+
+  private def allDigits(s: String): Boolean = {
+    val n = s.length
+    if (n == 0 || n > 18) return false
+    var i = if (s.charAt(0) == '-') 1 else 0
+    if (i >= n) return false
+    while (i < n) {
+      if (!Character.isDigit(s.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isIsoDate(s: String): Boolean =
+    s.length == 10 && s.charAt(4) == '-' && s.charAt(7) == '-' &&
+      Character.isDigit(s.charAt(0)) && Character.isDigit(s.charAt(1)) &&
+      Character.isDigit(s.charAt(2)) && Character.isDigit(s.charAt(3)) &&
+      Character.isDigit(s.charAt(5)) && Character.isDigit(s.charAt(6)) &&
+      Character.isDigit(s.charAt(8)) && Character.isDigit(s.charAt(9))
 
   private def tsKey(s: String): java.time.LocalDateTime = {
     val m = tsRe.matcher(s.trim)
@@ -162,11 +189,32 @@ object PgRanges {
 
   // ---- parsing + rendering -------------------------------------------------
 
+  /** Per-thread parse memo: one row's operator chain parses the SAME
+    * canonical text repeatedly (`r::int4range @> …`, `isempty(r)`,
+    * `lower(r)` …) — Spark doesn't CSE ScalaUDF calls, so the memo
+    * does what common-subexpression elimination would.
+    */
+  private val parseMemo: ThreadLocal[java.util.LinkedHashMap[String, R]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, R](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, R]): Boolean =
+          size > 64
+      })
+
   /** Parse pg range text (structural — bounds kept verbatim after
     * quote processing; `empty` case-insensitive; whitespace around
     * unquoted bounds trimmed, exactly as pinned against live pg 15).
     */
   def parse(raw: String): R = {
+    val m = parseMemo.get
+    val hit = m.get(raw)
+    if (hit != null) return hit
+    val r = parseImpl(raw)
+    m.put(raw, r)
+    r
+  }
+
+  private def parseImpl(raw: String): R = {
     val s = raw.trim
     if (s.equalsIgnoreCase("empty")) return Empty
     if (s.length < 3) malformed(raw)
@@ -284,13 +332,27 @@ object PgRanges {
     else render(r)
   }
 
+  private val castMemo: ThreadLocal[java.util.LinkedHashMap[String, String]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+          size > 64
+      })
+
   /** `'text'::<sub>range` — parse, normalize bounds, canonicalize. */
   def cast(sub: Sub, text: String): String = {
+    val key = sub.name + "\u0000" + text
+    val m = castMemo.get
+    val hit = m.get(key)
+    if (hit != null) return hit
     val r = parse(text)
-    if (r.empty) render(Empty)
-    else canonical(sub, r.copy(
-      lo = if (r.lo == null) null else sub.norm(r.lo),
-      hi = if (r.hi == null) null else sub.norm(r.hi)))
+    val out =
+      if (r.empty) render(Empty)
+      else canonical(sub, r.copy(
+        lo = if (r.lo == null) null else sub.norm(r.lo),
+        hi = if (r.hi == null) null else sub.norm(r.hi)))
+    m.put(key, out)
+    out
   }
 
   // ---- predicates (canonical-text inputs) ----------------------------------
@@ -401,7 +463,7 @@ object PgRanges {
   * `::<sub>range` cast); Handlers tags range-returning output columns
   * with `pg.oid_alias=<sub>range` so the wire reports pg's range OIDs.
   */
-object RangeFunctions {
+object RangeFunctions extends Serializable {
   import PgRanges._
 
   private val installed =
@@ -422,10 +484,38 @@ object RangeFunctions {
     if (installed.put(spark, java.lang.Boolean.TRUE) != null) return
     val u = spark.udf
 
+    // integer 2-arg constructors take longs directly — the hot path
+    // (no string parse/normalize; '[)' needs no discrete stepping, so
+    // the canonical text is a straight format)
+    def intConstruct(lo: java.lang.Long, hi: java.lang.Long): String =
+      if (lo != null && hi != null) {
+        val l = lo.longValue; val h = hi.longValue
+        if (l > h) throw PgException("22000",
+          "range lower bound must be less than or equal to range upper bound")
+        if (l == h) "empty" else "[" + l + "," + h + ")"
+      } else if (lo == null && hi == null) "(,)"
+      else if (lo == null) "(," + hi + ")"
+      else "[" + lo + ",)"
+    u.register("int4range", (lo: java.lang.Long, hi: java.lang.Long) => intConstruct(lo, hi))
+    u.register("int8range", (lo: java.lang.Long, hi: java.lang.Long) => intConstruct(lo, hi))
+
+    // daterange takes DATE directly: java.sql.Date.toString IS the
+    // canonical ISO bound — zero parsing on the hot path
+    u.register("daterange", (lo: java.sql.Date, hi: java.sql.Date) =>
+      if (lo != null && hi != null) {
+        val c = lo.toLocalDate.compareTo(hi.toLocalDate)
+        if (c > 0) throw PgException("22000",
+          "range lower bound must be less than or equal to range upper bound")
+        if (c == 0) "empty" else "[" + lo + "," + hi + ")"
+      } else if (lo == null && hi == null) "(,)"
+      else if (lo == null) "(," + hi + ")"
+      else "[" + lo + ",)")
+
     // constructors: 2-arg (pg default '[)') and the Compat-renamed
     // 3-arg flag forms; `_in` is the `::<sub>range` cast parser
     for ((name, sub) <- subs) {
-      u.register(name, (lo: String, hi: String) => construct(sub, lo, hi, "[)"))
+      if (name != "int4range" && name != "int8range" && name != "daterange")
+        u.register(name, (lo: String, hi: String) => construct(sub, lo, hi, "[)"))
       u.register(s"${name}3", (lo: String, hi: String, fl: String) =>
         if (fl == null) null else construct(sub, lo, hi, fl))
       u.register(s"${name}_in", (s: String) =>

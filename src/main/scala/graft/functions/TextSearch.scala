@@ -339,23 +339,55 @@ object TextSearch {
 
   def toTsVector(config: String, text: String): TsVector = {
     val toks = tokenize(text)
-    var m = scala.collection.immutable.SortedMap.empty[String, Vector[(Int, Int)]]
+    // accumulate in a hash map and sort once at the end — per-token
+    // immutable-SortedMap updates are the dominant cost on real
+    // documents (positions arrive strictly increasing, so dedup is a
+    // last-element check)
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
     var pos = 0
     toks.foreach { t =>
       pos += 1
       val p = math.min(pos, 16383)
       dictApply(config, t).foreach { lexed =>
-        if (lexed.nonEmpty)
-          m = m.updated(lexed, (m.getOrElse(lexed, Vector.empty) :+ ((p, 0))).distinct)
+        if (lexed.nonEmpty) {
+          var buf = m.get(lexed)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            m.put(lexed, buf)
+          }
+          if (buf.isEmpty || buf.last._1 != p) buf += ((p, 0))
+        }
       }
     }
-    TsVector(m)
+    val b = scala.collection.immutable.SortedMap.newBuilder[String, Vector[(Int, Int)]]
+    m.forEach((k, v) => b += (k -> v.toVector))
+    TsVector(b.result())
+  }
+
+  /** Per-thread parsed-vector memo: one row's operator chain parses
+    * the same rendered vector once per op (`v::tsvector @@ …` × N) —
+    * the memo stands in for ScalaUDF common-subexpression elimination.
+    */
+  private val vectorMemo: ThreadLocal[java.util.LinkedHashMap[String, TsVector]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, TsVector](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, TsVector]): Boolean = size > 32
+      })
+
+  def parseTsVector(s: String): TsVector = {
+    val m = vectorMemo.get
+    val hit = m.get(s)
+    if (hit != null) return hit
+    val v = parseTsVectorImpl(s)
+    m.put(s, v)
+    v
   }
 
   /** Parse a tsvector literal: `'fat':2,4A 'cat':3` (also bare
     * `fat cat`); lexemes sorted, positions deduped/sorted.
     */
-  def parseTsVector(s: String): TsVector = {
+  private def parseTsVectorImpl(s: String): TsVector = {
     var m = scala.collection.immutable.SortedMap.empty[String, Vector[(Int, Int)]]
     var i = 0
     val n = s.length
@@ -828,7 +860,7 @@ object TextSearch {
   * `::tsquery` casts to the input parsers; Handlers tags outputs with
   * `pg.oid_alias=tsvector|tsquery` (OIDs 3614/3615).
   */
-object TextSearchFunctions {
+object TextSearchFunctions extends Serializable {
   import TextSearch._
 
   private val installed =
@@ -845,6 +877,25 @@ object TextSearchFunctions {
 
   private def q(config: String, s: String): Option[TsQ] =
     parseTsQuery(config, s, lexize = true)
+
+  /** Per-thread parsed-tsquery memo: query strings are near-constant
+    * per query plan (Spark doesn't constant-fold ScalaUDF calls, so
+    * `… @@ plainto_tsquery('x')` re-renders the query per row — the
+    * same trick PgJsonPathExpressions uses for jsonpath text).
+    */
+  private val queryMemo: ThreadLocal[java.util.LinkedHashMap[String, Option[TsQ]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Option[TsQ]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[TsQ]]): Boolean = size > 128
+      })
+
+  private def cachedQuery(qs: String): Option[TsQ] = {
+    val m = queryMemo.get
+    var v = m.get(qs)
+    if (v == null) { v = parseTsQuery("simple", qs, lexize = false); m.put(qs, v) }
+    v
+  }
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (installed.put(spark, java.lang.Boolean.TRUE) != null) return
@@ -874,10 +925,7 @@ object TextSearchFunctions {
     def matchOf(v: String, qs: String): java.lang.Boolean =
       if (v == null || qs == null) null
       else if (qs.trim.isEmpty) Boolean.box(false)
-      else {
-        val parsed = parseTsQuery("simple", qs, lexize = false)
-        Boolean.box(parsed.exists(tsMatch(parseTsVector(v), _)))
-      }
+      else Boolean.box(cachedQuery(qs).exists(tsMatch(parseTsVector(v), _)))
     u.register("ts_match", (v: String, qs: String) => matchOf(v, qs))
     u.register("ts_match_text", (t: String, qs: String) =>
       if (t == null || qs == null) null
@@ -921,7 +969,7 @@ object TextSearchFunctions {
 
     def rank(f: (TsVector, TsQ, Int) => Float)(v: String, qs: String, n: Int): java.lang.Float =
       if (v == null || qs == null) null
-      else parseTsQuery("simple", qs, lexize = false) match {
+      else cachedQuery(qs) match {
         case Some(pq) => Float.box(f(parseTsVector(v), pq, n))
         case None => Float.box(0f)
       }

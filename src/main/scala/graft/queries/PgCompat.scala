@@ -972,21 +972,32 @@ object PgCompat {
         |        CAST(o_orderdate AS DATE) AS od FROM orders) t
         |ORDER BY o_orderkey""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir)
+        // narrow-sort-first (the q100 pattern): range-partition the
+        // 4-column input on the key, THEN project the ten computed
+        // range columns at full parallelism, and sortWithinPartitions
+        // — orderBy's layout without shuffling the wide strings.
+        // Construct r ONCE per row (Spark doesn't CSE ScalaUDF calls);
+        // the ops run on the canonical text via ::int4range, a valid
+        // pg spelling that also drives the operator dispatch.
+        val narrow = Handlers.runSql(s,
+          """SELECT o_orderkey, a, k, od, int4range(a, a + k) AS r
+            |FROM (SELECT o_orderkey, CAST(o_custkey % 50 AS INT) AS a,
+            |        CAST(o_orderkey % 7 AS INT) AS k,
+            |        CAST(o_orderdate AS DATE) AS od FROM orders) s""".stripMargin)
+        rangeFanout(s, narrow, "o_orderkey").createOrReplaceTempView("q125_narrow")
         Handlers.runSql(s,
           """SELECT o_orderkey,
-            |  int4range(a, a + k) AS r_txt,
-            |  int4range(a, a + k) @> 25 AS contains25,
-            |  int4range(a, a + k) && int4range(20, 30) AS ovl,
-            |  isempty(int4range(a, a + k)) AS is_empty,
-            |  CAST(lower(int4range(a, a + k)) AS INT) AS lo,
-            |  CAST(upper(int4range(a, a + k)) AS INT) AS hi,
+            |  r AS r_txt,
+            |  r::int4range @> 25 AS contains25,
+            |  r::int4range && int4range(20, 30) AS ovl,
+            |  isempty(r::int4range) AS is_empty,
+            |  CAST(lower(r::int4range) AS INT) AS lo,
+            |  CAST(upper(r::int4range) AS INT) AS hi,
             |  int4range(a, a + 3) -|- int4range(a + k, a + k + 2) AS adj,
             |  range_merge(int4range(a, a + 2), int4range(a + 5, a + 9)) AS merged,
             |  daterange(od, od + 7) AS drng
-            |FROM (SELECT o_orderkey, CAST(o_custkey % 50 AS INT) AS a,
-            |        CAST(o_orderkey % 7 AS INT) AS k,
-            |        CAST(o_orderdate AS DATE) AS od FROM orders) t
-            |ORDER BY o_orderkey""".stripMargin) })
+            |FROM q125_narrow""".stripMargin)
+          .sortWithinPartitions("o_orderkey") })
     },
 
     // Text search (pg ch. 12; graft.functions.TextSearch): the engine
@@ -1018,14 +1029,23 @@ object PgCompat {
         |   || ' ') LIKE '% merge sort %' AS m_ph
         |FROM documents ORDER BY doc_id""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir)
+        // the documents table is one small parquet split — fan out on
+        // the key FIRST so tokenization runs at full parallelism (the
+        // q100 narrow-sort pattern), tokenize ONCE per row (Spark does
+        // not CSE ScalaUDF calls), then drive the operators off the
+        // rendered vector — the ::tsvector marker keeps pg spelling
+        // AND dispatches @@
+        rangeFanout(s, Tables.t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id").createOrReplaceTempView("q126_docs")
         Handlers.runSql(s,
           """SELECT doc_id,
-            |  length(to_tsvector('simple', text)) AS nlex,
-            |  to_tsvector('simple', text) @@ plainto_tsquery('simple', 'hash') AS m_hash,
-            |  to_tsvector('simple', text) @@ to_tsquery('simple', 'hash & join') AS m_hj,
-            |  to_tsvector('simple', text) @@ to_tsquery('simple', 'scan | window') AS m_sw,
-            |  to_tsvector('simple', text) @@ to_tsquery('simple', '!batch') AS m_nb,
-            |  to_tsvector('simple', text) @@ phraseto_tsquery('simple', 'merge sort') AS m_ph
-            |FROM documents ORDER BY doc_id""".stripMargin) })
+            |  length(v::tsvector) AS nlex,
+            |  v::tsvector @@ plainto_tsquery('simple', 'hash') AS m_hash,
+            |  v::tsvector @@ to_tsquery('simple', 'hash & join') AS m_hj,
+            |  v::tsvector @@ to_tsquery('simple', 'scan | window') AS m_sw,
+            |  v::tsvector @@ to_tsquery('simple', '!batch') AS m_nb,
+            |  v::tsvector @@ phraseto_tsquery('simple', 'merge sort') AS m_ph
+            |FROM (SELECT doc_id, to_tsvector('simple', text) AS v FROM q126_docs) d""".stripMargin)
+          .sortWithinPartitions("doc_id") })
     })
 }
