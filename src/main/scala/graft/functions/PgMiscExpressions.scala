@@ -327,6 +327,111 @@ object PgMiscExpressions {
 
   /** array_positions(arr, elem): 1-based indexes of EVERY match
     * (NULL matches NULL, as in pg). */
+  /** pg array_position: 1-based index of the first match, NULL when
+    * absent (Spark's builtin returns 0 — a silently-wrong answer for
+    * pg clients; sweep-15). IS NOT DISTINCT FROM matching: a NULL
+    * target finds NULL elements.
+    */
+  case class PgArrayPosition(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "array_position"
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(et, _) if et == right.dataType ||
+        right.dataType == NullType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("array_position(anyarray, anyelement)")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = left.eval(input)
+      if (arr == null) return null
+      val target = right.eval(input)
+      val et = left.dataType.asInstanceOf[ArrayType].elementType
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < a.numElements()) {
+        val el = if (a.isNullAt(i)) null else a.get(i, et)
+        val hit =
+          if (el == null || target == null) el == null && target == null
+          else el == target || java.util.Objects.deepEquals(el, target)
+        if (hit) return i + 1
+        i += 1
+      }
+      null
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PgArrayPosition = copy(left = l, right = r)
+  }
+
+  /** pg array_remove: drops elements IS NOT DISTINCT FROM the target
+    * — a NULL target removes NULL elements (Spark's builtin returns
+    * NULL for a NULL target; sweep-15).
+    */
+  case class PgArrayRemove(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = left.dataType
+    override def nullable: Boolean = true
+    override def prettyName: String = "array_remove"
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(et, _) if et == right.dataType ||
+        right.dataType == NullType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("array_remove(anyarray, anyelement)")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = left.eval(input)
+      if (arr == null) return null
+      val target = right.eval(input)
+      val et = left.dataType.asInstanceOf[ArrayType].elementType
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < a.numElements()) {
+        val el = if (a.isNullAt(i)) null else a.get(i, et)
+        val hit =
+          if (el == null || target == null) el == null && target == null
+          else el == target || java.util.Objects.deepEquals(el, target)
+        if (!hit) out += el
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PgArrayRemove = copy(left = l, right = r)
+  }
+
+  /** pg cardinality: TOTAL element count across all dimensions (Spark
+    * size() counts only the outer dimension of a nested array;
+    * sweep-15: cardinality(ARRAY[[1,2],[3,4]]) = 4).
+    */
+  case class PgCardinality(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "cardinality"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("cardinality(anyarray)")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = child.eval(input)
+      if (arr == null) return null
+      def count(v: Any, t: DataType): Int = (v, t) match {
+        case (null, _) => 1 // a NULL inner element is one element
+        case (a: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(et: ArrayType, _)) =>
+          var n = 0; var i = 0
+          while (i < a.numElements()) {
+            n += count(if (a.isNullAt(i)) null else a.get(i, et), et); i += 1
+          }
+          n
+        case (a: org.apache.spark.sql.catalyst.util.ArrayData, _) => a.numElements()
+        case _ => 1
+      }
+      count(arr, child.dataType)
+    }
+    override protected def withNewChildInternal(c: Expression): PgCardinality =
+      copy(child = c)
+  }
+
   case class PgArrayPositions(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -438,11 +543,25 @@ object PgMiscExpressions {
         Cast(children(0), TimestampType, Some("UTC")),
         Cast(children(1), TimestampType, Some("UTC")),
         Some(children(2)), Some("UTC"))
+    /** pg generate_series(numeric, numeric, numeric): fractional
+      * inputs yield numerics at the widest input scale (sweep-15:
+      * generate_series(1.0, 3.0, 0.5) → 1.0, 1.5, …).
+      */
+    private def decimalScale: Int = children.map(_.dataType).collect {
+      case d: DecimalType => d.scale
+    }.foldLeft(0)(math.max)
+    private def isDecimalSeries: Boolean =
+      children.exists(_.dataType match {
+        case d: DecimalType => d.scale > 0
+        case _ => false
+      })
     override def nullable: Boolean = true
     override def dataType: DataType =
       if (isTemporal)
         ArrayType(if (ntzResult) TimestampNTZType else TimestampType,
           containsNull = false)
+      else if (isDecimalSeries)
+        ArrayType(DecimalType(38, decimalScale), containsNull = false)
       else ArrayType(LongType, containsNull = false)
     override def prettyName: String = "generate_series"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -456,6 +575,26 @@ object PgMiscExpressions {
       if (isTemporal) return seqDelegate.eval(input)
       val vs = children.map(_.eval(input))
       if (vs.exists(_ == null)) return null
+      if (isDecimalSeries) {
+        def toBD(v: Any): java.math.BigDecimal = v match {
+          case d: Decimal => d.toJavaBigDecimal
+          case l: Long => java.math.BigDecimal.valueOf(l)
+          case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+          case other => new java.math.BigDecimal(other.toString)
+        }
+        val start = toBD(vs(0)); val stop = toBD(vs(1)); val step = toBD(vs(2))
+        if (step.signum == 0) throw new IllegalArgumentException(
+          "step size cannot equal zero")
+        val scale = decimalScale
+        val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var v = start
+        if (step.signum > 0) while (v.compareTo(stop) <= 0) {
+          out += Decimal(v.setScale(scale)); v = v.add(step)
+        } else while (v.compareTo(stop) >= 0) {
+          out += Decimal(v.setScale(scale)); v = v.add(step)
+        }
+        return new GenericArrayData(out.toArray)
+      }
       def toL(v: Any): Long = v match {
         case l: Long => l
         case i: Int => i.toLong
@@ -644,6 +783,18 @@ object PgMiscExpressions {
     (FunctionIdentifier("array_positions"), info("array_positions"), { args =>
       require(args.length == 2, "array_positions requires 2 arguments")
       PgArrayPositions(args(0), args(1))
+    }),
+    (FunctionIdentifier("pg_array_position"), info("pg_array_position"), { args =>
+      require(args.length == 2, "array_position requires 2 arguments")
+      PgArrayPosition(args(0), args(1))
+    }),
+    (FunctionIdentifier("pg_array_remove"), info("pg_array_remove"), { args =>
+      require(args.length == 2, "array_remove requires 2 arguments")
+      PgArrayRemove(args(0), args(1))
+    }),
+    (FunctionIdentifier("pg_cardinality"), info("pg_cardinality"), { args =>
+      require(args.length == 1, "cardinality requires 1 argument")
+      PgCardinality(args(0))
     }),
     (FunctionIdentifier("array_replace"), info("array_replace"), { args =>
       PgArrayReplace(args)

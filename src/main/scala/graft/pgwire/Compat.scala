@@ -282,6 +282,13 @@ object Compat {
     "current_database" -> "pg_current_database",
     "current_schemas" -> "pg_current_schemas",
     "array_length" -> "pg_array_length",
+    // sweep-15: Spark's array_position returns 0 when absent (pg:
+    // NULL), array_remove NULLs out on a NULL target (pg: removes
+    // NULLs), size() counts only the outer dimension (pg cardinality
+    // counts leaves across dimensions)
+    "array_position" -> "pg_array_position",
+    "array_remove" -> "pg_array_remove",
+    "cardinality" -> "pg_cardinality",
     "array_to_string" -> "array_join", // same semantics (NULLs skipped)
     "string_to_array" -> "pg_string_to_array", // literal (non-regex) delim
     // pg mod semantics: NULL on zero divisor (reference mod_op.rs:18);
@@ -1467,8 +1474,9 @@ object Compat {
     * (same doctrine as the jsonb operator family above). */
   private val arrayProducerFns = Set(
     "array", "array_append", "array_prepend", "array_remove",
-    "array_replace", "array_distinct", "array_sort", "sequence",
-    "array_cat", "concat", "slice", "pg_string_to_array", "string_to_array")
+    "pg_array_remove", "array_replace", "array_distinct", "array_sort",
+    "sequence", "array_cat", "concat", "slice", "pg_string_to_array",
+    "string_to_array")
 
   private def arrayMarkedEnd(ts: ArrayBuffer[Tok], e: Int): Boolean = {
     if (e < 0) false
@@ -2134,8 +2142,8 @@ object Compat {
                 ArrayBuffer(Tok(Word, "CASE WHEN count(")) ++ e ++
                   ArrayBuffer(Tok(Word, ") = 0 THEN CAST(NULL AS STRING) " +
                     "ELSE array_join(array_sort(collect_set(")) ++ e ++
-                  ArrayBuffer(Tok(Word, ")), ")) ++ d ++
-                  ArrayBuffer(Tok(Word, ") END"))
+                  ArrayBuffer(Tok(Word, ")), coalesce(")) ++ d ++
+                  ArrayBuffer(Tok(Word, ", '')) END"))
               ts.remove(i, close - i + 1)
               ts.insertAll(i, rebuilt)
               i += rebuilt.length - 1
@@ -2152,10 +2160,12 @@ object Compat {
                 if (lower == "string_agg" && commaIdx > 0 && commaIdx < orderIdx) {
                   val e = ts.slice(open + 1, commaIdx).toVector
                   val d = ts.slice(commaIdx + 1, orderIdx).toVector
+                  // coalesce: pg joins with '' when the delimiter is
+                  // NULL; Spark's array_join would return NULL (sweep-15)
                   ArrayBuffer(Tok(Word, "array_join(transform(")) ++
                     sortedStructToks(keys, e, desc, pred) ++
-                    ArrayBuffer(Tok(Word, ", gv -> gv.v), ")) ++ d ++
-                    ArrayBuffer(Tok(Word, ")"))
+                    ArrayBuffer(Tok(Word, ", gv -> gv.v), coalesce(")) ++ d ++
+                    ArrayBuffer(Tok(Word, ", ''))"))
                 } else {
                   val e = ts.slice(open + 1, orderIdx).toVector
                   ArrayBuffer(Tok(Word, "transform(")) ++
