@@ -657,6 +657,12 @@ object PgFunctions {
       ProcDef("sha256", Seq(17), 17),
       ProcDef("sha384", Seq(17), 17),
       ProcDef("sha512", Seq(17), 17),
+      // ---- pg_trgm (contrib; graft.functions.Trigram) ----
+      ProcDef("show_trgm", Seq(T), 1009),
+      ProcDef("similarity", Seq(T, T), 700),
+      ProcDef("word_similarity", Seq(T, T), 700),
+      ProcDef("strict_word_similarity", Seq(T, T), 700),
+      ProcDef("show_limit", Nil, 700),
       // ---- text search (pg ch. 12; graft.functions.TextSearch) ----
       ProcDef("to_tsvector", Seq(T), 3614),
       ProcDef("to_tsquery", Seq(T), 3615),
@@ -1020,6 +1026,7 @@ object PgFunctions {
     graft.functions.GeoFunctions.registerAll(spark)
     graft.functions.RangeFunctions.registerAll(spark)
     graft.functions.TextSearchFunctions.registerAll(spark)
+    graft.functions.Trigram.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

@@ -1047,5 +1047,26 @@ object PgCompat {
             |  v::tsvector @@ phraseto_tsquery('simple', 'merge sort') AS m_ph
             |FROM (SELECT doc_id, to_tsvector('simple', text) AS v FROM q126_docs) d""".stripMargin)
           .sortWithinPartitions("doc_id") })
-    })
+    },
+
+    // pg_trgm scalar pack (graft.functions.Trigram): literal oracle
+    // like q70/q71 — the values ARE the live-pg pins (float4-exact);
+    // sweep-16 holds the full 26-case matrix
+    Q.df("q127_trgm",
+      """SELECT CAST(1000000 AS BIGINT) AS sim_self, CAST(363636 AS BIGINT) AS sim_words,
+        |  CAST(181818 AS BIGINT) AS sim_gumbo, CAST(642857 AS BIGINT) AS sim_hello,
+        |  CAST(800000 AS BIGINT) AS ws, CAST(571428 AS BIGINT) AS sws,
+        |  CAST(300000 AS BIGINT) AS lim,
+        |  '  c| ca|at |cat' AS tg""".stripMargin) {
+      withUdfs((s, _) => Handlers.runSql(s,
+        // floor(x*1e6) quantization per the QueryDef float contract
+        // (float4 rendering differs between engines at the last digit)
+        """SELECT CAST(floor(similarity('cat', 'cat') * 1000000) AS BIGINT) AS sim_self,
+          |  CAST(floor(similarity('word', 'two words') * 1000000) AS BIGINT) AS sim_words,
+          |  CAST(floor(similarity('GUMBO', 'gambol') * 1000000) AS BIGINT) AS sim_gumbo,
+          |  CAST(floor(similarity('hello world', 'hello word') * 1000000) AS BIGINT) AS sim_hello,
+          |  CAST(floor(word_similarity('word', 'two words') * 1000000) AS BIGINT) AS ws,
+          |  CAST(floor(strict_word_similarity('word', 'two words') * 1000000) AS BIGINT) AS sws,
+          |  CAST(floor(show_limit() * 1000000) AS BIGINT) AS lim,
+          |  array_to_string(show_trgm('cat'), '|') AS tg""".stripMargin)) })
 }

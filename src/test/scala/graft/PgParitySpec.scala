@@ -1072,4 +1072,41 @@ class PgParitySpec extends SparkSpec {
     for (e <- Seq("split_part('a,b,c', ',', 5)", "repeat('ab', 0)", "repeat('ab', -1)"))
       assert(one(e) === "", s"expr: $e")
   }
+
+  test("sweep-16: pg_trgm — trigram extraction and similarity family (live pg 15)") {
+    // 26 expressions pinned against live pg 15 WITH `CREATE EXTENSION
+    // pg_trgm`: show_trgm word-splitting/padding/sort/array-quoting,
+    // set similarity, positional-extent word_similarity, and
+    // word-boundary strict_word_similarity — all float4-exact
+    val pinned: Seq[(String, String)] = Seq(
+    ("show_trgm('cat')", "{\"  c\",\" ca\",\"at \",cat}"),
+    ("show_trgm('Cat DOG')", "{\"  c\",\"  d\",\" ca\",\" do\",\"at \",cat,dog,\"og \"}"),
+    ("show_trgm('a')", "{\"  a\",\" a \"}"),
+    ("show_trgm('ab')", "{\"  a\",\" ab\",\"ab \"}"),
+    ("show_trgm('')", "{}"),
+    ("show_trgm('  spaced  out  ')", "{\"  o\",\"  s\",\" ou\",\" sp\",ace,ced,\"ed \",out,pac,spa,\"ut \"}"),
+    ("show_trgm('word1 42x')", "{\"  4\",\"  w\",\" 42\",\" wo\",\"2x \",42x,\"d1 \",ord,rd1,wor}"),
+    ("show_trgm('don''t')", "{\"  d\",\"  t\",\" do\",\" t \",don,\"on \"}"),
+    ("show_trgm('foo-bar')", "{\"  b\",\"  f\",\" ba\",\" fo\",\"ar \",bar,foo,\"oo \"}"),
+    ("similarity('cat', 'cat')", "1"),
+    ("similarity('cat', 'dog')", "0"),
+    ("similarity('word', 'two words')", "0.36363637"),
+    ("similarity('', '')", "0"),
+    ("similarity('abc', '')", "0"),
+    ("similarity('GUMBO', 'gambol')", "0.18181819"),
+    ("similarity('hello world', 'hello word')", "0.64285713"),
+    ("word_similarity('word', 'two words')", "0.8"),
+    ("word_similarity('words', 'two words')", "1"),
+    ("word_similarity('apple', 'green apples')", "0.8333333"),
+    ("strict_word_similarity('word', 'two words')", "0.5714286"),
+    ("strict_word_similarity('apple', 'green apples')", "0.625"),
+    ("show_limit()", "0.3"),
+    ("similarity('transmission', 'transmitted')", "0.3888889"),
+    ("similarity('database', 'data base')", "0.5833333"),
+    ("word_similarity('', 'abc')", "0"),
+    ("strict_word_similarity('', '')", "0")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
