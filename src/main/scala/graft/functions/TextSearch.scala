@@ -821,6 +821,155 @@ object TextSearch {
     r
   }
 
+  // ========================================================================
+  // utility functions (pinned live: ts_delete/ts_filter/concat/
+  // to_array/phrase — sweep-16b)
+  // ========================================================================
+
+  def tsDelete(v: TsVector, lexemes: Set[String]): TsVector =
+    TsVector(v.lex.filterNot { case (k, _) => lexemes.contains(k) })
+
+  /** ts_filter: keep positions whose weight is in the set; lexemes
+    * with no surviving positions drop out.
+    */
+  def tsFilter(v: TsVector, weights: Set[Int]): TsVector =
+    TsVector(v.lex
+      .map { case (k, ps) => k -> ps.filter(p => weights.contains(p._2)) }
+      .filter(_._2.nonEmpty))
+
+  /** tsvector || tsvector: the right side's positions shift past the
+    * left's maximum (live pin: 'cat:3 fat:2,4' || 'cat:4 dog:1' →
+    * 'cat':3,8 'dog':5 'fat':2,4).
+    */
+  def tsConcat(a: TsVector, b: TsVector): TsVector = {
+    val shift = a.lex.valuesIterator.flatMap(_.map(_._1)).foldLeft(0)(math.max)
+    val m = scala.collection.mutable.TreeMap.empty[String, Vector[(Int, Int)]]
+    a.lex.foreach { case (k, ps) => m(k) = ps }
+    b.lex.foreach { case (k, ps) =>
+      val shifted = ps.map { case (p, w) => (math.min(p + shift, 16383), w) }
+      m(k) = (m.getOrElse(k, Vector.empty) ++ shifted).distinct.sortBy(_._1)
+    }
+    TsVector(scala.collection.immutable.SortedMap.from(m))
+  }
+
+  /** ts_headline: highlight query matches in the source text.
+    * Fragment selection pinned against live pg 15: the cover's first
+    * match anchors the fragment, which extends RIGHT to MinWords
+    * (not ending on a ShortWord when more text remains), then LEFT
+    * with the remaining budget; docs at or under MaxWords render
+    * whole. MaxFragments mode is not implemented (documented).
+    */
+  def tsHeadline(config: String, doc: String, q: TsQ, options: String): String = {
+    // options
+    var startSel = "<b>"; var stopSel = "</b>"
+    var maxWords = 35; var minWords = 15; var shortWord = 3
+    var highlightAll = false
+    if (options != null && options.nonEmpty)
+      options.split(",").foreach { kv =>
+        val eq = kv.indexOf('=')
+        if (eq > 0) {
+          val k = kv.substring(0, eq).trim.toLowerCase
+          val v = kv.substring(eq + 1).trim
+          k match {
+            case "startsel" => startSel = v
+            case "stopsel" => stopSel = v
+            case "maxwords" => maxWords = v.toInt
+            case "minwords" => minWords = v.toInt
+            case "shortword" => shortWord = v.toInt
+            case "highlightall" => highlightAll = v.equalsIgnoreCase("true") || v == "1"
+            case _ =>
+          }
+        }
+      }
+    // positive query lexemes (+ prefixes)
+    def vals(x: TsQ): Seq[QVal] = x match {
+      case v: QVal => Seq(v)
+      case QAnd(l, r) => vals(l) ++ vals(r)
+      case QOr(l, r) => vals(l) ++ vals(r)
+      case QPhrase(l, r, _) => vals(l) ++ vals(r)
+      case QNot(_) => Nil
+    }
+    val terms = vals(q)
+    // split doc into alnum words with their spans
+    final case class W(start: Int, end: Int, text: String)
+    val ws = scala.collection.mutable.ArrayBuffer.empty[W]
+    var i = 0
+    while (i < doc.length) {
+      if (Character.isLetterOrDigit(doc.charAt(i))) {
+        var j = i
+        while (j < doc.length && Character.isLetterOrDigit(doc.charAt(j))) j += 1
+        ws += W(i, j, doc.substring(i, j))
+        i = j
+      } else i += 1
+    }
+    def matches(w: String): Boolean = {
+      val lower = w.toLowerCase
+      val lexed =
+        if (config == "english") {
+          if (stopwords.contains(lower)) None else Some(stem(lower))
+        } else Some(lower)
+      lexed.exists(l => terms.exists(t =>
+        if (t.prefix) l.startsWith(t.lex) else l == t.lex))
+    }
+    val hit = ws.indices.filter(ix => matches(ws(ix).text))
+    // fragment bounds [s, e] over word indices
+    var s = 0
+    var e = ws.length - 1
+    if (!highlightAll && ws.nonEmpty) {
+      // pg's mark_hl_words fragment selection (behavior reconstructed
+      // from live pins): anchor at the cover, extend RIGHT counting
+      // words up to MaxWords, breaking only once MinWords is reached
+      // AT a word longer than ShortWord; if that walk hits the END of
+      // text still under MinWords, extend LEFT under the same
+      // ShortWord rule (which is why a tail-match in an all-short-word
+      // doc renders the whole text)
+      val anchor = if (hit.isEmpty) 0 else {
+        // smallest window covering all distinct matched terms; first
+        // match when some term never occurs
+        hit.head
+      }
+      s = anchor
+      e = anchor
+      var curlen = 1
+      var i2 = e + 1
+      var broke = false
+      while (i2 < ws.length && curlen < maxWords && !broke) {
+        curlen += 1
+        e = i2
+        if (ws(i2).text.length > shortWord && curlen >= minWords) broke = true
+        i2 += 1
+      }
+      if (!broke && curlen < minWords) {
+        var j = s - 1
+        var done = false
+        while (j >= 0 && !done) {
+          curlen += 1
+          if (ws(j).text.length > shortWord && curlen >= minWords) done = true
+          else j -= 1
+        }
+        s = math.max(j, 0)
+      }
+    }
+    // render: the raw text from span start..end with matches wrapped
+    val sb = new java.lang.StringBuilder
+    // boundary punctuation stays when the fragment touches the doc
+    // edge (live pin: a trailing '.' renders in a whole-doc headline)
+    val from = if (ws.isEmpty || s == 0) 0 else ws(s).start
+    val to = if (ws.isEmpty || e >= ws.length - 1) doc.length else ws(e).end
+    var cursor = from
+    var wi = s
+    while (wi <= e && wi < ws.length) {
+      val w = ws(wi)
+      sb.append(doc, cursor, w.start)
+      if (hit.contains(wi)) sb.append(startSel).append(w.text).append(stopSel)
+      else sb.append(w.text)
+      cursor = w.end
+      wi += 1
+    }
+    if (to > cursor) sb.append(doc, cursor, to)
+    sb.toString
+  }
+
   def numnode(q: TsQ): Int = q match {
     case _: QVal => 1
     case QNot(c) => 1 + numnode(c)
@@ -871,9 +1020,14 @@ object TextSearchFunctions extends Serializable {
   val tsSubs: Map[String, String] = Map(
     "to_tsvector" -> "tsvector", "tsvector_in" -> "tsvector",
     "strip" -> "tsvector", "setweight" -> "tsvector",
+    "setweight3" -> "tsvector", "ts_delete" -> "tsvector",
+    "ts_delete_arr" -> "tsvector", "ts_filter" -> "tsvector",
+    "tsvector_concat" -> "tsvector", "array_to_tsvector" -> "tsvector",
     "to_tsquery" -> "tsquery", "plainto_tsquery" -> "tsquery",
     "phraseto_tsquery" -> "tsquery", "websearch_to_tsquery" -> "tsquery",
-    "tsquery_in" -> "tsquery")
+    "tsquery_in" -> "tsquery", "tsquery_and" -> "tsquery",
+    "tsquery_or" -> "tsquery", "tsquery_phrase" -> "tsquery",
+    "tsquery_phrase3" -> "tsquery")
 
   private def q(config: String, s: String): Option[TsQ] =
     parseTsQuery(config, s, lexize = true)
@@ -977,5 +1131,86 @@ object TextSearchFunctions extends Serializable {
     u.register("ts_rank3", (v: String, qs: String, n: Int) => rank(tsRank)(v, qs, n))
     u.register("ts_rank_cd", (v: String, qs: String) => rank(tsRankCd)(v, qs, 0))
     u.register("ts_rank_cd3", (v: String, qs: String, n: Int) => rank(tsRankCd)(v, qs, n))
+
+    // utility family (live-pinned: sweep-16b)
+    u.register("ts_delete", (v: String, lex: String) =>
+      if (v == null || lex == null) null
+      else tsDelete(parseTsVector(v), Set(lex)).render)
+    u.register("ts_delete_arr", (v: String, lex: Seq[String]) =>
+      if (v == null || lex == null) null
+      else tsDelete(parseTsVector(v), lex.filter(_ != null).toSet).render)
+    u.register("ts_filter", (v: String, w: String) =>
+      if (v == null || w == null) null
+      else {
+        val chars = w.replace("{", "").replace("}", "").split(",").map(_.trim)
+          .filter(_.nonEmpty).map(_.charAt(0))
+        val wts = chars.map {
+          case 'a' | 'A' => 3
+          case 'b' | 'B' => 2
+          case 'c' | 'C' => 1
+          case 'd' | 'D' => 0
+          case other => throw PgException("22023", s"unrecognized weight: \"$other\"")
+        }.toSet
+        tsFilter(parseTsVector(v), wts).render
+      })
+    u.register("tsvector_to_array", (v: String) =>
+      if (v == null) null else parseTsVector(v).lex.keys.toArray)
+    u.register("array_to_tsvector", (a: Seq[String]) =>
+      if (a == null) null
+      else TsVector(scala.collection.immutable.SortedMap.from(
+        a.filter(_ != null).distinct.map(_ -> Vector.empty[(Int, Int)]))).render)
+    u.register("tsvector_concat", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else tsConcat(parseTsVector(a), parseTsVector(b)).render)
+    def qOf(s: String): Option[TsQ] = cachedQuery(s)
+    u.register("tsquery_and", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else (qOf(a), qOf(b)) match {
+        case (Some(x), Some(y)) => renderTsQuery(QAnd(x, y))
+        case (x, y) => x.orElse(y).map(renderTsQuery).getOrElse("")
+      })
+    u.register("tsquery_or", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else (qOf(a), qOf(b)) match {
+        case (Some(x), Some(y)) => renderTsQuery(QOr(x, y))
+        case (x, y) => x.orElse(y).map(renderTsQuery).getOrElse("")
+      })
+    def phrase(a: String, b: String, d: Int): String =
+      (qOf(a), qOf(b)) match {
+        case (Some(x), Some(y)) => renderTsQuery(QPhrase(x, y, d))
+        case (x, y) => x.orElse(y).map(renderTsQuery).getOrElse("")
+      }
+    u.register("tsquery_phrase", (a: String, b: String) =>
+      if (a == null || b == null) null else phrase(a, b, 1))
+    u.register("tsquery_phrase3", (a: String, b: String, d: Int) =>
+      if (a == null || b == null) null else phrase(a, b, d))
+    def setweightIn(v: String, w: String, keys: Set[String]): String = {
+      val wt = w.toUpperCase match {
+        case "A" => 3
+        case "B" => 2
+        case "C" => 1
+        case "D" => 0
+        case other => throw PgException("22023", s"unrecognized weight: \"$other\"")
+      }
+      TsVector(parseTsVector(v).lex.map { case (k, ps) =>
+        k -> (if (keys.contains(k)) ps.map { case (p, _) => (p, wt) } else ps)
+      }).render
+    }
+    u.register("setweight3", (v: String, w: String, lex: String) =>
+      if (v == null || w == null || lex == null) null
+      else setweightIn(v, w, lex.replace("{", "").replace("}", "")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet))
+    u.register("setweight3_arr", (v: String, w: String, lex: Seq[String]) =>
+      if (v == null || w == null || lex == null) null
+      else setweightIn(v, w, lex.filter(_ != null).toSet))
+    u.register("tsquery_not", (a: String) =>
+      if (a == null) null
+      else cachedQuery(a).map(q => renderTsQuery(QNot(q))).getOrElse(""))
+    u.register("ts_headline", (config: String, doc: String, qs: String) =>
+      if (config == null || doc == null || qs == null) null
+      else tsHeadline(config, doc, cachedQuery(qs).getOrElse(QVal("", prefix = false, "")), null))
+    u.register("ts_headline4", (config: String, doc: String, qs: String, opts: String) =>
+      if (config == null || doc == null || qs == null) null
+      else tsHeadline(config, doc, cachedQuery(qs).getOrElse(QVal("", prefix = false, "")), opts))
   }
 }

@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&", "<<", ">>", "&<", "&>", "-|-")
+  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&", "<<", ">>", "&<", "&>", "-|-", "<->")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -452,6 +452,7 @@ object Compat {
   private val padSpec: Seq[(String, Int, String, Boolean)] = Seq(
     // text-search 1-arg forms default the config (pg: the
     // default_text_search_config GUC, which ships as english)
+    ("ts_headline", 2, "'english', ", false),
     ("to_tsvector", 1, "'english', ", false),
     ("to_tsquery", 1, "'english', ", false),
     ("plainto_tsquery", 1, "'english', ", false),
@@ -522,6 +523,9 @@ object Compat {
   private val arityRenameSpec: Seq[(String, Int, String)] = Seq(
     ("width_bucket", 2, "pg_width_bucket"),
     // ts_rank normalization-argument forms
+    ("tsquery_phrase", 3, "tsquery_phrase3"),
+    ("setweight", 3, "setweight3"),
+    ("ts_headline", 4, "ts_headline4"),
     ("ts_rank", 3, "ts_rank3"),
     ("ts_rank_cd", 3, "ts_rank_cd3"),
     // range constructors' optional bound-flags argument (pg §8.17.6)
@@ -3477,9 +3481,12 @@ object Compat {
     * tsvector/tsquery — syntactic markers for `@@` and length()
     * dispatch (pg resolves these by argument type).
     */
-  private val tsVectorFns = Set("to_tsvector", "tsvector_in", "strip", "setweight")
+  private val tsVectorFns = Set("to_tsvector", "tsvector_in", "strip", "setweight",
+    "setweight3", "ts_delete", "ts_delete_arr", "ts_filter", "tsvector_concat",
+    "array_to_tsvector")
   private val tsQueryFns = Set("to_tsquery", "plainto_tsquery",
-    "phraseto_tsquery", "websearch_to_tsquery", "tsquery_in")
+    "phraseto_tsquery", "websearch_to_tsquery", "tsquery_in",
+    "tsquery_and", "tsquery_or", "tsquery_phrase", "tsquery_phrase3")
 
   private def hasTsMarker(ts: ArrayBuffer[Tok], from: Int, to: Int,
       fns: Set[String], typeName: String): Boolean = {
@@ -3511,7 +3518,8 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
-      if (t.kind == Op && t.text == "@@") {
+      if (t.kind == Op && (t.text == "@@" || t.text == "&&" ||
+        t.text == "||" || t.text == "<->")) {
         val rhs = nextIdx(ts, i)
         val p = prevIdx(ts, i)
         if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
@@ -3541,7 +3549,28 @@ object Compat {
           val lQry = hasTsMarker(ts, start, p, tsQueryFns, "tsquery")
           val rVec = hasTsMarker(ts, rhs, rhs2, tsVectorFns, "tsvector")
           val rQry = hasTsMarker(ts, rhs, rhs2, tsQueryFns, "tsquery")
-          if (lVec || lQry || rVec || rQry) {
+          if (t.text != "@@") {
+            // tsquery combinators / tsvector concat need BOTH sides
+            // ts-typed (|| is string concat, && array overlap
+            // otherwise); straight (lhs, rhs) wrap, no swap
+            val fnName =
+              if (lQry && rQry) t.text match {
+                case "&&" => "tsquery_and"
+                case "||" => "tsquery_or"
+                case _ => "tsquery_phrase"
+              }
+              else if (lVec && rVec && t.text == "||") "tsvector_concat"
+              else null
+            if (fnName != null) {
+              var opIdx = i
+              if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+                ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+              }
+              ts.insert(rhs2 + 1, Tok(Op, ")"))
+              ts(opIdx) = Tok(Op, ",")
+              ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
+            }
+          } else if (lVec || lQry || rVec || rQry) {
             // pg operand orders: vector @@ query as-is, query @@
             // vector swapped; a raw-text document side goes through
             // ts_match_text (pg's text @@ tsquery: to_tsvector first)
@@ -3579,6 +3608,74 @@ object Compat {
     var i = 0
     while (i < ts.length) {
       val t = ts(i)
+      // pg's `!!tsquery` prefix: two bang tokens before a ts operand
+      if (t.kind == Op && t.text == "!" && {
+        val n = nextIdx(ts, i); n >= 0 && ts(n).kind == Op && ts(n).text == "!"
+      }) {
+        val bang2 = nextIdx(ts, i)
+        val arg = nextIdx(ts, bang2)
+        if (arg >= 0 && (ts(arg).kind == Str || ts(arg).kind == Word)) {
+          var end = arg
+          if (ts(end).kind == Word) {
+            val nxt = nextIdx(ts, end)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt); if (close > 0) end = close
+            }
+          }
+          var castOp = nextIdx(ts, end)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp); ty >= 0 && ts(ty).kind == Word
+          }) { end = nextIdx(ts, castOp); castOp = nextIdx(ts, end) }
+          if (hasTsMarker(ts, arg, end, tsQueryFns, "tsquery")) {
+            ts.insert(end + 1, Tok(Op, ")"))
+            ts.remove(i, bang2 - i + 1)
+            ts.insertAll(i, Seq(Tok(Word, "tsquery_not"), Tok(Op, "(")))
+          }
+        }
+      }
+      // setweight(v, w, ARRAY[...]): the 3-arg text[]-literal form is
+      // handled by setweight3 (brace text); the ARRAY spelling needs
+      // the Seq-typed variant
+      if (t.kind == Word && t.isWord("setweight")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          var depth = 0
+          var j = open + 1
+          val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (j < close) {
+            if (ts(j).is("(") || ts(j).is("[")) depth += 1
+            else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+            else if (depth == 0 && ts(j).is(",")) commas += j
+            j += 1
+          }
+          if (commas.length == 2) {
+            val arg3 = nextIdx(ts, commas(1))
+            if (arg3 > 0 && ts(arg3).kind == Word && ts(arg3).isWord("array"))
+              ts(i) = Tok(Word, "setweight3_arr")
+          }
+        }
+      }
+      if (t.kind == Word && t.isWord("ts_delete")) {
+        // the 2-arg overloads differ only in the second ARGUMENT shape
+        // (lexeme text vs text[]): dispatch on a syntactic ARRAY
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          var depth = 0
+          var j = open + 1
+          var comma = -1
+          while (j < close && comma < 0) {
+            if (ts(j).is("(") || ts(j).is("[")) depth += 1
+            else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+            else if (depth == 0 && ts(j).is(",")) comma = j
+            j += 1
+          }
+          val arg2 = if (comma > 0) nextIdx(ts, comma) else -1
+          if (arg2 > 0 && ts(arg2).kind == Word && ts(arg2).isWord("array"))
+            ts(i) = Tok(Word, "ts_delete_arr")
+        }
+      }
       if (t.kind == Word && t.isWord("length")) {
         val open = nextIdx(ts, i)
         if (open >= 0 && ts(open).is("(")) {

@@ -674,6 +674,12 @@ object PgFunctions {
       ProcDef("numnode", Seq(3615), 23),
       ProcDef("querytree", Seq(3615), T),
       ProcDef("ts_lexize", Seq(3769, T), TARR),
+      ProcDef("ts_delete", Seq(3614, T), 3614),
+      ProcDef("ts_filter", Seq(3614, 1002), 3614),
+      ProcDef("tsvector_to_array", Seq(3614), 1009),
+      ProcDef("array_to_tsvector", Seq(1009), 3614),
+      ProcDef("tsquery_phrase", Seq(3615, 3615), 3615),
+      ProcDef("ts_headline", Seq(T, 3615), T),
       ProcDef("ts_rank", Seq(3614, 3615), 700),
       ProcDef("ts_rank_cd", Seq(3614, 3615), 700),
       // ---- range pack (pg §8.17/§9.19; graft.functions.RangeFunctions) ----

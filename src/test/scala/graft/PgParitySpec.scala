@@ -1109,4 +1109,47 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-16b: ts utilities, tsquery operators, ts_headline (live pg 15)") {
+    // 27 expressions pinned live: ts_delete (text + array forms),
+    // weight-filtering ts_filter, tsvector_to_array/array_to_tsvector,
+    // tsquery_phrase and the &&/||/!!/<-> tsquery operators, tsvector
+    // || concatenation with position shifting, 3-arg setweight, and
+    // ts_headline — whose fragment-selection behavior (right-extend to
+    // MinWords breaking only at a long-enough word, left-extend only
+    // on end-of-text shortfall, ShortWord skips, boundary punctuation
+    // at doc edges, StartSel/StopSel options) was reconstructed from
+    // these pins until 0 diffs
+    val pinned: Seq[(String, String)] = Seq(
+    ("ts_delete('fat:2,4 cat:3 rat:5A'::tsvector, 'fat')", "'cat':3 'rat':5A"),
+    ("ts_delete('fat:2,4 cat:3 rat:5A'::tsvector, ARRAY['fat','rat'])", "'cat':3"),
+    ("ts_filter('fat:2,4 cat:3b,7c rat:5A'::tsvector, '{a,b}')", "'cat':3B 'rat':5A"),
+    ("tsvector_to_array('fat:2,4 cat:3 rat:5A'::tsvector)", "{cat,fat,rat}"),
+    ("array_to_tsvector(ARRAY['fat','cat','rat'])", "'cat' 'fat' 'rat'"),
+    ("array_to_tsvector(ARRAY['b','a','b'])", "'a' 'b'"),
+    ("tsquery_phrase('fat'::tsquery, 'cat'::tsquery)", "'fat' <-> 'cat'"),
+    ("tsquery_phrase('fat'::tsquery, 'cat'::tsquery, 10)", "'fat' <10> 'cat'"),
+    ("'fat'::tsquery && 'rat'::tsquery", "'fat' & 'rat'"),
+    ("'fat'::tsquery || 'rat'::tsquery", "'fat' | 'rat'"),
+    ("!!'fat'::tsquery", "!'fat'"),
+    ("'fat'::tsquery <-> 'rat'::tsquery", "'fat' <-> 'rat'"),
+    ("'cat:3 fat:2,4'::tsvector || 'cat:4 dog:1'::tsvector", "'cat':3,8 'dog':5 'fat':2,4"),
+    ("setweight('fat:2,4 cat:3'::tsvector, 'A', '{cat}')", "'cat':3A 'fat':2,4"),
+    ("ts_headline('english', 'The quick brown fox jumps over the lazy dog', to_tsquery('english','fox'))", "The quick brown <b>fox</b> jumps over the lazy dog"),
+    ("ts_headline('english', 'The quick brown fox jumps over the lazy dog', to_tsquery('english','fox & dog'))", "The quick brown <b>fox</b> jumps over the lazy <b>dog</b>"),
+    ("ts_headline('simple', 'a b c d target e f', 'target'::tsquery)", "a b c d <b>target</b> e f"),
+    ("ts_headline('english', 'The fox runs. The dog sleeps here quietly tonight.', to_tsquery('english','dog'), 'StartSel=<<, StopSel=>>')", "The fox runs. The <<dog>> sleeps here quietly tonight."),
+    ("ts_headline('english', 'word one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty alpha beta gamma delta epsilon target zeta eta theta iota kappa one two three four five six seven eight nine ten eleven twelve', to_tsquery('english','target'))", "<b>target</b> zeta eta theta iota kappa one two three four five six seven eight nine"),
+    ("ts_headline('simple', 'x y z', 'nomatch'::tsquery)", "x y z"),
+    ("ts_headline('simple', 'first target here', 'target'::tsquery, 'MaxWords=4, MinWords=2')", "<b>target</b> here"),
+    ("ts_headline('simple', 'punct, stays! (kept) target end.', 'target'::tsquery)", "punct, stays! (kept) <b>target</b> end."),
+    ("ts_headline('english', 'The foxes were jumping', to_tsquery('english','fox & jump'))", "The <b>foxes</b> were <b>jumping</b>"),
+    ("ts_headline('simple', 'aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt uu vv target ww xx', 'target'::tsquery)", "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt uu vv <b>target</b> ww xx"),
+    ("ts_headline('simple', 'one of it in at to target by', 'target'::tsquery, 'MinWords=2, MaxWords=5')", "<b>target</b> by"),
+    ("ts_headline('english', 'running dogs', to_tsquery('english','run:*'))", "<b>running</b> dogs"),
+    ("ts_headline('simple', 'only tail words here target', 'target'::tsquery, 'MinWords=3, MaxWords=6')", "words here <b>target</b>")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
