@@ -177,6 +177,35 @@ class PsqlE2eSpec extends SparkSpec {
     }
   }
 
+  test("psql: range types round-trip through live libpq") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port,
+        "SELECT int4range(1, 5, '[]') AS r, int4range(1, 10) @> 5 AS c, " +
+          "'[1,5)'::int4range + int4range(5, 9) AS u, " +
+          "isempty(numrange(2, 2)) AS e")
+      assert(c1 === 0, e1)
+      assert(o1.trim === "[1,6)|t|[1,9)|t")
+      // error SQLSTATE surfaces through libpq
+      val (c2, _, e2) = psql(port, "SELECT numrange(5, 1)")
+      assert(c2 !== 0)
+      assert(e2.contains("lower bound must be less than or equal"), e2)
+    }
+  }
+
+  test("psql: text search + trigram similarity through live libpq") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port,
+        "SELECT to_tsvector('english', 'The jumping foxes') AS v, " +
+          "to_tsvector('fat cats') @@ plainto_tsquery('fat cat') AS m, " +
+          "ts_headline('simple', 'a target here', 'target'::tsquery) AS h, " +
+          "floor(similarity('word', 'two words') * 1000) AS s")
+      assert(c1 === 0, e1)
+      assert(o1.trim === "'fox':3 'jump':2|t|a <b>target</b> here|363")
+    }
+  }
+
   test("psql: \\copy drives the COPY sub-protocol through live libpq") {
     assume(psqlPath.nonEmpty, "no psql binary installed")
     withServer { port =>
