@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pgwire.PgException
+
+/** `CREATE TYPE … AS ENUM` (pg §8.7) — session-scoped user enum
+  * types: DDL stores the ordered label list, `::name` casts validate
+  * labels (22P02 exactly like pg), pg_type/pg_enum rows appear in the
+  * catalog, and the wire reports the type's dynamic OID.
+  * Parity-PLUS like the other type families (the reference accepts no
+  * DDL at all).
+  *
+  * Values are label TEXT at the Spark level; comparisons therefore
+  * order lexically, not by sort order — a documented deviation
+  * (enum_first/enum_last/enum_range carry the declared order).
+  * The registry lives in the driver JVM (local-mode executors share
+  * it); a multi-JVM cluster deployment would broadcast it.
+  */
+object PgEnums extends Serializable {
+
+  final case class EnumDef(oid: Int, labels: Vector[String])
+
+  final class Registry extends Serializable {
+    val types = new java.util.concurrent.ConcurrentHashMap[String, EnumDef]()
+    val oidCounter = new java.util.concurrent.atomic.AtomicInteger(30100)
+  }
+
+  private val registries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Registry]())
+
+  def forSession(spark: SparkSession): Registry =
+    registries.synchronized {
+      var r = registries.get(spark)
+      if (r == null) { r = new Registry; registries.put(spark, r) }
+      r
+    }
+
+  def create(spark: SparkSession, name: String, labels: Seq[String]): EnumDef = {
+    val reg = forSession(spark)
+    val d = EnumDef(reg.oidCounter.incrementAndGet(), labels.toVector)
+    if (reg.types.putIfAbsent(name.toLowerCase, d) != null)
+      throw PgException("42710", s"""type "$name" already exists""")
+    d
+  }
+
+  def drop(spark: SparkSession, name: String): Boolean =
+    forSession(spark).types.remove(name.toLowerCase) != null
+
+  def names(spark: SparkSession): Set[String] = {
+    val r = registries.get(spark)
+    if (r == null) Set.empty
+    else {
+      val out = scala.collection.mutable.Set.empty[String]
+      r.types.forEach((k, _) => out += k)
+      out.toSet
+    }
+  }
+
+  def lookup(spark: SparkSession, name: String): Option[EnumDef] = {
+    val r = registries.get(spark)
+    if (r == null) None else Option(r.types.get(name.toLowerCase))
+  }
+
+  def registerUdfs(spark: SparkSession): Unit = {
+    val reg = forSession(spark) // the closure captures THIS session's registry
+    val u = spark.udf
+    def defOf(name: String): EnumDef = {
+      val d = reg.types.get(name.toLowerCase)
+      if (d == null) throw PgException("42704", s"""type "$name" does not exist""")
+      d
+    }
+    u.register("enum_in", (name: String, label: String) =>
+      if (label == null) null
+      else {
+        val d = defOf(name)
+        if (!d.labels.contains(label))
+          throw PgException("22P02",
+            s"""invalid input value for enum $name: "$label"""")
+        label
+      })
+    u.register("enum_first_n", (name: String) => defOf(name).labels.head)
+    u.register("enum_last_n", (name: String) => defOf(name).labels.last)
+    u.register("enum_range_n", (name: String) => defOf(name).labels.toArray)
+  }
+}

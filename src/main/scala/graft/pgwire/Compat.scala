@@ -362,6 +362,18 @@ object Compat {
   // ---- main rewrite ------------------------------------------------------
 
   /** Rewrite one pg-dialect statement into Spark SQL. */
+  /** Session enum type names for `::name` cast dispatch (set by the
+    * two-arg rewrite overload; Compat itself is session-free).
+    */
+  private val enumTypesTL: ThreadLocal[Set[String]] =
+    ThreadLocal.withInitial(() => Set.empty[String])
+
+  /** Rewrite with the calling session's user enum types visible. */
+  def rewrite(sql: String, enumTypes: Set[String]): String = {
+    enumTypesTL.set(enumTypes)
+    try rewrite(sql) finally enumTypesTL.set(Set.empty)
+  }
+
   def rewrite(sql: String): String = {
     applyBlacklist(sql) match {
       case Some(repl) => return repl
@@ -414,6 +426,7 @@ object Compat {
     // range; the json pass consumes whatever remains
     rewriteRangeOps(ts)
     rewriteRangeAccessors(ts)
+    rewriteEnumFns(ts)
     rewriteTsOps(ts)
     rewriteTsAccessors(ts)
     rewriteJsonOps(ts)
@@ -3511,6 +3524,38 @@ object Compat {
     * to_tsvector's the raw side). Runs BEFORE the json pass so the
     * remaining `@@` instances keep their jsonpath meaning.
     */
+  /** `enum_range/enum_first/enum_last(NULL::type)` → the name-taking
+    * engine forms (the NULL-cast argument exists only to carry the
+    * type, which the cast pass would otherwise erase).
+    */
+  private def rewriteEnumFns(ts: ArrayBuffer[Tok]): Unit = {
+    val enums = enumTypesTL.get
+    if (enums.isEmpty) return
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && (t.isWord("enum_range") || t.isWord("enum_first") ||
+        t.isWord("enum_last"))) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          val a1 = nextIdx(ts, open)
+          val cast = if (a1 >= 0) nextIdx(ts, a1) else -1
+          val ty = if (cast >= 0 && ts(cast).is("::")) nextIdx(ts, cast) else -1
+          if (close > 0 && a1 >= 0 && ts(a1).isWord("null") && ty >= 0 &&
+            ts(ty).kind == Word && enums.contains(ts(ty).text.toLowerCase) &&
+            nextIdx(ts, ty) == close) {
+            val name = ts(ty).text.toLowerCase
+            val fn = t.text.toLowerCase + "_n"
+            ts.remove(i, close - i + 1)
+            ts.insert(i, Tok(Word, s"$fn('$name')"))
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteTsOps(ts: ArrayBuffer[Tok]): Unit = {
     if (!ts.exists(t => t.kind == Word && (tsVectorFns.contains(t.text.toLowerCase) ||
       tsQueryFns.contains(t.text.toLowerCase) || t.isWord("tsvector") || t.isWord("tsquery"))))
@@ -3929,6 +3974,22 @@ object Compat {
           ts.insert(p + 1, Tok(Op, ")"))
           ts.insertAll(start, Seq(Tok(Word, "st_geometry_in"), Tok(Op, "(")))
           i = p + 3
+        } else if (t >= 0 && ts(t).kind == Word && p >= 0 &&
+          enumTypesTL.get.contains(ts(t).text.toLowerCase)) {
+          // `expr::<enumtype>` → label validation against the
+          // session's enum registry (pg 22P02 on unknown labels)
+          val tyName = ts(t).text.toLowerCase
+          var start = primaryStart(ts, p)
+          var pb = prevIdx(ts, start)
+          while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
+            start = primaryStart(ts, prevIdx(ts, pb))
+            pb = prevIdx(ts, start)
+          }
+          ts.remove(i, t - i + 1)
+          ts.insert(p + 1, Tok(Op, ")"))
+          ts.insertAll(start, Seq(Tok(Word, "enum_in"), Tok(Op, "("),
+            Tok(Str, s"'$tyName'"), Tok(Op, ",")))
+          i = p + 5
         } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
           val tn = ts(t).text.toLowerCase
           rangeTypeNames.contains(tn) || tn == "tsvector" || tn == "tsquery"

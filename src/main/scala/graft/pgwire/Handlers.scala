@@ -100,6 +100,8 @@ object Handlers {
         else session.listenChannels -= second.toLowerCase
         Complete("UNLISTEN")
       case "NOTIFY" => Complete("NOTIFY")
+      case "CREATE" if second == "TYPE" => handleCreateType(spark, toks)
+      case "DROP" if second == "TYPE" => handleDropType(spark, toks)
       case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
         // storage maintenance is meaningless over external parquet —
         // accept-and-no-op with the pg tag so client scripts
@@ -471,7 +473,8 @@ object Handlers {
           scala.util.Try(spark.table(name).schema).toOption
             .map(_.fields.toSeq.map(f => (f.name, Compat.pgTypeNameOf(f.dataType)))))
       else sql
-    val rewritten = Compat.rewrite(pre)
+    val rewritten =
+      Compat.rewrite(pre, graft.functions.PgEnums.names(spark))
     val lower = rewritten.toLowerCase
     if (lower.contains("pg_") || lower.contains("information_schema"))
       PgCatalog.refresh(spark)
@@ -486,7 +489,8 @@ object Handlers {
     val geod = if (lower.contains("st_")) tagGeometryOutputs(timed) else timed
     if (lower.contains("range") || lower.contains("tsvector") ||
       lower.contains("tsquery") || lower.contains("setweight") ||
-      lower.contains("strip")) tagRangeOutputs(geod) else geod
+      lower.contains("strip") || lower.contains("enum_in")) tagRangeOutputs(geod)
+    else geod
   }
 
   /** Tag range-returning output columns with `pg.oid_alias=<subtype>`
@@ -511,6 +515,10 @@ object Handlers {
           case Some(n) if constructorSubs.contains(n) => Some(constructorSubs(n))
           case Some(n) if tsSubs.contains(n) => Some(tsSubs(n))
           case Some(n) if combinators.contains(n) => deepSub(u)
+          case Some("enum_in") => u.children.headOption.collect {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              "enum:" + v.toString
+          }
           case _ => None
         }
       case _ => None
@@ -530,8 +538,12 @@ object Handlers {
       else {
         val safe = df.toDF(out.indices.map(i => s"__g$i"): _*)
         val tagged = tagIdx.foldLeft(safe) { case (d, (i, sub)) =>
-          d.withMetadata(s"__g$i", new org.apache.spark.sql.types.MetadataBuilder()
-            .putString(PgType.OID_ALIAS_KEY, sub).build())
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          if (sub.startsWith("enum:"))
+            graft.functions.PgEnums.lookup(df.sparkSession, sub.substring(5))
+              .foreach(e => mb.putLong(PgType.OID_NUM_KEY, e.oid.toLong))
+          else mb.putString(PgType.OID_ALIAS_KEY, sub)
+          d.withMetadata(s"__g$i", mb.build())
         }
         tagged.toDF(out.map(_.name): _*)
       }
@@ -593,6 +605,38 @@ object Handlers {
       val tagged = tagIdx.foldLeft(safe)((d, i) => d.withMetadata(s"__g$i", meta))
       tagged.toDF(out.map(_.name): _*)
     }
+  }
+
+  /** `CREATE TYPE name AS ENUM ('a','b',…)` — the only CREATE TYPE
+    * form supported (composite/base types → 0A000 like features the
+    * engine doesn't plan).
+    */
+  private def handleCreateType(spark: SparkSession,
+      toks: Vector[Compat.Tok]): PgResult = {
+    if (toks.length < 4) throw PgException("42601", "syntax error in CREATE TYPE")
+    val name = toks(2).text.toLowerCase
+    val isEnum = toks.length > 5 && toks(3).text.equalsIgnoreCase("AS") &&
+      toks(4).text.equalsIgnoreCase("ENUM")
+    if (!isEnum) throw PgException("0A000",
+      "only CREATE TYPE ... AS ENUM is supported")
+    val labels = toks.drop(5).filter(_.kind == Compat.Str)
+      .map(t => t.text.substring(1, t.text.length - 1).replace("''", "'"))
+    if (labels.isEmpty) throw PgException("42601", "syntax error in CREATE TYPE")
+    graft.functions.PgEnums.create(spark, name, labels)
+    PgCatalog.refreshEnumViews(spark)
+    Complete("CREATE TYPE")
+  }
+
+  private def handleDropType(spark: SparkSession,
+      toks: Vector[Compat.Tok]): PgResult = {
+    val ifExists = toks.length > 4 && toks(2).text.equalsIgnoreCase("IF") &&
+      toks(3).text.equalsIgnoreCase("EXISTS")
+    val name = (if (ifExists) toks(4) else toks(2)).text.toLowerCase
+    val dropped = graft.functions.PgEnums.drop(spark, name)
+    if (!dropped && !ifExists)
+      throw PgException("42704", s"""type "$name" does not exist""")
+    PgCatalog.refreshEnumViews(spark)
+    Complete("DROP TYPE")
   }
 
   private val ddlHeads = Set("CREATE", "DROP", "ALTER", "TRUNCATE",

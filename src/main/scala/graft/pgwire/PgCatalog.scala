@@ -243,12 +243,38 @@ object PgCatalog {
     (3614, "tsvector", -1, "U", 0, 3643), (3643, "_tsvector", -1, "A", 3614, 0),
     (3615, "tsquery", -1, "U", 0, 3645), (3645, "_tsquery", -1, "A", 3615, 0))
 
-  private def pgTypeDf(spark: SparkSession): DataFrame =
-    mkDf(spark, pgTypeSchema, typeRows.map { case (oid, name, len, cat, elem, arr) =>
+  private def pgTypeDf(spark: SparkSession): DataFrame = {
+    val static = typeRows.map { case (oid, name, len, cat, elem, arr) =>
       Row(oid, name, Oids.PgCatalogNamespace, 10, len.toShort, len > 0 && len <= 8,
         (if (cat == "R") "r" else "b"), cat, false, true, ",", 0, elem, arr, 0, -1, 0, false,
         (if (name.startsWith("_")) "array_in" else name + "in"))
-    })
+    }
+    // session user enum types (CREATE TYPE … AS ENUM): typtype 'e',
+    // category 'E', public namespace
+    val enums = graft.functions.PgEnums.names(spark).toSeq.sorted.flatMap { n =>
+      graft.functions.PgEnums.lookup(spark, n).map { d =>
+        Row(d.oid, n, Oids.PublicNamespace, 10, 4.toShort, true,
+          "e", "E", false, true, ",", 0, 0, 0, 0, -1, 0, false, "enum_in")
+      }
+    }
+    mkDf(spark, pgTypeSchema, static ++ enums)
+  }
+
+  /** Re-register the type views after CREATE/DROP TYPE. */
+  def refreshEnumViews(spark: SparkSession): Unit = {
+    register(spark, "pg_type", pgTypeDf(spark))
+    val rows = graft.functions.PgEnums.names(spark).toSeq.sorted.flatMap { n =>
+      graft.functions.PgEnums.lookup(spark, n).toSeq.flatMap { d =>
+        d.labels.zipWithIndex.map { case (l, i) =>
+          Row(d.oid * 64 + i + 1, d.oid, (i + 1).toFloat, l)
+        }
+      }
+    }
+    register(spark, "pg_enum", mkDf(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("enumtypid", IntegerType),
+      StructField("enumsortorder", FloatType), StructField("enumlabel", StringType))),
+      rows))
+  }
 
   // ---- user-facing views -------------------------------------------------
 

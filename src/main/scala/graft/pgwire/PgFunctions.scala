@@ -657,6 +657,10 @@ object PgFunctions {
       ProcDef("sha256", Seq(17), 17),
       ProcDef("sha384", Seq(17), 17),
       ProcDef("sha512", Seq(17), 17),
+      // ---- enum support (pg §9.10; graft.functions.PgEnums) ----
+      ProcDef("enum_first", Seq(2283), 2283),
+      ProcDef("enum_last", Seq(2283), 2283),
+      ProcDef("enum_range", Seq(2283), 2277),
       // ---- pg_trgm (contrib; graft.functions.Trigram) ----
       ProcDef("show_trgm", Seq(T), 1009),
       ProcDef("similarity", Seq(T, T), 700),
@@ -1033,6 +1037,7 @@ object PgFunctions {
     graft.functions.RangeFunctions.registerAll(spark)
     graft.functions.TextSearchFunctions.registerAll(spark)
     graft.functions.Trigram.registerAll(spark)
+    graft.functions.PgEnums.registerUdfs(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

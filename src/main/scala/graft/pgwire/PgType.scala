@@ -199,10 +199,16 @@ object PgType {
     case other => throw new IllegalArgumentException(s"Unsupported array element $other")
   }
 
-  /** OID for a field, honoring pg.oid_alias / pg.type metadata. */
+  /** Direct numeric OID metadata (dynamic types: user enums). */
+  val OID_NUM_KEY = "pg.oid_num"
+
+  /** OID for a field, honoring pg.oid_alias / pg.oid_num / pg.type
+    * metadata. */
   def oidOf(f: StructField): Int =
     if (isTimeField(f)) TIME
     else if (isGeometryField(f)) GEOMETRY
+    else if (f.metadata.contains(OID_NUM_KEY))
+      f.metadata.getLong(OID_NUM_KEY).toInt
     else if (f.metadata.contains(OID_ALIAS_KEY))
       aliasOids.getOrElse(f.metadata.getString(OID_ALIAS_KEY), oidOf(f.dataType))
     else oidOf(f.dataType)
