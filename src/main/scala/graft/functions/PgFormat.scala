@@ -876,6 +876,7 @@ object PgFormat {
     var hour = 0; var min = 0; var sec = 0; var usec = 0
     var pm = false; var sawPm = false; var hour12 = false
     var bc = false
+    var isoWeek = 0; var isoDow = 0
     var tzOffSec: Option[Int] = None
     var tzNeg = false
     var pos = 0
@@ -912,7 +913,13 @@ object PgFormat {
       def w(key: String, greedy: Int): Int =
         if (adjacent(nodeIdx)) dtWidth(key) else greedy
       node match {
-      case DtLit(_) => // separators are skipped lazily by the readers
+      case DtLit(s) =>
+        // non-alnum separators are skipped lazily by the readers;
+        // ALPHANUMERIC literal chars (quoted, e.g. the "W" in
+        // IYYY-"W"IW) consume one input char each like pg
+        s.foreach { c =>
+          if (Character.isLetterOrDigit(c)) { skipSep(); if (pos < n) pos += 1 }
+        }
       case DtTok(key, _, _, _) => key match {
         case "YYYY" | "Y,YYY" => year = readInt(w(key, 4 + 2)) // allow 5-6 digit years
         case "YYY" => val v = readInt(3); year = if (v >= 100) 1900 + v % 1000 else 2000 + v
@@ -962,7 +969,9 @@ object PgFormat {
           val h = readSignedInt(2)
           skipSep(); val m = if (pos < n && Character.isDigit(in.charAt(pos))) readInt(2) else 0
           tzOffSec = Some(h * 3600 + (if (tzNeg) -m else m) * 60)
-        case "DY" | "DAY" | "D" | "ID" => readName() // parsed and ignored (pg checks consistency; we don't)
+        case "DY" | "DAY" | "D" => readName() // parsed and ignored (pg checks consistency; we don't)
+        case "IW" => isoWeek = readInt(2)
+        case "ID" => isoDow = readInt(1)
         case "J" =>
           val j = readInt(7)
           val d0 = LocalDate.MIN.`with`(JulianFields.JULIAN_DAY, j.toLong)
@@ -974,6 +983,15 @@ object PgFormat {
     if (hour12 && sawPm) {
       val h = hour % 12
       hour = if (pm) h + 12 else h
+    }
+    if (isoWeek > 0) {
+      // ISO week-date input (IYYY-IW-ID): resolve via the ISO week
+      // fields anchored at Jan 4 (always week 1)
+      val wf = java.time.temporal.WeekFields.ISO
+      val d0 = LocalDate.of(if (year == 0) 1 else year, 1, 4)
+        .`with`(wf.weekOfWeekBasedYear(), isoWeek.toLong)
+        .`with`(wf.dayOfWeek(), math.max(1, isoDow).toLong)
+      year = d0.getYear; month = d0.getMonthValue; day = d0.getDayOfMonth
     }
     if (bc) year = 1 - year
     val mo = math.max(1, month)

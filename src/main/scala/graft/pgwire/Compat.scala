@@ -442,6 +442,7 @@ object Compat {
     rewriteHypotheticalSet(ts)
     castWrapRegrAvg(ts)
     wrapByteaLiteralArgs(ts)
+    rewriteVariadic(ts)
     renameFunctionsByArity(ts)
     padFunctionArgs(ts)
     shiftArraySubscripts(ts)
@@ -493,6 +494,30 @@ object Compat {
     ("pg_regexp_replace", 4, ", -1, ''", true),
     ("pg_regexp_replace", 5, ", ''", true),
     ("pg_substr", 2, ", 2147483647", true))
+
+  /** `f(VARIADIC ARRAY[a, b, …])` → `f(a, b, …)` for the literal
+    * array-constructor shape (the only spelling clients emit; a
+    * column-valued VARIADIC argument cannot expand statically).
+    */
+  private def rewriteVariadic(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).isWord("variadic")) {
+        val arr = nextIdx(ts, i)
+        if (arr >= 0 && ts(arr).kind == Word && ts(arr).isWord("array")) {
+          val open = nextIdx(ts, arr)
+          if (open >= 0 && ts(open).is("(")) {
+            val close = matchParen(ts, open)
+            if (close > 0) {
+              ts.remove(close) // drop array's ')'
+              ts.remove(i, open - i + 1) // drop VARIADIC array (
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
 
   private def padFunctionArgs(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
@@ -2935,6 +2960,7 @@ object Compat {
       " AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"),
     "dow" -> ("(dayofweek", " - 1)"), // pg: 0 = Sunday
     "isodow" -> ("(weekday", " + 1)"), // pg: 7 = Sunday
+    "isoyear" -> ("pg_isoyear(CAST(", " AS DATE))"),
     "decade" -> ("CAST(floor(year", " / 10) AS BIGINT)"),
     "century" -> ("CAST(ceil(year", " / 100.0) AS BIGINT)"),
     "millennium" -> ("CAST(ceil(year", " / 1000.0) AS BIGINT)"),

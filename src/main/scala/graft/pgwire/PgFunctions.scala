@@ -1053,6 +1053,10 @@ object PgFunctions {
     // spelling is rewritten by Compat to this function; Handlers tags
     // its output columns with pg.type=time so the wire codec renders
     // OID 1083 text/binary instead of a raw bigint
+    u.register("pg_isoyear", (d: java.sql.Date) =>
+      (if (d == null) null
+       else Int.box(d.toLocalDate.get(
+         java.time.temporal.WeekFields.ISO.weekBasedYear()))): java.lang.Integer)
     u.register("pg_time_in", (s: String) =>
       (if (s == null) null
        else java.lang.Long.valueOf(PgType.timeInputNanos(s))): java.lang.Long)

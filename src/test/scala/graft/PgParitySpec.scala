@@ -1152,4 +1152,60 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-17: datetime/number template input-output edges (live pg 15)") {
+    // 35 expressions pinned live: to_date/to_timestamp template INPUT
+    // (day-of-year DDD, Julian J, compact digits, ISO week dates
+    // IYYY-"W"IW-ID with quoted-literal consumption, 12-hour +
+    // meridian, MS fractions), to_char IYYY/IW/Q/WW/DDD/J/SSSS and
+    // interval templates, isoyear/isodow/week/quarter/julian
+    // extraction, to_number G/D/S/L/PR forms, PR bracket rendering,
+    // VARIADIC array expansion, decade/century/millennium truncation.
+    // Accepted deviation (not pinned): a date-less to_timestamp
+    // defaults to pg's 0001-01-01 BC — BC-era rendering crosses the
+    // legacy julian-gregorian rebase and is out of scope.
+    val pinned: Seq[(String, String)] = Seq(
+    ("to_date('2024-03-07', 'YYYY-MM-DD')", "2024-03-07"),
+    ("to_date('07/03/2024', 'DD/MM/YYYY')", "2024-03-07"),
+    ("to_date('March 07, 2024', 'Month DD, YYYY')", "2024-03-07"),
+    ("to_date('7 Mar 24', 'DD Mon YY')", "2024-03-07"),
+    ("to_date('2024-066', 'YYYY-DDD')", "2024-03-06"),
+    ("to_date('20240307', 'YYYYMMDD')", "2024-03-07"),
+    ("to_timestamp('2024-03-07 14:30:45', 'YYYY-MM-DD HH24:MI:SS')", "2024-03-07 14:30:45+00"),
+    ("to_timestamp('07.03.2024 02:30 PM', 'DD.MM.YYYY HH12:MI PM')", "2024-03-07 14:30:00+00"),
+    ("to_timestamp('2024-03-07 14:30:45.123', 'YYYY-MM-DD HH24:MI:SS.MS')", "2024-03-07 14:30:45.123+00"),
+    ("to_date('2024-W10-4', 'IYYY-\"W\"IW-ID')", "2024-03-07"),
+    ("make_date(2024, 3, 7)", "2024-03-07"),
+    ("make_timestamptz(2024, 3, 7, 14, 30, 45.5)", "2024-03-07 14:30:45.5+00"),
+    ("to_char(date '2024-03-07', 'IYYY-IW-ID')", "2024-10-4"),
+    ("to_char(date '2024-03-07', 'Q WW DDD')", "1 10 067"),
+    ("to_char(date '2024-03-07', 'J')", "2460377"),
+    ("to_char(timestamp '2024-03-07 14:30:45', 'SSSS')", "52245"),
+    ("to_char(timestamp '2024-03-07 14:30:45', 'US of day FMDDDD')", "000000 +00 thursday  675"),
+    ("to_char(interval '4 hours 3 minutes', 'HH24:MI')", "04:03"),
+    ("to_char(interval '100 days 4 hours', 'DD HH24')", "100 04"),
+    ("date_part('isoyear', date '2024-01-01')", "2024"),
+    ("date_part('isodow', date '2024-03-10')", "7"),
+    ("date_part('week', date '2024-01-01')", "1"),
+    ("date_part('quarter', date '2024-03-07')", "1"),
+    ("date_part('julian', date '2024-03-07')", "2460377"),
+    ("to_number('12,454.8-', '99G999D9S')", "-12454.8"),
+    ("to_number('$1,234.56', 'L9G999D99')", "1234.56"),
+    ("to_number('<564>', '999PR')", "-564"),
+    ("to_char(-485, '999PR')", "<485>"),
+    ("to_char(485, '999PR')", " 485 "),
+    ("num_nonnulls(VARIADIC ARRAY[1,2,NULL])", "2"),
+    ("date_trunc('decade', date '2024-03-07')", "2020-01-01 00:00:00+00"),
+    ("date_trunc('century', date '2024-03-07')", "2001-01-01 00:00:00+00"),
+    ("date_trunc('millennium', date '2024-03-07')", "2001-01-01 00:00:00+00"),
+    ("date_trunc('quarter', timestamp '2024-05-07 10:00:00')", "2024-04-01 00:00:00")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    // make_date range validation errors (Spark words it "invalid
+    // date" where pg says "out of range" — both reject)
+    val mdErr = intercept[Exception](one("make_date(2024, 2, 30)"))
+      .getMessage.toLowerCase
+    assert(mdErr.contains("out of range") || mdErr.contains("invalid date"))
+  }
 }
