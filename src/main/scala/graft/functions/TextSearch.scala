@@ -593,15 +593,23 @@ object TextSearch {
     go(q, 0)
   }
 
-  /** plainto: AND of lexemes; phraseto: <-> chain (stopwords keep
-    * their distance contribution in pg — simplified: consecutive).
+  /** plainto: AND of lexemes; phraseto: phrase chain whose distances
+    * PRESERVE dropped-stopword gaps (live pin: 'the fat in a rat' →
+    * 'fat' <3> 'rat' — fat@2, rat@5).
     */
   def plainQuery(config: String, text: String, phrase: Boolean): Option[TsQ] = {
-    val lexed = tokenize(text).flatMap(t => dictApply(config, t)).filter(_.nonEmpty)
-    if (lexed.isEmpty) None
-    else Some(lexed.map(l => QVal(l, prefix = false, ""): TsQ).reduceLeft[TsQ] {
-      (a, b) => if (phrase) QPhrase(a, b, 1) else QAnd(a, b)
-    })
+    val positioned = tokenize(text).zipWithIndex.flatMap { case (t, i) =>
+      dictApply(config, t).filter(_.nonEmpty).map(l => (i + 1, l))
+    }
+    if (positioned.isEmpty) None
+    else if (!phrase)
+      Some(positioned.map(p => QVal(p._2, prefix = false, ""): TsQ)
+        .reduceLeft[TsQ]((a, b) => QAnd(a, b)))
+    else Some(positioned.tail.foldLeft(
+      (QVal(positioned.head._2, prefix = false, ""): TsQ, positioned.head._1)) {
+      case ((acc, prevPos), (pos, lex)) =>
+        (QPhrase(acc, QVal(lex, prefix = false, ""), pos - prevPos), pos)
+    }._1)
   }
 
   /** websearch_to_tsquery: unquoted words AND; `or` → OR; `-` → NOT;

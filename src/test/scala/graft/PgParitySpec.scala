@@ -1208,4 +1208,24 @@ class PgParitySpec extends SparkSpec {
       .getMessage.toLowerCase
     assert(mdErr.contains("out of range") || mdErr.contains("invalid date"))
   }
+
+  test("sweep-17b: phraseto stopword-gap distances (live pg 15)") {
+    // pg preserves dropped-stopword POSITIONS in phrase queries:
+    // 'the fat in a rat' → 'fat' <3> 'rat' (fat@2, rat@5) — and the
+    // match semantics follow ('error of the log' matches its own
+    // phrase, 'error bad log' does not)
+    val pinned: Seq[(String, String)] = Seq(
+    ("phraseto_tsquery('english', 'the fat in a rat')", "'fat' <3> 'rat'"),
+    ("phraseto_tsquery('english', 'fat of the land')", "'fat' <3> 'land'"),
+    ("websearch_to_tsquery('english', '\"sad cat or fat rat\"')", "'sad' <-> 'cat' <2> 'fat' <-> 'rat'"),
+    ("to_tsvector('english','error of the log') @@ phraseto_tsquery('english', 'error of the log')", "t"),
+    ("to_tsvector('english','error bad log') @@ phraseto_tsquery('english', 'error of the log')", "f"),
+    ("phraseto_tsquery('english', 'the cat')", "'cat'"),
+    ("phraseto_tsquery('english', 'cat the')", "'cat'"),
+    ("phraseto_tsquery('english', 'The Fat Rats')", "'fat' <-> 'rat'"),
+    ("websearch_to_tsquery('english', '\"fat rats\" -dogs')", "'fat' <-> 'rat' & !'dog'")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
