@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&", "<<", ">>", "&<", "&>", "-|-", "<->")
+  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&", "<<=", ">>=", "<<", ">>", "&<", "&>", "-|-", "<->")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -427,6 +427,7 @@ object Compat {
     rewriteRangeOps(ts)
     rewriteRangeAccessors(ts)
     rewriteEnumFns(ts)
+    rewriteInetOps(ts)
     rewriteTsOps(ts)
     rewriteTsAccessors(ts)
     rewriteJsonOps(ts)
@@ -3582,6 +3583,154 @@ object Compat {
     }
   }
 
+  /** Functions whose results are inet/cidr values — syntactic
+    * markers for the network operator dispatch.
+    */
+  private val inetFns = Set("inet_in", "cidr_in", "network", "broadcast",
+    "netmask", "hostmask", "set_masklen", "pg_set_masklen_cidr",
+    "inet_merge", "inet_add", "inet_sub", "inet_not", "inet_and", "inet_or")
+
+  private def isInetish(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i <= to && i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && inetFns.contains(t.text.toLowerCase)) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).is("(")) return true
+      }
+      if (t.is("::")) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).kind == Word &&
+          (ts(n).isWord("inet") || ts(n).isWord("cidr"))) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** pg's network operators (§9.12) → the inet_* UDFs, dispatched
+    * syntactically like the range/ts families. Also resolves the
+    * prefix `~`, `abbrev`/`text`/`set_masklen` argument shapes.
+    */
+  private def rewriteInetOps(ts: ArrayBuffer[Tok]): Unit = {
+    if (!ts.exists(t => (t.kind == Word && (inetFns.contains(t.text.toLowerCase) ||
+      t.isWord("inet") || t.isWord("cidr"))))) return
+    val eitherSide = Map(
+      "<<" -> "inet_contained_strict", "<<=" -> "inet_contained_eq",
+      ">>" -> "inet_contains_strict", ">>=" -> "inet_contains_eq")
+    val bothSides = Map(
+      "&&" -> "inet_overlap", "&" -> "inet_and", "|" -> "inet_or",
+      "<" -> "inet_lt", "<=" -> "inet_le", ">" -> "inet_gt", ">=" -> "inet_ge")
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      // `~` before an inet operand → bitwise NOT (the binary regex
+      // spellings were rewritten away earlier, so a surviving ~ next
+      // to an inet value is the prefix operator)
+      if (t.kind == Op && t.text == "~") {
+        val arg = nextIdx(ts, i)
+        if (arg >= 0 && (ts(arg).kind == Str || ts(arg).kind == Word)) {
+          var end = arg
+          if (ts(end).kind == Word) {
+            val nxt = nextIdx(ts, end)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt); if (close > 0) end = close
+            }
+          }
+          var castOp = nextIdx(ts, end)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp); ty >= 0 && ts(ty).kind == Word
+          }) { end = nextIdx(ts, castOp); castOp = nextIdx(ts, end) }
+          if (isInetish(ts, arg, end)) {
+            ts.insert(end + 1, Tok(Op, ")"))
+            ts.remove(i)
+            ts.insertAll(i, Seq(Tok(Word, "inet_not"), Tok(Op, "(")))
+          }
+        }
+      }
+      // +/- and the binary family
+      if (t.kind == Op && (eitherSide.contains(t.text) || bothSides.contains(t.text) ||
+        t.text == "+" || t.text == "-")) {
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && (isValueEnd(ts(p)) || ts(p).kind == Num) &&
+          (ts(rhs).kind == Str || ts(rhs).kind == Word ||
+            ts(rhs).kind == QIdent || ts(rhs).kind == Num || ts(rhs).is("("))) {
+          val start = lhsStart(ts, p)
+          var rhs2 = rhs
+          if (ts(rhs2).is("(")) {
+            val close = matchParen(ts, rhs2)
+            if (close > 0) rhs2 = close
+          } else if (ts(rhs2).kind == Word) {
+            val nxt = nextIdx(ts, rhs2)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt)
+              if (close > 0) rhs2 = close
+            }
+          }
+          var castOp = nextIdx(ts, rhs2)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp)
+            ty >= 0 && ts(ty).kind == Word
+          }) {
+            rhs2 = nextIdx(ts, castOp)
+            castOp = nextIdx(ts, rhs2)
+          }
+          val lIn = isInetish(ts, start, p)
+          val rIn = isInetish(ts, rhs, rhs2)
+          val fn =
+            if (t.text == "+" && lIn) Some("inet_add")
+            else if (t.text == "-" && lIn && rIn) Some("inet_diff")
+            else if (t.text == "-" && lIn) Some("inet_sub")
+            else if (eitherSide.contains(t.text) && (lIn || rIn))
+              Some(eitherSide(t.text))
+            else if (bothSides.contains(t.text) && lIn && rIn)
+              Some(bothSides(t.text))
+            else None
+          fn.foreach { fnName =>
+            var opIdx = i
+            if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+              ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+            }
+            ts.insert(rhs2 + 1, Tok(Op, ")"))
+            ts(opIdx) = Tok(Op, ",")
+            ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
+          }
+        }
+      }
+      // argument-shape dispatch: abbrev/text/set_masklen over cidr/inet
+      if (t.kind == Word && (t.isWord("abbrev") || t.isWord("text") ||
+        t.isWord("set_masklen"))) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0) {
+            val inner = (open + 1, close - 1)
+            val cidrish = {
+              var j = inner._1
+              var hit = false
+              while (j <= inner._2 && !hit) {
+                if (ts(j).is("::") && {
+                  val n = nextIdx(ts, j); n >= 0 && n <= inner._2 && ts(n).isWord("cidr")
+                }) hit = true
+                if (ts(j).kind == Word && (ts(j).isWord("cidr_in") ||
+                  ts(j).isWord("network") || ts(j).isWord("inet_merge"))) hit = true
+                j += 1
+              }
+              hit
+            }
+            if (t.isWord("abbrev") && cidrish) ts(i) = Tok(Word, "pg_abbrev_cidr")
+            else if (t.isWord("set_masklen") && cidrish)
+              ts(i) = Tok(Word, "pg_set_masklen_cidr")
+            else if (t.isWord("text") && isInetish(ts, inner._1, inner._2))
+              ts(i) = Tok(Word, "pg_inet_text")
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteTsOps(ts: ArrayBuffer[Tok]): Unit = {
     if (!ts.exists(t => t.kind == Word && (tsVectorFns.contains(t.text.toLowerCase) ||
       tsQueryFns.contains(t.text.toLowerCase) || t.isWord("tsvector") || t.isWord("tsquery"))))
@@ -4018,7 +4167,8 @@ object Compat {
           i = p + 5
         } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
           val tn = ts(t).text.toLowerCase
-          rangeTypeNames.contains(tn) || tn == "tsvector" || tn == "tsquery"
+          rangeTypeNames.contains(tn) || tn == "tsvector" || tn == "tsquery" ||
+            tn == "inet" || tn == "cidr"
         }) {
           // `expr::<sub>range` / `::tsvector` / `::tsquery` → the
           // type's input/canonicalization function

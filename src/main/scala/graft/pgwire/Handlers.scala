@@ -489,7 +489,9 @@ object Handlers {
     val geod = if (lower.contains("st_")) tagGeometryOutputs(timed) else timed
     if (lower.contains("range") || lower.contains("tsvector") ||
       lower.contains("tsquery") || lower.contains("setweight") ||
-      lower.contains("strip") || lower.contains("enum_in")) tagRangeOutputs(geod)
+      lower.contains("strip") || lower.contains("enum_in") ||
+      lower.contains("inet") || lower.contains("cidr") ||
+      lower.contains("mask") || lower.contains("broadcast")) tagRangeOutputs(geod)
     else geod
   }
 
@@ -508,12 +510,20 @@ object Handlers {
       case other => other.children.iterator.map(deepSub).collectFirst { case Some(s) => s }
     }
     val tsSubs = graft.functions.TextSearchFunctions.tsSubs
+    val inetSubs = Map(
+      "inet_in" -> "inet", "broadcast" -> "inet", "netmask" -> "inet",
+      "hostmask" -> "inet", "set_masklen" -> "inet", "inet_add" -> "inet",
+      "inet_sub" -> "inet", "inet_not" -> "inet", "inet_and" -> "inet",
+      "inet_or" -> "inet",
+      "cidr_in" -> "cidr", "network" -> "cidr", "inet_merge" -> "cidr",
+      "pg_set_masklen_cidr" -> "cidr")
     def subOf(e: Expression): Option[String] = e match {
       case a: Alias => subOf(a.child)
       case u: ScalaUDF =>
         u.udfName.map(_.toLowerCase) match {
           case Some(n) if constructorSubs.contains(n) => Some(constructorSubs(n))
           case Some(n) if tsSubs.contains(n) => Some(tsSubs(n))
+          case Some(n) if inetSubs.contains(n) => Some(inetSubs(n))
           case Some(n) if combinators.contains(n) => deepSub(u)
           case Some("enum_in") => u.children.headOption.collect {
             case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>

@@ -241,7 +241,10 @@ object PgCatalog {
     (3926, "int8range", -1, "R", 0, 3927), (3927, "_int8range", -1, "A", 3926, 0),
     // text-search types (pg ch. 12)
     (3614, "tsvector", -1, "U", 0, 3643), (3643, "_tsvector", -1, "A", 3614, 0),
-    (3615, "tsquery", -1, "U", 0, 3645), (3645, "_tsquery", -1, "A", 3615, 0))
+    (3615, "tsquery", -1, "U", 0, 3645), (3645, "_tsquery", -1, "A", 3615, 0),
+    // network types (pg §8.9)
+    (650, "cidr", -1, "I", 0, 651), (651, "_cidr", -1, "A", 650, 0),
+    (869, "inet", -1, "I", 0, 1041), (1041, "_inet", -1, "A", 869, 0))
 
   private def pgTypeDf(spark: SparkSession): DataFrame = {
     val static = typeRows.map { case (oid, name, len, cat, elem, arr) =>

@@ -146,6 +146,8 @@ object PgFunctions {
       case 2277 => "anyarray"
       case 2283 => "anyelement"
       case 3831 => "anyrange"
+      case 650 => "cidr"
+      case 869 => "inet"
       case 3614 => "tsvector"
       case 3615 => "tsquery"
       case 3904 => "int4range"
@@ -657,6 +659,18 @@ object PgFunctions {
       ProcDef("sha256", Seq(17), 17),
       ProcDef("sha384", Seq(17), 17),
       ProcDef("sha512", Seq(17), 17),
+      // ---- network types (pg §9.12; graft.functions.Inet) ----
+      ProcDef("host", Seq(869), T),
+      ProcDef("masklen", Seq(869), 23),
+      ProcDef("family", Seq(869), 23),
+      ProcDef("network", Seq(869), 650),
+      ProcDef("broadcast", Seq(869), 869),
+      ProcDef("netmask", Seq(869), 869),
+      ProcDef("hostmask", Seq(869), 869),
+      ProcDef("abbrev", Seq(869), T),
+      ProcDef("set_masklen", Seq(869, 23), 869),
+      ProcDef("inet_same_family", Seq(869, 869), 16),
+      ProcDef("inet_merge", Seq(869, 869), 650),
       // ---- enum support (pg §9.10; graft.functions.PgEnums) ----
       ProcDef("enum_first", Seq(2283), 2283),
       ProcDef("enum_last", Seq(2283), 2283),
@@ -1038,6 +1052,7 @@ object PgFunctions {
     graft.functions.TextSearchFunctions.registerAll(spark)
     graft.functions.Trigram.registerAll(spark)
     graft.functions.PgEnums.registerUdfs(spark)
+    graft.functions.Inet.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

@@ -73,7 +73,9 @@ object PgType {
     "int4range" -> 3904, "numrange" -> 3906, "tsrange" -> 3908,
     "tstzrange" -> 3910, "daterange" -> 3912, "int8range" -> 3926,
     // text-search types (pg ch. 12), same canonical-text model
-    "tsvector" -> 3614, "tsquery" -> 3615)
+    "tsvector" -> 3614, "tsquery" -> 3615,
+    // network types (pg §8.9), canonical-text model
+    "inet" -> 869, "cidr" -> 650)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 

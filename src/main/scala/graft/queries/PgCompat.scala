@@ -1068,5 +1068,43 @@ object PgCompat {
           |  CAST(floor(word_similarity('word', 'two words') * 1000000) AS BIGINT) AS ws,
           |  CAST(floor(strict_word_similarity('word', 'two words') * 1000000) AS BIGINT) AS sws,
           |  CAST(floor(show_limit() * 1000000) AS BIGINT) AS lim,
-          |  array_to_string(show_trgm('cat'), '|') AS tg""".stripMargin)) })
+          |  array_to_string(show_trgm('cat'), '|') AS tg""".stripMargin)) },
+
+    // Network types (pg §8.9/§9.12; graft.functions.Inet): IPs
+    // synthesized from order keys run the ::inet/::cidr casts and
+    // the operator family through the full client path; DuckDB
+    // recomposes the canonical text and containment arithmetic
+    Q.df("q128_inet",
+      """SELECT o_orderkey,
+        |  '10.' || a || '.' || b || '.5/24' AS ip,
+        |  '10.' || a || '.' || b || '.5' AS hostp,
+        |  '10.' || a || '.' || b || '.0/24' AS net,
+        |  '10.' || a || '.' || b || '.255/24' AS bcast,
+        |  CAST(24 AS INT) AS mlen,
+        |  (a >= 128) AS in_upper,
+        |  '10.' || a || '.' || b || '.15/24' AS plus10,
+        |  CAST(b * 256 + 4 AS BIGINT) AS addrdiff
+        |FROM (SELECT o_orderkey, CAST(o_custkey % 256 AS INT) AS a,
+        |        CAST(o_orderkey % 256 AS INT) AS b FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin) {
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        rangeFanout(s, Handlers.runSql(s,
+          """SELECT o_orderkey, a, b,
+            |  ('10.' || a || '.' || b || '.5/24')::inet AS ip
+            |FROM (SELECT o_orderkey, CAST(o_custkey % 256 AS INT) AS a,
+            |        CAST(o_orderkey % 256 AS INT) AS b FROM orders) t""".stripMargin),
+          "o_orderkey").createOrReplaceTempView("q128_narrow")
+        Handlers.runSql(s,
+          """SELECT o_orderkey,
+            |  ip,
+            |  host(ip::inet) AS hostp,
+            |  network(ip::inet) AS net,
+            |  broadcast(ip::inet) AS bcast,
+            |  masklen(ip::inet) AS mlen,
+            |  ip::inet << '10.128.0.0/9'::cidr AS in_upper,
+            |  ip::inet + 10 AS plus10,
+            |  ip::inet - ('10.' || a || '.0.1')::inet AS addrdiff
+            |FROM q128_narrow""".stripMargin)
+          .sortWithinPartitions("o_orderkey") })
+    })
 }

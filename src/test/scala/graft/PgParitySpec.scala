@@ -1228,4 +1228,64 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-18: inet/cidr network types (live pg 15)") {
+    // 42 expressions pinned live BEFORE implementation (0 diffs on
+    // the second run; the only iteration was prefix-~ dispatch):
+    // v4/v6 parsing, RFC 5952 rendering with /32 and /128 display
+    // suppression, cidr host-bit validation, host/masklen/network/
+    // broadcast/netmask/hostmask/family/abbrev/text/set_masklen/
+    // inet_merge, the << <<= >> >>= && operators, +/- arithmetic
+    // (incl. v6), ~ & | bitwise ops, and network_cmp ordering
+    val pinned: Seq[(String, String)] = Seq(
+    ("'192.168.1.5'::inet", "192.168.1.5"),
+    ("'192.168.1.5/24'::inet", "192.168.1.5/24"),
+    ("'192.168.1.0/24'::cidr", "192.168.1.0/24"),
+    ("'10.1.2.3/8'::inet", "10.1.2.3/8"),
+    ("'::1'::inet", "::1"),
+    ("'2001:db8::8a2e:370:7334'::inet", "2001:db8::8a2e:370:7334"),
+    ("'2001:db8::/32'::cidr", "2001:db8::/32"),
+    ("host('192.168.1.5/24'::inet)", "192.168.1.5"),
+    ("masklen('192.168.1.5/24'::inet)", "24"),
+    ("network('192.168.1.5/24'::inet)", "192.168.1.0/24"),
+    ("broadcast('192.168.1.5/24'::inet)", "192.168.1.255/24"),
+    ("netmask('192.168.1.5/24'::inet)", "255.255.255.0"),
+    ("hostmask('192.168.23.20/30'::inet)", "0.0.0.3"),
+    ("family('192.168.1.5'::inet)", "4"),
+    ("family('::1'::inet)", "6"),
+    ("abbrev('10.1.0.0/16'::cidr)", "10.1/16"),
+    ("abbrev('10.1.0.0/16'::inet)", "10.1.0.0/16"),
+    ("text('192.168.1.5'::inet)", "192.168.1.5/32"),
+    ("set_masklen('192.168.1.5/24'::inet, 16)", "192.168.1.5/16"),
+    ("set_masklen('192.168.1.0/24'::cidr, 16)", "192.168.0.0/16"),
+    ("inet_same_family('192.168.1.5'::inet, '::1'::inet)", "f"),
+    ("inet_merge('192.168.1.5/24'::inet, '192.168.2.5/24'::inet)", "192.168.0.0/22"),
+    ("'192.168.1.5'::inet + 25", "192.168.1.30"),
+    ("'192.168.1.5'::inet - 5", "192.168.1.0"),
+    ("'192.168.2.10'::inet - '192.168.2.3'::inet", "7"),
+    ("'10.1.0.10'::inet << '10.1.0.0/16'::cidr", "t"),
+    ("'10.1.0.10/16'::inet << '10.1.0.0/16'::cidr", "f"),
+    ("'10.1.0.10/16'::inet <<= '10.1.0.0/16'::cidr", "t"),
+    ("'10.1.0.0/16'::cidr >> '10.1.0.10'::inet", "t"),
+    ("'10.1.0.0/16'::cidr >>= '10.1.0.0/16'::cidr", "t"),
+    ("'10.1.0.0/16'::cidr && '10.1.5.0/24'::cidr", "t"),
+    ("'10.1.0.0/16'::cidr && '10.2.0.0/24'::cidr", "f"),
+    ("~'192.168.1.5'::inet", "63.87.254.250"),
+    ("'192.168.1.5'::inet & '255.255.0.0'::inet", "192.168.0.0"),
+    ("'192.168.1.5'::inet | '0.0.0.255'::inet", "192.168.1.255"),
+    ("'192.168.1.5'::inet < '192.168.1.6'::inet", "t"),
+    ("'192.168.1.5/24'::inet = '192.168.1.5/24'::inet", "t"),
+    ("'192.168.1.5/24'::inet < '192.168.1.5/25'::inet", "t"),
+    ("'2001:db8::1'::inet + 5", "2001:db8::6")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    // invalid inputs error with pg's wording
+    assert(intercept[Exception](one("'192.168.1.5/24'::cidr"))
+      .getMessage.contains("invalid cidr value"))
+    assert(intercept[Exception](one("'192.168.1.5/33'::inet"))
+      .getMessage.contains("invalid input syntax for type inet"))
+    assert(intercept[Exception](one("'256.1.1.1'::inet"))
+      .getMessage.contains("invalid input syntax for type inet"))
+  }
 }
