@@ -236,6 +236,33 @@ object Inet extends Serializable {
     a.addr.compareTo(b.addr)
   }
 
+  // ---- macaddr / macaddr8 (pg §8.10) ---------------------------------------
+
+  private def badMac(s: String, eight: Boolean): Nothing =
+    throw PgException("22P02",
+      s"invalid input syntax for type macaddr${if (eight) "8" else ""}: \"$s\"")
+
+  /** Parse the pg macaddr spellings (colon/dash pairs, 3-hex groups,
+    * dotted quads, bare hex); macaddr8 additionally accepts 8 bytes
+    * and expands 6-byte input with the ff:fe EUI-64 midsection.
+    */
+  def parseMac(raw: String, eight: Boolean): Array[Int] = {
+    val hex = raw.trim.filter(c => Character.digit(c, 16) >= 0)
+    val seps = raw.trim.filterNot(c => Character.digit(c, 16) >= 0)
+    if (!seps.forall(c => c == ':' || c == '-' || c == '.')) badMac(raw, eight)
+    val nBytes = hex.length / 2
+    if (hex.length % 2 != 0) badMac(raw, eight)
+    if (nBytes != 6 && !(eight && nBytes == 8)) badMac(raw, eight)
+    val bytes = Array.tabulate(nBytes)(i =>
+      Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16))
+    if (eight && nBytes == 6)
+      Array(bytes(0), bytes(1), bytes(2), 0xff, 0xfe, bytes(3), bytes(4), bytes(5))
+    else bytes
+  }
+
+  def renderMac(b: Array[Int]): String =
+    b.map(v => f"$v%02x").mkString(":")
+
   // ---- registration --------------------------------------------------------
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -301,6 +328,32 @@ object Inet extends Serializable {
     bin("inet_contains_eq")((a, b) => containedIn(b, a, strict = false))
     bin("inet_overlap")(overlap)
     bin("inet_lt")((a, b) => cmp(a, b) < 0)
+    u.register("macaddr_in", (s: String) =>
+      if (s == null) null else renderMac(parseMac(s, eight = false)))
+    u.register("macaddr8_in", (s: String) =>
+      if (s == null) null else renderMac(parseMac(s, eight = true)))
+    u.register("mac_trunc", (s: String) =>
+      if (s == null) null else {
+        val b = parseMac(s, eight = false)
+        renderMac(b.take(3) ++ Array(0, 0, 0))
+      })
+    u.register("mac_not", (s: String) =>
+      if (s == null) null
+      else renderMac(parseMac(s, eight = s.count(_ == ':') == 7).map(v => ~v & 0xff)))
+    u.register("mac_and", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else renderMac(parseMac(a, eight = false).zip(parseMac(b, eight = false))
+        .map { case (x, y) => x & y }))
+    u.register("mac_or", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else renderMac(parseMac(a, eight = false).zip(parseMac(b, eight = false))
+        .map { case (x, y) => x | y }))
+    u.register("macaddr8_set7bit", (s: String) =>
+      if (s == null) null else {
+        val b = parseMac(s, eight = true)
+        b(0) |= 0x02
+        renderMac(b)
+      })
     bin("inet_le")((a, b) => cmp(a, b) <= 0)
     bin("inet_gt")((a, b) => cmp(a, b) > 0)
     bin("inet_ge")((a, b) => cmp(a, b) >= 0)

@@ -3590,6 +3590,27 @@ object Compat {
     "netmask", "hostmask", "set_masklen", "pg_set_masklen_cidr",
     "inet_merge", "inet_add", "inet_sub", "inet_not", "inet_and", "inet_or")
 
+  private val macFns = Set("macaddr_in", "macaddr8_in", "mac_trunc",
+    "mac_not", "mac_and", "mac_or", "macaddr8_set7bit")
+
+  private def isMacish(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i <= to && i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && macFns.contains(t.text.toLowerCase)) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).is("(")) return true
+      }
+      if (t.is("::")) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).kind == Word &&
+          (ts(n).isWord("macaddr") || ts(n).isWord("macaddr8"))) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   private def isInetish(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
     var i = from
     while (i <= to && i < ts.length) {
@@ -3614,7 +3635,8 @@ object Compat {
     */
   private def rewriteInetOps(ts: ArrayBuffer[Tok]): Unit = {
     if (!ts.exists(t => (t.kind == Word && (inetFns.contains(t.text.toLowerCase) ||
-      t.isWord("inet") || t.isWord("cidr"))))) return
+      macFns.contains(t.text.toLowerCase) || t.isWord("inet") ||
+      t.isWord("cidr") || t.isWord("macaddr") || t.isWord("macaddr8"))))) return
     val eitherSide = Map(
       "<<" -> "inet_contained_strict", "<<=" -> "inet_contained_eq",
       ">>" -> "inet_contains_strict", ">>=" -> "inet_contains_eq")
@@ -3641,10 +3663,11 @@ object Compat {
           while (castOp >= 0 && ts(castOp).is("::") && {
             val ty = nextIdx(ts, castOp); ty >= 0 && ts(ty).kind == Word
           }) { end = nextIdx(ts, castOp); castOp = nextIdx(ts, end) }
-          if (isInetish(ts, arg, end)) {
+          if (isInetish(ts, arg, end) || isMacish(ts, arg, end)) {
+            val fnNot = if (isMacish(ts, arg, end)) "mac_not" else "inet_not"
             ts.insert(end + 1, Tok(Op, ")"))
             ts.remove(i)
-            ts.insertAll(i, Seq(Tok(Word, "inet_not"), Tok(Op, "(")))
+            ts.insertAll(i, Seq(Tok(Word, fnNot), Tok(Op, "(")))
           }
         }
       }
@@ -3678,7 +3701,12 @@ object Compat {
           }
           val lIn = isInetish(ts, start, p)
           val rIn = isInetish(ts, rhs, rhs2)
+          val lMac = isMacish(ts, start, p)
+          val rMac = isMacish(ts, rhs, rhs2)
           val fn =
+            if (lMac && rMac && t.text == "&") Some("mac_and")
+            else if (lMac && rMac && t.text == "|") Some("mac_or")
+            else
             if (t.text == "+" && lIn) Some("inet_add")
             else if (t.text == "-" && lIn && rIn) Some("inet_diff")
             else if (t.text == "-" && lIn) Some("inet_sub")
@@ -3696,6 +3724,16 @@ object Compat {
             ts(opIdx) = Tok(Op, ",")
             ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
           }
+        }
+      }
+      // trunc(macaddr) → the byte-zeroing form (numeric trunc keeps
+      // its meaning otherwise)
+      if (t.kind == Word && t.isWord("trunc")) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0 && isMacish(ts, open + 1, close - 1))
+            ts(i) = Tok(Word, "mac_trunc")
         }
       }
       // argument-shape dispatch: abbrev/text/set_masklen over cidr/inet
@@ -4168,7 +4206,7 @@ object Compat {
         } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
           val tn = ts(t).text.toLowerCase
           rangeTypeNames.contains(tn) || tn == "tsvector" || tn == "tsquery" ||
-            tn == "inet" || tn == "cidr"
+            tn == "inet" || tn == "cidr" || tn == "macaddr" || tn == "macaddr8"
         }) {
           // `expr::<sub>range` / `::tsvector` / `::tsquery` → the
           // type's input/canonicalization function

@@ -491,7 +491,8 @@ object Handlers {
       lower.contains("tsquery") || lower.contains("setweight") ||
       lower.contains("strip") || lower.contains("enum_in") ||
       lower.contains("inet") || lower.contains("cidr") ||
-      lower.contains("mask") || lower.contains("broadcast")) tagRangeOutputs(geod)
+      lower.contains("mask") || lower.contains("broadcast") ||
+      lower.contains("mac")) tagRangeOutputs(geod)
     else geod
   }
 
@@ -516,7 +517,10 @@ object Handlers {
       "inet_sub" -> "inet", "inet_not" -> "inet", "inet_and" -> "inet",
       "inet_or" -> "inet",
       "cidr_in" -> "cidr", "network" -> "cidr", "inet_merge" -> "cidr",
-      "pg_set_masklen_cidr" -> "cidr")
+      "pg_set_masklen_cidr" -> "cidr",
+      "macaddr_in" -> "macaddr", "mac_trunc" -> "macaddr",
+      "mac_not" -> "macaddr", "mac_and" -> "macaddr", "mac_or" -> "macaddr",
+      "macaddr8_in" -> "macaddr8", "macaddr8_set7bit" -> "macaddr8")
     def subOf(e: Expression): Option[String] = e match {
       case a: Alias => subOf(a.child)
       case u: ScalaUDF =>

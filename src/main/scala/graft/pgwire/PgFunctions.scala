@@ -147,6 +147,8 @@ object PgFunctions {
       case 2283 => "anyelement"
       case 3831 => "anyrange"
       case 650 => "cidr"
+      case 774 => "macaddr8"
+      case 829 => "macaddr"
       case 869 => "inet"
       case 3614 => "tsvector"
       case 3615 => "tsquery"
@@ -671,6 +673,8 @@ object PgFunctions {
       ProcDef("set_masklen", Seq(869, 23), 869),
       ProcDef("inet_same_family", Seq(869, 869), 16),
       ProcDef("inet_merge", Seq(869, 869), 650),
+      ProcDef("trunc", Seq(829), 829),
+      ProcDef("macaddr8_set7bit", Seq(774), 774),
       // ---- enum support (pg §9.10; graft.functions.PgEnums) ----
       ProcDef("enum_first", Seq(2283), 2283),
       ProcDef("enum_last", Seq(2283), 2283),

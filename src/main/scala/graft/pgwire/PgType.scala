@@ -75,7 +75,7 @@ object PgType {
     // text-search types (pg ch. 12), same canonical-text model
     "tsvector" -> 3614, "tsquery" -> 3615,
     // network types (pg §8.9), canonical-text model
-    "inet" -> 869, "cidr" -> 650)
+    "inet" -> 869, "cidr" -> 650, "macaddr" -> 829, "macaddr8" -> 774)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 

@@ -1288,4 +1288,35 @@ class PgParitySpec extends SparkSpec {
     assert(intercept[Exception](one("'256.1.1.1'::inet"))
       .getMessage.contains("invalid input syntax for type inet"))
   }
+
+  test("sweep-18b: macaddr/macaddr8 (live pg 15)") {
+    // all six input spellings canonicalize (colon/dash pairs, 3-hex
+    // groups, dotted quads, bare hex, case folding), trunc zeroes the
+    // NIC bytes, ~ & | operate bytewise, macaddr8 expands 6-byte
+    // input with the EUI-64 ff:fe midsection, set7bit flips the
+    // local-admin bit — 17 live pins, 0 diffs on the first run
+    val pinned: Seq[(String, String)] = Seq(
+    ("'08:00:2b:01:02:03'::macaddr", "08:00:2b:01:02:03"),
+    ("'08-00-2b-01-02-03'::macaddr", "08:00:2b:01:02:03"),
+    ("'08002b:010203'::macaddr", "08:00:2b:01:02:03"),
+    ("'08002b-010203'::macaddr", "08:00:2b:01:02:03"),
+    ("'0800.2b01.0203'::macaddr", "08:00:2b:01:02:03"),
+    ("'0800-2b01-0203'::macaddr", "08:00:2b:01:02:03"),
+    ("'08002b010203'::macaddr", "08:00:2b:01:02:03"),
+    ("'08:00:2B:01:02:03'::macaddr", "08:00:2b:01:02:03"),
+    ("trunc('12:34:56:78:90:ab'::macaddr)", "12:34:56:00:00:00"),
+    ("~'12:34:56:78:90:ab'::macaddr", "ed:cb:a9:87:6f:54"),
+    ("'12:34:56:78:90:ab'::macaddr & '08:00:2b:01:02:03'::macaddr", "00:00:02:00:00:03"),
+    ("'12:34:56:78:90:ab'::macaddr | '08:00:2b:01:02:03'::macaddr", "1a:34:7f:79:92:ab"),
+    ("'12:34:56:78:90:ab'::macaddr < '12:34:56:78:90:ac'::macaddr", "t"),
+    ("'12:34:56:78:90:ab'::macaddr = '12:34:56:78:90:AB'::macaddr", "t"),
+    ("'08:00:2b:01:02:03:04:05'::macaddr8", "08:00:2b:01:02:03:04:05"),
+    ("macaddr8_set7bit('00:34:56:ab:cd:ef'::macaddr8)", "02:34:56:ff:fe:ab:cd:ef"),
+    ("'12:34:56:78:90:ab'::macaddr8", "12:34:56:ff:fe:78:90:ab")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    assert(intercept[Exception](one("'08:00:2b:01:02'::macaddr"))
+      .getMessage.contains("invalid input syntax for type macaddr"))
+  }
 }
