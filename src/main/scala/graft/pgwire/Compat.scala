@@ -407,6 +407,7 @@ object Compat {
     // concat) is not re-rewritten.
     rewriteConcatNullSafe(ts)
     renameFunctions(ts)
+    rewriteBitStrings(ts)
     rewriteMathOps(ts)
     rewriteBetweenSymmetric(ts)
     rewriteAnyAll(ts)
@@ -2706,6 +2707,193 @@ object Compat {
     * pg's XOR, `|/` square root, `||/` cube root, `@` absolute value.
     * Binary ops reuse the value-extent machinery; the unary ops wrap
     * the following value. */
+  private val bitFns = Set("bit_in", "bit_in_hex", "pg_bit_cast",
+    "pg_int_to_bit", "pg_bit_and", "pg_bit_or", "pg_bit_xor",
+    "pg_bit_not", "pg_bit_shl", "pg_bit_shr", "pg_bit_set")
+
+  private def isBitish(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i <= to && i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word) {
+        val lower = t.text.toLowerCase
+        if (bitFns.contains(lower)) {
+          val n = nextIdx(ts, i)
+          if (n >= 0 && n <= to && ts(n).is("(")) return true
+        }
+        // the literal rewrite emits COMPOSITE call tokens
+        // (`bit_in('1010')` as one Word)
+        if (bitFns.exists(f => lower.startsWith(f + "("))) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** pg bit strings (§8.10.1): `B'1010'` literals → bit_in, the
+    * bitwise operators (& | # ~ << >>) and int/bit casts on bit-ish
+    * operands, and the bit accessor dispatch. Values are the literal
+    * '0'/'1' text, so substring/overlay/position/length/|| come free
+    * from the string builtins. Runs BEFORE rewriteMathOps so the
+    * bit `#` keeps XOR-on-bits while the integer `#` keeps its
+    * integer meaning.
+    */
+  private def rewriteBitStrings(ts: ArrayBuffer[Tok]): Unit = {
+    // literals first: adjacent Word(B)+Str (no whitespace between)
+    var i = 0
+    var sawBit = false
+    while (i < ts.length - 1) {
+      val t = ts(i)
+      if (t.kind == Word && (t.text == "b" || t.text == "B") &&
+        ts(i + 1).kind == Str) {
+        val lit = ts(i + 1).text
+        ts.remove(i, 2)
+        ts.insert(i, Tok(Word, s"bit_in($lit)"))
+        sawBit = true
+      } else if (t.kind == Word && (t.text == "x" || t.text == "X") &&
+        ts(i + 1).kind == Str && {
+          // X'..' is a bit literal only when a ::bit cast follows (it
+          // is Spark binary otherwise)
+          val after = nextIdx(ts, i + 1)
+          after >= 0 && ts(after).is("::") && {
+            val ty = nextIdx(ts, after); ty >= 0 && ts(ty).isWord("bit")
+          }
+        }) {
+        val lit = ts(i + 1).text
+        ts.remove(i, 2)
+        ts.insert(i, Tok(Word, s"bit_in_hex($lit)"))
+        sawBit = true
+      }
+      i += 1
+    }
+    if (!sawBit && !ts.exists(t => t.kind == Word &&
+      (bitFns.contains(t.text.toLowerCase) || t.isWord("bit") || t.isWord("varbit"))))
+      return
+    // casts: ::bit(n) / ::varbit [(n)] / ::int-family on bitish
+    i = 0
+    while (i < ts.length) {
+      if (ts(i).is("::")) {
+        val ty = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (ty >= 0 && p >= 0 && ts(ty).kind == Word &&
+          (isValueEnd(ts(p)) || ts(p).kind == Num)) {
+          val tn = ts(ty).text.toLowerCase
+          val start = primaryStart(ts, p)
+          if (tn == "bit" || tn == "varbit") {
+            // optional (n)
+            val open = nextIdx(ts, ty)
+            var end = ty
+            var nTok: Option[String] = None
+            if (open >= 0 && ts(open).is("(")) {
+              val close = matchParen(ts, open)
+              if (close > 0) {
+                nTok = Some(ts.slice(open + 1, close).map(_.text).mkString.trim)
+                end = close
+              }
+            }
+            val bitish = isBitish(ts, start, p)
+            // a Num operand is pg's int→bit conversion; strings and
+            // bit values cast as pattern text
+            val numish = ts(p).kind == Num
+            val fn =
+              if (!bitish && numish && nTok.isDefined) "pg_int_to_bit"
+              else if (nTok.isDefined) "pg_bit_cast"
+              else "bit_in"
+            val tail = nTok.map(n => s", $n)").getOrElse(")")
+            ts.remove(i, end - i + 1)
+            ts.insert(p + 1, Tok(Op, tail))
+            ts.insertAll(start, Seq(Tok(Word, fn), Tok(Op, "(")))
+            i = p + 3
+          } else if ((tn == "int" || tn == "int4" || tn == "integer" ||
+            tn == "bigint" || tn == "int8") && isBitish(ts, start, p)) {
+            ts.remove(i, ty - i + 1)
+            ts.insert(p + 1, Tok(Op, ")"))
+            ts.insertAll(start, Seq(Tok(Word, "pg_bit_to_int"), Tok(Op, "(")))
+            i = p + 3
+          }
+        }
+      }
+      i += 1
+    }
+    // operators & | # << >> and prefix ~
+    i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Op && t.text == "~") {
+        val arg = nextIdx(ts, i)
+        if (arg >= 0 && ts(arg).kind == Word) {
+          var end = arg
+          val nxt = nextIdx(ts, end)
+          if (nxt >= 0 && ts(nxt).is("(")) {
+            val close = matchParen(ts, nxt); if (close > 0) end = close
+          }
+          if (isBitish(ts, arg, end)) {
+            ts.insert(end + 1, Tok(Op, ")"))
+            ts.remove(i)
+            ts.insertAll(i, Seq(Tok(Word, "pg_bit_not"), Tok(Op, "(")))
+          }
+        }
+      }
+      if (t.kind == Op && (t.text == "&" || t.text == "|" || t.text == "#" ||
+        t.text == "<<" || t.text == ">>")) {
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
+          (ts(rhs).kind == Word || ts(rhs).kind == Num)) {
+          val start = lhsStart(ts, p)
+          var rhs2 = rhs
+          if (ts(rhs2).kind == Word) {
+            val nxt = nextIdx(ts, rhs2)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt)
+              if (close > 0) rhs2 = close
+            }
+          }
+          val lBit = isBitish(ts, start, p)
+          val rBit = isBitish(ts, rhs, rhs2)
+          val fn =
+            if ((t.text == "<<" || t.text == ">>") && lBit)
+              Some(if (t.text == "<<") "pg_bit_shl" else "pg_bit_shr")
+            else if (lBit && rBit) t.text match {
+              case "&" => Some("pg_bit_and")
+              case "|" => Some("pg_bit_or")
+              case "#" => Some("pg_bit_xor")
+              case _ => None
+            }
+            else None
+          fn.foreach { fnName =>
+            var opIdx = i
+            if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+              ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+            }
+            ts.insert(rhs2 + 1, Tok(Op, ")"))
+            ts(opIdx) = Tok(Op, ",")
+            ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
+          }
+        }
+      }
+      // accessor dispatch on bit-ish args
+      if (t.kind == Word && (t.isWord("octet_length") || t.isWord("bit_count") ||
+        t.isWord("get_bit") || t.isWord("set_bit") || t.isWord("bit_length"))) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          if (close > 0 && isBitish(ts, open + 1, close - 1)) {
+            val repl = t.text.toLowerCase match {
+              case "octet_length" => "pg_bit_octet_length"
+              case "bit_count" => "pg_bitstr_count"
+              case "get_bit" => "pg_bit_get"
+              case "set_bit" => "pg_bit_set"
+              case _ => "length" // bit_length(bits) = pattern length
+            }
+            ts(i) = Tok(Word, repl)
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   private def rewriteMathOps(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {

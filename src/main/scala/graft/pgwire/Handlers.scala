@@ -492,7 +492,7 @@ object Handlers {
       lower.contains("strip") || lower.contains("enum_in") ||
       lower.contains("inet") || lower.contains("cidr") ||
       lower.contains("mask") || lower.contains("broadcast") ||
-      lower.contains("mac")) tagRangeOutputs(geod)
+      lower.contains("mac") || lower.contains("bit")) tagRangeOutputs(geod)
     else geod
   }
 
@@ -520,7 +520,11 @@ object Handlers {
       "pg_set_masklen_cidr" -> "cidr",
       "macaddr_in" -> "macaddr", "mac_trunc" -> "macaddr",
       "mac_not" -> "macaddr", "mac_and" -> "macaddr", "mac_or" -> "macaddr",
-      "macaddr8_in" -> "macaddr8", "macaddr8_set7bit" -> "macaddr8")
+      "macaddr8_in" -> "macaddr8", "macaddr8_set7bit" -> "macaddr8",
+      "bit_in" -> "bit", "bit_in_hex" -> "bit", "pg_bit_cast" -> "bit",
+      "pg_int_to_bit" -> "bit", "pg_bit_and" -> "bit", "pg_bit_or" -> "bit",
+      "pg_bit_xor" -> "bit", "pg_bit_not" -> "bit", "pg_bit_shl" -> "bit",
+      "pg_bit_shr" -> "bit", "pg_bit_set" -> "bit")
     def subOf(e: Expression): Option[String] = e match {
       case a: Alias => subOf(a.child)
       case u: ScalaUDF =>

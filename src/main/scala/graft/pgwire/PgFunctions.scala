@@ -148,6 +148,8 @@ object PgFunctions {
       case 3831 => "anyrange"
       case 650 => "cidr"
       case 774 => "macaddr8"
+      case 1560 => "bit"
+      case 1562 => "bit varying"
       case 829 => "macaddr"
       case 869 => "inet"
       case 3614 => "tsvector"
@@ -1057,6 +1059,7 @@ object PgFunctions {
     graft.functions.Trigram.registerAll(spark)
     graft.functions.PgEnums.registerUdfs(spark)
     graft.functions.Inet.registerAll(spark)
+    graft.functions.Bits.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

@@ -75,7 +75,9 @@ object PgType {
     // text-search types (pg ch. 12), same canonical-text model
     "tsvector" -> 3614, "tsquery" -> 3615,
     // network types (pg §8.9), canonical-text model
-    "inet" -> 869, "cidr" -> 650, "macaddr" -> 829, "macaddr8" -> 774)
+    "inet" -> 869, "cidr" -> 650, "macaddr" -> 829, "macaddr8" -> 774,
+    // bit strings (pg §8.10.1), pattern-text model
+    "bit" -> 1560, "varbit" -> 1562)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 

@@ -1319,4 +1319,43 @@ class PgParitySpec extends SparkSpec {
     assert(intercept[Exception](one("'08:00:2b:01:02'::macaddr"))
       .getMessage.contains("invalid input syntax for type macaddr"))
   }
+
+  test("sweep-19: bit strings — literals, bitwise ops, casts (live pg 15)") {
+    // B'…' and (cast-adjacent) X'…' literals, & | # with pg's
+    // equal-length enforcement, ~ << >>, int↔bit(n) conversions
+    // (low-bits MSB-first; pattern-text string casts), right-side
+    // truncate/zero-extend for bit(n), bit_count/get_bit/set_bit/
+    // octet_length dispatch against the bytea twins, and the free
+    // string-op surface (||, position, substring, overlay, length) —
+    // 24 live pins, 0 diffs
+    val pinned: Seq[(String, String)] = Seq(
+    ("B'1010'", "1010"),
+    ("B'1010' & B'0110'", "0010"),
+    ("B'1010' | B'0110'", "1110"),
+    ("B'1010' # B'0110'", "1100"),
+    ("~B'1010'", "0101"),
+    ("B'1010' << 1", "0100"),
+    ("B'1010' >> 2", "0010"),
+    ("B'1010' || B'01'", "101001"),
+    ("bit_length(B'1010')", "4"),
+    ("length(B'1010')", "4"),
+    ("octet_length(B'10101010')", "1"),
+    ("position(B'10' in B'001011')", "3"),
+    ("get_bit(B'1010', 1)", "0"),
+    ("set_bit(B'1010', 1, 1)", "1110"),
+    ("overlay(B'10000000' placing B'111' from 2)", "11110000"),
+    ("substring(B'110010' from 2 for 3)", "100"),
+    ("B'1010'::bit(6)", "101000"),
+    ("B'101011'::bit(4)", "1010"),
+    ("'1010'::bit(4)", "1010"),
+    ("B'1010' = B'1010'", "t"),
+    ("B'1010' < B'1011'", "t"),
+    ("42::bit(8)", "00101010"),
+    ("B'00101010'::int", "42"),
+    ("bit_count(B'1010')", "2"),
+    ("X'1F'::bit(8)", "00011111")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
