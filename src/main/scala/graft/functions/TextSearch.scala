@@ -872,18 +872,24 @@ object TextSearch {
     var startSel = "<b>"; var stopSel = "</b>"
     var maxWords = 35; var minWords = 15; var shortWord = 3
     var highlightAll = false
+    var maxFragments = 0
+    var fragDelim = " ... "
     if (options != null && options.nonEmpty)
       options.split(",").foreach { kv =>
         val eq = kv.indexOf('=')
         if (eq > 0) {
           val k = kv.substring(0, eq).trim.toLowerCase
-          val v = kv.substring(eq + 1).trim
+          val v0 = kv.substring(eq + 1).trim
+          val v = if (v0.length >= 2 && v0.startsWith("\"") && v0.endsWith("\""))
+            v0.substring(1, v0.length - 1) else v0
           k match {
             case "startsel" => startSel = v
             case "stopsel" => stopSel = v
             case "maxwords" => maxWords = v.toInt
             case "minwords" => minWords = v.toInt
             case "shortword" => shortWord = v.toInt
+            case "maxfragments" => maxFragments = v.toInt
+            case "fragmentdelimiter" => fragDelim = v
             case "highlightall" => highlightAll = v.equalsIgnoreCase("true") || v == "1"
             case _ =>
           }
@@ -920,6 +926,47 @@ object TextSearch {
         if (t.prefix) l.startsWith(t.lex) else l == t.lex))
     }
     val hit = ws.indices.filter(ix => matches(ws(ix).text))
+    // MaxFragments mode: one fragment per cover, extended by
+    // half-excess left / remainder right, leading ShortWords traded
+    // for right extension, trailing ShortWords trimmed, overflow
+    // budget at doc edges lost (behavior reconstructed from live pins
+    // until 0 diffs — sweep-19b)
+    if (maxFragments > 0 && hit.nonEmpty) {
+      val frags = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var lastEnd = -1
+      hit.foreach { anchor =>
+        if (frags.length < maxFragments && anchor > lastEnd) {
+          val excess = math.max(0, maxWords - 1)
+          var s0 = anchor - excess / 2
+          var e0 = anchor + (excess - excess / 2)
+          if (s0 < 0) s0 = 0
+          if (e0 > ws.length - 1) e0 = ws.length - 1
+          // trade short leading words for right extension
+          while (s0 < anchor && ws(s0).text.length <= shortWord) {
+            s0 += 1
+            if (e0 < ws.length - 1) e0 += 1
+          }
+          while (e0 > anchor && ws(e0).text.length <= shortWord) e0 -= 1
+          frags += ((s0, e0))
+          lastEnd = e0
+        }
+      }
+      val sb = new java.lang.StringBuilder
+      frags.zipWithIndex.foreach { case ((fs, fe), fi) =>
+        if (fi > 0) sb.append(fragDelim)
+        var cursor = ws(fs).start
+        var wi = fs
+        while (wi <= fe) {
+          val w = ws(wi)
+          sb.append(doc, cursor, w.start)
+          if (hit.contains(wi)) sb.append(startSel).append(w.text).append(stopSel)
+          else sb.append(w.text)
+          cursor = w.end
+          wi += 1
+        }
+      }
+      return sb.toString
+    }
     // fragment bounds [s, e] over word indices
     var s = 0
     var e = ws.length - 1

@@ -1358,4 +1358,21 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-19b: ts_headline MaxFragments mode (live pg 15)") {
+    // fragment-per-cover selection reconstructed from live pins to 0
+    // diffs: half-excess left / remainder right extension, short
+    // leading words traded for right extension, short trailing words
+    // trimmed, edge-clipped budget lost, FragmentDelimiter honored
+    val pinned: Seq[(String, String)] = Seq(
+    ("ts_headline('simple', 'one two target three four five six seven eight nine ten eleven twelve goal thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo target twentythree', 'target'::tsquery, 'MaxFragments=2, MinWords=2, MaxWords=4')", "<b>target</b> three four five ... twentytwo <b>target</b> twentythree"),
+    ("ts_headline('simple', 'one two target three four five six seven eight nine ten eleven twelve goal thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo target twentythree', 'target | goal'::tsquery, 'MaxFragments=2, MinWords=2, MaxWords=4')", "<b>target</b> three four five ... twelve <b>goal</b> thirteen fourteen"),
+    ("ts_headline('simple', 'one two target three four five six seven eight nine ten eleven twelve goal thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo target twentythree', 'target | goal'::tsquery, 'MaxFragments=3, MinWords=1, MaxWords=3')", "<b>target</b> three four ... twelve <b>goal</b> thirteen ... twentytwo <b>target</b> twentythree"),
+    ("ts_headline('simple', 'a b target c d', 'target'::tsquery, 'MaxFragments=1, MinWords=2, MaxWords=3')", "<b>target</b>"),
+    ("ts_headline('simple', 'no match here at all', 'target'::tsquery, 'MaxFragments=2, MinWords=2, MaxWords=4')", "no match"),
+    ("ts_headline('simple', 'one two target three four five six seven eight nine ten eleven twelve goal thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo target twentythree', 'target'::tsquery, 'MaxFragments=2, MinWords=2, MaxWords=4, FragmentDelimiter=\" | \"')", "<b>target</b> three four five | twentytwo <b>target</b> twentythree")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
