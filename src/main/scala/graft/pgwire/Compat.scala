@@ -434,6 +434,7 @@ object Compat {
     rewriteJsonOps(ts)
     rewriteLimitCast(ts)
     rewriteCastTypes(ts)
+    rewriteXmlConstructs(ts)
     rewriteTimeArithmetic(ts)
     // AT TIME ZONE first: its literal dispatch distinguishes
     // `timestamp '…'` (→ NTZ direction) from `timestamptz '…'`, which
@@ -4394,7 +4395,8 @@ object Compat {
         } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
           val tn = ts(t).text.toLowerCase
           rangeTypeNames.contains(tn) || tn == "tsvector" || tn == "tsquery" ||
-            tn == "inet" || tn == "cidr" || tn == "macaddr" || tn == "macaddr8"
+            tn == "inet" || tn == "cidr" || tn == "macaddr" || tn == "macaddr8" ||
+            tn == "xml"
         }) {
           // `expr::<sub>range` / `::tsvector` / `::tsquery` → the
           // type's input/canonicalization function
@@ -4517,6 +4519,198 @@ object Compat {
     * (which produces the pg_time_in spelling). Left-operand time and
     * time±interval stay unsupported (no type info at rewrite time).
     */
+  private val xmlProducerFns = Set("pg_xml_tag", "xml_in", "xmlcomment",
+    "pg_xmlpi", "pg_xml_forest_item")
+
+  private def sliceText(ts: ArrayBuffer[Tok], a: Int, b: Int): String =
+    ts.slice(a, b + 1).map(_.text).mkString
+
+  private def topCommas(ts: ArrayBuffer[Tok], open: Int, close: Int): Seq[Int] = {
+    var depth = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var j = open + 1
+    while (j < close) {
+      if (ts(j).is("(") || ts(j).is("[")) depth += 1
+      else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+      else if (depth == 0 && ts(j).is(",")) out += j
+      j += 1
+    }
+    out.toSeq
+  }
+
+  /** pg XML construction syntax (§9.15) → the engine functions.
+    * Processes the LAST construct first on each iteration so nested
+    * xmlelement/xmlforest arguments are already lowered when the
+    * enclosing call is rebuilt as a composite token. Runs AFTER the
+    * cast pass, so `::xml` is already `xml_in(…)` and the raw-vs-
+    * escape decision keys off the producer function names — pg's
+    * type-directed embedding, resolved syntactically.
+    */
+  private def rewriteXmlConstructs(ts: ArrayBuffer[Tok]): Unit = {
+    if (!ts.exists(t => t.kind == Word && {
+      val l = t.text.toLowerCase
+      l.startsWith("xml") || l == "document"
+    })) return
+
+    def isXmlishSlice(a: Int, b: Int): Boolean = {
+      var i = a
+      while (i <= b) {
+        if (ts(i).kind == Word) {
+          val l = ts(i).text.toLowerCase
+          if (xmlProducerFns.contains(l) || l == "xmlconcat" ||
+            xmlProducerFns.exists(f => l.startsWith(f + "("))) return true
+        }
+        i += 1
+      }
+      false
+    }
+
+    def argRanges(open: Int, close: Int): Seq[(Int, Int)] = {
+      val commas = topCommas(ts, open, close)
+      val bounds = (open +: commas) :+ close
+      bounds.sliding(2).map { case Seq(a, b) =>
+        (nextIdx(ts, a), {
+          var e = b - 1
+          while (e > a && ts(e).kind == Ws) e -= 1
+          e
+        })
+      }.toSeq.filter(r => r._1 >= 0 && r._1 <= r._2)
+    }
+
+    /** attribute / forest `expr AS name` split: last top-level AS. */
+    def splitAs(a: Int, b: Int): Option[(Int, Int, String)] = {
+      var depth = 0
+      var asIdx = -1
+      var j = a
+      while (j <= b) {
+        if (ts(j).is("(")) depth += 1
+        else if (ts(j).is(")")) depth -= 1
+        else if (depth == 0 && ts(j).isWord("as")) asIdx = j
+        j += 1
+      }
+      if (asIdx < 0) None
+      else {
+        val nm = nextIdx(ts, asIdx)
+        if (nm < 0 || nm > b) None
+        else {
+          var e = asIdx - 1
+          while (e > a && ts(e).kind == Ws) e -= 1
+          val name = if (ts(nm).kind == QIdent)
+            ts(nm).text.substring(1, ts(nm).text.length - 1) else ts(nm).text
+          Some((a, e, name))
+        }
+      }
+    }
+
+    var changed = true
+    while (changed) {
+      changed = false
+      // last construct first
+      var i = ts.length - 1
+      var handled = false
+      while (i >= 0 && !handled) {
+        val t = ts(i)
+        val lower = if (t.kind == Word) t.text.toLowerCase else ""
+        if (lower == "xmlelement" || lower == "xmlforest" || lower == "xmlconcat" ||
+          lower == "xmlpi" || lower == "xmlroot" || lower == "xmlserialize" ||
+          lower == "xmlagg") {
+          val open = nextIdx(ts, i)
+          if (open >= 0 && ts(open).is("(")) {
+            val close = matchParen(ts, open)
+            if (close > 0) {
+              val args = argRanges(open, close)
+              val repl: Option[String] = lower match {
+                case "xmlelement" if args.nonEmpty &&
+                  ts(args.head._1).isWord("name") =>
+                  val tagTok = nextIdx(ts, args.head._1)
+                  val tag = if (ts(tagTok).kind == QIdent)
+                    ts(tagTok).text.substring(1, ts(tagTok).text.length - 1)
+                  else ts(tagTok).text.toLowerCase
+                  var attrs = "''"
+                  var rest = args.tail
+                  if (rest.nonEmpty && ts(rest.head._1).isWord("xmlattributes")) {
+                    val aOpen = nextIdx(ts, rest.head._1)
+                    val aClose = matchParen(ts, aOpen)
+                    val pieces = argRanges(aOpen, aClose).flatMap { case (a, b) =>
+                      splitAs(a, b).map { case (ea, eb, nm) =>
+                        s"pg_xml_attr('$nm', CAST(${sliceText(ts, ea, eb)} AS STRING))"
+                      }
+                    }
+                    attrs = if (pieces.isEmpty) "''"
+                      else s"concat(${pieces.mkString(", ")})"
+                    rest = rest.tail
+                  }
+                  val content = rest.map { case (a, b) =>
+                    if (isXmlishSlice(a, b)) sliceText(ts, a, b)
+                    else s"pg_xml_escape(CAST(${sliceText(ts, a, b)} AS STRING))"
+                  }
+                  val body = if (content.isEmpty) "''"
+                    else s"concat_ws('', ${content.mkString(", ")})"
+                  Some(s"pg_xml_tag('$tag', $attrs, $body)")
+                case "xmlforest" =>
+                  val pieces = args.flatMap { case (a, b) =>
+                    splitAs(a, b).map { case (ea, eb, nm) =>
+                      s"pg_xml_forest_item('$nm', CAST(${sliceText(ts, ea, eb)} AS STRING))"
+                    }
+                  }
+                  if (pieces.isEmpty) None
+                  else Some(s"concat_ws('', ${pieces.mkString(", ")})")
+                case "xmlconcat" =>
+                  Some(s"concat_ws('', ${args.map { case (a, b) => sliceText(ts, a, b) }.mkString(", ")})")
+                case "xmlpi" if args.nonEmpty && ts(args.head._1).isWord("name") =>
+                  val nmTok = nextIdx(ts, args.head._1)
+                  val nm = ts(nmTok).text
+                  val content = args.tail.headOption
+                    .map { case (a, b) => sliceText(ts, a, b) }.getOrElse("''")
+                  Some(s"pg_xmlpi('$nm', $content)")
+                case "xmlroot" if args.nonEmpty =>
+                  Some(s"(${sliceText(ts, args.head._1, args.head._2)})")
+                case "xmlserialize" if args.nonEmpty =>
+                  // CONTENT|DOCUMENT expr AS type → the expr
+                  val (a0, b0) = args.head
+                  var a = a0
+                  if (ts(a).isWord("content") || ts(a).isWord("document"))
+                    a = nextIdx(ts, a)
+                  splitAs(a, b0) match {
+                    case Some((ea, eb, _)) => Some(s"(${sliceText(ts, ea, eb)})")
+                    case None => Some(s"(${sliceText(ts, a, b0)})")
+                  }
+                case "xmlagg" if args.nonEmpty =>
+                  Some(s"array_join(collect_list(${sliceText(ts, args.head._1, args.head._2)}), '')")
+                case _ => None
+              }
+              repl.foreach { text =>
+                ts.remove(i, close - i + 1)
+                ts.insert(i, Tok(Word, text))
+                changed = true
+                handled = true
+              }
+            }
+          }
+        }
+        i -= 1
+      }
+    }
+    // `expr IS [NOT] DOCUMENT`
+    var j = 0
+    while (j < ts.length) {
+      if (ts(j).isWord("is")) {
+        val n1 = nextIdx(ts, j)
+        val neg = n1 >= 0 && ts(n1).isWord("not")
+        val d = if (neg) nextIdx(ts, n1) else n1
+        val p = prevIdx(ts, j)
+        if (d >= 0 && ts(d).isWord("document") && p >= 0 && isValueEnd(ts(p))) {
+          val start = lhsStart(ts, p)
+          ts.remove(j, d - j + 1)
+          ts.insert(p + 1, Tok(Op, ")"))
+          ts.insertAll(start, Seq(
+            Tok(Word, (if (neg) "NOT " else "") + "pg_xml_is_document"), Tok(Op, "(")))
+        }
+      }
+      j += 1
+    }
+  }
+
   private def rewriteTimeArithmetic(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {

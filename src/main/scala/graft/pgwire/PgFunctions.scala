@@ -1060,6 +1060,7 @@ object PgFunctions {
     graft.functions.PgEnums.registerUdfs(spark)
     graft.functions.Inet.registerAll(spark)
     graft.functions.Bits.registerAll(spark)
+    graft.functions.Xml.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

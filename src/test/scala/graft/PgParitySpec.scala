@@ -1375,4 +1375,51 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-20: XML — construction, validation, xpath (live pg 15)") {
+    // the last declared-out-of-scope family: xmlelement with the
+    // name-keyword syntax and xmlattributes (type-directed raw-vs-
+    // escape embedding resolved syntactically), xmlforest/xmlconcat/
+    // xmlcomment/xmlpi/xmlroot/xmlserialize/xmlagg, ::xml content
+    // validation, well-formed checks, IS DOCUMENT, and xpath()/
+    // xpath_exists() over the JDK DOM+XPath (DTDs and external
+    // entities disabled) — 29 live pins, 0 diffs
+    val pinned: Seq[(String, String)] = Seq(
+    ("xmlelement(name foo)", "<foo/>"),
+    ("xmlelement(name foo, 'content')", "<foo>content</foo>"),
+    ("xmlelement(name foo, xmlattributes('bar' as attr), 'text')", "<foo attr=\"bar\">text</foo>"),
+    ("xmlelement(name foo, xmlattributes(42 as a, 'x<y' as b))", "<foo a=\"42\" b=\"x&lt;y\"/>"),
+    ("xmlelement(name root, xmlelement(name child, 1), xmlelement(name child, 2))", "<root><child>1</child><child>2</child></root>"),
+    ("xmlforest('abc' AS foo, 123 AS bar)", "<foo>abc</foo><bar>123</bar>"),
+    ("xmlconcat('<a/>'::xml, '<b>x</b>'::xml)", "<a/><b>x</b>"),
+    ("xmlcomment('hello')", "<!--hello-->"),
+    ("xmlpi(name php, 'echo $x;')", "<?php echo $x;?>"),
+    ("xmlroot('<a/>'::xml, version '1.0')", "<a/>"),
+    ("'<a>text</a>'::xml", "<a>text</a>"),
+    ("'<a><b>1</b></a>'::xml", "<a><b>1</b></a>"),
+    ("'not xml'::xml", "not xml"),
+    ("xmlserialize(content '<a>x</a>'::xml AS text)", "<a>x</a>"),
+    ("xml_is_well_formed('<a/>')", "t"),
+    ("xml_is_well_formed('<a>')", "f"),
+    ("xml_is_well_formed_content('plain text')", "t"),
+    ("xml_is_well_formed_document('<a/>')", "t"),
+    ("xmlelement(name foo, 'a & b < c')", "<foo>a &amp; b &lt; c</foo>"),
+    ("(xpath('/a/b/text()', '<a><b>one</b><b>two</b></a>'::xml))[1]", "one"),
+    ("xpath('/a/b/text()', '<a><b>one</b><b>two</b></a>'::xml)", "{one,two}"),
+    ("xpath('//b', '<a><b>1</b><c><b>2</b></c></a>'::xml)", "{<b>1</b>,<b>2</b>}"),
+    ("xpath('/a/@id', '<a id=\"7\"/>'::xml)", "{7}"),
+    ("xpath('count(//b)', '<a><b/><b/></a>'::xml)", "{2}"),
+    ("xpath_exists('/a/b', '<a><b/></a>'::xml)", "t"),
+    ("xpath_exists('/a/c', '<a><b/></a>'::xml)", "f"),
+    ("'<a>x</a>'::xml IS DOCUMENT", "t"),
+    ("'plain'::xml IS DOCUMENT", "f"),
+    ("xmlagg(x::xml) FROM (VALUES ('<a/>'), ('<b/>')) t(x)", "<a/><b/>")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    assert(intercept[Exception](one("xmlcomment('hello--ish')"))
+      .getMessage.contains("invalid XML comment"))
+    assert(intercept[Exception](one("'<unclosed>'::xml"))
+      .getMessage.contains("invalid XML content"))
+  }
 }
