@@ -492,7 +492,8 @@ object Handlers {
       lower.contains("strip") || lower.contains("enum_in") ||
       lower.contains("inet") || lower.contains("cidr") ||
       lower.contains("mask") || lower.contains("broadcast") ||
-      lower.contains("mac") || lower.contains("bit")) tagRangeOutputs(geod)
+      lower.contains("mac") || lower.contains("bit") ||
+      lower.contains("xml")) tagRangeOutputs(geod)
     else geod
   }
 
@@ -524,7 +525,9 @@ object Handlers {
       "bit_in" -> "bit", "bit_in_hex" -> "bit", "pg_bit_cast" -> "bit",
       "pg_int_to_bit" -> "bit", "pg_bit_and" -> "bit", "pg_bit_or" -> "bit",
       "pg_bit_xor" -> "bit", "pg_bit_not" -> "bit", "pg_bit_shl" -> "bit",
-      "pg_bit_shr" -> "bit", "pg_bit_set" -> "bit")
+      "pg_bit_shr" -> "bit", "pg_bit_set" -> "bit",
+      "xml_in" -> "xml", "pg_xml_tag" -> "xml", "xmlcomment" -> "xml",
+      "pg_xmlpi" -> "xml", "pg_xml_forest_item" -> "xml")
     def subOf(e: Expression): Option[String] = e match {
       case a: Alias => subOf(a.child)
       case u: ScalaUDF =>

@@ -146,6 +146,7 @@ object PgFunctions {
       case 2277 => "anyarray"
       case 2283 => "anyelement"
       case 3831 => "anyrange"
+      case 142 => "xml"
       case 650 => "cidr"
       case 774 => "macaddr8"
       case 1560 => "bit"
@@ -663,6 +664,14 @@ object PgFunctions {
       ProcDef("sha256", Seq(17), 17),
       ProcDef("sha384", Seq(17), 17),
       ProcDef("sha512", Seq(17), 17),
+      // ---- xml (pg §9.15; graft.functions.Xml) ----
+      ProcDef("xmlcomment", Seq(T), 142),
+      ProcDef("xmlagg", Seq(142), 142),
+      ProcDef("xml_is_well_formed", Seq(T), 16),
+      ProcDef("xml_is_well_formed_content", Seq(T), 16),
+      ProcDef("xml_is_well_formed_document", Seq(T), 16),
+      ProcDef("xpath", Seq(T, 142), 143),
+      ProcDef("xpath_exists", Seq(T, 142), 16),
       // ---- network types (pg §9.12; graft.functions.Inet) ----
       ProcDef("host", Seq(869), T),
       ProcDef("masklen", Seq(869), 23),

@@ -77,7 +77,9 @@ object PgType {
     // network types (pg §8.9), canonical-text model
     "inet" -> 869, "cidr" -> 650, "macaddr" -> 829, "macaddr8" -> 774,
     // bit strings (pg §8.10.1), pattern-text model
-    "bit" -> 1560, "varbit" -> 1562)
+    "bit" -> 1560, "varbit" -> 1562,
+    // xml (pg §8.13), verbatim-text model
+    "xml" -> 142)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 
