@@ -206,6 +206,30 @@ class PsqlE2eSpec extends SparkSpec {
     }
   }
 
+  test("psql: round-12 type families through live libpq") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port,
+        "SELECT '10.1.2.3/8'::inet AS i, network('192.168.1.5/24'::inet) AS n, " +
+          "B'1010' # B'0110' AS x, 42::bit(8) AS b, " +
+          "'08-00-2b-01-02-03'::macaddr AS m")
+      assert(c1 === 0, e1)
+      assert(o1.trim === "10.1.2.3/8|192.168.1.0/24|1100|00101010|08:00:2b:01:02:03")
+      val (c2, o2, e2) = psql(port,
+        "SELECT xmlelement(name foo, xmlattributes(42 as a), 'x<y') AS x, " +
+          "array_to_string(xpath('/a/b/text()', '<a><b>one</b><b>two</b></a>'::xml), ',') AS p")
+      assert(c2 === 0, e2)
+      assert(o2.trim === "<foo a=\"42\">x&lt;y</foo>|one,two")
+      // enum DDL lifecycle over a live connection
+      val (c3, o3, e3) = psqlScript(port,
+        """CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy');
+          |SELECT 'ok'::mood;
+          |DROP TYPE mood;""".stripMargin)
+      assert(c3 === 0, e3)
+      assert(o3.contains("CREATE TYPE") && o3.contains("ok") && o3.contains("DROP TYPE"))
+    }
+  }
+
   test("psql: \\copy drives the COPY sub-protocol through live libpq") {
     assume(psqlPath.nonEmpty, "no psql binary installed")
     withServer { port =>
