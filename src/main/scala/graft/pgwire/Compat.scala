@@ -3782,6 +3782,31 @@ object Compat {
   private val macFns = Set("macaddr_in", "macaddr8_in", "mac_trunc",
     "mac_not", "mac_and", "mac_or", "macaddr8_set7bit")
 
+  private val moneyFns = Set("money_in", "money_add", "money_sub",
+    "money_mul", "money_div_num")
+
+  private def isMoneyish(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i <= to && i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word) {
+        val l = t.text.toLowerCase
+        if (moneyFns.contains(l)) {
+          val n = nextIdx(ts, i)
+          if (n >= 0 && n <= to && ts(n).is("(")) return true
+        }
+        if (moneyFns.exists(f => l.startsWith(f + "("))) return true
+      }
+      if (t.is("::")) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).kind == Word && ts(n).isWord("money"))
+          return true
+      }
+      i += 1
+    }
+    false
+  }
+
   private def isMacish(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
     var i = from
     while (i <= to && i < ts.length) {
@@ -3824,8 +3849,10 @@ object Compat {
     */
   private def rewriteInetOps(ts: ArrayBuffer[Tok]): Unit = {
     if (!ts.exists(t => (t.kind == Word && (inetFns.contains(t.text.toLowerCase) ||
-      macFns.contains(t.text.toLowerCase) || t.isWord("inet") ||
-      t.isWord("cidr") || t.isWord("macaddr") || t.isWord("macaddr8"))))) return
+      macFns.contains(t.text.toLowerCase) ||
+      moneyFns.contains(t.text.toLowerCase) || t.isWord("inet") ||
+      t.isWord("cidr") || t.isWord("macaddr") || t.isWord("macaddr8") ||
+      t.isWord("money"))))) return
     val eitherSide = Map(
       "<<" -> "inet_contained_strict", "<<=" -> "inet_contained_eq",
       ">>" -> "inet_contains_strict", ">>=" -> "inet_contains_eq")
@@ -3862,7 +3889,7 @@ object Compat {
       }
       // +/- and the binary family
       if (t.kind == Op && (eitherSide.contains(t.text) || bothSides.contains(t.text) ||
-        t.text == "+" || t.text == "-")) {
+        t.text == "+" || t.text == "-" || t.text == "*" || t.text == "/")) {
         val rhs = nextIdx(ts, i)
         val p = prevIdx(ts, i)
         if (rhs >= 0 && p >= 0 && (isValueEnd(ts(p)) || ts(p).kind == Num) &&
@@ -3892,8 +3919,26 @@ object Compat {
           val rIn = isInetish(ts, rhs, rhs2)
           val lMac = isMacish(ts, start, p)
           val rMac = isMacish(ts, rhs, rhs2)
+          val lMon = isMoneyish(ts, start, p)
+          val rMon = isMoneyish(ts, rhs, rhs2)
+          var monSwap = false
           val fn =
-            if (lMac && rMac && t.text == "&") Some("mac_and")
+            if (lMon && rMon) t.text match {
+              case "+" => Some("money_add")
+              case "-" => Some("money_sub")
+              case "/" => Some("money_div_money")
+              case "<" => Some("money_lt")
+              case "<=" => Some("money_le")
+              case ">" => Some("money_gt")
+              case ">=" => Some("money_ge")
+              case _ => None
+            }
+            else if ((lMon || rMon) && t.text == "*") {
+              monSwap = rMon && !lMon // money argument goes first
+              Some("money_mul")
+            }
+            else if (lMon && t.text == "/") Some("money_div_num")
+            else if (lMac && rMac && t.text == "&") Some("mac_and")
             else if (lMac && rMac && t.text == "|") Some("mac_or")
             else
             if (t.text == "+" && lIn) Some("inet_add")
@@ -3909,9 +3954,33 @@ object Compat {
             if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
               ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
             }
-            ts.insert(rhs2 + 1, Tok(Op, ")"))
-            ts(opIdx) = Tok(Op, ",")
-            ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
+            if (monSwap) {
+              val lhsToks = ts.slice(start, opIdx).toVector
+              val rhsToks = ts.slice(opIdx + 1, rhs2 + 1).toVector
+              ts.remove(start, rhs2 + 1 - start)
+              ts.insertAll(start, ArrayBuffer(Tok(Word, fnName), Tok(Op, "(")) ++
+                rhsToks ++ ArrayBuffer(Tok(Op, ",")) ++ lhsToks ++ ArrayBuffer(Tok(Op, ")")))
+            } else {
+              ts.insert(rhs2 + 1, Tok(Op, ")"))
+              ts(opIdx) = Tok(Op, ",")
+              ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
+            }
+          }
+        }
+      }
+      // money::numeric escapes the currency text (the generic cast
+      // pass would decimal-parse "$1,234.56")
+      if (t.is("::")) {
+        val ty = nextIdx(ts, i)
+        val p2 = prevIdx(ts, i)
+        if (ty >= 0 && p2 >= 0 && ts(ty).kind == Word &&
+          (ts(ty).isWord("numeric") || ts(ty).isWord("decimal")) &&
+          isValueEnd(ts(p2))) {
+          val start2 = lhsStart(ts, p2)
+          if (isMoneyish(ts, start2, p2)) {
+            ts.remove(i, ty - i + 1)
+            ts.insert(p2 + 1, Tok(Op, ")"))
+            ts.insertAll(start2, Seq(Tok(Word, "money_to_numeric"), Tok(Op, "(")))
           }
         }
       }
@@ -4396,7 +4465,7 @@ object Compat {
           val tn = ts(t).text.toLowerCase
           rangeTypeNames.contains(tn) || tn == "tsvector" || tn == "tsquery" ||
             tn == "inet" || tn == "cidr" || tn == "macaddr" || tn == "macaddr8" ||
-            tn == "xml"
+            tn == "xml" || tn == "money"
         }) {
           // `expr::<sub>range` / `::tsvector` / `::tsquery` → the
           // type's input/canonicalization function

@@ -493,7 +493,7 @@ object Handlers {
       lower.contains("inet") || lower.contains("cidr") ||
       lower.contains("mask") || lower.contains("broadcast") ||
       lower.contains("mac") || lower.contains("bit") ||
-      lower.contains("xml")) tagRangeOutputs(geod)
+      lower.contains("xml") || lower.contains("money")) tagRangeOutputs(geod)
     else geod
   }
 
@@ -527,7 +527,10 @@ object Handlers {
       "pg_bit_xor" -> "bit", "pg_bit_not" -> "bit", "pg_bit_shl" -> "bit",
       "pg_bit_shr" -> "bit", "pg_bit_set" -> "bit",
       "xml_in" -> "xml", "pg_xml_tag" -> "xml", "xmlcomment" -> "xml",
-      "pg_xmlpi" -> "xml", "pg_xml_forest_item" -> "xml")
+      "pg_xmlpi" -> "xml", "pg_xml_forest_item" -> "xml",
+      "money_in" -> "money", "money_add" -> "money", "money_sub" -> "money",
+      "money_mul" -> "money", "money_div_num" -> "money",
+      "money_to_numeric" -> "numeric")
     def subOf(e: Expression): Option[String] = e match {
       case a: Alias => subOf(a.child)
       case u: ScalaUDF =>

@@ -249,7 +249,8 @@ object PgCatalog {
     (774, "macaddr8", 8, "U", 0, 775), (775, "_macaddr8", -1, "A", 774, 0),
     (1560, "bit", -1, "V", 0, 1561), (1561, "_bit", -1, "A", 1560, 0),
     (1562, "varbit", -1, "V", 0, 1563), (1563, "_varbit", -1, "A", 1562, 0),
-    (142, "xml", -1, "U", 0, 143), (143, "_xml", -1, "A", 142, 0))
+    (142, "xml", -1, "U", 0, 143), (143, "_xml", -1, "A", 142, 0),
+    (790, "money", 8, "N", 0, 791), (791, "_money", -1, "A", 790, 0))
 
   private def pgTypeDf(spark: SparkSession): DataFrame = {
     val static = typeRows.map { case (oid, name, len, cat, elem, arr) =>

@@ -147,6 +147,7 @@ object PgFunctions {
       case 2283 => "anyelement"
       case 3831 => "anyrange"
       case 142 => "xml"
+      case 790 => "money"
       case 650 => "cidr"
       case 774 => "macaddr8"
       case 1560 => "bit"
@@ -1070,6 +1071,7 @@ object PgFunctions {
     graft.functions.Inet.registerAll(spark)
     graft.functions.Bits.registerAll(spark)
     graft.functions.Xml.registerAll(spark)
+    graft.functions.Money.registerAll(spark)
 
     // datetime pack (functions.md §Date/Time, all P2 planned upstream;
     // pg semantics from the public docs §9.9)

@@ -79,7 +79,9 @@ object PgType {
     // bit strings (pg §8.10.1), pattern-text model
     "bit" -> 1560, "varbit" -> 1562,
     // xml (pg §8.13), verbatim-text model
-    "xml" -> 142)
+    "xml" -> 142,
+    // money (pg §8.2), rendered-text model
+    "money" -> 790, "numeric" -> 1700)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 

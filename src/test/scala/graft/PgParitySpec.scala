@@ -1422,4 +1422,31 @@ class PgParitySpec extends SparkSpec {
     assert(intercept[Exception](one("'<unclosed>'::xml"))
       .getMessage.contains("invalid XML content"))
   }
+
+  test("sweep-21: money type (live pg 15, lc_monetary C)") {
+    // $-and-comma rendering with half-up cent rounding, money±money,
+    // money times/over numeric, money/money as a float8 ratio, the
+    // ::numeric escape, and ordering — 17 live pins, 0 diffs
+    val pinned: Seq[(String, String)] = Seq(
+    ("'12.34'::money", "$12.34"),
+    ("'$1,234.56'::money", "$1,234.56"),
+    ("1234.567::numeric::money", "$1,234.57"),
+    ("'-12.34'::money", "-$12.34"),
+    ("'0'::money", "$0.00"),
+    ("'12.344'::money", "$12.34"),
+    ("'12.345'::money", "$12.35"),
+    ("'1000000'::money", "$1,000,000.00"),
+    ("'12.34'::money + '1.66'::money", "$14.00"),
+    ("'12.34'::money - '1.34'::money", "$11.00"),
+    ("'12.34'::money * 2", "$24.68"),
+    ("'12.34'::money / 2", "$6.17"),
+    ("'12.34'::money * 1.5", "$18.51"),
+    ("'100'::money / '25'::money", "4"),
+    ("'12.34'::money::numeric", "12.34"),
+    ("'12.34'::money = '12.34'::money", "t"),
+    ("'12.34'::money < '12.35'::money", "t")
+    )
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
