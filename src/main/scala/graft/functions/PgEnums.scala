@@ -83,5 +83,21 @@ object PgEnums extends Serializable {
     u.register("enum_first_n", (name: String) => defOf(name).labels.head)
     u.register("enum_last_n", (name: String) => defOf(name).labels.last)
     u.register("enum_range_n", (name: String) => defOf(name).labels.toArray)
+    // declared-order dispatch (pg §8.7.2: "The ordering of the values
+    // in an enum type is the order in which the values were listed"):
+    // Compat rewrites comparisons/ORDER BY/min/max over syntactically
+    // enum-typed operands through the ordinal map
+    u.register("enum_ord", (name: String, label: String) =>
+      (if (label == null) null
+      else {
+        val d = defOf(name)
+        val i = d.labels.indexOf(label)
+        if (i < 0)
+          throw PgException("22P02",
+            s"""invalid input value for enum $name: "$label"""")
+        Integer.valueOf(i)
+      }): java.lang.Integer)
+    u.register("enum_label_at", (name: String, ord: java.lang.Integer) =>
+      if (ord == null) null else defOf(name).labels(ord.intValue))
   }
 }

@@ -382,6 +382,7 @@ object Compat {
     val ts = ArrayBuffer.from(tokenize(sql))
     rewriteDistinctOn(ts)
     collapseOperatorCall(ts)
+    collapseAnsiTypeSpellings(ts)
     stripCollate(ts)
     stripPgCatalogQualifier(ts)
     unquoteFunctionCalls(ts)
@@ -4832,6 +4833,37 @@ object Compat {
     }
   }
 
+  /** Collapse two-word ANSI type spellings into pg's one-word names so
+    * every downstream cast/DDL branch sees the canonical form:
+    * `double precision` → float8, `character varying` → varchar,
+    * `bit varying` → varbit. In valid SQL these word adjacencies only
+    * occur as type names (cast targets, DDL column types, record
+    * definitions). Runs first in the pipeline, before the bit-string
+    * and cast-type passes that dispatch on the one-word names.
+    */
+  private def collapseAnsiTypeSpellings(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word) {
+        val w = ts(i).text.toLowerCase
+        if (w == "double" || w == "character" || w == "bit") {
+          val n = nextIdx(ts, i)
+          if (n >= 0 && ts(n).kind == Word) {
+            val nw = ts(n).text.toLowerCase
+            if (w == "double" && nw == "precision") {
+              ts.remove(n); ts(i) = Tok(Word, "float8")
+            } else if (w == "character" && nw == "varying") {
+              ts.remove(n); ts(i) = Tok(Word, "varchar")
+            } else if (w == "bit" && nw == "varying") {
+              ts.remove(n); ts(i) = Tok(Word, "varbit")
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
   private def mapTypeAt(ts: ArrayBuffer[Tok], t: Int): Unit = {
     val raw0 = ts(t).text.toLowerCase
     // pg timestamp spellings: `timestamp[(p)] [with|without time zone]`.
@@ -4860,6 +4892,10 @@ object Compat {
         }
       }
     }
+    // bare `character` at a type position is pg bpchar (char(1));
+    // the two-word spellings are collapsed pipeline-wide by
+    // collapseAnsiTypeSpellings
+    if (raw0 == "character") ts(t) = Tok(Word, "bpchar")
     val raw = ts(t).text.toLowerCase
     val (base, fromUnderscore) =
       if (raw.startsWith("_")) (raw.substring(1), true) else (raw, false)

@@ -468,7 +468,7 @@ object PgCompat {
       PgFunctions.registerAll(s)
       Handlers.runSql(s,
         """SELECT o_orderkey,
-          |  EXTRACT(EPOCH FROM o_orderdate) AS ep,
+          |  CAST(EXTRACT(EPOCH FROM o_orderdate) AS DOUBLE PRECISION) AS ep,
           |  date_bin(INTERVAL '7' DAY, o_orderdate,
           |    TIMESTAMP '1992-01-01') AS wk
           |FROM orders ORDER BY o_orderkey""".stripMargin)

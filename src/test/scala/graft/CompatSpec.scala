@@ -319,4 +319,28 @@ class CompatSpec extends AnyFunSuite {
     // param cast infers OID 1083
     assert(Compat.inferParamOids("SELECT $1::time", 1) === Seq(1083))
   }
+
+  test("multi-word ANSI type spellings collapse to one-word pg names") {
+    def ws(s: String) =
+      s.replaceAll("\\s+", " ").replace(" )", ")").replace("( ", "(")
+    // double precision → float8 → Spark double, both cast syntaxes
+    assert(ws(Compat.rewrite("SELECT x::double precision FROM t")) ===
+      "SELECT x::double FROM t")
+    assert(ws(Compat.rewrite("SELECT CAST(x AS double precision) FROM t")) ===
+      "SELECT CAST(x AS double) FROM t")
+    // character varying(n) gets the pg truncation semantics (substr),
+    // exactly like the ::varchar(n) spelling
+    val cv = Compat.rewrite("SELECT x::character varying(5) FROM t")
+    assert(cv === Compat.rewrite("SELECT x::varchar(5) FROM t"), cv)
+    assert(cv.contains("substr"), cv)
+    // bare character varying (no length) → varchar → string-typed cast
+    assert(ws(Compat.rewrite("SELECT CAST(x AS character varying) FROM t")) ===
+      "SELECT CAST(x AS varchar) FROM t")
+    // bare character is bpchar → string
+    assert(ws(Compat.rewrite("SELECT CAST(x AS character) FROM t")) ===
+      "SELECT CAST(x AS string) FROM t")
+    // bit varying → varbit dispatches through the bit-string pass
+    assert(ws(Compat.rewrite("SELECT b'101'::bit varying")).trim ===
+      ws(Compat.rewrite("SELECT b'101'::varbit")).trim)
+  }
 }
