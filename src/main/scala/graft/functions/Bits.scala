@@ -3,7 +3,7 @@ package graft.functions
 import graft.pgwire.PgException
 
 /** PostgreSQL bit strings (`bit`/`bit varying`, pg §8.10.1/§9.6) over
-  * the literal '0'/'1' pattern text — the round-12 type-family
+  * the literal '0'/'1' pattern text — the round-11 type-family
   * pattern; every behavior pinned against live pg 15 (PgParitySpec
   * sweep-19). The canonical text IS the value, so string
   * length/substring/overlay/position/concat give pg's bit answers

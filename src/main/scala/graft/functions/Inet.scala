@@ -5,7 +5,7 @@ import java.math.BigInteger
 import graft.pgwire.PgException
 
 /** PostgreSQL network types (`inet`/`cidr`, pg §8.9/§9.12) over
-  * canonical text — the round-12 type-family pattern (geo, range,
+  * canonical text — the round-11 type-family pattern (geo, range,
   * text search, enum): every behavior pinned against live pg 15
   * BEFORE implementation (PgParitySpec sweep-18): v4/v6 parsing and
   * RFC 5952 rendering (/32 and /128 suppressed for inet display),

@@ -3,7 +3,7 @@ package graft.functions
 import graft.pgwire.PgException
 
 /** PostgreSQL `money` (pg §8.2) over the canonical rendered text
-  * (`$1,234.56`, lc_monetary C) — round-12 type-family pattern,
+  * (`$1,234.56`, lc_monetary C) — round-11 type-family pattern,
   * behavior pinned against live pg 15 (PgParitySpec sweep-21):
   * half-up cent rounding on input and multiplication, money±money,
   * money times/over numeric, money/money as a float8 ratio, and the

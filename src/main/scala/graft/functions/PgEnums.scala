@@ -11,9 +11,12 @@ import graft.pgwire.PgException
   * Parity-PLUS like the other type families (the reference accepts no
   * DDL at all).
   *
-  * Values are label TEXT at the Spark level; comparisons therefore
-  * order lexically, not by sort order — a documented deviation
-  * (enum_first/enum_last/enum_range carry the declared order).
+  * Values are label TEXT at the Spark level; declared-order semantics
+  * (pg §8.7.2) are carried by Compat.rewriteEnumOps, which dispatches
+  * comparisons / ORDER BY / min / max / greatest / least over
+  * syntactically enum-typed operands through the ordinal map below.
+  * Like the other type families, a bare column needs an explicit cast
+  * on at least one operand (no type info at rewrite time).
   * The registry lives in the driver JVM (local-mode executors share
   * it); a multi-JVM cluster deployment would broadcast it.
   */

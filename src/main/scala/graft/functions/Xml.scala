@@ -3,7 +3,7 @@ package graft.functions
 import graft.pgwire.PgException
 
 /** PostgreSQL XML (`xml` type, pg §8.13/§9.15) over verbatim text —
-  * the final declared-out-of-scope family, closed with the round-12
+  * the final declared-out-of-scope family, closed with the round-11
   * pattern: every behavior pinned against live pg 15 first
   * (PgParitySpec sweep-20). Construction (xmlelement/xmlforest/
   * xmlconcat/xmlcomment/xmlpi/xmlagg), validation casts, well-formed

@@ -412,6 +412,10 @@ object Compat {
     rewriteMathOps(ts)
     rewriteBetweenSymmetric(ts)
     rewriteAnyAll(ts)
+    // enum declared-order dispatch must precede the ordered-agg
+    // rewrite: it wraps aggregate-internal ORDER BY keys in enum_ord
+    // before rewriteJsonAggs lowers them into sorted-struct collects
+    rewriteEnumOps(ts)
     rewriteJsonAggs(ts)
     rewriteJsonToRecord(ts)
     rewriteSetReturning(ts)
@@ -3766,6 +3770,208 @@ object Compat {
             val fn = t.text.toLowerCase + "_n"
             ts.remove(i, close - i + 1)
             ts.insert(i, Tok(Word, s"$fn('$name')"))
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Enum type name of a syntactically enum-typed span, if any:
+    * a `::<enumtype>` cast (pre-cast-rewrite spelling) or a call to
+    * one of the enum engine functions (including the composite
+    * single-token forms rewriteEnumFns produces).
+    */
+  private def enumTypeOf(ts: ArrayBuffer[Tok], from: Int, to: Int): Option[String] = {
+    val enums = enumTypesTL.get
+    if (enums.isEmpty) return None
+    val fns = Seq("enum_in", "enum_first_n", "enum_last_n", "enum_label_at")
+    var i = from
+    while (i <= to && i < ts.length) {
+      val t = ts(i)
+      if (t.is("::")) {
+        val n = nextIdx(ts, i)
+        if (n >= 0 && n <= to && ts(n).kind == Word &&
+          enums.contains(ts(n).text.toLowerCase))
+          return Some(ts(n).text.toLowerCase)
+      }
+      if (t.kind == Word) {
+        val l = t.text.toLowerCase
+        for (fn <- fns) {
+          // composite token from an earlier rewrite: enum_first_n('x')
+          if (l.startsWith(fn + "('")) {
+            val rest = l.substring(fn.length + 2)
+            val q = rest.indexOf('\'')
+            if (q > 0) return Some(rest.substring(0, q))
+          }
+          if (l == fn) {
+            val o = nextIdx(ts, i)
+            if (o >= 0 && o <= to && ts(o).is("(")) {
+              val a = nextIdx(ts, o)
+              if (a >= 0 && ts(a).kind == Str) {
+                val nm = ts(a).text.drop(1).dropRight(1).toLowerCase
+                if (nm.nonEmpty) return Some(nm)
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** pg enum declared-order semantics (§8.7.2): values sort in the
+    * order the labels were listed, not lexically. Labels stay TEXT at
+    * the Spark level, so comparisons / ORDER BY / min / max over a
+    * syntactically enum-typed operand are dispatched through the
+    * session registry's ordinal map:
+    *   - `a < b::ty`      → enum_ord('ty', a) < enum_ord('ty', b::ty)
+    *   - `ORDER BY x::ty` → ORDER BY enum_ord('ty', x::ty)
+    *   - `min(x::ty)`     → enum_label_at('ty', min(enum_ord('ty', x::ty)))
+    * Like the other type families, a bare column needs an explicit
+    * cast on at least one operand (no type info at rewrite time);
+    * `=`/`<>` are order-independent and stay on the label text.
+    */
+  private def rewriteEnumOps(ts: ArrayBuffer[Tok]): Unit = {
+    if (enumTypesTL.get.isEmpty) return
+    val cmpOps = Set("<", "<=", ">", ">=")
+
+    def ordPrefix(name: String) = Seq(Tok(Word, "enum_ord"), Tok(Op, "("),
+      Tok(Str, s"'$name'"), Tok(Op, ","))
+
+    // min/max/greatest/least over enum operands → ordinal-space
+    // computation mapped back to its label (live pg 15: greatest over
+    // a mood enum picks by declared order). Innermost-first so nested
+    // spans stay valid; each top-level argument is wrapped separately.
+    var i = ts.length - 1
+    while (i >= 0) {
+      val t = ts(i)
+      if (t.kind == Word && (t.isWord("min") || t.isWord("max") ||
+        t.isWord("greatest") || t.isWord("least"))) {
+        val o = nextIdx(ts, i)
+        if (o >= 0 && ts(o).is("(")) {
+          val c = matchParen(ts, o)
+          if (c > 0) enumTypeOf(ts, o + 1, c - 1).foreach { name =>
+            val commas = scala.collection.mutable.ArrayBuffer[Int]()
+            var j = o + 1; var depth = 0
+            while (j < c) {
+              if (ts(j).is("(")) depth += 1
+              else if (ts(j).is(")")) depth -= 1
+              else if (depth == 0 && ts(j).is(",")) commas += j
+              j += 1
+            }
+            ts.insert(c + 1, Tok(Op, ")")) // closes enum_label_at
+            (Seq(o) ++ commas ++ Seq(c)).sliding(2).toSeq.reverse.foreach {
+              case Seq(a, b) =>
+                ts.insert(b, Tok(Op, ")")) // closes this arg's enum_ord
+                // min(DISTINCT x): the set quantifier stays outside
+                var s0 = nextIdx(ts, a)
+                if (s0 >= 0 && ts(s0).isWord("distinct")) s0 = s0 + 1
+                else s0 = a + 1
+                ts.insertAll(s0, ordPrefix(name))
+              case _ =>
+            }
+            ts.insertAll(i, Seq(Tok(Word, "enum_label_at"), Tok(Op, "("),
+              Tok(Str, s"'$name'"), Tok(Op, ",")))
+          }
+        }
+      }
+      i -= 1
+    }
+
+    // binary order comparisons: wrap both sides in enum_ord
+    i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Op && cmpOps.contains(t.text)) {
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
+          (ts(rhs).kind == Str || ts(rhs).kind == Word ||
+            ts(rhs).kind == QIdent || ts(rhs).is("("))) {
+          val start = lhsStart(ts, p)
+          var rhs2 = rhs
+          if (ts(rhs2).is("(")) {
+            val close = matchParen(ts, rhs2)
+            if (close > 0) rhs2 = close
+          } else if (ts(rhs2).kind == Word) {
+            val nxt = nextIdx(ts, rhs2)
+            if (nxt >= 0 && ts(nxt).is("(")) {
+              val close = matchParen(ts, nxt)
+              if (close > 0) rhs2 = close
+            }
+          }
+          var castOp = nextIdx(ts, rhs2)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp); ty >= 0 && ts(ty).kind == Word
+          }) { rhs2 = nextIdx(ts, castOp); castOp = nextIdx(ts, rhs2) }
+          val name = enumTypeOf(ts, start, p).orElse(enumTypeOf(ts, rhs, rhs2))
+          name.foreach { nm =>
+            ts.insert(rhs2 + 1, Tok(Op, ")"))
+            ts.insertAll(rhs, ordPrefix(nm))
+            ts.insert(p + 1, Tok(Op, ")"))
+            ts.insertAll(start, ordPrefix(nm))
+            i += 5 // past the lhs insertions; scan resumes after the op
+          }
+        }
+      }
+      i += 1
+    }
+
+    // ORDER BY items (plain, window-spec, and aggregate-internal)
+    val itemEnd = Set("asc", "desc", "nulls", "using", "limit", "offset",
+      "fetch", "for", "union", "intersect", "except", "rows", "range",
+      "groups", "window")
+    val clauseEnd = Set("limit", "offset", "fetch", "for", "union",
+      "intersect", "except", "rows", "range", "groups", "window")
+    i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("order")) {
+        val by = nextIdx(ts, i)
+        if (by >= 0 && ts(by).isWord("by")) {
+          var s = nextIdx(ts, by)
+          var scanning = s >= 0
+          while (scanning) {
+            // span of this item: up to a top-level comma, a suffix
+            // keyword, or the end of the enclosing clause
+            var j = s; var depth = 0; var last = -1; var stop = false
+            while (j < ts.length && !stop) {
+              val tk = ts(j)
+              if (tk.is("(")) depth += 1
+              else if (tk.is(")")) {
+                if (depth == 0) stop = true else { depth -= 1; last = j }
+              }
+              else if (depth == 0 && (tk.is(",") || tk.is(";"))) stop = true
+              else if (depth == 0 && tk.kind == Word &&
+                itemEnd.contains(tk.text.toLowerCase)) stop = true
+              else if (tk.kind != Ws) last = j
+              if (!stop) j += 1
+            }
+            if (last >= s) {
+              val already = ts(s).kind == Word &&
+                ts(s).text.equalsIgnoreCase("enum_ord")
+              enumTypeOf(ts, s, last) match {
+                case Some(name) if !already =>
+                  ts.insert(last + 1, Tok(Op, ")"))
+                  ts.insertAll(s, ordPrefix(name))
+                  j += 5
+                case _ =>
+              }
+            }
+            // advance to the next item (skip suffix keywords) or stop
+            var k = j; var comma = -1; var depth2 = 0; var ended = false
+            while (k < ts.length && comma < 0 && !ended) {
+              val tk = ts(k)
+              if (tk.is("(")) depth2 += 1
+              else if (tk.is(")")) { if (depth2 == 0) ended = true else depth2 -= 1 }
+              else if (depth2 == 0 && tk.is(",")) comma = k
+              else if (depth2 == 0 && (tk.is(";") || (tk.kind == Word &&
+                clauseEnd.contains(tk.text.toLowerCase)))) ended = true
+              if (comma < 0 && !ended) k += 1
+            }
+            if (comma >= 0) { s = nextIdx(ts, comma); scanning = s >= 0 }
+            else scanning = false
           }
         }
       }

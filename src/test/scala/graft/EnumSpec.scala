@@ -65,6 +65,34 @@ class EnumSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("wire: enum declared-order semantics — ORDER BY, min/max, comparisons") {
+    // expectations follow live pg 15: enum values sort in declared
+    // label order (sad < ok < happy), not lexically
+    val c = connect()
+    c.query("CREATE TYPE mood2 AS ENUM ('sad', 'ok', 'happy')")
+    val vals = "(VALUES ('happy'), ('sad'), ('ok')) t(m)"
+    val r = c.query(s"SELECT m FROM $vals ORDER BY m::mood2")
+    assert(r.rows.map(_.head.get) === Seq("sad", "ok", "happy"))
+    val rd = c.query(s"SELECT m FROM $vals ORDER BY m::mood2 DESC")
+    assert(rd.rows.map(_.head.get) === Seq("happy", "ok", "sad"))
+    val mm = c.query(
+      s"SELECT min(m::mood2) AS lo, max(m::mood2) AS hi FROM $vals")
+    assert(mm.rows === Seq(Seq(Some("sad"), Some("happy"))))
+    // a cast on either side drives both operands through the ordinal
+    // map (bare literals validate against the enum, like pg)
+    val cp = c.query("SELECT 'ok'::mood2 < 'happy'::mood2 AS a, " +
+      "'sad'::mood2 > 'happy' AS b, 'ok' <= 'ok'::mood2 AS c2")
+    assert(cp.rows === Seq(Seq(Some("t"), Some("f"), Some("t"))))
+    val w = c.query(
+      s"SELECT m FROM $vals WHERE m::mood2 >= 'ok' ORDER BY m::mood2")
+    assert(w.rows.map(_.head.get) === Seq("ok", "happy"))
+    // invalid label in a comparison raises 22P02 exactly like a cast
+    val bad = c.query("SELECT 'sad'::mood2 < 'bogus'").errors
+    assert(bad.nonEmpty && bad.head._1 === "22P02")
+    c.query("DROP TYPE mood2")
+    c.close()
+  }
+
   test("wire: enum values flow through queries over row data") {
     val c = connect()
     c.query("CREATE TYPE color AS ENUM ('red', 'green', 'blue')")

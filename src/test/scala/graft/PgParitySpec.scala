@@ -1449,4 +1449,33 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-22: enum declared-order semantics (live pg 15)") {
+    // pg §8.7.2: enum values sort by label position, not lexically.
+    // All expected values captured from a scratch pg 15 cluster with
+    // CREATE TYPE mood AS ENUM ('sad','ok','happy').
+    graft.pgwire.PgFunctions.registerAll(spark)
+    graft.functions.PgEnums.drop(spark, "mood")
+    graft.functions.PgEnums.create(spark, "mood", Seq("sad", "ok", "happy"))
+    val pinned: Seq[(String, String)] = Seq(
+      ("(SELECT string_agg(m, ',' ORDER BY m::mood) " +
+        "FROM (VALUES ('happy'),('sad'),('ok')) t(m))", "sad,ok,happy"),
+      ("(SELECT min(m::mood) FROM (VALUES ('happy'),('sad'),('ok')) t(m))", "sad"),
+      ("(SELECT max(m::mood) FROM (VALUES ('happy'),('sad'),('ok')) t(m))", "happy"),
+      ("'sad'::mood < 'happy'", "t"),
+      ("'ok'::mood >= 'happy'", "f"),
+      ("'ok' <= 'ok'::mood", "t"),
+      ("greatest('sad'::mood, 'happy'::mood)", "happy"),
+      ("least('ok'::mood, 'sad'::mood, 'happy'::mood)", "sad"),
+      // order-independent comparisons stay on the label text
+      ("'ok'::mood = 'ok'", "t"),
+      ("'ok'::mood <> 'sad'", "t"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    // ORDER BY over rows follows declared order
+    val df = graft.pgwire.Handlers.runSql(spark,
+      "SELECT m FROM (VALUES ('happy'),('sad'),('ok')) t(m) ORDER BY m::mood")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("sad", "ok", "happy"))
+    graft.functions.PgEnums.drop(spark, "mood")
+  }
 }

@@ -206,7 +206,7 @@ class PsqlE2eSpec extends SparkSpec {
     }
   }
 
-  test("psql: round-12 type families through live libpq") {
+  test("psql: round-11 type families through live libpq") {
     assume(psqlPath.nonEmpty, "no psql binary installed")
     withServer { port =>
       val (c1, o1, e1) = psql(port,
@@ -220,13 +220,20 @@ class PsqlE2eSpec extends SparkSpec {
           "array_to_string(xpath('/a/b/text()', '<a><b>one</b><b>two</b></a>'::xml), ',') AS p")
       assert(c2 === 0, e2)
       assert(o2.trim === "<foo a=\"42\">x&lt;y</foo>|one,two")
-      // enum DDL lifecycle over a live connection
+      // enum DDL lifecycle + declared-order semantics over a live
+      // connection (pg sorts by label position: sad < ok < happy)
       val (c3, o3, e3) = psqlScript(port,
         """CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy');
           |SELECT 'ok'::mood;
+          |SELECT string_agg(m, ',' ORDER BY m::mood) AS s,
+          |  min(m::mood) AS lo, max(m::mood) AS hi
+          |  FROM (VALUES ('happy'), ('sad'), ('ok')) t(m);
+          |SELECT 'sad'::mood < 'happy' AS lt;
           |DROP TYPE mood;""".stripMargin)
       assert(c3 === 0, e3)
       assert(o3.contains("CREATE TYPE") && o3.contains("ok") && o3.contains("DROP TYPE"))
+      assert(o3.contains("sad,ok,happy|sad|happy"), o3)
+      assert(o3.contains("t"), o3)
     }
   }
 
