@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorExpressions.descriptions.foreach(ext.injectFunction)
     graft.functions.StringExpressions.descriptions.foreach(ext.injectFunction)
+    graft.functions.TextExpressions.descriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.functions.VectorExpressions.SelfDotToNorm)
     // pg dialect type semantics — a no-op outside PgSemantics.withPg
     // (the pgwire Handlers path), so plain Spark-API queries on the

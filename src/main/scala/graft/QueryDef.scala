@@ -46,4 +46,23 @@ object Q {
     * orderBy. */
   def oracleOrder(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
+  /** [[oracleOrder]] for sort keys that need Column expressions
+    * (descending keys, computed keys). */
+  def oracleOrderC(df: DataFrame, first: org.apache.spark.sql.Column,
+      rest: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions((first +: rest): _*)
+
+  /** Range-partition `df` on `key` with an EXPLICIT partition count so
+    * AQE never coalesces it (explicit numPartitions is exempt).
+    * Callers place an expensive projection after this and finish with
+    * `sortWithinPartitions(key)` — together exactly `orderBy(key)`'s
+    * layout, but with the projection guaranteed to run at full
+    * parallelism and the range sampler fed narrow raw rows instead of
+    * re-executing the projection (which sort-last would). Inert at
+    * production scale: defaultParallelism = total cores.
+    */
+  def rangeFanout(df: DataFrame, key: String): DataFrame =
+    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
 }

@@ -1,0 +1,328 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expressions for the text-analysis hot path
+  * (SURVEY §0 LLM-pipeline ops: language ID, quality scoring, token
+  * counting, rolling-hash fingerprinting).
+  *
+  * As built-in compositions those operators evaluate 16 full-string
+  * `replace` copies (lang ID), three regex passes (quality), two
+  * array-materializing splits (token stats), and a per-character
+  * interpreted higher-order lambda (fingerprint) PER ROW. Each
+  * expression here does the same work in ONE pass over the string
+  * inside whole-stage codegen (`doGenCode` emits a static helper
+  * call, the `lev_banded` pattern), with zero intermediate
+  * allocations beyond the output row.
+  *
+  * Semantics are pinned bit-for-bit to the compositions they replace
+  * (TextAnalysisSpec's equivalence properties):
+  *  - token counts replicate `size(split(trim(text), "\\s+"))`:
+  *    Spark `trim` strips SPACES only, `split` is Java Pattern.split
+  *    with limit -1 (leading/trailing empty tokens kept), Java `\s`
+  *    is ASCII [ \t\n\f\r];
+  *  - marker counts replicate `(length(p) - length(replace(p, m, ''))) /
+  *    len(m)` — non-overlapping left-to-right occurrence count;
+  *  - char counts are CODE POINTS (Spark `length`), and the
+  *    fingerprint walks code points like `split(text, '')` + `ascii`
+  *    (Java's zero-width split never separates surrogate pairs);
+  *  - NULL text → NULL result (null structs project null fields),
+  *    except `lang_scores.lang_pred` which is 'und' — matching the
+  *    CASE chain both engines evaluate over NULL scores.
+  */
+object TextExpressions {
+
+  /** Stopword-marker sets, space-padded whole words. The single
+    * source of truth — `TextAnalysisOps.langMarkers` aliases this and
+    * the DuckDB oracle SQL is generated from it. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " a ", " and ", " of "),
+    "de" -> Seq(" der ", " die ", " und ", " das "),
+    "es" -> Seq(" el ", " la ", " los ", " que "),
+    "fr" -> Seq(" le ", " la ", " les ", " des "))
+
+  // langs in output-struct order; marker arrays resolved once
+  private val scoreLangs = Array("de", "en", "es", "fr")
+  private val markerArr: Array[Array[String]] =
+    scoreLangs.map(l => langMarkers(l).toArray)
+
+  /** Non-overlapping left-to-right occurrence count — exactly the
+    * `(length(s) - length(replace(s, m, ''))) / len(m)` arithmetic. */
+  private def countOcc(s: String, m: String): Long = {
+    var c = 0L
+    var i = s.indexOf(m)
+    while (i >= 0) { c += 1; i = s.indexOf(m, i + m.length) }
+    c
+  }
+
+  // Java regex \s (default flags): ASCII whitespace only
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** `size(split(trim(text), "\\s+"))`: strip 0x20 both ends (Spark
+    * trim), then separator-run count + 1 (Pattern.split limit -1
+    * keeps leading AND trailing empty tokens; empty input → [""]). */
+  private def wsTokenCount(s: String): Long = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == e) return 1L
+    var runs = 0L
+    var i = b
+    while (i < e) {
+      if (isWs(s.charAt(i))) {
+        runs += 1
+        while (i < e && isWs(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    runs + 1
+  }
+
+  private val undRow: InternalRow = new GenericInternalRow(
+    Array[Any](null, null, null, null, null, UTF8String.fromString("und")))
+
+  /** One-pass language scores + argmax prediction. Called from
+    * generated code; accepts null (NULL text → NULL scores, 'und'). */
+  def langScoresEval(t: UTF8String): InternalRow = {
+    if (t == null) return undRow
+    val s = t.toString
+    val padded = " " + s + " "
+    val scores = new Array[Long](5)
+    var li = 0
+    while (li < 4) {
+      val ms = markerArr(li)
+      var mi = 0
+      var sc = 0L
+      while (mi < ms.length) { sc += countOcc(padded, ms(mi)); mi += 1 }
+      scores(li) = sc
+      li += 1
+    }
+    // zh: CJK ideograph count (BMP range, so char compare is exact)
+    var zh = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '一' && c <= '鿿') zh += 1
+      i += 1
+    }
+    scores(4) = zh
+    var best = scores(0)
+    i = 1
+    while (i < 5) { if (scores(i) > best) best = scores(i); i += 1 }
+    // first lang in (de, en, es, fr, zh) order at the max — the CASE
+    // chain's tie-break
+    val pred =
+      if (best <= 0) "und"
+      else if (scores(0) == best) "de"
+      else if (scores(1) == best) "en"
+      else if (scores(2) == best) "es"
+      else if (scores(3) == best) "fr"
+      else "zh"
+    new GenericInternalRow(Array[Any](scores(0), scores(1), scores(2),
+      scores(3), scores(4), UTF8String.fromString(pred)))
+  }
+
+  /** One-pass quality counts: code points, ws tokens, [a-zA-Z] chars,
+    * 0x20 chars. Ratio arithmetic stays in Catalyst (decimal casts). */
+  def textQualityEval(t: UTF8String): InternalRow = {
+    val s = t.toString
+    var alpha = 0L
+    var spaces = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+      else if (c == ' ') spaces += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      t.numChars().toLong, wsTokenCount(s), alpha, spaces))
+  }
+
+  /** One-pass token counts: ws tokens, BPE-ish tokens (`[\w]+` runs or
+    * single non-word non-space CODE POINTS — Java regex matches code
+    * points, so a non-BMP symbol is ONE token), plus code-point count
+    * for the chars/4 estimate. */
+  def tokenCountsEval(t: UTF8String): InternalRow = {
+    val s = t.toString
+    var bpe = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+      if (isWord) {
+        bpe += 1
+        i += 1
+        while (i < s.length && {
+          val w = s.charAt(i)
+          (w >= 'a' && w <= 'z') || (w >= 'A' && w <= 'Z') ||
+            (w >= '0' && w <= '9') || w == '_'
+        }) i += 1
+      } else if (isWs(c)) i += 1
+      else {
+        bpe += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      wsTokenCount(s), bpe, t.numChars().toLong))
+  }
+
+  /** Rolling polynomial hash over code points:
+    * h = (h*31 + codepoint) mod 1e9+7, h0 = 0. */
+  def rollingFpEval(t: UTF8String): Long = {
+    val s = t.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  private def checkString(fn: String, child: Expression): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires a string argument, got ${child.dataType.simpleString}")
+
+  /** lang_scores(text) → struct<score_de..score_zh: long, lang_pred>.
+    * NOT null-intolerant: NULL text yields (NULLs, 'und') — the value
+    * the downstream CASE chain and the DuckDB oracle both produce. */
+  case class LangScores(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(prettyName, child)
+    override def dataType: DataType = StructType(Seq(
+      StructField("score_de", LongType), StructField("score_en", LongType),
+      StructField("score_es", LongType), StructField("score_fr", LongType),
+      StructField("score_zh", LongType),
+      StructField("lang_pred", StringType, nullable = false)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "lang_scores"
+
+    override def eval(input: InternalRow): Any =
+      langScoresEval(child.eval(input).asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      val resultCode =
+        code"""
+           |${c.code}
+           |InternalRow ${ev.value} = graft.functions.TextExpressions.langScoresEval(
+           |  ${c.isNull} ? null : ${c.value});
+           |""".stripMargin
+      ev.copy(code = resultCode, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): LangScores =
+      copy(child = newChild)
+  }
+
+  /** text_quality(text) → struct<n_chars, n_tokens, n_alpha, n_spaces>. */
+  case class TextQuality(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(prettyName, child)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_alpha", LongType, nullable = false),
+      StructField("n_spaces", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "text_quality"
+
+    override def nullSafeEval(t: Any): Any =
+      textQualityEval(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextExpressions.textQualityEval($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): TextQuality =
+      copy(child = newChild)
+  }
+
+  /** token_counts(text) → struct<ws_tokens, bpeish_tokens, n_chars>. */
+  case class TokenCounts(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(prettyName, child)
+    override def dataType: DataType = StructType(Seq(
+      StructField("ws_tokens", LongType, nullable = false),
+      StructField("bpeish_tokens", LongType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "token_counts"
+
+    override def nullSafeEval(t: Any): Any =
+      tokenCountsEval(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextExpressions.tokenCountsEval($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+      copy(child = newChild)
+  }
+
+  /** rolling_fp(text) → long. */
+  case class RollingFp(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(prettyName, child)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "rolling_fp"
+
+    override def nullSafeEval(t: Any): Any =
+      rollingFpEval(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextExpressions.rollingFpEval($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): RollingFp =
+      copy(child = newChild)
+  }
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name requires exactly $n arguments, got ${args.length}")
+      build(args)
+    }
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("lang_scores"),
+        new ExpressionInfo(classOf[LangScores].getName, "lang_scores"),
+        arity("lang_scores", 1)(args => LangScores(args(0)))),
+      (FunctionIdentifier("text_quality"),
+        new ExpressionInfo(classOf[TextQuality].getName, "text_quality"),
+        arity("text_quality", 1)(args => TextQuality(args(0)))),
+      (FunctionIdentifier("token_counts"),
+        new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+        arity("token_counts", 1)(args => TokenCounts(args(0)))),
+      (FunctionIdentifier("rolling_fp"),
+        new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
+        arity("rolling_fp", 1)(args => RollingFp(args(0)))))
+
+  /** Idempotent registration on an already-built session (same
+    * contract as [[VectorExpressions.install]]). */
+  def install(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptions.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+}

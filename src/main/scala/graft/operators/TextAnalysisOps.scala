@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Text-analysis operators for LLM training-data pipelines: language
   * identification, quality scoring, token counting, and document
@@ -23,94 +24,79 @@ object TextAnalysisOps {
   def countOccurrences(text: Column, pat: String): Column =
     ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
 
-  /** Stopword-marker language scores. Markers are counted as padded
-    * whole words; the padded copy `' '||text||' '` catches boundary
-    * hits. Returns (score per language struct..., lang_pred).
+  /** Stopword-marker language scores (the marker sets live with the
+    * native expression — [[graft.functions.TextExpressions]]).
     */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " a ", " and ", " of "),
-    "de" -> Seq(" der ", " die ", " und ", " das "),
-    "es" -> Seq(" el ", " la ", " los ", " que "),
-    "fr" -> Seq(" le ", " la ", " les ", " des "))
+  val langMarkers: Map[String, Seq[String]] =
+    graft.functions.TextExpressions.langMarkers
 
-  def langScore(text: Column, lang: String): Column =
-    if (lang == "zh")
-      // CJK ideograph count — space-delimited stopword markers are
-      // meaningless for unsegmented Chinese text (round-3 advice); any
-      // han character is a positive zh signal
-      length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("long")
-    else {
-      val padded = concat(lit(" "), text, lit(" "))
-      langMarkers(lang).map(countOccurrences(padded, _)).reduce(_ + _)
-    }
-
-  /** Predicted language: argmax score, ties broken by lang name order
-    * (greatest-score-first scan over a fixed lang order).
+  /** Predicted language: argmax score, ties broken by lang name order.
+    * One `lang_scores` codegen pass per row (the composed form — 16
+    * full-string `replace` copies + a regex — cost 3-4x the scan).
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val langs = Seq("de", "en", "es", "fr", "zh")
-    val scored = docs.select(
-      (col(idCol).as("doc_id") +:
-        langs.map(l => langScore(t, l).as(s"score_$l"))): _*)
-    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
-    scored.withColumn("lang_pred",
-      langs.foldRight(lit("und")) { (l, acc) =>
-        when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
-      })
+    graft.functions.TextExpressions.install(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        call_function("lang_scores", col(textCol)).as("ls"))
+      .select(col("doc_id"),
+        col("ls.score_de").as("score_de"), col("ls.score_en").as("score_en"),
+        col("ls.score_es").as("score_es"), col("ls.score_fr").as("score_fr"),
+        col("ls.score_zh").as("score_zh"), col("ls.lang_pred").as("lang_pred"))
   }
 
   /** Quality signals: char/token counts, mean token length, alpha and
-    * space ratios (exact decimal), uppercase-start flag.
+    * space ratios. Counts come from ONE `text_quality` codegen pass;
+    * the ratio arithmetic stays in Catalyst (exact decimal casts, so
+    * the DuckDB oracle reproduces the doubles bit-for-bit).
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nChars = length(t).cast("long")
-    val toks = split(trim(t), "\\s+")
-    val nToks = size(toks).cast("long")
-    val nSpaces = countOccurrences(t, " ")
-    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
-    docs.select(
-      col(idCol).as("doc_id"),
-      nChars.as("n_chars"),
-      nToks.as("n_tokens"),
-      (nChars.cast("decimal(20,6)") / greatest(nToks, lit(1L))).cast("double").as("chars_per_token"),
-      (nAlpha.cast("decimal(20,6)") / greatest(nChars, lit(1L))).cast("double").as("alpha_ratio"),
-      (nSpaces.cast("decimal(20,6)") / greatest(nChars, lit(1L))).cast("double").as("space_ratio"))
+    graft.functions.TextExpressions.install(docs.sparkSession)
+    val nChars = col("q.n_chars")
+    val nToks = col("q.n_tokens")
+    docs
+      .select(col(idCol).as("doc_id"),
+        call_function("text_quality", col(textCol)).as("q"))
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nToks.as("n_tokens"),
+        (nChars.cast("decimal(20,6)") / greatest(nToks, lit(1L))).cast("double").as("chars_per_token"),
+        (col("q.n_alpha").cast("decimal(20,6)") / greatest(nChars, lit(1L))).cast("double").as("alpha_ratio"),
+        (col("q.n_spaces").cast("decimal(20,6)") / greatest(nChars, lit(1L))).cast("double").as("space_ratio"))
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens
     * (`\w+` words or single non-space symbols), and a chars/4 token
-    * estimate (the common LLM budgeting heuristic).
+    * estimate (the common LLM budgeting heuristic). One `token_counts`
+    * codegen pass replaces the two array-materializing splits.
     */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    docs.select(
-      col(idCol).as("doc_id"),
-      size(split(trim(t), "\\s+")).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(t, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
-        .cast("long").as("bpeish_tokens"),
-      ceil(length(t).cast("double") / 4).cast("long").as("est_tokens"))
+    graft.functions.TextExpressions.install(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        call_function("token_counts", col(textCol)).as("tc"))
+      .select(col("doc_id"),
+        col("tc.ws_tokens").as("ws_tokens"),
+        col("tc.bpeish_tokens").as("bpeish_tokens"),
+        ceil(col("tc.n_chars").cast("double") / 4).cast("long").as("est_tokens"))
   }
 
   /** Polynomial rolling-hash fingerprint of the document text:
-    * fold over character codes, h = (h*31 + code) mod 1e9+7.
-    * Exact integer arithmetic → identical in any engine.
-    *
-    * Chars come from `split(text, '')` (one O(n) pass): the earlier
-    * `sequence(1,n) → substr(i,1)` shape was O(n²) — substr on
-    * UTF8String scans from the start per call — and cost 3.4 s at
-    * sf0.1 vs ~1 s for this form. Java's zero-width split never
-    * separates surrogate pairs, so code-point semantics match substr.
+    * fold over code points, h = (h*31 + code) mod 1e9+7. Exact
+    * integer arithmetic → identical in any engine. The `rolling_fp`
+    * codegen expression walks the string once; the earlier
+    * `aggregate(transform(split(text, '')))` HOF form allocated a
+    * per-character array and ran the fold on the interpreted lambda
+    * path. Caller must have [[graft.functions.TextExpressions]]
+    * installed (every operator here installs idempotently).
     */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (h, c) => (h * 31 + c) % 1000000007L)
+  def fingerprint(text: Column): Column = call_function("rolling_fp", text)
 
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.install(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("fp"))
+  }
 
   /** Deterministic train/val/test split, keyed by CONTENT hash (first
     * 8 hex chars of md5 as an int, mod 100), not by row id: byte-equal
@@ -258,18 +244,47 @@ object TextAnalysisOps {
     */
   def contaminationCheck(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minOverlap: Int = 1): DataFrame = {
-    val trainGrams = idGramRows(train, idCol, textCol, n)
+    val spark = train.sparkSession
+    import spark.implicits._
+    // Distinct eval grams, shipped once per executor as a broadcast
+    // hash set — the identical bytes a broadcast semi-join would ship
+    // (benchmark suites are tiny next to a 100 TB training corpus).
+    // The driver-side materialization here is broadcast CONSTRUCTION,
+    // not a hot-path collect: it replaces the join framework's own
+    // driver gather for the same relation.
     val evalGrams = eval.select(wordGramsAll(col(textCol), n).as("grams"))
       .select(explode(col("grams")).as("gram")).distinct()
-    val overlaps = trainGrams
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .distinct() // distinct (doc_id, gram) AFTER the cheap semi-join
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    train.select(col(idCol).cast("long").as("doc_id"))
-      .join(overlaps, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+      .as[String].collect()
+    val bc = spark.sparkContext.broadcast(
+      evalGrams.to(scala.collection.immutable.HashSet))
+    // One map-side pass per training doc: walk its distinct grams
+    // (LinkedHashSet like idGramRows' walk) and count hits in the
+    // broadcast set. No gram row ever shuffles, no per-doc groupBy,
+    // no re-join against the doc list — shuffle count drops from 3
+    // to 0 versus the semi-join + distinct + groupBy + left-join
+    // formulation, and the output is exactly one row per train doc.
+    train.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val evalSet = bc.value
+        it.map { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text)
+          var hits = 0L
+          if (toks.length >= n) {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i + n <= toks.length) {
+              val sb = new StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              val g = sb.toString
+              if (seen.add(g) && evalSet.contains(g)) hits += 1
+              i += 1
+            }
+          }
+          (id, hits, hits >= minOverlap)
+        }
+      }
+      .toDF("doc_id", "n_overlap", "contaminated")
   }
 
   /** Per-document repetition score: total n-gram count, the count of
@@ -350,14 +365,42 @@ object TextAnalysisOps {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Per-doc term frequencies computed MAP-SIDE (all of a document's
+    // tokens live in its own row, so tf needs no shuffle at all): one
+    // tokenizer pass + local hashmap per doc, versus the explode +
+    // groupBy(doc, term) shape that shuffled corpus-token-count rows.
+    val tfRows = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text)
+          val counts = new java.util.LinkedHashMap[String, Long]()
+          var i = 0
+          while (i < toks.length) {
+            counts.merge(toks(i), 1L, (a, b) => a + b)
+            i += 1
+          }
+          counts.entrySet().iterator().asScala
+            .map(e => (id, e.getKey, e.getValue))
+        }
+      }
+      .toDF("doc_id", "term", "tf")
+    // Document frequency as `count(*) OVER (PARTITION BY term)` — the
+    // tf rows shuffle ONCE on term and every row picks up its df in
+    // place, so the tokenizer pass runs exactly once (the groupBy+join
+    // formulation re-derived df from a second pruned copy of the tf
+    // subtree — column pruning split the exchanges and the whole scan
+    // + flatMap executed twice). A hot stopword term lands one
+    // partition's worth of (doc, term, tf) rows on one task — the
+    // identical placement a sort-merge tf⋈df join would produce.
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val n = docs.select(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(dfc, "term")
+    tfRows
+      .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .withColumn("idf_u",
         floor(log(col("n").cast("double") / col("df")) * 1000000).cast("long"))

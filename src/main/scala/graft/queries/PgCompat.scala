@@ -42,7 +42,7 @@ object PgCompat {
     */
   private def rangeFanout(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame =
-    df.repartitionByRange(s.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col(key))
+    graft.Q.rangeFanout(df, key)
 
   def queries: Seq[QueryDef] = Seq(
 
@@ -411,7 +411,13 @@ object PgCompat {
         |  'bigint' AS t_key, 'text' AS t_name, 'double precision' AS t_price,
         |  CASE WHEN p_partkey % 2 = 0 THEN true ELSE false END AS valid_even_int
         |FROM part ORDER BY p_partkey""".stripMargin) {
-      withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
+      // range-fanout part BEFORE the UDF-heavy projection: sort-last
+      // re-executed every UDF during range-bound sampling and ran the
+      // projection on the scan's single input split
+      withUdfs((s, dir) => { Tables.register(s, dir)
+        rangeFanout(s, s.table("part"), "p_partkey")
+          .createOrReplaceTempView("q104_part")
+        s.sql(
         """SELECT p_partkey,
           |  encode(CAST(p_brand AS BINARY), 'hex') AS hexed,
           |  encode(CAST(p_brand AS BINARY), 'base64') AS b64,
@@ -427,7 +433,7 @@ object PgCompat {
           |  pg_typeof(p_retailprice) AS t_price,
           |  pg_input_is_valid(CAST(p_partkey % 2 AS STRING),
           |    CASE WHEN p_partkey % 2 = 0 THEN 'integer' ELSE 'date' END) AS valid_even_int
-          |FROM part ORDER BY p_partkey""".stripMargin) })
+          |FROM q104_part""".stripMargin).sortWithinPartitions("p_partkey") })
     },
 
     // slice #2: SIMILAR TO through the server rewrite path, array P2

@@ -210,12 +210,18 @@ object Relational {
         |  cast(sum(cast(value as decimal(30,10))) as double) as sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin),
 
-    // --- JSON extraction from the events.props column
-    Q.sql("q21_json_extract",
-      """SELECT event_id, cast(get_json_object(props, '$.k') as bigint) as k
-        |FROM events ORDER BY event_id""".stripMargin,
+    // --- JSON extraction from the events.props column. Range-fanout
+    // BEFORE the JSON projection: sort-last would feed the range
+    // sampler the projected rows (re-executing get_json_object over
+    // the whole table) and parse on the scan's single input split.
+    Q.df("q21_json_extract",
       """SELECT event_id, cast(json_extract(props, '$.k') as bigint) as k
-        |FROM events ORDER BY event_id""".stripMargin),
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir)
+      Q.rangeFanout(s.table("events"), "event_id")
+        .selectExpr("event_id", "cast(get_json_object(props, '$.k') as bigint) as k")
+        .sortWithinPartitions("event_id")
+    },
 
     // --- conditional aggregation (FILTER clause) + count distinct
     Q.sameSql("q22_conditional_agg",
@@ -300,7 +306,11 @@ object Relational {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
       import graft.operators.TemporalOps
+      // prune BEFORE the as-of compose: asofJoin unions the left side
+      // into its window shuffle, so every unselected column (the wide
+      // props JSON in particular) would ride the exchange for nothing
       val events = Tables.t(s, dir, "events")
+        .select("event_id", "user_id", "ts")
       val o = Tables.t(s, dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(max("o_orderkey").as("o_orderkey"))
@@ -330,9 +340,10 @@ object Relational {
         .filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
         .select(col("event_id").as("interval_id"), col("ts").as("lo"),
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
-      TemporalOps.rangeJoin(ev, "ts", iv, "lo", "hi", bucketSeconds = 600L)
-        .groupBy("interval_id").agg(count(lit(1)).as("n"))
-        .orderBy("interval_id")
+      Q.oracleOrder(
+        TemporalOps.rangeJoin(ev, "ts", iv, "lo", "hi", bucketSeconds = 600L)
+          .groupBy("interval_id").agg(count(lit(1)).as("n")),
+        "interval_id")
     },
 
     // --- recursive CTE (Spark 4 WITH RECURSIVE): dense daily spine

@@ -40,7 +40,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       TextAnalysisOps.langId(Tables.t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- quality scoring: counts + exact-decimal ratios
@@ -56,7 +56,7 @@ object TextAnalysis {
         |       greatest(length(text), 1) as double) AS space_ratio
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.qualityScore(Tables.t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- token counting: whitespace, BPE-ish regex, chars/4 estimate
@@ -67,7 +67,7 @@ object TextAnalysis {
         |  cast(ceil(cast(length(text) as double) / 4) as bigint) AS est_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.tokenStats(Tables.t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- rolling-hash document fingerprint (h = h*31 + code mod 1e9+7)
@@ -80,7 +80,7 @@ object TextAnalysis {
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.fingerprints(Tables.t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- deterministic content-keyed train/val/test split (80/10/10)
@@ -92,7 +92,7 @@ object TextAnalysis {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.trainSplit(Tables.t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- deterministic stratified sample: 50% of en, 20% of the rest,
@@ -106,7 +106,7 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.stratifiedSample(Tables.t(s, dir, "documents"),
           "text", "lang", Map("en" -> 50), defaultPct = 20)
-        .select("doc_id", "lang").orderBy("doc_id")
+        .select("doc_id", "lang").transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- top-20 word bigrams with counts (vocabulary induction)
@@ -134,7 +134,7 @@ object TextAnalysis {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       TextAnalysisOps.corpusStats(Tables.t(s, dir, "documents"), "lang", "n_chars")
         .select("lang", "median", "n_distinct")
-        .orderBy("lang")
+        .transform(Q.oracleOrder(_, "lang"))
     },
 
     // --- benchmark decontamination: distinct 5-gram overlap of every
@@ -167,7 +167,7 @@ object TextAnalysis {
       TextAnalysisOps.contaminationCheck(
         docs.filter("doc_id % 37 != 0"), docs.filter("doc_id % 37 = 0"),
         "doc_id", "text", n = 5)
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- repetition/boilerplate filter: top-3-gram fraction per doc
@@ -196,7 +196,7 @@ object TextAnalysis {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.repetitionScore(
         Tables.t(s, dir, "documents"), "doc_id", "text", n = 3)
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- PII scrub: count + redact emails and IPv4 literals. The
@@ -217,10 +217,13 @@ object TextAnalysis {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
         |FROM seeded ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val seeded = Tables.t(s, dir, "documents").selectExpr("doc_id",
+      // fanout before the 4-regex-pass projection: the single-split
+      // documents scan would otherwise run every regex on one thread
+      val seeded = Q.rangeFanout(Tables.t(s, dir, "documents"), "doc_id")
+        .selectExpr("doc_id",
         """concat(text, ' contact user', doc_id, '@mail', doc_id % 7,
           |'.com or 10.', doc_id % 200, '.0.7 now') AS text""".stripMargin.replace("\n", ""))
-      TextAnalysisOps.piiScrub(seeded, "doc_id", "text").orderBy("doc_id")
+      TextAnalysisOps.piiScrub(seeded, "doc_id", "text").sortWithinPartitions("doc_id")
     },
 
     // --- URL/domain profiling: extract → domain-reduce → per-domain
@@ -253,7 +256,7 @@ object TextAnalysis {
         """concat(text, ' see https://host', doc_id % 23, '.example.com/p/',
           |doc_id % 5, ' and www.ref', doc_id % 11, '.org ') AS text"""
           .stripMargin.replace("\n", ""))
-      TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text").orderBy("domain")
+      TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text").transform(Q.oracleOrder(_, "domain"))
     },
 
     // --- token-window chunking: 8-token windows, stride 4, short tails
@@ -271,7 +274,7 @@ object TextAnalysis {
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
       TextAnalysisOps.chunkTokens(Tables.t(s, dir, "documents"),
         "doc_id", "text", window = 8, stride = 4)
-        .orderBy("doc_id", "chunk_idx")
+        .transform(Q.oracleOrder(_, "doc_id", "chunk_idx"))
     },
 
     // --- sequence packing: per-shard (lang) concat-and-chunk bin
@@ -294,7 +297,7 @@ object TextAnalysis {
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysisOps.packSequences(Tables.t(s, dir, "documents"),
         "doc_id", "text", "lang", budget = 512L)
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     },
 
     // --- top-3 TF-IDF terms per doc; idf pinned to the integer grid
@@ -321,7 +324,7 @@ object TextAnalysis {
         |WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
       TextAnalysisOps.tfidfTopTerms(Tables.t(s, dir, "documents"),
         "doc_id", "text", k = 3)
-        .orderBy(col("doc_id"), col("score").desc, col("term"))
+        .transform(Q.oracleOrderC(_, col("doc_id"), col("score").desc, col("term")))
     },
 
     // --- the pipeline, end to end: quality gate → language gate →
@@ -391,7 +394,7 @@ object TextAnalysis {
       val d4 = d3.join(sp, "doc_id")
         .withColumn("shard_key", concat(col("lang_pred"), lit("/"), col("split")))
       TextAnalysisOps.packSequences(d4, "doc_id", "text", "shard_key", budget = 512L)
-        .orderBy("doc_id")
+        .transform(Q.oracleOrder(_, "doc_id"))
     }
   )
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Equivalence pins for the native text-analysis expressions
+  * ([[graft.functions.TextExpressions]]): each expression must agree
+  * bit-for-bit with the built-in composition it replaced, over an
+  * edge-case corpus (empty / whitespace-only / non-space-whitespace
+  * boundaries / CJK / non-BMP surrogate pairs / NULL) AND the real
+  * sf0.001 documents table, on both the codegen and interpreted
+  * paths. The compositions here are the pre-round-13 operator bodies
+  * verbatim — they are the spec.
+  */
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edge = Seq(
+    "", " ", "   ", "\t", "a", " a ", "  a  b\t c\n", "\ta b\t",
+    "ab", "\f\r", "the cat and the dog of a house",
+    " the the a a ", "der hund und die katze und das haus",
+    "el que la los", "le des la les", "a_b-c.d efg_2 !!",
+    "你好世界这是中文", "mixed 中文 and english the of",
+    "héllo wörld the", "emoji 👍 pair a👍b x",
+    "ends with space ", " starts", "double  space", "punct!,;: only",
+    null.asInstanceOf[String])
+
+  private def corpus: DataFrame = {
+    val e = edge.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id") + 1000L as "doc_id", col("text"))
+    e.unionByName(real)
+  }
+
+  // the pre-round-13 composed formulations, verbatim
+  private def occOld(text: Column, pat: String): Column =
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
+
+  private def langScoreOld(text: Column, lang: String): Column =
+    if (lang == "zh")
+      length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("long")
+    else {
+      val padded = concat(lit(" "), text, lit(" "))
+      graft.functions.TextExpressions.langMarkers(lang)
+        .map(occOld(padded, _)).reduce(_ + _)
+    }
+
+  private def bothPaths(assertion: => Unit): Unit = {
+    assertion // codegen path
+    val key = "spark.sql.codegen.factoryMode"
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      assertion // interpreted path
+    } finally spark.conf.unset(key)
+  }
+
+  test("lang_scores agrees with the 16-replace composition, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    bothPaths {
+      val rows = corpus.select(
+        (Seq(col("doc_id"), call_function("lang_scores", col("text")).as("ls")) ++
+          langs.map(l => langScoreOld(col("text"), l).as(s"old_$l"))): _*)
+      val bad = rows.filter(
+        langs.map(l => !(col(s"ls.score_$l") <=> col(s"old_$l"))).reduce(_ || _))
+      assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("lang_scores.lang_pred replicates the CASE-chain argmax, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    bothPaths {
+      val scored = corpus.select(
+        (col("doc_id") +: col("text") +:
+          langs.map(l => langScoreOld(col("text"), l).as(s"score_$l"))): _*)
+      val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+      val oldPred = langs.foldRight(lit("und")) { (l, acc) =>
+        when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+      }
+      val bad = scored
+        .select(col("doc_id"), oldPred.as("old_pred"),
+          call_function("lang_scores", col("text")).getField("lang_pred").as("new_pred"))
+        .filter(!(col("old_pred") <=> col("new_pred")))
+      assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("text_quality agrees with the regex composition, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    bothPaths {
+      val t = col("text")
+      val bad = corpus.select(col("doc_id"),
+          call_function("text_quality", t).as("q"),
+          length(t).cast("long").as("old_chars"),
+          size(split(trim(t), "\\s+")).cast("long").as("old_tokens"),
+          length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long").as("old_alpha"),
+          occOld(t, " ").as("old_spaces"))
+        .filter(!(col("q.n_chars") <=> col("old_chars")) ||
+          !(col("q.n_tokens") <=> col("old_tokens")) ||
+          !(col("q.n_alpha") <=> col("old_alpha")) ||
+          !(col("q.n_spaces") <=> col("old_spaces")))
+      assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("token_counts agrees with the split/regexp composition, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    bothPaths {
+      val t = col("text")
+      val bad = corpus.select(col("doc_id"),
+          call_function("token_counts", t).as("tc"),
+          size(split(trim(t), "\\s+")).cast("long").as("old_ws"),
+          size(regexp_extract_all(t, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
+            .cast("long").as("old_bpe"),
+          length(t).cast("long").as("old_chars"))
+        .filter(!(col("tc.ws_tokens") <=> col("old_ws")) ||
+          !(col("tc.bpeish_tokens") <=> col("old_bpe")) ||
+          !(col("tc.n_chars") <=> col("old_chars")))
+      assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("rolling_fp agrees with the split-HOF fold, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    bothPaths {
+      val t = col("text")
+      val oldFp = aggregate(
+        transform(split(t, ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31 + c) % 1000000007L)
+      val bad = corpus
+        .select(col("doc_id"), call_function("rolling_fp", t).as("fp"), oldFp.as("old_fp"))
+        .filter(!(col("fp") <=> col("old_fp")))
+      assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("operator plans stay inside whole-stage codegen") {
+    graft.functions.TextExpressions.install(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(
+        graft.operators.TextAnalysisOps.langId(docs, "doc_id", "text"),
+        graft.operators.TextAnalysisOps.qualityScore(docs, "doc_id", "text"),
+        graft.operators.TextAnalysisOps.tokenStats(docs, "doc_id", "text"),
+        graft.operators.TextAnalysisOps.fingerprints(docs, "doc_id", "text"))) {
+      // "*(n)" is the WholeStageCodegen marker in the simple-string
+      // plan rendering; the projection carrying the text expression
+      // must sit inside a codegen span
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"), plan.take(500))
+      assert(!plan.toLowerCase.contains("scalaudf"), plan.take(500))
+    }
+  }
+}
