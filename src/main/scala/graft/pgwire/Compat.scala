@@ -3426,6 +3426,19 @@ object Compat {
   /** Walk back from `p` (the last token of a value expression) to its
     * first token: through a closing paren to the matching open +
     * callee name, or through a qualified  word (. word)*  chain. */
+  /** Clause keywords that can directly precede a parenthesized value
+    * expression — `WHERE (x) < y`, `WHEN (x) …` — and must NOT be
+    * absorbed as if they were the function name of a call: wrapping
+    * from the keyword would emit `enum_ord('t', WHERE (x))`-shaped
+    * SQL. Function-named words (left, right, values-as-fn…) are not
+    * clause positions and stay absorbable.
+    */
+  private val lhsClauseKeywords = Set(
+    "select", "where", "and", "or", "not", "when", "then", "else", "on",
+    "having", "from", "join", "by", "group", "order", "union", "intersect",
+    "except", "limit", "offset", "as", "in", "case", "exists", "between",
+    "distinct", "returning", "values", "set")
+
   private def lhsStartOne(ts: ArrayBuffer[Tok], p: Int): Int = {
     if (ts(p).is(")")) {
       var depth = 1
@@ -3436,7 +3449,8 @@ object Compat {
         if (depth > 0) j -= 1
       }
       val before = prevIdx(ts, j)
-      if (before >= 0 && ts(before).kind == Word) before else j
+      if (before >= 0 && ts(before).kind == Word &&
+        !lhsClauseKeywords.contains(ts(before).text.toLowerCase)) before else j
     } else {
       var j = p
       var cont = true
@@ -3798,12 +3812,6 @@ object Compat {
       if (t.kind == Word) {
         val l = t.text.toLowerCase
         for (fn <- fns) {
-          // composite token from an earlier rewrite: enum_first_n('x')
-          if (l.startsWith(fn + "('")) {
-            val rest = l.substring(fn.length + 2)
-            val q = rest.indexOf('\'')
-            if (q > 0) return Some(rest.substring(0, q))
-          }
           if (l == fn) {
             val o = nextIdx(ts, i)
             if (o >= 0 && o <= to && ts(o).is("(")) {
@@ -3817,6 +3825,74 @@ object Compat {
         }
       }
       i += 1
+    }
+    None
+  }
+
+  /** Enum type of a span when — and only when — the span's OUTERMOST
+    * production is enum-typed. [[enumTypeOf]]'s contains-scan is the
+    * right test inside an argument list (is any operand enum-ish?),
+    * but for dispatch decisions it false-positives on spans that
+    * merely contain an enum cast while producing a non-enum value
+    * (`length(m::mood)`, `CASE WHEN m::mood='sad' THEN 0 … END`,
+    * `x::mood::text`). Rules, in order:
+    *  - a trailing `::type` decides alone: enum type → that type,
+    *    any other type → None (the cast re-typed the value);
+    *  - a fully-parenthesized span recurses on its body;
+    *  - a call to an enum-producing engine function (`enum_in`,
+    *    `enum_label_at`, and the live `enum_first/enum_last(null::ty)`
+    *    spellings, whose type rides the argument cast);
+    *  - enum-preserving functions (min/max/greatest/least/coalesce/
+    *    nullif) recurse on their FIRST top-level argument;
+    *  - anything else → None (bare columns need an explicit cast on
+    *    one operand — the documented family convention).
+    */
+  private def enumTypeOfOuter(ts: ArrayBuffer[Tok], from: Int, to: Int): Option[String] = {
+    val enums = enumTypesTL.get
+    if (enums.isEmpty) return None
+    var a = from
+    while (a <= to && a < ts.length && ts(a).kind == Ws) a += 1
+    var b = math.min(to, ts.length - 1)
+    while (b >= a && ts(b).kind == Ws) b -= 1
+    if (b < a) return None
+    // trailing cast chain: the LAST cast decides the span's type
+    if (ts(b).kind == Word) {
+      val pb = prevIdx(ts, b)
+      if (pb >= a && ts(pb).is("::"))
+        return if (enums.contains(ts(b).text.toLowerCase))
+          Some(ts(b).text.toLowerCase) else None
+    }
+    if (ts(a).is("(") && matchParen(ts, a) == b)
+      return enumTypeOfOuter(ts, a + 1, b - 1)
+    if (ts(a).kind == Word) {
+      val l = ts(a).text.toLowerCase
+      val o = nextIdx(ts, a)
+      if (o >= 0 && o <= b && ts(o).is("(") && matchParen(ts, o) == b) {
+        if (l == "enum_in" || l == "enum_label_at") {
+          val arg = nextIdx(ts, o)
+          if (arg >= 0 && ts(arg).kind == Str) {
+            val nm = ts(arg).text.drop(1).dropRight(1).toLowerCase
+            if (nm.nonEmpty) return Some(nm)
+          }
+        }
+        if (l == "enum_first" || l == "enum_last")
+          return enumTypeOf(ts, o + 1, b - 1)
+        if (l == "min" || l == "max" || l == "greatest" || l == "least" ||
+          l == "coalesce" || l == "nullif") {
+          // first top-level argument carries the result type
+          var j = o + 1; var depth = 0; var end = b - 1
+          var done = false
+          while (j < b && !done) {
+            if (ts(j).is("(")) depth += 1
+            else if (ts(j).is(")")) depth -= 1
+            else if (depth == 0 && ts(j).is(",")) { end = j - 1; done = true }
+            j += 1
+          }
+          var s0 = nextIdx(ts, o)
+          if (s0 >= 0 && ts(s0).isWord("distinct")) s0 = nextIdx(ts, s0)
+          if (s0 >= 0 && s0 <= end) return enumTypeOfOuter(ts, s0, end)
+        }
+      }
     }
     None
   }
@@ -3852,7 +3928,7 @@ object Compat {
         val o = nextIdx(ts, i)
         if (o >= 0 && ts(o).is("(")) {
           val c = matchParen(ts, o)
-          if (c > 0) enumTypeOf(ts, o + 1, c - 1).foreach { name =>
+          if (c > 0) {
             val commas = scala.collection.mutable.ArrayBuffer[Int]()
             var j = o + 1; var depth = 0
             while (j < c) {
@@ -3861,19 +3937,52 @@ object Compat {
               else if (depth == 0 && ts(j).is(",")) commas += j
               j += 1
             }
-            ts.insert(c + 1, Tok(Op, ")")) // closes enum_label_at
-            (Seq(o) ++ commas ++ Seq(c)).sliding(2).toSeq.reverse.foreach {
+            val bounds = (Seq(o) ++ commas.toSeq ++ Seq(c)).sliding(2).toSeq
+            // dispatch only when some argument is OUTERMOST enum-typed:
+            // a contains-scan would fire on `greatest(length(m::mood),
+            // 3)` and hand enum_ord a non-label integer at runtime
+            val name = bounds.flatMap {
               case Seq(a, b) =>
-                ts.insert(b, Tok(Op, ")")) // closes this arg's enum_ord
-                // min(DISTINCT x): the set quantifier stays outside
                 var s0 = nextIdx(ts, a)
-                if (s0 >= 0 && ts(s0).isWord("distinct")) s0 = s0 + 1
-                else s0 = a + 1
-                ts.insertAll(s0, ordPrefix(name))
-              case _ =>
+                if (s0 >= 0 && ts(s0).isWord("distinct")) s0 = nextIdx(ts, s0)
+                if (s0 >= 0 && s0 < b) enumTypeOfOuter(ts, s0, b - 1) else None
+              case _ => None
+            }.headOption
+            name.foreach { nm =>
+              // a FILTER (WHERE …) / OVER (…) tail belongs to the
+              // aggregate call — enum_label_at must close AFTER it
+              // (closing at the arg list would hand the window/filter
+              // clause to a plain scalar function and fail analysis)
+              var end = c
+              var k = nextIdx(ts, end)
+              if (k >= 0 && ts(k).isWord("filter")) {
+                val fo = nextIdx(ts, k)
+                if (fo >= 0 && ts(fo).is("(")) {
+                  val fc = matchParen(ts, fo)
+                  if (fc > 0) { end = fc; k = nextIdx(ts, end) }
+                }
+              }
+              if (k >= 0 && ts(k).isWord("over")) {
+                val wo = nextIdx(ts, k)
+                if (wo >= 0 && ts(wo).is("(")) {
+                  val wc = matchParen(ts, wo)
+                  if (wc > 0) end = wc
+                } else if (wo >= 0 && ts(wo).kind == Word) end = wo
+              }
+              ts.insert(end + 1, Tok(Op, ")")) // closes enum_label_at
+              bounds.reverse.foreach {
+                case Seq(a, b) =>
+                  ts.insert(b, Tok(Op, ")")) // closes this arg's enum_ord
+                  // min(DISTINCT x): the set quantifier stays outside
+                  var s0 = nextIdx(ts, a)
+                  if (s0 >= 0 && ts(s0).isWord("distinct")) s0 = s0 + 1
+                  else s0 = a + 1
+                  ts.insertAll(s0, ordPrefix(nm))
+                case _ =>
+              }
+              ts.insertAll(i, Seq(Tok(Word, "enum_label_at"), Tok(Op, "("),
+                Tok(Str, s"'$nm'"), Tok(Op, ",")))
             }
-            ts.insertAll(i, Seq(Tok(Word, "enum_label_at"), Tok(Op, "("),
-              Tok(Str, s"'$name'"), Tok(Op, ",")))
           }
         }
       }
@@ -3906,7 +4015,11 @@ object Compat {
           while (castOp >= 0 && ts(castOp).is("::") && {
             val ty = nextIdx(ts, castOp); ty >= 0 && ts(ty).kind == Word
           }) { rhs2 = nextIdx(ts, castOp); castOp = nextIdx(ts, rhs2) }
-          val name = enumTypeOf(ts, start, p).orElse(enumTypeOf(ts, rhs, rhs2))
+          // outer-typed only: `x < y::mood::text` compares as text and
+          // `length(m::mood) > 2` as int — wrapping either in enum_ord
+          // would raise 22P02 on a non-label operand at runtime
+          val name = enumTypeOfOuter(ts, start, p)
+            .orElse(enumTypeOfOuter(ts, rhs, rhs2))
           name.foreach { nm =>
             ts.insert(rhs2 + 1, Tok(Op, ")"))
             ts.insertAll(rhs, ordPrefix(nm))
@@ -3951,7 +4064,7 @@ object Compat {
             if (last >= s) {
               val already = ts(s).kind == Word &&
                 ts(s).text.equalsIgnoreCase("enum_ord")
-              enumTypeOf(ts, s, last) match {
+              enumTypeOfOuter(ts, s, last) match {
                 case Some(name) if !already =>
                   ts.insert(last + 1, Tok(Op, ")"))
                   ts.insertAll(s, ordPrefix(name))
@@ -4689,9 +4802,12 @@ object Compat {
           i = p + 3
         } else if (t >= 0 && ts(t).kind == Word && p >= 0 && {
             val tn = ts(t).text.toLowerCase
-            (tn == "char" || tn == "bpchar" || tn == "varchar") && {
-              val b = nextIdx(ts, t); b >= 0 && ts(b).is("(")
-            }
+            val hasParen = { val b = nextIdx(ts, t); b >= 0 && ts(b).is("(") }
+            ((tn == "char" || tn == "character" || tn == "bpchar" ||
+              tn == "varchar") && hasParen) ||
+              // bare `char`/`character` is pg char(1) — `'abc'::char`
+              // yields 'a' (bare `bpchar` stays UNLIMITED, no length)
+              (!hasParen && (tn == "char" || tn == "character"))
           }) {
           // pg length-typed character casts (sweep #7): `x::char(n)`
           // blank-pads AND truncates to n (bpchar semantics → rpad,
@@ -4701,23 +4817,29 @@ object Compat {
           // (pg ignores trailing blanks when comparing two bpchars).
           val tn = ts(t).text.toLowerCase
           val open = nextIdx(ts, t)
-          val close = matchParen(ts, open)
-          val nTok = if (open >= 0) nextIdx(ts, open) else -1
-          if (close > 0 && nTok >= 0 && ts(nTok).kind == Num) {
-            val n = ts(nTok).text
-            var start = primaryStart(ts, p)
-            var pb = prevIdx(ts, start)
-            while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
-              start = primaryStart(ts, prevIdx(ts, pb))
-              pb = prevIdx(ts, start)
-            }
-            val callee = if (tn == "varchar") "substr(CAST(" else "rpad(CAST("
-            val tail = if (tn == "varchar") s" AS STRING), 1, $n)" else s" AS STRING), $n)"
-            ts.remove(i, close - i + 1)
-            ts.insert(p + 1, Tok(Word, tail))
-            ts.insert(start, Tok(Word, callee))
-            i = p + 2
-          } else mapTypeAt(ts, t)
+          val hasParen = open >= 0 && ts(open).is("(")
+          val close = if (hasParen) matchParen(ts, open) else -1
+          val nTok = if (hasParen) nextIdx(ts, open) else -1
+          val n0 = if (nTok >= 0 && ts(nTok).kind == Num) Some(ts(nTok).text)
+            else if (!hasParen) Some("1") // bare char/character → char(1)
+            else None
+          n0 match {
+            case Some(n) =>
+              var start = primaryStart(ts, p)
+              var pb = prevIdx(ts, start)
+              while (pb >= 0 && ts(pb).is("::") && prevIdx(ts, pb) >= 0) {
+                start = primaryStart(ts, prevIdx(ts, pb))
+                pb = prevIdx(ts, start)
+              }
+              val callee = if (tn == "varchar") "substr(CAST(" else "rpad(CAST("
+              val tail = if (tn == "varchar") s" AS STRING), 1, $n)" else s" AS STRING), $n)"
+              val last = if (hasParen) close else t
+              ts.remove(i, last - i + 1)
+              ts.insert(p + 1, Tok(Word, tail))
+              ts.insert(start, Tok(Word, callee))
+              i = p + 2
+            case None => mapTypeAt(ts, t)
+          }
         } else if (t >= 0 && ts(t).kind == Word) {
           // pg bool input accepts on/off, which Spark's cast rejects
           if ((ts(t).text.equalsIgnoreCase("boolean") ||

@@ -89,6 +89,17 @@ class EnumSpec extends SparkSpec with BeforeAndAfterAll {
     // invalid label in a comparison raises 22P02 exactly like a cast
     val bad = c.query("SELECT 'sad'::mood2 < 'bogus'").errors
     assert(bad.nonEmpty && bad.head._1 === "22P02")
+    // windowed enum min: declared-order minimum over the whole window
+    // (live pg 15: min(m::mood) OVER (PARTITION BY true) → sad)
+    val wmin = c.query(s"SELECT min(m::mood2) OVER (PARTITION BY 1) AS lo FROM $vals")
+    assert(wmin.rows.map(_.head.get).toSet === Set("sad"))
+    // non-enum expressions that merely CONTAIN an enum cast stay
+    // untouched: length() yields an int and compares numerically,
+    // and a trailing ::text re-cast compares as text (live pg:
+    // 'x' < 'happy'::mood2::text is false)
+    val thr = c.query(
+      "SELECT length('sad'::mood2) > 2 AS a, 'x' < 'happy'::mood2::text AS b")
+    assert(thr.rows === Seq(Seq(Some("t"), Some("f"))))
     c.query("DROP TYPE mood2")
     c.close()
   }
