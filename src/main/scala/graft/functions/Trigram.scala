@@ -115,9 +115,18 @@ object Trigram extends Serializable {
       (if (a == null || b == null) null else Float.box(wordSimilarity(a, b))): java.lang.Float)
     u.register("strict_word_similarity", (a: String, b: String) =>
       (if (a == null || b == null) null else Float.box(strictWordSimilarity(a, b))): java.lang.Float)
-    // pg_trgm.similarity_threshold default; the % operator itself is
-    // not dispatched (modulo collision — documented), so the GUC pair
-    // is read-only here
     u.register("show_limit", () => 0.3f)
+    // operator support functions (Compat.rewriteTrgmOps): the distance
+    // spellings return 1 - similarity as FLOAT (pg real), and the
+    // commutated forms (`a %> b` ≡ word_similarity(b, a) ≥ t) swap
+    // their arguments here so the token rewrite never has to reorder
+    // operand spans
+    def f2(fn: (String, String) => Float): (String, String) => java.lang.Float =
+      (a, b) => if (a == null || b == null) null else Float.box(fn(a, b))
+    u.register("word_similarity_c", f2((a, b) => wordSimilarity(b, a)))
+    u.register("strict_word_similarity_c", f2((a, b) => strictWordSimilarity(b, a)))
+    u.register("trgm_sim_dist", f2((a, b) => 1f - similarity(a, b)))
+    u.register("trgm_word_dist", f2((a, b) => 1f - wordSimilarity(a, b)))
+    u.register("trgm_word_dist_c", f2((a, b) => 1f - wordSimilarity(b, a)))
   }
 }

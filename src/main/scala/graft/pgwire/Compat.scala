@@ -38,7 +38,7 @@ object Compat {
   }
 
   /** Multi-char operators recognized as single tokens (longest first). */
-  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&", "<<=", ">>=", "<<", ">>", "&<", "&>", "-|-", "<->")
+  private val multiOps = Seq("!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<>", "!=", "<=", ">=", "||/", "||", "=>", "->>", "->", "#>>", "#>", "#-", "@>", "<@", "@?", "@@", "&&", "|/", "?|", "?&", "<<->", "<<%", "<<=", ">>=", "<<", ">>", "&<", "&>", "-|-", "<->>", "<->", "<%", "%>>", "%>")
 
   def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -435,6 +435,10 @@ object Compat {
     rewriteEnumFns(ts)
     rewriteInetOps(ts)
     rewriteTsOps(ts)
+    // trgm operators run AFTER the text-search pass so a `<->` between
+    // tsquery operands keeps its phrase-distance meaning; whatever
+    // remains with a syntactically-text operand is trigram distance
+    rewriteTrgmOps(ts)
     rewriteTsAccessors(ts)
     rewriteJsonOps(ts)
     rewriteLimitCast(ts)
@@ -4085,6 +4089,108 @@ object Compat {
             }
             if (comma >= 0) { s = nextIdx(ts, comma); scanning = s >= 0 }
             else scanning = false
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Text-returning functions accepted as syntactic "this operand is
+    * text" markers by the trigram operator dispatch. */
+  private val textyFns = Set("lower", "upper", "trim", "btrim", "ltrim",
+    "rtrim", "substr", "substring", "concat", "concat_ws", "replace",
+    "initcap", "left", "right", "unaccent", "reverse", "translate",
+    "repeat", "lpad", "rpad", "format", "quote_literal", "quote_ident")
+
+  private val textyCastNames = Set("text", "varchar", "char", "bpchar",
+    "character", "citext", "string")
+
+  /** Span is SYNTACTICALLY text-typed: a string literal, a trailing
+    * ::text-family cast, or a call to a known string function. The
+    * trigram operators dispatch only on such spans — `5 % 2` must stay
+    * modulo, and pg itself resolves `'5' % 2` numerically (the unknown
+    * literal coerces to int), so a Num on the other side vetoes. */
+  private def isTextySpan(ts: ArrayBuffer[Tok], from: Int, to: Int): Boolean = {
+    var a = from
+    while (a <= to && a < ts.length && ts(a).kind == Ws) a += 1
+    var b = math.min(to, ts.length - 1)
+    while (b >= a && ts(b).kind == Ws) b -= 1
+    if (b < a) return false
+    if (ts(b).kind == Str) return true
+    if (ts(b).kind == Word) {
+      val pb = prevIdx(ts, b)
+      if (pb >= a && ts(pb).is("::"))
+        return textyCastNames.contains(ts(b).text.toLowerCase)
+    }
+    if (ts(a).is("(") && matchParen(ts, a) == b)
+      return isTextySpan(ts, a + 1, b - 1)
+    if (ts(a).kind == Word && textyFns.contains(ts(a).text.toLowerCase)) {
+      val o = nextIdx(ts, a)
+      if (o >= 0 && o <= b && ts(o).is("(") && matchParen(ts, o) == b) return true
+    }
+    false
+  }
+
+  /** pg_trgm operator spellings → the engine's trigram functions
+    * (public pg_trgm docs; thresholds are the extension defaults,
+    * live-pinned in PgParitySpec sweep-23):
+    *   a % b    → similarity(a,b) >= 0.3          (similar)
+    *   a <% b   → word_similarity(a,b) >= 0.6     (word-similar)
+    *   a %> b   → word_similarity(b,a) >= 0.6     (commutator)
+    *   a <<% b  → strict_word_similarity(a,b) >= 0.5
+    *   a %>> b  → strict_word_similarity(b,a) >= 0.5
+    *   a <-> b  → 1 - similarity(a,b)             (distance, real)
+    *   a <<-> b → 1 - word_similarity(a,b)
+    *   a <->> b → 1 - word_similarity(b,a)
+    * Dispatch needs one operand syntactically text-typed (string
+    * literal / ::text cast / string function) and the other side
+    * non-numeric — `5 % 2` and `id % 37` stay modulo, and a `<->`
+    * between tsquery operands was already consumed by rewriteTsOps.
+    * SET pg_trgm.*_threshold is not wired into the rewrite (defaults
+    * only) — documented deviation.
+    */
+  private val trgmBoolOps = Map(
+    "%" -> ("similarity", "0.3"), "<%" -> ("word_similarity", "0.6"),
+    "%>" -> ("word_similarity_c", "0.6"),
+    "<<%" -> ("strict_word_similarity", "0.5"),
+    "%>>" -> ("strict_word_similarity_c", "0.5"))
+  private val trgmDistOps = Map(
+    "<->" -> "trgm_sim_dist", "<<->" -> "trgm_word_dist",
+    "<->>" -> "trgm_word_dist_c")
+
+  private def rewriteTrgmOps(ts: ArrayBuffer[Tok]): Unit = {
+    if (!ts.exists(t => t.kind == Op &&
+      (trgmBoolOps.contains(t.text) || trgmDistOps.contains(t.text)))) return
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Op &&
+        (trgmBoolOps.contains(t.text) || trgmDistOps.contains(t.text))) {
+        val rhs = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
+          (ts(rhs).kind == Str || ts(rhs).kind == Word ||
+            ts(rhs).kind == QIdent || ts(rhs).is("("))) {
+          val start = lhsStart(ts, p)
+          var rhs2 = extendValue(ts, rhs)
+          // absorb a trailing cast chain into the rhs span
+          var castOp = nextIdx(ts, rhs2)
+          while (castOp >= 0 && ts(castOp).is("::") && {
+            val ty = nextIdx(ts, castOp); ty >= 0 && ts(ty).kind == Word
+          }) { rhs2 = nextIdx(ts, castOp); castOp = nextIdx(ts, rhs2) }
+          val texty = isTextySpan(ts, start, p) || isTextySpan(ts, rhs, rhs2)
+          val numeric = ts(p).kind == Num || ts(rhs).kind == Num
+          if (texty && !numeric) {
+            val (fn, cmp) = trgmBoolOps.get(t.text) match {
+              case Some((f, thr)) => (f, Seq(Tok(Op, ")"), Tok(Op, ">="),
+                Tok(Num, thr), Tok(Op, ")")))
+              case None => (trgmDistOps(t.text), Seq(Tok(Op, ")"), Tok(Op, ")")))
+            }
+            ts.insertAll(rhs2 + 1, cmp)
+            ts(i) = Tok(Op, ",")
+            ts.insertAll(start, Seq(Tok(Op, "("), Tok(Word, fn), Tok(Op, "(")))
+            i += 3 // past the lhs insertions; scan resumes after the op
           }
         }
       }

@@ -1478,4 +1478,46 @@ class PgParitySpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("sad", "ok", "happy"))
     graft.functions.PgEnums.drop(spark, "mood")
   }
+
+  test("sweep-23: pg_trgm operator spellings (live pg 15, pg_trgm loaded)") {
+    // 30 expressions pinned against a scratch pg 15 with CREATE
+    // EXTENSION pg_trgm — zero-diff on first run. `%`/`<%`/`%>`/
+    // `<<%`/`%>>` are the threshold booleans at the extension-default
+    // limits (0.3/0.6/0.5); `<->`/`<<->`/`<->>` are float4 distances.
+    // `5 % 2` stays modulo (pg resolves the numeric overload), and a
+    // string-function operand (lower) or ::text cast also dispatches.
+    val pinned: Seq[(String, String)] = Seq(
+      ("'word' % 'word'", "t"),
+      ("'word' % 'words'", "t"),
+      ("'hello' % 'helo'", "t"),
+      ("'abc' % 'xyz'", "f"),
+      ("'listen' % 'silent'", "f"),
+      ("'postgres' % 'postgre'", "t"),
+      ("'the quick brown fox' % 'quick fox'", "t"),
+      ("'word' <-> 'words'", "0.4285714"),
+      ("'hello' <-> 'helo'", "0.4285714"),
+      ("'abc' <-> 'xyz'", "1"),
+      ("'same' <-> 'same'", "0"),
+      ("'word' <% 'two words here'", "t"),
+      ("'words' <% 'two words here'", "t"),
+      ("'zzz' <% 'two words here'", "f"),
+      ("'two words here' %> 'word'", "t"),
+      ("'two words here' %> 'zzz'", "f"),
+      ("'word' <<% 'two words here'", "t"),
+      ("'zzz' <<% 'two words here'", "f"),
+      ("'two words here' %>> 'word'", "t"),
+      ("'word' <<-> 'two words here'", "0.19999999"),
+      ("'two words here' <->> 'word'", "0.19999999"),
+      ("lower('WORD') % 'word'", "t"),
+      ("'word'::text <-> 'woird'", "0.625"),
+      ("5 % 2", "1"),
+      ("7 % 3", "1"),
+      ("'QUICK Fox' % 'quick fox'", "t"),
+      ("'a' <-> 'b'", "1"),
+      ("'' % 'word'", "f"),
+      ("'' <-> ''", "1"),
+      ("'x' % 'x'", "t"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
