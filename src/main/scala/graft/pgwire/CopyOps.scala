@@ -24,7 +24,8 @@ object CopyOps {
       csv: Boolean,
       delimiter: Char,
       nullStr: String,
-      header: Boolean)
+      header: Boolean,
+      binary: Boolean = false)
 
   private val headRe = "(?is)^\\s*COPY\\s+(.*)$".r
 
@@ -82,6 +83,7 @@ object CopyOps {
       syntaxErr(stmt) // pg: COPY (query) FROM is invalid
     // options
     var csv = false
+    var binary = false
     var delim: Option[Char] = None
     var nul: Option[String] = None
     var header = false
@@ -101,7 +103,7 @@ object CopyOps {
           case "FORMAT" => value.toLowerCase match {
             case "csv" => csv = true
             case "text" => csv = false
-            case "binary" => throw PgException("0A000", "COPY binary format is not supported")
+            case "binary" => binary = true
             case other => throw PgException("22023", s"""COPY format "$other" not recognized""")
           }
           case "DELIMITER" =>
@@ -125,8 +127,7 @@ object CopyOps {
       var i = 0
       while (i < toks.length) {
         toks(i).toUpperCase match {
-          case "BINARY" =>
-            throw PgException("0A000", "COPY binary format is not supported")
+          case "BINARY" => binary = true; i += 1
           case "CSV" => csv = true; i += 1
           case "HEADER" => header = true; i += 1
           case "DELIMITER" =>
@@ -144,10 +145,20 @@ object CopyOps {
         }
       }
     }
+    // pg rejects the text/csv knobs in BINARY mode (42601)
+    if (binary) {
+      if (csv) syntaxErr(stmt)
+      if (delim.nonEmpty)
+        throw PgException("42601", "cannot specify DELIMITER in BINARY mode")
+      if (nul.nonEmpty)
+        throw PgException("42601", "cannot specify NULL in BINARY mode")
+      if (header)
+        throw PgException("42601", "cannot specify HEADER in BINARY mode")
+    }
     CopySpec(source, cols, fromStdin = !to, csv = csv,
       delimiter = delim.getOrElse(if (csv) ',' else '\t'),
       nullStr = nul.getOrElse(if (csv) "" else "\\N"),
-      header = header)
+      header = header, binary = binary)
   }
 
   private def stripQ(s: String): String =
@@ -269,6 +280,127 @@ object CopyOps {
 
   def encodeLine(fields: Seq[Option[String]], spec: CopySpec): String =
     if (spec.csv) encodeCsvLine(fields, spec) else encodeTextLine(fields, spec)
+
+  // ---- binary format (pg docs §COPY: PGCOPY signature, int32 flags,
+  // int32 extension, then int16-field-count tuples of (int32 len,
+  // bytes) fields in the wire binary encodings, int16 -1 trailer) ----
+
+  /** The 11-byte PGCOPY\n\377\r\n\0 file signature. */
+  val BinarySignature: Array[Byte] =
+    Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', 0xFF.toByte, '\r', '\n', 0x00)
+
+  /** Binary COPY header: signature + flags 0 + no extension. */
+  def binaryHeader: Array[Byte] =
+    BinarySignature ++ BinaryEncoder.be4(0) ++ BinaryEncoder.be4(0)
+
+  /** Decode a full binary COPY-FROM payload into rows of nullable
+    * TEXT-form fields — the same shape the text decoder produces, so
+    * both formats feed the one staging/cast pipeline. `types` are the
+    * target columns' Spark types in COPY column order.
+    */
+  def decodeBinary(data: Array[Byte],
+      types: Seq[org.apache.spark.sql.types.DataType]): Seq[Seq[Option[String]]] = {
+    val buf = java.nio.ByteBuffer.wrap(data)
+    if (buf.remaining < BinarySignature.length + 8)
+      dataErr("COPY binary data too short for signature")
+    val got = new Array[Byte](BinarySignature.length)
+    buf.get(got)
+    if (!java.util.Arrays.equals(got, BinarySignature))
+      dataErr("COPY file signature not recognized")
+    val flags = buf.getInt
+    if (flags != 0)
+      dataErr("unrecognized critical flags in COPY file header")
+    val extLen = buf.getInt
+    if (extLen < 0 || extLen > buf.remaining)
+      dataErr("invalid COPY file header extension length")
+    buf.position(buf.position() + extLen)
+    val out = Seq.newBuilder[Seq[Option[String]]]
+    var done = false
+    while (!done) {
+      if (buf.remaining < 2) dataErr("unexpected EOF in COPY binary data")
+      val nf = buf.getShort
+      if (nf == -1) done = true
+      else {
+        if (nf != types.length)
+          dataErr(s"row field count $nf, expected ${types.length}")
+        out += types.map { dt =>
+          val len = buf.getInt
+          if (len == -1) None
+          else if (len < 0 || len > buf.remaining) dataErr("invalid field size")
+          else {
+            val fb = new Array[Byte](len)
+            buf.get(fb)
+            Some(binaryFieldToText(fb, dt))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** One binary field → the text form a text-format COPY would carry
+    * for the same value (CASTable by the staging pipeline; bytea uses
+    * the `\x` hex input pg_to_bytea parses).
+    */
+  private def binaryFieldToText(b: Array[Byte],
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    val buf = java.nio.ByteBuffer.wrap(b)
+    // fixed-width fields must carry exactly their width — a mistyped
+    // payload (e.g. numeric bytes aimed at a float8 column) errors
+    // like pg's "incorrect binary data format" instead of silently
+    // decoding the first 8 bytes of something else
+    def fixed(n: Int): java.nio.ByteBuffer = {
+      if (b.length != n) dataErr(
+        s"incorrect binary data format: ${b.length}-byte field for " +
+          s"${dt.simpleString} (expected $n)")
+      buf
+    }
+    dt match {
+      case BooleanType => if (fixed(1).get() != 0) "true" else "false"
+      case ByteType | ShortType => fixed(2).getShort.toString
+      case IntegerType => fixed(4).getInt.toString
+      case LongType => fixed(8).getLong.toString
+      case FloatType => fixed(4).getFloat.toString
+      case DoubleType => fixed(8).getDouble.toString
+      case _: DecimalType => decodeNumericText(buf)
+      case StringType | _: CharType | _: VarcharType => new String(b, "UTF-8")
+      case BinaryType => "\\x" + b.map("%02x".format(_)).mkString
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(fixed(4).getInt + BinaryEncoder.PG_EPOCH_DAYS).toString
+      case TimestampNTZType => microsToLdt(fixed(8).getLong).toString
+      case TimestampType => microsToLdt(fixed(8).getLong).toString + "Z"
+      case other =>
+        dataErr(s"COPY binary input for type ${other.simpleString} is not supported")
+    }
+  }
+
+  private def microsToLdt(pgMicros: Long): java.time.LocalDateTime = {
+    val micros = pgMicros + BinaryEncoder.PG_EPOCH_MICROS
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000).toInt,
+      java.time.ZoneOffset.UTC)
+  }
+
+  /** Inverse of [[BinaryEncoder.encodeNumeric]]: base-10000 digit
+    * groups → plain decimal string at the transmitted dscale. */
+  private def decodeNumericText(buf: java.nio.ByteBuffer): String = {
+    val nd = buf.getShort.toInt
+    val weight = buf.getShort.toInt
+    val sign = buf.getShort & 0xFFFF
+    val dscale = buf.getShort.toInt
+    if (sign == 0xC000) return "NaN"
+    var bd = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < nd) {
+      val d = buf.getShort.toInt
+      bd = bd.add(new java.math.BigDecimal(d).scaleByPowerOfTen((weight - i) * 4))
+      i += 1
+    }
+    if (sign == 0x4000) bd = bd.negate()
+    bd.setScale(dscale).toPlainString
+  }
 
   // ---- data format: decode ------------------------------------------------
 

@@ -175,18 +175,23 @@ object Messages {
 
   // ---- COPY sub-protocol (pg protocol §55.2.6) ---------------------------
 
-  /** CopyOutResponse: overall format 0 (text), per-column formats 0. */
-  def copyOutResponse(out: DataOutputStream, ncols: Int): Unit =
+  /** CopyOutResponse: overall + per-column format 0 (text) or 1
+    * (binary). */
+  def copyOutResponse(out: DataOutputStream, ncols: Int,
+      binary: Boolean = false): Unit =
     msg(out, 'H') { o =>
-      o.writeByte(0); o.writeShort(ncols)
-      (0 until ncols).foreach(_ => o.writeShort(0))
+      val f = if (binary) 1 else 0
+      o.writeByte(f); o.writeShort(ncols)
+      (0 until ncols).foreach(_ => o.writeShort(f))
     }
 
   /** CopyInResponse: same layout, type 'G'. */
-  def copyInResponse(out: DataOutputStream, ncols: Int): Unit =
+  def copyInResponse(out: DataOutputStream, ncols: Int,
+      binary: Boolean = false): Unit =
     msg(out, 'G') { o =>
-      o.writeByte(0); o.writeShort(ncols)
-      (0 until ncols).foreach(_ => o.writeShort(0))
+      val f = if (binary) 1 else 0
+      o.writeByte(f); o.writeShort(ncols)
+      (0 until ncols).foreach(_ => o.writeShort(f))
     }
 
   def copyData(out: DataOutputStream, bytes: Array[Byte]): Unit =

@@ -340,6 +340,35 @@ final class PgServer(
           s"SELECT $colList FROM `$t`"
       }
       Handlers.execute(spark, session, sql, Some(auth), hooks) match {
+        case RowSet(schema, rows, _) if spec.binary =>
+          // binary format: PGCOPY header, int16-count tuples of
+          // (int32 len, wire-binary bytes) — the same per-type
+          // encodings the extended protocol's binary result path
+          // uses (byte-replay-pinned there), -1 trailer
+          Messages.copyOutResponse(out, schema.fields.length, binary = true)
+          Messages.copyData(out, CopyOps.binaryHeader)
+          var n = 0L
+          rows.foreach { row =>
+            val b = new java.io.ByteArrayOutputStream()
+            b.write(BinaryEncoder.be2(schema.fields.length))
+            schema.fields.zipWithIndex.foreach { case (f, i) =>
+              val v = if (row.isNullAt(i)) null else row.get(i)
+              val enc =
+                if (v != null && PgType.isTimeField(f))
+                  Some(BinaryEncoder.be8(v.asInstanceOf[Long] / 1000))
+                else BinaryEncoder.encode(v, f.dataType)
+              enc match {
+                case None => b.write(BinaryEncoder.be4(-1))
+                case Some(bb) =>
+                  b.write(BinaryEncoder.be4(bb.length)); b.write(bb)
+              }
+            }
+            Messages.copyData(out, b.toByteArray)
+            n += 1
+          }
+          Messages.copyData(out, BinaryEncoder.be2(-1))
+          Messages.copyDone(out)
+          Messages.commandComplete(out, s"COPY $n")
         case RowSet(schema, rows, _) =>
           Messages.copyOutResponse(out, schema.fields.length)
           var n = 0L
@@ -372,7 +401,7 @@ final class PgServer(
           throw PgException("42703",
             s"""column "$c" of relation "$table" does not exist""")
       }
-      Messages.copyInResponse(out, cols.length)
+      Messages.copyInResponse(out, cols.length, binary = spec.binary)
       out.flush()
       // drain the COPY data stream fully BEFORE acting on it — on any
       // failure the protocol still requires consuming up to CopyDone
@@ -400,7 +429,14 @@ final class PgServer(
         throw PgException("54000",
           "COPY FROM STDIN exceeds the 256 MiB buffer — the protocol is a " +
             "single client stream by design; register bulk data as a file source instead")
-      val rows = CopyOps.decode(new String(buf.toByteArray, UTF_8), spec)
+      val rows =
+        if (spec.binary) {
+          // binary fields decode to TEXT form (per target column type)
+          // so both formats share the staging/cast pipeline below
+          val colTypes = cols.map(c =>
+            tgtSchema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType)
+          CopyOps.decodeBinary(buf.toByteArray, colTypes)
+        } else CopyOps.decode(new String(buf.toByteArray, UTF_8), spec)
       rows.zipWithIndex.foreach { case (r, idx) =>
         if (r.length != cols.length)
           throw PgException("22P04",

@@ -149,4 +149,71 @@ class CopyParitySpec extends SparkSpec {
     diff("COPY (SELECT g AS id FROM generate_series(1, 5) AS g ORDER BY 1) " +
       "TO STDOUT (FORMAT csv, HEADER true)")
   }
+
+  // ---- binary format (round 13): PGCOPY header + wire-binary tuples ----
+
+  /** Raw binary COPY bytes from LIVE pg. */
+  private def copyLiveBytes(copySql: String): Array[Byte] = {
+    val f = java.nio.file.Files.createTempFile("copy_live", ".bin")
+    val cmd = Seq("/usr/bin/psql", "-X", "-q", "-h", "/tmp", "-p", pgPort.toString,
+      "-U", "postgres", "-d", "postgres", "-v", "ON_ERROR_STOP=1",
+      "-c", "SET timezone='UTC'", "-c", copySql)
+    val code = (Process(cmd, None, "PGCONNECT_TIMEOUT" -> "10") #> f.toFile).!
+    assert(code == 0, s"live pg COPY failed: $copySql")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    java.nio.file.Files.deleteIfExists(f)
+    bytes
+  }
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  private def diffBinary(copySql: String): Unit = {
+    assume(haveTools, "no scratch PostgreSQL toolchain installed")
+    val live = copyLiveBytes(copySql)
+    val c = new Client(server.get.boundPort)
+    c.startup()
+    val (formats, data, tag, errs) = c.copyOutBytes(copySql)
+    c.close()
+    assert(errs.isEmpty, s"graft COPY failed: $errs for $copySql")
+    assert(tag.startsWith("COPY "), tag)
+    assert(formats.nonEmpty && formats.forall(_ == 1),
+      s"CopyOutResponse must declare binary column formats, got $formats")
+    assert(hex(data) === hex(live), s"binary COPY bytes diverge for: $copySql")
+  }
+
+  test("binary format: scalar type matrix is byte-identical") {
+    diffBinary("COPY (SELECT 42::int4 AS a, 9000000000::int8 AS b, " +
+      "7::int2 AS c, 1.5::float4 AS d, 2.25::float8 AS e, 'plain text' AS f, " +
+      "true AS g, false AS h, NULL::text AS i) TO STDOUT (FORMAT binary)")
+  }
+
+  test("binary format: date/time/timestamp encodings") {
+    diffBinary("COPY (SELECT DATE '2026-08-14' AS a, " +
+      "'2024-03-07 10:11:12'::timestamp AS b, " +
+      "'2024-03-07 10:11:12+02'::timestamptz AS c, " +
+      "TIME '12:34:56.25' AS d) TO STDOUT (FORMAT binary)")
+  }
+
+  test("binary format: numeric digit groups, bytea, arrays, intervals") {
+    diffBinary("COPY (SELECT 12.34::numeric(10,2) AS a, " +
+      "-98765.4321::numeric(12,4) AS b, 0::numeric(5,0) AS c, " +
+      """'\x0102ff'::bytea AS d) TO STDOUT (FORMAT binary)""")
+    diffBinary("COPY (SELECT ARRAY[1,2,3] AS a, ARRAY['x','y'] AS b, " +
+      "ARRAY['a b', NULL]::text[] AS c) TO STDOUT (FORMAT binary)")
+    diffBinary("COPY (SELECT interval '1-2' AS a, interval '3 4:05:06' AS b) " +
+      "TO STDOUT (FORMAT binary)")
+  }
+
+  test("binary format: multi-row stream and empty result") {
+    // g cast to int8 on both sides: pg's generate_series yields int4,
+    // the engine's range yields int8 — the text format hides the
+    // width, the binary format does not
+    diffBinary("COPY (SELECT g::int8 AS id, 'row' || g AS t " +
+      "FROM generate_series(1, 5) AS g ORDER BY 1) TO STDOUT (FORMAT binary)")
+    diffBinary("COPY (SELECT 1 AS x WHERE false) TO STDOUT (FORMAT binary)")
+  }
+
+  test("binary format: legacy WITH BINARY spelling") {
+    diffBinary("COPY (SELECT 5::int4 AS a) TO STDOUT WITH BINARY")
+  }
 }

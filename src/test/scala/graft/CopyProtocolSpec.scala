@@ -113,6 +113,50 @@ class CopyProtocolSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("COPY binary round-trips: TO bytes feed FROM STDIN (FORMAT binary)") {
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS copy_bin")
+    val r0 = c.query("CREATE TABLE copy_bin (id INT, name STRING, val DOUBLE, " +
+      "ok BOOLEAN, d DATE, num DECIMAL(10,2)) USING parquet")
+    assert(r0.errors === Nil)
+    // payload produced by the server's own binary TO side (the TO
+    // bytes themselves are live-pg-pinned in CopyParitySpec)
+    val (formats, data, tag, errs) = c.copyOutBytes(
+      "COPY (SELECT 1 AS id, 'aéb' AS name, 1.5::float8 AS val, true AS ok, " +
+        "DATE '2026-01-02' AS d, 12.34::numeric(10,2) AS num " +
+        "UNION ALL SELECT 2, NULL, NULL, false, NULL, NULL ORDER BY 1) " +
+        "TO STDOUT (FORMAT binary)")
+    assert(errs === Nil)
+    assert(tag === "COPY 2")
+    assert(formats.forall(_ == 1))
+    val r = c.copyInBytes("COPY copy_bin FROM STDIN (FORMAT binary)", Seq(data))
+    assert(r.errors === Nil)
+    assert(r.tags === Seq("COPY 2"))
+    val chk = c.query("SELECT id, coalesce(name, '<n>'), " +
+      "coalesce(CAST(val AS STRING), '<n>'), ok, " +
+      "coalesce(CAST(d AS STRING), '<n>'), coalesce(CAST(num AS STRING), '<n>') " +
+      "FROM copy_bin ORDER BY id")
+    assert(chk.rows === Seq(
+      Seq(Some("1"), Some("aéb"), Some("1.5"), Some("t"), Some("2026-01-02"), Some("12.34")),
+      Seq(Some("2"), Some("<n>"), Some("<n>"), Some("f"), Some("<n>"), Some("<n>"))))
+    c.query("DROP TABLE copy_bin")
+    c.close()
+  }
+
+  test("COPY binary rejects text-mode options and bad signatures") {
+    val c = connect()
+    val bad = c.query("COPY (SELECT 1) TO STDOUT (FORMAT binary, HEADER)").errors
+    assert(bad.nonEmpty && bad.head._1 === "42601", bad)
+    val bad2 = c.query("COPY (SELECT 1) TO STDOUT (FORMAT binary, DELIMITER '|')").errors
+    assert(bad2.nonEmpty && bad2.head._1 === "42601", bad2)
+    c.query("CREATE TABLE copy_bin2 (id INT) USING parquet")
+    val r = c.copyInBytes("COPY copy_bin2 FROM STDIN (FORMAT binary)",
+      Seq("not a pgcopy stream".getBytes("UTF-8")))
+    assert(r.errors.nonEmpty && r.errors.head._1 === "22P04", r.errors)
+    c.query("DROP TABLE copy_bin2")
+    c.close()
+  }
+
   test("COPY FROM STDIN csv: header skip, quoted embedded delimiter + newline") {
     val c = connect()
     c.query("CREATE TABLE copy_csv (id INT, txt STRING) USING parquet")
@@ -161,14 +205,14 @@ class CopyProtocolSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
-  test("error SQLSTATEs: missing relation, file targets, binary format") {
+  test("error SQLSTATEs: missing relation, file targets, bad format") {
     val c = connect()
     val r1 = c.copyIn("COPY no_such_table FROM STDIN", Nil)
     assert(r1.errors.map(_._1) === Seq("42P01"))
     val (_, _, _, e2) = c.copyOut("COPY copy_src TO '/tmp/x'")
     assert(e2.map(_._1) === Seq("0A000"))
-    val (_, _, _, e3) = c.copyOut("COPY copy_src TO STDOUT (FORMAT binary)")
-    assert(e3.map(_._1) === Seq("0A000"))
+    val (_, _, _, e3) = c.copyOut("COPY copy_src TO STDOUT (FORMAT parquet)")
+    assert(e3.map(_._1) === Seq("22023"))
     assert(c.query("SELECT 1").rows === Seq(Seq(Some("1"))))
     c.close()
   }

@@ -114,6 +114,46 @@ final class Client(port: Int) {
   /** COPY ... TO STDOUT: returns (ncols from CopyOutResponse,
     * concatenated CopyData payload, CommandComplete tag, errors).
     */
+  /** Byte-exact CopyOut: raw concatenated CopyData payloads plus the
+    * per-column format codes from CopyOutResponse (binary parity
+    * tests must not round-trip through UTF-8). */
+  def copyOutBytes(sql: String): (Seq[Short], Array[Byte], String, Seq[(String, String)]) = {
+    send('Q')(cstr(_, sql))
+    var formats = Seq.empty[Short]
+    val data = new java.io.ByteArrayOutputStream()
+    var tag = ""
+    val errors = ArrayBuffer.empty[(String, String)]
+    while (true) {
+      val (tpe, body) = read()
+      tpe match {
+        case 'H' =>
+          val bb = java.nio.ByteBuffer.wrap(body)
+          bb.get() // overall format
+          val n = bb.getShort
+          formats = (0 until n).map(_ => bb.getShort)
+        case 'd' => data.write(body)
+        case 'c' => // CopyDone
+        case 'C' =>
+          var end = 0; while (end < body.length && body(end) != 0) end += 1
+          tag = new String(body, 0, end, UTF_8)
+        case 'E' =>
+          var pos = 0; var code = ""; var m = ""
+          while (pos < body.length && body(pos) != 0) {
+            val fld = body(pos).toChar
+            var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
+            val v = new String(body, pos + 1, end - pos - 1, UTF_8)
+            if (fld == 'C') code = v
+            if (fld == 'M') m = v
+            pos = end + 1
+          }
+          errors += (code -> m)
+        case 'Z' => return (formats, data.toByteArray, tag, errors.toSeq)
+        case _ =>
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def copyOut(sql: String): (Int, String, String, Seq[(String, String)]) = {
     send('Q')(cstr(_, sql))
     var ncols = -1
@@ -182,6 +222,38 @@ final class Client(port: Int) {
       case Some(m) => send('f')(cstr(_, m))
       case None => send('c')(_ => ())
     }
+    drain()
+  }
+
+  /** [[copyIn]] with raw byte chunks (binary-format COPY FROM). */
+  def copyInBytes(sql: String, chunks: Seq[Array[Byte]]): Reply = {
+    send('Q')(cstr(_, sql))
+    var ok = false
+    var err: Option[(String, String)] = None
+    while (!ok) {
+      val (tpe, body) = read()
+      tpe match {
+        case 'G' => ok = true
+        case 'E' =>
+          var pos = 0; var code = ""; var m = ""
+          while (pos < body.length && body(pos) != 0) {
+            val fld = body(pos).toChar
+            var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
+            val v = new String(body, pos + 1, end - pos - 1, UTF_8)
+            if (fld == 'C') code = v
+            if (fld == 'M') m = v
+            pos = end + 1
+          }
+          err = Some(code -> m)
+        case 'Z' =>
+          return Reply(Nil, Nil, Nil, Nil, err.toSeq, Map.empty,
+            body(0).toChar, emptyQuery = false, suspended = false, Nil,
+            noData = false, None)
+        case _ =>
+      }
+    }
+    chunks.foreach(b => send('d')(_.write(b)))
+    send('c')(_ => ())
     drain()
   }
 
