@@ -699,10 +699,11 @@ object Handlers {
     * insertion casts, written via the catalog table's insertInto, and
     * the RETURNING projection is evaluated over the SAME materialized
     * rows — so a non-deterministic source still echoes exactly what
-    * was written. Scale note: the INSERT write itself streams through
-    * insertInto; only the RETURNING projection is collected, and that
-    * result is client-bound by protocol (it is serialized to one
-    * socket either way).
+    * was written. Scale note: the INSERT write streams through
+    * insertInto and the RETURNING rows stream to the client through
+    * toLocalIterator (one partition on the driver at a time, same as
+    * the SELECT path) — an `INSERT ... SELECT ... RETURNING` of a
+    * large result never materializes driver-side.
     */
   private def insertReturning(spark: SparkSession, sql: String,
       retPos: Int): PgResult = {
@@ -740,28 +741,49 @@ object Handlers {
     val named = src.toDF(cols: _*)
     val viewName = s"__ins_ret_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     named.createOrReplaceTempView(viewName)
-    try {
-      val fullSel = tgtSchema.fields.toSeq.map { f =>
-        cols.find(_.equalsIgnoreCase(f.name)) match {
-          case Some(c) => s"CAST(`$c` AS ${f.dataType.sql}) AS `${f.name}`"
-          case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
-        }
+    val retView = s"${viewName}_out"
+    val fullSel = tgtSchema.fields.toSeq.map { f =>
+      cols.find(_.equalsIgnoreCase(f.name)) match {
+        case Some(c) => s"CAST(`$c` AS ${f.dataType.sql}) AS `${f.name}`"
+        case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
       }
-      val full = spark.sql(s"SELECT ${fullSel.mkString(", ")} FROM `$viewName`")
-        .persist()
-      try {
-        val n = full.count()
-        full.write.insertInto(table)
-        val retView = s"${viewName}_out"
-        full.createOrReplaceTempView(retView)
-        try {
-          val out = runSql(spark, s"SELECT $retExprs FROM `$retView`")
-          // materialize the (client-bound) result before unpersist
-          val rows = out.collect().toSeq
-          RowSet(out.schema, rows.iterator, _ => s"INSERT 0 $n")
-        } finally spark.catalog.dropTempView(retView)
-      } finally full.unpersist()
-    } finally spark.catalog.dropTempView(viewName)
+    }
+    val full = spark.sql(s"SELECT ${fullSel.mkString(", ")} FROM `$viewName`")
+      .persist()
+    // the temp views and the persisted write-set must outlive the
+    // RETURNING stream — cleanup fires when the row iterator is
+    // exhausted (or on any failure), not before
+    val cleaned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def cleanup(): Unit = if (cleaned.compareAndSet(false, true)) {
+      try spark.catalog.dropTempView(retView)
+      catch { case scala.util.control.NonFatal(_) => }
+      try spark.catalog.dropTempView(viewName)
+      catch { case scala.util.control.NonFatal(_) => }
+      try full.unpersist()
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    try {
+      val n = full.count()
+      full.write.insertInto(table)
+      full.createOrReplaceTempView(retView)
+      val out = runSql(spark, s"SELECT $retExprs FROM `$retView`")
+      // stream the (client-bound) result partition-by-partition — a
+      // driver collect() here made `INSERT ... SELECT ... RETURNING`
+      // of a large result a driver-OOM, while the plain SELECT path
+      // already rode toLocalIterator. The projection still evaluates
+      // over the SAME persisted rows that were written.
+      val it = out.toLocalIterator().asScala
+      val streaming = new Iterator[Row] {
+        override def hasNext: Boolean = {
+          val h = try it.hasNext catch { case e: Throwable => cleanup(); throw e }
+          if (!h) cleanup()
+          h
+        }
+        override def next(): Row =
+          try it.next() catch { case e: Throwable => cleanup(); throw e }
+      }
+      RowSet(out.schema, streaming, _ => s"INSERT 0 $n")
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   /** Rows written by an eagerly-executed command (INSERT tag;

@@ -177,6 +177,30 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("INSERT ... SELECT ... RETURNING streams a large batch") {
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS ret_big")
+    c.query("CREATE TABLE ret_big (id BIGINT, label STRING) USING parquet")
+    // 50k-row SELECT-sourced batch: the RETURNING rows ride
+    // toLocalIterator (one partition driver-side at a time), never a
+    // full collect — this is the INSERT ... SELECT shape that used to
+    // materialize the whole returned rowset on the driver
+    val r = c.query(
+      "INSERT INTO ret_big SELECT id, 'x' || id FROM range(0, 50000) " +
+        "RETURNING id, label")
+    assert(r.errors === Nil)
+    assert(r.tags === Seq("INSERT 0 50000"))
+    assert(r.rows.length === 50000)
+    assert(r.rows.flatMap(_.head).map(_.toLong).sum === 50000L * 49999 / 2)
+    // the staging temp views are dropped once the stream is exhausted
+    val leftovers = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("__ins_ret_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    assert(c.query("SELECT count(*) FROM ret_big").rows === Seq(Seq(Some("50000"))))
+    c.query("DROP TABLE ret_big")
+    c.close()
+  }
+
   test("timestamp params: OID 1114 stays NTZ, 1184 is an instant") {
     val c = connect()
     // text param typed timestamp (1114): wall clock, renders no offset
