@@ -3596,7 +3596,7 @@ object Compat {
   }
 
   /** Range type names (pg §8.17) for cast/operator dispatch. */
-  private val rangeTypeNames = Set(
+  private[pgwire] val rangeTypeNames = Set(
     "int4range", "int8range", "numrange", "daterange", "tsrange", "tstzrange")
 
   /** Function names whose results are range values — a syntactic

@@ -102,6 +102,10 @@ object Handlers {
       case "NOTIFY" => Complete("NOTIFY")
       case "CREATE" if second == "TYPE" => handleCreateType(spark, toks)
       case "DROP" if second == "TYPE" => handleDropType(spark, toks)
+      case "CREATE" if second == "TABLE" || second == "TEMP" ||
+          second == "TEMPORARY" || second == "UNLOGGED" =>
+        pgCreateTable(spark, sql)
+          .getOrElse(runQuery(spark, session, substituteGucFns(session, sql), head, second))
       case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
         // storage maintenance is meaningless over external parquet —
         // accept-and-no-op with the pg tag so client scripts
@@ -649,6 +653,206 @@ object Handlers {
     graft.functions.PgEnums.create(spark, name, labels)
     PgCatalog.refreshEnumViews(spark)
     Complete("CREATE TYPE")
+  }
+
+  // ---- pg-dialect CREATE TABLE -----------------------------------------
+
+  /** Constraint keywords that end a column's type spelling. None are
+    * enforced (Spark has no constraints; pg clients still send them —
+    * documented deviation): NOT NULL / PRIMARY KEY / UNIQUE / DEFAULT /
+    * REFERENCES / CHECK / GENERATED / COLLATE are accepted and
+    * ignored. */
+  private val colConstraintKws = Set("not", "null", "primary", "unique",
+    "default", "references", "check", "constraint", "generated", "collate")
+
+  /** Entry starters that mark a TABLE-level constraint (skipped). */
+  private val tableConstraintKws = Set("primary", "unique", "check",
+    "constraint", "foreign", "exclude", "like")
+
+  /** `CREATE TABLE name (coldefs)` in pg dialect: pg type spellings
+    * (serial, text, int4, numeric(p,s), timestamptz, …) resolve to
+    * Spark storage types, and the canonical-text families
+    * (ranges/inet/tsvector/enum/money/bit/xml/json/uuid) store as
+    * STRING with `pg.oid_alias`/`pg.oid_num` column metadata — so the
+    * wire layer reports the right OIDs and the metadata-keyed operator
+    * dispatch sees stored columns' pg types without casts. TIME stores
+    * as nanos-bigint (pg.type=time) and GEOMETRY as EWKB binary, the
+    * engine's documented encodings.
+    *
+    * Returns None (→ the plain Spark path) for CTAS, USING/PARTITIONED
+    * tails, or anything else that isn't the bare pg shape — existing
+    * Spark-dialect DDL is untouched.
+    */
+  private[pgwire] def pgCreateTable(spark: SparkSession, rawSql: String): Option[PgResult] = {
+    val sql = rawSql.trim.stripSuffix(";").trim
+    val m = ("(?is)^CREATE\\s+(?:(?:TEMP|TEMPORARY|UNLOGGED)\\s+)?TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?(\"[^\"]+\"|[\\w$.]+)\\s*(\\(.*)$").r
+      .findFirstMatchIn(sql).getOrElse(return None)
+    val ifNotExists = m.group(1) != null
+    val table = {
+      val raw = m.group(2)
+      if (raw.startsWith("\"")) raw.substring(1, raw.length - 1) else raw
+    }
+    val parenPart = m.group(3)
+    val close = matchingParenStr(parenPart, 0)
+    if (close < 0) return None
+    if (parenPart.substring(close + 1).trim.nonEmpty) return None // USING/AS/… → Spark path
+    val body = parenPart.substring(1, close)
+    val defs = splitTopStr(body).map(_.trim).filter(_.nonEmpty)
+    if (defs.isEmpty) return None
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    defs.foreach { d =>
+      val toks = Compat.tokenize(d).filter(_.kind != Compat.Ws)
+      if (toks.isEmpty) return None
+      val first = toks.head
+      val isTableConstraint = first.kind == Compat.Word &&
+        tableConstraintKws.contains(first.text.toLowerCase)
+      if (!isTableConstraint) {
+        if (!(first.kind == Compat.Word || first.kind == Compat.QIdent)) return None
+        val colName =
+          if (first.kind == Compat.QIdent)
+            first.text.substring(1, first.text.length - 1)
+          else first.text
+        // type spelling: tokens up to the first constraint keyword
+        val typeToks = toks.drop(1).takeWhile(t =>
+          !(t.kind == Compat.Word && colConstraintKws.contains(t.text.toLowerCase)))
+        if (typeToks.isEmpty) return None
+        val typeStr = typeToks.map(_.text).mkString(" ")
+        fields += (pgColumnField(spark, colName, typeStr) match {
+          case Some(f) => f
+          case None => return None // unknown spelling → Spark path decides
+        })
+      }
+    }
+    if (fields.isEmpty) return None
+    Some {
+      if (spark.catalog.tableExists(table)) {
+        if (ifNotExists) Complete("CREATE TABLE")
+        else throw PgException("42P07", s"""relation "$table" already exists""")
+      } else {
+        spark.catalog.createTable(table, "parquet",
+          StructType(fields.toArray), Map.empty[String, String])
+        Complete("CREATE TABLE")
+      }
+    }
+  }
+
+  /** One pg column type spelling → a StructField with the storage
+    * type + wire metadata, or None when the spelling is unknown to
+    * both the pg map and Spark's own type parser. */
+  private def pgColumnField(spark: SparkSession, name: String,
+      typeStr0: String): Option[StructField] = {
+    val t = typeStr0.trim.toLowerCase.replaceAll("\\s+", " ")
+    // N-dim array suffixes: pg arrays are flat at the wire level
+    if (t.endsWith("[]") || t.endsWith("[ ]")) {
+      val elem = t.replaceAll("\\s*\\[\\s*\\]\\s*$", "")
+      return pgColumnField(spark, name, elem).map(f =>
+        StructField(name, ArrayType(f.dataType), nullable = true, f.metadata))
+    }
+    // split "base(p[,s])" — precision kept only where it matters
+    val pm = "^([a-z0-9_ ]+?)\\s*\\((\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?)\\)$".r
+      .findFirstMatchIn(t)
+    val base = pm.map(_.group(1).trim).getOrElse(t)
+    val prec: Seq[Int] = pm.map(_.group(2).split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    def plain(dt: DataType) = Some(StructField(name, dt))
+    def aliased(dt: DataType, alias: String) = Some(StructField(name, dt,
+      nullable = true, new MetadataBuilder().putString(PgType.OID_ALIAS_KEY, alias).build()))
+    def typed(dt: DataType, pgType: String) = Some(StructField(name, dt,
+      nullable = true, new MetadataBuilder().putString(PgType.PG_TYPE_KEY, pgType).build()))
+    base match {
+      case "int" | "int4" | "integer" | "serial" | "serial4" => plain(IntegerType)
+      case "int2" | "smallint" | "smallserial" | "serial2" => plain(ShortType)
+      case "int8" | "bigint" | "bigserial" | "serial8" | "oid" => plain(LongType)
+      case "real" | "float4" => plain(FloatType)
+      case "float8" | "double precision" | "double" => plain(DoubleType)
+      case "float" =>
+        plain(if (prec.headOption.exists(_ <= 24)) FloatType else DoubleType)
+      case "numeric" | "decimal" => prec match {
+        case Seq(p, s) => plain(DecimalType(p, s))
+        case Seq(p) => plain(DecimalType(p, 0))
+        case _ => plain(DecimalType(38, 18)) // the engine's wide default
+      }
+      case "text" | "varchar" | "character varying" | "char" | "character" |
+           "bpchar" | "name" | "citext" | "string" => plain(StringType)
+      case "boolean" | "bool" => plain(BooleanType)
+      case "date" => plain(DateType)
+      case "timestamp" | "timestamp without time zone" => plain(TimestampNTZType)
+      case "timestamptz" | "timestamp with time zone" => plain(TimestampType)
+      case "bytea" | "binary" => plain(BinaryType)
+      case "time" | "time without time zone" => typed(LongType, "time")
+      case "geometry" => typed(BinaryType, "geometry")
+      case "json" => aliased(StringType, "json")
+      case "jsonb" => aliased(StringType, "jsonb")
+      case "uuid" => aliased(StringType, "uuid")
+      case "xml" => aliased(StringType, "xml")
+      case "money" => aliased(StringType, "money")
+      case "inet" => aliased(StringType, "inet")
+      case "cidr" => aliased(StringType, "cidr")
+      case "macaddr" => aliased(StringType, "macaddr")
+      case "macaddr8" => aliased(StringType, "macaddr8")
+      case "tsvector" => aliased(StringType, "tsvector")
+      case "tsquery" => aliased(StringType, "tsquery")
+      case "bit" | "bit varying" | "varbit" =>
+        aliased(StringType, if (base == "bit") "bit" else "varbit")
+      case r if Compat.rangeTypeNames.contains(r) => aliased(StringType, r)
+      case e if graft.functions.PgEnums.lookup(spark, e).isDefined =>
+        // pg.enum carries the TYPE NAME for the metadata operator
+        // dispatch (PgSemantics); pg.oid_num carries the wire OID
+        val oid = graft.functions.PgEnums.lookup(spark, e).get.oid
+        Some(StructField(name, StringType, nullable = true,
+          new MetadataBuilder().putLong(PgType.OID_NUM_KEY, oid.toLong)
+            .putString("pg.enum", e).build()))
+      case "time with time zone" | "timetz" =>
+        throw PgException("0A000", "timetz table columns are not supported")
+      case "interval" =>
+        throw PgException("0A000",
+          "interval table columns are not supported (store text and cast)")
+      case _ =>
+        // Spark's own spellings (struct<...>, map<...>, array<...>, …)
+        try Some(StructField(name,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(typeStr0)))
+        catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  private def matchingParenStr(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def splitTopStr(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var st = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(st, i); st = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(st)
+    out.result()
   }
 
   private def handleDropType(spark: SparkSession,

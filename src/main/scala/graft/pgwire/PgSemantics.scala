@@ -272,7 +272,119 @@ object PgSemantics {
       case cc: Concat
           if cc.resolved && cc.children.exists(isImplicitBoolStr) =>
         Concat(cc.children.map(pgBoolText))
+
+      // ---- pg.type metadata operator dispatch (round 13) ----
+      // Stored columns created by pg-dialect DDL carry pg.oid_alias /
+      // pg.oid_num / pg.enum metadata. Operators over BARE such
+      // columns were token-dispatched to the json/array defaults (or
+      // left as string comparisons) because the text rewrite cannot
+      // see types — the attribute metadata IS the type here, so
+      // re-dispatch to the family functions without requiring a cast.
+
+      // `@>` / `<@` between range-text columns: pg_contains is the
+      // anyarray/jsonb default the token layer picked
+      case e: Expression
+          if e.children.length == 2 && e.children.forall(_.resolved) &&
+            Set("pg_contains", "pg_contained").contains(e.prettyName) &&
+            e.children.exists(c => metaAliasOf(c).exists(Compat.rangeTypeNames.contains)) =>
+        fnCall(
+          if (e.prettyName == "pg_contains") "range_contains" else "range_contained",
+          e.children.map(stripImplicitCasts))
+
+      // `&&` between range-text columns resolved to ArraysOverlap
+      case ArraysOverlap(l, r)
+          if l.resolved && r.resolved &&
+            Seq(l, r).exists(c => metaAliasOf(c).exists(Compat.rangeTypeNames.contains)) =>
+        fnCall("range_overlaps", Seq(stripImplicitCasts(l), stripImplicitCasts(r)))
+
+      // `@@` over a tsvector/tsquery column went to the jsonpath match
+      case e: Expression
+          if e.children.length >= 2 && e.children.take(2).forall(_.resolved) &&
+            e.prettyName == "jsonb_path_match" &&
+            e.children.take(2).exists(c =>
+              metaAliasOf(c).exists(a => a == "tsvector" || a == "tsquery")) => {
+        val Seq(l, r) = e.children.take(2).map(stripImplicitCasts)
+        if (metaAliasOf(e.children.head).contains("tsvector")) fnCall("ts_match", Seq(l, r))
+        else if (metaAliasOf(e.children(1)).contains("tsvector")) fnCall("ts_match", Seq(r, l))
+        else if (metaAliasOf(e.children.head).contains("tsquery")) fnCall("ts_match", Seq(r, l))
+        else fnCall("ts_match", Seq(l, r))
+      }
+
+      // inet containment `<<` / `>>` parsed as integer shifts
+      case ShiftLeft(l, r)
+          if Seq(l, r).exists(c => metaAliasOf(c).exists(inetAliases.contains)) =>
+        fnCall("inet_contained_strict", Seq(stripImplicitCasts(l), stripImplicitCasts(r)))
+      case ShiftRight(l, r)
+          if Seq(l, r).exists(c => metaAliasOf(c).exists(inetAliases.contains)) =>
+        fnCall("inet_contains_strict", Seq(stripImplicitCasts(l), stripImplicitCasts(r)))
+
+      // order comparisons over enum-typed columns: declared-label
+      // order via the session ordinal map (pg §8.7.2)
+      case cmp: BinaryComparison
+          if cmp.left.resolved && cmp.right.resolved &&
+            !cmp.isInstanceOf[EqualTo] && !cmp.isInstanceOf[EqualNullSafe] &&
+            Seq(cmp.left, cmp.right).exists(c => enumNameOf(c).isDefined) => {
+        val name = Seq(cmp.left, cmp.right).flatMap(enumNameOf).head
+        cmp.withNewChildren(Seq(
+          fnCall("enum_ord", Seq(Literal(name), stripImplicitCasts(cmp.left))),
+          fnCall("enum_ord", Seq(Literal(name), stripImplicitCasts(cmp.right)))))
+      }
+
+      // ORDER BY an enum column sorts by declared order
+      case so @ SortOrder(child, _, _, _)
+          if child.resolved && enumNameOf(child).isDefined =>
+        so.copy(child = fnCall("enum_ord",
+          Seq(Literal(enumNameOf(child).get), stripImplicitCasts(child))))
+
+      // min/max over an enum column: ordinal-space agg mapped back to
+      // its label
+      case ae @ org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+            mf, _, _, _, _)
+          if (mf.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Min] ||
+            mf.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Max]) &&
+            mf.children.length == 1 && mf.children.head.resolved &&
+            enumNameOf(mf.children.head).isDefined => {
+        val name = enumNameOf(mf.children.head).get
+        val ord = fnCall("enum_ord",
+          Seq(Literal(name), stripImplicitCasts(mf.children.head)))
+        fnCall("enum_label_at",
+          Seq(Literal(name), ae.copy(aggregateFunction =
+            mf.withNewChildren(Seq(ord))
+              .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])))
+      }
     }
+
+  private val inetAliases = Set("inet", "cidr")
+
+  /** The pg.oid_alias of the attribute behind an expression (looking
+    * through analyzer-inserted casts and aliases). */
+  private def metaAliasOf(e: Expression): Option[String] = {
+    val m = attrMeta(e)
+    if (m.contains(PgType.OID_ALIAS_KEY)) Some(m.getString(PgType.OID_ALIAS_KEY))
+    else None
+  }
+
+  /** The session enum type name of an enum-tagged column. */
+  private def enumNameOf(e: Expression): Option[String] = {
+    val m = attrMeta(e)
+    if (m.contains("pg.enum")) Some(m.getString("pg.enum")) else None
+  }
+
+  private def attrMeta(e: Expression): Metadata = e match {
+    case a: AttributeReference => a.metadata
+    case Alias(c, _) => attrMeta(c)
+    case c @ Cast(child, _, _, _) if notUserCast(c) => attrMeta(child)
+    case _ => Metadata.empty
+  }
+
+  private def stripImplicitCasts(e: Expression): Expression = e match {
+    case c @ Cast(child, _, _, _) if notUserCast(c) => stripImplicitCasts(child)
+    case other => other
+  }
+
+  private def fnCall(name: String, args: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+      Seq(name), args, isDistinct = false)
 
   /** pg float4/float8 → text uses the Ryu-style output function
     * (shortest precise form: `1e3::text` = '1000', not '1000.0') —

@@ -81,7 +81,9 @@ object PgType {
     // xml (pg §8.13), verbatim-text model
     "xml" -> 142,
     // money (pg §8.2), rendered-text model
-    "money" -> 790, "numeric" -> 1700)
+    "money" -> 790, "numeric" -> 1700,
+    // string-stored scalar types created by pg-dialect DDL
+    "json" -> 114, "jsonb" -> 3802, "uuid" -> 2950)
 
   val OID_ALIAS_KEY = "pg.oid_alias"
 
