@@ -90,8 +90,8 @@ object Handlers {
       case "CLOSE" => handleClose(session, toks)
       case "DEALLOCATE" => Complete("DEALLOCATE")
       case "LISTEN" =>
-        // accepted-and-tracked per session; no cross-connection
-        // delivery — this is an analytics engine, not a message bus
+        // registrations are session state; NOTIFY below fans out to
+        // every registered connection via the process-wide NotifyBus
         // (documented; psql and GUI clients only need the tags)
         if (second.nonEmpty) session.listenChannels += second.toLowerCase
         Complete("LISTEN")
@@ -99,7 +99,22 @@ object Handlers {
         if (second == "*") session.listenChannels.clear()
         else session.listenChannels -= second.toLowerCase
         Complete("UNLISTEN")
-      case "NOTIFY" => Complete("NOTIFY")
+      case "NOTIFY" =>
+        // fan out to every registered connection listening on the
+        // channel (delivered before its next ReadyForQuery, pg's
+        // between-transactions timing); payload defaults to ''
+        if (toks.length > 1) {
+          val chanTok = toks(1)
+          val chan =
+            if (chanTok.kind == Compat.QIdent)
+              chanTok.text.substring(1, chanTok.text.length - 1)
+            else chanTok.text.toLowerCase
+          val payload = toks.drop(2).find(_.kind == Compat.Str)
+            .map(t => t.text.substring(1, t.text.length - 1).replace("''", "'"))
+            .getOrElse("")
+          NotifyBus.publish(session.connId, chan, payload)
+        }
+        Complete("NOTIFY")
       case "CREATE" if second == "TYPE" => handleCreateType(spark, toks)
       case "DROP" if second == "TYPE" => handleDropType(spark, toks)
       case "CREATE" if second == "TABLE" || second == "TEMP" ||
@@ -121,9 +136,21 @@ object Handlers {
         session.statementTimeoutMs = 0L
         session.cursorTtlMs = 0L
         Complete("DISCARD ALL")
+      case "SELECT" if pgNotifyRe.findFirstMatchIn(sql).isDefined =>
+        // literal-arg `SELECT pg_notify('chan', 'payload')` — the only
+        // call shape clients emit; void renders as one blank cell
+        val m = pgNotifyRe.findFirstMatchIn(sql).get
+        NotifyBus.publish(session.connId, m.group(1).toLowerCase,
+          m.group(2).replace("''", "'"))
+        RowSet(
+          StructType(Seq(StructField("pg_notify", StringType))),
+          Iterator(Row("")), n => s"SELECT $n")
       case _ => runQuery(spark, session, substituteGucFns(session, sql), head, second)
     }
   }
+
+  private val pgNotifyRe =
+    "(?is)^SELECT\\s+pg_notify\\(\\s*'([^']*)'\\s*,\\s*'((?:[^']|'')*)'\\s*\\)\\s*(?:AS\\s+\\w+\\s*)?;?$".r
 
   /** Session-aware `current_setting('k'[, missing_ok])` and
     * `set_config('k', 'v', is_local)` for LITERAL-argument call shapes
@@ -497,7 +524,8 @@ object Handlers {
       lower.contains("inet") || lower.contains("cidr") ||
       lower.contains("mask") || lower.contains("broadcast") ||
       lower.contains("mac") || lower.contains("bit") ||
-      lower.contains("xml") || lower.contains("money")) tagRangeOutputs(geod)
+      lower.contains("xml") || lower.contains("money") ||
+      lower.contains("trim_scale")) tagRangeOutputs(geod)
     else geod
   }
 
@@ -534,7 +562,9 @@ object Handlers {
       "pg_xmlpi" -> "xml", "pg_xml_forest_item" -> "xml",
       "money_in" -> "money", "money_add" -> "money", "money_sub" -> "money",
       "money_mul" -> "money", "money_div_num" -> "money",
-      "money_to_numeric" -> "numeric")
+      "money_to_numeric" -> "numeric",
+      // variable-scale numeric results render their own text form
+      "trim_scale" -> "numeric")
     def subOf(e: Expression): Option[String] = e match {
       case a: Alias => subOf(a.child)
       case u: ScalaUDF =>

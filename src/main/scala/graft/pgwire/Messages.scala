@@ -111,6 +111,12 @@ object Messages {
   def backendKeyData(out: DataOutputStream, pid: Int, secret: Int): Unit =
     msg(out, 'K') { o => o.writeInt(pid); o.writeInt(secret) }
 
+  /** NotificationResponse (LISTEN/NOTIFY delivery): notifying
+    * backend's pid, channel, payload. */
+  def notificationResponse(out: DataOutputStream, pid: Int, channel: String,
+      payload: String): Unit =
+    msg(out, 'A') { o => o.writeInt(pid); cstr(o, channel); cstr(o, payload) }
+
   /** status: 'I' idle, 'T' in txn, 'E' failed txn. */
   def readyForQuery(out: DataOutputStream, status: Char): Unit =
     msg(out, 'Z')(_.writeByte(status))

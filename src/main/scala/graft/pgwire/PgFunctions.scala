@@ -942,6 +942,7 @@ object PgFunctions {
       ProcDef("pg_input_error_info", Seq(T, T), 2249),
       ProcDef("min_scale", Seq(NUM), I4),
       ProcDef("scale", Seq(NUM), I4),
+      ProcDef("trim_scale", Seq(NUM), NUM),
       ProcDef("pg_postmaster_start_time", Nil, 1184),
       ProcDef("pg_conf_load_time", Nil, 1184),
       ProcDef("pg_jit_available", Nil, B),
@@ -1332,6 +1333,16 @@ object PgFunctions {
       if (x == null) null else Integer.valueOf(math.max(0, x.stripTrailingZeros.scale)))
     u.register("scale", (x: java.math.BigDecimal) =>
       if (x == null) null else Integer.valueOf(x.scale))
+    // trim_scale (pg 13, functions.md P3): drop trailing fractional
+    // zeros. Spark decimals carry a FIXED column scale, so the
+    // variable-scale result rides a STRING tagged pg.oid_alias=numeric
+    // (Handlers tags the output; wire reports OID 1700 and renders the
+    // plain text form — live-pinned: 8.4100→8.41, 30.00→30, 0.000→0)
+    u.register("trim_scale", (x: java.math.BigDecimal) =>
+      if (x == null) null else {
+        val t = x.stripTrailingZeros
+        (if (t.scale < 0) t.setScale(0) else t).toPlainString
+      })
 
     // width_bucket(operand, thresholds[]) — pg's array form (reference
     // width_bucket.rs:32-315): count of thresholds <= operand, NULL

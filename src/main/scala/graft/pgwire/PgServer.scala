@@ -147,12 +147,26 @@ final class PgServer(
       "application_name" -> startup.params.getOrElse("application_name", "")
     ).foreach { case (k, v) => Messages.parameterStatus(out, k, v) }
     Messages.backendKeyData(out, connId, secret)
-    Messages.readyForQuery(out, session.txnStatusByte)
+    readyWithNotifications(out, session)
     out.flush()
 
+    NotifyBus.register(session)
     try messageLoop(in, out, session, jobGroup)
     catch { case _: EOFException | _: SocketException => }
-    finally cancelKeys.remove(connId)
+    finally { NotifyBus.deregister(session); cancelKeys.remove(connId) }
+  }
+
+  /** Drain pending NOTIFY deliveries, then ReadyForQuery — pg's
+    * between-transactions delivery point, and the only safe one for a
+    * synchronous per-connection loop (no cross-thread socket writes).
+    */
+  private def readyWithNotifications(out: DataOutputStream, session: Session): Unit = {
+    var n = session.pendingNotifications.poll()
+    while (n != null) {
+      Messages.notificationResponse(out, n._1, n._2, n._3)
+      n = session.pendingNotifications.poll()
+    }
+    Messages.readyForQuery(out, session.txnStatusByte)
   }
 
   private def authenticate(in: DataInputStream, out: DataOutputStream,
@@ -243,7 +257,7 @@ final class PgServer(
           handleSimpleQuery(in, out, session, jobGroup, msg.cStringAt(0))
         case 'S' => // Sync
           ignoreTillSync = false
-          Messages.readyForQuery(out, session.txnStatusByte); out.flush()
+          readyWithNotifications(out, session); out.flush()
         case 'H' => out.flush()
         case _ if ignoreTillSync => // skip until Sync after an error
         case 'P' =>
@@ -284,7 +298,7 @@ final class PgServer(
     val statements = Compat.splitStatements(sql)
     if (statements.isEmpty) {
       Messages.emptyQueryResponse(out)
-      Messages.readyForQuery(out, session.txnStatusByte); out.flush()
+      readyWithNotifications(out, session); out.flush()
       return
     }
     var failed = false
@@ -317,7 +331,7 @@ final class PgServer(
         }
       }
     }
-    Messages.readyForQuery(out, session.txnStatusByte)
+    readyWithNotifications(out, session)
     out.flush()
   }
 

@@ -29,10 +29,17 @@ final class Session(val connId: Int, val user: String, val database: String) {
   /** statement_timeout in millis; 0 = none. */
   var statementTimeoutMs: Long = 0L
 
-  /** LISTEN registrations (session-scoped; see Handlers LISTEN/NOTIFY —
-    * an analytics server has no cross-connection delivery, documented).
-    */
+  /** LISTEN registrations (session-scoped). */
   val listenChannels: mutable.Set[String] = mutable.Set.empty
+
+  /** Cross-connection NOTIFY delivery (round 13): notifications
+    * queued by NOTIFY in any session on the process-wide [[NotifyBus]],
+    * drained by this connection's loop before each ReadyForQuery — pg
+    * delivers between transactions, and a synchronous per-connection
+    * loop delivers at exactly those points without cross-thread
+    * socket writes. (pid, channel, payload) triples. */
+  val pendingNotifications =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String)]()
 
   /** GUC vars whose SET pushes a ParameterStatus message
     * (reference: set_show.rs:253-260).
@@ -114,4 +121,29 @@ final class Session(val connId: Int, val user: String, val database: String) {
   }
   val prepared: mutable.Map[String, Prepared] = mutable.Map.empty
   val portals: mutable.Map[String, Portal] = mutable.Map.empty
+}
+
+/** Process-wide LISTEN/NOTIFY bus: NOTIFY fans out to every REGISTERED
+  * session listening on the channel (connections register for their
+  * lifetime; bare Handler-level sessions — tests, embedded use — are
+  * not registered and keep the old accept-only behavior). pg scopes
+  * the bus to a database cluster; here it is the JVM process, which is
+  * the same thing for a single-server deployment. Self-notification is
+  * delivered when the notifier listens, exactly like pg.
+  */
+object NotifyBus {
+  private val sessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Session]()
+
+  def register(s: Session): Unit = sessions.add(s)
+  def deregister(s: Session): Unit = sessions.remove(s)
+
+  def publish(fromPid: Int, channel: String, payload: String): Unit = {
+    val it = sessions.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.listenChannels.contains(channel))
+        s.pendingNotifications.add((fromPid, channel, payload))
+    }
+  }
 }

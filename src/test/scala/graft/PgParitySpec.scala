@@ -1520,4 +1520,26 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("trim_scale: variable-scale numeric rendering (live pg 15)") {
+    // pg 13 trim_scale drops trailing fractional zeros; the result is
+    // a variable-scale numeric, which Spark's fixed-scale decimals
+    // can't carry — the engine renders the trimmed text form tagged
+    // pg.oid_alias=numeric. All outputs captured live.
+    val pinned: Seq[(String, String)] = Seq(
+      ("trim_scale(8.4100)", "8.41"),
+      ("trim_scale(8.0000)", "8"),
+      ("trim_scale(-0.0500)", "-0.05"),
+      ("trim_scale(30.00)", "30"),
+      ("trim_scale(0.000)", "0"),
+      ("trim_scale(123)", "123"),
+      ("trim_scale(1.5e2::numeric)", "150"),
+      ("trim_scale('120'::numeric)", "120"),
+      ("trim_scale(NULL::numeric)", "<NULL>"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    // wire OID: numeric (1700), not text
+    val df = graft.pgwire.Handlers.runSql(spark, "SELECT trim_scale(8.4100) AS t")
+    assert(graft.pgwire.PgType.oidOf(df.schema.fields(0)) === 1700)
+  }
 }

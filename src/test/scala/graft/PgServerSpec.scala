@@ -177,6 +177,31 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("LISTEN/NOTIFY delivers across connections at ReadyForQuery") {
+    val l = connect()
+    val n = connect()
+    assert(l.query("LISTEN events").tags === Seq("LISTEN"))
+    assert(n.query("NOTIFY events, 'payload-1'").tags === Seq("NOTIFY"))
+    // pg delivers between transactions: the notification arrives
+    // before the listener's next ReadyForQuery
+    val r = l.query("SELECT 1")
+    assert(r.notifications.map(t => (t._2, t._3)) === Seq(("events", "payload-1")))
+    // pg_notify() function spelling
+    assert(n.query("SELECT pg_notify('events', 'payload-2')").rows ===
+      Seq(Seq(Some(""))))
+    assert(l.query("SELECT 1").notifications.map(_._3) === Seq("payload-2"))
+    // self-notification (notifier listens on its own channel) arrives
+    // with the NOTIFY's own response
+    n.query("LISTEN selfchan")
+    assert(n.query("NOTIFY selfchan").notifications.map(_._2) === Seq("selfchan"))
+    // UNLISTEN stops delivery; unrelated channels never leak
+    l.query("UNLISTEN events")
+    n.query("NOTIFY events, 'after-unlisten'")
+    n.query("NOTIFY otherchan")
+    assert(l.query("SELECT 1").notifications === Nil)
+    l.close(); n.close()
+  }
+
   test("INSERT ... SELECT ... RETURNING streams a large batch") {
     val c = connect()
     c.query("DROP TABLE IF EXISTS ret_big")

@@ -19,7 +19,8 @@ final case class Reply(
     suspended: Boolean,
     paramOids: Seq[Int],
     noData: Boolean,
-    backendKey: Option[(Int, Int)]) // (pid, secret) from BackendKeyData
+    backendKey: Option[(Int, Int)], // (pid, secret) from BackendKeyData
+    notifications: Seq[(Int, String, String)] = Nil) // NotificationResponse (pid, channel, payload)
 
 final class Client(port: Int) {
   private val sock = new Socket("127.0.0.1", port)
@@ -282,6 +283,7 @@ final class Client(port: Int) {
     var paramOids = Seq.empty[Int]
     var noData = false
     var backendKey: Option[(Int, Int)] = None
+    val notifs = ArrayBuffer.empty[(Int, String, String)]
     while (true) {
       val (tpe, body) = read()
       val b = java.nio.ByteBuffer.wrap(body)
@@ -292,7 +294,8 @@ final class Client(port: Int) {
       tpe match {
         case 'Z' =>
           return Reply(fields, rows.toSeq, binRows.toSeq, tags.toSeq, errors.toSeq,
-            params, body(0).toChar, empty, suspended, paramOids, noData, backendKey)
+            params, body(0).toChar, empty, suspended, paramOids, noData, backendKey,
+            notifs.toSeq)
         case 'T' =>
           val n = b.getShort
           val fs = ArrayBuffer.empty[(String, Int)]
@@ -341,6 +344,11 @@ final class Client(port: Int) {
           val k = str(0); val v = str(k.getBytes(UTF_8).length + 1)
           params += (k -> v)
         case 'I' => empty = true
+        case 'A' =>
+          val pid = b.getInt
+          val chan = str(4)
+          val payload = str(4 + chan.getBytes(UTF_8).length + 1)
+          notifs += ((pid, chan, payload))
         case 's' => suspended = true
         case 't' =>
           val n = b.getShort
