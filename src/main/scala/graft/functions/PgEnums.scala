@@ -15,10 +15,14 @@ import graft.pgwire.PgException
   * (pg §8.7.2) are carried by Compat.rewriteEnumOps, which dispatches
   * comparisons / ORDER BY / min / max / greatest / least over
   * syntactically enum-typed operands through the ordinal map below.
-  * Like the other type families, a bare column needs an explicit cast
-  * on at least one operand (no type info at rewrite time).
-  * The registry lives in the driver JVM (local-mode executors share
-  * it); a multi-JVM cluster deployment would broadcast it.
+  * Like the other type families, ad-hoc text needs an explicit cast
+  * on at least one operand; STORED enum columns dispatch by their
+  * pg.enum column metadata (PgSemantics, round 13).
+  * Multi-JVM note: the registry lives in the driver, and the enum
+  * UDF closures capture it — task closures serialize a registry
+  * SNAPSHOT at each stage submission (Registry is Serializable), so
+  * executors on a real cluster see the labels as of query submission;
+  * no separate broadcast step is needed.
   */
 object PgEnums extends Serializable {
 

@@ -727,19 +727,24 @@ object TextSearch {
   /** Σ_j wpos_j/j² ÷ ζ(2) — the single-term rank (reverse-engineered
     * to 8 digits against live pg; matches tsrank.c's word_rank).
     */
-  private def wordRank(ps: Seq[(Int, Int)]): Double = {
+  private def wordRank(ps: Seq[(Int, Int)], w: Array[Float]): Double = {
     var res = 0.0
     ps.iterator.zipWithIndex.foreach { case ((_, wt), j) =>
-      res += rankWeights(wt) / ((j + 1.0) * (j + 1.0))
+      res += w(wt) / ((j + 1.0) * (j + 1.0))
     }
     res / 1.6449340668482264
   }
 
-  def tsRank(v: TsVector, q: TsQ, norm: Int): Float = {
+  def tsRank(v: TsVector, q: TsQ, norm: Int): Float =
+    tsRankW(v, q, norm, rankWeights)
+
+  /** [[tsRank]] with a caller-supplied {D,C,B,A} weights array — pg's
+    * ts_rank(weights, vector, query[, norm]) overload. */
+  def tsRankW(v: TsVector, q: TsQ, norm: Int, w: Array[Float]): Float = {
     val vals = collectVals(q)
     val entries = vals.map(qv => findLex(v, qv).filter(p => weightOk(qv, p._2)))
     val raw: Double =
-      if (vals.length == 1) wordRank(entries.head)
+      if (vals.length == 1) wordRank(entries.head, w)
       else if (hasAnd(q)) {
         // probabilistic OR over cross-term position pairs of
         // sqrt(w_i · w_j · word_distance(|p_i − p_j|))
@@ -748,22 +753,26 @@ object TextSearch {
              (pa, wa) <- entries(a); (pb, wb) <- entries(b)) {
           val dist = math.abs(pa - pb)
           if (dist != 0) {
-            val curw = math.sqrt(rankWeights(wa) * rankWeights(wb) * wordDistance(dist))
+            val curw = math.sqrt(w(wa) * w(wb) * wordDistance(dist))
             res = if (res < 0) curw else 1.0 - (1.0 - res) * (1.0 - curw)
           }
         }
         if (res < 0) 1e-20 else res
       } else {
-        if (entries.isEmpty) 0.0 else entries.map(wordRank).sum / entries.length
+        if (entries.isEmpty) 0.0
+        else entries.map(wordRank(_, w)).sum / entries.length
       }
-    applyNorm(raw, norm, v).toFloat
+    applyNorm(raw, norm, v, lnBase = false).toFloat
   }
 
   /** Cover-density rank: Σ over minimal covers of
     * harmonicMean(weights)/(extent − nitems + 1) — reverse-engineered
     * against live pg (matches tsrank.c calc_rank_cd).
     */
-  def tsRankCd(v: TsVector, q: TsQ, norm: Int): Float = {
+  def tsRankCd(v: TsVector, q: TsQ, norm: Int): Float =
+    tsRankCdW(v, q, norm, rankWeights)
+
+  def tsRankCdW(v: TsVector, q: TsQ, norm: Int, w: Array[Float]): Float = {
     val vals = collectVals(q).distinct
     val entries = vals.map(qv => qv -> findLex(v, qv).filter(p => weightOk(qv, p._2)))
     val present = entries.filter(_._2.nonEmpty)
@@ -800,7 +809,7 @@ object TextSearch {
               if (uniqueStart) {
                 val ext = flat(e)._1 - flat(s)._1 + 1
                 val inv = (s to e).groupBy(k => flat(k)._2).values.map { ks =>
-                  1.0 / rankWeights(flat(ks.head)._3)
+                  1.0 / w(flat(ks.head)._3)
                 }.sum
                 val cpos = nTerms / inv
                 res += cpos / (ext - nTerms + 1).toDouble.max(1.0)
@@ -812,19 +821,34 @@ object TextSearch {
         }
       } else {
         // OR: each term's occurrences are their own covers
-        present.flatMap(_._2).map { case (_, wt) => rankWeights(wt).toDouble }.sum
+        present.flatMap(_._2).map { case (_, wt) => w(wt).toDouble }.sum
       }
-    applyNorm(raw, norm, v).toFloat
+    applyNorm(raw, norm, v, lnBase = true).toFloat
   }
 
-  private def applyNorm(raw: Double, norm: Int, v: TsVector): Double = {
+  /** Normalization flags, laws fitted against live pg 15 (sweep-24;
+    * the earlier `1 + ln(n)` reading of the docs only agreed at
+    * n = 1, which is what the original pins used):
+    *  - 1: divide by log(len + 1) — base 2 for ts_rank, NATURAL log
+    *    for ts_rank_cd (tsrank.c uses different bases);
+    *  - 2: divide by len (total positions);
+    *  - 8: divide by unique lexeme count;
+    *  - 16: divide by log2(uniq + 1) for BOTH rank functions;
+    *  - 32: r / (r + 1).
+    * Flag 4 (cd extent-distance) is IGNORED — documented deviation
+    * (single-extent documents, where it divides by 1, agree).
+    */
+  private def applyNorm(raw: Double, norm: Int, v: TsVector,
+      lnBase: Boolean): Double = {
     var r = raw
     val len = v.lex.valuesIterator.map(_.length).sum
-    if ((norm & 1) != 0 && len > 0) r /= 1.0 + math.log(len.toDouble)
+    def log1(x: Double, ln: Boolean) =
+      if (ln) math.log(x) else math.log(x) / math.log(2.0)
+    if ((norm & 1) != 0 && len > 0) r /= log1(len + 1.0, lnBase)
     if ((norm & 2) != 0 && len > 0) r /= len.toDouble
     val uniq = v.lex.size
     if ((norm & 8) != 0 && uniq > 0) r /= uniq.toDouble
-    if ((norm & 16) != 0 && uniq > 0) r /= 1.0 + math.log(uniq.toDouble)
+    if ((norm & 16) != 0 && uniq > 0) r /= log1(uniq + 1.0, ln = false)
     if ((norm & 32) != 0) r /= r + 1.0
     r
   }
@@ -1186,6 +1210,32 @@ object TextSearchFunctions extends Serializable {
     u.register("ts_rank3", (v: String, qs: String, n: Int) => rank(tsRank)(v, qs, n))
     u.register("ts_rank_cd", (v: String, qs: String) => rank(tsRankCd)(v, qs, 0))
     u.register("ts_rank_cd3", (v: String, qs: String, n: Int) => rank(tsRankCd)(v, qs, n))
+
+    // weights-array overloads: ts_rank[_cd]('{D,C,B,A}', v, q[, n]).
+    // pg (tsrank.c getWeights, live-pinned): < 4 elements → 2202E
+    // "array of weight is too short"; any weight outside [0, 1] →
+    // 22023 "weight out of range"; extras beyond 4 are ignored
+    def rankW(f: (TsVector, TsQ, Int, Array[Float]) => Float)(
+        ws: Seq[Float], v: String, qs: String, n: Int): java.lang.Float =
+      if (ws == null || v == null || qs == null) null
+      else {
+        if (ws.length < 4)
+          throw PgException("2202E", "array of weight is too short")
+        if (ws.take(4).exists(x => x < 0f || x > 1f))
+          throw PgException("22023", "weight out of range")
+        cachedQuery(qs) match {
+          case Some(pq) => Float.box(f(parseTsVector(v), pq, n, ws.toArray))
+          case None => Float.box(0f)
+        }
+      }
+    u.register("ts_rank_w", (ws: Seq[Float], v: String, qs: String) =>
+      rankW(tsRankW)(ws, v, qs, 0))
+    u.register("ts_rank_w4", (ws: Seq[Float], v: String, qs: String, n: Int) =>
+      rankW(tsRankW)(ws, v, qs, n))
+    u.register("ts_rank_cd_w", (ws: Seq[Float], v: String, qs: String) =>
+      rankW(tsRankCdW)(ws, v, qs, 0))
+    u.register("ts_rank_cd_w4", (ws: Seq[Float], v: String, qs: String, n: Int) =>
+      rankW(tsRankCdW)(ws, v, qs, n))
 
     // utility family (live-pinned: sweep-16b)
     u.register("ts_delete", (v: String, lex: String) =>

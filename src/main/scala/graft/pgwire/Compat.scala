@@ -455,6 +455,7 @@ object Compat {
     castWrapRegrAvg(ts)
     wrapByteaLiteralArgs(ts)
     rewriteVariadic(ts)
+    rewriteTsRankWeights(ts)
     renameFunctionsByArity(ts)
     padFunctionArgs(ts)
     shiftArraySubscripts(ts)
@@ -630,6 +631,49 @@ object Compat {
     ("substr", 3, "pg_substr"),
     ("substring", 2, "pg_substr"),
     ("substring", 3, "pg_substr"))
+
+  /** pg's weights-array ts_rank overloads: `ts_rank[_cd]({D,C,B,A}
+    * weights, vector, query[, norm])`. Same arity as the
+    * normalization forms, so dispatch is by the FIRST argument's
+    * shape: a `'{…}'` array literal (converted to a typed ARRAY here)
+    * or an ARRAY[...]/array(...) constructor → the `_w` engine
+    * functions. Runs before the arity rename so the weightless
+    * 3-arg form still goes to ts_rank3. */
+  private def rewriteTsRankWeights(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == Word && (t.isWord("ts_rank") || t.isWord("ts_rank_cd"))) {
+        val open = nextIdx(ts, i)
+        if (open >= 0 && ts(open).is("(")) {
+          val close = matchParen(ts, open)
+          val a1 = nextIdx(ts, open)
+          if (close > 0 && a1 >= 0) {
+            val arrLit = ts(a1).kind == Str && ts(a1).text.length > 2 &&
+              ts(a1).text.charAt(1) == '{'
+            val arrCtor = ts(a1).kind == Word &&
+              (ts(a1).isWord("array") || ts(a1).isWord("ARRAY"))
+            if (arrLit || arrCtor) {
+              var commas = 0; var depth = 0; var j = open + 1
+              while (j < close) {
+                if (ts(j).is("(") || ts(j).is("[")) depth += 1
+                else if (ts(j).is(")") || ts(j).is("]")) depth -= 1
+                else if (depth == 0 && ts(j).is(",")) commas += 1
+                j += 1
+              }
+              val base = t.text.toLowerCase
+              if (commas == 2 || commas == 3) {
+                if (arrLit) ts(a1) = Tok(Word,
+                  arrayLiteralTokens(ts(a1).text, "float"))
+                ts(i) = Tok(Word, base + (if (commas == 2) "_w" else "_w4"))
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+  }
 
   private def renameFunctionsByArity(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0

@@ -1542,4 +1542,50 @@ class PgParitySpec extends SparkSpec {
     val df = graft.pgwire.Handlers.runSql(spark, "SELECT trim_scale(8.4100) AS t")
     assert(graft.pgwire.PgType.oidOf(df.schema.fields(0)) === 1700)
   }
+
+  test("sweep-24: ts_rank weights-array overloads + normalization laws (live pg 15)") {
+    // 24 vectors, 0 diffs on first run. Two findings this sweep fixed:
+    // norm flag 1 divides by log(len+1) — BASE 2 for ts_rank, NATURAL
+    // log for ts_rank_cd — and flag 16 by log2(uniq+1) for both; the
+    // previous 1+ln(n) reading only agreed at n=1 (what the original
+    // pins used). Weights arrays: {D,C,B,A} order, <4 elements →
+    // 2202E, any weight outside [0,1] → 22023 (tsrank.c getWeights).
+    val pinned: Seq[(String, String)] = Seq(
+      ("ts_rank('{0.1,0.2,0.4,1.0}', 'cat:1 dog:5', 'cat'::tsquery)", "0.06079271"),
+      ("ts_rank('{1.0,1.0,1.0,1.0}', 'cat:1 dog:5', 'cat'::tsquery)", "0.6079271"),
+      ("ts_rank('{0.5,0.5,0.5,0.5}', 'cat:1A dog:5B', 'cat & dog'::tsquery)", "0.47621495"),
+      ("ts_rank('{0.1,0.2,0.4,1.0}', 'cat:1A dog:5B', 'cat & dog'::tsquery)", "0.60236955"),
+      ("ts_rank('{0.1,0.2,0.4,1.0}', 'cat:1 dog:5', 'cat'::tsquery, 1)", "0.03835593"),
+      ("ts_rank_cd('{0.1,0.2,0.4,1.0}', 'cat:1 dog:5', 'cat & dog'::tsquery)", "0.025"),
+      ("ts_rank_cd('{1.0,1.0,1.0,1.0}', 'cat:1 dog:5', 'cat & dog'::tsquery)", "0.25"),
+      ("ts_rank(ARRAY[0.1,0.2,0.4,1.0], 'cat:2B', 'cat'::tsquery)", "0.24317084"),
+      ("ts_rank('cat:1', 'cat'::tsquery, 1)", "0.06079271"),
+      ("ts_rank('cat:1 dog:2', 'cat'::tsquery, 1)", "0.03835593"),
+      ("ts_rank('cat:1 dog:2 fish:3', 'cat'::tsquery, 1)", "0.030396355"),
+      ("ts_rank('cat:1 dog:2 fish:3 cow:4', 'cat'::tsquery, 1)", "0.026181996"),
+      ("ts_rank('cat:1,2 dog:3', 'cat'::tsquery, 1)", "0.037995443"),
+      ("ts_rank('cat:1 dog:2 fish:3', 'cat'::tsquery, 16)", "0.030396355"),
+      ("ts_rank('cat:1 dog:2 fish:3 cow:4 pig:5 hen:6 fox:7', 'cat'::tsquery, 16)", "0.020264236"),
+      ("ts_rank('cat:1 dog:2 fish:3', 'cat'::tsquery, 3)", "0.010132118"),
+      ("ts_rank_cd('cat:1 dog:2', 'cat & dog'::tsquery, 1)", "0.09102392"),
+      ("ts_rank_cd('cat:1 dog:2 fish:3', 'cat & dog'::tsquery, 1)", "0.072134756"),
+      ("ts_rank_cd('cat:1 dog:2 fish:3', 'cat & dog'::tsquery, 16)", "0.05"),
+      ("ts_rank_cd('cat:1 dog:2 fish:3', 'cat & dog'::tsquery, 8)", "0.033333335"),
+      ("ts_rank_cd('cat:1 dog:2 fish:3', 'cat & dog'::tsquery, 17)", "0.036067378"),
+      ("ts_rank('cat:1 dog:2', 'cat'::tsquery, 32)", "0.057308756"),
+      ("ts_rank('cat:1 dog:2', 'cat'::tsquery, 2)", "0.030396355"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    // error paths match pg's SQLSTATEs
+    def errOf(expr: String): String = {
+      val e: Throwable = intercept[Exception] {
+        graft.pgwire.Handlers.runSql(spark, s"SELECT $expr").collect()
+      }
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .collectFirst { case p: graft.pgwire.PgException => p.code }
+        .getOrElse("?")
+    }
+    assert(errOf("ts_rank('{0.1,0.2}', 'cat:1', 'cat'::tsquery)") === "2202E")
+    assert(errOf("ts_rank('{0.2,0.4,0.8,2.0}', 'cat:1', 'cat'::tsquery)") === "22023")
+  }
 }
