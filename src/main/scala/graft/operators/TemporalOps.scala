@@ -31,10 +31,15 @@ import org.apache.spark.sql.types.StructType
   *    row count survives the shuffle.
   *
   * Preconditions (enforced by construction or documented):
-  *  - right must be unique per (key, time): pre-aggregate to pin the
-  *    tie-break (e.g. groupBy(key, time).agg(max(id))) — SQL engines
-  *    leave the equal-time tie unspecified, so the operator refuses to
-  *    guess;
+  *  - right must be unique per (key, time), OR `tieBreak` names
+  *    payload columns whose ascending order picks the winner (last
+  *    wins — `Seq("id")` keeps the max-id row at equal time). With
+  *    neither, the equal-time winner is unspecified (SQL engines
+  *    leave it unspecified too, so the operator refuses to guess).
+  *    Passing `tieBreak` is the scale path: it folds the
+  *    deduplication into the window's own sort, where pre-aggregating
+  *    costs a SECOND full shuffle of the right side just to remove
+  *    ties the window sort already orders;
   *  - NULL right keys never match (filtered, matching SQL equality);
   *    NULL-key left rows get a NULL payload;
   *  - payload column names must not collide with left column names.
@@ -47,9 +52,11 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"payload collides with left columns: $collisions")
+    require(tieBreak.forall(payload.contains),
+      s"tieBreak columns must be payload columns: $tieBreak")
 
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(payload.map(col): _*)
@@ -67,9 +74,14 @@ object TemporalOps {
       rStruct.as("__rrow"))
 
     // right rows order BEFORE left rows at equal time (0 < 1), so a
-    // right row at exactly leftTime matches the >= contract
+    // right row at exactly leftTime matches the >= contract; the
+    // tie-break keys order right rows among themselves (ascending,
+    // last wins) and are constant-null on left rows, so they never
+    // reorder a left row relative to the rights it must see
+    val orderKeys = col("__t") +: col("__left") +:
+      tieBreak.map(c => col(s"__rrow.$c"))
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__left"))
+      .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
@@ -99,11 +111,19 @@ object TemporalOps {
     *  - work is hash-partitioned by bucket — a hot time window (flash
     *    event) concentrates in its bucket's task; salt the bucket id
     *    with a point-side hash suffix if one wall-clock hour dominates;
-    *  - both sides shuffle once, on the bucket id.
+    *  - both sides shuffle once, on the bucket id — UNLESS
+    *    `broadcastIntervals` is set, which broadcasts the exploded
+    *    interval side and leaves the (big) point side entirely
+    *    unshuffled. Set it when the intervals are a dimension-sized
+    *    set (alert windows, campaign periods, a sampled slice);
+    *    Catalyst can't see that through the explode's unknown
+    *    cardinality, and AQE's runtime conversion still pays the
+    *    point-side shuffle write.
     */
   def rangeJoin(points: DataFrame, ptTime: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketSeconds: Long = 3600L): DataFrame = {
+      bucketSeconds: Long = 3600L,
+      broadcastIntervals: Boolean = false): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val shared = points.columns.toSet.intersect(intervals.columns.toSet)
     require(shared.isEmpty,
@@ -112,9 +132,10 @@ object TemporalOps {
       "column name __b is reserved by rangeJoin")
     val pb = points.withColumn("__b",
       floor(unix_timestamp(col(ptTime)) / bucketSeconds).cast("long"))
-    val ib = intervals.withColumn("__b", explode(sequence(
+    val exploded = intervals.withColumn("__b", explode(sequence(
       floor(unix_timestamp(col(loCol)) / bucketSeconds).cast("long"),
       floor(unix_timestamp(col(hiCol)) / bucketSeconds).cast("long"))))
+    val ib = if (broadcastIntervals) broadcast(exploded) else exploded
     pb.join(ib, Seq("__b"))
       .filter(col(ptTime) >= col(loCol) && col(ptTime) <= col(hiCol))
       .drop("__b")

@@ -308,15 +308,18 @@ object Relational {
       import graft.operators.TemporalOps
       // prune BEFORE the as-of compose: asofJoin unions the left side
       // into its window shuffle, so every unselected column (the wide
-      // props JSON in particular) would ride the exchange for nothing
+      // props JSON in particular) would ride the exchange for nothing.
+      // The oracle's per-(key, time) max-orderkey pre-aggregation is
+      // expressed as the window tie-break instead of a groupBy — same
+      // winner, one less shuffle of the orders side
       val events = Tables.t(s, dir, "events")
         .select("event_id", "user_id", "ts")
       val o = Tables.t(s, dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(max("o_orderkey").as("o_orderkey"))
+        .select("o_custkey", "o_orderdate", "o_orderkey")
       Q.oracleOrder(
         TemporalOps.asofJoin(events, "user_id", "ts",
-            o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+            o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"),
+            tieBreak = Seq("o_orderkey"))
           .select(col("event_id"), col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date")),
         "event_id")
@@ -340,8 +343,11 @@ object Relational {
         .filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
         .select(col("event_id").as("interval_id"), col("ts").as("lo"),
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      // the interval side is a 5% sample of purchases — dimension
+      // sized at any SF, so broadcast it and leave events unshuffled
       Q.oracleOrder(
-        TemporalOps.rangeJoin(ev, "ts", iv, "lo", "hi", bucketSeconds = 600L)
+        TemporalOps.rangeJoin(ev, "ts", iv, "lo", "hi", bucketSeconds = 600L,
+            broadcastIntervals = true)
           .groupBy("interval_id").agg(count(lit(1)).as("n")),
         "interval_id")
     },

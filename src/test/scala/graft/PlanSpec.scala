@@ -18,6 +18,12 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** AQE plan text repeats the pre-adaptive plan under an
+    * "== Initial Plan ==" banner — exchange counts must only look at
+    * the final section or every exchange double-counts. */
+  private def finalPlanOnly(p: String): String =
+    p.split("== Initial Plan ==").head
+
   test("q02: filters are pushed into the parquet scan, columns pruned") {
     val p = executedPlan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), "expected parquet PushedFilters")
@@ -67,13 +73,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "as-of should run as a window fill")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "as-of must not fall back to a nested-loop/cartesian join")
+    // the tie-break rides the window sort: exactly ONE hash exchange
+    // (the window key) — no pre-aggregation shuffle of the right side
+    val hashEx = finalPlanOnly(p).linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"expected 1 hash exchange (window), got $hashEx:\n$p")
   }
 
-  test("q34: range join is a hash equi-join on the bucket, never a nested loop") {
+  test("q34: range join broadcasts the interval side — the point side never shuffles") {
     val p = executedPlan("q34_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join fell back to a cartesian shape:\n$p")
-    assert(p.contains("Join"), "expected a (hash) join on the bucket id")
+    assert(p.contains("BroadcastHashJoin"),
+      s"exploded intervals should broadcast:\n$p")
+    // the only hash exchange left is the count-per-interval aggregation
+    val hashEx = finalPlanOnly(p).linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"point side must not shuffle into the join:\n$p")
   }
 
   test("q54: IVF assignment is map-side — no Exchange before the projection") {

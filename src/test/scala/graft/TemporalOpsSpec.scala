@@ -38,6 +38,42 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got(4L) === None)      // NULL key never matches (not even the NULL right row)
   }
 
+  test("asofJoin tieBreak picks the max tie-break row at equal right time") {
+    val dupRight = Seq(
+      (Some(100L), t("2024-01-01 10:00:00"), 12L),
+      (Some(100L), t("2024-01-01 10:00:00"), 15L), // same (key, time): tie
+      (Some(100L), t("2024-01-01 10:00:00"), 14L),
+      (Some(100L), t("2024-01-01 09:00:00"), 99L)  // earlier time never wins
+    ).toDF("k", "rt", "order_id")
+    val got = TemporalOps.asofJoin(left, "user_id", "ts",
+        dupRight, "k", "rt", Seq("order_id"), tieBreak = Seq("order_id"))
+      .select("event_id", "order_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) === Some(15L)) // max order_id among the 10:00 ties
+    assert(got(2L) === Some(15L))
+    assert(got(4L) === None)
+  }
+
+  test("asofJoin rejects a tieBreak column that is not in the payload") {
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(left, "user_id", "ts",
+        right, "k", "rt", Seq("order_id"), tieBreak = Seq("rt"))
+    }
+  }
+
+  test("rangeJoin broadcastIntervals plans a broadcast hash join") {
+    val points = Seq((1L, t("2024-01-01 10:00:00"))).toDF("pid", "ts")
+    val intervals = Seq((10L, t("2024-01-01 09:00:00"), t("2024-01-01 11:00:00")))
+      .toDF("iid", "lo", "hi")
+    val df = TemporalOps.rangeJoin(points, "ts", intervals, "lo", "hi",
+      broadcastIntervals = true)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"interval side should broadcast:\n$p")
+  }
+
   test("asofJoin preserves every left row and column") {
     val out = TemporalOps.asofJoin(left, "user_id", "ts",
       right, "k", "rt", Seq("order_id", "rt"))
