@@ -381,6 +381,7 @@ object Compat {
     }
     val ts = ArrayBuffer.from(tokenize(sql))
     rewriteDistinctOn(ts)
+    rewriteWindowFrames(ts)
     collapseOperatorCall(ts)
     collapseAnsiTypeSpellings(ts)
     stripCollate(ts)
@@ -1119,6 +1120,350 @@ object Compat {
       }
       i += 1
     }
+  }
+
+  // ---- pg window frame features Spark's parser lacks --------------------
+  //
+  // GROUPS frames and frame EXCLUDE clauses (pg window_definition;
+  // the reference engine declares both unsupported). Strategy,
+  // live-pinned against pg 15 (sweep-25):
+  //
+  //  - GROUPS whose bounds are only UNBOUNDED/CURRENT ROW is
+  //    value-identical to the same RANGE frame (a RANGE CURRENT ROW
+  //    boundary already spans the whole peer group) — keyword swap.
+  //  - GROUPS with integer offsets counts peer groups, which Spark
+  //    cannot express directly; the block is restructured so a
+  //    dense_rank() subquery materializes the group number and the
+  //    frame becomes RANGE over that integer — `GROUPS n PRECEDING`
+  //    over ORDER BY o is exactly `RANGE n PRECEDING` over
+  //    dense_rank() ORDER BY o (peers share a rank; rank distance =
+  //    group distance). Same inner `SELECT *` shape and documented
+  //    limits as DISTINCT ON: no GROUP BY/HAVING in the block.
+  //  - EXCLUDE decomposes arithmetically for sum/count/avg: the
+  //    excluded portion is re-aggregated by a peers-only window
+  //    (RANGE BETWEEN CURRENT ROW AND CURRENT ROW) and/or the current
+  //    row's own value, then subtracted from the full-frame result,
+  //    with a count guard reproducing NULL-on-empty. Valid only when
+  //    the frame provably contains everything subtracted: the current
+  //    row for EXCLUDE CURRENT ROW (start not FOLLOWING, end not
+  //    PRECEDING), the whole peer group for EXCLUDE GROUP/TIES (a
+  //    RANGE/GROUPS frame spanning offset 0, or ROWS UNBOUNDED..
+  //    UNBOUNDED — pg intersects the exclusion with the frame, so a
+  //    narrower ROWS frame would over-subtract). Everything else
+  //    (min/max/other aggregates, FILTER + EXCLUDE, narrow-frame
+  //    GROUP/TIES) raises 0A000 rather than returning wrong numbers.
+  //    avg rides CAST(sum AS decimal(38,16))/count — pg's numeric
+  //    avg scale for int/numeric inputs; float8 input gains trailing
+  //    zeros vs pg (documented deviation).
+
+  private val frameUnbounded = Set("UP", "CR", "UF")
+
+  /** Classify a frame bound starting at non-ws index `j`; returns
+    * (kind, lastTokenIdx) where kind ∈ UP|CR|UF|OP|OF (unbounded/
+    * current/offset × preceding/following). */
+  private def parseBound(ts: ArrayBuffer[Tok], j: Int, stop: Int): (String, Int) = {
+    if (ts(j).isWord("UNBOUNDED")) {
+      val d = nextIdx(ts, j)
+      (if (d >= 0 && ts(d).isWord("FOLLOWING")) "UF" else "UP", d)
+    } else if (ts(j).isWord("CURRENT")) ("CR", nextIdx(ts, j))
+    else {
+      // offset bound: scan to the PRECEDING/FOLLOWING keyword
+      var k = j; var depth = 0; var dir = ""; var last = j
+      while (k < stop && dir.isEmpty) {
+        if (ts(k).is("(")) depth += 1
+        else if (ts(k).is(")")) depth -= 1
+        else if (depth == 0 && ts(k).isWord("PRECEDING")) { dir = "OP"; last = k }
+        else if (depth == 0 && ts(k).isWord("FOLLOWING")) { dir = "OF"; last = k }
+        k += 1
+      }
+      (if (dir.isEmpty) "CR" else dir, last)
+    }
+  }
+
+  /** Frame clause layout inside one OVER(...): frame keyword index,
+    * EXCLUDE index (-1), bound kinds, and the index right after the
+    * bounds. */
+  private case class FrameInfo(f: Int, e: Int, startKind: String,
+      endKind: String, boundsEnd: Int)
+
+  private def frameOf(ts: ArrayBuffer[Tok], open: Int, close: Int): Option[FrameInfo] = {
+    var f = -1; var e = -1; var depth = 0; var j = open + 1
+    while (j < close) {
+      if (ts(j).is("(")) depth += 1
+      else if (ts(j).is(")")) depth -= 1
+      else if (depth == 0 && f < 0 && (ts(j).isWord("ROWS") ||
+        ts(j).isWord("RANGE") || ts(j).isWord("GROUPS"))) f = j
+      else if (depth == 0 && ts(j).isWord("EXCLUDE")) e = j
+      j += 1
+    }
+    if (f < 0) None
+    else {
+      val stop = if (e >= 0) e else close
+      val b1 = nextIdx(ts, f)
+      if (b1 < 0 || b1 >= stop) None
+      else if (ts(b1).isWord("BETWEEN")) {
+        val (sk, sEnd) = parseBound(ts, nextIdx(ts, b1), stop)
+        val and = nextIdx(ts, sEnd)
+        if (and < 0 || !ts(and).isWord("AND")) None
+        else {
+          val (ek, eEnd) = parseBound(ts, nextIdx(ts, and), stop)
+          Some(FrameInfo(f, e, sk, ek, eEnd + 1))
+        }
+      } else {
+        val (sk, sEnd) = parseBound(ts, b1, stop)
+        Some(FrameInfo(f, e, sk, "CR", sEnd + 1)) // single bound: end = CURRENT ROW
+      }
+    }
+  }
+
+  private var grpSeq = 0 // unique suffix for dense_rank aliases
+
+  /** Restructure blocks whose select list has a GROUPS frame with
+    * integer offsets: dense_rank() subquery + RANGE over the rank. */
+  private def rewriteGroupsOffsets(ts: ArrayBuffer[Tok]): Unit = {
+    var guard = 0
+    var again = true
+    while (again && guard < 32) {
+      again = false; guard += 1
+      // depth of every token, for block scoping
+      val depths = new Array[Int](ts.length)
+      var d = 0
+      for (j <- ts.indices) {
+        if (ts(j).is("(")) { depths(j) = d; d += 1 }
+        else if (ts(j).is(")")) { d -= 1; depths(j) = d }
+        else depths(j) = d
+      }
+      var i = 0
+      while (i < ts.length && !again) {
+        if (ts(i).isWord("OVER")) {
+          val open = nextIdx(ts, i)
+          val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+          if (close > 0) frameOf(ts, open, close) match {
+            case Some(fi) if ts(fi.f).isWord("GROUPS") &&
+                (fi.startKind == "OP" || fi.startKind == "OF" ||
+                 fi.endKind == "OP" || fi.endKind == "OF") =>
+              rewriteOneGroupsOffset(ts, i, open, close, fi, depths)
+              again = true // indices shifted; rescan
+            case _ =>
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  private def rewriteOneGroupsOffset(ts: ArrayBuffer[Tok], overIdx: Int,
+      open: Int, close: Int, fi: FrameInfo, depths: Array[Int]): Unit = {
+    // split the spec: [PARTITION BY part] ORDER BY ord GROUPS bounds [EXCLUDE ...]
+    var orderIdx = -1; var depth = 0
+    var j = open + 1
+    while (j < fi.f && orderIdx < 0) {
+      if (ts(j).is("(")) depth += 1
+      else if (ts(j).is(")")) depth -= 1
+      else if (depth == 0 && ts(j).isWord("ORDER")) {
+        val by = nextIdx(ts, j)
+        if (by >= 0 && ts(by).isWord("BY")) orderIdx = j
+      }
+      j += 1
+    }
+    if (orderIdx < 0)
+      throw PgException("42P20", "GROUPS mode requires an ORDER BY clause")
+    val partToks = ts.slice(open + 1, orderIdx).toVector
+    val ordToks = ts.slice(nextIdx(ts, nextIdx(ts, orderIdx)), fi.f).toVector
+    val frameTail = ts.slice(fi.f + 1, close).toVector // bounds [+ EXCLUDE]
+
+    // enclosing block: nearest preceding SELECT, then its FROM/tail at
+    // the same depth
+    // nearest preceding SELECT at (or above) the window's own depth —
+    // skips sibling scalar subqueries that closed before the window
+    var s = overIdx
+    while (s >= 0 && !(ts(s).isWord("SELECT") && depths(s) <= depths(overIdx)))
+      s -= 1
+    if (s < 0) throw PgException("0A000",
+      "GROUPS frame with an offset is only supported in a SELECT list")
+    val ds = depths(s)
+    var fromIdx = -1; var tailIdx = -1; var end = ts.length
+    j = s + 1
+    while (j < ts.length && end == ts.length) {
+      if (depths(j) < ds) end = j
+      else if (depths(j) == ds && ts(j).kind == Word) {
+        val w = ts(j).text.toUpperCase
+        if (w == "FROM" && fromIdx < 0) fromIdx = j
+        else if (fromIdx >= 0 && tailIdx < 0 &&
+          (w == "ORDER" || w == "LIMIT" || w == "OFFSET")) tailIdx = j
+        else if (w == "UNION" || w == "INTERSECT" || w == "EXCEPT") end = j
+        else if (fromIdx >= 0 && (w == "GROUP" || w == "HAVING") &&
+          !ts(j).isWord("GROUPS"))
+          throw PgException("0A000",
+            "GROUPS frame with an offset is not supported in an aggregated block")
+      }
+      j += 1
+    }
+    if (fromIdx < 0) throw PgException("0A000",
+      "GROUPS frame with an offset requires a FROM clause")
+    val bodyEnd = if (tailIdx > 0) tailIdx else end
+    val body = ts.slice(fromIdx, bodyEnd).toVector
+
+    grpSeq += 1
+    val g = s"__grp$grpSeq"
+    // new OVER spec: [PARTITION BY part] ORDER BY __grpN RANGE bounds…
+    // discrete tokens: the EXCLUDE pass that follows must still see
+    // the RANGE keyword (isWord matches whole-token text only)
+    val newSpec = ArrayBuffer[Tok]()
+    newSpec ++= partToks
+    newSpec ++= Seq(Tok(Ws, " "), Tok(Word, "ORDER"), Tok(Ws, " "),
+      Tok(Word, "BY"), Tok(Ws, " "), Tok(Word, g), Tok(Ws, " "),
+      Tok(Word, "RANGE"), Tok(Ws, " "))
+    newSpec ++= frameTail
+    // new FROM body: dense_rank() over the original (part, order)
+    val newBody = ArrayBuffer[Tok]()
+    newBody += Tok(Word, "FROM (SELECT *, dense_rank() OVER (")
+    newBody ++= partToks
+    newBody += Tok(Word, " ORDER BY ")
+    newBody ++= ordToks
+    newBody += Tok(Word, s") AS $g ")
+    newBody ++= body
+    newBody += Tok(Word, s") __grp_t$grpSeq ")
+    // splice the later span first so earlier indices stay valid
+    if (fromIdx > close) {
+      ts.remove(fromIdx, bodyEnd - fromIdx)
+      ts.insertAll(fromIdx, newBody)
+      ts.remove(open + 1, close - open - 1)
+      ts.insertAll(open + 1, newSpec)
+    } else {
+      ts.remove(open + 1, close - open - 1)
+      ts.insertAll(open + 1, newSpec)
+      val shift = newSpec.length - (close - open - 1)
+      ts.remove(fromIdx + shift, bodyEnd - fromIdx)
+      ts.insertAll(fromIdx + shift, newBody)
+    }
+  }
+
+  /** GROUPS→RANGE keyword mapping and EXCLUDE decomposition over one
+    * OVER(...) span (see the block comment above). */
+  private def rewriteWindowFrames(ts: ArrayBuffer[Tok]): Unit = {
+    rewriteGroupsOffsets(ts)
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isWord("OVER")) {
+        val open = nextIdx(ts, i)
+        val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+        if (close > 0) frameOf(ts, open, close).foreach { fi =>
+          rewriteOneFrame(ts, i, open, close, fi)
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def rewriteOneFrame(ts: ArrayBuffer[Tok], overIdx: Int,
+      open: Int, close: Int, fi: FrameInfo): Unit = {
+    val isGroups = ts(fi.f).isWord("GROUPS")
+    if (isGroups) {
+      if (frameUnbounded(fi.startKind) && frameUnbounded(fi.endKind))
+        ts(fi.f) = Tok(Word, "RANGE") // exact: peers ride the CR boundary
+      else throw PgException("0A000",
+        "GROUPS frame with an offset is only supported in a SELECT list")
+    }
+    if (fi.e < 0) return
+    // EXCLUDE kind
+    val k1 = nextIdx(ts, fi.e)
+    val kind = if (k1 < 0) "" else ts(k1).text.toUpperCase
+    val kEnd = if (kind == "CURRENT" || kind == "NO") nextIdx(ts, k1) else k1
+    if (kind == "NO") { ts.remove(fi.e, kEnd - fi.e + 1); return } // NO OTHERS: no-op
+    // aggregate call directly before OVER
+    val p1 = prevIdx(ts, overIdx)
+    if (p1 < 0 || !ts(p1).is(")"))
+      throw PgException("0A000", s"frame EXCLUDE on this window call is not supported")
+    var depth2 = 0; var aOpen = p1
+    while (aOpen >= 0 && { val t = ts(aOpen)
+      if (t.is(")")) depth2 += 1 else if (t.is("(")) depth2 -= 1; depth2 != 0 }) aOpen -= 1
+    val fnIdx = prevIdx(ts, aOpen)
+    if (fnIdx < 0 || ts(fnIdx).kind != Word)
+      throw PgException("0A000", "frame EXCLUDE on this window call is not supported")
+    val fn = ts(fnIdx).text.toLowerCase
+    if (fn == "filter")
+      throw PgException("0A000", "FILTER with a frame EXCLUDE clause is not supported")
+    // ranking/offset functions ignore the frame entirely in pg, so
+    // EXCLUDE is a no-op for them — drop the whole frame clause and
+    // let Spark supply the function's required frame (it rejects an
+    // explicit spelling on some of these)
+    if (Set("row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+        "ntile", "lead", "lag").contains(fn)) {
+      ts.remove(fi.f, kEnd - fi.f + 1); return
+    }
+    if (!Set("sum", "count", "avg").contains(fn))
+      throw PgException("0A000", s"$fn with a frame EXCLUDE clause is not supported")
+    // validity: the frame must contain what we subtract
+    val containsCur = fi.startKind != "OF" && fi.endKind != "OP" &&
+      fi.startKind != "UF" && fi.endKind != "UP"
+    val rangeKw = ts(fi.f).isWord("RANGE")
+    val containsGroup = (rangeKw && containsCur) ||
+      (fi.startKind == "UP" && fi.endKind == "UF")
+    if (kind == "CURRENT" && !containsCur) throw PgException("0A000",
+      "EXCLUDE CURRENT ROW on a frame not containing the current row is not supported")
+    if ((kind == "GROUP" || kind == "TIES") && !containsGroup)
+      throw PgException("0A000",
+        s"EXCLUDE $kind needs a RANGE/GROUPS frame spanning the current row " +
+        "(a narrower ROWS frame would over-subtract)")
+    val args = ts.slice(aOpen + 1, p1).toVector
+    val isStar = args.exists(_.is("*")) && args.forall(t => t.kind == Ws || t.is("*"))
+    if (args.exists(_.isWord("DISTINCT")))
+      throw PgException("0A000", "DISTINCT is not implemented for window functions")
+    val specFull = ts.slice(open + 1, if (fi.e >= 0) fi.e else close).toVector
+    // peers-only window: same partition/order, RANGE CR..CR
+    var orderIdx = -1; var dep = 0; var j = open + 1
+    while (j < fi.f && orderIdx < 0) {
+      if (ts(j).is("(")) dep += 1
+      else if (ts(j).is(")")) dep -= 1
+      else if (dep == 0 && ts(j).isWord("ORDER")) orderIdx = j
+      j += 1
+    }
+    if (orderIdx < 0 && (kind == "GROUP" || kind == "TIES"))
+      throw PgException("0A000",
+        s"EXCLUDE $kind without a window ORDER BY is not supported")
+    val grpSpec = ts.slice(open + 1, fi.f).toVector :+
+      Tok(Word, " RANGE BETWEEN CURRENT ROW AND CURRENT ROW")
+
+    val repl = ArrayBuffer[Tok]()
+    def w(s: String): Unit = repl += Tok(Word, s)
+    def winOver(aggFn: String, spec: Vector[Tok]): Unit = {
+      w(s"$aggFn("); repl ++= args; w(") OVER ("); repl ++= spec; w(")")
+    }
+    def curCnt(): Unit = // this row's own count contribution
+      if (isStar) w("1")
+      else { w("(CASE WHEN ("); repl ++= args; w(") IS NULL THEN 0 ELSE 1 END)") }
+    def curVal(): Unit = { w("coalesce("); repl ++= args; w(", 0)") }
+    def cnt(): Unit = { // remaining-rows count expression
+      w("("); winOver("count", specFull)
+      kind match {
+        case "CURRENT" => w(" - "); curCnt()
+        case "GROUP" => w(" - "); winOver("count", grpSpec)
+        case "TIES" => w(" - "); winOver("count", grpSpec); w(" + "); curCnt()
+      }
+      w(")")
+    }
+    def sumRest(): Unit = { // remaining-rows sum expression
+      winOver("sum", specFull)
+      kind match {
+        case "CURRENT" => w(" - "); curVal()
+        case "GROUP" =>
+          w(" - coalesce("); winOver("sum", grpSpec); w(", 0)")
+        case "TIES" =>
+          w(" - coalesce("); winOver("sum", grpSpec); w(", 0) + "); curVal()
+      }
+    }
+    fn match {
+      case "count" => cnt()
+      case "sum" =>
+        w("(CASE WHEN "); cnt(); w(" = 0 THEN NULL ELSE ")
+        sumRest(); w(" END)")
+      case "avg" =>
+        w("(CASE WHEN "); cnt(); w(" = 0 THEN NULL ELSE CAST(")
+        sumRest(); w(" AS decimal(38,16)) / "); cnt(); w(" END)")
+    }
+    ts.remove(fnIdx, close - fnIdx + 1)
+    ts.insertAll(fnIdx, repl)
   }
 
   /** SQL-standard row-limit spellings Spark's parser lacks:

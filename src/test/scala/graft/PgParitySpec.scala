@@ -1588,4 +1588,100 @@ class PgParitySpec extends SparkSpec {
     assert(errOf("ts_rank('{0.1,0.2}', 'cat:1', 'cat'::tsquery)") === "2202E")
     assert(errOf("ts_rank('{0.2,0.4,0.8,2.0}', 'cat:1', 'cat'::tsquery)") === "22023")
   }
+
+  test("sweep-25: GROUPS frames and frame EXCLUDE (live pg 15)") {
+    // 32 vectors, 0 diffs after two fixes (composite RANGE token
+    // hiding the frame from the EXCLUDE pass; rank-like functions
+    // need the whole frame dropped, not just the EXCLUDE clause).
+    // Fixture peer groups by o: {1},{2,2},{3,3,3},{5}; x NULL on id 5.
+    def wf(inner: String): String =
+      s"(SELECT string_agg(coalesce(s::text,'N'), ',' ORDER BY id) FROM " +
+      s"(SELECT id, $inner AS s FROM (VALUES (1,1,1,10),(2,1,2,20),(3,1,2,30)," +
+      s"(4,1,3,40),(5,1,3,NULL::int),(6,2,3,60),(7,2,5,70)) v(id,p,o,x)) q)"
+    val pinned: Seq[(String, String)] = Seq(
+      // GROUPS with UNBOUNDED/CURRENT bounds — RANGE keyword mapping
+      ("sum(x) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+       "10,60,60,160,160,160,230"),
+      ("sum(x) OVER (ORDER BY o GROUPS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
+       "230,220,220,170,170,170,70"),
+      ("count(*) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+       "7,7,7,7,7,7,7"),
+      ("sum(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+       "10,60,60,100,100,60,130"),
+      // GROUPS integer offsets — dense_rank subquery restructure
+      ("sum(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+       "60,160,160,220,220,220,170"),
+      ("count(*) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+       "1,3,3,5,5,5,4"),
+      ("sum(x) OVER (ORDER BY o GROUPS 2 PRECEDING)",
+       "10,60,60,160,160,160,220"),
+      ("sum(x) OVER (ORDER BY o GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING)",
+       "60,150,150,170,170,170,70"),
+      ("sum(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+       "10,60,60,90,90,60,130"),
+      ("sum(x) OVER (ORDER BY o DESC GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+       "60,150,150,170,170,170,70"),
+      ("min(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+       "10,10,10,20,20,20,40"),
+      // EXCLUDE over RANGE frames — arithmetic decomposition
+      ("sum(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "N,40,30,120,160,100,160"),
+      ("sum(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+       "N,10,10,60,60,60,160"),
+      ("sum(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)",
+       "10,30,40,100,60,120,230"),
+      ("sum(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS)",
+       "10,60,60,160,160,160,230"),
+      ("count(*) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+       "0,1,1,3,3,3,6"),
+      ("count(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)",
+       "1,2,2,4,3,4,6"),
+      ("count(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "0,2,2,4,5,4,5"),
+      ("avg(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "N,20.0000000000000000,15.0000000000000000,30.0000000000000000,32.0000000000000000,25.0000000000000000,32.0000000000000000"),
+      ("avg(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+       "N,10.0000000000000000,10.0000000000000000,20.0000000000000000,20.0000000000000000,20.0000000000000000,32.0000000000000000"),
+      ("sum(x) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+       "N,10,10,60,60,N,60"),
+      ("sum(x) OVER (ORDER BY o RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)",
+       "50,110,110,50,50,50,N"),
+      ("sum(x) OVER (ORDER BY o RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)",
+       "60,130,140,90,50,110,70"),
+      // EXCLUDE over ROWS frames (CURRENT ROW any; GROUP/TIES UP..UF)
+      ("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+       "20,40,60,30,100,70,60"),
+      ("sum(x) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)",
+       "220,210,200,190,230,170,160"),
+      ("sum(x) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP)",
+       "220,180,180,130,130,130,160"),
+      ("sum(x) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES)",
+       "230,200,210,170,130,190,230"),
+      ("count(id) OVER (ORDER BY o ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "0,1,2,2,2,2,2"),
+      // GROUPS offsets + EXCLUDE composed (restructure then decompose)
+      ("sum(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+       "N,10,10,50,50,50,100"),
+      ("sum(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)",
+       "60,130,140,160,120,180,170"),
+      // ranking functions: pg ignores the frame — EXCLUDE is a no-op
+      ("row_number() OVER (ORDER BY o, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+       "1,2,3,4,5,6,7"),
+      ("rank() OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)",
+       "1,2,2,4,4,4,7"))
+    for ((inner, want) <- pinned)
+      assert(one(wf(inner)) === want, s"expr: $inner")
+    // unsupported shapes raise 0A000 rather than returning wrong rows
+    def errOf(expr: String): String = {
+      val e: Throwable = intercept[Exception] {
+        graft.pgwire.Handlers.runSql(spark, s"SELECT ${wf(expr)}").collect()
+      }
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .collectFirst { case p: graft.pgwire.PgException => p.code }
+        .getOrElse("?")
+    }
+    assert(errOf("min(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)") === "0A000")
+    assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)") === "0A000")
+    assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)") === "0A000")
+  }
 }
