@@ -1,0 +1,657 @@
+package graft.functions
+
+/** Non-english Snowball stemmers for the pg text-search configs the
+  * reference's functions roadmap lists beyond 'english'/'simple'
+  * (reference: datafusion-postgres docs/functions.md text-search
+  * rows). Implemented from the PUBLIC Snowball algorithm
+  * descriptions (snowballstem.org/algorithms/{german,spanish,french}/
+  * stemmer.html) and verified by differential sweeps against live
+  * pg 15 `ts_lexize('<lang>_stem', w)` over morphological
+  * cross-product vocabularies (sweep-26) — the same method the
+  * english Porter2 port used. Stop-word sets are the public Snowball
+  * project lists as shipped in PostgreSQL's tsearch_data.
+  *
+  * All stemmers take a lowercase word and return its stem.
+  */
+object SnowballStems extends Serializable {
+
+  // ------------------------------------------------------------------
+  // German (snowballstem.org/algorithms/german/stemmer.html)
+  // ------------------------------------------------------------------
+
+  private val deVowels = "aeiouyäöü".toSet
+
+  /** Standard R1/R2: the region after the first non-vowel following
+    * a vowel, scanning from `from`. */
+  private def regionAfter(s: String, from: Int, isV: Char => Boolean): Int = {
+    var i = from
+    while (i < s.length && !isV(s(i))) i += 1
+    while (i < s.length && isV(s(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  def germanStem(word0: String): String = {
+    var w = word0.replace("ß", "ss")
+    // mark u/y between vowels as consonants (upper case)
+    if (w.length >= 3) {
+      val cs = w.toCharArray
+      var i = 1
+      while (i < cs.length - 1) {
+        if ((cs(i) == 'u' || cs(i) == 'y') &&
+          deVowels(cs(i - 1)) && deVowels(cs(i + 1)))
+          cs(i) = cs(i).toUpper
+        i += 1
+      }
+      w = new String(cs)
+    }
+    val isV = (c: Char) => deVowels(c)
+    var r1 = regionAfter(w, 0, isV)
+    val r2 = regionAfter(w, r1, isV)
+    if (r1 < 3) r1 = 3
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+
+    // step 1
+    val sEnding = "bdfghklmnrt".toSet
+    Seq("ern", "em", "er", "en", "es", "e", "s").find(w.endsWith) match {
+      case Some(suf @ ("ern" | "em" | "er")) =>
+        if (inR1(w.length - suf.length)) w = w.dropRight(suf.length)
+      case Some(suf @ ("en" | "es" | "e")) =>
+        if (inR1(w.length - suf.length)) {
+          w = w.dropRight(suf.length)
+          if (w.endsWith("niss")) w = w.dropRight(1)
+        }
+      case Some("s") =>
+        if (inR1(w.length - 1) && w.length >= 2 && sEnding(w(w.length - 2)))
+          w = w.dropRight(1)
+      case _ =>
+    }
+    // step 2
+    val stEnding = "bdfghklmnt".toSet
+    Seq("est", "en", "er", "st").find(w.endsWith) match {
+      case Some(suf @ ("est" | "en" | "er")) =>
+        if (inR1(w.length - suf.length)) w = w.dropRight(suf.length)
+      case Some("st") =>
+        if (inR1(w.length - 2) && w.length >= 6 && stEnding(w(w.length - 3)))
+          w = w.dropRight(2)
+      case _ =>
+    }
+    // step 3: d-suffixes
+    Seq("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik")
+      .find(w.endsWith) match {
+      case Some(suf @ ("end" | "ung")) =>
+        if (inR2(w.length - suf.length)) {
+          w = w.dropRight(suf.length)
+          val p = w.length - 2
+          if (w.endsWith("ig") && inR2(p) && (p == 0 || w(p - 1) != 'e'))
+            w = w.dropRight(2)
+        }
+      case Some(suf @ ("ig" | "ik" | "isch")) =>
+        val p = w.length - suf.length
+        if (inR2(p) && (p == 0 || w(p - 1) != 'e')) w = w.dropRight(suf.length)
+      case Some(suf @ ("lich" | "heit")) =>
+        if (inR2(w.length - suf.length)) {
+          w = w.dropRight(suf.length)
+          Seq("er", "en").find(w.endsWith) match {
+            case Some(s2) if inR1(w.length - 2) => w = w.dropRight(s2.length)
+            case _ =>
+          }
+        }
+      case Some("keit") =>
+        if (inR2(w.length - 4)) {
+          w = w.dropRight(4)
+          Seq("lich", "ig").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - s2.length) =>
+              w = w.dropRight(s2.length)
+            case _ =>
+          }
+        }
+      case _ =>
+    }
+    w.map {
+      case 'U' => 'u'; case 'Y' => 'y'
+      case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'
+      case c => c
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Spanish (snowballstem.org/algorithms/spanish/stemmer.html)
+  // ------------------------------------------------------------------
+
+  private val esVowels = "aeiouáéíóúü".toSet
+
+  /** Romance-language RV: second letter consonant → after the next
+    * vowel; first two letters vowels → after the next consonant;
+    * consonant-vowel → after the third letter. */
+  private def rvRomance(s: String, isV: Char => Boolean): Int = {
+    if (s.length < 3) return s.length
+    if (!isV(s(1))) {
+      var i = 2; while (i < s.length && !isV(s(i))) i += 1
+      if (i < s.length) i + 1 else s.length
+    } else if (isV(s(0)) && isV(s(1))) {
+      var i = 2; while (i < s.length && isV(s(i))) i += 1
+      if (i < s.length) i + 1 else s.length
+    } else 3
+  }
+
+  private def esUnaccent(c: Char): Char = c match {
+    case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+    case 'ó' => 'o'; case 'ú' => 'u'; case x => x
+  }
+
+  def spanishStem(word0: String): String = {
+    var w = word0
+    val isV = (c: Char) => esVowels(c)
+    val rv = rvRomance(w, isV)
+    val r1 = regionAfter(w, 0, isV)
+    val r2 = regionAfter(w, r1, isV)
+    def inRV(pos: Int) = pos >= rv
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+
+    // NOTE on all RV-limited steps (0, 2a, 2b, 3): Snowball's
+    // `setlimit tomark pV` bounds the suffix MATCH itself — a longer
+    // suffix that starts before RV is not a candidate at all (no
+    // condition-failure fallback, but shorter in-RV suffixes still
+    // match). Implemented as a candidate filter before longest-match;
+    // the first sweep-26 run had this as a post-check, which is what
+    // produced every spanish/french diff.
+    def inRvCandidates(sufs: Seq[String]): Option[String] =
+      sufs.filter(s => w.endsWith(s) && w.length - s.length >= rv)
+        .sortBy(-_.length).headOption
+
+    // step 0: attached pronoun
+    val pronouns = Seq("selas", "selos", "sela", "selo", "las", "les",
+      "los", "nos", "me", "se", "la", "le", "lo")
+    inRvCandidates(pronouns).foreach { pr =>
+      val stemEnd = w.length - pr.length
+      val head = w.substring(0, stemEnd)
+      val accented = Seq("iéndo", "ándo", "ár", "ér", "ír")
+      val plain = Seq("ando", "iendo", "ar", "er", "ir")
+      accented.find(head.endsWith) match {
+        case Some(a) if inRV(stemEnd - a.length) =>
+          w = head.map(esUnaccent)
+        case _ =>
+          plain.find(head.endsWith) match {
+            case Some(a) if inRV(stemEnd - a.length) => w = head
+            case _ =>
+              if (head.endsWith("yendo") && stemEnd >= 6 &&
+                head(stemEnd - 6) == 'u' && inRV(stemEnd - 5)) w = head
+          }
+      }
+    }
+
+    val lenBefore1 = w.length
+    // step 1: standard suffixes — longest match across the whole table
+    val st1: Seq[(String, Int)] = Seq(
+      // (suffix, action)
+      "amientos" -> 1, "imientos" -> 1, "amiento" -> 1, "imiento" -> 1,
+      "anzas" -> 1, "anza" -> 1, "icos" -> 1, "icas" -> 1, "ico" -> 1,
+      "ica" -> 1, "ismos" -> 1, "ismo" -> 1, "ables" -> 1, "able" -> 1,
+      "ibles" -> 1, "ible" -> 1, "istas" -> 1, "ista" -> 1, "osos" -> 1,
+      "osas" -> 1, "oso" -> 1, "osa" -> 1,
+      "adoras" -> 2, "adores" -> 2, "aciones" -> 2, "adora" -> 2,
+      "ación" -> 2, "ador" -> 2, "antes" -> 2, "ante" -> 2,
+      "ancias" -> 2, "ancia" -> 2,
+      "logías" -> 3, "logía" -> 3,
+      "uciones" -> 4, "ución" -> 4,
+      "encias" -> 5, "encia" -> 5,
+      "amente" -> 6, "mente" -> 7,
+      "idades" -> 8, "idad" -> 8,
+      "ivas" -> 9, "ivos" -> 9, "iva" -> 9, "ivo" -> 9)
+    val m1 = st1.filter { case (s, _) => w.endsWith(s) }
+      .sortBy(-_._1.length).headOption
+    m1.foreach { case (suf, act) =>
+      val p = w.length - suf.length
+      act match {
+        case 1 => if (inR2(p)) w = w.dropRight(suf.length)
+        case 2 => if (inR2(p)) {
+          w = w.dropRight(suf.length)
+          if (w.endsWith("ic") && inR2(w.length - 2)) w = w.dropRight(2)
+        }
+        case 3 => if (inR2(p)) w = w.dropRight(suf.length - 3) // keep "log"
+        case 4 => if (inR2(p)) w = w.substring(0, p) + "u"
+        case 5 => if (inR2(p)) w = w.substring(0, p) + "ente"
+        case 6 => if (inR1(p)) { // amente
+          w = w.dropRight(6)
+          if (w.endsWith("iv") && inR2(w.length - 2)) {
+            w = w.dropRight(2)
+            if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+          } else Seq("os", "ic", "ad").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - 2) => w = w.dropRight(2)
+            case _ =>
+          }
+        }
+        case 7 => if (inR2(p)) { // mente
+          w = w.dropRight(5)
+          Seq("ante", "able", "ible").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - 4) => w = w.dropRight(4)
+            case _ =>
+          }
+        }
+        case 8 => if (inR2(p)) { // idad(es)
+          w = w.dropRight(suf.length)
+          Seq("abil", "ic", "iv").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - s2.length) =>
+              w = w.dropRight(s2.length)
+            case _ =>
+          }
+        }
+        case 9 => if (inR2(p)) { // iva/ivo(s)
+          w = w.dropRight(suf.length)
+          if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+        }
+      }
+    }
+
+    var removed = w.length != lenBefore1
+    // step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+    if (!removed) {
+      val lb = w.length
+      val ys = Seq("yeron", "yendo", "yamos", "yais", "yan", "yen",
+        "yas", "yes", "ya", "ye", "yo", "yó")
+      inRvCandidates(ys).foreach { suf =>
+        val p = w.length - suf.length
+        if (p >= 1 && w(p - 1) == 'u') w = w.dropRight(suf.length)
+      }
+      removed = w.length != lb
+    }
+    // step 2b: other verb suffixes (if nothing removed yet)
+    if (!removed) {
+      val groupA = Seq("emos", "éis", "en", "es")
+      val groupB = Seq(
+        "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+        "aríamos", "aremos", "ará", "aré",
+        "erían", "erías", "erán", "erás", "eríais", "ería", "eréis",
+        "eríamos", "eremos", "erá", "eré",
+        "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+        "iríamos", "iremos", "irá", "iré",
+        "aba", "ada", "ida", "ía", "ara", "iera", "ad", "ed", "id",
+        "ase", "iese", "aste", "iste", "an", "aban", "ían", "aran",
+        "ieran", "asen", "iesen", "aron", "ieron", "ado", "ido",
+        "ando", "iendo", "ió", "ar", "er", "ir", "as", "abas",
+        "adas", "idas", "ías", "aras", "ieras", "ases", "ieses",
+        "ís", "áis", "abais", "íais", "arais", "ierais", "aseis",
+        "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+        "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+        "ásemos")
+      inRvCandidates(groupA ++ groupB).foreach { suf =>
+        w = w.dropRight(suf.length)
+        if (groupA.contains(suf) && w.endsWith("gu")) w = w.dropRight(1)
+      }
+    }
+    // step 3: residual suffix
+    val res = Seq("os", "a", "o", "á", "í", "ó", "e", "é")
+    inRvCandidates(res).foreach { suf =>
+      w = w.dropRight(suf.length)
+      if ((suf == "e" || suf == "é") &&
+        w.endsWith("gu") && inRV(w.length - 1)) w = w.dropRight(1)
+    }
+    w.map(esUnaccent)
+  }
+  // ------------------------------------------------------------------
+  // French (snowballstem.org/algorithms/french/stemmer.html) — the
+  // snowball 2.x revision PostgreSQL 15 bundles, with the U/I/Y
+  // hiatus markers and the He/Hi spellings of ë/ï.
+  // ------------------------------------------------------------------
+
+  private val frVowels = "aeiouyâàëéêèïîôûù".toSet
+
+  def frenchStem(word0: String): String = {
+    // prelude: mark u/i in hiatus, y next to a vowel, u after q as
+    // upper-case consonants; spell ë/ï as He/Hi. Sequential scan —
+    // a marked char no longer counts as a vowel for later tests.
+    // ë/ï respelling wins over serving as the leading vowel of a
+    // hiatus marking, and the written e/i can then head one itself
+    // (live-pinned: ëui → ëu via HeUi, ïui → ïu via HiUi)
+    val sb = new StringBuilder(word0)
+    def isv(c: Char) = frVowels(c)
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (c == 'ë') { sb.replace(i, i + 1, "He"); i += 1 }
+      else if (c == 'ï') { sb.replace(i, i + 1, "Hi"); i += 1 }
+      else if (isv(c) && i + 1 < sb.length) {
+        val d = sb.charAt(i + 1)
+        if (d == 'u' && i + 2 < sb.length && isv(sb.charAt(i + 2))) {
+          sb.setCharAt(i + 1, 'U'); i += 2
+        } else if (d == 'i' && i + 2 < sb.length && isv(sb.charAt(i + 2))) {
+          sb.setCharAt(i + 1, 'I'); i += 2
+        } else if (d == 'y') { sb.setCharAt(i + 1, 'Y'); i += 2 }
+        else if (c == 'y' && isv(d)) { sb.setCharAt(i, 'Y'); i += 1 }
+        else i += 1
+      } else if (c == 'q' && i + 1 < sb.length && sb.charAt(i + 1) == 'u') {
+        sb.setCharAt(i + 1, 'U'); i += 2
+      } else i += 1
+    }
+    var w = sb.toString
+
+    val isV = (c: Char) => frVowels(c)
+    val rv =
+      if (w.length >= 3 && (Set("par", "col", "tap").contains(w.take(3)) ||
+        (isV(w(0)) && isV(w(1))))) 3
+      else {
+        var k = 1; while (k < w.length && !isV(w(k))) k += 1
+        if (k < w.length) k + 1 else w.length
+      }
+    val r1 = regionAfter(w, 0, isV)
+    val r2 = regionAfter(w, r1, isV)
+    def inRV(pos: Int) = pos >= rv
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+
+    var doStep2a = false
+    var altered = false
+
+    // RV-limited candidate match — see the spanish note: the suffix
+    // itself must lie inside RV to match at all
+    def inRvCandidates(sufs: Seq[String]): Option[String] =
+      sufs.filter(s => w.endsWith(s) && w.length - s.length >= rv)
+        .sortBy(-_.length).headOption
+
+    // ---- step 1: standard suffix removal (longest match) ----
+    val st1: Seq[(String, Int)] = Seq(
+      "ances" -> 1, "ance" -> 1, "iqUes" -> 1, "iqUe" -> 1,
+      "ismes" -> 1, "isme" -> 1, "ables" -> 1, "able" -> 1,
+      "istes" -> 1, "iste" -> 1, "eux" -> 1,
+      "atrices" -> 2, "atrice" -> 2, "ateurs" -> 2, "ateur" -> 2,
+      "ations" -> 2, "ation" -> 2,
+      "logies" -> 3, "logie" -> 3,
+      "usions" -> 4, "usion" -> 4, "utions" -> 4, "ution" -> 4,
+      "ences" -> 5, "ence" -> 5,
+      "ements" -> 6, "ement" -> 6,
+      "ités" -> 7, "ité" -> 7,
+      "ives" -> 8, "ive" -> 8, "ifs" -> 8, "if" -> 8,
+      "eaux" -> 9, "aux" -> 10,
+      "euses" -> 11, "euse" -> 11,
+      "issements" -> 12, "issement" -> 12,
+      "amment" -> 13, "emment" -> 14,
+      "ments" -> 15, "ment" -> 15)
+    val m1 = st1.filter { case (s, _) => w.endsWith(s) }
+      .sortBy(-_._1.length).headOption
+    m1.foreach { case (suf, act) =>
+      val p = w.length - suf.length
+      val before = w
+      act match {
+        case 1 => if (inR2(p)) w = w.dropRight(suf.length)
+        case 2 => if (inR2(p)) {
+          w = w.dropRight(suf.length)
+          if (w.endsWith("ic")) {
+            if (inR2(w.length - 2)) w = w.dropRight(2)
+            else w = w.dropRight(2) + "iqU"
+          }
+        }
+        case 3 => if (inR2(p)) w = w.dropRight(suf.length - 3) // → log
+        case 4 => if (inR2(p)) w = w.substring(0, p) + "u"
+        case 5 => if (inR2(p)) w = w.substring(0, p) + "ent"
+        case 6 => if (inRV(p)) { // ement(s)
+          w = w.dropRight(suf.length)
+          if (w.endsWith("iv") && inR2(w.length - 2)) {
+            w = w.dropRight(2)
+            if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+          } else if (w.endsWith("eus")) {
+            if (inR2(w.length - 3)) w = w.dropRight(3)
+            else if (inR1(w.length - 3)) w = w.dropRight(3) + "eux"
+          } else if (w.endsWith("abl") && inR2(w.length - 3))
+            w = w.dropRight(3)
+          else if (w.endsWith("iqU") && inR2(w.length - 3))
+            w = w.dropRight(3)
+          else if (w.endsWith("ièr") && inRV(w.length - 3))
+            w = w.dropRight(3) + "i"
+          else if (w.endsWith("Ièr") && inRV(w.length - 3))
+            w = w.dropRight(3) + "i"
+        }
+        case 7 => if (inR2(p)) { // ité(s)
+          w = w.dropRight(suf.length)
+          if (w.endsWith("abil")) {
+            if (inR2(w.length - 4)) w = w.dropRight(4)
+            else w = w.dropRight(4) + "abl"
+          } else if (w.endsWith("ic")) {
+            if (inR2(w.length - 2)) w = w.dropRight(2)
+            else w = w.dropRight(2) + "iqU"
+          } else if (w.endsWith("iv") && inR2(w.length - 2))
+            w = w.dropRight(2)
+        }
+        case 8 => if (inR2(p)) { // if/ive(s)
+          w = w.dropRight(suf.length)
+          if (w.endsWith("at") && inR2(w.length - 2)) {
+            w = w.dropRight(2)
+            if (w.endsWith("ic")) {
+              if (inR2(w.length - 2)) w = w.dropRight(2)
+              else w = w.dropRight(2) + "iqU"
+            }
+          }
+        }
+        case 9 => w = w.dropRight(1) // eaux → eau
+        case 10 => if (inR1(p)) w = w.dropRight(2) + "l" // aux → al
+        case 11 => // euse(s)
+          if (inR2(p)) w = w.dropRight(suf.length)
+          else if (inR1(p)) w = w.substring(0, p) + "eux"
+        case 12 => // issement(s): in R1, preceded by a non-vowel
+          if (inR1(p) && p >= 1 && !isV(w(p - 1)))
+            w = w.dropRight(suf.length)
+        case 13 => // amment → ant, and fall through to step 2a
+          if (inRV(p)) w = w.substring(0, p) + "ant"
+          doStep2a = true
+        case 14 => // emment → ent
+          if (inRV(p)) w = w.substring(0, p) + "ent"
+          doStep2a = true
+        case 15 => // ment(s): preceded by a vowel in RV
+          if (p >= 1 && isV(w(p - 1)) && inRV(p - 1))
+            w = w.dropRight(suf.length)
+          doStep2a = true
+      }
+      altered ||= w != before
+    }
+    if (m1.isEmpty) doStep2a = true
+    else if (!altered && !doStep2a) doStep2a = true
+
+    // ---- step 2a: verb suffixes beginning i (all tests in RV) ----
+    var did2a = false
+    if (doStep2a) {
+      val s2a = Seq("issaIent", "issantes", "issions", "issante", "issants",
+        "issait", "issais", "issant", "issiez", "issons", "irions",
+        "issent", "iraIent", "isses", "irais", "irait", "irent",
+        "iriez", "irons", "iront", "isses", "issez", "îtes", "îmes",
+        "irai", "iras", "irez", "isse", "ies", "ira", "ît", "ie",
+        "ir", "is", "it", "i")
+      inRvCandidates(s2a).foreach { suf =>
+        val p = w.length - suf.length
+        if (p >= 1 && inRV(p - 1) && !isV(w(p - 1)) && w(p - 1) != 'H') {
+          w = w.dropRight(suf.length); did2a = true; altered = true
+        }
+      }
+      // ---- step 2b: other verb suffixes (if 2a removed nothing) ----
+      if (!did2a) {
+        val bIons = Seq("ions")
+        val bEr = Seq("eraIent", "erions", "èrent", "erais", "erait",
+          "eriez", "erons", "eront", "erai", "eras", "erez", "iez",
+          "ées", "era", "ez", "ée", "és", "er", "é")
+        val bA = Seq("assions", "assiez", "assent", "antes", "aIent",
+          "asses", "âtes", "âmes", "ante", "ants", "asse", "ais",
+          "ait", "ant", "ât", "ai", "as", "a")
+        inRvCandidates(bIons ++ bEr ++ bA).foreach { suf =>
+          val p = w.length - suf.length
+          if (bIons.contains(suf)) {
+            if (inR2(p)) { w = w.dropRight(suf.length); altered = true }
+          } else if (bEr.contains(suf)) {
+            w = w.dropRight(suf.length); altered = true
+          } else {
+            w = w.dropRight(suf.length); altered = true
+            if (w.endsWith("e") && inRV(w.length - 1)) w = w.dropRight(1)
+          }
+        }
+      }
+    }
+
+    if (altered) {
+      // step 3: final Y → i, final ç → c
+      if (w.endsWith("Y")) w = w.dropRight(1) + "i"
+      else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    } else {
+      // step 4: residual suffixes
+      if (w.endsWith("s") && w.length >= 2) {
+        val pre = w(w.length - 2)
+        val keep = pre == 'a' || pre == 'o' || pre == 'u' || pre == 'è' ||
+          pre == 's' ||
+          (pre == 'i' && !(w.length >= 3 && w(w.length - 3) == 'H'))
+        if (!keep) { w = w.dropRight(1) }
+      }
+      val s4 = Seq("Ière", "ière", "Ier", "ier", "ion", "e")
+      inRvCandidates(s4).foreach { suf =>
+        val p = w.length - suf.length
+        suf match {
+          case "ion" =>
+            if (inR2(p) && p >= 1 && (w(p - 1) == 's' || w(p - 1) == 't') &&
+              inRV(p - 1)) { w = w.dropRight(3); altered = true }
+          case "e" => w = w.dropRight(1); altered = true
+          case _ => w = w.substring(0, p) + "i"; altered = true
+        }
+      }
+    }
+    // step 5: undouble
+    if (Seq("enn", "onn", "ett", "ell", "eill").exists(w.endsWith))
+      w = w.dropRight(1)
+    // step 6: un-accent a final é/è closed syllable (the H marker
+    // counts as a skippable non-vowel here — live-pinned)
+    var k = w.length - 1
+    while (k >= 0 && !isV(w(k))) k -= 1
+    if (k >= 0 && k < w.length - 1 && (w(k) == 'é' || w(k) == 'è'))
+      w = w.substring(0, k) + "e" + w.substring(k + 1)
+    // postlude: unmark; a bare H (its partner letter consumed by a
+    // suffix) is deleted, as in snowball's among('H' → delete)
+    w = w.replace("He", "ë").replace("Hi", "ï").replace("H", "")
+      .replace("I", "i").replace("U", "u").replace("Y", "y")
+    w
+  }
+
+  // ------------------------------------------------------------------
+  // Stop-word lists: the public Snowball project sets, as shipped in
+  // PostgreSQL's tsearch_data (german.stop / french.stop /
+  // spanish.stop) — part of each config, applied before stemming.
+  // ------------------------------------------------------------------
+
+  val germanStop: Set[String] = Set(
+    "aber", "alle", "allem", "allen", "aller", "alles", "als",
+    "also", "am", "an", "ander", "andere", "anderem", "anderen",
+    "anderer", "anderes", "anderm", "andern", "anderr", "anders",
+    "auch", "auf", "aus", "bei", "bin", "bis", "bist", "da",
+    "damit", "dann", "der", "den", "des", "dem", "die", "das",
+    "daß", "derselbe", "derselben", "denselben", "desselben",
+    "demselben", "dieselbe", "dieselben", "dasselbe", "dazu",
+    "dein", "deine", "deinem", "deinen", "deiner", "deines", "denn",
+    "derer", "dessen", "dich", "dir", "du", "dies", "diese",
+    "diesem", "diesen", "dieser", "dieses", "doch", "dort", "durch",
+    "ein", "eine", "einem", "einen", "einer", "eines", "einig",
+    "einige", "einigem", "einigen", "einiger", "einiges", "einmal",
+    "er", "ihn", "ihm", "es", "etwas", "euer", "eure", "eurem",
+    "euren", "eurer", "eures", "für", "gegen", "gewesen", "hab",
+    "habe", "haben", "hat", "hatte", "hatten", "hier", "hin",
+    "hinter", "ich", "mich", "mir", "ihr", "ihre", "ihrem", "ihren",
+    "ihrer", "ihres", "euch", "im", "in", "indem", "ins", "ist",
+    "jede", "jedem", "jeden", "jeder", "jedes", "jene", "jenem",
+    "jenen", "jener", "jenes", "jetzt", "kann", "kein", "keine",
+    "keinem", "keinen", "keiner", "keines", "können", "könnte",
+    "machen", "man", "manche", "manchem", "manchen", "mancher",
+    "manches", "mein", "meine", "meinem", "meinen", "meiner",
+    "meines", "mit", "muss", "musste", "nach", "nicht", "nichts",
+    "noch", "nun", "nur", "ob", "oder", "ohne", "sehr", "sein",
+    "seine", "seinem", "seinen", "seiner", "seines", "selbst",
+    "sich", "sie", "ihnen", "sind", "so", "solche", "solchem",
+    "solchen", "solcher", "solches", "soll", "sollte", "sondern",
+    "sonst", "über", "um", "und", "uns", "unse", "unsem", "unsen",
+    "unser", "unses", "unter", "viel", "vom", "von", "vor",
+    "während", "war", "waren", "warst", "was", "weg", "weil",
+    "weiter", "welche", "welchem", "welchen", "welcher", "welches",
+    "wenn", "werde", "werden", "wie", "wieder", "will", "wir",
+    "wird", "wirst", "wo", "wollen", "wollte", "würde", "würden",
+    "zu", "zum", "zur", "zwar", "zwischen")
+
+  val frenchStop: Set[String] = Set(
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du",
+    "elle", "en", "et", "eux", "il", "je", "la", "le", "leur",
+    "lui", "ma", "mais", "me", "même", "mes", "moi", "mon", "ne",
+    "nos", "notre", "nous", "on", "ou", "par", "pas", "pour", "qu",
+    "que", "qui", "sa", "se", "ses", "son", "sur", "ta", "te",
+    "tes", "toi", "ton", "tu", "un", "une", "vos", "votre", "vous",
+    "c", "d", "j", "l", "à", "m", "n", "s", "t", "y", "été", "étée",
+    "étées", "étés", "étant", "étante", "étants", "étantes", "suis",
+    "es", "est", "sommes", "êtes", "sont", "serai", "seras", "sera",
+    "serons", "serez", "seront", "serais", "serait", "serions",
+    "seriez", "seraient", "étais", "était", "étions", "étiez",
+    "étaient", "fus", "fut", "fûmes", "fûtes", "furent", "sois",
+    "soit", "soyons", "soyez", "soient", "fusse", "fusses", "fût",
+    "fussions", "fussiez", "fussent", "ayant", "ayante", "ayantes",
+    "ayants", "eu", "eue", "eues", "eus", "ai", "as", "avons",
+    "avez", "ont", "aurai", "auras", "aura", "aurons", "aurez",
+    "auront", "aurais", "aurait", "aurions", "auriez", "auraient",
+    "avais", "avait", "avions", "aviez", "avaient", "eut", "eûmes",
+    "eûtes", "eurent", "aie", "aies", "ait", "ayons", "ayez",
+    "aient", "eusse", "eusses", "eût", "eussions", "eussiez",
+    "eussent")
+
+  val spanishStop: Set[String] = Set(
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se",
+    "las", "por", "un", "para", "con", "no", "una", "su", "al",
+    "lo", "como", "más", "pero", "sus", "le", "ya", "o", "este",
+    "sí", "porque", "esta", "entre", "cuando", "muy", "sin",
+    "sobre", "también", "me", "hasta", "hay", "donde", "quien",
+    "desde", "todo", "nos", "durante", "todos", "uno", "les", "ni",
+    "contra", "otros", "ese", "eso", "ante", "ellos", "e", "esto",
+    "mí", "antes", "algunos", "qué", "unos", "yo", "otro", "otras",
+    "otra", "él", "tanto", "esa", "estos", "mucho", "quienes",
+    "nada", "muchos", "cual", "poco", "ella", "estar", "estas",
+    "algunas", "algo", "nosotros", "mi", "mis", "tú", "te", "ti",
+    "tu", "tus", "ellas", "nosotras", "vosostros", "vosostras",
+    "os", "mío", "mía", "míos", "mías", "tuyo", "tuya", "tuyos",
+    "tuyas", "suyo", "suya", "suyos", "suyas", "nuestro", "nuestra",
+    "nuestros", "nuestras", "vuestro", "vuestra", "vuestros",
+    "vuestras", "esos", "esas", "estoy", "estás", "está", "estamos",
+    "estáis", "están", "esté", "estés", "estemos", "estéis",
+    "estén", "estaré", "estarás", "estará", "estaremos", "estaréis",
+    "estarán", "estaría", "estarías", "estaríamos", "estaríais",
+    "estarían", "estaba", "estabas", "estábamos", "estabais",
+    "estaban", "estuve", "estuviste", "estuvo", "estuvimos",
+    "estuvisteis", "estuvieron", "estuviera", "estuvieras",
+    "estuviéramos", "estuvierais", "estuvieran", "estuviese",
+    "estuvieses", "estuviésemos", "estuvieseis", "estuviesen",
+    "estando", "estado", "estada", "estados", "estadas", "estad",
+    "he", "has", "ha", "hemos", "habéis", "han", "haya", "hayas",
+    "hayamos", "hayáis", "hayan", "habré", "habrás", "habrá",
+    "habremos", "habréis", "habrán", "habría", "habrías",
+    "habríamos", "habríais", "habrían", "había", "habías",
+    "habíamos", "habíais", "habían", "hube", "hubiste", "hubo",
+    "hubimos", "hubisteis", "hubieron", "hubiera", "hubieras",
+    "hubiéramos", "hubierais", "hubieran", "hubiese", "hubieses",
+    "hubiésemos", "hubieseis", "hubiesen", "habiendo", "habido",
+    "habida", "habidos", "habidas", "soy", "eres", "es", "somos",
+    "sois", "son", "sea", "seas", "seamos", "seáis", "sean", "seré",
+    "serás", "será", "seremos", "seréis", "serán", "sería",
+    "serías", "seríamos", "seríais", "serían", "era", "eras",
+    "éramos", "erais", "eran", "fui", "fuiste", "fue", "fuimos",
+    "fuisteis", "fueron", "fuera", "fueras", "fuéramos", "fuerais",
+    "fueran", "fuese", "fueses", "fuésemos", "fueseis", "fuesen",
+    "sintiendo", "sentido", "sentida", "sentidos", "sentidas",
+    "siente", "sentid", "tengo", "tienes", "tiene", "tenemos",
+    "tenéis", "tienen", "tenga", "tengas", "tengamos", "tengáis",
+    "tengan", "tendré", "tendrás", "tendrá", "tendremos",
+    "tendréis", "tendrán", "tendría", "tendrías", "tendríamos",
+    "tendríais", "tendrían", "tenía", "tenías", "teníamos",
+    "teníais", "tenían", "tuve", "tuviste", "tuvo", "tuvimos",
+    "tuvisteis", "tuvieron", "tuviera", "tuvieras", "tuviéramos",
+    "tuvierais", "tuvieran", "tuviese", "tuvieses", "tuviésemos",
+    "tuvieseis", "tuviesen", "teniendo", "tenido", "tenida",
+    "tenidos", "tenidas", "tened")
+
+
+  /** config-name → (stop words, stemmer); the text-search engine
+    * dispatches every non-english config through this. */
+  def byConfig(name: String): Option[(Set[String], String => String)] =
+    name match {
+      case "german" => Some((germanStop, germanStem))
+      case "spanish" => Some((spanishStop, spanishStem))
+      case "french" => Some((frenchStop, frenchStem))
+      case _ => None
+    }
+}

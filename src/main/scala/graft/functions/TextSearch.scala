@@ -333,7 +333,14 @@ object TextSearch {
           if (stopwords.contains(lower)) None else Some(stem(lower))
         } else Some(lower)
       case other =>
-        throw PgException("42704", s"""text search configuration "$other" does not exist""")
+        SnowballStems.byConfig(other) match {
+          case Some((stop, stemFn)) =>
+            if (t.stemmable) {
+              if (stop.contains(lower)) None else Some(stemFn(lower))
+            } else Some(lower)
+          case None => throw PgException("42704",
+            s"""text search configuration "$other" does not exist""")
+        }
     }
   }
 
@@ -942,10 +949,7 @@ object TextSearch {
     }
     def matches(w: String): Boolean = {
       val lower = w.toLowerCase
-      val lexed =
-        if (config == "english") {
-          if (stopwords.contains(lower)) None else Some(stem(lower))
-        } else Some(lower)
+      val lexed = dictApply(config, Token(lower, stemmable = true))
       lexed.exists(l => terms.exists(t =>
         if (t.prefix) l.startsWith(t.lex) else l == t.lex))
     }
@@ -1196,6 +1200,11 @@ object TextSearchFunctions extends Serializable {
           if (stopwords.contains(w.toLowerCase)) Array.empty[String]
           else Array(stem(w.toLowerCase))
         case "simple" => Array(w.toLowerCase)
+        case other if other.endsWith("_stem") &&
+            SnowballStems.byConfig(other.dropRight(5)).isDefined =>
+          val (stop, stemFn) = SnowballStems.byConfig(other.dropRight(5)).get
+          if (stop.contains(w.toLowerCase)) Array.empty[String]
+          else Array(stemFn(w.toLowerCase))
         case other =>
           throw PgException("42704", s"""text search dictionary "$other" does not exist""")
       })

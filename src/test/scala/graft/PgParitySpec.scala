@@ -1684,4 +1684,85 @@ class PgParitySpec extends SparkSpec {
     assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)") === "0A000")
     assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)") === "0A000")
   }
+  test("sweep-26: german/french/spanish text-search configs (live pg 15, UTF8 db)") {
+    // End-to-end through the config path (parser + stop words +
+    // Snowball stemmer): 20 vectors, 0 diffs against a UTF8-encoding
+    // live database (the scratch cluster's default SQL_ASCII db
+    // splits non-ascii letters in the parser — capture artifact, the
+    // engine's UTF-8 behavior is the faithful one). The stemmers
+    // themselves were swept over 22,164 ts_lexize vocabulary pairs
+    // (morphological cross products + random strings + edge words):
+    // german 0 diffs first run; spanish/french converged after the
+    // RV-limited-matching fix and two french prelude pins (ë/ï
+    // respelling precedence, bare-H postlude deletion, H as a
+    // non-vowel in the step-6 un-accent scan).
+    val pinned: Seq[(String, String)] = Seq(
+      ("to_tsvector('german', 'Die Kinder spielen fröhlich im schönen Garten und die Häuser')", "'frohlich':4 'gart':7 'haus':10 'kind':2 'schon':6 'spiel':3"),
+      ("to_tsvector('french', 'Les enfants jouaient joyeusement dans les beaux jardins nationaux')", "'beau':7 'enfant':2 'jardin':8 'jou':3 'joyeux':4 'le':1,6 'national':9"),
+      ("to_tsvector('spanish', 'Los niños jugaban alegremente en los hermosos jardines nacionales')", "'alegr':4 'hermos':7 'jardin':8 'jug':3 'nacional':9 'niñ':2"),
+      ("to_tsvector('german', 'Verständnisses Ergebnissen Zeugnisse Königinnen')", "'ergebnis':2 'koniginn':4 'verstandnis':1 'zeugnis':3"),
+      ("to_tsvector('french', 'naïve héroïque aiguë continuité généralisation')", "'aigu':3 'continu':4 'généralis':5 'héro':2 'naïv':1"),
+      ("to_tsvector('spanish', 'construyendo dámelo escribiéndonos lingüística averigüéis')", "'averigü':5 'constru':1 'damel':2 'escrib':3 'lingüist':4"),
+      ("plainto_tsquery('german', 'schönen Häuser')", "'schon' & 'haus'"),
+      ("plainto_tsquery('french', 'les jardins nationaux')", "'le' & 'jardin' & 'national'"),
+      ("plainto_tsquery('spanish', 'jardines hermosos')", "'jardin' & 'hermos'"),
+      ("ts_lexize('german_stem', 'aufeinander')", "{aufeinand}"),
+      ("ts_lexize('french_stem', 'continuité')", "{continu}"),
+      ("ts_lexize('spanish_stem', 'torpedearon')", "{torped}"),
+      ("to_tsvector('german', 'Häuser') @@ to_tsquery('german', 'haus')", "t"),
+      ("to_tsvector('french', 'jardins') @@ plainto_tsquery('french', 'jardin')", "t"),
+      ("to_tsvector('spanish', 'niños') @@ to_tsquery('spanish', 'niñ:*')", "t"),
+      ("to_tsvector('german', 'die und im ist')", ""),
+      ("ts_headline('german', 'Die Kinder spielen im Garten', to_tsquery('german', 'garten'))", "Die Kinder spielen im <b>Garten</b>"),
+      ("websearch_to_tsquery('french', 'jardins \"beaux arbres\"')", "'jardin' & 'beau' <-> 'arbre'"),
+      ("ts_rank(to_tsvector('german', 'Häuser und Gärten'), to_tsquery('german', 'gärten'))", "0.06079271"),
+      ("phraseto_tsquery('spanish', 'jardines hermosos')", "'jardin' <-> 'hermos'"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    val germanPairs = Seq(
+      ("kategorerinnen", "kategorerinn"),
+      ("erklärenden", "erklar"),
+      ("mögig", "mogig"),
+      ("bedeuterem", "bedeut"),
+      ("beziehungheit", "beziehung"),
+      ("verständlichkeit", "verstand"),
+      ("bäumeerem", "baume"),
+      ("kleinte", "kleint"),
+      ("wichtigs", "wichtig"),
+      ("bewegem", "beweg"),
+      ("treuerinnen", "treuerinn"),
+      ("freundlichkeiten", "freundlich"))
+    val spanishPairs = Seq(
+      ("cantyendo", "cantyend"),
+      ("coman", "com"),
+      ("logicamientos", "logic"),
+      ("libres", "libr"),
+      ("cases", "cas"),
+      ("explicuciones", "explicu"),
+      ("comeña", "comeñ"),
+      ("oéis", "oeis"),
+      ("librosa", "libros"),
+      ("cariñárselas", "cariñ"),
+      ("trabajidades", "trabaj"),
+      ("pequeñivo", "pequeñ"))
+    val frenchPairs = Seq(
+      ("bellions", "bellion"),
+      ("continueriez", "continu"),
+      ("paradoxaux", "paradoxal"),
+      ("paraatrice", "paraatric"),
+      ("nettoassent", "netto"),
+      ("appelelle", "appelel"),
+      ("naïissons", "naïisson"),
+      ("nettoeraient", "netto"),
+      ("finieraient", "fini"),
+      ("ambitiettes", "ambitiet"),
+      ("continue", "continu"),
+      ("ambitiatrice", "ambiti"))
+    for ((w, want) <- germanPairs)
+      assert(graft.functions.SnowballStems.germanStem(w) === want, s"de: $w")
+    for ((w, want) <- spanishPairs)
+      assert(graft.functions.SnowballStems.spanishStem(w) === want, s"es: $w")
+    for ((w, want) <- frenchPairs)
+      assert(graft.functions.SnowballStems.frenchStem(w) === want, s"fr: $w")
+  }
 }
