@@ -68,6 +68,28 @@ object PgMiscExpressions {
     override protected def withNewChildInternal(c: Expression): PgTypeOf = copy(child = c)
   }
 
+  /** pg text output of an array/record value: `ARRAY[1,2]::text` is
+    * '{1,2}' with pg element-quoting and `ROW(1,'x')::text` is
+    * '(1,x)' — not Spark's '[1, 2]'/'{1, x}' cast rendering. Reuses
+    * the wire TextEncoder so one rendering engine serves the cast
+    * path and the DataRow path identically (bool elements t/f,
+    * nested braces, NULL spelling, quote-when-needed). Installed by
+    * PgSemantics on Cast(array|struct → string); sweep-27. */
+  case class PgCompositeText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_composite_text"
+    @transient private lazy val toScala =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(child.dataType)
+    @transient private lazy val field = StructField("c", child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      graft.pgwire.TextEncoder.encodeField(toScala(input), field)
+        .map(UTF8String.fromString).orNull
+    override protected def withNewChildInternal(c: Expression): PgCompositeText =
+      copy(child = c)
+  }
+
   /** pg array_fill(elem, ARRAY[n]) — 1-D form. The multidimensional
     * form raises 0A000 like the engine's other flat-array limits
     * (param codec parity: reference arrays are flat lists too). */

@@ -5740,6 +5740,10 @@ object Compat {
         // (10,0), which destroys fractional digits — use the engine's
         // documented wide default instead
         ts(t) = Tok(Word, "decimal(38,18)")
+      } else if (mapped == "varchar" && !(b1 >= 0 && ts(b1).is("("))) {
+        // bare `varchar` (no length) is unlimited in pg; Spark's
+        // VARCHAR requires a length parameter → plain string
+        ts(t) = Tok(Word, "string")
       } else ts(t) = Tok(Word, mapped)
     }
   }

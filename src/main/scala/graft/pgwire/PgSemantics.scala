@@ -103,6 +103,13 @@ object PgSemantics {
         rounded
       }
 
+      // array/record → text cast renders pg composite text
+      // ('{1,2,3}', '(1,x)'), never Spark's '[1, 2, 3]' (sweep-27)
+      case Cast(child, StringType, _, _)
+          if child.resolved && (child.dataType.isInstanceOf[ArrayType] ||
+            child.dataType.isInstanceOf[StructType]) =>
+        graft.functions.PgMiscExpressions.PgCompositeText(child)
+
       // date - date → int day count
       case SubtractDates(l, r, _) if l.resolved && r.resolved =>
         DateDiff(l, r)

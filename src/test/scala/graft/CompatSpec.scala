@@ -333,9 +333,10 @@ class CompatSpec extends AnyFunSuite {
     val cv = Compat.rewrite("SELECT x::character varying(5) FROM t")
     assert(cv === Compat.rewrite("SELECT x::varchar(5) FROM t"), cv)
     assert(cv.contains("substr"), cv)
-    // bare character varying (no length) → varchar → string-typed cast
+    // bare character varying (no length) is UNLIMITED in pg — maps to
+    // plain string (Spark's bare VARCHAR demands a length, sweep-27)
     assert(ws(Compat.rewrite("SELECT CAST(x AS character varying) FROM t")) ===
-      "SELECT CAST(x AS varchar) FROM t")
+      "SELECT CAST(x AS string) FROM t")
     // bare character is bpchar → string
     assert(ws(Compat.rewrite("SELECT CAST(x AS character) FROM t")) ===
       "SELECT CAST(x AS string) FROM t")

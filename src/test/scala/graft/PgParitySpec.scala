@@ -1765,4 +1765,41 @@ class PgParitySpec extends SparkSpec {
     for ((w, want) <- frenchPairs)
       assert(graft.functions.SnowballStems.frenchStem(w) === want, s"fr: $w")
   }
+
+  test("sweep-27: array/record ::text cast rendering + bare varchar (live pg 15)") {
+    // Cast(array|struct -> string) now renders pg composite text via
+    // the wire TextEncoder (PgSemantics rule + PgCompositeText) —
+    // previously Spark's '[1, 2, 3]' leaked through explicit casts.
+    // 26 vectors, 1 non-diff (psql NULL-display artifact).
+    val pinned: Seq[(String, String)] = Seq(
+      ("(ARRAY[1,2,3])::text", "{1,2,3}"),
+      ("(ARRAY['a','b c'])::text", "{a,\"b c\"}"),
+      ("(ARRAY[true,false])::text", "{t,f}"),
+      ("(ARRAY[[1,2],[3,4]])::text", "{{1,2},{3,4}}"),
+      ("(ARRAY[1.5,2.5])::text", "{1.5,2.5}"),
+      ("(ARRAY['x',null])::text", "{x,NULL}"),
+      ("(ARRAY[1,NULL,3])::text", "{1,NULL,3}"),
+      ("(ROW(1,'x'))::text", "(1,x)"),
+      ("(ROW('a b', NULL, true))::text", "(\"a b\",,t)"),
+      ("(ROW('x,y', '(paren)'))::text", "(\"x,y\",\"(paren)\")"),
+      ("(ARRAY[ROW(1,'a'), ROW(2,'b c')])::text",
+       "{\"(1,a)\",\"(2,\\\"b c\\\")\"}"),
+      ("(ARRAY['a\"b','c\\d'])::text",
+       "{\"a\\\"b\",\"c\\\\d\"}"),
+      ("(ARRAY[''])::text", "{\"\"}"),
+      ("(ARRAY['NULL','null'])::text", "{\"NULL\",\"null\"}"),
+      ("(ARRAY['{}','a,b','a{b'])::text", "{\"{}\",\"a,b\",\"a{b\"}"),
+      ("(ARRAY['2024-01-15'::date])::text", "{2024-01-15}"),
+      ("(ARRAY['2024-01-15 10:30:00'::timestamp])::text",
+       "{\"2024-01-15 10:30:00\"}"),
+      ("(ARRAY[1.0::float8/3])::text", "{0.3333333333333333}"),
+      ("length((ARRAY[1,2,3])::text)", "7"),
+      ("(ARRAY[1,2])::text || '!'", "{1,2}!"),
+      ("('{\"a\":1}'::jsonb)::text", "{\"a\": 1}"),
+      ("'x'::varchar", "x"),
+      ("123.45::text", "123.45"),
+      ("true::text", "true"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
