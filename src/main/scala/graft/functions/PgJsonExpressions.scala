@@ -418,13 +418,19 @@ object PgJsonExpressions {
 
   /** json_extract_path[_text](json, VARIADIC path). `text=false`
     * returns the element as json text; `text=true` unquotes strings
-    * and maps json null to SQL NULL (pg's ->>/#>> semantics). */
-  case class PgJsonExtractPath(children: Seq[Expression], text: Boolean)
+    * and maps json null to SQL NULL (pg's ->>/#>> semantics).
+    * `jsonb=true` (the jsonb_-named variants and `->` over
+    * syntactically-jsonb operands) renders extracted containers in
+    * jsonb canonical text — pg re-serializes the stored binary form,
+    * so sub-documents come back `{"a": 1}`-spaced (sweep-28). */
+  case class PgJsonExtractPath(children: Seq[Expression], text: Boolean,
+      jsonb: Boolean = false)
       extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String =
-      if (text) "json_extract_path_text" else "json_extract_path"
+      (if (jsonb) "jsonb" else "json") +
+        (if (text) "_extract_path_text" else "_extract_path")
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (children.isEmpty || !children.forall(_.dataType == StringType))
@@ -445,6 +451,7 @@ object PgJsonExpressions {
       val node = walk(parseCached(j.asInstanceOf[UTF8String]), path.toSeq)
       if (node == null || (text && node.isNull)) null
       else if (text && node.isTextual) UTF8String.fromString(node.textValue())
+      else if (jsonb) jsonbOut(node)
       else UTF8String.fromString(node.toString)
     }
 
@@ -480,11 +487,12 @@ object PgJsonExpressions {
   /** json_array_elements[_text](json) → the elements as text[]; the
     * pg original is set-returning — Compat rewrites the call to
     * explode(json_array_elements(x)). Non-arrays error like pg. */
-  case class PgJsonArrayElements(child: Expression, text: Boolean)
+  case class PgJsonArrayElements(child: Expression, text: Boolean,
+      jsonb: Boolean = false)
       extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
-    override def prettyName: String =
-      if (text) "json_array_elements_text" else "json_array_elements"
+    override def prettyName: String = (if (jsonb) "jsonb" else "json") +
+      (if (text) "_array_elements_text" else "_array_elements")
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -501,6 +509,7 @@ object PgJsonExpressions {
         out(i) =
           if (text && e.isNull) null
           else if (text && e.isTextual) UTF8String.fromString(e.textValue())
+          else if (jsonb) jsonbOut(e)
           else UTF8String.fromString(e.toString)
         i += 1
       }
@@ -518,25 +527,34 @@ object PgJsonExpressions {
     sb.toString
   }
 
-  /** to_jsonb(anyelement): any supported value rendered as compact
-    * json text; SQL NULL → SQL NULL (pg). Named to_jsonb, NOT to_json:
-    * Spark's own to_json(struct|map|array) keeps its native meaning —
-    * for record inputs use row_to_json. */
-  case class PgToJsonb(child: Expression)
+  /** to_json / to_jsonb (anyelement): SQL NULL → SQL NULL (pg).
+    * to_json renders compact (pg builds the text form directly);
+    * to_jsonb re-serializes through the canonical jsonb form
+    * (`{"a": 1}` spacing — sweep-28). A json-producing argument is
+    * embedded as json, not re-quoted as a string (pg's json-argument
+    * behavior; to_json returns it unchanged). */
+  case class PgToJsonb(child: Expression, jsonb: Boolean = true)
       extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
-    override def prettyName: String = "to_jsonb"
+    override def prettyName: String = if (jsonb) "to_jsonb" else "to_json"
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (supported(child.dataType)) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"to_jsonb: unsupported type ${child.dataType.simpleString}")
+        s"$prettyName: unsupported type ${child.dataType.simpleString}")
 
-    override def nullSafeEval(v: Any): Any = {
-      val sb = new java.lang.StringBuilder(32)
-      render(sb, v, child.dataType)
-      UTF8String.fromString(sb.toString)
-    }
+    @transient private lazy val childIsJson = producesJson(child)
+
+    override def nullSafeEval(v: Any): Any =
+      if (childIsJson) {
+        val s = v.asInstanceOf[UTF8String]
+        if (jsonb) jsonbOut(parseCached(s)) else s
+      } else {
+        val sb = new java.lang.StringBuilder(32)
+        render(sb, v, child.dataType)
+        if (jsonb) jsonbOut(parse(UTF8String.fromString(sb.toString)))
+        else UTF8String.fromString(sb.toString)
+      }
 
     override protected def withNewChildInternal(c: Expression): PgToJsonb = copy(child = c)
   }
@@ -1264,12 +1282,14 @@ object PgJsonExpressions {
     * original is set-returning with columns (key, value) — Compat
     * rewrites the call to inline(json_each(x)). Non-objects error
     * (pg: "cannot deconstruct a scalar / an array"). */
-  case class PgJsonEach(child: Expression, text: Boolean)
+  case class PgJsonEach(child: Expression, text: Boolean,
+      jsonb: Boolean = false)
       extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("key", StringType, nullable = false),
       StructField("value", StringType, nullable = true))), containsNull = false)
-    override def prettyName: String = if (text) "json_each_text" else "json_each"
+    override def prettyName: String = (if (jsonb) "jsonb" else "json") +
+      (if (text) "_each_text" else "_each")
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -1288,6 +1308,7 @@ object PgJsonExpressions {
         val value =
           if (text && e.getValue.isNull) null
           else if (text && e.getValue.isTextual) UTF8String.fromString(e.getValue.textValue())
+          else if (jsonb) jsonbOut(e.getValue)
           else UTF8String.fromString(e.getValue.toString)
         out(i) = org.apache.spark.sql.catalyst.InternalRow(
           UTF8String.fromString(e.getKey), value)
@@ -1303,11 +1324,11 @@ object PgJsonExpressions {
     * build an object of string values from a flat k,v,k,v array, an
     * array of [k,v] pairs, or two parallel arrays. Null keys error
     * (pg); null values render as JSON null. */
-  case class PgJsonObject(children: Seq[Expression])
+  case class PgJsonObject(children: Seq[Expression], jsonb: Boolean = false)
       extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
-    override def prettyName: String = "json_object"
+    override def prettyName: String = if (jsonb) "jsonb_object" else "json_object"
 
     private def flatStringArray(dt: DataType): Boolean = dt match {
       case ArrayType(StringType, _) => true
@@ -1322,6 +1343,8 @@ object PgJsonExpressions {
       case Seq(dt) if flatStringArray(dt) || pairArray(dt) => TypeCheckResult.TypeCheckSuccess
       case Seq(StringType) => TypeCheckResult.TypeCheckSuccess // pg array literal text
       case Seq(a, b) if flatStringArray(a) && flatStringArray(b) =>
+        TypeCheckResult.TypeCheckSuccess
+      case Seq(StringType, StringType) => // two pg array literals
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "json_object(text[]) or json_object(text[], text[])")
@@ -1381,7 +1404,22 @@ object PgJsonExpressions {
           "null value not allowed for object key")
         if (v == null) o.putNull(k) else o.put(k, v)
       }
-      if (children.length == 2) {
+      def litElems(v: Any): Seq[String] = {
+        val raw = v.asInstanceOf[UTF8String].toString.trim
+        if (!(raw.startsWith("{") && raw.endsWith("}")))
+          throw new IllegalArgumentException(
+            "malformed array literal: \"" + raw + "\"")
+        val body = raw.substring(1, raw.length - 1).trim
+        if (body.isEmpty) Nil else splitTop(body).map(unq)
+      }
+      if (children.length == 2 &&
+        children.forall(_.dataType == StringType)) {
+        // json_object('{a,b}', '{1,2}') — both pg array literals
+        val ks = litElems(vs(0)); val us = litElems(vs(1))
+        if (ks.length != us.length) throw new IllegalArgumentException(
+          "mismatched array dimensions")
+        ks.zip(us).foreach { case (k, u) => put(k, u) }
+      } else if (children.length == 2) {
         val ks = vs(0).asInstanceOf[ArrayData]
         val us = vs(1).asInstanceOf[ArrayData]
         if (ks.numElements() != us.numElements()) throw new IllegalArgumentException(
@@ -1436,7 +1474,24 @@ object PgJsonExpressions {
             i += 1
           }
       }
-      UTF8String.fromString(o.toString)
+      if (jsonb) jsonbOut(o)
+      else {
+        // pg json_object spacing: `{"k" : "v", ...}` (space around
+        // the colon — live-pinned, sweep-28), insertion order kept
+        val sb = new java.lang.StringBuilder
+        sb.append('{')
+        val it = o.properties().iterator()
+        var first = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (!first) sb.append(", ")
+          first = false
+          escapeTo(sb, e.getKey)
+          sb.append(" : ").append(e.getValue.toString)
+        }
+        sb.append('}')
+        UTF8String.fromString(sb.toString)
+      }
     }
 
     override protected def withNewChildrenInternal(
@@ -1462,11 +1517,11 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_extract_path"), info("json_extract_path"),
       (args: Seq[Expression]) => PgJsonExtractPath(args, text = false)),
     (FunctionIdentifier("jsonb_extract_path"), info("jsonb_extract_path"),
-      (args: Seq[Expression]) => PgJsonExtractPath(args, text = false)),
+      (args: Seq[Expression]) => PgJsonExtractPath(args, text = false, jsonb = true)),
     (FunctionIdentifier("json_extract_path_text"), info("json_extract_path_text"),
       (args: Seq[Expression]) => PgJsonExtractPath(args, text = true)),
     (FunctionIdentifier("jsonb_extract_path_text"), info("jsonb_extract_path_text"),
-      (args: Seq[Expression]) => PgJsonExtractPath(args, text = true)),
+      (args: Seq[Expression]) => PgJsonExtractPath(args, text = true, jsonb = true)),
     (FunctionIdentifier("json_typeof"), info("json_typeof"),
       (args: Seq[Expression]) => { require(args.length == 1); PgJsonTypeof(args.head) }),
     (FunctionIdentifier("jsonb_typeof"), info("jsonb_typeof"),
@@ -1477,6 +1532,12 @@ object PgJsonExpressions {
     (FunctionIdentifier("json_array_elements_text"), info("json_array_elements_text"),
       (args: Seq[Expression]) => { require(args.length == 1)
         PgJsonArrayElements(args.head, text = true) }),
+    (FunctionIdentifier("jsonb_array_elements"), info("jsonb_array_elements"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonArrayElements(args.head, text = false, jsonb = true) }),
+    (FunctionIdentifier("jsonb_array_elements_text"), info("jsonb_array_elements_text"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonArrayElements(args.head, text = true, jsonb = true) }),
     (FunctionIdentifier("pg_contains"), info("pg_contains"),
       (args: Seq[Expression]) => { require(args.length == 2); PgContains(args(0), args(1)) }),
     (FunctionIdentifier("jsonb_contains"), info("jsonb_contains"),
@@ -1493,13 +1554,13 @@ object PgJsonExpressions {
         PgJsonbExistsMulti(args(0), args(1), all = true) }),
     (FunctionIdentifier("to_jsonb"), info("to_jsonb"),
       (args: Seq[Expression]) => { require(args.length == 1); PgToJsonb(args.head) }),
-    // pg to_json: same rendering as to_jsonb here (json/jsonb differ
-    // only in preserved whitespace, which this engine normalizes —
-    // documented deviation). Shadows Spark's struct-only to_json so
-    // scalar arguments work like pg; no engine-side SQL relies on the
-    // built-in.
+    // pg to_json: compact rendering (pg builds json text directly,
+    // jsonb re-serializes canonically). Shadows Spark's struct-only
+    // to_json so scalar arguments work like pg; no engine-side SQL
+    // relies on the built-in.
     (FunctionIdentifier("to_json"), info("to_json"),
-      (args: Seq[Expression]) => { require(args.length == 1); PgToJsonb(args.head) }),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgToJsonb(args.head, jsonb = false) }),
     (FunctionIdentifier("json_strip_nulls"), info("json_strip_nulls"),
       (args: Seq[Expression]) => { require(args.length == 1); PgJsonStripNulls(args.head) }),
     (FunctionIdentifier("jsonb_strip_nulls"), info("jsonb_strip_nulls"),
@@ -1529,14 +1590,14 @@ object PgJsonExpressions {
         PgJsonEach(args.head, text = true) }),
     (FunctionIdentifier("jsonb_each"), info("jsonb_each"),
       (args: Seq[Expression]) => { require(args.length == 1)
-        PgJsonEach(args.head, text = false) }),
+        PgJsonEach(args.head, text = false, jsonb = true) }),
     (FunctionIdentifier("jsonb_each_text"), info("jsonb_each_text"),
       (args: Seq[Expression]) => { require(args.length == 1)
-        PgJsonEach(args.head, text = true) }),
+        PgJsonEach(args.head, text = true, jsonb = true) }),
     (FunctionIdentifier("json_object"), info("json_object"),
       (args: Seq[Expression]) => PgJsonObject(args)),
     (FunctionIdentifier("jsonb_object"), info("jsonb_object"),
-      (args: Seq[Expression]) => PgJsonObject(args)),
+      (args: Seq[Expression]) => PgJsonObject(args, jsonb = true)),
     (FunctionIdentifier("pg_jsonb"), info("pg_jsonb"),
       (args: Seq[Expression]) => { require(args.length == 1)
         PgJsonbNormalize(args.head) }))

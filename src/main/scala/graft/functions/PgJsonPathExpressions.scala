@@ -997,7 +997,7 @@ case class PgJsonbPathQueryFirst(children: Seq[Expression], tz: Boolean = false)
     if (tz) "jsonb_path_query_first_tz" else "jsonb_path_query_first"
   override protected def run(json: JsonNode, path: PgJsonPath.Path, vars: JsonNode): Any =
     PgJsonPath.query(json, path, vars, tz).headOption match {
-      case Some(n) => UTF8String.fromString(n.toString)
+      case Some(n) => PgJsonExpressions.jsonbOut(n)
       case None => null
     }
   override protected def withNewChildrenInternal(
@@ -1017,8 +1017,9 @@ case class PgJsonbPathQueryArray(children: Seq[Expression], tz: Boolean = false)
     val items = PgJsonPath.query(json, path, vars, tz)
     var i = 0
     while (i < items.length) {
-      if (i > 0) sb.append(',')
-      sb.append(items(i).toString)
+      // jsonb canonical spacing — the result is a jsonb array
+      if (i > 0) sb.append(", ")
+      sb.append(PgJsonExpressions.jsonbText(items(i)))
       i += 1
     }
     sb.append(']')
@@ -1038,7 +1039,7 @@ case class PgJsonbPathQuery(children: Seq[Expression], tz: Boolean = false)
     val items = PgJsonPath.query(json, path, vars, tz)
     val out = new Array[Any](items.length)
     var i = 0
-    while (i < items.length) { out(i) = UTF8String.fromString(items(i).toString); i += 1 }
+    while (i < items.length) { out(i) = PgJsonExpressions.jsonbOut(items(i)); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
   override protected def withNewChildrenInternal(

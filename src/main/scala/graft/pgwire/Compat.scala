@@ -2922,14 +2922,14 @@ object Compat {
       // (inline for the two-column key/value fns)
       "json_array_elements" -> ("explode", "json_array_elements"),
       "json_array_elements_text" -> ("explode", "json_array_elements_text"),
-      "jsonb_array_elements" -> ("explode", "json_array_elements"),
-      "jsonb_array_elements_text" -> ("explode", "json_array_elements_text"),
+      "jsonb_array_elements" -> ("explode", "jsonb_array_elements"),
+      "jsonb_array_elements_text" -> ("explode", "jsonb_array_elements_text"),
       "json_object_keys" -> ("explode", "json_object_keys"),
       "jsonb_object_keys" -> ("explode", "json_object_keys"),
       "json_each" -> ("inline", "json_each"),
       "json_each_text" -> ("inline", "json_each_text"),
-      "jsonb_each" -> ("inline", "json_each"),
-      "jsonb_each_text" -> ("inline", "json_each_text"),
+      "jsonb_each" -> ("inline", "jsonb_each"),
+      "jsonb_each_text" -> ("inline", "jsonb_each_text"),
       "generate_subscripts" -> ("explode", "generate_subscripts"),
       // jsonb_path_query is set-returning in pg; the engine-side
       // expression yields text[] of the matched items
@@ -5114,9 +5114,21 @@ object Compat {
           val start = lhsStart(ts, p)
           var r = rhs
           if (ts(i - 1).kind == Ws) { ts.remove(i - 1); i -= 1; r -= 1 }
-          val fn =
-            if (t.text.endsWith(">>")) "json_extract_path_text"
-            else "json_extract_path"
+          // syntactically-jsonb lhs (a ::jsonb cast, a jsonb_*/
+          // pg_jsonb/to_jsonb call, or a chained jsonb extraction)
+          // dispatches to the canonical-rendering jsonb variant;
+          // bare columns upgrade later via pg.oid_alias metadata
+          val jsonbLhs = (start to p).exists { k =>
+            val w = ts(k)
+            w.kind == Word && {
+              val lw = w.text.toLowerCase
+              lw == "jsonb" || lw.startsWith("jsonb_") ||
+                lw.startsWith("pg_jsonb") || lw.startsWith("to_jsonb")
+            }
+          }
+          val fn = (if (jsonbLhs) "jsonb" else "json") +
+            (if (t.text.endsWith(">>")) "_extract_path_text"
+             else "_extract_path")
           def lit(e: String): String = "'" + e.replace("'", "''") + "'"
           val (args, endIdx) =
             if (ts(r).kind == Num) (lit(ts(r).text), r)

@@ -317,6 +317,22 @@ object PgSemantics {
         else fnCall("ts_match", Seq(l, r))
       }
 
+      // `->` / `#>` over a stored jsonb column: the token layer emits
+      // the json (text-preserving) variant; jsonb re-serializes
+      // canonically (sweep-28)
+      case x: graft.functions.PgJsonExpressions.PgJsonExtractPath
+          if !x.jsonb && x.children.nonEmpty && x.children.head.resolved &&
+            metaAliasOf(x.children.head).contains("jsonb") =>
+        x.copy(jsonb = true)
+      case x: graft.functions.PgJsonExpressions.PgJsonArrayElements
+          if !x.jsonb && x.child.resolved &&
+            metaAliasOf(x.child).contains("jsonb") =>
+        x.copy(jsonb = true)
+      case x: graft.functions.PgJsonExpressions.PgJsonEach
+          if !x.jsonb && x.child.resolved &&
+            metaAliasOf(x.child).contains("jsonb") =>
+        x.copy(jsonb = true)
+
       // inet containment `<<` / `>>` parsed as integer shifts
       case ShiftLeft(l, r)
           if Seq(l, r).exists(c => metaAliasOf(c).exists(inetAliases.contains)) =>

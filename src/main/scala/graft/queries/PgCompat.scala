@@ -691,7 +691,7 @@ object PgCompat {
         |  '{"t": ' || to_json(event_type)::VARCHAR || '}' AS del,
         |  '{"a": {"c": ' || event_id || '}}' AS delp,
         |  '{' || chr(10) || '    "k": ' || event_id || chr(10) || '}' AS pretty,
-        |  '{"t":' || to_json(event_type)::VARCHAR || '}' AS jo
+        |  '{"t" : ' || to_json(event_type)::VARCHAR || '}' AS jo
         |FROM events ORDER BY event_id""".stripMargin) {
       withUdfs((s, dir) => { Tables.register(s, dir)
         rangeFanout(s, s.table("events"), "event_id").selectExpr(
@@ -743,8 +743,8 @@ object PgCompat {
     Q.df("q117_jsonpath",
       """SELECT event_id,
         |  (event_id % 5 >= 4 OR event_id % 7 >= 4) AS ex,
-        |  to_json(list_filter([event_id % 3, event_id % 5, event_id % 7],
-        |    x -> x > 1))::VARCHAR AS arr,
+        |  replace(to_json(list_filter([event_id % 3, event_id % 5, event_id % 7],
+        |    x -> x > 1))::VARCHAR, ',', ', ') AS arr,
         |  CAST(list_filter([event_id % 3, event_id % 5, event_id % 7],
         |    x -> x > 1)[1] AS VARCHAR) AS fst,
         |  (event_id % 2 = 0) AS mt,

@@ -27,15 +27,15 @@ class PgJsonPathSpec extends SparkSpec {
     val vars = """'{"min":2, "max":4}'"""
     assert(one(s"jsonb_path_exists($doc, $path, $vars)") === true)
     assert(items(s"jsonb_path_query($doc, $path, $vars)") === Seq("2", "3", "4"))
-    assert(str(s"jsonb_path_query_array($doc, $path, $vars)") === "[2,3,4]")
+    assert(str(s"jsonb_path_query_array($doc, $path, $vars)") === "[2, 3, 4]")
     assert(str(s"jsonb_path_query_first($doc, $path, $vars)") === "2")
     assert(one(s"jsonb_path_match($doc, 'exists($$.a[*] ? (@ >= 2 && @ <= 4))')") === true)
   }
 
   test("lax auto-unwraps; strict errors structurally; silent suppresses") {
     val nested = """'{"a":[{"b":1},{"b":2}]}'"""
-    assert(str(s"jsonb_path_query_array($nested, '$$.a.b')") === "[1,2]")
-    assert(str(s"jsonb_path_query_array($nested, 'lax $$.a.b')") === "[1,2]")
+    assert(str(s"jsonb_path_query_array($nested, '$$.a.b')") === "[1, 2]")
+    assert(str(s"jsonb_path_query_array($nested, 'lax $$.a.b')") === "[1, 2]")
     val e = intercept[Exception](str(s"jsonb_path_query_array($nested, 'strict $$.a.b')"))
     assert(e.getMessage.contains("member accessor"))
     // 4-arg silent form: query_array wraps the empty sequence (pg 15
@@ -55,8 +55,8 @@ class PgJsonPathSpec extends SparkSpec {
     val arr = """'[10,20,30,40]'"""
     assert(str(s"jsonb_path_query_first($arr, '$$[1]')") === "20")
     assert(str(s"jsonb_path_query_first($arr, '$$[last]')") === "40")
-    assert(str(s"jsonb_path_query_array($arr, '$$[1 to 2]')") === "[20,30]")
-    assert(str(s"jsonb_path_query_array($arr, '$$[0, last]')") === "[10,40]")
+    assert(str(s"jsonb_path_query_array($arr, '$$[1 to 2]')") === "[20, 30]")
+    assert(str(s"jsonb_path_query_array($arr, '$$[0, last]')") === "[10, 40]")
     assert(str(s"jsonb_path_query_array($arr, '$$[last - 1]')") === "[30]")
     // lax out-of-bounds yields empty; strict errors
     assert(str(s"jsonb_path_query_array($arr, '$$[9]')") === "[]")
@@ -71,9 +71,9 @@ class PgJsonPathSpec extends SparkSpec {
       Seq("\"number\"", "\"string\"", "\"array\"", "\"object\"", "\"boolean\"", "\"null\""))
     assert(str(s"jsonb_path_query_first($doc, '$$.a.size()')") === "5")
     assert(str(s"""jsonb_path_query_first('{"x":"1.5"}', '$$.x.double()')""") === "1.5")
-    assert(str(s"jsonb_path_query_array('[-1.5, 1.5]', '$$[*].abs()')") === "[1.5,1.5]")
-    assert(str(s"jsonb_path_query_array('[1.8, -1.8]', '$$[*].floor()')") === "[1,-2]")
-    assert(str(s"jsonb_path_query_array('[1.2, -1.2]', '$$[*].ceiling()')") === "[2,-1]")
+    assert(str(s"jsonb_path_query_array('[-1.5, 1.5]', '$$[*].abs()')") === "[1.5, 1.5]")
+    assert(str(s"jsonb_path_query_array('[1.8, -1.8]', '$$[*].floor()')") === "[1, -2]")
+    assert(str(s"jsonb_path_query_array('[1.2, -1.2]', '$$[*].ceiling()')") === "[2, -1]")
     val e = intercept[Exception](
       str(s"""jsonb_path_query_first('{"x":"pi"}', '$$.x.double()')"""))
     assert(e.getMessage.contains("double"))
@@ -81,28 +81,21 @@ class PgJsonPathSpec extends SparkSpec {
 
   test("filter predicates: like_regex, starts with, is unknown, nesting") {
     val strs = """'["abc", "abd", "aBdC", "ab", null]'"""
-    assert(str(s"""jsonb_path_query_array($strs, '$$[*] ? (@ like_regex "^ab.*c")')""") ===
-      """["abc"]""")
+    assert(str(s"""jsonb_path_query_array($strs, '$$[*] ? (@ like_regex "^ab.*c")')""") === """["abc"]""")
     assert(str(
-      s"""jsonb_path_query_array($strs, '$$[*] ? (@ like_regex "^ab.*c" flag "i")')""") ===
-      """["abc","aBdC"]""")
-    assert(str(s"""jsonb_path_query_array($strs, '$$[*] ? (@ starts with "ab")')""") ===
-      """["abc","abd","ab"]""")
+      s"""jsonb_path_query_array($strs, '$$[*] ? (@ like_regex "^ab.*c" flag "i")')""") === """["abc", "aBdC"]""")
+    assert(str(s"""jsonb_path_query_array($strs, '$$[*] ? (@ starts with "ab")')""") === """["abc", "abd", "ab"]""")
     // ordering against json null is FALSE (not unknown) in pg — the
     // is-unknown filter selects nothing here (pg 15 pinned: '[]')
-    assert(str(s"""jsonb_path_query_array($strs, '$$[*] ? ((@ > "a") is unknown)')""") ===
-      "[]")
+    assert(str(s"""jsonb_path_query_array($strs, '$$[*] ? ((@ > "a") is unknown)')""") === "[]")
     // cross-type ordering IS unknown: the number survives is-unknown
-    assert(str(s"""jsonb_path_query_array('[1, "b"]', '$$[*] ? ((@ > "a") is unknown)')""") ===
-      "[1]")
+    assert(str(s"""jsonb_path_query_array('[1, "b"]', '$$[*] ? ((@ > "a") is unknown)')""") === "[1]")
     // nested filter over objects, && / || / !
     val books = """'{"items":[{"p":12,"s":true},{"p":5,"s":false},{"p":8,"s":true}]}'"""
     assert(str(
-      s"jsonb_path_query_array($books, '$$.items[*] ? (@.p > 6 && @.s == true).p')") ===
-      "[12,8]")
+      s"jsonb_path_query_array($books, '$$.items[*] ? (@.p > 6 && @.s == true).p')") === "[12, 8]")
     assert(str(
-      s"jsonb_path_query_array($books, '$$.items[*] ? (@.p < 6 || !(@.s == true)).p')") ===
-      "[5]")
+      s"jsonb_path_query_array($books, '$$.items[*] ? (@.p < 6 || !(@.s == true)).p')") === "[5]")
   }
 
   test("arithmetic and predicate-path items") {
@@ -123,7 +116,7 @@ class PgJsonPathSpec extends SparkSpec {
   }
 
   test("wildcards, quoted members, and null semantics") {
-    assert(str(s"""jsonb_path_query_array('{"a":1,"b":2}', '$$.*')""") === "[1,2]")
+    assert(str(s"""jsonb_path_query_array('{"a":1,"b":2}', '$$.*')""") === "[1, 2]")
     assert(str(s"""jsonb_path_query_array('{"odd key":5}', '$$."odd key"')""") === "[5]")
     // jsonpath null comparisons: null == null true; ordering false
     assert(one(s"""jsonb_path_exists('[null]', '$$[*] ? (@ == null)')""") === true)
@@ -136,21 +129,16 @@ class PgJsonPathSpec extends SparkSpec {
 
   test(".** recursive descent with level bounds (pg 15 pinned)") {
     val d = """'{"a":{"b":1},"c":[2,3]}'"""
-    assert(str(s"jsonb_path_query_array($d, '$$.**')") ===
-      """[{"a":{"b":1},"c":[2,3]},{"b":1},1,[2,3],2,3]""")
-    assert(str(s"jsonb_path_query_array($d, '$$.**{1}')") === """[{"b":1},[2,3]]""")
-    assert(str(s"jsonb_path_query_array($d, '$$.**{1 to 2}')") ===
-      """[{"b":1},1,[2,3],2,3]""")
+    assert(str(s"jsonb_path_query_array($d, '$$.**')") === """[{"a": {"b": 1}, "c": [2, 3]}, {"b": 1}, 1, [2, 3], 2, 3]""")
+    assert(str(s"jsonb_path_query_array($d, '$$.**{1}')") === """[{"b": 1}, [2, 3]]""")
+    assert(str(s"jsonb_path_query_array($d, '$$.**{1 to 2}')") === """[{"b": 1}, 1, [2, 3], 2, 3]""")
     // `last` lower bound = deepest level of each branch (the leaves)
-    assert(str(s"jsonb_path_query_array($d, '$$.**{last}')") === "[1,2,3]")
-    assert(str(s"""jsonb_path_query_array('{"a":1,"b":{"c":2}}', '$$.**{last}')""") ===
-      "[1,2]")
-    assert(str(s"""jsonb_path_query_array('[[1,[2]],3]', '$$.**{last}')""") === "[1,2,3]")
+    assert(str(s"jsonb_path_query_array($d, '$$.**{last}')") === "[1, 2, 3]")
+    assert(str(s"""jsonb_path_query_array('{"a":1,"b":{"c":2}}', '$$.**{last}')""") === "[1, 2]")
+    assert(str(s"""jsonb_path_query_array('[[1,[2]],3]', '$$.**{last}')""") === "[1, 2, 3]")
     // `last` upper bound = unbounded
-    assert(str(s"""jsonb_path_query_array('{"a":{"b":1}}', '$$.**{1 to last}')""") ===
-      """[{"b":1},1]""")
-    assert(str(s"""jsonb_path_query_array('{"a":{"b":{"c":1}}}', '$$.**{2 to last}')""") ===
-      """[{"c":1},1]""")
+    assert(str(s"""jsonb_path_query_array('{"a":{"b":1}}', '$$.**{1 to last}')""") === """[{"b": 1}, 1]""")
+    assert(str(s"""jsonb_path_query_array('{"a":{"b":{"c":1}}}', '$$.**{2 to last}')""") === """[{"c": 1}, 1]""")
     // an empty root is itself level 0
     assert(str(s"jsonb_path_query_array('[]', '$$.**')") === "[[]]")
     // descent + filter finds nested values at any depth
@@ -159,15 +147,12 @@ class PgJsonPathSpec extends SparkSpec {
   }
 
   test(".keyvalue() emits id/key/value objects (sequential ids)") {
-    assert(str(s"""jsonb_path_query_array('{"a":1,"b":"x"}', '$$.keyvalue()')""") ===
-      """[{"id":0,"key":"a","value":1},{"id":0,"key":"b","value":"x"}]""")
+    assert(str(s"""jsonb_path_query_array('{"a":1,"b":"x"}', '$$.keyvalue()')""") === """[{"id": 0, "key": "a", "value": 1}, {"id": 0, "key": "b", "value": "x"}]""")
     // lax unwraps an array of objects
-    assert(str(s"""jsonb_path_query_array('[{"b":1}]', '$$.keyvalue()')""") ===
-      """[{"id":0,"key":"b","value":1}]""")
+    assert(str(s"""jsonb_path_query_array('[{"b":1}]', '$$.keyvalue()')""") === """[{"id": 0, "key": "b", "value": 1}]""")
     assert(str(s"jsonb_path_query_array('{}', '$$.keyvalue()')") === "[]")
     // two distinct objects get distinct ids
-    assert(str(s"""jsonb_path_query_array('[{"a":1},{"b":2}]', '$$[*].keyvalue().id')""") ===
-      "[0,1]")
+    assert(str(s"""jsonb_path_query_array('[{"a":1},{"b":2}]', '$$[*].keyvalue().id')""") === "[0, 1]")
     val e = intercept[Exception](str(s"jsonb_path_query_array('3', '$$.keyvalue()')"))
     assert(e.getMessage.contains("keyvalue"))
   }
@@ -225,11 +210,9 @@ class PgJsonPathSpec extends SparkSpec {
       "\"2023-08-15T17:30:00\"")
     // comparisons: same kind, and date promotes against timestamp
     assert(str(s"""jsonb_path_query_array('["2023-08-15","2023-09-01"]',
-      '$$[*] ? (@.datetime() > "2023-08-20".datetime())')""".stripMargin.replace("\n", " ")) ===
-      """["2023-09-01"]""")
+      '$$[*] ? (@.datetime() > "2023-08-20".datetime())')""".stripMargin.replace("\n", " ")) === """["2023-09-01"]""")
     assert(str(s"""jsonb_path_query_array('["10:00:00","14:00:00"]',
-      '$$[*] ? (@.datetime() < "12:00:00".datetime())')""".stripMargin.replace("\n", " ")) ===
-      """["10:00:00"]""")
+      '$$[*] ? (@.datetime() < "12:00:00".datetime())')""".stripMargin.replace("\n", " ")) === """["10:00:00"]""")
     // the filter yields the ORIGINAL item, not the converted one
     assert(str(s"""jsonb_path_query_array('["2023-08-15 00:00:00","2023-08-16"]',
       '$$[*] ? (@.datetime() < "2023-08-15 12:00:00".datetime())')"""

@@ -260,19 +260,21 @@ class PgJsonSpec extends SparkSpec {
     assert(graft.pgwire.Compat.rewrite("SELECT json_each(j) FROM t")
       .contains("inline(json_each"))
     assert(graft.pgwire.Compat.rewrite("SELECT jsonb_each_text(j) FROM t")
-      .contains("inline(json_each_text"))
+      .contains("inline(jsonb_each_text"))
     val e = intercept[Exception](one("json_each('[1]')"))
     assert(e.getMessage.contains("cannot deconstruct"))
   }
 
   test("json_object builds from flat, pair, and two-array shapes") {
-    assert(one("json_object(array('a','1','b','2'))") === """{"a":"1","b":"2"}""")
+    // json_object spacing is `{"k" : "v", ...}` — live-pg-pinned
+    // (sweep-28); the jsonb variant canonicalizes to `{"k": "v"}`
+    assert(one("json_object(array('a','1','b','2'))") === """{"a" : "1", "b" : "2"}""")
     assert(one("json_object(array(array('a','1'),array('b','2')))") ===
-      """{"a":"1","b":"2"}""")
+      """{"a" : "1", "b" : "2"}""")
     assert(one("json_object(array('k','v'), array('a','b'))") ===
-      """{"k":"a","v":"b"}""")
+      """{"k" : "a", "v" : "b"}""")
     assert(one("json_object(array('a'), array(CAST(NULL AS STRING)))") ===
-      """{"a":null}""")
+      """{"a" : null}""")
     val e = intercept[Exception](one("json_object(array('a','1','b'))"))
     assert(e.getMessage.contains("even number"))
     val e2 = intercept[Exception](one("json_object(array('a'), array('1','2'))"))

@@ -1802,4 +1802,97 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+  test("sweep-28: jsonb canonical sub-document rendering (live pg 15)") {
+    // pg re-serializes jsonb from its binary form, so every jsonb
+    // accessor/builder renders sub-documents `{"a": 1, "b": [1, 2]}`-
+    // spaced; json (non-b) functions keep compact/insertion-order
+    // text. 44 vectors, 39 exact; the excluded five are capture
+    // artifacts (multiline jsonb_pretty — pinned in PgJsonSpec —
+    // set-returning first-vs-last row, error-vs-error) plus the two
+    // documented ::json deviations (original-text preservation: the
+    // engine canonicalizes json input where pg stores the text
+    // verbatim, so key order and interior spacing of ad-hoc ::json
+    // literals differ; jsonb is exact).
+    val pinned: Seq[(String, String)] = Seq(
+      ("'{\"b\":1,\"a\":[1,2,{\"c\":3}]}'::jsonb",
+       "{\"a\": [1, 2, {\"c\": 3}], \"b\": 1}"),
+      ("json_build_object('a',1,'b',json_build_array(1,2))",
+       "{\"a\" : 1, \"b\" : [1, 2]}"),
+      ("jsonb_build_object('a',1,'b',2)",
+       "{\"a\": 1, \"b\": 2}"),
+      ("json_build_array(1,'x',null)",
+       "[1, \"x\", null]"),
+      ("to_json(ARRAY[1,2,3])",
+       "[1,2,3]"),
+      ("row_to_json(ROW(1,'x'))",
+       "{\"f1\":1,\"f2\":\"x\"}"),
+      ("json_agg(x) FROM (VALUES (1),(2)) t(x)",
+       "[1, 2]"),
+      ("jsonb_agg(x) FROM (VALUES (1),(2)) t(x)",
+       "[1, 2]"),
+      ("json_object_agg(k,v) FROM (VALUES ('a',1),('b',2)) t(k,v)",
+       "{ \"a\" : 1, \"b\" : 2 }"),
+      ("jsonb_object_agg(k,v) FROM (VALUES ('a',1),('b',2)) t(k,v)",
+       "{\"a\": 1, \"b\": 2}"),
+      ("json_object('{a,1,b,2}')",
+       "{\"a\" : \"1\", \"b\" : \"2\"}"),
+      ("jsonb_set('{\"a\":1}'::jsonb, '{b}', '2'::jsonb)",
+       "{\"a\": 1, \"b\": 2}"),
+      ("('{\"a\":1}'::jsonb || '{\"b\":2}'::jsonb)",
+       "{\"a\": 1, \"b\": 2}"),
+      ("jsonb_insert('{\"a\":[1,2]}'::jsonb, '{a,1}', '9'::jsonb)",
+       "{\"a\": [1, 9, 2]}"),
+      ("json_strip_nulls('{\"a\":1,\"b\":null}'::json)",
+       "{\"a\":1}"),
+      ("jsonb_strip_nulls('{\"a\":1,\"b\":null}'::jsonb)",
+       "{\"a\": 1}"),
+      ("to_jsonb(ARRAY['a','b'])",
+       "[\"a\", \"b\"]"),
+      ("jsonb_path_query_array('[1,2,3]'::jsonb, '$[*] ? (@ > 1)')",
+       "[2, 3]"),
+      ("('{\"a\":{\"b\":1,\"c\":[1,2]}}'::jsonb) -> 'a'",
+       "{\"b\": 1, \"c\": [1, 2]}"),
+      ("('[{\"x\":1},{\"y\":2}]'::jsonb) -> 0",
+       "{\"x\": 1}"),
+      ("jsonb_extract_path('{\"a\":{\"b\":[1,2]}}'::jsonb, 'a')",
+       "{\"b\": [1, 2]}"),
+      ("(SELECT string_agg(v::text, '|') FROM jsonb_array_elements('[{\"a\":1},[1,2]]'::jsonb) t(v))",
+       "{\"a\": 1}|[1, 2]"),
+      ("(SELECT string_agg(value::text, '|') FROM jsonb_each('{\"a\":{\"b\":1},\"c\":[1,2]}'::jsonb) t(key,value))",
+       "{\"b\": 1}|[1, 2]"),
+      ("jsonb_path_query_first('[{\"a\":1}]'::jsonb, '$[0]')",
+       "{\"a\": 1}"),
+      ("(SELECT string_agg(v::text, '|') FROM jsonb_path_query('[{\"a\":1},{\"b\":[2,3]}]'::jsonb, '$[*]') t(v))",
+       "{\"a\": 1}|{\"b\": [2, 3]}"),
+      ("jsonb_typeof('{\"a\":1}'::jsonb)",
+       "object"),
+      ("to_jsonb('{\"a\":1,\"b\":2}'::jsonb)",
+       "{\"a\": 1, \"b\": 2}"),
+      ("to_jsonb(ROW(1,'x'))",
+       "{\"f1\": 1, \"f2\": \"x\"}"),
+      ("json_object('{a,b}', '{1,2}')",
+       "{\"a\" : \"1\", \"b\" : \"2\"}"),
+      ("json_object('{{a,1},{b,2}}')",
+       "{\"a\" : \"1\", \"b\" : \"2\"}"),
+      ("jsonb_build_array(1, jsonb_build_object('k','v'))",
+       "[1, {\"k\": \"v\"}]"),
+      ("('{\"a\":1}'::jsonb #> '{}')",
+       "{\"a\": 1}"),
+      ("jsonb_set_lax('{\"a\":1}'::jsonb, '{b}', null, true, 'use_json_null')",
+       "{\"a\": 1, \"b\": null}"),
+      ("'{\"b\":1, \"a\": 2}'::jsonb",
+       "{\"a\": 2, \"b\": 1}"),
+      ("('{\"a\": {\"b\":1,  \"c\": 2}}'::jsonb) -> 'a'",
+       "{\"b\": 1, \"c\": 2}"),
+      ("('[{\"x\":1,\"y\":[1,2]}]'::json) -> 0",
+       "{\"x\":1,\"y\":[1,2]}"),
+      ("('[{\"x\":1,\"y\":[1,2]}]'::jsonb) -> 0",
+       "{\"x\": 1, \"y\": [1, 2]}"),
+      ("('{\"a\":{\"b\":2}}'::json) #> '{a}'",
+       "{\"b\":2}"),
+      ("('{\"a\":{\"b\":2}}'::jsonb) #> '{a}'",
+       "{\"b\": 2}"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
