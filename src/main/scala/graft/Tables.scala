@@ -48,6 +48,54 @@ object Tables {
     * type; sessions run in UTC, so the NTZ cast preserves wall-clock.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    scans.synchronized {
+      scans
+        .computeIfAbsent(spark, _ =>
+          new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+        .computeIfAbsent((dir, name), _ => build(spark, dir, name))
+    }
+
+  /** Per-session scan memo: `spark.read.parquet` re-lists the directory
+    * and re-reads footers on every call, a ~100-200 ms tax each bench /
+    * verify sample pays per referenced table. The DataFrame is an
+    * immutable logical scan, so sharing one instance across queries is
+    * safe (each downstream query wraps it in a fresh plan; AQE stage
+    * reuse is per-QueryExecution). Testdata is immutable-on-disk, so
+    * the cached InMemoryFileIndex snapshot never goes stale. Weak keys:
+    * dropping a session releases its cached scans.
+    */
+  private val scans =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  /** Exact row count of one testdata table, answered from parquet
+    * footer metadata (no scan job — Spark's v1 parquet source runs a
+    * full 1-task job for `count()`, a ~130 ms tax when a query needs
+    * the corpus size as a plan literal). Memoized: testdata files are
+    * immutable-on-disk.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    counts.computeIfAbsent((dir, name), _ => {
+      val conf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = path.getFileSystem(conf)
+      val files = fs.listStatus(path)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")) match {
+        case empty if empty.isEmpty => Array(fs.getFileStatus(path))
+        case some => some
+      }
+      Long.box(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    })
+
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

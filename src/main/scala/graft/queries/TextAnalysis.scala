@@ -256,7 +256,11 @@ object TextAnalysis {
         """concat(text, ' see https://host', doc_id % 23, '.example.com/p/',
           |doc_id % 5, ' and www.ref', doc_id % 11, '.org ') AS text"""
           .stripMargin.replace("\n", ""))
-      TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text").transform(Q.oracleOrder(_, "domain"))
+      // coalesce(1), not repartition(1): the final roll-up's input is the
+      // 34-domain partial set, so folding the last agg + sort into one
+      // 1-task stage beats paying a third exchange for it
+      TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text")
+        .coalesce(1).sortWithinPartitions("domain")
     },
 
     // --- token-window chunking: 8-token windows, stride 4, short tails
@@ -322,9 +326,14 @@ object TextAnalysis {
         |)
         |SELECT doc_id, term, tf, idf_u, score FROM ranked
         |WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+      // coalesce(1), not repartition(1): the scored+top-k stage reads a
+      // single parquet split at test SF, so folding the oracle sort into
+      // it saves an exchange without costing parallelism
       TextAnalysisOps.tfidfTopTerms(Tables.t(s, dir, "documents"),
-        "doc_id", "text", k = 3)
-        .transform(Q.oracleOrderC(_, col("doc_id"), col("score").desc, col("term")))
+        "doc_id", "text", k = 3,
+        corpusN = Some(Tables.rowCount(s, dir, "documents")))
+        .coalesce(1)
+        .sortWithinPartitions(col("doc_id"), col("score").desc, col("term"))
     },
 
     // --- the pipeline, end to end: quality gate → language gate →
