@@ -92,3 +92,10 @@ trait PgBinaryDirectGen extends org.apache.spark.sql.catalyst.expressions.Binary
   override def evalVals(vs: Array[Any]): Any =
     if (vs(0) == null || vs(1) == null) null else nullSafeEval(vs(0), vs(1))
 }
+
+trait PgTernaryDirectGen extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with PgVariadicDirectGen {
+  override def evalVals(vs: Array[Any]): Any =
+    if (vs(0) == null || vs(1) == null || vs(2) == null) null
+    else nullSafeEval(vs(0), vs(1), vs(2))
+}

@@ -591,7 +591,7 @@ object PgFormatExpressions {
     * them (mixed year-month + day-time fields, pg-only unit
     * spellings, 'ago'). */
   case class PgIntervalLiteral(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = CalendarIntervalType
     override def prettyName: String = "pg_interval"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -619,7 +619,7 @@ object PgFormatExpressions {
     * epoch return numeric (6/3/6 decimals) like pg; other fields
     * bigint. */
   case class PgIntervalPart(fieldExpr: Expression, child: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def left: Expression = fieldExpr
     override def right: Expression = child
     private lazy val field: String =
@@ -696,7 +696,7 @@ object PgFormatExpressions {
     * the named one, keeping coarser fields untouched ('3 days 2:47:33'
     * truncated at hour → '3 days 02:00:00', live-pg pinned). */
   case class PgIntervalTrunc(fieldExpr: Expression, child: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def left: Expression = fieldExpr
     override def right: Expression = child
     override def dataType: DataType = CalendarIntervalType
@@ -751,7 +751,7 @@ object PgFormatExpressions {
     * strides error like pg ("stride must be a multiple of ...";
     * feature not defined for variable-length months). */
   case class PgDateBin(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with PgTernaryDirectGen {
     // pg returns the SOURCE's type: timestamp in → timestamp out
     override def dataType: DataType = second.dataType
     override def prettyName: String = "date_bin"

@@ -123,7 +123,7 @@ object PgMiscExpressions {
   /** pg trim_array(array, n): array minus its last n elements; errors
     * when n is negative or exceeds cardinality (pg 2202E). */
   case class PgTrimArray(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def dataType: DataType = left.dataType
     override def prettyName: String = "trim_array"
 
@@ -523,7 +523,7 @@ object PgMiscExpressions {
 
   /** array_ndims(arr): static nesting depth of the array TYPE. */
   case class PgArrayNdims(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "array_ndims"
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -644,7 +644,7 @@ object PgMiscExpressions {
     * (sweep #9, live-pg-pinned). Routed in by PgSemantics.
     */
   case class PgIntervalText(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "pg_interval_text"
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -684,7 +684,7 @@ object PgMiscExpressions {
     * when at least one side is CalendarIntervalType.
     */
   case class PgIntervalAdd(left: Expression, right: Expression, negate: Boolean)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def dataType: DataType = CalendarIntervalType
     override def prettyName: String = if (negate) "pg_interval_sub" else "pg_interval_add"
     private def isIv(dt: DataType): Boolean = dt match {
@@ -777,7 +777,7 @@ object PgMiscExpressions {
     * trim set from the chosen ends. */
   case class PgByteaTrim(left: Expression, right: Expression,
       trimLeft: Boolean, trimRight: Boolean)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def dataType: DataType = BinaryType
     override def prettyName: String =
       if (trimLeft && trimRight) "btrim" else if (trimLeft) "ltrim" else "rtrim"

@@ -28,7 +28,7 @@ object PgStringExpressions {
     * Arguments arrive cast to string by the builder (same value the
     * type's output function would give). */
   case class PgFormatStr(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "format"
@@ -40,11 +40,11 @@ object PgStringExpressions {
         TypeCheckResult.TypeCheckFailure("format string must be text")
       else TypeCheckResult.TypeCheckSuccess
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val fmtRaw = children.head.eval(input)
+    override def evalVals(vs: Array[Any]): Any = {
+      val fmtRaw = vs(0)
       if (fmtRaw == null) return null
       val fmt = fmtRaw.asInstanceOf[UTF8String].toString
-      val args = children.tail.map(_.eval(input)).toIndexedSeq
+      val args = vs.toIndexedSeq.tail
       val sb = new StringBuilder
       var i = 0
       var nextArg = 0
@@ -112,15 +112,15 @@ object PgStringExpressions {
   // ---- num_nonnulls / num_nulls -----------------------------------------
 
   case class NumNonNulls(children: Seq[Expression], negate: Boolean)
-      extends Expression with CodegenFallback {
+      extends Expression with PgVariadicDirectGen {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = false
     override def prettyName: String = if (negate) "num_nulls" else "num_nonnulls"
     override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def evalVals(vs: Array[Any]): Any = {
       var nonnull = 0
-      children.foreach(c => if (c.eval(input) != null) nonnull += 1)
+      vs.foreach(v => if (v != null) nonnull += 1)
       if (negate) children.length - nonnull else nonnull
     }
 
@@ -137,7 +137,7 @@ object PgStringExpressions {
     * (pg docs §9.4 Table 9.10; Spark's split() is regex-based and has
     * none of these rules, hence a native expression.) */
   case class PgStringToArray(str: Expression, delim: Expression, nullStr: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with PgVariadicDirectGen {
     override def first: Expression = str
     override def second: Expression = delim
     override def third: Expression = nullStr
@@ -150,12 +150,15 @@ object PgStringExpressions {
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure("string_to_array(text, text[, text])")
 
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val sRaw = str.eval(input)
+    // NULL delimiter and NULL null-string are meaningful (per-char
+    // split / no null marker), so this overrides evalVals, not
+    // nullSafeEval
+    override def evalVals(vs: Array[Any]): Any = {
+      val sRaw = vs(0)
       if (sRaw == null) return null
       val s = sRaw.asInstanceOf[UTF8String].toString
-      val dRaw = delim.eval(input)
-      val nullRaw = nullStr.eval(input)
+      val dRaw = vs(1)
+      val nullRaw = vs(2)
       val nullMark = if (nullRaw == null) null else nullRaw.asInstanceOf[UTF8String].toString
       val fields: Array[String] =
         if (dRaw == null) // pg: one element per CHARACTER (code point,
@@ -192,7 +195,7 @@ object PgStringExpressions {
   }
 
   case class PgRegexpSplit(str: Expression, pat: Expression, flags: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with PgTernaryDirectGen {
     override def first: Expression = str
     override def second: Expression = pat
     override def third: Expression = flags
@@ -233,7 +236,7 @@ object PgStringExpressions {
     * 'g' flag is rejected — use regexp_split/regexp_count for global
     * work (documented deviation). */
   case class PgRegexpMatches(str: Expression, pat: Expression, flags: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with PgTernaryDirectGen {
     override def first: Expression = str
     override def second: Expression = pat
     override def third: Expression = flags
@@ -281,7 +284,7 @@ object PgStringExpressions {
   /** pg initcap: a word starts after any non-alphanumeric ("hi-there"
     * → "Hi-There"); Spark's builtin only splits on spaces. */
   case class PgInitcap(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "initcap"
 
@@ -310,7 +313,7 @@ object PgStringExpressions {
   // ---- normalize ---------------------------------------------------------
 
   case class PgNormalize(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with PgBinaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "normalize"
 
@@ -342,7 +345,7 @@ object PgStringExpressions {
     * `\+XXXXXX` (6 hex), `\uXXXX`, `\UXXXXXXXX`; `\\` is a literal
     * backslash. Separately-written surrogate halves combine, as in pg. */
   case class PgUnistr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = StringType
     override def prettyName: String = "unistr"
 
@@ -395,7 +398,7 @@ object PgStringExpressions {
   /** pg `unicode_assigned(text)` — true when every character is an
     * assigned Unicode codepoint. */
   case class PgUnicodeAssigned(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with PgUnaryDirectGen {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "unicode_assigned"
 

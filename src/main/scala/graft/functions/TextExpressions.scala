@@ -193,6 +193,30 @@ object TextExpressions {
     h
   }
 
+  /** Distinct character n-gram shingles in first-occurrence order —
+    * the one-pass twin of
+    * `array_distinct(transform(sequence(1, length-n+1), i -> substr(i, n)))`
+    * (code-point windows, like Spark's substr; texts shorter than n
+    * code points and NULL text both yield the empty array, matching
+    * the `when(cnt >= 1, ...).otherwise(array())` composition where a
+    * NULL condition falls through to otherwise). */
+  def charShinglesEval(t: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (t == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val total = t.numChars()
+    val cnt = total - (n - 1)
+    if (cnt < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < cnt) {
+      seen.add(t.substring(i, i + n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
+  }
+
   private def checkString(fn: String, child: Expression): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -294,6 +318,95 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** char_shingles(text, n) → array<string> (distinct n-grams,
+    * first-occurrence order; never NULL — empty array for NULL/short
+    * text, the composition's behavior). */
+  case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (n < 1)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+      else checkString(prettyName, child)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "char_shingles"
+
+    override def eval(input: InternalRow): Any =
+      charShinglesEval(child.eval(input).asInstanceOf[UTF8String], n)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      val resultCode =
+        code"""
+           |${c.code}
+           |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+           |  graft.functions.TextExpressions.charShinglesEval(
+           |    ${c.isNull} ? null : ${c.value}, $n);
+           |""".stripMargin
+      ev.copy(code = resultCode, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): CharShingles =
+      copy(child = newChild)
+  }
+
+  /** Jaccard over two distinct string arrays in one pass: |a∩b| via a
+    * hash set, |a∪b| = |a|+|b|−|a∩b| (inputs are distinct sets — the
+    * [[CharShingles]] contract). Same double division as
+    * `try_divide(size(array_intersect), size(array_union))`, without
+    * materializing either array; both-empty → NULL (ANSI double
+    * division throws on 0/0, so the NULL-on-empty contract is the
+    * usable one — callers that must error can guard on sizes). */
+  def arrJaccardEval(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(4, na * 2))
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    val union = na + nb - inter
+    if (union == 0) null
+    else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+
+  /** arr_jaccard(a, b) → double (NULL if either side is NULL). */
+  case class ArrJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    private def isStringArray(e: Expression): Boolean = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(left) && isStringArray(right)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> arguments, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "arr_jaccard"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      arrJaccardEval(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val r = ctx.freshName("jac")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |Object $r = graft.functions.TextExpressions.arrJaccardEval($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+           |""".stripMargin)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ArrJaccard =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args => {
@@ -315,7 +428,18 @@ object TextExpressions {
         arity("token_counts", 1)(args => TokenCounts(args(0)))),
       (FunctionIdentifier("rolling_fp"),
         new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
-        arity("rolling_fp", 1)(args => RollingFp(args(0)))))
+        arity("rolling_fp", 1)(args => RollingFp(args(0)))),
+      (FunctionIdentifier("char_shingles"),
+        new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+        arity("char_shingles", 2)(args => args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) =>
+            CharShingles(args(0), i)
+          case other => throw new IllegalArgumentException(
+            s"char_shingles: n must be an integer literal, got $other")
+        })),
+      (FunctionIdentifier("arr_jaccard"),
+        new ExpressionInfo(classOf[ArrJaccard].getName, "arr_jaccard"),
+        arity("arr_jaccard", 2)(args => ArrJaccard(args(0), args(1)))))
 
   /** Idempotent registration on an already-built session (same
     * contract as [[VectorExpressions.install]]). */

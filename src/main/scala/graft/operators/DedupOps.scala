@@ -75,15 +75,18 @@ object DedupOps {
   def wordShingles(c: Column, n: Int): Column =
     array_distinct(wordGramsAll(c, n))
 
-  /** Distinct character n-gram shingles of a text column; empty set for
-    * texts shorter than n chars (same descending-sequence guard).
+  /** Distinct character n-gram shingles of a text column; empty set
+    * for texts shorter than n chars. One-pass native expression
+    * (`char_shingles`) — the HOF composition
+    * (`array_distinct(transform(sequence(...), substr))`) materialized
+    * a full gram array per row on the interpreted lambda path; the
+    * expression builds the distinct set in a single code-point walk
+    * inside whole-stage codegen (DedupSpec pins the semantics, incl.
+    * short-text/NULL → empty array). Callers must install
+    * [[graft.functions.TextExpressions]] (every operator here does).
     */
-  def charShingles(c: Column, n: Int): Column = {
-    val cnt = length(c) - (n - 1)
-    when(cnt >= 1,
-      array_distinct(transform(sequence(lit(1), cnt), i => c.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def charShingles(c: Column, n: Int): Column =
+    call_function("char_shingles", c, lit(n))
 
   /** MinHash signature (k permutations) of a shingle-array column —
     * one map-side pass, no shuffle.
@@ -847,13 +850,16 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, maxBlock: Int = 1000): DataFrame = {
+    graft.functions.TextExpressions.install(docs.sparkSession)
     val base0 = docs.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
       charShingles(col(textCol), n).as("tg"))
     val base = capBuckets(base0, Seq("blk"), maxBlock)
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.tg"), col("b.tg"))).cast("double") /
-          size(array_union(col("a.tg"), col("b.tg"))).cast("double")).as("jaccard"))
+        // one-pass |∩| + size arithmetic (arr_jaccard) — the
+        // array_intersect/array_union pair materialized BOTH result
+        // arrays per candidate pair just to take their sizes
+        call_function("arr_jaccard", col("a.tg"), col("b.tg")).as("jaccard"))
   }
 }

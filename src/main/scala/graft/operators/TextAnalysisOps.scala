@@ -16,7 +16,7 @@ import scala.jdk.CollectionConverters._
   * ratios as integer-divided decimals cast at the end), so a DuckDB
   * oracle reproduces them bit-for-bit.
   */
-object TextAnalysisOps {
+object TextAnalysisOps extends Serializable {
 
   /** Occurrences of a literal substring, via length arithmetic —
     * engine-agnostic (no regex dialect involved).

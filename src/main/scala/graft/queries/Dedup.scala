@@ -205,11 +205,12 @@ object Dedup {
         |       cast(len(list_distinct(list_concat(a.tg, b.tg))) as double) AS jaccard
         |FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      Q.oracleOrder(
-        DedupOps.ngramJaccardPairs(
-          Tables.t(s, dir, "documents").filter(col("doc_id") < 60),
-          "doc_id", "text", "lang", n = 3),
-        "doc_a", "doc_b")
+      // coalesce(1): the pair stage is broadcast-join map-side over the
+      // 59-doc block, so folding the oracle sort in saves an exchange
+      DedupOps.ngramJaccardPairs(
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 60),
+        "doc_id", "text", "lang", n = 3)
+        .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
     },
 
     // portable MinHash+LSH: the whole pipeline (shingle → rolling-hash

@@ -109,7 +109,7 @@ object Similarity {
          |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin) { (s, dir) =>
       SimilarityOps.ivfCentroidStep(
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding", ivfCents)
-        .orderBy("cluster", "pos")
+        .coalesce(1).sortWithinPartitions("cluster", "pos")
     },
 
     // --- a full Lloyd iteration: integer-mean centroid update, then
@@ -139,7 +139,7 @@ object Similarity {
          |GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
       SimilarityOps.ivfLloydReassign(
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding", ivfCents)
-        .orderBy("cluster")
+        .coalesce(1).sortWithinPartitions("cluster")
     },
 
     // --- near-dup pairs within 6-bit sign buckets (bucketed self-join)

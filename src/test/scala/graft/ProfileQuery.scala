@@ -42,10 +42,12 @@ object ProfileQuery {
       val t1 = System.nanoTime()
       val built = q(spark, sfDir)
       val tBuild = (System.nanoTime() - t1) / 1e9
-      val n = built.collect().length
+      // same sink as Bench: noop write re-evaluates everything without
+      // paying driver-side collect deserialization
+      built.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(100)
-      println(f"run $i: $dt%.3f s (build $tBuild%.3f)  ($n rows)")
+      println(f"run $i: $dt%.3f s (build $tBuild%.3f)")
       if (i == runs) stages.forEach(s => println("  " + s))
     }
     spark.stop()

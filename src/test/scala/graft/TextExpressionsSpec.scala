@@ -137,6 +137,43 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("char_shingles agrees with the distinct-transform composition, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    // the pre-round-14 composed formulation, verbatim
+    def shinglesOld(c: Column, n: Int): Column = {
+      val cnt = length(c) - (n - 1)
+      when(cnt >= 1,
+        array_distinct(transform(sequence(lit(1), cnt), i => c.substr(i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    for (n <- Seq(1, 3, 5)) bothPaths {
+      val rows = corpus.select(col("doc_id"),
+        call_function("char_shingles", col("text"), lit(n)).as("nw"),
+        shinglesOld(col("text"), n).as("old"))
+      val bad = rows.filter(!(col("nw") <=> col("old")))
+      assert(bad.count() === 0,
+        s"n=$n: " + bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("arr_jaccard agrees with size(intersect)/size(union), both paths") {
+    graft.functions.TextExpressions.install(spark)
+    val pairs = corpus.as("a")
+      .crossJoin(corpus.limit(6).as("b"))
+      .select(
+        call_function("char_shingles", col("a.text"), lit(3)).as("x"),
+        call_function("char_shingles", col("b.text"), lit(3)).as("y"))
+    bothPaths {
+      val rows = pairs.select(
+        call_function("arr_jaccard", col("x"), col("y")).as("nw"),
+        try_divide(size(array_intersect(col("x"), col("y"))).cast("double"),
+          size(array_union(col("x"), col("y"))).cast("double")).as("old"))
+      // NaN <=> NaN is true under Spark's null-safe equality
+      val bad = rows.filter(!(col("nw") <=> col("old")))
+      assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    }
+  }
+
   test("operator plans stay inside whole-stage codegen") {
     graft.functions.TextExpressions.install(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
