@@ -904,8 +904,15 @@ object Handlers {
   private def runQuery(spark: SparkSession, session: Session, sql: String,
       head: String, second: String): PgResult = {
     if (head == "INSERT") {
-      val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
-      if (retPos >= 0) return insertReturning(spark, sql, retPos)
+      // pg runs each column type's INPUT FUNCTION on insert — family
+      // text is stored canonical and enum labels are validated at
+      // write time, not first use (COVERAGE.md canonical-text note)
+      val canon = canonicalizeInsert(spark, sql)
+      val retPos = Compat.topLevelKeywordPos(canon, "RETURNING")
+      if (retPos >= 0) return insertReturning(spark, canon, retPos)
+      val df = runSql(spark, canon)
+      val n = outputRows(df)
+      return Complete(s"INSERT 0 $n")
     }
     val df = runSql(spark, sql)
     head match {
@@ -924,6 +931,73 @@ object Handlers {
       case _ =>
         RowSet(df.schema, df.toLocalIterator().asScala, n => s"SELECT $n")
     }
+  }
+
+  /** Families whose stored text must be CANONICAL (pg's type input
+    * function normalizes on write): ranges, network/mac, text search,
+    * money, uuid, bit strings, jsonb. NOT json — pg's json type
+    * preserves the source bytes verbatim. Enum columns are handled
+    * separately (label validation via enum_in's 22P02). */
+  private val canonFamilies: Set[String] =
+    Compat.rangeTypeNames ++ Set("inet", "cidr", "macaddr", "macaddr8",
+      "tsvector", "tsquery", "money", "uuid", "bit", "varbit", "jsonb")
+
+  /** Rewrite `INSERT INTO t [(cols)] <VALUES|SELECT …>` so every
+    * source expression bound to a stored family/enum column passes
+    * through that type's input function: the source becomes a derived
+    * table and the family positions get a `::<type>` cast, which the
+    * ordinary Compat cast rewrite then lowers to the existing parser
+    * UDFs (`int4range_in`, `enum_in`, …). pg semantics follow for
+    * free: `'1 , 5'::int4range` reads back as `[1,6)`, and an
+    * unknown enum label raises 22P02 AT WRITE TIME instead of on
+    * first ordinal use. Statements whose target table has no family
+    * columns (or that do not parse as the plain INSERT shape) pass
+    * through untouched.
+    */
+  private[pgwire] def canonicalizeInsert(spark: SparkSession, sql: String): String = {
+    val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
+    val (ins, ret) =
+      if (retPos >= 0) (sql.substring(0, retPos), " " + sql.substring(retPos))
+      else (sql, "")
+    val m = "(?is)^\\s*INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)\\s*(\\(([^)]*)\\))?\\s*(.+)$"
+      .r.findFirstMatchIn(ins).getOrElse(return sql)
+    val table = {
+      val raw = m.group(1)
+      if (raw.startsWith("\"")) raw.substring(1, raw.length - 1) else raw
+    }
+    val schema =
+      try spark.table(table).schema
+      catch { case scala.util.control.NonFatal(_) => return sql }
+    val cols: Seq[StructField] =
+      if (m.group(3) != null) {
+        val named = m.group(3).split(",").map(_.trim).map { c0 =>
+          val c =
+            if (c0.startsWith("\"") && c0.endsWith("\"") && c0.length >= 2)
+              c0.substring(1, c0.length - 1)
+            else c0
+          schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(return sql)
+        }
+        named.toSeq
+      } else schema.fields.toSeq
+    def famOf(f: StructField): Option[String] =
+      if (f.metadata.contains("pg.enum")) Some(f.metadata.getString("pg.enum"))
+      else if (f.metadata.contains(PgType.OID_ALIAS_KEY)) {
+        val a = f.metadata.getString(PgType.OID_ALIAS_KEY)
+        if (canonFamilies.contains(a)) Some(a) else None
+      } else None
+    val fams = cols.map(famOf)
+    if (fams.forall(_.isEmpty)) return sql
+    val src = m.group(4).trim
+    val colListSql = if (m.group(2) != null) s" ${m.group(2)}" else ""
+    val gcols = cols.indices.map(i => s"__gc$i")
+    val proj = cols.indices.map { i =>
+      fams(i) match {
+        case Some(fam) => s"__gc$i::$fam AS __gc$i"
+        case None => s"__gc$i"
+      }
+    }
+    s"INSERT INTO ${m.group(1)}$colListSql SELECT ${proj.mkString(", ")} " +
+      s"FROM ( $src ) AS __graft_ins(${gcols.mkString(", ")})$ret"
   }
 
   /** `INSERT INTO t [(cols)] <VALUES|SELECT …> RETURNING exprs` —

@@ -108,6 +108,45 @@ class PgDdlSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("INSERT canonicalizes family text and validates enum labels at write") {
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS ddl_canon")
+    c.query("CREATE TYPE cmood AS ENUM ('sad','ok','happy')")
+    assert(c.query("CREATE TABLE ddl_canon (id int, r int4range, ip inet, " +
+      "tv tsvector, mo money, m cmood, j json)").errors === Nil)
+    // non-canonical family text on the way IN, canonical on the way OUT
+    // (pg runs the type input function on INSERT — expected values
+    // live-pinned on pg 15: '[1 , 5]'::int4range → [1,6),
+    // 'b  a'::tsvector → 'a' 'b', '1.5'::money → $1.50)
+    assert(c.query("INSERT INTO ddl_canon VALUES " +
+      "(1, '[1 , 5]', '10.1.2.3', 'b  a', '1.5', 'happy', '{\"a\":1}')")
+      .errors === Nil)
+    val r = c.query("SELECT r, ip, tv, mo FROM ddl_canon WHERE id = 1")
+    assert(r.rows === Seq(Seq(Some("[1,6)"), Some("10.1.2.3"),
+      Some("'a' 'b'"), Some("$1.50"))), r.rows)
+    // json (non-b) preserves the source text verbatim — pg keeps bytes
+    assert(c.query("SELECT j FROM ddl_canon WHERE id = 1").rows ===
+      Seq(Seq(Some("{\"a\":1}"))))
+    // explicit column list, different order
+    assert(c.query("INSERT INTO ddl_canon (ip, id, r) " +
+      "VALUES ('192.168.001.009', 2, '[ 2, 3 )')").errors === Nil)
+    assert(c.query("SELECT r, ip FROM ddl_canon WHERE id = 2").rows ===
+      Seq(Seq(Some("[2,3)"), Some("192.168.1.9"))))
+    // invalid enum label errors 22P02 AT WRITE TIME, like pg
+    val bad = c.query("INSERT INTO ddl_canon (id, m) VALUES (3, 'HAPPY')").errors
+    assert(bad.map(_._1) === Seq("22P02"), bad)
+    assert(c.query("SELECT count(*) FROM ddl_canon").rows ===
+      Seq(Seq(Some("2"))))
+    // INSERT ... RETURNING rides the same canonicalization
+    val ret = c.query("INSERT INTO ddl_canon (id, r, m) " +
+      "VALUES (4, '[3,4]', 'ok') RETURNING id, r, m")
+    assert(ret.errors === Nil, ret.errors)
+    assert(ret.rows === Seq(Seq(Some("4"), Some("[3,5)"), Some("ok"))), ret.rows)
+    c.query("DROP TABLE ddl_canon")
+    c.query("DROP TYPE cmood")
+    c.close()
+  }
+
   test("Spark-dialect DDL, CTAS, and USING tails pass through untouched") {
     val c = connect()
     c.query("DROP TABLE IF EXISTS ddl_spark")
