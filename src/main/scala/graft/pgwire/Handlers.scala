@@ -16,7 +16,14 @@ sealed trait PgResult
   * tag after the stream drains.
   */
 final case class RowSet(schema: StructType, rows: Iterator[Row],
-    tagFor: Long => String) extends PgResult
+    tagFor: Long => String,
+    /** Idempotent release of resources backing a partially-consumed
+      * stream (INSERT…RETURNING's persisted write-set + temp views).
+      * The stream calls it itself on exhaustion/error; the server
+      * calls it when a suspended portal is Closed, re-Bound over, or
+      * the session ends — without it an abandoned portal pinned the
+      * cached plan for the JVM lifetime. */
+    onDiscard: () => Unit = () => ()) extends PgResult
 /** Non-row statement; paramStatus are ParameterStatus pushes (SET). */
 final case class Complete(tag: String,
     paramStatus: Seq[(String, String)] = Nil) extends PgResult
@@ -91,28 +98,27 @@ object Handlers {
       case "DEALLOCATE" => Complete("DEALLOCATE")
       case "LISTEN" =>
         // registrations are session state; NOTIFY below fans out to
-        // every registered connection via the process-wide NotifyBus
-        // (documented; psql and GUI clients only need the tags)
-        if (second.nonEmpty) session.listenChannels += second.toLowerCase
+        // every registered connection via the process-wide NotifyBus.
+        // Channel identifiers normalize like every pg identifier:
+        // quoted → quotes stripped, case PRESERVED; unquoted → folded
+        // to lowercase (the round-13 bug registered the raw quoted
+        // token lowercased, so quoted/mixed-case channels never
+        // matched NOTIFY's spelling).
+        if (toks.length > 1) session.listenChannels += channelName(toks(1))
         Complete("LISTEN")
       case "UNLISTEN" =>
         if (second == "*") session.listenChannels.clear()
-        else session.listenChannels -= second.toLowerCase
+        else if (toks.length > 1) session.listenChannels -= channelName(toks(1))
         Complete("UNLISTEN")
       case "NOTIFY" =>
         // fan out to every registered connection listening on the
         // channel (delivered before its next ReadyForQuery, pg's
         // between-transactions timing); payload defaults to ''
         if (toks.length > 1) {
-          val chanTok = toks(1)
-          val chan =
-            if (chanTok.kind == Compat.QIdent)
-              chanTok.text.substring(1, chanTok.text.length - 1)
-            else chanTok.text.toLowerCase
           val payload = toks.drop(2).find(_.kind == Compat.Str)
             .map(t => t.text.substring(1, t.text.length - 1).replace("''", "'"))
             .getOrElse("")
-          NotifyBus.publish(session.connId, chan, payload)
+          NotifyBus.publish(session.connId, channelName(toks(1)), payload)
         }
         Complete("NOTIFY")
       case "CREATE" if second == "TYPE" => handleCreateType(spark, toks)
@@ -139,8 +145,10 @@ object Handlers {
       case "SELECT" if pgNotifyRe.findFirstMatchIn(sql).isDefined =>
         // literal-arg `SELECT pg_notify('chan', 'payload')` — the only
         // call shape clients emit; void renders as one blank cell
+        // pg_notify's channel argument is a STRING — pg uses it
+        // verbatim (case-sensitive), unlike the NOTIFY identifier
         val m = pgNotifyRe.findFirstMatchIn(sql).get
-        NotifyBus.publish(session.connId, m.group(1).toLowerCase,
+        NotifyBus.publish(session.connId, m.group(1),
           m.group(2).replace("''", "'"))
         RowSet(
           StructType(Seq(StructField("pg_notify", StringType))),
@@ -151,6 +159,12 @@ object Handlers {
 
   private val pgNotifyRe =
     "(?is)^SELECT\\s+pg_notify\\(\\s*'([^']*)'\\s*,\\s*'((?:[^']|'')*)'\\s*\\)\\s*(?:AS\\s+\\w+\\s*)?;?$".r
+
+  /** Channel identifier normalization, pg's identifier rules: quoted →
+    * quotes stripped and case preserved; unquoted → folded lowercase. */
+  private def channelName(t: Compat.Tok): String =
+    if (t.kind == Compat.QIdent) t.text.substring(1, t.text.length - 1)
+    else t.text.toLowerCase
 
   /** Session-aware `current_setting('k'[, missing_ok])` and
     * `set_config('k', 'v', is_local)` for LITERAL-argument call shapes
@@ -1090,7 +1104,7 @@ object Handlers {
         override def next(): Row =
           try it.next() catch { case e: Throwable => cleanup(); throw e }
       }
-      RowSet(out.schema, streaming, _ => s"INSERT 0 $n")
+      RowSet(out.schema, streaming, _ => s"INSERT 0 $n", onDiscard = cleanup)
     } catch { case e: Throwable => cleanup(); throw e }
   }
 

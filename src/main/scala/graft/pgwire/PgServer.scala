@@ -153,12 +153,17 @@ final class PgServer(
     NotifyBus.register(session)
     try messageLoop(in, out, session, jobGroup)
     catch { case _: EOFException | _: SocketException => }
-    finally { NotifyBus.deregister(session); cancelKeys.remove(connId) }
+    finally {
+      NotifyBus.deregister(session)
+      cancelKeys.remove(connId)
+      session.discardAllPortals()
+    }
   }
 
   /** Drain pending NOTIFY deliveries, then ReadyForQuery — pg's
-    * between-transactions delivery point, and the only safe one for a
-    * synchronous per-connection loop (no cross-thread socket writes).
+    * between-transactions delivery point. Notifications that arrive
+    * while the connection is BUSY land here; idle connections get
+    * them pushed directly by the bus (messageLoop's onNotify wiring).
     */
   private def readyWithNotifications(out: DataOutputStream, session: Session): Unit = {
     var n = session.pendingNotifications.poll()
@@ -249,9 +254,36 @@ final class PgServer(
   private def messageLoop(in: DataInputStream, out: DataOutputStream,
       session: Session, jobGroup: String): Unit = {
     var ignoreTillSync = false
+    // Async NOTIFY to IDLE connections (pg pushes while a client waits
+    // in select()): while this thread blocks in readMessage it holds no
+    // lock, so the notifying connection's thread can take writeLock and
+    // push the 'A' message directly. While a command is processing
+    // (busyProcessing, or the lock is held) the push is skipped and the
+    // notification drains at the next ReadyForQuery, pg's
+    // between-transactions point — so responses never interleave.
+    val writeLock = new java.util.concurrent.locks.ReentrantLock()
+    session.onNotify = () => {
+      if (!session.busyProcessing && writeLock.tryLock()) {
+        try {
+          if (!session.busyProcessing) {
+            var wrote = false
+            var n = session.pendingNotifications.poll()
+            while (n != null) {
+              Messages.notificationResponse(out, n._1, n._2, n._3)
+              wrote = true
+              n = session.pendingNotifications.poll()
+            }
+            if (wrote) out.flush()
+          }
+        } catch { case NonFatal(_) => } // socket gone → teardown handles it
+        finally writeLock.unlock()
+      }
+    }
     while (true) {
       val msg = Messages.readMessage(in)
-      msg.tpe.toChar match {
+      session.busyProcessing = true
+      writeLock.lock()
+      try msg.tpe.toChar match {
         case 'X' => return
         case 'Q' =>
           handleSimpleQuery(in, out, session, jobGroup, msg.cStringAt(0))
@@ -278,7 +310,8 @@ final class PgServer(
         case 'C' =>
           val kind = msg.body(0).toChar
           val name = msg.cStringAt(1)
-          if (kind == 'S') session.prepared.remove(name) else session.portals.remove(name)
+          if (kind == 'S') session.prepared.remove(name)
+          else session.discardPortal(name)
           Messages.closeComplete(out)
         case 'F' =>
           writeError(out, PgException("0A000", "function call protocol not supported"))
@@ -286,8 +319,10 @@ final class PgServer(
         case other =>
           writeError(out, PgException("08P01", s"unsupported message type $other"))
           ignoreTillSync = true
+      } finally {
+        try out.flush()
+        finally { writeLock.unlock(); session.busyProcessing = false }
       }
-      out.flush()
     }
   }
 
@@ -313,7 +348,7 @@ final class PgServer(
             case Complete(tag, push) =>
               push.foreach { case (k, v) => Messages.parameterStatus(out, k, v) }
               Messages.commandComplete(out, tag)
-            case RowSet(schema, rows, tagFor) =>
+            case RowSet(schema, rows, tagFor, _) =>
               Messages.rowDescription(out, PgType.rowDescription(schema))
               var n = 0L
               rows.foreach { row =>
@@ -354,7 +389,7 @@ final class PgServer(
           s"SELECT $colList FROM `$t`"
       }
       Handlers.execute(spark, session, sql, Some(auth), hooks) match {
-        case RowSet(schema, rows, _) if spec.binary =>
+        case RowSet(schema, rows, _, _) if spec.binary =>
           // binary format: PGCOPY header, int16-count tuples of
           // (int32 len, wire-binary bytes) — the same per-type
           // encodings the extended protocol's binary result path
@@ -383,7 +418,7 @@ final class PgServer(
           Messages.copyData(out, BinaryEncoder.be2(-1))
           Messages.copyDone(out)
           Messages.commandComplete(out, s"COPY $n")
-        case RowSet(schema, rows, _) =>
+        case RowSet(schema, rows, _, _) =>
           Messages.copyOutResponse(out, schema.fields.length)
           var n = 0L
           if (spec.header)
@@ -604,6 +639,8 @@ final class PgServer(
       paramToLiteral(bytes, oid, fmt)
     }
     val boundSql = substituteParams(prep.sql, literals)
+    // re-Bind over an existing name discards the old portal's stream
+    session.discardPortal(portalName)
     session.portals(portalName) =
       session.Portal(prep, boundSql, resultFormats, None)
   }
@@ -816,9 +853,10 @@ final class PgServer(
           case Complete(tag, push) =>
             push.foreach { case (k, v) => Messages.parameterStatus(out, k, v) }
             Messages.commandComplete(out, tag); return
-          case RowSet(schema, rows, tagFor) =>
+          case RowSet(schema, rows, tagFor, onDiscard) =>
             portal.result = Some((schema, rows))
             portal.tagFor = tagFor
+            portal.onDiscard = onDiscard
         }
       }
       val (schema, rows) = portal.result.get

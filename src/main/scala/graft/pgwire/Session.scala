@@ -1,6 +1,7 @@
 package graft.pgwire
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
@@ -29,17 +30,31 @@ final class Session(val connId: Int, val user: String, val database: String) {
   /** statement_timeout in millis; 0 = none. */
   var statementTimeoutMs: Long = 0L
 
-  /** LISTEN registrations (session-scoped). */
-  val listenChannels: mutable.Set[String] = mutable.Set.empty
+  /** LISTEN registrations (session-scoped). Concurrent: the owning
+    * connection thread mutates via LISTEN/UNLISTEN while
+    * NotifyBus.publish reads from OTHER connections' threads — a plain
+    * mutable.Set raced (missed/phantom deliveries, rehash corruption). */
+  val listenChannels: mutable.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]().asScala
 
   /** Cross-connection NOTIFY delivery (round 13): notifications
     * queued by NOTIFY in any session on the process-wide [[NotifyBus]],
-    * drained by this connection's loop before each ReadyForQuery — pg
-    * delivers between transactions, and a synchronous per-connection
-    * loop delivers at exactly those points without cross-thread
-    * socket writes. (pid, channel, payload) triples. */
+    * drained by this connection's loop before each ReadyForQuery — and
+    * (round 14) pushed immediately to IDLE connections via [[onNotify]],
+    * pg's async delivery. (pid, channel, payload) triples. */
   val pendingNotifications =
     new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String)]()
+
+  /** Called by NotifyBus after enqueueing a notification for this
+    * session — the server wires it to a socket push that fires only
+    * when the connection is idle (waiting in read). No-op for
+    * embedded/handler-level sessions. */
+  @volatile var onNotify: () => Unit = () => ()
+
+  /** True while the connection thread is processing a message (and
+    * thus writing to the socket itself) — the async notify push skips,
+    * leaving delivery to the before-ReadyForQuery drain. */
+  @volatile var busyProcessing: Boolean = false
 
   /** GUC vars whose SET pushes a ParameterStatus message
     * (reference: set_show.rs:253-260).
@@ -118,9 +133,24 @@ final class Session(val connId: Int, val user: String, val database: String) {
       resultFormats: Seq[Short], var result: Option[(StructType, Iterator[Row])]) {
     /** CommandComplete tag builder, set when execution starts. */
     var tagFor: Long => String = n => s"SELECT $n"
+    /** Resource release for a suspended stream (idempotent; set from
+      * RowSet.onDiscard when execution starts). Called on portal
+      * Close, re-Bind over the same name, and session teardown. */
+    var onDiscard: () => Unit = () => ()
   }
   val prepared: mutable.Map[String, Prepared] = mutable.Map.empty
   val portals: mutable.Map[String, Portal] = mutable.Map.empty
+
+  /** Discard one portal's backing resources (safe on any portal). */
+  def discardPortal(name: String): Unit =
+    portals.remove(name).foreach { p =>
+      try p.onDiscard()
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+
+  /** Session teardown: release every suspended portal's resources. */
+  def discardAllPortals(): Unit =
+    portals.keys.toSeq.foreach(discardPortal)
 }
 
 /** Process-wide LISTEN/NOTIFY bus: NOTIFY fans out to every REGISTERED
@@ -142,8 +172,14 @@ object NotifyBus {
     val it = sessions.iterator()
     while (it.hasNext) {
       val s = it.next()
-      if (s.listenChannels.contains(channel))
+      if (s.listenChannels.contains(channel)) {
         s.pendingNotifications.add((fromPid, channel, payload))
+        // pg pushes asynchronously to idle connections; the server
+        // wires onNotify to a lock-guarded socket write that fires
+        // only when the listener's connection thread is idle
+        try s.onNotify()
+        catch { case scala.util.control.NonFatal(_) => }
+      }
     }
   }
 }

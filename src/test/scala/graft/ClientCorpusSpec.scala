@@ -23,7 +23,7 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     val session = new Session(1, "postgres", "postgres")
     val result = Handlers.execute(spark, session, sql)
     result match {
-      case graft.pgwire.RowSet(_, rows, _) => rows.size // drain
+      case graft.pgwire.RowSet(_, rows, _, _) => rows.size // drain
       case _ =>
     }
   }
@@ -258,7 +258,7 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
         |WHERE pg_catalog.pg_function_is_visible(p.oid)
         |ORDER BY 1, 2, 4""".stripMargin
     Handlers.execute(spark, session, dfQuery) match {
-      case RowSet(_, rows, _) =>
+      case RowSet(_, rows, _, _) =>
         val byName = rows.toSeq.map(r => r.getString(1) -> (r.getString(2), r.getString(3), r.getString(4))).toMap
         assert(byName("lgamma") === (("double precision", "double precision", "func")))
         assert(byName("atan2d") === (("double precision", "double precision, double precision", "func")))
@@ -274,13 +274,13 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     val session = new Session(4, "postgres", "postgres")
     Handlers.execute(spark, session,
       "SELECT oid, oprcode FROM pg_catalog.pg_operator WHERE oprname = '=' AND oprleft = 23") match {
-      case RowSet(_, rows, _) =>
+      case RowSet(_, rows, _, _) =>
         assert(rows.toSeq.map(r => (r.getInt(0), r.getString(1))) === Seq((96, "int4eq")))
       case other => fail(s"expected RowSet, got $other")
     }
     Handlers.execute(spark, session,
       "SELECT castcontext FROM pg_catalog.pg_cast WHERE castsource = 23 AND casttarget = 20") match {
-      case RowSet(_, rows, _) =>
+      case RowSet(_, rows, _, _) =>
         assert(rows.toSeq.map(_.getString(0)) === Seq("i")) // int4→int8 implicit
       case other => fail(s"expected RowSet, got $other")
     }
@@ -290,7 +290,7 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     import graft.pgwire.RowSet
     val session = new Session(2, "postgres", "postgres")
     Handlers.execute(spark, session, grafanaQueries(1)) match {
-      case RowSet(schema, rows, _) =>
+      case RowSet(schema, rows, _, _) =>
         assert(schema.fields.map(_.name).toSeq === Seq("table"))
         assert(rows.toSeq.map(_.getString(0)).contains("tt"))
       case other => fail(s"expected RowSet, got $other")
@@ -302,7 +302,7 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     val session = new Session(5, "postgres", "postgres")
     def rows(sql: String): Seq[org.apache.spark.sql.Row] =
       Handlers.execute(spark, session, sql) match {
-        case RowSet(_, rs, _) => rs.toSeq
+        case RowSet(_, rs, _, _) => rs.toSeq
         case other => fail(s"expected RowSet, got $other")
       }
     // \da (describe.c listAggregates)
@@ -359,7 +359,7 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     val session = new Session(6, "postgres", "postgres")
     def rows(sql: String): Seq[org.apache.spark.sql.Row] =
       Handlers.execute(spark, session, sql) match {
-        case RowSet(_, rs, _) => rs.toSeq
+        case RowSet(_, rs, _, _) => rs.toSeq
         case other => fail(s"expected RowSet, got $other")
       }
     // \dF (describe.c listTSConfigs)

@@ -177,6 +177,48 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("Close on a suspended RETURNING portal releases the write-set") {
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS ret_close")
+    c.query("CREATE TABLE ret_close (id INT, v STRING) USING parquet")
+    def insRetViews(): Seq[String] =
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("__ins_ret_")).toSeq
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    c.parse("sret", "INSERT INTO ret_close VALUES (1,'a'),(2,'b'),(3,'c') RETURNING id")
+    c.bind("pret", "sret", Nil)
+    c.execute("pret", maxRows = 1) // suspends after 1 row
+    val r1 = c.sync()
+    assert(r1.errors === Nil, r1.errors)
+    assert(r1.rows.length === 1)
+    // suspended: the write-set views + persisted plan are still alive
+    assert(insRetViews().nonEmpty)
+    // Close Portal must release them (the round-13 leak: only stream
+    // exhaustion or error cleaned up)
+    c.closeStmt('P', "pret")
+    val r2 = c.sync()
+    assert(r2.errors === Nil, r2.errors)
+    assert(insRetViews() === Nil,
+      s"leaked INSERT-RETURNING views: ${insRetViews()}")
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+      "leaked persisted write-set")
+    // the write itself completed before the stream was abandoned
+    assert(c.query("SELECT count(*) FROM ret_close").rows === Seq(Seq(Some("3"))))
+    // re-Bind over the same portal name also discards
+    c.parse("sret2", "INSERT INTO ret_close VALUES (4,'d'),(5,'e') RETURNING id")
+    c.bind("pret2", "sret2", Nil)
+    c.execute("pret2", maxRows = 1)
+    assert(c.sync().errors === Nil)
+    assert(insRetViews().nonEmpty)
+    c.bind("pret2", "sret2", Nil) // overwrite discards the suspended stream
+    c.execute("pret2")
+    assert(c.sync().errors === Nil)
+    assert(insRetViews() === Nil)
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore)
+    c.query("DROP TABLE ret_close")
+    c.close()
+  }
+
   test("LISTEN/NOTIFY delivers across connections at ReadyForQuery") {
     val l = connect()
     val n = connect()
@@ -199,6 +241,27 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     n.query("NOTIFY events, 'after-unlisten'")
     n.query("NOTIFY otherchan")
     assert(l.query("SELECT 1").notifications === Nil)
+    l.close(); n.close()
+  }
+
+  test("NOTIFY pushes asynchronously to an IDLE listener") {
+    val l = connect()
+    val n = connect()
+    assert(l.query("LISTEN idlechan").tags === Seq("LISTEN"))
+    // listener now sits idle (blocked in read, no command in flight);
+    // pg pushes the notification without waiting for its next command
+    assert(n.query("NOTIFY idlechan, 'wake'").tags === Seq("NOTIFY"))
+    val got = l.awaitNotification(1000)
+    assert(got.map(t => (t._2, t._3)) === Some(("idlechan", "wake")), got)
+    // quoted channels are case-sensitive; unquoted fold to lowercase
+    l.query("LISTEN \"Mixed\"")
+    n.query("NOTIFY mixed, 'nope'") // folded 'mixed' ≠ "Mixed"
+    assert(l.awaitNotification(300) === None)
+    n.query("NOTIFY \"Mixed\", 'yes'")
+    assert(l.awaitNotification(1000).map(_._3) === Some("yes"))
+    // pg_notify's string channel is case-sensitive too
+    n.query("SELECT pg_notify('Mixed', 'fn')")
+    assert(l.awaitNotification(1000).map(_._3) === Some("fn"))
     l.close(); n.close()
   }
 

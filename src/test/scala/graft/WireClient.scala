@@ -260,6 +260,27 @@ final class Client(port: Int) {
 
   def close(): Unit = { send('X')(_ => ()); sock.close() }
 
+  /** Block (up to timeoutMs) for an ASYNC NotificationResponse pushed
+    * while this connection sits idle — no command is sent. Returns
+    * None on timeout. */
+  def awaitNotification(timeoutMs: Int): Option[(Int, String, String)] = {
+    val old = sock.getSoTimeout
+    sock.setSoTimeout(timeoutMs)
+    try {
+      val (tpe, body) = read()
+      assert(tpe == 'A', s"expected NotificationResponse, got $tpe")
+      val b = java.nio.ByteBuffer.wrap(body)
+      val pid = b.getInt
+      var end = 4; while (end < body.length && body(end) != 0) end += 1
+      val chan = new String(body, 4, end - 4, UTF_8)
+      val pStart = end + 1
+      var pEnd = pStart; while (pEnd < body.length && body(pEnd) != 0) pEnd += 1
+      Some((pid, chan, new String(body, pStart, pEnd - pStart, UTF_8)))
+    } catch {
+      case _: java.net.SocketTimeoutException => None
+    } finally sock.setSoTimeout(old)
+  }
+
   private def read(): (Char, Array[Byte]) = {
     val tpe = in.read()
     assert(tpe >= 0, "connection closed")
