@@ -209,12 +209,37 @@ object PgJsonExpressions {
     case _: PgJsonBuildObject | _: PgJsonBuildArray | _: PgRowToJson | _: PgToJsonb |
          _: PgJsonStripNulls | _: PgJsonbSet | _: PgJsonbInsert | _: PgJsonbDelete |
          _: PgJsonbDeletePath | _: PgJsonbConcat | _: PgJsonObject |
-         _: PgJsonbNormalize => true
+         _: PgJsonbNormalize | _: PgJsonPreserve => true
     case p: PgJsonExtractPath => !p.text
     case _ => false
   }
 
-  /** pg_jsonb(text) — Compat's marker for a `'…'::json` / `::jsonb`
+  /** pg_json(text) — Compat's marker for a `'…'::json` (non-b) cast:
+    * validates like pg's json input parser and preserves the ORIGINAL
+    * text VERBATIM — pg's json type stores the source bytes (key
+    * order, interior spacing, duplicate keys all survive); only jsonb
+    * normalizes. Like [[PgJsonbNormalize]] it is a json-producing
+    * marker, so json_build_* embeds the original text raw. */
+  case class PgJsonPreserve(child: Expression)
+      extends UnaryExpression with PgUnaryDirectGen {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "pg_json"
+    // NOT foldable — same marker-preservation reason as PgJsonbNormalize
+    override def foldable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cannot cast type ${other.simpleString} to json")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      parse(v.asInstanceOf[UTF8String]) // validate only
+      v
+    }
+    override protected def withNewChildInternal(c: Expression): PgJsonPreserve =
+      copy(child = c)
+  }
+
+  /** pg_jsonb(text) — Compat's marker for a `'…'::jsonb`
     * cast: validates like pg's json input parser and renders the
     * jsonb canonical form (space after ':' and ','). Being a json-PRODUCING node,
     * json_build_* embeds arguments under this marker raw instead of
@@ -416,6 +441,106 @@ object PgJsonExpressions {
     node
   }
 
+  /** Source-fragment extraction over ORIGINAL json text — pg's json
+    * (non-b) accessors return the exact source slice of the target
+    * value (live-pinned: `('[{"x":1,  "y": [1 ,2]}]'::json) -> 0` →
+    * `{"x":1,  "y": [1 ,2]}`), with surrounding whitespace trimmed,
+    * duplicate object keys resolved LAST-wins, and negative array
+    * indices counting from the end. Input must already be valid json.
+    * Returns null when the path is absent or steps into a scalar.
+    */
+  private[functions] def sliceAtPath(src: String, path: Seq[String]): String = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def skipWs(i0: Int, end: Int): Int = {
+      var i = i0; while (i < end && isWs(src.charAt(i))) i += 1; i
+    }
+    // index AFTER the closing quote of the string starting at i0
+    def skipString(i0: Int): Int = {
+      var i = i0 + 1
+      while (i < src.length) {
+        val c = src.charAt(i)
+        if (c == '\\') i += 2
+        else if (c == '"') return i + 1
+        else i += 1
+      }
+      src.length
+    }
+    // index AFTER the value starting (non-ws) at i0
+    def skipValue(i0: Int): Int = {
+      val c = src.charAt(i0)
+      if (c == '"') skipString(i0)
+      else if (c == '{' || c == '[') {
+        var depth = 0
+        var i = i0
+        while (i < src.length) {
+          val ch = src.charAt(i)
+          if (ch == '"') i = skipString(i)
+          else {
+            if (ch == '{' || ch == '[') depth += 1
+            else if (ch == '}' || ch == ']') {
+              depth -= 1
+              if (depth == 0) return i + 1
+            }
+            i += 1
+          }
+        }
+        src.length
+      } else {
+        var i = i0
+        while (i < src.length && !isWs(src.charAt(i)) &&
+          src.charAt(i) != ',' && src.charAt(i) != '}' && src.charAt(i) != ']') i += 1
+        i
+      }
+    }
+    def decodeKey(from: Int, to: Int): String =
+      parse(src.substring(from, to)).textValue()
+
+    var lo = 0
+    var hi = src.length
+    var step = 0
+    while (step < path.length) {
+      val s = skipWs(lo, hi)
+      if (s >= hi) return null
+      src.charAt(s) match {
+        case '{' =>
+          var foundLo = -1
+          var foundHi = -1
+          var i = skipWs(s + 1, hi)
+          while (i < hi && src.charAt(i) != '}') {
+            val kEnd = skipString(i)
+            val key = decodeKey(i, kEnd)
+            var j = skipWs(kEnd, hi) // at ':'
+            j = skipWs(j + 1, hi)
+            val vEnd = skipValue(j)
+            if (key == path(step)) { foundLo = j; foundHi = vEnd }
+            i = skipWs(vEnd, hi)
+            if (i < hi && src.charAt(i) == ',') i = skipWs(i + 1, hi)
+          }
+          if (foundLo < 0) return null
+          lo = foundLo; hi = foundHi
+        case '[' =>
+          val idx =
+            try path(step).trim.toInt
+            catch { case _: NumberFormatException => return null }
+          val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var i = skipWs(s + 1, hi)
+          while (i < hi && src.charAt(i) != ']') {
+            val vEnd = skipValue(i)
+            spans += ((i, vEnd))
+            i = skipWs(vEnd, hi)
+            if (i < hi && src.charAt(i) == ',') i = skipWs(i + 1, hi)
+          }
+          val k = if (idx < 0) spans.length + idx else idx
+          if (k < 0 || k >= spans.length) return null
+          lo = spans(k)._1; hi = spans(k)._2
+        case _ => return null // scalar: no deeper path
+      }
+      step += 1
+    }
+    val s = skipWs(lo, hi)
+    src.substring(s, skipValue(s))
+  }
+
   /** json_extract_path[_text](json, VARIADIC path). `text=false`
     * returns the element as json text; `text=true` unquotes strings
     * and maps json null to SQL NULL (pg's ->>/#>> semantics).
@@ -448,11 +573,25 @@ object PgJsonExpressions {
         path(i - 1) = p.asInstanceOf[UTF8String].toString
         i += 1
       }
-      val node = walk(parseCached(j.asInstanceOf[UTF8String]), path.toSeq)
-      if (node == null || (text && node.isNull)) null
-      else if (text && node.isTextual) UTF8String.fromString(node.textValue())
-      else if (jsonb) jsonbOut(node)
-      else UTF8String.fromString(node.toString)
+      if (jsonb) {
+        val node = walk(parseCached(j.asInstanceOf[UTF8String]), path.toSeq)
+        if (node == null || (text && node.isNull)) null
+        else if (text && node.isTextual) UTF8String.fromString(node.textValue())
+        else jsonbOut(node)
+      } else {
+        // json (non-b): pg returns the ORIGINAL source fragment —
+        // validate first (identical errors on malformed input), then
+        // slice the source text at the path
+        val orig = j.asInstanceOf[UTF8String]
+        parseCached(orig)
+        val frag = sliceAtPath(orig.toString, path.toSeq)
+        if (frag == null) null
+        else if (text) {
+          if (frag == "null") null
+          else if (frag.startsWith("\"")) UTF8String.fromString(parse(frag).textValue())
+          else UTF8String.fromString(frag)
+        } else UTF8String.fromString(frag)
+      }
     }
 
     override protected def withNewChildrenInternal(
@@ -1600,7 +1739,10 @@ object PgJsonExpressions {
       (args: Seq[Expression]) => PgJsonObject(args, jsonb = true)),
     (FunctionIdentifier("pg_jsonb"), info("pg_jsonb"),
       (args: Seq[Expression]) => { require(args.length == 1)
-        PgJsonbNormalize(args.head) }))
+        PgJsonbNormalize(args.head) }),
+    (FunctionIdentifier("pg_json"), info("pg_json"),
+      (args: Seq[Expression]) => { require(args.length == 1)
+        PgJsonPreserve(args.head) }))
   // json_array_length and json_object_keys are Spark builtins with the
   // same names and compatible semantics — not re-registered here.
 

@@ -3886,6 +3886,45 @@ object Compat {
     "jsonb_path_query_first", "jsonb_path_query_array", "jsonb_agg",
     "jsonb_object_agg")
 
+  /** The json KIND of the value expression ENDING at `e`, judged by
+    * its OUTERMOST production only: Some("jsonb") for a `::jsonb`
+    * cast or jsonb-producing call, Some("json") for `::json` or a
+    * json-producing call, None for anything else (bare columns — pg
+    * resolves these operators by static type). A `)` that closes a
+    * plain parenthesized group recurses into the inner expression. */
+  private def jsonKindOf(ts: ArrayBuffer[Tok], e: Int): Option[String] = {
+    if (e < 0) return None
+    val t = ts(e)
+    if (t.kind == Word &&
+      (t.text.equalsIgnoreCase("json") || t.text.equalsIgnoreCase("jsonb"))) {
+      val c = prevIdx(ts, e)
+      if (c >= 0 && ts(c).is("::")) Some(t.text.toLowerCase) else None
+    } else if (t.is(")")) {
+      var depth = 1
+      var j = e - 1
+      while (j >= 0 && depth > 0) {
+        if (ts(j).is(")")) depth += 1
+        else if (ts(j).is("(")) depth -= 1
+        if (depth > 0) j -= 1
+      }
+      if (j < 0) return None
+      val w = prevIdx(ts, j)
+      val fnWord = w >= 0 && ts(w).kind == Word
+      if (fnWord) {
+        val lw = ts(w).text.toLowerCase
+        if (lw == "pg_jsonb" || lw == "to_jsonb" || lw.startsWith("jsonb_"))
+          Some("jsonb")
+        else if (lw == "pg_json" || lw == "to_json" || lw == "row_to_json" ||
+          lw.startsWith("json_")) Some("json")
+        else None
+      } else {
+        // bare paren group: judge the inner expression's tail
+        val inner = prevIdx(ts, e)
+        if (inner > j) jsonKindOf(ts, inner) else None
+      }
+    } else None
+  }
+
   /** Does the value expression ENDING at `e` carry an explicit jsonb
     * type — a `::json[b]` cast or a jsonb-returning function call?
     * (Plain string columns are indistinguishable from jsonb here; pg
@@ -5114,18 +5153,14 @@ object Compat {
           val start = lhsStart(ts, p)
           var r = rhs
           if (ts(i - 1).kind == Ws) { ts.remove(i - 1); i -= 1; r -= 1 }
-          // syntactically-jsonb lhs (a ::jsonb cast, a jsonb_*/
-          // pg_jsonb/to_jsonb call, or a chained jsonb extraction)
-          // dispatches to the canonical-rendering jsonb variant;
-          // bare columns upgrade later via pg.oid_alias metadata
-          val jsonbLhs = (start to p).exists { k =>
-            val w = ts(k)
-            w.kind == Word && {
-              val lw = w.text.toLowerCase
-              lw == "jsonb" || lw.startsWith("jsonb_") ||
-                lw.startsWith("pg_jsonb") || lw.startsWith("to_jsonb")
-            }
-          }
+          // jsonb dispatches on the lhs's OUTERMOST production only —
+          // a trailing ::jsonb cast, a jsonb-producing call, or a
+          // parenthesized group whose inner expression is one (the
+          // earlier whole-span word scan false-positived on a column
+          // merely NAMED jsonb_payload, re-serializing json-typed
+          // text). Bare columns upgrade later via pg.oid_alias
+          // metadata.
+          val jsonbLhs = jsonKindOf(ts, p).contains("jsonb")
           val fn = (if (jsonbLhs) "jsonb" else "json") +
             (if (t.text.endsWith(">>")) "_extract_path_text"
              else "_extract_path")
@@ -5201,9 +5236,14 @@ object Compat {
           (ts(t).text.equalsIgnoreCase("json") || ts(t).text.equalsIgnoreCase("jsonb")) && {
             val b = nextIdx(ts, t); !(b >= 0 && ts(b).is("["))
           }) {
-          // `expr::json[b]` → pg_jsonb(expr): validates + normalizes,
-          // and marks the value json-typed so json_build_* embeds it
-          // raw instead of re-quoting (pg's jsonb-argument behavior)
+          // `expr::jsonb` → pg_jsonb(expr): validates + normalizes to
+          // the jsonb canonical form. `expr::json` → pg_json(expr):
+          // validates but preserves the ORIGINAL text — pg's json type
+          // stores the source bytes verbatim (sweep-28). Both mark the
+          // value json-typed so json_build_* embeds it raw instead of
+          // re-quoting (pg's json-argument behavior).
+          val fn =
+            if (ts(t).text.equalsIgnoreCase("jsonb")) "pg_jsonb" else "pg_json"
           var start = primaryStart(ts, p)
           // absorb a chained cast on the left: a::text::json starts at a
           var pb = prevIdx(ts, start)
@@ -5213,7 +5253,7 @@ object Compat {
           }
           ts.remove(i, t - i + 1)
           ts.insert(p + 1, Tok(Op, ")"))
-          ts.insertAll(start, Seq(Tok(Word, "pg_jsonb"), Tok(Op, "(")))
+          ts.insertAll(start, Seq(Tok(Word, fn), Tok(Op, "(")))
           i = p + 3
         } else if (t >= 0 && ts(t).kind == Word &&
           (ts(t).text.equalsIgnoreCase("numeric") || ts(t).text.equalsIgnoreCase("decimal")) &&

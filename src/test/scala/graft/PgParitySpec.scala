@@ -27,6 +27,15 @@ class PgParitySpec extends SparkSpec {
       java.time.ZoneOffset.UTC).getOrElse("<NULL>")
   }
 
+  /** [[one]] distinguishing SQL NULL (None) from any text value. */
+  private def oneOpt(expr: String): Option[String] = {
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val df = graft.pgwire.Handlers.runSql(spark, s"SELECT $expr")
+    val row = df.collect()(0)
+    graft.pgwire.TextEncoder.encodeField(row.get(0), df.schema.fields(0),
+      java.time.ZoneOffset.UTC)
+  }
+
   test("to_char FM one-shot and numeric overflow/literal forms") {
     assert(one("to_char(TIMESTAMP '2023-08-15 12:34:56', 'FMDay, DD FMMonth YYYY')") ===
       "Tuesday, 15 August 2023")
@@ -288,7 +297,11 @@ class PgParitySpec extends SparkSpec {
     // pg: `{"k" : {"a": 1}}` — builder " : " spacing around the
     // embedded canonical jsonb
     assert(one("""json_build_object('k', '{"a":1}'::jsonb)""") === """{"k" : {"a": 1}}""")
-    assert(one("""json_build_array('[1,2]'::json, 'txt')""") === """[[1, 2], "txt"]""")
+    // a ::json (non-b) argument embeds its ORIGINAL text verbatim
+    // (round 14 — the previous pin captured the engine's normalizing
+    // deviation; live pg 15 keeps the source bytes)
+    assert(one("""json_build_array('[1,2]'::json, 'txt')""") === """[[1,2], "txt"]""")
+    assert(one("""json_build_array('[1 ,2]'::json, 'txt')""") === """[[1 ,2], "txt"]""")
     // the cast alone validates + normalizes
     assert(one("""'{"a" :  1}'::jsonb""") === """{"a": 1}""")
     val e = intercept[Exception](one("'{nope'::jsonb"))
@@ -1806,13 +1819,11 @@ class PgParitySpec extends SparkSpec {
     // pg re-serializes jsonb from its binary form, so every jsonb
     // accessor/builder renders sub-documents `{"a": 1, "b": [1, 2]}`-
     // spaced; json (non-b) functions keep compact/insertion-order
-    // text. 44 vectors, 39 exact; the excluded five are capture
+    // text. 44 vectors, 39 exact; the excluded five were capture
     // artifacts (multiline jsonb_pretty — pinned in PgJsonSpec —
     // set-returning first-vs-last row, error-vs-error) plus the two
-    // documented ::json deviations (original-text preservation: the
-    // engine canonicalizes json input where pg stores the text
-    // verbatim, so key order and interior spacing of ad-hoc ::json
-    // literals differ; jsonb is exact).
+    // ::json original-text deviations, CLOSED in round 14 (pg_json
+    // preserves source bytes; sweep-29 below pins the whole family).
     val pinned: Seq[(String, String)] = Seq(
       ("'{\"b\":1,\"a\":[1,2,{\"c\":3}]}'::jsonb",
        "{\"a\": [1, 2, {\"c\": 3}], \"b\": 1}"),
@@ -1894,5 +1905,51 @@ class PgParitySpec extends SparkSpec {
        "{\"b\": 2}"))
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
+  }
+
+  test("sweep-29: ::json preserves original text; accessors slice source fragments (live pg 15)") {
+    // pg's json (non-b) type stores the SOURCE BYTES: round-trips are
+    // verbatim (key order, interior spacing, duplicate keys, even
+    // surrounding whitespace), and every accessor returns the original
+    // source fragment of the target value — not a re-serialization.
+    // 33 vectors captured live on pg 15 (round-14 session), 33 exact.
+    val pinned: Seq[(String, Option[String])] = Seq(
+      ("'{\"b\":1, \"a\": 2}'::json", Some("{\"b\":1, \"a\": 2}")),
+      ("'{\"b\":1,\"a\":[1,2,{\"c\":3}]}'::json", Some("{\"b\":1,\"a\":[1,2,{\"c\":3}]}")),
+      ("'[{\"x\":1,  \"y\": [1 ,2]}]'::json -> 0", Some("{\"x\":1,  \"y\": [1 ,2]}")),
+      ("('[ {\"x\":1} ]'::json) -> 0", Some("{\"x\":1}")),
+      ("('{\"a\":1,\"a\":2}'::json) -> 'a'", Some("2")), // duplicate keys: LAST wins
+      ("('{\"a\": 1.50}'::json) -> 'a'", Some("1.50")), // original number repr
+      ("('{\"a\":{\"b\" :2}}'::json) #> '{a}'", Some("{\"b\" :2}")),
+      ("('{\"a\": [1 , 2]}'::json) ->> 'a'", Some("[1 , 2]")), // container via ->>: fragment
+      ("('[1, 2]'::json) -> 1", Some("2")),
+      ("('[1, 2]'::json) -> -1", Some("2")), // negative index from the end
+      ("('[1, 2]'::json) -> 5", None),
+      ("('{\"a\": \"x\"}'::json) -> 'missing'", None),
+      ("json_extract_path('{\"a\": {\"b\" :1}}', 'a')", Some("{\"b\" :1}")),
+      ("json_extract_path_text('{\"a\": {\"b\" :1}}', 'a')", Some("{\"b\" :1}")),
+      ("('{\"a\": \"he said \\\"hi\\\"\"}'::json) ->> 'a'", Some("he said \"hi\"")),
+      ("('{\"a\": \"he said \\\"hi\\\"\"}'::json) -> 'a'", Some("\"he said \\\"hi\\\"\"")),
+      ("('{\"a\": null}'::json) -> 'a'", Some("null")), // json null stays text via ->
+      ("('{\"a\": null}'::json) ->> 'a'", None), // ->> maps json null to SQL NULL
+      ("('{\"a\": true}'::json) -> 'a'", Some("true")),
+      ("('{\"a\": 1e3}'::json) -> 'a'", Some("1e3")), // exponent form preserved
+      ("('{\"a\\\"q\": 7}'::json) -> 'a\"q'", Some("7")), // escaped quote in key
+      ("json_build_object('k', '{\"b\":1, \"a\":2}'::json)",
+        Some("{\"k\" : {\"b\":1, \"a\":2}}")), // json arg embeds raw, original text
+      ("json_build_array('[1 ,2]'::json, 'txt')", Some("[[1 ,2], \"txt\"]")),
+      ("('{\"emoji\": \"👍\"}'::json) ->> 'emoji'", Some("👍")),
+      ("('[[1 , 2],[3, 4]]'::json) #> '{0,1}'", Some("2")),
+      ("('{\"a\": {\"b\": {\"c\" :9}}}'::json) #>> '{a,b}'", Some("{\"c\" :9}")),
+      ("('{\"a\":1}'::json) #> '{}'", Some("{\"a\":1}")), // empty path: whole doc
+      ("json_strip_nulls('{\"a\":1, \"b\":null}'::json)", Some("{\"a\":1}")),
+      ("json_typeof('{\"a\": 1}'::json)", Some("object")),
+      ("('{\"outer\": {\"b\":1, \"a\": 2}}'::json) -> 'outer'",
+        Some("{\"b\":1, \"a\": 2}")),
+      ("json_array_length('[1, 2 , 3]'::json)", Some("3")),
+      ("('\"scalar\"'::json) ->> 0", None), // subscripting a scalar
+      ("(' {\"a\": 1} '::json)", Some(" {\"a\": 1} "))) // surrounding ws survives
+    for ((expr, want) <- pinned)
+      assert(oneOpt(expr) === want, s"expr: $expr")
   }
 }
