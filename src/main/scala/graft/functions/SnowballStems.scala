@@ -527,6 +527,468 @@ object SnowballStems extends Serializable {
   }
 
   // ------------------------------------------------------------------
+  // Italian (snowballstem.org/algorithms/italian/stemmer.html): the
+  // Romance shape with the U/I hiatus markers and the qU spelling.
+  // ------------------------------------------------------------------
+
+  private val itVowels = "aeiouàèìòù".toSet
+
+  def italianStem(word0: String): String = {
+    // prelude: acute → grave; u after q → U; u/i between vowels → U/I
+    var w = word0.map {
+      case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+      case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c
+    }
+    val isV = (c: Char) => itVowels(c)
+    locally {
+      val cs = w.toCharArray
+      var i = 1
+      while (i < cs.length) {
+        if (cs(i) == 'u' && cs(i - 1) == 'q') cs(i) = 'U'
+        else if ((cs(i) == 'u' || cs(i) == 'i') && i + 1 < cs.length &&
+          isV(cs(i - 1)) && isV(cs(i + 1))) cs(i) = cs(i).toUpper
+        i += 1
+      }
+      w = new String(cs)
+    }
+    val rv = rvRomance(w, isV)
+    val r1 = regionAfter(w, 0, isV)
+    val r2 = regionAfter(w, r1, isV)
+    def inRV(p: Int) = p >= rv
+    def inR2(p: Int) = p >= r2
+    def inRvCandidates(sufs: Seq[String]): Option[String] =
+      sufs.filter(s => w.endsWith(s) && w.length - s.length >= rv)
+        .sortBy(-_.length).headOption
+
+    // step 0: attached pronoun — pronoun AND the preceding verb form
+    // must both lie inside RV
+    val pronouns = Seq("ci", "gli", "la", "le", "li", "lo", "mi", "ne",
+      "si", "ti", "vi", "sene", "gliela", "gliele", "glieli", "glielo",
+      "gliene", "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+      "teli", "telo", "tene", "cela", "cele", "celi", "celo", "cene",
+      "vela", "vele", "veli", "velo", "vene")
+    inRvCandidates(pronouns).foreach { pr =>
+      val stemEnd = w.length - pr.length
+      val head = w.substring(0, stemEnd)
+      Seq("ando", "endo").find(h => head.endsWith(h) &&
+        inRV(stemEnd - h.length)) match {
+        case Some(_) => w = head
+        case None =>
+          Seq("ar", "er", "ir").find(h => head.endsWith(h) &&
+            inRV(stemEnd - h.length)) match {
+            case Some(_) => w = head + "e"
+            case None =>
+          }
+      }
+    }
+
+    val lenBefore1 = w.length
+    // step 1: standard suffixes — longest match, then the entry's rule
+    val st1: Seq[(String, Int)] = Seq(
+      "anza" -> 1, "anze" -> 1, "ico" -> 1, "ici" -> 1, "ica" -> 1,
+      "ice" -> 1, "iche" -> 1, "ichi" -> 1, "ismo" -> 1, "ismi" -> 1,
+      "abile" -> 1, "abili" -> 1, "ibile" -> 1, "ibili" -> 1,
+      "ista" -> 1, "iste" -> 1, "isti" -> 1, "istà" -> 1, "istè" -> 1,
+      "istì" -> 1, "oso" -> 1, "osi" -> 1, "osa" -> 1, "ose" -> 1,
+      "mente" -> 1, "atrice" -> 1, "atrici" -> 1, "ante" -> 1, "anti" -> 1,
+      "azione" -> 2, "azioni" -> 2, "atore" -> 2, "atori" -> 2,
+      "logia" -> 3, "logie" -> 3,
+      "uzione" -> 4, "uzioni" -> 4, "usione" -> 4, "usioni" -> 4,
+      "enza" -> 5, "enze" -> 5,
+      "amento" -> 6, "amenti" -> 6, "imento" -> 6, "imenti" -> 6,
+      "amente" -> 7, "ità" -> 8,
+      "ivo" -> 9, "ivi" -> 9, "iva" -> 9, "ive" -> 9)
+    st1.filter { case (s, _) => w.endsWith(s) }
+      .sortBy(-_._1.length).headOption.foreach { case (suf, act) =>
+      val p = w.length - suf.length
+      act match {
+        case 1 => if (inR2(p)) w = w.dropRight(suf.length)
+        case 2 => if (inR2(p)) {
+          w = w.dropRight(suf.length)
+          if (w.endsWith("ic") && inR2(w.length - 2)) w = w.dropRight(2)
+        }
+        case 3 => if (inR2(p)) w = w.dropRight(suf.length - 3) // keep log
+        case 4 => if (inR2(p)) w = w.substring(0, p) + "u"
+        case 5 => if (inR2(p)) w = w.substring(0, p) + "ente"
+        case 6 => if (inRV(p)) w = w.dropRight(suf.length)
+        case 7 => if (p >= r1) { // amente
+          w = w.dropRight(6)
+          if (w.endsWith("iv") && inR2(w.length - 2)) {
+            w = w.dropRight(2)
+            if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+          } else Seq("abil", "os", "ic").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - s2.length) =>
+              w = w.dropRight(s2.length)
+            case _ =>
+          }
+        }
+        case 8 => if (inR2(p)) { // ità
+          w = w.dropRight(3)
+          Seq("abil", "ic", "iv").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - s2.length) =>
+              w = w.dropRight(s2.length)
+            case _ =>
+          }
+        }
+        case 9 => if (inR2(p)) { // iv*
+          w = w.dropRight(suf.length)
+          if (w.endsWith("at") && inR2(w.length - 2)) {
+            w = w.dropRight(2)
+            if (w.endsWith("ic") && inR2(w.length - 2)) w = w.dropRight(2)
+          }
+        }
+      }
+    }
+
+    // step 2: verb suffixes, only if step 1 removed nothing
+    if (w.length == lenBefore1) {
+      val verbs = Seq("ammo", "ando", "ano", "are", "arono", "asse",
+        "assero", "assi", "assimo", "ata", "ate", "ati", "ato", "ava",
+        "avamo", "avano", "avate", "avi", "avo", "emmo", "enda", "ende",
+        "endi", "endo", "erà", "erai", "eranno", "ere", "erebbe",
+        "erebbero", "erei", "eremmo", "eremo", "ereste", "eresti",
+        "erete", "erò", "erono", "essero", "ete", "eva", "evamo",
+        "evano", "evate", "evi", "evo", "Yamo", "iamo", "immo", "irà",
+        "irai", "iranno", "ire", "irebbe", "irebbero", "irei", "iremmo",
+        "iremo", "ireste", "iresti", "irete", "irò", "irono", "isca",
+        "iscano", "isce", "isci", "isco", "iscono", "issero", "ita",
+        "ite", "iti", "ito", "iva", "ivamo", "ivano", "ivate", "ivi",
+        "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir")
+      inRvCandidates(verbs).foreach(s => w = w.dropRight(s.length))
+    }
+    // step 3a: final vowel (then a preceding i), in RV
+    inRvCandidates(Seq("a", "e", "i", "o", "à", "è", "ì", "ò")).foreach { s =>
+      w = w.dropRight(1)
+      if (w.endsWith("i") && inRV(w.length - 1)) w = w.dropRight(1)
+    }
+    // step 3b: ch/gh → c/g in RV
+    if (w.endsWith("ch") && inRV(w.length - 2)) w = w.dropRight(1)
+    else if (w.endsWith("gh") && inRV(w.length - 2)) w = w.dropRight(1)
+    w.replace('U', 'u').replace('I', 'i')
+  }
+
+  // ------------------------------------------------------------------
+  // Portuguese (snowballstem.org/algorithms/portuguese/stemmer.html):
+  // ã/õ travel as a~/o~ through the stemmer (the Snowball spelling).
+  // ------------------------------------------------------------------
+
+  private val ptVowels = "aeiouáéíóúâêô".toSet
+
+  def portugueseStem(word0: String): String = {
+    var w = word0.replace("ã", "a~").replace("õ", "o~")
+    val isV = (c: Char) => ptVowels(c)
+    val rv = rvRomance(w, isV)
+    val r1 = regionAfter(w, 0, isV)
+    val r2 = regionAfter(w, r1, isV)
+    def inRV(p: Int) = p >= rv
+    def inR2(p: Int) = p >= r2
+    def inRvCandidates(sufs: Seq[String]): Option[String] =
+      sufs.filter(s => w.endsWith(s) && w.length - s.length >= rv)
+        .sortBy(-_.length).headOption
+
+    val lenBefore1 = w.length
+    // step 1: standard suffixes — longest match, then the entry's rule
+    val st1: Seq[(String, Int)] = Seq(
+      "eza" -> 1, "ezas" -> 1, "ico" -> 1, "ica" -> 1, "icos" -> 1,
+      "icas" -> 1, "ismo" -> 1, "ismos" -> 1, "ável" -> 1, "ível" -> 1,
+      "ista" -> 1, "istas" -> 1, "oso" -> 1, "osa" -> 1, "osos" -> 1,
+      "osas" -> 1, "amento" -> 1, "amentos" -> 1, "imento" -> 1,
+      "imentos" -> 1, "adora" -> 1, "ador" -> 1, "aça~o" -> 1,
+      "adoras" -> 1, "adores" -> 1, "aço~es" -> 1, "ante" -> 1,
+      "antes" -> 1, "ância" -> 1,
+      "logia" -> 2, "logias" -> 2,
+      "uça~o" -> 3, "uço~es" -> 3,
+      "ência" -> 4, "ências" -> 4,
+      "amente" -> 5, "mente" -> 6,
+      "idade" -> 7, "idades" -> 7,
+      "iva" -> 8, "ivo" -> 8, "ivas" -> 8, "ivos" -> 8,
+      "ira" -> 9, "iras" -> 9)
+    st1.filter { case (s, _) => w.endsWith(s) }
+      .sortBy(-_._1.length).headOption.foreach { case (suf, act) =>
+      val p = w.length - suf.length
+      act match {
+        case 1 => if (inR2(p)) w = w.dropRight(suf.length)
+        case 2 => if (inR2(p)) w = w.dropRight(suf.length - 3) // keep log
+        case 3 => if (inR2(p)) w = w.substring(0, p) + "u"
+        case 4 => if (inR2(p)) w = w.substring(0, p) + "ente"
+        case 5 => if (p >= r1) { // amente
+          w = w.dropRight(6)
+          if (w.endsWith("iv") && inR2(w.length - 2)) {
+            w = w.dropRight(2)
+            if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+          } else Seq("os", "ic", "ad").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - 2) => w = w.dropRight(2)
+            case _ =>
+          }
+        }
+        case 6 => if (inR2(p)) { // mente
+          w = w.dropRight(5)
+          Seq("ante", "avel", "ível").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - 4) => w = w.dropRight(4)
+            case _ =>
+          }
+        }
+        case 7 => if (inR2(p)) { // idade(s)
+          w = w.dropRight(suf.length)
+          Seq("abil", "ic", "iv").find(w.endsWith) match {
+            case Some(s2) if inR2(w.length - s2.length) =>
+              w = w.dropRight(s2.length)
+            case _ =>
+          }
+        }
+        case 8 => if (inR2(p)) { // iv*
+          w = w.dropRight(suf.length)
+          if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+        }
+        case 9 => // ira(s) → ir when in RV and preceded by e
+          if (inRV(p) && p >= 1 && w(p - 1) == 'e')
+            w = w.substring(0, p) + "ir"
+      }
+    }
+
+    var changed = w.length != lenBefore1 || w != word0.replace("ã", "a~").replace("õ", "o~")
+    // step 2: verb suffixes in RV, only if step 1 made no change
+    if (!changed) {
+      val lb = w.length
+      val verbs = Seq("ada", "ida", "ia", "aria", "eria", "iria", "ará",
+        "ara", "erá", "era", "irá", "ava", "asse", "esse", "isse",
+        "aste", "este", "iste", "ei", "arei", "erei", "irei", "am",
+        "iam", "ariam", "eriam", "iriam", "aram", "eram", "iram",
+        "avam", "em", "arem", "erem", "irem", "assem", "essem",
+        "issem", "ado", "ido", "ando", "endo", "indo", "ara~o",
+        "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas",
+        "ias", "arias", "erias", "irias", "arás", "aras", "erás",
+        "eras", "irás", "avas", "es", "ardes", "erdes", "irdes",
+        "ares", "eres", "ires", "asses", "esses", "isses", "astes",
+        "estes", "istes", "is", "ais", "iais", "ariais", "eriais",
+        "iriais", "áreis", "areis", "éreis", "ereis", "íreis",
+        "ireis", "ásseis", "ésseis", "ísseis", "áveis", "íeis",
+        "aríeis", "eríeis", "iríeis", "eis", "ados", "idos", "ámos",
+        "amos", "íamos", "aríamos", "eríamos", "iríamos", "áramos",
+        "éramos", "íramos", "ávamos", "emos", "aremos", "eremos",
+        "iremos", "ássemos", "êssemos", "íssemos", "imos", "armos",
+        "ermos", "irmos", "eu", "iu", "ou", "ira", "iras")
+      inRvCandidates(verbs).foreach(s => w = w.dropRight(s.length))
+      changed = w.length != lb
+    }
+    // step 3: final i preceded by c (if steps 1-2 changed the word)
+    if (changed) {
+      if (w.endsWith("i") && inRV(w.length - 1) &&
+        w.length >= 2 && w(w.length - 2) == 'c') w = w.dropRight(1)
+    } else {
+      // step 4: residual suffix (only when steps 1-2 did nothing)
+      inRvCandidates(Seq("os", "a", "i", "o", "á", "í", "ó"))
+        .foreach(s => w = w.dropRight(s.length))
+    }
+    // step 5: final e/é/ê in RV (+ a preceding gu/ci u/i in RV), or ç→c
+    inRvCandidates(Seq("e", "é", "ê")) match {
+      case Some(_) =>
+        w = w.dropRight(1)
+        if ((w.endsWith("gu") || w.endsWith("ci")) && inRV(w.length - 1))
+          w = w.dropRight(1)
+      case None =>
+        if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    }
+    w.replace("a~", "ã").replace("o~", "õ")
+  }
+
+  // ------------------------------------------------------------------
+  // Russian (snowballstem.org/algorithms/russian/stemmer.html).
+  // Every step operates inside RV (Snowball's `setlimit tomark pV`
+  // bounds suffix matches AND the preceding а/я group tests), with
+  // longest-match-then-condition semantics: a failed group condition
+  // fails the whole among, no fallback to a shorter entry.
+  // ------------------------------------------------------------------
+
+  private val ruVowels = "аеиоуыэюя".toSet
+
+  def russianStem(word0: String): String = {
+    var w = word0.replace('ё', 'е') // snowball 2.x prelude: ё ≡ е
+    val isV = (c: Char) => ruVowels(c)
+    // RV: after the first vowel
+    val rv = {
+      var i = 0; while (i < w.length && !isV(w(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    val r1 = regionAfter(w, 0, isV)
+    val r2 = regionAfter(w, r1, isV)
+
+    // longest candidate whose MATCH (suffix only) lies inside RV
+    def rvLongest(sufs: Seq[String]): Option[String] =
+      sufs.filter(s => w.endsWith(s) && w.length - s.length >= rv)
+        .sortBy(-_.length).headOption
+    // preceded by а/я, the а/я itself inside the RV limit
+    def precAYa(p: Int): Boolean =
+      p - 1 >= rv && (w(p - 1) == 'а' || w(p - 1) == 'я')
+
+    // one among over both groups: longest match wins, THEN the matched
+    // entry's condition applies (g1 needs the preceding а/я; a failed
+    // condition fails the whole among — no shorter-entry fallback)
+    def amongAYa(g1: Seq[String], g2: Seq[String]): Boolean =
+      rvLongest(g1 ++ g2) match {
+        case Some(s) =>
+          if (g2.contains(s) || precAYa(w.length - s.length)) {
+            w = w.dropRight(s.length); true
+          } else false
+        case None => false
+      }
+
+    // step 1
+    val pg1 = Seq("в", "вши", "вшись")
+    val pg2 = Seq("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+    if (!amongAYa(pg1, pg2)) {
+      // reflexive (try)
+      rvLongest(Seq("ся", "сь")).foreach(s => w = w.dropRight(s.length))
+      val adjective = Seq("ее", "ие", "ые", "ое", "ими", "ыми", "ей",
+        "ий", "ый", "ой", "ем", "им", "ым", "ом", "его", "ого", "ему",
+        "ому", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+      val adjectival = rvLongest(adjective) match {
+        case Some(s) =>
+          w = w.dropRight(s.length)
+          // try participle before the removed adjective ending
+          val ptg1 = Seq("ем", "нн", "вш", "ющ", "щ")
+          val ptg2 = Seq("ивш", "ывш", "ующ")
+          amongAYa(ptg1, ptg2)
+          true
+        case None => false
+      }
+      if (!adjectival) {
+        val vg1 = Seq("ла", "на", "ете", "йте", "ли", "й", "л", "ем",
+          "н", "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно")
+        val vg2 = Seq("ила", "ыла", "ена", "ейте", "уйте", "ите",
+          "или", "ыли", "ей", "уй", "ил", "ыл", "им", "ым", "ен",
+          "ило", "ыло", "ено", "ят", "ует", "уют", "ит", "ыт", "ены",
+          "ить", "ыть", "ишь", "ую", "ю")
+        if (!amongAYa(vg1, vg2)) {
+          val noun = Seq("а", "ев", "ов", "ие", "ье", "е", "иями",
+            "ями", "ами", "еи", "ии", "и", "ией", "ей", "ой", "ий",
+            "й", "иям", "ям", "ием", "ем", "ам", "ом", "о", "у", "ах",
+            "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я")
+          rvLongest(noun).foreach(s => w = w.dropRight(s.length))
+        }
+      }
+    }
+    // step 2: final и
+    if (w.endsWith("и") && w.length - 1 >= rv) w = w.dropRight(1)
+    // step 3: derivational, in R2
+    rvLongest(Seq("ост", "ость")).foreach { s =>
+      if (w.length - s.length >= r2) w = w.dropRight(s.length)
+    }
+    // step 4: tidy up
+    rvLongest(Seq("нн", "ейше", "ейш", "ь")) match {
+      case Some("нн") => w = w.dropRight(1)
+      case Some(s @ ("ейше" | "ейш")) =>
+        w = w.dropRight(s.length)
+        if (w.endsWith("нн") && w.length - 2 >= rv) w = w.dropRight(1)
+      case Some("ь") => w = w.dropRight(1)
+      case _ =>
+    }
+    w
+  }
+
+  // ------------------------------------------------------------------
+  // Dutch (snowballstem.org/algorithms/dutch/stemmer.html): the
+  // German-family shape with the I/Y hiatus markers, the adjusted R1
+  // (never before position 3), and the double-vowel undoubling.
+  // ------------------------------------------------------------------
+
+  private val nlVowels = "aeiouyè".toSet
+
+  def dutchStem(word0: String): String = {
+    // prelude: strip umlauts/acutes; mark y/i as consonantal (Y/I)
+    var w = word0.map {
+      case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+      case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+    }
+    val isV = (c: Char) => nlVowels(c)
+    val sb = new StringBuilder(w)
+    if (sb.nonEmpty && sb(0) == 'y') sb(0) = 'Y'
+    var i = 1
+    while (i < sb.length) {
+      if (sb(i) == 'y' && isV(sb(i - 1))) sb(i) = 'Y'
+      else if (sb(i) == 'i' && i + 1 < sb.length && isV(sb(i - 1)) &&
+        isV(sb(i + 1))) sb(i) = 'I'
+      i += 1
+    }
+    w = sb.toString
+    val r1raw = regionAfter(w, 0, isV)
+    val r1 = math.max(r1raw, math.min(3, w.length))
+    val r2 = regionAfter(w, r1raw, isV)
+    def inR1(p: Int) = p >= r1
+    def inR2(p: Int) = p >= r2
+
+    def undouble(): Unit =
+      if (Seq("kk", "dd", "tt").exists(w.endsWith)) w = w.dropRight(1)
+    // valid s-ending: non-vowel other than j
+    def validS(p: Int) = p >= 1 && !isV(w(p - 1)) && w(p - 1) != 'j'
+    // valid en-ending: non-vowel and not preceded by gem
+    def validEn(p: Int) = p >= 1 && !isV(w(p - 1)) &&
+      !(p >= 3 && w.substring(p - 3, p) == "gem")
+
+    // step 1: ONE among over heden/ene/en/se/s — longest match wins,
+    // then only that entry's condition applies (a failed condition
+    // fails the step; no fallback to a shorter suffix)
+    Seq("heden", "ene", "en", "se", "s").filter(w.endsWith)
+      .sortBy(-_.length).headOption match {
+      case Some("heden") =>
+        if (inR1(w.length - 5)) w = w.substring(0, w.length - 5) + "heid"
+      case Some(s @ ("ene" | "en")) =>
+        if (inR1(w.length - s.length) && validEn(w.length - s.length)) {
+          w = w.dropRight(s.length); undouble()
+        }
+      case Some(s @ ("se" | "s")) =>
+        if (inR1(w.length - s.length) && validS(w.length - s.length))
+          w = w.dropRight(s.length)
+      case _ =>
+    }
+    // step 2: final e after a non-vowel
+    var eRemoved = false
+    if (w.endsWith("e") && inR1(w.length - 1) &&
+      w.length >= 2 && !isV(w(w.length - 2))) {
+      w = w.dropRight(1); eRemoved = true; undouble()
+    }
+    // step 3a: heid (not preceded by c), then a preceding en as step 1
+    if (w.endsWith("heid") && inR2(w.length - 4) &&
+      !(w.length >= 5 && w(w.length - 5) == 'c')) {
+      w = w.dropRight(4)
+      if (w.endsWith("en") && inR1(w.length - 2) && validEn(w.length - 2)) {
+        w = w.dropRight(2); undouble()
+      }
+    }
+    // step 3b: derivational (longest)
+    val d = Seq("lijk", "baar", "end", "ing", "bar", "ig")
+      .filter(w.endsWith).sortBy(-_.length).headOption
+    d match {
+      case Some(s @ ("end" | "ing")) if inR2(w.length - s.length) =>
+        w = w.dropRight(s.length)
+        if (w.endsWith("ig") && inR2(w.length - 2) &&
+          !(w.length >= 3 && w(w.length - 3) == 'e')) w = w.dropRight(2)
+        else undouble()
+      case Some("ig") if inR2(w.length - 2) &&
+        !(w.length >= 3 && w(w.length - 3) == 'e') =>
+        w = w.dropRight(2)
+      case Some("lijk") if inR2(w.length - 4) =>
+        w = w.dropRight(4)
+        // repeat step 2
+        if (w.endsWith("e") && inR1(w.length - 1) &&
+          w.length >= 2 && !isV(w(w.length - 2))) {
+          w = w.dropRight(1); undouble()
+        }
+      case Some("baar") if inR2(w.length - 4) => w = w.dropRight(4)
+      case Some("bar") if inR2(w.length - 3) && eRemoved => w = w.dropRight(3)
+      case _ =>
+    }
+    // step 4: undouble vowel — C v v C with final C ≠ I, vv ∈ aa/ee/oo/uu
+    if (w.length >= 4) {
+      val n = w.length
+      val c2 = w(n - 1); val v2 = w(n - 2); val v1 = w(n - 3); val c1 = w(n - 4)
+      if (!isV(c1) && !isV(c2) && c2 != 'I' && v1 == v2 && "aeou".contains(v1))
+        w = w.substring(0, n - 2) + c2
+    }
+    w.replace('I', 'i').replace('Y', 'y')
+  }
+
+  // ------------------------------------------------------------------
   // Stop-word lists: the public Snowball project sets, as shipped in
   // PostgreSQL's tsearch_data (german.stop / french.stop /
   // spanish.stop) — part of each config, applied before stemming.
@@ -645,6 +1107,117 @@ object SnowballStems extends Serializable {
     "tenidos", "tenidas", "tened")
 
 
+  val russianStop: Set[String] = Set(
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+    "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к",
+    "у", "же", "вы", "за", "бы", "по", "только", "ее", "мне",
+    "было", "вот", "от", "меня", "еще", "нет", "о", "из", "ему",
+    "теперь", "когда", "даже", "ну", "вдруг", "ли", "если", "уже",
+    "или", "ни", "быть", "был", "него", "до", "вас", "нибудь",
+    "опять", "уж", "вам", "ведь", "там", "потом", "себя", "ничего",
+    "ей", "может", "они", "тут", "где", "есть", "надо", "ней",
+    "для", "мы", "тебя", "их", "чем", "была", "сам", "чтоб", "без",
+    "будто", "чего", "раз", "тоже", "себе", "под", "будет", "ж",
+    "тогда", "кто", "этот", "того", "потому", "этого", "какой",
+    "совсем", "ним", "здесь", "этом", "один", "почти", "мой", "тем",
+    "чтобы", "нее", "сейчас", "были", "куда", "зачем", "всех",
+    "никогда", "можно", "при", "наконец", "два", "об", "другой",
+    "хоть", "после", "над", "больше", "тот", "через", "эти", "нас",
+    "про", "всего", "них", "какая", "много", "разве", "три", "эту",
+    "моя", "впрочем", "хорошо", "свою", "этой", "перед", "иногда",
+    "лучше", "чуть", "том", "нельзя", "такой", "им", "более",
+    "всегда", "конечно", "всю", "между")
+
+  val dutchStop: Set[String] = Set(
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij",
+    "het", "niet", "zijn", "is", "was", "op", "aan", "met", "als",
+    "voor", "had", "er", "maar", "om", "hem", "dan", "zou", "of",
+    "wat", "mijn", "men", "dit", "zo", "door", "over", "ze", "zich",
+    "bij", "ook", "tot", "je", "mij", "uit", "der", "daar", "haar",
+    "naar", "heb", "hoe", "heeft", "hebben", "deze", "u", "want",
+    "nog", "zal", "me", "zij", "nu", "ge", "geen", "omdat", "iets",
+    "worden", "toch", "al", "waren", "veel", "meer", "doen", "toen",
+    "moet", "ben", "zonder", "kan", "hun", "dus", "alles", "onder",
+    "ja", "eens", "hier", "wie", "werd", "altijd", "doch", "wordt",
+    "wezen", "kunnen", "ons", "zelf", "tegen", "na", "reeds", "wil",
+    "kon", "niets", "uw", "iemand", "geweest", "andere")
+
+  val italianStop: Set[String] = Set(
+    "ad", "al", "allo", "ai", "agli", "all", "agl", "alla", "alle",
+    "con", "col", "coi", "da", "dal", "dallo", "dai", "dagli",
+    "dall", "dagl", "dalla", "dalle", "di", "del", "dello", "dei",
+    "degli", "dell", "degl", "della", "delle", "in", "nel", "nello",
+    "nei", "negli", "nell", "negl", "nella", "nelle", "su", "sul",
+    "sullo", "sui", "sugli", "sull", "sugl", "sulla", "sulle",
+    "per", "tra", "contro", "io", "tu", "lui", "lei", "noi", "voi",
+    "loro", "mio", "mia", "miei", "mie", "tuo", "tua", "tuoi",
+    "tue", "suo", "sua", "suoi", "sue", "nostro", "nostra",
+    "nostri", "nostre", "vostro", "vostra", "vostri", "vostre",
+    "mi", "ti", "ci", "vi", "lo", "la", "li", "le", "gli", "ne",
+    "il", "un", "uno", "una", "ma", "ed", "se", "perché", "anche",
+    "come", "dov", "dove", "che", "chi", "cui", "non", "più",
+    "quale", "quanto", "quanti", "quanta", "quante", "quello",
+    "quelli", "quella", "quelle", "questo", "questi", "questa",
+    "queste", "si", "tutto", "tutti", "a", "c", "e", "i", "l", "o",
+    "ho", "hai", "ha", "abbiamo", "avete", "hanno", "abbia",
+    "abbiate", "abbiano", "avrò", "avrai", "avrà", "avremo",
+    "avrete", "avranno", "avrei", "avresti", "avrebbe", "avremmo",
+    "avreste", "avrebbero", "avevo", "avevi", "aveva", "avevamo",
+    "avevate", "avevano", "ebbi", "avesti", "ebbe", "avemmo",
+    "aveste", "ebbero", "avessi", "avesse", "avessimo", "avessero",
+    "avendo", "avuto", "avuta", "avuti", "avute", "sono", "sei",
+    "è", "siamo", "siete", "sia", "siate", "siano", "sarò", "sarai",
+    "sarà", "saremo", "sarete", "saranno", "sarei", "saresti",
+    "sarebbe", "saremmo", "sareste", "sarebbero", "ero", "eri",
+    "era", "eravamo", "eravate", "erano", "fui", "fosti", "fu",
+    "fummo", "foste", "furono", "fossi", "fosse", "fossimo",
+    "fossero", "essendo", "faccio", "fai", "facciamo", "fanno",
+    "faccia", "facciate", "facciano", "farò", "farai", "farà",
+    "faremo", "farete", "faranno", "farei", "faresti", "farebbe",
+    "faremmo", "fareste", "farebbero", "facevo", "facevi", "faceva",
+    "facevamo", "facevate", "facevano", "feci", "facesti", "fece",
+    "facemmo", "faceste", "fecero", "facessi", "facesse",
+    "facessimo", "facessero", "facendo", "sto", "stai", "sta",
+    "stiamo", "stanno", "stia", "stiate", "stiano", "starò",
+    "starai", "starà", "staremo", "starete", "staranno", "starei",
+    "staresti", "starebbe", "staremmo", "stareste", "starebbero",
+    "stavo", "stavi", "stava", "stavamo", "stavate", "stavano",
+    "stetti", "stesti", "stette", "stemmo", "steste", "stettero",
+    "stessi", "stesse", "stessimo", "stessero", "stando")
+
+  val portugueseStop: Set[String] = Set(
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+    "com", "não", "uma", "os", "no", "se", "na", "por", "mais",
+    "as", "dos", "como", "mas", "ao", "ele", "das", "à", "seu",
+    "sua", "ou", "quando", "muito", "nos", "já", "eu", "também",
+    "só", "pelo", "pela", "até", "isso", "ela", "entre", "depois",
+    "sem", "mesmo", "aos", "seus", "quem", "nas", "me", "esse",
+    "eles", "você", "essa", "num", "nem", "suas", "meu", "às",
+    "minha", "numa", "pelos", "elas", "qual", "nós", "lhe", "deles",
+    "essas", "esses", "pelas", "este", "dele", "tu", "te", "vocês",
+    "vos", "lhes", "meus", "minhas", "teu", "tua", "teus", "tuas",
+    "nosso", "nossa", "nossos", "nossas", "dela", "delas", "esta",
+    "estes", "estas", "aquele", "aquela", "aqueles", "aquelas",
+    "isto", "aquilo", "estou", "está", "estamos", "estão", "estive",
+    "esteve", "estivemos", "estiveram", "estava", "estávamos",
+    "estavam", "estivera", "estivéramos", "esteja", "estejamos",
+    "estejam", "estivesse", "estivéssemos", "estivessem", "estiver",
+    "estivermos", "estiverem", "hei", "há", "havemos", "hão",
+    "houve", "houvemos", "houveram", "houvera", "houvéramos",
+    "haja", "hajamos", "hajam", "houvesse", "houvéssemos",
+    "houvessem", "houver", "houvermos", "houverem", "houverei",
+    "houverá", "houveremos", "houverão", "houveria", "houveríamos",
+    "houveriam", "sou", "somos", "são", "era", "éramos", "eram",
+    "fui", "foi", "fomos", "foram", "fora", "fôramos", "seja",
+    "sejamos", "sejam", "fosse", "fôssemos", "fossem", "for",
+    "formos", "forem", "serei", "será", "seremos", "serão", "seria",
+    "seríamos", "seriam", "tenho", "tem", "temos", "tém", "tinha",
+    "tínhamos", "tinham", "tive", "teve", "tivemos", "tiveram",
+    "tivera", "tivéramos", "tenha", "tenhamos", "tenham", "tivesse",
+    "tivéssemos", "tivessem", "tiver", "tivermos", "tiverem",
+    "terei", "terá", "teremos", "terão", "teria", "teríamos",
+    "teriam")
+
   /** config-name → (stop words, stemmer); the text-search engine
     * dispatches every non-english config through this. */
   def byConfig(name: String): Option[(Set[String], String => String)] =
@@ -652,6 +1225,10 @@ object SnowballStems extends Serializable {
       case "german" => Some((germanStop, germanStem))
       case "spanish" => Some((spanishStop, spanishStem))
       case "french" => Some((frenchStop, frenchStem))
+      case "russian" => Some((russianStop, russianStem))
+      case "dutch" => Some((dutchStop, dutchStem))
+      case "italian" => Some((italianStop, italianStem))
+      case "portuguese" => Some((portugueseStop, portugueseStem))
       case _ => None
     }
 }

@@ -1907,6 +1907,69 @@ class PgParitySpec extends SparkSpec {
       assert(one(expr) === want, s"expr: $expr")
   }
 
+  test("sweep-30: italian/portuguese/dutch/russian text-search configs (live pg 15, UTF8 db)") {
+    // Round-14 Snowball ports, same method as sweep-26: each stemmer
+    // swept over a morphological cross-product vocabulary against
+    // live pg 15 ts_lexize to 0 diffs (russian 5.4k + 1.1k edge words
+    // incl. ё-folding; dutch 2.9k incl. y/i hiatus markers; italian
+    // 4.6k incl. qU and attached pronouns; portuguese 5.2k after
+    // pruning the accent-twin verb entries the real among lacks and
+    // adding its bare 'eis'). End-to-end vectors captured on a UTF8
+    // database (the SQL_ASCII scratch default mangles non-ascii).
+    val pinned: Seq[(String, String)] = Seq(
+      ("to_tsvector('russian', 'Дети радостно играли в красивых национальных садах')",
+        "'дет':1 'игра':3 'красив':5 'национальн':6 'радостн':2 'сад':7"),
+      ("to_tsvector('portuguese', 'As crianças brincavam alegremente nos belos jardins nacionais')",
+        "'alegr':4 'bel':6 'brinc':3 'crianc':2 'jardins':7 'nacion':8"),
+      ("to_tsvector('italian', 'I bambini giocavano felicemente nei bellissimi giardini nazionali')",
+        "'bambin':2 'bellissim':6 'felic':4 'giardin':7 'gioc':3 'nazional':8"),
+      ("to_tsvector('dutch', 'De kinderen speelden vrolijk in de mooie nationale tuinen')",
+        "'kinder':2 'mooi':7 'national':8 'speeld':3 'tuin':9 'vrolijk':4"),
+      ("plainto_tsquery('russian', 'красивые сады')", "'красив' & 'сад'"),
+      ("to_tsvector('portuguese', 'coração emoções constituições')",
+        "'constituiçõ':3 'coraçã':1 'emoçõ':2"),
+      ("ts_headline('russian', 'Дети играли в саду', to_tsquery('russian', 'сад'))",
+        "Дети играли в <b>саду</b>"),
+      ("to_tsvector('russian', 'Ёжик нёс ёлку')", "'ежик':1 'елк':3 'нес':2"),
+      ("websearch_to_tsquery('portuguese', 'jardins \"belos amigos\"')",
+        "'jardins' & 'bel' <-> 'amig'"),
+      ("to_tsvector('dutch', 'de het een en van is')", ""),
+      ("to_tsvector('italian', 'perché città università caffè')",
+        "'caff':4 'citt':2 'univers':3"),
+      ("ts_lexize('italian_stem', 'organizzazione')", "{organizz}"),
+      ("ts_lexize('portuguese_stem', 'organização')", "{organiz}"),
+      ("ts_lexize('dutch_stem', 'mogelijkheden')", "{mogelijk}"),
+      ("ts_lexize('russian_stem', 'программирование')", "{программирован}"),
+      ("ts_rank(to_tsvector('russian', 'красивые сады и парки'), to_tsquery('russian', 'сады'))",
+        "0.06079271"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    // per-stemmer pairs sampled from the 0-diff sweep captures
+    val ru = Seq(("глубокому", "глубок"), ("человечое", "человеч"),
+      ("безопаснью", "безопасн"), ("делыван", "делыва"),
+      ("добрешь", "добреш"), ("бегауйте", "бега"), ("изменими", "измен"),
+      ("важнейшую", "важн"), ("письменность", "письмен"))
+    val nl = Seq(("vertelingen", "vertel"), ("baken", "bak"),
+      ("snelaas", "snelas"), ("grootbare", "grootbar"),
+      ("lopbarheid", "lopbar"), ("moeilijkheden", "moeilijk"),
+      ("koninginnen", "koninginn"), ("gemeenschappelijk", "gemeenschapp"))
+    val it = Seq(("arrività", "arriv"), ("grandirsi", "grand"),
+      ("generaliscono", "general"), ("buona", "buon"),
+      ("finuzione", "finuzion"), ("guardosamente", "guardos"),
+      ("abituarli", "abitu"), ("crocchio", "crocc"))
+    val pt = Seq(("coraçlogias", "coraçlog"), ("cantiva", "cantiv"),
+      ("amigante", "amig"), ("felizos", "feliz"), ("falição", "faliçã"),
+      ("falada", "fal"), ("tenidades", "tenidad"), ("cheguei", "chegu"))
+    for ((w, want) <- ru)
+      assert(graft.functions.SnowballStems.russianStem(w) === want, s"ru: $w")
+    for ((w, want) <- nl)
+      assert(graft.functions.SnowballStems.dutchStem(w) === want, s"nl: $w")
+    for ((w, want) <- it)
+      assert(graft.functions.SnowballStems.italianStem(w) === want, s"it: $w")
+    for ((w, want) <- pt)
+      assert(graft.functions.SnowballStems.portugueseStem(w) === want, s"pt: $w")
+  }
+
   test("sweep-29: ::json preserves original text; accessors slice source fragments (live pg 15)") {
     // pg's json (non-b) type stores the SOURCE BYTES: round-trips are
     // verbatim (key order, interior spacing, duplicate keys, even
