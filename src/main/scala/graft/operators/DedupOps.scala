@@ -843,23 +843,74 @@ object DedupOps {
   }
 
   /** Exact character-n-gram Jaccard similarity for all in-block pairs,
-    * blocked by a key column (e.g. language) to bound the self-join.
+    * blocked by a key column (e.g. language) to bound the pair space.
     * Blocks larger than maxBlock are dropped entirely — at 100 TB-scale
     * an uncapped block is a quadratic blow-up; prefer
     * [[minhashLshPairs]] when no natural blocking key exists.
+    *
+    * One shuffle total: shingles are computed map-side (codegen
+    * `char_shingles`), grouped once by block, and the cap check + pair
+    * generation + one-pass |∩| arithmetic all happen inside a single
+    * `flatMapGroups` pass. The earlier shape (count-agg + semi-join cap,
+    * then a self-join that recomputed the shingle base on both sides)
+    * paid five jobs for the same answer; per-task memory here is bounded
+    * by maxBlock regardless of block skew because an over-cap block
+    * stops buffering at maxBlock+1 rows.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, maxBlock: Int = 1000): DataFrame = {
-    graft.functions.TextExpressions.install(docs.sparkSession)
-    val base0 = docs.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
-      charShingles(col(textCol), n).as("tg"))
-    val base = capBuckets(base0, Seq("blk"), maxBlock)
-    base.as("a").join(base.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        // one-pass |∩| + size arithmetic (arr_jaccard) — the
-        // array_intersect/array_union pair materialized BOTH result
-        // arrays per candidate pair just to take their sizes
-        call_function("arr_jaccard", col("a.tg"), col("b.tg")).as("jaccard"))
+    val spark = docs.sparkSession
+    graft.functions.TextExpressions.install(spark)
+    import spark.implicits._
+    docs.select(col(blockCol).cast("string").as("blk"),
+        col(idCol).cast("long").as("doc_id"),
+        charShingles(col(textCol), n).as("tg"))
+      .as[(String, Long, Array[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[String])](16)
+        var over = false
+        while (it.hasNext) {
+          val r = it.next()
+          if (!over) {
+            buf += ((r._2, r._3))
+            if (buf.length > maxBlock) { over = true; buf.clear() }
+          }
+        }
+        if (over || buf.length < 2) Iterator.empty
+        else {
+          val arr = buf.sortBy(_._1).toArray
+          // one probe set per doc, reused across its B-1 pairings
+          val sets = arr.map { case (_, g) =>
+            if (g == null) null
+            else {
+              val s = new java.util.HashSet[String](math.max(4, g.length * 2))
+              var x = 0
+              while (x < g.length) { s.add(g(x)); x += 1 }
+              s
+            }
+          }
+          for {
+            i <- Iterator.range(0, arr.length)
+            j <- Iterator.range(i + 1, arr.length)
+          } yield {
+            val (ida, ga) = arr(i)
+            val (idb, gb) = arr(j)
+            val jac: Option[Double] =
+              if (ga == null || gb == null) None
+              else {
+                var inter = 0
+                val sa = sets(i)
+                var x = 0
+                while (x < gb.length) { if (sa.contains(gb(x))) inter += 1; x += 1 }
+                val union = ga.length + gb.length - inter
+                // union==0 (two zero-gram docs) → NULL, matching arr_jaccard
+                if (union == 0) None else Some(inter.toDouble / union.toDouble)
+              }
+            (ida, idb, jac)
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
   }
 }
