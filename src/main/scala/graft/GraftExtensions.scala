@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.StringExpressions.descriptions.foreach(ext.injectFunction)
     graft.functions.TextExpressions.descriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.functions.VectorExpressions.SelfDotToNorm)
+    ext.injectOptimizerRule(s => graft.plans.LocalizeSingletonSort(s))
     // pg dialect type semantics — a no-op outside PgSemantics.withPg
     // (the pgwire Handlers path), so plain Spark-API queries on the
     // same session keep Spark semantics

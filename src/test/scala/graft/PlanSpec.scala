@@ -213,4 +213,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"SRF expansion must not join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("LocalizeSingletonSort: ORDER BY over a one-split scan elides the range exchange") {
+    // q107 is a pure projection + global sort over orders (one small
+    // parquet split at test SF): the rule rewrites it to a local sort,
+    // so the executed plan must carry NO RangePartitioning exchange and
+    // no range-bounds sampling — one scheduler round instead of three.
+    val p = executedPlan("q107_epoch_date_bin")
+    assert(!p.contains("rangepartitioning") && !p.contains("RangePartitioning"),
+      s"singleton-partition global sort should localize:\n$p")
+    assert(p.contains("Sort "), s"the sort itself must survive:\n$p")
+    // rows still arrive fully ordered
+    val rows = SparkEntry.queries("q107_epoch_date_bin")(spark, dir)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sorted), "order lost after sort localization")
+  }
+
+  test("LocalizeSingletonSort: ORDER BY + LIMIT keeps TakeOrderedAndProject (guard)") {
+    // the underLimit guard: q15's fused top-k must not be broken up
+    // into a local sort + separate limit by the rewrite
+    val p = executedPlan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+sort fusion must survive the sort-localization rule:\n$p")
+  }
 }
