@@ -62,7 +62,30 @@ object Q {
     * re-executing the projection (which sort-last would). Inert at
     * production scale: defaultParallelism = total cores.
     */
-  def rangeFanout(df: DataFrame, key: String): DataFrame =
-    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col(key))
+  def rangeFanout(df: DataFrame, key: String): DataFrame = {
+    // Width: at least 8 ways (a single-split table still fans out), at
+    // most the core count, and never below the source's own split count
+    // (a production-scale input with hundreds of splits keeps them).
+    // The former flat defaultParallelism=32 spent more on per-task
+    // scheduling than the 10-15k-row projections it parallelized.
+    val spark = df.sparkSession
+    // leaf input-file count as the scale proxy — reading it off the
+    // (already-eager) analyzed plan costs nothing, where forcing
+    // queryExecution.toRdd here would compile the physical plan and
+    // its codegen per query construction
+    val srcParts =
+      try df.queryExecution.analyzed.collectLeaves().map {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              math.max(1, fs.location.inputFiles.length)
+            case _ => 1
+          }
+        case _ => 1
+      }.sum
+      catch { case scala.util.control.NonFatal(_) => 1 }
+    val n = math.max(8,
+      math.min(srcParts, spark.sparkContext.defaultParallelism))
+    df.repartitionByRange(n, org.apache.spark.sql.functions.col(key))
+  }
 }
