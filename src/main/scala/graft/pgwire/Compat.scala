@@ -4706,7 +4706,11 @@ object Compat {
       macFns.contains(t.text.toLowerCase) ||
       moneyFns.contains(t.text.toLowerCase) || t.isWord("inet") ||
       t.isWord("cidr") || t.isWord("macaddr") || t.isWord("macaddr8") ||
-      t.isWord("money"))))) return
+      t.isWord("money"))) ||
+      // <<= / >>= are inet-unique operator names in pg, so two bare
+      // unknown literals still resolve to inet (live-pg sweep-29);
+      // let the pass run even with no syntactic inet marker
+      (t.kind == Op && (t.text == "<<=" || t.text == ">>=")))) return
     val eitherSide = Map(
       "<<" -> "inet_contained_strict", "<<=" -> "inet_contained_eq",
       ">>" -> "inet_contains_strict", ">>=" -> "inet_contains_eq")
@@ -4800,6 +4804,14 @@ object Compat {
             else if (t.text == "-" && lIn) Some("inet_sub")
             else if (eitherSide.contains(t.text) && (lIn || rIn))
               Some(eitherSide(t.text))
+            // pg resolves unknown <<= unknown (and >>=) to inet because
+            // the operator name is unique in the catalog; mirror that
+            // for two bare string literals only — typed columns keep
+            // erroring like pg's "operator does not exist: text <<= text"
+            else if ((t.text == "<<=" || t.text == ">>=") &&
+              ts(p).kind == Str && start == p &&
+              ts(rhs).kind == Str && rhs2 == rhs)
+              Some(eitherSide(t.text))
             else if (bothSides.contains(t.text) && lIn && rIn)
               Some(bothSides(t.text))
             else None
@@ -4882,8 +4894,12 @@ object Compat {
   }
 
   private def rewriteTsOps(ts: ArrayBuffer[Tok]): Unit = {
-    if (!ts.exists(t => t.kind == Word && (tsVectorFns.contains(t.text.toLowerCase) ||
-      tsQueryFns.contains(t.text.toLowerCase) || t.isWord("tsvector") || t.isWord("tsquery"))))
+    if (!ts.exists(t => (t.kind == Word && (tsVectorFns.contains(t.text.toLowerCase) ||
+      tsQueryFns.contains(t.text.toLowerCase) || t.isWord("tsvector") || t.isWord("tsquery"))) ||
+      // pg's text @@ text: both-unknown operands resolve to
+      // to_tsvector(l) @@ plainto_tsquery(r) (live-pg sweep-29), so
+      // the pass must also run when the only marker is the operator
+      (t.kind == Op && t.text == "@@")))
       return
     var i = 0
     while (i < ts.length) {
@@ -4940,6 +4956,19 @@ object Compat {
               ts(opIdx) = Tok(Op, ",")
               ts.insertAll(start, Seq(Tok(Word, fnName), Tok(Op, "(")))
             }
+          } else if (t.text == "@@" && !(lVec || lQry || rVec || rQry) &&
+            ts(p).kind == Str && start == p && ts(rhs).kind == Str && rhs2 == rhs) {
+            // both sides bare string literals: pg's text @@ text =
+            // to_tsvector(l) @@ plainto_tsquery(r). Emit the 1-arg
+            // plainto form; padFunctionArgs supplies the config later.
+            var opIdx = i
+            if (opIdx - 1 >= 0 && ts(opIdx - 1).kind == Ws) {
+              ts.remove(opIdx - 1); opIdx -= 1; rhs2 -= 1
+            }
+            ts.insertAll(rhs2 + 1, Seq(Tok(Op, ")"), Tok(Op, ")")))
+            ts.insertAll(rhs2, Seq(Tok(Word, "plainto_tsquery"), Tok(Op, "(")))
+            ts(opIdx) = Tok(Op, ",")
+            ts.insertAll(start, Seq(Tok(Word, "ts_match_text"), Tok(Op, "(")))
           } else if (lVec || lQry || rVec || rQry) {
             // pg operand orders: vector @@ query as-is, query @@
             // vector swapped; a raw-text document side goes through

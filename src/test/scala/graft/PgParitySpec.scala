@@ -2015,4 +2015,30 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(oneOpt(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-30: unique-name operators resolve on both-unknown literals (live pg 15)") {
+    // pg resolves an operator over two untyped literals when the name
+    // is UNIQUE in the catalog: <<= / >>= (inet), and text @@ text
+    // (to_tsvector(l) @@ plainto_tsquery(r)). Names with multiple
+    // candidates ('<<', '&&', '@>', '-|-', '%', '<->') raise
+    // "operator is not unique" in pg and keep their Spark/default
+    // meaning here (documented superset deviation). 11 vectors
+    // captured live on pg 15 (round-14 session), 11 exact.
+    val pinned: Seq[(String, String)] = Seq(
+      ("'192.168.1.5' <<= '192.168.1.0/24'", "t"),
+      ("'192.168.1.5' <<= '192.168.2.0/24'", "f"),
+      ("'192.168.1.0/24' >>= '192.168.1.5'", "t"),
+      ("'10.0.0.0/8' >>= '10.255.0.1'", "t"),
+      ("'fat cats ate rats' @@ 'cat'", "t"),
+      // plainto treats '&' as punctuation: both words still required
+      ("'fat cats ate rats' @@ 'cats & rats'", "t"),
+      ("'fat:1 cat:2' @@ 'cat'", "t"),
+      ("'a fat cat' @@ 'fat & cow'", "f"),
+      ("'192.168.1.5' <<= '192.168.1.0/24'::cidr", "t"),
+      // one-side-typed forms keep resolving (regression guard)
+      ("'a fat cat' @@ 'fat & cow'::tsquery", "f"),
+      ("'fat cats' @@ to_tsquery('cats')", "t"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
 }
