@@ -989,6 +989,279 @@ object SnowballStems extends Serializable {
   }
 
   // ------------------------------------------------------------------
+  // Scandinavian trio (snowballstem.org/algorithms/{swedish,norwegian,
+  // danish}/stemmer.html). All three share the "R1 with at least 3
+  // letters before it" convention and a step-2 consonant-pair trim;
+  // they differ in the suffix tables, the valid s-ending alphabets,
+  // and Danish's extra undouble step.
+  // ------------------------------------------------------------------
+
+  private val svVowels = "aeiouyäåö".toSet
+
+  /** Longest suffix of `w` from `sufs` whose start lies in R1. */
+  private def longestInR1(w: String, r1: Int, sufs: Seq[String]): Option[String] =
+    sufs.sortBy(-_.length).find(s => w.endsWith(s) && w.length - s.length >= r1)
+
+  private val svStep1 = Seq("a", "arna", "erna", "heterna", "orna", "ad",
+    "e", "ade", "ande", "arne", "are", "aste", "en", "anden", "aren",
+    "heten", "ern", "ar", "er", "heter", "or", "as", "arnas", "ernas",
+    "ornas", "es", "ades", "andes", "ens", "arens", "hetens", "erns",
+    "at", "andet", "het", "ast")
+  private val svSEnd = "bcdfghjklmnoprtvy".toSet
+
+  def swedishStem(word0: String): String = {
+    var w = word0
+    val isV = (c: Char) => svVowels(c)
+    var r1 = regionAfter(w, 0, isV)
+    if (r1 < 3) r1 = 3
+    // step 1: longest of the table (delete) vs bare s (delete after a
+    // valid s-ending; the s-ending letter itself may sit before R1)
+    longestInR1(w, r1, svStep1) match {
+      case Some(suf) => w = w.dropRight(suf.length)
+      case None =>
+        if (w.endsWith("s") && w.length - 1 >= r1 && w.length >= 2 &&
+          svSEnd(w(w.length - 2))) w = w.dropRight(1)
+    }
+    // step 2
+    if (longestInR1(w, r1, Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt")).isDefined)
+      w = w.dropRight(1)
+    // step 3
+    longestInR1(w, r1, Seq("lig", "ig", "els", "löst", "fullt")) match {
+      case Some("löst")  => w = w.dropRight(1)
+      case Some("fullt") => w = w.dropRight(1)
+      case Some(suf)     => w = w.dropRight(suf.length)
+      case None          =>
+    }
+    w
+  }
+
+  private val noVowels = "aeiouyæåø".toSet
+
+  private val noStep1 = Seq("a", "e", "ede", "ande", "ende", "ane",
+    "ene", "hetene", "en", "heten", "ar", "er", "heter", "as", "es",
+    "edes", "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets",
+    "et", "het", "ast", "s", "erte", "ert")
+  private val noSEnd = "bcdfghjlmnoprtvyz".toSet
+
+  def norwegianStem(word0: String): String = {
+    var w = word0
+    val isV = (c: Char) => noVowels(c)
+    var r1 = regionAfter(w, 0, isV)
+    if (r1 < 3) r1 = 3
+    // step 1 (longest match; 's' needs a valid s-ending — plain
+    // consonants, or k not preceded by a vowel; erte/ert → er)
+    longestInR1(w, r1, noStep1) match {
+      case Some("erte") | Some("ert") =>
+        w = w.dropRight(if (w.endsWith("erte")) 4 else 3) + "er"
+      case Some("s") =>
+        val ok = w.length >= 2 && {
+          val c = w(w.length - 2)
+          noSEnd(c) || (c == 'k' && (w.length < 3 || !isV(w(w.length - 3))))
+        }
+        if (ok) w = w.dropRight(1)
+      case Some(suf) => w = w.dropRight(suf.length)
+      case None =>
+    }
+    // step 2: dt / vt → drop the t
+    if (longestInR1(w, r1, Seq("dt", "vt")).isDefined) w = w.dropRight(1)
+    // step 3
+    longestInR1(w, r1, Seq("leg", "eleg", "ig", "eig", "lig", "elig",
+      "els", "lov", "elov", "slov", "hetslov")) match {
+      case Some(suf) => w = w.dropRight(suf.length)
+      case None =>
+    }
+    w
+  }
+
+  private val daVowels = "aeiouyæåø".toSet
+
+  private val daStep1 = Seq("hed", "ethed", "ered", "e", "erede",
+    "ende", "erende", "ene", "erne", "ere", "en", "heden", "eren",
+    "er", "heder", "erer", "heds", "es", "endes", "erendes", "enes",
+    "ernes", "eres", "ens", "hedens", "erens", "ers", "ets", "erets",
+    "et", "eret", "s")
+  private val daSEnd = "abcdfghjklmnoprtvyzå".toSet
+
+  def danishStem(word0: String): String = {
+    var w = word0
+    val isV = (c: Char) => daVowels(c)
+    var r1 = regionAfter(w, 0, isV)
+    if (r1 < 3) r1 = 3
+    def step2(): Unit =
+      if (longestInR1(w, r1, Seq("gd", "dt", "gt", "kt")).isDefined)
+        w = w.dropRight(1)
+    // step 1
+    longestInR1(w, r1, daStep1) match {
+      case Some("s") =>
+        if (w.length >= 2 && daSEnd(w(w.length - 2))) w = w.dropRight(1)
+      case Some(suf) => w = w.dropRight(suf.length)
+      case None =>
+    }
+    step2()
+    // step 3: igst loses its st unconditionally; then the d-suffixes
+    // (re-running step 2 after a delete), and løst → løs
+    if (w.endsWith("igst")) w = w.dropRight(2)
+    longestInR1(w, r1, Seq("ig", "lig", "elig", "els", "løst")) match {
+      case Some("løst") => w = w.dropRight(1)
+      case Some(suf)    => w = w.dropRight(suf.length); step2()
+      case None         =>
+    }
+    // step 4: undouble a final double consonant (last letter in R1)
+    if (w.length >= 2 && w.length - 1 >= r1 &&
+      w(w.length - 1) == w(w.length - 2) && !isV(w(w.length - 1)))
+      w = w.dropRight(1)
+    w
+  }
+
+  // ------------------------------------------------------------------
+  // Finnish (snowballstem.org/algorithms/finnish/stemmer.html) —
+  // agglutinative: particles → possessives → case endings → comparative
+  // endings → i/t-plurals → tidy-up, with the case-ending step gating
+  // the plural step. Verified by ts_lexize differential sweep like the
+  // other ports.
+  // ------------------------------------------------------------------
+
+  private val fiVowels = "aeiouyäö".toSet
+  // the restricted vowel set used by the Vi condition (no y)
+  private val fiRestricted = "aeiouäö".toSet
+  private val fiLongV = Set("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+  def finnishStem(word0: String): String = {
+    var w = word0
+    val isV = (c: Char) => fiVowels(c)
+    val r1Start = regionAfter(w, 0, isV)
+    val r2Start = regionAfter(w, r1Start, isV)
+    def endsLV(s: String) =
+      s.length >= 2 && fiLongV(s.substring(s.length - 2))
+
+    /** Suffix-table matching, reverse-engineered against live pg 15
+      * (sweep-31, ~16k-word differential): candidates must FIT inside
+      * the region (a pattern starting left of R1 simply does not
+      * participate — 'maihin' strips 'in' because 'hin' starts before
+      * R1); the longest fitting pattern is tried first; a failed side
+      * condition FALLS BACK to the next-shorter fitting pattern —
+      * except the illative hVn class, whose vowel-harmony check
+      * aborts the whole step ('aikahen' survives untouched while
+      * 'aatonaattoden' falls back from 'den' to plain 'n').
+      * Each candidate: (suffix, stem => Some(replacement) | None,
+      * hardFail).
+      */
+    def applyFirst(rStart: Int,
+        cands: Seq[(String, String => Option[String], Boolean)]): Boolean = {
+      for ((suf, act, hard) <- cands.sortBy(-_._1.length)) {
+        if (w.endsWith(suf) && w.length - suf.length >= rStart) {
+          act(w.dropRight(suf.length)) match {
+            case Some(res) => w = res; return true
+            case None => if (hard) return false
+          }
+        }
+      }
+      false
+    }
+    val del = (stem: String) => Some(stem): Option[String]
+
+    // step 1: particles (kin/kaan/… after n, t or a vowel; sti in R2)
+    applyFirst(r1Start,
+      Seq("kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa", "pä")
+        .map(suf => (suf, (stem: String) =>
+          if (stem.nonEmpty && (stem.last == 'n' || stem.last == 't' ||
+            isV(stem.last))) Some(stem) else None, false)) :+
+      (("sti", (stem: String) =>
+        if (w.length - 3 >= r2Start) Some(stem) else None, false)))
+
+    // step 2: possessives
+    applyFirst(r1Start, Seq(
+      ("si", (stem: String) =>
+        if (!stem.endsWith("k")) Some(stem) else None, false),
+      ("ni", (stem: String) =>
+        Some(if (stem.endsWith("kse")) stem.dropRight(1) + "i" else stem), false),
+      ("nsa", del, false), ("nsä", del, false), ("mme", del, false),
+      ("nne", del, false),
+      ("an", (stem: String) =>
+        if (Seq("ta", "ssa", "sta", "lla", "lta", "na").exists(stem.endsWith))
+          Some(stem) else None, false),
+      ("än", (stem: String) =>
+        if (Seq("tä", "ssä", "stä", "llä", "ltä", "nä").exists(stem.endsWith))
+          Some(stem) else None, false),
+      ("en", (stem: String) =>
+        if (Seq("lle", "ine").exists(stem.endsWith)) Some(stem) else None, false)))
+
+    // step 3: case endings
+    val hXn = Map("han" -> 'a', "hen" -> 'e', "hin" -> 'i', "hon" -> 'o',
+      "hän" -> 'ä', "hön" -> 'ö')
+    val caseRemoved = applyFirst(r1Start,
+      hXn.toSeq.map { case (suf, v) => (suf, (stem: String) =>
+        if (stem.nonEmpty && stem.last == v) Some(stem) else None, true) } ++
+      Seq("siin", "den", "tten").map(suf => (suf, (stem: String) =>
+        // Vi: i preceded by a restricted vowel
+        if (stem.length >= 2 && stem.last == 'i' &&
+          fiRestricted(stem(stem.length - 2))) Some(stem) else None, false)) ++
+      Seq(("seen", (stem: String) =>
+        if (endsLV(stem)) Some(stem) else None, false)) ++
+      Seq("a", "ä").map(suf => (suf, (stem: String) =>
+        // preceded by cv (consonant, then vowel)
+        if (stem.length >= 2 && isV(stem.last) && !isV(stem(stem.length - 2)))
+          Some(stem) else None, false)) ++
+      Seq("tta", "ttä").map(suf => (suf, (stem: String) =>
+        if (stem.endsWith("e")) Some(stem) else None, true)) ++
+      Seq("ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+        "ltä", "lle", "na", "nä", "ksi", "ine")
+        .map(s0 => (s0, del, false)) ++
+      Seq(("n", (stem: String) =>
+        Some(if (endsLV(stem) || stem.endsWith("ie")) stem.dropRight(1)
+          else stem), false)))
+
+    // step 4: comparatives, in R2 (mpi family blocked after 'po')
+    applyFirst(r2Start, Seq(
+      ("impi", del, false), ("impa", del, false), ("impä", del, false),
+      ("immi", del, false), ("imma", del, false), ("immä", del, false),
+      ("eja", del, false), ("ejä", del, false)) ++
+      Seq("mpi", "mpa", "mpä", "mmi", "mma", "mmä").map(suf =>
+        (suf, (stem: String) =>
+          if (!stem.endsWith("po")) Some(stem) else None, false)))
+
+    // step 5: plurals — i/j-plural only after a removed case ending,
+    // else a vowel-preceded t-plural (with a follow-up mma/imma trim)
+    if (caseRemoved) {
+      if ((w.endsWith("i") || w.endsWith("j")) && w.length - 1 >= r1Start)
+        w = w.dropRight(1)
+    } else if (w.endsWith("t") && w.length - 1 >= r1Start &&
+      w.length >= 2 && isV(w(w.length - 2))) {
+      w = w.dropRight(1)
+      applyFirst(r2Start, Seq(
+        ("imma", del, false),
+        ("mma", (stem: String) =>
+          if (!stem.endsWith("po")) Some(stem) else None, false)))
+    }
+
+    // step 6: tidy (live-pg-derived order — each fires at most once)
+    // (a) shorten a final long vowel in R1
+    if (endsLV(w) && w.length - 1 >= r1Start) w = w.dropRight(1)
+    // (b) final a/ä/e/i after a consonant, in R2
+    val dropV = Set('a', 'ä', 'e', 'i')
+    if (w.length >= 2 && dropV(w.last) && !isV(w(w.length - 2)) &&
+      w.length - 1 >= r2Start) w = w.dropRight(1)
+    // (c) final a/ä/e/i after TWO consonants, in R1
+    else if (w.length >= 3 && dropV(w.last) && !isV(w(w.length - 2)) &&
+      !isV(w(w.length - 3)) && w.length - 1 >= r1Start) w = w.dropRight(1)
+    // (d) oj / uj lose the j; jo loses the o
+    // (d) oj/uj lose the j, jo loses the o — BOTH characters must sit
+    //     inside R1 (snowball's backwards setlimit blocks consuming
+    //     the context letter left of p1: 'jajo' keeps its o because
+    //     the j is outside R1, 'ojjo' loses it)
+    if ((w.endsWith("oj") || w.endsWith("uj")) && w.length - 2 >= r1Start)
+      w = w.dropRight(1)
+    if (w.endsWith("jo") && w.length - 2 >= r1Start) w = w.dropRight(1)
+    // (e) undouble the consonant pair before any trailing vowel run.
+    //     ('aatonaatto' → 'aatonaato', 'takk' → 'tak')
+    var i = w.length - 1
+    while (i >= 0 && isV(w(i))) i -= 1
+    if (i >= 1 && !isV(w(i)) && w(i) == w(i - 1))
+      w = w.substring(0, i) + w.substring(i + 1)
+    w
+  }
+
+  // ------------------------------------------------------------------
   // Stop-word lists: the public Snowball project sets, as shipped in
   // PostgreSQL's tsearch_data (german.stop / french.stop /
   // spanish.stop) — part of each config, applied before stemming.
@@ -1218,6 +1491,103 @@ object SnowballStems extends Serializable {
     "terei", "terá", "teremos", "terão", "teria", "teríamos",
     "teriam")
 
+
+  val swedishStop: Set[String] = Set(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han",
+    "på", "den", "med", "var", "sig", "för", "så", "till", "är",
+    "men", "ett", "om", "hade", "de", "av", "icke", "mig", "du",
+    "henne", "då", "sin", "nu", "har", "inte", "hans", "honom",
+    "skulle", "hennes", "där", "min", "man", "ej", "vid", "kunde",
+    "något", "från", "ut", "när", "efter", "upp", "vi", "dem",
+    "vara", "vad", "över", "än", "dig", "kan", "sina", "här",
+    "ha", "mot", "alla", "under", "någon", "eller", "allt",
+    "mycket", "sedan", "ju", "denna", "själv", "detta", "åt",
+    "utan", "varit", "hur", "ingen", "mitt", "ni", "bli", "blev",
+    "oss", "din", "dessa", "några", "deras", "blir", "mina",
+    "samma", "vilken", "er", "sådan", "vår", "blivit", "dess",
+    "inom", "mellan", "sådant", "varför", "varje", "vilka",
+    "ditt", "vem", "vilket", "sitta", "sådana", "vart", "dina",
+    "vars", "vårt", "våra", "ert", "era", "vilkas")
+
+  val norwegianStop: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+    "som", "på", "de", "med", "han", "av", "ikke", "ikkje", "der",
+    "så", "var", "meg", "seg", "men", "ett", "har", "om", "vi",
+    "min", "mitt", "ha", "hadde", "hun", "nå", "over", "da",
+    "ved", "fra", "du", "ut", "sin", "dem", "oss", "opp", "man",
+    "kan", "hans", "hvor", "eller", "hva", "skal", "selv", "sjøl",
+    "her", "alle", "vil", "bli", "ble", "blei", "blitt", "kunne",
+    "inn", "når", "være", "kom", "noen", "noe", "ville", "dere",
+    "som", "deres", "kun", "ja", "etter", "ned", "skulle",
+    "denne", "for", "deg", "si", "sine", "sitt", "mot", "å",
+    "meget", "hvorfor", "dette", "disse", "uten", "hvordan",
+    "ingen", "din", "ditt", "blir", "samme", "hvilken", "hvilke",
+    "sånn", "inni", "mellom", "vår", "hver", "hvem", "vors",
+    "hvis", "både", "bare", "enn", "fordi", "før", "mange",
+    "også", "slik", "vært", "være", "båe", "begge", "siden",
+    "dykk", "dykkar", "dei", "deira", "deires", "deim", "di",
+    "då", "eg", "ein", "eit", "eitt", "elles", "honom", "hjå",
+    "ho", "hoe", "henne", "hennar", "hennes", "hoss", "hossen",
+    "ikkje", "ingi", "inkje", "korleis", "korso", "kva", "kvar",
+    "kvarhelst", "kven", "kvi", "kvifor", "me", "medan", "mi",
+    "mine", "mykje", "no", "nokon", "noka", "nokor", "noko",
+    "nokre", "si", "sia", "sidan", "so", "somt", "somme", "um",
+    "upp", "vere", "vore", "verte", "vort", "varte", "vart")
+
+  val danishStop: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er",
+    "som", "på", "de", "med", "han", "af", "for", "ikke", "der",
+    "var", "mig", "sig", "men", "et", "har", "om", "vi", "min",
+    "havde", "ham", "hun", "nu", "over", "da", "fra", "du", "ud",
+    "sin", "dem", "os", "op", "man", "hans", "hvor", "eller",
+    "hvad", "skal", "selv", "her", "alle", "vil", "blev", "kunne",
+    "ind", "når", "være", "dog", "noget", "ville", "jo", "deres",
+    "efter", "ned", "skulle", "denne", "end", "dette", "mit",
+    "også", "under", "have", "dig", "anden", "hende", "mine",
+    "alt", "meget", "sit", "sine", "vor", "mod", "disse", "hvis",
+    "din", "nogle", "hos", "blive", "mange", "ad", "bliver",
+    "hendes", "været", "thi", "jer", "sådan")
+
+
+  val finnishStop: Set[String] = Set(
+    "olla", "olen", "olet", "on", "olemme", "olette", "ovat",
+    "ole", "oli", "olisi", "olisit", "olisin", "olisimme",
+    "olisitte", "olisivat", "olit", "olin", "olimme", "olitte",
+    "olivat", "ollut", "olleet", "en", "et", "ei", "emme", "ette",
+    "eivät", "minä", "minun", "minut", "minua", "minussa",
+    "minusta", "minuun", "minulla", "minulta", "minulle", "sinä",
+    "sinun", "sinut", "sinua", "sinussa", "sinusta", "sinuun",
+    "sinulla", "sinulta", "sinulle", "hän", "hänen", "hänet",
+    "häntä", "hänessä", "hänestä", "häneen", "hänellä", "häneltä",
+    "hänelle", "me", "meidän", "meidät", "meitä", "meissä",
+    "meistä", "meihin", "meillä", "meiltä", "meille", "te",
+    "teidän", "teidät", "teitä", "teissä", "teistä", "teihin",
+    "teillä", "teiltä", "teille", "he", "heidän", "heidät",
+    "heitä", "heissä", "heistä", "heihin", "heillä", "heiltä",
+    "heille", "tämä", "tämän", "tätä", "tässä", "tästä", "tähän",
+    "tallä", "tältä", "tälle", "tänä", "täksi", "tuo", "tuon",
+    "tuotä", "tuossa", "tuosta", "tuohon", "tuolla", "tuolta",
+    "tuolle", "tuona", "tuoksi", "se", "sen", "sitä", "siinä",
+    "siitä", "siihen", "sillä", "siltä", "sille", "sinä", "siksi",
+    "nämä", "näiden", "näitä", "näissä", "näistä", "näihin",
+    "näillä", "näiltä", "näille", "näinä", "näiksi", "nuo",
+    "noiden", "noita", "noissa", "noista", "noihin", "noilla",
+    "noilta", "noille", "noina", "noiksi", "ne", "niiden",
+    "niitä", "niissä", "niistä", "niihin", "niillä", "niiltä",
+    "niille", "niinä", "niiksi", "kuka", "kenen", "kenet", "ketä",
+    "kenessä", "kenestä", "keneen", "kenellä", "keneltä",
+    "kenelle", "kenenä", "keneksi", "ketkä", "keiden", "ketkä",
+    "keitä", "keissä", "keistä", "keihin", "keillä", "keiltä",
+    "keille", "keinä", "keiksi", "mikä", "minkä", "minkä", "mitä",
+    "missä", "mistä", "mihin", "millä", "miltä", "mille", "minä",
+    "miksi", "mitkä", "joka", "jonka", "jota", "jossa", "josta",
+    "johon", "jolla", "jolta", "jolle", "jona", "joksi", "jotka",
+    "joiden", "joita", "joissa", "joista", "joihin", "joilla",
+    "joilta", "joille", "joina", "joiksi", "että", "ja", "jos",
+    "koska", "kuin", "mutta", "niin", "sekä", "sillä", "tai",
+    "vaan", "vai", "vaikka", "kanssa", "mukaan", "noin", "poikki",
+    "yli", "kun", "niin", "nyt", "itse")
+
   /** config-name → (stop words, stemmer); the text-search engine
     * dispatches every non-english config through this. */
   def byConfig(name: String): Option[(Set[String], String => String)] =
@@ -1229,6 +1599,10 @@ object SnowballStems extends Serializable {
       case "dutch" => Some((dutchStop, dutchStem))
       case "italian" => Some((italianStop, italianStem))
       case "portuguese" => Some((portugueseStop, portugueseStem))
+      case "swedish" => Some((swedishStop, swedishStem))
+      case "norwegian" => Some((norwegianStop, norwegianStem))
+      case "danish" => Some((danishStop, danishStem))
+      case "finnish" => Some((finnishStop, finnishStem))
       case _ => None
     }
 }

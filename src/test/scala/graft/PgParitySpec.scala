@@ -1970,6 +1970,45 @@ class PgParitySpec extends SparkSpec {
       assert(graft.functions.SnowballStems.portugueseStem(w) === want, s"pt: $w")
   }
 
+  test("sweep-31: swedish/norwegian/danish/finnish text-search configs (live pg 15, UTF8 db)") {
+    // Round-14 Snowball ports. The Scandinavian trio came out 0-diff
+    // on the first live sweep (sv 12,048 / no 10,796 / da 10,838
+    // ts_lexize pairs incl. adversarial random words). Finnish — the
+    // agglutinative hard case — was reverse-engineered against 24,695
+    // live pairs plus targeted probes to 0 diffs: the suffix tables
+    // were recovered from pg's own dict_snowball.so string pool, and
+    // the probe set pinned the semantics the published description
+    // leaves out (region-FITTING candidates with fallback-on-
+    // condition-failure, hard-abort for the illative hVn and tta/ttä
+    // classes, the i/j-plural gate on a removed case ending, and the
+    // R1-interior jo/oj/uj trims).
+    val pinned: Seq[(String, String)] = Seq(
+      ("to_tsvector('swedish', 'Barnen lekte glatt i de vackra nationella trädgårdarna')",
+        "'barn':1 'glatt':3 'lekt':2 'nationell':7 'trädgård':8 'vackr':6"),
+      ("to_tsvector('norwegian', 'Barna lekte glade i de vakre nasjonale hagene')",
+        "'barn':1 'glad':3 'hag':8 'lekt':2 'nasjonal':7 'vakr':6"),
+      ("to_tsvector('danish', 'Børnene legede glade i de smukke nationale haver')",
+        "'børn':1 'glad':3 'hav':8 'leged':2 'national':7 'smuk':6"),
+      ("to_tsvector('finnish', 'Lapset leikkivät iloisesti kauniissa kansallisissa puutarhoissa')",
+        "'ilois':3 'kansallis':5 'kauni':4 'laps':1 'leikkiv':2 'puutarho':6"),
+      ("plainto_tsquery('swedish', 'vackra trädgårdarna')", "'vackr' & 'trädgård'"),
+      ("plainto_tsquery('norwegian', 'vakre hagene')", "'vakr' & 'hag'"),
+      ("plainto_tsquery('danish', 'smukke haver')", "'smuk' & 'hav'"),
+      ("plainto_tsquery('finnish', 'kauniissa puutarhoissa')", "'kauni' & 'puutarho'"),
+      ("ts_lexize('swedish_stem', 'kärleksfullt')", "{kärleksfull}"),
+      ("ts_lexize('norwegian_stem', 'hemmelighetene')", "{hemm}"),
+      ("ts_lexize('danish_stem', 'venligst')", "{ven}"),
+      ("ts_lexize('finnish_stem', 'edistyksellisyydellänsäkään')", "{edistyksellisyyd}"),
+      ("to_tsvector('swedish', 'och det att i en')", ""),
+      ("ts_headline('danish', 'Børnene leger i haven', to_tsquery('danish', 'leger'))",
+        "Børnene <b>leger</b> i haven"),
+      ("to_tsvector('finnish', 'taloissa') @@ to_tsquery('finnish', 'talo')", "t"),
+      ("websearch_to_tsquery('swedish', 'vackra \"nationella parker\"')",
+        "'vackr' & 'nationell' <-> 'park'"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
+
   test("sweep-29: ::json preserves original text; accessors slice source fragments (live pg 15)") {
     // pg's json (non-b) type stores the SOURCE BYTES: round-trips are
     // verbatim (key order, interior spacing, duplicate keys, even
