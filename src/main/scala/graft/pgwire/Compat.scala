@@ -1150,8 +1150,13 @@ object Compat {
   //    RANGE/GROUPS frame spanning offset 0, or ROWS UNBOUNDED..
   //    UNBOUNDED — pg intersects the exclusion with the frame, so a
   //    narrower ROWS frame would over-subtract). Everything else
-  //    (min/max/other aggregates, FILTER + EXCLUDE, narrow-frame
-  //    GROUP/TIES) raises 0A000 rather than returning wrong numbers.
+  //    (other aggregates, FILTER + EXCLUDE, narrow-frame GROUP/TIES)
+  //    raises 0A000 rather than returning wrong numbers. min/max —
+  //    not subtractable — instead SPLIT a ROWS frame around the
+  //    excluded current row into complementary pieces composed with
+  //    least()/greatest() (sweep-25b); their RANGE/GROUPS EXCLUDE
+  //    shapes stay 0A000. EXCLUDE CURRENT ROW on a frame that
+  //    provably cannot contain the current row is pg's no-op.
   //    avg rides CAST(sum AS decimal(38,16))/count — pg's numeric
   //    avg scale for int/numeric inputs; float8 input gains trailing
   //    zeros vs pg (documented deviation).
@@ -1392,7 +1397,7 @@ object Compat {
         "ntile", "lead", "lag").contains(fn)) {
       ts.remove(fi.f, kEnd - fi.f + 1); return
     }
-    if (!Set("sum", "count", "avg").contains(fn))
+    if (!Set("sum", "count", "avg", "min", "max").contains(fn))
       throw PgException("0A000", s"$fn with a frame EXCLUDE clause is not supported")
     // validity: the frame must contain what we subtract
     val containsCur = fi.startKind != "OF" && fi.endKind != "OP" &&
@@ -1400,8 +1405,13 @@ object Compat {
     val rangeKw = ts(fi.f).isWord("RANGE")
     val containsGroup = (rangeKw && containsCur) ||
       (fi.startKind == "UP" && fi.endKind == "UF")
-    if (kind == "CURRENT" && !containsCur) throw PgException("0A000",
-      "EXCLUDE CURRENT ROW on a frame not containing the current row is not supported")
+    if (kind == "CURRENT" && !containsCur) {
+      // the frame provably cannot contain the current row (a bound of
+      // OFFSET FOLLOWING / OFFSET PRECEDING keeps it out), so pg's
+      // exclusion intersects to nothing — drop the EXCLUDE clause
+      ts.remove(fi.e, kEnd - fi.e + 1)
+      return
+    }
     if ((kind == "GROUP" || kind == "TIES") && !containsGroup)
       throw PgException("0A000",
         s"EXCLUDE $kind needs a RANGE/GROUPS frame spanning the current row " +
@@ -1452,6 +1462,56 @@ object Compat {
         case "TIES" =>
           w(" - coalesce("); winOver("sum", grpSpec); w(", 0) + "); curVal()
       }
+    }
+    // min/max are not subtractable: EXCLUDE CURRENT ROW over a ROWS
+    // frame instead SPLITS the frame into its two complementary
+    // pieces around the current row — least()/greatest() skip NULLs
+    // exactly like min/max over an empty piece, so the composition is
+    // exact (sweep-25b). RANGE/GROUPS shapes (the excluded row sits
+    // inside a peer run the ROWS split can't isolate) stay 0A000.
+    if (fn == "min" || fn == "max") {
+      if (kind != "CURRENT" || !ts(fi.f).isWord("ROWS"))
+        throw PgException("0A000",
+          s"$fn with EXCLUDE $kind on this frame is not supported " +
+          "(only ROWS … EXCLUDE CURRENT ROW splits exactly)")
+      // frame bound token spans
+      val b1 = nextIdx(ts, fi.f)
+      val (b1Toks, b2Toks) =
+        if (b1 >= 0 && ts(b1).isWord("BETWEEN")) {
+          val j1 = nextIdx(ts, b1)
+          val (_, last1) = parseBound(ts, j1, fi.boundsEnd + 1)
+          var andIdx = nextIdx(ts, last1)
+          val j2 = nextIdx(ts, andIdx)
+          val (_, last2) = parseBound(ts, j2, fi.boundsEnd + 1)
+          (ts.slice(j1, last1 + 1).toVector, ts.slice(j2, last2 + 1).toVector)
+        } else {
+          val (_, last1) = parseBound(ts, b1, fi.boundsEnd + 1)
+          (ts.slice(b1, last1 + 1).toVector,
+            Vector(Tok(Word, "CURRENT ROW")))
+        }
+      val specPrefix = ts.slice(open + 1, fi.f).toVector
+      def piece(lo: Vector[Tok], hi: Vector[Tok]): Unit = {
+        val spec = specPrefix ++ (Tok(Word, " ROWS BETWEEN ") +: lo) ++
+          (Tok(Word, " AND ") +: hi)
+        winOver(fn, spec)
+      }
+      val hasLeft = fi.startKind != "CR"
+      val hasRight = fi.endKind != "CR"
+      val cmp = if (fn == "min") "least" else "greatest"
+      if (hasLeft && hasRight) {
+        w(s"$cmp(")
+        piece(b1Toks, Vector(Tok(Word, "1 PRECEDING"))); w(", ")
+        piece(Vector(Tok(Word, "1 FOLLOWING")), b2Toks); w(")")
+      } else if (hasLeft) piece(b1Toks, Vector(Tok(Word, "1 PRECEDING")))
+      else if (hasRight) piece(Vector(Tok(Word, "1 FOLLOWING")), b2Toks)
+      else {
+        // ROWS CURRENT ROW..CURRENT ROW minus the current row: empty
+        // frame, NULL of the argument's type
+        w("(CASE WHEN 1 = 0 THEN "); winOver(fn, specFull); w(" END)")
+      }
+      ts.remove(fnIdx, close - fnIdx + 1)
+      ts.insertAll(fnIdx, repl)
+      return
     }
     fn match {
       case "count" => cnt()

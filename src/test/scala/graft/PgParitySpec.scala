@@ -1697,6 +1697,36 @@ class PgParitySpec extends SparkSpec {
     assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)") === "0A000")
     assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)") === "0A000")
   }
+  test("sweep-25b: min/max with frame EXCLUDE CURRENT ROW (live pg 15)") {
+    // min/max are not subtractable, so EXCLUDE CURRENT ROW over a
+    // ROWS frame splits into the two complementary pieces composed
+    // with least()/greatest() (NULL-skipping matches min over an
+    // empty piece). Also pins pg's no-op semantics when the frame
+    // provably cannot contain the current row. 8 ad-hoc vectors +
+    // these 6 fixture vectors, all live-exact.
+    def wf(inner: String): String =
+      s"(SELECT string_agg(coalesce(s::text,'N'), ',' ORDER BY id) FROM " +
+      s"(SELECT id, $inner AS s FROM (VALUES (1,1,1,10),(2,1,2,20),(3,1,2,30)," +
+      s"(4,1,3,40),(5,1,3,NULL::int),(6,2,3,60),(7,2,5,70)) v(id,p,o,x)) q)"
+    val pinned: Seq[(String, String)] = Seq(
+      ("min(x) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)",
+       "20,10,10,20,30,40,60"),
+      ("max(x) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+       "20,30,40,30,60,70,60"),
+      ("min(x) OVER (PARTITION BY p ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "N,10,10,10,10,N,60"),
+      ("max(x) OVER (ORDER BY id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)",
+       "70,70,70,70,70,70,N"),
+      // frame collapses to just the excluded row: empty, typed NULL
+      ("min(x) OVER (ORDER BY id ROWS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "N,N,N,N,N,N,N"),
+      // frame cannot contain the current row: EXCLUDE is pg's no-op
+      ("max(x) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW)",
+       "N,10,20,30,40,40,60"))
+    for ((expr, want) <- pinned)
+      assert(one(wf(expr)) === want, s"expr: $expr")
+  }
+
   test("sweep-26: german/french/spanish text-search configs (live pg 15, UTF8 db)") {
     // End-to-end through the config path (parser + stop words +
     // Snowball stemmer): 20 vectors, 0 diffs against a UTF8-encoding
