@@ -123,10 +123,17 @@ object Handlers {
         Complete("NOTIFY")
       case "CREATE" if second == "TYPE" => handleCreateType(spark, toks)
       case "DROP" if second == "TYPE" => handleDropType(spark, toks)
+      case "CREATE" if second == "SEQUENCE" ||
+          ((second == "TEMP" || second == "TEMPORARY") && toks.length > 2 &&
+            toks(2).isWord("SEQUENCE")) =>
+        handleCreateSequence(sql)
+      case "DROP" if second == "SEQUENCE" => handleDropSequence(toks)
+      case "ALTER" if second == "SEQUENCE" => handleAlterSequence(sql)
       case "CREATE" if second == "TABLE" || second == "TEMP" ||
           second == "TEMPORARY" || second == "UNLOGGED" =>
         pgCreateTable(spark, sql)
-          .getOrElse(runQuery(spark, session, substituteGucFns(session, sql), head, second))
+          .getOrElse(runQuery(spark, session,
+            substituteSeqFns(session, substituteGucFns(session, sql)), head, second))
       case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
         // storage maintenance is meaningless over external parquet —
         // accept-and-no-op with the pg tag so client scripts
@@ -153,7 +160,8 @@ object Handlers {
         RowSet(
           StructType(Seq(StructField("pg_notify", StringType))),
           Iterator(Row("")), n => s"SELECT $n")
-      case _ => runQuery(spark, session, substituteGucFns(session, sql), head, second)
+      case _ => runQuery(spark, session,
+        substituteSeqFns(session, substituteGucFns(session, sql)), head, second)
     }
   }
 
@@ -201,6 +209,94 @@ object Handlers {
             s"""unrecognized configuration parameter "$k"""")
         }
       })
+  }
+
+  /** Sequence-call rewrite (session-aware, pre-Compat): the literal
+    * call shapes clients emit — `nextval('s')`, `currval('s')`,
+    * `setval('s', n[, bool])`, `lastval()` (optionally `::regclass`
+    * on the name) — become the connId-bound nondeterministic UDFs
+    * [[PgSequences.registerUdfs]] provides. Name resolution itself
+    * (schema strip, quote/case rules) happens inside the UDF so
+    * prepared-parameter names behave identically.
+    */
+  private def substituteSeqFns(session: Session, sql: String): String = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("nextval") && !lower.contains("currval") &&
+      !lower.contains("setval") && !lower.contains("lastval")) return sql
+    val cid = session.connId.toString
+    val name = "'((?:[^']|'')+)'(?:\\s*::\\s*regclass)?"
+    var out = sql
+    out = s"(?i)\\bnextval\\(\\s*$name\\s*\\)".r
+      .replaceAllIn(out, m => scala.util.matching.Regex.quoteReplacement(
+        s"pg_nextval('${m.group(1)}', $cid)"))
+    out = s"(?i)\\bcurrval\\(\\s*$name\\s*\\)".r
+      .replaceAllIn(out, m => scala.util.matching.Regex.quoteReplacement(
+        s"pg_currval('${m.group(1)}', $cid)"))
+    out = s"(?i)\\bsetval\\(\\s*$name\\s*,\\s*(-?\\d+)\\s*(?:,\\s*(true|false)\\s*)?\\)".r
+      .replaceAllIn(out, m => {
+        val c = Option(m.group(3)).getOrElse("true")
+        scala.util.matching.Regex.quoteReplacement(
+          s"pg_setval('${m.group(1)}', ${m.group(2)}, $c, $cid)")
+      })
+    out = "(?i)\\blastval\\(\\s*\\)".r
+      .replaceAllIn(out, scala.util.matching.Regex.quoteReplacement(
+        s"pg_lastval($cid)"))
+    out
+  }
+
+  // ---- CREATE/DROP/ALTER SEQUENCE --------------------------------------
+
+  private def handleCreateSequence(sql: String): PgResult = {
+    val m = ("(?is)^CREATE\\s+(?:(?:TEMP|TEMPORARY)\\s+)?SEQUENCE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?(\"[^\"]+\"|[\\w$.]+)\\s*(.*)$").r
+      .findFirstMatchIn(sql.trim.stripSuffix(";").trim)
+      .getOrElse(throw PgException("42601", "syntax error in CREATE SEQUENCE"))
+    val ifNotExists = m.group(1) != null
+    val name = PgSequences.normName(m.group(2))
+    val tail = m.group(3)
+    def longOpt(re: String): Option[Long] =
+      ("(?i)" + re).r.findFirstMatchIn(tail).map(_.group(1).toLong)
+    val increment = longOpt("INCREMENT\\s+(?:BY\\s+)?(-?\\d+)").getOrElse(1L)
+    val noMin = "(?i)NO\\s+MINVALUE".r.findFirstIn(tail).isDefined
+    val noMax = "(?i)NO\\s+MAXVALUE".r.findFirstIn(tail).isDefined
+    val minV = if (noMin) None else longOpt("MINVALUE\\s+(-?\\d+)")
+    val maxV = if (noMax) None else longOpt("MAXVALUE\\s+(-?\\d+)")
+    val start = longOpt("START\\s+(?:WITH\\s+)?(-?\\d+)")
+    val cycle = "(?i)(?<!NO\\s)\\bCYCLE\\b".r.findFirstIn(tail).isDefined
+    PgSequences.create(name,
+      PgSequences.defaultsFor(increment, minV, maxV, start, cycle), ifNotExists)
+    Complete("CREATE SEQUENCE")
+  }
+
+  private def handleDropSequence(toks: Vector[Tok]): PgResult = {
+    val rest = toks.drop(2).filterNot(t => t.is(",") || t.is(";"))
+    val ifExists = rest.length >= 2 && rest(0).isWord("IF") && rest(1).isWord("EXISTS")
+    val names = (if (ifExists) rest.drop(2) else rest)
+      .filter(t => t.kind == Compat.Word || t.kind == Compat.QIdent)
+      .filterNot(t => t.isWord("CASCADE") || t.isWord("RESTRICT"))
+      .map(t => PgSequences.normName(t.text))
+    if (names.isEmpty) throw PgException("42601", "syntax error in DROP SEQUENCE")
+    names.foreach(PgSequences.drop(_, ifExists))
+    Complete("DROP SEQUENCE")
+  }
+
+  private def handleAlterSequence(sql: String): PgResult = {
+    val m = ("(?is)^ALTER\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?" +
+      "(\"[^\"]+\"|[\\w$.]+)\\s+(.*)$").r
+      .findFirstMatchIn(sql.trim.stripSuffix(";").trim)
+      .getOrElse(throw PgException("42601", "syntax error in ALTER SEQUENCE"))
+    val ifExists = m.group(1) != null
+    val name = PgSequences.normName(m.group(2))
+    if (!PgSequences.exists(name)) {
+      if (ifExists) return Complete("ALTER SEQUENCE")
+      throw PgException("42P01", s"""sequence "$name" does not exist""")
+    }
+    val tail = m.group(3)
+    val rm = "(?i)RESTART(?:\\s+WITH\\s+(-?\\d+))?".r.findFirstMatchIn(tail)
+      .getOrElse(throw PgException("0A000",
+        "only ALTER SEQUENCE … RESTART [WITH n] is supported"))
+    PgSequences.restart(name, Option(rm.group(1)).map(_.toLong))
+    Complete("ALTER SEQUENCE")
   }
 
   /** Spark SHOW <x> forms passed through to the engine rather than
@@ -763,7 +859,17 @@ object Handlers {
         if (typeToks.isEmpty) return None
         val typeStr = typeToks.map(_.text).mkString(" ")
         fields += (pgColumnField(spark, colName, typeStr) match {
-          case Some(f) => f
+          case Some(f) =>
+            // serial families get pg's implicit sequence + a metadata
+            // marker the INSERT path uses to auto-fill omitted values
+            val baseTy = typeStr.trim.toLowerCase.takeWhile(c => c != '(' && c != ' ')
+            if (serialTypes.contains(baseTy)) {
+              val seqName = PgSequences.normName(table) + "_" +
+                colName.toLowerCase + "_seq"
+              StructField(f.name, f.dataType, f.nullable,
+                new MetadataBuilder().withMetadata(f.metadata)
+                  .putString("pg.serial", seqName).build())
+            } else f
           case None => return None // unknown spelling → Spark path decides
         })
       }
@@ -776,6 +882,13 @@ object Handlers {
       } else {
         spark.catalog.createTable(table, "parquet",
           StructType(fields.toArray), Map.empty[String, String])
+        fields.filter(_.metadata.contains("pg.serial")).foreach { f =>
+          val seq = f.metadata.getString("pg.serial")
+          PgSequences.drop(seq, ifExists = true) // re-created table restarts
+          PgSequences.create(seq,
+            PgSequences.defaultsFor(1L, None, None, None, cycle = false),
+            ifNotExists = false)
+        }
         Complete("CREATE TABLE")
       }
     }
@@ -911,17 +1024,40 @@ object Handlers {
     Complete("DROP TYPE")
   }
 
+  private val serialTypes = Set("serial", "serial2", "serial4", "serial8",
+    "smallserial", "bigserial")
+
   private val ddlHeads = Set("CREATE", "DROP", "ALTER", "TRUNCATE",
     "COMMENT", "REFRESH", "CACHE", "UNCACHE", "ANALYZE", "MSCK", "USE",
     "GRANT", "REVOKE")
 
   private def runQuery(spark: SparkSession, session: Session, sql: String,
       head: String, second: String): PgResult = {
+    if (head == "DROP" && second == "TABLE") {
+      // pg drops a serial column's owned sequence with its table
+      val tableNames = "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(.+?);?\\s*$".r
+        .findFirstMatchIn(sql).map(_.group(1)).toSeq
+        .flatMap(_.split(",")).map(_.trim)
+        .filterNot(t => t.isEmpty || t.equalsIgnoreCase("CASCADE") ||
+          t.equalsIgnoreCase("RESTRICT"))
+      val ownedSeqs = tableNames.flatMap { t0 =>
+        val t = if (t0.startsWith("\"")) t0.stripPrefix("\"").stripSuffix("\"") else t0
+        try spark.table(t).schema.fields.toSeq
+          .filter(_.metadata.contains("pg.serial"))
+          .map(_.metadata.getString("pg.serial"))
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      val df = runSql(spark, sql)
+      df.collect()
+      ownedSeqs.foreach(PgSequences.drop(_, ifExists = true))
+      PgCatalog.invalidate()
+      return Complete("DROP TABLE")
+    }
     if (head == "INSERT") {
       // pg runs each column type's INPUT FUNCTION on insert — family
       // text is stored canonical and enum labels are validated at
       // write time, not first use (COVERAGE.md canonical-text note)
-      val canon = canonicalizeInsert(spark, sql)
+      val canon = canonicalizeInsert(spark, sql, session.connId)
       val retPos = Compat.topLevelKeywordPos(canon, "RETURNING")
       if (retPos >= 0) return insertReturning(spark, canon, retPos)
       val df = runSql(spark, canon)
@@ -968,7 +1104,8 @@ object Handlers {
     * columns (or that do not parse as the plain INSERT shape) pass
     * through untouched.
     */
-  private[pgwire] def canonicalizeInsert(spark: SparkSession, sql: String): String = {
+  private[pgwire] def canonicalizeInsert(spark: SparkSession, sql: String,
+      connId: Int = 0): String = {
     val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
     val (ins, ret) =
       if (retPos >= 0) (sql.substring(0, retPos), " " + sql.substring(retPos))
@@ -1000,15 +1137,29 @@ object Handlers {
         if (canonFamilies.contains(a)) Some(a) else None
       } else None
     val fams = cols.map(famOf)
-    if (fams.forall(_.isEmpty)) return sql
+    // serial columns omitted from an explicit column list are filled
+    // from their implicit sequence (pg's DEFAULT nextval); a
+    // positional INSERT (no column list) takes the user's values
+    val serialFill: Seq[(String, String)] =
+      if (m.group(3) == null) Nil
+      else schema.fields.toSeq
+        .filter(f => f.metadata.contains("pg.serial") &&
+          !cols.exists(_.name.equalsIgnoreCase(f.name)))
+        .map(f => (f.name, f.metadata.getString("pg.serial")))
+    if (fams.forall(_.isEmpty) && serialFill.isEmpty) return sql
     val src = m.group(4).trim
-    val colListSql = if (m.group(2) != null) s" ${m.group(2)}" else ""
+    val colListSql =
+      if (m.group(2) == null) ""
+      else if (serialFill.isEmpty) s" ${m.group(2)}"
+      else s" (${m.group(3)}, ${serialFill.map("\"" + _._1 + "\"").mkString(", ")})"
     val gcols = cols.indices.map(i => s"__gc$i")
     val proj = cols.indices.map { i =>
       fams(i) match {
         case Some(fam) => s"__gc$i::$fam AS __gc$i"
         case None => s"__gc$i"
       }
+    } ++ serialFill.zipWithIndex.map { case ((_, seq), k) =>
+      s"pg_nextval('$seq', $connId) AS __gs$k"
     }
     s"INSERT INTO ${m.group(1)}$colListSql SELECT ${proj.mkString(", ")} " +
       s"FROM ( $src ) AS __graft_ins(${gcols.mkString(", ")})$ret"

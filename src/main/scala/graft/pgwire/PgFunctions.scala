@@ -1069,6 +1069,7 @@ object PgFunctions {
     graft.functions.TextSearchFunctions.registerAll(spark)
     graft.functions.Trigram.registerAll(spark)
     graft.functions.PgEnums.registerUdfs(spark)
+    PgSequences.registerUdfs(spark)
     graft.functions.Inet.registerAll(spark)
     graft.functions.Bits.registerAll(spark)
     graft.functions.Xml.registerAll(spark)

@@ -157,6 +157,7 @@ final class PgServer(
       NotifyBus.deregister(session)
       cancelKeys.remove(connId)
       session.discardAllPortals()
+      PgSequences.clearSession(connId)
     }
   }
 
