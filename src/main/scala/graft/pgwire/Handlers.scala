@@ -126,14 +126,15 @@ object Handlers {
       case "CREATE" if second == "SEQUENCE" ||
           ((second == "TEMP" || second == "TEMPORARY") && toks.length > 2 &&
             toks(2).isWord("SEQUENCE")) =>
-        handleCreateSequence(sql)
-      case "DROP" if second == "SEQUENCE" => handleDropSequence(toks)
+        handleCreateSequence(spark, sql)
+      case "DROP" if second == "SEQUENCE" => handleDropSequence(spark, toks)
       case "ALTER" if second == "SEQUENCE" => handleAlterSequence(sql)
       case "CREATE" if second == "TABLE" || second == "TEMP" ||
           second == "TEMPORARY" || second == "UNLOGGED" =>
         pgCreateTable(spark, sql)
           .getOrElse(runQuery(spark, session,
-            substituteSeqFns(session, substituteGucFns(session, sql)), head, second))
+            substituteSeqFns(spark, session, substituteGucFns(session, sql)),
+            head, second))
       case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
         // storage maintenance is meaningless over external parquet —
         // accept-and-no-op with the pg tag so client scripts
@@ -161,7 +162,8 @@ object Handlers {
           StructType(Seq(StructField("pg_notify", StringType))),
           Iterator(Row("")), n => s"SELECT $n")
       case _ => runQuery(spark, session,
-        substituteSeqFns(session, substituteGucFns(session, sql)), head, second)
+        substituteSeqFns(spark, session, substituteGucFns(session, sql)),
+        head, second)
     }
   }
 
@@ -219,10 +221,12 @@ object Handlers {
     * (schema strip, quote/case rules) happens inside the UDF so
     * prepared-parameter names behave identically.
     */
-  private def substituteSeqFns(session: Session, sql: String): String = {
+  private def substituteSeqFns(spark: SparkSession, session: Session,
+      sql: String): String = {
     val lower = sql.toLowerCase
     if (!lower.contains("nextval") && !lower.contains("currval") &&
-      !lower.contains("setval") && !lower.contains("lastval")) return sql
+      !lower.contains("setval") && !lower.contains("lastval") &&
+      !lower.contains("pg_get_serial_sequence")) return sql
     val cid = session.connId.toString
     val name = "'((?:[^']|'')+)'(?:\\s*::\\s*regclass)?"
     var out = sql
@@ -241,12 +245,34 @@ object Handlers {
     out = "(?i)\\blastval\\(\\s*\\)".r
       .replaceAllIn(out, scala.util.matching.Regex.quoteReplacement(
         s"pg_lastval($cid)"))
+    // pg_get_serial_sequence with literal arguments folds HERE, on the
+    // driver, against the real catalog (a UDF task cannot reach
+    // SessionState in Spark 4); the registered UDF stays as the
+    // non-literal fallback over the wire-DDL registry. Column argument
+    // matches verbatim case-sensitively, table argument is normalized
+    // as an identifier — both live-pinned.
+    out = ("(?i)\\bpg_get_serial_sequence\\(\\s*'((?:[^']|'')+)'\\s*,\\s*" +
+      "'((?:[^']|'')+)'\\s*\\)").r.replaceAllIn(out, m => {
+      val t = PgSequences.normName(m.group(1).replace("''", "'"))
+      val c = m.group(2).replace("''", "'")
+      val schema =
+        try spark.table(t).schema
+        catch { case scala.util.control.NonFatal(_) =>
+          throw PgException("42P01", s"""relation "$t" does not exist""") }
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw PgException("42703",
+          s"""column "$c" of relation "$t" does not exist"""))
+      scala.util.matching.Regex.quoteReplacement(
+        if (f.metadata.contains("pg.serial"))
+          s"'public.${f.metadata.getString("pg.serial")}'"
+        else "CAST(NULL AS STRING)")
+    })
     out
   }
 
   // ---- CREATE/DROP/ALTER SEQUENCE --------------------------------------
 
-  private def handleCreateSequence(sql: String): PgResult = {
+  private def handleCreateSequence(spark: SparkSession, sql: String): PgResult = {
     val m = ("(?is)^CREATE\\s+(?:(?:TEMP|TEMPORARY)\\s+)?SEQUENCE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?(\"[^\"]+\"|[\\w$.]+)\\s*(.*)$").r
       .findFirstMatchIn(sql.trim.stripSuffix(";").trim)
@@ -256,6 +282,11 @@ object Handlers {
     val tail = m.group(3)
     def longOpt(re: String): Option[Long] =
       ("(?i)" + re).r.findFirstMatchIn(tail).map(_.group(1).toLong)
+    val typid = "(?i)^AS\\s+(\\w+)".r.findFirstMatchIn(tail)
+      .map(tm => PgSequences.typidOf(tm.group(1)).getOrElse(
+        throw PgException("42P16",
+          s"sequence type must be smallint, integer, or bigint")))
+      .getOrElse(20)
     val increment = longOpt("INCREMENT\\s+(?:BY\\s+)?(-?\\d+)").getOrElse(1L)
     val noMin = "(?i)NO\\s+MINVALUE".r.findFirstIn(tail).isDefined
     val noMax = "(?i)NO\\s+MAXVALUE".r.findFirstIn(tail).isDefined
@@ -264,11 +295,18 @@ object Handlers {
     val start = longOpt("START\\s+(?:WITH\\s+)?(-?\\d+)")
     val cycle = "(?i)(?<!NO\\s)\\bCYCLE\\b".r.findFirstIn(tail).isDefined
     PgSequences.create(name,
-      PgSequences.defaultsFor(increment, minV, maxV, start, cycle), ifNotExists)
+      PgSequences.defaultsFor(increment, minV, maxV, start, cycle, typid),
+      ifNotExists)
+    PgCatalog.invalidate()
+    // eager: the 3-column relation view must resolve for the very next
+    // `SELECT * FROM <seq>`, which carries no pg_ marker to trigger a
+    // lazy refresh
+    PgCatalog.refresh(spark)
     Complete("CREATE SEQUENCE")
   }
 
-  private def handleDropSequence(toks: Vector[Tok]): PgResult = {
+  private def handleDropSequence(spark: SparkSession,
+      toks: Vector[Tok]): PgResult = {
     val rest = toks.drop(2).filterNot(t => t.is(",") || t.is(";"))
     val ifExists = rest.length >= 2 && rest(0).isWord("IF") && rest(1).isWord("EXISTS")
     val names = (if (ifExists) rest.drop(2) else rest)
@@ -277,6 +315,8 @@ object Handlers {
       .map(t => PgSequences.normName(t.text))
     if (names.isEmpty) throw PgException("42601", "syntax error in DROP SEQUENCE")
     names.foreach(PgSequences.drop(_, ifExists))
+    PgCatalog.invalidate()
+    PgCatalog.refresh(spark) // retire the relation views immediately
     Complete("DROP SEQUENCE")
   }
 
@@ -884,10 +924,26 @@ object Handlers {
           StructType(fields.toArray), Map.empty[String, String])
         fields.filter(_.metadata.contains("pg.serial")).foreach { f =>
           val seq = f.metadata.getString("pg.serial")
+          // pg types the owned sequence after the serial family:
+          // serial→integer, bigserial→bigint, smallserial→smallint
+          val typid = f.dataType match {
+            case org.apache.spark.sql.types.ShortType => 21
+            case org.apache.spark.sql.types.LongType => 20
+            case _ => 23
+          }
           PgSequences.drop(seq, ifExists = true) // re-created table restarts
           PgSequences.create(seq,
-            PgSequences.defaultsFor(1L, None, None, None, cycle = false),
+            PgSequences.defaultsFor(1L, None, None, None, cycle = false, typid),
             ifNotExists = false)
+        }
+        // registry behind pg_get_serial_sequence's non-literal form
+        PgSequences.registerTableSerials(PgSequences.normName(table),
+          fields.toSeq.map(f => f.name ->
+            (if (f.metadata.contains("pg.serial"))
+              Some(f.metadata.getString("pg.serial")) else None)))
+        if (fields.exists(_.metadata.contains("pg.serial"))) {
+          PgCatalog.invalidate()
+          PgCatalog.refresh(spark) // implicit-sequence views, eagerly
         }
         Complete("CREATE TABLE")
       }
@@ -1050,7 +1106,10 @@ object Handlers {
       val df = runSql(spark, sql)
       df.collect()
       ownedSeqs.foreach(PgSequences.drop(_, ifExists = true))
+      tableNames.foreach(t =>
+        PgSequences.dropTableSerials(PgSequences.normName(t)))
       PgCatalog.invalidate()
+      if (ownedSeqs.nonEmpty) PgCatalog.refresh(spark)
       return Complete("DROP TABLE")
     }
     if (head == "INSERT") {

@@ -110,6 +110,7 @@ object PgCatalog {
       .filterNot(catalogViewNames.contains)
       .filterNot(_.startsWith("pg_"))
       .filterNot(_.startsWith("information_schema"))
+      .filterNot(PgSequences.exists) // their relation views are relkind S
       .distinct.sorted.toSeq
   }
 
@@ -157,11 +158,17 @@ object PgCatalog {
     StructField("relminmxid", IntegerType), StructField("relacl", StringType),
     StructField("reloptions", ArrayType(StringType)), StructField("relpartbound", StringType)))
 
-  private def pgClass(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
+  private def pgClass(spark: SparkSession, tables: Seq[(String, StructType)],
+      seqNames: Seq[String]): DataFrame =
     mkDf(spark, pgClassSchema, tables.map { case (name, schema) =>
       Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10, 2, 0, 0,
         0, -1.0f, 0, 0, false, false, "p", "r", schema.fields.length.toShort,
         0.toShort, false, false, false, false, false, true, "d", false, 0, 0, 0,
+        null, null, null)
+    } ++ seqNames.map { name =>
+      Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10, 0, 0, 0,
+        0, -1.0f, 0, 0, false, false, "p", "S", 3.toShort,
+        0.toShort, false, false, false, false, false, true, "n", false, 0, 0, 0,
         null, null, null)
     })
 
@@ -769,11 +776,6 @@ object PgCatalog {
       StructField("stxname", StringType), StructField("stxnamespace", IntegerType),
       StructField("stxstattarget", IntegerType),
       StructField("stxkind", ArrayType(StringType)))))
-    emptyView(spark, "pg_sequence", StructType(Seq(
-      StructField("seqrelid", IntegerType), StructField("seqtypid", IntegerType),
-      StructField("seqstart", LongType), StructField("seqincrement", LongType),
-      StructField("seqmax", LongType), StructField("seqmin", LongType),
-      StructField("seqcache", LongType), StructField("seqcycle", BooleanType))))
     emptyView(spark, "pg_trigger", StructType(Seq(
       StructField("oid", IntegerType), StructField("tgrelid", IntegerType),
       StructField("tgname", StringType), StructField("tgfoid", IntegerType),
@@ -957,13 +959,23 @@ object PgCatalog {
     * recomputing all dynamic views on every catalog-touching query cost
     * ~0.7 s/query — round-5 verdict finding #4).
     */
+  /** The 3-column relation shape `SELECT * FROM <sequence>` exposes. */
+  private val seqRelSchema = StructType(Seq(
+    StructField("last_value", LongType, nullable = false),
+    StructField("log_cnt", LongType, nullable = false),
+    StructField("is_called", BooleanType, nullable = false)))
+
   def refresh(spark: SparkSession): Unit = {
     val names = userTables(spark)
-    if (names == lastSnapshot.get(spark)) return
-    lastSnapshot.put(spark, names)
+    val seqSnap = PgSequences.snapshot
+    val fingerprint = names ++ seqSnap.map("seq:" + _._1)
+    if (fingerprint == lastSnapshot.get(spark)) return
+    lastSnapshot.put(spark, fingerprint)
     val tables = names.map(n => n -> spark.table(n).schema)
-    register(spark, "pg_class", pgClass(spark, tables))
-    register(spark, "pg_attribute", pgAttribute(spark, tables))
+    register(spark, "pg_class", pgClass(spark, tables, seqSnap.map(_._1)))
+    register(spark, "pg_attribute",
+      pgAttribute(spark, tables ++ seqSnap.map(_._1 -> seqRelSchema)))
+    registerSequenceViews(spark, seqSnap)
     register(spark, "pg_tables", pgTables(spark, tables))
     register(spark, "information_schema_tables", infoTables(spark, tables))
     register(spark, "information_schema_columns", infoColumns(spark, tables))
@@ -978,6 +990,80 @@ object PgCatalog {
         StructField("table_schema", StringType), StructField("table_name", StringType),
         StructField("view_definition", StringType))), Seq.empty))
   }
+
+  /** Sequence catalog surface: `pg_sequence` (DDL-static, rebuilt on
+    * the snapshot fingerprint which changes with CREATE/DROP),
+    * `pg_sequences` (the user view — `last_value` reads LIVE state
+    * through a nondeterministic UDF so nextval needs no catalog
+    * refresh), `information_schema.sequences`, and one 3-column
+    * relation view per sequence (`SELECT * FROM s` →
+    * last_value|log_cnt|is_called, live the same way; pin:
+    * live pg 15 shows 1|0|f fresh and 2|31|t after two nextvals).
+    */
+  private def registerSequenceViews(spark: SparkSession,
+      seqSnap: Seq[(String, PgSequences.SeqDef, Long, Boolean)]): Unit = {
+    PgSequences.registerUdfs(spark) // views below resolve these at build
+    register(spark, "pg_sequence", mkDf(spark, StructType(Seq(
+      StructField("seqrelid", IntegerType), StructField("seqtypid", IntegerType),
+      StructField("seqstart", LongType), StructField("seqincrement", LongType),
+      StructField("seqmax", LongType), StructField("seqmin", LongType),
+      StructField("seqcache", LongType), StructField("seqcycle", BooleanType))),
+      seqSnap.map { case (n, d, _, _) =>
+        Row(Oids.of(s"rel:$n"), d.typid, d.start, d.increment, d.maxV, d.minV,
+          1L, d.cycle)
+      }))
+    val pgSequencesBase = mkDf(spark, StructType(Seq(
+      StructField("schemaname", StringType), StructField("sequencename", StringType),
+      StructField("sequenceowner", StringType), StructField("data_type", StringType),
+      StructField("start_value", LongType), StructField("min_value", LongType),
+      StructField("max_value", LongType), StructField("increment_by", LongType),
+      StructField("cycle", BooleanType), StructField("cache_size", LongType))),
+      seqSnap.map { case (n, d, _, _) =>
+        Row("public", n, "postgres", PgSequences.typeName(d.typid),
+          d.start, d.minV, d.maxV, d.increment, d.cycle, 1L)
+      })
+    register(spark, "pg_sequences", pgSequencesBase.withColumn("last_value",
+      org.apache.spark.sql.functions.call_udf("pg_seq_last_value_vis",
+        org.apache.spark.sql.functions.col("sequencename"))))
+    register(spark, "information_schema_sequences", mkDf(spark, StructType(Seq(
+      StructField("sequence_catalog", StringType),
+      StructField("sequence_schema", StringType),
+      StructField("sequence_name", StringType),
+      StructField("data_type", StringType),
+      StructField("numeric_precision", IntegerType),
+      StructField("numeric_precision_radix", IntegerType),
+      StructField("numeric_scale", IntegerType),
+      StructField("start_value", StringType),
+      StructField("minimum_value", StringType),
+      StructField("maximum_value", StringType),
+      StructField("increment", StringType),
+      StructField("cycle_option", StringType))),
+      seqSnap.map { case (n, d, _, _) =>
+        val prec = d.typid match { case 21 => 16; case 23 => 32; case _ => 64 }
+        Row("postgres", "public", n, PgSequences.typeName(d.typid), prec, 2, 0,
+          d.start.toString, d.minV.toString, d.maxV.toString,
+          d.increment.toString, if (d.cycle) "YES" else "NO")
+      }))
+    val fresh = seqSnap.map(_._1).toSet
+    val prior = Option(seqRelViews.get(spark)).getOrElse(Set.empty[String])
+    (prior -- fresh).foreach(spark.catalog.dropTempView) // dropped sequences
+    seqRelViews.put(spark, fresh)
+    seqSnap.foreach { case (n, _, _, _) =>
+      if (!catalogViewNames.contains(n) && !n.startsWith("pg_")) {
+        val esc = n.replace("'", "''")
+        register(spark, n, spark.sql(
+          s"SELECT pg_seq_last_value('$esc') AS last_value, " +
+            s"pg_seq_log_cnt('$esc') AS log_cnt, " +
+            s"pg_seq_is_called('$esc') AS is_called"))
+      }
+    }
+  }
+
+  /** Per-session names of the sequence relation views we registered,
+    * so a DROP SEQUENCE's next refresh can retire the stale view. */
+  private val seqRelViews =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Set[String]]())
 
   private val staticDone =
     java.util.Collections.synchronizedMap(

@@ -634,6 +634,11 @@ object PgFunctions {
       ProcDef("pg_current_schema", Nil, N),
       ProcDef("pg_current_schemas", Seq(B), TARR),
       ProcDef("version", Nil, T),
+      ProcDef("nextval", Seq(2205), I8),
+      ProcDef("currval", Seq(2205), I8),
+      ProcDef("setval", Seq(2205, I8), I8),
+      ProcDef("lastval", Nil, I8),
+      ProcDef("pg_get_serial_sequence", Seq(T, T), T),
       ProcDef("pg_get_userbyid", Seq(OID), N),
       ProcDef("pg_table_is_visible", Seq(OID), B),
       ProcDef("pg_function_is_visible", Seq(OID), B),

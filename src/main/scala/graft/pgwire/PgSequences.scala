@@ -34,16 +34,71 @@ import org.apache.spark.sql.SparkSession
 object PgSequences extends Serializable {
 
   final case class SeqDef(increment: Long, minV: Long, maxV: Long,
-      start: Long, cycle: Boolean)
+      start: Long, cycle: Boolean, typid: Int = 20)
 
   final class SeqState(@volatile var defn: SeqDef) {
     var lastValue: Long = defn.start
     var called: Boolean = false
+    // pg's WAL-prefetch counter, visible in `SELECT * FROM <seq>`:
+    // 0 fresh / after setval·RESTART, 32 on a fetch that exhausts it,
+    // decrementing per nextval (live-pinned: two nextvals show 31)
+    var logCnt: Long = 0L
+  }
+
+  /** int2/int4/int8 → pg type oid; None for an unrecognized spelling. */
+  def typidOf(ty: String): Option[Int] = ty.trim.toLowerCase match {
+    case "smallint" | "int2" => Some(21)
+    case "integer" | "int" | "int4" => Some(23)
+    case "bigint" | "int8" => Some(20)
+    case _ => None
+  }
+
+  def typeName(typid: Int): String = typid match {
+    case 21 => "smallint"
+    case 23 => "integer"
+    case _ => "bigint"
+  }
+
+  private def typeMax(typid: Int): Long = typid match {
+    case 21 => Short.MaxValue.toLong
+    case 23 => Int.MaxValue.toLong
+    case _ => Long.MaxValue
+  }
+
+  private def typeMin(typid: Int): Long = typid match {
+    case 21 => Short.MinValue.toLong
+    case 23 => Int.MinValue.toLong
+    case _ => Long.MinValue
   }
 
   private val seqs = new ConcurrentHashMap[String, SeqState]()
   private val sessionCurr = new ConcurrentHashMap[(Int, String), java.lang.Long]()
   private val sessionLast = new ConcurrentHashMap[Int, java.lang.Long]()
+  // table → (column name → owned sequence, None for plain columns),
+  // recorded at wire CREATE TABLE. Backs pg_get_serial_sequence when
+  // its arguments are not literals (the literal form is evaluated at
+  // rewrite time against the real catalog — a UDF task cannot touch
+  // SessionState in Spark 4).
+  private val serialCols =
+    new ConcurrentHashMap[String, Map[String, Option[String]]]()
+
+  def registerTableSerials(table: String,
+      cols: Seq[(String, Option[String])]): Unit =
+    serialCols.put(table, cols.toMap)
+
+  def dropTableSerials(table: String): Unit = serialCols.remove(table)
+
+  /** pg_get_serial_sequence semantics over the wire-DDL registry: the
+    * column argument matches VERBATIM case-sensitively (live-pinned:
+    * 'ID' finds column ID, 'LO' errors 42703 against column lo). */
+  def serialSeqOf(table: String, col: String): Option[String] = {
+    val t = normName(table)
+    val cols = serialCols.get(t)
+    if (cols == null)
+      throw PgException("42P01", s"""relation "$t" does not exist""")
+    cols.getOrElse(col, throw PgException("42703",
+      s"""column "$col" of relation "$t" does not exist"""))
+  }
 
   /** pg identifier normalization for a sequence name appearing as a
     * string literal: strip a leading schema qualifier, strip quotes
@@ -68,12 +123,15 @@ object PgSequences extends Serializable {
     else raw.toLowerCase
   }
 
+  /** pg's default-bound rules: ascending sequences run 1..typeMax,
+    * descending typeMin..-1 (live-pinned: `AS smallint INCREMENT -2`
+    * shows -32768..-1 START -1). */
   def defaultsFor(increment: Long, minOpt: Option[Long], maxOpt: Option[Long],
-      startOpt: Option[Long], cycle: Boolean): SeqDef = {
-    val minV = minOpt.getOrElse(if (increment > 0) 1L else Long.MinValue)
-    val maxV = maxOpt.getOrElse(if (increment > 0) Long.MaxValue else -1L)
+      startOpt: Option[Long], cycle: Boolean, typid: Int = 20): SeqDef = {
+    val minV = minOpt.getOrElse(if (increment > 0) 1L else typeMin(typid))
+    val maxV = maxOpt.getOrElse(if (increment > 0) typeMax(typid) else -1L)
     val start = startOpt.getOrElse(if (increment > 0) minV else maxV)
-    SeqDef(increment, minV, maxV, start, cycle)
+    SeqDef(increment, minV, maxV, start, cycle, typid)
   }
 
   def create(name: String, defn: SeqDef, ifNotExists: Boolean): Unit = {
@@ -97,12 +155,24 @@ object PgSequences extends Serializable {
     seqs.keySet().asScala.toSeq.sorted
   }
 
+  /** (name, defn, lastValue, called) ordered by name — one consistent
+    * read per sequence for the catalog views. */
+  def snapshot: Seq[(String, SeqDef, Long, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    seqs.entrySet().asScala.toSeq.sortBy(_.getKey).map { e =>
+      val s = e.getValue
+      val (lv, c) = s.synchronized((s.lastValue, s.called))
+      (e.getKey, s.defn, lv, c)
+    }
+  }
+
   /** ALTER SEQUENCE … RESTART [WITH n] */
   def restart(name: String, withV: Option[Long]): Unit = {
     val s = state(name)
     s.synchronized {
       s.lastValue = withV.getOrElse(s.defn.start)
       s.called = false
+      s.logCnt = 0L
     }
   }
 
@@ -133,6 +203,7 @@ object PgSequences extends Serializable {
         }
       s.lastValue = next
       s.called = true
+      s.logCnt = if (s.logCnt <= 0L) 32L else s.logCnt - 1L
       next
     }
     sessionCurr.put((connId, name), v)
@@ -167,6 +238,7 @@ object PgSequences extends Serializable {
         s"""setval: value $v is out of bounds for sequence "$name" (${d.minV}..${d.maxV})""")
       s.lastValue = v
       s.called = isCalled
+      s.logCnt = 0L
     }
     sessionCurr.put((connId, name), v)
     sessionLast.put(connId, v)
@@ -181,7 +253,7 @@ object PgSequences extends Serializable {
 
   /** Test hook: forget everything (suite isolation). */
   private[graft] def reset(): Unit = {
-    seqs.clear(); sessionCurr.clear(); sessionLast.clear()
+    seqs.clear(); sessionCurr.clear(); sessionLast.clear(); serialCols.clear()
   }
 
   private val installed =
@@ -203,5 +275,32 @@ object PgSequences extends Serializable {
     spark.udf.register("pg_setval",
       udf((n: String, v: Long, c: Boolean, cid: Int) =>
         setval(normName(n), v, c, cid)).asNondeterministic())
+    // live-state readers behind the catalog surface: the per-sequence
+    // relation view (`SELECT * FROM s` → last_value|log_cnt|is_called)
+    // and pg_sequences.last_value (NULL until first nextval/setval).
+    // Nondeterministic so no plan-time folding freezes a snapshot.
+    spark.udf.register("pg_seq_last_value",
+      udf((n: String) => { val s = state(n); s.synchronized(s.lastValue) })
+        .asNondeterministic())
+    spark.udf.register("pg_seq_log_cnt",
+      udf((n: String) => { val s = state(n); s.synchronized(s.logCnt) })
+        .asNondeterministic())
+    spark.udf.register("pg_seq_is_called",
+      udf((n: String) => { val s = state(n); s.synchronized(s.called) })
+        .asNondeterministic())
+    spark.udf.register("pg_seq_last_value_vis",
+      udf((n: String) => {
+        val s = state(n)
+        val v = s.synchronized(if (s.called) Some(s.lastValue) else None)
+        v.map(java.lang.Long.valueOf).orNull
+      }).asNondeterministic())
+    // pg_get_serial_sequence(table, column): the implicit sequence a
+    // serial column owns, else NULL for a plain column (live-pinned);
+    // 42P01/42703 for a missing relation/column like pg. This UDF is
+    // the non-literal-argument fallback over the wire-DDL registry;
+    // literal calls are folded at rewrite time against the catalog.
+    spark.udf.register("pg_get_serial_sequence",
+      udf((tbl: String, col: String) =>
+        serialSeqOf(tbl, col).map("public." + _).orNull))
   }
 }

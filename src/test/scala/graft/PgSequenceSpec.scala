@@ -119,4 +119,90 @@ class PgSequenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!PgSequences.exists("seq_t_id_seq"))
     c.close()
   }
+
+  test("catalog surface: pg_sequences, pg_sequence, pg_class 'S', SELECT FROM seq (live-pg pinned)") {
+    PgSequences.reset()
+    val c = connect()
+    c.query("CREATE SEQUENCE cat_s")
+    c.query("CREATE SEQUENCE cat_i AS integer")
+    c.query("CREATE SEQUENCE cat_d AS smallint INCREMENT -2")
+    // `SELECT * FROM <seq>` — fresh: last_value=START, log_cnt=0,
+    // is_called=f (pin: 1|0|f); after two nextvals: 2|31|t
+    assert(one(c, "SELECT * FROM cat_s") === Seq("1", "0", "f"))
+    one(c, "SELECT nextval('cat_s'), nextval('cat_s')")
+    assert(one(c, "SELECT * FROM cat_s") === Seq("2", "31", "t"))
+    // pg_sequences: AS-typed bounds and NULL last_value until first use
+    val r = c.query(
+      """SELECT sequencename, data_type, start_value, min_value, max_value,
+        |       increment_by, cycle, cache_size, last_value
+        |FROM pg_sequences WHERE sequencename LIKE 'cat_%'
+        |ORDER BY sequencename""".stripMargin)
+    assert(r.errors === Nil)
+    assert(r.rows.map(_.map(_.getOrElse("NULL"))) === Seq(
+      Seq("cat_d", "smallint", "-1", "-32768", "-1", "-2", "f", "1", "NULL"),
+      Seq("cat_i", "integer", "1", "1", "2147483647", "1", "f", "1", "NULL"),
+      Seq("cat_s", "bigint", "1", "1", "9223372036854775807", "1", "f", "1", "2")))
+    // setval(…, false) resets log_cnt, pins is_called — and pg_sequences
+    // goes back to NULL last_value (live pin: setval('pv',7,false) →
+    // relation view 7|0|f but pg_sequences.last_value NULL)
+    one(c, "SELECT setval('cat_s', 100, false)")
+    assert(one(c, "SELECT * FROM cat_s") === Seq("100", "0", "f"))
+    assert(c.query(
+      "SELECT last_value FROM pg_sequences WHERE sequencename = 'cat_s'")
+      .rows.head.head.isEmpty)
+    // pg_sequence joins pg_class on seqrelid; relkind 'S'
+    val r2 = c.query(
+      """SELECT c.relname, s.seqtypid, s.seqmax, s.seqcycle
+        |FROM pg_sequence s JOIN pg_class c ON c.oid = s.seqrelid
+        |WHERE c.relname = 'cat_i'""".stripMargin)
+    assert(r2.rows.map(_.map(_.get)) === Seq(Seq("cat_i", "23", "2147483647", "f")))
+    // psql \ds shape: relkind filter + visibility + owner
+    val ds = c.query(
+      """SELECT n.nspname, c.relname, c.relkind,
+        |       pg_catalog.pg_get_userbyid(c.relowner)
+        |FROM pg_catalog.pg_class c
+        |  LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+        |WHERE c.relkind IN ('S','') AND pg_catalog.pg_table_is_visible(c.oid)
+        |ORDER BY 2""".stripMargin)
+    assert(ds.rows.map(_.map(_.get)) === Seq(
+      Seq("public", "cat_d", "S", "postgres"),
+      Seq("public", "cat_i", "S", "postgres"),
+      Seq("public", "cat_s", "S", "postgres")))
+    // sequences never leak into pg_tables/user-table rows
+    assert(c.query(
+      "SELECT 1 FROM pg_tables WHERE tablename LIKE 'cat_%'").rows === Nil)
+    c.query("DROP SEQUENCE cat_s, cat_i, cat_d")
+    // dropped: relation view retired, catalog rows gone
+    assert(c.query("SELECT * FROM cat_s").errors.nonEmpty)
+    assert(c.query(
+      "SELECT 1 FROM pg_sequences WHERE sequencename LIKE 'cat_%'").rows === Nil)
+    c.close()
+  }
+
+  test("pg_get_serial_sequence and typed serial bounds (live-pg pinned)") {
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS gss_t")
+    c.query("CREATE TABLE gss_t (id serial, big bigserial, v text)")
+    assert(one(c,
+      "SELECT pg_get_serial_sequence('gss_t','id'), pg_get_serial_sequence('public.gss_t','big')") ===
+      Seq("public.gss_t_id_seq", "public.gss_t_big_seq"))
+    // plain column → NULL; missing relation/column → 42P01/42703
+    val r = c.query("SELECT pg_get_serial_sequence('gss_t','v') IS NULL AS n")
+    assert(r.rows.map(_.map(_.get)) === Seq(Seq("t")))
+    assert(c.query("SELECT pg_get_serial_sequence('nosuch_t','x')")
+      .errors.map(_._1) === Seq("42P01"))
+    assert(c.query("SELECT pg_get_serial_sequence('gss_t','nope')")
+      .errors.map(_._1) === Seq("42703"))
+    // serial's implicit sequence is typed after the column family
+    // (pin: t_id_seq max 2147483647)
+    val b = c.query(
+      """SELECT sequencename, data_type, max_value FROM pg_sequences
+        |WHERE sequencename LIKE 'gss_t%' ORDER BY sequencename""".stripMargin)
+    assert(b.rows.map(_.map(_.get)) === Seq(
+      Seq("gss_t_big_seq", "bigint", "9223372036854775807"),
+      Seq("gss_t_id_seq", "integer", "2147483647")))
+    c.query("DROP TABLE gss_t")
+    c.close()
+  }
 }
