@@ -369,9 +369,459 @@ object Compat {
     ThreadLocal.withInitial(() => Set.empty[String])
 
   /** Rewrite with the calling session's user enum types visible. */
+  // ---- pg output column names (FigureColname) ----------------------------
+  //
+  // pg derives the name of an unlabeled result column from its SYNTAX
+  // (parse_target.c FigureColname; every rule below live-pinned against
+  // pg 15, sweep-33): column ref → last path component; function call →
+  // function name (TRIM → btrim/ltrim/rtrim, AT TIME ZONE → timezone);
+  // casts → the argument's own name if derivable, else the resolved
+  // type's internal name (1::int → int4); typed literals → the type
+  // word; CASE → the ELSE arm's name, else "case"; ARRAY[…] → array;
+  // scalar subquery → the inner column's name; operators, literals and
+  // IS tests → "?column?". Spark instead prints the pretty expression
+  // ("lower(ABC)", "(a + b)"). This pass injects explicit pg-computed
+  // aliases into the OUTERMOST select list (first set-operation branch —
+  // pg takes output names from it) and a trailing RETURNING list, so
+  // RowDescription matches pg without touching inner query semantics.
+
+  /** depth-0 keywords that terminate the outermost select list. */
+  private val selectListEnders = Set("from", "where", "group", "having",
+    "window", "order", "limit", "offset", "fetch", "for", "union",
+    "except", "intersect", "into")
+
+  /** A final bare Word that is an expression continuation, never an
+    * implicit trailing alias. */
+  private val notAliasFinalWords = Set("null", "true", "false", "unknown",
+    "end", "precision", "varying", "zone", "isnull", "notnull", "default",
+    "year", "month", "day", "hour", "minute", "second", "week",
+    "millisecond", "microsecond", "decade", "century", "millennium")
+
+  /** A final Word/QIdent after one of these words is an operand of the
+    * construct, not an alias (`x COLLATE "C"`, `… AT TIME ZONE tz`). */
+  private val notAliasAfterWords = Set("collate", "zone", "to", "at",
+    "escape", "operator", "interval", "like", "ilike", "similar")
+
+  /** Spelled type → pg internal type name, for cast-derived columns. */
+  private val pgTypeDisplayMap = Map(
+    "int" -> "int4", "integer" -> "int4", "bigint" -> "int8",
+    "smallint" -> "int2", "boolean" -> "bool", "real" -> "float4",
+    "float" -> "float8", "double precision" -> "float8",
+    "double" -> "float8", "decimal" -> "numeric",
+    "character varying" -> "varchar", "character" -> "bpchar",
+    "char" -> "bpchar", "bit varying" -> "varbit",
+    "timestamp with time zone" -> "timestamptz",
+    "timestamp without time zone" -> "timestamp",
+    "time with time zone" -> "timetz",
+    "time without time zone" -> "time")
+
+  /** Bare single-word items that Spark renders with a () suffix after
+    * the bare-var rewrite; pg keeps the bare spelling as the name. */
+  private val bareVarNames: Set[String] =
+    bareVarMap.keySet ++ Set("current_date", "current_time",
+      "current_timestamp", "localtime", "localtimestamp")
+
+  private def stripIdent(t: Tok): String =
+    if (t.kind == QIdent) t.text.substring(1, t.text.length - 1).replace("\"\"", "\"")
+    else t.text.toLowerCase
+
+  private def typeDisplayOf(ts: ArrayBuffer[Tok], s: Int, e: Int): String = {
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = s
+    while (j >= 0 && j <= e) {
+      val t = ts(j)
+      if (t.kind == Word) words += t.text.toLowerCase
+      else if (t.kind == QIdent) words += stripIdent(t)
+      else if (t.is("(") || t.is("[")) j = e // typmod / array suffix ends it
+      j = if (j == e) e + 1 else { val n = nextIdx(ts, j); if (n < 0) e + 1 else n }
+    }
+    val spelled = words.mkString(" ")
+    pgTypeDisplayMap.getOrElse(spelled,
+      pgTypeDisplayMap.getOrElse(words.headOption.getOrElse(""),
+        words.headOption.getOrElse("?column?")))
+  }
+
+  /** pg's FigureColname over the token span [s, e] (meaningful bounds).
+    * None = no derivable name (caller renders "?column?" / "case"). */
+  private def figureColname(ts: ArrayBuffer[Tok], s0: Int, e0: Int): Option[String] = {
+    var s = s0; var e = e0
+    while (s <= e && ts(s).kind == Ws) s += 1
+    while (e >= s && ts(e).kind == Ws) e -= 1
+    if (s > e || s < 0) return None
+    // trailing COLLATE <ident>: transparent, recurse into the value
+    if ((ts(e).kind == Word || ts(e).kind == QIdent) && {
+      val p = prevIdx(ts, e); p >= s && ts(p).isWord("COLLATE")
+    }) return figureColname(ts, s, prevIdx(ts, prevIdx(ts, e)))
+    // trailing `::type` cast chain: the cast must be the OUTERMOST
+    // production — everything after the last depth-0 `::` has to be a
+    // type spelling (words + optional typmod parens + []). Then the
+    // value's own name wins, else the type names the column.
+    run {
+      var k = -1; var depth = 0; var j = s
+      while (j <= e) {
+        val t = ts(j)
+        if (t.is("(") || t.is("[")) depth += 1
+        else if (t.is(")") || t.is("]")) depth -= 1
+        else if (depth == 0 && t.is("::")) k = j
+        j += 1
+      }
+      if (k >= 0) {
+        var ok = true; var sawParen = false
+        var p = nextIdx(ts, k)
+        while (ok && p >= 0 && p <= e) {
+          val t = ts(p)
+          if (t.kind == Word || t.kind == QIdent) { if (sawParen) ok = false }
+          else if (t.is("(") && !sawParen) {
+            val c = matchParen(ts, p)
+            if (c < 0 || c > e) ok = false else { sawParen = true; p = c }
+          } else if (t.is("[") || t.is("]")) () // array suffix
+          else ok = false
+          p = if (p < 0) -1 else nextIdx(ts, p)
+        }
+        if (ok) {
+          val left = figureColname(ts, s, prevIdx(ts, k))
+          return left.orElse(Some(typeDisplayOf(ts, nextIdx(ts, k), e)))
+        }
+      }
+    }
+    // balanced outer parens: scalar subquery → inner column name;
+    // plain group → recurse
+    if (ts(s).is("(") && matchParen(ts, s) == e) {
+      val inner = nextIdx(ts, s)
+      if (inner >= 0 && inner < e && ts(inner).isWord("SELECT"))
+        return subqueryColname(ts, inner, e)
+      return figureColname(ts, s + 1, e - 1)
+    }
+    // field selection / qualified ref: name is the last path component
+    if ((ts(e).kind == Word || ts(e).kind == QIdent) && {
+      val p = prevIdx(ts, e); p >= s && ts(p).is(".")
+    }) return Some(stripIdent(ts(e)))
+    // single token
+    if (s == e) {
+      return ts(s).kind match {
+        case Word if !ts(s).text.startsWith("$") => Some(ts(s).text.toLowerCase)
+        case QIdent => Some(stripIdent(ts(s)))
+        case _ => None
+      }
+    }
+    // CASE … [ELSE x] END → the ELSE arm's name, else "case"
+    if (ts(s).isWord("CASE")) {
+      var caseDepth = 0; var j = s; var elsePos = -1
+      while (j <= e) {
+        val t = ts(j)
+        if (t.isWord("CASE")) caseDepth += 1
+        else if (t.isWord("END")) caseDepth -= 1
+        else if (t.isWord("ELSE") && caseDepth == 1) elsePos = j
+        j += 1
+      }
+      val fromElse =
+        if (elsePos >= 0) figureColname(ts, nextIdx(ts, elsePos), prevIdx(ts, e))
+        else None
+      return Some(fromElse.getOrElse("case"))
+    }
+    // ARRAY[…]
+    if (ts(s).isWord("ARRAY")) {
+      val n = nextIdx(ts, s)
+      if (n >= 0 && ts(n).is("[")) return Some("array")
+    }
+    // typed literal: TYPE 'lit' (including multi-word spellings)
+    if (ts(e).kind == Str) {
+      var allWords = true; var j = s
+      while (j < e) {
+        if (ts(j).kind != Ws && ts(j).kind != Word) allWords = false
+        j += 1
+      }
+      if (allWords) return Some(typeDisplayOf(ts, s, prevIdx(ts, e)))
+    }
+    // function call: [path.]fn( … ) with only OVER/FILTER/WITHIN GROUP
+    // suffix groups after the close
+    if (ts(s).kind == Word || ts(s).kind == QIdent) {
+      var fnTok = s
+      var j = nextIdx(ts, s)
+      while (j >= 0 && j < e && ts(j).is(".") && {
+        val n = nextIdx(ts, j)
+        n >= 0 && (ts(n).kind == Word || ts(n).kind == QIdent)
+      }) { fnTok = nextIdx(ts, j); j = nextIdx(ts, fnTok) }
+      if (j >= 0 && j <= e && ts(j).is("(")) {
+        val close = matchParen(ts, j)
+        if (close > 0 && close <= e && suffixOnly(ts, close, e)) {
+          val fn = stripIdent(ts(fnTok))
+          if (fn == "cast") {
+            // CAST(x AS type): x's name wins, else the type's
+            var depth = 0; var k = j; var asPos = -1
+            while (k < close) {
+              if (ts(k).is("(")) depth += 1
+              else if (ts(k).is(")")) depth -= 1
+              else if (depth == 1 && ts(k).isWord("AS")) asPos = k
+              k += 1
+            }
+            if (asPos > 0) {
+              val arg = figureColname(ts, nextIdx(ts, j), prevIdx(ts, asPos))
+              return arg.orElse(
+                Some(typeDisplayOf(ts, nextIdx(ts, asPos), prevIdx(ts, close))))
+            }
+          }
+          if (fn == "trim") {
+            val a = nextIdx(ts, j)
+            if (a >= 0 && ts(a).isWord("LEADING")) return Some("ltrim")
+            if (a >= 0 && ts(a).isWord("TRAILING")) return Some("rtrim")
+            return Some("btrim")
+          }
+          // engine spellings substituted BEFORE this pass (session-bound
+          // sequence calls) display under their pg names
+          return Some(fn match {
+            case "pg_nextval" => "nextval"
+            case "pg_currval" => "currval"
+            case "pg_setval" => "setval"
+            case "pg_lastval" => "lastval"
+            case other => other
+          })
+        }
+      }
+    }
+    // a_expr AT TIME ZONE tz
+    run {
+      var depth = 0; var j = s
+      while (j <= e) {
+        val t = ts(j)
+        if (t.is("(") || t.is("[")) depth += 1
+        else if (t.is(")") || t.is("]")) depth -= 1
+        else if (depth == 0 && t.isWord("AT")) {
+          val n = nextIdx(ts, j)
+          if (n >= 0 && ts(n).isWord("TIME")) return Some("timezone")
+        }
+        j += 1
+      }
+    }
+    None
+  }
+
+  private def run[A](a: => A): A = a
+
+  /** After a call's close paren, only OVER / FILTER / WITHIN GROUP
+    * suffix groups may follow for the span to still BE that call. */
+  private def suffixOnly(ts: ArrayBuffer[Tok], close: Int, e: Int): Boolean = {
+    var j = nextIdx(ts, close)
+    while (j >= 0 && j <= e) {
+      if (ts(j).isWord("FILTER") || ts(j).isWord("OVER") ||
+        ts(j).isWord("WITHIN")) {
+        var n = nextIdx(ts, j)
+        if (n >= 0 && ts(n).isWord("GROUP")) n = nextIdx(ts, n)
+        if (n < 0) return false
+        if (ts(n).is("(")) {
+          val c = matchParen(ts, n)
+          if (c < 0 || c > e) return false
+          j = nextIdx(ts, c)
+        } else if (ts(j).isWord("OVER") &&
+          (ts(n).kind == Word || ts(n).kind == QIdent)) {
+          j = nextIdx(ts, n) // OVER windowname
+        } else return false
+      } else return false
+    }
+    true
+  }
+
+  /** Output name of a scalar subquery `(SELECT …)`: the single result
+    * column's alias, else its FigureColname. */
+  private def subqueryColname(ts: ArrayBuffer[Tok], sel: Int,
+      close: Int): Option[String] = {
+    val items = selectListItems(ts, sel, close - 1)
+    items.lastOption.flatMap { case (s, e) =>
+      aliasOf(ts, s, e) match {
+        case Some(a) => Some(a)
+        case None => figureColname(ts, s, e)
+      }
+    }
+  }
+
+  /** The explicit (AS or bare) trailing alias of a select item, if any. */
+  private def aliasOf(ts: ArrayBuffer[Tok], s: Int, e: Int): Option[String] = {
+    if (e <= s) return None
+    val last = ts(e)
+    if (last.kind != Word && last.kind != QIdent) return None
+    val p = prevIdx(ts, e)
+    if (p < s) return None
+    if (ts(p).isWord("AS")) return Some(stripIdent(last))
+    if (last.kind == Word && notAliasFinalWords.contains(last.text.toLowerCase))
+      return None
+    if (ts(p).kind == Word && notAliasAfterWords.contains(ts(p).text.toLowerCase))
+      return None
+    if (ts(p).is(".") || ts(p).is("::")) return None
+    // bare alias: identifier directly after a completed value
+    val valueEnd = ts(p).kind == Word || ts(p).kind == QIdent ||
+      ts(p).kind == Str || ts(p).kind == Num || ts(p).is(")") || ts(p).is("]")
+    if (valueEnd) Some(stripIdent(last)) else None
+  }
+
+  /** Split the select list starting after token `sel` (the SELECT
+    * keyword) into item spans, ending at a depth-0 list ender or `to`. */
+  private def selectListItems(ts: ArrayBuffer[Tok], sel: Int,
+      to: Int): Seq[(Int, Int)] = {
+    var i = nextIdx(ts, sel)
+    // DISTINCT [ON (…)] / ALL
+    if (i >= 0 && ts(i).isWord("DISTINCT")) {
+      i = nextIdx(ts, i)
+      if (i >= 0 && ts(i).isWord("ON")) {
+        val o = nextIdx(ts, i)
+        if (o >= 0 && ts(o).is("(")) {
+          val c = matchParen(ts, o)
+          if (c > 0) i = nextIdx(ts, c)
+        }
+      }
+    } else if (i >= 0 && ts(i).isWord("ALL")) i = nextIdx(ts, i)
+    if (i < 0) return Nil
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = i
+    var lastMeaningful = -1
+    var depth = 0
+    var j = i
+    var done = false
+    while (j <= to && !done) {
+      val t = ts(j)
+      if (t.is("(") || t.is("[")) { depth += 1; lastMeaningful = j }
+      else if (t.is(")") || t.is("]")) { depth -= 1; lastMeaningful = j }
+      else if (depth == 0 && t.is(",")) {
+        if (lastMeaningful >= start) items += ((start, lastMeaningful))
+        start = j + 1
+        lastMeaningful = -1
+      } else if (depth == 0 && t.kind == Word &&
+        selectListEnders.contains(t.text.toLowerCase) &&
+        // `x IS [NOT] DISTINCT FROM y`: that FROM is part of the
+        // operator, not the clause boundary
+        !(t.isWord("FROM") && lastMeaningful >= 0 &&
+          ts(lastMeaningful).isWord("DISTINCT"))) {
+        done = true
+      } else if (t.is(";")) done = true
+      else if (t.kind != Ws) lastMeaningful = j
+      if (!done) j += 1
+    }
+    if (lastMeaningful >= start) items += ((start, lastMeaningful))
+    items.toSeq
+  }
+
+  /** Is the span a plain (possibly parenthesized, possibly qualified)
+    * column reference? Spark already names those like pg. */
+  private def isPlainRef(ts: ArrayBuffer[Tok], s0: Int, e0: Int): Boolean = {
+    var s = s0; var e = e0
+    while (s <= e && ts(s).kind == Ws) s += 1
+    while (e >= s && ts(e).kind == Ws) e -= 1
+    while (s <= e && ts(s).is("(") && matchParen(ts, s) == e) { s += 1; e -= 1
+      while (s <= e && ts(s).kind == Ws) s += 1
+      while (e >= s && ts(e).kind == Ws) e -= 1
+    }
+    var j = s; var expectIdent = true
+    while (j >= 0 && j <= e) {
+      val t = ts(j)
+      if (t.kind != Ws) {
+        if (expectIdent) {
+          if (t.kind != Word && t.kind != QIdent) return false
+          if (t.kind == Word && (t.text.startsWith("$") ||
+            bareVarNames.contains(t.text.toLowerCase))) return false
+          expectIdent = false
+        } else {
+          if (!t.is(".")) return false
+          expectIdent = true
+        }
+      }
+      j += 1
+    }
+    !expectIdent
+  }
+
+  /** Inject pg-computed `AS` aliases into the outermost select list and
+    * a trailing RETURNING list. Runs FIRST in [[rewrite]] so the names
+    * derive from the user's original spellings. */
+  private def injectOutputNames(ts: ArrayBuffer[Tok]): Unit = {
+    var i = nextIdx(ts, -1)
+    if (i < 0) return
+    if (ts(i).isWord("WITH")) {
+      // skip the CTE list: WITH [RECURSIVE] name [(cols)] AS
+      // [[NOT] MATERIALIZED] (body) [, …]
+      i = nextIdx(ts, i)
+      if (i >= 0 && ts(i).isWord("RECURSIVE")) i = nextIdx(ts, i)
+      var ok = true
+      while (ok && i >= 0 &&
+        (ts(i).kind == Word || ts(i).kind == QIdent)) {
+        i = nextIdx(ts, i)
+        if (i >= 0 && ts(i).is("(")) {
+          val c = matchParen(ts, i); if (c < 0) return; i = nextIdx(ts, c)
+        }
+        if (i < 0 || !ts(i).isWord("AS")) return
+        i = nextIdx(ts, i)
+        if (i >= 0 && ts(i).isWord("NOT")) i = nextIdx(ts, i)
+        if (i >= 0 && ts(i).isWord("MATERIALIZED")) i = nextIdx(ts, i)
+        if (i < 0 || !ts(i).is("(")) return
+        val c = matchParen(ts, i); if (c < 0) return
+        i = nextIdx(ts, c)
+        if (i >= 0 && ts(i).is(",")) i = nextIdx(ts, i) else ok = false
+      }
+    }
+    if (i < 0) return
+    val items: Seq[(Int, Int)] =
+      if (ts(i).isWord("SELECT")) selectListItems(ts, i, ts.length - 1)
+      else if (ts(i).isWord("INSERT") || ts(i).isWord("UPDATE") ||
+        ts(i).isWord("DELETE")) {
+        // a trailing RETURNING list names output the same way
+        var depth = 0; var j = i; var ret = -1
+        while (j < ts.length) {
+          val t = ts(j)
+          if (t.is("(")) depth += 1
+          else if (t.is(")")) depth -= 1
+          else if (depth == 0 && t.isWord("RETURNING")) ret = j
+          j += 1
+        }
+        if (ret < 0) return
+        selectListItems(ts, ret, ts.length - 1)
+      } else return
+    // compute, then inject back-to-front so spans stay valid
+    val injections = items.flatMap { case (s, e) =>
+      val meaningless = (s to e).forall(k => ts(k).kind == Ws)
+      val isStar = !meaningless && {
+        var last = e; while (last > s && ts(last).kind == Ws) last -= 1
+        ts(last).is("*")
+      }
+      if (meaningless || isStar) None
+      else if (aliasOf(ts, s, e).isDefined) {
+        // pg folds an unquoted alias to lowercase; Spark preserves the
+        // written case — normalize in place (resolution elsewhere is
+        // case-insensitive, so references keep working)
+        var last = e; while (last > s && ts(last).kind == Ws) last -= 1
+        if (ts(last).kind == Word && ts(last).text.exists(_.isUpper))
+          ts(last) = Tok(Word, ts(last).text.toLowerCase)
+        None
+      } else if (isPlainRef(ts, s, e)) None
+      else {
+        var last = e; while (last > s && ts(last).kind == Ws) last -= 1
+        Some((last, figureColname(ts, s, last).getOrElse("?column?")))
+      }
+    }
+    injections.sortBy(-_._1).foreach { case (after, name) =>
+      // always QIdent: a bare Word alias would be picked up by later
+      // word-level passes (bare-var and function renames)
+      val aliasTok = Tok(QIdent, "\"" + name.replace("\"", "\"\"") + "\"")
+      ts.insertAll(after + 1,
+        Seq(Tok(Ws, " "), Tok(Word, "AS"), Tok(Ws, " "), aliasTok))
+    }
+  }
+
   def rewrite(sql: String, enumTypes: Set[String]): String = {
     enumTypesTL.set(enumTypes)
     try rewrite(sql) finally enumTypesTL.set(Set.empty)
+  }
+
+  private val injectNamesTL = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** [[rewrite]] for a TOP-LEVEL client statement: additionally injects
+    * pg's implicit output-column names ([[injectOutputNames]]) into the
+    * outermost select list. Fragment-level callers (param inference,
+    * oracle fixtures, internal re-rewrites) keep the plain [[rewrite]],
+    * whose output is also what CompatSpec pins. */
+  def rewriteTop(sql: String, enumTypes: Set[String]): String = {
+    injectNamesTL.set(java.lang.Boolean.TRUE)
+    try rewrite(sql, enumTypes)
+    finally injectNamesTL.set(java.lang.Boolean.FALSE)
   }
 
   def rewrite(sql: String): String = {
@@ -380,6 +830,7 @@ object Compat {
       case None =>
     }
     val ts = ArrayBuffer.from(tokenize(sql))
+    if (injectNamesTL.get) injectOutputNames(ts)
     rewriteDistinctOn(ts)
     rewriteWindowFrames(ts)
     collapseOperatorCall(ts)

@@ -655,7 +655,7 @@ object Handlers {
             .map(_.fields.toSeq.map(f => (f.name, Compat.pgTypeNameOf(f.dataType)))))
       else sql
     val rewritten =
-      Compat.rewrite(pre, graft.functions.PgEnums.names(spark))
+      Compat.rewriteTop(pre, graft.functions.PgEnums.names(spark))
     val lower = rewritten.toLowerCase
     if (lower.contains("pg_") || lower.contains("information_schema"))
       PgCatalog.refresh(spark)
