@@ -84,8 +84,20 @@ object Q {
         case _ => 1
       }.sum
       catch { case scala.util.control.NonFatal(_) => 1 }
-    val n = math.max(8,
-      math.min(srcParts, spark.sparkContext.defaultParallelism))
+    // Width from DATA SIZE, not split count: callers place CPU-heavy
+    // projections (jsonpath / format evaluation) after this, and one
+    // 2 MB single-split file can carry 150k rows' worth of per-row
+    // work. One way per 128 KiB of estimated input, between the 8-way
+    // floor (tiny tables still fan out) and the core count; never
+    // below the source's own split count (a production-scale input
+    // with hundreds of splits keeps them — the local knobs are inert
+    // there).
+    val bytes =
+      try df.queryExecution.analyzed.stats.sizeInBytes.toLong
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val byData = (bytes / (128L * 1024)).toInt
+    val n = math.max(math.max(8, srcParts),
+      math.min(byData, spark.sparkContext.defaultParallelism))
     df.repartitionByRange(n, org.apache.spark.sql.functions.col(key))
   }
 }
