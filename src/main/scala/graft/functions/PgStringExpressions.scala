@@ -470,6 +470,15 @@ object PgStringExpressions {
         case n => throw new IllegalArgumentException(s"regexp_matches: $n args")
       }
     }),
+    // pg 10+ regexp_match: the scalar first-match form — exactly what
+    // PgRegexpMatches computes (it rejects the set-returning 'g' flag)
+    (FunctionIdentifier("regexp_match"), info("regexp_match"), { args =>
+      args.length match {
+        case 2 => PgRegexpMatches(args(0), args(1), emptyStr)
+        case 3 => PgRegexpMatches(args(0), args(1), args(2))
+        case n => throw new IllegalArgumentException(s"regexp_match: $n args")
+      }
+    }),
     (FunctionIdentifier("initcap"), info("initcap"), { args =>
       require(args.length == 1, "initcap requires 1 argument")
       PgInitcap(args(0))

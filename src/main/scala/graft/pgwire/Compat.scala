@@ -390,10 +390,15 @@ object Compat {
     "window", "order", "limit", "offset", "fetch", "for", "union",
     "except", "intersect", "into")
 
+  /** Keyword literals: a bare NULL/TRUE/FALSE names ?column?, and is
+    * never a plain column reference. */
+  private val bareLiteralWords = Set("null", "true", "false", "unknown")
+
   /** A final bare Word that is an expression continuation, never an
     * implicit trailing alias. */
   private val notAliasFinalWords = Set("null", "true", "false", "unknown",
     "end", "precision", "varying", "zone", "isnull", "notnull", "default",
+    "within", "filter", "over",
     "year", "month", "day", "hour", "minute", "second", "week",
     "millisecond", "microsecond", "decade", "century", "millennium")
 
@@ -443,7 +448,16 @@ object Compat {
 
   /** pg's FigureColname over the token span [s, e] (meaningful bounds).
     * None = no derivable name (caller renders "?column?" / "case"). */
-  private def figureColname(ts: ArrayBuffer[Tok], s0: Int, e0: Int): Option[String] = {
+  private def figureColname(ts: ArrayBuffer[Tok], s0: Int, e0: Int): Option[String] =
+    figureCol(ts, s0, e0).map(_._1)
+
+  /** Name plus pg's strength: 2 = a "real" name (column ref, function,
+    * subquery column), 1 = weak (a cast's type name, the "case"
+    * fallback, a typed literal's type word). A weak inner name does
+    * NOT propagate through an enclosing cast — `'x'::text::varchar`
+    * names varchar, not text (live-pinned). */
+  private def figureCol(ts: ArrayBuffer[Tok], s0: Int,
+      e0: Int): Option[(String, Int)] = {
     var s = s0; var e = e0
     while (s <= e && ts(s).kind == Ws) s += 1
     while (e >= s && ts(e).kind == Ws) e -= 1
@@ -451,7 +465,7 @@ object Compat {
     // trailing COLLATE <ident>: transparent, recurse into the value
     if ((ts(e).kind == Word || ts(e).kind == QIdent) && {
       val p = prevIdx(ts, e); p >= s && ts(p).isWord("COLLATE")
-    }) return figureColname(ts, s, prevIdx(ts, prevIdx(ts, e)))
+    }) return figureCol(ts, s, prevIdx(ts, prevIdx(ts, e)))
     // trailing `::type` cast chain: the cast must be the OUTERMOST
     // production — everything after the last depth-0 `::` has to be a
     // type spelling (words + optional typmod parens + []). Then the
@@ -479,9 +493,23 @@ object Compat {
           p = if (p < 0) -1 else nextIdx(ts, p)
         }
         if (ok) {
-          val left = figureColname(ts, s, prevIdx(ts, k))
-          return left.orElse(Some(typeDisplayOf(ts, nextIdx(ts, k), e)))
+          val left = figureCol(ts, s, prevIdx(ts, k))
+          return left.filter(_._2 >= 2).orElse(
+            Some((typeDisplayOf(ts, nextIdx(ts, k), e), 1)))
         }
+      }
+    }
+    // trailing subscript `[i]` / slice: transparent (live pin:
+    // (ARRAY[1,2])[1] names "array")
+    if (ts(e).is("]")) {
+      var depth = 0; var j = e
+      while (j >= s) {
+        if (ts(j).is("]")) depth += 1
+        else if (ts(j).is("[")) {
+          depth -= 1
+          if (depth == 0) return figureCol(ts, s, j - 1)
+        }
+        j -= 1
       }
     }
     // balanced outer parens: scalar subquery → inner column name;
@@ -490,17 +518,19 @@ object Compat {
       val inner = nextIdx(ts, s)
       if (inner >= 0 && inner < e && ts(inner).isWord("SELECT"))
         return subqueryColname(ts, inner, e)
-      return figureColname(ts, s + 1, e - 1)
+      return figureCol(ts, s + 1, e - 1)
     }
     // field selection / qualified ref: name is the last path component
     if ((ts(e).kind == Word || ts(e).kind == QIdent) && {
       val p = prevIdx(ts, e); p >= s && ts(p).is(".")
-    }) return Some(stripIdent(ts(e)))
+    }) return Some((stripIdent(ts(e)), 2))
     // single token
     if (s == e) {
       return ts(s).kind match {
-        case Word if !ts(s).text.startsWith("$") => Some(ts(s).text.toLowerCase)
-        case QIdent => Some(stripIdent(ts(s)))
+        case Word if !ts(s).text.startsWith("$") &&
+          !bareLiteralWords.contains(ts(s).text.toLowerCase) =>
+          Some((ts(s).text.toLowerCase, 2))
+        case QIdent => Some((stripIdent(ts(s)), 2))
         case _ => None
       }
     }
@@ -515,14 +545,14 @@ object Compat {
         j += 1
       }
       val fromElse =
-        if (elsePos >= 0) figureColname(ts, nextIdx(ts, elsePos), prevIdx(ts, e))
+        if (elsePos >= 0) figureCol(ts, nextIdx(ts, elsePos), prevIdx(ts, e))
         else None
-      return Some(fromElse.getOrElse("case"))
+      return Some(fromElse.filter(_._2 >= 2).getOrElse(("case", 1)))
     }
     // ARRAY[…]
     if (ts(s).isWord("ARRAY")) {
       val n = nextIdx(ts, s)
-      if (n >= 0 && ts(n).is("[")) return Some("array")
+      if (n >= 0 && ts(n).is("[")) return Some(("array", 2))
     }
     // typed literal: TYPE 'lit' (including multi-word spellings)
     if (ts(e).kind == Str) {
@@ -531,7 +561,7 @@ object Compat {
         if (ts(j).kind != Ws && ts(j).kind != Word) allWords = false
         j += 1
       }
-      if (allWords) return Some(typeDisplayOf(ts, s, prevIdx(ts, e)))
+      if (allWords) return Some((typeDisplayOf(ts, s, prevIdx(ts, e)), 1))
     }
     // function call: [path.]fn( … ) with only OVER/FILTER/WITHIN GROUP
     // suffix groups after the close
@@ -556,26 +586,26 @@ object Compat {
               k += 1
             }
             if (asPos > 0) {
-              val arg = figureColname(ts, nextIdx(ts, j), prevIdx(ts, asPos))
-              return arg.orElse(
-                Some(typeDisplayOf(ts, nextIdx(ts, asPos), prevIdx(ts, close))))
+              val arg = figureCol(ts, nextIdx(ts, j), prevIdx(ts, asPos))
+              return arg.filter(_._2 >= 2).orElse(
+                Some((typeDisplayOf(ts, nextIdx(ts, asPos), prevIdx(ts, close)), 1)))
             }
           }
           if (fn == "trim") {
             val a = nextIdx(ts, j)
-            if (a >= 0 && ts(a).isWord("LEADING")) return Some("ltrim")
-            if (a >= 0 && ts(a).isWord("TRAILING")) return Some("rtrim")
-            return Some("btrim")
+            if (a >= 0 && ts(a).isWord("LEADING")) return Some(("ltrim", 2))
+            if (a >= 0 && ts(a).isWord("TRAILING")) return Some(("rtrim", 2))
+            return Some(("btrim", 2))
           }
           // engine spellings substituted BEFORE this pass (session-bound
           // sequence calls) display under their pg names
-          return Some(fn match {
+          return Some((fn match {
             case "pg_nextval" => "nextval"
             case "pg_currval" => "currval"
             case "pg_setval" => "setval"
             case "pg_lastval" => "lastval"
             case other => other
-          })
+          }, 2))
         }
       }
     }
@@ -588,7 +618,7 @@ object Compat {
         else if (t.is(")") || t.is("]")) depth -= 1
         else if (depth == 0 && t.isWord("AT")) {
           val n = nextIdx(ts, j)
-          if (n >= 0 && ts(n).isWord("TIME")) return Some("timezone")
+          if (n >= 0 && ts(n).isWord("TIME")) return Some(("timezone", 2))
         }
         j += 1
       }
@@ -624,12 +654,12 @@ object Compat {
   /** Output name of a scalar subquery `(SELECT …)`: the single result
     * column's alias, else its FigureColname. */
   private def subqueryColname(ts: ArrayBuffer[Tok], sel: Int,
-      close: Int): Option[String] = {
+      close: Int): Option[(String, Int)] = {
     val items = selectListItems(ts, sel, close - 1)
     items.lastOption.flatMap { case (s, e) =>
       aliasOf(ts, s, e) match {
-        case Some(a) => Some(a)
-        case None => figureColname(ts, s, e)
+        case Some(a) => Some((a, 2))
+        case None => figureCol(ts, s, e)
       }
     }
   }
@@ -689,7 +719,10 @@ object Compat {
         // `x IS [NOT] DISTINCT FROM y`: that FROM is part of the
         // operator, not the clause boundary
         !(t.isWord("FROM") && lastMeaningful >= 0 &&
-          ts(lastMeaningful).isWord("DISTINCT"))) {
+          ts(lastMeaningful).isWord("DISTINCT")) &&
+        // `… WITHIN GROUP (ORDER BY …)`: GROUP ends the list only as
+        // the GROUP BY clause head
+        !(t.isWord("GROUP") && { val n = nextIdx(ts, j); n < 0 || !ts(n).isWord("BY") })) {
         done = true
       } else if (t.is(";")) done = true
       else if (t.kind != Ws) lastMeaningful = j
@@ -716,6 +749,7 @@ object Compat {
         if (expectIdent) {
           if (t.kind != Word && t.kind != QIdent) return false
           if (t.kind == Word && (t.text.startsWith("$") ||
+            bareLiteralWords.contains(t.text.toLowerCase) ||
             bareVarNames.contains(t.text.toLowerCase))) return false
           expectIdent = false
         } else {

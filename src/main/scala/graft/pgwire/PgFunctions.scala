@@ -831,6 +831,7 @@ object PgFunctions {
       ProcDef("string_to_array", Seq(T, T, T), TARR),
       ProcDef("regexp_split_to_array", Seq(T, T), TARR),
       ProcDef("regexp_matches", Seq(T, T), TARR),
+      ProcDef("regexp_match", Seq(T, T), TARR),
       ProcDef("normalize", Seq(T, T), T),
       ProcDef("unistr", Seq(T), T),
       ProcDef("unicode_assigned", Seq(T), B),

@@ -61,6 +61,21 @@ class ColumnNameSpec extends SparkSpec {
     assert(name("SELECT CAST(1+1 AS bigint)") === "int8")
   }
 
+  test("strength and edges: nested casts, literals, subscripts (live pin)") {
+    // a weak (type-derived) inner name does not survive an outer cast
+    assert(name("SELECT 'x'::text::varchar") === "varchar")
+    // keyword literals are not refs
+    assert(name("SELECT NULL") === "?column?")
+    assert(name("SELECT true") === "?column?")
+    // subscripts are transparent
+    assert(name("SELECT (ARRAY[1,2])[1]") === "array")
+    // WITHIN GROUP's GROUP is not the clause boundary
+    assert(name("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a) FROM nm")
+      === "percentile_cont")
+    // regexp_match (pg 10 scalar first-match form) exists and names
+    assert(name("SELECT regexp_match('abc', 'b')") === "regexp_match")
+  }
+
   test("constructs: case/array/row/subquery/typed literals (live pin)") {
     assert(name("SELECT CASE WHEN true THEN 1 END") === "case")
     assert(name("SELECT CASE WHEN false THEN 1 ELSE a END FROM nm") === "a")

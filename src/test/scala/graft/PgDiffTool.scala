@@ -36,10 +36,14 @@ object PgDiffTool {
           // the SAME path the live server runs: Compat rewrite +
           // PgSemantics plan pass + TIME tagging (Handlers.runSql)
           val df = pgwire.Handlers.runSql(spark, s"SELECT $v")
-          val row = df.collect()(0)
-          val f = df.schema.fields(0)
-          pgwire.TextEncoder.encodeField(row.get(0), f, java.time.ZoneOffset.UTC)
-            .getOrElse("<NULL>")
+          if (sys.env.contains("SPARK_GRAFT_DIFF_NAMES"))
+            df.schema.fieldNames.mkString("|") // RowDescription sweep mode
+          else {
+            val row = df.collect()(0)
+            val f = df.schema.fields(0)
+            pgwire.TextEncoder.encodeField(row.get(0), f, java.time.ZoneOffset.UTC)
+              .getOrElse("<NULL>")
+          }
         } catch {
           case e: Throwable =>
             "<ERR:" + Option(e.getMessage).getOrElse(e.getClass.getName)
