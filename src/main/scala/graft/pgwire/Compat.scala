@@ -187,6 +187,14 @@ object Compat {
     * function call, or balanced paren group. Used to capture the left
     * operand of `= ANY(...)`.
     */
+  /** Keywords that may directly precede a parenthesized expression
+    * without being a function name. */
+  private val exprBoundaryWords = Set("then", "when", "else", "end", "case",
+    "and", "or", "not", "in", "on", "where", "select", "from", "by",
+    "having", "limit", "offset", "returning", "set", "values", "as",
+    "distinct", "all", "union", "intersect", "except", "between", "like",
+    "ilike", "escape", "is", "null", "true", "false", "join", "then")
+
   private def primaryStart(ts: ArrayBuffer[Tok], end: Int): Int = {
     var j = end
     if (ts(j).is(")")) { // balanced group (incl. function call args)
@@ -196,9 +204,13 @@ object Compat {
         else if (ts(j).is("(")) {
           depth -= 1
           if (depth == 0) {
-            // include a function name before '(' if present
+            // include a function name before '(' if present — but a
+            // KEYWORD before a paren group is clause syntax, not a
+            // call (`CASE WHEN p THEN ('x')::t` must not absorb THEN)
             val p = prevIdx(ts, j)
-            return if (p >= 0 && ts(p).kind == Word) p else j
+            return if (p >= 0 && ts(p).kind == Word &&
+              !exprBoundaryWords.contains(ts(p).text.toLowerCase)) p
+            else j
           }
         }
         j -= 1

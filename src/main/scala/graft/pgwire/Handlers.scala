@@ -1123,13 +1123,13 @@ object Handlers {
       val n = outputRows(df)
       return Complete(s"INSERT 0 $n")
     }
+    if (head == "UPDATE") return handleUpdate(spark, session, sql)
+    if (head == "DELETE") return handleDelete(spark, session, sql)
     val df = runSql(spark, sql)
     head match {
       case "INSERT" =>
         val n = outputRows(df)
         Complete(s"INSERT 0 $n")
-      case "UPDATE" => Complete(s"UPDATE ${outputRows(df)}")
-      case "DELETE" => Complete(s"DELETE ${outputRows(df)}")
       case h if ddlHeads.contains(h) =>
         // the relation set (or a same-named schema) changed: next
         // catalog-touching query must rebuild the dynamic views
@@ -1150,6 +1150,279 @@ object Handlers {
   private val canonFamilies: Set[String] =
     Compat.rangeTypeNames ++ Set("inet", "cidr", "macaddr", "macaddr8",
       "tsvector", "tsquery", "money", "uuid", "bit", "varbit", "jsonb")
+
+  // ---- UPDATE / DELETE ---------------------------------------------------
+  //
+  // Spark cannot mutate a parquet table in place, so DML rewrites to a
+  // full-table transform materialized through a temp directory and
+  // INSERT OVERWRITE (a direct self-overwrite is rejected as a
+  // read-write cycle). The transform is fully distributed — only
+  // RETURNING rows ever reach the driver, and those are bounded by the
+  // affected-row count. pg semantics live-pinned (sweep-34): WHERE
+  // matches with SQL 3VL (NULL predicate rows survive a DELETE and
+  // skip an UPDATE), `SET col = DEFAULT` is nextval for serial columns
+  // and NULL otherwise, multi-column `SET (a, b) = (1, 2)` works,
+  // RETURNING yields NEW values for UPDATE and OLD rows for DELETE,
+  // and tags are `UPDATE n` / `DELETE n`. The reference has no
+  // UPDATE/DELETE at all — parity-plus. Unsupported here: UPDATE …
+  // FROM and DELETE … USING (0A000).
+
+  /** Split raw SQL text on a top-level separator, respecting strings,
+    * quoted identifiers and paren depth. */
+  private def splitTopLevelText(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0; var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' =>
+          cur.append(c); i += 1
+          var done = false
+          while (i < s.length && !done) {
+            val ch = s.charAt(i)
+            cur.append(ch)
+            if (ch == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              cur.append('\''); i += 2
+            } else if (ch == '\'') { done = true; i += 1 }
+            else i += 1
+          }
+        case '"' =>
+          cur.append(c); i += 1
+          while (i < s.length && s.charAt(i) != '"') { cur.append(s.charAt(i)); i += 1 }
+          if (i < s.length) { cur.append('"'); i += 1 }
+        case '(' | '[' => depth += 1; cur.append(c); i += 1
+        case ')' | ']' => depth -= 1; cur.append(c); i += 1
+        case `sep` if depth == 0 => out += cur.toString; cur.clear(); i += 1
+        case _ => cur.append(c); i += 1
+      }
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  private def unq(raw: String): String =
+    if (raw.length >= 2 && raw.startsWith("\"") && raw.endsWith("\""))
+      raw.substring(1, raw.length - 1)
+    else raw
+
+  /** pg-quoted identifier — the constructed DML SQL re-enters the
+    * wire dialect path (runSql → Compat rewrite), not Spark's parser
+    * directly. */
+  private def qid(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** The SET/RETURNING expression for a column, with the stored
+    * family's input function applied (canonical text on write, enum
+    * label validation — the same rule as [[canonicalizeInsert]]) and
+    * DEFAULT resolved (serial → nextval, else typed NULL). */
+  private def dmlValueExpr(f: StructField, raw: String, connId: Int): String = {
+    val e = raw.trim
+    val base =
+      if (e.equalsIgnoreCase("DEFAULT")) {
+        if (f.metadata.contains("pg.serial"))
+          s"pg_nextval('${f.metadata.getString("pg.serial")}', $connId)"
+        else s"CAST(NULL AS ${f.dataType.sql})"
+      } else e
+    val fam =
+      if (f.metadata.contains("pg.enum")) Some(f.metadata.getString("pg.enum"))
+      else if (f.metadata.contains(PgType.OID_ALIAS_KEY)) {
+        val a = f.metadata.getString(PgType.OID_ALIAS_KEY)
+        if (canonFamilies.contains(a)) Some(a) else None
+      } else None
+    fam.map(t => s"($base)::$t").getOrElse(s"($base)")
+  }
+
+  /** Replace a catalog table's contents with `next`, spilling through
+    * a temp directory: Spark rejects overwriting a table from a plan
+    * that reads it. */
+  private def overwriteTable(spark: SparkSession, table: String,
+      next: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dml_")
+    try {
+      next.write.mode("overwrite").parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .write.mode("overwrite").insertInto(table)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case scala.util.control.NonFatal(_) =>
+        })
+    }
+  }
+
+  private def handleUpdate(spark: SparkSession, session: Session,
+      sql: String): PgResult = {
+    val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
+    val (body, retList) =
+      if (retPos >= 0)
+        (sql.substring(0, retPos), Some(sql.substring(retPos + "RETURNING".length)))
+      else (sql.trim.stripSuffix(";"), None)
+    val m = ("(?is)^UPDATE\\s+(?:ONLY\\s+)?(\"[^\"]+\"|[\\w$.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!SET\\b)(\"[^\"]+\"|[\\w$]+))?\\s+SET\\s+(.*)$").r
+      .findFirstMatchIn(body.trim)
+      .getOrElse(throw PgException("42601", "syntax error in UPDATE"))
+    val table = unq(m.group(1)).split("\\.").last
+    val alias = Option(m.group(2))
+    val tail = m.group(3)
+    if (Compat.topLevelKeywordPos(tail, "FROM") >= 0)
+      throw PgException("0A000", "UPDATE … FROM is not supported")
+    val wherePos = Compat.topLevelKeywordPos(tail, "WHERE")
+    val (setPart, whereOpt) =
+      if (wherePos >= 0)
+        (tail.substring(0, wherePos),
+          Some(tail.substring(wherePos + "WHERE".length).trim.stripSuffix(";")))
+      else (tail.trim.stripSuffix(";"), None)
+    val schema =
+      try spark.table(table).schema
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$table" does not exist""") }
+    def fieldOf(c0: String): StructField = {
+      val c = unq(c0.trim)
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw PgException("42703",
+          s"""column "$c" of relation "$table" does not exist"""))
+    }
+    // assignments: `col = expr` and `(c1, c2) = (e1, e2)`
+    val assigned = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    splitTopLevelText(setPart, ',').map(_.trim).filter(_.nonEmpty).foreach { a =>
+      if (a.startsWith("(")) {
+        val close = {
+          var depth = 0; var j = 0; var c = -1
+          while (j < a.length && c < 0) {
+            if (a.charAt(j) == '(') depth += 1
+            else if (a.charAt(j) == ')') { depth -= 1; if (depth == 0) c = j }
+            j += 1
+          }
+          if (c < 0) throw PgException("42601", "syntax error in UPDATE SET")
+          c
+        }
+        val colNames = splitTopLevelText(a.substring(1, close), ',').map(_.trim)
+        val rhs = a.substring(close + 1).trim
+        if (!rhs.startsWith("=")) throw PgException("42601", "syntax error in UPDATE SET")
+        val v = rhs.substring(1).trim
+        if (!(v.startsWith("(") && v.endsWith(")")))
+          throw PgException("0A000", "only (…) = (…) row assignment is supported")
+        val inner = v.substring(1, v.length - 1)
+        if (inner.trim.toUpperCase.startsWith("SELECT"))
+          throw PgException("0A000", "sub-SELECT row assignment is not supported")
+        val exprs = splitTopLevelText(inner, ',').map(_.trim)
+        if (exprs.length != colNames.length)
+          throw PgException("42601", "number of columns does not match number of values")
+        colNames.zip(exprs).foreach { case (c, e) =>
+          val f = fieldOf(c)
+          assigned(f.name) = dmlValueExpr(f, e, session.connId)
+        }
+      } else {
+        val eq = {
+          // first top-level `=` not part of an operator
+          var depth = 0; var j = 0; var pos = -1
+          while (j < a.length && pos < 0) {
+            val c = a.charAt(j)
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            else if (c == '\'') { j += 1; while (j < a.length && a.charAt(j) != '\'') j += 1 }
+            else if (depth == 0 && c == '=') pos = j
+            j += 1
+          }
+          if (pos < 0) throw PgException("42601", "syntax error in UPDATE SET")
+          pos
+        }
+        val f = fieldOf(a.substring(0, eq))
+        assigned(f.name) = dmlValueExpr(f, a.substring(eq + 1), session.connId)
+      }
+    }
+    val aliasSql = alias.map(a => s" AS $a").getOrElse("")
+    val fromSql = s" FROM ${m.group(1)}$aliasSql"
+    // full-table transform: assigned columns switch on the predicate
+    val proj = schema.fields.map { f =>
+      assigned.get(f.name) match {
+        case Some(e) =>
+          whereOpt match {
+            case Some(w) => s"CASE WHEN ($w) THEN ${e} ELSE ${qid(f.name)} END AS ${qid(f.name)}"
+            case None => s"$e AS ${qid(f.name)}"
+          }
+        case None => qid(f.name)
+      }
+    }.mkString(", ")
+    // NEW values of just the matched rows, for RETURNING and the count
+    val matchedSql = {
+      val p = schema.fields.map { f =>
+        assigned.get(f.name).map(e => s"$e AS ${qid(f.name)}")
+          .getOrElse(qid(f.name))
+      }.mkString(", ")
+      s"SELECT $p$fromSql${whereOpt.map(w => s" WHERE $w").getOrElse("")}"
+    }
+    retList match {
+      case Some(ret) =>
+        val sub = alias.getOrElse(m.group(1))
+        // NEW values materialize BEFORE the overwrite — lazy iteration
+        // afterwards would re-read the rewritten table
+        val df = runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub")
+        val rows = df.collect()
+        overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
+        RowSet(df.schema, rows.iterator, n => s"UPDATE $n")
+      case None =>
+        val n = runSql(spark,
+          s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
+        overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
+        Complete(s"UPDATE $n")
+    }
+  }
+
+  private def handleDelete(spark: SparkSession, session: Session,
+      sql: String): PgResult = {
+    val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
+    val (body, retList) =
+      if (retPos >= 0)
+        (sql.substring(0, retPos), Some(sql.substring(retPos + "RETURNING".length)))
+      else (sql.trim.stripSuffix(";"), None)
+    val m = ("(?is)^DELETE\\s+FROM\\s+(?:ONLY\\s+)?(\"[^\"]+\"|[\\w$.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!WHERE\\b|USING\\b)(\"[^\"]+\"|[\\w$]+))?\\s*(.*)$").r
+      .findFirstMatchIn(body.trim)
+      .getOrElse(throw PgException("42601", "syntax error in DELETE"))
+    val table = unq(m.group(1)).split("\\.").last
+    val alias = Option(m.group(2))
+    val tail = m.group(3)
+    if (Compat.topLevelKeywordPos(" " + tail, "USING") >= 0)
+      throw PgException("0A000", "DELETE … USING is not supported")
+    val wherePos = Compat.topLevelKeywordPos(" " + tail, "WHERE")
+    val whereOpt =
+      if (wherePos >= 0)
+        Some((" " + tail).substring(wherePos + "WHERE".length).trim.stripSuffix(";"))
+      else {
+        if (tail.trim.stripSuffix(";").trim.nonEmpty)
+          throw PgException("42601", "syntax error in DELETE")
+        None
+      }
+    try spark.table(table)
+    catch { case scala.util.control.NonFatal(_) =>
+      throw PgException("42P01", s"""relation "$table" does not exist""") }
+    val aliasSql = alias.map(a => s" AS $a").getOrElse("")
+    val fromSql = s" FROM ${m.group(1)}$aliasSql"
+    val matchedSql =
+      s"SELECT *$fromSql${whereOpt.map(w => s" WHERE $w").getOrElse("")}"
+    // survivors: pg 3VL — a NULL predicate row is NOT deleted
+    val keepSql = whereOpt match {
+      case Some(w) => s"SELECT *$fromSql WHERE NOT coalesce(($w), false)"
+      case None => s"SELECT *$fromSql WHERE false"
+    }
+    retList match {
+      case Some(ret) =>
+        val sub = alias.getOrElse(m.group(1))
+        // OLD rows materialize BEFORE the overwrite
+        val df = runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub")
+        val rows = df.collect()
+        overwriteTable(spark, table, runSql(spark, keepSql))
+        RowSet(df.schema, rows.iterator, n => s"DELETE $n")
+      case None =>
+        val n = runSql(spark,
+          s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
+        overwriteTable(spark, table, runSql(spark, keepSql))
+        Complete(s"DELETE $n")
+    }
+  }
 
   /** Rewrite `INSERT INTO t [(cols)] <VALUES|SELECT …>` so every
     * source expression bound to a stored family/enum column passes
