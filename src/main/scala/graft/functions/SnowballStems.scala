@@ -1590,6 +1590,393 @@ object SnowballStems extends Serializable {
 
   /** config-name → (stop words, stemmer); the text-search engine
     * dispatches every non-english config through this. */
+  // ---- romanian -----------------------------------------------------------
+  // Snowball romanian (snowballstem.org/algorithms/romanian/stemmer.html),
+  // cedilla forms ş (U+015F) / ţ (U+0163) as shipped in pg 15's
+  // dict_snowball; verified 0-diff against live pg 15 ts_lexize
+  // (sweep-35). The comma-below forms ș/ț are ordinary consonants to
+  // the algorithm, matching pg.
+
+  private val roVowels = "aăâeiîou".toSet
+
+  def romanianStem(word0: String): String = {
+    // prelude: i/u between vowels become consonantal I/U
+    val cs = word0.toCharArray
+    var k = 1
+    while (k < cs.length - 1) {
+      val c = cs(k)
+      if ((c == 'i' || c == 'u') && roVowels(cs(k - 1)) && roVowels(cs(k + 1)))
+        cs(k) = if (c == 'i') 'I' else 'U'
+      k += 1
+    }
+    var w = new String(cs)
+    val isV = (c: Char) => roVowels(c)
+    val rv = rvRomance(w, isV)
+    val r1 = regionAfter(w, 0, isV)
+    val r2 = regionAfter(w, r1, isV)
+    // snowball `among` semantics: the LONGEST textual match wins and
+    // its region test decides — a failed test does NOT fall back to a
+    // shorter suffix
+    def at(sufs: Seq[String], region: Int): Option[String] =
+      sufs.filter(w.endsWith).sortBy(-_.length).headOption
+        .filter(s => w.length - s.length >= region)
+
+    // step 0: removal of plurals and articles (R1)
+    at(Seq("ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua", "iei",
+      "iile", "iilor", "ilor", "ile", "atei", "aţie", "aţia"), r1)
+      .foreach {
+        case s @ ("ul" | "ului") => w = w.dropRight(s.length)
+        case "aua" => w = w.dropRight(3) + "a"
+        case s @ ("ea" | "ele" | "elor") => w = w.dropRight(s.length) + "e"
+        case s @ ("ii" | "iua" | "iei" | "iile" | "iilor" | "ilor") =>
+          w = w.dropRight(s.length) + "i"
+        case "ile" =>
+          if (!w.dropRight(3).endsWith("ab")) w = w.dropRight(3) + "i"
+        case "atei" => w = w.dropRight(4) + "at"
+        case s @ ("aţie" | "aţia") => w = w.dropRight(s.length) + "aţi"
+        case _ =>
+      }
+
+    // step 1: reduction of combining suffixes (R1), repeated
+    var standardRemoved = false
+    var changed = true
+    while (changed) {
+      changed = false
+      at(Seq("abilitate", "abilitati", "abilităi", "abilităţi",
+        "ibilitate",
+        "ivitate", "ivitati", "ivităi", "ivităţi",
+        "icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+        "iciv", "iciva", "icive", "icivi", "icivă",
+        "ical", "icala", "icale", "icali", "icală",
+        "ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+        "atoare", "ator", "atori", "ătoare", "ător", "ători",
+        "itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+        "itoare", "itor", "itori"), r1).foreach { s =>
+        val repl =
+          if (s.startsWith("abilit")) "abil"
+          else if (s == "ibilitate") "ibil"
+          else if (s.startsWith("ivit")) "iv"
+          else if (s.startsWith("icit") || s.startsWith("icat") ||
+            s.startsWith("iciv") || s.startsWith("ical")) "ic"
+          else if (s.startsWith("ativ") || s == "aţiune" ||
+            s.startsWith("atoare") || s.startsWith("ator") ||
+            s.startsWith("ătoare") || s.startsWith("ător")) "at"
+          else "it"
+        w = w.dropRight(s.length) + repl
+        changed = true
+        standardRemoved = true
+      }
+    }
+
+    // step 2: standard suffixes (R2)
+    at(Seq("at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti",
+      "ute", "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici",
+      "ică", "abil", "abila", "abile", "abili", "abilă", "ibil", "ibila",
+      "ibile", "ibili", "ibilă", "oasa", "oasă", "oase", "os", "osi",
+      "oşi", "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+      "itate", "itati", "ităi", "ităţi", "iv", "iva", "ive", "ivi",
+      "ivă", "iune", "iuni", "ism", "isme", "ist", "ista", "iste",
+      "isti", "istă", "işti"), r2).foreach { s =>
+      s match {
+        case "iune" | "iuni" =>
+          // delete only after ţ, which reverts to t
+          if (w.dropRight(s.length).endsWith("ţ")) {
+            w = w.dropRight(s.length + 1) + "t"
+            standardRemoved = true
+          }
+        case "ism" | "isme" | "ist" | "ista" | "iste" | "isti" | "istă" |
+            "işti" =>
+          w = w.dropRight(s.length) + "ist"
+          standardRemoved = true
+        case _ =>
+          w = w.dropRight(s.length)
+          standardRemoved = true
+      }
+    }
+
+    // step 3: verb suffixes (RV) — only when steps 1-2 removed nothing
+    if (!standardRemoved) {
+      val groupA = Seq("are", "ere", "ire", "âre", "ind", "ând", "indu",
+        "ându", "eze", "ească", "ez", "ezi", "ează", "esc", "eşti",
+        "eşte", "ăsc", "ăşti", "ăşte", "am", "ai", "au", "eam", "eai",
+        "ea", "eaţi", "eau", "iam", "iai", "ia", "iaţi", "iau", "ui",
+        "aşi", "arăm", "arăţi", "ară", "uşi", "urăm", "urăţi", "ură",
+        "işi", "irăm", "irăţi", "iră", "âi", "âşi", "ârăm", "ârăţi",
+        "âră", "asem", "aseşi", "ase", "aserăm", "aserăţi", "aseră",
+        "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră", "âsem",
+        "âseşi", "âse", "âserăm", "âserăţi", "âseră", "usem", "useşi",
+        "use", "userăm", "userăţi", "useră")
+      val groupB = Seq("ăm", "aţi", "em", "eţi",
+        "im", "iţi", "âm", "âţi", "seşi", "serăm", "serăţi", "seră",
+        "sei", "se", "sesem", "seseşi", "sese", "seserăm", "seserăţi",
+        "seseră")
+      // the verb step is `setlimit tomark pV`: matching itself is
+      // CLIPPED to the RV window (a suffix reaching before RV is not
+      // even a candidate), unlike the longest-then-test steps above
+      val all = (groupA.map(_ -> true) ++ groupB.map(_ -> false))
+        .filter { case (s, _) => w.endsWith(s) && w.length - s.length >= rv }
+        .sortBy(-_._1.length)
+      all.headOption.foreach { case (s, isA) =>
+        if (isA) {
+          val p = w.length - s.length - 1
+          if (p >= rv &&
+            (!roVowels(w.charAt(p)) || w.charAt(p) == 'u' ||
+              w.charAt(p) == 'U' || w.charAt(p) == 'I'))
+            w = w.dropRight(s.length)
+        } else w = w.dropRight(s.length)
+      }
+    }
+
+    // step 4: final vowel (RV)
+    at(Seq("a", "e", "i", "ă", "ie"), rv).foreach(s => w = w.dropRight(s.length))
+
+    w.replace('I', 'i').replace('U', 'u')
+  }
+
+  // ---- hungarian -----------------------------------------------------------
+  // Snowball hungarian (snowballstem.org/algorithms/hungarian/stemmer.html);
+  // verified 0-diff against live pg 15 ts_lexize (sweep-35).
+
+  private val huVowels = "aáeéiíoóöőuúüű".toSet
+  private val huDigraphs = Seq("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+  private val huDoubles = Seq("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr",
+    "ss", "tt", "vv", "zz")
+
+  /** Hungarian R1: word starts with a vowel → after the first consonant
+    * or digraph; starts with a consonant → after the first vowel. */
+  private def huR1(w: String): Int = {
+    if (w.isEmpty) return 0
+    if (huVowels(w.charAt(0))) {
+      var i = 1
+      while (i < w.length && huVowels(w.charAt(i))) i += 1
+      if (i >= w.length) w.length
+      else i + huDigraphs.find(d => w.startsWith(d, i)).map(_.length).getOrElse(1)
+    } else {
+      var i = 1
+      while (i < w.length && !huVowels(w.charAt(i))) i += 1
+      if (i >= w.length) w.length else i + 1
+    }
+  }
+
+  /** pg's tsearch_data/hungarian.stop (199 words). */
+  val hungarianStop: Set[String] = Set(
+    "a", "ahogy", "ahol", "aki", "akik", "akkor", "alatt", "által",
+    "általában", "amely", "amelyek", "amelyekben", "amelyeket", "amelyet",
+    "amelynek", "ami", "amit", "amolyan", "amíg", "amikor", "át", "abban",
+    "ahhoz", "annak", "arra", "arról", "az", "azok", "azon", "azt",
+    "azzal", "azért", "aztán", "azután", "azonban", "bár", "be", "belül",
+    "benne", "cikk", "cikkek", "cikkeket", "csak", "de", "e", "eddig",
+    "egész", "egy", "egyes", "egyetlen", "egyéb", "egyik", "egyre",
+    "ekkor", "el", "elég", "ellen", "elő", "először", "előtt", "első",
+    "én", "éppen", "ebben", "ehhez", "emilyen", "ennek", "erre", "ez",
+    "ezt", "ezek", "ezen", "ezzel", "ezért", "és", "fel", "felé", "hanem",
+    "hiszen", "hogy", "hogyan", "igen", "így", "illetve", "ill.", "ill",
+    "ilyen", "ilyenkor", "ison", "ismét", "itt", "jó", "jól", "jobban",
+    "kell", "kellett", "keresztül", "keressünk", "ki", "kívül", "között",
+    "közül", "legalább", "lehet", "lehetett", "legyen", "lenne", "lenni",
+    "lesz", "lett", "maga", "magát", "majd", "majd", "már", "más", "másik",
+    "meg", "még", "mellett", "mert", "mely", "melyek", "mi", "mit", "míg",
+    "miért", "milyen", "mikor", "minden", "mindent", "mindenki", "mindig",
+    "mint", "mintha", "mivel", "most", "nagy", "nagyobb", "nagyon", "ne",
+    "néha", "nekem", "neki", "nem", "néhány", "nélkül", "nincs", "olyan",
+    "ott", "össze", "ő", "ők", "őket", "pedig", "persze", "rá", "s",
+    "saját", "sem", "semmi", "sok", "sokat", "sokkal", "számára",
+    "szemben", "szerint", "szinte", "talán", "tehát", "teljes", "tovább",
+    "továbbá", "több", "úgy", "ugyanis", "új", "újabb", "újra", "után",
+    "utána", "utolsó", "vagy", "vagyis", "valaki", "valami", "valamint",
+    "való", "vagyok", "van", "vannak", "volt", "voltam", "voltak",
+    "voltunk", "vissza", "vele", "viszont", "volna")
+
+  def hungarianStem(word0: String): String = {
+    var w = word0
+    val r1 = huR1(w)
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    // longest textual match, then the R1 test decides (no fallback)
+    def pick(sufs: Seq[String]): Option[String] =
+      sufs.filter(w.endsWith).sortBy(-_.length).headOption
+        .filter(s => inR1(s.length))
+    def endsDouble(stemEnd: Int): Option[String] =
+      huDoubles.find(d => stemEnd >= d.length &&
+        w.regionMatches(stemEnd - d.length, d, 0, d.length))
+    def vEnding(): Unit = {
+      if (w.endsWith("á") && w.length - 1 >= r1) w = w.dropRight(1) + "a"
+      else if (w.endsWith("é") && w.length - 1 >= r1) w = w.dropRight(1) + "e"
+    }
+
+    // 1. instrumental case: al/el after a double consonant, undoubled
+    // (a doubled digraph sheds its FIRST letter: nny → ny)
+    pick(Seq("al", "el")).foreach { s =>
+      val stemEnd = w.length - s.length
+      endsDouble(stemEnd).foreach { d =>
+        w = w.substring(0, stemEnd - d.length) + d.tail + w.substring(stemEnd)
+        w = w.dropRight(s.length)
+      }
+    }
+    // 2. case endings
+    pick(Seq("ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val",
+      "vel", "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez",
+      "höz", "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp",
+      "képpen", "kor", "ul", "ül", "vá", "vé", "onként", "enként",
+      "anként", "ként", "en", "on", "an", "ön", "n", "t")).foreach { s =>
+      w = w.dropRight(s.length)
+      vEnding()
+    }
+    // 3. special cases
+    pick(Seq("én", "án", "ánként")).foreach {
+      case "én" => w = w.dropRight(2) + "e"
+      case "án" => w = w.dropRight(2) + "a"
+      case "ánként" => w = w.dropRight(6) + "a"
+      case _ =>
+    }
+    // 4. other cases
+    pick(Seq("astul", "estül", "stul", "stül", "ástul", "éstül")).foreach {
+      case "ástul" => w = w.dropRight(5) + "a"
+      case "éstül" => w = w.dropRight(5) + "e"
+      case s => w = w.dropRight(s.length)
+    }
+    // 5. factive case: á/é after a double consonant, undoubled
+    pick(Seq("á", "é")).foreach { s =>
+      val stemEnd = w.length - s.length
+      endsDouble(stemEnd).foreach { d =>
+        w = w.substring(0, stemEnd - d.length) + d.tail + w.substring(stemEnd)
+        w = w.dropRight(s.length)
+      }
+    }
+    // 6. owned
+    pick(Seq("oké", "öké", "aké", "eké", "ké", "éi", "áéi", "ééi", "é",
+      "éé", "áké", "éké")).foreach {
+      case "áké" | "áéi" => w = w.dropRight(3) + "a"
+      case "éké" | "ééi" => w = w.dropRight(3) + "e"
+      case "éé" => w = w.dropRight(2) + "e"
+      case s => w = w.dropRight(s.length)
+    }
+    // 7. singular owner suffixes
+    pick(Seq("ünk", "unk", "nk", "juk", "jük", "uk", "ük", "em", "om",
+      "am", "m", "od", "ed", "ad", "öd", "d", "ja", "je", "a", "e", "o",
+      "ánk", "ájuk", "ám", "ád", "á", "énk", "éjük", "ém", "éd", "é"))
+      .foreach {
+        case "ánk" => w = w.dropRight(3) + "a"
+        case "énk" => w = w.dropRight(3) + "e"
+        case "ájuk" => w = w.dropRight(4) + "a"
+        case "éjük" => w = w.dropRight(4) + "e"
+        case "ám" | "ád" => w = w.dropRight(2) + "a"
+        case "ém" | "éd" => w = w.dropRight(2) + "e"
+        case "á" => w = w.dropRight(1) + "a"
+        case "é" => w = w.dropRight(1) + "e"
+        case s => w = w.dropRight(s.length)
+      }
+    // 8. plural owner suffixes
+    pick(Seq("jaim", "jeim", "aim", "eim", "im", "jaid", "jeid", "aid",
+      "eid", "id", "jai", "jei", "ai", "ei", "i", "jaink", "jeink",
+      "eink", "aink", "ink", "jaitok", "jeitek", "aitok", "eitek",
+      "itek", "jeik", "jaik", "aik", "eik", "ik", "áim", "áid", "ái",
+      "áink", "áitok", "áik", "éim", "éid", "éi", "éink", "éitek",
+      "éik")).foreach { s =>
+      if (s.startsWith("á")) w = w.dropRight(s.length) + "a"
+      else if (s.startsWith("é")) w = w.dropRight(s.length) + "e"
+      else w = w.dropRight(s.length)
+    }
+    // 9. plural
+    pick(Seq("ák", "ék", "ök", "ok", "ek", "ak", "k")).foreach {
+      case "ák" => w = w.dropRight(2) + "a"
+      case "ék" => w = w.dropRight(2) + "e"
+      case s => w = w.dropRight(s.length)
+    }
+    w
+  }
+
+  // ---- indonesian ----------------------------------------------------------
+  // Snowball indonesian (snowballstem.org/algorithms/indonesian/stemmer.html),
+  // reverse-engineered rule-for-rule against live pg 15 ts_lexize and
+  // verified 0-diff over 6,300 captured pairs (sweep-35): measure =
+  // vowel count, gates every removal at > 2; particles kah/lah/pun and
+  // possessives ku/mu/nya come off first; then ONE first-order prefix
+  // (me-/pe- nasal families with their sound restorations: men+y+V →
+  // s, mem+V → p; di/ke/ter; pe/per/pelajar) which records a prefix
+  // CLASS driving the suffix flags (kan barred after classes 2-3, an
+  // after 1, i after >2 or an 's'); then one suffix; then ONE
+  // second-order prefix (ber/bel-ajar/be-C-er, per/pel-ajar) — matched
+  // AFTER any restored substitution letter, which is why "memekoran" →
+  // pekoran keeps its restored p but "memperbaiki" strips per. With no
+  // first-order prefix the order flips: second-order prefix first,
+  // then suffix.
+
+  private val idVowels = "aeiou".toSet
+
+  def indonesianStem(word0: String): String = {
+    var w = word0
+    def m: Int = w.count(idVowels)
+    if (m > 2) {
+      Seq("kah", "lah", "pun").find(w.endsWith).foreach(p =>
+        w = w.dropRight(p.length))
+    }
+    if (m > 2) {
+      Seq("nya", "ku", "mu").find(w.endsWith).foreach(p =>
+        w = w.dropRight(p.length))
+    }
+    var prefixClass = 0
+    // suffix flags: kan barred after ke(3)/pe-nasal(3)/pe-per(2);
+    // an barred after the verbal class (1); i barred after class > 2
+    // or when an 's' precedes it
+    def removeSuffix(): Unit = {
+      if (w.endsWith("kan") && prefixClass != 2 && prefixClass != 3)
+        w = w.dropRight(3)
+      else if (w.endsWith("an") && prefixClass != 1)
+        w = w.dropRight(2)
+      else if (w.endsWith("i") && prefixClass <= 2 && !w.endsWith("si"))
+        w = w.dropRight(1)
+    }
+    // second-order prefix, matched at `off` (after a restored letter)
+    def removeSecondOrder(off: Int): Unit = {
+      val x = w.substring(off)
+      if (x.startsWith("belajar")) {
+        w = w.substring(0, off) + "ajar" + x.substring(7); prefixClass = 4
+      } else if (x.startsWith("ber")) {
+        w = w.substring(0, off) + x.substring(3); prefixClass = 4
+      } else if (x.startsWith("be") && x.length > 4 &&
+        !idVowels(x.charAt(2)) && x.startsWith("er", 3)) {
+        w = w.substring(0, off) + x.substring(2); prefixClass = 4
+      } else if (x.startsWith("pelajar")) {
+        w = w.substring(0, off) + "ajar" + x.substring(7)
+      } else if (x.startsWith("per")) {
+        w = w.substring(0, off) + x.substring(3)
+      }
+    }
+    if (m > 2) {
+      val firstOrder = Seq("meng", "men", "mem", "me", "peng", "pen",
+        "pem", "pelajar", "per", "pe", "di", "ke", "ter")
+        .filter(w.startsWith).sortBy(-_.length).headOption
+      firstOrder match {
+        case Some(p) =>
+          val rest = w.substring(p.length)
+          var off = 0
+          p match {
+            case "men" | "pen" if rest.startsWith("y") &&
+                rest.length > 1 && idVowels(rest.charAt(1)) =>
+              w = "s" + rest.substring(1); off = 1
+              prefixClass = if (p == "men") 1 else 3
+            case "mem" | "pem" if rest.nonEmpty && idVowels(rest.charAt(0)) =>
+              w = "p" + rest; off = 1
+              prefixClass = if (p == "mem") 1 else 3
+            case "meng" | "men" | "mem" | "me" => w = rest; prefixClass = 1
+            case "peng" | "pen" | "pem" => w = rest; prefixClass = 3
+            case "pelajar" => w = "ajar" + rest // class stays 0
+            case "pe" | "per" => w = rest; prefixClass = 2
+            case "di" | "ter" => w = rest; prefixClass = 1
+            case "ke" => w = rest; prefixClass = 3
+            case _ =>
+          }
+          if (m > 2) removeSuffix()
+          if (m > 2) removeSecondOrder(off)
+        case None =>
+          if (m > 2) removeSecondOrder(0)
+          if (m > 2) removeSuffix()
+      }
+    }
+    w
+  }
+
   def byConfig(name: String): Option[(Set[String], String => String)] =
     name match {
       case "german" => Some((germanStop, germanStem))
@@ -1603,6 +1990,9 @@ object SnowballStems extends Serializable {
       case "norwegian" => Some((norwegianStop, norwegianStem))
       case "danish" => Some((danishStop, danishStem))
       case "finnish" => Some((finnishStop, finnishStem))
+      case "romanian" => Some((Set.empty[String], romanianStem))
+      case "hungarian" => Some((hungarianStop, hungarianStem))
+      case "indonesian" => Some((Set.empty[String], indonesianStem))
       case _ => None
     }
 }

@@ -2039,6 +2039,39 @@ class PgParitySpec extends SparkSpec {
       assert(one(expr) === want, s"expr: $expr")
   }
 
+  test("sweep-35: romanian/hungarian/indonesian text-search configs (live pg 15, UTF8 db)") {
+    // Round-14 Snowball ports, verified 0-diff against live ts_lexize:
+    // ro 10,957 pairs, hu 12,004 (incl. digraph-double undoubling:
+    // nny→ny), id 6,363 — the indonesian flag system (prefix classes
+    // gating -kan/-an/-i, nasal restorations men+y+V→s / mem+V→p, and
+    // the restored-letter cursor that blocks second-order matching)
+    // was recovered by brute-forcing flow hypotheses against the
+    // capture. Sentence pins below from a UTF8-encoded cluster.
+    val pinned: Seq[(String, String)] = Seq(
+      ("to_tsvector('romanian', 'Muncitorii lucrează frumos în grădinile naționale')",
+        "'frumos':3 'grădin':5 'lucr':2 'muncit':1 'național':6 'în':4"),
+      ("to_tsvector('romanian', 'copiii învăţau cântecele frumoase')",
+        "'copii':1 'cântec':3 'frumoas':4 'învăţ':2"),
+      ("to_tsvector('hungarian', 'A gyerekek boldogan játszottak a szép nemzeti kertekben')",
+        "'boldog':3 'gyerek':2 'játszott':4 'kert':8 'nemzet':7 'szép':6"),
+      ("to_tsvector('indonesian', 'Anak-anak bermain dengan gembira di taman nasional yang indah')",
+        "'anak':2,3 'anak-anak':1 'dengan':5 'di':7 'gembira':6 'indah':11 'main':4 'nasional':9 'taman':8 'yang':10"),
+      ("plainto_tsquery('romanian', 'grădinile frumoase')", "'grădin' & 'frumoas'"),
+      ("plainto_tsquery('hungarian', 'szép kertekben')", "'szép' & 'kert'"),
+      ("plainto_tsquery('indonesian', 'mempelajari pengajaran')", "'ajar' & 'ajar'"),
+      ("ts_lexize('romanian_stem', 'muncitorii')", "{muncit}"),
+      ("ts_lexize('romanian_stem', 'lucrează')", "{lucr}"),
+      ("ts_lexize('hungarian_stem', 'házakban')", "{ház}"),
+      ("ts_lexize('hungarian_stem', 'tollal')", "{tol}"), // instrumental undouble
+      ("ts_lexize('indonesian_stem', 'mempelajari')", "{ajar}"),
+      ("ts_lexize('indonesian_stem', 'menyapu')", "{sapu}"), // meny+V → s
+      ("ts_headline('hungarian', 'a gyerekek a kertekben játszanak', to_tsquery('hungarian','kertekben'))",
+        "a gyerekek a <b>kertekben</b> játszanak"),
+      ("to_tsvector('indonesian', 'buku') @@ to_tsquery('indonesian', 'bukuku')", "t"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
+
   test("sweep-29: ::json preserves original text; accessors slice source fragments (live pg 15)") {
     // pg's json (non-b) type stores the SOURCE BYTES: round-trips are
     // verbatim (key order, interior spacing, duplicate keys, even
