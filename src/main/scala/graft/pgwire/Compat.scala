@@ -139,6 +139,17 @@ object Compat {
 
   def render(toks: Seq[Tok]): String = toks.map(_.text).mkString
 
+  /** [[render]] for token slices COMPOSED into a single replacement
+    * token: pg double-quoted identifiers must become backticks HERE,
+    * because the final QIdent→backtick pass cannot see inside an
+    * already-composed token (`"Q q" = ANY(ARRAY[…])` otherwise ships a
+    * raw double-quoted ident to Spark's parser). */
+  private def renderQ(toks: Seq[Tok]): String = toks.map { t =>
+    if (t.kind == QIdent && t.text.length >= 2)
+      "`" + t.text.substring(1, t.text.length - 1).replace("`", "``") + "`"
+    else t.text
+  }.mkString
+
   // ---- helpers over token vectors ---------------------------------------
 
   /** Index of previous / next non-whitespace token. */
@@ -2379,7 +2390,7 @@ object Compat {
           val named = args.flatMap { arg =>
             val sig = arg.filter(_.kind != Ws)
             if (sig.length >= 3 && sig(0).kind == Word && sig(1).is("=>"))
-              Some(sig(0).text.toLowerCase -> render(sig.drop(2)).trim)
+              Some(sig(0).text.toLowerCase -> renderQ(sig.drop(2)).trim)
             else None
           }.toMap
           if (named.size == args.size && named.keySet.subsetOf(order.toSet)) {
@@ -2437,8 +2448,8 @@ object Compat {
             }
             val hasNullsClause = sortToks.exists(_.isWord("NULLS"))
             if (!hasNullsClause && sortToks.exists(_.kind != Ws)) {
-              val v = render(vToks).trim
-              val x = render(sortToks).trim
+              val v = renderQ(vToks).trim
+              val x = renderQ(sortToks).trim
               val before =
                 if (desc) s"(($x) > ($v) OR (($x) IS NULL AND ($v) IS NOT NULL))"
                 else s"(($x) < ($v) OR (($v) IS NULL AND ($x) IS NOT NULL))"
@@ -2912,14 +2923,14 @@ object Compat {
             val p = prevIdx(ts, i)
             if (!isSubquery && close > 0 && p >= 0) {
               val start = primaryStart(ts, p)
-              val lhs = render(ts.slice(start, p + 1).toSeq).trim
+              val lhs = renderQ(ts.slice(start, p + 1).toSeq).trim
               val innerToks = ts.slice(open + 1, close)
               val innerNonWs = innerToks.filterNot(_.kind == Ws)
               val arrSql =
                 if (innerNonWs.length == 1 && innerNonWs.head.kind == Str &&
                   isArrayLiteral(innerNonWs.head.text))
                   arrayLiteralTokens(innerNonWs.head.text, "string")
-                else render(innerToks.toSeq).trim
+                else renderQ(innerToks.toSeq).trim
               // fast paths keep the codegen'd array_contains; the
               // general comparison forms ride exists/forall lambdas
               val repl =

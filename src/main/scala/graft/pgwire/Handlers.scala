@@ -1354,7 +1354,40 @@ object Handlers {
       }.mkString(", ")
       s"SELECT $p$fromSql${whereOpt.map(w => s" WHERE $w").getOrElse("")}"
     }
-    retList match {
+    // Nondeterministic SET values (nextval, random, …) must evaluate
+    // EXACTLY ONCE per matched row — pg consumes one sequence value
+    // per updated row. The plain path executes the projection twice
+    // (count/RETURNING, then the table rewrite), so those route
+    // through a persisted matched-rows frame unioned with the
+    // survivors instead (pinned by the live DML differential:
+    // `SET id = DEFAULT WHERE p` allocates pg's exact values).
+    val nondet = assigned.values.exists(e =>
+      "(?i)nextval|setval|random|uuid".r.findFirstIn(e).isDefined)
+    if (nondet) {
+      val matched = runSql(spark, matchedSql)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = matched.count() // materializes: one evaluation per row
+        val keepSql = whereOpt match {
+          case Some(w) => s"SELECT *$fromSql WHERE NOT coalesce(($w), false)"
+          case None => s"SELECT *$fromSql WHERE false"
+        }
+        val next = runSql(spark, keepSql).union(matched.toDF())
+        retList match {
+          case Some(ret) =>
+            val sub = alias.getOrElse(m.group(1))
+            matched.createOrReplaceTempView("__graft_upd_m")
+            val df = runSql(spark, s"SELECT $ret FROM __graft_upd_m AS $sub")
+            val rows = df.collect()
+            overwriteTable(spark, table, next)
+            spark.catalog.dropTempView("__graft_upd_m")
+            RowSet(df.schema, rows.iterator, _ => s"UPDATE $n")
+          case None =>
+            overwriteTable(spark, table, next)
+            Complete(s"UPDATE $n")
+        }
+      } finally matched.unpersist()
+    } else retList match {
       case Some(ret) =>
         val sub = alias.getOrElse(m.group(1))
         // NEW values materialize BEFORE the overwrite — lazy iteration

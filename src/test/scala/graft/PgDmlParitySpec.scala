@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import graft.pgwire.{PgSequences, PgServer}
+
+/** Randomized DML state-machine differential, pinned (sweep-36): 42
+  * INSERT/UPDATE/DELETE statements over a serial/int/text/float table
+  * with a full sorted table-state dump after every mutation, captured
+  * from live pg 15 running the identical script
+  * (src/test/resources/dml/). Covers 3VL WHERE matching, multi-row
+  * inserts, CASE/expression SETs, multi-column row assignment,
+  * `a = DEFAULT` NULLing, serial allocation parity across the whole
+  * interleaving, and the exact `INSERT n`/`UPDATE n`/`DELETE n` tags.
+  *
+  * Known unspecified-order deviation (not exercised here): WHICH
+  * matched row receives WHICH value when one UPDATE sets a serial
+  * column to DEFAULT across several rows — pg hands values out in
+  * heap-scan order, the engine in its scan order; the allocated SET
+  * is identical.
+  */
+class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
+
+  private var server: PgServer = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.pgwire.PgFunctions.registerAll(spark)
+    server = new PgServer(spark)
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    super.afterAll()
+  }
+
+  private def resource(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing test resource $name")
+    try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8)
+      .getLines().toVector
+    finally in.close()
+  }
+
+  test("sweep-36: randomized DML script matches live pg state after every statement") {
+    PgSequences.reset()
+    val c = new Client(server.boundPort)
+    c.startup()
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    resource("/dml/script1.sql").filter(_.trim.nonEmpty).foreach { line =>
+      if (line.startsWith("?")) {
+        val table = line.drop(1).trim
+        val r = c.query(s"SELECT * FROM $table")
+        assert(r.errors === Nil, s"state dump: ${r.errors}")
+        val rows = r.rows.map(_.map(_.getOrElse("\\N")).mkString("|")).sorted
+        out += s"STATE $table ${rows.size}"
+        out ++= rows
+      } else {
+        val r = c.query(line)
+        val tag = r.tags.headOption.getOrElse(
+          r.errors.headOption.map("ERR " + _._1).getOrElse("OK"))
+        out += s"TAG $tag"
+      }
+    }
+    c.close()
+    val want = resource("/dml/live1.txt")
+    assert(out.size === want.size, "line count")
+    out.zip(want).zipWithIndex.foreach { case ((got, expect), i) =>
+      assert(got === expect, s"line ${i + 1}")
+    }
+  }
+}
