@@ -5668,8 +5668,15 @@ object Compat {
         // jsonb_delete_path, whose rhs may be ARRAY[..] or '{a,b}')
         val rhs = nextIdx(ts, i)
         val p = prevIdx(ts, i)
-        if (rhs >= 0 && p >= 0 && isValueEnd(ts(p)) &&
-          (ts(rhs).kind == Str || ts(rhs).kind == Word || ts(rhs).kind == QIdent)) {
+        // `@>`/`<@` additionally take a bare NUMBER operand: pg's
+        // range-vs-element containment (`r @> 3`, `3 <@ r`) — the
+        // dispatching pg_contains resolves element-ness by shape, and
+        // the analyzer retypes it on stored range columns
+        val elemOk = t.text == "@>" || t.text == "<@"
+        if (rhs >= 0 && p >= 0 &&
+          (isValueEnd(ts(p)) || (elemOk && ts(p).kind == Num)) &&
+          (ts(rhs).kind == Str || ts(rhs).kind == Word ||
+            ts(rhs).kind == QIdent || (elemOk && ts(rhs).kind == Num))) {
           val start = lhsStart(ts, p)
           val fn = t.text match {
             case "@>" => "pg_contains"

@@ -42,12 +42,12 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     finally in.close()
   }
 
-  test("sweep-36: randomized DML script matches live pg state after every statement") {
+  private def replay(script: String, live: String): Unit = {
     PgSequences.reset()
     val c = new Client(server.boundPort)
     c.startup()
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    resource("/dml/script1.sql").filter(_.trim.nonEmpty).foreach { line =>
+    resource(script).filter(_.trim.nonEmpty).foreach { line =>
       if (line.startsWith("?")) {
         val table = line.drop(1).trim
         val r = c.query(s"SELECT * FROM $table")
@@ -63,10 +63,22 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
       }
     }
     c.close()
-    val want = resource("/dml/live1.txt")
+    val want = resource(live)
     assert(out.size === want.size, "line count")
     out.zip(want).zipWithIndex.foreach { case ((got, expect), i) =>
       assert(got === expect, s"line ${i + 1}")
     }
+  }
+
+  test("sweep-36: randomized DML script matches live pg state after every statement") {
+    replay("/dml/script1.sql", "/dml/live1.txt")
+  }
+
+  test("sweep-36b: family-typed DML (int4range/enum/numeric columns) matches live pg") {
+    // exercises SET/WHERE over stored family columns — the run that
+    // exposed the bare `r @> 3` range-element gap (a stored range
+    // column with a NUMBER operand now dispatches through pg_contains
+    // and the analyzer metadata retype)
+    replay("/dml/script2.sql", "/dml/live2.txt")
   }
 }
