@@ -221,13 +221,11 @@ object Handlers {
     * (schema strip, quote/case rules) happens inside the UDF so
     * prepared-parameter names behave identically.
     */
-  private def substituteSeqFns(spark: SparkSession, session: Session,
-      sql: String): String = {
-    val lower = sql.toLowerCase
-    if (!lower.contains("nextval") && !lower.contains("currval") &&
-      !lower.contains("setval") && !lower.contains("lastval") &&
-      !lower.contains("pg_get_serial_sequence")) return sql
-    val cid = session.connId.toString
+  /** The literal sequence-call shapes → connId-bound UDF calls; also
+    * applied to spliced DEFAULT expressions so `DEFAULT
+    * nextval('s')` allocates per-connection like pg. */
+  private def bindSeqCalls(sql: String, connId: Int): String = {
+    val cid = connId.toString
     val name = "'((?:[^']|'')+)'(?:\\s*::\\s*regclass)?"
     var out = sql
     out = s"(?i)\\bnextval\\(\\s*$name\\s*\\)".r
@@ -245,6 +243,26 @@ object Handlers {
     out = "(?i)\\blastval\\(\\s*\\)".r
       .replaceAllIn(out, scala.util.matching.Regex.quoteReplacement(
         s"pg_lastval($cid)"))
+    out
+  }
+
+  /** The SQL expression a column's DEFAULT resolves to: the implicit
+    * serial sequence, the declared DEFAULT (sequence calls bound to
+    * this connection), or a typed NULL. */
+  private def defaultExprSql(f: StructField, connId: Int): String =
+    if (f.metadata.contains("pg.serial"))
+      s"pg_nextval('${f.metadata.getString("pg.serial")}', $connId)"
+    else if (f.metadata.contains("pg.default"))
+      s"(${bindSeqCalls(f.metadata.getString("pg.default"), connId)})"
+    else s"CAST(NULL AS ${f.dataType.sql})"
+
+  private def substituteSeqFns(spark: SparkSession, session: Session,
+      sql: String): String = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("nextval") && !lower.contains("currval") &&
+      !lower.contains("setval") && !lower.contains("lastval") &&
+      !lower.contains("pg_get_serial_sequence")) return sql
+    var out = bindSeqCalls(sql, session.connId)
     // pg_get_serial_sequence with literal arguments folds HERE, on the
     // driver, against the real catalog (a UDF task cannot reach
     // SessionState in Spark 4); the registered UDF stays as the
@@ -837,13 +855,125 @@ object Handlers {
 
   // ---- pg-dialect CREATE TABLE -----------------------------------------
 
-  /** Constraint keywords that end a column's type spelling. None are
-    * enforced (Spark has no constraints; pg clients still send them —
-    * documented deviation): NOT NULL / PRIMARY KEY / UNIQUE / DEFAULT /
-    * REFERENCES / CHECK / GENERATED / COLLATE are accepted and
-    * ignored. */
+  /** Constraint keywords that end a column's type spelling. NOT NULL,
+    * PRIMARY KEY, UNIQUE and DEFAULT are parsed and ENFORCED
+    * (pg-parity: 23502/23505 at write time, defaults fill omitted
+    * columns); REFERENCES / CHECK / COLLATE are accepted and ignored
+    * (documented deviation); GENERATED … AS IDENTITY maps to the
+    * serial machinery. */
   private val colConstraintKws = Set("not", "null", "primary", "unique",
     "default", "references", "check", "constraint", "generated", "collate")
+
+  /** Depth-0 word tokens of a raw column-def tail, outside string
+    * literals and quoted identifiers, with [start,end) offsets —
+    * offsets let DEFAULT expressions splice back out of the RAW text
+    * (tokenize+render would double backslashes in string literals). */
+  private def topWords(s: String, from: Int): Vector[(String, Int, Int)] = {
+    val out = Vector.newBuilder[(String, Int, Int)]
+    var i = from
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1; i += 1 }
+      else if (c == '"') { i += 1; while (i < s.length && s.charAt(i) != '"') i += 1; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c.isLetter || c == '_')) {
+        val st = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '$')) i += 1
+        out += ((s.substring(st, i).toLowerCase, st, i))
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Parsed column-level constraint clauses. */
+  private final case class ColCons(notNull: Boolean, pk: Boolean,
+    unique: Boolean, uniqueName: Option[String], default: Option[String],
+    identity: Boolean)
+
+  /** Scan a raw column def's constraint tail (everything after the
+    * type spelling). Live-pinned semantics in PgDmlSpec; FK clauses
+    * (REFERENCES … ON DELETE SET DEFAULT/NULL …) are consumed
+    * precisely so their keywords don't read as new constraints. */
+  private def scanColConstraints(d: String): ColCons = {
+    // the type ends at the first depth-0 constraint keyword after the
+    // column name (same rule as the token-based type extraction)
+    val ws = topWords(d, 0)
+    val tail = ws.dropWhile(w => !colConstraintKws.contains(w._1)).toList
+    var notNull = false; var pk = false; var uniq = false
+    var uniqueName: Option[String] = None
+    var default: Option[String] = None
+    var identity = false
+    var pendingName: Option[String] = None
+    var rest = tail
+    def eat(): Unit = rest = rest.drop(1)
+    while (rest.nonEmpty) {
+      val (w, _, end) = rest.head
+      w match {
+        case "not" =>
+          eat()
+          if (rest.headOption.exists(_._1 == "null")) { notNull = true; eat() }
+        case "null" => eat()
+        case "primary" =>
+          eat(); if (rest.headOption.exists(_._1 == "key")) eat()
+          pk = true; notNull = true
+          pendingName = None // pk name is always <table>_pkey
+        case "unique" =>
+          eat(); uniq = true; uniqueName = pendingName; pendingName = None
+        case "default" =>
+          eat()
+          val exprStart = end
+          // expression runs to the next depth-0 constraint keyword
+          val stops = Set("not", "primary", "unique", "references",
+            "check", "constraint", "generated", "collate")
+          var stopAt = d.length
+          var scan = rest
+          var found = false
+          while (scan.nonEmpty && !found) {
+            if (stops.contains(scan.head._1)) { stopAt = scan.head._2; found = true }
+            else scan = scan.tail
+          }
+          default = Some(d.substring(exprStart, stopAt).trim)
+          while (rest.nonEmpty && rest.head._2 < stopAt) eat()
+        case "references" =>
+          eat() // table name word
+          if (rest.nonEmpty) eat()
+          // MATCH FULL|PARTIAL|SIMPLE
+          if (rest.headOption.exists(_._1 == "match")) { eat(); if (rest.nonEmpty) eat() }
+          // ON DELETE|UPDATE <action>, repeatable
+          var more = true
+          while (more && rest.headOption.exists(_._1 == "on")) {
+            eat() // on
+            if (rest.headOption.exists(w0 => w0._1 == "delete" || w0._1 == "update")) eat()
+            rest.headOption.map(_._1) match {
+              case Some("cascade") | Some("restrict") => eat()
+              case Some("no") => eat(); if (rest.headOption.exists(_._1 == "action")) eat()
+              case Some("set") =>
+                eat()
+                if (rest.headOption.exists(w0 => w0._1 == "null" || w0._1 == "default")) eat()
+              case _ => more = false
+            }
+          }
+        case "check" => eat() // paren group is invisible at depth 0
+        case "constraint" =>
+          eat()
+          pendingName = rest.headOption.map(_._1)
+          if (rest.nonEmpty) eat()
+        case "collate" => eat(); if (rest.nonEmpty) eat()
+        case "generated" =>
+          eat()
+          if (rest.headOption.exists(_._1 == "always")) eat()
+          else if (rest.headOption.exists(_._1 == "by")) {
+            eat(); if (rest.headOption.exists(_._1 == "default")) eat()
+          }
+          if (rest.headOption.exists(_._1 == "as")) eat()
+          if (rest.headOption.exists(_._1 == "identity")) { identity = true; eat() }
+        case _ => eat()
+      }
+    }
+    ColCons(notNull, pk, uniq, uniqueName, default, identity)
+  }
 
   /** Entry starters that mark a TABLE-level constraint (skipped). */
   private val tableConstraintKws = Set("primary", "unique", "check",
@@ -881,13 +1011,58 @@ object Handlers {
     val defs = splitTopStr(body).map(_.trim).filter(_.nonEmpty)
     if (defs.isEmpty) return None
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val uniques = scala.collection.mutable.ArrayBuffer.empty[PgConstraints.Unique]
+    val tNorm = PgSequences.normName(table)
+    var sawPk = false
+    def addUnique(cols: Seq[String], isPk: Boolean, name: Option[String]): Unit = {
+      if (isPk) {
+        if (sawPk) throw PgException("42P16",
+          s"""multiple primary keys for table "$tNorm" are not allowed""")
+        sawPk = true
+        uniques += PgConstraints.Unique(s"${tNorm}_pkey", cols, isPrimary = true)
+      } else uniques += PgConstraints.Unique(
+        name.getOrElse(s"${tNorm}_${cols.map(_.toLowerCase).mkString("_")}_key"),
+        cols, isPrimary = false)
+    }
+    val tablePkCols = scala.collection.mutable.Set.empty[String]
     defs.foreach { d =>
       val toks = Compat.tokenize(d).filter(_.kind != Compat.Ws)
       if (toks.isEmpty) return None
       val first = toks.head
       val isTableConstraint = first.kind == Compat.Word &&
         tableConstraintKws.contains(first.text.toLowerCase)
-      if (!isTableConstraint) {
+      if (isTableConstraint) {
+        // table-level PRIMARY KEY/UNIQUE register; FK/CHECK/EXCLUDE
+        // stay accepted-and-ignored (documented deviation)
+        var ts = toks.toList
+        var consName: Option[String] = None
+        if (ts.head.isWord("CONSTRAINT") && ts.length > 1) {
+          consName = Some(unq(ts(1).text).toLowerCase)
+          ts = ts.drop(2)
+        }
+        val kind = ts.headOption.map(_.text.toLowerCase).getOrElse("")
+        if (kind == "primary" || kind == "unique") {
+          val open = ts.indexWhere(_.is("("))
+          val close = if (open >= 0) {
+            var depth = 0; var j = open; var c = -1
+            while (j < ts.length && c < 0) {
+              if (ts(j).is("(")) depth += 1
+              else if (ts(j).is(")")) { depth -= 1; if (depth == 0) c = j }
+              j += 1
+            }
+            c
+          } else -1
+          if (open >= 0 && close > open) {
+            val cols = ts.slice(open + 1, close)
+              .filter(t => t.kind == Compat.Word || t.kind == Compat.QIdent)
+              .map(t => unq(t.text))
+            if (cols.nonEmpty) {
+              addUnique(cols, kind == "primary", consName)
+              if (kind == "primary") tablePkCols ++= cols.map(_.toLowerCase)
+            }
+          }
+        }
+      } else {
         if (!(first.kind == Compat.Word || first.kind == Compat.QIdent)) return None
         val colName =
           if (first.kind == Compat.QIdent)
@@ -898,23 +1073,47 @@ object Handlers {
           !(t.kind == Compat.Word && colConstraintKws.contains(t.text.toLowerCase)))
         if (typeToks.isEmpty) return None
         val typeStr = typeToks.map(_.text).mkString(" ")
+        val cons = scanColConstraints(d)
         fields += (pgColumnField(spark, colName, typeStr) match {
           case Some(f) =>
-            // serial families get pg's implicit sequence + a metadata
-            // marker the INSERT path uses to auto-fill omitted values
+            // serial families (and GENERATED … AS IDENTITY) get pg's
+            // implicit sequence + a metadata marker the INSERT path
+            // uses to auto-fill omitted values
             val baseTy = typeStr.trim.toLowerCase.takeWhile(c => c != '(' && c != ' ')
-            if (serialTypes.contains(baseTy)) {
-              val seqName = PgSequences.normName(table) + "_" +
-                colName.toLowerCase + "_seq"
-              StructField(f.name, f.dataType, f.nullable,
-                new MetadataBuilder().withMetadata(f.metadata)
-                  .putString("pg.serial", seqName).build())
-            } else f
+            val mb = new MetadataBuilder().withMetadata(f.metadata)
+            if (serialTypes.contains(baseTy) || cons.identity) {
+              val seqName = tNorm + "_" + colName.toLowerCase + "_seq"
+              mb.putString("pg.serial", seqName)
+            }
+            if (cons.notNull || serialTypes.contains(baseTy) || cons.identity)
+              mb.putBoolean("pg.notnull", value = true)
+            cons.default.filter(_.nonEmpty).foreach(mb.putString("pg.default", _))
+            if (cons.pk) addUnique(Seq(f.name), isPk = true, None)
+            if (cons.unique) addUnique(Seq(f.name), isPk = false,
+              cons.uniqueName.orElse(Some(s"${tNorm}_${f.name.toLowerCase}_key")))
+            StructField(f.name, f.dataType, f.nullable, mb.build())
           case None => return None // unknown spelling → Spark path decides
         })
       }
     }
     if (fields.isEmpty) return None
+    // table-level PRIMARY KEY members are NOT NULL, like pg
+    if (tablePkCols.nonEmpty) fields.indices.foreach { i =>
+      val f = fields(i)
+      if (tablePkCols.contains(f.name.toLowerCase) &&
+          !(f.metadata.contains("pg.notnull") && f.metadata.getBoolean("pg.notnull")))
+        fields(i) = StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putBoolean("pg.notnull", value = true).build())
+    }
+    // the unique set rides on the first column's metadata so a fresh
+    // JVM can rebuild the registry from the catalog schema
+    if (uniques.nonEmpty) {
+      val f = fields(0)
+      fields(0) = StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString("pg.uniques", PgConstraints.serialize(uniques.toSeq)).build())
+    }
     Some {
       if (spark.catalog.tableExists(table)) {
         if (ifNotExists) Complete("CREATE TABLE")
@@ -922,6 +1121,7 @@ object Handlers {
       } else {
         spark.catalog.createTable(table, "parquet",
           StructType(fields.toArray), Map.empty[String, String])
+        PgConstraints.register(table, uniques.toSeq)
         fields.filter(_.metadata.contains("pg.serial")).foreach { f =>
           val seq = f.metadata.getString("pg.serial")
           // pg types the owned sequence after the serial family:
@@ -1106,8 +1306,10 @@ object Handlers {
       val df = runSql(spark, sql)
       df.collect()
       ownedSeqs.foreach(PgSequences.drop(_, ifExists = true))
-      tableNames.foreach(t =>
-        PgSequences.dropTableSerials(PgSequences.normName(t)))
+      tableNames.foreach { t =>
+        PgSequences.dropTableSerials(PgSequences.normName(t))
+        PgConstraints.drop(t)
+      }
       PgCatalog.invalidate()
       if (ownedSeqs.nonEmpty) PgCatalog.refresh(spark)
       return Complete("DROP TABLE")
@@ -1116,7 +1318,27 @@ object Handlers {
       // pg runs each column type's INPUT FUNCTION on insert — family
       // text is stored canonical and enum labels are validated at
       // write time, not first use (COVERAGE.md canonical-text note)
-      val canon = canonicalizeInsert(spark, sql, session.connId)
+      val (noConf, conflictSpec) = extractOnConflict(sql)
+      // `INSERT INTO t AS x` — only ON CONFLICT expressions may
+      // reference the alias; strip it before canonicalization
+      val aliasM = ("(?is)^(\\s*INSERT\\s+INTO\\s+(?:\"[^\"]+\"|[\\w$.]+))" +
+        "\\s+AS\\s+(\"[^\"]+\"|[\\w$]+)([\\s(].*)$").r.findFirstMatchIn(noConf)
+      val (noAlias, insAlias) = aliasM match {
+        case Some(am) => (am.group(1) + am.group(3), Some(unq(am.group(2))))
+        case None => (noConf, None)
+      }
+      val canon = canonicalizeInsert(spark, noAlias, session.connId)
+      val needsCheck = conflictSpec.isDefined || {
+        val tm = "(?is)^\\s*INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)".r
+          .findFirstMatchIn(canon)
+        tm.exists { t =>
+          val tbl = unq(t.group(1))
+          try PgConstraints.hasAny(tbl, spark.table(tbl).schema)
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
+      }
+      if (needsCheck)
+        return insertChecked(spark, session, canon, conflictSpec, insAlias)
       val retPos = Compat.topLevelKeywordPos(canon, "RETURNING")
       if (retPos >= 0) return insertReturning(spark, canon, retPos)
       val df = runSql(spark, canon)
@@ -1219,11 +1441,7 @@ object Handlers {
   private def dmlValueExpr(f: StructField, raw: String, connId: Int): String = {
     val e = raw.trim
     val base =
-      if (e.equalsIgnoreCase("DEFAULT")) {
-        if (f.metadata.contains("pg.serial"))
-          s"pg_nextval('${f.metadata.getString("pg.serial")}', $connId)"
-        else s"CAST(NULL AS ${f.dataType.sql})"
-      } else e
+      if (e.equalsIgnoreCase("DEFAULT")) defaultExprSql(f, connId) else e
     val fam =
       if (f.metadata.contains("pg.enum")) Some(f.metadata.getString("pg.enum"))
       else if (f.metadata.contains(PgType.OID_ALIAS_KEY)) {
@@ -1363,6 +1581,14 @@ object Handlers {
     // `SET id = DEFAULT WHERE p` allocates pg's exact values).
     val nondet = assigned.values.exists(e =>
       "(?i)nextval|setval|random|uuid".r.findFirstIn(e).isDefined)
+    // pg enforces constraints on UPDATE too (live-pinned: SET id to
+    // an existing key → 23505, SET a NOT NULL column to NULL → 23502)
+    def validateUpdate(matchedNew: => DataFrame, next: => DataFrame): Unit =
+      if (PgConstraints.hasAny(table, schema)) {
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        checkNotNull(matchedNew, schema, table, zone)
+        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
+      }
     if (nondet) {
       val matched = runSql(spark, matchedSql)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1373,6 +1599,7 @@ object Handlers {
           case None => s"SELECT *$fromSql WHERE false"
         }
         val next = runSql(spark, keepSql).union(matched.toDF())
+        validateUpdate(matched.toDF(), next)
         retList match {
           case Some(ret) =>
             val sub = alias.getOrElse(m.group(1))
@@ -1387,20 +1614,24 @@ object Handlers {
             Complete(s"UPDATE $n")
         }
       } finally matched.unpersist()
-    } else retList match {
-      case Some(ret) =>
-        val sub = alias.getOrElse(m.group(1))
-        // NEW values materialize BEFORE the overwrite — lazy iteration
-        // afterwards would re-read the rewritten table
-        val df = runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub")
-        val rows = df.collect()
-        overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
-        RowSet(df.schema, rows.iterator, n => s"UPDATE $n")
-      case None =>
-        val n = runSql(spark,
-          s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
-        overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
-        Complete(s"UPDATE $n")
+    } else {
+      validateUpdate(runSql(spark, matchedSql),
+        runSql(spark, s"SELECT $proj$fromSql"))
+      retList match {
+        case Some(ret) =>
+          val sub = alias.getOrElse(m.group(1))
+          // NEW values materialize BEFORE the overwrite — lazy iteration
+          // afterwards would re-read the rewritten table
+          val df = runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub")
+          val rows = df.collect()
+          overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
+          RowSet(df.schema, rows.iterator, n => s"UPDATE $n")
+        case None =>
+          val n = runSql(spark,
+            s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
+          overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
+          Complete(s"UPDATE $n")
+      }
     }
   }
 
@@ -1501,30 +1732,62 @@ object Handlers {
         val a = f.metadata.getString(PgType.OID_ALIAS_KEY)
         if (canonFamilies.contains(a)) Some(a) else None
       } else None
-    val fams = cols.map(famOf)
-    // serial columns omitted from an explicit column list are filled
-    // from their implicit sequence (pg's DEFAULT nextval); a
-    // positional INSERT (no column list) takes the user's values
-    val serialFill: Seq[(String, String)] =
-      if (m.group(3) == null) Nil
-      else schema.fields.toSeq
-        .filter(f => f.metadata.contains("pg.serial") &&
-          !cols.exists(_.name.equalsIgnoreCase(f.name)))
-        .map(f => (f.name, f.metadata.getString("pg.serial")))
-    if (fams.forall(_.isEmpty) && serialFill.isEmpty) return sql
-    val src = m.group(4).trim
+    val src0 = m.group(4).trim
+    // VALUES introspection: row arity (pg's short positional insert
+    // targets the leading columns) and per-position DEFAULT keywords
+    val valueRows: Option[Seq[Seq[String]]] =
+      if (!(src0.length >= 6 && src0.substring(0, 6).equalsIgnoreCase("VALUES"))) None
+      else {
+        val rows = splitTopStr(src0.substring(6)).map(_.trim)
+        if (rows.nonEmpty && rows.forall(r => r.startsWith("(") && r.endsWith(")")))
+          Some(rows.map(r => splitTopStr(r.substring(1, r.length - 1)).map(_.trim)))
+        else None
+      }
+    val colsEff: Seq[StructField] =
+      if (m.group(3) == null) valueRows match {
+        case Some(rs) if rs.head.length < cols.length => cols.take(rs.head.length)
+        case _ => cols
+      } else cols
+    val fams = colsEff.map(famOf)
+    val hasDefaultKw =
+      valueRows.exists(_.exists(_.exists(_.equalsIgnoreCase("DEFAULT"))))
+    // omitted columns with an implicit (serial) or declared default
+    // are filled; plain omitted columns stay NULL via the Spark path
+    val fill: Seq[StructField] =
+      if (m.group(3) == null && colsEff.length == cols.length) Nil
+      else schema.fields.toSeq.filter(f =>
+        (f.metadata.contains("pg.serial") || f.metadata.contains("pg.default")) &&
+          !colsEff.exists(_.name.equalsIgnoreCase(f.name)))
+    if (fams.forall(_.isEmpty) && fill.isEmpty && !hasDefaultKw) return sql
+    // DEFAULT cells resolve to expressions that may be
+    // nondeterministic (nextval) — Spark's inline VALUES requires
+    // foldable cells, so such rows become a UNION ALL of SELECTs
+    val src = valueRows match {
+      case Some(rs) if hasDefaultKw =>
+        rs.map { row =>
+          "SELECT " + row.zipWithIndex.map { case (e, i) =>
+            if (e.equalsIgnoreCase("DEFAULT") && i < colsEff.length)
+              defaultExprSql(colsEff(i), connId)
+            else e
+          }.mkString(", ")
+        }.mkString(" UNION ALL ")
+      case _ => src0
+    }
     val colListSql =
-      if (m.group(2) == null) ""
-      else if (serialFill.isEmpty) s" ${m.group(2)}"
-      else s" (${m.group(3)}, ${serialFill.map("\"" + _._1 + "\"").mkString(", ")})"
-    val gcols = cols.indices.map(i => s"__gc$i")
-    val proj = cols.indices.map { i =>
+      if (m.group(2) == null && colsEff.length == cols.length && fill.isEmpty) ""
+      else s" (${(colsEff ++ fill).map(f => "\"" + f.name + "\"").mkString(", ")})"
+    val gcols = colsEff.indices.map(i => s"__gc$i")
+    val proj = colsEff.indices.map { i =>
       fams(i) match {
         case Some(fam) => s"__gc$i::$fam AS __gc$i"
         case None => s"__gc$i"
       }
-    } ++ serialFill.zipWithIndex.map { case ((_, seq), k) =>
-      s"pg_nextval('$seq', $connId) AS __gs$k"
+    } ++ fill.zipWithIndex.map { case (f, k) =>
+      val base = defaultExprSql(f, connId)
+      famOf(f) match {
+        case Some(fam) => s"($base)::$fam AS __gs$k"
+        case None => s"$base AS __gs$k"
+      }
     }
     s"INSERT INTO ${m.group(1)}$colListSql SELECT ${proj.mkString(", ")} " +
       s"FROM ( $src ) AS __graft_ins(${gcols.mkString(", ")})$ret"
@@ -1639,6 +1902,425 @@ object Handlers {
     root.collectFirst {
       case p if p.metrics.contains("numOutputRows") => p.metrics("numOutputRows").value
     }.getOrElse(0L)
+  }
+
+  // ---- constraint enforcement + ON CONFLICT upsert -----------------------
+
+  /** Parsed `ON CONFLICT …` clause. `doUpdate` is None for DO
+    * NOTHING, Some((setText, whereText)) for DO UPDATE. */
+  private[pgwire] final case class ConflictSpec(cols: Seq[String],
+    constraintName: Option[String],
+    doUpdate: Option[(String, Option[String])])
+
+  /** Split a raw INSERT into (sql without the ON CONFLICT clause,
+    * parsed spec). RETURNING (which follows the clause in pg's
+    * grammar) is preserved in the returned SQL. */
+  private[pgwire] def extractOnConflict(sql: String): (String, Option[ConflictSpec]) = {
+    val confPos = Compat.topLevelKeywordPos(sql, "CONFLICT")
+    if (confPos < 0) return (sql, None)
+    // the preceding top-level word must be ON (JOIN … ON <CONFLICT?>
+    // can't occur — CONFLICT is not a valid expression head)
+    var j = confPos - 1
+    while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+    val onEnd = j + 1
+    while (j >= 0 && (sql.charAt(j).isLetter || sql.charAt(j) == '_')) j -= 1
+    val onStart = j + 1
+    if (!sql.substring(onStart, onEnd).equalsIgnoreCase("ON")) return (sql, None)
+    val after = confPos + "CONFLICT".length
+    val retRel = Compat.topLevelKeywordPos(sql.substring(after), "RETURNING")
+    val clauseEnd = if (retRel >= 0) after + retRel else sql.length
+    val clause = sql.substring(after, clauseEnd).trim.stripSuffix(";")
+    val base = sql.substring(0, onStart) +
+      (if (retRel >= 0) " " + sql.substring(clauseEnd) else "")
+    // ---- parse the clause: [(cols) | ON CONSTRAINT name]
+    //      DO NOTHING | DO UPDATE SET … [WHERE …]
+    var rest = clause
+    var cols: Seq[String] = Nil
+    var consName: Option[String] = None
+    if (rest.startsWith("(")) {
+      val close = matchingParenStr(rest, 0)
+      if (close < 0) throw PgException("42601", "syntax error in ON CONFLICT")
+      cols = splitTopStr(rest.substring(1, close)).map(c => unq(c.trim))
+      rest = rest.substring(close + 1).trim
+      // a WHERE here is pg's partial-index inference — not supported
+      if (rest.toUpperCase.startsWith("WHERE"))
+        throw PgException("0A000",
+          "ON CONFLICT index predicates (partial-index inference) are not supported")
+    } else if (rest.toUpperCase.startsWith("ON")) {
+      val m = "(?is)^ON\\s+CONSTRAINT\\s+(\"[^\"]+\"|[\\w$]+)\\s*(.*)$".r
+        .findFirstMatchIn(rest).getOrElse(
+          throw PgException("42601", "syntax error in ON CONFLICT"))
+      consName = Some(unq(m.group(1)).toLowerCase)
+      rest = m.group(2).trim
+    }
+    val spec =
+      if ("(?is)^DO\\s+NOTHING\\s*$".r.findFirstIn(rest).isDefined)
+        ConflictSpec(cols, consName, None)
+      else {
+        val m = "(?is)^DO\\s+UPDATE\\s+SET\\s+(.*)$".r.findFirstMatchIn(rest)
+          .getOrElse(throw PgException("42601", "syntax error in ON CONFLICT"))
+        if (cols.isEmpty && consName.isEmpty)
+          throw PgException("42601",
+            "ON CONFLICT DO UPDATE requires inference specification or constraint name")
+        val tail = m.group(1).trim
+        val wherePos = Compat.topLevelKeywordPos(tail, "WHERE")
+        if (wherePos >= 0)
+          ConflictSpec(cols, consName, Some((tail.substring(0, wherePos).trim,
+            Some(tail.substring(wherePos + "WHERE".length).trim))))
+        else ConflictSpec(cols, consName, Some((tail, None)))
+      }
+    (base, Some(spec))
+  }
+
+  /** Qualify a DO UPDATE SET/WHERE expression: `EXCLUDED.c` → the
+    * proposed row (`__i.c`), `<table|alias>.c` and bare column names
+    * → the existing row (`__e.c`). Splices into the RAW text so
+    * string literals are never re-rendered. */
+  private def qualifyConflictExpr(raw: String, table: String,
+      alias: Option[String], schema: StructType): String = {
+    val tblLower = table.toLowerCase
+    val aliasLower = alias.map(_.toLowerCase)
+    def colOf(name: String, quoted: Boolean): Option[String] =
+      if (quoted) schema.fields.find(_.name == name).map(_.name)
+      else schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.name)
+    val sb = new StringBuilder
+    var i = 0
+    val n = raw.length
+    def prevNonWs(p0: Int): Char = {
+      var p = p0
+      while (p >= 0 && raw.charAt(p).isWhitespace) p -= 1
+      if (p >= 0) raw.charAt(p) else ' '
+    }
+    def nextNonWs(p0: Int): Char = {
+      var p = p0
+      while (p < n && raw.charAt(p).isWhitespace) p += 1
+      if (p < n) raw.charAt(p) else ' '
+    }
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (c == '\'') {
+        val st = i; i += 1
+        while (i < n && !(raw.charAt(i) == '\'' &&
+          !(i + 1 < n && raw.charAt(i + 1) == '\''))) {
+          if (raw.charAt(i) == '\'' && i + 1 < n && raw.charAt(i + 1) == '\'') i += 2
+          else i += 1
+        }
+        i = math.min(i + 1, n)
+        sb.append(raw.substring(st, i))
+      } else if (c == '"' || c.isLetter || c == '_') {
+        // read an identifier chain: ident [. ident]
+        def readIdent(at: Int): Option[(String, Boolean, Int)] = {
+          if (at >= n) None
+          else if (raw.charAt(at) == '"') {
+            var e = at + 1
+            while (e < n && raw.charAt(e) != '"') e += 1
+            if (e >= n) None else Some((raw.substring(at + 1, e), true, e + 1))
+          } else if (raw.charAt(at).isLetter || raw.charAt(at) == '_') {
+            var e = at
+            while (e < n && (raw.charAt(e).isLetterOrDigit ||
+              raw.charAt(e) == '_' || raw.charAt(e) == '$')) e += 1
+            Some((raw.substring(at, e), false, e))
+          } else None
+        }
+        val first = readIdent(i).get
+        val afterFirst = first._3
+        val dotted =
+          if (nextNonWs(afterFirst) == '.') {
+            var p = afterFirst
+            while (p < n && raw.charAt(p).isWhitespace) p += 1
+            readIdent(p + 1).map(second => (second, second._3))
+          } else None
+        val prevC = prevNonWs(i - 1)
+        dotted match {
+          case Some(((colName, colQuoted, _), chainEnd)) if prevC != '.' =>
+            val q = first._1.toLowerCase
+            val isExcluded = !first._2 && q == "excluded"
+            val isTarget = (!first._2 && (q == tblLower || aliasLower.contains(q))) ||
+              (first._2 && (first._1 == table || alias.contains(first._1)))
+            if (isExcluded || isTarget) {
+              val col = colOf(colName, colQuoted).getOrElse(
+                throw PgException("42703",
+                  s"""column "$colName" of relation "$table" does not exist"""))
+              sb.append(if (isExcluded) "__i." else "__e.").append(qid(col))
+              i = chainEnd
+            } else { sb.append(raw.substring(i, chainEnd)); i = chainEnd }
+          case _ =>
+            // bare identifier: a column name (not a function call, not
+            // a `::type` target, not a qualifier we just emitted)
+            val isFnCall = nextNonWs(afterFirst) == '('
+            val isCastTarget = prevC == ':'
+            val isQualified = prevC == '.'
+            colOf(first._1, first._2) match {
+              case Some(col) if !isFnCall && !isCastTarget && !isQualified &&
+                  !(nextNonWs(afterFirst) == '.') =>
+                sb.append("__e.").append(qid(col)); i = afterFirst
+              case _ =>
+                sb.append(raw.substring(i, afterFirst)); i = afterFirst
+            }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** pg's 23502 DETAIL row rendering — values through the type output
+    * functions, NULL as the literal `null`. */
+  private def renderRowDetail(row: Row, schema: StructType,
+      zone: java.time.ZoneId): String =
+    schema.fields.indices.map { i =>
+      TextEncoder.encodeField(row.get(i), schema.fields(i), zone)
+        .getOrElse("null")
+    }.mkString("(", ", ", ")")
+
+  /** 23502 check over the rows actually being written. */
+  private def checkNotNull(df: DataFrame, schema: StructType, table: String,
+      zone: java.time.ZoneId): Unit = {
+    val nn = PgConstraints.notNullCols(schema)
+    if (nn.isEmpty) return
+    import org.apache.spark.sql.functions.col
+    nn.foreach { c =>
+      val bad = df.where(col(c).isNull).limit(1).collect()
+      if (bad.nonEmpty)
+        throw PgException("23502",
+          s"""null value in column "${c}" of relation "$table" violates not-null constraint
+DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
+    }
+  }
+
+  /** 23505 check: any duplicate non-null key group in `df` (which
+    * should be the candidate FINAL table state) violates `u`. */
+  private def checkUniqueDups(df: DataFrame, schema: StructType,
+      uniques: Seq[PgConstraints.Unique], zone: java.time.ZoneId): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    uniques.foreach { u =>
+      val keyed = u.cols.foldLeft(df)((d, c) => d.where(col(c).isNotNull))
+      val dup = keyed.groupBy(u.cols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty) {
+        val fs = u.cols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)
+        val vals = fs.indices.map(i =>
+          TextEncoder.encodeField(dup(0).get(i), fs(i), zone).getOrElse("null"))
+        throw PgException("23505",
+          s"""duplicate key value violates unique constraint "${u.name}"
+DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.""")
+      }
+    }
+  }
+
+  /** INSERT against a table with declared constraints and/or an ON
+    * CONFLICT clause. pg-parity semantics, all live-pinned
+    * (PgDmlSpec): 23502/23505 with pg's DETAIL lines, DO NOTHING
+    * keep-first within a batch, DO UPDATE with EXCLUDED/target-row
+    * qualification, 21000 when two proposed rows hit the same
+    * existing row, `INSERT 0 <inserted+updated>` tags.
+    *
+    * Scale note: the write-set is persisted once and every check is a
+    * distributed aggregate/anti-join over it (no driver collects
+    * beyond LIMIT-1 violation probes and the RETURNING rows, which
+    * materialize before the table rewrite like UPDATE's). Constraint
+    * tables are the wire-DDL OLTP surface; bulk analytics tables
+    * take the streaming unconstrained path.
+    */
+  private def insertChecked(spark: SparkSession, session: Session,
+      canonSql: String, spec: Option[ConflictSpec],
+      insAlias: Option[String]): PgResult = {
+    import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, row_number}
+    val retPos = Compat.topLevelKeywordPos(canonSql, "RETURNING")
+    val (insertPart, retExprs) =
+      if (retPos >= 0) (canonSql.substring(0, retPos).trim,
+        Some(canonSql.substring(retPos + "RETURNING".length).trim))
+      else (canonSql.trim.stripSuffix(";"), None)
+    val m = "(?is)^INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)\\s*(\\(([^)]*)\\))?\\s*(.+)$".r
+      .findFirstMatchIn(insertPart).getOrElse(
+        throw PgException("42601", s"cannot parse INSERT: $insertPart"))
+    val table = unq(m.group(1))
+    val tgtSchema =
+      try spark.table(table).schema
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$table" does not exist""") }
+    val cols = Option(m.group(3)).map(_.split(",").map(c => unq(c.trim)).toSeq)
+      .getOrElse(tgtSchema.fields.map(_.name).toSeq)
+    cols.foreach { c =>
+      if (!tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        throw PgException("42703",
+          s"""column "$c" of relation "$table" does not exist""")
+    }
+    val srcText = m.group(4).trim
+    val srcSql =
+      if (srcText.toUpperCase.startsWith("VALUES"))
+        s"SELECT * FROM ($srcText) AS __vals"
+      else srcText
+    val src = runSql(spark, srcSql)
+    if (src.schema.fields.length != cols.length)
+      throw PgException("42601",
+        s"INSERT has ${src.schema.fields.length} expressions but ${cols.length} target columns")
+    val named = src.toDF(cols: _*)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val viewName = s"__ins_chk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    named.createOrReplaceTempView(viewName)
+    val fullSel = tgtSchema.fields.toSeq.map { f =>
+      cols.find(_.equalsIgnoreCase(f.name)) match {
+        case Some(c) => s"CAST(`$c` AS ${f.dataType.sql}) AS `${f.name}`"
+        case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+      }
+    }
+    val full = spark.sql(s"SELECT ${fullSel.mkString(", ")} FROM `$viewName`")
+      .persist()
+    val uniques = PgConstraints.uniquesOf(table, tgtSchema)
+    val fieldName = (c: String) =>
+      tgtSchema.fields.find(_.name.equalsIgnoreCase(c)).get.name
+    def resolveArbiters(s: ConflictSpec): Seq[PgConstraints.Unique] =
+      s.constraintName match {
+        case Some(n) =>
+          val hit = uniques.filter(_.name.equalsIgnoreCase(n))
+          if (hit.isEmpty) throw PgException("42704",
+            s"""constraint "$n" for table "$table" does not exist""")
+          hit.take(1)
+        case None if s.cols.nonEmpty =>
+          val want = s.cols.map(_.toLowerCase).toSet
+          val hit = uniques.filter(_.cols.map(_.toLowerCase).toSet == want)
+          if (hit.isEmpty) throw PgException("42P10",
+            "there is no unique or exclusion constraint matching the ON CONFLICT specification")
+          hit.take(1)
+        case None => uniques // DO NOTHING without a target: every arbiter
+      }
+    def retRows(affected: DataFrame): Option[(StructType, Array[Row])] =
+      retExprs.map { ret =>
+        val v = s"__ins_aff_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        affected.createOrReplaceTempView(v)
+        try {
+          val df = runSql(spark, s"SELECT $ret FROM `$v` AS ${qid(insAlias.getOrElse(table))}")
+          (df.schema, df.collect())
+        } finally spark.catalog.dropTempView(v)
+      }
+    def result(n: Long, rr: Option[(StructType, Array[Row])]): PgResult = rr match {
+      case Some((sch, rows)) => RowSet(sch, rows.iterator, _ => s"INSERT 0 $n")
+      case None => Complete(s"INSERT 0 $n")
+    }
+    try {
+      spec match {
+        case None =>
+          // plain insert into a constrained table
+          val n = full.count()
+          checkNotNull(full, tgtSchema, table, zone)
+          if (uniques.nonEmpty)
+            checkUniqueDups(
+              spark.table(table).unionByName(full.select(tgtSchema.fieldNames.map(col).toSeq: _*)),
+              tgtSchema, uniques, zone)
+          val rr = retRows(full)
+          full.write.insertInto(table)
+          result(n, rr)
+
+        case Some(s) if s.doUpdate.isEmpty =>
+          // DO NOTHING: keep-first within the batch per arbiter, then
+          // drop rows that collide with stored ones (NULL keys exempt)
+          val arbiters = resolveArbiters(s)
+          val existing = spark.table(table)
+          var surv = full.withColumn("__ord", monotonically_increasing_id())
+          arbiters.foreach { u =>
+            val kcols = u.cols.map(fieldName)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(kcols.map(col): _*).orderBy(col("__ord"))
+            val anyNull = kcols.map(col(_).isNull).reduce(_ || _)
+            surv = surv.withColumn("__rn", row_number().over(w))
+              .where(anyNull || col("__rn") === 1).drop("__rn")
+              .join(existing.select(kcols.map(col): _*), kcols, "left_anti")
+          }
+          val out = surv.drop("__ord")
+            .select(tgtSchema.fieldNames.map(col).toSeq: _*).persist()
+          try {
+            val n = out.count()
+            checkNotNull(out, tgtSchema, table, zone)
+            val others = uniques.filterNot(u => arbiters.exists(_.name == u.name))
+            if (others.nonEmpty)
+              checkUniqueDups(existing.unionByName(out), tgtSchema, others, zone)
+            val rr = retRows(out)
+            out.write.insertInto(table)
+            result(n, rr)
+          } finally out.unpersist()
+
+        case Some(s) =>
+          // DO UPDATE: merge — matched rows take the SET expressions
+          // (EXCLUDED = proposed row, bare/target-qualified = stored
+          // row), the rest insert; whole-table rewrite like UPDATE
+          val u0 = resolveArbiters(s).head
+          val kcols = u0.cols.map(fieldName)
+          val nnKeys = kcols.foldLeft(full.toDF())((d, c) => d.where(col(c).isNotNull))
+          val batchDup = nnKeys.groupBy(kcols.map(col): _*)
+            .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count()
+          if (batchDup > 0)
+            throw PgException("21000",
+              """ON CONFLICT DO UPDATE command cannot affect row a second time
+HINT:  Ensure that no rows proposed for insertion within the same command have duplicate constrained values.""")
+          val (setText, whereText) = s.doUpdate.get
+          val assigned = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          splitTopLevelText(setText, ',').map(_.trim).filter(_.nonEmpty).foreach { a =>
+            val eq = {
+              var depth = 0; var j = 0; var pos = -1
+              while (j < a.length && pos < 0) {
+                val c = a.charAt(j)
+                if (c == '(') depth += 1
+                else if (c == ')') depth -= 1
+                else if (c == '\'') { j += 1; while (j < a.length && a.charAt(j) != '\'') j += 1 }
+                else if (depth == 0 && c == '=') pos = j
+                j += 1
+              }
+              if (pos < 0) throw PgException("42601", "syntax error in ON CONFLICT DO UPDATE SET")
+              pos
+            }
+            val cn = unq(a.substring(0, eq).trim)
+            val f = tgtSchema.fields.find(_.name.equalsIgnoreCase(cn)).getOrElse(
+              throw PgException("42703",
+                s"""column "$cn" of relation "$table" does not exist"""))
+            val rhs = a.substring(eq + 1).trim
+            val qual =
+              if (rhs.equalsIgnoreCase("DEFAULT")) rhs
+              else qualifyConflictExpr(rhs, table, insAlias, tgtSchema)
+            assigned(f.name) =
+              s"CAST(${dmlValueExpr(f, qual, session.connId)} AS ${f.dataType.sql})"
+          }
+          val qualWhere = whereText.map(w =>
+            qualifyConflictExpr(w, table, insAlias, tgtSchema))
+          val iView = s"__ins_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          full.createOrReplaceTempView(iView)
+          try {
+            val joinCond = kcols.map(c => s"__e.${qid(c)} = __i.${qid(c)}").mkString(" AND ")
+            val pairsFrom = s"FROM ${qid(table)} AS __e JOIN `$iView` AS __i ON $joinCond"
+            val updProj = tgtSchema.fields.map { f =>
+              assigned.getOrElse(f.name, s"__e.${qid(f.name)}") + s" AS ${qid(f.name)}"
+            }.mkString(", ")
+            val updated = runSql(spark,
+              s"SELECT $updProj $pairsFrom" +
+                qualWhere.map(w => s" WHERE $w").getOrElse("")).persist()
+            val inserts = full
+              .join(spark.table(table).select(kcols.map(col): _*), kcols, "left_anti")
+              .persist()
+            try {
+              val nUpd = updated.count()
+              val nIns = inserts.count()
+              val eStar = tgtSchema.fields
+                .map(f => s"__e.${qid(f.name)} AS ${qid(f.name)}").mkString(", ")
+              val keptMatched = qualWhere.map(w => runSql(spark,
+                s"SELECT $eStar $pairsFrom WHERE NOT coalesce(($w), false)"))
+              val survivorsE = spark.table(table)
+                .join(full.select(kcols.map(col): _*), kcols, "left_anti")
+              val affected = updated.unionByName(inserts)
+              checkNotNull(affected, tgtSchema, table, zone)
+              val next = keptMatched.foldLeft(survivorsE)(_ unionByName _)
+                .unionByName(affected)
+              checkUniqueDups(next, tgtSchema, uniques, zone)
+              val rr = retRows(affected)
+              overwriteTable(spark, table, next)
+              result(nUpd + nIns, rr)
+            } finally { updated.unpersist(); inserts.unpersist() }
+          } finally spark.catalog.dropTempView(iView)
+      }
+    } finally {
+      try spark.catalog.dropTempView(viewName)
+      catch { case scala.util.control.NonFatal(_) => }
+      full.unpersist()
+    }
   }
 
   // ---- statement timeout (reference: handlers.rs:196-210) ---------------

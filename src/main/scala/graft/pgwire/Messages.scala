@@ -152,10 +152,27 @@ object Messages {
   def errorResponse(out: DataOutputStream, code: String, message: String,
       severity: String = "ERROR"): Unit =
     msg(out, 'E') { o =>
+      // PgException messages may embed DETAIL/HINT paragraphs (the
+      // constraint errors do) — split them into the protocol's D/H
+      // fields so psql/pgjdbc render them exactly like pg
+      val dIdx = message.indexOf("\nDETAIL:  ")
+      val hIdx = message.indexOf("\nHINT:  ")
+      val mEnd = Seq(dIdx, hIdx).filter(_ >= 0).sorted.headOption.getOrElse(message.length)
+      val detail =
+        if (dIdx >= 0) {
+          val st = dIdx + "\nDETAIL:  ".length
+          val en = if (hIdx > dIdx) hIdx else message.length
+          Some(message.substring(st, en))
+        } else None
+      val hint =
+        if (hIdx >= 0) Some(message.substring(hIdx + "\nHINT:  ".length))
+        else None
       o.writeByte('S'); cstr(o, severity)
       o.writeByte('V'); cstr(o, severity)
       o.writeByte('C'); cstr(o, code)
-      o.writeByte('M'); cstr(o, message)
+      o.writeByte('M'); cstr(o, message.substring(0, mEnd))
+      detail.foreach { d => o.writeByte('D'); cstr(o, d) }
+      hint.foreach { h => o.writeByte('H'); cstr(o, h) }
       o.writeByte(0)
     }
 

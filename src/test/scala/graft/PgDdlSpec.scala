@@ -40,7 +40,11 @@ class PgDdlSpec extends SparkSpec with BeforeAndAfterAll {
   test("pg type spellings create Spark tables; constraints are tolerated") {
     val c = connect()
     c.query("DROP TABLE IF EXISTS ddl_a")
-    val r = c.query("CREATE TABLE ddl_a (id serial PRIMARY KEY, " +
+    // column-level AND table-level PRIMARY KEY together is pg's 42P16
+    // (live-pinned: "multiple primary keys … are not allowed")
+    assert(c.query("CREATE TABLE ddl_a (id serial PRIMARY KEY, name text, " +
+      "PRIMARY KEY (id))").errors.map(_._1) === Seq("42P16"))
+    val r = c.query("CREATE TABLE ddl_a (id serial, " +
       "name text NOT NULL, score numeric(10,2) DEFAULT 0, ok boolean, " +
       "created timestamptz, d date, n int8, f float4, " +
       "PRIMARY KEY (id))")

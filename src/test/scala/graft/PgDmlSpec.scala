@@ -96,6 +96,121 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("column DEFAULTs: omitted-column fill, DEFAULT keyword, short positional (live-pg pinned)") {
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS ddef")
+    assert(c.query("CREATE TABLE ddef (id int, name text, score numeric(10,2) DEFAULT 0, " +
+      "tag text DEFAULT 'x' || 'y')").errors === Nil)
+    // omitted columns fill from their defaults (live: 0.00 / xy)
+    assert(c.query("INSERT INTO ddef (id, name) VALUES (1, 'a')").tags === Seq("INSERT 0 1"))
+    // short positional targets the leading columns
+    assert(c.query("INSERT INTO ddef VALUES (2, 'b')").tags === Seq("INSERT 0 1"))
+    // DEFAULT keyword inside VALUES resolves per position
+    assert(c.query("INSERT INTO ddef VALUES (3, 'c', DEFAULT, DEFAULT)").tags === Seq("INSERT 0 1"))
+    assert(rows(c, "SELECT id, name, score, tag FROM ddef ORDER BY id") === Seq(
+      Seq("1", "a", "0.00", "xy"), Seq("2", "b", "0.00", "xy"), Seq("3", "c", "0.00", "xy")))
+    // expression default with a sequence call allocates per row
+    c.query("DROP TABLE IF EXISTS ddef2")
+    assert(c.query("CREATE SEQUENCE ddef_seq").errors === Nil)
+    assert(c.query("CREATE TABLE ddef2 (id bigint DEFAULT nextval('ddef_seq'), v text)").errors === Nil)
+    assert(c.query("INSERT INTO ddef2 (v) VALUES ('p'), ('q')").tags === Seq("INSERT 0 2"))
+    assert(rows(c, "SELECT id, v FROM ddef2 ORDER BY id") === Seq(
+      Seq("1", "p"), Seq("2", "q")))
+    // DEFAULT on a column with no default is NULL (pg semantics)
+    assert(c.query("INSERT INTO ddef2 VALUES (DEFAULT, DEFAULT)").tags === Seq("INSERT 0 1"))
+    assert(rows(c, "SELECT id, coalesce(v, '<null>') FROM ddef2 WHERE id = 3") === Seq(
+      Seq("3", "<null>")))
+    // UPDATE SET col = DEFAULT uses the declared default
+    assert(c.query("UPDATE ddef SET score = DEFAULT WHERE id = 2").tags === Seq("UPDATE 1"))
+    assert(rows(c, "SELECT score FROM ddef WHERE id = 2") === Seq(Seq("0.00")))
+    // GENERATED AS IDENTITY maps to the serial machinery
+    c.query("DROP TABLE IF EXISTS dident")
+    assert(c.query("CREATE TABLE dident (id int GENERATED ALWAYS AS IDENTITY, v text)").errors === Nil)
+    assert(c.query("INSERT INTO dident (v) VALUES ('a'), ('b')").tags === Seq("INSERT 0 2"))
+    assert(rows(c, "SELECT id, v FROM dident ORDER BY id") === Seq(
+      Seq("1", "a"), Seq("2", "b")))
+    c.query("DROP TABLE ddef"); c.query("DROP TABLE ddef2")
+    c.query("DROP TABLE dident"); c.query("DROP SEQUENCE ddef_seq")
+    c.close()
+  }
+
+  test("constraints + ON CONFLICT upsert: 23502/23505, DO NOTHING, DO UPDATE with EXCLUDED (live-pg pinned)") {
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS up14")
+    assert(c.query("CREATE TABLE up14 (id int PRIMARY KEY, name text NOT NULL, " +
+      "score numeric(10,2) DEFAULT 0, tag text DEFAULT 'x' || 'y')").errors === Nil)
+    assert(c.query("INSERT INTO up14 (id, name) VALUES (1, 'a')").tags === Seq("INSERT 0 1"))
+    assert(c.query("INSERT INTO up14 VALUES (2, 'b')").tags === Seq("INSERT 0 1"))
+    // 23502 (null into NOT NULL)
+    val e1 = c.query("INSERT INTO up14 (id, name) VALUES (4, NULL)")
+    assert(e1.errors.map(_._1) === Seq("23502"))
+    assert(e1.errors.head._2.contains(
+      "null value in column \"name\" of relation \"up14\" violates not-null constraint"))
+    // 23505 vs stored rows, pg constraint name in the message
+    val e2 = c.query("INSERT INTO up14 (id, name) VALUES (1, 'dup')")
+    assert(e2.errors.map(_._1) === Seq("23505"))
+    assert(e2.errors.head._2.contains("up14_pkey"))
+    // 23505 within the same statement
+    assert(c.query("INSERT INTO up14 (id, name) VALUES (5,'p'),(5,'q')")
+      .errors.map(_._1) === Seq("23505"))
+    // DO NOTHING: conflicting row skipped, fresh row inserted
+    assert(c.query("INSERT INTO up14 (id, name) VALUES (1,'z'),(6,'new') " +
+      "ON CONFLICT (id) DO NOTHING").tags === Seq("INSERT 0 1"))
+    // DO UPDATE: EXCLUDED = proposed row, table-qualified = stored row
+    assert(c.query("INSERT INTO up14 (id, name, score) VALUES (1,'upd',9.5),(7,'ins',1) " +
+      "ON CONFLICT (id) DO UPDATE SET name = EXCLUDED.name || '!', " +
+      "score = up14.score + EXCLUDED.score").tags === Seq("INSERT 0 2"))
+    assert(rows(c, "SELECT id, name, score, tag FROM up14 ORDER BY id") === Seq(
+      Seq("1", "upd!", "9.50", "xy"), Seq("2", "b", "0.00", "xy"),
+      Seq("6", "new", "0.00", "xy"), Seq("7", "ins", "1.00", "xy")))
+    // 21000 when two proposed rows hit the same stored row
+    assert(c.query("INSERT INTO up14 (id,name) VALUES (2,'x2'),(2,'x3') " +
+      "ON CONFLICT (id) DO UPDATE SET name=EXCLUDED.name").errors.map(_._1) === Seq("21000"))
+    // DO NOTHING keeps the FIRST of a within-batch duplicate
+    assert(c.query("INSERT INTO up14 (id,name) VALUES (8,'a8'),(8,'b8') " +
+      "ON CONFLICT (id) DO NOTHING").tags === Seq("INSERT 0 1"))
+    assert(rows(c, "SELECT name FROM up14 WHERE id = 8") === Seq(Seq("a8")))
+    // DO UPDATE … WHERE false → no change, count 0
+    assert(c.query("INSERT INTO up14 (id,name) VALUES (2,'ww') ON CONFLICT (id) " +
+      "DO UPDATE SET name = EXCLUDED.name WHERE up14.id > 5").tags === Seq("INSERT 0 0"))
+    assert(rows(c, "SELECT name FROM up14 WHERE id = 2") === Seq(Seq("b")))
+    // ON CONSTRAINT spelling + no-target DO NOTHING
+    assert(c.query("INSERT INTO up14 (id,name) VALUES (2,'oc') " +
+      "ON CONFLICT ON CONSTRAINT up14_pkey DO NOTHING").tags === Seq("INSERT 0 0"))
+    assert(c.query("INSERT INTO up14 (id,name) VALUES (1,'t') ON CONFLICT DO NOTHING")
+      .tags === Seq("INSERT 0 0"))
+    // RETURNING yields the affected (updated + inserted) rows
+    val r = c.query("INSERT INTO up14 (id,name,score) VALUES (1,'r1',2),(20,'r20',3) " +
+      "ON CONFLICT (id) DO UPDATE SET score = up14.score + 1 RETURNING id, name, score")
+    assert(r.errors === Nil)
+    assert(r.tags === Seq("INSERT 0 2"))
+    assert(r.rows.map(_.map(_.getOrElse("NULL"))).sortBy(_.head.toInt) === Seq(
+      Seq("1", "upd!", "10.50"), Seq("20", "r20", "3.00")))
+    // UPDATE hits the same checks (live-pinned)
+    assert(c.query("UPDATE up14 SET id = 2 WHERE id = 6").errors.map(_._1) === Seq("23505"))
+    assert(c.query("UPDATE up14 SET name = NULL WHERE id = 2").errors.map(_._1) === Seq("23502"))
+    // 42P10 when the target matches no unique constraint
+    assert(c.query("INSERT INTO up14 (id,name) VALUES (30,'x') ON CONFLICT (name) DO NOTHING")
+      .errors.map(_._1) === Seq("42P10"))
+    // column UNIQUE + multi-column UNIQUE: names and NULL exemption
+    c.query("DROP TABLE IF EXISTS uq14")
+    assert(c.query("CREATE TABLE uq14 (a int UNIQUE, b text, z int, UNIQUE (b, z))").errors === Nil)
+    assert(c.query("INSERT INTO uq14 VALUES (1, 'x', 1)").tags === Seq("INSERT 0 1"))
+    val e3 = c.query("INSERT INTO uq14 VALUES (2, 'x', 1)")
+    assert(e3.errors.map(_._1) === Seq("23505"))
+    assert(e3.errors.head._2.contains("uq14_b_z_key"))
+    val e4 = c.query("INSERT INTO uq14 VALUES (1, 'y', 2)")
+    assert(e4.errors.map(_._1) === Seq("23505"))
+    assert(e4.errors.head._2.contains("uq14_a_key"))
+    // NULL key members never conflict (pg unique semantics)
+    assert(c.query("INSERT INTO uq14 VALUES (NULL, NULL, 1), (NULL, NULL, 1)")
+      .tags === Seq("INSERT 0 2"))
+    c.query("DROP TABLE up14"); c.query("DROP TABLE uq14")
+    c.close()
+  }
+
   test("SET runs the type input function: family canonicalization, enum 22P02") {
     PgSequences.reset()
     val c = connect()
