@@ -2307,8 +2307,11 @@ HINT:  Ensure that no rows proposed for insertion within the same command have d
                 .join(full.select(kcols.map(col): _*), kcols, "left_anti")
               val affected = updated.unionByName(inserts)
               checkNotNull(affected, tgtSchema, table, zone)
+              // a USING-columns join fronts the key columns; insertInto
+              // matches by position — restore the table's column order
               val next = keptMatched.foldLeft(survivorsE)(_ unionByName _)
                 .unionByName(affected)
+                .select(tgtSchema.fieldNames.map(col).toSeq: _*)
               checkUniqueDups(next, tgtSchema, uniques, zone)
               val rr = retRows(affected)
               overwriteTable(spark, table, next)

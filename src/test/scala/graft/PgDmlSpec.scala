@@ -208,6 +208,18 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(c.query("INSERT INTO uq14 VALUES (NULL, NULL, 1), (NULL, NULL, 1)")
       .tags === Seq("INSERT 0 2"))
     c.query("DROP TABLE up14"); c.query("DROP TABLE uq14")
+    // conflict target on a NON-FIRST column: the USING-columns join fronts
+    // the key, and the positional write must restore table column order
+    // (regression: values landed in the wrong columns / 42601 cast failure)
+    c.query("DROP TABLE IF EXISTS uo14")
+    assert(c.query("CREATE TABLE uo14 (id int PRIMARY KEY, a int, " +
+      "b text NOT NULL DEFAULT 'd', u int UNIQUE)").errors === Nil)
+    assert(c.query("INSERT INTO uo14 VALUES (6, 33, 'y', 2)").tags === Seq("INSERT 0 1"))
+    assert(c.query("INSERT INTO uo14 VALUES (1, 20, 'x', 2) " +
+      "ON CONFLICT (u) DO UPDATE SET a = uo14.a + EXCLUDED.a").tags === Seq("INSERT 0 1"))
+    assert(rows(c, "SELECT id, a, b, u FROM uo14 ORDER BY id") === Seq(
+      Seq("6", "53", "y", "2")))
+    c.query("DROP TABLE uo14")
     c.close()
   }
 
