@@ -135,6 +135,12 @@ object Handlers {
           .getOrElse(runQuery(spark, session,
             substituteSeqFns(spark, session, substituteGucFns(session, sql)),
             head, second))
+      case "ALTER" if second == "TABLE" =>
+        handleAlterTable(spark, session, sql)
+          .getOrElse(runQuery(spark, session,
+            substituteSeqFns(spark, session, substituteGucFns(session, sql)),
+            head, second))
+      case "TRUNCATE" => handleTruncate(spark, sql)
       case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
         // storage maintenance is meaningless over external parquet —
         // accept-and-no-op with the pg tag so client scripts
@@ -252,9 +258,21 @@ object Handlers {
   private def defaultExprSql(f: StructField, connId: Int): String =
     if (f.metadata.contains("pg.serial"))
       s"pg_nextval('${f.metadata.getString("pg.serial")}', $connId)"
-    else if (f.metadata.contains("pg.default"))
-      s"(${bindSeqCalls(f.metadata.getString("pg.default"), connId)})"
-    else s"CAST(NULL AS ${f.dataType.sql})"
+    else if (f.metadata.contains("pg.default")) {
+      // int-family targets take pg's assignment cast (numeric 1.5 →
+      // int rounds to 2 where Spark truncates) — live-pinned via the
+      // ALTER TYPE default-recoercion sweep
+      val cast =
+        if (f.metadata.contains(PgType.OID_ALIAS_KEY) ||
+          f.metadata.contains("pg.enum")) ""
+        else f.dataType match {
+          case ShortType => "::int2"
+          case IntegerType => "::int4"
+          case LongType => "::int8"
+          case _ => ""
+        }
+      s"(${bindSeqCalls(f.metadata.getString("pg.default"), connId)})$cast"
+    } else s"CAST(NULL AS ${f.dataType.sql})"
 
   private def substituteSeqFns(spark: SparkSession, session: Session,
       sql: String): String = {
@@ -1063,35 +1081,12 @@ object Handlers {
           }
         }
       } else {
-        if (!(first.kind == Compat.Word || first.kind == Compat.QIdent)) return None
-        val colName =
-          if (first.kind == Compat.QIdent)
-            first.text.substring(1, first.text.length - 1)
-          else first.text
-        // type spelling: tokens up to the first constraint keyword
-        val typeToks = toks.drop(1).takeWhile(t =>
-          !(t.kind == Compat.Word && colConstraintKws.contains(t.text.toLowerCase)))
-        if (typeToks.isEmpty) return None
-        val typeStr = typeToks.map(_.text).mkString(" ")
-        val cons = scanColConstraints(d)
-        fields += (pgColumnField(spark, colName, typeStr) match {
-          case Some(f) =>
-            // serial families (and GENERATED … AS IDENTITY) get pg's
-            // implicit sequence + a metadata marker the INSERT path
-            // uses to auto-fill omitted values
-            val baseTy = typeStr.trim.toLowerCase.takeWhile(c => c != '(' && c != ' ')
-            val mb = new MetadataBuilder().withMetadata(f.metadata)
-            if (serialTypes.contains(baseTy) || cons.identity) {
-              val seqName = tNorm + "_" + colName.toLowerCase + "_seq"
-              mb.putString("pg.serial", seqName)
-            }
-            if (cons.notNull || serialTypes.contains(baseTy) || cons.identity)
-              mb.putBoolean("pg.notnull", value = true)
-            cons.default.filter(_.nonEmpty).foreach(mb.putString("pg.default", _))
+        fields += (parseColDef(spark, tNorm, d) match {
+          case Some((f, cons)) =>
             if (cons.pk) addUnique(Seq(f.name), isPk = true, None)
             if (cons.unique) addUnique(Seq(f.name), isPk = false,
               cons.uniqueName.orElse(Some(s"${tNorm}_${f.name.toLowerCase}_key")))
-            StructField(f.name, f.dataType, f.nullable, mb.build())
+            f
           case None => return None // unknown spelling → Spark path decides
         })
       }
@@ -1148,6 +1143,577 @@ object Handlers {
         Complete("CREATE TABLE")
       }
     }
+  }
+
+  /** One raw pg column definition (`name type [constraints]`) → the
+    * storage StructField with pg wire/constraint metadata plus the
+    * parsed constraint clauses — shared by CREATE TABLE and ALTER
+    * TABLE ADD COLUMN. None when the shape/spelling is unknown (the
+    * caller falls back to the Spark DDL path). */
+  private def parseColDef(spark: SparkSession, tNorm: String,
+      d: String): Option[(StructField, ColCons)] = {
+    val toks = Compat.tokenize(d).filter(_.kind != Compat.Ws)
+    if (toks.isEmpty) return None
+    val first = toks.head
+    if (!(first.kind == Compat.Word || first.kind == Compat.QIdent)) return None
+    val colName =
+      if (first.kind == Compat.QIdent) first.text.substring(1, first.text.length - 1)
+      else first.text
+    // type spelling: tokens up to the first constraint keyword
+    val typeToks = toks.drop(1).takeWhile(t =>
+      !(t.kind == Compat.Word && colConstraintKws.contains(t.text.toLowerCase)))
+    if (typeToks.isEmpty) return None
+    val typeStr = typeToks.map(_.text).mkString(" ")
+    val cons = scanColConstraints(d)
+    pgColumnField(spark, colName, typeStr).map { f =>
+      // serial families (and GENERATED … AS IDENTITY) get pg's
+      // implicit sequence + a metadata marker the INSERT path uses to
+      // auto-fill omitted values
+      val baseTy = typeStr.trim.toLowerCase.takeWhile(c => c != '(' && c != ' ')
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      if (serialTypes.contains(baseTy) || cons.identity)
+        mb.putString("pg.serial", tNorm + "_" + colName.toLowerCase + "_seq")
+      if (cons.notNull || serialTypes.contains(baseTy) || cons.identity)
+        mb.putBoolean("pg.notnull", value = true)
+      cons.default.filter(_.nonEmpty).foreach(mb.putString("pg.default", _))
+      (StructField(f.name, f.dataType, f.nullable, mb.build()), cons)
+    }
+  }
+
+  // ---- ALTER TABLE / TRUNCATE (round 14) --------------------------------
+  //
+  // pg ALTER TABLE semantics over immutable parquet: schema changes
+  // rebuild the table (drop + recreate with the new StructType) and
+  // data changes ride the same rewrite-to-overwrite machinery as
+  // UPDATE/DELETE — the transform is one distributed pass spilled
+  // through a temp directory, then positionally re-inserted. All
+  // actions of one statement validate against the END state before
+  // anything is written (pg's atomicity: `ADD q1, DROP nosuch` leaves
+  // the table untouched — live-pinned). Error codes/messages are
+  // live-pinned (sweep-37): 42701/42703/42704/42804 (+pg's USING
+  // hint), 23502 `contains null values`, 23505 `could not create
+  // unique index`, 42P07/42P16.
+
+  /** pg's display name for a column type spelling, for 42804 texts. */
+  private def pgTypeDisplay(spelling0: String): String = {
+    val s = spelling0.trim.toLowerCase.replaceAll("\\s+", " ")
+    val base = s.takeWhile(_ != '(')
+    val mod = s.drop(base.length)
+    val b = base.trim match {
+      case "int" | "int4" => "integer"
+      case "int8" => "bigint"
+      case "int2" => "smallint"
+      case "float8" | "double" => "double precision"
+      case "float4" => "real"
+      case "bool" => "boolean"
+      case "varchar" => "character varying"
+      case "char" | "bpchar" => "character"
+      case "decimal" => "numeric"
+      case "timestamptz" => "timestamp with time zone"
+      case other => other
+    }
+    b + mod
+  }
+
+  /** Can `oldF` re-type to `newF` WITHOUT a USING clause? Mirrors
+    * pg's assignment-coercion rule for the engine's type surface:
+    * anything casts to the text family, numerics cast among
+    * themselves, typmod-only changes are free, date widens to
+    * timestamp[tz]/timestamp narrows to date; everything else —
+    * notably text→non-text and any canonical-family change — needs
+    * USING (live-pinned: text→int and int→point are 42804). */
+  private def autoCastable(oldF: StructField, newF: StructField): Boolean = {
+    def alias(f: StructField): Option[String] =
+      if (f.metadata.contains("pg.enum")) Some("enum:" + f.metadata.getString("pg.enum"))
+      else if (f.metadata.contains(PgType.PG_TYPE_KEY))
+        Some("t:" + f.metadata.getString(PgType.PG_TYPE_KEY))
+      else if (f.metadata.contains(PgType.OID_ALIAS_KEY))
+        Some(f.metadata.getString(PgType.OID_ALIAS_KEY))
+      else None
+    def textish(f: StructField) = f.dataType == StringType && alias(f).isEmpty
+    def numeric(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    if (textish(newF)) true
+    else if (alias(oldF) != alias(newF)) false
+    else if (oldF.dataType == newF.dataType) true
+    else if (numeric(oldF.dataType) && numeric(newF.dataType)) true
+    else (oldF.dataType, newF.dataType) match {
+      case (DateType, TimestampType | TimestampNTZType) => true
+      case (TimestampType | TimestampNTZType, DateType) => true
+      case _ => false
+    }
+  }
+
+  /** Swap a catalog table for a new schema + contents. `next` READS
+    * the old table, so it spills to a temp directory first; the old
+    * table is then dropped, the new one created with `fields` (the
+    * unique set re-attached to field 0, the CREATE TABLE convention),
+    * and the spill re-inserted positionally. One distributed pass —
+    * nondeterministic fill expressions (nextval, random) evaluate
+    * exactly once, at spill time. */
+  private def replaceTable(spark: SparkSession, table: String,
+      fields: Seq[StructField], uniques: Seq[PgConstraints.Unique],
+      next: org.apache.spark.sql.DataFrame): Long = {
+    val tNorm = PgSequences.normName(table)
+    val cleaned = fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      mb.remove("pg.uniques")
+      StructField(f.name, f.dataType, f.nullable, mb.build())
+    }.toArray
+    if (uniques.nonEmpty) {
+      val f = cleaned(0)
+      cleaned(0) = StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString("pg.uniques", PgConstraints.serialize(uniques)).build())
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ddl_")
+    val written = try {
+      next.write.mode("overwrite").parquet(tmp.toString)
+      runSql(spark, s"DROP TABLE ${qid(table)}").collect()
+      spark.catalog.createTable(table, "parquet",
+        StructType(cleaned), Map.empty[String, String])
+      PgConstraints.register(table, uniques)
+      val spilled = spark.read.parquet(tmp.toString)
+      val n = spilled.count() // parquet footer metadata — no scan
+      spilled.write.mode("overwrite").insertInto(table)
+      n
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case scala.util.control.NonFatal(_) =>
+        })
+    }
+    PgSequences.dropTableSerials(tNorm)
+    PgSequences.registerTableSerials(tNorm, cleaned.toSeq.map(f => f.name ->
+      (if (f.metadata.contains("pg.serial"))
+        Some(f.metadata.getString("pg.serial")) else None)))
+    PgCatalog.invalidate()
+    written
+  }
+
+  /** pg action heads this handler owns; other tails (Spark dialect:
+    * ADD COLUMNS (…), SET TBLPROPERTIES, partitions …) fall back. */
+  private def isPgAlterAction(a: String): Boolean = {
+    val w = topWords(a, 0).take(3).map(_._1)
+    w.headOption match {
+      case Some("add") => w.lift(1) match {
+        case Some("columns") => false // Spark spelling
+        case Some("partition") => false
+        case _ => true
+      }
+      case Some("drop") => w.lift(1) match {
+        case Some("partition") => false
+        case _ => true
+      }
+      case Some("alter") => true
+      case Some("owner") => true
+      case Some("validate") => true
+      case Some("set") => w.lift(1).contains("schema")
+      case Some("disable") | Some("enable") => true
+      case _ => false
+    }
+  }
+
+  private def handleTruncate(spark: SparkSession, sql0: String): PgResult = {
+    val m = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(.*)$".r
+      .findFirstMatchIn(sql0.trim.stripSuffix(";").trim)
+      .getOrElse(throw PgException("42601", "syntax error in TRUNCATE"))
+    var tail = m.group(1).trim
+    var restart = false
+    val ri = "(?is)\\b(RESTART|CONTINUE)\\s+IDENTITY\\b".r
+    ri.findFirstMatchIn(tail).foreach(mm =>
+      restart = mm.group(1).equalsIgnoreCase("RESTART"))
+    tail = ri.replaceAllIn(tail, "")
+    tail = "(?is)\\b(CASCADE|RESTRICT)\\b".r.replaceAllIn(tail, "")
+    val tables = splitTopLevelText(tail, ',').map(_.trim).filter(_.nonEmpty)
+      .map(t => unq("(?is)^ONLY\\s+".r.replaceFirstIn(t, "")).split("\\.").last)
+    if (tables.isEmpty) throw PgException("42601", "syntax error in TRUNCATE")
+    // pg validates every relation BEFORE truncating anything
+    val schemas = tables.map { t =>
+      try (t, spark.table(t).schema)
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$t" does not exist""") }
+    }
+    schemas.foreach { case (t, schema) =>
+      runSql(spark, s"TRUNCATE TABLE ${qid(t)}").collect()
+      if (restart) schema.fields.filter(_.metadata.contains("pg.serial"))
+        .foreach(f => PgSequences.restart(f.metadata.getString("pg.serial"), None))
+    }
+    Complete("TRUNCATE TABLE")
+  }
+
+  private def handleAlterTable(spark: SparkSession, session: Session,
+      sql0: String): Option[PgResult] = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val m = ("(?is)^ALTER\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?" +
+      "(\"[^\"]+\"|[\\w$.]+)\\s+(.*)$").r.findFirstMatchIn(sql)
+      .getOrElse(return None)
+    val ifExists = m.group(1) != null
+    val table = unq(m.group(2)).split("\\.").last
+    val rest = m.group(3).trim
+    // RENAME forms are single-action statements in pg's grammar
+    val renameTo = ("(?is)^RENAME\\s+TO\\s+(\"[^\"]+\"|[\\w$]+)$").r
+      .findFirstMatchIn(rest)
+    val renameCol = ("(?is)^RENAME\\s+(?:COLUMN\\s+)?(\"[^\"]+\"|[\\w$]+)" +
+      "\\s+TO\\s+(\"[^\"]+\"|[\\w$]+)$").r.findFirstMatchIn(rest)
+    val actions0 = splitTopLevelText(rest, ',').map(_.trim).filter(_.nonEmpty)
+    if (renameTo.isEmpty && renameCol.isEmpty &&
+      !actions0.forall(isPgAlterAction)) return None // Spark dialect
+    if (!spark.catalog.tableExists(table)) {
+      if (ifExists) return Some(Complete("ALTER TABLE")) // pg: NOTICE, skipped
+      throw PgException("42P01", s"""relation "$table" does not exist""")
+    }
+    val schema = spark.table(table).schema
+    val tNorm = PgSequences.normName(table)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val connId = session.connId
+
+    if (renameTo.isDefined) {
+      val newName = unq(renameTo.get.group(1))
+      if (spark.catalog.tableExists(newName))
+        throw PgException("42P07", s"""relation "$newName" already exists""")
+      val uq = PgConstraints.uniquesOf(table, schema)
+      runSql(spark, s"ALTER TABLE ${qid(table)} RENAME TO ${qid(newName)}").collect()
+      PgConstraints.drop(table)
+      PgConstraints.register(newName, uq) // constraint NAMES keep the old prefix, like pg
+      PgSequences.dropTableSerials(tNorm)
+      PgSequences.registerTableSerials(PgSequences.normName(newName),
+        schema.fields.toSeq.map(f => f.name ->
+          (if (f.metadata.contains("pg.serial"))
+            Some(f.metadata.getString("pg.serial")) else None)))
+      PgCatalog.invalidate()
+      return Some(Complete("ALTER TABLE"))
+    }
+
+    val fields = scala.collection.mutable.ArrayBuffer(schema.fields: _*)
+    val exprs = scala.collection.mutable.ArrayBuffer(
+      schema.fields.map(f => qid(f.name)): _*)
+    val uniques = scala.collection.mutable.ArrayBuffer(
+      PgConstraints.uniquesOf(table, schema): _*)
+    // fill expressions that must evaluate once, at write time only —
+    // validation frames see typed NULL in their place
+    val nondetCols = scala.collection.mutable.Set.empty[String]
+    def idxOf(c0: String): Int = {
+      val c = unq(c0)
+      fields.indexWhere(_.name.equalsIgnoreCase(c))
+    }
+    // Spark-parser contexts (DataFrame.where) need backticks — pg
+    // double quotes read as STRING literals there
+    def bqid(name: String): String = "`" + name.replace("`", "``") + "`"
+    def fieldAt(c0: String): Int = {
+      val i = idxOf(c0)
+      if (i < 0) throw PgException("42703",
+        s"""column "${unq(c0)}" of relation "$table" does not exist""")
+      i
+    }
+    def withMeta(i: Int)(f: MetadataBuilder => Unit): Unit = {
+      val fl = fields(i)
+      val mb = new MetadataBuilder().withMetadata(fl.metadata)
+      f(mb)
+      fields(i) = StructField(fl.name, fl.dataType, fl.nullable, mb.build())
+    }
+    /** The end-state frame for validations (nondet fills → NULL). */
+    def validationDf(): org.apache.spark.sql.DataFrame = {
+      val sel = fields.indices.map { i =>
+        val e = if (nondetCols.contains(fields(i).name.toLowerCase))
+          s"CAST(NULL AS ${fields(i).dataType.sql})"
+        else exprs(i)
+        s"$e AS ${qid(fields(i).name)}"
+      }.mkString(", ")
+      runSql(spark, s"SELECT $sel FROM ${qid(table)}")
+    }
+    val validations =
+      scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    // sequences created while parsing; rolled back if anything fails
+    val createdSeqs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def endSchema() = StructType(fields.toArray)
+    def addUniqueChecked(name: String, cols: Seq[String], isPk: Boolean): Unit = {
+      // pg reports the multiple-pkey error BEFORE the name collision
+      if (isPk && uniques.exists(_.isPrimary))
+        throw PgException("42P16",
+          s"""multiple primary keys for table "$table" are not allowed""")
+      if (uniques.exists(_.name == name))
+        throw PgException("42P07",
+          s"""constraint "$name" for relation "$table" already exists""")
+      val fcols = cols.map(c => fields(fieldAt(c)).name)
+      uniques += PgConstraints.Unique(name, fcols, isPk)
+      if (isPk) fcols.foreach { c =>
+        val i = fieldAt(c)
+        withMeta(i)(_.putBoolean("pg.notnull", value = true))
+        validations += { () =>
+          if (!nondetCols.contains(c.toLowerCase) &&
+            !validationDf().where(s"${bqid(c)} IS NULL").isEmpty)
+            throw PgException("23502",
+              s"""column "$c" of relation "$table" contains null values""")
+        }
+      }
+      validations += { () =>
+        // ALTER's duplicate-key shape differs from INSERT's (pinned)
+        if (!fcols.forall(c => nondetCols.contains(c.toLowerCase))) {
+          val df = validationDf()
+          val keyed = fcols.foldLeft(df)((d, c) => d.where(s"${bqid(c)} IS NOT NULL"))
+          val dup = keyed.groupBy(fcols.map(org.apache.spark.sql.functions.col): _*)
+            .count().where("count > 1").limit(1).collect()
+          if (dup.nonEmpty) {
+            val fs = fcols.map(c => fields(fieldAt(c)))
+            val vals = fs.indices.map(i =>
+              TextEncoder.encodeField(dup(0).get(i), fs(i), zone).getOrElse("null"))
+            throw PgException("23505",
+              s"""could not create unique index "$name"
+DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""")
+          }
+        }
+      }
+    }
+
+    (if (renameCol.isDefined) Nil else actions0).foreach { a =>
+      val heads = topWords(a, 0).take(4).map(_._1)
+      val h = heads.headOption.getOrElse("")
+      h match {
+        case "add" if heads.lift(1).exists(w => w == "constraint" ||
+            w == "primary" || w == "unique" || w == "foreign" ||
+            w == "check" || w == "exclude") =>
+          val am = ("(?is)^ADD\\s+(?:CONSTRAINT\\s+(\"[^\"]+\"|[\\w$]+)\\s+)?" +
+            "(PRIMARY\\s+KEY|UNIQUE|FOREIGN\\s+KEY|CHECK|EXCLUDE)\\s*(.*)$").r
+            .findFirstMatchIn(a).getOrElse(
+              throw PgException("42601", "syntax error in ALTER TABLE ADD CONSTRAINT"))
+          val consName = Option(am.group(1)).map(n => unq(n).toLowerCase)
+          val kind = am.group(2).toLowerCase.replaceAll("\\s+", " ")
+          val tail = am.group(3).trim
+          if (kind == "primary key" || kind == "unique") {
+            if (!tail.startsWith("("))
+              throw PgException("42601", "syntax error in ALTER TABLE ADD CONSTRAINT")
+            val close = matchingParenStr(tail, 0)
+            if (close < 0)
+              throw PgException("42601", "syntax error in ALTER TABLE ADD CONSTRAINT")
+            val cols = splitTopLevelText(tail.substring(1, close), ',')
+              .map(c => unq(c.trim)).filter(_.nonEmpty)
+            val isPk = kind == "primary key"
+            val name = consName.getOrElse(
+              if (isPk) s"${tNorm}_pkey"
+              else s"${tNorm}_${cols.map(_.toLowerCase).mkString("_")}_key")
+            addUniqueChecked(name, cols, isPk)
+          } // FK/CHECK/EXCLUDE: accepted-and-ignored, the CREATE TABLE rule
+        case "add" =>
+          val am = ("(?is)^ADD\\s+(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?(.*)$").r
+            .findFirstMatchIn(a).get
+          val ifNot = am.group(1) != null
+          val d = am.group(2).trim
+          parseColDef(spark, tNorm, d) match {
+            case Some((f, cons)) =>
+              if (idxOf(f.name) >= 0) {
+                if (!ifNot) throw PgException("42701",
+                  s"""column "${f.name}" of relation "$table" already exists""")
+              } else {
+                val serial = f.metadata.contains("pg.serial")
+                if (serial) {
+                  val seq = f.metadata.getString("pg.serial")
+                  val typid = f.dataType match {
+                    case ShortType => 21
+                    case LongType => 20
+                    case _ => 23
+                  }
+                  PgSequences.drop(seq, ifExists = true)
+                  PgSequences.create(seq, PgSequences.defaultsFor(
+                    1L, None, None, None, cycle = false, typid),
+                    ifNotExists = false)
+                  createdSeqs += seq
+                }
+                val fill =
+                  if (serial) {
+                    // pg numbers existing rows 1..n in heap order; a
+                    // per-row nextval would race across tasks, so the
+                    // fill is a deterministic row_number in file-name +
+                    // offset order (= insertion order for sequential
+                    // histories; Spark's scan otherwise packs splits
+                    // by SIZE) and the sequence advances to n after
+                    // the write
+                    s"CAST(row_number() OVER (ORDER BY input_file_name(), " +
+                      s"monotonically_increasing_id()) AS ${f.dataType.sql})"
+                  } else dmlValueExpr(f, "DEFAULT", connId)
+                if ("(?i)nextval|setval|random|uuid".r.findFirstIn(fill).isDefined)
+                  nondetCols += f.name.toLowerCase
+                fields += f
+                exprs += fill
+                if (cons.pk)
+                  addUniqueChecked(s"${tNorm}_pkey", Seq(f.name), isPk = true)
+                else if (cons.unique)
+                  addUniqueChecked(cons.uniqueName.getOrElse(
+                    s"${tNorm}_${f.name.toLowerCase}_key"), Seq(f.name), isPk = false)
+                val notNull = f.metadata.contains("pg.notnull") &&
+                  f.metadata.getBoolean("pg.notnull")
+                if (notNull && !serial) validations += { () =>
+                  if (!validationDf().where(s"${bqid(f.name)} IS NULL").isEmpty)
+                    throw PgException("23502",
+                      s"""column "${f.name}" of relation "$table" contains null values""")
+                }
+              }
+            case None => throw PgException("42601",
+              "syntax error in ALTER TABLE ADD COLUMN")
+          }
+        case "drop" if heads.lift(1).contains("constraint") =>
+          val dm = ("(?is)^DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?" +
+            "(\"[^\"]+\"|[\\w$]+)(?:\\s+(?:CASCADE|RESTRICT))?$").r
+            .findFirstMatchIn(a).getOrElse(throw PgException("42601",
+              "syntax error in ALTER TABLE DROP CONSTRAINT"))
+          val name = unq(dm.group(2)).toLowerCase
+          val i = uniques.indexWhere(_.name == name)
+          if (i < 0) {
+            if (dm.group(1) == null) throw PgException("42704",
+              s"""constraint "$name" of relation "$table" does not exist""")
+          } else uniques.remove(i)
+          // pk members KEEP NOT NULL after the pkey drops, like pg
+        case "drop" =>
+          val dm = ("(?is)^DROP\\s+(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?" +
+            "(\"[^\"]+\"|[\\w$]+)(?:\\s+(?:CASCADE|RESTRICT))?$").r
+            .findFirstMatchIn(a).getOrElse(throw PgException("42601",
+              "syntax error in ALTER TABLE DROP COLUMN"))
+          val i = idxOf(dm.group(2))
+          if (i < 0) {
+            if (dm.group(1) == null) throw PgException("42703",
+              s"""column "${unq(dm.group(2))}" of relation "$table" does not exist""")
+          } else {
+            val f = fields(i)
+            if (fields.length == 1) throw PgException("0A000",
+              s"""cannot drop the only column of table "$table"""")
+            // constraints on the column drop with it (live-pinned);
+            // an owned serial sequence drops too
+            val drop = uniques.filter(_.cols.exists(_.equalsIgnoreCase(f.name)))
+            drop.foreach(u => uniques -= u)
+            if (f.metadata.contains("pg.serial"))
+              PgSequences.drop(f.metadata.getString("pg.serial"), ifExists = true)
+            nondetCols -= f.name.toLowerCase
+            fields.remove(i); exprs.remove(i)
+          }
+        case "alter" =>
+          val cm = ("(?is)^ALTER\\s+(?:COLUMN\\s+)?(\"[^\"]+\"|[\\w$]+)\\s+(.*)$").r
+            .findFirstMatchIn(a).getOrElse(throw PgException("42601",
+              "syntax error in ALTER TABLE ALTER COLUMN"))
+          val i = fieldAt(cm.group(1))
+          val f = fields(i)
+          val op = cm.group(2).trim
+          val tm = ("(?is)^(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)" +
+            "(?:\\s+USING\\s+(.+))?$").r.findFirstMatchIn(op)
+          if (tm.isDefined) {
+            val tySpelling = tm.get.group(1).trim
+            val usingOpt = Option(tm.get.group(2)).map(_.trim)
+            val newF0 = pgColumnField(spark, f.name, tySpelling).getOrElse(
+              throw PgException("42704",
+                s"""type "${tySpelling.toLowerCase}" does not exist"""))
+            if (usingOpt.isEmpty && !autoCastable(f, newF0))
+              throw PgException("42804",
+                s"""column "${f.name}" cannot be cast automatically to type ${pgTypeDisplay(tySpelling)}
+HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}".""")
+            // the stored DEFAULT is the ORIGINAL expression re-coerced
+            // to each new type (live-pinned: numeric 1.5 → text → int
+            // yields default 2); prove it coerces, keep it verbatim
+            if (f.metadata.contains("pg.default")) {
+              val dflt = f.metadata.getString("pg.default")
+              val ok = try {
+                runSql(spark,
+                  s"SELECT (${bindSeqCalls(dflt, connId)})::$tySpelling").collect()
+                true
+              } catch { case scala.util.control.NonFatal(_) => false }
+              if (!ok) throw PgException("42804",
+                s"""default for column "${f.name}" cannot be cast automatically to type ${pgTypeDisplay(tySpelling)}""")
+            }
+            // carry constraint/serial markers onto the re-typed field
+            val mb = new MetadataBuilder().withMetadata(newF0.metadata)
+            if (f.metadata.contains("pg.notnull"))
+              mb.putBoolean("pg.notnull", f.metadata.getBoolean("pg.notnull"))
+            if (f.metadata.contains("pg.serial"))
+              mb.putString("pg.serial", f.metadata.getString("pg.serial"))
+            if (f.metadata.contains("pg.default"))
+              mb.putString("pg.default", f.metadata.getString("pg.default"))
+            fields(i) = StructField(f.name, newF0.dataType, f.nullable, mb.build())
+            val src = usingOpt.getOrElse(exprs(i) match {
+              case e if e == qid(f.name) => qid(f.name)
+              case e => s"($e)"
+            })
+            exprs(i) = s"($src)::$tySpelling"
+          } else {
+            val ops = topWords(op, 0).map(_._1)
+            (ops.headOption.getOrElse(""), ops.lift(1).getOrElse("")) match {
+              case ("set", "default") =>
+                val expr = "(?is)^SET\\s+DEFAULT\\s+(.*)$".r
+                  .findFirstMatchIn(op).get.group(1).trim
+                withMeta(i) { mb =>
+                  mb.putString("pg.default", expr)
+                  mb.remove("pg.serial") // an explicit default replaces it
+                }
+              case ("drop", "default") =>
+                withMeta(i) { mb => mb.remove("pg.default"); mb.remove("pg.serial") }
+              case ("set", "not") =>
+                withMeta(i)(_.putBoolean("pg.notnull", value = true))
+                val cn = f.name
+                validations += { () =>
+                  if (!nondetCols.contains(cn.toLowerCase) &&
+                    !validationDf().where(s"${bqid(cn)} IS NULL").isEmpty)
+                    throw PgException("23502",
+                      s"""column "$cn" of relation "$table" contains null values""")
+                }
+              case ("drop", "not") =>
+                if (uniques.exists(u => u.isPrimary &&
+                  u.cols.exists(_.equalsIgnoreCase(f.name))))
+                  throw PgException("42P16",
+                    s"""column "${f.name}" is in a primary key""")
+                withMeta(i)(_.putBoolean("pg.notnull", value = false))
+              case ("set", "statistics") | ("set", "storage") |
+                   ("set", "compression") | ("reset", _) => // storage hints: no-op
+              case _ => throw PgException("0A000",
+                s"ALTER TABLE ALTER COLUMN $op is not supported")
+            }
+          }
+        case "owner" | "validate" | "disable" | "enable" => // accepted no-ops
+        case "set" => throw PgException("0A000",
+          "ALTER TABLE SET SCHEMA is not supported")
+        case _ => throw PgException("0A000",
+          s"ALTER TABLE action is not supported: $a")
+      }
+    }
+
+    if (renameCol.isDefined) {
+      val i = fieldAt(renameCol.get.group(1))
+      val newName = unq(renameCol.get.group(2))
+      if (fields.exists(f => f.name.equalsIgnoreCase(newName) &&
+          !f.name.equalsIgnoreCase(fields(i).name)))
+        throw PgException("42701",
+          s"""column "$newName" of relation "$table" already exists""")
+      val f = fields(i)
+      uniques.indices.foreach { j =>
+        val u = uniques(j)
+        if (u.cols.exists(_.equalsIgnoreCase(f.name)))
+          uniques(j) = u.copy(cols = u.cols.map(c =>
+            if (c.equalsIgnoreCase(f.name)) newName else c))
+      }
+      fields(i) = StructField(newName, f.dataType, f.nullable, f.metadata)
+      // exprs(i) still reads the OLD column; replaceTable aliases it
+    }
+
+    try validations.foreach(_())
+    catch {
+      case e: Throwable =>
+        createdSeqs.foreach(PgSequences.drop(_, ifExists = true))
+        throw e
+    }
+    val sel = fields.indices.map(i => s"${exprs(i)} AS ${qid(fields(i).name)}")
+      .mkString(", ")
+    val written = replaceTable(spark, table, fields.toSeq, uniques.toSeq,
+      runSql(spark, s"SELECT $sel FROM ${qid(table)}"))
+    // an ADDed serial column numbered existing rows 1..n — advance
+    // its sequence past them (pg: the next INSERT draws n+1)
+    if (written > 0) createdSeqs.filter(PgSequences.exists).foreach(seq =>
+      PgSequences.setval(seq, written, isCalled = true, connId))
+    if (createdSeqs.nonEmpty || fields.exists(_.metadata.contains("pg.serial"))) {
+      PgCatalog.invalidate()
+      PgCatalog.refresh(spark)
+    }
+    Some(Complete("ALTER TABLE"))
   }
 
   /** One pg column type spelling → a StructField with the storage

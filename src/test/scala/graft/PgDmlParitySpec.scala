@@ -81,4 +81,23 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     // and the analyzer metadata retype)
     replay("/dml/script2.sql", "/dml/live2.txt")
   }
+
+  test("sweep-37: ALTER TABLE / TRUNCATE state machine matches live pg") {
+    // RENAME TO/COLUMN, ADD COLUMN (defaults fill, NOT NULL 23502,
+    // 42701/IF NOT EXISTS), DROP COLUMN (42703, constraint+sequence
+    // follow), ALTER TYPE (42804 + USING, default re-coercion:
+    // numeric 1.5 → text → int yields default 2), SET/DROP
+    // DEFAULT/NOT NULL, ADD/DROP CONSTRAINT (23505 `could not create
+    // unique index`, 42P07/42P16/42704), TRUNCATE with
+    // RESTART/CONTINUE IDENTITY, serial continuation across RENAME TO
+    replay("/dml/alter1.sql", "/dml/alter1_live.txt")
+  }
+
+  test("sweep-37b: ALTER TABLE serial backfill, multi-action atomicity, constraint follow") {
+    // ADD COLUMN serial numbers existing rows 1..n and the next
+    // INSERT draws n+1; `ADD q1, DROP nosuch` leaves the table
+    // untouched (atomic); dropping/renaming a key column
+    // drops/renames through the unique registry
+    replay("/dml/alter2.sql", "/dml/alter2_live.txt")
+  }
 }
