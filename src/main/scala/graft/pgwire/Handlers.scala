@@ -141,6 +141,10 @@ object Handlers {
             substituteSeqFns(spark, session, substituteGucFns(session, sql)),
             head, second))
       case "TRUNCATE" => handleTruncate(spark, sql)
+      case "CREATE" if second == "INDEX" ||
+          (second == "UNIQUE" && toks.length > 2 && toks(2).isWord("INDEX")) =>
+        handleCreateIndex(spark, sql)
+      case "DROP" if second == "INDEX" => handleDropIndex(spark, sql)
       case "VACUUM" | "ANALYZE" | "ANALYSE" | "REINDEX" | "CHECKPOINT" =>
         // storage maintenance is meaningless over external parquet —
         // accept-and-no-op with the pg tag so client scripts
@@ -1347,6 +1351,138 @@ object Handlers {
     Complete("TRUNCATE TABLE")
   }
 
+  // ---- CREATE / DROP INDEX ----------------------------------------------
+  //
+  // Spark plans over parquet statistics, not secondary indexes, so a
+  // plain index is catalog state only (name reservation + pg_indexes
+  // row + dependency cascade). A UNIQUE index registers a real unique
+  // constraint — pg itself implements unique constraints as unique
+  // indexes, and the 23505 texts are identical either way (live-
+  // pinned). All error shapes from sweep-37c: 42P07 `relation …
+  // already exists`, 42704 `index … does not exist`, 2BP01 for a
+  // constraint-backed index, 42703 for an unknown key column.
+
+  private def handleCreateIndex(spark: SparkSession, sql0: String): PgResult = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val hm = ("(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(?:CONCURRENTLY\\s+)?" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?(?:(\"[^\"]+\"|[\\w$]+)\\s+)?ON\\s+" +
+      "(?:ONLY\\s+)?(\"[^\"]+\"|[\\w$.]+)\\s*(.*)$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgException("42601", "syntax error in CREATE INDEX"))
+    val unique = hm.group(1) != null
+    val ifNot = hm.group(2) != null
+    val nameOpt = Option(hm.group(3)).map(n => unq(n).toLowerCase)
+    val table = unq(hm.group(4)).split("\\.").last
+    var tail = hm.group(5).trim
+    val method = "(?is)^USING\\s+([\\w$]+)\\s*(.*)$".r.findFirstMatchIn(tail) match {
+      case Some(mm) => tail = mm.group(2).trim; mm.group(1).toLowerCase
+      case None => "btree"
+    }
+    if (!tail.startsWith("("))
+      throw PgException("42601", "syntax error in CREATE INDEX")
+    val close = matchingParenStr(tail, 0)
+    if (close < 0) throw PgException("42601", "syntax error in CREATE INDEX")
+    val colsText = tail.substring(1, close).trim
+    val schema =
+      try spark.table(table).schema
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$table" does not exist""") }
+    val tNorm = PgSequences.normName(table)
+    val entries = splitTopLevelText(colsText, ',').map(_.trim).filter(_.nonEmpty)
+    // a plain key entry is one column name, optionally followed by
+    // opclass/ordering words; a leading `fn(` marks an expression
+    val colNames: Seq[Option[String]] = entries.map { e =>
+      "(?is)^(\"[^\"]+\"|[\\w$]+)(\\s+.*)?$".r.findFirstMatchIn(e)
+        .map(g => unq(g.group(1)))
+    }
+    colNames.flatten.foreach { c =>
+      if (!schema.fields.exists(_.name.equalsIgnoreCase(c)))
+        throw PgException("42703", s"""column "$c" does not exist""")
+    }
+    val name = nameOpt.getOrElse {
+      val parts = entries.zip(colNames).map {
+        case (_, Some(c)) => c.toLowerCase
+        case (e, None) => // pg names expression keys after the function
+          topWords(e, 0).headOption.map(_._1).getOrElse("expr")
+      }
+      s"${tNorm}_${parts.mkString("_")}_idx"
+    }
+    val taken = PgIndexes.lookup(name).isDefined ||
+      spark.catalog.tableExists(name) ||
+      PgConstraints.uniquesOf(table, schema).exists(_.name == name)
+    if (taken) {
+      if (ifNot) return Complete("CREATE INDEX") // pg: NOTICE, skipped
+      throw PgException("42P07", s"""relation "$name" already exists""")
+    }
+    if (unique) {
+      if (colNames.exists(_.isEmpty))
+        throw PgException("0A000",
+          "unique expression indexes are not supported")
+      val cols = colNames.flatten.map(c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      val df = runSql(spark, s"SELECT * FROM ${qid(table)}")
+      val keyed = cols.foldLeft(df)((d, c) =>
+        d.where(s"`${c.replace("`", "``")}` IS NOT NULL"))
+      val dup = keyed.groupBy(cols.map(org.apache.spark.sql.functions.col): _*)
+        .count().where("count > 1").limit(1).collect()
+      if (dup.nonEmpty) {
+        val fs = cols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)
+        val vals = fs.indices.map(i =>
+          TextEncoder.encodeField(dup(0).get(i), fs(i), zone).getOrElse("null"))
+        throw PgException("23505",
+          s"""could not create unique index "$name"
+DETAIL:  Key (${cols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""")
+      }
+      val uq = PgConstraints.uniquesOf(table, schema) :+
+        PgConstraints.Unique(name, cols, isPrimary = false)
+      replaceTable(spark, table, schema.fields.toSeq, uq,
+        runSql(spark, s"SELECT * FROM ${qid(table)}"))
+    }
+    PgIndexes.register(PgIndexes.Idx(name, table, colsText, unique, method))
+    PgCatalog.invalidate()
+    Complete("CREATE INDEX")
+  }
+
+  private def handleDropIndex(spark: SparkSession, sql0: String): PgResult = {
+    val m = ("(?is)^DROP\\s+INDEX\\s+(?:CONCURRENTLY\\s+)?(IF\\s+EXISTS\\s+)?" +
+      "(.+?)(?:\\s+(?:CASCADE|RESTRICT))?$").r
+      .findFirstMatchIn(sql0.trim.stripSuffix(";").trim)
+      .getOrElse(throw PgException("42601", "syntax error in DROP INDEX"))
+    val ifExists = m.group(1) != null
+    val names = splitTopLevelText(m.group(2), ',')
+      .map(t => unq(t.trim).split("\\.").last.toLowerCase).filter(_.nonEmpty)
+    names.foreach { name =>
+      PgIndexes.lookup(name) match {
+        case Some(idx) =>
+          if (idx.unique && spark.catalog.tableExists(idx.table)) {
+            val schema = spark.table(idx.table).schema
+            val uq = PgConstraints.uniquesOf(idx.table, schema)
+              .filterNot(_.name == name)
+            replaceTable(spark, idx.table, schema.fields.toSeq, uq,
+              runSql(spark, s"SELECT * FROM ${qid(idx.table)}"))
+          }
+          PgIndexes.drop(name)
+          PgCatalog.invalidate()
+        case None =>
+          // a same-named CONSTRAINT owns its index — pg refuses
+          val backing = PgCatalog.userTables(spark).find { t =>
+            try PgConstraints.uniquesOf(t, spark.table(t).schema)
+              .exists(_.name == name)
+            catch { case scala.util.control.NonFatal(_) => false }
+          }
+          backing match {
+            case Some(t) => throw PgException("2BP01",
+              s"""cannot drop index $name because constraint $name on table $t requires it
+HINT:  You can drop constraint $name on table $t instead.""")
+            case None if !ifExists =>
+              throw PgException("42704", s"""index "$name" does not exist""")
+            case None => // IF EXISTS: NOTICE, skipped
+          }
+      }
+    }
+    Complete("DROP INDEX")
+  }
+
   private def handleAlterTable(spark: SparkSession, session: Session,
       sql0: String): Option[PgResult] = {
     val sql = sql0.trim.stripSuffix(";").trim
@@ -1381,6 +1517,7 @@ object Handlers {
       runSql(spark, s"ALTER TABLE ${qid(table)} RENAME TO ${qid(newName)}").collect()
       PgConstraints.drop(table)
       PgConstraints.register(newName, uq) // constraint NAMES keep the old prefix, like pg
+      PgIndexes.renameTable(table, newName)
       PgSequences.dropTableSerials(tNorm)
       PgSequences.registerTableSerials(PgSequences.normName(newName),
         schema.fields.toSeq.map(f => f.name ->
@@ -1563,7 +1700,9 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
               "syntax error in ALTER TABLE DROP CONSTRAINT"))
           val name = unq(dm.group(2)).toLowerCase
           val i = uniques.indexWhere(_.name == name)
-          if (i < 0) {
+          // a unique INDEX is not a constraint — pg raises 42704 here
+          // and points the user at DROP INDEX
+          if (i < 0 || PgIndexes.lookup(name).exists(_.unique)) {
             if (dm.group(1) == null) throw PgException("42704",
               s"""constraint "$name" of relation "$table" does not exist""")
           } else uniques.remove(i)
@@ -1587,6 +1726,7 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
             drop.foreach(u => uniques -= u)
             if (f.metadata.contains("pg.serial"))
               PgSequences.drop(f.metadata.getString("pg.serial"), ifExists = true)
+            PgIndexes.dropColumn(table, f.name)
             nondetCols -= f.name.toLowerCase
             fields.remove(i); exprs.remove(i)
           }
@@ -1691,6 +1831,7 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           uniques(j) = u.copy(cols = u.cols.map(c =>
             if (c.equalsIgnoreCase(f.name)) newName else c))
       }
+      PgIndexes.renameColumn(table, f.name, newName)
       fields(i) = StructField(newName, f.dataType, f.nullable, f.metadata)
       // exprs(i) still reads the OLD column; replaceTable aliases it
     }
@@ -1875,6 +2016,7 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
       tableNames.foreach { t =>
         PgSequences.dropTableSerials(PgSequences.normName(t))
         PgConstraints.drop(t)
+        PgIndexes.dropTable(t)
       }
       PgCatalog.invalidate()
       if (ownedSeqs.nonEmpty) PgCatalog.refresh(spark)

@@ -55,7 +55,8 @@ object PgCatalog {
   /** Names we register (used to exclude ourselves from pg_class). */
   val catalogViewNames: Set[String] = Set(
     "pg_class", "pg_attribute", "pg_namespace", "pg_database", "pg_type",
-    "pg_tables", "pg_views", "pg_matviews", "pg_settings", "pg_roles",
+    "pg_tables", "pg_views", "pg_matviews", "pg_indexes", "pg_settings",
+    "pg_roles",
     "pg_am", "pg_description", "pg_index", "pg_constraint", "pg_proc",
     "pg_operator", "pg_cast",
     "pg_attrdef", "pg_inherits", "pg_policies", "pg_replication_slots",
@@ -97,7 +98,7 @@ object PgCatalog {
     * Sorted by name so OID assignment order (and thus first-session
     * OIDs) is deterministic.
     */
-  private def userTables(spark: SparkSession): Seq[String] = {
+  private[pgwire] def userTables(spark: SparkSession): Seq[String] = {
     // sessionState.catalog directly: spark.catalog.listTables() builds
     // and collects a Dataset (~0.2 s of plan+job overhead per refresh
     // fingerprint check, which every catalog-touching query pays)
@@ -304,6 +305,33 @@ object PgCatalog {
     mkDf(spark, pgTablesSchema, tables.map { case (name, _) =>
       Row("public", name, "postgres", null, false, false, false, false)
     })
+
+  private val pgIndexesSchema = StructType(Seq(
+    StructField("schemaname", StringType), StructField("tablename", StringType),
+    StructField("indexname", StringType), StructField("tablespace", StringType),
+    StructField("indexdef", StringType)))
+
+  /** `pg_indexes` (pg's system view): one row per unique/primary-key
+    * constraint index (pg implements constraints as indexes) plus the
+    * CREATE INDEX registry. */
+  private def pgIndexesView(spark: SparkSession,
+      tables: Seq[(String, StructType)]): DataFrame = {
+    val constraintRows = tables.flatMap { case (t, schema) =>
+      PgConstraints.uniquesOf(t, schema).map { u =>
+        Row("public", t, u.name, null,
+          s"CREATE UNIQUE INDEX ${u.name} ON public.$t USING btree (${u.cols.mkString(", ")})")
+      }
+    }
+    val seen = constraintRows.map(_.getString(2)).toSet
+    val plainRows = tables.flatMap { case (t, _) =>
+      PgIndexes.forTable(t).filterNot(i => seen.contains(i.name)).map { i =>
+        val uq = if (i.unique) "UNIQUE " else ""
+        Row("public", t, i.name, null,
+          s"CREATE ${uq}INDEX ${i.name} ON public.$t USING ${i.method} (${i.colsText})")
+      }
+    }
+    mkDf(spark, pgIndexesSchema, constraintRows ++ plainRows)
+  }
 
   /** Default GUCs surfaced in pg_settings (reference: pg_settings.rs). */
   val defaultGucs: Seq[(String, String)] = Seq(
@@ -968,10 +996,12 @@ object PgCatalog {
   def refresh(spark: SparkSession): Unit = {
     val names = userTables(spark)
     val seqSnap = PgSequences.snapshot
-    val fingerprint = names ++ seqSnap.map("seq:" + _._1)
+    val fingerprint = names ++ seqSnap.map("seq:" + _._1) ++
+      PgIndexes.names.map("idx:" + _) :+ ("uqv:" + PgConstraints.version)
     if (fingerprint == lastSnapshot.get(spark)) return
     lastSnapshot.put(spark, fingerprint)
     val tables = names.map(n => n -> spark.table(n).schema)
+    register(spark, "pg_indexes", pgIndexesView(spark, tables))
     register(spark, "pg_class", pgClass(spark, tables, seqSnap.map(_._1)))
     register(spark, "pg_attribute",
       pgAttribute(spark, tables ++ seqSnap.map(_._1 -> seqRelSchema)))

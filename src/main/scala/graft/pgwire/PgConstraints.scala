@@ -27,10 +27,20 @@ object PgConstraints {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Unique]]()
 
-  def register(table: String, uniques: Seq[Unique]): Unit =
-    cache.put(PgSequences.normName(table), uniques)
+  /** Bumps on every registry write — a cheap catalog-view
+    * fingerprint component (pg_indexes lists constraint indexes). */
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def version: Long = versionCounter.get()
 
-  def drop(table: String): Unit = cache.remove(PgSequences.normName(table))
+  def register(table: String, uniques: Seq[Unique]): Unit = {
+    cache.put(PgSequences.normName(table), uniques)
+    versionCounter.incrementAndGet()
+  }
+
+  def drop(table: String): Unit = {
+    cache.remove(PgSequences.normName(table))
+    versionCounter.incrementAndGet()
+  }
 
   /** The serialized form stored in `pg.uniques` column metadata:
     * `name|P|c1,c2;name2|U|c3`. */
@@ -68,4 +78,57 @@ object PgConstraints {
 
   def hasAny(table: String, schema: StructType): Boolean =
     notNullCols(schema).nonEmpty || uniquesOf(table, schema).nonEmpty
+}
+
+/** CREATE/DROP INDEX surface (pg §11). Spark has no secondary
+  * indexes, so a plain index is pure CATALOG state: its name is
+  * reserved (42P07 on reuse), it lists in `pg_indexes`, and it drops
+  * with its table/column — the planner sees nothing. A UNIQUE index
+  * is real: it registers in [[PgConstraints]] (pg implements unique
+  * constraints AS unique indexes, same error text either way) and is
+  * serialized into `pg.uniques` column metadata by the table rewrite.
+  * Plain-index names live only in this driver-JVM registry —
+  * re-creating one after a restart is accepted (documented; unique
+  * indexes, the enforcing kind, DO survive via metadata). */
+object PgIndexes {
+
+  final case class Idx(name: String, table: String, colsText: String,
+    unique: Boolean, method: String)
+
+  private val byName =
+    new java.util.concurrent.ConcurrentHashMap[String, Idx]()
+
+  def register(i: Idx): Unit = byName.put(i.name, i)
+  def lookup(name: String): Option[Idx] = Option(byName.get(name))
+  def drop(name: String): Option[Idx] = Option(byName.remove(name))
+  def names: Seq[String] = {
+    val out = Seq.newBuilder[String]
+    byName.forEach((k, _) => out += k)
+    out.result().sorted
+  }
+  def forTable(table: String): Seq[Idx] = {
+    val out = Seq.newBuilder[Idx]
+    byName.forEach((_, i) => if (i.table.equalsIgnoreCase(table)) out += i)
+    out.result().sortBy(_.name)
+  }
+  def dropTable(table: String): Unit =
+    forTable(table).foreach(i => byName.remove(i.name))
+  def renameTable(oldT: String, newT: String): Unit =
+    forTable(oldT).foreach(i => byName.put(i.name, i.copy(table = newT)))
+  /** Indexes referencing a dropped column drop with it (pg's
+    * dependency cascade) — word-level match over the key text. */
+  def dropColumn(table: String, col: String): Unit =
+    forTable(table).foreach { i =>
+      if (("(?i)\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
+        .findFirstIn(i.colsText).isDefined) byName.remove(i.name)
+    }
+  /** A renamed column renames inside index key text (pg rewrites the
+    * stored definition the same way). */
+  def renameColumn(table: String, oldCol: String, newCol: String): Unit =
+    forTable(table).foreach { i =>
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(oldCol) + "\\b").r
+      if (re.findFirstIn(i.colsText).isDefined)
+        byName.put(i.name, i.copy(colsText = re.replaceAllIn(i.colsText,
+          scala.util.matching.Regex.quoteReplacement(newCol))))
+    }
 }

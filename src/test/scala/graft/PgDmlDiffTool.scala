@@ -37,6 +37,15 @@ object PgDmlDiffTool {
             out.println(s"STATE $table ${rows.size}")
             rows.foreach(out.println)
           }
+        } else if (line.startsWith("!")) {
+          // `!<query>`: dump the query's sorted rows (catalog probes)
+          val r = c.query(line.drop(1).trim)
+          if (r.errors.nonEmpty) out.println(s"Q ERR ${r.errors.head._1}")
+          else {
+            val rows = r.rows.map(_.map(_.getOrElse("\\N")).mkString("|")).sorted
+            out.println(s"Q ${rows.size}")
+            rows.foreach(out.println)
+          }
         } else {
           val r = c.query(line)
           val tag = r.tags.headOption.getOrElse(

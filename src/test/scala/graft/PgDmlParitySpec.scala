@@ -55,6 +55,14 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
         val rows = r.rows.map(_.map(_.getOrElse("\\N")).mkString("|")).sorted
         out += s"STATE $table ${rows.size}"
         out ++= rows
+      } else if (line.startsWith("!")) {
+        val r = c.query(line.drop(1).trim)
+        if (r.errors.nonEmpty) out += s"Q ERR ${r.errors.head._1}"
+        else {
+          val rows = r.rows.map(_.map(_.getOrElse("\\N")).mkString("|")).sorted
+          out += s"Q ${rows.size}"
+          out ++= rows
+        }
       } else {
         val r = c.query(line)
         val tag = r.tags.headOption.getOrElse(
@@ -99,5 +107,16 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     // untouched (atomic); dropping/renaming a key column
     // drops/renames through the unique registry
     replay("/dml/alter2.sql", "/dml/alter2_live.txt")
+  }
+
+  test("sweep-37c: CREATE/DROP INDEX, unique enforcement, pg_indexes, cascades") {
+    // name reservation (42P07/IF NOT EXISTS), auto-names
+    // (t_col_idx, function name for expression keys), UNIQUE index =
+    // unique constraint (23505 `could not create unique index` on
+    // existing dups, `duplicate key` on later INSERTs, DROP INDEX
+    // lifts enforcement), DROP INDEX 42704/IF EXISTS, 2BP01 for a
+    // constraint-backed index, pg_indexes rows incl. _pkey, and the
+    // DROP COLUMN dependency cascade
+    replay("/dml/alter3.sql", "/dml/alter3_live.txt")
   }
 }
