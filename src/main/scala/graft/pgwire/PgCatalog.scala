@@ -160,10 +160,12 @@ object PgCatalog {
     StructField("reloptions", ArrayType(StringType)), StructField("relpartbound", StringType)))
 
   private def pgClass(spark: SparkSession, tables: Seq[(String, StructType)],
-      seqNames: Seq[String]): DataFrame =
+      seqNames: Seq[String], indexes: Seq[IndexRow]): DataFrame =
     mkDf(spark, pgClassSchema, tables.map { case (name, schema) =>
       Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10, 2, 0, 0,
-        0, -1.0f, 0, 0, false, false, "p", "r", schema.fields.length.toShort,
+        0, -1.0f, 0, 0,
+        indexes.exists(_.table == name), false, "p", "r",
+        schema.fields.length.toShort,
         0.toShort, false, false, false, false, false, true, "d", false, 0, 0, 0,
         null, null, null)
     } ++ seqNames.map { name =>
@@ -171,7 +173,138 @@ object PgCatalog {
         0, -1.0f, 0, 0, false, false, "p", "S", 3.toShort,
         0.toShort, false, false, false, false, false, true, "n", false, 0, 0, 0,
         null, null, null)
+    } ++ indexes.map { ix =>
+      val am = if (ix.method == "hash") 405 else 403 // btree
+      Row(Oids.of(s"rel:${ix.name}"), ix.name, Oids.PublicNamespace, 0, 0, 10,
+        am, 0, 0, 0, -1.0f, 0, 0, false, false, "p", "i",
+        ix.keyAttnums.length.toShort,
+        0.toShort, false, false, false, false, false, true, "n", false, 0, 0, 0,
+        null, null, null)
     })
+
+  /** One index for the catalog views: a unique/pkey CONSTRAINT's
+    * backing index or a CREATE INDEX entry. `keyAttnums` are 1-based
+    * column positions (0 for an expression key, pg's convention). */
+  private final case class IndexRow(name: String, table: String,
+    method: String, unique: Boolean, isPrimary: Boolean,
+    isConstraint: Boolean, keyAttnums: Seq[Short], defText: String)
+
+  private def indexRows(tables: Seq[(String, StructType)]): Seq[IndexRow] = {
+    val fromConstraints = tables.flatMap { case (t, schema) =>
+      PgConstraints.uniquesOf(t, schema).map { u =>
+        val attnums = u.cols.map(c =>
+          (schema.fields.indexWhere(_.name.equalsIgnoreCase(c)) + 1).toShort)
+        IndexRow(u.name, t, "btree", unique = true, isPrimary = u.isPrimary,
+          isConstraint = PgIndexes.lookup(u.name).isEmpty, attnums,
+          s"CREATE UNIQUE INDEX ${u.name} ON public.$t USING btree (${u.cols.mkString(", ")})")
+      }
+    }
+    val seen = fromConstraints.map(_.name).toSet
+    val fromRegistry = tables.flatMap { case (t, schema) =>
+      PgIndexes.forTable(t).filterNot(i => seen.contains(i.name)).map { i =>
+        val keys = i.colsText.split(",").map(_.trim).toSeq
+        val attnums = keys.map { k =>
+          val w = "^[\\w$]+".r.findFirstIn(k).getOrElse("")
+          val pos = schema.fields.indexWhere(_.name.equalsIgnoreCase(w))
+          if (k.matches("(?i)^[\\w$\"]+(\\s+(ASC|DESC|NULLS|FIRST|LAST|\\w+_ops))*$") && pos >= 0)
+            (pos + 1).toShort
+          else 0.toShort // expression key
+        }
+        val uq = if (i.unique) "UNIQUE " else ""
+        IndexRow(i.name, t, i.method, i.unique, isPrimary = false,
+          isConstraint = false, attnums,
+          s"CREATE ${uq}INDEX ${i.name} ON public.$t USING ${i.method} (${i.colsText})")
+      }
+    }
+    fromConstraints ++ fromRegistry
+  }
+
+  private val pgIndexSchema = StructType(Seq(
+    StructField("indexrelid", IntegerType), StructField("indrelid", IntegerType),
+    StructField("indnatts", ShortType), StructField("indnkeyatts", ShortType),
+    StructField("indisunique", BooleanType), StructField("indisprimary", BooleanType),
+    StructField("indisclustered", BooleanType), StructField("indisvalid", BooleanType),
+    StructField("indisreplident", BooleanType),
+    StructField("indkey", ArrayType(ShortType)), StructField("indexprs", StringType),
+    StructField("indpred", StringType)))
+
+  private def pgIndex(spark: SparkSession, indexes: Seq[IndexRow]): DataFrame =
+    mkDf(spark, pgIndexSchema, indexes.map { ix =>
+      Row(Oids.of(s"rel:${ix.name}"), Oids.of(s"rel:${ix.table}"),
+        ix.keyAttnums.length.toShort, ix.keyAttnums.length.toShort,
+        ix.unique, ix.isPrimary, false, true, false,
+        ix.keyAttnums, null, null)
+    })
+
+  private val pgConstraintSchema = StructType(Seq(
+    StructField("oid", IntegerType), StructField("conname", StringType),
+    StructField("connamespace", IntegerType), StructField("contype", StringType),
+    StructField("condeferrable", BooleanType), StructField("condeferred", BooleanType),
+    StructField("convalidated", BooleanType), StructField("conrelid", IntegerType),
+    StructField("contypid", IntegerType), StructField("conindid", IntegerType),
+    StructField("conparentid", IntegerType),
+    StructField("confrelid", IntegerType), StructField("conkey", ArrayType(ShortType)),
+    StructField("confkey", ArrayType(ShortType)), StructField("conbin", StringType)))
+
+  private def pgConstraint(spark: SparkSession, indexes: Seq[IndexRow]): DataFrame =
+    mkDf(spark, pgConstraintSchema,
+      indexes.filter(_.isConstraint).map { ix =>
+        Row(Oids.of(s"con:${ix.name}"), ix.name, Oids.PublicNamespace,
+          if (ix.isPrimary) "p" else "u", false, false, true,
+          Oids.of(s"rel:${ix.table}"), 0, Oids.of(s"rel:${ix.name}"), 0,
+          0, ix.keyAttnums, null, null)
+      })
+
+  /** oid → definition text, read by the pg_get_indexdef /
+    * pg_get_constraintdef UDFs (driver-map pattern, like
+    * pg_sequences' live last_value). */
+  private val indexDefByOid =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val indexKeysByOid =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]()
+  private val constraintDefByOid =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  private def refreshIndexDefs(indexes: Seq[IndexRow],
+      tables: Seq[(String, StructType)]): Unit = {
+    indexDefByOid.clear(); indexKeysByOid.clear(); constraintDefByOid.clear()
+    indexes.foreach { ix =>
+      val oid = Oids.of(s"rel:${ix.name}")
+      indexDefByOid.put(oid, ix.defText)
+      val keyText = ix.defText.substring(ix.defText.indexOf('(') + 1,
+        ix.defText.lastIndexOf(')'))
+      indexKeysByOid.put(oid, keyText.split(",").map(_.trim).toSeq)
+      if (ix.isConstraint) {
+        val cols = tables.find(_._1 == ix.table).map { case (_, schema) =>
+          ix.keyAttnums.map(n =>
+            if (n > 0 && n <= schema.fields.length) schema.fields(n - 1).name
+            else "?")
+        }.getOrElse(Seq.empty)
+        constraintDefByOid.put(Oids.of(s"con:${ix.name}"),
+          (if (ix.isPrimary) "PRIMARY KEY (" else "UNIQUE (") +
+            cols.mkString(", ") + ")")
+      }
+    }
+  }
+
+  private def registerIndexDefUdfs(spark: SparkSession): Unit = {
+    val u = spark.udf
+    // NULL oids flow through psql's LEFT JOINs — return NULL, not NPE
+    u.register("pg_get_indexdef",
+      (oid: Integer) =>
+        if (oid == null) null else Option(indexDefByOid.get(oid)).orNull)
+    u.register("pg_get_indexdef",
+      (oid: Integer, col: Integer, pretty: Boolean) =>
+        if (oid == null) null
+        else if (col == null || col == 0) Option(indexDefByOid.get(oid)).orNull
+        else Option(indexKeysByOid.get(oid))
+          .flatMap(_.lift(col - 1)).orNull)
+    // replaces PgFunctions' "" stub (last registration wins)
+    u.register("pg_get_constraintdef",
+      (oid: Integer, pretty: Boolean) =>
+        if (oid == null) null
+        else Option(constraintDefByOid.get(oid)).getOrElse(""))
+  }
 
   private val pgAttributeSchema = StructType(Seq(
     StructField("attrelid", IntegerType), StructField("attname", StringType),
@@ -724,13 +857,7 @@ object PgCatalog {
     emptyView(spark, "pg_description", StructType(Seq(
       StructField("objoid", IntegerType), StructField("classoid", IntegerType),
       StructField("objsubid", IntegerType), StructField("description", StringType))))
-    emptyView(spark, "pg_index", StructType(Seq(
-      StructField("indexrelid", IntegerType), StructField("indrelid", IntegerType),
-      StructField("indnatts", ShortType), StructField("indnkeyatts", ShortType),
-      StructField("indisunique", BooleanType), StructField("indisprimary", BooleanType),
-      StructField("indisclustered", BooleanType), StructField("indisvalid", BooleanType),
-      StructField("indkey", ArrayType(ShortType)), StructField("indexprs", StringType),
-      StructField("indpred", StringType))))
+    emptyView(spark, "pg_index", pgIndexSchema)
     emptyView(spark, "pg_constraint", StructType(Seq(
       StructField("oid", IntegerType), StructField("conname", StringType),
       StructField("connamespace", IntegerType), StructField("contype", StringType),
@@ -1001,8 +1128,13 @@ object PgCatalog {
     if (fingerprint == lastSnapshot.get(spark)) return
     lastSnapshot.put(spark, fingerprint)
     val tables = names.map(n => n -> spark.table(n).schema)
+    val ixRows = indexRows(tables)
+    refreshIndexDefs(ixRows, tables)
+    registerIndexDefUdfs(spark)
     register(spark, "pg_indexes", pgIndexesView(spark, tables))
-    register(spark, "pg_class", pgClass(spark, tables, seqSnap.map(_._1)))
+    register(spark, "pg_index", pgIndex(spark, ixRows))
+    register(spark, "pg_constraint", pgConstraint(spark, ixRows))
+    register(spark, "pg_class", pgClass(spark, tables, seqSnap.map(_._1), ixRows))
     register(spark, "pg_attribute",
       pgAttribute(spark, tables ++ seqSnap.map(_._1 -> seqRelSchema)))
     registerSequenceViews(spark, seqSnap)

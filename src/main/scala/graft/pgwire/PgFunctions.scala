@@ -662,6 +662,7 @@ object PgFunctions {
       ProcDef("pg_database_size", Seq(T), I8),
       ProcDef("pg_stat_get_numscans", Seq(OID), I8),
       ProcDef("pg_get_constraintdef", Seq(OID, B), T),
+      ProcDef("pg_get_indexdef", Seq(OID), T),
       ProcDef("pg_partition_ancestors", Seq(OID), 1007),
       ProcDef("quote_ident", Seq(T), T),
       ProcDef("parse_ident", Seq(T), TARR),

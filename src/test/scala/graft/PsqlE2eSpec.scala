@@ -268,4 +268,35 @@ class PsqlE2eSpec extends SparkSpec {
       java.nio.file.Files.deleteIfExists(f)
     }
   }
+
+  test("psql: \\d shows the Indexes section, \\di lists indexes (round 14)") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c0, _, e0) = psqlScript(port,
+        """CREATE TABLE idxt (id int PRIMARY KEY, a int, b text);
+          |CREATE INDEX idxt_ab ON idxt (a, b);
+          |CREATE UNIQUE INDEX idxt_b_u ON idxt (b);""".stripMargin)
+      assert(c0 === 0, e0)
+      // `-t` (tuples-only) suppresses \d FOOTERS, where the Indexes
+      // section lives — switch it off inside the script
+      val (c1, o1, e1) = psqlScript(port,
+        "\\pset tuples_only off\n\\d idxt")
+      assert(c1 === 0, e1)
+      // psql composes this section from pg_index + pg_class +
+      // pg_get_indexdef + pg_get_constraintdef over the emulation
+      assert(o1.contains("Indexes:"), o1)
+      assert(o1.contains("\"idxt_pkey\" PRIMARY KEY, btree (id)"), o1)
+      assert(o1.contains("\"idxt_b_u\" UNIQUE, btree (b)"), o1)
+      assert(o1.contains("\"idxt_ab\" btree (a, b)"), o1)
+      val (c2, o2, e2) = psql(port, "\\di")
+      assert(c2 === 0, e2)
+      assert(o2.contains("idxt_pkey"), o2)
+      assert(o2.contains("idxt_ab"), o2)
+      val (c3, o3, e3) = psql(port,
+        "SELECT indexname FROM pg_indexes WHERE tablename = 'idxt' ORDER BY 1")
+      assert(c3 === 0, e3)
+      assert(o3.trim.linesIterator.toSeq === Seq("idxt_ab", "idxt_b_u", "idxt_pkey"), o3)
+      psql(port, "DROP TABLE idxt")
+    }
+  }
 }
