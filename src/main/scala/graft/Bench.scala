@@ -103,15 +103,29 @@ object Bench {
       sampleLoads(name) += load1()
       sampleTimes(name) += runOne(name, recordErr = run == 1)
     }
-    // Divergence retry: samples > 2x apart mean at least one was
-    // polluted — take ONE extra sample so the min has a quiet run.
+    // Divergence retry: diverging samples mean at least one was
+    // polluted — or, with interleaved passes, that pass-1 carried the
+    // query's residual warm-up (the round-14 "window trio drift" was
+    // exactly this: pass-1 0.75 s vs a settled 0.49 s, a 1.5x spread
+    // under the old 2.0x threshold, so min-of-2 kept a cold sample).
+    // Take up to TWO extra samples while the spread stays > 1.4x.
     // (Per-query 1-min loadavg rides the full JSON so a polluted
     // capture is self-evident from the artifact.)
     for (name <- names) {
-      val good = sampleTimes(name).filter(_ >= 0)
-      if (good.size >= 2 && good.max / math.max(good.min, 1e-9) > 2.0) {
+      var extra = 0
+      def spread: Double = {
+        val good = sampleTimes(name).filter(_ >= 0)
+        if (good.size < 2) 1.0
+        else {
+          val sorted = good.sorted
+          // second-best vs best: one settled duplicate ends the retry
+          sorted(1) / math.max(sorted(0), 1e-9)
+        }
+      }
+      while (extra < 2 && spread > 1.4) {
         sampleLoads(name) += load1()
         sampleTimes(name) += runOne(name, recordErr = false)
+        extra += 1
       }
     }
     val samples = names.map(n => n -> sampleTimes(n).toSeq)
