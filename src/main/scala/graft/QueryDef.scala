@@ -100,4 +100,30 @@ object Q {
       math.min(byData, spark.sparkContext.defaultParallelism))
     df.repartitionByRange(n, org.apache.spark.sql.functions.col(key))
   }
+
+  /** [[rangeFanout]]'s width with a HASH exchange instead of range —
+    * no sampling job, no ordering guarantee. For callers that only
+    * need parallelism plus same-key co-location (e.g. a per-record
+    * flatMap whose consumers group by a row-unique key). */
+  def hashFanout(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val srcParts =
+      try df.queryExecution.analyzed.collectLeaves().map {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              math.max(1, fs.location.inputFiles.length)
+            case _ => 1
+          }
+        case _ => 1
+      }.sum
+      catch { case scala.util.control.NonFatal(_) => 1 }
+    val bytes =
+      try df.queryExecution.analyzed.stats.sizeInBytes.toLong
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val byData = (bytes / (128L * 1024)).toInt
+    val n = math.max(math.max(8, srcParts),
+      math.min(byData, spark.sparkContext.defaultParallelism))
+    df.repartition(n, org.apache.spark.sql.functions.col(key))
+  }
 }

@@ -384,7 +384,15 @@ object TextAnalysisOps extends Serializable {
     // deduplicates attributes, and each branch is pruned independently
     // at optimization), so the encoder-heavy typed pipeline is resolved
     // once per query instead of twice.
-    val tfRows = docs.select(col(idCol).cast("long"), col(textCol))
+    // Hash-fan the docs BEFORE tokenizing: the test-SF corpus is a
+    // single parquet split, which would run both tokenizer passes on
+    // one core. Each doc is ONE record, so its term rows stay
+    // consecutive in whatever partition it hashes to — the invariant
+    // the shuffle-free per-doc top-k below relies on. Hash, not
+    // range: no sampling job. Inert at production scale (width never
+    // drops below the source's split count).
+    val tfRows = graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>

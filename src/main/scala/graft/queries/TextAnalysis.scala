@@ -326,14 +326,15 @@ object TextAnalysis {
         |)
         |SELECT doc_id, term, tf, idf_u, score FROM ranked
         |WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
-      // coalesce(1), not repartition(1): the scored+top-k stage reads a
-      // single parquet split at test SF, so folding the oracle sort into
-      // it saves an exchange without costing parallelism
+      // repartition(1), NOT coalesce(1): the operator now range-fans
+      // the tokenizer, and a coalesce would collapse that whole
+      // narrow chain (tokenize + broadcast join + top-k) back into
+      // one task — the shuffle barrier keeps the compute parallel and
+      // only the k-per-doc survivors cross it
       TextAnalysisOps.tfidfTopTerms(Tables.t(s, dir, "documents"),
         "doc_id", "text", k = 3,
         corpusN = Some(Tables.rowCount(s, dir, "documents")))
-        .coalesce(1)
-        .sortWithinPartitions(col("doc_id"), col("score").desc, col("term"))
+        .transform(Q.oracleOrderC(_, col("doc_id"), col("score").desc, col("term")))
     },
 
     // --- the pipeline, end to end: quality gate → language gate →
