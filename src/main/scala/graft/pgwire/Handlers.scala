@@ -129,6 +129,9 @@ object Handlers {
         handleCreateSequence(spark, sql)
       case "DROP" if second == "SEQUENCE" => handleDropSequence(spark, toks)
       case "ALTER" if second == "SEQUENCE" => handleAlterSequence(sql)
+      case "CREATE" if createViewRe.findFirstMatchIn(sql).isDefined =>
+        handleCreateView(spark, sql)
+      case "DROP" if second == "VIEW" => handleDropView(spark, sql)
       case "CREATE" if second == "TABLE" || second == "TEMP" ||
           second == "TEMPORARY" || second == "UNLOGGED" =>
         pgCreateTable(spark, sql)
@@ -1361,6 +1364,91 @@ object Handlers {
   // pinned). All error shapes from sweep-37c: 42P07 `relation …
   // already exists`, 42704 `index … does not exist`, 2BP01 for a
   // constraint-backed index, 42703 for an unknown key column.
+
+  // ---- CREATE / DROP VIEW ------------------------------------------------
+  //
+  // Spark refuses a PERMANENT view over a temp-view-registered data
+  // file, so pg CREATE VIEW lowers to a session-catalog TEMP view — the
+  // single shared SparkSession makes it visible to every connection,
+  // exactly pg's database-scoped behavior. The view body is stored as
+  // its Compat-rewritten Spark SQL text (Spark keeps temp-view text
+  // unresolved and re-analyzes per use, so the view tracks later DML on
+  // the underlying tables like pg's OID-based resolution); the pg-facing
+  // definition text goes to [[PgViews]] for pg_views / relkind 'v'.
+  private val createViewRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
+      "(\"[^\"]+\"|[\\w$.]+)\\s*(\\([^)]*\\))?\\s+AS\\s+(.*)$").r
+
+  private def viewRelName(raw: String): String =
+    if (raw.startsWith("\"")) unq(raw) else raw.split("\\.").last.toLowerCase
+
+  private def handleCreateView(spark: SparkSession, sql0: String): PgResult = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val m = createViewRe.findFirstMatchIn(sql)
+      .getOrElse(throw PgException("42601", "syntax error in CREATE VIEW"))
+    val replace = m.group(1) != null
+    val name = viewRelName(m.group(2))
+    val isWireView = PgViews.lookup(name).isDefined
+    val existsAsRel =
+      try { spark.table(name); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (existsAsRel && !isWireView)
+      throw PgException("42809", s""""$name" is not a view""")
+    if (isWireView && !replace)
+      throw PgException("42P07", s"""relation "$name" already exists""")
+    val body = m.group(4).trim
+    // run the body once through the full pg pipeline: validates it,
+    // surfaces pg-shaped errors, and yields the output schema for the
+    // optional rename column list
+    val df = runSql(spark, body)
+    val rewritten = Compat.rewriteTop(body, graft.functions.PgEnums.names(spark))
+    val finalSql = Option(m.group(3)) match {
+      case Some(colsRaw) =>
+        val cols = splitTopLevelText(
+          colsRaw.trim.stripPrefix("(").stripSuffix(")"), ',')
+          .map(c => unq(c.trim)).filter(_.nonEmpty)
+        val fields = df.schema.fieldNames
+        if (cols.length != fields.length)
+          throw PgException("42601",
+            s"CREATE VIEW specifies ${cols.length} column names " +
+              s"but query returns ${fields.length} columns")
+        val proj = cols.zip(fields).map { case (c, f) =>
+          "`" + f.replace("`", "``") + "` AS `" + c.replace("`", "``") + "`"
+        }.mkString(", ")
+        s"SELECT $proj FROM ( $rewritten )"
+      case None => rewritten
+    }
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW `${name.replace("`", "``")}` AS $finalSql")
+    PgViews.register(name, body)
+    PgCatalog.invalidate()
+    Complete("CREATE VIEW")
+  }
+
+  private def handleDropView(spark: SparkSession, sql0: String): PgResult = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val m = ("(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(.+?)" +
+      "\\s*(?:CASCADE|RESTRICT)?$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgException("42601", "syntax error in DROP VIEW"))
+    val ifExists = m.group(1) != null
+    val names = splitTopLevelText(m.group(2), ',')
+      .map(_.trim).filter(_.nonEmpty).map(viewRelName)
+    names.foreach { n =>
+      if (PgViews.lookup(n).isDefined) {
+        spark.catalog.dropTempView(n)
+        PgViews.drop(n)
+      } else {
+        val isRel =
+          try { spark.table(n); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (isRel) throw PgException("42809", s""""$n" is not a view""")
+        if (!ifExists)
+          throw PgException("42P01", s"""view "$n" does not exist""")
+      }
+    }
+    PgCatalog.invalidate()
+    Complete("DROP VIEW")
+  }
 
   private def handleCreateIndex(spark: SparkSession, sql0: String): PgResult = {
     val sql = sql0.trim.stripSuffix(";").trim

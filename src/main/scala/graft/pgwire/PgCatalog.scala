@@ -160,13 +160,18 @@ object PgCatalog {
     StructField("reloptions", ArrayType(StringType)), StructField("relpartbound", StringType)))
 
   private def pgClass(spark: SparkSession, tables: Seq[(String, StructType)],
-      seqNames: Seq[String], indexes: Seq[IndexRow]): DataFrame =
+      seqNames: Seq[String], indexes: Seq[IndexRow],
+      views: Map[String, String]): DataFrame =
     mkDf(spark, pgClassSchema, tables.map { case (name, schema) =>
-      Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10, 2, 0, 0,
+      val isView = views.contains(name)
+      Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10,
+        if (isView) 0 else 2, 0, 0,
         0, -1.0f, 0, 0,
-        indexes.exists(_.table == name), false, "p", "r",
+        indexes.exists(_.table == name), false, "p",
+        if (isView) "v" else "r",
         schema.fields.length.toShort,
-        0.toShort, false, false, false, false, false, true, "d", false, 0, 0, 0,
+        0.toShort, false, false, false, false, false, true,
+        if (isView) "n" else "d", false, 0, 0, 0,
         null, null, null)
     } ++ seqNames.map { name =>
       Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10, 0, 0, 0,
@@ -1081,9 +1086,11 @@ object PgCatalog {
     StructField("ordinal_position", IntegerType), StructField("column_default", StringType),
     StructField("is_nullable", StringType), StructField("data_type", StringType)))
 
-  private def infoTables(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
+  private def infoTables(spark: SparkSession, tables: Seq[(String, StructType)],
+      views: Set[String]): DataFrame =
     mkDf(spark, infoTablesSchema, tables.map { case (name, _) =>
-      Row("postgres", "public", name, "BASE TABLE")
+      Row("postgres", "public", name,
+        if (views.contains(name)) "VIEW" else "BASE TABLE")
     })
 
   private def infoColumns(spark: SparkSession, tables: Seq[(String, StructType)]): DataFrame =
@@ -1124,22 +1131,40 @@ object PgCatalog {
     val names = userTables(spark)
     val seqSnap = PgSequences.snapshot
     val fingerprint = names ++ seqSnap.map("seq:" + _._1) ++
-      PgIndexes.names.map("idx:" + _) :+ ("uqv:" + PgConstraints.version)
+      PgIndexes.names.map("idx:" + _) :+ ("uqv:" + PgConstraints.version) :+
+      ("vw:" + PgViews.version)
     if (fingerprint == lastSnapshot.get(spark)) return
     lastSnapshot.put(spark, fingerprint)
     val tables = names.map(n => n -> spark.table(n).schema)
     val ixRows = indexRows(tables)
     refreshIndexDefs(ixRows, tables)
     registerIndexDefUdfs(spark)
+    // wire CREATE VIEW relations surface as relkind 'v' + pg_views rows
+    // (wire-registered data files are also TEMP views but stay relkind
+    // 'r' — they play pg's table role; PgViews tracks which is which)
+    val viewDefs: Map[String, String] = {
+      val wire = PgViews.all
+      names.flatMap(n => wire.get(n).map(n -> _)).toMap
+    }
     register(spark, "pg_indexes", pgIndexesView(spark, tables))
     register(spark, "pg_index", pgIndex(spark, ixRows))
     register(spark, "pg_constraint", pgConstraint(spark, ixRows))
-    register(spark, "pg_class", pgClass(spark, tables, seqSnap.map(_._1), ixRows))
+    register(spark, "pg_views", mkDf(spark, StructType(Seq(
+      StructField("schemaname", StringType), StructField("viewname", StringType),
+      StructField("viewowner", StringType), StructField("definition", StringType))),
+      viewDefs.toSeq.sortBy(_._1).map { case (n, d) =>
+        Row("public", n, "postgres", d) }))
+    register(spark, "pg_class",
+      pgClass(spark, tables, seqSnap.map(_._1), ixRows, viewDefs))
     register(spark, "pg_attribute",
       pgAttribute(spark, tables ++ seqSnap.map(_._1 -> seqRelSchema)))
     registerSequenceViews(spark, seqSnap)
-    register(spark, "pg_tables", pgTables(spark, tables))
-    register(spark, "information_schema_tables", infoTables(spark, tables))
+    // pg lists views in pg_views only, not pg_tables;
+    // information_schema.tables carries both with table_type
+    register(spark, "pg_tables",
+      pgTables(spark, tables.filterNot(t => viewDefs.contains(t._1))))
+    register(spark, "information_schema_tables",
+      infoTables(spark, tables, viewDefs.keySet))
     register(spark, "information_schema_columns", infoColumns(spark, tables))
     register(spark, "information_schema_schemata", mkDf(spark,
       StructType(Seq(StructField("catalog_name", StringType),
@@ -1150,7 +1175,9 @@ object PgCatalog {
     register(spark, "information_schema_views", mkDf(spark,
       StructType(Seq(StructField("table_catalog", StringType),
         StructField("table_schema", StringType), StructField("table_name", StringType),
-        StructField("view_definition", StringType))), Seq.empty))
+        StructField("view_definition", StringType))),
+      viewDefs.toSeq.sortBy(_._1).map { case (n, d) =>
+        Row("postgres", "public", n, d) }))
   }
 
   /** Sequence catalog surface: `pg_sequence` (DDL-static, rebuilt on

@@ -132,3 +132,32 @@ object PgIndexes {
           scala.util.matching.Regex.quoteReplacement(newCol))))
     }
 }
+
+/** Views created over the wire. Spark refuses a PERMANENT view over a
+  * temp-view-registered data file, so pg CREATE VIEW lowers to a
+  * session-catalog temp view — which the single shared SparkSession
+  * makes visible to every connection, exactly pg's database-scoped
+  * behavior — and this registry carries the pg-facing definition text
+  * for pg_views / relkind 'v'. Wire-registered DATA files are also
+  * temp views but are not registered here, so they keep playing pg's
+  * table role. */
+object PgViews {
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def version: Long = versionCounter.get()
+  def register(name: String, definition: String): Unit = {
+    defs.put(name, definition); versionCounter.incrementAndGet()
+  }
+  def drop(name: String): Boolean = {
+    val had = defs.remove(name) != null
+    if (had) versionCounter.incrementAndGet()
+    had
+  }
+  def lookup(name: String): Option[String] = Option(defs.get(name))
+  def all: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    defs.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+}

@@ -299,4 +299,31 @@ class PsqlE2eSpec extends SparkSpec {
       psql(port, "DROP TABLE idxt")
     }
   }
+
+  test("psql: views list in pg_views and \\dv, not pg_tables (round 14)") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c0, _, e0) = psql(port,
+        "CREATE VIEW nation_v AS SELECT n_name FROM nation WHERE n_regionkey = 1")
+      assert(c0 === 0, e0)
+      val (c1, o1, e1) = psql(port,
+        "SELECT viewname FROM pg_views WHERE schemaname = 'public'")
+      assert(c1 === 0, e1)
+      assert(o1.trim === "nation_v", o1)
+      val (c2, o2, e2) = psql(port,
+        "SELECT count(*) FROM pg_tables WHERE tablename = 'nation_v'")
+      assert(c2 === 0, e2)
+      assert(o2.trim === "0", o2)
+      val (c3, o3, e3) = psqlScript(port, "\\pset tuples_only off\n\\dv")
+      assert(c3 === 0, e3)
+      assert(o3.contains("nation_v"), o3)
+      assert(o3.contains("view"), o3)
+      // the view still QUERIES (wire-dialect body handled at CREATE)
+      val (c4, o4, e4) = psql(port, "SELECT count(*) FROM nation_v")
+      assert(c4 === 0, e4)
+      assert(o4.trim === "5", o4)
+      val (c5, _, e5) = psql(port, "DROP VIEW nation_v")
+      assert(c5 === 0, e5)
+    }
+  }
 }
