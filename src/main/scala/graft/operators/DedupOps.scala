@@ -913,4 +913,78 @@ object DedupOps {
       }
       .toDF("doc_a", "doc_b", "jaccard")
   }
+
+  /** Connected-component clustering of near-duplicate PAIRS into dedup
+    * groups: every document appearing in at least one pair is assigned
+    * the smallest doc id reachable through the pair graph (the cluster
+    * representative a keep-one policy retains), plus the component's
+    * member count. This is the standard step AFTER [[minhashLshPairs]]
+    * — pairwise near-dup relations are not transitive, so materializing
+    * a keep/drop decision needs the transitive closure.
+    *
+    * Distributed min-label propagation with pointer jumping: labels
+    * start at `min(id, min neighbor)`; each round takes the min label
+    * over neighbors, then short-circuits chains by following
+    * `label(label(x))` (pointer jumping makes long paths collapse in
+    * O(log diameter) rounds instead of O(diameter)). Every round is a
+    * constant number of shuffles over the EDGE list — never the corpus
+    * — so at 100 TB the cost scales with the duplicate pairs found,
+    * not the data size. Driver-side work per round is one changed-row
+    * count (a scalar aggregate); the loop exits on fixpoint and is
+    * hard-capped at `maxIters`.
+    *
+    * Output: (doc_id, cluster_id, cluster_size) for paired docs only —
+    * singletons (the overwhelming mass at scale) never enter the edge
+    * shuffle at all.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0 folded into initialization: label = min(self, neighbors)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      // neighbor-min: the smallest label in each vertex's neighborhood
+      val viaNbr = edges
+        .join(labels.select(col("id").as("src"), col("label").as("slabel")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("slabel")).as("nbrmin"))
+      val stepped = labels
+        .join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbrmin"), col("label"))).as("label"))
+      // pointer jump: label(x) <- label(label(x)) (labels are vertex
+      // ids, so every label has a row)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("plabel")),
+          Seq("label"))
+        .select(col("id"), least(col("label"), col("plabel")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = jumped
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist(false)
+      labels = jumped
+      done = changed == 0L
+      it += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val result = labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      // eager checkpoint so the edge/label caches can be released now
+      // (ManagedResult convention: a persist must not outlive its query)
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    labels.unpersist(false)
+    result
+  }
 }

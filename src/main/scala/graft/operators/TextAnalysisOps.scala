@@ -561,4 +561,71 @@ object TextAnalysisOps extends Serializable {
       .groupBy("domain")
       .agg(sum(col("n_mentions")).cast("long").as("n_urls"),
         count(lit(1)).as("n_docs"))
+
+  /** BM25 document ranking for a bag-of-terms query (Okapi BM25 with
+    * Lucene's always-positive idf, k1/b in their standard defaults).
+    *
+    * One map-side tokenizer pass computes per-doc length and query-term
+    * frequencies (non-matching docs emit nothing — at 100 TB the
+    * shuffle carries only |query| rows per MATCHING doc, never the
+    * corpus). Document frequencies aggregate to ≤|query| rows and
+    * broadcast back; corpus length stats (N, total tokens) resolve
+    * eagerly from a codegen-only scan and inline as plan literals,
+    * avoiding a 1-row cross join. The final top-k is
+    * TakeOrderedAndProject — no global sort.
+    *
+    * Cross-engine determinism: every per-(doc,term) score is quantized
+    * to integer micro-units (floor×1e6) BEFORE the per-doc sum, so the
+    * aggregation is exact integer arithmetic — the only float ops are
+    * per-term IEEE basics plus one `ln`, in an expression tree written
+    * identically on both engines (the q69 idf convention).
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qset = queryTerms.toSet
+    // corpus stats via a cheap codegen pass (split+size only, no
+    // per-term work); exact longs → avgdl divides identically in both
+    // engines when computed in-expression from these literals
+    val statsRow = docs.agg(
+      sum(size(split(trim(col(textCol)), "\\s+"))).cast("long"),
+      count(lit(1)).cast("long")).head()
+    val tot = statsRow.getLong(0)
+    val n = statsRow.getLong(1)
+    val tfRows = graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text)
+          val counts = new java.util.LinkedHashMap[String, Long]()
+          var i = 0
+          while (i < toks.length) {
+            if (qset.contains(toks(i)))
+              counts.merge(toks(i), 1L, (a, b) => a + b)
+            i += 1
+          }
+          val dl = toks.length.toLong
+          counts.entrySet().iterator().asScala
+            .map(e => (id, dl, e.getKey, e.getValue))
+        }
+      }
+      .toDF("doc_id", "dl", "term", "tf")
+    val dfCounts = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
+    tfRows
+      .join(broadcast(dfCounts), "term")
+      .withColumn("score_u", expr(
+        s"CAST(floor(ln((CAST($n - df AS DOUBLE) + 0.5) / " +
+          "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+          "((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
+          "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * " +
+          s"CAST(dl AS DOUBLE) / (CAST($tot AS DOUBLE) / CAST($n AS DOUBLE))))) " +
+          "* 1000000.0) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum(col("score_u")).cast("long").as("score_u"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

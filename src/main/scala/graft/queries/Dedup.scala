@@ -73,6 +73,51 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // --- connected-component dedup groups over the near-dup pairs:
+    //     pairwise similarity is not transitive, so a keep-one policy
+    //     needs the transitive closure. Spark runs distributed
+    //     min-label propagation with pointer jumping (O(log diameter)
+    //     rounds, each a bounded shuffle of the EDGE list only); the
+    //     oracle computes the same closure with a recursive CTE over
+    //     the exact all-pairs truth set (feasible only at oracle SF —
+    //     q42's own gate proves the LSH pairs EQUAL that truth set, so
+    //     both sides cluster the same graph).
+    Q.df("q129_dup_clusters",
+      """WITH RECURSIVE toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(a.sh)
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(a.sh || b.sh)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        |),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = DedupOps
+        .minhashLshPairs(Tables.t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      DedupOps.dupClusters(pairs).transform(Q.oracleOrder(_, "doc_id"))
+    },
+
     // --- SimHash near-dup property gate, now under a FULL DuckDB
     //     oracle (was rows-only through r6). The xxhash64 simhash value
     //     itself is not reproducible in DuckDB; the HASH-MATCHED claim

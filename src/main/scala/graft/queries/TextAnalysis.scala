@@ -405,6 +405,46 @@ object TextAnalysis {
         .withColumn("shard_key", concat(col("lang_pred"), lit("/"), col("split")))
       TextAnalysisOps.packSequences(d4, "doc_id", "text", "shard_key", budget = 512L)
         .transform(Q.oracleOrder(_, "doc_id"))
+    },
+
+    // --- BM25 retrieval ranking for a bag-of-terms query (Okapi BM25,
+    //     Lucene idf, k1=1.2 b=0.75). Determinism: each (doc, term)
+    //     score quantizes to integer micro-units BEFORE the per-doc
+    //     sum (the q69 idf convention), so aggregation order cannot
+    //     perturb low bits; the expression tree is written identically
+    //     on both engines.
+    Q.df("q130_bm25_rank",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |stats AS (
+        |  SELECT CAST(sum(len(toks)) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS n FROM toks
+        |),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM toks)
+        |  WHERE term IN ('hash', 'join', 'spark')
+        |  GROUP BY 1, 2, 3
+        |),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(ln((CAST(s.n - d.df AS DOUBLE) + 0.5) /
+        |        (CAST(d.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        CAST(t.dl AS DOUBLE) / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS score_u
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+        |)
+        |SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.bm25Rank(Tables.t(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join", "spark"), topK = 20)
     }
   )
 }

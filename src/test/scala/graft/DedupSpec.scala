@@ -249,4 +249,30 @@ class DedupSpec extends SparkSpec {
     // duplication (1,3) must NOT surface; unrelated docs pair with nothing
     assert(pairs.toSet === Set((1L, 100L, 1.0), (3L, 100L, 1.0)))
   }
+
+  test("dupClusters resolves transitive chains to the min-id representative") {
+    // 1-2, 2-3, 3-4 form one chain (1 and 4 are NOT directly paired);
+    // 10-11 a separate component; 20-21-22 a triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
+  test("dupClusters converges on a long path (pointer jumping)") {
+    // a 12-vertex path: plain per-round neighbor-min alone would need
+    // 11 rounds; with pointer jumping the fixpoint arrives much
+    // earlier — assert correctness under a tight iteration cap
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClusters(pairs, maxIters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === (1L to 12L).map(i => (i, 1L, 12L)).toSet)
+  }
 }

@@ -210,4 +210,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("other.org") === ((1L, 1L)))
     assert(got.size === 2)
   }
+
+  test("bm25Rank ranks by tf, idf, and length normalization") {
+    val docs = Seq(
+      // doc 1: both query terms, short -> top
+      (1L, "spark join engine"),
+      // doc 2: same matched tf as doc 1 but much longer -> dl
+      // normalization must rank it BELOW doc 1
+      (2L, "spark join one two three four five six seven eight nine ten"),
+      // doc 3: only the common term, repeated
+      (3L, "spark spark spark"),
+      // doc 4: no query terms
+      (4L, "completely unrelated prose"),
+      // docs 5-8: make 'join' rarer than 'spark' (idf differs)
+      (5L, "spark runtime notes"), (6L, "spark shuffle study"),
+      (7L, "spark memory model"), (8L, "spark catalyst rules"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.bm25Rank(docs, "doc_id", "text",
+      Seq("spark", "join"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 4 never appears; docs 1 and 2 match both terms
+    assert(!got.exists(_._1 == 4L))
+    assert(got.filter(t => t._1 == 1L || t._1 == 2L).forall(_._3 == 2L))
+    val score = got.map(t => t._1 -> t._2).toMap
+    // two matched terms beat one
+    assert(score(1L) > score(3L))
+    // same matched tf, shorter doc wins (b-normalization)
+    assert(score(1L) > score(2L))
+    // scores are positive micro-units and the list is rank-ordered
+    assert(got.forall(_._2 > 0L))
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
