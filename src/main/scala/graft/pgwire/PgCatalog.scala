@@ -269,6 +269,8 @@ object PgCatalog {
     new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]()
   private val constraintDefByOid =
     new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val viewDefByOid =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
   private def refreshIndexDefs(indexes: Seq[IndexRow],
       tables: Seq[(String, StructType)]): Unit = {
@@ -309,6 +311,14 @@ object PgCatalog {
       (oid: Integer, pretty: Boolean) =>
         if (oid == null) null
         else Option(constraintDefByOid.get(oid)).getOrElse(""))
+    // psql \d+ on a view: pg_get_viewdef('oid'::pg_catalog.oid, true);
+    // pg renders a pretty-printed body terminated with ';'
+    u.register("pg_get_viewdef",
+      (oid: Integer) =>
+        if (oid == null) null else Option(viewDefByOid.get(oid)).orNull)
+    u.register("pg_get_viewdef",
+      (oid: Integer, pretty: Boolean) =>
+        if (oid == null) null else Option(viewDefByOid.get(oid)).orNull)
   }
 
   private val pgAttributeSchema = StructType(Seq(
@@ -1145,6 +1155,10 @@ object PgCatalog {
     val viewDefs: Map[String, String] = {
       val wire = PgViews.all
       names.flatMap(n => wire.get(n).map(n -> _)).toMap
+    }
+    viewDefByOid.clear()
+    viewDefs.foreach { case (n, d) =>
+      viewDefByOid.put(Oids.of(s"rel:$n"), s" $d;")
     }
     register(spark, "pg_indexes", pgIndexesView(spark, tables))
     register(spark, "pg_index", pgIndex(spark, ixRows))

@@ -322,6 +322,11 @@ class PsqlE2eSpec extends SparkSpec {
       val (c4, o4, e4) = psql(port, "SELECT count(*) FROM nation_v")
       assert(c4 === 0, e4)
       assert(o4.trim === "5", o4)
+      // \d+ renders the stored definition through pg_get_viewdef
+      val (c6, o6, e6) = psqlScript(port, "\\pset tuples_only off\n\\d+ nation_v")
+      assert(c6 === 0, e6)
+      assert(o6.contains("View definition"), o6)
+      assert(o6.contains("n_regionkey = 1"), o6)
       val (c5, _, e5) = psql(port, "DROP VIEW nation_v")
       assert(c5 === 0, e5)
     }
