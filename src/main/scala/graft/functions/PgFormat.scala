@@ -324,6 +324,12 @@ object PgFormat {
     * HH:MM[:SS[.f]] time part, per-field signs, and trailing 'ago'
     * (negates everything). */
   def parseIntervalText(s: String): Option[(Int, Int, Long)] = {
+    // ISO 8601 durations ('P1Y2M3DT4H5M6S', 'P1W', 'PT0.5S', and the
+    // alternative 'P0001-02-03T04:05:06') — pg requires the UPPERCASE
+    // P/T designators ('p1dt2h' is invalid, live-pinned sweep-32);
+    // per-field signs are allowed ('P-1D' → -1 days), a leading sign
+    // is not; bare 'PT' is a valid zero interval, bare 'P' is not.
+    if (s.trim.startsWith("P")) return parseIso8601Interval(s.trim)
     var months = 0L; var days = 0L; var micros = 0L
     var ago = false
     // pg accepts glued number+unit spellings ('15h 2m 12s', '3d');
@@ -424,6 +430,83 @@ object PgFormat {
       case None =>
     }
     if (ago) { months = -months; days = -days; micros = -micros }
+    if (months > Int.MaxValue || months < Int.MinValue ||
+      days > Int.MaxValue || days < Int.MinValue) None
+    else Some((months.toInt, days.toInt, micros))
+  }
+
+  private def parseIso8601Interval(s: String): Option[(Int, Int, Long)] = {
+    val usPerDay = 86400000000L
+    var months = 0L; var days = 0L; var micros = 0L
+    val body = s.substring(1)
+    // alternative format P<yyyy>-<mm>-<dd>[T<hh>:<mm>:<ss[.f]>]
+    val alt = ("^(\\d{4})-(\\d{1,2})-(\\d{1,2})" +
+      "(?:T(\\d{1,2}):(\\d{1,2}):(\\d{1,2}(?:\\.\\d+)?))?$").r
+    body match {
+      case alt(y, mo, d, h, mi, se) =>
+        months = y.toLong * 12 + mo.toLong
+        days = d.toLong
+        if (h != null)
+          micros = h.toLong * 3600000000L + mi.toLong * 60000000L +
+            new JBigDecimal(se).multiply(new JBigDecimal(1000000L))
+              .setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+        return Some((months.toInt, days.toInt, micros))
+      case _ =>
+    }
+    if (body.isEmpty) return None // bare 'P' is invalid; bare 'PT' is zero
+    var inTime = false
+    var sawField = body == "T" // 'PT' alone is a valid zero interval
+    var i = 0
+    try {
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == 'T') { if (inTime) return None; inTime = true; i += 1 }
+        else {
+          val start = i
+          if (i < body.length && (body.charAt(i) == '+' || body.charAt(i) == '-')) i += 1
+          while (i < body.length &&
+            (body.charAt(i).isDigit || body.charAt(i) == '.')) i += 1
+          if (i == start || i >= body.length) return None
+          val q = new JBigDecimal(body.substring(start, i))
+          val des = body.charAt(i)
+          i += 1
+          sawField = true
+          // fraction spillover mirrors pg's verbose-unit rules
+          (des, inTime) match {
+            case ('Y', false) =>
+              months += q.multiply(new JBigDecimal(12))
+                .setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+            case ('M', false) =>
+              val whole = q.setScale(0, java.math.RoundingMode.DOWN)
+              months += whole.longValueExact()
+              val fracDays = q.subtract(whole).multiply(new JBigDecimal(30))
+              val wholeD = fracDays.setScale(0, java.math.RoundingMode.DOWN)
+              days += wholeD.longValueExact()
+              micros += fracDays.subtract(wholeD)
+                .multiply(new JBigDecimal(usPerDay)).longValue()
+            case ('W', false) =>
+              val d = q.multiply(new JBigDecimal(7))
+              val whole = d.setScale(0, java.math.RoundingMode.DOWN)
+              days += whole.longValueExact()
+              micros += d.subtract(whole)
+                .multiply(new JBigDecimal(usPerDay)).longValue()
+            case ('D', false) =>
+              val whole = q.setScale(0, java.math.RoundingMode.DOWN)
+              days += whole.longValueExact()
+              micros += q.subtract(whole)
+                .multiply(new JBigDecimal(usPerDay)).longValue()
+            case ('H', true) =>
+              micros += q.multiply(new JBigDecimal(3600000000L)).longValue()
+            case ('M', true) =>
+              micros += q.multiply(new JBigDecimal(60000000L)).longValue()
+            case ('S', true) =>
+              micros += q.multiply(new JBigDecimal(1000000L)).longValue()
+            case _ => return None
+          }
+        }
+      }
+    } catch { case _: ArithmeticException => return None }
+    if (!sawField) return None
     if (months > Int.MaxValue || months < Int.MinValue ||
       days > Int.MaxValue || days < Int.MinValue) None
     else Some((months.toInt, days.toInt, micros))

@@ -895,6 +895,7 @@ object Compat {
     stripCollate(ts)
     stripPgCatalogQualifier(ts)
     unquoteFunctionCalls(ts)
+    rewritePrefixTypedLiterals(ts)
     rewriteRegCasts(ts)
     rewriteArrayLiteralCasts(ts)
     // must precede shiftArraySubscripts: ARRAY[5] would otherwise look
@@ -1107,6 +1108,12 @@ object Compat {
     // through it (Spark has no 1-arg trunc at all)
     ("trunc", 1, "pg_trunc"),
     ("trunc", 2, "pg_trunc"),
+    // pg's ONLY 1-arg to_timestamp is to_timestamp(double precision)
+    // — unix epoch → timestamptz (Spark's 1-arg form parses a date
+    // STRING, a different function; sweep-32). PgSemantics casts a
+    // string argument to double, matching pg's unknown-literal
+    // coercion.
+    ("to_timestamp", 1, "timestamp_seconds"),
     // pg regexp optional-arg forms Spark's builtins can't take (or
     // take with DIFFERENT meaning — Spark's 3rd regexp_instr arg is a
     // group index where pg's is a start position; Spark's 3-arg
@@ -2489,8 +2496,49 @@ object Compat {
     "sequence", "array_cat", "concat", "slice", "pg_string_to_array",
     "string_to_array")
 
+  /** pg's `typename 'literal'` prefix-typed-literal syntax for the
+    * engine's FAMILY types → `'literal'::typename`, which the cast
+    * passes below already lower (sweep-32: `int4range '[1,5)' @> 3`).
+    * Allowlist only — date/timestamp/interval/numeric keep their
+    * dedicated handling, and non-type words (LIKE, AS, …) never fire.
+    */
+  // lazy: rangeTypeNames is declared further down the object body and
+  // would still be null during this val's eager initialization
+  private lazy val prefixLiteralTypes: Set[String] =
+    rangeTypeNames ++ Set("inet", "cidr", "macaddr", "macaddr8",
+      "tsvector", "tsquery", "money", "uuid", "varbit", "json", "jsonb",
+      "xml", "bytea", "oid", "regclass", "boolean", "bool", "int2",
+      "int4", "int8", "smallint", "int", "integer", "bigint", "float4",
+      "float8", "real", "text", "name", "bpchar", "varchar", "char")
+
+  private def rewritePrefixTypedLiterals(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && prefixLiteralTypes.contains(ts(i).text.toLowerCase)) {
+        val lit = nextIdx(ts, i)
+        val p = prevIdx(ts, i)
+        // not in cast-type position (`::char`), not a column ref being
+        // compared (`WHERE name 'x'` is invalid SQL anyway)
+        if (lit >= 0 && ts(lit).kind == Str &&
+          !(p >= 0 && (ts(p).is("::") || ts(p).isWord("as")))) {
+          val w = ts(i)
+          val s = ts(lit)
+          ts.remove(i, lit - i + 1)
+          ts.insertAll(i, Seq(s, Tok(Op, "::"), Tok(Word, w.text)))
+        }
+      }
+      i += 1
+    }
+  }
+
   private def arrayMarkedEnd(ts: ArrayBuffer[Tok], e: Int): Boolean = {
     if (e < 0) false
+    else if (ts(e).kind == Word && {
+      val t = ts(e).text.toUpperCase
+      // composite token left by rewriteArrayLiteralCasts
+      // (`'{1,2}'::int[]` → `CAST(ARRAY('1','2') AS ARRAY<int>)`)
+      t.startsWith("CAST(ARRAY(") || t.startsWith("ARRAY(")
+    }) true
     else if (ts(e).is("]")) {
       // `::type[]` cast tail or ARRAY[…] (pre-constructor-pass callers)
       true
@@ -2518,8 +2566,12 @@ object Compat {
           val rEnd = valueEnd(ts, r)
           val lhsArr = arrayMarkedEnd(ts, p)
           val rhsArr = arrayMarkedEnd(ts, rEnd)
+          // Str operands are EXCLUDED: pg coerces an unknown literal
+          // beside an array to the ARRAY type via array_in (sweep-32:
+          // `'{1,2}'::int[] || '3'` is malformed-array-literal, not
+          // append) — the PgSemantics Concat rule handles those
           if (lhsArr && !rhsArr && isValueEnd(ts(p)) &&
-            (ts(r).kind == Word || ts(r).kind == Num || ts(r).kind == Str ||
+            (ts(r).kind == Word || ts(r).kind == Num ||
               ts(r).is("(") || ts(r).is("-"))) {
             // arr || elem → array_append(arr, elem)
             val ls = lhsStart(ts, p)
@@ -2528,7 +2580,7 @@ object Compat {
             ts.insertAll(ls, Seq(Tok(Word, "array_append"), Tok(Op, "(")))
             i = rEnd + 3
           } else if (rhsArr && !lhsArr &&
-            (ts(p).kind == Word || ts(p).kind == Num || ts(p).kind == Str ||
+            (ts(p).kind == Word || ts(p).kind == Num ||
               ts(p).is(")"))) {
             // elem || arr → array_prepend(arr, elem) (Spark arg order)
             val ls = lhsStart(ts, p)
@@ -4042,7 +4094,30 @@ object Compat {
     val fracUnit = "(?i)\\d+\\.\\d+\\s*(day|week|mon|year|yr|hour|hr|min)".r
     var i = 0
     while (i < ts.length) {
-      if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("INTERVAL")) {
+      // `'text'::interval` LITERAL casts route through pg's input
+      // parser unconditionally — Spark's cast silently NULLs pg-valid
+      // spellings (ISO 8601 'P1DT2H', sweep-32) and NULLs instead of
+      // erroring on invalid input; columns keep the native cast
+      if (ts(i).kind == Str && {
+        val c = nextIdx(ts, i)
+        c >= 0 && ts(c).is("::") && {
+          val w = nextIdx(ts, c)
+          w >= 0 && ts(w).isWord("interval") && {
+            // not a unit-qualified cast ('x'::interval hour)
+            val q = nextIdx(ts, w)
+            !(q >= 0 && ts(q).kind == Word &&
+              "(?i)(year|month|week|day|hour|minute|second)s?".r
+                .matches(ts(q).text))
+          }
+        }
+      }) {
+        val c = nextIdx(ts, i)
+        val w = nextIdx(ts, c)
+        val s = ts(i)
+        ts.remove(i, w - i + 1)
+        ts.insertAll(i, Seq(Tok(Word, "pg_interval"), Tok(Op, "("), s, Tok(Op, ")")))
+        i += 3
+      } else if (ts(i).kind == Word && ts(i).text.equalsIgnoreCase("INTERVAL")) {
         val lit = nextIdx(ts, i)
         if (lit >= 0 && ts(lit).kind == Str) {
           // qualified form? (a unit keyword right after the literal)

@@ -244,10 +244,12 @@ object PgSemantics {
       // arithmetic rejects the mixed pair
       case Add(l, r, _)
           if l.resolved && r.resolved && isIvPair(l.dataType, r.dataType) =>
-        graft.functions.PgMiscExpressions.PgIntervalAdd(l, r, negate = false)
+        graft.functions.PgMiscExpressions.PgIntervalAdd(
+          ivOperand(l), ivOperand(r), negate = false)
       case Subtract(l, r, _)
           if l.resolved && r.resolved && isIvPair(l.dataType, r.dataType) =>
-        graft.functions.PgMiscExpressions.PgIntervalAdd(l, r, negate = true)
+        graft.functions.PgMiscExpressions.PgIntervalAdd(
+          ivOperand(l), ivOperand(r), negate = true)
       // the parser sugars `x ± INTERVAL '…'` into TimeAdd assuming a
       // datetime left side — when x is itself an interval, it's the
       // same interval-arithmetic case (negation already folded into
@@ -279,6 +281,160 @@ object PgSemantics {
       case cc: Concat
           if cc.resolved && cc.children.exists(isImplicitBoolStr) =>
         Concat(cc.children.map(pgBoolText))
+
+      // ---- unknown-literal coercion (sweep-32, live-pg-pinned) ----
+      // pg coerces an UNKNOWN (bare string literal) operand to the
+      // other operand's type through that type's input function.
+      // Spark's coercion never produces these conversions, so the
+      // shapes arrive here unresolved.
+
+      // array `||` with a string literal: pg runs array_in on the
+      // literal — `'{1,2}'::int[] || '{3}'` = {1,2,3}; a non-array-
+      // shaped literal is 22P02 ("... || '3'" included, live-pinned)
+      case c: Concat
+          if !c.resolved && c.children.forall(_.resolved) &&
+            c.children.exists(_.dataType.isInstanceOf[ArrayType]) &&
+            c.children.exists(isStringLit) =>
+        val at = c.children.find(_.dataType.isInstanceOf[ArrayType]).get
+          .dataType.asInstanceOf[ArrayType]
+        Concat(c.children.map(ch =>
+          if (isStringLit(ch)) pgArrayLiteralExpr(litText(ch), at) else ch))
+
+      // array `||` element / element `||` array → append / prepend
+      // (typed non-array side; the token layer handles syntactically
+      // marked shapes, this covers type-revealed ones)
+      case c: Concat
+          if !c.resolved && c.children.length == 2 &&
+            c.children.forall(_.resolved) &&
+            c.children.count(_.dataType.isInstanceOf[ArrayType]) == 1 &&
+            !c.children.exists(isStringLit) =>
+        val Seq(l, r) = c.children
+        if (l.dataType.isInstanceOf[ArrayType]) {
+          val et = l.dataType.asInstanceOf[ArrayType].elementType
+          ArrayAppend(l, castTo(r, et))
+        } else {
+          val et = r.dataType.asInstanceOf[ArrayType].elementType
+          ArrayPrepend(r, castTo(l, et))
+        }
+
+      // `@>` / `<@` / `&&` with a string literal beside an array
+      case p @ graft.functions.PgJsonExpressions.PgContains(l, r)
+          if !p.resolved && l.resolved && r.resolved &&
+            arrayAndStrLit(l, r) =>
+        if (l.dataType.isInstanceOf[ArrayType])
+          graft.functions.PgJsonExpressions.PgContains(l,
+            pgArrayLiteralExpr(litText(r), l.dataType.asInstanceOf[ArrayType]))
+        else
+          graft.functions.PgJsonExpressions.PgContains(
+            pgArrayLiteralExpr(litText(l), r.dataType.asInstanceOf[ArrayType]), r)
+      case p @ ArraysOverlap(l, r)
+          if !p.resolved && l.resolved && r.resolved &&
+            arrayAndStrLit(l, r) =>
+        if (l.dataType.isInstanceOf[ArrayType])
+          ArraysOverlap(l,
+            pgArrayLiteralExpr(litText(r), l.dataType.asInstanceOf[ArrayType]))
+        else
+          ArraysOverlap(
+            pgArrayLiteralExpr(litText(l), r.dataType.asInstanceOf[ArrayType]), r)
+
+      // timestamp + unknown → the literal is an INTERVAL (pg's only
+      // addition candidate); timestamp - unknown → the literal is a
+      // TIMESTAMP (pg prefers ts-ts over ts-interval: live-pinned
+      // `ts - '1 hour'` = "invalid input syntax for type timestamp")
+      case a @ Add(l, r, _)
+          if !a.resolved && l.resolved && r.resolved &&
+            isTsType(l.dataType) && isStringLit(r) =>
+        Add(l, graft.functions.PgFormatExpressions.PgIntervalLiteral(r))
+      case a @ Add(l, r, _)
+          if !a.resolved && l.resolved && r.resolved &&
+            isStringLit(l) && isTsType(r.dataType) =>
+        Add(graft.functions.PgFormatExpressions.PgIntervalLiteral(l), r)
+      case s @ Subtract(l, r, _)
+          if !s.resolved && l.resolved && r.resolved &&
+            isTsType(l.dataType) && isStringLit(r) =>
+        Subtract(l, taggedCast(r, l.dataType))
+
+      // interval ± unknown → the literal is an interval
+      case a @ Add(l, r, _)
+          if !a.resolved && l.resolved && r.resolved &&
+            (isIvType(l.dataType) && isStringLit(r)) =>
+        Add(l, graft.functions.PgFormatExpressions.PgIntervalLiteral(r))
+      case a @ Add(l, r, _)
+          if !a.resolved && l.resolved && r.resolved &&
+            (isStringLit(l) && isIvType(r.dataType)) =>
+        Add(graft.functions.PgFormatExpressions.PgIntervalLiteral(l), r)
+      case s @ Subtract(l, r, _)
+          if !s.resolved && l.resolved && r.resolved &&
+            isIvType(l.dataType) && isStringLit(r) =>
+        Subtract(l, graft.functions.PgFormatExpressions.PgIntervalLiteral(r))
+
+      // the same shapes AFTER Spark's own coercion got there first —
+      // an analyzer-inserted Cast over the unknown literal (to a
+      // timestamp for `ts + 'x'`, to a day-time interval for
+      // `interval + 'x'`): pg reads the literal as an INTERVAL for
+      // addition; the cast may even resolve and then fail or
+      // misbehave at runtime on pg-only spellings
+      case Add(l, r, _)
+          if l.resolved && (isTsType(l.dataType) || isIvType(l.dataType)) &&
+            implicitStrLit(r).isDefined =>
+        Add(l, graft.functions.PgFormatExpressions.PgIntervalLiteral(
+          implicitStrLit(r).get))
+      case Add(l, r, _)
+          if r.resolved && (isTsType(r.dataType) || isIvType(r.dataType)) &&
+            implicitStrLit(l).isDefined =>
+        Add(graft.functions.PgFormatExpressions.PgIntervalLiteral(
+          implicitStrLit(l).get), r)
+      case Subtract(l, r, _)
+          if l.resolved && isTsType(l.dataType) && implicitStrLit(r).isDefined =>
+        Subtract(l, taggedCast(implicitStrLit(r).get, l.dataType))
+      case Subtract(l, r, _)
+          if r.resolved && isTsType(r.dataType) && implicitStrLit(l).isDefined =>
+        Subtract(taggedCast(implicitStrLit(l).get, r.dataType), r)
+      case Subtract(l, r, _)
+          if l.resolved && isIvType(l.dataType) && implicitStrLit(r).isDefined =>
+        Subtract(l, graft.functions.PgFormatExpressions.PgIntervalLiteral(
+          implicitStrLit(r).get))
+
+      // EXTRACT(EPOCH FROM x) where x turned out interval-typed
+      // (`ts - 'lit'` subtraction): the text rewrite wrapped the
+      // operand as unix_micros(CAST(x AS TIMESTAMP)), and the failing
+      // inner cast keeps the unix_micros parent unresolved — so the
+      // CAST itself retargets to the timestamp whose unix micros ARE
+      // pg's interval epoch (pg has no interval→timestamp cast at
+      // all, so no legitimate query carries this shape)
+      case Cast(iv, TimestampType, _, _)
+          if iv.resolved && isIvType(iv.dataType) =>
+        MicrosToTimestamp(Cast(Multiply(
+          graft.functions.PgFormatExpressions.PgIntervalPart(
+            Literal("epoch"), iv),
+          Literal(1000000L)), LongType))
+
+      // interval + unknown AFTER Spark's datetime coercion flipped it
+      // into TimestampAddInterval(cast(lit AS TIMESTAMP), interval)
+      case TimestampAddInterval(l, itv, _)
+          if itv.resolved && isIvType(itv.dataType) &&
+            implicitStrLit(l).isDefined =>
+        graft.functions.PgMiscExpressions.PgIntervalAdd(
+          graft.functions.PgFormatExpressions.PgIntervalLiteral(
+            implicitStrLit(l).get), itv, negate = false)
+
+      // greatest/least with string literals among typed arguments:
+      // the unknowns coerce to the known type (greatest('1', 2.5) = 2.5)
+      case g: Greatest
+          if !g.resolved && g.children.forall(_.resolved) &&
+            mixedStrLit(g.children) && widerKnown(g.children).isDefined =>
+        Greatest(coerceStrLits(g.children))
+      case l: Least
+          if !l.resolved && l.children.forall(_.resolved) &&
+            mixedStrLit(l.children) && widerKnown(l.children).isDefined =>
+        Least(coerceStrLits(l.children))
+
+      // 1-arg to_timestamp is pg's epoch→timestamptz (Compat renames
+      // it to timestamp_seconds); an unknown literal argument coerces
+      // to double precision
+      case st @ SecondsToTimestamp(child)
+          if !st.resolved && child.resolved && child.dataType == StringType =>
+        SecondsToTimestamp(Cast(child, DoubleType))
 
       // ---- pg.type metadata operator dispatch (round 13) ----
       // Stored columns created by pg-dialect DDL carry pg.oid_alias /
@@ -437,6 +593,101 @@ object PgSemantics {
         if b.resolved && b.dataType == BooleanType && notUserCast(c) =>
       If(b, Literal("t"), Literal("f"))
     case other => other
+  }
+
+  // ---- unknown-literal coercion helpers (sweep-32) ----
+
+  private def isStringLit(e: Expression): Boolean = e match {
+    case Literal(_, StringType) => true
+    case _ => false
+  }
+
+  private def litText(e: Expression): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+        if s != null => s.toString
+    case Literal(null, StringType) => null
+    case _ => null
+  }
+
+  /** The string LITERAL behind an operand — bare, or wrapped in an
+    * ANALYZER-inserted cast (Spark's coercion may claim the unknown
+    * before the pg rules see it). */
+  private def implicitStrLit(e: Expression): Option[Expression] = e match {
+    case l @ Literal(_, StringType) => Some(l)
+    case c @ Cast(l @ Literal(_, StringType), _, _, _) if notUserCast(c) => Some(l)
+    case _ => None
+  }
+
+  private def arrayAndStrLit(l: Expression, r: Expression): Boolean =
+    (l.dataType.isInstanceOf[ArrayType] && isStringLit(r)) ||
+      (isStringLit(l) && r.dataType.isInstanceOf[ArrayType])
+
+  /** pg array_in over a literal: '{…}' text → a typed array literal
+    * expression (re-parsed through the analyzer); anything else is
+    * pg's malformed-array-literal. */
+  private def pgArrayLiteralExpr(text: String, at: ArrayType): Expression = {
+    if (text == null) return Literal(null, at)
+    val t = text.trim
+    if (!(t.startsWith("{") && t.endsWith("}")))
+      throw PgException("22P02", s"""malformed array literal: "$text"""")
+    var elem: DataType = at.elementType
+    while (elem.isInstanceOf[ArrayType])
+      elem = elem.asInstanceOf[ArrayType].elementType
+    val sql = Compat.arrayLiteralSql(t, elem.sql)
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+  }
+
+  private def castTo(e: Expression, dt: DataType): Expression =
+    if (e.dataType == dt) e else Cast(e, dt)
+
+  /** An interval operand, with a coercion-claimed unknown literal
+    * rerouted through pg's interval input parser. */
+  private def ivOperand(e: Expression): Expression =
+    implicitStrLit(e)
+      .map(graft.functions.PgFormatExpressions.PgIntervalLiteral(_))
+      .getOrElse(e)
+
+  /** A cast TAGGED user-specified so the implicit-literal rules never
+    * re-match their own output (fixpoint safety). */
+  private def taggedCast(e: Expression, dt: DataType): Expression = {
+    val c = Cast(e, dt)
+    c.setTagValue(Cast.USER_SPECIFIED_CAST, ())
+    c
+  }
+
+  private def isTsType(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  private def isIvType(dt: DataType): Boolean = dt match {
+    case CalendarIntervalType | _: DayTimeIntervalType |
+         _: YearMonthIntervalType => true
+    case _ => false
+  }
+
+  private def mixedStrLit(children: Seq[Expression]): Boolean =
+    children.exists(isStringLit) &&
+      children.exists(c => !isStringLit(c) && c.dataType != StringType)
+
+  /** Widest common type of the NON-string-literal arguments. */
+  private def widerKnown(children: Seq[Expression]): Option[DataType] = {
+    val known = children.filterNot(isStringLit).map(_.dataType).distinct
+    known match {
+      case Seq(one) => Some(one)
+      case many if many.forall(_.isInstanceOf[NumericType]) =>
+        // mixed numeric categories render through float8: pg's numeric
+        // keeps PER-VALUE scale (greatest('1', 2.5, 3) prints "3"),
+        // which a fixed-scale decimal column cannot reproduce — the
+        // shortest-precise float text form can
+        if (many.exists(t => t == DoubleType || t == FloatType) ||
+          many.exists(_.isInstanceOf[DecimalType])) Some(DoubleType)
+        else Some(LongType)
+      case _ => None
+    }
+  }
+
+  private def coerceStrLits(children: Seq[Expression]): Seq[Expression] = {
+    val target = widerKnown(children).get
+    children.map(c => if (isStringLit(c)) Cast(c, target) else c)
   }
 
   private val roundedTag = new TreeNodeTag[Unit]("graft.pg.roundedCast")

@@ -47,7 +47,8 @@ object PgDiffTool {
         } catch {
           case e: Throwable =>
             "<ERR:" + Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace("\n", " ").take(80) + ">"
+              .replace("\n", " ").take(
+                if (sys.env.contains("SPARK_GRAFT_DIFF_FULLERR")) 600 else 80) + ">"
         }
       out.println(v + "\t=>\t" + res.replace("\n", "\\n"))
       // optional third arg: also log the rewritten SQL for debugging

@@ -2143,4 +2143,71 @@ class PgParitySpec extends SparkSpec {
     for ((expr, want) <- pinned)
       assert(one(expr) === want, s"expr: $expr")
   }
+
+  test("sweep-32: unknown-literal coercion — arrays, datetime, functions (live pg 15)") {
+    // 81/83 vectors 0-diff vs live pg 15; the two accepted deviations
+    // (engine MORE permissive where pg raises not-unique/no-operator:
+    // coalesce(null,'5')+1, date_part('year','lit')) are documented in
+    // COVERAGE.md.
+    val pinned = Seq(
+      // prefix-typed literals: pg's `typename 'literal'` syntax
+      ("int4range '[1,5)' @> 3", "t"),
+      ("numrange '[1.5,2.5)' @> 2.0", "t"),
+      ("inet '192.168.1.5' << cidr '192.168.1.0/24'", "t"),
+      ("uuid 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'",
+        "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"),
+      // array ops with an untyped '{…}' literal (array_in coercion)
+      ("'{1,2}'::int[] && '{2,3}'", "t"),
+      ("'{1,2}'::int[] || '{3}'", "{1,2,3}"),
+      ("'{1,2}'::int[] || '{}'", "{1,2}"),
+      ("'{1,2,3}'::int[] @> '{2}'", "t"),
+      ("'{2}' <@ '{1,2,3}'::int[]", "t"),
+      // array || typed element → append/prepend
+      ("'{1,2}'::int[] || 4", "{1,2,4}"),
+      ("0 || '{1,2}'::int[]", "{0,1,2}"),
+      // timestamp/interval ± unknown: + reads an INTERVAL, ts - reads
+      // a TIMESTAMP (pg prefers ts-ts for minus)
+      ("'2020-06-15 12:00:00'::timestamp + '90 minutes'", "2020-06-15 13:30:00"),
+      ("'2020-01-02 00:00:00'::timestamp - '2020-01-01 12:00:00'", "12:00:00"),
+      ("extract(epoch from '2020-01-02 00:00:00'::timestamp - '2020-01-01 00:00:00')",
+        "86400.000000"),
+      ("'1 day'::interval + '2 hours'", "1 day 02:00:00"),
+      ("'1 day'::interval - '2 hours'", "1 day -02:00:00"),
+      // ISO 8601 interval input (uppercase designators required)
+      ("'P1DT2H'::interval", "1 day 02:00:00"),
+      ("'P1Y2M3DT4H5M6S'::interval", "1 year 2 mons 3 days 04:05:06"),
+      ("'P0001-02-03T04:05:06'::interval", "1 year 2 mons 3 days 04:05:06"),
+      ("'PT0.5S'::interval", "00:00:00.5"),
+      ("'P1W'::interval", "7 days"),
+      ("'P1.5D'::interval", "1 day 12:00:00"),
+      ("'P0.5Y'::interval", "6 mons"),
+      ("'P-1D'::interval", "-1 days"),
+      ("'PT'::interval", "00:00:00"),
+      ("interval 'P1D'", "1 day"),
+      // 1-arg to_timestamp is pg's epoch → timestamptz
+      ("to_timestamp('1609459200')", "2021-01-01 00:00:00+00"),
+      ("to_timestamp(1609459200.5)", "2021-01-01 00:00:00.5+00"),
+      // greatest/least coerce unknown literals to the known type
+      ("greatest('1', 2)", "2"),
+      ("least(3, '2')", "2"),
+      ("greatest('1', 2.5, 3)", "3"),
+      ("greatest('2020-01-05'::date, '2020-01-01')", "2020-01-05"),
+      // function-argument unknowns already resolving (regression set)
+      ("abs('-3')", "3"),
+      ("round('3.14159', 2)", "3.14"),
+      ("substr('hello', '2')", "ello"),
+      ("power('2', '10')", "1024"),
+      ("width_bucket('5.35', 0.024, 10.06, 5)", "3"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+    // pg-error parity: both sides raise (unknown-vs-unknown is not
+    // unique; a non-array-shaped literal beside an array is 22P02;
+    // lowercase ISO designators and bare 'P' are invalid interval
+    // input; timestamp minus a non-timestamp literal fails its cast)
+    for (bad <- Seq("'[1,5)' @> 3", "'{1,2}' && '{2,3}'",
+      "'{1,2}'::int[] || '3'", "'3' || '{1,2}'::int[]",
+      "'p1dt2h'::interval", "'P'::interval", "'-P1DT2H'::interval",
+      "'2020-06-15 12:00:00'::timestamp - '1 hour'"))
+      intercept[Exception] { one(bad) }
+  }
 }
