@@ -349,6 +349,123 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass URL-domain extraction — the codegen twin of
+    * `transform(regexp_extract_all(text, UrlPattern, 0), u ->
+    *   regexp_replace(regexp_replace(regexp_replace(u,
+    *     '^https?://', ''), '^www\\.', ''), '/.*$', ''))`
+    * with UrlPattern =
+    * `(https?://|www\.)[A-Za-z0-9.-]+\.[A-Za-z]{2,}(/[A-Za-z0-9._/-]*)?`.
+    *
+    * Hand-rolled to replicate Java regex semantics exactly
+    * (TextAnalysisSpec pins bit-equivalence against the composition):
+    *  - leftmost non-overlapping matches, search resumes at match end;
+    *  - the two alternation prefixes start with distinct chars ('h'
+    *    vs 'w'), so at most one can fire per position; `https?` tries
+    *    the 's' branch first, then the bare one;
+    *  - greedy `[A-Za-z0-9.-]+` backtracks from the end of the
+    *    host-char run: the LAST '.' inside the run followed by >= 2
+    *    letters ends the host (the `{2,}` letters then extend
+    *    greedily — letters are host chars, so they sit inside the
+    *    run);
+    *  - the optional `(/path)?` group only moves the match end, never
+    *    the domain, because `/.*$` strips it anyway — so the scanner
+    *    consumes it solely to place the next search position;
+    *  - domain = matched host minus the scheme, minus one leading
+    *    `www.` (the replace chain applies `^www\.` AFTER the scheme
+    *    strip, so `https://www.x.com` also reduces to `x.com`).
+    *
+    * Multiplicity and order preserved (one element per match) — the
+    * downstream per-domain mention counts need the duplicates. */
+  def urlDomainsEval(t: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (t == null) return null
+    val s = t.toString
+    val n = s.length
+    val out = new java.util.ArrayList[AnyRef](4)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var prefixEnd = -1
+      var schemePrefix = false
+      if (c == 'h' && s.startsWith("http", i)) {
+        if (s.startsWith("s://", i + 4)) { prefixEnd = i + 8; schemePrefix = true }
+        else if (s.startsWith("://", i + 4)) { prefixEnd = i + 7; schemePrefix = true }
+      } else if (c == 'w' && s.startsWith("www.", i)) {
+        prefixEnd = i + 4
+      }
+      if (prefixEnd < 0) { i += 1 }
+      else {
+        // maximal run of host chars [A-Za-z0-9.-]
+        var runEnd = prefixEnd
+        while (runEnd < n && {
+          val h = s.charAt(runEnd)
+          (h >= 'a' && h <= 'z') || (h >= 'A' && h <= 'Z') ||
+            (h >= '0' && h <= '9') || h == '.' || h == '-'
+        }) runEnd += 1
+        // backtrack the greedy +: last '.' in the run (with >= 1 host
+        // char before it) followed by >= 2 letters
+        var hostEnd = -1
+        var k = runEnd - 1
+        while (hostEnd < 0 && k >= prefixEnd + 1) {
+          if (s.charAt(k) == '.') {
+            var m = k + 1
+            while (m < runEnd && {
+              val l = s.charAt(m)
+              (l >= 'a' && l <= 'z') || (l >= 'A' && l <= 'Z')
+            }) m += 1
+            if (m - (k + 1) >= 2) hostEnd = m
+          }
+          k -= 1
+        }
+        if (hostEnd < 0) { i += 1 }
+        else {
+          // `^www\.` strips exactly ONE leading "www.": for a
+          // www.-prefixed match that IS the prefix (already outside
+          // domStart); only a scheme-prefixed host can shed another
+          var domStart = prefixEnd
+          if (schemePrefix && s.startsWith("www.", domStart) &&
+              hostEnd > domStart + 4)
+            domStart += 4
+          out.add(UTF8String.fromString(s.substring(domStart, hostEnd)))
+          // optional path group — consumed only to move the cursor
+          var matchEnd = hostEnd
+          if (matchEnd < n && s.charAt(matchEnd) == '/') {
+            matchEnd += 1
+            while (matchEnd < n && {
+              val p = s.charAt(matchEnd)
+              (p >= 'a' && p <= 'z') || (p >= 'A' && p <= 'Z') ||
+                (p >= '0' && p <= '9') || p == '.' || p == '_' ||
+                p == '/' || p == '-'
+            }) matchEnd += 1
+          }
+          i = matchEnd
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)).asInstanceOf[Array[Any]])
+  }
+
+  /** url_domains(text) → array<string> (NULL text → NULL, matching
+    * `regexp_extract_all`'s null propagation so `explode` drops the
+    * row either way). */
+  case class UrlDomains(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(prettyName, child)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "url_domains"
+
+    override def nullSafeEval(t: Any): Any =
+      urlDomainsEval(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextExpressions.urlDomainsEval($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): UrlDomains =
+      copy(child = newChild)
+  }
+
   /** Jaccard over two distinct string arrays in one pass: |a∩b| via a
     * hash set, |a∪b| = |a|+|b|−|a∩b| (inputs are distinct sets — the
     * [[CharShingles]] contract). Same double division as
@@ -439,7 +556,10 @@ object TextExpressions {
         })),
       (FunctionIdentifier("arr_jaccard"),
         new ExpressionInfo(classOf[ArrJaccard].getName, "arr_jaccard"),
-        arity("arr_jaccard", 2)(args => ArrJaccard(args(0), args(1)))))
+        arity("arr_jaccard", 2)(args => ArrJaccard(args(0), args(1)))),
+      (FunctionIdentifier("url_domains"),
+        new ExpressionInfo(classOf[UrlDomains].getName, "url_domains"),
+        arity("url_domains", 1)(args => UrlDomains(args(0)))))
 
   /** Idempotent registration on an already-built session (same
     * contract as [[VectorExpressions.install]]). */

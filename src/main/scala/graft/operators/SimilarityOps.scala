@@ -167,18 +167,34 @@ object SimilarityOps extends Serializable {
   /** Collect `centroidIds` rows as quantized driver-side arrays — a
     * k-row lookup, the same broadcast-sized collect as the query side
     * of [[bruteForceTopK]].
+    *
+    * Memoized per (session, source plan, cols, ids): the coarse
+    * quantizer's centroids are INDEX state — trained once, stored with
+    * the index, shared by every probe/assign/step over the same corpus
+    * — so re-running the k-row lookup job on every query construction
+    * is pure harness overhead (the same class of memo as
+    * [[graft.Tables.t]]'s scan cache; ~150 ms per build at test SF).
     */
+  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String, Seq[Long]),
+    Seq[(Long, Array[Long])]]()
+
   private def collectCentroids(embs: DataFrame, idCol: String, vecCol: String,
-      ids: Seq[Long]): Seq[(Long, Array[Long])] = {
-    val cents = embs.filter(col(idCol).isin(ids: _*))
-      .select(col(idCol).cast("long"), quantize(col(vecCol)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1).toSeq
-    require(cents.size == ids.distinct.size,
-      s"missing centroid rows: wanted ${ids.distinct.size}, found ${cents.size}")
-    cents
-  }
+      ids: Seq[Long]): Seq[(Long, Array[Long])] =
+    centroidMemo.computeIfAbsent(
+      (embs.sparkSession, embs.queryExecution.logical, idCol, vecCol, ids),
+      _ => {
+        val cents = embs.filter(col(idCol).isin(ids: _*))
+          .select(col(idCol).cast("long"), quantize(col(vecCol)))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1).toSeq
+        require(cents.size == ids.distinct.size,
+          s"missing centroid rows: wanted ${ids.distinct.size}, found ${cents.size}")
+        cents
+      })
 
   /** IVF coarse-quantizer assignment: every vector mapped to its
     * nearest centroid (max quantized dot, ties to smallest cid).

@@ -541,26 +541,34 @@ object TextAnalysisOps extends Serializable {
         floor((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
   }
 
-  def urlDomainStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+  def urlDomainStats(docs: DataFrame, idCol: String, textCol: String,
+      smallDomainSet: Boolean = false): DataFrame = {
+    // manual two-level distinct: groupBy(domain, doc_id) with map-side
+    // partial_count compresses the raw URL mentions before the first
+    // shuffle, and the domain roll-up partial-aggs again before the
+    // second — the same shuffle volume as countDistinct's rewrite but
+    // one fewer aggregate pass and a plan AQE resolves in 2 exchanges
+    // url_domains is the one-pass codegen twin of
+    // regexp_extract_all(UrlPattern) + the three-step regexp_replace
+    // domain reduce (TextExpressions.urlDomainsEval, bit-equivalence
+    // pinned in TextAnalysisSpec) — one string scan instead of four
+    // java.util.regex passes per row
+    val perDoc = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
-      .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("url"), "^https?://", ""),
-            "^www\\.", ""),
-          "/.*$", "").as("domain"))
-      // manual two-level distinct: groupBy(domain, doc_id) with map-side
-      // partial_count compresses the raw URL mentions before the first
-      // shuffle, and the domain roll-up partial-aggs again before the
-      // second — the same shuffle volume as countDistinct's rewrite but
-      // one fewer aggregate pass and a plan AQE resolves in 2 exchanges
+        explode(call_function("url_domains", col(textCol))).as("domain"))
       .groupBy("domain", "doc_id")
       .agg(count(lit(1)).as("n_mentions"))
+    // smallDomainSet folds the domain roll-up into one 1-task stage,
+    // trading the second exchange for a single-reader pass over the
+    // (domain, doc_id) partials. Correct ONLY when the caller knows the
+    // distinct-domain set is small (blocklist profiling over a fixed
+    // source mix); the default keeps the partial-agg'd second exchange,
+    // which is the shape that survives a web-scale domain cardinality.
+    (if (smallDomainSet) perDoc.coalesce(1) else perDoc)
       .groupBy("domain")
       .agg(sum(col("n_mentions")).cast("long").as("n_urls"),
         count(lit(1)).as("n_docs"))
+  }
 
   /** BM25 document ranking for a bag-of-terms query (Okapi BM25 with
     * Lucene's always-positive idf, k1/b in their standard defaults).

@@ -256,11 +256,15 @@ object TextAnalysis {
         """concat(text, ' see https://host', doc_id % 23, '.example.com/p/',
           |doc_id % 5, ' and www.ref', doc_id % 11, '.org ') AS text"""
           .stripMargin.replace("\n", ""))
-      // coalesce(1), not repartition(1): the final roll-up's input is the
-      // 34-domain partial set, so folding the last agg + sort into one
-      // 1-task stage beats paying a third exchange for it
-      TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text")
-        .coalesce(1).sortWithinPartitions("domain")
+      // smallDomainSet: the seeded mix produces 34 domains, so the
+      // roll-up folds into one 1-task stage (one exchange total) with
+      // the oracle sort riding the same stage. An 8-way hashFanout of
+      // the regex pass was tried and measured SLOWER (r14): the
+      // exchange + 8-task scheduling cost ~3x the 110 ms single-split
+      // regex stage it parallelized.
+      TextAnalysisOps.urlDomainStats(seeded, "doc_id", "text",
+          smallDomainSet = true)
+        .sortWithinPartitions("domain")
     },
 
     // --- token-window chunking: 8-token windows, stride 4, short tails

@@ -174,6 +174,46 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("url_domains agrees with the regexp_extract_all composition, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    // URL-specific adversarial strings on top of the shared edge set:
+    // backtracking hosts, trailing dots/dashes, double www, schemes
+    // mid-word, 1-letter TLDs, paths with stop chars, adjacency
+    val urlEdge = Seq(
+      "plain http://a.bc tail", "https://x.y.z.co/p/q?r=1 done",
+      "www.foo.com", "www.foo.com/", "www.foo.com/a_b-c.d/e",
+      "http://www.bar.org and www.www.baz.io x",
+      "see http://no-tld or http://.com or http://a. stop",
+      "http://trail.com. next", "http://dash-host.net- y",
+      "https://UPPER.CoM mixed", "HTTPS://nope.com WWW.nope.com",
+      "wwww.notwww.com but www.yes.ab ok",
+      "http://1.2.3.4/path http://num3rix.9x.dev",
+      "a.b.c www. http:// https:/x http//y.com",
+      "http://host.comma,rest www.tld.a www.tld.ab",
+      "tight:http://t.co/x,www.u.org|end",
+      "http://a-.b.--c.d.ee//double//slash/ tail",
+      "url at end http://end.io", "www.end.io")
+    val docs = urlEdge.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .unionByName(corpus.filter(col("text").isNotNull)
+        .selectExpr("doc_id + 5000 AS doc_id",
+          """concat(text, ' see https://host', doc_id % 23, '.example.com/p/',
+            |doc_id % 5, ' and www.ref', doc_id % 11, '.org ') AS text"""
+            .stripMargin.replace("\n", "")))
+      .unionByName(Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val pat = graft.operators.TextAnalysisOps.UrlPattern
+    val composed = transform(
+      regexp_extract_all(col("text"), lit(pat), lit(0)),
+      u => regexp_replace(regexp_replace(regexp_replace(u,
+        "^https?://", ""), "^www\\.", ""), "/.*$", ""))
+    bothPaths {
+      val rows = docs.select(col("doc_id"),
+        call_function("url_domains", col("text")).as("nw"), composed.as("old"))
+      val bad = rows.filter(!(col("nw") <=> col("old")))
+      assert(bad.count() === 0, bad.collect().take(5).mkString("; "))
+    }
+  }
+
   test("operator plans stay inside whole-stage codegen") {
     graft.functions.TextExpressions.install(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
