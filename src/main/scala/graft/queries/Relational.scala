@@ -95,8 +95,16 @@ object Relational {
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) as n_orders
         |FROM customer ORDER BY c_custkey""".stripMargin),
 
-    // --- window: row_number + running sum (exact decimal frame agg)
-    Q.sameSql("q09_window_running",
+    // --- window: row_number + running sum (exact decimal frame agg).
+    // The source is hash-fanned on the window partition key BEFORE the
+    // window: an explicit-width exchange is exempt from AQE's
+    // small-shuffle coalescing, which otherwise folds the sf0.1-sized
+    // shuffle into ONE task and serializes the whole window pass (the
+    // r13→r14 window-trio drift). It satisfies the window's clustering
+    // requirement, so EnsureRequirements adds no second exchange; at
+    // production scale the width never drops below the source's own
+    // split count. Gathered final sort for the q10 range-sample reason.
+    Q.df("q09_window_running",
       """SELECT o_orderkey, o_custkey, cast(rn as bigint) as rn,
         |       cast(running as double) as running_spend
         |FROM (
@@ -106,7 +114,21 @@ object Relational {
         |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as running
         |  FROM orders) t
-        |ORDER BY o_custkey, rn""".stripMargin),
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Q.oracleOrder(
+        Q.hashFanout(Tables.t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            "o_custkey")
+          .select(col("o_orderkey"), col("o_custkey"),
+            row_number().over(w).cast("long").as("rn"),
+            sum(col("o_totalprice").cast("decimal(30,10)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_spend")),
+        "o_custkey", "rn")
+    },
 
     // --- window: rank/dense_rank/lag/lead/ntile over a named window.
     // Spark side runs the window then gathers for the deterministic
@@ -122,17 +144,22 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      Tables.register(s, dir)
-      Q.oracleOrder(s.sql(
-        """SELECT o_orderkey,
-          |  cast(rank() OVER w as bigint) as rnk,
-          |  cast(dense_rank() OVER w as bigint) as drnk,
-          |  lag(o_orderkey) OVER w as prev_key,
-          |  lead(o_orderkey) OVER w as next_key,
-          |  cast(ntile(4) OVER w as bigint) as quartile
-          |FROM orders
-          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"""
-          .stripMargin), "o_orderkey")
+      // hash-fan on the window partition key first — see q09's note
+      // (AQE otherwise coalesces the 5-key shuffle to one task)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Q.oracleOrder(
+        Q.hashFanout(Tables.t(s, dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+            "o_orderpriority")
+          .select(col("o_orderkey"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            ntile(4).over(w).cast("long").as("quartile")),
+        "o_orderkey")
     },
 
     // --- set op: INTERSECT
@@ -492,19 +519,21 @@ object Relational {
         |  w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
         |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      Tables.register(s, dir)
-      Q.oracleOrder(s.sql(
-        """SELECT o_orderkey,
-          |  CAST(floor(percent_rank() OVER w * 100000) AS BIGINT) AS pct_rank_100k,
-          |  CAST(floor(cume_dist() OVER w * 100000) AS BIGINT) AS cume_100k,
-          |  first_value(o_orderkey) OVER w2 AS frame_first,
-          |  nth_value(o_orderkey, 2) OVER w2 AS frame_second,
-          |  last_value(o_orderkey) OVER w2 AS frame_last
-          |FROM orders
-          |WINDOW
-          |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
-          |  w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
-          |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin),
+      // hash-fan on the window partition key first — see q09's note
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val w2 = w.rowsBetween(-1, 1)
+      Q.oracleOrder(
+        Q.hashFanout(Tables.t(s, dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+            "o_orderpriority")
+          .select(col("o_orderkey"),
+            floor(percent_rank().over(w) * 100000).cast("long").as("pct_rank_100k"),
+            floor(cume_dist().over(w) * 100000).cast("long").as("cume_100k"),
+            first(col("o_orderkey")).over(w2).as("frame_first"),
+            nth_value(col("o_orderkey"), 2).over(w2).as("frame_second"),
+            last(col("o_orderkey")).over(w2).as("frame_last")),
         "o_orderkey")
     },
 
