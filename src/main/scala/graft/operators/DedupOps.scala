@@ -936,19 +936,72 @@ object DedupOps {
     * Output: (doc_id, cluster_id, cluster_size) for paired docs only —
     * singletons (the overwhelming mass at scale) never enter the edge
     * shuffle at all.
+    *
+    * Adaptive small-graph path: the pair list is the LSH gate's OUTPUT
+    * — orders of magnitude smaller than the corpus — so when it fits
+    * the same bound a broadcast join would accept
+    * (`smallGraphMaxPairs`, default 4M pairs ≈ 64 MB of longs), the
+    * transitive closure runs as driver-side union-find in ONE collect
+    * instead of 3 shuffles × O(log d) rounds. This is the same runtime
+    * adaptivity Spark itself applies at broadcast thresholds; a 100 TB
+    * corpus whose duplicate graph exceeds the bound takes the
+    * distributed-propagation path unchanged.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+      smallGraphMaxPairs: Long = 4L * 1000 * 1000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs
+    val spark = pairs.sparkSession
+    val p2 = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p2.count()
+    if (nPairs <= smallGraphMaxPairs) {
+      // driver union-find over the collected pair list (path halving +
+      // union by smaller ROOT — the representative must be the min id,
+      // so parent always points toward the smaller vertex)
+      val raw = p2.collect()
+      p2.unpersist(false)
+      val parent = new java.util.HashMap[Long, Long](raw.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      raw.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val members = new java.util.TreeMap[Long, Long]() // id -> root
+      parent.keySet().forEach(id => members.put(id, find(id)))
+      val sizes = new java.util.HashMap[Long, Long]()
+      members.values().forEach(r => sizes.merge(r, 1L, (x, y) => x + y))
+      val rows = Vector.newBuilder[(Long, Long, Long)]
+      members.forEach((id, r) => rows += ((id, r, sizes.get(r).longValue())))
+      import spark.implicits._
+      return rows.result().toDF("doc_id", "cluster_id", "cluster_size")
+    }
+    val edges = p2
+      .unionByName(p2.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // round 0 folded into initialization: label = min(self, neighbors)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the actually-persisted frame backing `labels` (labels itself may
+    // be a narrow select over it — unpersist must hit the cached one)
+    var labelsCache: DataFrame = labels
     var it = 0
     var done = false
     while (!done && it < maxIters) {
@@ -957,22 +1010,24 @@ object DedupOps {
         .join(labels.select(col("id").as("src"), col("label").as("slabel")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("slabel")).as("nbrmin"))
+      // the pre-round label rides along as `old`, so the fixpoint test
+      // below needs no third join back onto `labels`
       val stepped = labels
         .join(viaNbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbrmin"), col("label"))).as("label"))
       // pointer jump: label(x) <- label(label(x)) (labels are vertex
       // ids, so every label has a row)
       val jumped = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("plabel")),
           Seq("label"))
-        .select(col("id"), least(col("label"), col("plabel")).as("label"))
+        .select(col("id"), col("old"),
+          least(col("label"), col("plabel")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = jumped
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).count()
-      labels.unpersist(false)
-      labels = jumped
+      val changed = jumped.filter(col("label") < col("old")).count()
+      labelsCache.unpersist(false)
+      labelsCache = jumped
+      labels = jumped.select(col("id"), col("label"))
       done = changed == 0L
       it += 1
     }
@@ -983,8 +1038,9 @@ object DedupOps {
       // eager checkpoint so the edge/label caches can be released now
       // (ManagedResult convention: a persist must not outlive its query)
       .localCheckpoint(true)
+    p2.unpersist(false)
     edges.unpersist(false)
-    labels.unpersist(false)
+    labelsCache.unpersist(false)
     result
   }
 }

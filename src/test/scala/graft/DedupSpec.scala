@@ -269,10 +269,35 @@ class DedupSpec extends SparkSpec {
   test("dupClusters converges on a long path (pointer jumping)") {
     // a 12-vertex path: plain per-round neighbor-min alone would need
     // 11 rounds; with pointer jumping the fixpoint arrives much
-    // earlier — assert correctness under a tight iteration cap
+    // earlier — assert correctness under a tight iteration cap.
+    // smallGraphMaxPairs = 0 forces the DISTRIBUTED propagation path
+    // (the adaptive driver union-find would otherwise absorb every
+    // test-sized graph)
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = DedupOps.dupClusters(pairs, maxIters = 6)
+    val got = DedupOps.dupClusters(pairs, maxIters = 6, smallGraphMaxPairs = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === (1L to 12L).map(i => (i, 1L, 12L)).toSet)
+  }
+
+  test("dupClusters: driver union-find and distributed propagation agree") {
+    // adversarial mix: chain, triangle, star with min-id center last,
+    // reverse-ordered pairs, duplicate edges
+    val pairs = Seq(
+      (5L, 9L), (9L, 2L), (2L, 5L), // triangle, min=2
+      (7L, 8L), (8L, 7L),           // dup edges both directions
+      (30L, 3L), (31L, 3L), (32L, 3L), // star centered on min
+      (40L, 41L), (41L, 42L), (42L, 43L), (43L, 44L)) // chain
+      .toDF("doc_a", "doc_b")
+    val small = DedupOps.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = DedupOps.dupClusters(pairs, smallGraphMaxPairs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(small === dist)
+    assert(small === Set(
+      (2L, 2L, 3L), (5L, 2L, 3L), (9L, 2L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L),
+      (3L, 3L, 4L), (30L, 3L, 4L), (31L, 3L, 4L), (32L, 3L, 4L),
+      (40L, 40L, 5L), (41L, 40L, 5L), (42L, 40L, 5L), (43L, 40L, 5L),
+      (44L, 40L, 5L)))
   }
 }
