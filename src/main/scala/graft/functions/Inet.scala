@@ -3,6 +3,9 @@ package graft.functions
 import java.math.BigInteger
 
 import graft.pgwire.PgException
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** PostgreSQL network types (`inet`/`cidr`, pg §8.9/§9.12) over
   * canonical text — the round-11 type-family pattern (geo, range,
@@ -265,97 +268,137 @@ object Inet extends Serializable {
 
   // ---- registration --------------------------------------------------------
 
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val u = spark.udf
+  /** One native expression class for the whole inet/macaddr function
+    * family. Until round 14 these were Scala UDFs: every call paid
+    * encoder boxing AND disqualified its projection from whole-stage
+    * codegen (q128's 8-call projection ran fully interpreted). As a
+    * [[PgVariadicDirectGen]] the call sits inside the generated code
+    * with one virtual dispatch; [[ImplicitCastInputTypes]] restores
+    * the argument coercions the UDF encoder used to provide.
+    *
+    * Equality/idempotence note: `fn` is a lambda compared by
+    * reference, but every instance is built by the SAME registry
+    * builder closure per name, so two `InetFn("host", c)` built from
+    * one session compare equal in the only places the planner needs
+    * it (transform fixpoints re-use the same instance).
+    */
+  final case class InetFn(fnName: String, children: Seq[Expression],
+      out: DataType, arity: Int)(
+      val fn: Array[Any] => Any)
+      extends Expression with PgVariadicDirectGen {
+    override def nullable: Boolean = true
+    override def dataType: DataType = out
+    override def prettyName: String = fnName
+    override def evalVals(vs: Array[Any]): Any = fn(vs)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): InetFn =
+      copy(children = newChildren)(fn)
+  }
+
+  private def u8(s: String): UTF8String = UTF8String.fromString(s)
+
+  // null-strict adapters from UTF8String/boxed args to the typed logic
+  private def f1(f: String => Any): Array[Any] => Any = vs =>
+    if (vs(0) == null) null else f(vs(0).toString)
+  private def f2(f: (String, String) => Any): Array[Any] => Any = vs =>
+    if (vs(0) == null || vs(1) == null) null
+    else f(vs(0).toString, vs(1).toString)
+  private def fLong(f: (String, Long) => Any): Array[Any] => Any = vs =>
+    if (vs(0) == null || vs(1) == null) null
+    else f(vs(0).toString, vs(1).asInstanceOf[Number].longValue)
+  private def fInt(f: (String, Int) => Any): Array[Any] => Any = vs =>
+    if (vs(0) == null || vs(1) == null) null
+    else f(vs(0).toString, vs(1).asInstanceOf[Number].intValue)
+
+  /** (name, return type, arity, impl) for every family function. The
+    * numeric-argument adapters coerce through java.lang.Number, so int
+    * vs long literal types need no analyzer-inserted casts (the role
+    * the UDF encoder used to play; ImplicitCastInputTypes is
+    * private[sql]). */
+  private lazy val defs: Seq[(String, DataType, Int, Array[Any] => Any)] = {
     def p(s: String): Ip = parse(s, asCidr = false)
-    u.register("inet_in", (s: String) =>
-      if (s == null) null else render(parse(s, asCidr = false)))
-    u.register("cidr_in", (s: String) =>
-      if (s == null) null else render(parse(s, asCidr = true).copy(cidr = true)))
-    u.register("host", (s: String) =>
-      if (s == null) null else {
+    def str1(name: String)(f: String => String) =
+      (name, StringType: DataType, 1, f1(s => u8(f(s))))
+    def str2(name: String)(f: (String, String) => String) =
+      (name, StringType: DataType, 2, f2((a, b) => u8(f(a, b))))
+    def bool2(name: String)(f: (Ip, Ip) => Boolean) =
+      (name, BooleanType: DataType, 2,
+        f2((a, b) => Boolean.box(f(p(a), p(b)))))
+    Seq(
+      str1("inet_in")(s => render(parse(s, asCidr = false))),
+      str1("cidr_in")(s => render(parse(s, asCidr = true).copy(cidr = true))),
+      str1("host") { s =>
         val ip = p(s)
         if (ip.family == 4) renderV4(ip.addr) else renderV6(ip.addr)
-      })
-    u.register("masklen", (s: String) =>
-      (if (s == null) null else Int.box(p(s).masklen)): java.lang.Integer)
-    u.register("family", (s: String) =>
-      (if (s == null) null else Int.box(p(s).family)): java.lang.Integer)
-    u.register("network", (s: String) =>
-      if (s == null) null else render(network(p(s)).copy(cidr = true)))
-    u.register("broadcast", (s: String) =>
-      if (s == null) null else render(broadcast(p(s))))
-    u.register("netmask", (s: String) =>
-      if (s == null) null else render(netmask(p(s))))
-    u.register("hostmask", (s: String) =>
-      if (s == null) null else render(hostmask(p(s))))
-    u.register("abbrev", (s: String) =>
-      if (s == null) null else render(p(s))) // abbrev(inet) = display form
-    u.register("pg_abbrev_cidr", (s: String) =>
-      if (s == null) null else abbrevCidr(parse(s, asCidr = true)))
-    u.register("pg_inet_text", (s: String) =>
-      if (s == null) null else renderFull(p(s)))
-    u.register("set_masklen", (s: String, n: Int) =>
-      if (s == null) null else render(setMasklen(p(s), n)))
-    u.register("pg_set_masklen_cidr", (s: String, n: Int) =>
-      if (s == null) null
-      else render(setMasklen(parse(s, asCidr = true), n).copy(cidr = true)))
-    u.register("inet_same_family", (a: String, b: String) =>
-      (if (a == null || b == null) null
-       else Boolean.box(p(a).family == p(b).family)): java.lang.Boolean)
-    u.register("inet_merge", (a: String, b: String) =>
-      if (a == null || b == null) null else render(merge(p(a), p(b))))
-    u.register("inet_add", (s: String, n: Long) =>
-      if (s == null) null else render(add(p(s), n)))
-    u.register("inet_sub", (s: String, n: Long) =>
-      if (s == null) null else render(add(p(s), -n)))
-    u.register("inet_diff", (a: String, b: String) =>
-      (if (a == null || b == null) null
-       else Long.box(diff(p(a), p(b)).longValueExact)): java.lang.Long)
-    u.register("inet_not", (s: String) =>
-      if (s == null) null else render(not(p(s))))
-    u.register("inet_and", (a: String, b: String) =>
-      if (a == null || b == null) null else render(and(p(a), p(b))))
-    u.register("inet_or", (a: String, b: String) =>
-      if (a == null || b == null) null else render(or(p(a), p(b))))
-    def bin(name: String)(f: (Ip, Ip) => Boolean): Unit =
-      u.register(name, (a: String, b: String) =>
-        (if (a == null || b == null) null
-         else Boolean.box(f(p(a), p(b)))): java.lang.Boolean)
-    bin("inet_contained_strict")((a, b) => containedIn(a, b, strict = true))
-    bin("inet_contained_eq")((a, b) => containedIn(a, b, strict = false))
-    bin("inet_contains_strict")((a, b) => containedIn(b, a, strict = true))
-    bin("inet_contains_eq")((a, b) => containedIn(b, a, strict = false))
-    bin("inet_overlap")(overlap)
-    bin("inet_lt")((a, b) => cmp(a, b) < 0)
-    u.register("macaddr_in", (s: String) =>
-      if (s == null) null else renderMac(parseMac(s, eight = false)))
-    u.register("macaddr8_in", (s: String) =>
-      if (s == null) null else renderMac(parseMac(s, eight = true)))
-    u.register("mac_trunc", (s: String) =>
-      if (s == null) null else {
+      },
+      ("masklen", IntegerType, 1, f1(s => Int.box(p(s).masklen))),
+      ("family", IntegerType, 1, f1(s => Int.box(p(s).family))),
+      str1("network")(s => render(network(p(s)).copy(cidr = true))),
+      str1("broadcast")(s => render(broadcast(p(s)))),
+      str1("netmask")(s => render(netmask(p(s)))),
+      str1("hostmask")(s => render(hostmask(p(s)))),
+      str1("abbrev")(s => render(p(s))), // abbrev(inet) = display form
+      str1("pg_abbrev_cidr")(s => abbrevCidr(parse(s, asCidr = true))),
+      str1("pg_inet_text")(s => renderFull(p(s))),
+      ("set_masklen", StringType, 2,
+        fInt((s, n) => u8(render(setMasklen(p(s), n))))),
+      ("pg_set_masklen_cidr", StringType, 2,
+        fInt((s, n) => u8(render(setMasklen(parse(s, asCidr = true), n).copy(cidr = true))))),
+      ("inet_same_family", BooleanType, 2,
+        f2((a, b) => Boolean.box(p(a).family == p(b).family))),
+      str2("inet_merge")((a, b) => render(merge(p(a), p(b)))),
+      ("inet_add", StringType, 2,
+        fLong((s, n) => u8(render(add(p(s), n))))),
+      ("inet_sub", StringType, 2,
+        fLong((s, n) => u8(render(add(p(s), -n))))),
+      ("inet_diff", LongType, 2,
+        f2((a, b) => Long.box(diff(p(a), p(b)).longValueExact))),
+      str1("inet_not")(s => render(not(p(s)))),
+      str2("inet_and")((a, b) => render(and(p(a), p(b)))),
+      str2("inet_or")((a, b) => render(or(p(a), p(b)))),
+      bool2("inet_contained_strict")((a, b) => containedIn(a, b, strict = true)),
+      bool2("inet_contained_eq")((a, b) => containedIn(a, b, strict = false)),
+      bool2("inet_contains_strict")((a, b) => containedIn(b, a, strict = true)),
+      bool2("inet_contains_eq")((a, b) => containedIn(b, a, strict = false)),
+      bool2("inet_overlap")(overlap),
+      bool2("inet_lt")((a, b) => cmp(a, b) < 0),
+      bool2("inet_le")((a, b) => cmp(a, b) <= 0),
+      bool2("inet_gt")((a, b) => cmp(a, b) > 0),
+      bool2("inet_ge")((a, b) => cmp(a, b) >= 0),
+      str1("macaddr_in")(s => renderMac(parseMac(s, eight = false))),
+      str1("macaddr8_in")(s => renderMac(parseMac(s, eight = true))),
+      str1("mac_trunc") { s =>
         val b = parseMac(s, eight = false)
         renderMac(b.take(3) ++ Array(0, 0, 0))
-      })
-    u.register("mac_not", (s: String) =>
-      if (s == null) null
-      else renderMac(parseMac(s, eight = s.count(_ == ':') == 7).map(v => ~v & 0xff)))
-    u.register("mac_and", (a: String, b: String) =>
-      if (a == null || b == null) null
-      else renderMac(parseMac(a, eight = false).zip(parseMac(b, eight = false))
-        .map { case (x, y) => x & y }))
-    u.register("mac_or", (a: String, b: String) =>
-      if (a == null || b == null) null
-      else renderMac(parseMac(a, eight = false).zip(parseMac(b, eight = false))
-        .map { case (x, y) => x | y }))
-    u.register("macaddr8_set7bit", (s: String) =>
-      if (s == null) null else {
+      },
+      str1("mac_not")(s =>
+        renderMac(parseMac(s, eight = s.count(_ == ':') == 7).map(v => ~v & 0xff))),
+      str2("mac_and")((a, b) =>
+        renderMac(parseMac(a, eight = false).zip(parseMac(b, eight = false))
+          .map { case (x, y) => x & y })),
+      str2("mac_or")((a, b) =>
+        renderMac(parseMac(a, eight = false).zip(parseMac(b, eight = false))
+          .map { case (x, y) => x | y })),
+      str1("macaddr8_set7bit") { s =>
         val b = parseMac(s, eight = true)
         b(0) |= 0x02
         renderMac(b)
       })
-    bin("inet_le")((a, b) => cmp(a, b) <= 0)
-    bin("inet_gt")((a, b) => cmp(a, b) > 0)
-    bin("inet_ge")((a, b) => cmp(a, b) >= 0)
+  }
+
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    defs.foreach { case (name, out, arity, impl) =>
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(ident))
+        reg.registerFunction(ident,
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[InetFn].getName, name),
+          args => {
+            require(args.length == arity,
+              s"$name requires exactly $arity arguments, got ${args.length}")
+            InetFn(name, args, out, arity)(impl)
+          })
+    }
   }
 }
