@@ -121,6 +121,7 @@ object Handlers {
           NotifyBus.publish(session.connId, channelName(toks(1)), payload)
         }
         Complete("NOTIFY")
+      case "EXPLAIN" => handleExplain(spark, session, sql)
       case "CREATE" if second == "TYPE" => handleCreateType(spark, toks)
       case "DROP" if second == "TYPE" => handleDropType(spark, toks)
       case "CREATE" if second == "SEQUENCE" ||
@@ -179,6 +180,95 @@ object Handlers {
         head, second)
     }
   }
+
+  /** pg `EXPLAIN [(options)] stmt` / `EXPLAIN [ANALYZE] [VERBOSE] stmt`
+    * (pg §SQL-EXPLAIN). Renders Spark's plan for the rewritten inner
+    * statement under pg's one-column `QUERY PLAN` shape so psql's
+    * `EXPLAIN` muscle memory works: plain → the planned physical tree
+    * (`simple` explain mode; VERBOSE → `extended` with the
+    * logical/optimized trees, pg's closest analogue); ANALYZE →
+    * executes the plan via `toRdd.count()` (the un-pruned execution,
+    * unlike a `df.count()` which would let Catalyst drop every
+    * column) and appends pg-style `Planning Time` / `Execution Time`
+    * summary lines plus the AQE-final executed plan.
+    *
+    * Scope guard: only row-returning heads (SELECT/WITH/VALUES/TABLE)
+    * are explainable — `spark.sql` on DML executes EAGERLY, so
+    * `EXPLAIN INSERT ...` would write rows while pg's contract is
+    * plan-only; those raise 0A000 honestly. Boolean-valued options
+    * are parsed (COSTS/TIMING/... accepted as advisory no-ops, pg
+    * defaults); only FORMAT TEXT is supported.
+    */
+  private[pgwire] def handleExplain(spark: SparkSession, session: Session,
+      sql: String): PgResult = {
+    val m = explainRe.findFirstMatchIn(sql).getOrElse(
+      throw PgException("42601", "syntax error at or near \"EXPLAIN\""))
+    val optText = Option(m.group(1))
+    var rest = m.group(2).trim.stripSuffix(";").trim
+    var analyze = false
+    var verbose = false
+    optText match {
+      case None =>
+        var going = true
+        while (going) {
+          val up = rest.toUpperCase
+          if (up.startsWith("ANALYZE") && (up.length == 7 || !up.charAt(7).isLetter)) {
+            analyze = true; rest = rest.substring(7).trim
+          } else if (up.startsWith("VERBOSE") && (up.length == 7 || !up.charAt(7).isLetter)) {
+            verbose = true; rest = rest.substring(7).trim
+          } else going = false
+        }
+      case Some(os) =>
+        os.split(",").map(_.trim).filter(_.nonEmpty).foreach { o =>
+          val parts = o.split("\\s+")
+          val value = if (parts.length > 1) parts.drop(1).mkString(" ") else "on"
+          val on = !Set("off", "false", "0").contains(value.toLowerCase)
+          parts(0).toUpperCase match {
+            case "ANALYZE" => analyze = on
+            case "VERBOSE" => verbose = on
+            case "FORMAT" =>
+              if (!value.equalsIgnoreCase("text"))
+                throw PgException("0A000",
+                  s"EXPLAIN FORMAT ${value.toLowerCase} is not supported (text only)")
+            case "COSTS" | "SETTINGS" | "BUFFERS" | "WAL" | "TIMING" |
+                 "SUMMARY" | "GENERIC_PLAN" | "MEMORY" | "SERIALIZE" => ()
+            case _ => throw PgException("42601",
+              s"""unrecognized EXPLAIN option "${parts(0).toLowerCase}"""")
+          }
+        }
+    }
+    if (rest.isEmpty)
+      throw PgException("42601", "syntax error at end of input")
+    val innerHead = rest.split("[\\s(]+", 2).headOption.getOrElse("").toUpperCase
+    if (!Set("SELECT", "WITH", "VALUES", "TABLE").contains(innerHead))
+      throw PgException("0A000",
+        s"EXPLAIN of ${innerHead.toLowerCase} statements is not supported (plan-only semantics; Spark would execute the DML eagerly)")
+    val t0 = System.nanoTime()
+    val df = runSql(spark,
+      substituteSeqFns(spark, session, substituteGucFns(session, rest)))
+    val qe = df.queryExecution
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (analyze) {
+      val planned = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      val n = qe.toRdd.count()
+      val exec = (System.nanoTime() - t1) / 1e6
+      lines ++= qe.executedPlan.toString.linesIterator
+      lines += ""
+      lines += f"Planning Time: $planned%.3f ms"
+      lines += f"Execution Time: $exec%.3f ms"
+      lines += s"Rows: $n"
+    } else {
+      val mode = if (verbose) "extended" else "simple"
+      lines ++= qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode)).linesIterator
+    }
+    RowSet(StructType(Seq(StructField("QUERY PLAN", StringType))),
+      lines.iterator.map(l => Row(l)), _ => "EXPLAIN")
+  }
+
+  private val explainRe =
+    "(?is)^\\s*EXPLAIN\\s+(?:\\(([^)]*)\\)\\s*)?(.*)$".r
 
   private val pgNotifyRe =
     "(?is)^SELECT\\s+pg_notify\\(\\s*'([^']*)'\\s*,\\s*'((?:[^']|'')*)'\\s*\\)\\s*(?:AS\\s+\\w+\\s*)?;?$".r

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import graft.pgwire.{Handlers, PgCatalog, PgException, PgFunctions, RowSet, Session}
+
+/** pg EXPLAIN grammar over the handler path: option parsing, the
+  * QUERY PLAN row shape, ANALYZE's execute-then-summarize contract,
+  * and the honest 0A000 guards (DML, non-text formats).
+  */
+class ExplainSpec extends SparkSpec with BeforeAndAfterAll {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    import spark.implicits._
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("expl_t")
+    PgCatalog.registerAll(spark)
+    PgFunctions.registerAll(spark)
+  }
+
+  private def rows(sql: String): (Seq[String], String) = {
+    val session = new Session(1, "postgres", "postgres")
+    Handlers.execute(spark, session, sql) match {
+      case RowSet(schema, it, tagFor, _) =>
+        assert(schema.fields.map(_.name).toSeq === Seq("QUERY PLAN"))
+        val out = it.map(_.getString(0)).toVector
+        (out, tagFor(out.size))
+      case other => fail(s"expected RowSet, got $other")
+    }
+  }
+
+  test("plain EXPLAIN renders the physical plan, tag EXPLAIN") {
+    val (plan, tag) = rows("EXPLAIN SELECT id FROM expl_t WHERE id > 10 ORDER BY id")
+    assert(tag === "EXPLAIN")
+    val text = plan.mkString("\n")
+    assert(text.contains("Physical Plan"))
+    assert(text.toLowerCase.contains("sort"))
+  }
+
+  test("EXPLAIN VERBOSE adds the logical/optimized trees") {
+    val (plan, _) = rows("EXPLAIN VERBOSE SELECT count(*) FROM expl_t")
+    val text = plan.mkString("\n")
+    assert(text.contains("Parsed Logical Plan") || text.contains("Analyzed Logical Plan"))
+    assert(text.contains("Physical Plan"))
+  }
+
+  test("EXPLAIN ANALYZE executes and appends pg-style summary lines") {
+    val (plan, _) = rows("EXPLAIN ANALYZE SELECT v FROM expl_t WHERE id % 2 = 0")
+    val text = plan.mkString("\n")
+    assert(text.contains("Planning Time:"))
+    assert(text.contains("Execution Time:"))
+    assert(text.contains("Rows: 25"))
+  }
+
+  test("parenthesized option list: ANALYZE off/on, advisory options accepted") {
+    val (p1, _) = rows("EXPLAIN (ANALYZE false, COSTS OFF) SELECT 1 AS x")
+    assert(!p1.mkString("\n").contains("Execution Time:"))
+    val (p2, _) = rows("EXPLAIN (ANALYZE, TIMING, FORMAT TEXT) SELECT 1 AS x")
+    assert(p2.mkString("\n").contains("Execution Time:"))
+  }
+
+  test("FORMAT JSON raises 0A000; unknown option raises 42601") {
+    val e1 = intercept[PgException](rows("EXPLAIN (FORMAT JSON) SELECT 1"))
+    assert(e1.code === "0A000")
+    val e2 = intercept[PgException](rows("EXPLAIN (FRABJOUS) SELECT 1"))
+    assert(e2.code === "42601")
+  }
+
+  test("EXPLAIN of DML raises 0A000 without executing") {
+    val before = spark.table("expl_t").count()
+    val e = intercept[PgException](
+      rows("EXPLAIN INSERT INTO expl_t VALUES (999, 'boom')"))
+    assert(e.code === "0A000")
+    assert(spark.table("expl_t").count() === before)
+  }
+
+  test("EXPLAIN over a pg-dialect query runs the compat rewrite first") {
+    val (plan, _) = rows(
+      "EXPLAIN SELECT '10.1.2.5/24'::inet << '10.0.0.0/8'::cidr AS contained")
+    assert(plan.mkString("\n").contains("Physical Plan"))
+  }
+}

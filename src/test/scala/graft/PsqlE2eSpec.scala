@@ -70,6 +70,21 @@ class PsqlE2eSpec extends SparkSpec {
     }
   }
 
+  test("psql: EXPLAIN and EXPLAIN ANALYZE render QUERY PLAN rows") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psql(port,
+        "EXPLAIN SELECT n_name FROM nation WHERE n_nationkey > 5 ORDER BY n_name")
+      assert(c1 === 0, e1)
+      assert(o1.contains("Physical Plan"), o1)
+      val (c2, o2, e2) = psql(port,
+        "EXPLAIN (ANALYZE, COSTS OFF) SELECT count(*) FROM nation")
+      assert(c2 === 0, e2)
+      assert(o2.contains("Execution Time:"), o2)
+      assert(o2.contains("Rows: 1"), o2)
+    }
+  }
+
   test("psql: real queries — join, agg, regex op, jsonpath op") {
     assume(psqlPath.nonEmpty, "no psql binary installed")
     withServer { port =>
