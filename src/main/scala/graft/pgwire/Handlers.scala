@@ -80,14 +80,52 @@ object Handlers {
     head match {
       case "BEGIN" | "START" =>
         session.txn = session.InTxn
+        session.savepoints.clear()
         Complete("BEGIN")
       case "COMMIT" | "END" =>
         val wasFailed = session.txn == session.Failed
         session.txn = session.Idle
+        session.savepoints.clear()
         Complete(if (wasFailed) "ROLLBACK" else "COMMIT")
-      case "ROLLBACK" | "ABORT" =>
+      case "ROLLBACK" | "ABORT"
+          if !toks.exists(_.isWord("TO")) =>
         session.txn = session.Idle
+        session.savepoints.clear()
         Complete("ROLLBACK")
+      case "ROLLBACK" =>
+        // ROLLBACK [WORK|TRANSACTION] TO [SAVEPOINT] name — recovers a
+        // Failed transaction (the 25P01 guard above lets ROLLBACK
+        // through; pg's exact behavior, SavepointSpec pins it live)
+        handleRollbackTo(session, toks)
+      case "SAVEPOINT" =>
+        if (session.txn != session.InTxn)
+          throw PgException("25P01",
+            "SAVEPOINT can only be used in transaction blocks")
+        if (toks.length < 2)
+          throw PgException("42601", "syntax error at end of input")
+        session.savepoints += savepointName(toks(1))
+        Complete("SAVEPOINT")
+      case "RELEASE" =>
+        if (session.txn != session.InTxn)
+          throw PgException("25P01",
+            "RELEASE SAVEPOINT can only be used in transaction blocks")
+        val nameTok =
+          if (second == "SAVEPOINT") {
+            if (toks.length < 3)
+              throw PgException("42601", "syntax error at end of input")
+            toks(2)
+          } else {
+            if (toks.length < 2)
+              throw PgException("42601", "syntax error at end of input")
+            toks(1)
+          }
+        val name = savepointName(nameTok)
+        val idx = session.savepoints.lastIndexOf(name)
+        if (idx < 0)
+          throw PgException("3B001", s"""savepoint "$name" does not exist""")
+        // RELEASE pops the named savepoint AND everything after it
+        session.savepoints.remove(idx, session.savepoints.length - idx)
+        Complete("RELEASE")
       case "SET" if second != "" => handleSet(spark, session, toks)
       case "RESET" => Complete("RESET")
       case "SHOW" if !sparkShowKeywords.contains(second) =>
@@ -278,6 +316,31 @@ object Handlers {
   private def channelName(t: Compat.Tok): String =
     if (t.kind == Compat.QIdent) t.text.substring(1, t.text.length - 1)
     else t.text.toLowerCase
+
+  /** Savepoint names follow the same identifier rules. */
+  private def savepointName(t: Compat.Tok): String = channelName(t)
+
+  /** `ROLLBACK [WORK|TRANSACTION] TO [SAVEPOINT] name`: pops the
+    * savepoints AFTER the named one (the savepoint itself survives —
+    * pg allows rolling back to it repeatedly) and clears a Failed
+    * transaction back to InTxn. Outside a block → pg's 25P01. */
+  private def handleRollbackTo(session: Session, toks: Vector[Compat.Tok]): PgResult = {
+    if (session.txn == session.Idle)
+      throw PgException("25P01",
+        "ROLLBACK TO SAVEPOINT can only be used in transaction blocks")
+    val toIdx = toks.indexWhere(_.isWord("TO"))
+    var nameIdx = toIdx + 1
+    if (nameIdx < toks.length && toks(nameIdx).isWord("SAVEPOINT")) nameIdx += 1
+    if (nameIdx >= toks.length)
+      throw PgException("42601", "syntax error at end of input")
+    val name = savepointName(toks(nameIdx))
+    val idx = session.savepoints.lastIndexOf(name)
+    if (idx < 0)
+      throw PgException("3B001", s"""savepoint "$name" does not exist""")
+    session.savepoints.remove(idx + 1, session.savepoints.length - (idx + 1))
+    session.txn = session.InTxn
+    Complete("ROLLBACK")
+  }
 
   /** Session-aware `current_setting('k'[, missing_ok])` and
     * `set_config('k', 'v', is_local)` for LITERAL-argument call shapes

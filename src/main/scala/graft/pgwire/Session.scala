@@ -93,6 +93,14 @@ final class Session(val connId: Int, val user: String, val database: String) {
 
   var txn: TxnState = Idle
 
+  /** Savepoint name stack (most recent last). Tag-only like the
+    * transaction model itself: RELEASE pops the named entry and
+    * everything after it, ROLLBACK TO pops everything AFTER the named
+    * entry and clears a Failed state — the behavior ORMs rely on to
+    * recover from an error inside a transaction block. Live-pg-pinned
+    * in SavepointSpec. */
+  val savepoints: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
   def txnStatusByte: Char = txn match {
     case Idle => 'I'
     case InTxn => 'T'

@@ -70,6 +70,28 @@ class PsqlE2eSpec extends SparkSpec {
     }
   }
 
+  test("psql: savepoint recovery inside a failed transaction") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      // one statement per line → one wire message each (a single -c
+      // batch would abort at the error, exactly like pg's simple
+      // protocol); ON_ERROR_STOP off so the script continues past the
+      // deliberate failure
+      val (c1, o1, e1) = psqlScript(port,
+        """\set ON_ERROR_STOP 0
+          |BEGIN;
+          |SAVEPOINT sp1;
+          |SELECT no_such_col FROM nation;
+          |ROLLBACK TO sp1;
+          |SELECT 42 AS recovered;
+          |COMMIT;
+          |""".stripMargin)
+      assert(c1 === 0, s"out=$o1 err=$e1")
+      assert(o1.contains("42"), o1)
+      assert(e1.toLowerCase.contains("error"), "the bad SELECT must error")
+    }
+  }
+
   test("psql: EXPLAIN and EXPLAIN ANALYZE render QUERY PLAN rows") {
     assume(psqlPath.nonEmpty, "no psql binary installed")
     withServer { port =>
