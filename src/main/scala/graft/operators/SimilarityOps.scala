@@ -214,6 +214,61 @@ object SimilarityOps extends Serializable {
     embs.select(col(idCol).as("vec_id"), cluster.as("cluster"), dot.as("dot"))
   }
 
+  /** Semantic deduplication (the SemDeDup shape: arXiv:2303.09540's
+    * cluster-then-dedup-within-cluster, re-expressed Spark-first):
+    * assign every vector to its nearest coarse centroid (map-side, the
+    * [[ivfAssign]] argmax), then inside each cluster mark a document
+    * as a duplicate if some SMALLER-id member sits within the cosine
+    * threshold — the greedy keep-first policy, made deterministic by
+    * the id order.
+    *
+    * The threshold compares EXACTLY in integer arithmetic: for
+    * τ² = num/den, `cos(a,b) ≥ τ  ⟺  dot > 0 ∧ den·dot² ≥ num·|a|²·|b|²`
+    * over the quantized vectors, evaluated in decimal(38,0) (dot ≤
+    * ~6.4e9 for 64-dim unit vectors, so den·dot² ≤ ~1e23 — exact, and
+    * identical in any engine; the DuckDB oracle runs the same
+    * inequality in HUGEINT).
+    *
+    * Scale shape: assignment never shuffles; the pair stage is ONE
+    * shuffle of (id, cluster, qv) on the cluster key, and candidate
+    * pairs stream through the join→filter→min aggregation without
+    * materializing (the per-cluster n²/k dot products are the
+    * algorithm's intrinsic cost — SemDeDup scales k with corpus size
+    * precisely so clusters stay bounded; the centroid count is the
+    * caller's knob, same contract as [[ivfAssign]]).
+    *
+    * Output: (vec_id, cluster, dup_of, keep) — dup_of = smallest
+    * same-cluster id within τ (NULL ⟺ keep).
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long], tau2Num: Long, tau2Den: Long): DataFrame = {
+    graft.functions.VectorExpressions.install(embs.sparkSession)
+    val cents = collectCentroids(embs, idCol, vecCol, centroidIds)
+    val qv = quantize(col(vecCol))
+    val (cluster, _) = nearestCentroid(cents, qv)
+    val assigned = embs.select(col(idCol).cast("long").as("vec_id"),
+        cluster.as("cluster"), qv.as("qv"))
+      .withColumn("nrm", qnorm2(col("qv")))
+    val lhs = assigned.select(col("vec_id").as("ida"), col("cluster"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val rhs = assigned.select(col("vec_id").as("idb"), col("cluster"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val dec = "decimal(38,0)"
+    val d = qdot(col("qa"), col("qb")).cast(dec)
+    val dupOf = lhs.join(rhs, Seq("cluster"))
+      .filter(col("ida") > col("idb"))
+      .withColumn("d", d)
+      .filter(col("d") > 0 &&
+        lit(tau2Den).cast(dec) * col("d") * col("d") >=
+          lit(tau2Num).cast(dec) * col("na").cast(dec) * col("nb").cast(dec))
+      .groupBy(col("ida").as("vec_id"))
+      .agg(min(col("idb")).as("dup_of"))
+    assigned.select("vec_id", "cluster")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** IVF probed top-k: score the query against the k centroids on the
     * driver, keep the `nprobe` nearest inverted lists, and run the
     * exact top-k only over vectors assigned to those lists.

@@ -47,6 +47,30 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // --- semantic dedup (SemDeDup shape): nearest-centroid clusters,
+    // within-cluster cosine >= 0.35 against any smaller id marks a
+    // duplicate (keep-first). tau^2 = 49/400 compares exactly in
+    // integer arithmetic on both engines (HUGEINT / decimal(38,0)).
+    Q.df("q131_semantic_dedup",
+      s"""WITH $ivfBase,
+         |asg AS (SELECT b.vec_id, b.cid, e.qv,
+         |    CAST(list_dot_product(e.qv, e.qv) AS HUGEINT) AS nrm
+         |  FROM best b JOIN e ON e.vec_id = b.vec_id WHERE b.rn = 1),
+         |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) AS d,
+         |    a.nrm AS na, b.nrm AS nb
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id > b.vec_id),
+         |dup AS (SELECT ida AS vec_id, MIN(idb) AS dup_of FROM p
+         |  WHERE d > 0 AND 400*d*d >= 49*na*nb GROUP BY ida)
+         |SELECT asg.vec_id, asg.cid AS cluster, dup.dup_of,
+         |  (dup.dup_of IS NULL) AS keep
+         |FROM asg LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      SimilarityOps.semanticDedup(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfCents, tau2Num = 49, tau2Den = 400)
+        .transform(Q.oracleOrder(_, "vec_id"))
+    },
+
     // --- IVF probed top-k: nprobe=2 inverted lists, exact rerank
     Q.df("q55_ivf_topk",
       s"""WITH $ivfBase,

@@ -148,6 +148,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === ((1L, Seq(0, 0, 0), 0L, 0L)))
   }
 
+  test("semanticDedup: keep-first within clusters, cross-cluster twins untouched") {
+    // centroids 0 (x-ish) and 2 (z-ish): 1 and 3 land in 0's cluster
+    // (3 is ANTI-parallel: dot<0 -> never a duplicate); 4 is a near
+    // twin of 1 in the same cluster -> dropped against min id 0;
+    // 5 is a twin of 2 in the OTHER cluster -> dropped against 2,
+    // not against anything in cluster 0
+    val docs = Seq(
+      (0L, Array(1.0f, 0.5f, 0.0f, 0.1f)),
+      (1L, Array(0.9f, 0.45f, 0.0f, 0.09f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, -0.5f, 0.0f, -0.1f)),
+      (4L, Array(0.95f, 0.47f, 0.0f, 0.1f)),
+      (5L, Array(0.0f, 0.01f, 0.99f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // tau^2 = 81/100 (cos >= 0.9)
+    val got = SimilarityOps.semanticDedup(docs, "vec_id", "embedding",
+      Seq(0L, 2L), tau2Num = 81, tau2Den = 100)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), r.getBoolean(3))))
+      .toMap
+    assert(got(0L) === ((0L, None, true)))            // min id keeps
+    assert(got(1L) === ((0L, Some(0L), false)))       // dup of 0
+    assert(got(4L) === ((0L, Some(0L), false)))       // dup of 0, not 1
+    assert(got(3L)._3 === true)                       // anti-parallel survives
+    assert(got(2L) === ((2L, None, true)))
+    assert(got(5L) === ((2L, Some(2L), false)))       // same-cluster only
+  }
+
   test("typed int8 quantization is bit-identical to the expression form") {
     val embs = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     def key(r: org.apache.spark.sql.Row) =
