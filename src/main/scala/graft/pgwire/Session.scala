@@ -25,6 +25,8 @@ final class Session(val connId: Int, val user: String, val database: String) {
     "bytea_output" -> "hex",
     "extra_float_digits" -> "1",
     "timezone" -> "UTC",
+    // pg's NAMEDATALEN-1, read by ActiveRecord's adapter at connect
+    "max_identifier_length" -> "63",
     "client_encoding" -> "UTF8")
 
   /** statement_timeout in millis; 0 = none. */

@@ -232,11 +232,52 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     """SELECT s_p.nspname AS parentschema, t_p.relname AS parenttable
       |FROM pg_catalog.pg_constraint fk""".stripMargin)
 
+  /** ORM-driver connection/bootstrap statements from public driver
+    * sources: SQLAlchemy's pg dialect (version/schema probes,
+    * has_table, get_table_names), psycopg2's hstore registration
+    * probe, and ActiveRecord's pg adapter (time zone / identifier
+    * length GUCs, data_sources listing, type preload). */
+  private val ormQueries = Seq(
+    // SQLAlchemy dialect initialization
+    "select pg_catalog.version()",
+    "select current_schema()",
+    "show standard_conforming_strings",
+    // SQLAlchemy has_table
+    """SELECT 1 FROM pg_catalog.pg_class c
+      |JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+      |WHERE pg_catalog.pg_table_is_visible(c.oid)
+      |  AND c.relname = 'tt' AND c.relkind in ('r', 'p', 'f', 'v', 'm')""".stripMargin,
+    // SQLAlchemy get_table_names
+    """SELECT c.relname FROM pg_catalog.pg_class c
+      |JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+      |WHERE n.nspname = 'public' AND c.relkind in ('r', 'p')""".stripMargin,
+    // psycopg2 register_hstore probe (no hstore here: must return 0
+    // rows cleanly, not error)
+    """SELECT t.oid, typarray FROM pg_type t
+      |JOIN pg_namespace ns ON typnamespace = ns.oid
+      |WHERE typname = 'hstore'""".stripMargin,
+    // ActiveRecord pg adapter session setup + schema reflection
+    "SHOW TIME ZONE",
+    "SHOW max_identifier_length",
+    "SELECT current_database()",
+    """SELECT c.relname FROM pg_class c
+      |LEFT JOIN pg_namespace n ON n.oid = c.relnamespace
+      |WHERE n.nspname = ANY (current_schemas(false))
+      |  AND c.relkind IN ('r','v','m','p','f')""".stripMargin,
+    // ActiveRecord OID type preload
+    """SELECT t.oid, t.typname FROM pg_type as t
+      |WHERE t.typname IN ('int2', 'int4', 'int8', 'oid', 'float4', 'float8', 'bool')""".stripMargin,
+    """SELECT t.oid, t.typname, t.typelem, t.typdelim, t.typinput
+      |FROM pg_type as t WHERE t.typname IN ('numeric', 'text', 'varchar', 'char', 'date', 'timestamp')""".stripMargin)
+
   test("psql \\d corpus runs clean") { psqlQueries.foreach(run) }
   test("dbeaver startup corpus runs clean") { dbeaverQueries.foreach(run) }
   test("metabase startup corpus runs clean") { metabaseQueries.foreach(run) }
   test("grafana corpus runs clean") { grafanaQueries.foreach(run) }
   test("pgcli corpus runs clean") { pgcliQueries.foreach(run) }
+  test("ORM bootstrap corpus (SQLAlchemy/psycopg2/ActiveRecord) runs clean") {
+    ormQueries.foreach(run)
+  }
 
   test("psql \\df returns the registered function pack from pg_proc") {
     import graft.pgwire.RowSet
