@@ -147,6 +147,65 @@ object TextAnalysisOps extends Serializable {
     docs.filter(bucket < pct)
   }
 
+  /** Temperature resampling to a target source mixture — the
+    * pretraining-data recipe step: per-group sampling weight
+    * ∝ count^α (α < 1 flattens a skewed source distribution; α = 1 is
+    * proportional, α = 0 uniform), then each group is EXACTLY
+    * down-/up-sampled to its target count. Upsampling emits whole-epoch
+    * repeats plus one partial epoch (rep = 0..reps-1 marks the epoch),
+    * which is precisely how small high-quality sources are repeated in
+    * published data recipes.
+    *
+    * Deterministic and cross-engine exact:
+    *  - per-group ranks order by (md5(id), id) — content-stable, no
+    *    RNG, identical in any engine (same convention as
+    *    [[stratifiedSample]]);
+    *  - the target arithmetic `floor(total · n^α / Σ n^α)` runs in
+    *    IEEE double with the weight sum accumulated in SORTED group
+    *    order on both sides (addition-order-fixed, so the DuckDB
+    *    oracle reproduces the floor exactly);
+    *  - the group census is a driver-side collect of ONE row per
+    *    group (source cardinality, not data — the centroid-collect
+    *    bound class).
+    *
+    * Scale note: the exact-count contract needs a per-group rank (one
+    * sort per group). At 100 TB the standard relaxation is hash-
+    * threshold Bernoulli sampling at rate target/n per group —
+    * [[stratifiedSample]] is exactly that operator; this one is the
+    * exact-census variant for bounded group counts.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
+      alpha: Double = 0.5, targetTotal: Option[Long] = None): DataFrame = {
+    require(alpha >= 0.0, "alpha must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = targetTotal.getOrElse(counts.map(_._2).sum).toDouble
+    // sorted-order left fold — the oracle's sum(... ORDER BY grp)
+    val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.pow(n.toDouble, alpha)
+    }
+    val targets = counts.map { case (g, n) =>
+      (g, n, math.floor(total * math.pow(n.toDouble, alpha) / sumW).toLong)
+    }
+    val tdf = broadcast(targets.toSeq.toDF("grp", "__n", "__target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    docs.select(col(idCol).as("__id"), col(groupCol).cast("string").as("grp"))
+      .withColumn("__rk", row_number().over(w))
+      .join(tdf, Seq("grp"))
+      .withColumn("__reps",
+        expr("__target div __n") +
+          when(col("__rk") <= expr("__target % __n"), 1L).otherwise(0L))
+      .select(col("__id").as(idCol), col("grp").as(groupCol),
+        explode(when(col("__reps") > 0,
+          sequence(lit(0L), col("__reps") - 1)).otherwise(array())).as("rep"))
+  }
+
   /** ALL word n-grams of a text column (NOT distinct — frequency
     * counting needs multiplicity; `DedupOps.wordShingles` is the
     * deduplicated view of this same walk). Texts shorter than n

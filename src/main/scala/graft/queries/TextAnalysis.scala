@@ -109,6 +109,36 @@ object TextAnalysis {
         .select("doc_id", "lang").transform(Q.oracleOrder(_, "doc_id"))
     },
 
+    // --- temperature resampling to a sqrt-flattened source mixture
+    // (the pretraining data-recipe step): per-lang target =
+    // floor(total * sqrt(n) / sum(sqrt(n))), each lang exactly down-
+    // or up-sampled to it by (md5, id) hash-rank; `rep` marks whole-
+    // epoch repeats of small sources. The weight sum accumulates in
+    // SORTED lang order on both engines, so the IEEE floor agrees
+    // bit-for-bit.
+    Q.df("q132_mixture_sample",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+        |               sum(pow(CAST(n AS DOUBLE), 0.5) ORDER BY lang) AS sw FROM c),
+        |tgt AS (SELECT lang, n,
+        |    CAST(floor((t * pow(CAST(n AS DOUBLE), 0.5)) / sw) AS BIGINT) AS target
+        |  FROM c CROSS JOIN tot),
+        |ranked AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |reps AS (SELECT r.doc_id, r.lang,
+        |    (t.target // t.n) +
+        |      CASE WHEN r.rk <= (t.target % t.n) THEN 1 ELSE 0 END AS nrep
+        |  FROM ranked r JOIN tgt t USING (lang))
+        |SELECT doc_id, lang, CAST(unnest(range(nrep)) AS BIGINT) AS rep
+        |FROM reps
+        |ORDER BY lang, doc_id, rep""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.mixtureSample(Tables.t(s, dir, "documents"),
+          "doc_id", "lang", alpha = 0.5)
+        .transform(Q.oracleOrderC(_, col("lang"), col("doc_id"), col("rep")))
+    },
+
     // --- top-20 word bigrams with counts (vocabulary induction)
     Q.df("q66_top_ngrams",
       """WITH toksrc AS (

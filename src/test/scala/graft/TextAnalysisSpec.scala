@@ -198,6 +198,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === (("de", 600L, 0L, 0L)))
   }
 
+  test("mixtureSample: exact per-group targets, epoch repeats, determinism") {
+    // skewed corpus: 'big' 8 docs, 'small' 2 docs; alpha=0.5 targets
+    // (total 10): sqrt weights 2.828/1.414, sw=4.243 ->
+    // big floor(10*2.828/4.243)=6 (downsample), small
+    // floor(10*1.414/4.243)=3 (upsample: one full epoch + 1 repeat)
+    val docs = ((1L to 8L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small")))
+      .toDF("doc_id", "lang")
+    val got = TextAnalysisOps.mixtureSample(docs, "doc_id", "lang", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = got.groupBy(_._2)
+    assert(byLang("big").length === 6)
+    assert(byLang("small").length === 3)
+    // big is a subset (no repeats) of distinct ids; small repeats one
+    assert(byLang("big").forall(_._3 == 0L))
+    assert(byLang("small").count(_._3 == 0L) === 2)
+    assert(byLang("small").count(_._3 == 1L) === 1)
+    // deterministic: second run identical
+    val again = TextAnalysisOps.mixtureSample(docs, "doc_id", "lang", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // alpha=1 is proportional: targets = counts exactly, zero repeats
+    val prop = TextAnalysisOps.mixtureSample(docs, "doc_id", "lang", alpha = 1.0)
+      .collect()
+    assert(prop.length === 10 && prop.forall(_.getLong(2) == 0L))
+  }
+
   test("urlDomainStats strips scheme/www/path and counts docs vs mentions") {
     val docs = Seq(
       (1L, "see https://www.example.com/a/b and http://example.com/c"),
