@@ -58,16 +58,28 @@ object Inet extends Serializable {
   private def netmaskLenFromClass(addr: String): Int = 32
 
   private def parseV4(s: String, raw: String): BigInteger = {
-    val parts = s.split("\\.", -1)
-    if (parts.length != 4 || parts.exists(p => p.isEmpty || !p.forall(_.isDigit)))
-      badInet(raw)
-    var v = BigInteger.ZERO
-    parts.foreach { p =>
-      val o = p.toInt
-      if (o > 255) badInet(raw)
-      v = v.shiftLeft(8).or(BigInteger.valueOf(o.toLong))
+    // single-allocation fast path: accumulate in a long, one scan, no
+    // split array (per-row hot path — see maskOf's note)
+    var v = 0L
+    var octets = 0
+    var cur = -1
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '.') {
+        if (cur < 0 || octets >= 3) badInet(raw)
+        v = (v << 8) | cur
+        octets += 1
+        cur = -1
+      } else if (c >= '0' && c <= '9') {
+        cur = (if (cur < 0) 0 else cur) * 10 + (c - '0')
+        if (cur > 255) badInet(raw)
+      } else badInet(raw)
+      i += 1
     }
-    v
+    if (cur < 0 || octets != 3) badInet(raw)
+    BigInteger.valueOf((v << 8) | cur)
   }
 
   private def parseV6(s: String, raw: String): BigInteger = {
@@ -157,24 +169,36 @@ object Inet extends Serializable {
 
   // ---- accessors / transforms ---------------------------------------------
 
-  private def maskOf(ip: Ip): BigInteger = {
-    val all = BigInteger.ONE.shiftLeft(ip.bits).subtract(BigInteger.ONE)
-    all.shiftRight(ip.masklen).xor(all) // high masklen bits set
-  }
+  // Precomputed per (bits, masklen) constants: the transform family
+  // runs per ROW in q128's hot projection, and re-deriving each mask
+  // cost 4 BigInteger allocations per call — the dominant young-gen
+  // churn behind that query's transient GC-pause spikes.
+  private val allOnes: Array[BigInteger] = Array(
+    BigInteger.ONE.shiftLeft(32).subtract(BigInteger.ONE),
+    BigInteger.ONE.shiftLeft(128).subtract(BigInteger.ONE))
+  private def allOf(bits: Int): BigInteger = if (bits == 32) allOnes(0) else allOnes(1)
+  private val masks32: Array[BigInteger] =
+    Array.tabulate(33)(l => allOnes(0).shiftRight(l).xor(allOnes(0)))
+  private val masks128: Array[BigInteger] =
+    Array.tabulate(129)(l => allOnes(1).shiftRight(l).xor(allOnes(1)))
+  private def maskOf(ip: Ip): BigInteger =
+    if (ip.bits == 32) masks32(ip.masklen) else masks128(ip.masklen)
+  private val hostMasks32: Array[BigInteger] =
+    Array.tabulate(33)(l => masks32(l).xor(allOnes(0)))
+  private val hostMasks128: Array[BigInteger] =
+    Array.tabulate(129)(l => masks128(l).xor(allOnes(1)))
+  private def hostMaskOf(ip: Ip): BigInteger =
+    if (ip.bits == 32) hostMasks32(ip.masklen) else hostMasks128(ip.masklen)
 
   def network(ip: Ip): Ip = ip.copy(addr = ip.addr.and(maskOf(ip)))
 
-  def broadcast(ip: Ip): Ip = {
-    val all = BigInteger.ONE.shiftLeft(ip.bits).subtract(BigInteger.ONE)
-    ip.copy(addr = ip.addr.or(maskOf(ip).xor(all)))
-  }
+  def broadcast(ip: Ip): Ip =
+    ip.copy(addr = ip.addr.or(hostMaskOf(ip)))
 
   def netmask(ip: Ip): Ip = Ip(ip.family, maskOf(ip), ip.bits, cidr = false)
 
-  def hostmask(ip: Ip): Ip = {
-    val all = BigInteger.ONE.shiftLeft(ip.bits).subtract(BigInteger.ONE)
-    Ip(ip.family, maskOf(ip).xor(all), ip.bits, cidr = false)
-  }
+  def hostmask(ip: Ip): Ip =
+    Ip(ip.family, hostMaskOf(ip), ip.bits, cidr = false)
 
   def setMasklen(ip: Ip, len: Int): Ip = {
     if (len > ip.bits) throw PgException("22023",
@@ -188,17 +212,15 @@ object Inet extends Serializable {
       throw PgException("22023", "cannot merge addresses from different families")
     // longest common prefix of the two NETWORKS
     var len = math.min(a.masklen, b.masklen)
-    def netAt(ip: Ip, l: Int): BigInteger = {
-      val all = BigInteger.ONE.shiftLeft(ip.bits).subtract(BigInteger.ONE)
-      ip.addr.and(all.shiftRight(l).xor(all))
-    }
+    def netAt(ip: Ip, l: Int): BigInteger =
+      ip.addr.and(if (ip.bits == 32) masks32(l) else masks128(l))
     while (len > 0 && netAt(a, len).compareTo(netAt(b, len)) != 0) len -= 1
     Ip(a.family, netAt(a, len), len, cidr = true)
   }
 
   def add(ip: Ip, n: Long): Ip = {
     val v = ip.addr.add(BigInteger.valueOf(n))
-    val all = BigInteger.ONE.shiftLeft(ip.bits).subtract(BigInteger.ONE)
+    val all = allOf(ip.bits)
     if (v.signum < 0 || v.compareTo(all) > 0)
       throw PgException("22003", "result is out of range")
     ip.copy(addr = v)
