@@ -58,6 +58,17 @@ object Handlers {
       throw PgException("25P01",
         "current transaction is aborted, commands ignored until end of transaction block")
 
+    // unpopulated-matview scan guard (pg raises 55000 on ANY read of a
+    // WITH NO DATA matview until the first REFRESH)
+    if (head != "REFRESH" && head != "DROP") {
+      val unpop = PgMatViews.unpopulated
+      if (unpop.nonEmpty)
+        referencedTables(toks).map(_.toLowerCase).find(unpop.contains).foreach { n =>
+          throw PgException("55000",
+            s"""materialized view "$n" has not been populated""")
+        }
+    }
+
     // pluggable hooks run first; the first Some short-circuits
     // (reference: hooks/mod.rs:22-77, handlers.rs:181-191)
     val hookResult = hooks.view.flatMap(_.handle(spark, session, sql)).headOption
@@ -170,7 +181,18 @@ object Handlers {
       case "ALTER" if second == "SEQUENCE" => handleAlterSequence(sql)
       case "CREATE" if createViewRe.findFirstMatchIn(sql).isDefined =>
         handleCreateView(spark, sql)
+      case "CREATE" if second == "MATERIALIZED" =>
+        handleCreateMatView(spark, sql)
+      case "REFRESH" => handleRefreshMatView(spark, sql)
+      case "DROP" if second == "MATERIALIZED" =>
+        handleDropMatView(spark, sql)
       case "DROP" if second == "VIEW" => handleDropView(spark, sql)
+      case "DROP" if second == "TABLE" &&
+          referencedTables(toks).exists(n =>
+            PgMatViews.lookup(n.toLowerCase).isDefined) =>
+        val n = referencedTables(toks)
+          .find(n => PgMatViews.lookup(n.toLowerCase).isDefined).get
+        throw PgException("42809", s""""${n.toLowerCase}" is not a table""")
       case "CREATE" if second == "TABLE" || second == "TEMP" ||
           second == "TEMPORARY" || second == "UNLOGGED" =>
         pgCreateTable(spark, sql)
@@ -1576,6 +1598,106 @@ object Handlers {
     PgViews.register(name, body)
     PgCatalog.invalidate()
     Complete("CREATE VIEW")
+  }
+
+  /** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] name [(cols)] AS query
+    * [WITH [NO] DATA]` — matviews are PHYSICAL in pg, so the backing
+    * store is a managed parquet table (the same write a 100 TB
+    * refresh performs); the pg-facing definition and the rewritten
+    * body live in [[PgMatViews]] for pg_matviews / relkind 'm' /
+    * REFRESH. Live-pinned tags: `SELECT n` when populated, bare
+    * `CREATE MATERIALIZED VIEW` for WITH NO DATA. */
+  private val createMatViewRe =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(\"[^\"]+\"|[\\w$.]+)\\s*(\\([^)]*\\))?\\s+AS\\s+(.*)$").r
+
+  private def handleCreateMatView(spark: SparkSession, sql0: String): PgResult = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val m = createMatViewRe.findFirstMatchIn(sql).getOrElse(
+      throw PgException("42601", "syntax error in CREATE MATERIALIZED VIEW"))
+    val ifNotExists = m.group(1) != null
+    val name = viewRelName(m.group(2))
+    var body = m.group(4).trim
+    var withData = true
+    val dataTail = "(?is)^(.*?)\\s+WITH\\s+(NO\\s+)?DATA$".r
+    dataTail.findFirstMatchIn(body).foreach { t =>
+      body = t.group(1).trim
+      withData = t.group(2) == null
+    }
+    if (spark.catalog.tableExists(name) || PgViews.lookup(name).isDefined ||
+        scala.util.Try(spark.table(name)).isSuccess) {
+      if (ifNotExists) return Complete("CREATE MATERIALIZED VIEW")
+      throw PgException("42P07", s"""relation "$name" already exists""")
+    }
+    val df = runSql(spark, body)
+    val rewritten = Compat.rewriteTop(body, graft.functions.PgEnums.names(spark))
+    val projected = Option(m.group(3)) match {
+      case Some(colsRaw) =>
+        val cols = splitTopLevelText(
+          colsRaw.trim.stripPrefix("(").stripSuffix(")"), ',')
+          .map(c => unq(c.trim)).filter(_.nonEmpty)
+        if (cols.length != df.schema.fields.length)
+          throw PgException("42601",
+            s"CREATE MATERIALIZED VIEW specifies ${cols.length} column names " +
+              s"but query returns ${df.schema.fields.length} columns")
+        df.toDF(cols: _*)
+      case None => df
+    }
+    spark.catalog.createTable(name, "parquet", projected.schema,
+      Map.empty[String, String])
+    val n = if (withData) {
+      projected.write.mode("append").insertInto(name)
+      outputRowsOf(spark, name)
+    } else 0L
+    PgMatViews.register(name,
+      PgMatViews.MatView(body, rewritten, populated = withData))
+    PgCatalog.invalidate()
+    Complete(if (withData) s"SELECT $n" else "CREATE MATERIALIZED VIEW")
+  }
+
+  private def outputRowsOf(spark: SparkSession, table: String): Long =
+    spark.table(table).count()
+
+  private def handleRefreshMatView(spark: SparkSession, sql0: String): PgResult = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val m = ("(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(?:CONCURRENTLY\\s+)?" +
+      "(\"[^\"]+\"|[\\w$.]+)\\s*$").r.findFirstMatchIn(sql).getOrElse(
+      throw PgException("42601", "syntax error in REFRESH MATERIALIZED VIEW"))
+    val name = viewRelName(m.group(1))
+    val mv = PgMatViews.lookup(name).getOrElse {
+      if (scala.util.Try(spark.table(name)).isSuccess)
+        throw PgException("42809", s""""$name" is not a materialized view""")
+      throw PgException("42P01", s"""relation "$name" does not exist""")
+    }
+    overwriteTable(spark, name, spark.sql(mv.rewritten))
+    PgMatViews.setPopulated(name)
+    PgCatalog.invalidate()
+    Complete("REFRESH MATERIALIZED VIEW")
+  }
+
+  private def handleDropMatView(spark: SparkSession, sql0: String): PgResult = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val m = ("(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?(.+?)" +
+      "\\s*(?:CASCADE|RESTRICT)?$").r.findFirstMatchIn(sql).getOrElse(
+      throw PgException("42601", "syntax error in DROP MATERIALIZED VIEW"))
+    val ifExists = m.group(1) != null
+    val names = splitTopLevelText(m.group(2), ',')
+      .map(_.trim).filter(_.nonEmpty).map(viewRelName)
+    names.foreach { n =>
+      if (PgMatViews.lookup(n).isDefined) {
+        spark.sql(s"DROP TABLE IF EXISTS `${n.replace("`", "``")}`")
+        PgMatViews.drop(n)
+      } else {
+        val isRel = scala.util.Try(spark.table(n)).isSuccess
+        if (isRel)
+          throw PgException("42809", s""""$n" is not a materialized view""")
+        if (!ifExists)
+          throw PgException("42P01",
+            s"""materialized view "$n" does not exist""")
+      }
+    }
+    PgCatalog.invalidate()
+    Complete("DROP MATERIALIZED VIEW")
   }
 
   private def handleDropView(spark: SparkSession, sql0: String): PgResult = {

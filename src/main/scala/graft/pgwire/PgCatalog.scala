@@ -161,14 +161,16 @@ object PgCatalog {
 
   private def pgClass(spark: SparkSession, tables: Seq[(String, StructType)],
       seqNames: Seq[String], indexes: Seq[IndexRow],
-      views: Map[String, String]): DataFrame =
+      views: Map[String, String],
+      matviews: Set[String] = Set.empty): DataFrame =
     mkDf(spark, pgClassSchema, tables.map { case (name, schema) =>
       val isView = views.contains(name)
+      val isMat = matviews.contains(name)
       Row(Oids.of(s"rel:$name"), name, Oids.PublicNamespace, 0, 0, 10,
         if (isView) 0 else 2, 0, 0,
         0, -1.0f, 0, 0,
         indexes.exists(_.table == name), false, "p",
-        if (isView) "v" else "r",
+        if (isMat) "m" else if (isView) "v" else "r",
         schema.fields.length.toShort,
         0.toShort, false, false, false, false, false, true,
         if (isView) "n" else "d", false, 0, 0, 0,
@@ -1142,7 +1144,7 @@ object PgCatalog {
     val seqSnap = PgSequences.snapshot
     val fingerprint = names ++ seqSnap.map("seq:" + _._1) ++
       PgIndexes.names.map("idx:" + _) :+ ("uqv:" + PgConstraints.version) :+
-      ("vw:" + PgViews.version)
+      ("vw:" + PgViews.version) :+ ("mv:" + PgMatViews.version)
     if (fingerprint == lastSnapshot.get(spark)) return
     lastSnapshot.put(spark, fingerprint)
     val tables = names.map(n => n -> spark.table(n).schema)
@@ -1168,17 +1170,32 @@ object PgCatalog {
       StructField("viewowner", StringType), StructField("definition", StringType))),
       viewDefs.toSeq.sortBy(_._1).map { case (n, d) =>
         Row("public", n, "postgres", d) }))
+    val matDefs: Map[String, PgMatViews.MatView] = {
+      val reg = PgMatViews.all
+      names.flatMap(n => reg.get(n).map(n -> _)).toMap
+    }
+    register(spark, "pg_matviews", mkDf(spark, StructType(Seq(
+      StructField("schemaname", StringType), StructField("matviewname", StringType),
+      StructField("matviewowner", StringType), StructField("tablespace", StringType),
+      StructField("hasindexes", BooleanType), StructField("ispopulated", BooleanType),
+      StructField("definition", StringType))),
+      matDefs.toSeq.sortBy(_._1).map { case (n, mv) =>
+        Row("public", n, "postgres", null, false, mv.populated, mv.definition) }))
     register(spark, "pg_class",
-      pgClass(spark, tables, seqSnap.map(_._1), ixRows, viewDefs))
+      pgClass(spark, tables, seqSnap.map(_._1), ixRows, viewDefs,
+        matDefs.keySet))
     register(spark, "pg_attribute",
       pgAttribute(spark, tables ++ seqSnap.map(_._1 -> seqRelSchema)))
     registerSequenceViews(spark, seqSnap)
     // pg lists views in pg_views only, not pg_tables;
     // information_schema.tables carries both with table_type
     register(spark, "pg_tables",
-      pgTables(spark, tables.filterNot(t => viewDefs.contains(t._1))))
+      pgTables(spark, tables.filterNot(t =>
+        viewDefs.contains(t._1) || matDefs.contains(t._1))))
+    // pg keeps matviews OUT of information_schema (non-standard objects)
     register(spark, "information_schema_tables",
-      infoTables(spark, tables, viewDefs.keySet))
+      infoTables(spark, tables.filterNot(t => matDefs.contains(t._1)),
+        viewDefs.keySet))
     register(spark, "information_schema_columns", infoColumns(spark, tables))
     register(spark, "information_schema_schemata", mkDf(spark,
       StructType(Seq(StructField("catalog_name", StringType),

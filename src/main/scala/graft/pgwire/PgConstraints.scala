@@ -141,6 +141,45 @@ object PgIndexes {
   * for pg_views / relkind 'v'. Wire-registered DATA files are also
   * temp views but are not registered here, so they keep playing pg's
   * table role. */
+/** Materialized-view registry: pg-facing definition text, the
+  * Compat-rewritten body REFRESH re-runs, and the populated flag
+  * (WITH NO DATA creates empty; scans of an unpopulated matview raise
+  * pg's 55000 until the first REFRESH). The backing storage is a
+  * managed parquet table — matviews are physical in pg, and a table
+  * write is exactly what a 100 TB refresh does. */
+object PgMatViews {
+  final case class MatView(definition: String, rewritten: String,
+      populated: Boolean)
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[String, MatView]()
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def version: Long = versionCounter.get()
+  def register(name: String, mv: MatView): Unit = {
+    defs.put(name, mv); versionCounter.incrementAndGet()
+  }
+  def setPopulated(name: String): Unit = {
+    val mv = defs.get(name)
+    if (mv != null) { defs.put(name, mv.copy(populated = true))
+      versionCounter.incrementAndGet() }
+  }
+  def drop(name: String): Boolean = {
+    val had = defs.remove(name) != null
+    if (had) versionCounter.incrementAndGet()
+    had
+  }
+  def lookup(name: String): Option[MatView] = Option(defs.get(name))
+  def unpopulated: Set[String] = {
+    val b = Set.newBuilder[String]
+    defs.forEach((k, v) => if (!v.populated) b += k)
+    b.result()
+  }
+  def all: Map[String, MatView] = {
+    val b = Map.newBuilder[String, MatView]
+    defs.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+}
+
 object PgViews {
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

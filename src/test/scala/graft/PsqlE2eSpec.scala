@@ -70,6 +70,23 @@ class PsqlE2eSpec extends SparkSpec {
     }
   }
 
+  test("psql: materialized view lifecycle over the wire") {
+    assume(psqlPath.nonEmpty, "no psql binary installed")
+    withServer { port =>
+      val (c1, o1, e1) = psqlScript(port,
+        """CREATE MATERIALIZED VIEW big_nations AS
+          |  SELECT n_name FROM nation WHERE n_nationkey >= 20;
+          |SELECT count(*) FROM big_nations;
+          |REFRESH MATERIALIZED VIEW big_nations;
+          |SELECT matviewname, ispopulated FROM pg_matviews;
+          |DROP MATERIALIZED VIEW big_nations;
+          |""".stripMargin)
+      assert(c1 === 0, s"out=$o1 err=$e1")
+      assert(o1.contains("5"), o1)             // 25 nations, keys 20-24
+      assert(o1.contains("big_nations|t"), o1) // pg_matviews row
+    }
+  }
+
   test("psql: savepoint recovery inside a failed transaction") {
     assume(psqlPath.nonEmpty, "no psql binary installed")
     withServer { port =>
