@@ -183,6 +183,7 @@ object Handlers {
         handleCreateView(spark, sql)
       case "CREATE" if second == "MATERIALIZED" =>
         handleCreateMatView(spark, sql)
+      case "COMMENT" => handleComment(spark, toks)
       case "REFRESH" => handleRefreshMatView(spark, sql)
       case "DROP" if second == "MATERIALIZED" =>
         handleDropMatView(spark, sql)
@@ -1598,6 +1599,78 @@ object Handlers {
     PgViews.register(name, body)
     PgCatalog.invalidate()
     Complete("CREATE VIEW")
+  }
+
+  /** `COMMENT ON <TABLE|VIEW|MATERIALIZED VIEW|COLUMN|INDEX|SEQUENCE|
+    * FOREIGN TABLE> name IS <'text'|NULL>` — stored per (objoid,
+    * objsubid) in [[PgComments]], live-read by obj_description /
+    * col_description and surfaced as pg_description rows, which is
+    * where psql `\d+` and DBeaver read them back. IS NULL removes
+    * (live-pinned). Relation kinds all resolve through the rel: oid
+    * space; other object classes (DATABASE, FUNCTION, …) raise 0A000
+    * honestly rather than storing somewhere no reader would look.
+    */
+  private def handleComment(spark: SparkSession, toks: Vector[Compat.Tok]): PgResult = {
+    if (toks.length < 3 || !toks(1).isWord("ON"))
+      throw PgException("42601", "syntax error in COMMENT")
+    val relKinds = Set("TABLE", "VIEW", "COLUMN", "INDEX", "SEQUENCE")
+    var i = 2
+    val kind = toks(i).text.toUpperCase match {
+      case "MATERIALIZED" | "FOREIGN" => i += 2; "TABLE"
+      case k if relKinds.contains(k) => i += 1; k
+      case other =>
+        throw PgException("0A000",
+          s"COMMENT ON ${other.toLowerCase} is not supported")
+    }
+    // name: (Word|QIdent) (. (Word|QIdent))* up to IS
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var expectName = true
+    while (i < toks.length && !toks(i).isWord("IS")) {
+      val t = toks(i)
+      if (expectName && (t.kind == Compat.Word || t.kind == Compat.QIdent)) {
+        segs += (if (t.kind == Compat.QIdent) t.text.substring(1, t.text.length - 1)
+          else t.text.toLowerCase)
+        expectName = false
+      } else if (!expectName && t.is(".")) expectName = true
+      else throw PgException("42601", "syntax error in COMMENT")
+      i += 1
+    }
+    if (segs.isEmpty || i >= toks.length || i + 1 >= toks.length)
+      throw PgException("42601", "syntax error in COMMENT")
+    val valueTok = toks(i + 1)
+    val text: Option[String] =
+      if (valueTok.isWord("NULL")) None
+      else if (valueTok.kind == Compat.Str)
+        Some(valueTok.text.substring(1, valueTok.text.length - 1).replace("''", "'"))
+      else throw PgException("42601", "syntax error in COMMENT")
+    val (table, subid) =
+      if (kind == "COLUMN") {
+        if (segs.length < 2)
+          throw PgException("42601",
+            "column name must be qualified in COMMENT ON COLUMN")
+        val col = segs.last
+        val tbl = segs(segs.length - 2)
+        val schema =
+          try spark.table(tbl).schema
+          catch { case scala.util.control.NonFatal(_) =>
+            throw PgException("42P01", s"""relation "$tbl" does not exist""") }
+        val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(col))
+        if (idx < 0)
+          throw PgException("42703",
+            s"""column "$col" of relation "$tbl" does not exist""")
+        (tbl, idx + 1)
+      } else {
+        val tbl = segs.last
+        val known = PgIndexes.lookup(tbl).isDefined ||
+          PgSequences.exists(tbl) ||
+          scala.util.Try(spark.table(tbl)).isSuccess
+        if (!known)
+          throw PgException("42P01", s"""relation "$tbl" does not exist""")
+        (tbl, 0)
+      }
+    PgComments.set(Oids.of(s"rel:$table"), subid, text)
+    PgCatalog.invalidate()
+    Complete("COMMENT")
   }
 
   /** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] name [(cols)] AS query

@@ -1144,7 +1144,8 @@ object PgCatalog {
     val seqSnap = PgSequences.snapshot
     val fingerprint = names ++ seqSnap.map("seq:" + _._1) ++
       PgIndexes.names.map("idx:" + _) :+ ("uqv:" + PgConstraints.version) :+
-      ("vw:" + PgViews.version) :+ ("mv:" + PgMatViews.version)
+      ("vw:" + PgViews.version) :+ ("mv:" + PgMatViews.version) :+
+      ("cm:" + PgComments.version)
     if (fingerprint == lastSnapshot.get(spark)) return
     lastSnapshot.put(spark, fingerprint)
     val tables = names.map(n => n -> spark.table(n).schema)
@@ -1184,6 +1185,11 @@ object PgCatalog {
     register(spark, "pg_class",
       pgClass(spark, tables, seqSnap.map(_._1), ixRows, viewDefs,
         matDefs.keySet))
+    // COMMENT ON storage — classoid 1259 (pg_class) for all rel kinds
+    register(spark, "pg_description", mkDf(spark, StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("objsubid", IntegerType), StructField("description", StringType))),
+      PgComments.all.map { case (o, sub, d) => Row(o, 1259, sub, d) }))
     register(spark, "pg_attribute",
       pgAttribute(spark, tables ++ seqSnap.map(_._1 -> seqRelSchema)))
     registerSequenceViews(spark, seqSnap)

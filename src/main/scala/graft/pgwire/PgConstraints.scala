@@ -180,6 +180,31 @@ object PgMatViews {
   }
 }
 
+/** COMMENT ON storage: (objoid, objsubid) → text, live-read by the
+  * obj_description / col_description functions and rendered as
+  * pg_description rows (classoid 1259 = pg_class; subid 0 = the
+  * relation itself, n = column attnum). IS NULL removes, like pg. */
+object PgComments {
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), String]()
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def version: Long = versionCounter.get()
+  def set(objoid: Int, subid: Int, text: Option[String]): Unit = {
+    text match {
+      case Some(t) => defs.put((objoid, subid), t)
+      case None => defs.remove((objoid, subid))
+    }
+    versionCounter.incrementAndGet()
+  }
+  def get(objoid: Int, subid: Int): Option[String] =
+    Option(defs.get((objoid, subid)))
+  def all: Seq[(Int, Int, String)] = {
+    val b = Seq.newBuilder[(Int, Int, String)]
+    defs.forEach((k, v) => b += ((k._1, k._2, v)))
+    b.result().sortBy(t => (t._1, t._2))
+  }
+}
+
 object PgViews {
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -1398,9 +1398,18 @@ object PgFunctions {
     u.register("quote_ident", (s: String) => quoteIdent(s))
     u.register("parse_ident", (s: String) => parseIdent(s))
     u.register("pg_size_pretty", (b: java.lang.Long) => sizePretty(b))
-    u.register("obj_description", (oid: String, catalog: String) => null: String)
+    // live COMMENT ON reads (round 14): relation-class comments only —
+    // psql \d+/\dt+ and DBeaver pass 'pg_class'; other catalogs have
+    // no comment writers here, so they stay empty
+    u.register("obj_description", (oid: String, catalog: String) =>
+      (if (catalog == "pg_class")
+        scala.util.Try(oid.trim.toInt).toOption
+          .flatMap(o => PgComments.get(o, 0)).orNull
+      else null): String)
     u.register("shobj_description", (oid: Integer, catalog: String) => null: String)
-    u.register("col_description", (oid: Integer, colnum: Integer) => null: String)
+    u.register("col_description", (oid: Integer, colnum: Integer) =>
+      (if (oid == null || colnum == null) null
+      else PgComments.get(oid, colnum).orNull): String)
     u.register("txid_current", () => 0L)
     u.register("pg_is_in_recovery", () => false)
     u.register("current_setting", (name: String) =>
