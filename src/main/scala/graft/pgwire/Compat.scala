@@ -904,6 +904,7 @@ object Compat {
     rewriteRowIsNull(ts)
     rewriteRowConstructor(ts)
     rewriteNamedMakeInterval(ts)
+    stripLockingClause(ts)
     rewriteFetchWithTies(ts)
     rewriteFetchFirst(ts)
     rewriteTablesample(ts)
@@ -2053,6 +2054,67 @@ object Compat {
     * DISTINCT in the block, and OFFSET between ORDER BY and FETCH is
     * unsupported).
     */
+  /** Strip pg's row-locking clauses — `FOR UPDATE | NO KEY UPDATE |
+    * SHARE | KEY SHARE [OF tbl, ...] [NOWAIT | SKIP LOCKED]` — which
+    * every ORM's select_for_update/with_for_update emits. A single-
+    * writer engine with tag-only transactions has no row locks to
+    * take, so the clause is a no-op (the same contract COMMIT/ROLLBACK
+    * already document); Spark's parser would otherwise reject it.
+    * SUBSTRING's `FOR n` is safe: the next word there is never one of
+    * the four lock strengths.
+    */
+  private def stripLockingClause(ts: ArrayBuffer[Tok]): Unit = {
+    var i = 0
+    while (i < ts.length) {
+      var matchedEnd = -1 // index of the clause's last token, inclusive
+      if (ts(i).isWord("FOR")) {
+        val n1 = nextIdx(ts, i)
+        if (n1 >= 0) {
+          if (ts(n1).isWord("UPDATE") || ts(n1).isWord("SHARE"))
+            matchedEnd = n1
+          else if (ts(n1).isWord("NO")) {
+            val n2 = nextIdx(ts, n1)
+            val n3 = if (n2 >= 0) nextIdx(ts, n2) else -1
+            if (n2 >= 0 && n3 >= 0 && ts(n2).isWord("KEY") && ts(n3).isWord("UPDATE"))
+              matchedEnd = n3
+          } else if (ts(n1).isWord("KEY")) {
+            val n2 = nextIdx(ts, n1)
+            if (n2 >= 0 && ts(n2).isWord("SHARE")) matchedEnd = n2
+          }
+        }
+      }
+      if (matchedEnd >= 0) {
+        var j = matchedEnd
+        // optional OF table [, table ...]
+        val ofIdx = nextIdx(ts, j)
+        if (ofIdx >= 0 && ts(ofIdx).isWord("OF")) {
+          j = ofIdx
+          var expectName = true
+          var k = nextIdx(ts, j)
+          while (k >= 0 && ((expectName &&
+              (ts(k).kind == Word || ts(k).kind == QIdent)) ||
+              (!expectName && ts(k).is(",")))) {
+            j = k
+            expectName = !expectName
+            k = nextIdx(ts, j)
+          }
+        }
+        // optional NOWAIT | SKIP LOCKED
+        val w1 = nextIdx(ts, j)
+        if (w1 >= 0 && ts(w1).isWord("NOWAIT")) j = w1
+        else if (w1 >= 0 && ts(w1).isWord("SKIP")) {
+          val w2 = nextIdx(ts, w1)
+          if (w2 >= 0 && ts(w2).isWord("LOCKED")) j = w2
+        }
+        // drop the clause plus the whitespace run before FOR
+        var start = i
+        while (start > 0 && ts(start - 1).kind == Ws) start -= 1
+        ts.remove(start, j - start + 1)
+        i = start
+      } else i += 1
+    }
+  }
+
   private def rewriteFetchWithTies(ts: ArrayBuffer[Tok]): Unit = {
     var i = 0
     while (i < ts.length) {

@@ -268,7 +268,14 @@ class ClientCorpusSpec extends SparkSpec with BeforeAndAfterAll {
     """SELECT t.oid, t.typname FROM pg_type as t
       |WHERE t.typname IN ('int2', 'int4', 'int8', 'oid', 'float4', 'float8', 'bool')""".stripMargin,
     """SELECT t.oid, t.typname, t.typelem, t.typdelim, t.typinput
-      |FROM pg_type as t WHERE t.typname IN ('numeric', 'text', 'varchar', 'char', 'date', 'timestamp')""".stripMargin)
+      |FROM pg_type as t WHERE t.typname IN ('numeric', 'text', 'varchar', 'char', 'date', 'timestamp')""".stripMargin,
+    // row-locking forms ORMs emit inside transactions
+    // (Django select_for_update, SQLAlchemy with_for_update, Rails
+    // lock) — lock-free no-ops here, must parse and return rows
+    "SELECT id, v FROM tt WHERE id = 1 FOR UPDATE",
+    "SELECT id FROM tt WHERE id = 2 FOR UPDATE SKIP LOCKED",
+    "SELECT id FROM tt WHERE id = 3 FOR NO KEY UPDATE NOWAIT",
+    "SELECT id FROM tt ORDER BY id LIMIT 1 FOR SHARE OF tt")
 
   test("psql \\d corpus runs clean") { psqlQueries.foreach(run) }
   test("dbeaver startup corpus runs clean") { dbeaverQueries.foreach(run) }

@@ -320,6 +320,22 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.inferParamOids("SELECT $1::time", 1) === Seq(1083))
   }
 
+  test("row-locking clauses strip: FOR UPDATE/SHARE variants, OF list, wait policy") {
+    assert(Compat.rewrite("SELECT a FROM t WHERE a = 1 FOR UPDATE") ===
+      "SELECT a FROM t WHERE a = 1")
+    assert(Compat.rewrite("SELECT a FROM t FOR UPDATE NOWAIT") === "SELECT a FROM t")
+    assert(Compat.rewrite("SELECT a FROM t FOR UPDATE SKIP LOCKED") === "SELECT a FROM t")
+    assert(Compat.rewrite("SELECT a FROM t FOR NO KEY UPDATE") === "SELECT a FROM t")
+    assert(Compat.rewrite("SELECT a FROM t FOR KEY SHARE OF t, u NOWAIT") ===
+      "SELECT a FROM t")
+    assert(Compat.rewrite("SELECT a FROM t ORDER BY a LIMIT 1 FOR SHARE") ===
+      "SELECT a FROM t ORDER BY a LIMIT 1")
+    // substring's FOR is NOT a lock clause — its own rewrite consumes
+    // it into pg_substr's third argument, which must survive intact
+    assert(Compat.rewrite("SELECT substring(x FROM 1 FOR 3) FROM t") ===
+      "SELECT pg_substr(x , 1 , 3) FROM t")
+  }
+
   test("multi-word ANSI type spellings collapse to one-word pg names") {
     def ws(s: String) =
       s.replaceAll("\\s+", " ").replace(" )", ")").replace("( ", "(")
