@@ -184,6 +184,31 @@ object Handlers {
       case "CREATE" if second == "MATERIALIZED" =>
         handleCreateMatView(spark, sql)
       case "COMMENT" => handleComment(spark, toks)
+      case "LOCK" =>
+        // LOCK [TABLE] [ONLY] name [, ...] [IN <mode> MODE] [NOWAIT] —
+        // lock-free no-op (the FOR UPDATE contract), but pg's gates
+        // still apply: transaction block required (25P01), relations
+        // must exist (42P01)
+        if (session.txn != session.InTxn)
+          throw PgException("25P01",
+            "LOCK TABLE can only be used in transaction blocks")
+        val nameToks = toks.drop(1)
+          .dropWhile(t => t.isWord("TABLE") || t.isWord("ONLY"))
+          .takeWhile(t => !t.isWord("IN") && !t.isWord("NOWAIT"))
+        // comma-separated, possibly schema-qualified chains — validate
+        // the last segment of each (the relation name)
+        val chains = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[String])
+        nameToks.foreach { t =>
+          if (t.is(",")) chains += scala.collection.mutable.ArrayBuffer.empty[String]
+          else if (t.kind == Compat.Word || t.kind == Compat.QIdent)
+            chains.last += channelName(t)
+        }
+        chains.map(_.lastOption).flatten.foreach { n =>
+          if (scala.util.Try(spark.table(n)).isFailure)
+            throw PgException("42P01", s"""relation "$n" does not exist""")
+        }
+        Complete("LOCK TABLE")
       case "REFRESH" => handleRefreshMatView(spark, sql)
       case "DROP" if second == "MATERIALIZED" =>
         handleDropMatView(spark, sql)

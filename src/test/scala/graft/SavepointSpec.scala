@@ -112,6 +112,22 @@ class SavepointSpec extends SparkSpec {
     assert(e2.code === "3B001")
   }
 
+  test("LOCK TABLE: no-op in a block, 25P01 outside, 42P01 on missing") {
+    val s = new Session(1, "postgres", "postgres")
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("locked_t")
+    val e1 = intercept[PgException](run(s, "LOCK TABLE locked_t"))
+    assert(e1.code === "25P01")
+    assert(e1.msg === "LOCK TABLE can only be used in transaction blocks")
+    run(s, "BEGIN")
+    assert(tagOf(run(s, "LOCK TABLE locked_t")) === "LOCK TABLE")
+    assert(tagOf(run(s,
+      "LOCK TABLE ONLY public.locked_t IN ACCESS EXCLUSIVE MODE NOWAIT")) === "LOCK TABLE")
+    val e2 = intercept[PgException](run(s, "LOCK TABLE nosuch_t"))
+    assert(e2.code === "42P01")
+    run(s, "COMMIT")
+  }
+
   test("ROLLBACK WORK TO SAVEPOINT grammar variant") {
     val s = new Session(1, "postgres", "postgres")
     run(s, "BEGIN")
