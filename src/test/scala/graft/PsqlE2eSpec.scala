@@ -84,6 +84,15 @@ class PsqlE2eSpec extends SparkSpec {
       assert(c1 === 0, s"out=$o1 err=$e1")
       assert(o1.contains("5"), o1)             // 25 nations, keys 20-24
       assert(o1.contains("big_nations|t"), o1) // pg_matviews row
+      // \dm reads relkind 'm' through psql's real pg_class query
+      val (c2, o2, e2) = psqlScript(port,
+        """CREATE MATERIALIZED VIEW dm_probe AS SELECT 1 AS x;
+          |\dm
+          |DROP MATERIALIZED VIEW dm_probe;
+          |""".stripMargin)
+      assert(c2 === 0, s"out=$o2 err=$e2")
+      assert(o2.contains("dm_probe"), o2)
+      assert(o2.contains("materialized view"), o2)
     }
   }
 
