@@ -184,6 +184,46 @@ object Handlers {
       case "CREATE" if second == "MATERIALIZED" =>
         handleCreateMatView(spark, sql)
       case "COMMENT" => handleComment(spark, toks)
+      case "VACUUM" | "ANALYZE" if head == "VACUUM" ||
+          // Spark's own `ANALYZE TABLE t COMPUTE STATISTICS` passes through
+          !(second == "TABLE" && toks.exists(_.isWord("COMPUTE"))) =>
+        // maintenance statements every pg tool emits — storage upkeep
+        // and planner stats are Spark/parquet concerns here, so both
+        // no-op, but pg's gates stay: VACUUM refuses transaction
+        // blocks (25001), named relations must exist (42P01).
+        // Grammar: VACUUM [(opts)] [t [, ...]] / ANALYZE [VERBOSE] [t]
+        if (head == "VACUUM" && session.txn == session.InTxn)
+          throw PgException("25001",
+            "VACUUM cannot run inside a transaction block")
+        var i = 1
+        // skip a parenthesized option list or legacy option words
+        if (i < toks.length && toks(i).is("(")) {
+          var depth = 1; i += 1
+          while (i < toks.length && depth > 0) {
+            if (toks(i).is("(")) depth += 1
+            else if (toks(i).is(")")) depth -= 1
+            i += 1
+          }
+        } else while (i < toks.length && (toks(i).isWord("FULL") ||
+          toks(i).isWord("FREEZE") || toks(i).isWord("VERBOSE") ||
+          toks(i).isWord("ANALYZE"))) i += 1
+        val rest = toks.drop(i)
+        val chains = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[String])
+        var stop = false
+        rest.foreach { t =>
+          if (!stop) {
+            if (t.is(",")) chains += scala.collection.mutable.ArrayBuffer.empty[String]
+            else if (t.kind == Compat.Word || t.kind == Compat.QIdent)
+              chains.last += channelName(t)
+            else if (t.is("(")) stop = true // per-table column list — ignore
+          }
+        }
+        chains.map(_.lastOption).flatten.foreach { n =>
+          if (scala.util.Try(spark.table(n)).isFailure)
+            throw PgException("42P01", s"""relation "$n" does not exist""")
+        }
+        Complete(head)
       case "LOCK" =>
         // LOCK [TABLE] [ONLY] name [, ...] [IN <mode> MODE] [NOWAIT] —
         // lock-free no-op (the FOR UPDATE contract), but pg's gates

@@ -128,6 +128,27 @@ class SavepointSpec extends SparkSpec {
     run(s, "COMMIT")
   }
 
+  test("VACUUM/ANALYZE: validated no-ops with pg's gates") {
+    val s = new Session(1, "postgres", "postgres")
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("vac_t")
+    assert(tagOf(run(s, "VACUUM")) === "VACUUM")
+    assert(tagOf(run(s, "ANALYZE")) === "ANALYZE")
+    assert(tagOf(run(s, "VACUUM (FULL, ANALYZE) vac_t")) === "VACUUM")
+    assert(tagOf(run(s, "VACUUM FULL VERBOSE vac_t")) === "VACUUM")
+    assert(tagOf(run(s, "ANALYZE VERBOSE vac_t")) === "ANALYZE")
+    val e1 = intercept[PgException](run(s, "VACUUM nosuch_t"))
+    assert(e1.code === "42P01")
+    val e2 = intercept[PgException](run(s, "ANALYZE nosuch_t"))
+    assert(e2.code === "42P01")
+    run(s, "BEGIN")
+    val e3 = intercept[PgException](run(s, "VACUUM"))
+    assert(e3.code === "25001")
+    assert(e3.msg === "VACUUM cannot run inside a transaction block")
+    assert(tagOf(run(s, "ANALYZE vac_t")) === "ANALYZE") // allowed in txn
+    run(s, "COMMIT")
+  }
+
   test("ROLLBACK WORK TO SAVEPOINT grammar variant") {
     val s = new Session(1, "postgres", "postgres")
     run(s, "BEGIN")
