@@ -2595,8 +2595,8 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
   // and NULL otherwise, multi-column `SET (a, b) = (1, 2)` works,
   // RETURNING yields NEW values for UPDATE and OLD rows for DELETE,
   // and tags are `UPDATE n` / `DELETE n`. The reference has no
-  // UPDATE/DELETE at all — parity-plus. Unsupported here: UPDATE …
-  // FROM and DELETE … USING (0A000).
+  // UPDATE/DELETE at all — parity-plus. UPDATE … FROM and DELETE …
+  // USING run through [[dmlWithFrom]] (sweep-38 differential).
 
   /** Split raw SQL text on a top-level separator, respecting strings,
     * quoted identifiers and paren depth. */
@@ -2679,39 +2679,66 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     }
   }
 
-  private def handleUpdate(spark: SparkSession, session: Session,
-      sql: String): PgResult = {
-    val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
-    val (body, retList) =
-      if (retPos >= 0)
-        (sql.substring(0, retPos), Some(sql.substring(retPos + "RETURNING".length)))
-      else (sql.trim.stripSuffix(";"), None)
-    val m = ("(?is)^UPDATE\\s+(?:ONLY\\s+)?(\"[^\"]+\"|[\\w$.]+)" +
-      "(?:\\s+(?:AS\\s+)?(?!SET\\b)(\"[^\"]+\"|[\\w$]+))?\\s+SET\\s+(.*)$").r
-      .findFirstMatchIn(body.trim)
-      .getOrElse(throw PgException("42601", "syntax error in UPDATE"))
-    val table = unq(m.group(1)).split("\\.").last
-    val alias = Option(m.group(2))
-    val tail = m.group(3)
-    if (Compat.topLevelKeywordPos(tail, "FROM") >= 0)
-      throw PgException("0A000", "UPDATE … FROM is not supported")
-    val wherePos = Compat.topLevelKeywordPos(tail, "WHERE")
-    val (setPart, whereOpt) =
-      if (wherePos >= 0)
-        (tail.substring(0, wherePos),
-          Some(tail.substring(wherePos + "WHERE".length).trim.stripSuffix(";")))
-      else (tail.trim.stripSuffix(";"), None)
-    val schema =
-      try spark.table(table).schema
-      catch { case scala.util.control.NonFatal(_) =>
-        throw PgException("42P01", s"""relation "$table" does not exist""") }
+  /** Persist + materialize a RETURNING projection BEFORE any table
+    * rewrite, then stream it to the client partition-by-partition —
+    * the rows live distributed in the executor cache, never whole on
+    * the driver. `release` runs once: on stream exhaustion, on
+    * failure, or when the server discards a suspended portal. */
+  private def materializedRowSet(df: DataFrame, tagFor: Long => String,
+      release: () => Unit = () => ()): RowSet = {
+    val schema = df.schema
+    // RDD-level persistence, NOT df.persist: the table rewrite that
+    // follows makes CacheManager invalidate and *recache* dependent
+    // plan caches, which re-reads the (deleted) pre-rewrite files.
+    // RDD blocks are outside plan-cache management and survive the
+    // rewrite untouched.
+    val p = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cleaned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def cleanup(): Unit = if (cleaned.compareAndSet(false, true)) {
+      try p.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => }
+      try release() catch { case scala.util.control.NonFatal(_) => }
+    }
+    try p.count() // pin the rows now — later reads hit the cache
+    catch { case e: Throwable => cleanup(); throw e }
+    val it = p.toLocalIterator
+    val streaming = new Iterator[Row] {
+      override def hasNext: Boolean = {
+        val h = try it.hasNext catch { case e: Throwable => cleanup(); throw e }
+        if (!h) cleanup()
+        h
+      }
+      override def next(): Row =
+        try it.next() catch { case e: Throwable => cleanup(); throw e }
+    }
+    RowSet(schema, streaming, tagFor, onDiscard = cleanup)
+  }
+
+  /** Run `write` between constructing a result and handing it to the
+    * client; a failed write releases the result's pinned resources. */
+  private def afterWrite(r: PgResult)(write: => Unit): PgResult =
+    try { write; r } catch {
+      case e: Throwable =>
+        r match {
+          case rs: RowSet =>
+            try rs.onDiscard() catch { case scala.util.control.NonFatal(_) => }
+          case _ =>
+        }
+        throw e
+    }
+
+  /** Parse `SET col = expr, (c1, c2) = (e1, e2), …` into column →
+    * value-expression (family input function applied, DEFAULT
+    * resolved) — shared by plain UPDATE and UPDATE … FROM. */
+  private def parseSetAssignments(setPart: String, schema: StructType,
+      table: String, connId: Int):
+      scala.collection.mutable.LinkedHashMap[String, String] = {
     def fieldOf(c0: String): StructField = {
       val c = unq(c0.trim)
       schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw PgException("42703",
           s"""column "$c" of relation "$table" does not exist"""))
     }
-    // assignments: `col = expr` and `(c1, c2) = (e1, e2)`
     val assigned = scala.collection.mutable.LinkedHashMap.empty[String, String]
     splitTopLevelText(setPart, ',').map(_.trim).filter(_.nonEmpty).foreach { a =>
       if (a.startsWith("(")) {
@@ -2739,7 +2766,7 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           throw PgException("42601", "number of columns does not match number of values")
         colNames.zip(exprs).foreach { case (c, e) =>
           val f = fieldOf(c)
-          assigned(f.name) = dmlValueExpr(f, e, session.connId)
+          assigned(f.name) = dmlValueExpr(f, e, connId)
         }
       } else {
         val eq = {
@@ -2757,9 +2784,241 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           pos
         }
         val f = fieldOf(a.substring(0, eq))
-        assigned(f.name) = dmlValueExpr(f, a.substring(eq + 1), session.connId)
+        assigned(f.name) = dmlValueExpr(f, a.substring(eq + 1), connId)
       }
     }
+    assigned
+  }
+
+  /** Best-effort aliases of the FROM/USING items, for exposing their
+    * columns to RETURNING: top-level comma items, each split on JOINs;
+    * each relation contributes its alias (or bare unqualified name).
+    * A piece this can't parse is skipped — a RETURNING that references
+    * it then fails resolution naturally, like an unknown column. */
+  private def fromItemAliases(fromText: String): Seq[String] = {
+    val joinKw = Set("LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+      "NATURAL", "LATERAL", "ONLY")
+    splitTopLevelText(fromText, ',').flatMap { item =>
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var rest = item
+      var pos = Compat.topLevelKeywordPos(rest, "JOIN")
+      while (pos >= 0) {
+        pieces += rest.substring(0, pos)
+        rest = rest.substring(pos + "JOIN".length)
+        pos = Compat.topLevelKeywordPos(rest, "JOIN")
+      }
+      pieces += rest
+      pieces.flatMap { p0 =>
+        val onPos = Compat.topLevelKeywordPos(p0, "ON")
+        val p1 = if (onPos >= 0) p0.substring(0, onPos) else p0
+        val usPos = Compat.topLevelKeywordPos(p1, "USING")
+        var p = (if (usPos >= 0) p1.substring(0, usPos) else p1)
+          .trim.stripSuffix(";").trim
+        // shed join-type keywords on either end ("a LEFT" / "NATURAL b")
+        var changed = true
+        while (changed) {
+          changed = false
+          joinKw.foreach { k =>
+            if (p.toUpperCase.startsWith(k + " ")) { p = p.substring(k.length).trim; changed = true }
+            if (p.toUpperCase.endsWith(" " + k)) { p = p.substring(0, p.length - k.length).trim; changed = true }
+          }
+        }
+        if (p.isEmpty) None
+        else if (p.startsWith("(")) {
+          // (subquery) [AS] alias
+          var depth = 0; var j = 0; var close = -1
+          while (j < p.length && close < 0) {
+            if (p.charAt(j) == '(') depth += 1
+            else if (p.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+            j += 1
+          }
+          if (close < 0) None
+          else "(?is)^\\s*(?:AS\\s+)?(\"[^\"]+\"|[\\w$]+)".r
+            .findFirstMatchIn(p.substring(close + 1))
+            .map(mm => unq(mm.group(1)))
+        } else {
+          // no \s* between the name and the optional arg-parens: a
+          // greedy \s* would eat the separator space and the (then
+          // unsatisfiable, all-optional) alias tail would be skipped
+          // without backtracking
+          "(?is)^(\"[^\"]+\"|[\\w$.]+)(\\((?:[^()]|\\([^()]*\\))*\\))?" +
+            "(?:\\s+(?:AS\\s+)?(\"[^\"]+\"|[\\w$]+))?" match {
+            case re => re.r.findFirstMatchIn(p).flatMap { mm =>
+              val alias = Option(mm.group(3)).map(unq)
+                .getOrElse(unq(mm.group(1)).split("\\.").last)
+              if (alias.isEmpty) None else Some(alias)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Shared engine for `UPDATE … FROM` (setPart defined) and `DELETE …
+    * USING` (setPart empty): pg joins each target row against the
+    * FROM/USING relation(s); a target row with ≥1 match is updated or
+    * deleted ONCE, using SOME matching row when several match (pg
+    * documents the choice as unpredictable — live-pinned 2026-08-15:
+    * `UPDATE t SET v = f.w FROM f WHERE t.id = f.id` with two f
+    * matches updates once; RETURNING `*` expands to target columns —
+    * NEW values for UPDATE, OLD for DELETE — followed by the FROM
+    * items' columns, one row per affected target row).
+    *
+    * Fully distributed: target rows get a stable rid
+    * (monotonically_increasing_id over a pinned cache), the join runs
+    * as a plain Catalyst join, one match per rid survives via
+    * first(struct(…)) partial aggregation, survivors come from an
+    * anti-join, and RETURNING streams from a materialized projection —
+    * no driver materialization at any step. */
+  private def dmlWithFrom(spark: SparkSession, session: Session,
+      tableRef: String, alias: Option[String], setPart: Option[String],
+      fromText: String, whereOpt: Option[String],
+      retList: Option[String]): PgResult = {
+    val isUpdate = setPart.isDefined
+    val table = unq(tableRef).split("\\.").last
+    val schema =
+      try spark.table(table).schema
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$table" does not exist""") }
+    val assigned = setPart.map(parseSetAssignments(_, schema, table, session.connId))
+      .getOrElse(scala.collection.mutable.LinkedHashMap.empty[String, String])
+    val taName = alias.map(unq).getOrElse(table)
+    val taQ = qid(taName)
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ridView = s"__graft_uf_$uid"
+    val mView = s"__graft_ufm_$uid"
+    val ridDf = spark.table(table)
+      .withColumn("__graft_rid",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var matched: DataFrame = null
+    def upstreamRelease(): Unit = {
+      try spark.catalog.dropTempView(mView)
+      catch { case scala.util.control.NonFatal(_) => }
+      try spark.catalog.dropTempView(ridView)
+      catch { case scala.util.control.NonFatal(_) => }
+      if (matched != null)
+        try matched.unpersist() catch { case scala.util.control.NonFatal(_) => }
+      try ridDf.unpersist() catch { case scala.util.control.NonFatal(_) => }
+    }
+    try {
+      ridDf.count() // pin the rids before any reuse
+      ridDf.createOrReplaceTempView(ridView)
+      val fAliases = fromItemAliases(fromText)
+      // NEW target values for UPDATE (SET exprs see OLD target + FROM
+      // columns), OLD values for DELETE
+      val newFields = schema.fields.map { f =>
+        assigned.get(f.name)
+          .map(e => s"CAST(($e) AS ${f.dataType.sql}) AS ${qid(f.name)}")
+          .getOrElse(s"$taQ.${qid(f.name)} AS ${qid(f.name)}")
+      }.mkString(", ")
+      val fStructs = fAliases.zipWithIndex.map { case (a, i) =>
+        s", struct(${qid(a)}.*) AS __graft_f_$i"
+      }.mkString
+      val pairSql =
+        s"SELECT $taQ.`__graft_rid` AS __graft_rid, " +
+          s"struct(struct($newFields) AS __graft_new$fStructs) AS __graft_s " +
+          s"FROM `$ridView` AS $taQ, $fromText" +
+          whereOpt.map(w => s" WHERE $w").getOrElse("")
+      matched = runSql(spark,
+        s"SELECT __graft_rid, first(__graft_s) AS __graft_s " +
+          s"FROM ( $pairSql ) AS __graft_p GROUP BY __graft_rid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = matched.count()
+      matched.createOrReplaceTempView(mView)
+      val newRows = spark.sql(s"SELECT __graft_s.__graft_new.* FROM `$mView`")
+      // plain spark.sql (not the pg-dialect path): backtick quoting
+      val bq = (nm: String) => "`" + nm.replace("`", "``") + "`"
+      val survivors = spark.sql(
+        s"SELECT ${schema.fieldNames.map(bq).mkString(", ")} " +
+          s"FROM `$ridView` AS __graft_t WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM `$mView` AS __graft_m " +
+          s"WHERE __graft_m.__graft_rid = __graft_t.`__graft_rid`)")
+      val next = if (isUpdate) survivors.unionByName(newRows) else survivors
+      if (isUpdate && PgConstraints.hasAny(table, schema)) {
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        checkNotNull(newRows, schema, table, zone)
+        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
+      }
+      val tagWord = if (isUpdate) "UPDATE" else "DELETE"
+      retList match {
+        case Some(ret) =>
+          val items = splitTopLevelText(ret, ',').map(_.trim).filter(_.nonEmpty)
+          def isStarOf(nm: String, item: String): Boolean =
+            item.endsWith(".*") &&
+              unq(item.stripSuffix(".*").trim).equalsIgnoreCase(nm)
+          val mapped = items.map {
+            case "*" => (taQ +: fAliases.map(qid)).map(_ + ".*").mkString(", ")
+            case it if isStarOf(taName, it) => s"$taQ.*"
+            case it if fAliases.exists(a => isStarOf(a, it)) =>
+              qid(fAliases.find(a => isStarOf(a, it)).get) + ".*"
+            case it => it
+          }
+          // target columns at top level (unqualified refs) and under
+          // the target alias; each FROM item's columns likewise — an
+          // unqualified name colliding across them is ambiguous, as
+          // in pg
+          val fTop = fAliases.zipWithIndex.flatMap { case (a, i) =>
+            Seq(s"__graft_s.__graft_f_$i.*",
+              s"__graft_s.__graft_f_$i AS ${qid(a)}")
+          }
+          val retSrcSql =
+            (Seq(s"__graft_s.__graft_new.*", s"__graft_s.__graft_new AS $taQ") ++ fTop)
+              .mkString("SELECT ", ", ", s" FROM `$mView`")
+          val retSql =
+            s"SELECT ${mapped.mkString(", ")} FROM ( $retSrcSql ) AS __graft_r"
+          val rs = materializedRowSet(runSql(spark, retSql), _ => s"$tagWord $n")
+          afterWrite(rs) {
+            overwriteTable(spark, table, next)
+            upstreamRelease()
+          }
+        case None =>
+          overwriteTable(spark, table, next)
+          upstreamRelease()
+          Complete(s"$tagWord $n")
+      }
+    } catch {
+      case e: Throwable => upstreamRelease(); throw e
+    }
+  }
+
+  private def handleUpdate(spark: SparkSession, session: Session,
+      sql: String): PgResult = {
+    val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
+    val (body, retList) =
+      if (retPos >= 0)
+        (sql.substring(0, retPos), Some(sql.substring(retPos + "RETURNING".length)))
+      else (sql.trim.stripSuffix(";"), None)
+    val m = ("(?is)^UPDATE\\s+(?:ONLY\\s+)?(\"[^\"]+\"|[\\w$.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!SET\\b)(\"[^\"]+\"|[\\w$]+))?\\s+SET\\s+(.*)$").r
+      .findFirstMatchIn(body.trim)
+      .getOrElse(throw PgException("42601", "syntax error in UPDATE"))
+    val table = unq(m.group(1)).split("\\.").last
+    val alias = Option(m.group(2))
+    val tail = m.group(3)
+    val fromPos = Compat.topLevelKeywordPos(tail, "FROM")
+    if (fromPos >= 0) {
+      val rest = tail.substring(fromPos + "FROM".length)
+      val wPos = Compat.topLevelKeywordPos(rest, "WHERE")
+      val (fromText, fWhere) =
+        if (wPos >= 0) (rest.substring(0, wPos).trim,
+          Some(rest.substring(wPos + "WHERE".length).trim.stripSuffix(";")))
+        else (rest.trim.stripSuffix(";"), None)
+      return dmlWithFrom(spark, session, m.group(1), alias,
+        Some(tail.substring(0, fromPos)), fromText, fWhere, retList)
+    }
+    val wherePos = Compat.topLevelKeywordPos(tail, "WHERE")
+    val (setPart, whereOpt) =
+      if (wherePos >= 0)
+        (tail.substring(0, wherePos),
+          Some(tail.substring(wherePos + "WHERE".length).trim.stripSuffix(";")))
+      else (tail.trim.stripSuffix(";"), None)
+    val schema =
+      try spark.table(table).schema
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$table" does not exist""") }
+    // assignments: `col = expr` and `(c1, c2) = (e1, e2)`
+    val assigned = parseSetAssignments(setPart, schema, table, session.connId)
     val aliasSql = alias.map(a => s" AS $a").getOrElse("")
     val fromSql = s" FROM ${m.group(1)}$aliasSql"
     // full-table transform: assigned columns switch on the predicate
@@ -2813,11 +3072,13 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           case Some(ret) =>
             val sub = alias.getOrElse(m.group(1))
             matched.createOrReplaceTempView("__graft_upd_m")
-            val df = runSql(spark, s"SELECT $ret FROM __graft_upd_m AS $sub")
-            val rows = df.collect()
-            overwriteTable(spark, table, next)
-            spark.catalog.dropTempView("__graft_upd_m")
-            RowSet(df.schema, rows.iterator, _ => s"UPDATE $n")
+            val rs = materializedRowSet(
+              runSql(spark, s"SELECT $ret FROM __graft_upd_m AS $sub"),
+              _ => s"UPDATE $n")
+            afterWrite(rs) {
+              overwriteTable(spark, table, next)
+              spark.catalog.dropTempView("__graft_upd_m")
+            }
           case None =>
             overwriteTable(spark, table, next)
             Complete(s"UPDATE $n")
@@ -2829,12 +3090,15 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
       retList match {
         case Some(ret) =>
           val sub = alias.getOrElse(m.group(1))
-          // NEW values materialize BEFORE the overwrite — lazy iteration
-          // afterwards would re-read the rewritten table
-          val df = runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub")
-          val rows = df.collect()
-          overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
-          RowSet(df.schema, rows.iterator, n => s"UPDATE $n")
+          // NEW values materialize BEFORE the overwrite (distributed,
+          // in the cache) — lazy iteration afterwards would re-read
+          // the rewritten table
+          val rs = materializedRowSet(
+            runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub"),
+            n => s"UPDATE $n")
+          afterWrite(rs) {
+            overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
+          }
         case None =>
           val n = runSql(spark,
             s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
@@ -2858,8 +3122,17 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     val table = unq(m.group(1)).split("\\.").last
     val alias = Option(m.group(2))
     val tail = m.group(3)
-    if (Compat.topLevelKeywordPos(" " + tail, "USING") >= 0)
-      throw PgException("0A000", "DELETE … USING is not supported")
+    val usingPos = Compat.topLevelKeywordPos(" " + tail, "USING")
+    if (usingPos >= 0) {
+      val rest = (" " + tail).substring(usingPos + "USING".length)
+      val wPos = Compat.topLevelKeywordPos(rest, "WHERE")
+      val (fromText, fWhere) =
+        if (wPos >= 0) (rest.substring(0, wPos).trim,
+          Some(rest.substring(wPos + "WHERE".length).trim.stripSuffix(";")))
+        else (rest.trim.stripSuffix(";"), None)
+      return dmlWithFrom(spark, session, m.group(1), alias,
+        None, fromText, fWhere, retList)
+    }
     val wherePos = Compat.topLevelKeywordPos(" " + tail, "WHERE")
     val whereOpt =
       if (wherePos >= 0)
@@ -2884,11 +3157,13 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     retList match {
       case Some(ret) =>
         val sub = alias.getOrElse(m.group(1))
-        // OLD rows materialize BEFORE the overwrite
-        val df = runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub")
-        val rows = df.collect()
-        overwriteTable(spark, table, runSql(spark, keepSql))
-        RowSet(df.schema, rows.iterator, n => s"DELETE $n")
+        // OLD rows materialize BEFORE the overwrite (in the cache)
+        val rs = materializedRowSet(
+          runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub"),
+          n => s"DELETE $n")
+        afterWrite(rs) {
+          overwriteTable(spark, table, runSql(spark, keepSql))
+        }
       case None =>
         val n = runSql(spark,
           s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
@@ -3394,18 +3669,21 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
           hit.take(1)
         case None => uniques // DO NOTHING without a target: every arbiter
       }
-    def retRows(affected: DataFrame): Option[(StructType, Array[Row])] =
-      retExprs.map { ret =>
+    /** RETURNING projection, materialized distributed (never a driver
+      * collect — an `INSERT … SELECT <millions> ON CONFLICT … RETURNING *`
+      * must stream) BEFORE the table write; Complete when absent. */
+    def retStream(n: Long, affected: DataFrame): PgResult = retExprs match {
+      case None => Complete(s"INSERT 0 $n")
+      case Some(ret) =>
         val v = s"__ins_aff_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         affected.createOrReplaceTempView(v)
-        try {
-          val df = runSql(spark, s"SELECT $ret FROM `$v` AS ${qid(insAlias.getOrElse(table))}")
-          (df.schema, df.collect())
-        } finally spark.catalog.dropTempView(v)
-      }
-    def result(n: Long, rr: Option[(StructType, Array[Row])]): PgResult = rr match {
-      case Some((sch, rows)) => RowSet(sch, rows.iterator, _ => s"INSERT 0 $n")
-      case None => Complete(s"INSERT 0 $n")
+        try materializedRowSet(
+          runSql(spark, s"SELECT $ret FROM `$v` AS ${qid(insAlias.getOrElse(table))}"),
+          _ => s"INSERT 0 $n")
+        finally {
+          try spark.catalog.dropTempView(v)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
     }
     try {
       spec match {
@@ -3417,9 +3695,8 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
             checkUniqueDups(
               spark.table(table).unionByName(full.select(tgtSchema.fieldNames.map(col).toSeq: _*)),
               tgtSchema, uniques, zone)
-          val rr = retRows(full)
-          full.write.insertInto(table)
-          result(n, rr)
+          val r = retStream(n, full)
+          afterWrite(r)(full.write.insertInto(table))
 
         case Some(s) if s.doUpdate.isEmpty =>
           // DO NOTHING: keep-first within the batch per arbiter, then
@@ -3444,9 +3721,8 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
             val others = uniques.filterNot(u => arbiters.exists(_.name == u.name))
             if (others.nonEmpty)
               checkUniqueDups(existing.unionByName(out), tgtSchema, others, zone)
-            val rr = retRows(out)
-            out.write.insertInto(table)
-            result(n, rr)
+            val r = retStream(n, out)
+            afterWrite(r)(out.write.insertInto(table))
           } finally out.unpersist()
 
         case Some(s) =>
@@ -3522,9 +3798,8 @@ HINT:  Ensure that no rows proposed for insertion within the same command have d
                 .unionByName(affected)
                 .select(tgtSchema.fieldNames.map(col).toSeq: _*)
               checkUniqueDups(next, tgtSchema, uniques, zone)
-              val rr = retRows(affected)
-              overwriteTable(spark, table, next)
-              result(nUpd + nIns, rr)
+              val r = retStream(nUpd + nIns, affected)
+              afterWrite(r)(overwriteTable(spark, table, next))
             } finally { updated.unpersist(); inserts.unpersist() }
           } finally spark.catalog.dropTempView(iView)
       }

@@ -37,6 +37,16 @@ object PgDmlDiffTool {
             out.println(s"STATE $table ${rows.size}")
             rows.foreach(out.println)
           }
+        } else if (line.startsWith(">")) {
+          // `><dml> RETURNING …`: dump sorted RETURNING rows + the tag
+          val r = c.query(line.drop(1).trim)
+          if (r.errors.nonEmpty) out.println(s"ROWS ERR ${r.errors.head._1}")
+          else {
+            val rows = r.rows.map(_.map(_.getOrElse("\\N")).mkString("|")).sorted
+            out.println(s"ROWS ${rows.size}")
+            rows.foreach(out.println)
+            out.println(s"TAG ${r.tags.headOption.getOrElse("OK")}")
+          }
         } else if (line.startsWith("!")) {
           // `!<query>`: dump the query's sorted rows (catalog probes)
           val r = c.query(line.drop(1).trim)

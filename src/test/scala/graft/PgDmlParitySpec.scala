@@ -55,6 +55,15 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
         val rows = r.rows.map(_.map(_.getOrElse("\\N")).mkString("|")).sorted
         out += s"STATE $table ${rows.size}"
         out ++= rows
+      } else if (line.startsWith(">")) {
+        val r = c.query(line.drop(1).trim)
+        if (r.errors.nonEmpty) out += s"ROWS ERR ${r.errors.head._1}"
+        else {
+          val rows = r.rows.map(_.map(_.getOrElse("\\N")).mkString("|")).sorted
+          out += s"ROWS ${rows.size}"
+          out ++= rows
+          out += s"TAG ${r.tags.headOption.getOrElse("OK")}"
+        }
       } else if (line.startsWith("!")) {
         val r = c.query(line.drop(1).trim)
         if (r.errors.nonEmpty) out += s"Q ERR ${r.errors.head._1}"
@@ -88,6 +97,24 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     // column with a NUMBER operand now dispatches through pg_contains
     // and the analyzer metadata retype)
     replay("/dml/script2.sql", "/dml/live2.txt")
+  }
+
+  test("sweep-38: randomized UPDATE…FROM / DELETE…USING matches live pg") {
+    // 46 mutations over a serial target joined against two source
+    // tables: single/multi FROM items, JOIN and subquery items,
+    // self-join, multi-column row assignment from FROM columns, 3VL,
+    // RETURNING with target+FROM references, `UPDATE n`/`DELETE n`
+    // counted once per target row however many FROM rows match
+    replay("/dml/script3.sql", "/dml/live3.txt")
+  }
+
+  test("sweep-38b: UPDATE…FROM / DELETE…USING edges match live pg") {
+    // alias-free cross join (no WHERE), ONLY, AS-aliases, LEFT JOIN
+    // in the FROM items (NULL-extended RETURNING), empty-match
+    // UPDATE 0, RETURNING expression aliases, and constrained
+    // targets: SET NOT NULL col to NULL → 23502, SET pk to an
+    // existing key → 23505 — live-pinned
+    replay("/dml/script3b.sql", "/dml/live3b.txt")
   }
 
   test("sweep-37: ALTER TABLE / TRUNCATE state machine matches live pg") {

@@ -65,9 +65,9 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     // alias form
     assert(c.query("UPDATE du AS d SET a = d.a WHERE d.id = 1").tags
       === Seq("UPDATE 1"))
-    // unsupported shape is an explicit 0A000, not a wrong answer
-    assert(c.query("UPDATE du SET a = 1 FROM du d2").errors.map(_._1)
-      === Seq("0A000"))
+    // UPDATE … FROM (no WHERE): every target row matches the cross
+    // join; each updated exactly once (sweep-38 pins the full shape)
+    assert(c.query("UPDATE du SET a = 1 FROM du d2").tags === Seq("UPDATE 3"))
     c.query("DROP TABLE du")
     c.close()
   }
@@ -91,7 +91,8 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     // no WHERE deletes everything
     assert(c.query("DELETE FROM dd").tags === Seq("DELETE 1"))
     assert(rows(c, "SELECT count(*) FROM dd") === Seq(Seq("0")))
-    assert(c.query("DELETE FROM dd USING dd d2").errors.map(_._1) === Seq("0A000"))
+    // DELETE … USING over an empty table: the cross join is empty
+    assert(c.query("DELETE FROM dd USING dd d2").tags === Seq("DELETE 0"))
     c.query("DROP TABLE dd")
     c.close()
   }
@@ -220,6 +221,63 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows(c, "SELECT id, a, b, u FROM uo14 ORDER BY id") === Seq(
       Seq("6", "53", "y", "2")))
     c.query("DROP TABLE uo14")
+    c.close()
+  }
+
+  test("constrained INSERT … ON CONFLICT RETURNING streams 50k rows without a driver collect") {
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS big_ret")
+    assert(c.query("CREATE TABLE big_ret (id int PRIMARY KEY, v text)").errors === Nil)
+    c.query("INSERT INTO big_ret VALUES (1, 'seed'), (2, 'seed')")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    // 50k proposed rows, 2 collide: the RETURNING rowset (49 998 rows)
+    // rides the materialized-RDD stream (r14: this path collect()ed
+    // the whole rowset to the driver)
+    val r = c.query(
+      "INSERT INTO big_ret SELECT CAST(id AS int), 'x' FROM range(1, 50001) " +
+        "ON CONFLICT (id) DO NOTHING RETURNING *")
+    assert(r.errors === Nil, r.errors)
+    assert(r.rows.length === 49998)
+    assert(r.tags === Seq("INSERT 0 49998"))
+    // the stream drained: the persisted RETURNING blocks are released
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+      "leaked persisted RETURNING rows")
+    assert(rows(c, "SELECT count(*) FROM big_ret") === Seq(Seq("50000")))
+    // portal Close mid-stream releases the constrained path too
+    c.parse("sbig", "INSERT INTO big_ret VALUES (70001, 'y'), (70002, 'y') " +
+      "ON CONFLICT (id) DO NOTHING RETURNING id")
+    c.bind("pbig", "sbig", Nil)
+    c.execute("pbig", maxRows = 1)
+    assert(c.sync().errors === Nil)
+    c.closeStmt('P', "pbig")
+    assert(c.sync().errors === Nil)
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+      "leaked persisted RETURNING rows after portal Close")
+    c.query("DROP TABLE big_ret")
+    c.close()
+  }
+
+  test("UPDATE … FROM RETURNING streams without a driver collect and releases its caches") {
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS big_uf")
+    c.query("DROP TABLE IF EXISTS big_ufs")
+    c.query("CREATE TABLE big_uf (id int, v text)")
+    c.query("CREATE TABLE big_ufs (k int, w text)")
+    c.query("INSERT INTO big_uf SELECT CAST(id AS int), 'a' FROM range(1, 20001)")
+    c.query("INSERT INTO big_ufs SELECT CAST(id AS int), 'B' FROM range(1, 10001)")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val r = c.query(
+      "UPDATE big_uf SET v = s.w FROM big_ufs s WHERE big_uf.id = s.k RETURNING big_uf.id")
+    assert(r.errors === Nil, r.errors)
+    assert(r.rows.length === 10000)
+    assert(r.tags === Seq("UPDATE 10000"))
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+      "leaked rid/matched/RETURNING caches")
+    assert(rows(c, "SELECT count(*) FROM big_uf WHERE v = 'B'") === Seq(Seq("10000")))
+    c.query("DROP TABLE big_uf")
+    c.query("DROP TABLE big_ufs")
     c.close()
   }
 
