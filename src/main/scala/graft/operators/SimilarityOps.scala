@@ -235,27 +235,55 @@ object SimilarityOps extends Serializable {
     * materializing (the per-cluster n²/k dot products are the
     * algorithm's intrinsic cost — SemDeDup scales k with corpus size
     * precisely so clusters stay bounded; the centroid count is the
-    * caller's knob, same contract as [[ivfAssign]]).
+    * caller's knob, same contract as [[ivfAssign]]). `maxCluster`
+    * guards the degenerate-quantizer case where clusters do NOT stay
+    * bounded: oversized clusters sub-bucket deterministically (or
+    * raise, with `overCapIsError`) instead of running m² on one key.
     *
     * Output: (vec_id, cluster, dup_of, keep) — dup_of = smallest
     * same-cluster id within τ (NULL ⟺ keep).
     */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
-      centroidIds: Seq[Long], tau2Num: Long, tau2Den: Long): DataFrame = {
+      centroidIds: Seq[Long], tau2Num: Long, tau2Den: Long,
+      maxCluster: Int = 200000, overCapIsError: Boolean = false): DataFrame = {
     graft.functions.VectorExpressions.install(embs.sparkSession)
     val cents = collectCentroids(embs, idCol, vecCol, centroidIds)
     val qv = quantize(col(vecCol))
     val (cluster, _) = nearestCentroid(cents, qv)
-    val assigned = embs.select(col(idCol).cast("long").as("vec_id"),
+    val assigned0 = embs.select(col(idCol).cast("long").as("vec_id"),
         cluster.as("cluster"), qv.as("qv"))
       .withColumn("nrm", qnorm2(col("qv")))
+    // Skew gate (the LSH-cap shape, ported here): a degenerate
+    // quantizer can land most of the corpus on ONE centroid, turning
+    // the within-cluster join into m² rows through a single key. One
+    // cheap agg (a row per cluster, broadcast back) sizes each
+    // cluster; a cluster over `maxCluster` splits into ceil(n/cap)
+    // deterministic xxhash64(vec_id) sub-buckets and pairs only
+    // within a sub-bucket — bounded cost, recall-only loss (a split
+    // near-dup group keeps extra copies, never marks a false dup).
+    // Callers that must not tolerate the approximation (oracle
+    // mirroring) set overCapIsError for a loud execution-time
+    // failure instead, the fuzzyJoin contract.
+    val sizes = assigned0.groupBy("cluster").agg(count(lit(1)).as("__cn"))
+    val assigned = assigned0.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("__nsub",
+        if (overCapIsError)
+          when(col("__cn") > maxCluster, raise_error(concat(
+            lit("semanticDedup: cluster "), col("cluster").cast("string"),
+            lit(" has "), col("__cn").cast("string"),
+            lit(s" vectors, over the $maxCluster sub-bucketing cap — " +
+              "results would not be oracle-mirrorable")))).otherwise(lit(1L))
+        else greatest(lit(1L),
+          ceil(col("__cn").cast("double") / lit(maxCluster.toDouble)).cast("long")))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("__nsub")))
+      .drop("__cn", "__nsub")
     val lhs = assigned.select(col("vec_id").as("ida"), col("cluster"),
-      col("qv").as("qa"), col("nrm").as("na"))
+      col("sub"), col("qv").as("qa"), col("nrm").as("na"))
     val rhs = assigned.select(col("vec_id").as("idb"), col("cluster"),
-      col("qv").as("qb"), col("nrm").as("nb"))
+      col("sub"), col("qv").as("qb"), col("nrm").as("nb"))
     val dec = "decimal(38,0)"
     val d = qdot(col("qa"), col("qb")).cast(dec)
-    val dupOf = lhs.join(rhs, Seq("cluster"))
+    val dupOf = lhs.join(rhs, Seq("cluster", "sub"))
       .filter(col("ida") > col("idb"))
       .withColumn("d", d)
       .filter(col("d") > 0 &&

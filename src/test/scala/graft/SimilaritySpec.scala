@@ -176,6 +176,56 @@ class SimilaritySpec extends SparkSpec {
     assert(got(5L) === ((2L, Some(2L), false)))       // same-cluster only
   }
 
+  test("semanticDedup cluster cap: skewed cluster sub-buckets, recall-only loss; strict mode raises") {
+    // one cluster holds ~90% of the vectors (every vector near the
+    // x-axis centroid 0); centroid 100 catches the rest. Near-dup
+    // groups: ids 0..39 are all mutual near-twins of each other.
+    val skewed = (0L until 40L).map { i =>
+      (i, Array(1.0f, 0.001f * i, 0.0f, 0.0f))
+    } ++ Seq(
+      (100L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (101L, Array(0.0f, 0.01f, 0.99f, 0.0f)),
+      (102L, Array(0.0f, 0.02f, 0.98f, 0.0f)),
+      (103L, Array(0.0f, 0.03f, 0.97f, 0.0f)))
+    val docs = skewed.toDF("vec_id", "embedding")
+    def run(cap: Int) = SimilarityOps.semanticDedup(docs, "vec_id",
+      "embedding", Seq(0L, 100L), tau2Num = 81, tau2Den = 100,
+      maxCluster = cap)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3))))
+      .toMap
+    val exact = run(1000000) // cap never engages
+    val capped = run(8)      // 40-vector cluster → ≥5 sub-buckets
+    // exact: everything in cluster 0 except id 0 is a dup of 0
+    assert(exact(0L) === ((None, true)))
+    assert((1L until 40L).forall(i => exact(i) === ((Some(0L), false))))
+    // capped: recall-only loss — every capped dup is a real dup (its
+    // dup_of is a smaller id in the same near-dup group), and every
+    // capped keep that exact dropped is purely a split-group miss
+    capped.foreach { case (id, (dupOf, keep)) =>
+      assert(keep === dupOf.isEmpty)
+      dupOf.foreach { d =>
+        assert(d < id, s"dup_of $d not smaller than $id")
+        assert(exact(id)._2 === false,
+          s"capped marked $id dup but exact kept it")
+      }
+    }
+    // the cap engaged: the skewed cluster kept MORE than exact's 1
+    val keptInBig = capped.count { case (id, (_, keep)) => id < 40L && keep }
+    assert(keptInBig > 1 && keptInBig < 40,
+      s"expected sub-bucketed partial dedup, got $keptInBig keeps")
+    // strict mode: an over-cap cluster is a loud failure, not thinning
+    val e = intercept[Exception] {
+      SimilarityOps.semanticDedup(docs, "vec_id", "embedding",
+        Seq(0L, 100L), tau2Num = 81, tau2Den = 100,
+        maxCluster = 8, overCapIsError = true).collect()
+    }
+    assert(e.getMessage.contains("sub-bucketing cap"))
+    // under-cap clusters are untouched by the gate
+    assert(run(64) === exact)
+  }
+
   test("typed int8 quantization is bit-identical to the expression form") {
     val embs = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     def key(r: org.apache.spark.sql.Row) =
