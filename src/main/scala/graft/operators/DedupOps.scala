@@ -940,8 +940,9 @@ object DedupOps {
     * Adaptive small-graph path: the pair list is the LSH gate's OUTPUT
     * — orders of magnitude smaller than the corpus — so when it fits
     * the same bound a broadcast join would accept
-    * (`smallGraphMaxPairs`, default 4M pairs ≈ 64 MB of longs), the
-    * transitive closure runs as driver-side union-find in ONE collect
+    * (`smallGraphMaxPairs`, default 4M pairs — streamed as primitives,
+    * never a boxed-Row collect; driver peak ≲100 MB at the bound), the
+    * transitive closure runs as driver-side union-find
     * instead of 3 shuffles × O(log d) rounds. This is the same runtime
     * adaptivity Spark itself applies at broadcast thresholds; a 100 TB
     * corpus whose duplicate graph exceeds the bound takes the
@@ -956,40 +957,62 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = p2.count()
     if (nPairs <= smallGraphMaxPairs) {
-      // driver union-find over the collected pair list (path halving +
-      // union by smaller ROOT — the representative must be the min id,
-      // so parent always points toward the smaller vertex)
-      val raw = p2.collect()
-      p2.unpersist(false)
-      val parent = new java.util.HashMap[Long, Long](raw.length * 2)
-      def find(x0: Long): Long = {
+      // driver union-find over PRIMITIVE arrays (the r14 shape
+      // collected GenericRows — ~100+ bytes/pair boxed, an order of
+      // magnitude over the "64 MB of longs" budget — and built a
+      // boxed HashMap on top). Here: one distinct-sort gives the node
+      // ids as a sorted long[]; pairs stream through toLocalIterator
+      // one partition at a time; union-find runs on an int[] indexed
+      // by binary search. Peak driver footprint at the 4M-pair bound
+      // is ids (≤64 MB) + parent (≤32 MB) + one pair partition.
+      import spark.implicits._
+      val nodesDs = p2.select(col("src").as("id"))
+        .union(p2.select(col("dst").as("id")))
+        .distinct().orderBy("id").as[Long]
+      val n = nodesDs.count().toInt
+      val ids = new Array[Long](n)
+      var k = 0
+      val nit = nodesDs.toLocalIterator()
+      while (nit.hasNext) { ids(k) = nit.next(); k += 1 }
+      // union by smaller ROOT — ids are sorted, so a smaller index IS
+      // the smaller id and the representative stays the min id
+      val parent = Array.tabulate(n)(identity)
+      def find(x0: Int): Int = {
         var x = x0
-        var p = parent.getOrDefault(x, x)
-        while (p != x) {
-          val gp = parent.getOrDefault(p, p)
-          parent.put(x, gp)
-          x = gp
-          p = parent.getOrDefault(x, x)
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)) // path halving
+          x = parent(x)
         }
         x
       }
-      raw.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        parent.putIfAbsent(a, a)
-        parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
+      val pit = p2.as[(Long, Long)].toLocalIterator()
+      while (pit.hasNext) {
+        val (a, b) = pit.next()
+        val ra = find(java.util.Arrays.binarySearch(ids, a))
+        val rb = find(java.util.Arrays.binarySearch(ids, b))
         if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val members = new java.util.TreeMap[Long, Long]() // id -> root
-      parent.keySet().forEach(id => members.put(id, find(id)))
-      val sizes = new java.util.HashMap[Long, Long]()
-      members.values().forEach(r => sizes.merge(r, 1L, (x, y) => x + y))
-      val rows = Vector.newBuilder[(Long, Long, Long)]
-      members.forEach((id, r) => rows += ((id, r, sizes.get(r).longValue())))
-      import spark.implicits._
-      return rows.result().toDF("doc_id", "cluster_id", "cluster_size")
+      p2.unpersist(false)
+      var i = 0
+      while (i < n) { parent(i) = find(i); i += 1 } // full compression
+      val size = new Array[Long](n)
+      i = 0
+      while (i < n) { size(parent(i)) += 1; i += 1 }
+      // ship the three primitive arrays once (broadcast) and build the
+      // result distributed instead of boxing n driver tuples
+      val sc = spark.sparkContext
+      val bIds = sc.broadcast(ids)
+      val bParent = sc.broadcast(parent)
+      val bSize = sc.broadcast(size)
+      return spark.range(n).as[Long].mapPartitions { iter =>
+        val idsL = bIds.value; val par = bParent.value; val sz = bSize.value
+        iter.map { iL =>
+          val j = iL.toInt
+          (idsL(j), idsL(par(j)), sz(par(j)))
+        }
+      }.toDF("doc_id", "cluster_id", "cluster_size")
     }
     val edges = p2
       .unionByName(p2.select(col("dst").as("src"), col("src").as("dst")))

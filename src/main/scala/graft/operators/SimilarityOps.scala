@@ -168,24 +168,19 @@ object SimilarityOps extends Serializable {
     * k-row lookup, the same broadcast-sized collect as the query side
     * of [[bruteForceTopK]].
     *
-    * Memoized per (session, source plan, cols, ids): the coarse
-    * quantizer's centroids are INDEX state — trained once, stored with
-    * the index, shared by every probe/assign/step over the same corpus
-    * — so re-running the k-row lookup job on every query construction
-    * is pure harness overhead (the same class of memo as
-    * [[graft.Tables.t]]'s scan cache; ~150 ms per build at test SF).
+    * Memoized per (session, data fingerprint, cols, ids) through the
+    * bounded [[PlanMemo]]: the coarse quantizer's centroids are INDEX
+    * state — trained once, stored with the index, shared by every
+    * probe/assign/step over the same corpus — so re-running the k-row
+    * lookup job on every query construction is pure harness overhead
+    * (~150 ms per build at test SF). The fingerprint keys on the
+    * input file list + stamps, so DML on the source table misses the
+    * memo instead of serving stale centroids.
     */
-  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, String, Seq[Long]),
-    Seq[(Long, Array[Long])]]()
-
   private def collectCentroids(embs: DataFrame, idCol: String, vecCol: String,
       ids: Seq[Long]): Seq[(Long, Array[Long])] =
-    centroidMemo.computeIfAbsent(
-      (embs.sparkSession, embs.queryExecution.logical, idCol, vecCol, ids),
-      _ => {
+    PlanMemo.getOrCompute[Seq[(Long, Array[Long])]](
+      ("centroids", PlanMemo.dataKey(embs), idCol, vecCol, ids)) {
         val cents = embs.filter(col(idCol).isin(ids: _*))
           .select(col(idCol).cast("long"), quantize(col(vecCol)))
           .collect()
@@ -194,7 +189,7 @@ object SimilarityOps extends Serializable {
         require(cents.size == ids.distinct.size,
           s"missing centroid rows: wanted ${ids.distinct.size}, found ${cents.size}")
         cents
-      })
+      }
 
   /** IVF coarse-quantizer assignment: every vector mapped to its
     * nearest centroid (max quantized dot, ties to smallest cid).

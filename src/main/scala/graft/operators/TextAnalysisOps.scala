@@ -174,26 +174,23 @@ object TextAnalysisOps extends Serializable {
     * [[stratifiedSample]] is exactly that operator; this one is the
     * exact-census variant for bounded group counts.
     */
-  private val censusMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
-    Seq[(String, Long)]]()
-
   def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
       alpha: Double = 0.5, targetTotal: Option[Long] = None): DataFrame = {
     require(alpha >= 0.0, "alpha must be non-negative")
     val spark = docs.sparkSession
     import spark.implicits._
-    // group census memoized per (session, source plan, group col) —
-    // catalog-style source metadata, the same memo class as
-    // SimilarityOps.collectCentroids (one row per source, re-collected
-    // once per distinct input rather than per query construction)
-    val counts = censusMemo.computeIfAbsent(
-      (spark, docs.queryExecution.logical, groupCol),
-      _ => docs.groupBy(col(groupCol).cast("string").as("grp"))
+    // group census memoized per (session, data fingerprint, group
+    // col) via the bounded PlanMemo — catalog-style source metadata,
+    // the same memo class as SimilarityOps.collectCentroids; the
+    // file-stamp fingerprint makes DML on the source a memo miss
+    // rather than a stale census
+    val counts = PlanMemo.getOrCompute[Seq[(String, Long)]](
+      ("census", PlanMemo.dataKey(docs), groupCol)) {
+      docs.groupBy(col(groupCol).cast("string").as("grp"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
-        .sortBy(_._1).toSeq)
+        .sortBy(_._1).toSeq
+    }
     val total = targetTotal.getOrElse(counts.map(_._2).sum).toDouble
     // sorted-order left fold — the oracle's sum(... ORDER BY grp)
     val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) =>

@@ -37,7 +37,7 @@ case object EmptyQuery extends PgResult
   */
 object Handlers {
 
-  import Compat.{Tok, Word}
+  import Compat.{Tok, Word, QIdent}
 
   def execute(spark: SparkSession, session: Session, rawSql: String,
       auth: Option[AuthManager] = None, hooks: Seq[QueryHook] = Nil): PgResult = {
@@ -58,12 +58,24 @@ object Handlers {
       throw PgException("25P01",
         "current transaction is aborted, commands ignored until end of transaction block")
 
-    // unpopulated-matview scan guard (pg raises 55000 on ANY read of a
-    // WITH NO DATA matview until the first REFRESH)
-    if (head != "REFRESH" && head != "DROP") {
+    // unpopulated-matview scan guard (pg raises 55000 on a read of a
+    // WITH NO DATA matview until the first REFRESH). Non-executing
+    // heads are exempt: DROP/REFRESH/LOCK and plan-only EXPLAIN
+    // succeed in pg against an unpopulated matview; EXPLAIN ANALYZE
+    // executes and does raise (ADVICE r14).
+    val explainOnly = head == "EXPLAIN" &&
+      !toks.drop(1).takeWhile(t => !t.isWord("SELECT"))
+        .exists(_.isWord("ANALYZE"))
+    // CREATE … WITH NO DATA stores the body without executing it —
+    // pg happily creates over an unpopulated matview (live-pinned)
+    val noDataCreate = head == "CREATE" &&
+      "(?is)WITH\\s+NO\\s+DATA\\s*;?\\s*$".r.findFirstIn(sql).isDefined
+    if (head != "REFRESH" && head != "DROP" && head != "LOCK" &&
+      !explainOnly && !noDataCreate) {
       val unpop = PgMatViews.unpopulated
       if (unpop.nonEmpty)
-        referencedTables(toks).map(_.toLowerCase).find(unpop.contains).foreach { n =>
+        referencedTables(toks).find(n =>
+          unpop.contains(n) || unpop.contains(n.toLowerCase)).foreach { n =>
           throw PgException("55000",
             s"""materialized view "$n" has not been populated""")
         }
@@ -245,6 +257,10 @@ object Handlers {
             chains.last += channelName(t)
         }
         chains.map(_.lastOption).flatten.foreach { n =>
+          // pg refuses to LOCK a matview outright (42809, live-pinned
+          // "cannot lock relation") — before the existence check
+          if (PgMatViews.lookup(n).isDefined)
+            throw PgException("42809", s"""cannot lock relation "$n"""")
           if (scala.util.Try(spark.table(n)).isFailure)
             throw PgException("42P01", s"""relation "$n" does not exist""")
         }
@@ -254,11 +270,14 @@ object Handlers {
         handleDropMatView(spark, sql)
       case "DROP" if second == "VIEW" => handleDropView(spark, sql)
       case "DROP" if second == "TABLE" &&
-          referencedTables(toks).exists(n =>
-            PgMatViews.lookup(n.toLowerCase).isDefined) =>
-        val n = referencedTables(toks)
-          .find(n => PgMatViews.lookup(n.toLowerCase).isDefined).get
-        throw PgException("42809", s""""${n.toLowerCase}" is not a table""")
+          dropTableNames(sql).exists(n => PgMatViews.lookup(n).isDefined) =>
+        // parse the DROP name list directly: referencedTables took the
+        // token after TABLE, so `DROP TABLE IF EXISTS mv` read "if" and
+        // skipped the guard, deleting the backing table out from under
+        // the matview registry (ADVICE r14)
+        val n = dropTableNames(sql)
+          .find(n => PgMatViews.lookup(n).isDefined).get
+        throw PgException("42809", s""""$n" is not a table""")
       case "CREATE" if second == "TABLE" || second == "TEMP" ||
           second == "TEMPORARY" || second == "UNLOGGED" =>
         pgCreateTable(spark, sql)
@@ -835,6 +854,16 @@ object Handlers {
 
   // ---- RBAC statements (reference: auth.rs, permissions.rs) -------------
 
+  /** Relation names of a `DROP TABLE [IF EXISTS] n1, n2, … [CASCADE]`
+    * statement, normalized like [[viewRelName]]. */
+  private def dropTableNames(sql: String): Seq[String] =
+    ("(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(.+?)" +
+      "\\s*(?:CASCADE|RESTRICT)?\\s*;?\\s*$").r
+      .findFirstMatchIn(sql).toSeq.flatMap { m =>
+        splitTopLevelText(m.group(1), ',').map(_.trim).filter(_.nonEmpty)
+          .map(viewRelName)
+      }
+
   /** Tables referenced by a statement — the scopes the permission gate
     * checks. Heuristic token scan (FROM/JOIN/INTO/UPDATE targets);
     * pg_catalog names are excluded (readable by everyone).
@@ -848,14 +877,21 @@ object Handlers {
         (t.isWord("UPDATE") && i == 0) || (t.isWord("TABLE") && i <= 1)
       if (isIntro && i + 1 < toks.length) {
         val n = toks(i + 1)
-        if (n.kind == Word && !n.isWord("SELECT") && !n.isWord("LATERAL")) {
+        if (n.kind == QIdent) {
+          // quoted relation name: case-significant, taken verbatim
+          out += n.text.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+        } else if (n.kind == Word && !n.isWord("SELECT") && !n.isWord("LATERAL")) {
           // take last segment of a qualified chain
           var j = i + 1
           var name = n.text
-          while (j + 2 < toks.length && toks(j + 1).is(".") && toks(j + 2).kind == Word) {
+          while (j + 2 < toks.length && toks(j + 1).is(".") &&
+            (toks(j + 2).kind == Word || toks(j + 2).kind == QIdent)) {
             name = toks(j + 2).text; j += 2
           }
-          val lower = name.toLowerCase
+          val lower =
+            if (name.startsWith("\""))
+              name.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+            else name.toLowerCase
           if (!lower.startsWith("pg_") && lower != "range" && lower != "generate_series")
             out += lower
           i = j
@@ -1807,7 +1843,22 @@ object Handlers {
         throw PgException("42809", s""""$name" is not a materialized view""")
       throw PgException("42P01", s"""relation "$name" does not exist""")
     }
-    overwriteTable(spark, name, spark.sql(mv.rewritten))
+    // a body reading an unpopulated matview raises 55000, as the
+    // direct read would (the execute() guard only sees the REFRESH
+    // statement's own tokens, not the stored body)
+    val unpop = PgMatViews.unpopulated - name
+    if (unpop.nonEmpty)
+      referencedTables(Compat.tokenize(mv.definition).filter(_.kind != Compat.Ws))
+        .find(n => unpop.contains(n) || unpop.contains(n.toLowerCase))
+        .foreach { n =>
+          throw PgException("55000",
+            s"""materialized view "$n" has not been populated""")
+        }
+    // refresh through the SAME dialect path CREATE used (runSql:
+    // PgSemantics, populate_record expansion, catalog refresh) — the
+    // stored Spark-side rewrite can go stale vs pg semantics state
+    // (e.g. enum names minted after CREATE)
+    overwriteTable(spark, name, runSql(spark, mv.definition))
     PgMatViews.setPopulated(name)
     PgCatalog.invalidate()
     Complete("REFRESH MATERIALIZED VIEW")

@@ -107,4 +107,52 @@ class MatViewSpec extends SparkSpec with BeforeAndAfterAll {
     assert(tag("DROP MATERIALIZED VIEW mva, mvb") === "DROP MATERIALIZED VIEW")
     assert(rows("SELECT count(*) AS n FROM pg_matviews").head.getLong(0) === 0L)
   }
+
+  test("DROP TABLE IF EXISTS on a matview is 42809, backing table intact (live-pinned)") {
+    tag("CREATE MATERIALIZED VIEW mv5 AS SELECT 1 AS x")
+    // r14 bug: referencedTables read the token after TABLE ('if'),
+    // skipped the guard, and pgDropTable deleted the backing table
+    val e = intercept[PgException](tag("DROP TABLE IF EXISTS mv5"))
+    assert(e.code === "42809" && e.msg === """"mv5" is not a table""")
+    assert(rows("SELECT x FROM mv5").head.getInt(0) === 1) // still refreshable/readable
+    assert(tag("REFRESH MATERIALIZED VIEW mv5") === "REFRESH MATERIALIZED VIEW")
+    tag("DROP MATERIALIZED VIEW mv5")
+  }
+
+  test("unpopulated guard edges: quoted names fire, EXPLAIN/LOCK/NO-DATA-create exempt (live-pinned)") {
+    tag("""CREATE MATERIALIZED VIEW "MyMV" AS SELECT a FROM mt WITH NO DATA""")
+    // quoted, case-significant reference raises 55000 (r14: QIdent
+    // tokens dodged the referencedTables scan entirely)
+    val e1 = intercept[PgException](rows("""SELECT * FROM "MyMV""""))
+    assert(e1.code === "55000" &&
+      e1.msg === """materialized view "MyMV" has not been populated""")
+    tag("""DROP MATERIALIZED VIEW "MyMV"""")
+
+    tag("CREATE MATERIALIZED VIEW mv6 AS SELECT a FROM mt WITH NO DATA")
+    // plain EXPLAIN is plan-only and succeeds in pg; ANALYZE executes
+    assert(rows("EXPLAIN SELECT * FROM mv6").nonEmpty)
+    val e2 = intercept[PgException](rows("EXPLAIN ANALYZE SELECT * FROM mv6"))
+    assert(e2.code === "55000")
+    // LOCK TABLE on a matview is 42809 in pg ("cannot lock relation"),
+    // not 55000 and not success (one session: LOCK needs a txn block)
+    val sess = new Session(2, "postgres", "postgres")
+    Handlers.execute(spark, sess, "BEGIN")
+    val e3 = intercept[PgException](
+      Handlers.execute(spark, sess, "LOCK TABLE mv6"))
+    assert(e3.code === "42809" && e3.msg === """cannot lock relation "mv6"""")
+    Handlers.execute(spark, sess, "ROLLBACK")
+    // CREATE … WITH NO DATA over an unpopulated matview succeeds (the
+    // body is stored, not executed); REFRESH of it then raises 55000
+    // against the body's unpopulated source
+    assert(tag("CREATE MATERIALIZED VIEW mv7 AS SELECT * FROM mv6 WITH NO DATA")
+      === "CREATE MATERIALIZED VIEW")
+    val e4 = intercept[PgException](tag("REFRESH MATERIALIZED VIEW mv7"))
+    assert(e4.code === "55000" &&
+      e4.msg === """materialized view "mv6" has not been populated""")
+    assert(tag("REFRESH MATERIALIZED VIEW mv6") === "REFRESH MATERIALIZED VIEW")
+    assert(tag("REFRESH MATERIALIZED VIEW mv7") === "REFRESH MATERIALIZED VIEW")
+    assert(rows("SELECT count(*) AS n FROM mv7").head.getLong(0) > 0L)
+    tag("DROP MATERIALIZED VIEW mv7")
+    tag("DROP MATERIALIZED VIEW mv6")
+  }
 }
