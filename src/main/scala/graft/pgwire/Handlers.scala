@@ -1192,7 +1192,11 @@ object Handlers {
   /** Parsed column-level constraint clauses. */
   private final case class ColCons(notNull: Boolean, pk: Boolean,
     unique: Boolean, uniqueName: Option[String], default: Option[String],
-    identity: Boolean)
+    identity: Boolean,
+    /** column-level `[CONSTRAINT name] CHECK (expr)` clauses */
+    checks: Seq[(Option[String], String)] = Nil,
+    /** column-level `REFERENCES reftable [(refcols)]` — recorded */
+    refs: Option[(String, Option[String])] = None)
 
   /** Scan a raw column def's constraint tail (everything after the
     * type spelling). Live-pinned semantics in PgDmlSpec; FK clauses
@@ -1208,8 +1212,21 @@ object Handlers {
     var default: Option[String] = None
     var identity = false
     var pendingName: Option[String] = None
+    val checks = Seq.newBuilder[(Option[String], String)]
+    var refs: Option[(String, Option[String])] = None
     var rest = tail
     def eat(): Unit = rest = rest.drop(1)
+    /** balanced paren group starting at/after `from` in the raw def */
+    def parenGroup(from: Int): Option[(String, Int)] = {
+      var p = from
+      while (p < d.length && d.charAt(p).isWhitespace) p += 1
+      if (p >= d.length || d.charAt(p) != '(') None
+      else {
+        val close = matchingParenStr(d.substring(p), 0)
+        if (close < 0) None
+        else Some((d.substring(p + 1, p + close), p + close + 1))
+      }
+    }
     while (rest.nonEmpty) {
       val (w, _, end) = rest.head
       w match {
@@ -1240,6 +1257,11 @@ object Handlers {
           while (rest.nonEmpty && rest.head._2 < stopAt) eat()
         case "references" =>
           eat() // table name word
+          rest.headOption.foreach { case (_, st, en) =>
+            val refTbl = d.substring(st, en)
+            val refCols = parenGroup(en).map(_._1)
+            refs = Some((refTbl, refCols))
+          }
           if (rest.nonEmpty) eat()
           // MATCH FULL|PARTIAL|SIMPLE
           if (rest.headOption.exists(_._1 == "match")) { eat(); if (rest.nonEmpty) eat() }
@@ -1257,7 +1279,13 @@ object Handlers {
               case _ => more = false
             }
           }
-        case "check" => eat() // paren group is invisible at depth 0
+        case "check" =>
+          val (_, _, kwEnd) = rest.head
+          eat()
+          parenGroup(kwEnd).foreach { case (expr, _) =>
+            checks += ((pendingName, expr.trim))
+          }
+          pendingName = None
         case "constraint" =>
           eat()
           pendingName = rest.headOption.map(_._1)
@@ -1274,12 +1302,84 @@ object Handlers {
         case _ => eat()
       }
     }
-    ColCons(notNull, pk, uniq, uniqueName, default, identity)
+    ColCons(notNull, pk, uniq, uniqueName, default, identity,
+      checks.result(), refs)
   }
 
   /** Entry starters that mark a TABLE-level constraint (skipped). */
   private val tableConstraintKws = Set("primary", "unique", "check",
     "constraint", "foreign", "exclude", "like")
+
+  /** pg's CHECK auto-name: `<t>_<col>_check` when the expression (or
+    * the defining column) references exactly one column, else
+    * `<t>_check`; duplicates get a bare numeric suffix (live-pinned:
+    * `ct_b_check1`). */
+  private def resolveCheckName(tNorm: String, nameOpt: Option[String],
+      expr: String, colHint: Option[String], fieldNames: Seq[String],
+      taken: Set[String]): String = {
+    val base = nameOpt.getOrElse {
+      val refs = colHint.map(c => Seq(c.toLowerCase)).getOrElse {
+        val names = fieldNames.map(_.toLowerCase).toSet
+        Compat.tokenize(expr)
+          .filter(t => t.kind == Compat.Word || t.kind == Compat.QIdent)
+          .map(t => unq(t.text).toLowerCase).filter(names).distinct
+      }
+      if (refs.size == 1) s"${tNorm}_${refs.head}_check" else s"${tNorm}_check"
+    }
+    if (!taken(base)) base
+    else {
+      var k = 1
+      while (taken(base + k)) k += 1
+      base + k
+    }
+  }
+
+  /** Build a recorded FOREIGN KEY: pg_get_constraintdef text with the
+    * referenced columns resolved to the target's pk when omitted. */
+  private def mkFk(spark: SparkSession, tNorm: String, nameOpt: Option[String],
+      cols: Seq[String], refTbl: String, refColsOpt: Option[String],
+      taken: Set[String]): PgConstraints.Fk = {
+    val refCols = refColsOpt.filter(_.nonEmpty).getOrElse {
+      scala.util.Try(spark.table(refTbl).schema).toOption
+        .flatMap(s => PgConstraints.uniquesOf(refTbl, s).find(_.isPrimary))
+        .map(_.cols.mkString(", ")).getOrElse(cols.mkString(", "))
+    }
+    val base = nameOpt.getOrElse(
+      s"${tNorm}_${cols.map(_.toLowerCase).mkString("_")}_fkey")
+    val name =
+      if (!taken(base)) base
+      else {
+        var k = 1
+        while (taken(base + k)) k += 1
+        base + k
+      }
+    PgConstraints.Fk(name,
+      s"FOREIGN KEY (${cols.mkString(", ")}) REFERENCES $refTbl($refCols)")
+  }
+
+  /** 23514 check over the rows actually being written: a row whose
+    * CHECK expression is FALSE violates; NULL passes (pg's rule).
+    * The expression is pg-dialect text, so it evaluates through
+    * runSql over a temp view of the write-set. */
+  private def checkChecks(spark: SparkSession, df: DataFrame,
+      schema: StructType, table: String, zone: java.time.ZoneId): Unit = {
+    val checks = PgConstraints.checksOf(table, schema)
+    if (checks.isEmpty) return
+    val v = s"__ck_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(v)
+    try checks.foreach { ck =>
+      val bad = runSql(spark,
+        s"SELECT * FROM `$v` WHERE NOT coalesce((${ck.expr}), true)")
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw PgException("23514",
+          s"""new row for relation "$table" violates check constraint "${ck.name}"
+DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
+    } finally {
+      try spark.catalog.dropTempView(v)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
 
   /** `CREATE TABLE name (coldefs)` in pg dialect: pg type spellings
     * (serial, text, int4, numeric(p,s), timestamptz, …) resolve to
@@ -1314,6 +1414,12 @@ object Handlers {
     if (defs.isEmpty) return None
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     val uniques = scala.collection.mutable.ArrayBuffer.empty[PgConstraints.Unique]
+    // raw CHECK/FK clauses; names resolve after all defs are parsed
+    // (pg's auto-name needs the full column set)
+    val rawChecks = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[String], String, Option[String])] // (name, expr, col hint)
+    val rawFks = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[String], Seq[String], String, Option[String])]
     val tNorm = PgSequences.normName(table)
     var sawPk = false
     def addUnique(cols: Seq[String], isPk: Boolean, name: Option[String]): Unit = {
@@ -1363,13 +1469,39 @@ object Handlers {
               if (kind == "primary") tablePkCols ++= cols.map(_.toLowerCase)
             }
           }
-        }
+        } else if (kind == "check") {
+          // balanced group after the CHECK keyword in the raw text
+          "(?is)\\bCHECK\\b".r.findFirstMatchIn(d).foreach { km =>
+            var p = km.end
+            while (p < d.length && d.charAt(p).isWhitespace) p += 1
+            if (p < d.length && d.charAt(p) == '(') {
+              val cl = matchingParenStr(d.substring(p), 0)
+              if (cl > 0)
+                rawChecks += ((consName, d.substring(p + 1, p + cl).trim, None))
+            }
+          }
+        } else if (kind == "foreign") {
+          ("(?is)FOREIGN\\s+KEY\\s*\\(([^)]*)\\)\\s+REFERENCES\\s+" +
+            "(\"[^\"]+\"|[\\w$.]+)\\s*(?:\\(([^)]*)\\))?").r
+            .findFirstMatchIn(d).foreach { fm =>
+              val cols = fm.group(1).split(",").toSeq.map(c => unq(c.trim))
+                .filter(_.nonEmpty)
+              rawFks += ((consName, cols, unq(fm.group(2)),
+                Option(fm.group(3)).map(_.trim)))
+            }
+        } // EXCLUDE/LIKE stay accepted-and-ignored
       } else {
         fields += (parseColDef(spark, tNorm, d) match {
           case Some((f, cons)) =>
             if (cons.pk) addUnique(Seq(f.name), isPk = true, None)
             if (cons.unique) addUnique(Seq(f.name), isPk = false,
               cons.uniqueName.orElse(Some(s"${tNorm}_${f.name.toLowerCase}_key")))
+            cons.checks.foreach { case (nm, expr) =>
+              rawChecks += ((nm, expr, Some(f.name)))
+            }
+            cons.refs.foreach { case (reft, refCols) =>
+              rawFks += ((None, Seq(f.name), reft, refCols))
+            }
             f
           case None => return None // unknown spelling → Spark path decides
         })
@@ -1385,6 +1517,20 @@ object Handlers {
           new MetadataBuilder().withMetadata(f.metadata)
             .putBoolean("pg.notnull", value = true).build())
     }
+    // resolve CHECK/FK names against the full column set (auto-names
+    // + duplicate suffixes, live-pinned: ct_a_check, ct_check, …1)
+    val checks = scala.collection.mutable.ArrayBuffer.empty[PgConstraints.Check]
+    val fks = scala.collection.mutable.ArrayBuffer.empty[PgConstraints.Fk]
+    def takenNames: Set[String] =
+      (uniques.map(_.name) ++ checks.map(_.name) ++ fks.map(_.name)).toSet
+    rawChecks.foreach { case (nm, expr, hint) =>
+      checks += PgConstraints.Check(
+        resolveCheckName(tNorm, nm, expr, hint,
+          fields.toSeq.map(_.name), takenNames), expr)
+    }
+    rawFks.foreach { case (nm, cols, reft, refColsOpt) =>
+      fks += mkFk(spark, tNorm, nm, cols, reft, refColsOpt, takenNames)
+    }
     // the unique set rides on the first column's metadata so a fresh
     // JVM can rebuild the registry from the catalog schema
     if (uniques.nonEmpty) {
@@ -1392,6 +1538,18 @@ object Handlers {
       fields(0) = StructField(f.name, f.dataType, f.nullable,
         new MetadataBuilder().withMetadata(f.metadata)
           .putString("pg.uniques", PgConstraints.serialize(uniques.toSeq)).build())
+    }
+    if (checks.nonEmpty) {
+      val f = fields(0)
+      fields(0) = StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString("pg.checks", PgConstraints.serializeChecks(checks.toSeq)).build())
+    }
+    if (fks.nonEmpty) {
+      val f = fields(0)
+      fields(0) = StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString("pg.fks", PgConstraints.serializeFks(fks.toSeq)).build())
     }
     Some {
       if (spark.catalog.tableExists(table)) {
@@ -1401,6 +1559,8 @@ object Handlers {
         spark.catalog.createTable(table, "parquet",
           StructType(fields.toArray), Map.empty[String, String])
         PgConstraints.register(table, uniques.toSeq)
+        PgConstraints.registerChecks(table, checks.toSeq)
+        PgConstraints.registerFks(table, fks.toSeq)
         fields.filter(_.metadata.contains("pg.serial")).foreach { f =>
           val seq = f.metadata.getString("pg.serial")
           // pg types the owned sequence after the serial family:
@@ -1541,19 +1701,36 @@ object Handlers {
     * exactly once, at spill time. */
   private def replaceTable(spark: SparkSession, table: String,
       fields: Seq[StructField], uniques: Seq[PgConstraints.Unique],
-      next: org.apache.spark.sql.DataFrame): Long = {
+      next: org.apache.spark.sql.DataFrame,
+      checks: Seq[PgConstraints.Check] = null,
+      fks: Seq[PgConstraints.Fk] = null): Long = {
     val tNorm = PgSequences.normName(table)
+    // null ⇒ carry the table's current CHECK/FK set unchanged
+    val cks = Option(checks).getOrElse(
+      scala.util.Try(PgConstraints.checksOf(table, spark.table(table).schema))
+        .getOrElse(Nil))
+    val fkz = Option(fks).getOrElse(
+      scala.util.Try(PgConstraints.fksOf(table, spark.table(table).schema))
+        .getOrElse(Nil))
     val cleaned = fields.map { f =>
       val mb = new MetadataBuilder().withMetadata(f.metadata)
       mb.remove("pg.uniques")
+      mb.remove("pg.checks")
+      mb.remove("pg.fks")
       StructField(f.name, f.dataType, f.nullable, mb.build())
     }.toArray
-    if (uniques.nonEmpty) {
+    def attach(key: String, value: String): Unit = {
       val f = cleaned(0)
       cleaned(0) = StructField(f.name, f.dataType, f.nullable,
         new MetadataBuilder().withMetadata(f.metadata)
-          .putString("pg.uniques", PgConstraints.serialize(uniques)).build())
+          .putString(key, value).build())
     }
+    if (uniques.nonEmpty)
+      attach("pg.uniques", PgConstraints.serialize(uniques))
+    if (cks.nonEmpty)
+      attach("pg.checks", PgConstraints.serializeChecks(cks))
+    if (fkz.nonEmpty)
+      attach("pg.fks", PgConstraints.serializeFks(fkz))
     val tmp = java.nio.file.Files.createTempDirectory("graft_ddl_")
     val written = try {
       next.write.mode("overwrite").parquet(tmp.toString)
@@ -1561,6 +1738,8 @@ object Handlers {
       spark.catalog.createTable(table, "parquet",
         StructType(cleaned), Map.empty[String, String])
       PgConstraints.register(table, uniques)
+      PgConstraints.registerChecks(table, cks)
+      PgConstraints.registerFks(table, fkz)
       val spilled = spark.read.parquet(tmp.toString)
       val n = spilled.count() // parquet footer metadata — no scan
       spilled.write.mode("overwrite").insertInto(table)
@@ -2066,9 +2245,13 @@ HINT:  You can drop constraint $name on table $t instead.""")
       if (spark.catalog.tableExists(newName))
         throw PgException("42P07", s"""relation "$newName" already exists""")
       val uq = PgConstraints.uniquesOf(table, schema)
+      val cks = PgConstraints.checksOf(table, schema)
+      val fkz = PgConstraints.fksOf(table, schema)
       runSql(spark, s"ALTER TABLE ${qid(table)} RENAME TO ${qid(newName)}").collect()
       PgConstraints.drop(table)
       PgConstraints.register(newName, uq) // constraint NAMES keep the old prefix, like pg
+      PgConstraints.registerChecks(newName, cks)
+      PgConstraints.registerFks(newName, fkz)
       PgIndexes.renameTable(table, newName)
       PgSequences.dropTableSerials(tNorm)
       PgSequences.registerTableSerials(PgSequences.normName(newName),
@@ -2084,6 +2267,10 @@ HINT:  You can drop constraint $name on table $t instead.""")
       schema.fields.map(f => qid(f.name)): _*)
     val uniques = scala.collection.mutable.ArrayBuffer(
       PgConstraints.uniquesOf(table, schema): _*)
+    val checks = scala.collection.mutable.ArrayBuffer(
+      PgConstraints.checksOf(table, schema): _*)
+    val fks = scala.collection.mutable.ArrayBuffer(
+      PgConstraints.fksOf(table, schema): _*)
     // fill expressions that must evaluate once, at write time only —
     // validation frames see typed NULL in their place
     val nondetCols = scala.collection.mutable.Set.empty[String]
@@ -2187,7 +2374,50 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
               if (isPk) s"${tNorm}_pkey"
               else s"${tNorm}_${cols.map(_.toLowerCase).mkString("_")}_key")
             addUniqueChecked(name, cols, isPk)
-          } // FK/CHECK/EXCLUDE: accepted-and-ignored, the CREATE TABLE rule
+          } else if (kind == "check") {
+            if (!tail.startsWith("("))
+              throw PgException("42601",
+                "syntax error in ALTER TABLE ADD CONSTRAINT")
+            val close = matchingParenStr(tail, 0)
+            if (close < 0)
+              throw PgException("42601",
+                "syntax error in ALTER TABLE ADD CONSTRAINT")
+            val expr = tail.substring(1, close).trim
+            val taken = (uniques.map(_.name) ++ checks.map(_.name) ++
+              fks.map(_.name)).toSet
+            val name = resolveCheckName(tNorm, consName, expr, None,
+              fields.toSeq.map(_.name), taken)
+            // pg validates existing rows BEFORE accepting (live-pinned:
+            // `check constraint "X" of relation "t" is violated by
+            // some row`, no DETAIL)
+            validations += { () =>
+              val v = s"__ckv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+              validationDf().createOrReplaceTempView(v)
+              try {
+                val bad = runSql(spark,
+                  s"SELECT 1 FROM `$v` WHERE NOT coalesce(($expr), true)")
+                  .limit(1).collect()
+                if (bad.nonEmpty)
+                  throw PgException("23514",
+                    s"""check constraint "$name" of relation "$table" is violated by some row""")
+              } finally {
+                try spark.catalog.dropTempView(v)
+                catch { case scala.util.control.NonFatal(_) => }
+              }
+            }
+            checks += PgConstraints.Check(name, expr)
+          } else if (kind == "foreign key") {
+            ("(?is)^\\(([^)]*)\\)\\s+REFERENCES\\s+" +
+              "(\"[^\"]+\"|[\\w$.]+)\\s*(?:\\(([^)]*)\\))?").r
+              .findFirstMatchIn(tail).foreach { fm =>
+                val cols = fm.group(1).split(",").toSeq.map(c => unq(c.trim))
+                  .filter(_.nonEmpty)
+                val taken = (uniques.map(_.name) ++ checks.map(_.name) ++
+                  fks.map(_.name)).toSet
+                fks += mkFk(spark, tNorm, consName, cols, unq(fm.group(2)),
+                  Option(fm.group(3)).map(_.trim), taken)
+              }
+          } // EXCLUDE: accepted-and-ignored, the CREATE TABLE rule
         case "add" =>
           val am = ("(?is)^ADD\\s+(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?(.*)$").r
             .findFirstMatchIn(a).get
@@ -2252,12 +2482,16 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
               "syntax error in ALTER TABLE DROP CONSTRAINT"))
           val name = unq(dm.group(2)).toLowerCase
           val i = uniques.indexWhere(_.name == name)
+          val ci = checks.indexWhere(_.name == name)
+          val fi = fks.indexWhere(_.name == name)
           // a unique INDEX is not a constraint — pg raises 42704 here
           // and points the user at DROP INDEX
-          if (i < 0 || PgIndexes.lookup(name).exists(_.unique)) {
-            if (dm.group(1) == null) throw PgException("42704",
-              s"""constraint "$name" of relation "$table" does not exist""")
-          } else uniques.remove(i)
+          if (i >= 0 && !PgIndexes.lookup(name).exists(_.unique))
+            uniques.remove(i)
+          else if (ci >= 0) checks.remove(ci)
+          else if (fi >= 0) fks.remove(fi)
+          else if (dm.group(1) == null) throw PgException("42704",
+            s"""constraint "$name" of relation "$table" does not exist""")
           // pk members KEEP NOT NULL after the pkey drops, like pg
         case "drop" =>
           val dm = ("(?is)^DROP\\s+(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?" +
@@ -2276,6 +2510,12 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
             // an owned serial sequence drops too
             val drop = uniques.filter(_.cols.exists(_.equalsIgnoreCase(f.name)))
             drop.foreach(u => uniques -= u)
+            val colWord = ("(?i)\\b" +
+              java.util.regex.Pattern.quote(f.name) + "\\b").r
+            checks.filter(c => colWord.findFirstIn(c.expr).isDefined)
+              .foreach(c => checks -= c)
+            fks.filter(k => colWord.findFirstIn(k.condef).isDefined)
+              .foreach(k => fks -= k)
             if (f.metadata.contains("pg.serial"))
               PgSequences.drop(f.metadata.getString("pg.serial"), ifExists = true)
             PgIndexes.dropColumn(table, f.name)
@@ -2383,6 +2623,19 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           uniques(j) = u.copy(cols = u.cols.map(c =>
             if (c.equalsIgnoreCase(f.name)) newName else c))
       }
+      // checks/fks rewrite their stored text, like pg's dependency
+      // machinery rewrites the expression tree
+      val colWordR = ("(?i)\\b" +
+        java.util.regex.Pattern.quote(f.name) + "\\b").r
+      val repl = scala.util.matching.Regex.quoteReplacement(newName)
+      checks.indices.foreach { j =>
+        checks(j) = checks(j).copy(
+          expr = colWordR.replaceAllIn(checks(j).expr, repl))
+      }
+      fks.indices.foreach { j =>
+        fks(j) = fks(j).copy(
+          condef = colWordR.replaceAllIn(fks(j).condef, repl))
+      }
       PgIndexes.renameColumn(table, f.name, newName)
       fields(i) = StructField(newName, f.dataType, f.nullable, f.metadata)
       // exprs(i) still reads the OLD column; replaceTable aliases it
@@ -2397,7 +2650,8 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     val sel = fields.indices.map(i => s"${exprs(i)} AS ${qid(fields(i).name)}")
       .mkString(", ")
     val written = replaceTable(spark, table, fields.toSeq, uniques.toSeq,
-      runSql(spark, s"SELECT $sel FROM ${qid(table)}"))
+      runSql(spark, s"SELECT $sel FROM ${qid(table)}"),
+      checks = checks.toSeq, fks = fks.toSeq)
     // an ADDed serial column numbered existing rows 1..n — advance
     // its sequence past them (pg: the next INSERT draws n+1)
     if (written > 0) createdSeqs.filter(PgSequences.exists).foreach(seq =>
@@ -2989,6 +3243,7 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
       if (isUpdate && PgConstraints.hasAny(table, schema)) {
         val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
         checkNotNull(newRows, schema, table, zone)
+        checkChecks(spark, newRows, schema, table, zone)
         checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
       }
       val tagWord = if (isUpdate) "UPDATE" else "DELETE"
@@ -3105,7 +3360,9 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     def validateUpdate(matchedNew: => DataFrame, next: => DataFrame): Unit =
       if (PgConstraints.hasAny(table, schema)) {
         val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-        checkNotNull(matchedNew, schema, table, zone)
+        val mn = matchedNew
+        checkNotNull(mn, schema, table, zone)
+        checkChecks(spark, mn, schema, table, zone)
         checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
       }
     if (nondet) {
@@ -3742,6 +3999,7 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
           // plain insert into a constrained table
           val n = full.count()
           checkNotNull(full, tgtSchema, table, zone)
+          checkChecks(spark, full, tgtSchema, table, zone)
           if (uniques.nonEmpty)
             checkUniqueDups(
               spark.table(table).unionByName(full.select(tgtSchema.fieldNames.map(col).toSeq: _*)),
@@ -3769,6 +4027,7 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
           try {
             val n = out.count()
             checkNotNull(out, tgtSchema, table, zone)
+            checkChecks(spark, out, tgtSchema, table, zone)
             val others = uniques.filterNot(u => arbiters.exists(_.name == u.name))
             if (others.nonEmpty)
               checkUniqueDups(existing.unionByName(out), tgtSchema, others, zone)
@@ -3843,6 +4102,7 @@ HINT:  Ensure that no rows proposed for insertion within the same command have d
                 .join(full.select(kcols.map(col): _*), kcols, "left_anti")
               val affected = updated.unionByName(inserts)
               checkNotNull(affected, tgtSchema, table, zone)
+              checkChecks(spark, affected, tgtSchema, table, zone)
               // a USING-columns join fronts the key columns; insertInto
               // matches by position — restore the table's column order
               val next = keptMatched.foldLeft(survivorsE)(_ unionByName _)

@@ -253,14 +253,38 @@ object PgCatalog {
     StructField("confrelid", IntegerType), StructField("conkey", ArrayType(ShortType)),
     StructField("confkey", ArrayType(ShortType)), StructField("conbin", StringType)))
 
-  private def pgConstraint(spark: SparkSession, indexes: Seq[IndexRow]): DataFrame =
+  private def pgConstraint(spark: SparkSession, indexes: Seq[IndexRow],
+      tables: Seq[(String, StructType)]): DataFrame =
     mkDf(spark, pgConstraintSchema,
       indexes.filter(_.isConstraint).map { ix =>
         Row(Oids.of(s"con:${ix.name}"), ix.name, Oids.PublicNamespace,
           if (ix.isPrimary) "p" else "u", false, false, true,
           Oids.of(s"rel:${ix.table}"), 0, Oids.of(s"rel:${ix.name}"), 0,
           0, ix.keyAttnums, null, null)
-      })
+      } ++
+        tables.flatMap { case (t, schema) =>
+          def attnums(cols: Seq[String]): Seq[Short] = cols.map(c =>
+            (schema.fields.indexWhere(_.name.equalsIgnoreCase(c)) + 1).toShort)
+          PgConstraints.checksOf(t, schema).map { c =>
+            val refd = schema.fields.map(_.name).filter(n =>
+              ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+                .findFirstIn(c.expr).isDefined).toSeq
+            Row(Oids.of(s"con:${c.name}"), c.name, Oids.PublicNamespace,
+              "c", false, false, true, Oids.of(s"rel:$t"), 0, 0, 0,
+              0, attnums(refd), null, null)
+          } ++
+            PgConstraints.fksOf(t, schema).map { f =>
+              val km = "(?is)FOREIGN\\s+KEY\\s*\\(([^)]*)\\)\\s+REFERENCES\\s+([\\w$.\"]+)"
+                .r.findFirstMatchIn(f.condef)
+              val cols = km.map(_.group(1).split(",").toSeq.map(_.trim))
+                .getOrElse(Nil)
+              val refT = km.map(m => m.group(2).stripPrefix("\"").stripSuffix("\""))
+                .getOrElse("")
+              Row(Oids.of(s"con:${f.name}"), f.name, Oids.PublicNamespace,
+                "f", false, false, true, Oids.of(s"rel:$t"), 0, 0, 0,
+                Oids.of(s"rel:$refT"), attnums(cols), null, null)
+            }
+        })
 
   /** oid → definition text, read by the pg_get_indexdef /
     * pg_get_constraintdef UDFs (driver-map pattern, like
@@ -293,6 +317,15 @@ object PgCatalog {
           (if (ix.isPrimary) "PRIMARY KEY (" else "UNIQUE (") +
             cols.mkString(", ") + ")")
       }
+    }
+    // CHECK / FOREIGN KEY definitions (pg renders checks with doubled
+    // parens: CHECK ((a > 0)))
+    tables.foreach { case (t, schema) =>
+      PgConstraints.checksOf(t, schema).foreach(c =>
+        constraintDefByOid.put(Oids.of(s"con:${c.name}"),
+          s"CHECK ((${c.expr}))"))
+      PgConstraints.fksOf(t, schema).foreach(f =>
+        constraintDefByOid.put(Oids.of(s"con:${f.name}"), f.condef))
     }
   }
 
@@ -1165,7 +1198,7 @@ object PgCatalog {
     }
     register(spark, "pg_indexes", pgIndexesView(spark, tables))
     register(spark, "pg_index", pgIndex(spark, ixRows))
-    register(spark, "pg_constraint", pgConstraint(spark, ixRows))
+    register(spark, "pg_constraint", pgConstraint(spark, ixRows, tables))
     register(spark, "pg_views", mkDf(spark, StructType(Seq(
       StructField("schemaname", StringType), StructField("viewname", StringType),
       StructField("viewowner", StringType), StructField("definition", StringType))),

@@ -24,8 +24,24 @@ object PgConstraints {
     * (`t_pkey`, `t_a_b_key`) or user-declared constraint name. */
   final case class Unique(name: String, cols: Seq[String], isPrimary: Boolean)
 
+  /** One CHECK constraint: the raw pg expression text, ENFORCED on
+    * every write path (23514 on FALSE; NULL passes, pg's rule). Name
+    * is pg's generated (`t_a_check`, `t_check`, dup suffix `…1`) or
+    * user-declared. */
+  final case class Check(name: String, expr: String)
+
+  /** One FOREIGN KEY, recorded for the catalog surface (pg_constraint
+    * contype 'f', pg_get_constraintdef text) but NOT enforced —
+    * documented deviation: referential actions need transactional
+    * multi-table writes Spark tables don't provide. */
+  final case class Fk(name: String, condef: String)
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Unique]]()
+  private val checkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Check]]()
+  private val fkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Fk]]()
 
   /** Bumps on every registry write — a cheap catalog-view
     * fingerprint component (pg_indexes lists constraint indexes). */
@@ -39,7 +55,70 @@ object PgConstraints {
 
   def drop(table: String): Unit = {
     cache.remove(PgSequences.normName(table))
+    checkCache.remove(PgSequences.normName(table))
+    fkCache.remove(PgSequences.normName(table))
     versionCounter.incrementAndGet()
+  }
+
+  def registerChecks(table: String, checks: Seq[Check]): Unit = {
+    checkCache.put(PgSequences.normName(table), checks)
+    versionCounter.incrementAndGet()
+  }
+
+  def registerFks(table: String, fks: Seq[Fk]): Unit = {
+    fkCache.put(PgSequences.normName(table), fks)
+    versionCounter.incrementAndGet()
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** `pg.checks` metadata form: `name|<urlencoded expr>;…` (the expr
+    * may contain any character, so it travels encoded). */
+  def serializeChecks(checks: Seq[Check]): String =
+    checks.map(c => c.name + "|" + enc(c.expr)).mkString(";")
+
+  private def deserializeChecks(s: String): Seq[Check] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { part =>
+      val Array(n, e) = part.split("\\|", 2)
+      Check(n, dec(e))
+    }
+
+  /** `pg.fks` metadata form: `name|<urlencoded condef>;…`. */
+  def serializeFks(fks: Seq[Fk]): String =
+    fks.map(f => f.name + "|" + enc(f.condef)).mkString(";")
+
+  private def deserializeFks(s: String): Seq[Fk] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { part =>
+      val Array(n, d) = part.split("\\|", 2)
+      Fk(n, dec(d))
+    }
+
+  /** CHECKs for a table — registry hit, else rebuilt from `pg.checks`
+    * metadata (fresh-JVM path), mirroring [[uniquesOf]]. */
+  def checksOf(table: String, schema: StructType): Seq[Check] = {
+    val key = PgSequences.normName(table)
+    val hit = checkCache.get(key)
+    if (hit != null) return hit
+    val fromMeta = schema.fields.toSeq
+      .filter(_.metadata.contains("pg.checks"))
+      .flatMap(f => deserializeChecks(f.metadata.getString("pg.checks")))
+    checkCache.put(key, fromMeta)
+    fromMeta
+  }
+
+  /** Recorded FOREIGN KEYs (catalog-only). */
+  def fksOf(table: String, schema: StructType): Seq[Fk] = {
+    val key = PgSequences.normName(table)
+    val hit = fkCache.get(key)
+    if (hit != null) return hit
+    val fromMeta = schema.fields.toSeq
+      .filter(_.metadata.contains("pg.fks"))
+      .flatMap(f => deserializeFks(f.metadata.getString("pg.fks")))
+    fkCache.put(key, fromMeta)
+    fromMeta
   }
 
   /** The serialized form stored in `pg.uniques` column metadata:
@@ -77,7 +156,8 @@ object PgConstraints {
       .map(_.name)
 
   def hasAny(table: String, schema: StructType): Boolean =
-    notNullCols(schema).nonEmpty || uniquesOf(table, schema).nonEmpty
+    notNullCols(schema).nonEmpty || uniquesOf(table, schema).nonEmpty ||
+      checksOf(table, schema).nonEmpty
 }
 
 /** CREATE/DROP INDEX surface (pg §11). Spark has no secondary

@@ -117,6 +117,17 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script3b.sql", "/dml/live3b.txt")
   }
 
+  test("sweep-39: CHECK constraints enforced + FK recorded, matches live pg") {
+    // column/table/named CHECKs with pg's auto-names (ck_a_check,
+    // dup-suffix ck_b_check1) and pg_get_constraintdef parity; 23514
+    // on INSERT/UPDATE/UPDATE…FROM/ON CONFLICT DO UPDATE; NULL result
+    // passes; ALTER ADD CHECK validates existing rows ("violated by
+    // some row") atomically; DROP CONSTRAINT lifts; RENAME COLUMN
+    // rewrites stored exprs; DROP COLUMN cascades; FOREIGN KEY rows
+    // surface in pg_constraint (contype 'f', condef) unenforced
+    replay("/dml/script4.sql", "/dml/live4.txt")
+  }
+
   test("sweep-37: ALTER TABLE / TRUNCATE state machine matches live pg") {
     // RENAME TO/COLUMN, ADD COLUMN (defaults fill, NOT NULL 23502,
     // 42701/IF NOT EXISTS), DROP COLUMN (42703, constraint+sequence
