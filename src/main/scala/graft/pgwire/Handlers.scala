@@ -352,6 +352,7 @@ object Handlers {
     var rest = m.group(2).trim.stripSuffix(";").trim
     var analyze = false
     var verbose = false
+    var format = "text"
     optText match {
       case None =>
         var going = true
@@ -372,9 +373,11 @@ object Handlers {
             case "ANALYZE" => analyze = on
             case "VERBOSE" => verbose = on
             case "FORMAT" =>
-              if (!value.equalsIgnoreCase("text"))
-                throw PgException("0A000",
-                  s"EXPLAIN FORMAT ${value.toLowerCase} is not supported (text only)")
+              value.toLowerCase match {
+                case "text" | "json" | "yaml" => format = value.toLowerCase
+                case other => throw PgException("0A000",
+                  s"EXPLAIN FORMAT $other is not supported (text/json/yaml)")
+              }
             case "COSTS" | "SETTINGS" | "BUFFERS" | "WAL" | "TIMING" |
                  "SUMMARY" | "GENERIC_PLAN" | "MEMORY" | "SERIALIZE" => ()
             case _ => throw PgException("42601",
@@ -385,12 +388,24 @@ object Handlers {
     if (rest.isEmpty)
       throw PgException("42601", "syntax error at end of input")
     val innerHead = rest.split("[\\s(]+", 2).headOption.getOrElse("").toUpperCase
-    if (!Set("SELECT", "WITH", "VALUES", "TABLE").contains(innerHead))
-      throw PgException("0A000",
-        s"EXPLAIN of ${innerHead.toLowerCase} statements is not supported (plan-only semantics; Spark would execute the DML eagerly)")
+    val planText = innerHead match {
+      case "SELECT" | "WITH" | "VALUES" | "TABLE" => rest
+      case "INSERT" | "UPDATE" | "DELETE" if !analyze =>
+        // plain EXPLAIN of DML plans WITHOUT executing, like pg: the
+        // row-producing side (insert source / update-delete match,
+        // with the FROM/USING join) is what Spark can render — the
+        // write node itself is the engine's table rewrite
+        dmlPlanSelect(innerHead, rest)
+      case "INSERT" | "UPDATE" | "DELETE" =>
+        throw PgException("0A000",
+          "EXPLAIN ANALYZE of DML is not supported (it would execute the write)")
+      case _ =>
+        throw PgException("0A000",
+          s"EXPLAIN of ${innerHead.toLowerCase} statements is not supported")
+    }
     val t0 = System.nanoTime()
     val df = runSql(spark,
-      substituteSeqFns(spark, session, substituteGucFns(session, rest)))
+      substituteSeqFns(spark, session, substituteGucFns(session, planText)))
     val qe = df.queryExecution
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     if (analyze) {
@@ -408,8 +423,91 @@ object Handlers {
       lines ++= qe.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString(mode)).linesIterator
     }
+    // FORMAT JSON/YAML: one document row wrapping the plan lines (pg
+    // emits one structured doc; the node tree here is Spark's, so the
+    // lines travel verbatim inside a well-formed document)
+    def esc(l: String): String =
+      l.replace("\\", "\\\\").replace("\"", "\\\"")
+    val out: Iterator[Row] = format match {
+      case "json" =>
+        Iterator.single(Row(
+          (Seq("[", "  {", "    \"Plan\": {",
+            "      \"Node Type\": \"Spark Plan\",",
+            "      \"Plan Lines\": [") ++
+            lines.map(l => "        \"" + esc(l) + "\"")
+              .mkString(",\n").linesIterator ++
+            Seq("      ]", "    }", "  }", "]")).mkString("\n")))
+      case "yaml" =>
+        Iterator.single(Row(
+          ("- Plan:\n    Node Type: \"Spark Plan\"\n    Plan Lines:" +
+            lines.map(l => "\n      - \"" + esc(l) + "\"").mkString)))
+      case _ => lines.iterator.map(l => Row(l))
+    }
     RowSet(StructType(Seq(StructField("QUERY PLAN", StringType))),
-      lines.iterator.map(l => Row(l)), _ => "EXPLAIN")
+      out, _ => "EXPLAIN")
+  }
+
+  /** The row-producing SELECT behind a DML statement, for plan-only
+    * EXPLAIN: INSERT → its source query; UPDATE/DELETE → the matched
+    * rows (including the FROM/USING join). RETURNING is plan-inert. */
+  private def dmlPlanSelect(head: String, rest0: String): String = {
+    val retPos = Compat.topLevelKeywordPos(rest0, "RETURNING")
+    val rest = (if (retPos >= 0) rest0.substring(0, retPos) else rest0).trim
+    head match {
+      case "INSERT" =>
+        val m = "(?is)^INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)\\s*(\\([^)]*\\))?\\s*(.+)$".r
+          .findFirstMatchIn(rest).getOrElse(
+            throw PgException("42601", "syntax error in INSERT"))
+        val src = m.group(3).trim
+        if (src.toUpperCase.startsWith("VALUES"))
+          s"SELECT * FROM ($src) AS __explain_vals"
+        else {
+          // strip a trailing ON CONFLICT clause — plan the source
+          val ocPos = "(?is)\\bON\\s+CONFLICT\\b".r.findFirstMatchIn(src)
+            .map(_.start).getOrElse(src.length)
+          src.substring(0, ocPos).trim match {
+            case v if v.toUpperCase.startsWith("VALUES") =>
+              s"SELECT * FROM ($v) AS __explain_vals"
+            case v => v
+          }
+        }
+      case "UPDATE" =>
+        val m = ("(?is)^UPDATE\\s+(?:ONLY\\s+)?(\"[^\"]+\"|[\\w$.]+)" +
+          "(?:\\s+(?:AS\\s+)?(?!SET\\b)(\"[^\"]+\"|[\\w$]+))?\\s+SET\\s+(.*)$").r
+          .findFirstMatchIn(rest).getOrElse(
+            throw PgException("42601", "syntax error in UPDATE"))
+        val aliasSql = Option(m.group(2)).map(a => s" AS $a").getOrElse("")
+        val tail = m.group(3)
+        val fromPos = Compat.topLevelKeywordPos(tail, "FROM")
+        val wherePos = Compat.topLevelKeywordPos(tail, "WHERE")
+        val fromSql =
+          if (fromPos >= 0) {
+            val end = if (wherePos > fromPos) wherePos else tail.length
+            s", ${tail.substring(fromPos + "FROM".length, end).trim}"
+          } else ""
+        val whereSql =
+          if (wherePos >= 0) s" WHERE ${tail.substring(wherePos + "WHERE".length)}"
+          else ""
+        s"SELECT * FROM ${m.group(1)}$aliasSql$fromSql$whereSql"
+      case "DELETE" =>
+        val m = ("(?is)^DELETE\\s+FROM\\s+(?:ONLY\\s+)?(\"[^\"]+\"|[\\w$.]+)" +
+          "(?:\\s+(?:AS\\s+)?(?!WHERE\\b|USING\\b)(\"[^\"]+\"|[\\w$]+))?\\s*(.*)$").r
+          .findFirstMatchIn(rest).getOrElse(
+            throw PgException("42601", "syntax error in DELETE"))
+        val aliasSql = Option(m.group(2)).map(a => s" AS $a").getOrElse("")
+        val tail = " " + m.group(3)
+        val usingPos = Compat.topLevelKeywordPos(tail, "USING")
+        val wherePos = Compat.topLevelKeywordPos(tail, "WHERE")
+        val usingSql =
+          if (usingPos >= 0) {
+            val end = if (wherePos > usingPos) wherePos else tail.length
+            s", ${tail.substring(usingPos + "USING".length, end).trim}"
+          } else ""
+        val whereSql =
+          if (wherePos >= 0) s" WHERE ${tail.substring(wherePos + "WHERE".length)}"
+          else ""
+        s"SELECT * FROM ${m.group(1)}$aliasSql$usingSql$whereSql"
+    }
   }
 
   private val explainRe =
@@ -3064,14 +3162,40 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
         if (!(v.startsWith("(") && v.endsWith(")")))
           throw PgException("0A000", "only (…) = (…) row assignment is supported")
         val inner = v.substring(1, v.length - 1)
-        if (inner.trim.toUpperCase.startsWith("SELECT"))
-          throw PgException("0A000", "sub-SELECT row assignment is not supported")
-        val exprs = splitTopLevelText(inner, ',').map(_.trim)
-        if (exprs.length != colNames.length)
-          throw PgException("42601", "number of columns does not match number of values")
-        colNames.zip(exprs).foreach { case (c, e) =>
-          val f = fieldOf(c)
-          assigned(f.name) = dmlValueExpr(f, e, connId)
+        if (inner.trim.toUpperCase.startsWith("SELECT")) {
+          // sub-SELECT row assignment: `(c1, c2) = (SELECT e1, e2 …)`.
+          // Decomposes into one scalar subquery per column — pg
+          // evaluates the subquery once per row (no row → NULLs,
+          // >1 row → error); Catalyst's subquery reuse merges the
+          // per-column copies back into a single evaluation, and each
+          // correlated reference resolves against the outer UPDATE
+          // row like any correlated scalar subquery.
+          val sm = "(?is)^SELECT\\s+(.*)$".r.findFirstMatchIn(inner.trim).get
+          val body = sm.group(1)
+          // the select list ends at the first top-level FROM/WHERE —
+          // everything after is the shared subquery tail
+          val fromPos = Compat.topLevelKeywordPos(body, "FROM")
+          val wherePos = Compat.topLevelKeywordPos(body, "WHERE")
+          val cut = Seq(fromPos, wherePos).filter(_ >= 0).sorted.headOption
+            .getOrElse(body.length)
+          val items = splitTopLevelText(body.substring(0, cut), ',')
+            .map(_.trim).filter(_.nonEmpty)
+          val tail = body.substring(cut)
+          if (items.length != colNames.length)
+            throw PgException("42601",
+              "number of columns does not match number of values")
+          colNames.zip(items).foreach { case (c, e) =>
+            val f = fieldOf(c)
+            assigned(f.name) = dmlValueExpr(f, s"(SELECT $e $tail)", connId)
+          }
+        } else {
+          val exprs = splitTopLevelText(inner, ',').map(_.trim)
+          if (exprs.length != colNames.length)
+            throw PgException("42601", "number of columns does not match number of values")
+          colNames.zip(exprs).foreach { case (c, e) =>
+            val f = fieldOf(c)
+            assigned(f.name) = dmlValueExpr(f, e, connId)
+          }
         }
       } else {
         val eq = {

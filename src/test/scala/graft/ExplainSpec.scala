@@ -59,17 +59,36 @@ class ExplainSpec extends SparkSpec with BeforeAndAfterAll {
     assert(p2.mkString("\n").contains("Execution Time:"))
   }
 
-  test("FORMAT JSON raises 0A000; unknown option raises 42601") {
-    val e1 = intercept[PgException](rows("EXPLAIN (FORMAT JSON) SELECT 1"))
+  test("FORMAT JSON/YAML emit one well-formed document; XML raises; unknown option raises 42601") {
+    val (j, _) = rows("EXPLAIN (FORMAT JSON) SELECT 1 AS x")
+    assert(j.length === 1)
+    val doc = j.head
+    assert(doc.trim.startsWith("[") && doc.trim.endsWith("]"))
+    assert(doc.contains("\"Plan\":") && doc.contains("\"Plan Lines\":"))
+    val (y, _) = rows("EXPLAIN (FORMAT YAML) SELECT 1 AS x")
+    assert(y.length === 1 && y.head.startsWith("- Plan:"))
+    val e1 = intercept[PgException](rows("EXPLAIN (FORMAT XML) SELECT 1"))
     assert(e1.code === "0A000")
     val e2 = intercept[PgException](rows("EXPLAIN (FRABJOUS) SELECT 1"))
     assert(e2.code === "42601")
   }
 
-  test("EXPLAIN of DML raises 0A000 without executing") {
+  test("EXPLAIN of DML plans the row side WITHOUT executing; ANALYZE of DML raises") {
     val before = spark.table("expl_t").count()
+    val (pi, _) = rows("EXPLAIN INSERT INTO expl_t VALUES (999, 'boom')")
+    assert(pi.mkString("\n").contains("Physical Plan"))
+    assert(spark.table("expl_t").count() === before, "EXPLAIN INSERT executed!")
+    val (pu, _) = rows("EXPLAIN UPDATE expl_t SET v = 'x' WHERE id = 1")
+    assert(pu.mkString("\n").contains("Physical Plan"))
+    val (pd, _) = rows("EXPLAIN DELETE FROM expl_t WHERE id = 1")
+    assert(pd.mkString("\n").contains("Physical Plan"))
+    // the UPDATE … FROM join shows in the plan
+    val (pj, _) = rows(
+      "EXPLAIN UPDATE expl_t SET v = s.v FROM expl_t s WHERE expl_t.id = s.id")
+    assert(pj.mkString("\n").toLowerCase.contains("join"))
+    assert(spark.table("expl_t").count() === before)
     val e = intercept[PgException](
-      rows("EXPLAIN INSERT INTO expl_t VALUES (999, 'boom')"))
+      rows("EXPLAIN ANALYZE UPDATE expl_t SET v = 'x'"))
     assert(e.code === "0A000")
     assert(spark.table("expl_t").count() === before)
   }

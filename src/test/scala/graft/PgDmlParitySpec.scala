@@ -128,6 +128,13 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script4.sql", "/dml/live4.txt")
   }
 
+  test("sweep-40: sub-SELECT row assignment and correlated SET match live pg") {
+    // `SET (a, b) = (SELECT …)` decomposed into per-column scalar
+    // subqueries (no row → NULLs), correlated references against the
+    // updated row, scalar-subquery SET both correlated and aggregate
+    replay("/dml/script5.sql", "/dml/live5.txt")
+  }
+
   test("sweep-37: ALTER TABLE / TRUNCATE state machine matches live pg") {
     // RENAME TO/COLUMN, ADD COLUMN (defaults fill, NOT NULL 23502,
     // 42701/IF NOT EXISTS), DROP COLUMN (42703, constraint+sequence
