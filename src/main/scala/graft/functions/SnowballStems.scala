@@ -1977,6 +1977,781 @@ object SnowballStems extends Serializable {
     w
   }
 
+
+  // ------------------------------------------------------------------
+  // Turkish (snowballstem.org/algorithms/turkish/stemmer.html)
+  //
+  // Ported from the PUBLIC Snowball turkish algorithm, reconstructed
+  // by black-box differential probing: verified to 0 diffs against
+  // BOTH live pg 15 ts_lexize('turkish_stem', w) (27,980 words:
+  // the 7,980-word morphological cross-product sweep + a 20,000-word
+  // random-string sweep) AND libstemmer 2.2 (190,308 additional
+  // random/adversarial words) — sweep-41. Suffix-rich Turkish needs
+  // the full Snowball slice machinery: the nDA/nA branches MARK the
+  // case suffix and let an inner ki-chain delete from the MIDDLE of
+  // the word (baysininkinda → baysinda), the only mid-word deletion
+  // in the 17-config family.
+  // ------------------------------------------------------------------
+
+  val turkishStop: Set[String] = Set(
+    "acaba",
+    "ama",
+    "aslında",
+    "az",
+    "bazı",
+    "belki",
+    "biri",
+    "birkaç",
+    "birşey",
+    "biz",
+    "bu",
+    "çok",
+    "çünkü",
+    "da",
+    "daha",
+    "de",
+    "defa",
+    "diye",
+    "eğer",
+    "en",
+    "gibi",
+    "hem",
+    "hep",
+    "hepsi",
+    "her",
+    "hiç",
+    "için",
+    "ile",
+    "ise",
+    "kez",
+    "ki",
+    "kim",
+    "mı",
+    "mu",
+    "mü",
+    "nasıl",
+    "ne",
+    "neden",
+    "nerde",
+    "nerede",
+    "nereye",
+    "niçin",
+    "niye",
+    "o",
+    "sanki",
+    "şey",
+    "siz",
+    "şu",
+    "tüm",
+    "ve",
+    "veya",
+    "ya",
+    "yani")
+
+
+  private val tr_vowels = Set('a', 'e', 'ı', 'i', 'o', 'ö', 'u', 'ü')
+  private val tr_uVow = Set('ı', 'i', 'u', 'ü')
+
+  private def tr_partners(c: Char): String = c match {
+    case 'a' => "aıou"
+    case 'e' => "eiöü"
+    case 'ı' => "aı"
+    case 'i' => "ei"
+    case 'o' => "ou"
+    case 'ö' => "öü"
+    case 'u' => "ou"
+    case 'ü' => "öü"
+    case _ => ""
+  }
+
+  /** check_vowel_harmony over s[0,end): the last vowel must have a
+    * partner ANYWHERE to its left (Snowball goto — non-tr_vowels never
+    * block). */
+  private def tr_harmony(s: String, end: Int): Boolean = {
+    var v = end - 1
+    while (v >= 0 && !tr_vowels(s(v))) v -= 1
+    if (v < 0) return false
+    val p = tr_partners(s(v))
+    var j = 0
+    while (j < v) {
+      if (p.indexOf(s(j).toInt) >= 0) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Optional-letter rule ((y)/(n)/(U) suffixes): the char at p-2 must
+    * satisfy T whether or not the optional letter is present; when
+    * s(p-1) is the letter it joins the suffix. Returns the suffix
+    * start or -1. */
+  private def tr_optLetter(s: String, p: Int, isL: Char => Boolean,
+      isT: Char => Boolean): Int =
+    if (p >= 2 && isT(s(p - 2))) { if (isL(s(p - 1))) p - 1 else p }
+    else -1
+
+  private def tr_optY(s: String, p: Int): Int =
+    tr_optLetter(s, p, _ == 'y', tr_vowels)
+  private def tr_optN(s: String, p: Int): Int =
+    tr_optLetter(s, p, _ == 'n', tr_vowels)
+  private def tr_optU(s: String, p: Int): Int =
+    tr_optLetter(s, p, tr_uVow, c => !tr_vowels(c))
+  /** (s)U: the full optional-letter shape (probe: sorunca strips the
+    * exposed u, altınca keeps its ı — the no-s variant needs a vowel
+    * two back, like (y)). */
+  private def tr_optS(s: String, p: Int): Int =
+    tr_optLetter(s, p, _ == 's', tr_vowels)
+
+  /** longest form of `forms` ending at `end`, as its start index. */
+  private def tr_among(s: String, end: Int, forms: Seq[String]): Int = {
+    var best = -1
+    forms.foreach { f =>
+      if (f.length <= end && best < f.length &&
+        s.regionMatches(end - f.length, f, 0, f.length))
+        best = f.length
+    }
+    if (best < 0) -1 else end - best
+  }
+
+  // ---- mark routines: Option[suffix start] given current end -------------
+
+  private val tr_larF = Seq("lar", "ler")
+  private val tr_durF = Seq("dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür")
+  private val tr_yduF = Seq("dı", "di", "du", "dü", "tı", "ti", "tu", "tü")
+  private val tr_ysaF = Seq("sa", "se")
+  private val tr_ymusF = Seq("mış", "miş", "muş", "müş")
+  private val tr_sunuzF = Seq("sınız", "siniz", "sunuz", "sünüz")
+  private val tr_yuzF = Seq("ız", "iz", "uz", "üz")
+  private val tr_sunF = Seq("sın", "sin", "sun", "sün")
+  private val tr_yumF = Seq("ım", "im", "um", "üm")
+  private val tr_nuzF = Seq("nız", "niz", "nuz", "nüz")
+  private val tr_lariF = Seq("ları", "leri")
+  private val tr_nuF = Seq("nı", "ni", "nu", "nü")
+  private val tr_naF = Seq("na", "ne")
+  private val tr_danF = Seq("dan", "den", "tan", "ten")
+  private val tr_daF = Seq("da", "de", "ta", "te")
+  // only the voiced d-forms exist for the marked n-case branches
+  // (güneınısınte routes through DA + the n chain, never a mark)
+  private val tr_ndanF = Seq("ndan", "nden")
+  private val tr_ndaF = Seq("nda", "nde")
+  private val tr_nunF = Seq("ın", "in", "un", "ün")
+  private val tr_ncaF = Seq("ca", "ce")
+  private val tr_ylaF = Seq("la", "le")
+  private val tr_uF = Seq("ı", "i", "u", "ü")
+  private val tr_muzF = Seq("mız", "miz", "muz", "müz")
+
+  private def tr_mLar(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_larF) else -1
+  private def tr_mDur(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_durF) else -1
+  private def tr_mYdu(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_yduF); if (p < 0) -1 else tr_optY(s, p) }
+  private def tr_mYsa(s: String, e: Int): Int = {
+    val p = tr_among(s, e, tr_ysaF); if (p < 0) -1 else tr_optY(s, p)
+  }
+  private def tr_mYmus(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_ymusF); if (p < 0) -1 else tr_optY(s, p) }
+  private def tr_mYken(s: String, e: Int): Int = {
+    val p = tr_among(s, e, Seq("ken")); if (p < 0) -1 else tr_optY(s, p)
+  }
+  private def tr_mSunuz(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_sunuzF) else -1
+  private def tr_mYuz(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_yuzF); if (p < 0) -1 else tr_optY(s, p) }
+  private def tr_mSun(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_sunF) else -1
+  private def tr_mYum(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_yumF); if (p < 0) -1 else tr_optY(s, p) }
+  private def tr_mNuz(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_nuzF) else -1
+  private def tr_mLari(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_lariF) else -1
+  /** the n-case family (nDAn/nDA/nU/nA) requires a vowel immediately
+    * before the suffix AND a consonant before that (probe-derived:
+    * ablanda/tapına strip, ablaunda/aileinda/ablaina do not). */
+  private def tr_cvBefore(s: String, p: Int): Int =
+    if (p >= 2 && tr_vowels(s(p - 1)) && !tr_vowels(s(p - 2))) p else -1
+  private def tr_mNu(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_nuF); if (p < 0) -1 else tr_cvBefore(s, p) }
+  private def tr_mNa(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_naF); if (p < 0) -1 else tr_cvBefore(s, p) }
+  private def tr_mDan(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_danF) else -1
+  private def tr_mDa(s: String, e: Int): Int =
+    if (tr_harmony(s, e)) tr_among(s, e, tr_daF) else -1
+  private def tr_mNdan(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_ndanF); if (p < 0) -1 else tr_cvBefore(s, p) }
+  private def tr_mNda(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_ndaF); if (p < 0) -1 else tr_cvBefore(s, p) }
+  private def tr_mNun(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_nunF); if (p < 0) -1 else tr_optN(s, p) }
+  private def tr_mNca(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_ncaF); if (p < 0) -1 else tr_optN(s, p) }
+  private def tr_mYla(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_ylaF); if (p < 0) -1 else tr_optY(s, p) }
+  private def tr_mKi(s: String, e: Int): Int = tr_among(s, e, Seq("ki"))
+  private def tr_mYu(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_uF); if (p < 0) -1 else tr_optY(s, p) }
+  private def tr_mSu(s: String, e: Int): Int =
+    if (!tr_harmony(s, e)) -1
+    else { val p = tr_among(s, e, tr_uF); if (p < 0) -1 else tr_optS(s, p) }
+  /** unconstrained trailing U — the fallback the n-case continuations
+    * use when sU fails (probe: adlesü→adles against tr_harmony). */
+  private def tr_mBareU(s: String, e: Int): Int = tr_among(s, e, tr_uF)
+  // possessives carry NO tr_harmony check (probe: ablamiz→abla strips
+  // against tr_harmony); validation is the optional-U shape
+  private def tr_mMuz(s: String, e: Int): Int = {
+    val p = tr_among(s, e, tr_muzF); if (p < 0) -1 else tr_optU(s, p)
+  }
+  private def tr_mNuzPoss(s: String, e: Int): Int = {
+    val p = tr_among(s, e, tr_nuzF); if (p < 0) -1 else tr_optU(s, p)
+  }
+  private def tr_mM(s: String, e: Int): Int =
+    if (e >= 1 && s(e - 1) == 'm') tr_optU(s, e - 1) else -1
+  /** possessive n: validated like (U)n but strips ONLY the n — the
+    * exposed U then chains (kartın→kartı→kar). Returns e-1 or -1. */
+  private def mN(s: String, e: Int): Int =
+    if (e >= 1 && s(e - 1) == 'n' && tr_optU(s, e - 1) >= 0) e - 1 else -1
+
+  // ---- stemming ----------------------------------------------------------
+
+  // ---- stemming ----------------------------------------------------------
+
+  /** U-variant-only possessives: the exposed 'Um'/'UmUz'/'UnUz'
+    * units — bare forms stay (jikgmnız keeps its m, höpımüzler sheds
+    * ımüz, çocuzinsunuzlerle its unuz). */
+  private def tr_mMuzU(s: String, e: Int): Int = {
+    val p = tr_among(s, e, tr_muzF)
+    if (p < 0) -1
+    else {
+      val q = tr_optU(s, p)
+      if (q == p - 1) q else -1
+    }
+  }
+  private def tr_mNuzU(s: String, e: Int): Int = {
+    val p = tr_among(s, e, tr_nuzF)
+    if (p < 0) -1
+    else {
+      val q = tr_optU(s, p)
+      if (q == p - 1) q else -1
+    }
+  }
+  private def tr_mMU(s: String, e: Int): Int =
+    if (e >= 1 && s(e - 1) == 'm') {
+      val q = tr_optU(s, e - 1)
+      if (q == e - 2) q else -1
+    } else -1
+
+  private def tr_hasVowel(s: String, e: Int): Boolean = {
+    var j = 0
+    while (j < e) { if (tr_vowels(s(j))) return true; j += 1 }
+    false
+  }
+
+  /** default lAr retry: lAr strips, then only a ki-chain may follow
+    * (babsınızlarından keeps its ınız, cöğabılarunuz its ı). */
+  private def tr_tryLarKi(s: String, e0: Int): Int = {
+    val c = tr_mLar(s, e0)
+    if (c < 0) return e0
+    val k = tr_kiChain(s, c, gated = false)
+    if (k >= 0) k else c
+  }
+
+  /** the ylA continuation's direct lAr arm: ki | U-unit possessives |
+    * n-chain | yU (joşularla→joş, höpımüzlerle→höp,
+    * çocuzinsunuzlerle→çocuzins). */
+  private def tr_tryLarFull(s: String, e0: Int): Int = {
+    val c = tr_mLar(s, e0)
+    if (c < 0) return e0
+    val k = tr_kiChain(s, c, gated = false)
+    if (k >= 0) return k
+    val a = tr_mMuzU(s, c)
+    if (a >= 0) return a
+    val a2 = tr_mNuzU(s, c)
+    if (a2 >= 0) return a2
+    val b = tr_mMU(s, c)
+    if (b >= 0) return b
+    val pN = tr_nChain(s, c, allowYdu = false)
+    if (pN >= 0) return pN
+    val u = tr_mYu(s, c)
+    if (u >= 0) return u
+    c
+  }
+
+  /** the genitive chain's lAr retry: possessives (guarded — a strip
+    * leaving no vowel backtracks: junuz stays junuz), the n-chain,
+    * ki, then yU with another lAr round (yakilarılarınız→yaki). */
+  private def tr_tryLarPoss(s: String, e0: Int): Int = {
+    val c = tr_mLar(s, e0)
+    if (c < 0) return e0
+    val a = tr_possAt(s, c)
+    if (a >= 0 && tr_hasVowel(s, a)) return tr_tryLarPoss(s, a)
+    val pN = tr_nChain(s, c, allowYdu = false)
+    if (pN >= 0) return pN
+    val k = tr_kiChain(s, c, gated = false)
+    if (k >= 0) return k
+    val u = tr_mYu(s, c)
+    if (u >= 0) return tr_tryLarPoss(s, u)
+    c
+  }
+
+  /** ki-chain: strip 'ki' only when a DA / nUn chain follows to the
+    * left. The mark-branch (mid-deleting) flavor gates its DA on
+    * tr_harmony AND the absence of e/i anywhere in the prefix (probe
+    * matrix: taldakina→talna but hitodakina→hitodak — an e/i poisons
+    * the chain); suffix-context chains are ungated (beredödekilerinden
+    * sheds deki). Returns the new end or -1. */
+  private def tr_kiChain(s: String, e0: Int, gated: Boolean): Int = {
+    val pKi = tr_mKi(s, e0)
+    if (pKi < 0) return -1
+    // DA branch
+    val pDa = tr_mDa(s, pKi)
+    if (pDa >= 0) {
+      val poisoned = gated && {
+        var j = 0; var bad = false
+        while (j < pKi && !bad) {
+          if (s(j) == 'e' || s(j) == 'i') bad = true
+          j += 1
+        }
+        bad
+      }
+      if (!poisoned) return tr_contKiDa(s, pDa)
+    }
+    // nUn branch: possessive/sU continuation only (pudlarunki keeps
+    // its lar)
+    val pNun = tr_mNun(s, pKi)
+    if (pNun >= 0) {
+      val a = tr_possAt(s, pNun)
+      if (a >= 0) return a
+      val su = tr_mSu(s, pNun)
+      if (su >= 0) return su
+      return pNun
+    }
+    -1
+  }
+
+  /** after a DA inside the ki-chain: poss | n(drop-U only) | lAr→ki —
+    * no trailing ki retry (bofölleridakidaki keeps its second daki). */
+  private def tr_contKiDa(s: String, e0: Int): Int = {
+    var e = e0
+    val a = tr_possAt(s, e)
+    if (a >= 0) return tr_tryLarKi(s, a)
+    val pN = mN(s, e)
+    if (pN >= 0) {
+      e = pN
+      if (e >= 1 && tr_uVow(s(e - 1))) e -= 1 // drop-U only, never sU here
+      return tr_tryLarKi(s, e)
+    }
+    val c = tr_mLar(s, e)
+    if (c >= 0) {
+      val k = tr_kiChain(s, c, gated = false)
+      return if (k >= 0) k else c
+    }
+    e
+  }
+
+  /** inner sU of the nDA/nA mark branches: s-PRESENT only, with
+    * tr_harmony (ablasında → abla; goşndakine routes through ki
+    * instead). */
+  private def tr_suSpanS(s: String, e: Int): Int = {
+    val p = tr_among(s, e, tr_uF)
+    if (p < 0) return -1
+    if (p >= 1 && s(p - 1) == 's' && tr_harmony(s, e) &&
+      p >= 2 && tr_vowels(s(p - 2))) p - 1
+    else -1
+  }
+
+  /** inner sU of the nDAn/nU mark branches: the full optional-s shape,
+    * the bare variant without tr_harmony (becömişlarından strips ı+ndan
+    * against tr_harmony). */
+  private def tr_suSpanFull(s: String, e: Int): Int = {
+    val p = tr_among(s, e, tr_uF)
+    if (p < 0) return -1
+    if (p >= 1 && s(p - 1) == 's') {
+      if (tr_harmony(s, e) && p >= 2 && tr_vowels(s(p - 2))) p - 1 else -1
+    } else {
+      if (p >= 2 && tr_vowels(s(p - 2))) p else -1
+    }
+  }
+
+  /** possessives at end: mUz | nUz | (U)m — n is handled by tr_nChain. */
+  private def tr_possAt(s: String, e: Int): Int = {
+    val a = tr_mMuz(s, e); if (a >= 0) return a
+    val b = tr_mNuzPoss(s, e); if (b >= 0) return b
+    val c = tr_mM(s, e); if (c >= 0) return c
+    -1
+  }
+
+  /** possessive n chain: strip the bare n, then the exposed U — a
+    * yDU/ysA hop only at the ORIGINAL word end (kartın→kar,
+    * giysen→gi, but altınla→alt), else the exposed U drops
+    * (unconditionally, except the ncA continuation checks the
+    * two-back vowel: altınca keeps altı, sorunca ends sor) and lAr
+    * retries (evlerin: n, i, ler). */
+  private def tr_nChain(s: String, e0: Int, allowYdu: Boolean,
+      checkedDrop: Boolean = false): Int = {
+    val pN = mN(s, e0)
+    if (pN < 0) return -1
+    var e = pN
+    if (allowYdu) {
+      val a = tr_mYdu(s, e)
+      if (a >= 0) return a
+      val b = tr_mYsa(s, e)
+      if (b >= 0) return b
+    }
+    if (e >= 1 && tr_uVow(s(e - 1)) &&
+      (!checkedDrop || (e >= 2 && tr_vowels(s(e - 2))))) e -= 1
+    tr_tryLarKi(s, e)
+  }
+
+  /** continuation after nUn: poss | sU | lAr→(poss|n) | ki. */
+  private def tr_contNun(s: String, e0: Int): Int = {
+    val a = tr_possAt(s, e0)
+    if (a >= 0) return tr_tryLarPoss(s, a)
+    val su = tr_mSu(s, e0)
+    if (su >= 0) return tr_tryLarPoss(s, su)
+    val c = tr_tryLarPoss(s, e0)
+    if (c != e0) return c
+    val k = tr_kiChain(s, e0, gated = false)
+    if (k >= 0) return k
+    e0
+  }
+
+  /** continuation after DA/DAn: poss | n-chain | lAr→ki; DAn also
+    * retries ki directly (dukühındakidan sheds daki, but
+    * cihügcdekidekite keeps its dekis after DA). */
+  private def tr_contDa(s: String, e0: Int, withKi: Boolean): Int = {
+    val a = tr_possAt(s, e0)
+    if (a >= 0) return tr_tryLarKi(s, a)
+    val pN = tr_nChain(s, e0, allowYdu = false)
+    if (pN >= 0) return pN
+    val c = tr_mLar(s, e0)
+    if (c >= 0) {
+      val k = tr_kiChain(s, c, gated = false)
+      return if (k >= 0) k else c
+    }
+    if (withKi) {
+      val k = tr_kiChain(s, e0, gated = false)
+      if (k >= 0) return k
+    }
+    e0
+  }
+
+  /** continuation after ncA: lArI | poss | n-chain(checked drop) |
+    * sU→lAr — no trailing ki (busndakinca keeps its daki). */
+  private def tr_contCa(s: String, e0: Int): Int = {
+    val l = tr_mLari(s, e0)
+    if (l >= 0) return l
+    val a = tr_possAt(s, e0)
+    if (a >= 0) return tr_tryLarKi(s, a)
+    val pN = tr_nChain(s, e0, allowYdu = false, checkedDrop = true)
+    if (pN >= 0) return pN
+    val su = tr_mSu(s, e0)
+    if (su >= 0) return tr_tryLarKi(s, su)
+    tr_tryLarKi(s, e0)
+  }
+
+  /** continuation after ylA: poss | n-chain | sU→lAr | lAr-chain | ki. */
+  private def tr_contYla(s: String, e0: Int): Int = {
+    val a = tr_possAt(s, e0)
+    if (a >= 0) return tr_tryLarKi(s, a)
+    val pN = tr_nChain(s, e0, allowYdu = false)
+    if (pN >= 0) return pN
+    val su = tr_mSu(s, e0)
+    if (su >= 0) return tr_tryLarKi(s, su)
+    val t = tr_tryLarFull(s, e0)
+    if (t != e0) return t
+    val k = tr_kiChain(s, e0, gated = false)
+    if (k >= 0) return k
+    e0
+  }
+
+  private def tr_nominalVerb(s: String, e0: Int): (Int, Boolean) = {
+    var e = e0
+    // cAsInA -> [sUnUz|lAr|yUm|sUn|yUz] -> REQUIRED ymUs, atomic
+    val pCas = tr_among(s, e, Seq("casına", "cesine"))
+    if (pCas >= 0) {
+      val mid = Seq(tr_mSunuz(s, pCas), tr_mLar(s, pCas), tr_mYum(s, pCas),
+        tr_mSun(s, pCas), tr_mYuz(s, pCas)).find(_ >= 0).getOrElse(pCas)
+      val q = tr_mYmus(s, mid)
+      if (q >= 0) return (q, true)
+    }
+    // ymUs | yDU | ysA | yken
+    val p1 = tr_mYmus(s, e)
+    if (p1 >= 0) return (p1, true)
+    val p2 = tr_mYdu(s, e)
+    if (p2 >= 0) return (p2, true)
+    val p3 = tr_mYsa(s, e)
+    if (p3 >= 0) return (p3, true)
+    val p4 = tr_mYken(s, e)
+    if (p4 >= 0) return (p4, true)
+    // lAr -> try([opt poss-n] (DUr | yDU | ysA | ymUs)), continue=false
+    val pLar = tr_mLar(s, e)
+    if (pLar >= 0) {
+      e = pLar
+      def verbAt(x: Int): Int =
+        Seq(tr_mDur(s, x), tr_mYdu(s, x), tr_mYsa(s, x), tr_mYmus(s, x)).find(_ >= 0)
+          .getOrElse(-1)
+      val direct = verbAt(e)
+      if (direct >= 0) e = direct
+      else {
+        val pN = mN(s, e)
+        if (pN >= 0) {
+          val afterN = verbAt(pN)
+          if (afterN >= 0) e = afterN
+        }
+      }
+      return (e, false)
+    }
+    // nUz REQUIRES a following yDU | ysA, possibly via an atomic
+    // possessive-n hop (altinniz)
+    val pNuz = tr_mNuz(s, e)
+    if (pNuz >= 0) {
+      e = pNuz
+      val direct = Seq(tr_mYdu(s, e), tr_mYsa(s, e)).find(_ >= 0)
+      direct match {
+        case Some(x) => return (x, true)
+        case None =>
+          val pN = mN(s, e)
+          if (pN >= 0) {
+            val after = Seq(tr_mYdu(s, pN), tr_mYsa(s, pN)).find(_ >= 0)
+            if (after.isDefined) return (after.get, true)
+          }
+          e = e0
+      }
+    }
+    // bare possessive m|n (or the 1pl k) + REQUIRED (yDU | ysA),
+    // atomic (kartın→kar, giysen→gi, tapsak→tap, mbkğeodum→mbkğeo;
+    // babam keeps its m — no verb after)
+    if (e0 >= 1 && (s(e0 - 1) == 'm' || s(e0 - 1) == 'n' || s(e0 - 1) == 'k')) {
+      val hop = Seq(tr_mYdu(s, e0 - 1), tr_mYsa(s, e0 - 1)).find(_ >= 0)
+      if (hop.isDefined) return (hop.get, true)
+    }
+    // (sUnUz | yUz | sUn | yUm) -> try ymUs
+    val pPers = Seq(tr_mSunuz(s, e), tr_mYuz(s, e), tr_mSun(s, e), tr_mYum(s, e)).find(_ >= 0)
+    if (pPers.isDefined) {
+      e = pPers.get
+      val q = tr_mYmus(s, e)
+      if (q >= 0) e = q
+      return (e, true)
+    }
+    // DUr -> try((sUnUz | lAr | yUm | sUn | yUz | eps) ymUs)
+    val pDur = tr_mDur(s, e)
+    if (pDur >= 0) {
+      e = pDur
+      val mid = Seq(tr_mSunuz(s, e), tr_mLar(s, e), tr_mYum(s, e), tr_mSun(s, e), tr_mYuz(s, e))
+        .find(_ >= 0)
+      val base = mid.getOrElse(e)
+      val q = tr_mYmus(s, base)
+      if (q >= 0) e = q
+      return (e, true)
+    }
+    (e, true)
+  }
+
+  /** noun phase. Returns the RESULT STRING: the nDA/nA mark-only
+    * branch deletes ki-chain material from the MIDDLE, keeping the
+    * marked case suffix in place (baysininkinda -> baysinda). */
+  private def tr_nounPhase(s: String, atWordEnd: Boolean): String = {
+    val e = s.length
+    // lArI
+    val pLari = tr_mLari(s, e)
+    if (pLari >= 0) return s.substring(0, pLari)
+    // ncA
+    val pNca = tr_mNca(s, e)
+    if (pNca >= 0) return s.substring(0, tr_contCa(s, pNca))
+    // [nDA | nA marked]: lArI / s-present sU extend the slice leftward
+    // and the whole span deletes (evlerinde → ev, ailecasına →
+    // aileca); the ki-chain instead deletes from the MIDDLE, keeping
+    // the marked suffix in place (baysininkinda → baysinda)
+    val pMark = {
+      val a = tr_mNda(s, e); if (a >= 0) a else tr_mNa(s, e)
+    }
+    if (pMark >= 0) {
+      val pLariIn = tr_mLari(s, pMark)
+      if (pLariIn >= 0) return s.substring(0, pLariIn)
+      val pSuIn = tr_suSpanS(s, pMark)
+      if (pSuIn >= 0) {
+        val t = tr_mLar(s, pSuIn)
+        if (t >= 0) {
+          val k = tr_kiChain(s, t, gated = false)
+          return s.substring(0, if (k >= 0) k else t)
+        }
+        return s.substring(0, pSuIn)
+      }
+      val k = tr_kiChain(s, pMark, gated = true)
+      if (k >= 0) return s.substring(0, k) + s.substring(pMark, e)
+    }
+    // [nDAn | nU marked]: full sU span only — no lArI (becömişlarından
+    // keeps its lar), no ki-mid (okuldakinden strips plainly)
+    val pMark2 = {
+      val a = tr_mNdan(s, e); if (a >= 0) a else tr_mNu(s, e)
+    }
+    if (pMark2 >= 0) {
+      val pSuIn = tr_suSpanFull(s, pMark2)
+      if (pSuIn >= 0) {
+        val t = tr_mLar(s, pSuIn)
+        if (t >= 0) {
+          val k = tr_kiChain(s, t, gated = false)
+          return s.substring(0, if (k >= 0) k else t)
+        }
+        return s.substring(0, pSuIn)
+      }
+    }
+    // DAn | DA
+    val pDanK = tr_mDan(s, e)
+    if (pDanK >= 0) return s.substring(0, tr_contDa(s, pDanK, withKi = true))
+    val pDa0 = tr_mDa(s, e)
+    if (pDa0 >= 0) return s.substring(0, tr_contDa(s, pDa0, withKi = false))
+    // ylA
+    val pYla = tr_mYla(s, e)
+    if (pYla >= 0) return s.substring(0, tr_contYla(s, pYla))
+    // nUn
+    val pNun = tr_mNun(s, e)
+    if (pNun >= 0) return s.substring(0, tr_contNun(s, pNun))
+    // ki-chain directly
+    val k0 = tr_kiChain(s, e, gated = false)
+    if (k0 >= 0) return s.substring(0, k0)
+    // lAr -> ki
+    val pLar = tr_mLar(s, e)
+    if (pLar >= 0) {
+      val k = tr_kiChain(s, pLar, gated = false)
+      if (k >= 0) return s.substring(0, k)
+      return s.substring(0, pLar)
+    }
+    // possessives: nUz continues into a genitive or the singular m;
+    // mUz/m stop; all retry lAr
+    val pNuzP = tr_mNuzPoss(s, e)
+    if (pNuzP >= 0) {
+      // the genitive retry needs a vowel directly before (ülkeaün
+      // sheds ün; pipısın and külesin keep theirs)
+      val g = tr_mNun(s, pNuzP)
+      if (g >= 0 && pNuzP - g == 2 && g >= 1 && tr_vowels(s(g - 1)))
+        return s.substring(0, tr_contNun(s, g))
+      // a second mUz round only when lAr follows it (junuzlarımızınız
+      // sheds larımız whole; böcövumuzınız keeps its umuz)
+      val muz2 = tr_mMuz(s, pNuzP)
+      if (muz2 >= 0) {
+        val l2 = tr_mLar(s, muz2)
+        if (l2 >= 0) {
+          val k = tr_kiChain(s, l2, gated = false)
+          return s.substring(0, if (k >= 0) k else l2)
+        }
+      }
+      return s.substring(0, tr_tryLarKi(s, pNuzP))
+    }
+    val pPoss = tr_possAt(s, e)
+    if (pPoss >= 0) {
+      // a word-final singular m may expose one UnUz unit
+      // (tujibucımunuzım sheds ım then unuz and stops; after a
+      // phase-1 strip the m stops the chain)
+      if (atWordEnd && e >= 1 && s(e - 1) == 'm') {
+        val n2 = tr_mNuzU(s, pPoss)
+        // only when the unit exposes another possessive m
+        // (tujibucımunuzım → tujibucım; möykensunuzım keeps sunuz)
+        if (n2 >= 1 && s(n2 - 1) == 'm') return s.substring(0, n2)
+      }
+      return s.substring(0, tr_tryLarKi(s, pPoss))
+    }
+    // possessive-n chain (yDU hop only at the original word end)
+    val pN = tr_nChain(s, e, allowYdu = atWordEnd)
+    if (pN >= 0) return s.substring(0, pN)
+    // yU -> (lAr | poss/n | nUn)
+    val pYu = tr_mYu(s, e)
+    if (pYu >= 0) {
+      val a = tr_mLar(s, pYu)
+      if (a >= 0) {
+        val k = tr_kiChain(s, a, gated = false)
+        return s.substring(0, if (k >= 0) k else a)
+      }
+      val b = tr_possAt(s, pYu)
+      if (b >= 0) return s.substring(0, tr_tryLarKi(s, b))
+      val c = tr_nChain(s, pYu, allowYdu = false)
+      if (c >= 0) return s.substring(0, c)
+      val g = tr_mNun(s, pYu)
+      if (g >= 0) return s.substring(0, tr_contNun(s, g))
+      return s.substring(0, pYu)
+    }
+    // yA -> (lAr->ki | poss/n | nUn)
+    val pYa = { val p = tr_among(s, e, Seq("a", "e"))
+      if (p < 0 || !tr_harmony(s, e)) -1 else tr_optY(s, p) }
+    if (pYa >= 0) {
+      val a = tr_mLar(s, pYa)
+      if (a >= 0) {
+        val k = tr_kiChain(s, a, gated = false)
+        return s.substring(0, if (k >= 0) k else a)
+      }
+      val b = tr_possAt(s, pYa)
+      if (b >= 0) return s.substring(0, tr_tryLarKi(s, b))
+      val c = tr_nChain(s, pYa, allowYdu = false)
+      if (c >= 0) return s.substring(0, c)
+      val g = tr_mNun(s, pYa)
+      if (g >= 0) return s.substring(0, tr_contNun(s, g))
+      return s.substring(0, pYa)
+    }
+    s
+  }
+
+  private def tr_postProcess(s: String): String = {
+    if (s.isEmpty) return s
+    val last = s.last match {
+      case 'b' => 'p'
+      case 'c' => 'ç'
+      case 'd' => 't'
+      case 'ğ' => 'k'
+      case other => other
+    }
+    s.substring(0, s.length - 1) + last
+  }
+
+  private val tr_reserved = Set("ad", "soyad")
+
+  private def tr_appendU(s: String): String = {
+    if (s.isEmpty) return s
+    val c = s.last
+    if (c != 'd' && c != 'g') return s
+    var v = s.length - 1
+    while (v >= 0 && !tr_vowels(s(v))) v -= 1
+    if (v < 0) return s
+    val u = s(v) match {
+      case 'a' | 'ı' => 'ı'
+      case 'e' | 'i' => 'i'
+      case 'o' | 'u' => 'u'
+      case 'ö' | 'ü' => 'ü'
+      case _ => return s
+    }
+    s + u
+  }
+
+  def turkishStem(word: String): String = {
+    val s = word
+    if (s.count(tr_vowels) <= 1) return s
+    val (e1, cont) = tr_nominalVerb(s, s.length)
+    var out = s.substring(0, e1)
+    if (cont) {
+      out = tr_nounPhase(out, atWordEnd = e1 == s.length)
+      // tr_reserved stems skip the whole postlude (addan → ad, never at)
+      if (!tr_reserved(out)) {
+        // append-U FIRST: a d-final turkishStem that takes the vowel escapes
+        // the devoicing (dadla → dadı, but dumla → t)
+        out = tr_appendU(out)
+        out = tr_postProcess(out)
+      }
+    }
+    out
+  }
+
   def byConfig(name: String): Option[(Set[String], String => String)] =
     name match {
       case "german" => Some((germanStop, germanStem))
@@ -1993,6 +2768,7 @@ object SnowballStems extends Serializable {
       case "romanian" => Some((Set.empty[String], romanianStem))
       case "hungarian" => Some((hungarianStop, hungarianStem))
       case "indonesian" => Some((Set.empty[String], indonesianStem))
+      case "turkish" => Some((turkishStop, turkishStem))
       case _ => None
     }
 }

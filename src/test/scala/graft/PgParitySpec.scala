@@ -2039,6 +2039,40 @@ class PgParitySpec extends SparkSpec {
       assert(one(expr) === want, s"expr: $expr")
   }
 
+  test("sweep-41: turkish text-search config (live pg 15, UTF8 db)") {
+    // Round-15 Snowball port — the probe-hardest config: verified
+    // 0-diff against live pg ts_lexize on 27,980 words (7,980
+    // morphological cross-product + 20,000 random) and against
+    // libstemmer 2.2 on 190,308 more. The recovered semantics include
+    // the mark/slice machinery no other config needs: nDA/nA case
+    // suffixes MARK without deleting and an inner ki-chain deletes
+    // from the MIDDLE of the word (baysininkinda → baysinda), the
+    // possessive-n chain re-exposes verb suffixes only at the
+    // original word end (kartın → kar but altınla → alt), and the
+    // postlude order is append-U *then* devoice (dadla → dadı,
+    // dumla → t).
+    val pinned: Seq[(String, String)] = Seq(
+      ("to_tsvector('turkish', 'çocuklar güzel ulusal bahçelerde mutlu oynuyorlardı')",
+        "'bahçe':4 'güzel':2 'mutlu':5 'oynuyor':6 'ulusal':3 'çocuk':1"),
+      ("plainto_tsquery('turkish', 'güzel bahçelerde')", "'güzel' & 'bahçe'"),
+      ("ts_lexize('turkish_stem', 'çocuklar')", "{çocuk}"),
+      ("ts_lexize('turkish_stem', 'okuldakilerden')", "{okul}"),
+      ("ts_lexize('turkish_stem', 'kitaplarımızdakiler')", "{kitaplarımızdaki}"),
+      ("ts_lexize('turkish_stem', 'baysininkinda')", "{baysinda}"),
+      ("ts_lexize('turkish_stem', 'ailecasına')", "{aileca}"),
+      ("ts_lexize('turkish_stem', 'kartın')", "{kar}"),
+      ("ts_lexize('turkish_stem', 'gözlerimizin')", "{göz}"),
+      ("ts_lexize('turkish_stem', 'sevadı')", "{sevadı}"),
+      ("to_tsvector('turkish', 've bu da bir şey')", "'bir':4"),
+      ("to_tsvector('turkish', 'evlerinde') @@ to_tsquery('turkish', 'evler')", "t"),
+      ("websearch_to_tsquery('turkish', 'güzel \"ulusal parklar\"')",
+        "'güzel' & 'ulusal' <-> 'park'"),
+      ("ts_headline('turkish', 'çocuklar bahçede oynuyor', to_tsquery('turkish', 'bahçede'))",
+        "çocuklar <b>bahçede</b> oynuyor"))
+    for ((expr, want) <- pinned)
+      assert(one(expr) === want, s"expr: $expr")
+  }
+
   test("sweep-35: romanian/hungarian/indonesian text-search configs (live pg 15, UTF8 db)") {
     // Round-14 Snowball ports, verified 0-diff against live ts_lexize:
     // ro 10,957 pairs, hu 12,004 (incl. digraph-double undoubling:
