@@ -167,10 +167,15 @@ final class PgServer(
     * them pushed directly by the bus (messageLoop's onNotify wiring).
     */
   private def readyWithNotifications(out: DataOutputStream, session: Session): Unit = {
-    var n = session.pendingNotifications.poll()
-    while (n != null) {
-      Messages.notificationResponse(out, n._1, n._2, n._3)
-      n = session.pendingNotifications.poll()
+    // pg delivers queued notifications only OUTSIDE a transaction
+    // block — between in-transaction statements they stay queued
+    // (live-pinned: delivery comes with COMMIT's ReadyForQuery)
+    if (session.txn == session.Idle) {
+      var n = session.pendingNotifications.poll()
+      while (n != null) {
+        Messages.notificationResponse(out, n._1, n._2, n._3)
+        n = session.pendingNotifications.poll()
+      }
     }
     Messages.readyForQuery(out, session.txnStatusByte)
   }
@@ -264,9 +269,12 @@ final class PgServer(
     // between-transactions point — so responses never interleave.
     val writeLock = new java.util.concurrent.locks.ReentrantLock()
     session.onNotify = () => {
-      if (!session.busyProcessing && writeLock.tryLock()) {
+      // idle INSIDE a transaction queues until the transaction ends
+      // (live-pinned: the notification prints only after COMMIT)
+      if (!session.busyProcessing && session.txn == session.Idle &&
+        writeLock.tryLock()) {
         try {
-          if (!session.busyProcessing) {
+          if (!session.busyProcessing && session.txn == session.Idle) {
             var wrote = false
             var n = session.pendingNotifications.poll()
             while (n != null) {

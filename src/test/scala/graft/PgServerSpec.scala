@@ -265,6 +265,35 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     l.close(); n.close()
   }
 
+  test("NOTIFY queues while the listener is idle IN a transaction, delivers at COMMIT") {
+    // live-pinned (pg 15): a notification that arrives mid-transaction
+    // is not pushed and does not drain between in-transaction
+    // statements — it rides the ReadyForQuery AFTER the transaction
+    // ends
+    val l = connect()
+    val n = connect()
+    assert(l.query("LISTEN txnchan").tags === Seq("LISTEN"))
+    assert(l.query("BEGIN").tags === Seq("BEGIN"))
+    assert(n.query("NOTIFY txnchan, 'inside'").tags === Seq("NOTIFY"))
+    // idle-in-transaction: no async push
+    assert(l.awaitNotification(300) === None)
+    // an in-transaction statement's ReadyForQuery does NOT drain it
+    val mid = l.query("SELECT 1")
+    assert(mid.errors === Nil)
+    assert(mid.notifications === Nil)
+    assert(l.awaitNotification(300) === None)
+    // COMMIT's ReadyForQuery delivers
+    val fin = l.query("COMMIT")
+    assert(fin.tags === Seq("COMMIT"))
+    assert(fin.notifications.map(t => (t._2, t._3)) === Seq(("txnchan", "inside")))
+    // ROLLBACK delivers the same way
+    l.query("BEGIN")
+    n.query("NOTIFY txnchan, 'aborted'")
+    assert(l.awaitNotification(300) === None)
+    assert(l.query("ROLLBACK").notifications.map(_._3) === Seq("aborted"))
+    l.close(); n.close()
+  }
+
   test("INSERT ... SELECT ... RETURNING streams a large batch") {
     val c = connect()
     c.query("DROP TABLE IF EXISTS ret_big")
