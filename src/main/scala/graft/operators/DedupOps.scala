@@ -966,14 +966,32 @@ object DedupOps {
       // by binary search. Peak driver footprint at the 4M-pair bound
       // is ids (≤64 MB) + parent (≤32 MB) + one pair partition.
       import spark.implicits._
-      val nodesDs = p2.select(col("src").as("id"))
-        .union(p2.select(col("dst").as("id")))
-        .distinct().orderBy("id").as[Long]
-      val n = nodesDs.count().toInt
-      val ids = new Array[Long](n)
-      var k = 0
-      val nit = nodesDs.toLocalIterator()
-      while (nit.hasNext) { ids(k) = nit.next(); k += 1 }
+      // primitive-array collects (Dataset[Long].collect() returns an
+      // unboxed Array[Long]): src/dst ≤64 MB at the 4M-pair bound —
+      // never GenericRows, and never toLocalIterator (which schedules
+      // one sequential job PER PARTITION; the r15 first cut paid ~64
+      // tiny jobs and tripled q129). Two column collects over the
+      // SAME persisted frame read the cached partitions in the same
+      // order.
+      val srcArr = p2.select(col("src")).as[Long].collect()
+      val dstArr = p2.select(col("dst")).as[Long].collect()
+      // sorted-unique node table built driver-side (a sort of ≤8M
+      // longs — cheaper than the distinct+orderBy shuffle pair it
+      // replaces)
+      val ids = {
+        val all = new Array[Long](srcArr.length * 2)
+        System.arraycopy(srcArr, 0, all, 0, srcArr.length)
+        System.arraycopy(dstArr, 0, all, srcArr.length, dstArr.length)
+        java.util.Arrays.sort(all)
+        var w = 0
+        var r = 0
+        while (r < all.length) {
+          if (w == 0 || all(r) != all(w - 1)) { all(w) = all(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(all, w)
+      }
+      val n = ids.length
       // union by smaller ROOT — ids are sorted, so a smaller index IS
       // the smaller id and the representative stays the min id
       val parent = Array.tabulate(n)(identity)
@@ -985,14 +1003,14 @@ object DedupOps {
         }
         x
       }
-      val pit = p2.as[(Long, Long)].toLocalIterator()
-      while (pit.hasNext) {
-        val (a, b) = pit.next()
-        val ra = find(java.util.Arrays.binarySearch(ids, a))
-        val rb = find(java.util.Arrays.binarySearch(ids, b))
+      var pi = 0
+      while (pi < srcArr.length) {
+        val ra = find(java.util.Arrays.binarySearch(ids, srcArr(pi)))
+        val rb = find(java.util.Arrays.binarySearch(ids, dstArr(pi)))
         if (ra != rb) {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
+        pi += 1
       }
       p2.unpersist(false)
       var i = 0
