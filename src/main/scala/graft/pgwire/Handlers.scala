@@ -3503,13 +3503,16 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
         retList match {
           case Some(ret) =>
             val sub = alias.getOrElse(m.group(1))
-            matched.createOrReplaceTempView("__graft_upd_m")
+            // unique view name — the shared SparkSession makes temp
+            // views global, so a fixed name raced concurrent updates
+            val v = s"__graft_upd_m_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+            matched.createOrReplaceTempView(v)
             val rs = materializedRowSet(
-              runSql(spark, s"SELECT $ret FROM __graft_upd_m AS $sub"),
+              runSql(spark, s"SELECT $ret FROM `$v` AS $sub"),
               _ => s"UPDATE $n")
             afterWrite(rs) {
               overwriteTable(spark, table, next)
-              spark.catalog.dropTempView("__graft_upd_m")
+              spark.catalog.dropTempView(v)
             }
           case None =>
             overwriteTable(spark, table, next)
