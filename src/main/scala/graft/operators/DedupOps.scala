@@ -52,6 +52,34 @@ object DedupOps {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Dedup-materialize with a KEEP POLICY: per exact-content group keep
+    * the row that sorts first on (`prefCols`…, `idCol`) ascending — the
+    * production variant of [[dedupKeepFirst]] where the survivor is the
+    * copy from the most trusted source / highest quality score rather
+    * than the lowest id (pass a descending preference as a negated or
+    * inverted column upstream).
+    *
+    * Same two-phase scale shape as keep-first: the winner per digest is
+    * a `min(struct(pref…, id))` partial aggregation — the shuffle
+    * carries digest + the small preference struct only (a hot document
+    * with a billion copies collapses to one candidate per map task) —
+    * then one semi-join on the unique id moves full rows exactly once.
+    * Struct min is lexicographic by field order, exactly `ORDER BY
+    * pref…, id` with all fields non-null.
+    *
+    * PRECONDITIONS: `idCol` unique + non-null (see [[dedupKeepFirst]]);
+    * `prefCols` non-null (NULL preference values would make the struct
+    * ordering disagree with SQL's NULLS LAST default).
+    */
+  def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+      prefCols: Seq[String]): DataFrame = {
+    val pick = struct((prefCols :+ idCol).map(col): _*)
+    val keep = docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(pick).as("best"))
+      .select(col(s"best.$idCol").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 

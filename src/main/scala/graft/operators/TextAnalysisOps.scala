@@ -354,6 +354,165 @@ object TextAnalysisOps extends Serializable {
       .toDF("doc_id", "n_overlap", "contaminated")
   }
 
+  /** [[contaminationCheck]]'s 100 TB-eval-set variant: the exact
+    * broadcast hash set above caps out when the benchmark-gram set
+    * itself stops fitting on an executor (~50+ bytes per gram string
+    * in a HashSet). This variant broadcasts a BLOOM FILTER instead
+    * (~10 bits per gram at fpp=0.03 — 40× smaller), prefilters every
+    * training gram map-side, and then confirms the tiny surviving
+    * candidate set with an exact shuffle join against the eval grams —
+    * so the result is still EXACT (no false positives survive the
+    * confirm join), but the gram shuffle carries only Bloom survivors
+    * (≈ true hits + fpp·|train grams|) instead of every training gram.
+    *
+    * Scale shape, stage by stage:
+    *  - Bloom sizing: one codegen pass over eval summing token counts
+    *    (an overestimate of distinct grams — conservative sizing only
+    *    LOWERS the false-positive rate);
+    *  - Bloom build: Spark's distributed mergeable sketch
+    *    (`stat.bloomFilter`) over the exploded grams — duplicate
+    *    insertions are idempotent, so no distinct shuffle is paid;
+    *  - prefilter: per-doc distinct-gram walk testing the broadcast
+    *    filter, emitting ONLY survivors;
+    *  - confirm: shuffle semi-join survivors × eval grams (duplicate
+    *    right rows are harmless under semi-join — again no distinct),
+    *    then one partial-agg count per doc. The memoized filter is
+    *    index state (one build per corpus fingerprint, not per query).
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minOverlap: Int = 1,
+      fpp: Double = 0.03): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalGrams = eval.select(explode(wordGramsAll(col(textCol), n)).as("gram"))
+    val bloom = PlanMemo.getOrCompute[org.apache.spark.util.sketch.BloomFilter](
+      ("bloomgrams", PlanMemo.dataKey(eval), textCol, n, fpp)) {
+      val expected = math.max(1024L,
+        eval.agg(sum(greatest(size(DedupOps.tokens(col(textCol))) - (n - 1),
+          lit(0)))).head().getLong(0))
+      evalGrams.stat.bloomFilter("gram", expected, fpp)
+    }
+    val bc = spark.sparkContext.broadcast(bloom)
+    val cands = train.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val f = bc.value
+        it.flatMap { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text)
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            (0 to toks.length - n).iterator.flatMap { i =>
+              val g = toks.slice(i, i + n).mkString(" ")
+              if (seen.add(g) && f.mightContainString(g)) Iterator.single((id, g))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "gram")
+    val hits = cands.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Cross-document duplicated-n-gram fraction — the corpus-level
+    * repetition filter of the Gopher/Dolma quality rule set (distinct
+    * from [[repetitionScore]], which is WITHIN-document): for every
+    * document, the fraction of its distinct word n-grams that occur in
+    * at least `minDf` documents corpus-wide. High fractions flag
+    * boilerplate families (templated pages, mirrored shards) that
+    * exact and near dedup both miss because no single pair crosses
+    * their thresholds.
+    *
+    * Scale shape: one tokenizer pass (map-side distinct-gram walk), one
+    * shuffle on the gram key where an UNORDERED whole-partition window
+    * counts each gram's document frequency (no sort — same bytes as the
+    * groupBy alternative but without re-shuffling a join of gram
+    * strings back), then one partial-agg shuffle on doc_id. Text never
+    * shuffles; a gram's window group holds df rows (bounded by corpus
+    * document count, and in practice tiny).
+    */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gramRows = graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text)
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + n <= toks.length) {
+              seen.add(toks.slice(i, i + n).mkString(" "))
+              i += 1
+            }
+            seen.iterator().asScala.map(g => (id, g))
+          }
+        }
+      }
+      .toDF("doc_id", "gram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val agg = gramRows
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") /
+            col("n_grams").cast("double")).as("dup_fraction"))
+  }
+
+  /** Exact-substring decontamination (the GPT-3-style check: an eval
+    * snippet appearing VERBATIM inside a training document, word
+    * boundaries ignored): for every document, the number of distinct
+    * snippets from `snippets` that occur as substrings, plus a
+    * contaminated flag.
+    *
+    * Scale shape: the snippet set is dimension-sized (benchmark
+    * prompts), so it is gathered once and compiled into an
+    * [[AhoCorasick]] automaton on the driver — the gather is broadcast
+    * CONSTRUCTION, not a hot-path collect — then every document is ONE
+    * linear automaton pass regardless of snippet count. The naive
+    * per-snippet `contains` loop (what a SQL engine runs for the
+    * equivalent theta-join) is O(snippets × corpus bytes): at 10⁴
+    * snippets over 100 TB that is four orders of magnitude more
+    * character comparisons. Map-side only — no shuffle ever carries
+    * text.
+    */
+  def substringDecontaminate(docs: DataFrame, snippets: DataFrame,
+      idCol: String, textCol: String, snippetCol: String,
+      minMatches: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = snippets.select(col(snippetCol).cast("string"))
+      .na.drop().as[String].collect()
+    val ac = AhoCorasick.build(pats.toSeq)
+    val bc = spark.sparkContext.broadcast(ac)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val a = bc.value
+        it.map { case (id, text) => (id, a.distinctMatches(text).toLong) }
+      }
+      .toDF("doc_id", "n_matched")
+      .select(col("doc_id"), col("n_matched"),
+        (col("n_matched") >= minMatches).as("contaminated"))
+  }
+
   /** Per-document repetition score: total n-gram count, the count of
     * the most frequent n-gram, and their ratio — the classic
     * boilerplate/template filter (a high top-gram fraction means the

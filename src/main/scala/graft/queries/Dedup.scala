@@ -442,6 +442,21 @@ object Dedup {
         DedupOps.fuzzyJoin(parts, "p_partkey", "p_name", "block", maxDist = 2,
           overCapIsError = true),
         "id_a", "id_b")
+    },
+
+    // --- keep-BEST dedup policy: per exact-content group keep the copy
+    //     from the first source in binary order (production pipelines
+    //     keep the most-trusted mirror, not the lowest id) — same
+    //     digest-struct partial-agg + semi-join scale shape as q41
+    Q.df("q136_dedup_keep_best",
+      """SELECT doc_id, source, lang, n_chars FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text)
+        |                            ORDER BY source, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.dedupKeepBest(Tables.t(s, dir, "documents"),
+        "doc_id", "text", Seq("source"))
+        .select("doc_id", "source", "lang", "n_chars").orderBy("doc_id")
     }
   )
 }

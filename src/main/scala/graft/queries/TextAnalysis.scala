@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDef, Tables}
 import graft.operators.{DedupOps, TextAnalysisOps}
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, size, slice, split, trim}
 
 /** Text-analysis operators over the `documents` table (LLM-pipeline
   * extension; see SURVEY.md §0). Every query carries a full DuckDB
@@ -479,6 +479,106 @@ object TextAnalysis {
         |ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       TextAnalysisOps.bm25Rank(Tables.t(s, dir, "documents"),
         "doc_id", "text", Seq("hash", "join", "spark"), topK = 20)
+    },
+
+    // --- Bloom-prefiltered exact decontamination: the contaminationCheck
+    //     variant for eval sets too big to broadcast as an exact hash
+    //     set. Bloom false positives are removed by the confirm join, so
+    //     the oracle is the same EXACT n-gram overlap the q84 shape uses
+    //     (different split + n + threshold to keep the queries distinct).
+    Q.df("q133_bloom_decontam",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> array_to_string(list_slice(toks, i, i + 3), ' ')))) AS gram
+        |  FROM toksrc WHERE len(toks) >= 4
+        |),
+        |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 31 = 0),
+        |olap AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM grams g JOIN eval_grams e USING (gram)
+        |  WHERE g.doc_id % 31 <> 0 GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  COALESCE(o.n_overlap, 0) >= 2 AS contaminated
+        |FROM documents d LEFT JOIN olap o ON d.doc_id = o.doc_id
+        |WHERE d.doc_id % 31 <> 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      Q.oracleOrder(
+        TextAnalysisOps.bloomDecontaminate(
+          docs.filter("doc_id % 31 != 0"), docs.filter("doc_id % 31 = 0"),
+          "doc_id", "text", n = 4, minOverlap = 2),
+        "doc_id")
+    },
+
+    // --- cross-document duplicated-gram fraction (the Gopher/Dolma
+    //     corpus-level boilerplate filter; q85 is the within-doc twin)
+    Q.df("q134_dup_gram_fraction",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |dfed AS (
+        |  SELECT doc_id, CAST(count(*) OVER (PARTITION BY gram) AS BIGINT) AS df
+        |  FROM grams
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+        |  FROM dfed GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+        |  CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+        |       ELSE CAST(a.n_dup_grams AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
+        |  END AS dup_fraction
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        TextAnalysisOps.dupGramFraction(Tables.t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minDf = 2),
+        "doc_id")
+    },
+
+    // --- exact-substring decontamination via a broadcast Aho–Corasick
+    //     automaton (one linear pass per doc regardless of snippet
+    //     count); the oracle runs the equivalent theta-join, which is
+    //     exactly the O(snippets × corpus) shape the automaton replaces
+    Q.df("q135_substring_decontam",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |snip AS (
+        |  SELECT DISTINCT array_to_string(list_slice(toks, 1, 6), ' ') AS snippet
+        |  FROM toksrc WHERE doc_id % 53 = 0 AND len(toks) >= 6
+        |),
+        |hits AS (
+        |  SELECT d.doc_id, CAST(count(DISTINCT s.snippet) AS BIGINT) AS n_matched
+        |  FROM documents d JOIN snip s ON position(s.snippet IN d.text) > 0
+        |  WHERE d.doc_id % 53 <> 0 GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(h.n_matched, 0) AS n_matched,
+        |  COALESCE(h.n_matched, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 53 <> 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val snippets = docs
+        .filter(col("doc_id") % 53 === 0 && size(toks) >= 6)
+        .select(concat_ws(" ", slice(toks, 1, 6)).as("snippet"))
+      Q.oracleOrder(
+        TextAnalysisOps.substringDecontaminate(
+          docs.filter("doc_id % 53 != 0"), snippets,
+          "doc_id", "text", "snippet"),
+        "doc_id")
     }
   )
 }

@@ -50,6 +50,23 @@ class DedupSpec extends SparkSpec {
     assert(kept === Array(1L, 3L, 4L, 5L))
   }
 
+  test("dedupKeepBest keeps the copy preferred by prefCols, not min id") {
+    val d = Seq(
+      (1L, "same text here", "web"),
+      (2L, "same text here", "books"),   // preferred source, higher id
+      (3L, "same text here", "web"),
+      (4L, "unique text entirely", "web")
+    ).toDF("doc_id", "text", "source")
+    val kept = DedupOps.dedupKeepBest(d, "doc_id", "text", Seq("source"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L)) // "books" < "web"; id only tiebreaks
+    // tiebreak on id within the same preference value
+    val d2 = Seq((7L, "x y z", "a"), (5L, "x y z", "a")).toDF("doc_id", "text", "source")
+    val kept2 = DedupOps.dedupKeepBest(d2, "doc_id", "text", Seq("source"))
+      .select("doc_id").as[Long].collect()
+    assert(kept2 === Array(5L))
+  }
+
   test("wordShingles yields empty set for texts shorter than n tokens") {
     val out = Seq("one two", "one two three four").toDF("t")
       .select(size(DedupOps.wordShingles($"t", 3)).as("n")).as[Int].collect()

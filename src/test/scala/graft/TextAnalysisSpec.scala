@@ -267,4 +267,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(_._2 > 0L))
     assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("bloomDecontaminate matches exact contaminationCheck output") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words here now ok"),
+      (3L, "short"),
+      (4L, "alpha beta gamma delta trailing words and alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val exact = TextAnalysisOps.contaminationCheck(train, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val bloom = TextAnalysisOps.bloomDecontaminate(train, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(bloom === exact)
+    // distinct-gram counting: doc 4 repeats "alpha beta gamma delta" but
+    // the overlap counts it once
+    assert(bloom(4L)._1 === 1L)
+  }
+
+  test("dupGramFraction scores cross-document boilerplate, not within-doc repeats") {
+    val docs = Seq(
+      (1L, "shared boiler plate text one"),   // grams shared with doc 2
+      (2L, "shared boiler plate text two"),
+      (3L, "entirely unique document words here"),
+      (4L, "tiny"),                            // shorter than n: zero grams
+      (5L, "echo echo echo echo")              // within-doc repeat only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.dupGramFraction(docs, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 1/2 share "shared boiler plate"/"boiler plate text": 2 of 3 grams dup'd
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(2L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(3L) === ((3L, 0L, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+    // doc 5's "echo echo echo" is distinct-per-doc so df stays 1
+    assert(got(5L) === ((1L, 0L, 0.0)))
+  }
+
+  test("AhoCorasick counts distinct patterns with overlaps and fail links") {
+    val ac = graft.operators.AhoCorasick.build(
+      Seq("he", "she", "his", "hers", "she")) // dup collapses
+    assert(ac.patternCount === 4)
+    // "ushers": she, he, hers all end inside it; his does not
+    assert(ac.distinctMatches("ushers") === 3)
+    assert(ac.distinctMatches("his") === 1)
+    assert(ac.distinctMatches("xyz") === 0)
+    assert(ac.distinctMatches("") === 0)
+    assert(ac.distinctMatches(null) === 0)
+    // repeated occurrences count once
+    assert(ac.distinctMatches("he he he") === 1)
+    val empty = graft.operators.AhoCorasick.build(Seq.empty)
+    assert(empty.distinctMatches("anything") === 0)
+  }
+
+  test("substringDecontaminate flags docs containing snippets verbatim") {
+    val docs = Seq(
+      (1L, "prefix alpha beta gamma suffix"),  // contains snippet A
+      (2L, "alphabeta gamma"),                 // no word-boundary match
+      (3L, "two hits: alpha beta gamma and delta epsilon done"),
+      (4L, "clean document")).toDF("doc_id", "text")
+    val snips = Seq("alpha beta gamma", "delta epsilon").toDF("snippet")
+    val got = TextAnalysisOps.substringDecontaminate(docs, snips,
+      "doc_id", "text", "snippet")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((2L, true)))
+    assert(got(4L) === ((0L, false)))
+  }
 }
