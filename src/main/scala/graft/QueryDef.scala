@@ -103,8 +103,16 @@ object Q {
 
   /** [[rangeFanout]]'s width with a HASH exchange instead of range —
     * no sampling job, no ordering guarantee. For callers that only
-    * need parallelism plus same-key co-location (e.g. a per-record
-    * flatMap whose consumers group by a row-unique key). */
+    * need parallelism plus same-row contiguity (e.g. a per-record
+    * flatMap whose consumers group by a row-unique key).
+    *
+    * Unlike rangeFanout (whose exchange IS the ordering), this one is
+    * purely a parallelism repair, so when the source is already at
+    * least core-count wide — every production-scale input — it
+    * returns `df` untouched: a corpus-sized text column must never
+    * pay a physical shuffle just to re-establish a width the scan
+    * already has. The exchange only fires for narrow local inputs
+    * (the single-split test parquet). */
   def hashFanout(df: DataFrame, key: String): DataFrame = {
     val spark = df.sparkSession
     val srcParts =
@@ -118,12 +126,15 @@ object Q {
         case _ => 1
       }.sum
       catch { case scala.util.control.NonFatal(_) => 1 }
-    val bytes =
-      try df.queryExecution.analyzed.stats.sizeInBytes.toLong
-      catch { case scala.util.control.NonFatal(_) => 0L }
-    val byData = (bytes / (128L * 1024)).toInt
-    val n = math.max(math.max(8, srcParts),
-      math.min(byData, spark.sparkContext.defaultParallelism))
-    df.repartition(n, org.apache.spark.sql.functions.col(key))
+    if (srcParts >= spark.sparkContext.defaultParallelism) df
+    else {
+      val bytes =
+        try df.queryExecution.analyzed.stats.sizeInBytes.toLong
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      val byData = (bytes / (128L * 1024)).toInt
+      val n = math.max(math.max(8, srcParts),
+        math.min(byData, spark.sparkContext.defaultParallelism))
+      df.repartition(n, org.apache.spark.sql.functions.col(key))
+    }
   }
 }

@@ -41,6 +41,12 @@ private[graft] object PlanMemo {
       files, stamps)
   }
 
+  /** Memoized value if present — for callers whose COLD path needs
+    * extra machinery (a persist feeding two consumers) that the warm
+    * path should skip entirely. */
+  def peek[V](key: Any): Option[V] =
+    Option(store.synchronized(store.get(key))).map(_.asInstanceOf[V])
+
   /** Double-checked get-or-compute; `compute` runs outside the lock
     * (a concurrent duplicate compute is cheaper than holding the lock
     * through a Spark job). */

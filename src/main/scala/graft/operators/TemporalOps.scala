@@ -84,7 +84,15 @@ object TemporalOps {
       .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    // Explicit-width hash exchange on the window key: the window's own
+    // ENSURE_REQUIREMENTS exchange is subject to AQE's 1 MiB
+    // coalescing floor, which serialized the fill to ~5 tasks on the
+    // local test SF (the union rows are wide: both payload structs
+    // ride them). An explicit repartition satisfies the window's
+    // clustering requirement — same single shuffle, full width — and
+    // hashFanout returns the union untouched when the sources are
+    // already core-count wide (production scale).
+    graft.Q.hashFanout(l.unionByName(r), "__k")
       .withColumn("__fill", last(col("__rrow"), ignoreNulls = true).over(w))
       .filter(col("__left") === 1)
       .select(col("__lrow.*") +: payload.map(p => col(s"__fill.$p").as(p)): _*)

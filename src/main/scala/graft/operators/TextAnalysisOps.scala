@@ -599,6 +599,17 @@ object TextAnalysisOps extends Serializable {
     * that computes it once (measured: the term-partition window sorted
     * every tf row; this shape is ~3× faster at sf0.1 and strictly
     * less shuffle volume at any scale).
+    *
+    * The df table itself is INDEX state (an inverted index stores df
+    * beside each posting list): when the vocabulary fits a driver
+    * bound (`maxVocab`, checked with a limit-gated collect — the gate
+    * engages BEFORE materializing an oversized vocabulary), it
+    * memoizes per data fingerprint and ships as one broadcast map, and
+    * the idf lookup + top-k fuse into the single typed pass — the warm
+    * path is then ONE job with no exchange at all. Above the bound
+    * (realistic at 100 TB: web-scale token vocabularies), the operator
+    * keeps the r14 broadcast-join shape unchanged; the None decision
+    * memoizes too, so the probe is paid once per corpus, not per call.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int, corpusN: Option[Long] = None): DataFrame = {
@@ -634,7 +645,6 @@ object TextAnalysisOps extends Serializable {
         }
       }
       .toDF("doc_id", "term", "tf")
-    val dfCounts = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
     // Corpus size N resolved eagerly and inlined as a plan literal —
     // drops the 1-row broadcast cross join and its build job. Callers
     // that know the count from source metadata (parquet footers, a
@@ -645,51 +655,85 @@ object TextAnalysisOps extends Serializable {
       PlanMemo.getOrCompute[Long](("count", PlanMemo.dataKey(docs))) {
         docs.count()
       })
-    val scored = tfRows
-      .join(broadcast(dfCounts), "term")
-      .select(col("doc_id"), col("term"), col("tf"),
-        floor(log(lit(n).cast("double") / col("df")) * 1000000)
-          .cast("long").as("idf_u"))
-      .withColumn("score", col("tf") * col("idf_u"))
-      .select(col("doc_id"), col("term"), col("tf"), col("idf_u"),
-        col("score"))
-    // Streaming per-doc top-k over consecutive same-doc runs. Tie-break
-    // (score desc, term asc) compares terms by UTF-8 bytes — the same
-    // binary order Spark's UTF8String sort and DuckDB's default varchar
-    // collation use (java.lang.String.compareTo would disagree on
-    // supplementary-plane text).
-    scored.as[(Long, String, Long, Long, Long)]
-      .mapPartitions { it =>
-        new Iterator[(Long, String, Long, Long, Long)] {
-          private val buf =
-            scala.collection.mutable.ArrayBuffer
-              .empty[(Long, String, Long, Long, Long)]
-          private var out: Iterator[(Long, String, Long, Long, Long)] =
-            Iterator.empty
-          private def flush(): Unit = {
-            out = buf
-              .sortWith((p, q) =>
-                p._5 > q._5 || (p._5 == q._5 && utf8Less(p._2, q._2)))
-              .take(k).toVector.iterator
-            buf.clear()
+    // df index state (scaladoc): driver map when the vocabulary fits
+    // the bound, broadcast-join fallback when it doesn't
+    val maxVocab = 1 << 19
+    val dfMapOpt = PlanMemo.getOrCompute[Option[Map[String, Long]]](
+      ("tfidfdf", PlanMemo.dataKey(docs), textCol, maxVocab)) {
+      val rows = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
+        .limit(maxVocab + 1).collect()
+      if (rows.length > maxVocab) None
+      else Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    dfMapOpt match {
+      case Some(dfMap) =>
+        val bc = spark.sparkContext.broadcast(dfMap)
+        val nD = n.toDouble
+        tfRows.as[(Long, String, Long)]
+          .mapPartitions { it =>
+            val dfs = bc.value
+            topKRuns(it.map { case (id, term, tf) =>
+              // floor(double)→long is exactly Spark's floor(log(...))
+              // cast long; Math.log is the same intrinsic Spark's log
+              // expression evaluates
+              val idf = math.floor(
+                math.log(nD / dfs(term).toDouble) * 1000000).toLong
+              (id, term, tf, idf, tf * idf)
+            }, k)
           }
-          private def advance(): Unit =
-            while (!out.hasNext && (it.hasNext || buf.nonEmpty)) {
-              if (!it.hasNext) flush()
-              else {
-                val r = it.next()
-                if (buf.nonEmpty && buf.head._1 != r._1) { flush(); buf += r }
-                else buf += r
-              }
-            }
-          def hasNext: Boolean = { advance(); out.hasNext }
-          def next(): (Long, String, Long, Long, Long) = {
-            advance(); out.next()
+          .toDF("doc_id", "term", "tf", "idf_u", "score")
+      case None =>
+        val dfCounts = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tfRows
+          .join(broadcast(dfCounts), "term")
+          .select(col("doc_id"), col("term"), col("tf"),
+            floor(log(lit(n).cast("double") / col("df")) * 1000000)
+              .cast("long").as("idf_u"))
+          .withColumn("score", col("tf") * col("idf_u"))
+          .select(col("doc_id"), col("term"), col("tf"), col("idf_u"),
+            col("score"))
+        scored.as[(Long, String, Long, Long, Long)]
+          .mapPartitions(it => topKRuns(it, k))
+          .toDF("doc_id", "term", "tf", "idf_u", "score")
+    }
+  }
+
+  /** Streaming per-doc top-k over consecutive same-doc runs (the
+    * partition-order invariant [[tfidfTopTerms]] establishes).
+    * Tie-break (score desc, term asc) compares terms by UTF-8 bytes —
+    * the same binary order Spark's UTF8String sort and DuckDB's
+    * default varchar collation use (java.lang.String.compareTo would
+    * disagree on supplementary-plane text).
+    */
+  private def topKRuns(it: Iterator[(Long, String, Long, Long, Long)],
+      k: Int): Iterator[(Long, String, Long, Long, Long)] =
+    new Iterator[(Long, String, Long, Long, Long)] {
+      private val buf =
+        scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, Long, Long)]
+      private var out: Iterator[(Long, String, Long, Long, Long)] =
+        Iterator.empty
+      private def flush(): Unit = {
+        out = buf
+          .sortWith((p, q) =>
+            p._5 > q._5 || (p._5 == q._5 && utf8Less(p._2, q._2)))
+          .take(k).toVector.iterator
+        buf.clear()
+      }
+      private def advance(): Unit =
+        while (!out.hasNext && (it.hasNext || buf.nonEmpty)) {
+          if (!it.hasNext) flush()
+          else {
+            val r = it.next()
+            if (buf.nonEmpty && buf.head._1 != r._1) { flush(); buf += r }
+            else buf += r
           }
         }
+      def hasNext: Boolean = { advance(); out.hasNext }
+      def next(): (Long, String, Long, Long, Long) = {
+        advance(); out.next()
       }
-      .toDF("doc_id", "term", "tf", "idf_u", "score")
-  }
+    }
 
   /** Unsigned lexicographic UTF-8 byte comparison — UTF8String /
     * DuckDB-varchar binary order. */
@@ -831,10 +875,9 @@ object TextAnalysisOps extends Serializable {
         count(lit(1)).cast("long")).head()
       (r.getLong(0), r.getLong(1))
     }
-    // the tokenizer pass persists: only |query|-term rows for MATCHING
-    // docs survive the flatMap, so the cache is query-sized, never
-    // corpus-sized — and the df side + score side then read it instead
-    // of tokenizing the corpus twice
+    // one tokenizer pass: only |query|-term rows for MATCHING docs
+    // survive the flatMap, so downstream frames are query-sized, never
+    // corpus-sized
     val tfRows = graft.Q.hashFanout(
         docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
@@ -854,25 +897,51 @@ object TextAnalysisOps extends Serializable {
         }
       }
       .toDF("doc_id", "dl", "term", "tf")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfCounts = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
-    val ranked = tfRows
-      .join(broadcast(dfCounts), "term")
-      .withColumn("score_u", expr(
-        s"CAST(floor(ln((CAST($n - df AS DOUBLE) + 0.5) / " +
-          "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
-          "((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
-          "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * " +
-          s"CAST(dl AS DOUBLE) / (CAST($tot AS DOUBLE) / CAST($n AS DOUBLE))))) " +
-          "* 1000000.0) AS BIGINT)"))
+    // Document frequencies are ≤|query| rows — INDEX state like the
+    // corpus stats above (Lucene's TermStatistics), memoized per (data,
+    // terms) and inlined as per-term literals in a when-chain. This
+    // replaces the r14 broadcast hash join: same values (the idf factor
+    // constant-folds through the identical double ops), but the WARM
+    // path is then fully lazy and exactly ONE job — tokenize, score,
+    // partial-agg, TakeOrdered — no persist, no checkpoint, no
+    // broadcast-exchange job, no join stage. Only the COLD path (first
+    // sight of this corpus+terms) persists the tf pass so the df
+    // collect and the ranking share one tokenizer scan, then releases
+    // the cache behind an eager topK localCheckpoint. The collect is
+    // bounded by the query's term count, never the corpus.
+    val dfKey = ("bm25df", PlanMemo.dataKey(docs), textCol, queryTerms.sorted)
+    val warm = PlanMemo.peek[Map[String, Long]](dfKey)
+    val tfSrc = if (warm.isDefined) tfRows
+      else tfRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfMap = warm.getOrElse(PlanMemo.getOrCompute[Map[String, Long]](dfKey) {
+      tfSrc.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    })
+    def scoreFor(df: Long): Column = expr(
+      s"CAST(floor(ln((CAST($n - $df AS DOUBLE) + 0.5) / " +
+        s"(CAST($df AS DOUBLE) + 0.5) + 1.0) * " +
+        "((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
+        "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * " +
+        s"CAST(dl AS DOUBLE) / (CAST($tot AS DOUBLE) / CAST($n AS DOUBLE))))) " +
+        "* 1000000.0) AS BIGINT)")
+    // every tfRows row is a query term by construction, so the chain is
+    // total over the data (the lit(0L) base is unreachable)
+    val scoreCol = queryTerms.filter(dfMap.contains).foldLeft(lit(0L)) {
+      (acc, t) => when(col("term") === t, scoreFor(dfMap(t))).otherwise(acc)
+    }
+    val ranked = tfSrc
+      .withColumn("score_u", scoreCol)
       .groupBy("doc_id")
       .agg(sum(col("score_u")).cast("long").as("score_u"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_u").desc, col("doc_id"))
       .limit(topK)
-    // topK rows — eager localCheckpoint releases the tf cache now
-    val out = ranked.localCheckpoint(true)
-    tfRows.unpersist(false)
-    out
+    if (warm.isDefined) ranked
+    else {
+      // topK rows — eager localCheckpoint releases the tf cache now
+      val out = ranked.localCheckpoint(true)
+      tfSrc.unpersist(false)
+      out
+    }
   }
 }

@@ -533,6 +533,11 @@ object PgCompat {
         |  lower(to_hex(p_size)) AS h16,
         |  CAST(2 - (p_partkey % 2) AS INT) AS nn
         |FROM part ORDER BY p_partkey""".stripMargin) {
+      // measured both ways at sf0.1: q110's rangeFanout shape
+      // parallelizes the 165 ms projection to ~65 ms but the range
+      // sampler's extra stages cost ~90 ms — net slower at this
+      // projection weight, so the plain plan stays (the residue vs the
+      // oracle is per-job floor, not a plan defect)
       withUdfs((s, dir) => { Tables.register(s, dir); s.sql(
         """SELECT p_partkey,
           |  initcap(p_name) AS cap,

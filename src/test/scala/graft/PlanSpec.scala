@@ -119,14 +119,20 @@ class PlanSpec extends SparkSpec {
       s"cross-corpus candidates must come from the band-bucket equi-join, never train × eval:\n$p")
   }
 
-  test("q69: TF-IDF broadcasts the 1-row corpus count, aggregates tf partially") {
+  test("q69: TF-IDF fast path is one fused typed pass — no join, one exchange") {
+    // the vocabulary fits the index-state bound at test SF, so df ships
+    // as a broadcast MAP inside the fused mapPartitions: the plan must
+    // show no join of any kind and exactly one data exchange (the
+    // parallelism fanout) before the oracle-order repartition
     val p = executedPlan("q69_tfidf_terms")
-    assert(p.contains("partial_count"),
-      s"tf/df must combine map-side before their shuffles:\n$p")
-    assert(p.contains("Broadcast"),
-      s"the corpus-size N join must ride a broadcast, never a shuffle:\n$p")
+    assert(!p.contains("Join"),
+      s"df must ride the broadcast map inside the typed pass, not a join:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"no cartesian anywhere in the TF-IDF plan:\n$p")
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalPlanOnly(p)).length
+    assert(exchanges <= 1,
+      s"expected at most the fanout hash exchange, found $exchanges:\n$p")
   }
 
   test("q87: domain profiling aggregates with a map-side partial phase") {
