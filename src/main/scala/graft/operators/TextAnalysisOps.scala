@@ -122,6 +122,79 @@ object TextAnalysisOps extends Serializable {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, public algorithm): keep the `k` documents with the
+    * largest u^(1/w) — equivalently the largest ln(u)/w — where `u` is
+    * a salted-content-hash uniform and `w` the per-row weight column
+    * (a quality score, token count, source trust tier…). The classic
+    * one-pass weighted reservoir, which is exactly what
+    * quality-weighted corpus subsampling wants: inclusion probability
+    * proportional to weight, no RNG state, identical result on any
+    * cluster size or engine.
+    *
+    * Scale shape: the key is one codegen projection (md5 → uniform →
+    * ln/w, quantized to the integer grid like q69's idf so both
+    * engines sum identical longs), and the top-k is
+    * TakeOrderedAndProject — per-partition heaps of k rows, never a
+    * global sort, never a full shuffle. `u` maps the 32-bit hash to
+    * (0,1] via (h+1)/2^32, so ln never sees 0; rows with
+    * non-positive weight are excluded (pg/NumPy both reject them).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, textCol: String,
+      weightCol: String, k: Int, salt: String = "#wsamp"): DataFrame = {
+    val keyU = expr(
+      s"CAST(floor(ln((CAST(conv(substring(md5(concat($textCol, '$salt')), " +
+        "1, 8), 16, 10) AS DOUBLE) + 1.0) / 4294967296.0) / " +
+        s"CAST($weightCol AS DOUBLE) * 1000000000000.0) AS BIGINT)")
+    docs.filter(col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(weightCol).cast("long").as("w"), keyU.as("key_u"))
+      .orderBy(col("key_u").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** URL domain blocklist filtering — the first gate of every web
+    * pretraining pipeline (CCNet/Dolma-style): a document is blocked
+    * when any URL it mentions resolves to a blocklisted domain, where
+    * a blocklist entry matches the domain itself or any subdomain of
+    * it (`example.com` blocks `a.b.example.com`).
+    *
+    * Scale shape: ZERO shuffles. Domain extraction reuses the
+    * one-pass codegen `url_domain_counts` map (q87's expression), the
+    * blocklist is dimension-sized and ships as one broadcast hash
+    * set, and the suffix check walks a domain's labels against the
+    * set (O(labels) lookups — no per-entry scan, no join), all inside
+    * a single typed map over the scan.
+    */
+  def domainBlocklist(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      blocklist.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    docs.select(col(idCol).cast("long"),
+        call_function("url_domain_counts", col(textCol)))
+      .as[(Long, Map[String, Long])]
+      .map { case (id, domains) =>
+        val set = bc.value
+        var urls = 0L
+        var blocked = 0L
+        domains.foreach { case (d, n) =>
+          urls += n
+          val labels = d.split('.')
+          var i = 0
+          var hit = false
+          while (!hit && i < labels.length) {
+            if (set.contains(labels.drop(i).mkString("."))) hit = true
+            i += 1
+          }
+          if (hit) blocked += n
+        }
+        (id, urls, blocked, blocked > 0L)
+      }
+      .toDF("doc_id", "n_urls", "n_blocked", "blocked")
+  }
+
   /** Deterministic stratified sampling: keep `pctByStratum(stratum)`
     * percent of each stratum (language, source, …), decided by a
     * SALTED content hash — the salt decorrelates the sampling decision

@@ -547,6 +547,77 @@ object TextAnalysis {
         "doc_id")
     },
 
+    // --- deterministic weighted sampling without replacement
+    //     (Efraimidis–Spirakis): top-k by ln(u)/w with a content-hash
+    //     uniform and n_chars as the quality weight; key quantized to
+    //     the integer grid (q69's idf convention), top-k is
+    //     TakeOrderedAndProject — no global sort, no RNG state
+    Q.df("q137_weighted_sample",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  CAST(floor(ln((CAST(('0x' || substring(md5(text || '#wsamp'), 1, 8))
+        |        AS UBIGINT) + 1.0) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) * 1000000000000.0) AS BIGINT) AS key_u
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY key_u DESC, doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.weightedSample(Tables.t(s, dir, "documents"),
+        "doc_id", "text", "n_chars", k = 200)
+    },
+
+    // --- URL domain blocklist filter (the first gate of a web
+    //     pipeline): seeded URLs as in q87 plus a conditional mirror
+    //     host, blocked on exact OR subdomain-suffix blocklist match;
+    //     Spark side is one broadcast set + a zero-shuffle typed map
+    //     over the q87 codegen domain extraction
+    Q.df("q138_domain_blocklist",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' see https://host' || (doc_id % 23) || '.example.com/p/' ||
+        |    (doc_id % 5) || ' and www.ref' || (doc_id % 11) || '.org ' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'plus http://a' || (doc_id % 7) || '.mirror.site/q '
+        |         ELSE '' END AS text
+        |  FROM documents
+        |),
+        |urls AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text,
+        |      '(https?://|www\.)[A-Za-z0-9.-]+\.[A-Za-z]{2,}(/[A-Za-z0-9._/-]*)?')) AS url
+        |  FROM seeded
+        |),
+        |doms AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      url, '^https?://', ''), '^www\.', ''), '/.*$', '') AS domain
+        |  FROM urls
+        |),
+        |b(domain) AS (VALUES ('ref1.org'), ('ref4.org'),
+        |                     ('host7.example.com'), ('mirror.site')),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_urls,
+        |    CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM b
+        |          WHERE doms.domain = b.domain
+        |             OR doms.domain LIKE '%.' || b.domain)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        |  FROM doms GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(p.n_urls, 0) AS n_urls,
+        |  COALESCE(p.n_blocked, 0) AS n_blocked,
+        |  COALESCE(p.n_blocked, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val seeded = Tables.t(s, dir, "documents").selectExpr("doc_id",
+        """concat(text, ' see https://host', doc_id % 23, '.example.com/p/',
+          |doc_id % 5, ' and www.ref', doc_id % 11, '.org ',
+          |CASE WHEN doc_id % 3 = 0
+          |     THEN concat('plus http://a', doc_id % 7, '.mirror.site/q ')
+          |     ELSE '' END) AS text"""
+          .stripMargin.replace("\n", ""))
+      Q.oracleOrder(
+        TextAnalysisOps.domainBlocklist(seeded, "doc_id", "text",
+          Seq("ref1.org", "ref4.org", "host7.example.com", "mirror.site")),
+        "doc_id")
+    },
+
     // --- exact-substring decontamination via a broadcast Aho–Corasick
     //     automaton (one linear pass per doc regardless of snippet
     //     count); the oracle runs the equivalent theta-join, which is

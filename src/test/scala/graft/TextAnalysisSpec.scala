@@ -324,6 +324,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.distinctMatches("anything") === 0)
   }
 
+  test("weightedSample is deterministic, weight-monotone in expectation, excludes w<=0") {
+    val docs = (1L to 400L).map(i =>
+      (i, s"document body number $i", if (i <= 200) 1L else 100L)) ++
+      Seq((401L, "zero weight", 0L), (402L, "negative weight", -5L))
+    val df = docs.toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysisOps.weightedSample(df, "doc_id", "text", "n_chars", k = 100)
+      .collect()
+    assert(got.length === 100)
+    // non-positive weights never sampled
+    assert(!got.exists(r => r.getLong(0) >= 401L))
+    // w=100 docs dominate a w=1 population of equal size (probability of
+    // this failing by chance is astronomically small — and the draw is
+    // deterministic, so this is a fixed fact about the fixture)
+    val heavy = got.count(_.getLong(1) == 100L)
+    assert(heavy > 80, s"expected heavy-weight docs to dominate, got $heavy/100")
+    // determinism: identical re-run
+    val again = TextAnalysisOps.weightedSample(df, "doc_id", "text", "n_chars", k = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === got.map(_.getLong(0)).toSeq)
+    // keys are rank-ordered descending
+    val keys = got.map(_.getLong(2)).toSeq
+    assert(keys.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("domainBlocklist blocks exact and subdomain-suffix matches, map-side") {
+    val docs = Seq(
+      (1L, "x https://evil.com/a y"),                   // exact
+      (2L, "x http://cdn.evil.com/b y"),                // subdomain suffix
+      (3L, "x www.fine.org y https://evil.com/c z"),    // one of two blocked
+      (4L, "x https://notevil.com/d y"),                // NOT a suffix match
+      (5L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.domainBlocklist(docs, "doc_id", "text", Seq("evil.com"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((1L, 1L, true)))
+    assert(got(2L) === ((1L, 1L, true)))
+    assert(got(3L) === ((2L, 1L, true)))
+    assert(got(4L) === ((1L, 0L, false))) // notevil.com must not match evil.com
+    assert(got(5L) === ((0L, 0L, false)))
+  }
+
   test("substringDecontaminate flags docs containing snippets verbatim") {
     val docs = Seq(
       (1L, "prefix alpha beta gamma suffix"),  // contains snippet A
