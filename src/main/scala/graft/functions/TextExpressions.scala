@@ -132,6 +132,39 @@ object TextExpressions {
       scores(3), scores(4), UTF8String.fromString(pred)))
   }
 
+  /** Character-bigram Shannon entropy — the compression-ratio quality
+    * proxy (low entropy ⇒ repetitive/templated text, high ⇒ natural
+    * prose or noise; the cheap stand-in for a gzip-ratio filter).
+    * Bigrams are CODE POINT pairs (DuckDB's `substr(text, i, 2)`
+    * unit, so the oracle reproduces them on non-BMP text too).
+    *
+    * Cross-engine determinism: H = Σ (c/N)·ln(N/c) accumulates over
+    * distinct bigrams in UTF-8 BINARY ORDER on both engines (DuckDB:
+    * `sum(… ORDER BY b)`; here: a UTF8String-keyed TreeMap walk), so
+    * the IEEE add sequence is identical; the result is floor-quantized
+    * to micro-nats like q69's idf. */
+  def charEntropyEval(t: UTF8String): InternalRow = {
+    val cps = t.toString.codePoints().toArray
+    if (cps.length < 2)
+      return new GenericInternalRow(Array[Any](0L, 0L))
+    val counts = new java.util.TreeMap[UTF8String, Long]()
+    var i = 0
+    while (i + 1 < cps.length) {
+      counts.merge(UTF8String.fromString(new String(cps, i, 2)), 1L,
+        (a, b) => a + b)
+      i += 1
+    }
+    val nD = (cps.length - 1).toDouble
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      h += (c / nD) * math.log(nD / c)
+    }
+    new GenericInternalRow(Array[Any](
+      (cps.length - 1).toLong, math.floor(h * 1000000.0).toLong))
+  }
+
   /** One-pass quality counts: code points, ws tokens, [a-zA-Z] chars,
     * 0x20 chars. Ratio arithmetic stays in Catalyst (decimal casts). */
   def textQualityEval(t: UTF8String): InternalRow = {
@@ -274,6 +307,27 @@ object TextExpressions {
         s"${ev.value} = graft.functions.TextExpressions.textQualityEval($t);")
 
     override protected def withNewChildInternal(newChild: Expression): TextQuality =
+      copy(child = newChild)
+  }
+
+  /** char_entropy(text) → struct<n_bigrams, entropy_u> (micro-nats). */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(prettyName, child)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("entropy_u", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "char_entropy"
+
+    override def nullSafeEval(t: Any): Any =
+      charEntropyEval(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextExpressions.charEntropyEval($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): CharEntropy =
       copy(child = newChild)
   }
 
@@ -594,6 +648,9 @@ object TextExpressions {
       (FunctionIdentifier("token_counts"),
         new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
         arity("token_counts", 1)(args => TokenCounts(args(0)))),
+      (FunctionIdentifier("char_entropy"),
+        new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+        arity("char_entropy", 1)(args => CharEntropy(args(0)))),
       (FunctionIdentifier("rolling_fp"),
         new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
         arity("rolling_fp", 1)(args => RollingFp(args(0)))),

@@ -122,6 +122,17 @@ object TextAnalysisOps extends Serializable {
         .otherwise("test").as("split"))
   }
 
+  /** Character-bigram entropy per document — the compression-ratio
+    * quality proxy (see [[graft.functions.TextExpressions.CharEntropy]]
+    * for the determinism contract). One codegen expression inside the
+    * scan projection: map-side, zero shuffle, 100 TB-indifferent. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        call_function("char_entropy", col(textCol)).as("ce"))
+      .select(col("doc_id"),
+        col("ce.n_bigrams").as("n_bigrams"),
+        col("ce.entropy_u").as("entropy_u"))
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006, public algorithm): keep the `k` documents with the
     * largest u^(1/w) — equivalently the largest ln(u)/w — where `u` is

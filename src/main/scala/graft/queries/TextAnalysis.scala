@@ -547,6 +547,35 @@ object TextAnalysis {
         "doc_id")
     },
 
+    // --- char-bigram entropy quality proxy (compression-ratio
+    //     stand-in): one native codegen expression, zero shuffle; the
+    //     entropy sum accumulates in binary bigram order on both
+    //     engines so the floor-quantized micro-nats agree exactly
+    Q.df("q139_char_entropy",
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(range(1, length(text))) AS i, text
+        |  FROM documents WHERE length(text) >= 2
+        |),
+        |b2 AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS b FROM bg),
+        |cnt AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
+        |        FROM b2 GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+        |ent AS (
+        |  SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_bigrams,
+        |    CAST(floor(sum((c.c / t.n) * ln(t.n / c.c) ORDER BY c.b)
+        |      * 1000000.0) AS BIGINT) AS entropy_u
+        |  FROM cnt c JOIN tot t ON c.doc_id = t.doc_id GROUP BY 1, 2
+        |)
+        |SELECT d.doc_id, COALESCE(e.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(e.entropy_u, 0) AS entropy_u
+        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        TextAnalysisOps.charEntropy(Tables.t(s, dir, "documents"),
+          "doc_id", "text"),
+        "doc_id")
+    },
+
     // --- deterministic weighted sampling without replacement
     //     (Efraimidis–Spirakis): top-k by ln(u)/w with a content-hash
     //     uniform and n_chars as the quality weight; key quantized to

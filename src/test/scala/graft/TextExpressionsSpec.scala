@@ -214,6 +214,29 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("char_entropy: hand-computed values, codepoint bigrams, both paths") {
+    graft.functions.TextExpressions.install(spark)
+    def ent(texts: String*): Seq[(Long, Long)] = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      graft.operators.TextAnalysisOps.charEntropy(df, "doc_id", "text")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+    bothPaths {
+      // "aaaa": 3 identical bigrams -> H = 0
+      // "abab": bigrams ab,ba,ab -> p = (2/3, 1/3), H = ln3 - (2/3)ln2
+      val h2 = math.floor(
+        ((2.0 / 3.0) * math.log(3.0 / 2.0) +
+          (1.0 / 3.0) * math.log(3.0)) * 1e6).toLong
+      assert(ent("aaaa", "abab", "x", "") ===
+        Seq((3L, 0L), (3L, h2), (0L, 0L), (0L, 0L)))
+      // non-BMP: "a👍b" is 3 CODEPOINTS -> 2 distinct bigrams, H = ln 2
+      assert(ent("a👍b") ===
+        Seq((2L, math.floor(math.log(2.0) * 1e6).toLong)))
+    }
+  }
+
   test("operator plans stay inside whole-stage codegen") {
     graft.functions.TextExpressions.install(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -221,6 +244,7 @@ class TextExpressionsSpec extends SparkSpec {
         graft.operators.TextAnalysisOps.langId(docs, "doc_id", "text"),
         graft.operators.TextAnalysisOps.qualityScore(docs, "doc_id", "text"),
         graft.operators.TextAnalysisOps.tokenStats(docs, "doc_id", "text"),
+        graft.operators.TextAnalysisOps.charEntropy(docs, "doc_id", "text"),
         graft.operators.TextAnalysisOps.fingerprints(docs, "doc_id", "text"))) {
       // "*(n)" is the WholeStageCodegen marker in the simple-string
       // plan rendering; the projection carrying the text expression
