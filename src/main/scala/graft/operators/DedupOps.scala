@@ -237,7 +237,8 @@ object DedupOps {
       shingleWords: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -252,7 +253,8 @@ object DedupOps {
       shingleWords: Int, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -374,7 +376,8 @@ object DedupOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val M = 1000000007L
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -589,7 +592,8 @@ object DedupOps {
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         val counters = new Array[Int](32)
@@ -818,7 +822,8 @@ object DedupOps {
   private[graft] def simhashRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         val counters = new Array[Int](64)
