@@ -860,9 +860,14 @@ object DedupOps {
               .bitwiseAND(lit(0xFFFFL)).as("chunk_val")))).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
     // 16-bit chunk space: expected bucket size = n/65536, so the cap
-    // must grow with the corpus (the count lands on the persisted base)
+    // must grow with the corpus. The corpus count is catalog-style
+    // index state: memoized per data fingerprint and taken from the
+    // raw scan (a parquet count(*) resolves from footer metadata)
+    // instead of materializing the simhash base eagerly at build time
     val capped = applyCap(chunks, Seq("chunk", "chunk_val"), "doc_id",
-      cap, base.count(), bucketSpace = Some(65536L))
+      cap, PlanMemo.getOrCompute[Long](("count", PlanMemo.dataKey(docs))) {
+        docs.count()
+      }, bucketSpace = Some(65536L))
     val peers = capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") =!= col("b.doc_id"))

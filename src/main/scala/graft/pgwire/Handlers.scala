@@ -3619,7 +3619,7 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     * columns (or that do not parse as the plain INSERT shape) pass
     * through untouched.
     */
-  private[pgwire] def canonicalizeInsert(spark: SparkSession, sql: String,
+  private[graft] def canonicalizeInsert(spark: SparkSession, sql: String,
       connId: Int = 0): String = {
     val retPos = Compat.topLevelKeywordPos(sql, "RETURNING")
     val (ins, ret) =
@@ -3678,31 +3678,88 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
         (f.metadata.contains("pg.serial") || f.metadata.contains("pg.default")) &&
           !colsEff.exists(_.name.equalsIgnoreCase(f.name)))
     if (fams.forall(_.isEmpty) && fill.isEmpty && !hasDefaultKw) return sql
-    // DEFAULT cells resolve to expressions that may be
-    // nondeterministic (nextval) — Spark's inline VALUES requires
-    // foldable cells, so such rows become a UNION ALL of SELECTs
-    val src = valueRows match {
-      case Some(rs) if hasDefaultKw =>
+    // Serial allocation for literal VALUES happens HERE, on the
+    // driver: one nextval per (row, serial slot) in pg's evaluation
+    // order (target-list order = table column position), and the
+    // inserted rows carry the reserved values as LITERALS instead of
+    // per-row pg_nextval UDF calls. This is the multi-JVM-correct
+    // allocator for the ORM hot path — executor tasks never touch
+    // driver sequence state — and it makes the write-set
+    // deterministic (re-evaluating the frame for constraint checks /
+    // ON CONFLICT / RETURNING cannot re-draw values). pg parity:
+    // values bind to rows in VALUES order and a statement that fails
+    // later still burns its reservations, both pg's documented
+    // semantics. INSERT … SELECT keeps the UDF fill (single-JVM
+    // caveat documented at PgSequences — a cluster deployment needs a
+    // count+reserve two-pass there).
+    val serialFill = fill.filter(_.metadata.contains("pg.serial"))
+    def schemaPos(f: StructField): Int = schema.fieldIndex(f.name)
+    def drawFor(f: StructField): Long = PgSequences.nextval(
+      PgSequences.normName(f.metadata.getString("pg.serial")), connId)
+    // per row: serial DEFAULT-cell literals by cell index, serial
+    // fill-column literals by column name
+    val reserved: Option[Seq[(Map[Int, Long], Map[String, Long])]] =
+      valueRows.map { rs =>
         rs.map { row =>
-          "SELECT " + row.zipWithIndex.map { case (e, i) =>
+          val cellSlots: Seq[Either[Int, StructField]] =
+            row.zipWithIndex.collect {
+              case (e, i) if e.equalsIgnoreCase("DEFAULT") &&
+                i < colsEff.length &&
+                colsEff(i).metadata.contains("pg.serial") => Left(i)
+            }
+          val slots = (cellSlots ++ serialFill.map(Right(_))).sortBy {
+            case Left(i) => schemaPos(colsEff(i))
+            case Right(f) => schemaPos(f)
+          }
+          var cellVals = Map.empty[Int, Long]
+          var fillVals = Map.empty[String, Long]
+          slots.foreach {
+            case Left(i) => cellVals += i -> drawFor(colsEff(i))
+            case Right(f) => fillVals += f.name -> drawFor(f)
+          }
+          (cellVals, fillVals)
+        }
+      }
+    def fillLits(fillVals: Map[String, Long]): Seq[String] =
+      serialFill.map(f => s"CAST(${fillVals(f.name)} AS BIGINT)")
+    // DEFAULT cells resolve to expressions that may be
+    // nondeterministic — Spark's inline VALUES requires foldable
+    // cells, so such rows become a UNION ALL of SELECTs (serial cells
+    // are reserved literals and would stay foldable, but non-serial
+    // defaults keep the expression form)
+    val src = (valueRows, reserved) match {
+      case (Some(rs), Some(rv)) if hasDefaultKw =>
+        rs.zip(rv).map { case (row, (cellVals, fillVals)) =>
+          val cells = row.zipWithIndex.map { case (e, i) =>
             if (e.equalsIgnoreCase("DEFAULT") && i < colsEff.length)
-              defaultExprSql(colsEff(i), connId)
+              cellVals.get(i).map(v => s"CAST($v AS BIGINT)")
+                .getOrElse(defaultExprSql(colsEff(i), connId))
             else e
-          }.mkString(", ")
+          }
+          "SELECT " + (cells ++ fillLits(fillVals)).mkString(", ")
         }.mkString(" UNION ALL ")
+      case (Some(rs), Some(rv)) if serialFill.nonEmpty =>
+        "VALUES " + rs.zip(rv).map { case (row, (_, fillVals)) =>
+          "(" + (row ++ fillLits(fillVals)).mkString(", ") + ")"
+        }.mkString(", ")
       case _ => src0
     }
     val colListSql =
       if (m.group(2) == null && colsEff.length == cols.length && fill.isEmpty) ""
       else s" (${(colsEff ++ fill).map(f => "\"" + f.name + "\"").mkString(", ")})"
-    val gcols = colsEff.indices.map(i => s"__gc$i")
+    val nSerialSrc = if (valueRows.isDefined) serialFill.length else 0
+    val gcols = colsEff.indices.map(i => s"__gc$i") ++
+      (0 until nSerialSrc).map(j => s"__gf$j")
     val proj = colsEff.indices.map { i =>
       fams(i) match {
         case Some(fam) => s"__gc$i::$fam AS __gc$i"
         case None => s"__gc$i"
       }
     } ++ fill.zipWithIndex.map { case (f, k) =>
-      val base = defaultExprSql(f, connId)
+      val base =
+        if (valueRows.isDefined && f.metadata.contains("pg.serial"))
+          s"__gf${serialFill.indexWhere(_.name == f.name)}"
+        else defaultExprSql(f, connId)
       famOf(f) match {
         case Some(fam) => s"($base)::$fam AS __gs$k"
         case None => s"$base AS __gs$k"

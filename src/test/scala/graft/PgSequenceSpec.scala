@@ -120,6 +120,41 @@ class PgSequenceSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("VALUES inserts reserve serials on the driver as literals, in row order") {
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS seq_lit")
+    c.query("CREATE TABLE seq_lit (id serial, v int DEFAULT 7, name text)")
+    // the canonicalized SQL carries reserved literals, not pg_nextval
+    // UDF calls — the multi-JVM allocator contract (executor tasks
+    // never touch driver sequence state for literal VALUES)
+    val canon = graft.pgwire.Handlers.canonicalizeInsert(spark,
+      "INSERT INTO seq_lit (name) VALUES ('a'), ('b')", connId = 0)
+    assert(!canon.contains("pg_nextval"), canon)
+    assert(canon.contains("CAST(1 AS BIGINT)") && canon.contains("CAST(2 AS BIGINT)"), canon)
+    // mixed DEFAULT cells: the serial DEFAULT cell becomes a literal,
+    // the non-serial DEFAULT keeps its expression; row binding holds
+    val canon2 = graft.pgwire.Handlers.canonicalizeInsert(spark,
+      "INSERT INTO seq_lit (id, v, name) VALUES (DEFAULT, DEFAULT, 'x'), (41, 5, 'y')",
+      connId = 0)
+    assert(!canon2.contains("pg_nextval"), canon2)
+    assert(canon2.contains("CAST(3 AS BIGINT)"), canon2)
+    // end-to-end over the wire: values bind in VALUES order and the
+    // sequence advanced exactly by the rows drawn (the two probe
+    // canonicalizations above burned 1,2,3 — pg burns reservations of
+    // statements that never run, same rule)
+    c.query("INSERT INTO seq_lit (name) VALUES ('a'), ('b'), ('c')")
+    assert(c.query("SELECT id, name FROM seq_lit ORDER BY id").rows.map(_.map(_.get)) ===
+      Seq(Seq("4", "a"), Seq("5", "b"), Seq("6", "c")))
+    assert(one(c, "SELECT nextval('seq_lit_id_seq')") === Seq("7"))
+    // INSERT ... SELECT keeps the UDF fill (documented)
+    val canon3 = graft.pgwire.Handlers.canonicalizeInsert(spark,
+      "INSERT INTO seq_lit (name) SELECT 'q'", connId = 0)
+    assert(canon3.contains("pg_nextval"), canon3)
+    c.query("DROP TABLE seq_lit")
+    c.close()
+  }
+
   test("catalog surface: pg_sequences, pg_sequence, pg_class 'S', SELECT FROM seq (live-pg pinned)") {
     PgSequences.reset()
     val c = connect()
