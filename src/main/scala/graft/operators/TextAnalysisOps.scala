@@ -122,6 +122,57 @@ object TextAnalysisOps extends Serializable {
         .otherwise("test").as("split"))
   }
 
+  /** Per-source unigram KL divergence vs the whole corpus — the
+    * data-mixing drift metric (which shard's token distribution
+    * diverges from the blend: a mirrored dump, a language spill, a
+    * boilerplate flood all show as KL spikes).
+    * KL(P_s‖Q) = Σ_t (c_st/N_s)·ln((c_st·N)/(c_t·N_s)) over the
+    * source's terms.
+    *
+    * Cross-engine determinism: every per-(source, term) contribution
+    * is a pure function of exact long counts, floor-quantized to
+    * integer NANO-nats BEFORE the per-source sum — so the aggregation
+    * is order-free integer arithmetic (the q130 quantize-then-sum
+    * convention; contributions can be negative, floor handles both
+    * signs identically in both engines).
+    *
+    * Scale shape: one tokenizer explode with map-side partial
+    * aggregation (the exchange carries per-partition distinct
+    * (source, term) rows, not tokens), term totals come back via a
+    * term-keyed shuffle join (vocabulary-sized both sides — never
+    * broadcast, a web-scale vocabulary doesn't fit), and the
+    * source-totals frame is dimension-sized (≤ source count) so it
+    * broadcasts. Final roll-up is one tiny partial agg per source.
+    */
+  def sourceDivergence(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(srcCol).as("source"),
+        explode(DedupOps.tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val tf = toks.groupBy("source", "t").agg(count(lit(1)).as("cst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nsRows = tf.groupBy("source")
+      .agg(sum("cst").as("ns"), count(lit(1)).as("n_terms"))
+    val n = nsRows.agg(sum("ns")).head().getLong(0)
+    val ct = tf.groupBy("t").agg(sum("cst").as("ct"))
+    val out = tf
+      .join(ct, "t")
+      .join(broadcast(nsRows), "source")
+      .withColumn("contrib_u", expr(
+        "CAST(floor((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) * " +
+          s"ln((CAST(cst AS DOUBLE) * CAST($n AS DOUBLE)) / " +
+          "(CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE))) " +
+          "* 1000000000.0) AS BIGINT)"))
+      .groupBy("source")
+      .agg(first(col("ns")).as("n_tokens"),
+        first(col("n_terms")).as("n_terms"),
+        sum(col("contrib_u")).cast("long").as("kl_u"))
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
+
   /** Character-bigram entropy per document — the compression-ratio
     * quality proxy (see [[graft.functions.TextExpressions.CharEntropy]]
     * for the determinism contract). One codegen expression inside the

@@ -547,6 +547,42 @@ object TextAnalysis {
         "doc_id")
     },
 
+    // --- per-source unigram KL divergence vs the corpus blend (the
+    //     data-mixing drift metric): contributions quantized to
+    //     nano-nats per (source, term) BEFORE the sum, so both engines
+    //     aggregate exact integers in any order
+    Q.df("q140_source_divergence",
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |),
+        |tf AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS cst
+        |  FROM toks WHERE t <> '' GROUP BY 1, 2
+        |),
+        |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns,
+        |              CAST(count(*) AS BIGINT) AS n_terms
+        |       FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM ns),
+        |ct AS (SELECT t, CAST(sum(cst) AS BIGINT) AS ct FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.source,
+        |    CAST(floor((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) *
+        |      ln((CAST(cst AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |         (CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE)))
+        |      * 1000000000.0) AS BIGINT) AS contrib_u
+        |  FROM tf JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
+        |)
+        |SELECT ns.source, ns.ns AS n_tokens, ns.n_terms,
+        |  CAST(sum(contrib_u) AS BIGINT) AS kl_u
+        |FROM contrib JOIN ns USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY ns.source""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        TextAnalysisOps.sourceDivergence(Tables.t(s, dir, "documents"),
+          "source", "text"),
+        "source")
+    },
+
     // --- char-bigram entropy quality proxy (compression-ratio
     //     stand-in): one native codegen expression, zero shuffle; the
     //     entropy sum accumulates in binary bigram order on both

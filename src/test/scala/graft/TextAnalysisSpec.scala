@@ -324,6 +324,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.distinctMatches("anything") === 0)
   }
 
+  test("sourceDivergence: zero KL for identical mixes, hand-computed skew") {
+    // identical unigram distributions -> every contribution is ln(1) = 0
+    val same = Seq((1L, "x y", "a"), (2L, "x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val g0 = TextAnalysisOps.sourceDivergence(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(g0 === Map("a" -> 0L, "b" -> 0L))
+    // skewed: A = {x:2, y:1}, B = {x:1, y:2}, N = 6, ct = {x:3, y:3}
+    val skew = Seq((1L, "x x y", "a"), (2L, "x y y", "b"))
+      .toDF("doc_id", "text", "source")
+    val expA =
+      math.floor((2.0 / 3.0) * math.log((2.0 * 6.0) / (3.0 * 3.0)) * 1e9).toLong +
+        math.floor((1.0 / 3.0) * math.log((1.0 * 6.0) / (3.0 * 3.0)) * 1e9).toLong
+    val got = TextAnalysisOps.sourceDivergence(skew, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((3L, 2L, expA)))
+    assert(got("b") === ((3L, 2L, expA))) // symmetric mix -> same KL
+    assert(expA > 0L) // divergent mixes score positive
+  }
+
   test("weightedSample is deterministic, weight-monotone in expectation, excludes w<=0") {
     val docs = (1L to 400L).map(i =>
       (i, s"document body number $i", if (i <= 200) 1L else 100L)) ++
