@@ -141,33 +141,52 @@ object TextAnalysisOps extends Serializable {
     * (source, term) rows, not tokens), term totals come back via a
     * term-keyed shuffle join (vocabulary-sized both sides — never
     * broadcast, a web-scale vocabulary doesn't fit), and the
-    * source-totals frame is dimension-sized (≤ source count) so it
-    * broadcasts. Final roll-up is one tiny partial agg per source.
+    * source totals are dimension-sized (≤ source count) index state:
+    * collected once, memoized per corpus, inlined as when-chain
+    * literals. Final roll-up is one tiny partial agg per source.
     */
   def sourceDivergence(docs: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(srcCol).as("source"),
-        explode(DedupOps.tokens(col(textCol))).as("t"))
+    // fan the scan before the explode (skip-if-wide): the tokenizer
+    // explode is the CPU-heavy stage and a single-split local input
+    // would run it on one task; hash on the text itself — rows need no
+    // co-location, only width
+    val toks = graft.Q.hashFanout(
+        docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
+      .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
       .filter(col("t") =!= "")
+    // tf feeds two branches (term totals + the scored join) — persist
+    // so the tokenizer explode runs once
     val tf = toks.groupBy("source", "t").agg(count(lit(1)).as("cst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nsRows = tf.groupBy("source")
-      .agg(sum("cst").as("ns"), count(lit(1)).as("n_terms"))
-    val n = nsRows.agg(sum("ns")).head().getLong(0)
+    // source totals are a dimension-sized table — catalog-style index
+    // state: one collect, memoized per corpus, inlined as when-chain
+    // literals (no broadcast-exchange job, no second totals agg job)
+    val (nsMap, n) = PlanMemo.getOrCompute[(Map[String, (Long, Long)], Long)](
+      ("srcdiv", PlanMemo.dataKey(docs), srcCol, textCol)) {
+      val rows = tf.groupBy("source")
+        .agg(sum("cst").as("ns"), count(lit(1)).as("n_terms"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      (rows.toMap, rows.map(_._2._1).sum)
+    }
+    def bySource(f: ((Long, Long)) => Long): Column =
+      nsMap.foldLeft(lit(0L)) { case (acc, (s, v)) =>
+        when(col("source") === s, lit(f(v))).otherwise(acc)
+      }
     val ct = tf.groupBy("t").agg(sum("cst").as("ct"))
     val out = tf
       .join(ct, "t")
-      .join(broadcast(nsRows), "source")
+      .withColumn("ns", bySource(_._1))
       .withColumn("contrib_u", expr(
         "CAST(floor((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) * " +
           s"ln((CAST(cst AS DOUBLE) * CAST($n AS DOUBLE)) / " +
           "(CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE))) " +
           "* 1000000000.0) AS BIGINT)"))
       .groupBy("source")
-      .agg(first(col("ns")).as("n_tokens"),
-        first(col("n_terms")).as("n_terms"),
-        sum(col("contrib_u")).cast("long").as("kl_u"))
+      .agg(sum(col("contrib_u")).cast("long").as("kl_u"))
+      .withColumn("n_tokens", bySource(_._1))
+      .withColumn("n_terms", bySource(_._2))
+      .select("source", "n_tokens", "n_terms", "kl_u")
       .localCheckpoint(true)
     tf.unpersist(false)
     out
