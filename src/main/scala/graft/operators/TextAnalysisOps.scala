@@ -227,9 +227,11 @@ object TextAnalysisOps extends Serializable {
       s"CAST(floor(ln((CAST(conv(substring(md5(concat($textCol, '$salt')), " +
         "1, 8), 16, 10) AS DOUBLE) + 1.0) / 4294967296.0) / " +
         s"CAST($weightCol AS DOUBLE) * 1000000000000.0) AS BIGINT)")
+    // w echoes the weight column untouched (a DOUBLE quality score
+    // must not truncate; the KEY arithmetic always runs in double)
     docs.filter(col(weightCol) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
-        col(weightCol).cast("long").as("w"), keyU.as("key_u"))
+        col(weightCol).as("w"), keyU.as("key_u"))
       .orderBy(col("key_u").desc, col("doc_id"))
       .limit(k)
   }

@@ -618,7 +618,7 @@ object TextAnalysis {
     //     the integer grid (q69's idf convention), top-k is
     //     TakeOrderedAndProject — no global sort, no RNG state
     Q.df("q137_weighted_sample",
-      """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      """SELECT doc_id, n_chars AS w,
         |  CAST(floor(ln((CAST(('0x' || substring(md5(text || '#wsamp'), 1, 8))
         |        AS UBIGINT) + 1.0) / 4294967296.0)
         |      / CAST(n_chars AS DOUBLE) * 1000000000000.0) AS BIGINT) AS key_u

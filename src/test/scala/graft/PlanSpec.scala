@@ -135,6 +135,24 @@ class PlanSpec extends SparkSpec {
       s"expected at most the fanout hash exchange, found $exchanges:\n$p")
   }
 
+  test("q137: weighted sample is TakeOrdered over a codegen key — no global sort") {
+    val p = executedPlan("q137_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, never a full sort:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"the sampling key must be built-in expressions (codegen):\n$p")
+  }
+
+  test("q138: domain blocklist runs with ZERO data exchanges") {
+    val p = finalPlanOnly(executedPlan("q138_domain_blocklist"))
+    // oracleOrder's single-partition collapse is the only exchange the
+    // query may carry; the operator itself is one typed map over the
+    // scan (broadcast set + label walk — no join, no aggregation)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"blocklist matching must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"blocklist must not plan a join:\n$p")
+  }
+
   test("q87: domain profiling aggregates with a map-side partial phase") {
     val p = executedPlan("q87_url_domains")
     // two-phase agg: partial_count before the exchange on the domain key
