@@ -122,6 +122,117 @@ object TextAnalysisOps extends Serializable {
         .otherwise("test").as("split"))
   }
 
+  /** Gopher-style quality rule composite (Rae et al. 2021 §A1.1.1,
+    * public rule set; Dolma ships the same family): per document,
+    * the classic hard filters — word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, alpha-word fraction, stopword
+    * presence — plus the final keep decision.
+    *
+    * Every rule evaluates as EXACT INTEGER comparisons (mean word
+    * length ∈ [3,10] ⇔ 3·n ≤ chars ≤ 10·n, alpha fraction ≥ 0.8 ⇔
+    * 5·alpha ≥ 4·n, …): no floats anywhere, so the DuckDB oracle is
+    * bit-trivially exact. One typed map over the scan — zero shuffle.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stops = GopherStopwords
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = DedupOps.sparkTokens(text).filter(_.nonEmpty)
+          val n = toks.length.toLong
+          var chars = 0L
+          var alphaWords = 0L
+          var symbols = 0L
+          val hit = new java.util.HashSet[String]()
+          toks.foreach { w =>
+            chars += w.codePointCount(0, w.length).toLong
+            if (w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+              alphaWords += 1
+            if (w == "#" || w == "...") symbols += 1
+            if (stops.contains(w)) hit.add(w)
+          }
+          val nStop = hit.size.toLong
+          val okWords = n >= minWords && n <= maxWords
+          val okMeanLen = n > 0 && 3L * n <= chars && chars <= 10L * n
+          val okSymbols = 10L * symbols <= n // ratio ≤ 0.1
+          val okAlpha = 5L * alphaWords >= 4L * n // fraction ≥ 0.8
+          val okStop = nStop >= 2L
+          (id, n, chars, alphaWords, symbols, nStop,
+            okWords && okMeanLen && okSymbols && okAlpha && okStop)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_word_chars", "n_alpha_words",
+        "n_symbol_words", "n_stopword_hits", "keep")
+  }
+
+  /** The Gopher rule set's stopword list (public, Rae et al. 2021). */
+  val GopherStopwords: Set[String] =
+    Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI = ln( (c_xy/NB) / ((c_x/NU)·(c_y/NU)) ), the classic
+    * collocation/phrase-mining pass (vocabulary induction, tokenizer
+    * merge candidates). `minCount` floors the bigram frequency so
+    * hapax pairs don't dominate.
+    *
+    * Determinism: PMI quantizes to micro-nats per bigram BEFORE the
+    * top-k (each value a pure function of exact counts — the q140
+    * convention); ties break on the bigram text. Scale shape: two
+    * map-side-partial tokenizer passes (unigram + bigram counts — the
+    * q69 trade: a second scan beats caching corpus-scale token rows);
+    * only the VOCABULARY-sized count frames persist, unigram totals
+    * join back on the term key (vocabulary-sized shuffle joins, never
+    * broadcast), NB/NU are memoized scalar aggs over those cached
+    * counts (index state), and the final ranking is TakeOrdered.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String, k: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fanned = graft.Q.hashFanout(
+      docs.select(col(textCol).as("__txt")), "__txt")
+    val uniCounts = fanned.as[String]
+      .mapPartitions(_.flatMap(t => DedupOps.sparkTokens(t).filter(_.nonEmpty)))
+      .toDF("t").groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biAll = fanned.as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          val ts = DedupOps.sparkTokens(text).filter(_.nonEmpty)
+          (0 until math.max(0, ts.length - 1)).iterator
+            .map(i => (ts(i), ts(i + 1)))
+        }
+      }
+      .toDF("x", "y").groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nu, nb) = PlanMemo.getOrCompute[(Long, Long)](
+      ("pmitotals", PlanMemo.dataKey(docs), textCol)) {
+      (uniCounts.agg(sum("c")).head().getLong(0),
+        biAll.agg(sum("cxy")).head().getLong(0))
+    }
+    val biCounts = biAll.filter(col("cxy") >= minCount)
+    val out = biCounts
+      .join(uniCounts.select(col("t").as("x"), col("c").as("cx")), "x")
+      .join(uniCounts.select(col("t").as("y"), col("c").as("cy")), "y")
+      .withColumn("pmi_u", expr(
+        s"CAST(floor(ln((CAST(cxy AS DOUBLE) / CAST($nb AS DOUBLE)) / " +
+          s"((CAST(cx AS DOUBLE) / CAST($nu AS DOUBLE)) * " +
+          s"(CAST(cy AS DOUBLE) / CAST($nu AS DOUBLE)))) " +
+          "* 1000000.0) AS BIGINT)"))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("cxy"), col("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("bigram"))
+      .limit(k)
+      .localCheckpoint(true)
+    uniCounts.unpersist(false)
+    biAll.unpersist(false)
+    out
+  }
+
   /** Per-source unigram KL divergence vs the whole corpus — the
     * data-mixing drift metric (which shard's token distribution
     * diverges from the blend: a mirrored dump, a language spill, a

@@ -547,6 +547,77 @@ object TextAnalysis {
         "doc_id")
     },
 
+    // --- Gopher quality rule composite: the named hard-filter set
+    //     (word-count / mean-word-length / symbol-ratio / alpha-word /
+    //     stopword rules + keep), every rule an exact integer
+    //     comparison so the oracle is trivially bit-exact
+    Q.df("q141_gopher_rules",
+      """WITH toksrc AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    w -> w <> '') AS toks
+        |  FROM documents
+        |),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+        |      AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(toks, w -> w = '#' OR w = '...'))
+        |      AS BIGINT) AS n_symbol_words,
+        |    CAST(len(list_distinct(list_filter(toks, w -> w IN
+        |      ('the','be','to','of','and','that','have','with'))))
+        |      AS BIGINT) AS n_stopword_hits
+        |  FROM toksrc
+        |)
+        |SELECT doc_id, n_words, n_word_chars, n_alpha_words,
+        |  n_symbol_words, n_stopword_hits,
+        |  (n_words >= 50 AND n_words <= 100000 AND n_words > 0
+        |   AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+        |   AND 10 * n_symbol_words <= n_words
+        |   AND 5 * n_alpha_words >= 4 * n_words
+        |   AND n_stopword_hits >= 2) AS keep
+        |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        TextAnalysisOps.gopherRules(Tables.t(s, dir, "documents"),
+          "doc_id", "text"),
+        "doc_id")
+    },
+
+    // --- top-k bigram collocations by PMI (phrase mining / tokenizer
+    //     merge candidates): micro-nat quantization before the top-k,
+    //     vocabulary-sized count joins, TakeOrdered ranking
+    Q.df("q142_pmi_bigrams",
+      """WITH toksrc AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    w -> w <> '') AS ts
+        |  FROM documents
+        |),
+        |uni AS (SELECT unnest(ts) AS t FROM toksrc),
+        |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |bgidx AS (
+        |  SELECT unnest(range(1, len(ts))) AS i, ts
+        |  FROM toksrc WHERE len(ts) >= 2
+        |),
+        |bi AS (SELECT ts[CAST(i AS INT)] AS x, ts[CAST(i AS INT) + 1] AS y
+        |       FROM bgidx),
+        |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+        |       FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS nu,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM bi) AS nb)
+        |SELECT bc.x || ' ' || bc.y AS bigram, bc.cxy,
+        |  CAST(floor(ln((CAST(cxy AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |    ((CAST(ux.c AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |     (CAST(uy.c AS DOUBLE) / CAST(nu AS DOUBLE))))
+        |    * 1000000.0) AS BIGINT) AS pmi_u
+        |FROM bc JOIN uc ux ON bc.x = ux.t JOIN uc uy ON bc.y = uy.t
+        |CROSS JOIN tot
+        |ORDER BY pmi_u DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysisOps.pmiBigrams(Tables.t(s, dir, "documents"),
+        "text", k = 20, minCount = 5L)
+    },
+
     // --- per-source unigram KL divergence vs the corpus blend (the
     //     data-mixing drift metric): contributions quantized to
     //     nano-nats per (source, term) BEFORE the sum, so both engines

@@ -324,6 +324,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.distinctMatches("anything") === 0)
   }
 
+  test("gopherRules: exact integer rule set and keep decision") {
+    val good = ("the and that have with " * 12).trim // 60 words, mean len 3.4
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc"),                               // word-count rule
+      (3L, ("# " * 60).trim + " the of"),             // symbol rule
+      (4L, ("1 2 3 4 " * 15).trim)                    // alpha + stopword rules
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    // doc 1: 60 words, 12*(3+3+4+4+4)=216 chars, all alpha, 5 stop hits
+    assert(got(1L) === ((60L, 216L, 60L, 0L, 5L, true)))
+    assert(got(2L)._6 === false && got(2L)._1 === 2L)
+    assert(got(3L)._6 === false && got(3L)._4 === 60L) // symbols counted
+    assert(got(4L)._6 === false && got(4L)._3 === 0L)  // no alpha words
+  }
+
+  test("pmiBigrams: hand-computed PMI, min-count floor, tie order") {
+    // 6 docs of "p q r s": bigrams pq/qr/rs x6 each, unigrams x6 each
+    // NU = 24, NB = 18 -> identical PMI for all three pairs
+    val docs = (1L to 6L).map(i => (i, "p q r s")).toDF("doc_id", "text")
+    val exp = math.floor(math.log((6.0 / 18.0) /
+      ((6.0 / 24.0) * (6.0 / 24.0))) * 1e6).toLong
+    val got = TextAnalysisOps.pmiBigrams(docs, "text", k = 2, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("p q", 6L, exp), ("q r", 6L, exp)))
+    // raising the floor above the counts empties the result
+    assert(TextAnalysisOps.pmiBigrams(docs, "text", k = 5, minCount = 7L)
+      .count() === 0L)
+  }
+
   test("sourceDivergence: zero KL for identical mixes, hand-computed skew") {
     // identical unigram distributions -> every contribution is ln(1) = 0
     val same = Seq((1L, "x y", "a"), (2L, "x y", "b"))
