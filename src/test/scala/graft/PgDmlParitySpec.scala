@@ -91,6 +91,19 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script1.sql", "/dml/live1.txt")
   }
 
+  test("sweep-36c: driver-literal serial reservation matches live pg value-for-value") {
+    // the round-15 VALUES allocator: serial fills and DEFAULT cells as
+    // reserved literals. Pins row↔value binding in VALUES order,
+    // interleaved explicit ids (99), DEFAULT-keyword draws, RETURNING
+    // echo of reserved values, burned reservations on statements that
+    // later fail (23505 after one draw — live pg burns exactly one),
+    // ON CONFLICT DO NOTHING / DO UPDATE over serial draws, and the
+    // sequence state probes between. Captured with the fixed
+    // pg_capture (single-execution SQLSTATE harvesting — the re-run
+    // fallback double-burned draws and corrupted serial fixtures).
+    replay("/dml/script6.sql", "/dml/live6.txt")
+  }
+
   test("sweep-36b: family-typed DML (int4range/enum/numeric columns) matches live pg") {
     // exercises SET/WHERE over stored family columns — the run that
     // exposed the bare `r @> 3` range-element gap (a stored range

@@ -18,9 +18,15 @@ import sys
 
 
 def psql(stmt, tuples_only):
+    # VERBOSITY verbose on the FIRST execution so a failure's SQLSTATE
+    # is harvested without re-running the statement — re-execution
+    # (the old verbose_code fallback) double-burned sequence draws in
+    # failing statements with serial DEFAULTs, corrupting every
+    # subsequent serial value in the fixture
     args = ["psql", "-h", os.environ.get("PGHOST", "localhost"),
             "-U", os.environ.get("PGUSER", "postgres"), "-X", "-A",
-            "-P", "null=\\N", "-P", "footer=off"]
+            "-P", "null=\\N", "-P", "footer=off",
+            "-c", "\\set VERBOSITY verbose"]
     if tuples_only:
         args.append("-t")
     args += ["-c", stmt]
@@ -29,22 +35,7 @@ def psql(stmt, tuples_only):
     return subprocess.run(args, capture_output=True, text=True, env=env)
 
 
-def sqlstate(stderr):
-    # without VERBOSITY verbose psql prints `ERROR:  message`; re-run
-    # is wasteful, so ask the server once more with verbose output
-    for line in stderr.splitlines():
-        if line.startswith("ERROR:"):
-            return line
-    return stderr.strip()
-
-
-def verbose_code(stmt):
-    args = ["psql", "-h", os.environ.get("PGHOST", "localhost"),
-            "-U", os.environ.get("PGUSER", "postgres"), "-X", "-A", "-q",
-            "-c", "\\set VERBOSITY verbose", "-c", stmt]
-    env = dict(os.environ)
-    env.setdefault("PGPASSWORD", "postgres")
-    p = subprocess.run(args, capture_output=True, text=True, env=env)
+def stderr_code(p):
     for line in p.stderr.splitlines():
         if line.startswith("ERROR:  ") and len(line) > 13 and line[13] == ":":
             return line[8:13]
@@ -64,8 +55,7 @@ def main():
             p = psql(q, tuples_only=True)
             head = "STATE " + line[1:].strip() if line.startswith("?") else "Q"
             if p.returncode != 0 or "ERROR:" in p.stderr:
-                out.append(f"{head} ERR {verbose_code(q)}" if line.startswith("!")
-                           else f"{head} ERR {verbose_code(q)}")
+                out.append(f"{head} ERR {stderr_code(p)}")
                 continue
             rows = sorted(r for r in p.stdout.splitlines() if r != "")
             out.append(f"{head} {len(rows)}")
@@ -74,7 +64,7 @@ def main():
             stmt = line[1:].strip()
             p = psql(stmt, tuples_only=False)
             if p.returncode != 0 or "ERROR:" in p.stderr:
-                out.append(f"ROWS ERR {verbose_code(stmt)}")
+                out.append(f"ROWS ERR {stderr_code(p)}")
                 continue
             lines = [r for r in p.stdout.splitlines() if r != ""]
             # unaligned, footer off: header, rows..., command tag
@@ -86,7 +76,7 @@ def main():
         else:
             p = psql(line, tuples_only=False)
             if p.returncode != 0 or "ERROR:" in p.stderr:
-                out.append(f"TAG ERR {verbose_code(line)}")
+                out.append(f"TAG ERR {stderr_code(p)}")
                 continue
             lines = [r for r in p.stdout.splitlines() if r != ""]
             out.append(f"TAG {lines[-1] if lines else 'OK'}")
