@@ -122,6 +122,49 @@ object TextAnalysisOps extends Serializable {
         .otherwise("test").as("split"))
   }
 
+  /** Encoding-artifact / mojibake detection (the ftfy-class web
+    * pipeline gate): per document, counts of U+FFFD replacement
+    * characters, stray C0 control characters (excluding \t \n \r),
+    * and the classic UTF-8-read-as-Latin-1 digraphs (Ã + continuation
+    * punctuation, â€ sequences — how “smart quotes” and accented
+    * letters shred when a crawler double-decodes), plus a clean flag.
+    * Exact integer counts over fixed literal patterns → trivially
+    * oracle-exact; one typed map over the scan, zero shuffle.
+    */
+  def encodingArtifacts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val s = if (text == null) "" else text
+          var repl = 0L
+          var ctrl = 0L
+          var moji = 0L
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (c == '\uFFFD') repl += 1
+            else if (c < ' ' && c != '\t' && c != '\n' && c != '\r') ctrl += 1
+            // A-tilde (U+00C3) + latin1-read continuation
+            // (U+0080..U+00BF), or a-circumflex (U+00E2) + cp1252-read
+            // euro sign (U+20AC)
+            else if (c == '\u00C3' && i + 1 < s.length &&
+              s.charAt(i + 1) >= '\u0080' && s.charAt(i + 1) <= '\u00BF')
+              moji += 1
+            else if (c == '\u00E2' && i + 1 < s.length &&
+              s.charAt(i + 1) == '\u20AC')
+              moji += 1
+            i += 1
+          }
+          (id, repl, ctrl, moji, repl == 0L && ctrl == 0L && moji == 0L)
+        }
+      }
+      .toDF("doc_id", "n_replacement", "n_control", "n_mojibake", "clean")
+  }
+
   /** Gopher-style quality rule composite (Rae et al. 2021 §A1.1.1,
     * public rule set; Dolma ships the same family): per document,
     * the classic hard filters — word-count bounds, mean-word-length

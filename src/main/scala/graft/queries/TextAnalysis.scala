@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDef, Tables}
 import graft.operators.{DedupOps, TextAnalysisOps}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, size, slice, split, trim}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, size, slice, split, trim, when}
 
 /** Text-analysis operators over the `documents` table (LLM-pipeline
   * extension; see SURVEY.md §0). Every query carries a full DuckDB
@@ -544,6 +544,42 @@ object TextAnalysis {
       Q.oracleOrder(
         TextAnalysisOps.dupGramFraction(Tables.t(s, dir, "documents"),
           "doc_id", "text", n = 3, minDf = 2),
+        "doc_id")
+    },
+
+    // --- encoding-artifact / mojibake gate (ftfy-class): replacement
+    //     chars, stray C0 controls, UTF-8-as-Latin-1 digraphs; the
+    //     corpus is clean ASCII so artifacts are SEEDED q87-style
+    //     (deterministic per doc_id) to make the counts non-trivial
+    Q.df("q143_encoding_artifacts",
+      """WITH seeded AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(195) || chr(169) ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' ' || chr(226) || chr(8364) || chr(8482) ELSE '' END ||
+        |    CASE WHEN doc_id % 19 = 0 THEN ' ' || chr(65533) ELSE '' END ||
+        |    CASE WHEN doc_id % 29 = 0 THEN chr(1) || chr(11) ELSE '' END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(text, chr(195) || '[\x{0080}-\x{00BF}]')) +
+        |       len(regexp_extract_all(text, chr(226) || chr(8364))) AS BIGINT) AS n_mojibake,
+        |  (len(regexp_extract_all(text, chr(65533))) = 0 AND
+        |   len(regexp_extract_all(text,
+        |     '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) = 0 AND
+        |   len(regexp_extract_all(text, chr(195) || '[\x{0080}-\x{00BF}]')) +
+        |   len(regexp_extract_all(text, chr(226) || chr(8364))) = 0) AS clean
+        |FROM seeded ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val seeded = Tables.t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0, " \u00C3\u00A9").otherwise(""),
+          when(col("doc_id") % 17 === 0, " \u00E2\u20AC\u2122").otherwise(""),
+          when(col("doc_id") % 19 === 0, " \uFFFD").otherwise(""),
+          when(col("doc_id") % 29 === 0, "\u0001\u000B").otherwise("")).as("text"))
+      Q.oracleOrder(
+        TextAnalysisOps.encodingArtifacts(seeded, "doc_id", "text"),
         "doc_id")
     },
 

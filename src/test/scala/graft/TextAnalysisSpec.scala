@@ -324,6 +324,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.distinctMatches("anything") === 0)
   }
 
+  test("encodingArtifacts: replacement/control/mojibake counts, clean flag") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "bad \uFFFD twice \uFFFD here"),
+      (3L, "ctrl\u0001and\u000Bbut tabs\tand\nnewlines are fine"),
+      (4L, "latin1 moji \u00C3\u00A9 and \u00C3\u00A8"),
+      (5L, "cp1252 moji \u00E2\u20AC\u2122 quote"),
+      (6L, "\u00C3X not a continuation"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.encodingArtifacts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, true)))
+    assert(got(2L) === ((2L, 0L, 0L, false)))
+    assert(got(3L) === ((0L, 2L, 0L, false)))
+    assert(got(4L) === ((0L, 0L, 2L, false)))
+    assert(got(5L) === ((0L, 0L, 1L, false)))
+    assert(got(6L) === ((0L, 0L, 0L, true)))
+    assert(got(7L) === ((0L, 0L, 0L, true)))
+  }
+
   test("gopherRules: exact integer rule set and keep decision") {
     val good = ("the and that have with " * 12).trim // 60 words, mean len 3.4
     val docs = Seq(
