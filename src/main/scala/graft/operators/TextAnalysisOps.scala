@@ -122,6 +122,51 @@ object TextAnalysisOps extends Serializable {
         .otherwise("test").as("split"))
   }
 
+  /** Pairwise vocabulary overlap between sources — Jaccard of the
+    * distinct-term sets of every source pair that shares at least one
+    * term (shard-redundancy detection: two mirrors of the same dump
+    * show near-1 overlap long before document-level dedup runs).
+    *
+    * Scale shape: one tokenizer pass → distinct (source, term) rows
+    * (map-side partial distinct); the pair counts come from a
+    * term-keyed self-join whose per-term fan-out is bounded by
+    * source-count² — sources are a dimension (thousands at most), so
+    * the explosion is bounded even at web vocabulary sizes; per-source
+    * vocabulary sizes are dimension-sized index state (memoized
+    * collect, inlined as literals). Jaccard is floor-quantized to
+    * micro-units from exact long counts.
+    */
+  def vocabOverlap(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val st = graft.Q.hashFanout(
+        docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
+      .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
+      .filter(col("t") =!= "")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = PlanMemo.getOrCompute[Map[String, Long]](
+      ("vocabsz", PlanMemo.dataKey(docs), srcCol, textCol)) {
+      st.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val szCol = (c: Column) => sizes.foldLeft(lit(0L)) {
+      case (acc, (s, n)) => when(c === s, lit(n)).otherwise(acc)
+    }
+    val out = st.as("a")
+      .join(st.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("n_union",
+        szCol(col("source_a")) + szCol(col("source_b")) - col("n_common"))
+      .withColumn("jaccard_u", expr(
+        "CAST(floor(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) " +
+          "* 1000000.0) AS BIGINT)"))
+      .localCheckpoint(true)
+    st.unpersist(false)
+    out
+  }
+
   /** Encoding-artifact / mojibake detection (the ftfy-class web
     * pipeline gate): per document, counts of U+FFFD replacement
     * characters, stray C0 control characters (excluding \t \n \r),

@@ -547,6 +547,37 @@ object TextAnalysis {
         "doc_id")
     },
 
+    // --- pairwise source vocabulary overlap (shard-redundancy
+    //     detection): Jaccard of distinct-term sets per source pair,
+    //     micro-unit quantized from exact counts
+    Q.df("q144_vocab_overlap",
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |),
+        |st AS (SELECT DISTINCT source, t FROM toks WHERE t <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, n_common,
+        |  za.n + zb.n - n_common AS n_union,
+        |  CAST(floor(CAST(n_common AS DOUBLE) /
+        |    CAST(za.n + zb.n - n_common AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS jaccard_u
+        |FROM inter
+        |JOIN sz za ON inter.source_a = za.source
+        |JOIN sz zb ON inter.source_b = zb.source
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        TextAnalysisOps.vocabOverlap(Tables.t(s, dir, "documents"),
+          "source", "text"),
+        "source_a", "source_b")
+    },
+
     // --- encoding-artifact / mojibake gate (ftfy-class): replacement
     //     chars, stray C0 controls, UTF-8-as-Latin-1 digraphs; the
     //     corpus is clean ASCII so artifacts are SEEDED q87-style

@@ -324,6 +324,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.distinctMatches("anything") === 0)
   }
 
+  test("vocabOverlap: hand-computed Jaccard per source pair, zero-overlap pairs absent") {
+    val docs = Seq(
+      (1L, "x y z", "a"),     // V_a = {x, y, z}
+      (2L, "x y w", "b"),     // V_b = {x, y, w}  |a∩b|=2 |a∪b|=4
+      (3L, "q r", "c")        // V_c disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysisOps.vocabOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", "b")) === ((2L, 4L,
+      math.floor(2.0 / 4.0 * 1e6).toLong)))
+    // disjoint pairs are absent, not zero rows
+    assert(got.size === 1)
+  }
+
   test("encodingArtifacts: replacement/control/mojibake counts, clean flag") {
     val docs = Seq(
       (1L, "perfectly clean ascii text"),
