@@ -180,7 +180,8 @@ object TextAnalysisOps extends Serializable {
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -226,7 +227,8 @@ object TextAnalysisOps extends Serializable {
     val spark = docs.sparkSession
     import spark.implicits._
     val stops = GopherStopwords
-    docs.select(col(idCol).cast("long"), col(textCol))
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
