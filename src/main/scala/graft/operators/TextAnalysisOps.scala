@@ -122,6 +122,32 @@ object TextAnalysisOps extends Serializable {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic training order: the shuffle-and-shard step every
+    * pipeline ends with — a salted id-hash gives each document a
+    * pseudo-random 60-bit rank, documents land in `pmod(rank, n)`
+    * shards, and position-in-shard is the rank order. No RNG state:
+    * the same corpus always yields the same order on any engine or
+    * cluster size (resumable training, reproducible ablations).
+    *
+    * Scale shape: one codegen hash projection, ONE shuffle on the
+    * shard key, and a per-shard window sort — never a global sort;
+    * each shard's sort is bounded by corpus/n, so pick n to taste
+    * (training shards are file-sized anyway). 15 hex digits keep the
+    * rank in 60 bits — positive in both engines' signed longs.
+    */
+  def trainingOrder(docs: DataFrame, idCol: String, nShards: Int,
+      salt: String = "#ord"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+      1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** Pairwise vocabulary overlap between sources — Jaccard of the
     * distinct-term sets of every source pair that shares at least one
     * term (shard-redundancy detection: two mirrors of the same dump

@@ -547,6 +547,27 @@ object TextAnalysis {
         "doc_id")
     },
 
+    // --- deterministic training order: salted-hash shuffle into
+    //     shards with in-shard positions — no RNG, engine- and
+    //     cluster-size-stable; one shard-key shuffle, never a global
+    //     sort
+    Q.df("q145_training_order",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ord'),
+        |      1, 15)) AS UBIGINT) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        TextAnalysisOps.trainingOrder(Tables.t(s, dir, "documents"),
+          "doc_id", nShards = 8),
+        "shard", "pos")
+    },
+
     // --- pairwise source vocabulary overlap (shard-redundancy
     //     detection): Jaccard of distinct-term sets per source pair,
     //     micro-unit quantized from exact counts

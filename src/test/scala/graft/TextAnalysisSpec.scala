@@ -324,6 +324,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.distinctMatches("anything") === 0)
   }
 
+  test("trainingOrder: deterministic, shard-partitioned, contiguous positions") {
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextAnalysisOps.trainingOrder(docs, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // repartitioned input yields the identical assignment
+    val b = TextAnalysisOps.trainingOrder(docs.repartition(13), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    // every doc appears once; shards in range; positions contiguous 1..n
+    assert(a.map(_._1).distinct.length === 500)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // the order is hash-scrambled, not id order (astronomically unlikely
+    // to be sorted by id within any 60+-element shard by chance)
+    assert(a.groupBy(_._2).exists { case (_, rows) =>
+      val byPos = rows.sortBy(_._3).map(_._1).toSeq
+      byPos != byPos.sorted
+    })
+  }
+
   test("vocabOverlap: hand-computed Jaccard per source pair, zero-overlap pairs absent") {
     val docs = Seq(
       (1L, "x y z", "a"),     // V_a = {x, y, z}
