@@ -250,28 +250,44 @@ object SimilarityOps extends Serializable {
       .withColumn("nrm", qnorm2(col("qv")))
     // Skew gate (the LSH-cap shape, ported here): a degenerate
     // quantizer can land most of the corpus on ONE centroid, turning
-    // the within-cluster join into m² rows through a single key. One
-    // cheap agg (a row per cluster, broadcast back) sizes each
-    // cluster; a cluster over `maxCluster` splits into ceil(n/cap)
+    // the within-cluster join into m² rows through a single key. The
+    // cluster census (a row per centroid, ≤ k entries) is INDEX state
+    // like the centroids themselves: computed once per corpus through
+    // the bounded [[PlanMemo]] and inlined driver-side — NOT a
+    // per-query agg + broadcast join, which would put the k-dot-
+    // product assignment projection on two extra plan paths (the r15
+    // shape recomputed it ~5× per query; measured 2.4× slower).
+    // A cluster over `maxCluster` splits into ceil(n/cap)
     // deterministic xxhash64(vec_id) sub-buckets and pairs only
     // within a sub-bucket — bounded cost, recall-only loss (a split
     // near-dup group keeps extra copies, never marks a false dup).
     // Callers that must not tolerate the approximation (oracle
-    // mirroring) set overCapIsError for a loud execution-time
-    // failure instead, the fuzzyJoin contract.
-    val sizes = assigned0.groupBy("cluster").agg(count(lit(1)).as("__cn"))
-    val assigned = assigned0.join(broadcast(sizes), Seq("cluster"))
-      .withColumn("__nsub",
-        if (overCapIsError)
-          when(col("__cn") > maxCluster, raise_error(concat(
-            lit("semanticDedup: cluster "), col("cluster").cast("string"),
-            lit(" has "), col("__cn").cast("string"),
-            lit(s" vectors, over the $maxCluster sub-bucketing cap — " +
-              "results would not be oracle-mirrorable")))).otherwise(lit(1L))
-        else greatest(lit(1L),
-          ceil(col("__cn").cast("double") / lit(maxCluster.toDouble)).cast("long")))
-      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("__nsub")))
-      .drop("__cn", "__nsub")
+    // mirroring) set overCapIsError for a loud failure instead, the
+    // fuzzyJoin contract.
+    val census = PlanMemo.getOrCompute[Map[Long, Long]](
+      ("semdedup-census", PlanMemo.dataKey(embs), idCol, vecCol, centroidIds)) {
+      assigned0.groupBy("cluster").agg(count(lit(1)).as("cn"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val over = census.filter { case (_, cn) => cn > maxCluster }
+    if (over.nonEmpty && overCapIsError) {
+      val (c, cn) = over.minBy(_._1)
+      throw new IllegalStateException(
+        s"semanticDedup: cluster $c has $cn vectors, over the $maxCluster " +
+          "sub-bucketing cap — results would not be oracle-mirrorable")
+    }
+    val assigned =
+      if (over.isEmpty) assigned0.withColumn("sub", lit(0L))
+      else {
+        // when-chain over ONLY the over-cap clusters (skewed corpora
+        // have few); everything else pairs in sub-bucket 0
+        val nsubCol = over.toSeq.sortBy(_._1).foldLeft(lit(1L)) {
+          case (acc, (c, cn)) =>
+            when(col("cluster") === c,
+              lit((cn + maxCluster - 1) / maxCluster)).otherwise(acc)
+        }
+        assigned0.withColumn("sub", pmod(xxhash64(col("vec_id")), nsubCol))
+      }
     val lhs = assigned.select(col("vec_id").as("ida"), col("cluster"),
       col("sub"), col("qv").as("qa"), col("nrm").as("na"))
     val rhs = assigned.select(col("vec_id").as("idb"), col("cluster"),
