@@ -637,14 +637,33 @@ object DedupOps {
     * required it as a first-class output, not an optional helper).
     */
   def portableSimhashCapReport(docs: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 64): DataFrame =
-    portableChunks(portableSimhashRows(docs, idCol, textCol))
-      .groupBy("chunk", "chunk_val").agg(count(lit(1)).as("bucket_n"))
-      .groupBy("chunk").agg(
-        count(lit(1)).as("n_buckets"),
-        sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("overcap_buckets"),
-        sum(when(col("bucket_n") > maxBucket, col("bucket_n")).otherwise(0L)).as("dropped_rows"))
-      .orderBy("chunk")
+      maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    // The distributed part ends at the (chunk, chunk_val) bucket census
+    // — bounded at 4 chunks x 256 values = 1024 rows BY CONSTRUCTION,
+    // independent of corpus size. The per-chunk rollup over those 1024
+    // counts is dimension-sized index state (a per-corpus health
+    // metric, same class as the IVF centroid memo): finish it on the
+    // driver and memoize per corpus fingerprint, instead of paying two
+    // more exchanges + a sort for a 4-row result.
+    val report = graft.operators.PlanMemo.getOrCompute[Seq[(Long, Long, Long, Long)]](
+      ("simhash-cap-report", graft.operators.PlanMemo.dataKey(docs),
+        idCol, textCol, maxBucket)) {
+      portableChunks(portableSimhashRows(docs, idCol, textCol))
+        .groupBy("chunk", "chunk_val").agg(count(lit(1)).as("bucket_n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (chunk, rows) =>
+          val ns = rows.map(_.getLong(2))
+          (chunk.toLong, ns.length.toLong,
+            ns.count(_ > maxBucket).toLong,
+            ns.filter(_ > maxBucket).sum)
+        }
+        .toSeq.sortBy(_._1)
+    }
+    import spark.implicits._
+    report.toDF("chunk", "n_buckets", "overcap_buckets", "dropped_rows")
+  }
 
   /** Portable variants keep a FIXED drop-based cap: their entire
     * semantics (cap included) are pinned by DuckDB oracles (q45/q46
