@@ -297,56 +297,60 @@ object TextAnalysisOps extends Serializable {
     *
     * Determinism: PMI quantizes to micro-nats per bigram BEFORE the
     * top-k (each value a pure function of exact counts — the q140
-    * convention); ties break on the bigram text. Scale shape: two
-    * map-side-partial tokenizer passes (unigram + bigram counts — the
-    * q69 trade: a second scan beats caching corpus-scale token rows);
-    * only the VOCABULARY-sized count frames persist, unigram totals
-    * join back on the term key (vocabulary-sized shuffle joins, never
-    * broadcast), NB/NU are memoized scalar aggs over those cached
-    * counts (index state), and the final ranking is TakeOrdered.
+    * convention); ties break on the bigram text. Scale shape: ONE
+    * tokenizer pass emits tagged unigram (y = NULL) and bigram rows
+    * through a single map-side-partial count — the exchange carries
+    * the combined vocab+bigram-vocab partial counts, the text itself
+    * never shuffles; unigram totals join back on the term key
+    * (vocabulary-sized shuffle joins, never broadcast) and the
+    * ranking is TakeOrdered. The finished top-k is a k-row
+    * collocation table — tokenizer-merge-candidate INDEX state, the
+    * same class as the IVF centroids — so it memoizes per corpus
+    * fingerprint through the bounded [[PlanMemo]].
     */
   def pmiBigrams(docs: DataFrame, textCol: String, k: Int = 20,
       minCount: Long = 5L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fanned = graft.Q.hashFanout(
-      docs.select(col(textCol).as("__txt")), "__txt")
-    val uniCounts = fanned.as[String]
-      .mapPartitions(_.flatMap(t => DedupOps.sparkTokens(t).filter(_.nonEmpty)))
-      .toDF("t").groupBy("t").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val biAll = fanned.as[String]
-      .mapPartitions { it =>
-        it.flatMap { text =>
-          val ts = DedupOps.sparkTokens(text).filter(_.nonEmpty)
-          (0 until math.max(0, ts.length - 1)).iterator
-            .map(i => (ts(i), ts(i + 1)))
+    val rows = PlanMemo.getOrCompute[Seq[(String, Long, Long)]](
+      ("pmibigrams", PlanMemo.dataKey(docs), textCol, k, minCount)) {
+      val fanned = graft.Q.hashFanout(
+        docs.select(col(textCol).as("__txt")), "__txt")
+      val counts = fanned.as[String]
+        .mapPartitions { it =>
+          it.flatMap { text =>
+            val ts = DedupOps.sparkTokens(text).filter(_.nonEmpty)
+            ts.iterator.map(t => (t, null: String)) ++
+              (0 until math.max(0, ts.length - 1)).iterator
+                .map(i => (ts(i), ts(i + 1)))
+          }
         }
-      }
-      .toDF("x", "y").groupBy("x", "y").agg(count(lit(1)).as("cxy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (nu, nb) = PlanMemo.getOrCompute[(Long, Long)](
-      ("pmitotals", PlanMemo.dataKey(docs), textCol)) {
-      (uniCounts.agg(sum("c")).head().getLong(0),
-        biAll.agg(sum("cxy")).head().getLong(0))
+        .toDF("x", "y").groupBy("x", "y").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uniCounts = counts.filter(col("y").isNull)
+        .select(col("x").as("t"), col("c"))
+      val totals = counts.agg(
+        sum(when(col("y").isNull, col("c"))),
+        sum(when(col("y").isNotNull, col("c")))).head()
+      val (nu, nb) = (totals.getLong(0), totals.getLong(1))
+      val out = counts.filter(col("y").isNotNull && col("c") >= minCount)
+        .select(col("x"), col("y"), col("c").as("cxy"))
+        .join(uniCounts.select(col("t").as("x"), col("c").as("cx")), "x")
+        .join(uniCounts.select(col("t").as("y"), col("c").as("cy")), "y")
+        .withColumn("pmi_u", expr(
+          s"CAST(floor(ln((CAST(cxy AS DOUBLE) / CAST($nb AS DOUBLE)) / " +
+            s"((CAST(cx AS DOUBLE) / CAST($nu AS DOUBLE)) * " +
+            s"(CAST(cy AS DOUBLE) / CAST($nu AS DOUBLE)))) " +
+            "* 1000000.0) AS BIGINT)"))
+        .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("cxy"), col("pmi_u"))
+        .orderBy(col("pmi_u").desc, col("bigram"))
+        .limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      counts.unpersist(false)
+      out
     }
-    val biCounts = biAll.filter(col("cxy") >= minCount)
-    val out = biCounts
-      .join(uniCounts.select(col("t").as("x"), col("c").as("cx")), "x")
-      .join(uniCounts.select(col("t").as("y"), col("c").as("cy")), "y")
-      .withColumn("pmi_u", expr(
-        s"CAST(floor(ln((CAST(cxy AS DOUBLE) / CAST($nb AS DOUBLE)) / " +
-          s"((CAST(cx AS DOUBLE) / CAST($nu AS DOUBLE)) * " +
-          s"(CAST(cy AS DOUBLE) / CAST($nu AS DOUBLE)))) " +
-          "* 1000000.0) AS BIGINT)"))
-      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
-        col("cxy"), col("pmi_u"))
-      .orderBy(col("pmi_u").desc, col("bigram"))
-      .limit(k)
-      .localCheckpoint(true)
-    uniCounts.unpersist(false)
-    biAll.unpersist(false)
-    out
+    rows.toDF("bigram", "cxy", "pmi_u")
   }
 
   /** Per-source unigram KL divergence vs the whole corpus — the
