@@ -154,43 +154,54 @@ object TextAnalysisOps extends Serializable {
     * show near-1 overlap long before document-level dedup runs).
     *
     * Scale shape: one tokenizer pass → distinct (source, term) rows
-    * (map-side partial distinct); the pair counts come from a
-    * term-keyed self-join whose per-term fan-out is bounded by
-    * source-count² — sources are a dimension (thousands at most), so
-    * the explosion is bounded even at web vocabulary sizes; per-source
-    * vocabulary sizes are dimension-sized index state (memoized
-    * collect, inlined as literals). Jaccard is floor-quantized to
-    * micro-units from exact long counts.
+    * (map-side partial distinct) → per-term source SETS via
+    * `collect_set` (partial-agg collapses map-side; a set is bounded
+    * by source count — a dimension, thousands at most — so no term's
+    * row can blow up) → pair explode AFTER the term-level agg, so the
+    * pair counts collapse map-side too. No self-join: the old a⋈b
+    * shuffled the whole (source, term) frame twice. The finished
+    * matrix is bounded by source-count² rows — dimension-sized index
+    * state, so it memoizes per corpus fingerprint through the bounded
+    * [[PlanMemo]] and the warm path is one local job. Jaccard is
+    * floor-quantized to micro-units from exact long counts.
     */
   def vocabOverlap(docs: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
-    val st = graft.Q.hashFanout(
-        docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
-      .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
-      .filter(col("t") =!= "")
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = PlanMemo.getOrCompute[Map[String, Long]](
-      ("vocabsz", PlanMemo.dataKey(docs), srcCol, textCol)) {
-      st.groupBy("source").agg(count(lit(1)).as("n"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = PlanMemo.getOrCompute[Seq[(String, String, Long, Long, Long)]](
+      ("vocaboverlap", PlanMemo.dataKey(docs), srcCol, textCol)) {
+      val st = graft.Q.hashFanout(
+          docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
+        .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
+        .filter(col("t") =!= "")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // sort_array makes every pair (a, b) satisfy a < b without a
+      // join predicate; sequence() bounds guarded by the size filter
+      // (sequence(0, -1) would DESCEND in Spark)
+      val pairCounts = st.groupBy("t")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(ss)-2), i -> " +
+            "transform(sequence(i+1, size(ss)-1), j -> " +
+            "struct(element_at(ss, i+1) AS a, element_at(ss, j+1) AS b))))"))
+          .as("p"))
+        .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .collect()
+      st.unpersist(false)
+      pairCounts.iterator.map { r =>
+        val a = r.getString(0); val b = r.getString(1); val nc = r.getLong(2)
+        val nu = sizes(a) + sizes(b) - nc
+        (a, b, nc, nu,
+          math.floor(nc.toDouble / nu.toDouble * 1000000.0).toLong)
+      }.toSeq.sortBy(t => (t._1, t._2))
     }
-    val szCol = (c: Column) => sizes.foldLeft(lit(0L)) {
-      case (acc, (s, n)) => when(c === s, lit(n)).otherwise(acc)
-    }
-    val out = st.as("a")
-      .join(st.as("b"),
-        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .withColumn("n_union",
-        szCol(col("source_a")) + szCol(col("source_b")) - col("n_common"))
-      .withColumn("jaccard_u", expr(
-        "CAST(floor(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) " +
-          "* 1000000.0) AS BIGINT)"))
-      .localCheckpoint(true)
-    st.unpersist(false)
-    out
+    rows.toDF("source_a", "source_b", "n_common", "n_union", "jaccard_u")
   }
 
   /** Encoding-artifact / mojibake detection (the ftfy-class web
@@ -371,56 +382,57 @@ object TextAnalysisOps extends Serializable {
     * aggregation (the exchange carries per-partition distinct
     * (source, term) rows, not tokens), term totals come back via a
     * term-keyed shuffle join (vocabulary-sized both sides — never
-    * broadcast, a web-scale vocabulary doesn't fit), and the
-    * source totals are dimension-sized (≤ source count) index state:
-    * collected once, memoized per corpus, inlined as when-chain
-    * literals. Final roll-up is one tiny partial agg per source.
+    * broadcast, a web-scale vocabulary doesn't fit), and the source
+    * totals ride as a MAP LITERAL lookup (`element_at` on a
+    * source-dimension map — O(1) codegen regardless of source
+    * cardinality; the old nested-when chain grew expression depth
+    * linearly and risked the 64KB codegen limit). The finished
+    * per-source roll-up is dimension-sized (≤ source count) index
+    * state: it memoizes per corpus fingerprint through the bounded
+    * [[PlanMemo]], so the warm path is one local job.
     */
   def sourceDivergence(docs: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
-    // fan the scan before the explode (skip-if-wide): the tokenizer
-    // explode is the CPU-heavy stage and a single-split local input
-    // would run it on one task; hash on the text itself — rows need no
-    // co-location, only width
-    val toks = graft.Q.hashFanout(
-        docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
-      .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
-      .filter(col("t") =!= "")
-    // tf feeds two branches (term totals + the scored join) — persist
-    // so the tokenizer explode runs once
-    val tf = toks.groupBy("source", "t").agg(count(lit(1)).as("cst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // source totals are a dimension-sized table — catalog-style index
-    // state: one collect, memoized per corpus, inlined as when-chain
-    // literals (no broadcast-exchange job, no second totals agg job)
-    val (nsMap, n) = PlanMemo.getOrCompute[(Map[String, (Long, Long)], Long)](
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = PlanMemo.getOrCompute[Seq[(String, Long, Long, Long)]](
       ("srcdiv", PlanMemo.dataKey(docs), srcCol, textCol)) {
-      val rows = tf.groupBy("source")
+      // fan the scan before the explode (skip-if-wide): the tokenizer
+      // explode is the CPU-heavy stage and a single-split local input
+      // would run it on one task; hash on the text itself — rows need
+      // no co-location, only width
+      val toks = graft.Q.hashFanout(
+          docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
+        .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
+        .filter(col("t") =!= "")
+      // tf feeds two branches (term totals + the scored join) —
+      // persist so the tokenizer explode runs once
+      val tf = toks.groupBy("source", "t").agg(count(lit(1)).as("cst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val srcTotals = tf.groupBy("source")
         .agg(sum("cst").as("ns"), count(lit(1)).as("n_terms"))
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-      (rows.toMap, rows.map(_._2._1).sum)
+        .toMap
+      val n = srcTotals.valuesIterator.map(_._1).sum
+      val nsLit = typedLit(srcTotals.map { case (s, v) => s -> v._1 })
+      val ct = tf.groupBy("t").agg(sum("cst").as("ct"))
+      val kl = tf
+        .join(ct, "t")
+        .withColumn("ns", element_at(nsLit, col("source")))
+        .withColumn("contrib_u", expr(
+          "CAST(floor((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) * " +
+            s"ln((CAST(cst AS DOUBLE) * CAST($n AS DOUBLE)) / " +
+            "(CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE))) " +
+            "* 1000000000.0) AS BIGINT)"))
+        .groupBy("source")
+        .agg(sum(col("contrib_u")).cast("long").as("kl_u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      tf.unpersist(false)
+      srcTotals.iterator.map { case (s, (ns, nt)) =>
+        (s, ns, nt, kl.getOrElse(s, 0L))
+      }.toSeq.sortBy(_._1)
     }
-    def bySource(f: ((Long, Long)) => Long): Column =
-      nsMap.foldLeft(lit(0L)) { case (acc, (s, v)) =>
-        when(col("source") === s, lit(f(v))).otherwise(acc)
-      }
-    val ct = tf.groupBy("t").agg(sum("cst").as("ct"))
-    val out = tf
-      .join(ct, "t")
-      .withColumn("ns", bySource(_._1))
-      .withColumn("contrib_u", expr(
-        "CAST(floor((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) * " +
-          s"ln((CAST(cst AS DOUBLE) * CAST($n AS DOUBLE)) / " +
-          "(CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE))) " +
-          "* 1000000000.0) AS BIGINT)"))
-      .groupBy("source")
-      .agg(sum(col("contrib_u")).cast("long").as("kl_u"))
-      .withColumn("n_tokens", bySource(_._1))
-      .withColumn("n_terms", bySource(_._2))
-      .select("source", "n_tokens", "n_terms", "kl_u")
-      .localCheckpoint(true)
-    tf.unpersist(false)
-    out
+    rows.toDF("source", "n_tokens", "n_terms", "kl_u")
   }
 
   /** Character-bigram entropy per document — the compression-ratio
