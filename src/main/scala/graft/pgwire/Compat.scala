@@ -5280,14 +5280,41 @@ object Compat {
     * literal / ::text cast / string function) and the other side
     * non-numeric — `5 % 2` and `id % 37` stay modulo, and a `<->`
     * between tsquery operands was already consumed by rewriteTsOps.
-    * SET pg_trgm.*_threshold is not wired into the rewrite (defaults
-    * only) — documented deviation.
+    * `SET pg_trgm.*_threshold` is wired through [[trgmThresholds]]
+    * (r16): the session's GUC value replaces the extension default
+    * in the rewritten comparison, per operator family.
     */
   private val trgmBoolOps = Map(
     "%" -> ("similarity", "0.3"), "<%" -> ("word_similarity", "0.6"),
     "%>" -> ("word_similarity_c", "0.6"),
     "<<%" -> ("strict_word_similarity", "0.5"),
     "%>>" -> ("strict_word_similarity_c", "0.5"))
+
+  /** GUC behind each boolean trgm operator's threshold. */
+  private val trgmThresholdGuc = Map(
+    "%" -> "pg_trgm.similarity_threshold",
+    "<%" -> "pg_trgm.word_similarity_threshold",
+    "%>" -> "pg_trgm.word_similarity_threshold",
+    "<<%" -> "pg_trgm.strict_word_similarity_threshold",
+    "%>>" -> "pg_trgm.strict_word_similarity_threshold")
+
+  /** Session `SET pg_trgm.*_threshold` values for the operator
+    * rewrites, installed per statement by Handlers.execute
+    * (thread-local — each wire statement runs on its connection's
+    * thread, so the rewrite deep inside runSql sees its own
+    * session's values without threading a context through every
+    * call). Unparseable values fall back to the extension default,
+    * like an unloaded extension would. */
+  val trgmThresholds: ThreadLocal[Map[String, String]] =
+    new ThreadLocal[Map[String, String]] {
+      override def initialValue(): Map[String, String] = Map.empty
+    }
+
+  private def trgmThresholdFor(op: String, default: String): String = {
+    val v = trgmThresholds.get.get(trgmThresholdGuc(op))
+    v.filter(s => scala.util.Try(s.trim.toDouble).toOption
+      .exists(d => d >= 0.0 && d <= 1.0)).map(_.trim).getOrElse(default)
+  }
   private val trgmDistOps = Map(
     "<->" -> "trgm_sim_dist", "<<->" -> "trgm_word_dist",
     "<->>" -> "trgm_word_dist_c")
@@ -5317,7 +5344,7 @@ object Compat {
           if (texty && !numeric) {
             val (fn, cmp) = trgmBoolOps.get(t.text) match {
               case Some((f, thr)) => (f, Seq(Tok(Op, ")"), Tok(Op, ">="),
-                Tok(Num, thr), Tok(Op, ")")))
+                Tok(Num, trgmThresholdFor(t.text, thr)), Tok(Op, ")")))
               case None => (trgmDistOps(t.text), Seq(Tok(Op, ")"), Tok(Op, ")")))
             }
             ts.insertAll(rhs2 + 1, cmp)

@@ -52,6 +52,12 @@ object Handlers {
     // forever once graft.cursor_ttl is set (see Session.cursorTtlMs)
     session.sweepExpiredCursors()
 
+    // install this session's trgm thresholds for the `%`-family
+    // operator rewrites (thread-local: the statement executes on this
+    // connection's thread all the way down through runSql)
+    Compat.trgmThresholds.set(
+      session.gucs.toMap.filter(_._1.startsWith("pg_trgm.")))
+
     // aborted-transaction guard (reference: transactions.rs:96-118)
     if (session.txn == session.Failed &&
       !Set("COMMIT", "END", "ROLLBACK", "ABORT").contains(head))
@@ -388,17 +394,53 @@ object Handlers {
     if (rest.isEmpty)
       throw PgException("42601", "syntax error at end of input")
     val innerHead = rest.split("[\\s(]+", 2).headOption.getOrElse("").toUpperCase
+    val isDml = Set("INSERT", "UPDATE", "DELETE").contains(innerHead)
+    if (analyze && isDml) {
+      // EXPLAIN ANALYZE <dml> (r16): execute-then-report. The
+      // row-producing side is PLANNED first (no jobs — the write
+      // hasn't happened yet, so the tree reflects the statement's
+      // own read), then the statement runs through the ordinary DML
+      // path (constraints, serials, RETURNING discarded — pg also
+      // discards output rows under ANALYZE), and the report renders
+      // the plan + pg-style timing lines with the row count from the
+      // command tag.
+      val planSql = dmlPlanSelect(innerHead, rest)
+      val t0 = System.nanoTime()
+      val planLines = runSql(spark,
+        substituteSeqFns(spark, session, substituteGucFns(session, planSql)))
+        .queryExecution.executedPlan.toString.linesIterator.toSeq
+      val planned = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      val res = execute(spark, session, rest)
+      val exec = (System.nanoTime() - t1) / 1e6
+      val tag = res match {
+        case Complete(t, _) => t
+        case rs: RowSet =>
+          // a RETURNING stream under ANALYZE: drain (count) and
+          // discard the rows, like pg
+          var k = 0L
+          try { while (rs.rows.hasNext) { rs.rows.next(); k += 1 } }
+          finally rs.onDiscard()
+          rs.tagFor(k)
+        case _ => innerHead
+      }
+      val n = tag.split("\\s+").lastOption
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+      val lines = planLines ++ Seq("",
+        f"Planning Time: $planned%.3f ms",
+        f"Execution Time: $exec%.3f ms",
+        s"Rows: $n ($tag)")
+      return RowSet(StructType(Seq(StructField("QUERY PLAN", StringType))),
+        lines.iterator.map(l => Row(l)), _ => "EXPLAIN")
+    }
     val planText = innerHead match {
       case "SELECT" | "WITH" | "VALUES" | "TABLE" => rest
-      case "INSERT" | "UPDATE" | "DELETE" if !analyze =>
+      case "INSERT" | "UPDATE" | "DELETE" =>
         // plain EXPLAIN of DML plans WITHOUT executing, like pg: the
         // row-producing side (insert source / update-delete match,
         // with the FROM/USING join) is what Spark can render — the
         // write node itself is the engine's table rewrite
         dmlPlanSelect(innerHead, rest)
-      case "INSERT" | "UPDATE" | "DELETE" =>
-        throw PgException("0A000",
-          "EXPLAIN ANALYZE of DML is not supported (it would execute the write)")
       case _ =>
         throw PgException("0A000",
           s"EXPLAIN of ${innerHead.toLowerCase} statements is not supported")
@@ -1293,8 +1335,9 @@ object Handlers {
     identity: Boolean,
     /** column-level `[CONSTRAINT name] CHECK (expr)` clauses */
     checks: Seq[(Option[String], String)] = Nil,
-    /** column-level `REFERENCES reftable [(refcols)]` — recorded */
-    refs: Option[(String, Option[String])] = None)
+    /** column-level `REFERENCES reftable [(refcols)]` + ON
+      * DELETE/UPDATE action letters */
+    refs: Option[(String, Option[String], (Char, Char))] = None)
 
   /** Scan a raw column def's constraint tail (everything after the
     * type spelling). Live-pinned semantics in PgDmlSpec; FK clauses
@@ -1311,7 +1354,7 @@ object Handlers {
     var identity = false
     var pendingName: Option[String] = None
     val checks = Seq.newBuilder[(Option[String], String)]
-    var refs: Option[(String, Option[String])] = None
+    var refs: Option[(String, Option[String], (Char, Char))] = None
     var rest = tail
     def eat(): Unit = rest = rest.drop(1)
     /** balanced paren group starting at/after `from` in the raw def */
@@ -1355,28 +1398,39 @@ object Handlers {
           while (rest.nonEmpty && rest.head._2 < stopAt) eat()
         case "references" =>
           eat() // table name word
+          var refHead: Option[(String, Option[String])] = None
           rest.headOption.foreach { case (_, st, en) =>
             val refTbl = d.substring(st, en)
             val refCols = parenGroup(en).map(_._1)
-            refs = Some((refTbl, refCols))
+            refHead = Some((refTbl, refCols))
           }
           if (rest.nonEmpty) eat()
           // MATCH FULL|PARTIAL|SIMPLE
           if (rest.headOption.exists(_._1 == "match")) { eat(); if (rest.nonEmpty) eat() }
-          // ON DELETE|UPDATE <action>, repeatable
+          // ON DELETE|UPDATE <action>, repeatable — recorded for the
+          // write-time gates
+          var onDel = 'a'; var onUpd = 'a'
           var more = true
           while (more && rest.headOption.exists(_._1 == "on")) {
             eat() // on
+            val isDel = rest.headOption.exists(_._1 == "delete")
             if (rest.headOption.exists(w0 => w0._1 == "delete" || w0._1 == "update")) eat()
-            rest.headOption.map(_._1) match {
-              case Some("cascade") | Some("restrict") => eat()
-              case Some("no") => eat(); if (rest.headOption.exists(_._1 == "action")) eat()
+            val act: Option[Char] = rest.headOption.map(_._1) match {
+              case Some("cascade") => eat(); Some('c')
+              case Some("restrict") => eat(); Some('r')
+              case Some("no") =>
+                eat(); if (rest.headOption.exists(_._1 == "action")) eat()
+                Some('a')
               case Some("set") =>
                 eat()
-                if (rest.headOption.exists(w0 => w0._1 == "null" || w0._1 == "default")) eat()
-              case _ => more = false
+                val w0 = rest.headOption.map(_._1)
+                if (w0.exists(w1 => w1 == "null" || w1 == "default")) eat()
+                if (w0.contains("null")) Some('n') else Some('d')
+              case _ => more = false; None
             }
+            act.foreach(a => if (isDel) onDel = a else onUpd = a)
           }
+          refs = refHead.map { case (t0, rc) => (t0, rc, (onDel, onUpd)) }
         case "check" =>
           val (_, _, kwEnd) = rest.head
           eat()
@@ -1432,16 +1486,51 @@ object Handlers {
     }
   }
 
-  /** Build a recorded FOREIGN KEY: pg_get_constraintdef text with the
-    * referenced columns resolved to the target's pk when omitted. */
+  /** Build a FOREIGN KEY: pg_get_constraintdef text with the
+    * referenced columns resolved to the parent's pk when omitted,
+    * validated like pg at DDL time — parent must exist (42P01), the
+    * referenced columns must exist (42703) and match a unique
+    * constraint on the parent exactly (42830; `no primary key` wording
+    * when the column list was omitted). `selfUniques`/`selfCols`
+    * support the self-referencing CREATE TABLE shape where the parent
+    * is the table being defined. Actions render pg-style in the
+    * condef (NO ACTION omitted) — [[PgConstraints.parseFk]] reads
+    * them back for the write-time gates. */
   private def mkFk(spark: SparkSession, tNorm: String, nameOpt: Option[String],
       cols: Seq[String], refTbl: String, refColsOpt: Option[String],
-      taken: Set[String]): PgConstraints.Fk = {
-    val refCols = refColsOpt.filter(_.nonEmpty).getOrElse {
-      scala.util.Try(spark.table(refTbl).schema).toOption
-        .flatMap(s => PgConstraints.uniquesOf(refTbl, s).find(_.isPrimary))
-        .map(_.cols.mkString(", ")).getOrElse(cols.mkString(", "))
+      taken: Set[String], actions: (Char, Char) = ('a', 'a'),
+      selfUniques: Seq[PgConstraints.Unique] = Nil,
+      selfCols: Seq[String] = Nil): PgConstraints.Fk = {
+    val refNorm = PgSequences.normName(refTbl).split("\\.").last
+    val isSelf = refNorm.equalsIgnoreCase(PgSequences.normName(tNorm))
+    val (parentCols, parentUniques) =
+      if (isSelf && selfCols.nonEmpty) (selfCols, selfUniques)
+      else {
+        val schema =
+          try spark.table(refNorm).schema
+          catch { case scala.util.control.NonFatal(_) =>
+            throw PgException("42P01",
+              s"""relation "$refNorm" does not exist""") }
+        (schema.fields.map(_.name).toSeq,
+          PgConstraints.uniquesOf(refNorm, schema))
+      }
+    val refCols = refColsOpt.filter(_.nonEmpty) match {
+      case Some(rc) => rc.split(",").toSeq.map(c => unq(c.trim)).filter(_.nonEmpty)
+      case None => parentUniques.find(_.isPrimary).map(_.cols).getOrElse(
+        // pg files the no-pk case under undefined_object, not 42830
+        throw PgException("42704",
+          s"""there is no primary key for referenced table "$refNorm""""))
     }
+    refCols.foreach { c =>
+      if (!parentCols.exists(_.equalsIgnoreCase(c)))
+        throw PgException("42703",
+          s"""column "$c" referenced in foreign key constraint does not exist""")
+    }
+    val want = refCols.map(_.toLowerCase).toSet
+    if (!parentUniques.exists(_.cols.map(_.toLowerCase).toSet == want))
+      throw PgException("42830",
+        s"there is no unique constraint matching given keys for referenced " +
+          s"""table "$refNorm"""")
     val base = nameOpt.getOrElse(
       s"${tNorm}_${cols.map(_.toLowerCase).mkString("_")}_fkey")
     val name =
@@ -1452,7 +1541,9 @@ object Handlers {
         base + k
       }
     PgConstraints.Fk(name,
-      s"FOREIGN KEY (${cols.mkString(", ")}) REFERENCES $refTbl($refCols)")
+      s"FOREIGN KEY (${cols.mkString(", ")}) REFERENCES " +
+        s"$refNorm(${refCols.mkString(", ")})" +
+        PgConstraints.fkActionSuffix(actions._1, actions._2))
   }
 
   /** 23514 check over the rows actually being written: a row whose
@@ -1517,7 +1608,7 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
     val rawChecks = scala.collection.mutable.ArrayBuffer
       .empty[(Option[String], String, Option[String])] // (name, expr, col hint)
     val rawFks = scala.collection.mutable.ArrayBuffer
-      .empty[(Option[String], Seq[String], String, Option[String])]
+      .empty[(Option[String], Seq[String], String, Option[String], (Char, Char))]
     val tNorm = PgSequences.normName(table)
     var sawPk = false
     def addUnique(cols: Seq[String], isPk: Boolean, name: Option[String]): Unit = {
@@ -1585,7 +1676,8 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
               val cols = fm.group(1).split(",").toSeq.map(c => unq(c.trim))
                 .filter(_.nonEmpty)
               rawFks += ((consName, cols, unq(fm.group(2)),
-                Option(fm.group(3)).map(_.trim)))
+                Option(fm.group(3)).map(_.trim),
+                PgConstraints.fkActions(d.substring(fm.end))))
             }
         } // EXCLUDE/LIKE stay accepted-and-ignored
       } else {
@@ -1597,8 +1689,8 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
             cons.checks.foreach { case (nm, expr) =>
               rawChecks += ((nm, expr, Some(f.name)))
             }
-            cons.refs.foreach { case (reft, refCols) =>
-              rawFks += ((None, Seq(f.name), reft, refCols))
+            cons.refs.foreach { case (reft, refCols, acts) =>
+              rawFks += ((None, Seq(f.name), reft, refCols, acts))
             }
             f
           case None => return None // unknown spelling → Spark path decides
@@ -1626,8 +1718,9 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
         resolveCheckName(tNorm, nm, expr, hint,
           fields.toSeq.map(_.name), takenNames), expr)
     }
-    rawFks.foreach { case (nm, cols, reft, refColsOpt) =>
-      fks += mkFk(spark, tNorm, nm, cols, reft, refColsOpt, takenNames)
+    rawFks.foreach { case (nm, cols, reft, refColsOpt, acts) =>
+      fks += mkFk(spark, tNorm, nm, cols, reft, refColsOpt, takenNames,
+        acts, uniques.toSeq, fields.toSeq.map(_.name))
     }
     // the unique set rides on the first column's metadata so a fresh
     // JVM can rebuild the registry from the catalog schema
@@ -1890,6 +1983,7 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
     ri.findFirstMatchIn(tail).foreach(mm =>
       restart = mm.group(1).equalsIgnoreCase("RESTART"))
     tail = ri.replaceAllIn(tail, "")
+    val cascadeReq = "(?is)\\bCASCADE\\b".r.findFirstIn(tail).isDefined
     tail = "(?is)\\b(CASCADE|RESTRICT)\\b".r.replaceAllIn(tail, "")
     val tables = splitTopLevelText(tail, ',').map(_.trim).filter(_.nonEmpty)
       .map(t => unq("(?is)^ONLY\\s+".r.replaceFirstIn(t, "")).split("\\.").last)
@@ -1899,6 +1993,21 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
       try (t, spark.table(t).schema)
       catch { case scala.util.control.NonFatal(_) =>
         throw PgException("42P01", s"""relation "$t" does not exist""") }
+    }
+    // pg refuses to truncate a referenced parent unless every
+    // referencing table truncates in the same statement (0A000)
+    val inList = tables.map(_.toLowerCase).toSet
+    schemas.foreach { case (t, _) =>
+      referencingFks(spark, t).foreach { case (childT, _, _, _) =>
+        if (!inList.contains(childT.toLowerCase))
+          throw PgException("0A000",
+            if (cascadeReq)
+              "TRUNCATE ... CASCADE over foreign key references is not supported"
+            else
+              s"""cannot truncate a table referenced in a foreign key constraint
+DETAIL:  Table "$childT" references "$t".
+HINT:  Truncate table "$childT" at the same time, or use TRUNCATE ... CASCADE.""")
+      }
     }
     schemas.foreach { case (t, schema) =>
       runSql(spark, s"TRUNCATE TABLE ${qid(t)}").collect()
@@ -2512,8 +2621,20 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
                   .filter(_.nonEmpty)
                 val taken = (uniques.map(_.name) ++ checks.map(_.name) ++
                   fks.map(_.name)).toSet
-                fks += mkFk(spark, tNorm, consName, cols, unq(fm.group(2)),
-                  Option(fm.group(3)).map(_.trim), taken)
+                val fk = mkFk(spark, tNorm, consName, cols, unq(fm.group(2)),
+                  Option(fm.group(3)).map(_.trim), taken,
+                  PgConstraints.fkActions(tail.substring(fm.end)))
+                // pg validates existing rows BEFORE accepting (23503
+                // with the insert-or-update message shape)
+                PgConstraints.parseFk(fk).foreach { fd =>
+                  validations += { () =>
+                    val zone = java.time.ZoneId.of(
+                      spark.sessionState.conf.sessionLocalTimeZone)
+                    probeFkChild(spark, validationDf(),
+                      spark.table(table).schema, table, fk, fd, zone, None)
+                  }
+                }
+                fks += fk
               }
           } // EXCLUDE: accepted-and-ignored, the CREATE TABLE rule
         case "add" =>
@@ -2914,8 +3035,40 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           .map(_.metadata.getString("pg.serial"))
         catch { case scala.util.control.NonFatal(_) => Nil }
       }
-      val df = runSql(spark, sql)
-      df.collect()
+      // pg refuses to drop a table other tables' FKs depend on (2BP01)
+      // unless the dependents drop in the same statement
+      val dropSet = tableNames
+        .map(t0 => unq(t0).split("\\.").last.toLowerCase).toSet
+      tableNames.foreach { t0 =>
+        val t = unq(t0).split("\\.").last
+        if (scala.util.Try(spark.table(t)).isSuccess)
+          referencingFks(spark, t).foreach { case (childT, _, fk, _) =>
+            if (!dropSet.contains(childT.toLowerCase) &&
+                !childT.equalsIgnoreCase(t))
+              throw PgException("2BP01",
+                s"""cannot drop table $t because other objects depend on it
+DETAIL:  constraint ${fk.name} on table $childT depends on table $t
+HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
+          }
+      }
+      // pg accepts a comma list; Spark's parser is single-table —
+      // re-issue per table (existence already validated above for the
+      // non-IF-EXISTS case by Spark's own first-drop error)
+      if (tableNames.length > 1) {
+        val ifEx =
+          if ("(?is)\\bIF\\s+EXISTS\\b".r.findFirstIn(sql).isDefined) "IF EXISTS "
+          else ""
+        // pg validates the whole list before dropping anything
+        if (ifEx.isEmpty) tableNames.foreach { t0 =>
+          val t = unq(t0).split("\\.").last
+          if (scala.util.Try(spark.table(t)).isFailure)
+            throw PgException("42P01", s"""table "$t" does not exist""")
+        }
+        tableNames.foreach { t0 =>
+          runSql(spark, s"DROP TABLE $ifEx${qid(unq(t0).split("\\.").last)}")
+            .collect()
+        }
+      } else runSql(spark, sql).collect()
       ownedSeqs.foreach(PgSequences.drop(_, ifExists = true))
       tableNames.foreach { t =>
         PgSequences.dropTableSerials(PgSequences.normName(t))
@@ -3364,11 +3517,27 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           s"(SELECT 1 FROM `$mView` AS __graft_m " +
           s"WHERE __graft_m.__graft_rid = __graft_t.`__graft_rid`)")
       val next = if (isUpdate) survivors.unionByName(newRows) else survivors
+      val zoneFk = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
       if (isUpdate && PgConstraints.hasAny(table, schema)) {
-        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-        checkNotNull(newRows, schema, table, zone)
-        checkChecks(spark, newRows, schema, table, zone)
-        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
+        checkNotNull(newRows, schema, table, zoneFk)
+        checkChecks(spark, newRows, schema, table, zoneFk)
+        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zoneFk)
+        checkFksChild(spark, newRows, schema, table, zoneFk, Some(next))
+      }
+      // FK parent gate (r16): target rows this statement rewrites or
+      // deletes may carry keys still referenced by child rows
+      locally {
+        val oldMatched = spark.sql(
+          s"SELECT ${schema.fieldNames.map(bq).mkString(", ")} " +
+            s"FROM `$ridView` AS __graft_t WHERE EXISTS " +
+            s"(SELECT 1 FROM `$mView` AS __graft_m " +
+            s"WHERE __graft_m.__graft_rid = __graft_t.`__graft_rid`)")
+        checkFksParent(spark, table, oldMatched, zoneFk,
+          isDelete = !isUpdate, selfChildState = Some(next),
+          touchedCols =
+            if (isUpdate) Some(assigned.keySet.map(_.toLowerCase).toSet)
+            else None,
+          nextState = if (isUpdate) Some(next) else None)
       }
       val tagWord = if (isUpdate) "UPDATE" else "DELETE"
       retList match {
@@ -3480,15 +3649,27 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     val nondet = assigned.values.exists(e =>
       "(?i)nextval|setval|random|uuid".r.findFirstIn(e).isDefined)
     // pg enforces constraints on UPDATE too (live-pinned: SET id to
-    // an existing key → 23505, SET a NOT NULL column to NULL → 23502)
-    def validateUpdate(matchedNew: => DataFrame, next: => DataFrame): Unit =
+    // an existing key → 23505, SET a NOT NULL column to NULL → 23502,
+    // and r16: 23503 both as FK child and as referenced parent)
+    def validateUpdate(matchedNew: => DataFrame, next: => DataFrame): Unit = {
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
       if (PgConstraints.hasAny(table, schema)) {
-        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
         val mn = matchedNew
         checkNotNull(mn, schema, table, zone)
         checkChecks(spark, mn, schema, table, zone)
         checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
+        checkFksChild(spark, mn, schema, table, zone, Some(next))
       }
+      // parent side: a rewritten key still referenced by a child row
+      // refuses the update (only probed when the SET list touches a
+      // referenced column)
+      val oldMatched = runSql(spark,
+        s"SELECT *$fromSql${whereOpt.map(w => s" WHERE $w").getOrElse("")}")
+      checkFksParent(spark, table, oldMatched, zone, isDelete = false,
+        selfChildState = Some(next),
+        touchedCols = Some(assigned.keySet.map(_.toLowerCase).toSet),
+        nextState = Some(next))
+    }
     if (nondet) {
       val matched = runSql(spark, matchedSql)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3589,6 +3770,11 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
       case Some(w) => s"SELECT *$fromSql WHERE NOT coalesce(($w), false)"
       case None => s"SELECT *$fromSql WHERE false"
     }
+    // FK parent gate (r16): a deleted key still referenced by a child
+    // row refuses the delete — 23503 before any write happens
+    checkFksParent(spark, table, runSql(spark, matchedSql),
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone),
+      isDelete = true, selfChildState = Some(runSql(spark, keepSql)))
     retList match {
       case Some(ret) =>
         val sub = alias.getOrElse(m.group(1))
@@ -3687,11 +3873,17 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
     // driver sequence state — and it makes the write-set
     // deterministic (re-evaluating the frame for constraint checks /
     // ON CONFLICT / RETURNING cannot re-draw values). pg parity:
-    // values bind to rows in VALUES order and a statement that fails
-    // later still burns its reservations, both pg's documented
-    // semantics. INSERT … SELECT keeps the UDF fill (single-JVM
-    // caveat documented at PgSequences — a cluster deployment needs a
-    // count+reserve two-pass there).
+    // values bind to rows in VALUES order, and a statement that fails
+    // AFTER its draws still burns them. DOCUMENTED DEVIATION
+    // (pre-reservation vs pg's pipelined per-row draw): pg evaluates
+    // row by row, so a statement failing on an EARLY row (explicit-id
+    // conflict in row 1, serial DEFAULT in row 2) burns fewer draws
+    // in pg than here, and a statement that fails Spark ANALYSIS
+    // burns draws pg would never evaluate — sequence state can run
+    // AHEAD of live pg after such failures (never behind, never
+    // reused). Pinned in PgDmlSpec's "serial pre-reservation
+    // deviation" case; script6 pins the DEFAULT-before-conflict
+    // ordering where the two models agree.
     val serialFill = fill.filter(_.metadata.contains("pg.serial"))
     def schemaPos(f: StructField): Int = schema.fieldIndex(f.name)
     def drawFor(f: StructField): Long = PgSequences.nextval(
@@ -3722,6 +3914,39 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
       }
     def fillLits(fillVals: Map[String, Long]): Seq[String] =
       serialFill.map(f => s"CAST(${fillVals(f.name)} AS BIGINT)")
+    // INSERT … SELECT serial fill: count + reserve two-pass (r16).
+    // One count job sizes the block, the driver reserves it through
+    // the real nextval transitions (overflow/log_cnt/currval keep
+    // their pinned semantics), and the values ride as window
+    // arithmetic over the reserved block — executor tasks never touch
+    // driver sequence state, the multi-JVM-safe shape. The global
+    // row_number serializes the window stage; pg itself serializes
+    // every draw through one buffer lock, so the semantics are
+    // inherently serial — this is the OLTP write surface, not the
+    // bulk-analytics path. Guards that keep the legacy per-row UDF
+    // fill (single-JVM caveat at PgSequences): CYCLE sequences (a
+    // block that wraps is not an arithmetic progression) and sources
+    // that call sequence functions themselves (the count pass would
+    // double-draw them).
+    lazy val selectSrcCount: Long =
+      try runSql(spark, s"SELECT count(*) FROM ( $src0 ) AS __graft_cnt")
+        .head().getLong(0)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val srcHasSeqFns = "(?i)nextval|setval|currval|lastval".r
+      .findFirstIn(src0).isDefined
+    def serialSelectExpr(f: StructField): String = {
+      val seq = PgSequences.normName(f.metadata.getString("pg.serial"))
+      val sparkTy = f.dataType.sql
+      if (PgSequences.isCycle(seq) || srcHasSeqFns || selectSrcCount < 0)
+        defaultExprSql(f, connId)
+      else if (selectSrcCount == 0L) s"CAST(NULL AS $sparkTy)"
+      else {
+        val (first, inc) =
+          PgSequences.reserveBlock(seq, selectSrcCount, connId)
+        s"CAST($first + (row_number() OVER (ORDER BY " +
+          s"monotonically_increasing_id()) - 1) * $inc AS $sparkTy)"
+      }
+    }
     // DEFAULT cells resolve to expressions that may be
     // nondeterministic — Spark's inline VALUES requires foldable
     // cells, so such rows become a UNION ALL of SELECTs (serial cells
@@ -3759,6 +3984,7 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
       val base =
         if (valueRows.isDefined && f.metadata.contains("pg.serial"))
           s"__gf${serialFill.indexWhere(_.name == f.name)}"
+        else if (f.metadata.contains("pg.serial")) serialSelectExpr(f)
         else defaultExprSql(f, connId)
       famOf(f) match {
         case Some(fam) => s"($base)::$fam AS __gs$k"
@@ -4084,6 +4310,148 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
     }
   }
 
+  /** FKs of `table` structurally decoded; legacy/unparseable condefs
+    * are skipped (recorded-only). */
+  private def fkDefs(table: String, schema: StructType)
+      : Seq[(PgConstraints.Fk, PgConstraints.FkDef)] =
+    PgConstraints.fksOf(table, schema).flatMap(f =>
+      PgConstraints.parseFk(f).map(d => (f, d)))
+
+  /** 23503 probe over rows being written into a child table (INSERT /
+    * UPDATE / COPY / ALTER ADD FK validation): every row whose FK
+    * members are ALL non-null (MATCH SIMPLE — any NULL member passes,
+    * pg's default) must find its parent key, via a distributed
+    * LEFT ANTI join against the parent's key projection (LIMIT-1
+    * driver probe only on violation, the 23505 pattern). `selfNext`
+    * supplies the candidate post-write parent state for
+    * self-referencing FKs — pg checks at statement end, so a batch
+    * may reference rows it itself inserts. */
+  private def checkFksChild(spark: SparkSession, df: DataFrame,
+      schema: StructType, table: String, zone: java.time.ZoneId,
+      selfNext: Option[DataFrame] = None): Unit =
+    fkDefs(table, schema).foreach { case (fk, d) =>
+      probeFkChild(spark, df, schema, table, fk, d, zone, selfNext)
+    }
+
+  /** One FK's child-side anti-join probe (shared by [[checkFksChild]]
+    * and ALTER ADD FK's existing-row validation). */
+  private def probeFkChild(spark: SparkSession, df: DataFrame,
+      schema: StructType, table: String, fk: PgConstraints.Fk,
+      d: PgConstraints.FkDef, zone: java.time.ZoneId,
+      selfNext: Option[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tNorm = PgSequences.normName(table).split("\\.").last
+    val childFields = d.cols.flatMap(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val parentOpt =
+      if (d.refTable.equalsIgnoreCase(tNorm) && selfNext.isDefined) selfNext
+      else scala.util.Try(spark.table(d.refTable)).toOption
+    parentOpt match {
+      case Some(parent0) if childFields.length == d.cols.length =>
+        val parentFields = d.refCols.flatMap(c =>
+          parent0.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        if (parentFields.length == d.refCols.length) {
+          val probe = df
+            .select(childFields.map(f => col(f.name)): _*)
+            .where(childFields.map(f => col(f.name).isNotNull).reduce(_ && _))
+          val pk = parent0
+            .select(parentFields.map(f => col(f.name)): _*)
+            .toDF(childFields.indices.map(i => s"__fk_p_$i"): _*)
+          val cond = childFields.zipWithIndex
+            .map { case (f, i) => probe(f.name) === pk(s"__fk_p_$i") }
+            .reduce(_ && _)
+          val bad = probe.join(pk, cond, "left_anti").limit(1).collect()
+          if (bad.nonEmpty) {
+            val vals = childFields.indices.map(i =>
+              TextEncoder.encodeField(bad(0).get(i), childFields(i), zone)
+                .getOrElse("null"))
+            throw PgException("23503",
+              s"""insert or update on table "$tNorm" violates foreign key constraint "${fk.name}"
+DETAIL:  Key (${d.cols.mkString(", ")})=(${vals.mkString(", ")}) is not present in table "${d.refTable}".""")
+          }
+        }
+      case _ => // parent dropped out from under a recorded FK: skip
+    }
+  }
+
+  /** FKs in OTHER user tables that reference `parent` — reverse
+    * lookup over the session catalog. Dimension-sized (table COUNT,
+    * not data) and only consulted on parent-side DML, which already
+    * rewrites the whole table. */
+  private def referencingFks(spark: SparkSession, parent: String)
+      : Seq[(String, StructType, PgConstraints.Fk, PgConstraints.FkDef)] = {
+    val pNorm = PgSequences.normName(parent).split("\\.").last
+    PgCatalog.userTables(spark).flatMap { t =>
+      scala.util.Try(spark.table(t).schema).toOption.toSeq.flatMap { schema =>
+        fkDefs(t, schema)
+          .filter(_._2.refTable.equalsIgnoreCase(pNorm))
+          .map { case (fk, d) => (t, schema, fk, d) }
+      }
+    }
+  }
+
+  private def cascadeClass(a: Char): Boolean = a == 'c' || a == 'n' || a == 'd'
+
+  /** Parent-side 23503 gate: any child row still referencing a key in
+    * `vanished` (keys leaving the parent — DELETEd rows, or old keys
+    * an UPDATE rewrote) refuses the write. NO ACTION and RESTRICT
+    * behave identically (no deferred constraints); a cascade-class
+    * action raises an honest 0A000 at the moment it would fire.
+    * `selfChildState` overrides the child frame for self-referencing
+    * FKs (the child rows that survive this same statement). */
+  private def checkFksParent(spark: SparkSession, table: String,
+      vanished: DataFrame, zone: java.time.ZoneId, isDelete: Boolean,
+      selfChildState: Option[DataFrame] = None,
+      touchedCols: Option[Set[String]] = None,
+      nextState: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tNorm = PgSequences.normName(table).split("\\.").last
+    val refs = referencingFks(spark, table)
+    if (refs.isEmpty) return
+    refs.foreach { case (childT, childSchema, fk, d) =>
+      val relevant = touchedCols.forall(tc =>
+        d.refCols.exists(c => tc.contains(c.toLowerCase)))
+      val parentFields = d.refCols.flatMap(c =>
+        vanished.schema.fields.find(_.name.equalsIgnoreCase(c)))
+      val childFields = d.cols.flatMap(c =>
+        childSchema.fields.find(_.name.equalsIgnoreCase(c)))
+      if (relevant && parentFields.length == d.refCols.length &&
+          childFields.length == d.cols.length) {
+        val child0 =
+          if (childT.equalsIgnoreCase(tNorm) && selfChildState.isDefined)
+            selfChildState.get
+          else spark.table(childT)
+        val probe = child0
+          .select(childFields.map(f => col(f.name)): _*)
+          .where(childFields.map(f => col(f.name).isNotNull).reduce(_ && _))
+          .toDF(childFields.indices.map(i => s"__fk_c_$i"): _*)
+        // a key only VANISHES if no surviving parent row still holds
+        // it — an UPDATE that rewrote a row without changing its key
+        // must not trip (nextState = the candidate post-write table)
+        val keys0 = vanished.select(parentFields.map(f => col(f.name)): _*)
+        val keys = nextState.map(ns => keys0.except(
+          ns.select(parentFields.map(f => col(f.name)): _*))).getOrElse(keys0)
+        val cond = parentFields.zipWithIndex
+          .map { case (f, i) => keys(f.name) === probe(s"__fk_c_$i") }
+          .reduce(_ && _)
+        val bad = keys.join(probe, cond, "left_semi").limit(1).collect()
+        if (bad.nonEmpty) {
+          val action = if (isDelete) d.onDelete else d.onUpdate
+          if (cascadeClass(action))
+            throw PgException("0A000",
+              s"cascading referential action for foreign key constraint " +
+                s""""${fk.name}" on table "$childT" is not supported""")
+          val vals = parentFields.indices.map(i =>
+            TextEncoder.encodeField(bad(0).get(i), parentFields(i), zone)
+              .getOrElse("null"))
+          throw PgException("23503",
+            s"""update or delete on table "$tNorm" violates foreign key constraint "${fk.name}" on table "$childT"
+DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still referenced from table "$childT".""")
+        }
+      }
+    }
+  }
+
   /** INSERT against a table with declared constraints and/or an ON
     * CONFLICT clause. pg-parity semantics, all live-pinned
     * (PgDmlSpec): 23502/23505 with pg's DETAIL lines, DO NOTHING
@@ -4188,6 +4556,9 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
             checkUniqueDups(
               spark.table(table).unionByName(full.select(tgtSchema.fieldNames.map(col).toSeq: _*)),
               tgtSchema, uniques, zone)
+          checkFksChild(spark, full, tgtSchema, table, zone,
+            Some(spark.table(table).unionByName(
+              full.select(tgtSchema.fieldNames.map(col).toSeq: _*))))
           val r = retStream(n, full)
           afterWrite(r)(full.write.insertInto(table))
 
@@ -4215,6 +4586,8 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
             val others = uniques.filterNot(u => arbiters.exists(_.name == u.name))
             if (others.nonEmpty)
               checkUniqueDups(existing.unionByName(out), tgtSchema, others, zone)
+            checkFksChild(spark, out, tgtSchema, table, zone,
+              Some(existing.unionByName(out)))
             val r = retStream(n, out)
             afterWrite(r)(out.write.insertInto(table))
           } finally out.unpersist()
@@ -4293,6 +4666,7 @@ HINT:  Ensure that no rows proposed for insertion within the same command have d
                 .unionByName(affected)
                 .select(tgtSchema.fieldNames.map(col).toSeq: _*)
               checkUniqueDups(next, tgtSchema, uniques, zone)
+              checkFksChild(spark, affected, tgtSchema, table, zone, Some(next))
               val r = retStream(nUpd + nIns, affected)
               afterWrite(r)(overwriteTable(spark, table, next))
             } finally { updated.unpersist(); inserts.unpersist() }

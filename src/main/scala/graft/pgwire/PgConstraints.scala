@@ -30,11 +30,76 @@ object PgConstraints {
     * user-declared. */
   final case class Check(name: String, expr: String)
 
-  /** One FOREIGN KEY, recorded for the catalog surface (pg_constraint
-    * contype 'f', pg_get_constraintdef text) but NOT enforced —
-    * documented deviation: referential actions need transactional
-    * multi-table writes Spark tables don't provide. */
+  /** One FOREIGN KEY: pg_get_constraintdef text (the canonical form
+    * `FOREIGN KEY (a, b) REFERENCES t(c, d)[ ON UPDATE X][ ON DELETE
+    * X]`, actions rendered only when not NO ACTION — pg's own
+    * rendering) and ENFORCED at write time (r16): 23503 on
+    * child-INSERT/UPDATE rows whose non-null key finds no parent, and
+    * on parent-DELETE/UPDATE rows still referenced (MATCH SIMPLE —
+    * any NULL member passes, pg's default). Cascade-class referential
+    * actions (CASCADE / SET NULL / SET DEFAULT) are recorded and
+    * 0A000-gated at the moment they would fire — NO ACTION and
+    * RESTRICT behave identically here (no deferred constraints). */
   final case class Fk(name: String, condef: String)
+
+  /** [[Fk]] structurally decoded from its condef text (the condef IS
+    * the storage format — it round-trips through `pg.fks` metadata
+    * and the catalog surface already renders it verbatim). */
+  final case class FkDef(cols: Seq[String], refTable: String,
+      refCols: Seq[String], onDelete: Char, onUpdate: Char)
+
+  private val fkDefRe =
+    ("(?is)FOREIGN\\s+KEY\\s*\\(([^)]*)\\)\\s+REFERENCES\\s+" +
+      "(\"[^\"]+\"|[\\w$.]+)\\s*(?:\\(([^)]*)\\))?(.*)").r
+
+  private def unqIdent(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
+    else t
+  }
+
+  def parseFk(fk: Fk): Option[FkDef] =
+    fkDefRe.findFirstMatchIn(fk.condef).map { m =>
+      val cols = m.group(1).split(",").toSeq.map(unqIdent).filter(_.nonEmpty)
+      val refT = unqIdent(m.group(2)).split("\\.").last
+      val refCols = Option(m.group(3)).map(
+        _.split(",").toSeq.map(unqIdent).filter(_.nonEmpty)).getOrElse(cols)
+      val (onDel, onUpd) = fkActions(m.group(4))
+      FkDef(cols, refT, refCols, onDel, onUpd)
+    }
+
+  /** `ON DELETE/UPDATE <action>` letters harvested from raw FK clause
+    * text (pg letters: a=no action, r=restrict, c=cascade,
+    * n=set null, d=set default). */
+  def fkActions(tail: String): (Char, Char) = {
+    def act(kind: String): Char =
+      ("(?is)ON\\s+" + kind +
+        "\\s+(CASCADE|RESTRICT|NO\\s+ACTION|SET\\s+NULL|SET\\s+DEFAULT)").r
+        .findFirstMatchIn(tail)
+        .map(_.group(1).toLowerCase.replaceAll("\\s+", " ") match {
+          case "cascade" => 'c'
+          case "restrict" => 'r'
+          case "set null" => 'n'
+          case "set default" => 'd'
+          case _ => 'a'
+        }).getOrElse('a')
+    (act("DELETE"), act("UPDATE"))
+  }
+
+  /** pg's pg_get_constraintdef action suffix rendering (NO ACTION is
+    * omitted; ON UPDATE precedes ON DELETE). */
+  def fkActionSuffix(onDelete: Char, onUpdate: Char): String = {
+    def word(c: Char): String = c match {
+      case 'c' => "CASCADE"
+      case 'r' => "RESTRICT"
+      case 'n' => "SET NULL"
+      case 'd' => "SET DEFAULT"
+      case _ => ""
+    }
+    (if (onUpdate != 'a') s" ON UPDATE ${word(onUpdate)}" else "") +
+      (if (onDelete != 'a') s" ON DELETE ${word(onDelete)}" else "")
+  }
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Unique]]()
@@ -157,7 +222,7 @@ object PgConstraints {
 
   def hasAny(table: String, schema: StructType): Boolean =
     notNullCols(schema).nonEmpty || uniquesOf(table, schema).nonEmpty ||
-      checksOf(table, schema).nonEmpty
+      checksOf(table, schema).nonEmpty || fksOf(table, schema).nonEmpty
 }
 
 /** CREATE/DROP INDEX surface (pg §11). Spark has no secondary

@@ -27,9 +27,13 @@ import org.apache.spark.sql.SparkSession
   * caveat as the enum registry — `local[n]` shares it with every
   * task thread; a multi-JVM cluster needs the sequence allocator
   * centralized (pg itself serializes nextval through one buffer
-  * lock, so a driver-side allocator IS the pg-equivalent design;
-  * executors reach it only through the wire path's driver-evaluated
-  * rewrites, never from distributed tasks at scale).
+  * lock, so a driver-side allocator IS the pg-equivalent design).
+  * Both serial write paths now allocate ON THE DRIVER: literal
+  * VALUES reserve per-row literals at canonicalize time (r15) and
+  * INSERT … SELECT reserves a [[reserveBlock]] sized by a count
+  * pass (r16) — executor tasks never call into this object except
+  * through the legacy per-row UDF fallback (CYCLE sequences,
+  * sources that call sequence functions themselves).
   */
 object PgSequences extends Serializable {
 
@@ -209,6 +213,30 @@ object PgSequences extends Serializable {
     sessionCurr.put((connId, name), v)
     sessionLast.put(connId, v)
     v
+  }
+
+  def isCycle(name: String): Boolean = {
+    val s = seqs.get(name)
+    s != null && s.defn.cycle
+  }
+
+  /** Reserve `n` consecutive draws in one driver-side pass — the
+    * INSERT … SELECT allocator (count + reserve two-pass): returns
+    * (firstValue, increment). Implemented as n real [[nextval]] state
+    * transitions so overflow (2200H), log_cnt, currval and lastval
+    * keep their exact pinned semantics; the caller turns the block
+    * into `first + (row_number - 1) * increment` arithmetic inside
+    * the distributed write, so executor tasks never touch driver
+    * sequence state. CYCLE sequences wrap mid-block (the values are
+    * not an arithmetic progression) — callers must check [[isCycle]]
+    * first and fall back to the per-row UDF path. */
+  def reserveBlock(name: String, n: Long, connId: Int): (Long, Long) = {
+    require(n > 0, "reserveBlock needs n > 0")
+    val inc = state(name).defn.increment
+    var last = 0L
+    var i = 0L
+    while (i < n) { last = nextval(name, connId); i += 1 }
+    (last - (n - 1) * inc, inc)
   }
 
   private def overflow(name: String, d: SeqDef) = PgException("2200H",

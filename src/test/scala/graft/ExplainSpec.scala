@@ -73,7 +73,7 @@ class ExplainSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e2.code === "42601")
   }
 
-  test("EXPLAIN of DML plans the row side WITHOUT executing; ANALYZE of DML raises") {
+  test("EXPLAIN of DML plans the row side WITHOUT executing") {
     val before = spark.table("expl_t").count()
     val (pi, _) = rows("EXPLAIN INSERT INTO expl_t VALUES (999, 'boom')")
     assert(pi.mkString("\n").contains("Physical Plan"))
@@ -87,10 +87,36 @@ class ExplainSpec extends SparkSpec with BeforeAndAfterAll {
       "EXPLAIN UPDATE expl_t SET v = s.v FROM expl_t s WHERE expl_t.id = s.id")
     assert(pj.mkString("\n").toLowerCase.contains("join"))
     assert(spark.table("expl_t").count() === before)
+  }
+
+  test("EXPLAIN ANALYZE <dml> executes the write and reports plan + timing (r16)") {
+    val session = new Session(7, "postgres", "postgres")
+    def run(sql: String) = Handlers.execute(spark, session, sql)
+    run("DROP TABLE IF EXISTS expl_w")
+    run("CREATE TABLE expl_w (id int PRIMARY KEY, v text)")
+    run("INSERT INTO expl_w VALUES (1, 'a'), (2, 'b')")
+    // INSERT under ANALYZE actually writes and reports the tag count
+    val (pi, ti) = rows("EXPLAIN ANALYZE INSERT INTO expl_w VALUES (3, 'c'), (4, 'd')")
+    assert(ti === "EXPLAIN")
+    val texti = pi.mkString("\n")
+    assert(texti.contains("Planning Time:") && texti.contains("Execution Time:"))
+    assert(texti.contains("Rows: 2 (INSERT 0 2)"), texti)
+    assert(spark.table("expl_w").count() === 4)
+    // UPDATE: executes, row count from the tag
+    val (pu, _) = rows("EXPLAIN ANALYZE UPDATE expl_w SET v = 'x' WHERE id > 2")
+    assert(pu.mkString("\n").contains("Rows: 2 (UPDATE 2)"), pu.mkString("\n"))
+    assert(Handlers.runSql(spark, "SELECT count(*) FROM expl_w WHERE v = 'x'")
+      .head().getLong(0) === 2)
+    // DELETE with RETURNING: the stream is drained and discarded (pg
+    // discards ANALYZE output rows too), count still reported
+    val (pd, _) = rows("EXPLAIN ANALYZE DELETE FROM expl_w WHERE id = 1 RETURNING *")
+    assert(pd.mkString("\n").contains("Rows: 1 (DELETE 1)"), pd.mkString("\n"))
+    assert(spark.table("expl_w").count() === 3)
+    // constraint failures surface as the DML's own error, not a plan
     val e = intercept[PgException](
-      rows("EXPLAIN ANALYZE UPDATE expl_t SET v = 'x'"))
-    assert(e.code === "0A000")
-    assert(spark.table("expl_t").count() === before)
+      rows("EXPLAIN ANALYZE INSERT INTO expl_w VALUES (2, 'dup')"))
+    assert(e.code === "23505")
+    run("DROP TABLE expl_w")
   }
 
   test("EXPLAIN over a pg-dialect query runs the compat rewrite first") {

@@ -141,6 +141,28 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script4.sql", "/dml/live4.txt")
   }
 
+  test("sweep-36d: INSERT…SELECT serial count+reserve matches live pg value-for-value") {
+    // the r16 two-pass allocator: block reservation sized by a count
+    // pass, values as window arithmetic. Pins row↔value binding in
+    // SELECT output order (ORDER BY asc, then desc over the same
+    // source), empty-source statements drawing nothing, explicit-id
+    // SELECT inserts not drawing, interleaved VALUES/DEFAULT draws,
+    // RETURNING echo of block values, and last_value/is_called probes
+    // between every statement
+    replay("/dml/script8.sql", "/dml/live8.txt")
+  }
+
+  test("sweep-41: FOREIGN KEY enforcement matches live pg") {
+    // 23503 on child INSERT/UPDATE (incl. ON CONFLICT both arms and
+    // UPDATE…FROM), parent DELETE/UPDATE (incl. DELETE…USING),
+    // MATCH SIMPLE null passes, composite keys, self-referencing FK
+    // with in-batch references, ALTER ADD FK validates existing rows
+    // atomically, DDL errors (42P01/42830/42704), RESTRICT action
+    // rendering + enforcement, TRUNCATE-referenced 0A000, DROP-parent
+    // 2BP01
+    replay("/dml/script7.sql", "/dml/live7.txt")
+  }
+
   test("sweep-40: sub-SELECT row assignment and correlated SET match live pg") {
     // `SET (a, b) = (SELECT …)` decomposed into per-column scalar
     // subqueries (no row → NULLs), correlated references against the

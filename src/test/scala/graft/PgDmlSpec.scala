@@ -224,6 +224,92 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
+  test("serial pre-reservation deviation: early-row failure burns the whole batch's draws (pg pipelines)") {
+    // DOCUMENTED DEVIATION (ADVICE r15): live pg evaluates VALUES
+    // rows one at a time, so `(explicit-conflict row, DEFAULT row)`
+    // burns ZERO draws in pg — the conflict fires before row 2's
+    // nextval ever runs. Our canonicalize-time pre-reservation draws
+    // for every serial slot up front, so the same statement leaves
+    // the sequence ONE draw ahead (never behind, never reused). This
+    // pins OUR behavior so any change to the allocator is a
+    // deliberate decision, and documents the exact delta vs pg.
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS sdev")
+    assert(c.query("CREATE TABLE sdev (id serial PRIMARY KEY, v text)").errors === Nil)
+    assert(c.query("INSERT INTO sdev (v) VALUES ('a')").tags === Seq("INSERT 0 1"))
+    // failing row BEFORE the serial row: pg burns 0, we burn 1
+    val e = c.query("INSERT INTO sdev VALUES (1, 'dup'), (DEFAULT, 'b')")
+    assert(e.errors.map(_._1) === Seq("23505"))
+    assert(rows(c, "SELECT last_value, is_called FROM sdev_id_seq") ===
+      Seq(Seq("2", "t"))) // live pg would show (1, t) here
+    // the next successful draw continues from the burned reservation
+    assert(c.query("INSERT INTO sdev (v) VALUES ('c')").tags === Seq("INSERT 0 1"))
+    assert(rows(c, "SELECT id, v FROM sdev ORDER BY id") === Seq(
+      Seq("1", "a"), Seq("3", "c"))) // live pg would assign id 2
+    c.query("DROP TABLE sdev")
+    c.close()
+  }
+
+  test("FOREIGN KEY 23503/0A000/2BP01 message shapes (live-pg pinned r16)") {
+    // texts captured verbatim from live pg 15 (same box, 2026-08-16);
+    // SQLSTATE coverage lives in sweep-41 — this pins the DETAIL/HINT
+    // prose and the cascade-action 0A000 gate the differential can't
+    // exercise (pg would cascade where we refuse)
+    PgSequences.reset()
+    val c = connect()
+    c.query("DROP TABLE IF EXISTS mford"); c.query("DROP TABLE IF EXISTS mfcust")
+    assert(c.query("CREATE TABLE mfcust (id int PRIMARY KEY, n text)").errors === Nil)
+    assert(c.query(
+      "CREATE TABLE mford (oid int PRIMARY KEY, cid int REFERENCES mfcust (id))")
+      .errors === Nil)
+    c.query("INSERT INTO mfcust VALUES (1, 'a')")
+    c.query("INSERT INTO mford VALUES (10, 1)")
+    val e1 = c.query("INSERT INTO mford VALUES (11, 9)")
+    assert(e1.errors.map(_._1) === Seq("23503"))
+    assert(e1.errors.head._2.contains(
+      "insert or update on table \"mford\" violates foreign key constraint " +
+        "\"mford_cid_fkey\""))
+    assert(e1.errors.head._2.contains(
+      "Key (cid)=(9) is not present in table \"mfcust\"."))
+    val e2 = c.query("DELETE FROM mfcust WHERE id = 1")
+    assert(e2.errors.map(_._1) === Seq("23503"))
+    assert(e2.errors.head._2.contains(
+      "update or delete on table \"mfcust\" violates foreign key constraint " +
+        "\"mford_cid_fkey\" on table \"mford\""))
+    assert(e2.errors.head._2.contains(
+      "Key (id)=(1) is still referenced from table \"mford\"."))
+    val e3 = c.query("TRUNCATE mfcust")
+    assert(e3.errors.map(_._1) === Seq("0A000"))
+    assert(e3.errors.head._2.contains(
+      "cannot truncate a table referenced in a foreign key constraint"))
+    assert(e3.errors.head._2.contains("Table \"mford\" references \"mfcust\"."))
+    val e4 = c.query("DROP TABLE mfcust")
+    assert(e4.errors.map(_._1) === Seq("2BP01"))
+    assert(e4.errors.head._2.contains(
+      "cannot drop table mfcust because other objects depend on it"))
+    assert(e4.errors.head._2.contains(
+      "constraint mford_cid_fkey on table mford depends on table mfcust"))
+    // cascade-class action: recorded, rendered, and 0A000 at the
+    // moment it would fire — NOT at DDL or on unaffected rows
+    c.query("DROP TABLE IF EXISTS cford")
+    assert(c.query("CREATE TABLE cford (oid int PRIMARY KEY, " +
+      "cid int REFERENCES mfcust (id) ON DELETE CASCADE)").errors === Nil)
+    assert(rows(c, "SELECT pg_get_constraintdef(oid) FROM pg_constraint " +
+      "WHERE conrelid = 'cford'::regclass AND contype = 'f'") === Seq(
+      Seq("FOREIGN KEY (cid) REFERENCES mfcust(id) ON DELETE CASCADE")))
+    c.query("INSERT INTO mfcust VALUES (2, 'b')")
+    c.query("INSERT INTO cford VALUES (20, 1)")
+    // deleting an UNREFERENCED parent row under CASCADE is fine
+    assert(c.query("DELETE FROM mfcust WHERE id = 2").tags === Seq("DELETE 1"))
+    val e5 = c.query("DELETE FROM mfcust WHERE id = 1")
+    assert(e5.errors.map(_._1) === Seq("0A000"))
+    assert(e5.errors.head._2.contains("cascading referential action"))
+    c.query("DROP TABLE cford"); c.query("DROP TABLE mford")
+    c.query("DROP TABLE mfcust")
+    c.close()
+  }
+
   test("constrained INSERT … ON CONFLICT RETURNING streams 50k rows without a driver collect") {
     PgSequences.reset()
     val c = connect()

@@ -1174,4 +1174,38 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
       === Some("551"))
     c.close()
   }
+
+  test("SET pg_trgm.*_threshold drives the %-family rewrites (live-pg pinned r16)") {
+    // outcomes pinned against live pg 15 + pg_trgm at the same
+    // thresholds (2026-08-16): similarity('abcdef','abzzzz') =
+    // 0.18181819 flips across 0.05/0.3; 'word'~'words' = 0.5714286
+    // drops at 0.8; the word/strict families ride their own GUCs
+    val c = connect()
+    def one(expr: String): String =
+      c.query(s"SELECT $expr").rows.head.head.getOrElse("")
+    assert(one("'abcdef' % 'abzzzz'") === "f") // extension default 0.3
+    assert(c.query("SET pg_trgm.similarity_threshold = 0.05").errors === Nil)
+    assert(one("'abcdef' % 'abzzzz'") === "t")
+    assert(c.query("SET pg_trgm.similarity_threshold = 0.8").errors === Nil)
+    assert(one("'word' % 'words'") === "f")
+    assert(one("'x' % 'x'") === "t")
+    assert(c.query("SET pg_trgm.word_similarity_threshold = 0.99").errors === Nil)
+    assert(one("'word' <% 'two words here'") === "f")
+    assert(one("'two words here' %> 'word'") === "f")
+    assert(c.query("SET pg_trgm.strict_word_similarity_threshold = 0.1").errors === Nil)
+    assert(one("'zzz' <<% 'two words here'") === "f")
+    assert(one("'abc' <<% 'abc zzz'") === "t")
+    assert(c.query("SET pg_trgm.similarity_threshold = 0.3").errors === Nil)
+    assert(one("'abcdef' % 'abzzzz'") === "f")
+    // an unparseable value behaves as the unloaded-extension default
+    // (our custom-GUC store is unvalidated — lenient deviation)
+    c.query("SET pg_trgm.similarity_threshold = 'bogus'")
+    assert(one("'word' % 'words'") === "t")
+    // the threshold is SESSION state: a fresh connection sees defaults
+    val c2 = connect()
+    assert(c2.query("SELECT 'abcdef' % 'abzzzz'")
+      .rows.head.head === Some("f"))
+    c2.close()
+    c.close()
+  }
 }

@@ -130,6 +130,21 @@ class PsqlE2eSpec extends SparkSpec {
       assert(c2 === 0, e2)
       assert(o2.contains("Execution Time:"), o2)
       assert(o2.contains("Rows: 1"), o2)
+      // EXPLAIN ANALYZE <dml> (r16): executes the write, reports the
+      // tag count — verified through a real libpq client
+      val (c3, o3, e3) = psqlScript(port,
+        """DROP TABLE IF EXISTS expl_psql;
+          |CREATE TABLE expl_psql (id int PRIMARY KEY, v text);
+          |EXPLAIN ANALYZE INSERT INTO expl_psql VALUES (1, 'a'), (2, 'b');
+          |SELECT count(*) AS n FROM expl_psql;
+          |EXPLAIN ANALYZE DELETE FROM expl_psql WHERE id = 1;
+          |SELECT count(*) AS n2 FROM expl_psql;
+          |DROP TABLE expl_psql;""".stripMargin)
+      assert(c3 === 0, e3)
+      assert(o3.contains("Rows: 2 (INSERT 0 2)"), o3)
+      assert(o3.contains("Rows: 1 (DELETE 1)"), o3)
+      assert("(?s).*\\b2\\b.*".r.matches(o3), o3) // count after insert
+      assert(o3.contains("1"), o3) // count after delete
     }
   }
 

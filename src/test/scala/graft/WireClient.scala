@@ -144,7 +144,9 @@ final class Client(port: Int) {
             var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
             val v = new String(body, pos + 1, end - pos - 1, UTF_8)
             if (fld == 'C') code = v
-            if (fld == 'M') m = v
+            if (fld == 'M') m = v + m
+            if (fld == 'D') m += "\nDETAIL:  " + v
+            if (fld == 'H') m += "\nHINT:  " + v
             pos = end + 1
           }
           errors += (code -> m)
@@ -177,7 +179,9 @@ final class Client(port: Int) {
             var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
             val v = new String(body, pos + 1, end - pos - 1, UTF_8)
             if (fld == 'C') code = v
-            if (fld == 'M') m = v
+            if (fld == 'M') m = v + m
+            if (fld == 'D') m += "\nDETAIL:  " + v
+            if (fld == 'H') m += "\nHINT:  " + v
             pos = end + 1
           }
           errors += (code -> m)
@@ -207,7 +211,9 @@ final class Client(port: Int) {
             var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
             val v = new String(body, pos + 1, end - pos - 1, UTF_8)
             if (fld == 'C') code = v
-            if (fld == 'M') m = v
+            if (fld == 'M') m = v + m
+            if (fld == 'D') m += "\nDETAIL:  " + v
+            if (fld == 'H') m += "\nHINT:  " + v
             pos = end + 1
           }
           err = Some(code -> m)
@@ -242,7 +248,9 @@ final class Client(port: Int) {
             var end = pos + 1; while (end < body.length && body(end) != 0) end += 1
             val v = new String(body, pos + 1, end - pos - 1, UTF_8)
             if (fld == 'C') code = v
-            if (fld == 'M') m = v
+            if (fld == 'M') m = v + m
+            if (fld == 'D') m += "\nDETAIL:  " + v
+            if (fld == 'H') m += "\nHINT:  " + v
             pos = end + 1
           }
           err = Some(code -> m)
@@ -357,7 +365,9 @@ final class Client(port: Int) {
             val fld = body(pos).toChar
             val v = str(pos + 1)
             if (fld == 'C') code = v
-            if (fld == 'M') msg = v
+            if (fld == 'M') msg = v + msg
+            if (fld == 'D') msg += "\nDETAIL:  " + v
+            if (fld == 'H') msg += "\nHINT:  " + v
             pos += 2 + v.getBytes(UTF_8).length
           }
           errors += (code -> msg)
