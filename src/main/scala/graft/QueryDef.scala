@@ -107,13 +107,24 @@ object Q {
     * flatMap whose consumers group by a row-unique key).
     *
     * Unlike rangeFanout (whose exchange IS the ordering), this one is
-    * purely a parallelism repair, so when the source is already at
-    * least core-count wide — every production-scale input — it
-    * returns `df` untouched: a corpus-sized text column must never
-    * pay a physical shuffle just to re-establish a width the scan
-    * already has. The exchange only fires for narrow local inputs
-    * (the single-split test parquet). */
-  def hashFanout(df: DataFrame, key: String): DataFrame = {
+    * purely a parallelism repair — it does NOT guarantee key
+    * co-location: when the source is already at least core-count
+    * wide — every production-scale input — it returns `df` untouched,
+    * because a corpus-sized text column must never pay a physical
+    * shuffle just to re-establish a width the scan already has. The
+    * exchange only fires for narrow local inputs (the single-split
+    * test parquet). A caller that needs same-key rows on the same
+    * partition (map-side per-key work with no downstream shuffle)
+    * must pass `requireClustering = true`, which always exchanges.
+    * Note `srcParts` counts leaf-scan splits, so it over-estimates
+    * effective width after very selective filters — acceptable for a
+    * width repair, another reason it is NOT a clustering guarantee. */
+  def hashFanout(df: DataFrame, key: String,
+      requireClustering: Boolean = false): DataFrame = {
+    if (requireClustering) {
+      val n = math.max(8, df.sparkSession.sparkContext.defaultParallelism)
+      return df.repartition(n, org.apache.spark.sql.functions.col(key))
+    }
     val spark = df.sparkSession
     val srcParts =
       try df.queryExecution.analyzed.collectLeaves().map {

@@ -438,10 +438,13 @@ object TextAnalysisOps extends Serializable {
   /** Character-bigram entropy per document — the compression-ratio
     * quality proxy (see [[graft.functions.TextExpressions.CharEntropy]]
     * for the determinism contract). One codegen expression inside the
-    * scan projection: map-side, zero shuffle, 100 TB-indifferent. */
+    * scan projection: map-side, zero shuffle, 100 TB-indifferent.
+    * NULL text coalesces to empty BEFORE the expression so the result
+    * is (0, 0) — matching the oracle's LEFT JOIN + COALESCE shape —
+    * instead of a NULL row the oracle would never produce. */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        call_function("char_entropy", col(textCol)).as("ce"))
+        call_function("char_entropy", coalesce(col(textCol), lit(""))).as("ce"))
       .select(col("doc_id"),
         col("ce.n_bigrams").as("n_bigrams"),
         col("ce.entropy_u").as("entropy_u"))

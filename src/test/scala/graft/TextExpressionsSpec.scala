@@ -234,6 +234,9 @@ class TextExpressionsSpec extends SparkSpec {
       // non-BMP: "a👍b" is 3 CODEPOINTS -> 2 distinct bigrams, H = ln 2
       assert(ent("a👍b") ===
         Seq((2L, math.floor(math.log(2.0) * 1e6).toLong)))
+      // NULL text coalesces to (0, 0) — the oracle's
+      // LEFT JOIN + COALESCE shape, never a NULL row
+      assert(ent(null.asInstanceOf[String]) === Seq((0L, 0L)))
     }
   }
 
