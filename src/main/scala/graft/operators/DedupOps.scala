@@ -538,7 +538,13 @@ object DedupOps {
               "not be oracle-mirrorable")))).isNull)
           .drop("bucket_n")
       } else thinBuckets(base0, Seq("blk"), "id", maxBucket)
-    base.as("a").join(base.as("b"),
+    // width repair (skip-if-wide): the block×band verify is the CPU
+    // stage — a single-split local scan would run every lev_banded
+    // evaluation on one task under the broadcast self-join; hashing
+    // on the block key keeps same-block rows together so the probe
+    // side fans without changing the join
+    val fanned = graft.Q.hashFanout(base, "blk")
+    fanned.as("a").join(fanned.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -188,7 +188,9 @@ object Similarity {
       SimilarityOps.bucketedPairs(
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
         bits = 6, minDot = 20000000L)
-        .orderBy("vec_a", "vec_b")
+        // oracleOrder, not orderBy: the harness sort over a 250-row
+        // result must not pay the range-sampler job + exchange
+        .transform(df => Q.oracleOrder(df, "vec_a", "vec_b"))
     },
 
     // --- embedding-cosine near-dup pairs (cos >= 0.3), decided in
