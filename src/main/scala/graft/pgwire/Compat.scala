@@ -1765,12 +1765,67 @@ object Compat {
                  fi.endKind == "OP" || fi.endKind == "OF") =>
               rewriteOneGroupsOffset(ts, i, open, close, fi, depths)
               again = true // indices shifted; rescan
+            case Some(fi) if needsGroupSpaceSplit(ts, i, open, close, fi) =>
+              // min/max EXCLUDE GROUP/TIES (r16): not subtractable, so
+              // the frame must SPLIT at the current peer group — which
+              // needs group-number addressing. The same dense_rank
+              // restructure turns the window into RANGE over an
+              // integer group column; rewriteOneFrame then splits at
+              // ±1 group exactly.
+              rewriteOneGroupsOffset(ts, i, open, close, fi, depths)
+              again = true
             case _ =>
           }
         }
         i += 1
       }
     }
+  }
+
+  /** The aggregate name directly before an OVER keyword, when the
+    * call shape is `fn(args) OVER`. */
+  private def windowAggFn(ts: ArrayBuffer[Tok], overIdx: Int): Option[String] = {
+    val p1 = prevIdx(ts, overIdx)
+    if (p1 < 0 || !ts(p1).is(")")) return None
+    var depth2 = 0; var aOpen = p1
+    while (aOpen >= 0 && { val t = ts(aOpen)
+      if (t.is(")")) depth2 += 1 else if (t.is("(")) depth2 -= 1
+      depth2 != 0 }) aOpen -= 1
+    val fnIdx = prevIdx(ts, aOpen)
+    if (fnIdx < 0 || ts(fnIdx).kind != Word) None
+    else Some(ts(fnIdx).text.toLowerCase)
+  }
+
+  /** min/max + EXCLUDE GROUP/TIES over a RANGE/GROUPS frame with
+    * UNBOUNDED/CURRENT bounds: eligible for the dense_rank
+    * group-space restructure so the frame can split at the current
+    * peer group. A window already ordered by a __grp column is
+    * excluded (it was restructured — terminates the rescan loop), as
+    * is one without ORDER BY (the main pass's 0A000 fires there). */
+  private def needsGroupSpaceSplit(ts: ArrayBuffer[Tok], overIdx: Int,
+      open: Int, close: Int, fi: FrameInfo): Boolean = {
+    if (fi.e < 0) return false
+    if (!(ts(fi.f).isWord("RANGE") || ts(fi.f).isWord("GROUPS"))) return false
+    if (!frameUnbounded(fi.startKind) || !frameUnbounded(fi.endKind))
+      return false
+    val k1 = nextIdx(ts, fi.e)
+    val kind = if (k1 < 0) "" else ts(k1).text.toUpperCase
+    if (kind != "GROUP" && kind != "TIES") return false
+    if (!windowAggFn(ts, overIdx).exists(f => f == "min" || f == "max"))
+      return false
+    var orderIdx = -1; var depth = 0; var j = open + 1
+    while (j < fi.f && orderIdx < 0) {
+      if (ts(j).is("(")) depth += 1
+      else if (ts(j).is(")")) depth -= 1
+      else if (depth == 0 && ts(j).isWord("ORDER")) orderIdx = j
+      j += 1
+    }
+    if (orderIdx < 0) return false
+    val by = nextIdx(ts, orderIdx)
+    val keyToks = ts.slice(if (by >= 0) by + 1 else orderIdx + 1, fi.f)
+      .filter(_.kind != Ws)
+    !(keyToks.length == 1 && keyToks.head.kind == Word &&
+      keyToks.head.text.startsWith("__grp"))
   }
 
   private def rewriteOneGroupsOffset(ts: ArrayBuffer[Tok], overIdx: Int,
@@ -1979,17 +2034,36 @@ object Compat {
           w(" - coalesce("); winOver("sum", grpSpec); w(", 0) + "); curVal()
       }
     }
-    // min/max are not subtractable: EXCLUDE CURRENT ROW over a ROWS
-    // frame instead SPLITS the frame into its two complementary
-    // pieces around the current row — least()/greatest() skip NULLs
-    // exactly like min/max over an empty piece, so the composition is
-    // exact (sweep-25b). RANGE/GROUPS shapes (the excluded row sits
-    // inside a peer run the ROWS split can't isolate) stay 0A000.
+    // min/max are not subtractable — EXCLUDE instead SPLITS the frame
+    // into complementary pieces composed with least()/greatest()
+    // (NULL-skipping, so an empty piece vanishes exactly):
+    //  - EXCLUDE CURRENT ROW over a ROWS frame splits at the row
+    //    (sweep-25b);
+    //  - EXCLUDE GROUP/TIES (r16) splits at the current PEER GROUP,
+    //    which needs group-number addressing: rewriteGroupsOffsets
+    //    restructured the window to RANGE over a dense_rank __grp
+    //    column (needsGroupSpaceSplit), where ±1 is exactly one
+    //    group — pieces are [start, 1 PRECEDING] and [1 FOLLOWING,
+    //    end], with the current row's own value re-included for TIES.
+    //  Remaining unsupported shape: EXCLUDE CURRENT ROW over a
+    //  RANGE/GROUPS frame (the excluded row sits inside a peer run
+    //  neither split can isolate) — 0A000.
     if (fn == "min" || fn == "max") {
-      if (kind != "CURRENT" || !ts(fi.f).isWord("ROWS"))
+      val rowsKw = ts(fi.f).isWord("ROWS")
+      val grpOrdered = orderIdx >= 0 && {
+        val by = nextIdx(ts, orderIdx)
+        val keyToks = ts.slice(if (by >= 0) by + 1 else orderIdx + 1, fi.f)
+          .filter(_.kind != Ws)
+        keyToks.length == 1 && keyToks.head.kind == Word &&
+          keyToks.head.text.startsWith("__grp")
+      }
+      val splitAtGroup = (kind == "GROUP" || kind == "TIES") &&
+        rangeKw && grpOrdered
+      if (!((kind == "CURRENT" && rowsKw) || splitAtGroup))
         throw PgException("0A000",
           s"$fn with EXCLUDE $kind on this frame is not supported " +
-          "(only ROWS … EXCLUDE CURRENT ROW splits exactly)")
+          "(ROWS … EXCLUDE CURRENT ROW and RANGE/GROUPS … EXCLUDE " +
+          "GROUP/TIES split exactly)")
       // frame bound token spans
       val b1 = nextIdx(ts, fi.f)
       val (b1Toks, b2Toks) =
@@ -2006,24 +2080,29 @@ object Compat {
             Vector(Tok(Word, "CURRENT ROW")))
         }
       val specPrefix = ts.slice(open + 1, fi.f).toVector
+      val frameKw = if (rowsKw) " ROWS BETWEEN " else " RANGE BETWEEN "
       def piece(lo: Vector[Tok], hi: Vector[Tok]): Unit = {
-        val spec = specPrefix ++ (Tok(Word, " ROWS BETWEEN ") +: lo) ++
+        val spec = specPrefix ++ (Tok(Word, frameKw) +: lo) ++
           (Tok(Word, " AND ") +: hi)
         winOver(fn, spec)
       }
       val hasLeft = fi.startKind != "CR"
       val hasRight = fi.endKind != "CR"
       val cmp = if (fn == "min") "least" else "greatest"
-      if (hasLeft && hasRight) {
-        w(s"$cmp(")
-        piece(b1Toks, Vector(Tok(Word, "1 PRECEDING"))); w(", ")
-        piece(Vector(Tok(Word, "1 FOLLOWING")), b2Toks); w(")")
-      } else if (hasLeft) piece(b1Toks, Vector(Tok(Word, "1 PRECEDING")))
-      else if (hasRight) piece(Vector(Tok(Word, "1 FOLLOWING")), b2Toks)
-      else {
-        // ROWS CURRENT ROW..CURRENT ROW minus the current row: empty
-        // frame, NULL of the argument's type
+      val parts = ArrayBuffer.empty[() => Unit]
+      if (hasLeft) parts += (() => piece(b1Toks, Vector(Tok(Word, "1 PRECEDING"))))
+      if (hasRight) parts += (() => piece(Vector(Tok(Word, "1 FOLLOWING")), b2Toks))
+      if (kind == "TIES")
+        parts += (() => { w("("); repl ++= args; w(")") })
+      if (parts.isEmpty) {
+        // the frame minus the exclusion is provably empty: NULL of
+        // the argument's type
         w("(CASE WHEN 1 = 0 THEN "); winOver(fn, specFull); w(" END)")
+      } else if (parts.length == 1) parts.head()
+      else {
+        w(s"$cmp(")
+        parts.head(); parts.tail.foreach { p => w(", "); p() }
+        w(")")
       }
       ts.remove(fnIdx, close - fnIdx + 1)
       ts.insertAll(fnIdx, repl)

@@ -1693,7 +1693,10 @@ class PgParitySpec extends SparkSpec {
         .collectFirst { case p: graft.pgwire.PgException => p.code }
         .getOrElse("?")
     }
-    assert(errOf("min(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)") === "0A000")
+    // r16: min/max EXCLUDE GROUP now splits in group space (sweep-25c)
+    // — live value replaces the old 0A000 pin
+    assert(one(wf("min(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)"))
+      === "N,10,10,10,10,10,10")
     assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)") === "0A000")
     assert(errOf("sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)") === "0A000")
   }
@@ -1723,6 +1726,44 @@ class PgParitySpec extends SparkSpec {
       // frame cannot contain the current row: EXCLUDE is pg's no-op
       ("max(x) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW)",
        "N,10,20,30,40,40,60"))
+    for ((expr, want) <- pinned)
+      assert(one(wf(expr)) === want, s"expr: $expr")
+  }
+
+  test("sweep-25c: min/max with EXCLUDE GROUP/TIES split in group space (live pg 15, r16)") {
+    // the r15 honest 0A000 gap, closed: min/max cannot subtract the
+    // excluded peer group, so the window restructures through the
+    // dense_rank group-number subquery (the GROUPS-offset machinery)
+    // and the frame SPLITS at ±1 group, composed with
+    // least()/greatest(); EXCLUDE TIES re-includes the current row's
+    // own value. 9 vectors over RANGE and GROUPS frames (incl.
+    // partitioned, offset-GROUPS, and empty-remainder shapes), all
+    // captured live 2026-08-16.
+    def wf(inner: String): String =
+      s"(SELECT string_agg(coalesce(s::text,'N'), ',' ORDER BY id) FROM " +
+      s"(SELECT id, $inner AS s FROM (VALUES (1,1,1,10),(2,1,2,20),(3,1,2,30)," +
+      s"(4,1,3,40),(5,1,3,NULL::int),(6,2,3,60),(7,2,5,70)) v(id,p,o,x)) q)"
+    val pinned: Seq[(String, String)] = Seq(
+      ("min(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP)",
+       "20,10,10,10,10,10,10"),
+      ("max(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES)",
+       "70,70,70,70,70,70,70"),
+      ("min(x) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+       "N,10,10,10,10,N,60"),
+      ("max(x) OVER (ORDER BY o RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE GROUP)",
+       "70,70,70,70,70,70,N"),
+      // remainder provably empty: typed NULL
+      ("min(x) OVER (ORDER BY o RANGE BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE GROUP)",
+       "N,N,N,N,N,N,N"),
+      // TIES over the bare peer group: just the row's own value
+      ("min(x) OVER (ORDER BY o RANGE BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE TIES)",
+       "10,20,30,40,N,60,70"),
+      ("min(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)",
+       "20,10,10,20,20,20,40"),
+      ("max(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)",
+       "10,20,30,40,30,60,70"),
+      ("max(x) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)",
+       "30,60,60,70,70,70,60"))
     for ((expr, want) <- pinned)
       assert(one(wf(expr)) === want, s"expr: $expr")
   }
