@@ -24,6 +24,104 @@ object TextAnalysisOps extends Serializable {
   def countOccurrences(text: Column, pat: String): Column =
     ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
 
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** CCNet-style line-level boilerplate removal (Wenzek et al. 2020:
+    * dedup at the PARAGRAPH/line level strips navigation chrome,
+    * cookie banners and copyright footers that survive document-level
+    * dedup): a trimmed non-empty line whose hash appears in at least
+    * `minDocs` DISTINCT documents is boilerplate; per document the
+    * operator reports line counts and the text REBUILT without the
+    * boilerplate lines (original spelling, original order, remaining
+    * lines re-joined with newline).
+    *
+    * Scale shape: the census pass explodes lines but shuffles only
+    * (md5, doc_id) pairs with map-side partial distinct — text never
+    * shuffles. The boilerplate key set is then INDEX STATE behind the
+    * q69-style bounded gate, memoized per corpus through [[PlanMemo]]:
+    * under `maxBroadcast` keys it broadcasts and the rebuild is ONE
+    * zero-shuffle typed map over the scan; above the bound the
+    * rebuild falls back to the line-key semi-join + per-doc regroup
+    * (two shuffles, still never all-pairs). Fraction is
+    * floor-quantized to micro-units from exact counts (boiler lines /
+    * non-empty lines).
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, maxBroadcast: Int = 2000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = graft.Q.hashFanout(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__txt")), "__txt")
+    def cand = base
+      .select(col("doc_id"), explode(split(col("__txt"), "\n", -1)).as("line"))
+      .select(col("doc_id"), trim(col("line")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), md5(col("t")).as("k"))
+      .distinct()
+      .groupBy("k").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val keys: Option[Set[String]] = PlanMemo.getOrCompute[Option[Set[String]]](
+      ("boiler", PlanMemo.dataKey(docs), textCol, minDocs, maxBroadcast)) {
+      val sample = cand.select("k").limit(maxBroadcast + 1)
+        .collect().map(_.getString(0))
+      if (sample.length > maxBroadcast) None else Some(sample.toSet)
+    }
+    keys match {
+      case Some(ks) =>
+        val bks = spark.sparkContext.broadcast(ks)
+        base.as[(Long, String)].mapPartitions { it =>
+          val s = bks.value
+          it.map { case (id, text) =>
+            val ls = text.split("\n", -1)
+            var nl = 0L
+            var nb = 0L
+            val kept = new scala.collection.mutable.ArrayBuffer[String](ls.length)
+            ls.foreach { l =>
+              val t = l.trim
+              if (t.nonEmpty) {
+                nl += 1
+                if (s.contains(md5hex(t))) nb += 1 else kept += l
+              } else kept += l
+            }
+            val frac =
+              if (nl == 0L) 0L
+              else math.floor(nb.toDouble / nl.toDouble * 1000000.0).toLong
+            (id, nl, nb, kept.mkString("\n"), frac)
+          }
+        }.toDF("doc_id", "n_lines", "n_boiler", "clean_text", "boiler_frac_u")
+      case None =>
+        // corpus-scale boilerplate vocabulary: line-key semi-join +
+        // per-doc regroup — the text pays two shuffles, never a
+        // driver materialization
+        val pos = base.select(col("doc_id"),
+          posexplode(split(col("__txt"), "\n", -1)).as(Seq("ord", "line")))
+        val flagged = pos
+          .withColumn("k", when(trim(col("line")) =!= "", md5(trim(col("line")))))
+          .join(cand.select(col("k"), lit(true).as("__b")), Seq("k"), "left_outer")
+          .withColumn("is_b", coalesce(col("__b"), lit(false)))
+        flagged.groupBy("doc_id").agg(
+          sum(when(trim(col("line")) =!= "", 1L).otherwise(0L)).as("n_lines"),
+          sum(when(col("is_b"), 1L).otherwise(0L)).as("n_boiler"),
+          array_join(transform(
+            array_sort(collect_list(when(!col("is_b"),
+              struct(col("ord"), col("line"))))),
+            x => x.getField("line")), "\n").as("clean_text"),
+          when(sum(when(trim(col("line")) =!= "", 1L).otherwise(0L)) === 0L, 0L)
+            .otherwise(floor(
+              sum(when(col("is_b"), 1L).otherwise(0L)).cast("double") /
+                sum(when(trim(col("line")) =!= "", 1L).otherwise(0L))
+                  .cast("double") * 1000000.0).cast("long"))
+            .as("boiler_frac_u"))
+    }
+  }
+
   /** Stopword-marker language scores (the marker sets live with the
     * native expression — [[graft.functions.TextExpressions]]).
     */
@@ -248,6 +346,65 @@ object TextAnalysisOps extends Serializable {
       .toDF("doc_id", "n_replacement", "n_control", "n_mojibake", "clean")
   }
 
+  /** Per-document Unicode SCRIPT profile — the multilingual-pipeline
+    * routing signal (fastText-class language ID degrades on
+    * mixed-script spam; a script histogram catches it upstream):
+    * codepoint counts per script family (alphabetical: arabic, cjk,
+    * cyrillic, greek, hangul, latin — fixed public ranges), digit
+    * count, total codepoints, the DOMINANT script (argmax, ties and
+    * the all-zero case resolve alphabetically-first / 'none'), and
+    * `n_scripts` (families present). Exact integer counts over fixed
+    * ranges → oracle-trivial; one typed map over the scan, zero
+    * shuffle, 100 TB-indifferent.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Q.hashFanout(
+        docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit(""))),
+        idCol)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          // alphabetical family order = tie-break order
+          val counts = new Array[Long](6)
+          var digits = 0L
+          var total = 0L
+          var i = 0
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            total += 1
+            if (cp >= '0' && cp <= '9') digits += 1
+            else if ((cp >= 0x0600 && cp <= 0x06FF)) counts(0) += 1 // arabic
+            else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
+              (cp >= 0x3040 && cp <= 0x30FF)) counts(1) += 1 // cjk (han+kana)
+            else if (cp >= 0x0400 && cp <= 0x04FF) counts(2) += 1 // cyrillic
+            else if (cp >= 0x0370 && cp <= 0x03FF) counts(3) += 1 // greek
+            else if (cp >= 0xAC00 && cp <= 0xD7AF) counts(4) += 1 // hangul
+            else if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+              (cp >= 0x00C0 && cp <= 0x024F)) counts(5) += 1 // latin
+            i += Character.charCount(cp)
+          }
+          val names = Array("arabic", "cjk", "cyrillic", "greek", "hangul",
+            "latin")
+          var best = -1
+          var bi = 0
+          while (bi < 6) {
+            if (counts(bi) > 0L && (best < 0 || counts(bi) > counts(best)))
+              best = bi
+            bi += 1
+          }
+          val dominant = if (best < 0) "none" else names(best)
+          val nScripts = counts.count(_ > 0L).toLong
+          (id, counts(0), counts(1), counts(2), counts(3), counts(4),
+            counts(5), digits, total, dominant, nScripts)
+        }
+      }
+      .toDF("doc_id", "n_arabic", "n_cjk", "n_cyrillic", "n_greek",
+        "n_hangul", "n_latin", "n_digit", "n_total", "dominant", "n_scripts")
+  }
+
   /** Gopher-style quality rule composite (Rae et al. 2021 §A1.1.1,
     * public rule set; Dolma ships the same family): per document,
     * the classic hard filters — word-count bounds, mean-word-length
@@ -362,6 +519,52 @@ object TextAnalysisOps extends Serializable {
       out
     }
     rows.toDF("bigram", "cxy", "pmi_u")
+  }
+
+  /** Zipf rank-frequency slope per source — the classic corpus-health
+    * diagnostic (natural language tracks alpha ≈ 1; template/spam
+    * farms and synthetic data bend the curve): least-squares fit of
+    * ln(freq) against ln(rank) over each source's top-`k` terms,
+    * reported as positive `alpha_u` (micro-units).
+    *
+    * Cross-engine determinism: per-term contributions quantize to
+    * integer micro-nats BEFORE any sum (the q130 convention), all
+    * five least-squares sums are exact long arithmetic, and only the
+    * final slope division runs in double — identical operands, so
+    * identical IEEE result. Long-exactness bound: with k=200 the
+    * largest product n·Σxy stays under 2^63 for any corpus below
+    * ~e^43 ≈ 5·10^18 tokens.
+    *
+    * Scale shape: one tokenizer explode with map-side partial
+    * aggregation into (source, term) counts, a per-source top-k
+    * window over the vocabulary-sized frame, then a source-dimension
+    * roll-up. Sources with fewer than 2 distinct terms are dropped
+    * (the fit is undefined).
+    */
+  def zipfAlpha(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int = 200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("t"))
+    graft.Q.hashFanout(
+        docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
+      .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .select(col("source"),
+        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)").as("xq"),
+        expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)").as("yq"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .filter(col("n_terms") >= 2)
+      .select(col("source"), col("n_terms"),
+        expr("CAST(floor(-(CAST(n_terms * sxy - sx * sy AS DOUBLE) / " +
+          "CAST(n_terms * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          .as("alpha_u"))
   }
 
   /** Per-source unigram KL divergence vs the whole corpus — the

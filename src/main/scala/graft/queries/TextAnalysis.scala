@@ -568,6 +568,170 @@ object TextAnalysis {
         "shard", "pos")
     },
 
+    // --- CCNet-style line-level boilerplate removal: banner/footer
+    //     lines seeded deterministically from doc_id (the q143
+    //     convention — the synthetic corpus has no newlines of its
+    //     own); lines shared by >= 3 docs strip from the rebuilt text
+    Q.df("q146_boilerplate_lines",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN chr(10) || 'Copyright 2024 Example Corp. All rights reserved.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN chr(10) || '  Privacy Policy | Terms of Service  '
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN chr(10) || 'Rare footer ' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END AS text
+        |  FROM documents
+        |),
+        |seeded2 AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM seeded
+        |),
+        |l AS (
+        |  SELECT doc_id, unnest(ls) AS line,
+        |    unnest(range(1, len(ls) + 1)) AS ord
+        |  FROM seeded2
+        |),
+        |b AS (
+        |  SELECT t AS bt
+        |  FROM (SELECT DISTINCT doc_id, trim(line) AS t FROM l
+        |        WHERE trim(line) <> '')
+        |  GROUP BY 1 HAVING count(*) >= 3
+        |),
+        |flag AS (
+        |  SELECT doc_id, line, ord,
+        |    (trim(line) <> '' AND trim(line) IN (SELECT bt FROM b)) AS is_b
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE trim(line) <> '') AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_boiler,
+        |  coalesce(string_agg(line, chr(10) ORDER BY ord)
+        |    FILTER (WHERE NOT is_b), '') AS clean_text,
+        |  CASE WHEN count(*) FILTER (WHERE trim(line) <> '') = 0 THEN 0
+        |    ELSE CAST(floor(CAST(count(*) FILTER (WHERE is_b) AS DOUBLE) /
+        |      CAST(count(*) FILTER (WHERE trim(line) <> '') AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) END AS boiler_frac_u
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nl = "\n"
+      val seeded = Tables.t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            s"SUBSCRIBE TO OUR NEWSLETTER$nl").otherwise(""),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            s"${nl}Copyright 2024 Example Corp. All rights reserved.")
+            .otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            s"$nl  Privacy Policy | Terms of Service  ").otherwise(""),
+          when(col("doc_id") % 6 === 0, nl).otherwise(""),
+          when(col("doc_id") % 97 === 0,
+            concat(lit(s"${nl}Rare footer "),
+              col("doc_id").cast("string"))).otherwise(""))
+          .as("text"))
+      Q.oracleOrder(
+        TextAnalysisOps.boilerplateLines(seeded, "doc_id", "text", minDocs = 3),
+        "doc_id")
+    },
+
+    // --- per-document Unicode script profile (multilingual routing /
+    //     mixed-script spam signal): non-latin runs seeded from
+    //     doc_id (q143 convention — the synthetic corpus is latin)
+    Q.df("q147_script_profile",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 29 = 0 THEN 'Пример текста для профиля'
+        |    ELSE text ||
+        |      CASE WHEN doc_id % 7 = 0 THEN ' Привет мир' ELSE '' END ||
+        |      CASE WHEN doc_id % 11 = 0 THEN ' 你好世界です' ELSE '' END ||
+        |      CASE WHEN doc_id % 13 = 0 THEN ' مرحبا بالعالم' ELSE '' END ||
+        |      CASE WHEN doc_id % 17 = 0 THEN ' γειά σου κόσμε' ELSE '' END ||
+        |      CASE WHEN doc_id % 19 = 0 THEN ' 안녕하세요 세계' ELSE '' END ||
+        |      CASE WHEN doc_id % 23 = 0 THEN ' 0123456789' ELSE '' END
+        |    END AS text
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) AS BIGINT) AS n_hangul,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) AS BIGINT) AS n_total
+        |  FROM seeded
+        |)
+        |SELECT doc_id, n_arabic, n_cjk, n_cyrillic, n_greek, n_hangul,
+        |  n_latin, n_digit, n_total,
+        |  CASE WHEN GREATEST(n_arabic, n_cjk, n_cyrillic, n_greek, n_hangul,
+        |      n_latin) = 0 THEN 'none'
+        |    WHEN n_arabic = GREATEST(n_arabic, n_cjk, n_cyrillic, n_greek,
+        |      n_hangul, n_latin) THEN 'arabic'
+        |    WHEN n_cjk = GREATEST(n_cjk, n_cyrillic, n_greek, n_hangul,
+        |      n_latin) THEN 'cjk'
+        |    WHEN n_cyrillic = GREATEST(n_cyrillic, n_greek, n_hangul,
+        |      n_latin) THEN 'cyrillic'
+        |    WHEN n_greek = GREATEST(n_greek, n_hangul, n_latin) THEN 'greek'
+        |    WHEN n_hangul = GREATEST(n_hangul, n_latin) THEN 'hangul'
+        |    ELSE 'latin' END AS dominant,
+        |  CAST((n_arabic > 0)::int + (n_cjk > 0)::int + (n_cyrillic > 0)::int
+        |    + (n_greek > 0)::int + (n_hangul > 0)::int + (n_latin > 0)::int
+        |    AS BIGINT) AS n_scripts
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val seeded = Tables.t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 29 === 0, "Пример текста для профиля")
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 7 === 0, " Привет мир").otherwise(""),
+            when(col("doc_id") % 11 === 0, " 你好世界です").otherwise(""),
+            when(col("doc_id") % 13 === 0, " مرحبا بالعالم").otherwise(""),
+            when(col("doc_id") % 17 === 0, " γειά σου κόσμε").otherwise(""),
+            when(col("doc_id") % 19 === 0, " 안녕하세요 세계").otherwise(""),
+            when(col("doc_id") % 23 === 0, " 0123456789").otherwise("")))
+          .as("text"))
+      Q.oracleOrder(
+        TextAnalysisOps.scriptProfile(seeded, "doc_id", "text"),
+        "doc_id")
+    },
+
+    // --- Zipf rank-frequency slope per source (corpus-health
+    //     diagnostic): least squares over the top-200 terms,
+    //     micro-nat-quantized contributions, exact long sums
+    Q.df("q148_zipf_alpha",
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |),
+        |tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks WHERE t <> '' GROUP BY 1, 2),
+        |rk AS (SELECT source, c, row_number() OVER
+        |         (PARTITION BY source ORDER BY c DESC, t) AS r FROM tf),
+        |q AS (SELECT source,
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+        |  FROM rk WHERE r <= 200),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |    sum(xq) AS sx, sum(yq) AS sy, sum(xq * yq) AS sxy,
+        |    sum(xq * xq) AS sxx
+        |  FROM q GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT source, n_terms,
+        |  CAST(floor(-(CAST(n_terms * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n_terms * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS alpha_u
+        |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        TextAnalysisOps.zipfAlpha(Tables.t(s, dir, "documents"),
+          "source", "text", k = 200),
+        "source")
+    },
+
     // --- pairwise source vocabulary overlap (shard-redundancy
     //     detection): Jaccard of distinct-term sets per source pair,
     //     micro-unit quantized from exact counts

@@ -402,6 +402,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._6 === false && got(4L)._3 === 0L)  // no alpha words
   }
 
+  test("boilerplateLines: shared lines strip, order/spelling kept, both paths agree") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one\nSHARED BANNER\nbody 1"),
+      (2L, "SHARED BANNER\n\n  beta two  "),
+      (3L, "gamma\nSHARED BANNER \nRARE"), // trailing space trims to the banner
+      (4L, "delta\nRARE"), // RARE in only 2 docs -> kept
+      (5L, "")).toDF("doc_id", "text")
+    val small = graft.operators.TextAnalysisOps
+      .boilerplateLines(docs, "doc_id", "text")
+    val big = graft.operators.TextAnalysisOps
+      .boilerplateLines(docs, "doc_id", "text", maxBroadcast = 0)
+    for ((df, label) <- Seq((small, "broadcast"), (big, "join"))) {
+      val m = df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+      assert(m(1L) === ((3L, 1L, "alpha one\nbody 1", 333333L)), label)
+      assert(m(2L) === ((2L, 1L, "\n  beta two  ", 500000L)), label)
+      assert(m(3L) === ((3L, 1L, "gamma\nRARE", 333333L)), label)
+      assert(m(4L) === ((2L, 0L, "delta\nRARE", 0L)), label)
+      assert(m(5L) === ((0L, 0L, "", 0L)), label)
+    }
+  }
+
+  test("scriptProfile: hand-computed counts, alphabetical tie-break, none case") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello Мир 你好 123"),
+      (2L, ""),
+      (3L, "ΑΒΓ αβγ"),
+      (4L, "한글 텍스트"),
+      (5L, "abc абв") // latin 3 vs cyrillic 3: alphabetical tie-break
+    ).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysisOps
+      .scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = m(id)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getString(9), r.getLong(10))
+    }
+    assert(row(1L) === ((0L, 2L, 3L, 0L, 0L, 5L, 3L, 16L, "latin", 3L)))
+    assert(row(2L) === ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "none", 0L)))
+    assert(row(3L) === ((0L, 0L, 0L, 6L, 0L, 0L, 0L, 7L, "greek", 1L)))
+    assert(row(4L) === ((0L, 0L, 0L, 0L, 5L, 0L, 0L, 6L, "hangul", 1L)))
+    assert(row(5L) === ((0L, 0L, 3L, 0L, 0L, 3L, 0L, 7L, "cyrillic", 2L)))
+  }
+
+  test("zipfAlpha: ideal Zipf fits alpha ~ 1, degenerate sources drop") {
+    import spark.implicits._
+    // source a: freqs 12/6/4 = 12 * r^-1 — exact Zipf, slope -1
+    val words = Seq.fill(12)("x") ++ Seq.fill(6)("y") ++ Seq.fill(4)("z")
+    val docs = Seq(
+      ("a", words.mkString(" ")),
+      ("b", "lonely") // one distinct term: fit undefined, dropped
+    ).toDF("source", "text")
+    val rows = graft.operators.TextAnalysisOps
+      .zipfAlpha(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq("a"))
+    val (_, n, alphaU) = rows.head
+    assert(n === 3L)
+    // micro-quantization of the ln contributions perturbs the exact
+    // -1 slope by < 1e-2
+    assert(alphaU >= 990000L && alphaU <= 1010000L, alphaU.toString)
+  }
+
   test("pmiBigrams: hand-computed PMI, min-count floor, tie order") {
     // 6 docs of "p q r s": bigrams pq/qr/rs x6 each, unigrams x6 each
     // NU = 24, NB = 18 -> identical PMI for all three pairs
