@@ -147,10 +147,28 @@ class PgSequenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(c.query("SELECT id, name FROM seq_lit ORDER BY id").rows.map(_.map(_.get)) ===
       Seq(Seq("4", "a"), Seq("5", "b"), Seq("6", "c")))
     assert(one(c, "SELECT nextval('seq_lit_id_seq')") === Seq("7"))
-    // INSERT ... SELECT keeps the UDF fill (documented)
+    // INSERT ... SELECT: r16 count+reserve two-pass — the fill is
+    // window arithmetic over a driver-reserved block, never the
+    // pg_nextval UDF (sweep-36d pins the values vs live pg)
     val canon3 = graft.pgwire.Handlers.canonicalizeInsert(spark,
       "INSERT INTO seq_lit (name) SELECT 'q'", connId = 0)
-    assert(canon3.contains("pg_nextval"), canon3)
+    assert(!canon3.contains("pg_nextval"), canon3)
+    assert(canon3.contains("row_number() OVER"), canon3)
+    // the probe reserved value 8; the wire path continues from 9
+    c.query("INSERT INTO seq_lit (name) SELECT 'r'")
+    assert(c.query("SELECT id, name FROM seq_lit WHERE name = 'r'")
+      .rows.map(_.map(_.get)) === Seq(Seq("9", "r")))
+    // a plain nextval-DEFAULT column (not a serial) keeps the per-row
+    // UDF fill — only pg.serial columns take the block reservation
+    c.query("DROP SEQUENCE IF EXISTS cyc_s")
+    c.query("CREATE SEQUENCE cyc_s MAXVALUE 1000 CYCLE")
+    c.query("DROP TABLE IF EXISTS seq_cyc")
+    c.query("CREATE TABLE seq_cyc (id int DEFAULT nextval('cyc_s'), v text)")
+    val canon4 = graft.pgwire.Handlers.canonicalizeInsert(spark,
+      "INSERT INTO seq_cyc (v) SELECT 'q'", connId = 0)
+    assert(canon4.contains("pg_nextval"), canon4)
+    c.query("DROP TABLE IF EXISTS seq_cyc")
+    c.query("DROP SEQUENCE IF EXISTS cyc_s")
     c.query("DROP TABLE seq_lit")
     c.close()
   }
