@@ -1995,21 +1995,36 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
         throw PgException("42P01", s"""relation "$t" does not exist""") }
     }
     // pg refuses to truncate a referenced parent unless every
-    // referencing table truncates in the same statement (0A000)
-    val inList = tables.map(_.toLowerCase).toSet
-    schemas.foreach { case (t, _) =>
+    // referencing table truncates in the same statement; CASCADE
+    // (r16) instead pulls the referencing tables in TRANSITIVELY,
+    // exactly pg's behavior
+    val allTables = scala.collection.mutable.LinkedHashMap(
+      tables.map(t => t.toLowerCase -> t): _*)
+    if (cascadeReq) {
+      var frontier = tables
+      while (frontier.nonEmpty) {
+        val next = frontier
+          .flatMap(t => referencingFks(spark, t).map(_._1))
+          .filterNot(c => allTables.contains(c.toLowerCase))
+          .distinct
+        next.foreach(c => allTables.put(c.toLowerCase, c))
+        frontier = next
+      }
+    } else schemas.foreach { case (t, _) =>
       referencingFks(spark, t).foreach { case (childT, _, _, _) =>
-        if (!inList.contains(childT.toLowerCase))
+        if (!allTables.contains(childT.toLowerCase))
           throw PgException("0A000",
-            if (cascadeReq)
-              "TRUNCATE ... CASCADE over foreign key references is not supported"
-            else
-              s"""cannot truncate a table referenced in a foreign key constraint
+            s"""cannot truncate a table referenced in a foreign key constraint
 DETAIL:  Table "$childT" references "$t".
 HINT:  Truncate table "$childT" at the same time, or use TRUNCATE ... CASCADE.""")
       }
     }
-    schemas.foreach { case (t, schema) =>
+    val allSchemas = allTables.values.toSeq.map { t =>
+      try (t, spark.table(t).schema)
+      catch { case scala.util.control.NonFatal(_) =>
+        throw PgException("42P01", s"""relation "$t" does not exist""") }
+    }
+    allSchemas.foreach { case (t, schema) =>
       runSql(spark, s"TRUNCATE TABLE ${qid(t)}").collect()
       if (restart) schema.fields.filter(_.metadata.contains("pg.serial"))
         .foreach(f => PgSequences.restart(f.metadata.getString("pg.serial"), None))
@@ -3025,6 +3040,7 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
       // pg drops a serial column's owned sequence with its table
       val tableNames = "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(.+?);?\\s*$".r
         .findFirstMatchIn(sql).map(_.group(1)).toSeq
+        .map("(?is)\\b(CASCADE|RESTRICT)\\s*$".r.replaceFirstIn(_, ""))
         .flatMap(_.split(",")).map(_.trim)
         .filterNot(t => t.isEmpty || t.equalsIgnoreCase("CASCADE") ||
           t.equalsIgnoreCase("RESTRICT"))
@@ -3035,8 +3051,13 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
           .map(_.metadata.getString("pg.serial"))
         catch { case scala.util.control.NonFatal(_) => Nil }
       }
-      // pg refuses to drop a table other tables' FKs depend on (2BP01)
-      // unless the dependents drop in the same statement
+      // pg refuses to drop a table other tables' FKs depend on
+      // (2BP01) unless the dependents drop in the same statement —
+      // or CASCADE (r16), which drops the dependent CONSTRAINTS (not
+      // the child tables: pg's cascade stops at the constraint)
+      // through the ordinary ALTER DROP CONSTRAINT path, so child
+      // metadata rewrites and the registries stay consistent
+      val cascadeDrop = "(?is)\\bCASCADE\\b".r.findFirstIn(sql).isDefined
       val dropSet = tableNames
         .map(t0 => unq(t0).split("\\.").last.toLowerCase).toSet
       tableNames.foreach { t0 =>
@@ -3044,17 +3065,25 @@ HINT:  You might need to specify "USING ${f.name}::${pgTypeDisplay(tySpelling)}"
         if (scala.util.Try(spark.table(t)).isSuccess)
           referencingFks(spark, t).foreach { case (childT, _, fk, _) =>
             if (!dropSet.contains(childT.toLowerCase) &&
-                !childT.equalsIgnoreCase(t))
-              throw PgException("2BP01",
-                s"""cannot drop table $t because other objects depend on it
+                !childT.equalsIgnoreCase(t)) {
+              if (cascadeDrop)
+                execute(spark, session,
+                  s"ALTER TABLE ${qid(childT)} DROP CONSTRAINT ${qid(fk.name)}")
+              else
+                throw PgException("2BP01",
+                  s"""cannot drop table $t because other objects depend on it
 DETAIL:  constraint ${fk.name} on table $childT depends on table $t
 HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
+            }
           }
       }
-      // pg accepts a comma list; Spark's parser is single-table —
-      // re-issue per table (existence already validated above for the
-      // non-IF-EXISTS case by Spark's own first-drop error)
-      if (tableNames.length > 1) {
+      // pg accepts a comma list and CASCADE/RESTRICT tails; Spark's
+      // parser is single-table with no tail — re-issue per table
+      // (existence already validated above for the non-IF-EXISTS
+      // case by Spark's own first-drop error)
+      val hasTail =
+        "(?is)\\b(CASCADE|RESTRICT)\\b".r.findFirstIn(sql).isDefined
+      if (tableNames.length > 1 || hasTail) {
         val ifEx =
           if ("(?is)\\bIF\\s+EXISTS\\b".r.findFirstIn(sql).isDefined) "IF EXISTS "
           else ""

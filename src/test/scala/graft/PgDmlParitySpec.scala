@@ -163,6 +163,14 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script7.sql", "/dml/live7.txt")
   }
 
+  test("sweep-41b: TRUNCATE/DROP ... CASCADE over FK references matches live pg") {
+    // TRUNCATE CASCADE pulls referencing tables in transitively;
+    // DROP TABLE CASCADE drops the dependent CONSTRAINT and stops
+    // (child data survives, later inserts are unconstrained);
+    // RESTRICT tail accepted on an undepended table
+    replay("/dml/script9.sql", "/dml/live9.txt")
+  }
+
   test("sweep-40: sub-SELECT row assignment and correlated SET match live pg") {
     // `SET (a, b) = (SELECT …)` decomposed into per-column scalar
     // subqueries (no row → NULLs), correlated references against the
