@@ -163,6 +163,16 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script7.sql", "/dml/live7.txt")
   }
 
+  test("sweep-41c: randomized FK state machine matches live pg after every statement") {
+    // 130 seeded-random mutations over a parent + two FK children
+    // (one ON DELETE RESTRICT): inserts/updates/deletes/upserts with
+    // ~35% violation candidates — live pg raised 27× 23503 and
+    // 18× 23505 in this trace, interleaved with full state dumps
+    // every 9 statements; pins error-precedence (unique before FK,
+    // both row-ordered) as well as the surviving state
+    replay("/dml/script10.sql", "/dml/live10.txt")
+  }
+
   test("sweep-41b: TRUNCATE/DROP ... CASCADE over FK references matches live pg") {
     // TRUNCATE CASCADE pulls referencing tables in transitively;
     // DROP TABLE CASCADE drops the dependent CONSTRAINT and stops
