@@ -153,6 +153,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"blocklist must not plan a join:\n$p")
   }
 
+  test("q146: boilerplate rebuild (warm) is one typed map — no join, no data exchange") {
+    // cold pass computes the boilerplate key census (memoized as
+    // PlanMemo index state); the WARM plan — what a pipeline re-run
+    // pays — is the broadcast-set typed map over the scan
+    val first = SparkEntry.queries("q146_boilerplate_lines")(spark, dir)
+    first.collect() // prime the census memo
+    val p = finalPlanOnly(executedPlan("q146_boilerplate_lines"))
+    // the one allowed exchange is hashFanout's width repair of the
+    // single-split test scan (a no-op at production split counts)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"warm boilerplate rebuild must not shuffle beyond the width repair:\n$p")
+    assert(!p.contains("Join"), s"warm rebuild must not plan a join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"warm rebuild must not re-run the census aggregation:\n$p")
+  }
+
+  test("q147: script profile shuffles nothing beyond the width repair") {
+    val p = finalPlanOnly(executedPlan("q147_script_profile"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"script profiling must not shuffle beyond the width repair:\n$p")
+    assert(!p.contains("Join"), s"script profiling must not plan a join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"script profiling must not aggregate:\n$p")
+  }
+
+  test("q148: zipf fit aggregates with map-side partials before its exchanges") {
+    val p = executedPlan("q148_zipf_alpha")
+    // the (source, term) count must combine map-side — the exchange
+    // carries vocabulary-sized partials, never raw tokens
+    assert(p.contains("partial_count"),
+      s"term counts must combine map-side before the shuffle:\n$p")
+  }
+
   test("q87: domain profiling aggregates with a map-side partial phase") {
     val p = executedPlan("q87_url_domains")
     // two-phase agg: partial_count before the exchange on the domain key
