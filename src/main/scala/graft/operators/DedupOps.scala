@@ -420,17 +420,25 @@ object DedupOps {
     * cross-corpus pipelines (and mirrored verbatim by their DuckDB
     * oracles) so the encoding cannot silently diverge between paths.
     */
-  private def portableBandRecords(base: DataFrame, bands: Int,
-      maxBucket: Int): DataFrame = {
+  /** Uncapped (doc_id, band, band_hash) rows — pure map-side, so it
+    * also runs over a STREAMING frame (StreamOps.nearDupCandidates
+    * replaces the batch skew cap with keyed bucket state there). */
+  private[graft] def portableBandRecordsRaw(base: DataFrame,
+      bands: Int): DataFrame = {
     val M = 1000000007L
-    val rec = base.select(col("doc_id"),
+    base.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             (element_at(col("sig"), b * 2 + 1) * M +
               element_at(col("sig"), b * 2 + 2)).as("band_hash")))).as("r"))
-      .select(col("doc_id"), col("r.band").as("band"), col("r.band_hash").as("band_hash"))
-    capBuckets(rec, Seq("band", "band_hash"), maxBucket)
+      .select(col("doc_id"), col("r.band").as("band"),
+        col("r.band_hash").as("band_hash"))
   }
+
+  private def portableBandRecords(base: DataFrame, bands: Int,
+      maxBucket: Int): DataFrame =
+    capBuckets(portableBandRecordsRaw(base, bands),
+      Seq("band", "band_hash"), maxBucket)
 
   def portableMinhashPairsManaged(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 8, bands: Int = 4,

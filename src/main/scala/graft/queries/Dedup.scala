@@ -311,6 +311,54 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // streaming MinHash near-dup candidate feed (batch twin of
+    // StreamOps.nearDupCandidates — flatMapGroupsWithState runs the
+    // same code in batch mode, and the emitted set is
+    // batch-boundary-invariant by construction: every non-minimum
+    // doc of each band bucket)
+    Q.df("q149_stream_neardup_cands",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hv
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      p -> list_min(list_transform(hv, h -> ((2*p+1)*h + p) % 1000000007))) AS sg
+        |  FROM hs
+        |),
+        |bandrec AS (
+        |  SELECT doc_id, b,
+        |    sg[CAST(2*b+1 AS INT)] * 1000000007 + sg[CAST(2*b+2 AS INT)] AS bh
+        |  FROM sig, range(0, 4) t(b)
+        |),
+        |sel AS (
+        |  SELECT doc_id, b, bh, min(doc_id) OVER (PARTITION BY b, bh) AS mn
+        |  FROM bandrec
+        |)
+        |SELECT doc_id, CAST(b AS INT) AS band, bh AS band_hash
+        |FROM sel WHERE doc_id <> mn
+        |ORDER BY doc_id, band""".stripMargin) { (s, dir) =>
+      Q.oracleOrder(
+        graft.streaming.StreamOps.nearDupCandidates(
+          Tables.t(s, dir, "documents"), "doc_id", "text").toDF(),
+        "doc_id", "band")
+    },
+
     // portable 32-bit simhash + capped chunk peers, DuckDB-verified
     // (q43's xxhash64 path keeps the rows-only check + spec pinning)
     Q.df("q46_portable_simhash",

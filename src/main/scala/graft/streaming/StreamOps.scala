@@ -95,6 +95,58 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  // ---- streaming MinHash near-dup candidate feed -----------------------
+
+  final case class BandRec(doc_id: Long, band: Int, band_hash: Long)
+  final case class NearDupCand(doc_id: Long, band: Int, band_hash: Long)
+
+  /** Streaming MinHash near-dup CANDIDATE feed — the production
+    * "daily crawl vs accumulated index" shape as a continuous query:
+    * incoming documents hash to banded MinHash buckets map-side (the
+    * q45 portable signature — streams untouched, no shuffle before
+    * the keyed state), and per bucket the MINIMUM doc_id is the
+    * retained representative held in [[GroupState]]; every other
+    * document in the bucket emits one candidate row, INCLUDING a
+    * previously-retained representative the moment a smaller id
+    * displaces it. The emitted SET is therefore an arrival-order /
+    * batch-boundary INVARIANT: exactly {(d, band, hash) : d ≠
+    * min(bucket)} — which is what makes the operator batch-oracle
+    * verifiable (q149 runs the same code in batch mode) and re-run
+    * idempotent at the set level.
+    *
+    * Scale: state is ONE long per distinct non-empty bucket — the
+    * classic streaming-LSH footprint; a production deployment bounds
+    * it with a state TTL (timeout) at the cost of cross-epoch recall,
+    * exactly the batch skew cap's trade. Downstream verification
+    * (shingle Jaccard on candidate pairs) composes as a stream-static
+    * join against the retained index.
+    */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 8,
+      bands: Int = 4): Dataset[NearDupCand] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = graft.operators.DedupOps
+      .portableSignatureRows(docs, idCol, textCol, shingleWords, k)
+    graft.operators.DedupOps.portableBandRecordsRaw(base, bands)
+      .as[BandRec]
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState[Long, NearDupCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, hash), rows, state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toVector.distinct
+          val prior = state.getOption
+          val mn = (ids ++ prior).min
+          state.update(mn)
+          val emit = prior match {
+            case Some(p) if p == mn => ids.filter(_ != mn)
+            case Some(p) => (ids :+ p).distinct.filter(_ != mn)
+            case None => ids.filter(_ != mn)
+          }
+          emit.map(d => NearDupCand(d, band, hash)).iterator
+      }
+  }
+
   // ---- gap-based sessionization (flatMapGroupsWithState) ---------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -105,6 +105,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: bucket state keeps min doc, displaced rep emits, set is batch-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(batches: Seq[Seq[(Long, String)]]): Set[(Long, Int, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text")
+      val name = s"ndc_out_${batches.hashCode.abs}"
+      val q = StreamOps.nearDupCandidates(docs, "doc_id", "text")
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    // identical 3-shingle docs share every band; the unrelated doc
+    // shares none; the SMALLER id arriving LAST displaces the old rep
+    val d5 = (5L, "alpha beta gamma delta")
+    val d7 = (7L, "alpha beta gamma delta")
+    val d2 = (2L, "alpha beta gamma delta")
+    val dx = (9L, "wholly unrelated content here")
+    val oneBatch = run(Seq(Seq(d5, d7, d2, dx)))
+    val split = run(Seq(Seq(d5, dx), Seq(d7), Seq(d2)))
+    val reversed = run(Seq(Seq(d2), Seq(d7, dx), Seq(d5)))
+    // 4 bands × the two non-minimum ids of the shared buckets
+    assert(oneBatch.map(_._1) === Set(5L, 7L))
+    assert(oneBatch.size === 8)
+    assert(split === oneBatch, "batch boundaries changed the emitted set")
+    assert(reversed === oneBatch, "arrival order changed the emitted set")
+  }
+
   test("parquet file sink with checkpoint: the production write path") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
