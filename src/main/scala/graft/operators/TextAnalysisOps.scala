@@ -543,28 +543,38 @@ object TextAnalysisOps extends Serializable {
     */
   def zipfAlpha(docs: DataFrame, srcCol: String, textCol: String,
       k: Int = 200): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("c").desc, col("t"))
-    graft.Q.hashFanout(
-        docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
-      .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy("source", "t").agg(count(lit(1)).as("c"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= k)
-      .select(col("source"),
-        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)").as("xq"),
-        expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)").as("yq"))
-      .groupBy("source").agg(
-        count(lit(1)).as("n_terms"),
-        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
-        sum(col("xq") * col("yq")).as("sxy"),
-        sum(col("xq") * col("xq")).as("sxx"))
-      .filter(col("n_terms") >= 2)
-      .select(col("source"), col("n_terms"),
-        expr("CAST(floor(-(CAST(n_terms * sxy - sx * sy AS DOUBLE) / " +
-          "CAST(n_terms * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)")
-          .as("alpha_u"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the fit is a source-dimension table — index state, memoized per
+    // corpus fingerprint like the q140/q144 roll-ups
+    val rows = PlanMemo.getOrCompute[Seq[(String, Long, Long)]](
+      ("zipf", PlanMemo.dataKey(docs), srcCol, textCol, k)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c").desc, col("t"))
+      graft.Q.hashFanout(
+          docs.select(col(srcCol).as("source"), col(textCol).as("__txt")), "__txt")
+        .select(col("source"), explode(DedupOps.tokens(col("__txt"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= k)
+        .select(col("source"),
+          expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)").as("xq"),
+          expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)").as("yq"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"))
+        .filter(col("n_terms") >= 2)
+        .select(col("source"), col("n_terms"),
+          expr("CAST(floor(-(CAST(n_terms * sxy - sx * sy AS DOUBLE) / " +
+            "CAST(n_terms * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)")
+            .as("alpha_u"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    }
+    rows.toDF("source", "n_terms", "alpha_u")
   }
 
   /** Per-source unigram KL divergence vs the whole corpus — the
