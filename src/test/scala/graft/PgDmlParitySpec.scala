@@ -173,6 +173,15 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script10.sql", "/dml/live10.txt")
   }
 
+  test("sweep-41d: randomized FK UPDATE…FROM / DELETE…USING matches live pg") {
+    // 90 seeded-random joined-DML mutations against FK tables: child
+    // UPDATE…FROM driving the key from a join, parent DELETE…USING /
+    // UPDATE…FROM rewriting referenced keys — live pg raised 43×
+    // 23503 and 11× 23505 in this trace, state-dumped every 8
+    // statements (the dmlWithFrom FK gates sweep-41c doesn't reach)
+    replay("/dml/script11.sql", "/dml/live11.txt")
+  }
+
   test("sweep-41b: TRUNCATE/DROP ... CASCADE over FK references matches live pg") {
     // TRUNCATE CASCADE pulls referencing tables in transitively;
     // DROP TABLE CASCADE drops the dependent CONSTRAINT and stops
