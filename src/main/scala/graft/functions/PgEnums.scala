@@ -49,11 +49,40 @@ object PgEnums extends Serializable {
     val d = EnumDef(reg.oidCounter.incrementAndGet(), labels.toVector)
     if (reg.types.putIfAbsent(name.toLowerCase, d) != null)
       throw PgException("42710", s"""type "$name" already exists""")
+    graft.pgwire.PgMeta.saveEnums(spark)
     d
   }
 
-  def drop(spark: SparkSession, name: String): Boolean =
-    forSession(spark).types.remove(name.toLowerCase) != null
+  def drop(spark: SparkSession, name: String): Boolean = {
+    val had = forSession(spark).types.remove(name.toLowerCase) != null
+    if (had) graft.pgwire.PgMeta.saveEnums(spark)
+    had
+  }
+
+  /** Ordered (name → def) view of this session's registry — the
+    * PgMeta persistence snapshot. */
+  def snapshot(spark: SparkSession): Seq[(String, EnumDef)] = {
+    val r = registries.get(spark)
+    if (r == null) Nil
+    else {
+      val b = Seq.newBuilder[(String, EnumDef)]
+      r.types.forEach((k, v) => b += (k -> v))
+      b.result().sortBy(_._1)
+    }
+  }
+
+  /** Fresh-JVM reload from the PgMeta store: replaces this session's
+    * definitions and advances the OID counter past every restored OID
+    * so later CREATE TYPE never reuses one. */
+  def restore(spark: SparkSession, defs: Seq[(String, EnumDef)]): Unit = {
+    val reg = forSession(spark)
+    defs.foreach { case (n, d) =>
+      reg.types.put(n.toLowerCase, d)
+      var cur = reg.oidCounter.get()
+      while (d.oid > cur && !reg.oidCounter.compareAndSet(cur, d.oid))
+        cur = reg.oidCounter.get()
+    }
+  }
 
   def names(spark: SparkSession): Set[String] = {
     val r = registries.get(spark)

@@ -41,6 +41,17 @@ object Handlers {
 
   def execute(spark: SparkSession, session: Session, rawSql: String,
       auth: Option[AuthManager] = None, hooks: Seq[QueryHook] = Nil): PgResult = {
+    val r = executeInner(spark, session, rawSql, auth, hooks)
+    // warehouse-meta write-through: after a successful schema-shaping
+    // statement, snapshot the wire-table catalog (the registries
+    // persist themselves inside their own mutators)
+    PgMeta.afterStatement(spark,
+      rawSql.trim.takeWhile(!_.isWhitespace).toUpperCase)
+    r
+  }
+
+  private def executeInner(spark: SparkSession, session: Session, rawSql: String,
+      auth: Option[AuthManager], hooks: Seq[QueryHook]): PgResult = {
     val sql = rawSql.trim
     if (sql.isEmpty) return EmptyQuery
     val toks = Compat.tokenize(sql).filter(_.kind != Compat.Ws)
@@ -2098,7 +2109,7 @@ HINT:  Truncate table "$childT" at the same time, or use TRUNCATE ... CASCADE.""
     }
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY VIEW `${name.replace("`", "``")}` AS $finalSql")
-    PgViews.register(name, body)
+    PgViews.register(name, body, finalSql)
     PgCatalog.invalidate()
     Complete("CREATE VIEW")
   }

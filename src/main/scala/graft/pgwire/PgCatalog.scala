@@ -20,9 +20,33 @@ object Oids {
   private val counter = new AtomicInteger(FirstUserOid)
   private val cache = new ConcurrentHashMap[String, Integer]()
 
-  /** OID for a namespaced key ("rel:name", "db:name"), assigned once. */
-  def of(key: String): Int =
-    cache.computeIfAbsent(key, _ => Integer.valueOf(counter.getAndIncrement())).intValue()
+  /** OID for a namespaced key ("rel:name", "db:name"), assigned once.
+    * New assignments write through to the PgMeta store so a second
+    * JVM resolves the same object to the same OID (COMMENT ON and
+    * pg_description key on it). */
+  def of(key: String): Int = {
+    var fresh = false
+    val oid = cache.computeIfAbsent(key, _ => {
+      fresh = true; Integer.valueOf(counter.getAndIncrement())
+    }).intValue()
+    if (fresh && PgMeta.attached) PgMeta.saveOids(counter.get(), snapshot)
+    oid
+  }
+
+  /** All assignments, ordered by OID — the PgMeta persistence form. */
+  def snapshot: Seq[(String, Int)] = {
+    val b = Seq.newBuilder[(String, Int)]
+    cache.forEach((k, v) => b += (k -> v.intValue()))
+    b.result().sortBy(_._2)
+  }
+
+  /** Fresh-JVM reload from the PgMeta store. */
+  def restore(counterV: Int, entries: Seq[(String, Int)]): Unit = {
+    entries.foreach { case (k, o) => cache.put(k, Integer.valueOf(o)) }
+    var cur = counter.get()
+    while (counterV > cur && !counter.compareAndSet(cur, counterV))
+      cur = counter.get()
+  }
 
   /** Test hook: reset the assignment state (NOT used by the server). */
   private[pgwire] def reset(): Unit = { cache.clear(); counter.set(FirstUserOid) }

@@ -243,9 +243,22 @@ object PgIndexes {
   private val byName =
     new java.util.concurrent.ConcurrentHashMap[String, Idx]()
 
-  def register(i: Idx): Unit = byName.put(i.name, i)
+  def register(i: Idx): Unit = { byName.put(i.name, i); PgMeta.saveIndexes() }
   def lookup(name: String): Option[Idx] = Option(byName.get(name))
-  def drop(name: String): Option[Idx] = Option(byName.remove(name))
+  def drop(name: String): Option[Idx] = {
+    val r = Option(byName.remove(name))
+    if (r.isDefined) PgMeta.saveIndexes()
+    r
+  }
+  /** All indexes, ordered — the PgMeta persistence snapshot. */
+  def allIdx: Seq[Idx] = {
+    val out = Seq.newBuilder[Idx]
+    byName.forEach((_, i) => out += i)
+    out.result().sortBy(_.name)
+  }
+  /** Fresh-JVM reload from the PgMeta store. */
+  def restore(idxs: Seq[Idx]): Unit = idxs.foreach(i => byName.put(i.name, i))
+  private[graft] def reset(): Unit = byName.clear()
   def names: Seq[String] = {
     val out = Seq.newBuilder[String]
     byName.forEach((k, _) => out += k)
@@ -256,26 +269,34 @@ object PgIndexes {
     byName.forEach((_, i) => if (i.table.equalsIgnoreCase(table)) out += i)
     out.result().sortBy(_.name)
   }
-  def dropTable(table: String): Unit =
+  def dropTable(table: String): Unit = {
     forTable(table).foreach(i => byName.remove(i.name))
-  def renameTable(oldT: String, newT: String): Unit =
+    PgMeta.saveIndexes()
+  }
+  def renameTable(oldT: String, newT: String): Unit = {
     forTable(oldT).foreach(i => byName.put(i.name, i.copy(table = newT)))
+    PgMeta.saveIndexes()
+  }
   /** Indexes referencing a dropped column drop with it (pg's
     * dependency cascade) — word-level match over the key text. */
-  def dropColumn(table: String, col: String): Unit =
+  def dropColumn(table: String, col: String): Unit = {
     forTable(table).foreach { i =>
       if (("(?i)\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
         .findFirstIn(i.colsText).isDefined) byName.remove(i.name)
     }
+    PgMeta.saveIndexes()
+  }
   /** A renamed column renames inside index key text (pg rewrites the
     * stored definition the same way). */
-  def renameColumn(table: String, oldCol: String, newCol: String): Unit =
+  def renameColumn(table: String, oldCol: String, newCol: String): Unit = {
     forTable(table).foreach { i =>
       val re = ("(?i)\\b" + java.util.regex.Pattern.quote(oldCol) + "\\b").r
       if (re.findFirstIn(i.colsText).isDefined)
         byName.put(i.name, i.copy(colsText = re.replaceAllIn(i.colsText,
           scala.util.matching.Regex.quoteReplacement(newCol))))
     }
+    PgMeta.saveIndexes()
+  }
 }
 
 /** Views created over the wire. Spark refuses a PERMANENT view over a
@@ -301,17 +322,25 @@ object PgMatViews {
   def version: Long = versionCounter.get()
   def register(name: String, mv: MatView): Unit = {
     defs.put(name, mv); versionCounter.incrementAndGet()
+    PgMeta.saveMatViews()
   }
   def setPopulated(name: String): Unit = {
     val mv = defs.get(name)
     if (mv != null) { defs.put(name, mv.copy(populated = true))
-      versionCounter.incrementAndGet() }
+      versionCounter.incrementAndGet(); PgMeta.saveMatViews() }
   }
   def drop(name: String): Boolean = {
     val had = defs.remove(name) != null
-    if (had) versionCounter.incrementAndGet()
+    if (had) { versionCounter.incrementAndGet(); PgMeta.saveMatViews() }
     had
   }
+  /** Fresh-JVM reload from the PgMeta store (backing tables are
+    * restored separately from tables.tsv). */
+  def restore(mvs: Map[String, MatView]): Unit = {
+    mvs.foreach { case (n, mv) => defs.put(n, mv) }
+    if (mvs.nonEmpty) versionCounter.incrementAndGet()
+  }
+  private[graft] def reset(): Unit = { defs.clear(); versionCounter.incrementAndGet() }
   def lookup(name: String): Option[MatView] = Option(defs.get(name))
   def unpopulated: Set[String] = {
     val b = Set.newBuilder[String]
@@ -340,7 +369,14 @@ object PgComments {
       case None => defs.remove((objoid, subid))
     }
     versionCounter.incrementAndGet()
+    PgMeta.saveComments()
   }
+  /** Fresh-JVM reload from the PgMeta store. */
+  def restore(rows: Seq[(Int, Int, String)]): Unit = {
+    rows.foreach { case (o, s, t) => defs.put((o, s), t) }
+    if (rows.nonEmpty) versionCounter.incrementAndGet()
+  }
+  private[graft] def reset(): Unit = { defs.clear(); versionCounter.incrementAndGet() }
   def get(objoid: Int, subid: Int): Option[String] =
     Option(defs.get((objoid, subid)))
   def all: Seq[(Int, Int, String)] = {
@@ -351,22 +387,32 @@ object PgComments {
 }
 
 object PgViews {
+  /** `definition` is the pg-facing body (pg_views); `finalSql` is the
+    * Compat-rewritten Spark text the temp view was created with — a
+    * fresh JVM replays `CREATE OR REPLACE TEMPORARY VIEW … AS
+    * <finalSql>` to re-materialize the view (PgMeta restore path). */
+  final case class WireView(definition: String, finalSql: String)
   private val defs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, WireView]()
   private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
   def version: Long = versionCounter.get()
-  def register(name: String, definition: String): Unit = {
-    defs.put(name, definition); versionCounter.incrementAndGet()
+  def register(name: String, definition: String, finalSql: String = ""): Unit = {
+    defs.put(name, WireView(definition, finalSql))
+    versionCounter.incrementAndGet()
+    PgMeta.saveViews()
   }
   def drop(name: String): Boolean = {
     val had = defs.remove(name) != null
-    if (had) versionCounter.incrementAndGet()
+    if (had) { versionCounter.incrementAndGet(); PgMeta.saveViews() }
     had
   }
-  def lookup(name: String): Option[String] = Option(defs.get(name))
-  def all: Map[String, String] = {
-    val b = Map.newBuilder[String, String]
+  def lookup(name: String): Option[String] =
+    Option(defs.get(name)).map(_.definition)
+  def all: Map[String, String] = allFull.map { case (k, v) => k -> v.definition }
+  def allFull: Map[String, WireView] = {
+    val b = Map.newBuilder[String, WireView]
     defs.forEach((k, v) => b += (k -> v))
     b.result()
   }
+  private[graft] def reset(): Unit = { defs.clear(); versionCounter.incrementAndGet() }
 }

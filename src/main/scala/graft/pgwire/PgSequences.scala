@@ -87,10 +87,35 @@ object PgSequences extends Serializable {
     new ConcurrentHashMap[String, Map[String, Option[String]]]()
 
   def registerTableSerials(table: String,
-      cols: Seq[(String, Option[String])]): Unit =
+      cols: Seq[(String, Option[String])]): Unit = {
     serialCols.put(table, cols.toMap)
+    PgMeta.saveSerials()
+  }
 
-  def dropTableSerials(table: String): Unit = serialCols.remove(table)
+  def dropTableSerials(table: String): Unit = {
+    serialCols.remove(table)
+    PgMeta.saveSerials()
+  }
+
+  /** Serial-ownership rows ordered by table — the PgMeta persistence
+    * snapshot. */
+  def serialsSnapshot: Seq[(String, Map[String, Option[String]])] = {
+    val b = Seq.newBuilder[(String, Map[String, Option[String]])]
+    serialCols.forEach((t, cols) => b += (t -> cols))
+    b.result().sortBy(_._1)
+  }
+
+  /** Pre-attach migration: write every in-memory sequence into the
+    * store (file state wins if already present). */
+  private[pgwire] def flushToFiles(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    seqs.entrySet().asScala.foreach { e =>
+      val s = e.getValue
+      val rec = s.synchronized(
+        PgMeta.SeqRec(s.defn, s.lastValue, s.called, s.logCnt))
+      PgMeta.seqFlushDirect(root, e.getKey, rec)
+    }
+  }
 
   /** pg_get_serial_sequence semantics over the wire-DDL registry: the
     * column argument matches VERBATIM case-sensitively (live-pinned:
@@ -138,87 +163,160 @@ object PgSequences extends Serializable {
     SeqDef(increment, minV, maxV, start, cycle, typid)
   }
 
+  /** When a [[PgMeta]] root is attached, the FILES are the sequence
+    * state (a cached counter in two JVMs would hand out duplicates)
+    * and every transition is a read-modify-write under the
+    * per-sequence file lock; detached, the in-memory map is
+    * authoritative exactly as before r17. */
+  private def fileMode: Boolean = PgMeta.attached
+
+  /** The single-draw state transition, shared verbatim by the
+    * in-memory and file paths. */
+  private def nextOf(name: String, d: SeqDef, lastValue: Long,
+      called: Boolean): Long =
+    if (!called) lastValue
+    else {
+      val cand =
+        try Math.addExact(lastValue, d.increment)
+        catch { case _: ArithmeticException =>
+          if (d.cycle) { if (d.increment > 0) d.minV else d.maxV }
+          else throw overflow(name, d)
+        }
+      if (cand > d.maxV || cand < d.minV) {
+        if (d.cycle) { if (d.increment > 0) d.minV else d.maxV }
+        else throw overflow(name, d)
+      } else cand
+    }
+
+  /** log_cnt after `draws` successive nextvals from `l0` — closed form
+    * of the per-draw rule (`if (<=0) 32 else -1`; cycle length 33). */
+  private def logCntAfter(l0: Long, draws: Long): Long =
+    if (draws <= 0) l0
+    else if (l0 <= 0) 32L - ((draws - 1) % 33L)
+    else if (draws <= l0) l0 - draws
+    else 32L - ((draws - l0 - 1) % 33L)
+
   def create(name: String, defn: SeqDef, ifNotExists: Boolean): Unit = {
     if (defn.increment == 0)
       throw PgException("22023", "INCREMENT must not be zero")
     if (defn.start < defn.minV || defn.start > defn.maxV)
       throw PgException("22023",
         s"START value (${defn.start}) cannot be outside [${defn.minV}, ${defn.maxV}]")
-    if (seqs.putIfAbsent(name, new SeqState(defn)) != null && !ifNotExists)
+    if (fileMode) PgMeta.seqLocked(name) { f =>
+      if (PgMeta.seqRead(f).isDefined) {
+        if (!ifNotExists)
+          throw PgException("42P07", s"""relation "$name" already exists""")
+      } else PgMeta.seqWrite(f, PgMeta.SeqRec(defn, defn.start, called = false, 0L))
+    }
+    else if (seqs.putIfAbsent(name, new SeqState(defn)) != null && !ifNotExists)
       throw PgException("42P07", s"""relation "$name" already exists""")
   }
 
   def drop(name: String, ifExists: Boolean): Unit =
-    if (seqs.remove(name) == null && !ifExists)
+    if (fileMode) PgMeta.seqLocked(name) { f =>
+      if (!PgMeta.seqDelete(f) && !ifExists)
+        throw PgException("42P01", s"""sequence "$name" does not exist""")
+    }
+    else if (seqs.remove(name) == null && !ifExists)
       throw PgException("42P01", s"""sequence "$name" does not exist""")
 
-  def exists(name: String): Boolean = seqs.containsKey(name)
+  def exists(name: String): Boolean =
+    if (fileMode) PgMeta.seqNames.contains(name)
+    else seqs.containsKey(name)
 
-  def names: Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    seqs.keySet().asScala.toSeq.sorted
-  }
+  def names: Seq[String] =
+    if (fileMode) PgMeta.seqNames
+    else {
+      import scala.jdk.CollectionConverters._
+      seqs.keySet().asScala.toSeq.sorted
+    }
 
   /** (name, defn, lastValue, called) ordered by name — one consistent
     * read per sequence for the catalog views. */
-  def snapshot: Seq[(String, SeqDef, Long, Boolean)] = {
-    import scala.jdk.CollectionConverters._
-    seqs.entrySet().asScala.toSeq.sortBy(_.getKey).map { e =>
-      val s = e.getValue
-      val (lv, c) = s.synchronized((s.lastValue, s.called))
-      (e.getKey, s.defn, lv, c)
+  def snapshot: Seq[(String, SeqDef, Long, Boolean)] =
+    if (fileMode)
+      PgMeta.seqNames.flatMap { n =>
+        PgMeta.seqLocked(n)(f => PgMeta.seqRead(f))
+          .map(r => (n, r.defn, r.lastValue, r.called))
+      }
+    else {
+      import scala.jdk.CollectionConverters._
+      seqs.entrySet().asScala.toSeq.sortBy(_.getKey).map { e =>
+        val s = e.getValue
+        val (lv, c) = s.synchronized((s.lastValue, s.called))
+        (e.getKey, s.defn, lv, c)
+      }
     }
-  }
 
   /** ALTER SEQUENCE … RESTART [WITH n] */
-  def restart(name: String, withV: Option[Long]): Unit = {
-    val s = state(name)
-    s.synchronized {
-      s.lastValue = withV.getOrElse(s.defn.start)
-      s.called = false
-      s.logCnt = 0L
+  def restart(name: String, withV: Option[Long]): Unit =
+    if (fileMode) PgMeta.seqLocked(name) { f =>
+      val rec = PgMeta.seqRead(f).getOrElse(throw missing(name))
+      PgMeta.seqWrite(f, rec.copy(
+        lastValue = withV.getOrElse(rec.defn.start), called = false, logCnt = 0L))
     }
-  }
+    else {
+      val s = state(name)
+      s.synchronized {
+        s.lastValue = withV.getOrElse(s.defn.start)
+        s.called = false
+        s.logCnt = 0L
+      }
+    }
+
+  private def missing(name: String) =
+    PgException("42P01", s"""relation "$name" does not exist""")
 
   private def state(name: String): SeqState = {
     val s = seqs.get(name)
-    if (s == null)
-      throw PgException("42P01", s"""relation "$name" does not exist""")
+    if (s == null) throw missing(name)
     s
   }
 
-  def nextval(name: String, connId: Int): Long = {
-    val s = state(name)
-    val v = s.synchronized {
-      val d = s.defn
-      val next =
-        if (!s.called) s.lastValue
-        else {
-          val cand =
-            try Math.addExact(s.lastValue, d.increment)
-            catch { case _: ArithmeticException =>
-              if (d.cycle) { if (d.increment > 0) d.minV else d.maxV }
-              else throw overflow(name, d)
-            }
-          if (cand > d.maxV || cand < d.minV) {
-            if (d.cycle) { if (d.increment > 0) d.minV else d.maxV }
-            else throw overflow(name, d)
-          } else cand
-        }
-      s.lastValue = next
-      s.called = true
-      s.logCnt = if (s.logCnt <= 0L) 32L else s.logCnt - 1L
-      next
+  /** One consistent (defn, lastValue, called, logCnt) read — the
+    * catalog/UDF reader for both modes. */
+  private def readRec(name: String): (SeqDef, Long, Boolean, Long) =
+    if (fileMode)
+      PgMeta.seqLocked(name) { f =>
+        val r = PgMeta.seqRead(f).getOrElse(throw missing(name))
+        (r.defn, r.lastValue, r.called, r.logCnt)
+      }
+    else {
+      val s = state(name)
+      s.synchronized((s.defn, s.lastValue, s.called, s.logCnt))
     }
+
+  def nextval(name: String, connId: Int): Long = {
+    val v =
+      if (fileMode) PgMeta.seqLocked(name) { f =>
+        val rec = PgMeta.seqRead(f).getOrElse(throw missing(name))
+        val next = nextOf(name, rec.defn, rec.lastValue, rec.called)
+        PgMeta.seqWrite(f, rec.copy(lastValue = next, called = true,
+          logCnt = logCntAfter(rec.logCnt, 1)))
+        next
+      }
+      else {
+        val s = state(name)
+        s.synchronized {
+          val next = nextOf(name, s.defn, s.lastValue, s.called)
+          s.lastValue = next
+          s.called = true
+          s.logCnt = logCntAfter(s.logCnt, 1)
+          next
+        }
+      }
     sessionCurr.put((connId, name), v)
     sessionLast.put(connId, v)
     v
   }
 
-  def isCycle(name: String): Boolean = {
-    val s = seqs.get(name)
-    s != null && s.defn.cycle
-  }
+  def isCycle(name: String): Boolean =
+    if (fileMode)
+      PgMeta.seqLocked(name)(f => PgMeta.seqRead(f)).exists(_.defn.cycle)
+    else {
+      val s = seqs.get(name)
+      s != null && s.defn.cycle
+    }
 
   /** Reserve `n` consecutive draws in one driver-side pass — the
     * INSERT … SELECT allocator (count + reserve two-pass): returns
@@ -232,12 +330,54 @@ object PgSequences extends Serializable {
     * first and fall back to the per-row UDF path. */
   def reserveBlock(name: String, n: Long, connId: Int): (Long, Long) = {
     require(n > 0, "reserveBlock needs n > 0")
+    if (fileMode) return reserveBlockFile(name, n, connId)
     val inc = state(name).defn.increment
     var last = 0L
     var i = 0L
     while (i < n) { last = nextval(name, connId); i += 1 }
     (last - (n - 1) * inc, inc)
   }
+
+  /** File-mode block reservation: ONE lock round-trip per statement
+    * (not n), with the n-draw state transition computed in closed form
+    * for non-CYCLE sequences. Observable semantics match n nextvals
+    * exactly, including the partial-draw-then-2200H behavior when the
+    * block overruns MAXVALUE (pg burns the values it managed to draw
+    * before erroring; sweep-36d pins the deviation shape). CYCLE
+    * sequences (values not an arithmetic progression — callers check
+    * [[isCycle]] first) fall back to looped transitions under the
+    * same single lock. */
+  private def reserveBlockFile(name: String, n: Long, connId: Int): (Long, Long) =
+    PgMeta.seqLocked(name) { f =>
+      val rec = PgMeta.seqRead(f).getOrElse(throw missing(name))
+      val d = rec.defn
+      if (d.cycle) {
+        var lv = rec.lastValue; var called = rec.called
+        var i = 0L; var last = 0L
+        while (i < n) {
+          last = nextOf(name, d, lv, called); lv = last; called = true; i += 1
+        }
+        PgMeta.seqWrite(f, rec.copy(lastValue = lv, called = true,
+          logCnt = logCntAfter(rec.logCnt, n)))
+        sessionCurr.put((connId, name), last)
+        sessionLast.put(connId, last)
+        (last - (n - 1) * d.increment, d.increment) // callers never take this arm
+      } else {
+        val first = nextOf(name, d, rec.lastValue, rec.called)
+        // draws that fit: first + k*inc within [minV, maxV] for k < n
+        val room =
+          if (d.increment > 0) (d.maxV - first) / d.increment
+          else (d.minV - first) / d.increment // both negative → positive
+        val fits = math.min(n - 1, room) + 1 // first always fits (nextOf checked)
+        val last = first + (fits - 1) * d.increment
+        PgMeta.seqWrite(f, rec.copy(lastValue = last, called = true,
+          logCnt = logCntAfter(rec.logCnt, fits)))
+        sessionCurr.put((connId, name), last)
+        sessionLast.put(connId, last)
+        if (fits < n) throw overflow(name, d)
+        (first, d.increment)
+      }
+    }
 
   private def overflow(name: String, d: SeqDef) = PgException("2200H",
     s"""nextval: reached ${if (d.increment > 0) "maximum" else "minimum"} """ +
@@ -259,14 +399,22 @@ object PgSequences extends Serializable {
   }
 
   def setval(name: String, v: Long, isCalled: Boolean, connId: Int): Long = {
-    val s = state(name)
-    s.synchronized {
-      val d = s.defn
+    def check(d: SeqDef): Unit =
       if (v < d.minV || v > d.maxV) throw PgException("22003",
         s"""setval: value $v is out of bounds for sequence "$name" (${d.minV}..${d.maxV})""")
-      s.lastValue = v
-      s.called = isCalled
-      s.logCnt = 0L
+    if (fileMode) PgMeta.seqLocked(name) { f =>
+      val rec = PgMeta.seqRead(f).getOrElse(throw missing(name))
+      check(rec.defn)
+      PgMeta.seqWrite(f, rec.copy(lastValue = v, called = isCalled, logCnt = 0L))
+    }
+    else {
+      val s = state(name)
+      s.synchronized {
+        check(s.defn)
+        s.lastValue = v
+        s.called = isCalled
+        s.logCnt = 0L
+      }
     }
     sessionCurr.put((connId, name), v)
     sessionLast.put(connId, v)
@@ -308,19 +456,15 @@ object PgSequences extends Serializable {
     // and pg_sequences.last_value (NULL until first nextval/setval).
     // Nondeterministic so no plan-time folding freezes a snapshot.
     spark.udf.register("pg_seq_last_value",
-      udf((n: String) => { val s = state(n); s.synchronized(s.lastValue) })
-        .asNondeterministic())
+      udf((n: String) => readRec(n)._2).asNondeterministic())
     spark.udf.register("pg_seq_log_cnt",
-      udf((n: String) => { val s = state(n); s.synchronized(s.logCnt) })
-        .asNondeterministic())
+      udf((n: String) => readRec(n)._4).asNondeterministic())
     spark.udf.register("pg_seq_is_called",
-      udf((n: String) => { val s = state(n); s.synchronized(s.called) })
-        .asNondeterministic())
+      udf((n: String) => readRec(n)._3).asNondeterministic())
     spark.udf.register("pg_seq_last_value_vis",
       udf((n: String) => {
-        val s = state(n)
-        val v = s.synchronized(if (s.called) Some(s.lastValue) else None)
-        v.map(java.lang.Long.valueOf).orNull
+        val (_, lv, called, _) = readRec(n)
+        if (called) java.lang.Long.valueOf(lv) else null
       }).asNondeterministic())
     // pg_get_serial_sequence(table, column): the implicit sequence a
     // serial column owns, else NULL for a plain column (live-pinned);

@@ -48,6 +48,9 @@ final class PgServer(
   def start(): Unit = {
     server.bind(new InetSocketAddress(host, port))
     running = true
+    // warehouse-backed DDL metadata: reload enums/sequences/indexes/
+    // matviews/comments/tables when spark.graft.metaDir is set
+    PgMeta.attachFromConf(spark)
     PgCatalog.registerAll(spark)
     PgFunctions.registerAll(spark)
     // graft-native Catalyst expressions (vec_ldot & co., lev_banded)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""DuckDB baseline for the bench A/B (VERDICT r16 item 3: the judge has
+re-derived this ad-hoc for three rounds; commit it so BENCH_rN carries
+its own baseline ratio).
+
+For each oracle in oracle_sql.json, runs the SQL in DuckDB over the
+sf parquet tables in a FRESH SUBPROCESS (so a hung all-pairs oracle
+can be killed without poisoning the parent), min-of-N (default 2),
+per-run timeout (default 60 s). Writes tools/duck_baseline.json:
+
+  {"meta": {...}, "queries": {"q01_...": 0.012, ...},
+   "timeouts": [...], "errors": {...}}
+
+graft.Bench reads that file (SPARK_GRAFT_DUCK_BASELINE, default
+tools/duck_baseline.json) and emits per-query spark/duck ratios in
+BENCH_LOCAL.json, making the artifact self-baselining.
+
+Usage: bench_duckdb.py [sfdir] [oracle_sql.json] [out.json]
+Defaults: /root/testdata/sf0.1  /tmp/verify_out/oracle_sql.json
+          tools/duck_baseline.json
+Convention (judge's r4-r16 protocol): 32 threads, sequential queries,
+min-of-2, 60 s timeout, same box as the Spark capture.
+"""
+import json, os, subprocess, sys, time
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+CHILD = r"""
+import json, sys, time
+import duckdb
+sfdir, sql = sys.argv[1], sys.stdin.read()
+con = duckdb.connect()
+con.execute("SET threads TO %d")
+for t in %r:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+t0 = time.time()
+con.execute(sql).fetchall()
+print(json.dumps({"sec": time.time() - t0}))
+"""
+
+def run_once(sfdir, sql, threads, timeout):
+    child = CHILD % (threads, TABLES)
+    try:
+        p = subprocess.run([sys.executable, "-c", child, sfdir],
+                           input=sql, capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if p.returncode != 0:
+        return None, (p.stderr.strip().splitlines() or ["?"])[-1][:200]
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1])["sec"], None
+    except Exception as e:
+        return None, f"parse: {e}"
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracle = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+    out = sys.argv[3] if len(sys.argv) > 3 else \
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "duck_baseline.json")
+    threads = int(os.environ.get("DUCK_THREADS", "32"))
+    runs = int(os.environ.get("DUCK_RUNS", "2"))
+    timeout = float(os.environ.get("DUCK_TIMEOUT", "60"))
+    oracles = json.load(open(oracle))
+    queries, timeouts, errors = {}, [], {}
+    for name in sorted(oracles):
+        best, err = None, None
+        for _ in range(runs):
+            sec, e = run_once(sfdir, oracles[name], threads, timeout)
+            if sec is not None:
+                best = sec if best is None else min(best, sec)
+            else:
+                err = e
+                if e == "timeout":
+                    break  # no point re-running a 60 s timeout
+        if best is not None:
+            queries[name] = round(best, 4)
+            print(f"{name:40s} {best:8.3f}s")
+        elif err == "timeout":
+            timeouts.append(name)
+            print(f"{name:40s} TIMEOUT >{timeout:.0f}s")
+        else:
+            errors[name] = err
+            print(f"{name:40s} ERROR {err}")
+    try:
+        load = open("/proc/loadavg").read().split()[0]
+    except OSError:
+        load = "?"
+    result = {
+        "meta": {"sfdir": sfdir, "threads": threads, "runs": runs,
+                 "timeout_sec": timeout, "captured_unix": int(time.time()),
+                 "load1_at_end": load,
+                 "protocol": "per-query subprocess, sequential, min-of-%d" % runs},
+        "queries": queries, "timeouts": timeouts, "errors": errors,
+    }
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    total = sum(queries.values())
+    print(f"\n{len(queries)} ok ({total:.1f}s total), "
+          f"{len(timeouts)} timeout, {len(errors)} error -> {out}")
+
+if __name__ == "__main__":
+    main()
