@@ -435,7 +435,7 @@ object DedupOps {
         col("r.band_hash").as("band_hash"))
   }
 
-  private def portableBandRecords(base: DataFrame, bands: Int,
+  private[graft] def portableBandRecords(base: DataFrame, bands: Int,
       maxBucket: Int): DataFrame =
     capBuckets(portableBandRecordsRaw(base, bands),
       Seq("band", "band_hash"), maxBucket)
@@ -569,6 +569,60 @@ object DedupOps {
       idCol: String, textCol: String, shingleWords: Int = 3, k: Int = 8,
       bands: Int = 4, maxBucket: Int = 64): DataFrame =
     crossCorpusMinhashPairsManaged(train, eval, idCol, textCol,
+      shingleWords, k, bands, maxBucket).df
+
+  /** Persist one corpus snapshot's signature base — (doc_id, sh, sig)
+    * parquet — for later incremental runs (r17): the daily-crawl
+    * pipeline signs each snapshot ONCE and every later
+    * [[incrementalMinhashPairs]] reads the index instead of
+    * re-shingling the whole history. Returns the row count (the
+    * write is the materialization — no extra job). */
+  def writeSignatureIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, shingleWords: Int = 3, k: Int = 8): Unit =
+    portableSignatureRows(docs, idCol, textCol, shingleWords, k)
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental cross-snapshot near-dup (r17, the q47 join against a
+    * SAVED index): NEW docs sign map-side; the OLD side's signatures
+    * and shingles come straight off the persisted parquet index —
+    * never recomputed. Emits (new_id, old_id, jaccard) candidate
+    * pairs band-bucket joined and exact-Jaccard verified, hash-equal
+    * to a recompute-from-scratch run (q151's oracle proves it).
+    *
+    * Scale: the index read is a columnar scan (signatures ~100 B/doc
+    * — a 10 B-doc history is ~1 TB of index vs re-shingling 100 TB of
+    * text); the new side is typically a small daily frame, so its
+    * banded records broadcast under AQE. Bucket caps apply to the
+    * index side (the accumulating side, where skew lives). */
+  def incrementalMinhashPairsManaged(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, shingleWords: Int = 3, k: Int = 8,
+      bands: Int = 4, maxBucket: Int = 64): ManagedResult = {
+    require(k % bands == 0 && k / bands == 2,
+      "band pair-encoding expects exactly 2 rows per band")
+    val spark = newDocs.sparkSession
+    val oldBase = spark.read.parquet(indexPath)
+    val nBase = portableSignatureRows(newDocs, idCol, textCol, shingleWords, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = portableBandRecordsRaw(nBase, bands)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(portableBandRecords(oldBase, bands, maxBucket)
+        .withColumnRenamed("doc_id", "old_id"),
+        Seq("band", "band_hash"))
+      .select("new_id", "old_id").distinct()
+    val result = cand
+      .join(nBase.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(oldBase.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        (size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o"))).cast("double")).as("jaccard"))
+    ManagedResult(result, () => { nBase.unpersist(); () })
+  }
+
+  /** One-shot wrapper over [[incrementalMinhashPairsManaged]]. */
+  def incrementalMinhashPairs(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, shingleWords: Int = 3, k: Int = 8,
+      bands: Int = 4, maxBucket: Int = 64): DataFrame =
+    incrementalMinhashPairsManaged(newDocs, indexPath, idCol, textCol,
       shingleWords, k, bands, maxBucket).df
 
   /** Portable 32-bit SimHash with capped chunk-peer counts — the

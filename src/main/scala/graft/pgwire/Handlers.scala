@@ -3260,12 +3260,29 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
     * a temp directory: Spark rejects overwriting a table from a plan
     * that reads it. */
   private def overwriteTable(spark: SparkSession, table: String,
-      next: org.apache.spark.sql.DataFrame): Unit = {
+      next: org.apache.spark.sql.DataFrame): Unit =
+    overwriteTables(spark, Seq(table -> next))
+
+  /** Stage-then-swap multi-table rewrite: EVERY new state materializes
+    * to scratch parquet BEFORE any table is overwritten — a cascade
+    * step reading a parent being rewritten in the same statement would
+    * otherwise re-scan deleted files, and a constraint failure
+    * surfacing during stage N's write would leave stages 1..N-1
+    * applied (pg's statement atomicity; a crash between the final
+    * swaps remains the documented single-writer caveat). */
+  private def overwriteTables(spark: SparkSession,
+      writes: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    if (writes.isEmpty) return
     val tmp = java.nio.file.Files.createTempDirectory("graft_dml_")
     try {
-      next.write.mode("overwrite").parquet(tmp.toString)
-      spark.read.parquet(tmp.toString)
-        .write.mode("overwrite").insertInto(table)
+      val staged = writes.zipWithIndex.map { case ((t, df), i) =>
+        val p = tmp.resolve(s"w$i").toString
+        df.write.mode("overwrite").parquet(p)
+        t -> p
+      }
+      staged.foreach { case (t, p) =>
+        spark.read.parquet(p).write.mode("overwrite").insertInto(t)
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
@@ -3565,19 +3582,22 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
         checkFksChild(spark, newRows, schema, table, zoneFk, Some(next))
       }
       // FK parent gate (r16): target rows this statement rewrites or
-      // deletes may carry keys still referenced by child rows
-      locally {
+      // deletes may carry keys still referenced by child rows; the
+      // DELETE…USING arm also executes referential ACTIONS (r17)
+      val writes = {
         val oldMatched = spark.sql(
           s"SELECT ${schema.fieldNames.map(bq).mkString(", ")} " +
             s"FROM `$ridView` AS __graft_t WHERE EXISTS " +
             s"(SELECT 1 FROM `$mView` AS __graft_m " +
             s"WHERE __graft_m.__graft_rid = __graft_t.`__graft_rid`)")
-        checkFksParent(spark, table, oldMatched, zoneFk,
-          isDelete = !isUpdate, selfChildState = Some(next),
-          touchedCols =
-            if (isUpdate) Some(assigned.keySet.map(_.toLowerCase).toSet)
-            else None,
-          nextState = if (isUpdate) Some(next) else None)
+        if (isUpdate) {
+          checkFksParent(spark, table, oldMatched, zoneFk,
+            isDelete = false, selfChildState = Some(next),
+            touchedCols = Some(assigned.keySet.map(_.toLowerCase).toSet),
+            nextState = Some(next))
+          Seq(table -> next)
+        } else execFkDeleteActions(spark, table, oldMatched, next, zoneFk,
+          session.connId)
       }
       val tagWord = if (isUpdate) "UPDATE" else "DELETE"
       retList match {
@@ -3608,11 +3628,11 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
             s"SELECT ${mapped.mkString(", ")} FROM ( $retSrcSql ) AS __graft_r"
           val rs = materializedRowSet(runSql(spark, retSql), _ => s"$tagWord $n")
           afterWrite(rs) {
-            overwriteTable(spark, table, next)
+            overwriteTables(spark, writes)
             upstreamRelease()
           }
         case None =>
-          overwriteTable(spark, table, next)
+          overwriteTables(spark, writes)
           upstreamRelease()
           Complete(s"$tagWord $n")
       }
@@ -3810,11 +3830,15 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
       case Some(w) => s"SELECT *$fromSql WHERE NOT coalesce(($w), false)"
       case None => s"SELECT *$fromSql WHERE false"
     }
-    // FK parent gate (r16): a deleted key still referenced by a child
-    // row refuses the delete — 23503 before any write happens
-    checkFksParent(spark, table, runSql(spark, matchedSql),
+    // FK parent gate (r16) + referential ACTIONS (r17): NO ACTION /
+    // RESTRICT children still referencing a deleted key refuse the
+    // delete (23503) before any write; CASCADE / SET NULL / SET
+    // DEFAULT children become extra staged rewrites in the same
+    // statement, recursively
+    val writes = execFkDeleteActions(spark, table,
+      runSql(spark, matchedSql), runSql(spark, keepSql),
       java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone),
-      isDelete = true, selfChildState = Some(runSql(spark, keepSql)))
+      session.connId)
     retList match {
       case Some(ret) =>
         val sub = alias.getOrElse(m.group(1))
@@ -3823,12 +3847,12 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
           runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub"),
           n => s"DELETE $n")
         afterWrite(rs) {
-          overwriteTable(spark, table, runSql(spark, keepSql))
+          overwriteTables(spark, writes)
         }
       case None =>
         val n = runSql(spark,
           s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
-        overwriteTable(spark, table, runSql(spark, keepSql))
+        overwriteTables(spark, writes)
         Complete(s"DELETE $n")
     }
   }
@@ -4378,13 +4402,15 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
   private def probeFkChild(spark: SparkSession, df: DataFrame,
       schema: StructType, table: String, fk: PgConstraints.Fk,
       d: PgConstraints.FkDef, zone: java.time.ZoneId,
-      selfNext: Option[DataFrame]): Unit = {
+      selfNext: Option[DataFrame],
+      parentOverride: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val tNorm = PgSequences.normName(table).split("\\.").last
     val childFields = d.cols.flatMap(c =>
       schema.fields.find(_.name.equalsIgnoreCase(c)))
     val parentOpt =
-      if (d.refTable.equalsIgnoreCase(tNorm) && selfNext.isDefined) selfNext
+      if (parentOverride.isDefined) parentOverride
+      else if (d.refTable.equalsIgnoreCase(tNorm) && selfNext.isDefined) selfNext
       else scala.util.Try(spark.table(d.refTable)).toOption
     parentOpt match {
       case Some(parent0) if childFields.length == d.cols.length =>
@@ -4432,10 +4458,11 @@ DETAIL:  Key (${d.cols.mkString(", ")})=(${vals.mkString(", ")}) is not present 
 
   private def cascadeClass(a: Char): Boolean = a == 'c' || a == 'n' || a == 'd'
 
-  /** Parent-side 23503 gate: any child row still referencing a key in
-    * `vanished` (keys leaving the parent — DELETEd rows, or old keys
-    * an UPDATE rewrote) refuses the write. NO ACTION and RESTRICT
-    * behave identically (no deferred constraints); a cascade-class
+  /** Parent-side 23503 gate for UPDATEs rewriting referenced keys
+    * (DELETE paths run [[execFkDeleteActions]] instead since r17):
+    * any child row still referencing a key in `vanished` (old keys an
+    * UPDATE rewrote) refuses the write. NO ACTION and RESTRICT behave
+    * identically (no deferred constraints); a cascade-class ON UPDATE
     * action raises an honest 0A000 at the moment it would fire.
     * `selfChildState` overrides the child frame for self-referencing
     * FKs (the child rows that survive this same statement). */
@@ -4490,6 +4517,162 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
         }
       }
     }
+  }
+
+  /** Executes ON DELETE referential ACTIONS (r17): CASCADE deletes
+    * referencing child rows, SET NULL / SET DEFAULT rewrite their FK
+    * columns — each one more distributed anti/semi-join step inside
+    * the statement, recursing through [[referencingFks]] for
+    * multi-level graphs (a worklist with per-table candidate states,
+    * so self-referencing CASCADE chains run to their fixpoint).
+    * NO ACTION / RESTRICT keep their 23503 probe, now against the
+    * post-cascade candidate child state. Rewritten child rows
+    * re-validate their own constraints in pg's order: NOT NULL
+    * (23502), CHECK (23514), UNIQUE over the candidate final state
+    * (23505), and SET DEFAULT re-probes the default key against the
+    * post-delete parent (23503). A SET NULL/DEFAULT key rewrite fires
+    * grandchild FKs through the existing ON UPDATE gate (NO ACTION
+    * probes; cascade-class ON UPDATE remains 0A000 — the documented
+    * r17 cut line).
+    *
+    * Returns the COMPLETE (table → new state) write set — the parent's
+    * own rewrite included, since a self-referencing CASCADE narrows
+    * the parent beyond its direct survivors — which the caller stages
+    * in one [[overwriteTables]] pass, so every violation surfaces
+    * before any table is touched (pg's statement atomicity).
+    *
+    * Scale: each wave is key-projection joins — the vanished-key set
+    * (bounded by the statement's deleted rows) localCheckpoints once
+    * per FK edge and drives one semi- and one anti-join against the
+    * child; no per-row driver work, violation samples are LIMIT-1.
+    */
+  private def execFkDeleteActions(spark: SparkSession, table: String,
+      deletedRows: DataFrame, survivors: DataFrame, zone: java.time.ZoneId,
+      connId: Int): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (referencingFks(spark, table).isEmpty) return Seq(table -> survivors)
+    def norm(t: String): String =
+      PgSequences.normName(t).split("\\.").last.toLowerCase
+    val rootNorm = norm(table)
+    // candidate post-statement state per touched table + display names
+    val states = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val display = scala.collection.mutable.LinkedHashMap[String, String]()
+    states(rootNorm) = survivors
+    display(rootNorm) = table
+    def stateOf(t: String): DataFrame =
+      states.getOrElse(norm(t), spark.table(t))
+    val queue = scala.collection.mutable.Queue[(String, DataFrame)]()
+    queue += table -> deletedRows
+    var waves = 0
+    while (queue.nonEmpty) {
+      waves += 1
+      if (waves > 100)
+        throw PgException("54001",
+          "foreign key cascade exceeds 100 levels")
+      val (t, newRows) = queue.dequeue()
+      val tN = norm(t)
+      referencingFks(spark, t).foreach { case (childT, childSchema, fk, d) =>
+        val cN = norm(childT)
+        val parentFields = d.refCols.flatMap(c =>
+          newRows.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        val childFields = d.cols.flatMap(c =>
+          childSchema.fields.find(_.name.equalsIgnoreCase(c)))
+        if (parentFields.length == d.refCols.length &&
+            childFields.length == d.cols.length) {
+          // keys leaving `t` in this wave (pg FKs reference unique
+          // cols, so a deleted key has no surviving duplicate)
+          val keys = newRows
+            .select(parentFields.map(f => col(f.name)): _*)
+            .toDF(childFields.indices.map(i => s"__fk_k_$i"): _*)
+            .where(childFields.indices.map(i =>
+              col(s"__fk_k_$i").isNotNull).reduce(_ && _))
+            .distinct()
+            .localCheckpoint() // break lineage: stable under rewrites + self-joins
+          if (!keys.isEmpty) {
+            val childState = stateOf(childT)
+            val cond = childFields.zipWithIndex.map { case (f, i) =>
+              childState(f.name) === keys(s"__fk_k_$i") }.reduce(_ && _)
+            d.onDelete match {
+              case 'a' | 'r' =>
+                val sample = keys.join(
+                  childState
+                    .select(childFields.map(f => col(f.name)): _*)
+                    .toDF(childFields.indices.map(i => s"__fk_c_$i"): _*),
+                  childFields.indices.map(i =>
+                    col(s"__fk_k_$i") === col(s"__fk_c_$i")).reduce(_ && _),
+                  "left_semi").limit(1).collect()
+                if (sample.nonEmpty) {
+                  val vals = parentFields.indices.map(i =>
+                    TextEncoder.encodeField(sample(0).get(i), parentFields(i), zone)
+                      .getOrElse("null"))
+                  throw PgException("23503",
+                    s"""update or delete on table "$tN" violates foreign key constraint "${fk.name}" on table "$childT"
+DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still referenced from table "$childT".""")
+                }
+              case 'c' =>
+                val aff = childState.join(keys, cond, "left_semi")
+                  .localCheckpoint()
+                if (!aff.isEmpty) {
+                  states(cN) = childState.join(keys, cond, "left_anti")
+                  display(cN) = childT
+                  queue += childT -> aff
+                }
+              case act @ ('n' | 'd') =>
+                val aff = childState.join(keys, cond, "left_semi")
+                  .localCheckpoint()
+                if (!aff.isEmpty) {
+                  val fkColNames = childFields.map(_.name)
+                  val modified: DataFrame =
+                    if (act == 'n')
+                      childFields.foldLeft(aff)((df, f) =>
+                        df.withColumn(f.name, lit(null).cast(f.dataType)))
+                    else {
+                      // SET DEFAULT: FK columns take their declared
+                      // defaults through the pg-dialect default exprs
+                      val v = "__fkd_" +
+                        java.util.UUID.randomUUID().toString.replace("-", "")
+                      aff.createOrReplaceTempView(v)
+                      // pg-dialect projection (runSql rewrites it):
+                      // pg-style double-quoted identifiers, defaults
+                      // carrying their ::casts and sequence binds
+                      def dq(nm: String) = "\"" + nm.replace("\"", "\"\"") + "\""
+                      try runSql(spark,
+                        childSchema.fields.map { f =>
+                          if (fkColNames.exists(_.equalsIgnoreCase(f.name)))
+                            s"(${defaultExprSql(f, connId)}) AS ${dq(f.name)}"
+                          else dq(f.name)
+                        }.mkString("SELECT ", ", ", s" FROM ${dq(v)}"))
+                        .localCheckpoint()
+                      finally {
+                        try spark.catalog.dropTempView(v)
+                        catch { case scala.util.control.NonFatal(_) => }
+                      }
+                    }
+                  checkNotNull(modified, childSchema, cN, zone)
+                  checkChecks(spark, modified, childSchema, childT, zone)
+                  val newChild = childState.join(keys, cond, "left_anti")
+                    .unionByName(modified)
+                  checkUniqueDups(newChild, childSchema,
+                    PgConstraints.uniquesOf(childT, childSchema), zone)
+                  if (act == 'd')
+                    probeFkChild(spark, modified, childSchema, childT, fk, d,
+                      zone, selfNext = None,
+                      parentOverride = Some(stateOf(t)))
+                  // grandchild FKs see the FK columns as UPDATEd keys
+                  checkFksParent(spark, childT, aff, zone, isDelete = false,
+                    selfChildState = Some(newChild),
+                    touchedCols = Some(fkColNames.map(_.toLowerCase).toSet),
+                    nextState = Some(newChild))
+                  states(cN) = newChild
+                  display(cN) = childT
+                }
+              case _ => ()
+            }
+          }
+        }
+      }
+    }
+    states.toSeq.map { case (n, df) => display(n) -> df }
   }
 
   /** INSERT against a table with declared constraints and/or an ON

@@ -36,10 +36,12 @@ object PgConstraints {
     * rendering) and ENFORCED at write time (r16): 23503 on
     * child-INSERT/UPDATE rows whose non-null key finds no parent, and
     * on parent-DELETE/UPDATE rows still referenced (MATCH SIMPLE —
-    * any NULL member passes, pg's default). Cascade-class referential
-    * actions (CASCADE / SET NULL / SET DEFAULT) are recorded and
-    * 0A000-gated at the moment they would fire — NO ACTION and
-    * RESTRICT behave identically here (no deferred constraints). */
+    * any NULL member passes, pg's default). ON DELETE referential
+    * actions EXECUTE (r17, sweep-42): CASCADE / SET NULL / SET
+    * DEFAULT run as extra distributed DML steps inside the deleting
+    * statement, recursively; ON UPDATE cascade-class actions remain
+    * recorded + 0A000 at fire time. NO ACTION and RESTRICT behave
+    * identically here (no deferred constraints). */
   final case class Fk(name: String, condef: String)
 
   /** [[Fk]] structurally decoded from its condef text (the condef IS

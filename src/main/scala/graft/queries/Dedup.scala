@@ -460,6 +460,137 @@ object Dedup {
         .orderBy("train_id", "eval_id")
     },
 
+    // streaming near-dup stage 2 (r17, completes q149): incoming docs
+    // band-join a STATIC signature index and confirm with exact
+    // shingle Jaccard ≥ 0.25. flatMapGroupsWithState emits each
+    // confirmed pair exactly once — batch-twin of the streaming run
+    // (StreamingSpec drives ≥2 batchings to the same set)
+    Q.df("q150_stream_neardup_confirm",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hv
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      p -> list_min(list_transform(hv, h -> ((2*p+1)*h + p) % 1000000007))) AS sg
+        |  FROM hs
+        |),
+        |bandrec AS (
+        |  SELECT doc_id, b,
+        |    sg[CAST(2*b+1 AS INT)] * 1000000007 + sg[CAST(2*b+2 AS INT)] AS bh
+        |  FROM sig, range(0, 4) t(b)
+        |),
+        |nb AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 37 <> 0
+        |),
+        |ib AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 37 = 0
+        |  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 64
+        |),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS index_id
+        |  FROM nb n JOIN ib i ON n.b = i.b AND n.bh = i.bh
+        |),
+        |j AS (
+        |  SELECT cand.doc_id, cand.index_id,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |      len(list_distinct(x.sh || y.sh)) AS jaccard
+        |  FROM cand JOIN base x ON x.doc_id = cand.doc_id
+        |            JOIN base y ON y.doc_id = cand.index_id
+        |)
+        |SELECT doc_id, index_id, jaccard FROM j WHERE jaccard >= 0.05
+        |ORDER BY doc_id, index_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val index = DedupOps.portableSignatureRows(
+        docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", 3, 8)
+      Q.oracleOrder(
+        graft.streaming.StreamOps.confirmedNearDups(
+          docs.filter(col("doc_id") % 37 =!= 0), index,
+          "doc_id", "text", minJaccard = 0.05).toDF(),
+        "doc_id", "index_id")
+    },
+
+    // incremental cross-snapshot near-dup (r17): the OLD corpus's
+    // signatures persist to a parquet index ONCE (memoized index
+    // state, the q54/q130 contract); each run joins only the NEW
+    // slice against the saved index — hash-equal to the
+    // recompute-from-scratch oracle
+    Q.df("q151_incremental_minhash",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hv
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      p -> list_min(list_transform(hv, h -> ((2*p+1)*h + p) % 1000000007))) AS sg
+        |  FROM hs
+        |),
+        |bandrec AS (
+        |  SELECT doc_id, b,
+        |    sg[CAST(2*b+1 AS INT)] * 1000000007 + sg[CAST(2*b+2 AS INT)] AS bh
+        |  FROM sig, range(0, 4) t(b)
+        |),
+        |nb AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 3 = 0
+        |),
+        |ob AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 3 <> 0
+        |  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 64
+        |),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM nb n JOIN ob o ON n.b = o.b AND n.bh = o.bh
+        |)
+        |SELECT new_id, old_id,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |    len(list_distinct(x.sh || y.sh)) AS jaccard
+        |FROM cand JOIN base x ON x.doc_id = cand.new_id
+        |          JOIN base y ON y.doc_id = cand.old_id
+        |ORDER BY new_id, old_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val idxPath = graft.operators.PlanMemo.getOrCompute[String](
+        ("q151_sigindex", graft.operators.PlanMemo.dataKey(docs))) {
+        val p = java.nio.file.Files.createTempDirectory("graft_sigidx_").toString
+        DedupOps.writeSignatureIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", p)
+        p
+      }
+      Q.oracleOrder(
+        DedupOps.incrementalMinhashPairs(
+          docs.filter(col("doc_id") % 3 === 0), idxPath, "doc_id", "text"),
+        "new_id", "old_id")
+    },
+
     // blocked fuzzy string join: part names at edit distance <= 2
     // (entity resolution; equi-join + length band, exact levenshtein
     // verify — identical semantics in both engines). The block key is

@@ -147,6 +147,68 @@ object StreamOps {
       }
   }
 
+  final case class ConfirmedPair(doc_id: Long, index_id: Long, jaccard: Double)
+
+  /** Stage 2 of the streaming near-dup pipeline (r17, completes q149):
+    * incoming docs sign and band MAP-SIDE (shingles ride along), join
+    * a STATIC signature index — the retained representatives, or a
+    * decontamination corpus written by
+    * [[graft.operators.DedupOps.writeSignatureIndex]] — on the band
+    * buckets, and CONFIRM with exact shingle Jaccard ≥ `minJaccard`.
+    *
+    * State model: the stream-static join itself carries NO streaming
+    * state (the index side re-plans per micro-batch, broadcast when
+    * small); the only state is one boolean per emitted (doc, index)
+    * pair — the same emit-once contract as [[nearDupCandidates]], so
+    * the confirmed SET is provably batch- and arrival-order-invariant
+    * (StreamingSpec drives multiple batchings; q150 is the batch-twin
+    * oracle). Production bounds the pair state with a TTL; the index
+    * side caps its skewed buckets (`maxBucket`) exactly like the
+    * batch path — the stream side needs no cap because each incoming
+    * doc probes at most `bands` buckets. */
+  def confirmedNearDups(docs: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double = 0.25, shingleWords: Int = 3,
+      k: Int = 8, bands: Int = 4, maxBucket: Int = 64): Dataset[ConfirmedPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBase = graft.operators.DedupOps
+      .portableSignatureRows(docs, idCol, textCol, shingleWords, k)
+    // band-explode with the shingles riding along (NOT a join back to
+    // nBase — that would be a stream-stream self-join with unbounded
+    // state; this stays one map-side projection)
+    val M = 1000000007L
+    val nRecs = nBase.select(col("doc_id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            (element_at(col("sig"), b * 2 + 1) * M +
+              element_at(col("sig"), b * 2 + 2)).as("band_hash")))).as("r"))
+      .select(col("doc_id"), col("sh"),
+        col("r.band").as("band"), col("r.band_hash").as("band_hash"))
+    val iRecs = graft.operators.DedupOps
+      .portableBandRecords(index.select(col("doc_id"), col("sig")),
+        bands, maxBucket)
+      .withColumnRenamed("doc_id", "index_id")
+      .join(index.select(col("doc_id").as("index_id"), col("sh").as("sh_i")),
+        "index_id")
+    nRecs.join(iRecs, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("index_id"),
+        (size(array_intersect(col("sh"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh"), col("sh_i"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .as[ConfirmedPair]
+      .groupByKey(p => (p.doc_id, p.index_id))
+      .flatMapGroupsWithState[Boolean, ConfirmedPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((doc, idx), rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // pair already confirmed
+          else {
+            state.update(true)
+            // same pair ⇒ same shingles ⇒ same jaccard in every band
+            Iterator.single(rows.next())
+          }
+      }
+  }
+
   // ---- gap-based sessionization (flatMapGroupsWithState) ---------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

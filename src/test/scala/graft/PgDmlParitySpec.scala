@@ -182,6 +182,18 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script11.sql", "/dml/live11.txt")
   }
 
+  test("sweep-42: executed ON DELETE actions (CASCADE/SET NULL/SET DEFAULT) match live pg") {
+    // r17 — referential actions EXECUTE instead of 0A000: 444
+    // statements over a 2-level CASCADE chain (fp→fc→fg) with a NO
+    // ACTION grandchild blocker (fx), SET NULL (fn, plus a NOT NULL
+    // column → 23502), SET DEFAULT (fd, incl. the default key
+    // vanishing in the same statement → 23503), a self-referencing
+    // CASCADE tree (ft), DELETE…USING arms, and a RETURNING over a
+    // cascading delete. Live pg raised 24× 23503, 8× 23505, 1× 23502
+    // in this trace; full state dumps after every destructive wave.
+    replay("/dml/script12.sql", "/dml/live12.txt")
+  }
+
   test("sweep-41b: TRUNCATE/DROP ... CASCADE over FK references matches live pg") {
     // TRUNCATE CASCADE pulls referencing tables in transitively;
     // DROP TABLE CASCADE drops the dependent CONSTRAINT and stops

@@ -290,8 +290,9 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
       "cannot drop table mfcust because other objects depend on it"))
     assert(e4.errors.head._2.contains(
       "constraint mford_cid_fkey on table mford depends on table mfcust"))
-    // cascade-class action: recorded, rendered, and 0A000 at the
-    // moment it would fire — NOT at DDL or on unaffected rows
+    // cascade actions EXECUTE since r17 (sweep-42 is the randomized
+    // differential; this pins the single-case shapes): recorded,
+    // rendered, and fired as extra distributed DML in the statement
     c.query("DROP TABLE IF EXISTS cford")
     assert(c.query("CREATE TABLE cford (oid int PRIMARY KEY, " +
       "cid int REFERENCES mfcust (id) ON DELETE CASCADE)").errors === Nil)
@@ -302,11 +303,28 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     c.query("INSERT INTO cford VALUES (20, 1)")
     // deleting an UNREFERENCED parent row under CASCADE is fine
     assert(c.query("DELETE FROM mfcust WHERE id = 2").tags === Seq("DELETE 1"))
+    // the NO ACTION mford FK still blocks — same 23503 live pg raises
+    // with a CASCADE sibling present (the cascade alone would fire)
     val e5 = c.query("DELETE FROM mfcust WHERE id = 1")
-    assert(e5.errors.map(_._1) === Seq("0A000"))
-    assert(e5.errors.head._2.contains("cascading referential action"))
-    c.query("DROP TABLE cford"); c.query("DROP TABLE mford")
-    c.query("DROP TABLE mfcust")
+    assert(e5.errors.map(_._1) === Seq("23503"))
+    assert(e5.errors.head._2.contains(
+      "violates foreign key constraint \"mford_cid_fkey\" on table \"mford\""))
+    // clear the blocker: now the delete cascades into cford (tag
+    // counts only the direct parent row, like pg)
+    assert(c.query("DELETE FROM mford WHERE oid = 10").tags === Seq("DELETE 1"))
+    assert(c.query("DELETE FROM mfcust WHERE id = 1").tags === Seq("DELETE 1"))
+    assert(rows(c, "SELECT count(*) FROM cford") === Seq(Seq("0")))
+    // ON UPDATE cascade-class stays the honest 0A000 (documented cut)
+    c.query("INSERT INTO mfcust VALUES (3, 'c')")
+    c.query("DROP TABLE IF EXISTS uford")
+    assert(c.query("CREATE TABLE uford (oid int PRIMARY KEY, " +
+      "cid int REFERENCES mfcust (id) ON UPDATE CASCADE)").errors === Nil)
+    c.query("INSERT INTO uford VALUES (30, 3)")
+    val e6 = c.query("UPDATE mfcust SET id = 4 WHERE id = 3")
+    assert(e6.errors.map(_._1) === Seq("0A000"))
+    assert(e6.errors.head._2.contains("cascading referential action"))
+    c.query("DROP TABLE uford"); c.query("DROP TABLE cford")
+    c.query("DROP TABLE mford"); c.query("DROP TABLE mfcust")
     c.close()
   }
 

@@ -136,6 +136,40 @@ class StreamingSpec extends SparkSpec {
     assert(reversed === oneBatch, "arrival order changed the emitted set")
   }
 
+  test("confirmedNearDups: stream-static verify emits each pair once, batch-invariant (r17)") {
+    implicit val sqlCtx = spark.sqlContext
+    // static representative index: two retained docs
+    val index = graft.operators.DedupOps.portableSignatureRows(
+      Seq((100L, "alpha beta gamma delta"), (200L, "totally different words entirely"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 3, 8)
+    def run(batches: Seq[Seq[(Long, String)]]): Set[(Long, Long, Double)] = {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text")
+      val name = s"ndv_out_${batches.hashCode.abs}"
+      val q = StreamOps.confirmedNearDups(docs, index, "doc_id", "text",
+          minJaccard = 0.5)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally q.stop()
+    }
+    val dMatch = (5L, "alpha beta gamma delta")      // exact match of rep 100
+    val dNear = (7L, "alpha beta gamma delta extra") // near 100 (shares shingles)
+    val dFar = (9L, "wholly unrelated content here") // matches nothing
+    val dup = (5L, "alpha beta gamma delta")         // re-arrival of doc 5
+    val oneBatch = run(Seq(Seq(dMatch, dNear, dFar)))
+    val split = run(Seq(Seq(dNear), Seq(dMatch, dFar)))
+    val withDup = run(Seq(Seq(dMatch), Seq(dup, dNear, dFar)))
+    assert(oneBatch.map(t => (t._1, t._2)) === Set((5L, 100L), (7L, 100L)))
+    assert(oneBatch.forall(_._3 >= 0.5))
+    assert(split === oneBatch, "batch boundaries changed the confirmed set")
+    assert(withDup === oneBatch, "a re-arriving doc re-emitted its pair")
+  }
+
   test("parquet file sink with checkpoint: the production write path") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
