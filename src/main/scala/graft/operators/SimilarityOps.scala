@@ -558,17 +558,65 @@ object SimilarityOps extends Serializable {
 
   def bucketedPairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, minDot: Long, maxBucket: Int = 10000): DataFrame = {
-    graft.functions.VectorExpressions.install(embs.sparkSession)
-    val b0 = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    // shared skew guard (groupBy-count semi-join — never a count window
-    // that would funnel a hot bucket through one task; see
-    // DedupOps.capBuckets scaladoc)
-    val b = DedupOps.capBuckets(b0, Seq("bucket"), maxBucket)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        qdot(col("a.qv"), col("b.qv")).as("dot"))
-      .filter(col("dot") >= minDot)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.install(spark)
+    // ONE shuffle (r17 — the q52 weak-set fix): same-bucket rows
+    // co-locate via a bucket repartition and pairs generate inside
+    // the task, replacing the r16 chain (bucket census agg + cap
+    // semi-join + broadcast build + self-join = 4 job floors on a
+    // sub-second query). The cap semantics are capBuckets' exactly:
+    // an over-cap bucket drops WHOLE (the DuckDB QUALIFY mirror).
+    // Scale: parallelism is #buckets spread over partitions — at
+    // production bucket counts (2^bits ≫ cores) every core fills;
+    // the worst task is cap²/2 long-dot products, the same bound any
+    // pair generator has inside one bucket. Exact-integer dots on
+    // floor(x·10⁴) grids, same arithmetic as the qdot expression.
+    embs.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket"))
+      .as[(Long, Array[Long], Long)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        var curBucket = Long.MinValue
+        var overflow = false
+        def flush(): Iterator[(Long, Long, Long)] = {
+          if (overflow || buf.length < 2) { buf.clear(); overflow = false; Iterator.empty }
+          else {
+            val rows = buf.toArray // already id-ascending (partition sort)
+            buf.clear(); overflow = false
+            val out = Iterator.tabulate(rows.length - 1) { i =>
+              val (ida, qa) = rows(i)
+              Iterator.range(i + 1, rows.length).flatMap { j =>
+                val (idb, qb) = rows(j)
+                var d = 0L; var p = 0
+                val n = math.min(qa.length, qb.length)
+                while (p < n) { d += qa(p) * qb(p); p += 1 }
+                if (d >= minDot) Iterator.single((ida, idb, d)) else Iterator.empty
+              }
+            }
+            out.flatten
+          }
+        }
+        new Iterator[(Long, Long, Long)] {
+          private var pending: Iterator[(Long, Long, Long)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!pending.hasNext && it.hasNext) {
+              val (id, qv, bucket) = it.next()
+              if (bucket != curBucket) { pending = flush(); curBucket = bucket }
+              if (overflow) () // keep draining the hot bucket
+              else if (buf.length >= maxBucket) { buf.clear(); overflow = true }
+              else buf += ((id, qv))
+            }
+            // source drained: flush the final bucket (idempotent — a
+            // repeat call sees an empty buffer and yields nothing)
+            if (!pending.hasNext && !it.hasNext) pending = flush()
+          }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (Long, Long, Long) = { advance(); pending.next() }
+        }
+      }
+      .toDF("vec_a", "vec_b", "dot")
   }
 }

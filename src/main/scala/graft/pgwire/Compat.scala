@@ -927,6 +927,7 @@ object Compat {
     // rewrite: it wraps aggregate-internal ORDER BY keys in enum_ord
     // before rewriteJsonAggs lowers them into sorted-struct collects
     rewriteEnumOps(ts)
+    rewriteJsonAggInputOrder(ts)
     rewriteJsonAggs(ts)
     rewriteJsonToRecord(ts)
     rewriteSetReturning(ts)
@@ -1810,7 +1811,9 @@ object Compat {
       return false
     val k1 = nextIdx(ts, fi.e)
     val kind = if (k1 < 0) "" else ts(k1).text.toUpperCase
-    if (kind != "GROUP" && kind != "TIES") return false
+    // GROUP/TIES (r16) and CURRENT (r17 — the last 0A000 window
+    // shape): all three split in group space for min/max
+    if (kind != "GROUP" && kind != "TIES" && kind != "CURRENT") return false
     if (!windowAggFn(ts, overIdx).exists(f => f == "min" || f == "max"))
       return false
     var orderIdx = -1; var depth = 0; var j = open + 1
@@ -2059,11 +2062,20 @@ object Compat {
       }
       val splitAtGroup = (kind == "GROUP" || kind == "TIES") &&
         rangeKw && grpOrdered
-      if (!((kind == "CURRENT" && rowsKw) || splitAtGroup))
+      // EXCLUDE CURRENT ROW over a RANGE/GROUPS frame (r17 — closes
+      // the last 0A000 window shape): such frames are unions of WHOLE
+      // peer groups, so the frame splits into [start, group-1],
+      // [group+1, end] (group space, like GROUP/TIES) plus the
+      // current group MINUS the current row — rebuilt as two
+      // complementary ROWS windows PARTITIONED BY the peer group
+      // itself (same partition+order ⇒ one Window operator ⇒ the
+      // same physical row order, so the complement is exact).
+      val splitCurAtGroup = kind == "CURRENT" && rangeKw && grpOrdered
+      if (!((kind == "CURRENT" && rowsKw) || splitAtGroup || splitCurAtGroup))
         throw PgException("0A000",
           s"$fn with EXCLUDE $kind on this frame is not supported " +
           "(ROWS … EXCLUDE CURRENT ROW and RANGE/GROUPS … EXCLUDE " +
-          "GROUP/TIES split exactly)")
+          "CURRENT ROW/GROUP/TIES split exactly)")
       // frame bound token spans
       val b1 = nextIdx(ts, fi.f)
       val (b1Toks, b2Toks) =
@@ -2094,6 +2106,26 @@ object Compat {
       if (hasRight) parts += (() => piece(Vector(Tok(Word, "1 FOLLOWING")), b2Toks))
       if (kind == "TIES")
         parts += (() => { w("("); repl ++= args; w(")") })
+      if (splitCurAtGroup) {
+        // current group minus the current row: complementary ROWS
+        // windows partitioned by (part, __grpN)
+        val grpName = {
+          val by = nextIdx(ts, orderIdx)
+          ts.slice(by + 1, fi.f).filter(_.kind != Ws).head.text
+        }
+        val partPrefix = ts.slice(open + 1, orderIdx).toVector
+        def peerSpec(frame: String): Vector[Tok] = {
+          val pp =
+            if (partPrefix.exists(_.kind == Word))
+              partPrefix :+ Tok(Word, s", $grpName")
+            else Vector(Tok(Word, s"PARTITION BY $grpName"))
+          pp :+ Tok(Word, s" ORDER BY $grpName ROWS BETWEEN $frame")
+        }
+        parts += (() => winOver(fn,
+          peerSpec("UNBOUNDED PRECEDING AND 1 PRECEDING")))
+        parts += (() => winOver(fn,
+          peerSpec("1 FOLLOWING AND UNBOUNDED FOLLOWING")))
+      }
       if (parts.isEmpty) {
         // the frame minus the exclusion is provably empty: NULL of
         // the argument's type
@@ -3239,6 +3271,152 @@ object Compat {
     if (w < 0 || !ts(w).isWord("WHERE")) return None
     val end = matchParen(ts, open)
     if (end < 0) None else Some((ts.slice(w + 1, end).toVector, end))
+  }
+
+  private var rsSeq = 0
+
+  /** pg's no-ORDER-BY `json[b]_agg` follows INPUT order (pg's heap
+    * scan). Where that order is well-defined here — the block's FROM
+    * is ONE base relation (optionally aliased; WHERE/GROUP BY don't
+    * disturb it, because the captured KEY orders the sort, not
+    * arrival order after a shuffle) — capture it (r17): wrap the
+    * relation in a subquery minting `monotonically_increasing_id()
+    * AS __rsN` (scan order: the id is partition-prefixed and
+    * partition index follows split order) and turn the bare
+    * aggregate into its `ORDER BY __rsN` form, which
+    * [[rewriteJsonAggs]] lowers to the sorted-struct collect. Spark
+    * rejects the id directly inside an aggregate argument
+    * (42845 nondeterministic-in-aggregate), hence the block
+    * restructure. Blocks with joins / subquery / multi-relation
+    * sources keep the value-sorted fallback (documented: a
+    * multi-source input has no pg-reproducible order). Residual
+    * deviation: pg heap order diverges from parquet file order once
+    * pg-side UPDATEs relocate rows — unpinnable, documented. */
+  private def rewriteJsonAggInputOrder(ts: ArrayBuffer[Tok]): Unit = {
+    val targets = Set("json_agg", "jsonb_agg")
+    var guard = 0
+    var again = true
+    while (again && guard < 64) {
+      again = false; guard += 1
+      val depths = new Array[Int](ts.length)
+      var d = 0
+      for (j <- ts.indices) {
+        if (ts(j).is("(")) { depths(j) = d; d += 1 }
+        else if (ts(j).is(")")) { d -= 1; depths(j) = d }
+        else depths(j) = d
+      }
+      var i = 0
+      while (i < ts.length && !again) {
+        val t = ts(i)
+        if (t.kind == Word && targets.contains(t.text.toLowerCase) &&
+            !t.text.startsWith("__")) {
+          val open = nextIdx(ts, i)
+          val close = if (open >= 0 && ts(open).is("(")) matchParen(ts, open) else -1
+          if (close > 0) {
+            var depth = 0; var j = open + 1
+            var hasOrder = false; var hasDistinct = false; var isStar = false
+            while (j < close) {
+              if (ts(j).is("(")) depth += 1
+              else if (ts(j).is(")")) depth -= 1
+              else if (depth == 0 && ts(j).isWord("ORDER")) hasOrder = true
+              else if (depth == 0 && ts(j).isWord("DISTINCT")) hasDistinct = true
+              else if (depth == 0 && ts(j).is("*")) isStar = true
+              j += 1
+            }
+            if (!hasOrder && !hasDistinct && !isStar)
+              again = captureInputOrder(ts, depths, i, close)
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** One no-ORDER-BY json agg: resolve its block's FROM relation; if
+    * eligible, wrap it (or reuse an existing __rs wrap) and append
+    * `ORDER BY __rsN` to the call. Returns true when tokens changed
+    * (caller rescans — indices shifted). */
+  private def captureInputOrder(ts: ArrayBuffer[Tok], depths: Array[Int],
+      aggIdx: Int, aggClose: Int): Boolean = {
+    var s = aggIdx
+    while (s >= 0 && !(ts(s).isWord("SELECT") && depths(s) <= depths(aggIdx)))
+      s -= 1
+    if (s < 0) return false
+    val ds = depths(s)
+    var fromIdx = -1; var end = ts.length; var j = s + 1
+    while (j < ts.length && end == ts.length) {
+      if (depths(j) < ds) end = j
+      else if (depths(j) == ds && ts(j).kind == Word) {
+        val w = ts(j).text.toUpperCase
+        if (w == "FROM" && fromIdx < 0) fromIdx = j
+        else if (w == "UNION" || w == "INTERSECT" || w == "EXCEPT") end = j
+      }
+      j += 1
+    }
+    if (fromIdx < 0) return false
+    val stopWords = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+      "OFFSET", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+    val rel = nextIdx(ts, fromIdx)
+    if (rel < 0 || rel >= end) return false
+    // already wrapped by a previous agg in this block? reuse its key
+    if (ts(rel).is("(")) {
+      val relClose = matchParen(ts, rel)
+      if (relClose < 0) return false
+      val existing = ts.slice(rel, relClose).collectFirst {
+        case tok if tok.kind == Word && tok.text.startsWith("__rs") => tok.text
+      }
+      existing match {
+        case Some(key) =>
+          ts.insertAll(aggClose, Seq(Tok(Ws, " "), Tok(Word, "ORDER"),
+            Tok(Ws, " "), Tok(Word, "BY"), Tok(Ws, " "), Tok(Word, key)))
+          true
+        case None => false
+      }
+    } else if (ts(rel).kind == Word) {
+      // single base relation [AS] [alias], then a block keyword or end
+      val relText = ts(rel).text
+      var aliasEnd = rel
+      var alias = ts(rel).text.split("\\.").last
+      val n1 = nextIdx(ts, rel)
+      if (n1 >= 0 && n1 < end && ts(n1).isWord("AS")) {
+        val n2 = nextIdx(ts, n1)
+        if (n2 < 0 || n2 >= end || ts(n2).kind != Word) return false
+        alias = ts(n2).text; aliasEnd = n2
+      } else if (n1 >= 0 && n1 < end && ts(n1).kind == Word &&
+          !stopWords.contains(ts(n1).text.toUpperCase)) {
+        alias = ts(n1).text; aliasEnd = n1
+      }
+      val after = nextIdx(ts, aliasEnd)
+      val cleanTail = after < 0 || after >= end ||
+        (ts(after).kind == Word && stopWords.contains(ts(after).text.toUpperCase)) ||
+        ts(after).is(")")
+      if (!cleanTail) return false // join/comma/tablesample: fallback path
+      // whole-row form json_agg(t) must not capture: the wrap would
+      // add the __rs column to the row struct itself
+      val aggOpen = nextIdx(ts, aggIdx)
+      val argToks = ts.slice(aggOpen + 1, aggClose).filter(_.kind != Ws)
+      if (argToks.length == 1 && argToks.head.kind == Word &&
+          (argToks.head.text.equalsIgnoreCase(alias) ||
+            argToks.head.text.equalsIgnoreCase(relText)))
+        return false
+      rsSeq += 1
+      val key = s"__rs$rsSeq"
+      // splice the LATER span first so earlier indices stay valid
+      if (rel > aggClose) {
+        ts.remove(rel, aliasEnd - rel + 1)
+        ts.insertAll(rel, Seq(Tok(Word,
+          s"(SELECT *, monotonically_increasing_id() AS $key FROM $relText) $alias")))
+        ts.insertAll(aggClose, Seq(Tok(Ws, " "), Tok(Word, "ORDER"),
+          Tok(Ws, " "), Tok(Word, "BY"), Tok(Ws, " "), Tok(Word, key)))
+      } else {
+        ts.insertAll(aggClose, Seq(Tok(Ws, " "), Tok(Word, "ORDER"),
+          Tok(Ws, " "), Tok(Word, "BY"), Tok(Ws, " "), Tok(Word, key)))
+        ts.remove(rel, aliasEnd - rel + 1)
+        ts.insertAll(rel, Seq(Tok(Word,
+          s"(SELECT *, monotonically_increasing_id() AS $key FROM $relText) $alias")))
+      }
+      true
+    } else false
   }
 
   /** pg json aggregates → the engine's ordered UDAFs. Spark has no

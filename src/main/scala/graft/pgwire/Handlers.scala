@@ -41,13 +41,28 @@ object Handlers {
 
   def execute(spark: SparkSession, session: Session, rawSql: String,
       auth: Option[AuthManager] = None, hooks: Seq[QueryHook] = Nil): PgResult = {
+    val t0 = System.nanoTime()
     val r = executeInner(spark, session, rawSql, auth, hooks)
     // warehouse-meta write-through: after a successful schema-shaping
     // statement, snapshot the wire-table catalog (the registries
     // persist themselves inside their own mutators)
     PgMeta.afterStatement(spark,
       rawSql.trim.takeWhile(!_.isWhitespace).toUpperCase)
-    r
+    // pg_stat_statements counters: successful statements only (pg
+    // doesn't count failures); row-returning statements add their row
+    // count at drain through the wrapped tag builder
+    val ms = (System.nanoTime() - t0) / 1e6
+    r match {
+      case EmptyQuery => r
+      case rs: RowSet =>
+        val key = PgStatStatements.record(rawSql, ms)
+        rs.copy(tagFor = n => { PgStatStatements.addRows(key, n); rs.tagFor(n) })
+      case Complete(tag, _) =>
+        val key = PgStatStatements.record(rawSql, ms)
+        "(?s).*?(\\d+)\\s*$".r.findFirstMatchIn(tag)
+          .foreach(m => PgStatStatements.addRows(key, m.group(1).toLong))
+        r
+    }
   }
 
   private def executeInner(spark: SparkSession, session: Session, rawSql: String,
@@ -166,6 +181,16 @@ object Handlers {
         // RELEASE pops the named savepoint AND everything after it
         session.savepoints.remove(idx, session.savepoints.length - idx)
         Complete("RELEASE")
+      // SET CONSTRAINTS (r17): every constraint here checks per
+      // statement, which IS pg's IMMEDIATE mode — so … IMMEDIATE is a
+      // correct no-op. … DEFERRED would need transactional write
+      // buffering (a commit-time violation must undo the statement's
+      // already-applied distributed rewrites) — honest 0A000.
+      case "SET" if second == "CONSTRAINTS" =>
+        if (toks.exists(_.isWord("DEFERRED")))
+          throw PgException("0A000",
+            "deferred constraint checking is not supported (writes apply per statement)")
+        Complete("SET CONSTRAINTS")
       case "SET" if second != "" => handleSet(spark, session, toks)
       case "RESET" => Complete("RESET")
       case "SHOW" if !sparkShowKeywords.contains(second) =>
@@ -1130,6 +1155,10 @@ object Handlers {
     val lower = rewritten.toLowerCase
     if (lower.contains("pg_") || lower.contains("information_schema"))
       PgCatalog.refresh(spark)
+    // live counters: rebuilt per referencing query (pg reads shared
+    // memory; per-query rebuild is the same read-your-writes shape)
+    if (lower.contains("pg_stat_statements"))
+      PgStatStatements.refreshView(spark)
     // pg dialect type semantics: the analyzer rule (GraftExtensions
     // sessions) fires inside withPg; the post-analysis apply covers
     // terminal positions on sessions built without the extension
@@ -3146,7 +3175,7 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
         return insertChecked(spark, session, canon, conflictSpec, insAlias)
       val retPos = Compat.topLevelKeywordPos(canon, "RETURNING")
       if (retPos >= 0) return insertReturning(spark, canon, retPos)
-      val df = runSql(spark, canon)
+      val df = runSql(spark, singleFileValues(canon))
       val n = outputRows(df)
       return Complete(s"INSERT 0 $n")
     }
@@ -3167,6 +3196,24 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
       case _ =>
         RowSet(df.schema, df.toLocalIterator().asScala, n => s"SELECT $n")
     }
+  }
+
+  /** A multi-row VALUES insert writes ONE file (r17): row order
+    * inside a single parquet file is scan-stable, which keeps pg's
+    * heap order reproducible for json_agg's input-order path — and
+    * stops a 4-row OLTP insert from littering one file per local
+    * core (file LISTING order is uuid-random, so a multi-file batch
+    * loses its insert order). Bulk INSERT…SELECT keeps its
+    * parallelism — only the literal VALUES shape coalesces. */
+  private def singleFileValues(sql: String): String = {
+    val vPos = Compat.topLevelKeywordPos(sql, "VALUES")
+    if (vPos < 0) return sql
+    val head = sql.substring(0, vPos)
+    val ok = ("(?is)^\\s*INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)" +
+      "\\s*(\\([^)]*\\))?\\s*$").r.findFirstMatchIn(head).isDefined
+    if (!ok) return sql
+    head + "SELECT /*+ COALESCE(1) */ * FROM (" +
+      sql.substring(vPos).trim.stripSuffix(";") + ") __graft_vals"
   }
 
   /** Families whose stored text must be CANONICAL (pg's type input

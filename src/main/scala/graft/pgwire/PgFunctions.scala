@@ -1077,6 +1077,8 @@ object PgFunctions {
     graft.functions.Trigram.registerAll(spark)
     graft.functions.PgEnums.registerUdfs(spark)
     PgSequences.registerUdfs(spark)
+    PgStatStatements.registerUdfs(spark)
+    PgStatStatements.refreshView(spark) // empty view until first read rebuilds
     graft.functions.Inet.registerAll(spark)
     graft.functions.Bits.registerAll(spark)
     graft.functions.Xml.registerAll(spark)

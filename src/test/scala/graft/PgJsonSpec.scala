@@ -329,8 +329,16 @@ class PgJsonSpec extends SparkSpec {
 
   test("json[b]_agg and json[b]_object_agg rewrite to the ordered UDAFs") {
     import graft.pgwire.Compat
-    assert(Compat.rewrite("SELECT json_agg(x) FROM t") ===
-      "SELECT ordered_json_agg(to_jsonb(x), CAST(x AS STRING)) FROM t")
+    // no-ORDER-BY over a base relation captures INPUT order (r17):
+    // mono-id subquery wrap + the ORDER BY __rsN struct-sort form
+    locally {
+      val r = Compat.rewrite("SELECT json_agg(x) FROM t")
+      assert(r.contains("monotonically_increasing_id()"), r)
+      assert(r.contains("array_sort(collect_list(named_struct("), r)
+    }
+    // non-capturable source (VALUES/join/subquery): value-sorted fallback
+    assert(Compat.rewrite("SELECT json_agg(x) FROM (SELECT 1 x) t")
+      .contains("ordered_json_agg(to_jsonb(x), CAST(x AS STRING))"))
     // aggregate-internal ORDER BY keeps the user's TYPED key (struct
     // sort) — a numeric key must sort numerically, not as a string
     assert(Compat.rewrite("SELECT jsonb_agg(v ORDER BY k) FROM t")
@@ -352,6 +360,44 @@ class PgJsonSpec extends SparkSpec {
     // jsonb_array_length renames to the Spark builtin
     assert(Compat.rewrite("SELECT jsonb_array_length('[1,2,3]') FROM t") ===
       "SELECT json_array_length('[1,2,3]') FROM t")
+  }
+
+  test("json[b]_agg without ORDER BY follows input order on base-table scans (live pg pinned, r17)") {
+    // pg's no-ORDER-BY json_agg follows heap-scan order. Over a
+    // single base relation the rewrite captures it: the FROM wraps in
+    // a monotonically_increasing_id() subquery and the agg becomes
+    // its ORDER BY __rsN form — exact for a single-statement
+    // multi-row INSERT (one parquet file preserves row order), and
+    // the captured key survives a GROUP BY shuffle because the SORT
+    // uses the key, not arrival order. Values captured live
+    // 2026-08-16. Residual (documented): multi-statement inserts
+    // write separate files whose listing order is uuid-random, and
+    // VALUES/join/subquery sources keep the value-sorted fallback.
+    import graft.pgwire.{Handlers, Session, RowSet}
+    graft.pgwire.PgFunctions.registerAll(spark)
+    val sess = new Session(83, "postgres", "postgres")
+    def run(sql: String): String =
+      Handlers.execute(spark, sess, sql) match {
+        case RowSet(_, rows, _, _) =>
+          rows.map(r => Option(r.get(0)).map(_.toString).getOrElse("NULL"))
+            .mkString(";")
+        case other => other.toString
+      }
+    run("DROP TABLE IF EXISTS jord")
+    run("CREATE TABLE jord (v int, s text)")
+    run("INSERT INTO jord VALUES (3,'c'),(1,'a'),(2,'b'),(NULL,'z')")
+    assert(run("SELECT json_agg(v) FROM jord") === "[3, 1, 2, null]")
+    assert(run("SELECT json_agg(s) FROM jord WHERE v IS NOT NULL") ===
+      """["c", "a", "b"]""")
+    assert(run("SELECT jsonb_agg(v) FROM jord") === "[3, 1, 2, null]")
+    // the captured key survives the GROUP BY shuffle
+    assert(run("SELECT json_agg(v) FROM jord WHERE v IS NOT NULL " +
+      "GROUP BY v % 2 ORDER BY 1") === "[2];[3, 1]")
+    // explicit ORDER BY unchanged
+    assert(run("SELECT json_agg(v ORDER BY v) FROM jord") === "[1, 2, 3, null]")
+    // aliased relation + qualified arg still captures
+    assert(run("SELECT json_agg(j.v) FROM jord j") === "[3, 1, 2, null]")
+    run("DROP TABLE jord")
   }
 
   test("jsonb_path_*_tz variants resolve tz-mixed datetime comparisons") {

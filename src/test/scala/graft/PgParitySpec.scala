@@ -1768,6 +1768,41 @@ class PgParitySpec extends SparkSpec {
       assert(one(wf(expr)) === want, s"expr: $expr")
   }
 
+  test("sweep-25d: min/max EXCLUDE CURRENT ROW over RANGE/GROUPS frames (live pg 15, r17)") {
+    // the LAST 0A000 window shape, closed: a RANGE/GROUPS frame is a
+    // union of whole peer groups, so it splits into [start, group-1],
+    // [group+1, end] in dense_rank group space PLUS the current group
+    // minus the current row — two complementary ROWS windows
+    // partitioned by the peer group itself (same partition+order ⇒
+    // one Window operator ⇒ one physical row order ⇒ exact
+    // complement). 7 vectors incl. partitioned, offset-GROUPS,
+    // peers-minus-self, and cannot-contain-current (pg's no-op),
+    // captured live 2026-08-16.
+    def wf(inner: String): String =
+      s"(SELECT string_agg(coalesce(s::text,'N'), ',' ORDER BY id) FROM " +
+      s"(SELECT id, $inner AS s FROM (VALUES (1,1,1,10),(2,1,2,20),(3,1,2,30)," +
+      s"(4,1,3,40),(5,1,3,NULL::int),(6,2,3,60),(7,2,5,70)) v(id,p,o,x)) q)"
+    val pinned: Seq[(String, String)] = Seq(
+      ("min(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "N,10,10,10,10,10,10"),
+      ("max(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)",
+       "70,70,70,70,70,70,60"),
+      ("min(x) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)",
+       "20,30,20,N,40,70,N"),
+      // bare peer group minus the row itself
+      ("min(x) OVER (ORDER BY o RANGE BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "N,30,20,60,40,40,N"),
+      ("min(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+       "20,10,10,20,20,20,40"),
+      ("max(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+       "N,30,20,30,40,N,60"),
+      // frame cannot contain the current row: EXCLUDE is pg's no-op
+      ("max(x) OVER (ORDER BY o GROUPS BETWEEN 1 FOLLOWING AND 2 FOLLOWING EXCLUDE CURRENT ROW)",
+       "60,70,70,70,70,70,N"))
+    for ((expr, want) <- pinned)
+      assert(one(wf(expr)) === want, s"expr: $expr")
+  }
+
   test("sweep-26: german/french/spanish text-search configs (live pg 15, UTF8 db)") {
     // End-to-end through the config path (parser + stop words +
     // Snowball stemmer): 20 vectors, 0 diffs against a UTF8-encoding
