@@ -625,6 +625,23 @@ object DedupOps {
     incrementalMinhashPairsManaged(newDocs, indexPath, idCol, textCol,
       shingleWords, k, bands, maxBucket).df
 
+  /** The other half of the incremental run (r17): SURVIVORS — new
+    * docs with NO confirmed near-dup in the index at `minJaccard` —
+    * i.e. exactly the rows the pipeline keeps AND the signature
+    * DELTA it appends to the index for the next snapshot
+    * ([[writeSignatureIndex]] over the survivors, mode append).
+    * One anti-join over the (already bounded) confirmed-pair ids. */
+  def incrementalSurvivors(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, minJaccard: Double = 0.5,
+      shingleWords: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    val managed = incrementalMinhashPairsManaged(newDocs, indexPath,
+      idCol, textCol, shingleWords, k, bands, maxBucket)
+    val dupIds = managed.df.filter(col("jaccard") >= minJaccard)
+      .select(col("new_id")).distinct()
+    newDocs.join(dupIds, newDocs(idCol) === dupIds("new_id"), "left_anti")
+  }
+
   /** Portable 32-bit SimHash with capped chunk-peer counts — the
     * [[simhashWithPeers]] shape (map-side hash → 8-bit chunk buckets →
     * skew cap → self-join peer count) over rolling-hash token digests

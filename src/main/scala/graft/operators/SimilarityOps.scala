@@ -126,23 +126,78 @@ object SimilarityOps extends Serializable {
     */
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       bits: Int, cosNum: Int, cosDen: Int, maxBucket: Int = 10000): DataFrame = {
-    graft.functions.VectorExpressions.install(embs.sparkSession)
-    // |v|² is computed ONCE per row in the pre-join projection — as a
-    // per-pair expression it would be re-evaluated for every candidate
-    // pair (~bucket²/2 times per vector)
-    val b0 = embs.select(col(idCol).as("id"), quantize1k(col(vecCol)).as("qv"),
-      signBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("n2", qnorm2(col("qv")))
-    val b = DedupOps.capBuckets(b0, Seq("bucket"), maxBucket)
-    val dot = qdot(col("a.qv"), col("b.qv"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        dot.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
-      .filter(col("dot") > 0 &&
-        lit(cosDen.toLong * cosDen) * col("dot") * col("dot") >=
-          lit(cosNum.toLong * cosNum) * col("na2") * col("nb2"))
-      .select(col("vec_a"), col("vec_b"), col("dot"))
+    val spark = embs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.install(spark)
+    // same ONE-shuffle shape as [[bucketedPairs]] (r17): co-locate by
+    // sign bucket, generate pairs in-task with exact-integer cosine
+    // gating — 100·dot² ≥ 9·|a|²·|b|² over the floor(x·10³) grid, dot
+    // must be positive. |v|² computes once per row on the way in.
+    val num2 = cosNum.toLong * cosNum
+    val den2 = cosDen.toLong * cosDen
+    embs.select(col(idCol).cast("long").as("id"),
+        quantize1k(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket"))
+      .as[(Long, Array[Long], Long)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .mapPartitions { it =>
+        groupedBucketPairs(it, maxBucket) { (ida, qa, na2, idb, qb, nb2) =>
+          var d = 0L; var p = 0
+          val n = math.min(qa.length, qb.length)
+          while (p < n) { d += qa(p) * qb(p); p += 1 }
+          if (d > 0 && den2 * d * d >= num2 * na2 * nb2)
+            Iterator.single((ida, idb, d))
+          else Iterator.empty
+        }
+      }
+      .toDF("vec_a", "vec_b", "dot")
+  }
+
+  /** Shared in-task pair generator over bucket-sorted rows: buffers
+    * one bucket at a time (over-cap buckets drop WHOLE — the QUALIFY
+    * mirror), precomputes |v|² per row, and emits via `f` for each
+    * id-ascending pair. */
+  private def groupedBucketPairs(it: Iterator[(Long, Array[Long], Long)],
+      maxBucket: Int)(
+      f: (Long, Array[Long], Long, Long, Array[Long], Long) => Iterator[(Long, Long, Long)])
+      : Iterator[(Long, Long, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+    var curBucket = Long.MinValue
+    var overflow = false
+    def norm2(q: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < q.length) { s += q(i) * q(i); i += 1 }
+      s
+    }
+    def flush(): Iterator[(Long, Long, Long)] = {
+      if (overflow || buf.length < 2) { buf.clear(); overflow = false; Iterator.empty }
+      else {
+        val rows = buf.toArray // id-ascending (partition sort)
+        buf.clear(); overflow = false
+        Iterator.tabulate(rows.length - 1) { i =>
+          val (ida, qa, na2) = rows(i)
+          Iterator.range(i + 1, rows.length).flatMap { j =>
+            val (idb, qb, nb2) = rows(j)
+            f(ida, qa, na2, idb, qb, nb2)
+          }
+        }.flatten
+      }
+    }
+    new Iterator[(Long, Long, Long)] {
+      private var pending: Iterator[(Long, Long, Long)] = Iterator.empty
+      private def advance(): Unit = {
+        while (!pending.hasNext && it.hasNext) {
+          val (id, qv, bucket) = it.next()
+          if (bucket != curBucket) { pending = flush(); curBucket = bucket }
+          if (overflow) () // keep draining the hot bucket
+          else if (buf.length >= maxBucket) { buf.clear(); overflow = true }
+          else buf += ((id, qv, norm2(qv)))
+        }
+        if (!pending.hasNext && !it.hasNext) pending = flush()
+      }
+      def hasNext: Boolean = { advance(); pending.hasNext }
+      def next(): (Long, Long, Long) = { advance(); pending.next() }
+    }
   }
 
   // ---- IVF (inverted-file) ANN: coarse quantizer + probed search ----
@@ -578,43 +633,11 @@ object SimilarityOps extends Serializable {
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "id")
       .mapPartitions { it =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        var curBucket = Long.MinValue
-        var overflow = false
-        def flush(): Iterator[(Long, Long, Long)] = {
-          if (overflow || buf.length < 2) { buf.clear(); overflow = false; Iterator.empty }
-          else {
-            val rows = buf.toArray // already id-ascending (partition sort)
-            buf.clear(); overflow = false
-            val out = Iterator.tabulate(rows.length - 1) { i =>
-              val (ida, qa) = rows(i)
-              Iterator.range(i + 1, rows.length).flatMap { j =>
-                val (idb, qb) = rows(j)
-                var d = 0L; var p = 0
-                val n = math.min(qa.length, qb.length)
-                while (p < n) { d += qa(p) * qb(p); p += 1 }
-                if (d >= minDot) Iterator.single((ida, idb, d)) else Iterator.empty
-              }
-            }
-            out.flatten
-          }
-        }
-        new Iterator[(Long, Long, Long)] {
-          private var pending: Iterator[(Long, Long, Long)] = Iterator.empty
-          private def advance(): Unit = {
-            while (!pending.hasNext && it.hasNext) {
-              val (id, qv, bucket) = it.next()
-              if (bucket != curBucket) { pending = flush(); curBucket = bucket }
-              if (overflow) () // keep draining the hot bucket
-              else if (buf.length >= maxBucket) { buf.clear(); overflow = true }
-              else buf += ((id, qv))
-            }
-            // source drained: flush the final bucket (idempotent — a
-            // repeat call sees an empty buffer and yields nothing)
-            if (!pending.hasNext && !it.hasNext) pending = flush()
-          }
-          def hasNext: Boolean = { advance(); pending.hasNext }
-          def next(): (Long, Long, Long) = { advance(); pending.next() }
+        groupedBucketPairs(it, maxBucket) { (ida, qa, _, idb, qb, _) =>
+          var d = 0L; var p = 0
+          val n = math.min(qa.length, qb.length)
+          while (p < n) { d += qa(p) * qb(p); p += 1 }
+          if (d >= minDot) Iterator.single((ida, idb, d)) else Iterator.empty
         }
       }
       .toDF("vec_a", "vec_b", "dot")

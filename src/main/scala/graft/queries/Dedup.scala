@@ -591,6 +591,77 @@ object Dedup {
         "new_id", "old_id")
     },
 
+    // the survivors half of the incremental run (r17): new docs with
+    // no confirmed near-dup in the persisted index at jaccard >= 0.5
+    // — the rows the pipeline keeps and the signature delta the next
+    // snapshot appends. Shares q151's memoized index.
+    Q.df("q152_incremental_survivors",
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM toksrc WHERE len(toks) >= 3
+        |),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hv
+        |  FROM base
+        |),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      p -> list_min(list_transform(hv, h -> ((2*p+1)*h + p) % 1000000007))) AS sg
+        |  FROM hs
+        |),
+        |bandrec AS (
+        |  SELECT doc_id, b,
+        |    sg[CAST(2*b+1 AS INT)] * 1000000007 + sg[CAST(2*b+2 AS INT)] AS bh
+        |  FROM sig, range(0, 4) t(b)
+        |),
+        |nb AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 3 = 0
+        |),
+        |ob AS (
+        |  SELECT * FROM bandrec WHERE doc_id % 3 <> 0
+        |  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 64
+        |),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM nb n JOIN ob o ON n.b = o.b AND n.bh = o.bh
+        |),
+        |dups AS (
+        |  SELECT DISTINCT new_id
+        |  FROM cand JOIN base x ON x.doc_id = cand.new_id
+        |            JOIN base y ON y.doc_id = cand.old_id
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |      len(list_distinct(x.sh || y.sh)) >= 0.5
+        |)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT new_id FROM dups)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val idxPath = graft.operators.PlanMemo.getOrCompute[String](
+        ("q151_sigindex", graft.operators.PlanMemo.dataKey(docs))) {
+        val p = java.nio.file.Files.createTempDirectory("graft_sigidx_").toString
+        DedupOps.writeSignatureIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", p)
+        p
+      }
+      Q.oracleOrder(
+        DedupOps.incrementalSurvivors(
+          docs.filter(col("doc_id") % 3 === 0), idxPath, "doc_id", "text",
+          minJaccard = 0.5)
+          .select("doc_id", "lang", "n_chars"),
+        "doc_id")
+    },
+
     // blocked fuzzy string join: part names at edit distance <= 2
     // (entity resolution; equi-join + length band, exact levenshtein
     // verify — identical semantics in both engines). The block key is

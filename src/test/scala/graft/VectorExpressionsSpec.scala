@@ -130,20 +130,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 1.0d)
   }
 
-  test("whole-stage codegen covers the vec_ldot pair join") {
-    // the real operator shape: bucketed self-join scoring pairs. The
-    // projection computing vec_ldot must sit inside a WholeStageCodegen
-    // stage ("*(n)" marker) — that is the point of the native expr.
+  test("bucketedPairs is ONE shuffle with in-task pair generation (r17 plan pin)") {
+    // r17 rewrote the operator: the r16 shape paid 4 job floors
+    // (bucket census agg + cap semi-join + broadcast build +
+    // self-join with the codegen vec_ldot); pairs now generate inside
+    // the task after a single bucket repartition, with the dot
+    // product in plain JVM loops (same exact-integer arithmetic).
+    // Pin the contract: exactly ONE exchange (the bucket
+    // repartition), a MapPartitions pair generator, and NO broadcast
+    // or join operators anywhere in the final plan.
     val embs = Seq(
       (0L, Array(1.0f, 0.5f, 0.0f, 0.1f)),
       (1L, Array(0.9f, 0.45f, 0.0f, 0.09f)),
       (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val pairs = SimilarityOps.bucketedPairs(embs, "vec_id", "embedding", 4, Long.MinValue)
-    pairs.collect() // finalize the adaptive plan
-    val s = pairs.queryExecution.executedPlan.toString
-    val line = s.linesIterator.find(_.contains("vec_ldot"))
-    assert(line.exists(_.contains("*(")),
-      s"vec_ldot projection not in a codegen stage:\n$s")
+    assert(pairs.collect().length === 1) // vectors 0,1 share the sign bucket
+    val whole = pairs.queryExecution.executedPlan.toString
+    val s = whole.split("== Initial Plan ==")(0) // final plan only
+    assert(s.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected exactly one exchange:\n$s")
+    assert(s.contains("MapPartitions"), s"pair generator missing:\n$s")
+    assert(!s.contains("BroadcastExchange") && !s.contains("Join"),
+      s"join-shaped plan crept back:\n$s")
   }
 }
