@@ -3631,21 +3631,26 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
       // FK parent gate (r16): target rows this statement rewrites or
       // deletes may carry keys still referenced by child rows; the
       // DELETE…USING arm also executes referential ACTIONS (r17)
-      val writes = {
-        val oldMatched = spark.sql(
-          s"SELECT ${schema.fieldNames.map(bq).mkString(", ")} " +
-            s"FROM `$ridView` AS __graft_t WHERE EXISTS " +
-            s"(SELECT 1 FROM `$mView` AS __graft_m " +
-            s"WHERE __graft_m.__graft_rid = __graft_t.`__graft_rid`)")
+      val writes =
         if (isUpdate) {
-          checkFksParent(spark, table, oldMatched, zoneFk,
-            isDelete = false, selfChildState = Some(next),
-            touchedCols = Some(assigned.keySet.map(_.toLowerCase).toSet),
-            nextState = Some(next))
-          Seq(table -> next)
-        } else execFkDeleteActions(spark, table, oldMatched, next, zoneFk,
-          session.connId)
-      }
+          // row-aligned old/new pairs via the rid join (r17: ON UPDATE
+          // actions execute; NO ACTION keeps its probe inside)
+          val pairs = spark.sql(
+            s"SELECT struct(${schema.fieldNames.map(bq).mkString(", ")}) AS __o, " +
+              s"__graft_m.__graft_s.__graft_new AS __n " +
+              s"FROM `$ridView` AS __graft_t JOIN `$mView` AS __graft_m " +
+              s"ON __graft_m.__graft_rid = __graft_t.`__graft_rid`")
+          execFkUpdateActions(spark, table, pairs, next,
+            assigned.keySet.map(_.toLowerCase).toSet, zoneFk, session.connId)
+        } else {
+          val oldMatched = spark.sql(
+            s"SELECT ${schema.fieldNames.map(bq).mkString(", ")} " +
+              s"FROM `$ridView` AS __graft_t WHERE EXISTS " +
+              s"(SELECT 1 FROM `$mView` AS __graft_m " +
+              s"WHERE __graft_m.__graft_rid = __graft_t.`__graft_rid`)")
+          execFkDeleteActions(spark, table, oldMatched, next, zoneFk,
+            session.connId)
+        }
       val tagWord = if (isUpdate) "UPDATE" else "DELETE"
       retList match {
         case Some(ret) =>
@@ -3808,8 +3813,32 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
         }
       } finally matched.unpersist()
     } else {
-      validateUpdate(runSql(spark, matchedSql),
-        runSql(spark, s"SELECT $proj$fromSql"))
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      val next = runSql(spark, s"SELECT $proj$fromSql")
+      if (PgConstraints.hasAny(table, schema)) {
+        val mn = runSql(spark, matchedSql)
+        checkNotNull(mn, schema, table, zone)
+        checkChecks(spark, mn, schema, table, zone)
+        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
+        checkFksChild(spark, mn, schema, table, zone, Some(next))
+      }
+      // parent side (r17): ON UPDATE referential actions execute —
+      // row-aligned old/new pairs from ONE projection
+      val writes = {
+        def lf(nm: String) = "'" + nm.replace("'", "''") + "'"
+        val oldS = schema.fields
+          .map(f => s"${lf(f.name)}, ${qid(f.name)}").mkString(", ")
+        // the WHERE below already restricts to matched rows, so the
+        // new side uses the raw SET exprs (mirrors matchedSql)
+        val newS = schema.fields.map { f =>
+          s"${lf(f.name)}, (${assigned.getOrElse(f.name, qid(f.name))})"
+        }.mkString(", ")
+        val pairsSql = s"SELECT named_struct($oldS) AS __o, " +
+          s"named_struct($newS) AS __n$fromSql" +
+          whereOpt.map(w => s" WHERE $w").getOrElse("")
+        execFkUpdateActions(spark, table, runSql(spark, pairsSql), next,
+          assigned.keySet.map(_.toLowerCase).toSet, zone, session.connId)
+      }
       retList match {
         case Some(ret) =>
           val sub = alias.getOrElse(m.group(1))
@@ -3820,12 +3849,12 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
             runSql(spark, s"SELECT $ret FROM ( $matchedSql ) AS $sub"),
             n => s"UPDATE $n")
           afterWrite(rs) {
-            overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
+            overwriteTables(spark, writes)
           }
         case None =>
           val n = runSql(spark,
             s"SELECT count(*) FROM ( $matchedSql ) AS __graft_m").collect()(0).getLong(0)
-          overwriteTable(spark, table, runSql(spark, s"SELECT $proj$fromSql"))
+          overwriteTables(spark, writes)
           Complete(s"UPDATE $n")
       }
     }
@@ -4712,6 +4741,178 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
                     nextState = Some(newChild))
                   states(cN) = newChild
                   display(cN) = childT
+                }
+              case _ => ()
+            }
+          }
+        }
+      }
+    }
+    states.toSeq.map { case (n, df) => display(n) -> df }
+  }
+
+  /** Executes ON UPDATE referential actions (r17 late batch — closes
+    * the last cut): CASCADE copies the parent's NEW key into
+    * referencing child rows, SET NULL / SET DEFAULT rewrite their FK
+    * columns — fired only for rows whose referenced key VALUE
+    * actually changed (pg's rule), recursing when a child's own
+    * referenced columns change. Also runs the NO ACTION / RESTRICT
+    * 23503 probe (a changed-away key still referenced, unless another
+    * row re-introduces it), so it fully REPLACES [[checkFksParent]]
+    * on the deterministic direct-UPDATE paths. `pairs0` carries
+    * row-aligned `__o`/`__n` structs (old/new values of the updated
+    * rows — built in ONE projection, so alignment is by construction).
+    * Returns the COMPLETE write set incl. the parent (a
+    * self-referencing CASCADE rewrites the parent beyond `next0`).
+    * Rewritten child rows re-validate NOT NULL / CHECK / UNIQUE, and
+    * SET DEFAULT re-probes its default key against the parent's next
+    * state. The nondeterministic-SET path keeps the old gate
+    * (cascade-class → 0A000): evaluating the pairs projection would
+    * re-draw per-row sequence values.
+    */
+  private def execFkUpdateActions(spark: SparkSession, table: String,
+      pairs0: DataFrame, next0: DataFrame, touched0: Set[String],
+      zone: java.time.ZoneId, connId: Int): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    if (referencingFks(spark, table).isEmpty) return Seq(table -> next0)
+    def norm(t: String): String =
+      PgSequences.normName(t).split("\\.").last.toLowerCase
+    val states = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val display = scala.collection.mutable.LinkedHashMap[String, String]()
+    states(norm(table)) = next0
+    display(norm(table)) = table
+    def stateOf(t: String): DataFrame =
+      states.getOrElse(norm(t), spark.table(t))
+    val queue =
+      scala.collection.mutable.Queue[(String, DataFrame, Set[String])]()
+    queue += ((table, pairs0, touched0))
+    var waves = 0
+    while (queue.nonEmpty) {
+      waves += 1
+      if (waves > 100)
+        throw PgException("54001", "foreign key cascade exceeds 100 levels")
+      val (t, pairs, touched) = queue.dequeue()
+      val tN = norm(t)
+      referencingFks(spark, t).foreach { case (childT, childSchema, fk, d) =>
+        val cN = norm(childT)
+        val oStruct = pairs.schema("__o").dataType.asInstanceOf[StructType]
+        val pFields = d.refCols.flatMap(c =>
+          oStruct.fields.find(_.name.equalsIgnoreCase(c)))
+        val cFields = d.cols.flatMap(c =>
+          childSchema.fields.find(_.name.equalsIgnoreCase(c)))
+        if (d.refCols.exists(c => touched.contains(c.toLowerCase)) &&
+            pFields.length == d.refCols.length &&
+            cFields.length == d.cols.length) {
+          val oldNonNull = pFields
+            .map(f => col(s"__o.${f.name}").isNotNull).reduce(_ && _)
+          val valueChanged = pFields
+            .map(f => !(col(s"__o.${f.name}") <=> col(s"__n.${f.name}")))
+            .reduce(_ || _)
+          val changed = pairs.where(oldNonNull && valueChanged)
+            .select(
+              pFields.zipWithIndex.map { case (f, i) =>
+                col(s"__o.${f.name}").as(s"__ok_$i") } ++
+              pFields.zipWithIndex.map { case (f, i) =>
+                col(s"__n.${f.name}").as(s"__nk_$i") }: _*)
+            .distinct()
+            .localCheckpoint()
+          if (!changed.isEmpty) {
+            val childState = stateOf(childT)
+            val cond = cFields.zipWithIndex.map { case (f, i) =>
+              childState(f.name) === changed(s"__ok_$i") }.reduce(_ && _)
+            d.onUpdate match {
+              case 'a' | 'r' =>
+                // a key only VANISHES if no row of the parent's next
+                // state still holds it
+                val parentState = stateOf(t)
+                val prFields = d.refCols.flatMap(c =>
+                  parentState.schema.fields.find(_.name.equalsIgnoreCase(c)))
+                val vanished = changed
+                  .select(cFields.indices.map(i => col(s"__ok_$i")): _*)
+                  .except(parentState
+                    .select(prFields.map(f => col(f.name)): _*)
+                    .toDF(cFields.indices.map(i => s"__ok_$i"): _*))
+                val sample = vanished.join(
+                  childState
+                    .where(cFields.map(f => col(f.name).isNotNull).reduce(_ && _))
+                    .select(cFields.map(f => col(f.name)): _*)
+                    .toDF(cFields.indices.map(i => s"__fk_c_$i"): _*),
+                  cFields.indices.map(i =>
+                    col(s"__ok_$i") === col(s"__fk_c_$i")).reduce(_ && _),
+                  "left_semi").limit(1).collect()
+                if (sample.nonEmpty) {
+                  val vals = pFields.indices.map(i =>
+                    TextEncoder.encodeField(sample(0).get(i), pFields(i), zone)
+                      .getOrElse("null"))
+                  throw PgException("23503",
+                    s"""update or delete on table "$tN" violates foreign key constraint "${fk.name}" on table "$childT"
+DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still referenced from table "$childT".""")
+                }
+              case act @ ('c' | 'n' | 'd') =>
+                val fkColNames = cFields.map(_.name)
+                val childPairs: DataFrame =
+                  if (act == 'd') {
+                    // defaults via the pg-dialect exprs, one aligned
+                    // projection over the affected rows
+                    val affected = childState.join(changed, cond, "left_semi")
+                    val v = "__fku_" +
+                      java.util.UUID.randomUUID().toString.replace("-", "")
+                    affected.createOrReplaceTempView(v)
+                    def dq(nm: String) = "\"" + nm.replace("\"", "\"\"") + "\""
+                    def lf(nm: String) = "'" + nm.replace("'", "''") + "'"
+                    try runSql(spark,
+                      "SELECT named_struct(" +
+                        childSchema.fields.map(f =>
+                          s"${lf(f.name)}, ${dq(f.name)}").mkString(", ") +
+                        ") AS __o, named_struct(" +
+                        childSchema.fields.map { f =>
+                          val e =
+                            if (fkColNames.exists(_.equalsIgnoreCase(f.name)))
+                              s"(${defaultExprSql(f, connId)})"
+                            else dq(f.name)
+                          s"${lf(f.name)}, $e"
+                        }.mkString(", ") +
+                        s") AS __n FROM ${dq(v)}")
+                      .localCheckpoint()
+                    finally {
+                      try spark.catalog.dropTempView(v)
+                      catch { case scala.util.control.NonFatal(_) => }
+                    }
+                  } else {
+                    // one inner join — old FK keys are unique in
+                    // `changed`, so no row duplication
+                    val j = childState.join(changed, cond, "inner")
+                    val newCols = childSchema.fields.map { f =>
+                      val ci = cFields.indexWhere(_.name.equalsIgnoreCase(f.name))
+                      if (ci >= 0) {
+                        val nv =
+                          if (act == 'c') j(s"__nk_$ci")
+                          else lit(null).cast(f.dataType)
+                        nv.as(f.name)
+                      } else j(f.name).as(f.name)
+                    }
+                    j.select(
+                      struct(childSchema.fields.map(f =>
+                        j(f.name).as(f.name)): _*).as("__o"),
+                      struct(newCols: _*).as("__n"))
+                      .localCheckpoint()
+                  }
+                if (!childPairs.isEmpty) {
+                  val modified = childPairs.select(col("__n.*"))
+                  checkNotNull(modified, childSchema, cN, zone)
+                  checkChecks(spark, modified, childSchema, childT, zone)
+                  val newChild = childState.join(changed, cond, "left_anti")
+                    .unionByName(modified)
+                  checkUniqueDups(newChild, childSchema,
+                    PgConstraints.uniquesOf(childT, childSchema), zone)
+                  if (act == 'd')
+                    probeFkChild(spark, modified, childSchema, childT, fk, d,
+                      zone, selfNext = None,
+                      parentOverride = Some(stateOf(t)))
+                  states(cN) = newChild
+                  display(cN) = childT
+                  queue += ((childT, childPairs,
+                    fkColNames.map(_.toLowerCase).toSet))
                 }
               case _ => ()
             }

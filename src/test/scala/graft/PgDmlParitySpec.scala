@@ -194,6 +194,19 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script12.sql", "/dml/live12.txt")
   }
 
+  test("sweep-43: executed ON UPDATE actions (CASCADE/SET NULL/SET DEFAULT) match live pg") {
+    // r17 late batch — the last cut closed: 454 statements over a
+    // natural-key 2-level CASCADE chain (up.id → uc.pid(PK) →
+    // ug.cpid), SET NULL (incl. NOT NULL → 23502), SET DEFAULT (incl.
+    // the default key vanishing in the same statement → 23503), a NO
+    // ACTION blocker, a self-referencing CASCADE tree renumbering,
+    // UPDATE…FROM key rewrites, non-key updates (actions must NOT
+    // fire), and RETURNING over a cascading update. Live pg raised
+    // 38× 23503, 3× 23505, 1× 23502 in this trace; full state dumps
+    // after every key-rewriting wave.
+    replay("/dml/script13.sql", "/dml/live13.txt")
+  }
+
   test("sweep-41b: TRUNCATE/DROP ... CASCADE over FK references matches live pg") {
     // TRUNCATE CASCADE pulls referencing tables in transitively;
     // DROP TABLE CASCADE drops the dependent CONSTRAINT and stops

@@ -314,15 +314,24 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(c.query("DELETE FROM mford WHERE oid = 10").tags === Seq("DELETE 1"))
     assert(c.query("DELETE FROM mfcust WHERE id = 1").tags === Seq("DELETE 1"))
     assert(rows(c, "SELECT count(*) FROM cford") === Seq(Seq("0")))
-    // ON UPDATE cascade-class stays the honest 0A000 (documented cut)
+    // ON UPDATE CASCADE executes too (r17 late batch, sweep-43 is the
+    // differential): the child key follows the parent's new value
     c.query("INSERT INTO mfcust VALUES (3, 'c')")
     c.query("DROP TABLE IF EXISTS uford")
     assert(c.query("CREATE TABLE uford (oid int PRIMARY KEY, " +
       "cid int REFERENCES mfcust (id) ON UPDATE CASCADE)").errors === Nil)
     c.query("INSERT INTO uford VALUES (30, 3)")
-    val e6 = c.query("UPDATE mfcust SET id = 4 WHERE id = 3")
+    assert(c.query("UPDATE mfcust SET id = 4 WHERE id = 3").tags ===
+      Seq("UPDATE 1"))
+    assert(rows(c, "SELECT cid FROM uford") === Seq(Seq("4")))
+    // …except under a nondeterministic SET on the referenced key,
+    // where evaluating the old/new pair projection would re-draw
+    // per-row sequence values — honest 0A000 (documented residual)
+    c.query("CREATE SEQUENCE uford_s START 50")
+    val e6 = c.query("UPDATE mfcust SET id = nextval('uford_s') WHERE id = 4")
     assert(e6.errors.map(_._1) === Seq("0A000"))
     assert(e6.errors.head._2.contains("cascading referential action"))
+    c.query("DROP SEQUENCE uford_s")
     c.query("DROP TABLE uford"); c.query("DROP TABLE cford")
     c.query("DROP TABLE mford"); c.query("DROP TABLE mfcust")
     c.close()
