@@ -42,7 +42,13 @@ object Handlers {
   def execute(spark: SparkSession, session: Session, rawSql: String,
       auth: Option[AuthManager] = None, hooks: Seq[QueryHook] = Nil): PgResult = {
     val t0 = System.nanoTime()
-    val r = executeInner(spark, session, rawSql, auth, hooks)
+    // thread-local txn context for the deep write/check sites (saved/
+    // restored because DDL cascades re-enter execute recursively)
+    val prevCtx = TxnCtx.session.orNull
+    TxnCtx.set(session)
+    val r =
+      try executeInner(spark, session, rawSql, auth, hooks)
+      finally { if (prevCtx == null) TxnCtx.clear() else TxnCtx.set(prevCtx) }
     // warehouse-meta write-through: after a successful schema-shaping
     // statement, snapshot the wire-table catalog (the registries
     // persist themselves inside their own mutators)
@@ -132,33 +138,54 @@ object Handlers {
       }
     }
 
+    // journal/savepoint statement marks advance per in-block statement
+    if (session.txn == session.InTxn) session.txnStmtSeq += 1
+
     head match {
       case "BEGIN" | "START" =>
         session.txn = session.InTxn
-        session.savepoints.clear()
+        session.clearTxnState()
         Complete("BEGIN")
       case "COMMIT" | "END" =>
         val wasFailed = session.txn == session.Failed
+        if (wasFailed) {
+          // a failed transaction block commits as ROLLBACK: undo
+          // every journaled write (pg's exact behavior)
+          session.journal.foreach(_.rollbackAll(spark))
+        } else if (session.deferredPending.nonEmpty) {
+          // commit-time deferred-constraint probes; a violation rolls
+          // the whole transaction back and surfaces the 23xxx with
+          // the session already Idle (pg: ERROR then ReadyForQuery I)
+          try runDeferredChecks(spark, session, None)
+          catch {
+            case e: Throwable =>
+              session.journal.foreach(_.rollbackAll(spark))
+              session.txn = session.Idle
+              session.clearTxnState()
+              throw e
+          }
+        }
         session.txn = session.Idle
-        session.savepoints.clear()
+        session.clearTxnState()
         Complete(if (wasFailed) "ROLLBACK" else "COMMIT")
       case "ROLLBACK" | "ABORT"
           if !toks.exists(_.isWord("TO")) =>
+        session.journal.foreach(_.rollbackAll(spark))
         session.txn = session.Idle
-        session.savepoints.clear()
+        session.clearTxnState()
         Complete("ROLLBACK")
       case "ROLLBACK" =>
         // ROLLBACK [WORK|TRANSACTION] TO [SAVEPOINT] name — recovers a
         // Failed transaction (the 25P01 guard above lets ROLLBACK
         // through; pg's exact behavior, SavepointSpec pins it live)
-        handleRollbackTo(session, toks)
+        handleRollbackTo(spark, session, toks)
       case "SAVEPOINT" =>
         if (session.txn != session.InTxn)
           throw PgException("25P01",
             "SAVEPOINT can only be used in transaction blocks")
         if (toks.length < 2)
           throw PgException("42601", "syntax error at end of input")
-        session.savepoints += savepointName(toks(1))
+        session.savepoints += ((savepointName(toks(1)), session.txnStmtSeq))
         Complete("SAVEPOINT")
       case "RELEASE" =>
         if (session.txn != session.InTxn)
@@ -175,22 +202,20 @@ object Handlers {
             toks(1)
           }
         val name = savepointName(nameTok)
-        val idx = session.savepoints.lastIndexOf(name)
+        val idx = session.savepoints.lastIndexWhere(_._1 == name)
         if (idx < 0)
           throw PgException("3B001", s"""savepoint "$name" does not exist""")
         // RELEASE pops the named savepoint AND everything after it
+        // (journaled writes stay — they now belong to the enclosing
+        // transaction level, pg's rule)
         session.savepoints.remove(idx, session.savepoints.length - idx)
         Complete("RELEASE")
-      // SET CONSTRAINTS (r17): every constraint here checks per
-      // statement, which IS pg's IMMEDIATE mode — so … IMMEDIATE is a
-      // correct no-op. … DEFERRED would need transactional write
-      // buffering (a commit-time violation must undo the statement's
-      // already-applied distributed rewrites) — honest 0A000.
+      // SET CONSTRAINTS (r18): real deferral. DEFERRED skips the
+      // statement-time probe for DEFERRABLE constraints and queues a
+      // commit-time check; IMMEDIATE flips back and checks any
+      // outstanding queued violations right now (pg's rule).
       case "SET" if second == "CONSTRAINTS" =>
-        if (toks.exists(_.isWord("DEFERRED")))
-          throw PgException("0A000",
-            "deferred constraint checking is not supported (writes apply per statement)")
-        Complete("SET CONSTRAINTS")
+        handleSetConstraints(spark, session, toks)
       case "SET" if second != "" => handleSet(spark, session, toks)
       case "RESET" => Complete("RESET")
       case "SHOW" if !sparkShowKeywords.contains(second) =>
@@ -605,9 +630,12 @@ object Handlers {
 
   /** `ROLLBACK [WORK|TRANSACTION] TO [SAVEPOINT] name`: pops the
     * savepoints AFTER the named one (the savepoint itself survives —
-    * pg allows rolling back to it repeatedly) and clears a Failed
-    * transaction back to InTxn. Outside a block → pg's 25P01. */
-  private def handleRollbackTo(session: Session, toks: Vector[Compat.Tok]): PgResult = {
+    * pg allows rolling back to it repeatedly), clears a Failed
+    * transaction back to InTxn, and (r18) restores the write journal
+    * to the savepoint's statement mark — writes made after the
+    * savepoint are REALLY undone. Outside a block → pg's 25P01. */
+  private def handleRollbackTo(spark: SparkSession, session: Session,
+      toks: Vector[Compat.Tok]): PgResult = {
     if (session.txn == session.Idle)
       throw PgException("25P01",
         "ROLLBACK TO SAVEPOINT can only be used in transaction blocks")
@@ -617,12 +645,131 @@ object Handlers {
     if (nameIdx >= toks.length)
       throw PgException("42601", "syntax error at end of input")
     val name = savepointName(toks(nameIdx))
-    val idx = session.savepoints.lastIndexOf(name)
+    val idx = session.savepoints.lastIndexWhere(_._1 == name)
     if (idx < 0)
       throw PgException("3B001", s"""savepoint "$name" does not exist""")
+    val mark = session.savepoints(idx)._2
+    session.journal.foreach(_.rollbackTo(spark, mark))
     session.savepoints.remove(idx + 1, session.savepoints.length - (idx + 1))
     session.txn = session.InTxn
     Complete("ROLLBACK")
+  }
+
+  /** Abort an open transaction block on client disconnect: pg rolls
+    * back, so the journal restores (called from connection teardown;
+    * safe on idle sessions). */
+  def abortOnDisconnect(spark: SparkSession, session: Session): Unit = {
+    if (session.txn != session.Idle)
+      try session.journal.foreach(_.rollbackAll(spark))
+      catch { case scala.util.control.NonFatal(_) => }
+    session.txn = session.Idle
+    session.clearTxnState()
+  }
+
+  /** `SET CONSTRAINTS { ALL | name [, …] } { DEFERRED | IMMEDIATE }`.
+    * Named constraints must exist and be DEFERRABLE (pg: 42704 /
+    * 25P01-adjacent "is not deferrable" — live pg raises 55000-class
+    * `ERROR: constraint "x" is not deferrable`, sqlstate 42809 in 15;
+    * pinned by sweep-44). Switching to IMMEDIATE checks outstanding
+    * queued violations at once (pg's rule). Outside a transaction
+    * block the statement is accepted and has no effect. */
+  private def handleSetConstraints(spark: SparkSession, session: Session,
+      toks: Vector[Compat.Tok]): PgResult = {
+    val rest = toks.drop(2).filterNot(_.is(","))
+    if (rest.isEmpty)
+      throw PgException("42601", "syntax error in SET CONSTRAINTS")
+    val modeTok = rest.last
+    val deferredMode =
+      if (modeTok.isWord("DEFERRED")) true
+      else if (modeTok.isWord("IMMEDIATE")) false
+      else throw PgException("42601", "syntax error in SET CONSTRAINTS")
+    val targets = rest.dropRight(1)
+    if (targets.isEmpty)
+      throw PgException("42601", "syntax error in SET CONSTRAINTS")
+    val isAll = targets.length == 1 && targets.head.isWord("ALL")
+    val names =
+      if (isAll) Nil
+      else targets.toSeq.map(t => unq(t.text).toLowerCase)
+    if (!isAll) {
+      // validate: the constraint must exist on some table and be
+      // deferrable (42704 / "is not deferrable")
+      names.foreach { n =>
+        val hit = allDeferrableInfo(spark).get(n)
+        hit match {
+          case None =>
+            throw PgException("42704", s"""constraint "$n" does not exist""")
+          case Some(defr) if !defr =>
+            throw PgException("42809", s"""constraint "$n" is not deferrable""")
+          case _ =>
+        }
+      }
+    }
+    if (session.txn == session.InTxn) {
+      if (isAll) {
+        session.allConstraintsDeferred = Some(deferredMode)
+        session.constraintModes.clear()
+      } else names.foreach(n => session.constraintModes(n) = deferredMode)
+      if (!deferredMode && session.deferredPending.nonEmpty) {
+        // pg checks outstanding deferred violations NOW; a failure is
+        // a statement error (transaction goes Failed, not rolled back)
+        val scope: Option[Set[String]] = if (isAll) None else Some(names.toSet)
+        runDeferredChecks(spark, session, scope)
+      }
+    }
+    Complete("SET CONSTRAINTS")
+  }
+
+  /** name → deferrable? over every user table's unique + FK
+    * constraints (dimension-sized catalog walk). */
+  private def allDeferrableInfo(spark: SparkSession): Map[String, Boolean] = {
+    val b = Map.newBuilder[String, Boolean]
+    PgCatalog.userTables(spark).foreach { t =>
+      scala.util.Try(spark.table(t).schema).toOption.foreach { schema =>
+        PgConstraints.uniquesOf(t, schema).foreach(u =>
+          b += (u.name.toLowerCase -> u.deferrable))
+        fkDefs(t, schema).foreach { case (fk, d) =>
+          b += (fk.name.toLowerCase -> d.deferrable)
+        }
+      }
+    }
+    b.result()
+  }
+
+  /** Run queued deferred-constraint probes (at COMMIT, or at SET
+    * CONSTRAINTS … IMMEDIATE for `scope`'s names): uniques re-probe
+    * the full current table for duplicate keys; FKs re-probe every
+    * child row against the current parent — one distributed
+    * anti-join each, exactly the statement-time shapes. Passing
+    * probes leave the queue; the first violation throws its 23505 /
+    * 23503 with the wording of the statement that queued it. */
+  private def runDeferredChecks(spark: SparkSession, session: Session,
+      scope: Option[Set[String]]): Unit = {
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val pend = session.deferredPending.toSeq.filter { case (_, _, name, _) =>
+      scope.forall(_.contains(name.toLowerCase))
+    }
+    pend.foreach { case entry @ (kind, table, name, detail) =>
+      val schemaOpt = scala.util.Try(spark.table(table).schema).toOption
+      schemaOpt.foreach { schema =>
+        kind match {
+          case "u" =>
+            PgConstraints.uniquesOf(table, schema)
+              .find(_.name.equalsIgnoreCase(name))
+              .foreach(u => checkUniqueDups(spark.table(table), schema,
+                Seq(u.copy(deferrable = false)), zone))
+          case "fc" | "fp" =>
+            fkDefs(table, schema)
+              .find(_._1.name.equalsIgnoreCase(name))
+              .foreach { case (fk, d) =>
+                probeFkChildNow(spark, spark.table(table), schema, table,
+                  fk, d, zone, None, None,
+                  parentWording = kind == "fp", parentName = detail)
+              }
+          case _ =>
+        }
+      }
+      session.deferredPending.remove(entry)
+    }
   }
 
   /** Session-aware `current_setting('k'[, missing_ok])` and
@@ -1377,7 +1524,11 @@ object Handlers {
     checks: Seq[(Option[String], String)] = Nil,
     /** column-level `REFERENCES reftable [(refcols)]` + ON
       * DELETE/UPDATE action letters */
-    refs: Option[(String, Option[String], (Char, Char))] = None)
+    refs: Option[(String, Option[String], (Char, Char))] = None,
+    /** DEFERRABLE [INITIALLY DEFERRED] on the column's PK/UNIQUE */
+    uniqDefer: (Boolean, Boolean) = (false, false),
+    /** DEFERRABLE [INITIALLY DEFERRED] on the column's REFERENCES */
+    refDefer: (Boolean, Boolean) = (false, false))
 
   /** Scan a raw column def's constraint tail (everything after the
     * type spelling). Live-pinned semantics in PgDmlSpec; FK clauses
@@ -1395,6 +1546,11 @@ object Handlers {
     var pendingName: Option[String] = None
     val checks = Seq.newBuilder[(Option[String], String)]
     var refs: Option[(String, Option[String], (Char, Char))] = None
+    // r18: DEFERRABLE attributes attach to the most recent
+    // deferrable constraint ('u' = pk/unique, 'r' = references)
+    var lastCons: Char = ' '
+    var uniqDef = false; var uniqInit = false
+    var refDef = false; var refInit = false
     var rest = tail
     def eat(): Unit = rest = rest.drop(1)
     /** balanced paren group starting at/after `from` in the raw def */
@@ -1414,13 +1570,32 @@ object Handlers {
         case "not" =>
           eat()
           if (rest.headOption.exists(_._1 == "null")) { notNull = true; eat() }
+          else if (rest.headOption.exists(_._1 == "deferrable")) {
+            eat() // explicit NOT DEFERRABLE: reset the owning flags
+            if (lastCons == 'u') { uniqDef = false; uniqInit = false }
+            else if (lastCons == 'r') { refDef = false; refInit = false }
+          }
         case "null" => eat()
         case "primary" =>
           eat(); if (rest.headOption.exists(_._1 == "key")) eat()
           pk = true; notNull = true
+          lastCons = 'u'
           pendingName = None // pk name is always <table>_pkey
         case "unique" =>
           eat(); uniq = true; uniqueName = pendingName; pendingName = None
+          lastCons = 'u'
+        case "deferrable" =>
+          eat()
+          if (lastCons == 'u') uniqDef = true
+          else if (lastCons == 'r') refDef = true
+        case "initially" =>
+          eat()
+          val w0 = rest.headOption.map(_._1)
+          if (w0.contains("deferred")) {
+            if (lastCons == 'u') { uniqDef = true; uniqInit = true }
+            else if (lastCons == 'r') { refDef = true; refInit = true }
+          }
+          if (w0.exists(x => x == "deferred" || x == "immediate")) eat()
         case "default" =>
           eat()
           val exprStart = end
@@ -1471,6 +1646,7 @@ object Handlers {
             act.foreach(a => if (isDel) onDel = a else onUpd = a)
           }
           refs = refHead.map { case (t0, rc) => (t0, rc, (onDel, onUpd)) }
+          lastCons = 'r'
         case "check" =>
           val (_, _, kwEnd) = rest.head
           eat()
@@ -1495,7 +1671,8 @@ object Handlers {
       }
     }
     ColCons(notNull, pk, uniq, uniqueName, default, identity,
-      checks.result(), refs)
+      checks.result(), refs, (uniqDef, uniqDef && uniqInit),
+      (refDef, refDef && refInit))
   }
 
   /** Entry starters that mark a TABLE-level constraint (skipped). */
@@ -1540,7 +1717,8 @@ object Handlers {
       cols: Seq[String], refTbl: String, refColsOpt: Option[String],
       taken: Set[String], actions: (Char, Char) = ('a', 'a'),
       selfUniques: Seq[PgConstraints.Unique] = Nil,
-      selfCols: Seq[String] = Nil): PgConstraints.Fk = {
+      selfCols: Seq[String] = Nil,
+      defer: (Boolean, Boolean) = (false, false)): PgConstraints.Fk = {
     val refNorm = PgSequences.normName(refTbl).split("\\.").last
     val isSelf = refNorm.equalsIgnoreCase(PgSequences.normName(tNorm))
     val (parentCols, parentUniques) =
@@ -1583,7 +1761,8 @@ object Handlers {
     PgConstraints.Fk(name,
       s"FOREIGN KEY (${cols.mkString(", ")}) REFERENCES " +
         s"$refNorm(${refCols.mkString(", ")})" +
-        PgConstraints.fkActionSuffix(actions._1, actions._2))
+        PgConstraints.fkActionSuffix(actions._1, actions._2) +
+        PgConstraints.deferSuffix(defer._1, defer._2))
   }
 
   /** 23514 check over the rows actually being written: a row whose
@@ -1648,18 +1827,22 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
     val rawChecks = scala.collection.mutable.ArrayBuffer
       .empty[(Option[String], String, Option[String])] // (name, expr, col hint)
     val rawFks = scala.collection.mutable.ArrayBuffer
-      .empty[(Option[String], Seq[String], String, Option[String], (Char, Char))]
+      .empty[(Option[String], Seq[String], String, Option[String], (Char, Char),
+        (Boolean, Boolean))]
     val tNorm = PgSequences.normName(table)
     var sawPk = false
-    def addUnique(cols: Seq[String], isPk: Boolean, name: Option[String]): Unit = {
+    def addUnique(cols: Seq[String], isPk: Boolean, name: Option[String],
+        defer: (Boolean, Boolean) = (false, false)): Unit = {
       if (isPk) {
         if (sawPk) throw PgException("42P16",
           s"""multiple primary keys for table "$tNorm" are not allowed""")
         sawPk = true
-        uniques += PgConstraints.Unique(s"${tNorm}_pkey", cols, isPrimary = true)
+        uniques += PgConstraints.Unique(s"${tNorm}_pkey", cols,
+          isPrimary = true, deferrable = defer._1, initiallyDeferred = defer._2)
       } else uniques += PgConstraints.Unique(
         name.getOrElse(s"${tNorm}_${cols.map(_.toLowerCase).mkString("_")}_key"),
-        cols, isPrimary = false)
+        cols, isPrimary = false, deferrable = defer._1,
+        initiallyDeferred = defer._2)
     }
     val tablePkCols = scala.collection.mutable.Set.empty[String]
     defs.foreach { d =>
@@ -1694,7 +1877,8 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
               .filter(t => t.kind == Compat.Word || t.kind == Compat.QIdent)
               .map(t => unq(t.text))
             if (cols.nonEmpty) {
-              addUnique(cols, kind == "primary", consName)
+              addUnique(cols, kind == "primary", consName,
+                PgConstraints.deferFlags(d))
               if (kind == "primary") tablePkCols ++= cols.map(_.toLowerCase)
             }
           }
@@ -1717,20 +1901,24 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
                 .filter(_.nonEmpty)
               rawFks += ((consName, cols, unq(fm.group(2)),
                 Option(fm.group(3)).map(_.trim),
-                PgConstraints.fkActions(d.substring(fm.end))))
+                PgConstraints.fkActions(d.substring(fm.end)),
+                PgConstraints.deferFlags(d.substring(fm.end))))
             }
         } // EXCLUDE/LIKE stay accepted-and-ignored
       } else {
         fields += (parseColDef(spark, tNorm, d) match {
           case Some((f, cons)) =>
-            if (cons.pk) addUnique(Seq(f.name), isPk = true, None)
+            if (cons.pk) addUnique(Seq(f.name), isPk = true, None,
+              cons.uniqDefer)
             if (cons.unique) addUnique(Seq(f.name), isPk = false,
-              cons.uniqueName.orElse(Some(s"${tNorm}_${f.name.toLowerCase}_key")))
+              cons.uniqueName.orElse(Some(s"${tNorm}_${f.name.toLowerCase}_key")),
+              cons.uniqDefer)
             cons.checks.foreach { case (nm, expr) =>
               rawChecks += ((nm, expr, Some(f.name)))
             }
             cons.refs.foreach { case (reft, refCols, acts) =>
-              rawFks += ((None, Seq(f.name), reft, refCols, acts))
+              rawFks += ((None, Seq(f.name), reft, refCols, acts,
+                cons.refDefer))
             }
             f
           case None => return None // unknown spelling → Spark path decides
@@ -1758,9 +1946,9 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
         resolveCheckName(tNorm, nm, expr, hint,
           fields.toSeq.map(_.name), takenNames), expr)
     }
-    rawFks.foreach { case (nm, cols, reft, refColsOpt, acts) =>
+    rawFks.foreach { case (nm, cols, reft, refColsOpt, acts, defer) =>
       fks += mkFk(spark, tNorm, nm, cols, reft, refColsOpt, takenNames,
-        acts, uniques.toSeq, fields.toSeq.map(_.name))
+        acts, uniques.toSeq, fields.toSeq.map(_.name), defer)
     }
     // the unique set rides on the first column's metadata so a fresh
     // JVM can rebuild the registry from the catalog schema
@@ -2064,6 +2252,9 @@ HINT:  Truncate table "$childT" at the same time, or use TRUNCATE ... CASCADE.""
       catch { case scala.util.control.NonFatal(_) =>
         throw PgException("42P01", s"""relation "$t" does not exist""") }
     }
+    // inside a transaction block: TRUNCATE is journaled (pg rolls a
+    // truncate back like any DML)
+    allSchemas.foreach { case (t, _) => TxnCtx.journalWrite(spark, t) }
     allSchemas.foreach { case (t, schema) =>
       runSql(spark, s"TRUNCATE TABLE ${qid(t)}").collect()
       if (restart) schema.fields.filter(_.metadata.contains("pg.serial"))
@@ -2570,7 +2761,8 @@ HINT:  You can drop constraint $name on table $t instead.""")
     // sequences created while parsing; rolled back if anything fails
     val createdSeqs = scala.collection.mutable.ArrayBuffer.empty[String]
     def endSchema() = StructType(fields.toArray)
-    def addUniqueChecked(name: String, cols: Seq[String], isPk: Boolean): Unit = {
+    def addUniqueChecked(name: String, cols: Seq[String], isPk: Boolean,
+        defer: (Boolean, Boolean) = (false, false)): Unit = {
       // pg reports the multiple-pkey error BEFORE the name collision
       if (isPk && uniques.exists(_.isPrimary))
         throw PgException("42P16",
@@ -2579,7 +2771,8 @@ HINT:  You can drop constraint $name on table $t instead.""")
         throw PgException("42P07",
           s"""constraint "$name" for relation "$table" already exists""")
       val fcols = cols.map(c => fields(fieldAt(c)).name)
-      uniques += PgConstraints.Unique(name, fcols, isPk)
+      uniques += PgConstraints.Unique(name, fcols, isPk,
+        deferrable = defer._1, initiallyDeferred = defer._2)
       if (isPk) fcols.foreach { c =>
         val i = fieldAt(c)
         withMeta(i)(_.putBoolean("pg.notnull", value = true))
@@ -2635,7 +2828,8 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
             val name = consName.getOrElse(
               if (isPk) s"${tNorm}_pkey"
               else s"${tNorm}_${cols.map(_.toLowerCase).mkString("_")}_key")
-            addUniqueChecked(name, cols, isPk)
+            addUniqueChecked(name, cols, isPk,
+              PgConstraints.deferFlags(tail.substring(close + 1)))
           } else if (kind == "check") {
             if (!tail.startsWith("("))
               throw PgException("42601",
@@ -2678,7 +2872,8 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
                   fks.map(_.name)).toSet
                 val fk = mkFk(spark, tNorm, consName, cols, unq(fm.group(2)),
                   Option(fm.group(3)).map(_.trim), taken,
-                  PgConstraints.fkActions(tail.substring(fm.end)))
+                  PgConstraints.fkActions(tail.substring(fm.end)),
+                  defer = PgConstraints.deferFlags(tail.substring(fm.end)))
                 // pg validates existing rows BEFORE accepting (23503
                 // with the insert-or-update message shape)
                 PgConstraints.parseFk(fk).foreach { fd =>
@@ -2734,10 +2929,12 @@ DETAIL:  Key (${fcols.mkString(", ")})=(${vals.mkString(", ")}) is duplicated.""
                 fields += f
                 exprs += fill
                 if (cons.pk)
-                  addUniqueChecked(s"${tNorm}_pkey", Seq(f.name), isPk = true)
+                  addUniqueChecked(s"${tNorm}_pkey", Seq(f.name), isPk = true,
+                    cons.uniqDefer)
                 else if (cons.unique)
                   addUniqueChecked(cons.uniqueName.getOrElse(
-                    s"${tNorm}_${f.name.toLowerCase}_key"), Seq(f.name), isPk = false)
+                    s"${tNorm}_${f.name.toLowerCase}_key"), Seq(f.name),
+                    isPk = false, cons.uniqDefer)
                 val notNull = f.metadata.contains("pg.notnull") &&
                   f.metadata.getBoolean("pg.notnull")
                 if (notNull && !serial) validations += { () =>
@@ -3162,6 +3359,11 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
         case None => (noConf, None)
       }
       val canon = canonicalizeInsert(spark, noAlias, session.connId)
+      // inside a transaction block: journal the target's pre-state
+      // before ANY insert path appends (checked, RETURNING, or plain)
+      "(?is)^\\s*INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)".r
+        .findFirstMatchIn(canon)
+        .foreach(t => TxnCtx.journalWrite(spark, unq(t.group(1))))
       val needsCheck = conflictSpec.isDefined || {
         val tm = "(?is)^\\s*INSERT\\s+INTO\\s+(\"[^\"]+\"|[\\w$.]+)".r
           .findFirstMatchIn(canon)
@@ -3320,6 +3522,9 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
   private def overwriteTables(spark: SparkSession,
       writes: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
     if (writes.isEmpty) return
+    // inside a transaction block: journal each table's pre-state
+    // (hardlink snapshot) before the first write touches it
+    writes.foreach { case (t, _) => TxnCtx.journalWrite(spark, t) }
     val tmp = java.nio.file.Files.createTempDirectory("graft_dml_")
     try {
       val staged = writes.zipWithIndex.map { case ((t, df), i) =>
@@ -3625,7 +3830,8 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
       if (isUpdate && PgConstraints.hasAny(table, schema)) {
         checkNotNull(newRows, schema, table, zoneFk)
         checkChecks(spark, newRows, schema, table, zoneFk)
-        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zoneFk)
+        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zoneFk,
+          table = table)
         checkFksChild(spark, newRows, schema, table, zoneFk, Some(next))
       }
       // FK parent gate (r16): target rows this statement rewrites or
@@ -3769,7 +3975,8 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
         val mn = matchedNew
         checkNotNull(mn, schema, table, zone)
         checkChecks(spark, mn, schema, table, zone)
-        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
+        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone,
+          table = table)
         checkFksChild(spark, mn, schema, table, zone, Some(next))
       }
       // parent side: a rewritten key still referenced by a child row
@@ -3819,7 +4026,8 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
         val mn = runSql(spark, matchedSql)
         checkNotNull(mn, schema, table, zone)
         checkChecks(spark, mn, schema, table, zone)
-        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone)
+        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone,
+          table = table)
         checkFksChild(spark, mn, schema, table, zone, Some(next))
       }
       // parent side (r17): ON UPDATE referential actions execute —
@@ -4430,10 +4638,21 @@ DETAIL:  Failing row contains ${renderRowDetail(bad(0), schema, zone)}.""")
   }
 
   /** 23505 check: any duplicate non-null key group in `df` (which
-    * should be the candidate FINAL table state) violates `u`. */
+    * should be the candidate FINAL table state) violates `u`. A
+    * constraint currently DEFERRED (r18) skips its probe and queues a
+    * commit-time re-check instead. `table` names the probe queue's
+    * target; callers pass candidate frames, the commit probe re-reads
+    * the live table. */
   private def checkUniqueDups(df: DataFrame, schema: StructType,
-      uniques: Seq[PgConstraints.Unique], zone: java.time.ZoneId): Unit = {
+      uniques0: Seq[PgConstraints.Unique], zone: java.time.ZoneId,
+      table: String = ""): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    val uniques = uniques0.filter { u =>
+      val defer = table.nonEmpty &&
+        TxnCtx.deferred(u.name, u.deferrable, u.initiallyDeferred)
+      if (defer) TxnCtx.addPending("u", table, u.name)
+      !defer
+    }
     uniques.foreach { u =>
       val keyed = u.cols.foldLeft(df)((d, c) => d.where(col(c).isNotNull))
       val dup = keyed.groupBy(u.cols.map(col): _*)
@@ -4474,12 +4693,32 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
     }
 
   /** One FK's child-side anti-join probe (shared by [[checkFksChild]]
-    * and ALTER ADD FK's existing-row validation). */
+    * and ALTER ADD FK's existing-row validation). A constraint
+    * currently DEFERRED (r18) skips and queues the commit re-check. */
   private def probeFkChild(spark: SparkSession, df: DataFrame,
       schema: StructType, table: String, fk: PgConstraints.Fk,
       d: PgConstraints.FkDef, zone: java.time.ZoneId,
       selfNext: Option[DataFrame],
       parentOverride: Option[DataFrame] = None): Unit = {
+    if (TxnCtx.deferred(fk.name, d.deferrable, d.initiallyDeferred)) {
+      TxnCtx.addPending("fc",
+        PgSequences.normName(table).split("\\.").last, fk.name)
+      return
+    }
+    probeFkChildNow(spark, df, schema, table, fk, d, zone, selfNext,
+      parentOverride)
+  }
+
+  /** The probe itself (no deferral gate — also the commit-time
+    * runner's entry). `parentWording` selects pg's delete-side
+    * message (`update or delete on table "<parentName>" …`), used
+    * when the queued violation came from a parent-side statement. */
+  private def probeFkChildNow(spark: SparkSession, df: DataFrame,
+      schema: StructType, table: String, fk: PgConstraints.Fk,
+      d: PgConstraints.FkDef, zone: java.time.ZoneId,
+      selfNext: Option[DataFrame],
+      parentOverride: Option[DataFrame] = None,
+      parentWording: Boolean = false, parentName: String = ""): Unit = {
     import org.apache.spark.sql.functions.col
     val tNorm = PgSequences.normName(table).split("\\.").last
     val childFields = d.cols.flatMap(c =>
@@ -4507,6 +4746,10 @@ DETAIL:  Key (${u.cols.mkString(", ")})=(${vals.mkString(", ")}) already exists.
             val vals = childFields.indices.map(i =>
               TextEncoder.encodeField(bad(0).get(i), childFields(i), zone)
                 .getOrElse("null"))
+            if (parentWording)
+              throw PgException("23503",
+                s"""update or delete on table "$parentName" violates foreign key constraint "${fk.name}" on table "$tNorm"
+DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still referenced from table "$tNorm".""")
             throw PgException("23503",
               s"""insert or update on table "$tNorm" violates foreign key constraint "${fk.name}"
 DETAIL:  Key (${d.cols.mkString(", ")})=(${vals.mkString(", ")}) is not present in table "${d.refTable}".""")
@@ -4554,11 +4797,21 @@ DETAIL:  Key (${d.cols.mkString(", ")})=(${vals.mkString(", ")}) is not present 
     refs.foreach { case (childT, childSchema, fk, d) =>
       val relevant = touchedCols.forall(tc =>
         d.refCols.exists(c => tc.contains(c.toLowerCase)))
+      // r18: a deferred NO ACTION check skips its probe and queues
+      // the commit-time re-check (referential ACTIONS other than the
+      // NO ACTION check can never be deferred — pg's rule — so only
+      // the 'a' arm is gated)
+      val action0 = if (isDelete) d.onDelete else d.onUpdate
+      val deferSkip = relevant && action0 == 'a' &&
+        TxnCtx.deferred(fk.name, d.deferrable, d.initiallyDeferred)
+      if (deferSkip)
+        TxnCtx.addPending("fp",
+          PgSequences.normName(childT).split("\\.").last, fk.name, tNorm)
       val parentFields = d.refCols.flatMap(c =>
         vanished.schema.fields.find(_.name.equalsIgnoreCase(c)))
       val childFields = d.cols.flatMap(c =>
         childSchema.fields.find(_.name.equalsIgnoreCase(c)))
-      if (relevant && parentFields.length == d.refCols.length &&
+      if (!deferSkip && relevant && parentFields.length == d.refCols.length &&
           childFields.length == d.cols.length) {
         val child0 =
           if (childT.equalsIgnoreCase(tNorm) && selfChildState.isDefined)
@@ -4669,6 +4922,11 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
             val cond = childFields.zipWithIndex.map { case (f, i) =>
               childState(f.name) === keys(s"__fk_k_$i") }.reduce(_ && _)
             d.onDelete match {
+              case 'a' if TxnCtx.deferred(fk.name, d.deferrable,
+                  d.initiallyDeferred) =>
+                // r18: deferred NO ACTION — the delete proceeds,
+                // dangling children re-probe at COMMIT
+                TxnCtx.addPending("fp", cN, fk.name, tN)
               case 'a' | 'r' =>
                 val sample = keys.join(
                   childState
@@ -4729,7 +4987,8 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
                   val newChild = childState.join(keys, cond, "left_anti")
                     .unionByName(modified)
                   checkUniqueDups(newChild, childSchema,
-                    PgConstraints.uniquesOf(childT, childSchema), zone)
+                    PgConstraints.uniquesOf(childT, childSchema), zone,
+                    table = childT)
                   if (act == 'd')
                     probeFkChild(spark, modified, childSchema, childT, fk, d,
                       zone, selfNext = None,
@@ -4821,6 +5080,11 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
             val cond = cFields.zipWithIndex.map { case (f, i) =>
               childState(f.name) === changed(s"__ok_$i") }.reduce(_ && _)
             d.onUpdate match {
+              case 'a' if TxnCtx.deferred(fk.name, d.deferrable,
+                  d.initiallyDeferred) =>
+                // r18: deferred NO ACTION — the key rewrite proceeds,
+                // dangling children re-probe at COMMIT
+                TxnCtx.addPending("fp", cN, fk.name, tN)
               case 'a' | 'r' =>
                 // a key only VANISHES if no row of the parent's next
                 // state still holds it
@@ -4904,7 +5168,8 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
                   val newChild = childState.join(changed, cond, "left_anti")
                     .unionByName(modified)
                   checkUniqueDups(newChild, childSchema,
-                    PgConstraints.uniquesOf(childT, childSchema), zone)
+                    PgConstraints.uniquesOf(childT, childSchema), zone,
+                    table = childT)
                   if (act == 'd')
                     probeFkChild(spark, modified, childSchema, childT, fk, d,
                       zone, selfNext = None,
@@ -5026,7 +5291,7 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
           if (uniques.nonEmpty)
             checkUniqueDups(
               spark.table(table).unionByName(full.select(tgtSchema.fieldNames.map(col).toSeq: _*)),
-              tgtSchema, uniques, zone)
+              tgtSchema, uniques, zone, table = table)
           checkFksChild(spark, full, tgtSchema, table, zone,
             Some(spark.table(table).unionByName(
               full.select(tgtSchema.fieldNames.map(col).toSeq: _*))))
@@ -5056,7 +5321,8 @@ DETAIL:  Key (${d.refCols.mkString(", ")})=(${vals.mkString(", ")}) is still ref
             checkChecks(spark, out, tgtSchema, table, zone)
             val others = uniques.filterNot(u => arbiters.exists(_.name == u.name))
             if (others.nonEmpty)
-              checkUniqueDups(existing.unionByName(out), tgtSchema, others, zone)
+              checkUniqueDups(existing.unionByName(out), tgtSchema, others, zone,
+                table = table)
             checkFksChild(spark, out, tgtSchema, table, zone,
               Some(existing.unionByName(out)))
             val r = retStream(n, out)
@@ -5136,7 +5402,7 @@ HINT:  Ensure that no rows proposed for insertion within the same command have d
               val next = keptMatched.foldLeft(survivorsE)(_ unionByName _)
                 .unionByName(affected)
                 .select(tgtSchema.fieldNames.map(col).toSeq: _*)
-              checkUniqueDups(next, tgtSchema, uniques, zone)
+              checkUniqueDups(next, tgtSchema, uniques, zone, table = table)
               checkFksChild(spark, affected, tgtSchema, table, zone, Some(next))
               val r = retStream(nUpd + nIns, affected)
               afterWrite(r)(overwriteTable(spark, table, next))

@@ -281,8 +281,13 @@ object PgCatalog {
       tables: Seq[(String, StructType)]): DataFrame =
     mkDf(spark, pgConstraintSchema,
       indexes.filter(_.isConstraint).map { ix =>
+        // condeferrable/condeferred (r18) from the unique registry
+        val u = scala.util.Try(spark.table(ix.table).schema).toOption
+          .flatMap(sc => PgConstraints.uniquesOf(ix.table, sc)
+            .find(_.name.equalsIgnoreCase(ix.name)))
         Row(Oids.of(s"con:${ix.name}"), ix.name, Oids.PublicNamespace,
-          if (ix.isPrimary) "p" else "u", false, false, true,
+          if (ix.isPrimary) "p" else "u",
+          u.exists(_.deferrable), u.exists(_.initiallyDeferred), true,
           Oids.of(s"rel:${ix.table}"), 0, Oids.of(s"rel:${ix.name}"), 0,
           0, ix.keyAttnums, null, null)
       } ++
@@ -304,8 +309,9 @@ object PgCatalog {
                 .getOrElse(Nil)
               val refT = km.map(m => m.group(2).stripPrefix("\"").stripSuffix("\""))
                 .getOrElse("")
+              val (defr, initDef) = PgConstraints.deferFlags(f.condef)
               Row(Oids.of(s"con:${f.name}"), f.name, Oids.PublicNamespace,
-                "f", false, false, true, Oids.of(s"rel:$t"), 0, 0, 0,
+                "f", defr, initDef, true, Oids.of(s"rel:$t"), 0, 0, 0,
                 Oids.of(s"rel:$refT"), attnums(cols), null, null)
             }
         })

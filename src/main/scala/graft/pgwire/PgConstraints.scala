@@ -21,8 +21,14 @@ import org.apache.spark.sql.types.StructType
 object PgConstraints {
 
   /** One unique or primary-key constraint. `name` is pg's generated
-    * (`t_pkey`, `t_a_b_key`) or user-declared constraint name. */
-  final case class Unique(name: String, cols: Seq[String], isPrimary: Boolean)
+    * (`t_pkey`, `t_a_b_key`) or user-declared constraint name.
+    * `deferrable`/`initiallyDeferred` (r18) mirror pg_constraint's
+    * condeferrable/condeferred — a deferrable unique skips its
+    * statement-time 23505 probe inside a transaction block when the
+    * session has it SET … DEFERRED (or it is INITIALLY DEFERRED) and
+    * re-probes at COMMIT. */
+  final case class Unique(name: String, cols: Seq[String], isPrimary: Boolean,
+      deferrable: Boolean = false, initiallyDeferred: Boolean = false)
 
   /** One CHECK constraint: the raw pg expression text, ENFORCED on
     * every write path (23514 on FALSE; NULL passes, pg's rule). Name
@@ -48,7 +54,8 @@ object PgConstraints {
     * the storage format — it round-trips through `pg.fks` metadata
     * and the catalog surface already renders it verbatim). */
   final case class FkDef(cols: Seq[String], refTable: String,
-      refCols: Seq[String], onDelete: Char, onUpdate: Char)
+      refCols: Seq[String], onDelete: Char, onUpdate: Char,
+      deferrable: Boolean = false, initiallyDeferred: Boolean = false)
 
   private val fkDefRe =
     ("(?is)FOREIGN\\s+KEY\\s*\\(([^)]*)\\)\\s+REFERENCES\\s+" +
@@ -68,8 +75,27 @@ object PgConstraints {
       val refCols = Option(m.group(3)).map(
         _.split(",").toSeq.map(unqIdent).filter(_.nonEmpty)).getOrElse(cols)
       val (onDel, onUpd) = fkActions(m.group(4))
-      FkDef(cols, refT, refCols, onDel, onUpd)
+      val (defr, initDef) = deferFlags(m.group(4))
+      FkDef(cols, refT, refCols, onDel, onUpd, defr, initDef)
     }
+
+  /** `DEFERRABLE [INITIALLY DEFERRED]` flags harvested from raw
+    * constraint clause text (NOT DEFERRABLE and INITIALLY IMMEDIATE
+    * read back as the false defaults; INITIALLY DEFERRED implies
+    * DEFERRABLE, pg's rule). */
+  def deferFlags(tail: String): (Boolean, Boolean) = {
+    val notDef = "(?is)NOT\\s+DEFERRABLE".r.findFirstIn(tail).isDefined
+    val initDef = "(?is)INITIALLY\\s+DEFERRED".r.findFirstIn(tail).isDefined
+    val defr = !notDef &&
+      ("(?is)\\bDEFERRABLE\\b".r.findFirstIn(tail).isDefined || initDef)
+    (defr, defr && initDef)
+  }
+
+  /** pg_get_constraintdef's deferral suffix (INITIALLY IMMEDIATE and
+    * NOT DEFERRABLE are defaults and render as nothing). */
+  def deferSuffix(deferrable: Boolean, initiallyDeferred: Boolean): String =
+    (if (deferrable) " DEFERRABLE" else "") +
+      (if (initiallyDeferred) " INITIALLY DEFERRED" else "")
 
   /** `ON DELETE/UPDATE <action>` letters harvested from raw FK clause
     * text (pg letters: a=no action, r=restrict, c=cascade,
@@ -189,16 +215,25 @@ object PgConstraints {
   }
 
   /** The serialized form stored in `pg.uniques` column metadata:
-    * `name|P|c1,c2;name2|U|c3`. */
+    * `name|P|c1,c2;name2|U|c3`; a deferrable constraint carries a
+    * 4th field (`D` = deferrable, `DI` = + initially deferred) that
+    * older entries simply lack. */
   def serialize(uniques: Seq[Unique]): String =
-    uniques.map(u =>
-      u.name + "|" + (if (u.isPrimary) "P" else "U") + "|" +
-        u.cols.mkString(",")).mkString(";")
+    uniques.map { u =>
+      val base = u.name + "|" + (if (u.isPrimary) "P" else "U") + "|" +
+        u.cols.mkString(",")
+      if (u.deferrable)
+        base + "|D" + (if (u.initiallyDeferred) "I" else "")
+      else base
+    }.mkString(";")
 
   private def deserialize(s: String): Seq[Unique] =
     s.split(";").toSeq.filter(_.nonEmpty).map { part =>
-      val Array(n, k, cs) = part.split("\\|", 3)
-      Unique(n, cs.split(",").toSeq, k == "P")
+      val fs = part.split("\\|", 4)
+      val flags = if (fs.length > 3) fs(3) else ""
+      Unique(fs(0), fs(2).split(",").toSeq, fs(1) == "P",
+        deferrable = flags.contains("D"),
+        initiallyDeferred = flags.contains("I"))
     }
 
   /** Uniques for a table — registry hit, else rebuilt from the

@@ -160,6 +160,10 @@ final class PgServer(
       NotifyBus.deregister(session)
       cancelKeys.remove(connId)
       session.discardAllPortals()
+      // disconnect mid-transaction rolls back (pg's rule): restore
+      // any journaled writes before the session state drops
+      try Handlers.abortOnDisconnect(spark, session)
+      catch { case NonFatal(_) => }
       PgSequences.clearSession(connId)
     }
   }

@@ -95,13 +95,47 @@ final class Session(val connId: Int, val user: String, val database: String) {
 
   var txn: TxnState = Idle
 
-  /** Savepoint name stack (most recent last). Tag-only like the
-    * transaction model itself: RELEASE pops the named entry and
-    * everything after it, ROLLBACK TO pops everything AFTER the named
-    * entry and clears a Failed state — the behavior ORMs rely on to
-    * recover from an error inside a transaction block. Live-pg-pinned
+  /** Savepoint stack (most recent last): name + the transaction
+    * statement mark at SAVEPOINT time. RELEASE pops the named entry
+    * and everything after it; ROLLBACK TO pops everything AFTER the
+    * named entry, clears a Failed state, and (r18) restores the
+    * write journal to the mark — real partial undo. Live-pg-pinned
     * in SavepointSpec. */
-  val savepoints: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+  val savepoints: mutable.ArrayBuffer[(String, Int)] = mutable.ArrayBuffer.empty
+
+  // ---- r18 transaction write journal + deferred constraints -------------
+
+  /** Statement counter inside the current transaction block —
+    * journal entries and savepoints are marked with it. */
+  var txnStmtSeq: Int = 0
+
+  /** Lazily-created write journal for the current transaction block
+    * (None until the first in-transaction write). */
+  var journal: Option[TxnJournal] = None
+
+  /** `SET CONSTRAINTS <name> …` per-constraint overrides for this
+    * transaction: name → deferred?. Cleared at transaction end. */
+  val constraintModes: mutable.Map[String, Boolean] = mutable.Map.empty
+
+  /** `SET CONSTRAINTS ALL …` override (beats the declared INITIALLY
+    * mode, loses to per-name overrides set later). */
+  var allConstraintsDeferred: Option[Boolean] = None
+
+  /** Commit-time probes queued by checks skipped under deferral:
+    * (kind, table, constraint name, detail) — see TxnCtx.addPending. */
+  val deferredPending: mutable.LinkedHashSet[(String, String, String, String)] =
+    mutable.LinkedHashSet.empty
+
+  /** Reset all transaction-block state (at COMMIT/ROLLBACK/BEGIN). */
+  def clearTxnState(): Unit = {
+    savepoints.clear()
+    txnStmtSeq = 0
+    journal.foreach(j => try j.discard() catch { case scala.util.control.NonFatal(_) => })
+    journal = None
+    constraintModes.clear()
+    allConstraintsDeferred = None
+    deferredPending.clear()
+  }
 
   def txnStatusByte: Char = txn match {
     case Idle => 'I'
