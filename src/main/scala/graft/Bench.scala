@@ -63,31 +63,85 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case scala.util.control.NonFatal(_) => "unavailable" }
-    def load1Num(): Double =
-      try loadavg().split(" ").head.toDouble
+    def loadNum(idx: Int): Double =
+      try loadavg().split(" ")(idx).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
-    // Idle gate (VERDICT r16 item 3): two consecutive driver captures
-    // were taken on a polluted host (load_start 2.20 in r16) and cost a
-    // judging cycle apiece to refute. Refuse to start while 1-min
-    // loadavg > threshold — spin-wait (15 s steps, up to
-    // SPARK_GRAFT_BENCH_IDLE_WAIT_SEC, default 600) for the residual
-    // load from the preceding sbt run to decay. If the host never goes
-    // quiet, the capture proceeds but is STAMPED "invalid" in the JSON
-    // so it can't be mistaken for a code regression.
+    def load1Num(): Double = loadNum(0)
+    def load5Num(): Double = loadNum(1)
+    // Idle gate (VERDICT r16 item 3, r17 item 3): two consecutive
+    // driver captures were taken on a polluted host (load_start 2.20
+    // in r16; r17's gate passed on load1 exactly 1.00 while load5 sat
+    // at 1.29 — still decaying). Refuse to start while 1-min loadavg
+    // > threshold OR 5-min loadavg > its own threshold — spin-wait
+    // (15 s steps, up to SPARK_GRAFT_BENCH_IDLE_WAIT_SEC, default
+    // 900) for the residual load from the preceding sbt run to decay.
+    // If the host never goes quiet, the capture proceeds but is
+    // STAMPED "invalid" in the JSON so it can't be mistaken for a
+    // code regression.
     val idleThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_MAX", "1.0").toDouble
-    val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600").toInt
+    val idle5Threshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE5_MAX", "1.2").toDouble
+    val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "900").toInt
     var idleWaited = 0
-    while (load1Num() > idleThreshold && idleWaited < idleWaitMax) {
-      System.err.println(f"[bench] load1=${load1Num()}%.2f > $idleThreshold%.1f — waiting for idle ($idleWaited/$idleWaitMax s)")
+    while ((load1Num() > idleThreshold || load5Num() > idle5Threshold) &&
+        idleWaited < idleWaitMax) {
+      System.err.println(f"[bench] load1=${load1Num()}%.2f/load5=${load5Num()}%.2f over ($idleThreshold%.1f/$idle5Threshold%.1f) — waiting for idle ($idleWaited/$idleWaitMax s)")
       Thread.sleep(15000)
       idleWaited += 15
     }
     val loadStart = loadavg()
     val invalidReason: Option[String] = {
-      val l = load1Num()
+      val l = load1Num(); val l5 = load5Num()
       if (l > 1.5) Some(f"polluted capture: load_start $l%.2f > 1.5 after $idleWaited s idle-wait")
+      else if (l5 > 1.5) Some(f"polluted capture: load5_start $l5%.2f > 1.5 after $idleWaited s idle-wait")
       else None
     }
+    // Same-window DuckDB baseline (VERDICT r17 item 3): the committed
+    // duck_baseline.json was captured in a DIFFERENT load window than
+    // the Spark numbers it divides. When the oracle dump + python3 +
+    // duckdb are present, re-run tools/bench_duckdb.py NOW — inside
+    // the idle-gated window, before the Spark pass — into a temp
+    // file and prefer it (known design-timeouts from the committed
+    // file are skipped, not re-burned at 2x60 s). Disable with
+    // SPARK_GRAFT_DUCK_REFRESH=0; the committed file remains the
+    // fallback so a driver environment without the oracle dump still
+    // gets ratios (stamped duck_fresh:false).
+    val committedBaselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_DUCK_BASELINE", "tools/duck_baseline.json")
+    val oraclePath = sys.env.getOrElse("SPARK_GRAFT_ORACLE_JSON",
+      "/tmp/verify_out/oracle_sql.json")
+    val freshBaselinePath = "/tmp/duck_baseline_fresh.json"
+    val duckFresh: Boolean =
+      sys.env.getOrElse("SPARK_GRAFT_DUCK_REFRESH", "1") != "0" &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(oraclePath)) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get("tools/bench_duckdb.py")) && {
+        try {
+          val knownTimeouts = {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(committedBaselinePath)), "UTF-8")
+            val ts = txt.indexOf("\"timeouts\"")
+            if (ts < 0) "" else {
+              val body = txt.substring(txt.indexOf('[', ts) + 1)
+              """"([A-Za-z0-9_]+)"""".r
+                .findAllMatchIn(body.substring(0, body.indexOf(']')))
+                .map(_.group(1)).mkString(",")
+            }
+          }
+          System.err.println("[bench] refreshing DuckDB baseline in-window …")
+          val pb = new ProcessBuilder("python3", "tools/bench_duckdb.py",
+            sfDir, oraclePath, freshBaselinePath)
+          pb.environment().put("DUCK_TIMEOUT",
+            sys.env.getOrElse("SPARK_GRAFT_DUCK_TIMEOUT", "20"))
+          pb.environment().put("DUCK_SKIP", knownTimeouts)
+          pb.redirectErrorStream(true)
+          pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+          val p = pb.start()
+          val ok = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES) &&
+            p.exitValue() == 0 &&
+            java.nio.file.Files.exists(java.nio.file.Paths.get(freshBaselinePath))
+          if (!ok) { p.destroyForcibly(); () }
+          ok
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
     val tStart = System.currentTimeMillis()
     // Optional focus filter for local iteration: comma-separated qNN
     // prefixes (SPARK_GRAFT_BENCH_ONLY=q100,q101). Full suite when unset.
@@ -179,7 +233,7 @@ object Bench {
     // in-repo instead of re-derived ad-hoc each round. Hand-parsed: the
     // file's "queries" object is flat {"name": number} by construction.
     val duckBaseline: Map[String, Double] = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_DUCK_BASELINE", "tools/duck_baseline.json")
+      val path = if (duckFresh) freshBaselinePath else committedBaselinePath
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
         val qStart = txt.indexOf("\"queries\"")
@@ -222,7 +276,7 @@ object Bench {
     }
     val sentinel =
       invalidJson +
-      s""""idle_wait_sec":$idleWaited,$duckJson,"runs":$samplesPerQuery,"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}","t_start_ms":$tStart,"t_end_ms":$tEnd"""
+      s""""idle_wait_sec":$idleWaited,$duckJson,"duck_fresh":$duckFresh,"runs":$samplesPerQuery,"load_start":"${esc(loadStart)}","load_end":"${esc(loadEnd)}","t_start_ms":$tStart,"t_end_ms":$tEnd"""
     val sampleJson = samples.map { case (k, ss) =>
       "\"" + esc(k) + "\":[" + ss.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")

@@ -296,7 +296,8 @@ object SimilarityOps extends Serializable {
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
       centroidIds: Seq[Long], tau2Num: Long, tau2Den: Long,
       maxCluster: Int = 200000, overCapIsError: Boolean = false): DataFrame = {
-    graft.functions.VectorExpressions.install(embs.sparkSession)
+    val spark = embs.sparkSession
+    graft.functions.VectorExpressions.install(spark)
     val cents = collectCentroids(embs, idCol, vecCol, centroidIds)
     val qv = quantize(col(vecCol))
     val (cluster, _) = nearestCentroid(cents, qv)
@@ -343,24 +344,52 @@ object SimilarityOps extends Serializable {
         }
         assigned0.withColumn("sub", pmod(xxhash64(col("vec_id")), nsubCol))
       }
-    val lhs = assigned.select(col("vec_id").as("ida"), col("cluster"),
-      col("sub"), col("qv").as("qa"), col("nrm").as("na"))
-    val rhs = assigned.select(col("vec_id").as("idb"), col("cluster"),
-      col("sub"), col("qv").as("qb"), col("nrm").as("nb"))
-    val dec = "decimal(38,0)"
-    val d = qdot(col("qa"), col("qb")).cast(dec)
-    val dupOf = lhs.join(rhs, Seq("cluster", "sub"))
-      .filter(col("ida") > col("idb"))
-      .withColumn("d", d)
-      .filter(col("d") > 0 &&
-        lit(tau2Den).cast(dec) * col("d") * col("d") >=
-          lit(tau2Num).cast(dec) * col("na").cast(dec) * col("nb").cast(dec))
-      .groupBy(col("ida").as("vec_id"))
-      .agg(min(col("idb")).as("dup_of"))
-    assigned.select("vec_id", "cluster")
-      .join(dupOf, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("dup_of"),
-        col("dup_of").isNull.as("keep"))
+    // ONE-shuffle shape (r18, the q52/q53 groupedBucketPairs lesson —
+    // the r17 join→filter→agg→join-back chain ran six 1-task stages):
+    // co-locate by cluster, sort (cluster, sub, id) in-partition, and
+    // resolve each row's dup_of IN-TASK — rows arrive id-ascending,
+    // so the FIRST smaller-id member within τ IS min(idb) and the
+    // scan breaks early. Zero joins; the τ-comparison runs in BigInt
+    // (den·dot² reaches ~1e22, past Long) exactly like the oracle's
+    // HUGEINT.
+    import spark.implicits._
+    assigned
+      .select(col("vec_id"), col("cluster"), col("sub"), col("qv"))
+      .as[(Long, Long, Long, Array[Long])]
+      .repartition(col("cluster"))
+      .sortWithinPartitions("cluster", "sub", "vec_id")
+      .mapPartitions { it =>
+        val num = BigInt(tau2Num); val den = BigInt(tau2Den)
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val qvs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val nrms = scala.collection.mutable.ArrayBuffer.empty[BigInt]
+        var curKey = (Long.MinValue, Long.MinValue)
+        def norm2(q: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < q.length) { s += q(i) * q(i); i += 1 }
+          s
+        }
+        it.map { case (id, cl, sub, qv0) =>
+          if ((cl, sub) != curKey) {
+            curKey = (cl, sub); ids.clear(); qvs.clear(); nrms.clear()
+          }
+          val n2 = BigInt(norm2(qv0))
+          var dupOf: java.lang.Long = null
+          var j = 0
+          while (dupOf == null && j < ids.length) {
+            val qb = qvs(j)
+            var d = 0L; var p = 0
+            val n = math.min(qv0.length, qb.length)
+            while (p < n) { d += qv0(p) * qb(p); p += 1 }
+            if (d > 0 && den * BigInt(d) * BigInt(d) >= num * n2 * nrms(j))
+              dupOf = ids(j)
+            j += 1
+          }
+          ids += id; qvs += qv0; nrms += n2
+          (id, cl, Option(dupOf).map(_.longValue), dupOf == null)
+        }
+      }
+      .toDF("vec_id", "cluster", "dup_of", "keep")
   }
 
   /** IVF probed top-k: score the query against the k centroids on the

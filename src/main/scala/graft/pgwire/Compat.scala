@@ -2640,7 +2640,13 @@ object Compat {
                 case "rank" =>
                   s"(1 + count(CASE WHEN $before THEN 1 END))"
                 case "dense_rank" =>
-                  s"(1 + count(DISTINCT CASE WHEN $before THEN struct($x) END))"
+                  // size(collect_set(…)) == count(DISTINCT …) but
+                  // evaluates in ONE aggregate pass (no Expand /
+                  // second shuffle level — r18 q122 fusion); struct()
+                  // keeps a NULL sort value as one dense slot, and
+                  // the CASE's NULL result drops non-matching rows
+                  // from the set exactly like count(DISTINCT)
+                  s"(1 + CAST(size(collect_set(CASE WHEN $before THEN struct($x) END)) AS BIGINT))"
                 case "percent_rank" =>
                   s"(CAST(count(CASE WHEN $before THEN 1 END) AS DOUBLE) / count(*))"
                 case _ =>
@@ -3275,6 +3281,15 @@ object Compat {
 
   private var rsSeq = 0
 
+  /** Predicate channel (thread-local, like enumTypesTL): is a
+    * relation a FILE-BACKED catalog table where the hidden
+    * `_metadata` columns resolve? Set by Handlers.runSql; the
+    * json_agg input-order capture minting a file-ordinal key needs
+    * it because `_metadata` on a non-file view fails analysis. */
+  val fileTableCheck = new ThreadLocal[String => Boolean] {
+    override def initialValue: String => Boolean = _ => false
+  }
+
   /** pg's no-ORDER-BY `json[b]_agg` follows INPUT order (pg's heap
     * scan). Where that order is well-defined here — the block's FROM
     * is ONE base relation (optionally aliased; WHERE/GROUP BY don't
@@ -3401,11 +3416,25 @@ object Compat {
         return false
       rsSeq += 1
       val key = s"__rs$rsSeq"
+      // r18: on a FILE-BACKED table the key leads with the file's
+      // (mtime, name) ordinal — a multi-STATEMENT insert history
+      // spans multiple parquet files whose LISTING order is
+      // uuid-random, so the bare partition-prefixed id lost the
+      // statement order; write mtimes are strictly later per
+      // statement (a parquet commit takes ≫1 ms), restoring pg's
+      // heap sequence. Non-file relations (views, VALUES) keep the
+      // plain id — `_metadata` would not resolve there.
+      val idExpr =
+        if (fileTableCheck.get()(relText.split("\\.").last.toLowerCase))
+          "struct(_metadata.file_modification_time AS __mt, " +
+            "_metadata.file_name AS __fn, " +
+            "monotonically_increasing_id() AS __mi)"
+        else "monotonically_increasing_id()"
       // splice the LATER span first so earlier indices stay valid
       if (rel > aggClose) {
         ts.remove(rel, aliasEnd - rel + 1)
         ts.insertAll(rel, Seq(Tok(Word,
-          s"(SELECT *, monotonically_increasing_id() AS $key FROM $relText) $alias")))
+          s"(SELECT *, $idExpr AS $key FROM $relText) $alias")))
         ts.insertAll(aggClose, Seq(Tok(Ws, " "), Tok(Word, "ORDER"),
           Tok(Ws, " "), Tok(Word, "BY"), Tok(Ws, " "), Tok(Word, key)))
       } else {
@@ -3413,7 +3442,7 @@ object Compat {
           Tok(Ws, " "), Tok(Word, "BY"), Tok(Ws, " "), Tok(Word, key)))
         ts.remove(rel, aliasEnd - rel + 1)
         ts.insertAll(rel, Seq(Tok(Word,
-          s"(SELECT *, monotonically_increasing_id() AS $key FROM $relText) $alias")))
+          s"(SELECT *, $idExpr AS $key FROM $relText) $alias")))
       }
       true
     } else false

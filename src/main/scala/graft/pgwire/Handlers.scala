@@ -42,6 +42,8 @@ object Handlers {
   def execute(spark: SparkSession, session: Session, rawSql: String,
       auth: Option[AuthManager] = None, hooks: Seq[QueryHook] = Nil): PgResult = {
     val t0 = System.nanoTime()
+    val group = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val (b0, r0) = PgStatStatements.scanSnapshot(group)
     // thread-local txn context for the deep write/check sites (saved/
     // restored because DDL cascades re-enter execute recursively)
     val prevCtx = TxnCtx.session.orNull
@@ -56,17 +58,30 @@ object Handlers {
       rawSql.trim.takeWhile(!_.isWhitespace).toUpperCase)
     // pg_stat_statements counters: successful statements only (pg
     // doesn't count failures); row-returning statements add their row
-    // count at drain through the wrapped tag builder
+    // count at drain through the wrapped tag builder. Scan metrics
+    // (r18) attach as the per-connection job-group delta — at drain
+    // for streamed results, immediately for Complete.
     val ms = (System.nanoTime() - t0) / 1e6
+    def attachScan(key: String): Unit =
+      if (group != null && group.startsWith("pgwire-conn-")) {
+        // flush the async listener bus (bounded) so this statement's
+        // own task-end events count into ITS delta
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, 500)
+        val (b1, r1) = PgStatStatements.scanSnapshot(group)
+        PgStatStatements.addScan(key, b1 - b0, r1 - r0)
+      }
     r match {
       case EmptyQuery => r
       case rs: RowSet =>
         val key = PgStatStatements.record(rawSql, ms)
-        rs.copy(tagFor = n => { PgStatStatements.addRows(key, n); rs.tagFor(n) })
+        rs.copy(tagFor = n => {
+          PgStatStatements.addRows(key, n); attachScan(key); rs.tagFor(n)
+        })
       case Complete(tag, _) =>
         val key = PgStatStatements.record(rawSql, ms)
         "(?s).*?(\\d+)\\s*$".r.findFirstMatchIn(tag)
           .foreach(m => PgStatStatements.addRows(key, m.group(1).toLong))
+        attachScan(key)
         r
     }
   }
@@ -90,10 +105,12 @@ object Handlers {
     Compat.trgmThresholds.set(
       session.gucs.toMap.filter(_._1.startsWith("pg_trgm.")))
 
-    // aborted-transaction guard (reference: transactions.rs:96-118)
+    // aborted-transaction guard (reference: transactions.rs:96-118).
+    // 25P02 in_failed_sql_transaction — live-pinned (r18): pg rejects
+    // even BEGIN here; only COMMIT/END/ROLLBACK/ABORT pass
     if (session.txn == session.Failed &&
       !Set("COMMIT", "END", "ROLLBACK", "ABORT").contains(head))
-      throw PgException("25P01",
+      throw PgException("25P02",
         "current transaction is aborted, commands ignored until end of transaction block")
 
     // unpopulated-matview scan guard (pg raises 55000 on a read of a
@@ -143,8 +160,12 @@ object Handlers {
 
     head match {
       case "BEGIN" | "START" =>
-        session.txn = session.InTxn
-        session.clearTxnState()
+        // nested BEGIN is pg's warning-only no-op — savepoints and
+        // the journal SURVIVE (live-pinned r18)
+        if (session.txn != session.InTxn) {
+          session.txn = session.InTxn
+          session.clearTxnState()
+        }
         Complete("BEGIN")
       case "COMMIT" | "END" =>
         val wasFailed = session.txn == session.Failed
@@ -1297,8 +1318,14 @@ object Handlers {
           scala.util.Try(spark.table(name).schema).toOption
             .map(_.fields.toSeq.map(f => (f.name, Compat.pgTypeNameOf(f.dataType)))))
       else sql
+    // json_agg input-order capture: which relations are file-backed
+    // catalog tables (the `_metadata` file-ordinal key resolves there)
+    if (sql.toLowerCase.contains("json"))
+      Compat.fileTableCheck.set(name =>
+        TxnJournal.tableLocation(spark, name).isDefined)
     val rewritten =
-      Compat.rewriteTop(pre, graft.functions.PgEnums.names(spark))
+      try Compat.rewriteTop(pre, graft.functions.PgEnums.names(spark))
+      finally Compat.fileTableCheck.remove()
     val lower = rewritten.toLowerCase
     if (lower.contains("pg_") || lower.contains("information_schema"))
       PgCatalog.refresh(spark)

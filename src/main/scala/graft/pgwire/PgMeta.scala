@@ -30,10 +30,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * one buffer lock, so a centralized file allocator IS the
   * pg-equivalent design; the block-reservation bulk path
   * ([[PgSequences.reserveBlock]]) amortizes it to one lock per
-  * INSERT…SELECT statement. Deployment note: FileLock needs a POSIX
-  * shared filesystem (NFS/local); an HDFS/S3 deployment would swap
-  * this class for a lock service or a single-writer allocator —
-  * the registry API is already centralized behind it.
+  * INSERT…SELECT statement. Deployment note (r18): the cross-process
+  * half is the pluggable [[SeqLockService]] — [[FileSeqLock]]
+  * (default) needs a POSIX shared filesystem (NFS/local);
+  * [[LocalSeqLock]] serves single-writer S3/HDFS deployments, and a
+  * multi-writer object-store deployment provides the trait over a
+  * real lock service (see the trait doc). Selected by
+  * `spark.graft.seqLockService`.
   *
   * Activation: `spark.graft.metaDir=<dir>` at session build (PgServer
   * calls [[attachFromConf]]) or an explicit [[attach]]. Detached
@@ -180,6 +183,7 @@ object PgMeta {
     spark.conf.getOption("spark.graft.metaDir").foreach(attach(spark, _))
 
   def attach(spark: SparkSession, dir: String): Unit = synchronized {
+    lockServiceFromConf(spark)
     val r = Paths.get(dir)
     Files.createDirectories(r.resolve("seq"))
     // flush any pre-attach in-memory sequence state into the store
@@ -266,10 +270,55 @@ object PgMeta {
   // JVM-local stripe: FileLock is per-process on POSIX — a second
   // lock attempt from another thread of THIS JVM throws
   // OverlappingFileLockException instead of blocking, so same-JVM
-  // threads serialize here first, then the FileLock excludes other
-  // processes.
+  // threads serialize here first, then the cross-process lock
+  // service excludes other processes.
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Pluggable CROSS-PROCESS exclusion for a sequence's
+    * read-modify-write (r18 — the VERDICT r17 lock-service seam).
+    * The JVM-local stripe always runs; this trait adds the
+    * between-processes half. [[FileSeqLock]] (default) is a
+    * java.nio FileLock on a sibling `.lck` — correct on local disk
+    * and POSIX shared filesystems (NFSv4+). [[LocalSeqLock]] is a
+    * no-op beyond the stripe: for SINGLE-WRITER deployments where
+    * exactly one driver process owns all DML — the practical S3/HDFS
+    * story, since object stores have no file locks. A multi-writer
+    * object-store deployment instead provides this trait over a real
+    * lock service (ZooKeeper ephemeral nodes, etcd leases, DynamoDB
+    * conditional puts); every allocator call is already funneled
+    * through [[seqLocked]], so that is the only integration point.
+    * Selected by `spark.graft.seqLockService=file|local` at attach.
+    */
+  trait SeqLockService {
+    def withLock[T](lockPath: Path)(f: => T): T
+  }
+
+  object FileSeqLock extends SeqLockService {
+    def withLock[T](lockPath: Path)(f: => T): T = {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f
+        finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  object LocalSeqLock extends SeqLockService {
+    def withLock[T](lockPath: Path)(f: => T): T = f
+  }
+
+  @volatile private var lockService: SeqLockService = FileSeqLock
+  def currentLockService: SeqLockService = lockService
+  def setLockService(s: SeqLockService): Unit = lockService = s
+  private[pgwire] def lockServiceFromConf(spark: SparkSession): Unit =
+    setLockService(
+      spark.conf.getOption("spark.graft.seqLockService") match {
+        case Some("local") => LocalSeqLock
+        case _ => FileSeqLock
+      })
 
   def seqLocked[T](name: String)(f: Path => T): T = {
     val r = currentRoot.getOrElse(
@@ -279,13 +328,7 @@ object PgMeta {
     val stripe = jvmLocks.computeIfAbsent(
       lockPath.toAbsolutePath.toString, _ => new Object)
     stripe.synchronized {
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try f(seqFile(r, name))
-        finally lock.release()
-      } finally ch.close()
+      lockService.withLock(lockPath)(f(seqFile(r, name)))
     }
   }
 

@@ -53,6 +53,7 @@ final class PgServer(
     PgMeta.attachFromConf(spark)
     PgCatalog.registerAll(spark)
     PgFunctions.registerAll(spark)
+    PgStatStatements.installListener(spark)
     // graft-native Catalyst expressions (vec_ldot & co., lev_banded)
     // — wire clients get them even when the session was built without
     // spark.sql.extensions=graft.GraftExtensions

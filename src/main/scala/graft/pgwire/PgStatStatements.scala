@@ -24,13 +24,81 @@ object PgStatStatements {
 
   final case class Stat(var calls: Long, var totalMs: Double,
       var minMs: Double, var maxMs: Double, var sumSqMs: Double,
-      var rows: Long)
+      var rows: Long, var blksRead: Long = 0L, var recordsRead: Long = 0L)
 
   private val MaxEntries = 5000
   private val stats =
     new java.util.LinkedHashMap[String, Stat]()
   private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var enabled = true
+
+  // ---- scan metrics (r18): shared_blks_read / records_read ------------
+  //
+  // Driver-side SparkListener aggregating task INPUT metrics per job
+  // group (the server names one group per connection, and the
+  // statement runs under it on the connection's thread). The execute
+  // wrapper snapshots the group's cumulative counters before the
+  // statement and attaches the delta when the statement's rows drain
+  // — the listener bus is asynchronous, so a task finishing after the
+  // delta is read lands on the NEXT statement of the same connection
+  // (totals are conserved per connection; pg attributes per-backend
+  // the same way, just synchronously). bytesRead maps to pg's 8 kB
+  // block unit for shared_blks_read; records_read is the engine's
+  // honest extra column.
+  private val groupOfStage =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val groupBytes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val groupRecords =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val listenerInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private final class ScanListener extends org.apache.spark.scheduler.SparkListener {
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val group = js.properties.getProperty("spark.jobGroup.id")
+      if (group != null && group.startsWith("pgwire-conn-"))
+        js.stageIds.foreach(sid => groupOfStage.put(sid, group))
+    }
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val g = groupOfStage.get(te.stageId)
+      if (g != null && te.taskMetrics != null) {
+        val im = te.taskMetrics.inputMetrics
+        if (im.bytesRead > 0)
+          groupBytes.computeIfAbsent(g, _ =>
+            new java.util.concurrent.atomic.AtomicLong()).addAndGet(im.bytesRead)
+        if (im.recordsRead > 0)
+          groupRecords.computeIfAbsent(g, _ =>
+            new java.util.concurrent.atomic.AtomicLong()).addAndGet(im.recordsRead)
+      }
+    }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      groupOfStage.remove(sc.stageInfo.stageId)
+  }
+
+  /** Register the scan listener once per JVM (PgServer boot). */
+  def installListener(spark: SparkSession): Unit =
+    if (listenerInstalled.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(new ScanListener)
+
+  /** Cumulative (bytes, records) read under `group` so far. */
+  def scanSnapshot(group: String): (Long, Long) =
+    if (group == null) (0L, 0L)
+    else (Option(groupBytes.get(group)).map(_.get).getOrElse(0L),
+      Option(groupRecords.get(group)).map(_.get).getOrElse(0L))
+
+  /** Attach a scan delta to a stat entry (blocks = pg's 8 kB unit). */
+  def addScan(key: String, bytes: Long, records: Long): Unit =
+    if (key.nonEmpty && (bytes > 0 || records > 0)) {
+      stats.synchronized {
+        val s = stats.get(key)
+        if (s != null) {
+          s.blksRead += (bytes + 8191) / 8192
+          s.recordsRead += records
+        }
+      }
+      versionCounter.incrementAndGet()
+    }
 
   /** FNV-1a 64 over the normalized text — the stable queryid. */
   private def queryId(s: String): Long = {
@@ -119,7 +187,8 @@ object PgStatStatements {
     StructField("stddev_exec_time", DoubleType),
     StructField("rows", LongType),
     StructField("shared_blks_hit", LongType),
-    StructField("shared_blks_read", LongType)))
+    StructField("shared_blks_read", LongType),
+    StructField("records_read", LongType)))
 
   /** (Re)build the view from the current counters — called by runSql
     * whenever a statement references pg_stat_statements, so the
@@ -132,7 +201,8 @@ object PgStatStatements {
         val mean = s.totalMs / s.calls
         val variance = math.max(0.0, s.sumSqMs / s.calls - mean * mean)
         b += Row(10, 13757, true, queryId(q), q, s.calls, s.totalMs,
-          s.minMs, s.maxMs, mean, math.sqrt(variance), s.rows, 0L, 0L)
+          s.minMs, s.maxMs, mean, math.sqrt(variance), s.rows, 0L,
+          s.blksRead, s.recordsRead)
       }
       b.result()
     }

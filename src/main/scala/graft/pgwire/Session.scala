@@ -8,11 +8,14 @@ import org.apache.spark.sql.types.StructType
 /** Per-connection session state: GUC variables, the transaction-status
   * state machine, cursor portals, and prepared statements.
   *
-  * Transaction semantics mirror the reference exactly (no real
-  * transactions — a tag state machine; reference:
-  * datafusion-postgres/src/hooks/transactions.rs:24-131): BEGIN in a
-  * txn is ignored with a warning tag, COMMIT in Error state returns
-  * ROLLBACK, any non-txn statement in Error state raises 25P01.
+  * The state machine mirrors the reference (transactions.rs:24-131):
+  * BEGIN in a txn is ignored with a warning tag, COMMIT in Error
+  * state returns ROLLBACK, any non-txn statement in Error state
+  * raises 25P02. Beyond the reference (r18), transactions are REAL:
+  * a [[TxnJournal]] snapshots every written table per statement, so
+  * ROLLBACK / ROLLBACK TO SAVEPOINT / disconnect restore bytes, and
+  * deferred-constraint probes run at COMMIT (sweep-44 pins all of it
+  * against live pg 15).
   */
 final class Session(val connId: Int, val user: String, val database: String) {
 

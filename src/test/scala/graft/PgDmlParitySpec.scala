@@ -207,6 +207,25 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script13.sql", "/dml/live13.txt")
   }
 
+  test("sweep-44: transaction blocks with journal undo + deferred constraints match live pg") {
+    // r18 — the write journal: 221 statements over randomized
+    // BEGIN/COMMIT/ROLLBACK blocks with REAL undo (hardlink-snapshot
+    // restore), SAVEPOINT / ROLLBACK TO / RELEASE partial undo,
+    // failed-transaction state (25P02 guard incl. nested BEGIN,
+    // COMMIT-as-ROLLBACK), TRUNCATE rolled back, DEFERRABLE
+    // constraints (INITIALLY DEFERRED FK dcd_pid_fkey, on-demand
+    // dci_pid_fkey, deferrable UNIQUE du_k_key) under SET CONSTRAINTS
+    // flips — commit-time 23503/23505 roll the whole block back, SET
+    // … IMMEDIATE raises outstanding violations mid-block, ROLLBACK
+    // TO SAVEPOINT clears a queued violation, and FK ON DELETE
+    // CASCADE fires inside a block and restores BOTH tables on
+    // ROLLBACK. 73 error shapes in the live trace (23503/23505/
+    // 25P02/42704/42809); dumps after every COMMIT/ROLLBACK. The
+    // fixture was captured with tools/pg_capture_txn.py (single
+    // psql session — transaction state must persist).
+    replay("/dml/script14.sql", "/dml/live14.txt")
+  }
+
   test("sweep-41b: TRUNCATE/DROP ... CASCADE over FK references matches live pg") {
     // TRUNCATE CASCADE pulls referencing tables in transitively;
     // DROP TABLE CASCADE drops the dependent CONSTRAINT and stops

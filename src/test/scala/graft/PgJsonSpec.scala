@@ -397,6 +397,15 @@ class PgJsonSpec extends SparkSpec {
     assert(run("SELECT json_agg(v ORDER BY v) FROM jord") === "[1, 2, 3, null]")
     // aliased relation + qualified arg still captures
     assert(run("SELECT json_agg(j.v) FROM jord j") === "[3, 1, 2, null]")
+    // r18: MULTI-STATEMENT insert history — separate parquet files
+    // whose listing order is uuid-random; the file-ordinal key
+    // (_metadata mtime, name) restores pg's heap sequence. Live pg
+    // returns [3, 1, 2, null, 9, 7, 8] for this exact history.
+    run("INSERT INTO jord VALUES (9,'x')")
+    run("INSERT INTO jord VALUES (7,'y'),(8,'w')")
+    assert(run("SELECT json_agg(v) FROM jord") === "[3, 1, 2, null, 9, 7, 8]")
+    assert(run("SELECT json_agg(s) FROM jord WHERE v IS NOT NULL") ===
+      """["c", "a", "b", "x", "y", "w"]""")
     run("DROP TABLE jord")
   }
 

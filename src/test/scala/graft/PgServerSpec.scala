@@ -383,9 +383,9 @@ class PgServerSpec extends SparkSpec with BeforeAndAfterAll {
     // error flips to Failed state
     val e = c.query("SELECT * FROM missing_t")
     assert(e.txnStatus === 'E')
-    // non-txn statement in failed txn → 25P01
+    // non-txn statement in failed txn → 25P02 (live-pinned r18)
     val blocked = c.query("SELECT 1")
-    assert(blocked.errors.head._1 === "25P01")
+    assert(blocked.errors.head._1 === "25P02")
     // COMMIT in failed state reports ROLLBACK
     val commit = c.query("COMMIT")
     assert(commit.tags === Seq("ROLLBACK"))

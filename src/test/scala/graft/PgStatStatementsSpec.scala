@@ -83,12 +83,37 @@ class PgStatStatementsSpec extends SparkSpec with BeforeAndAfterAll {
     c.close()
   }
 
-  test("SET CONSTRAINTS: IMMEDIATE no-op, DEFERRED honest 0A000") {
+  test("SET CONSTRAINTS: ALL forms accepted; bad names live-pinned (r18)") {
     val c = connect()
     assert(c.query("SET CONSTRAINTS ALL IMMEDIATE").tags === Seq("SET CONSTRAINTS"))
-    val e = c.query("SET CONSTRAINTS ALL DEFERRED")
-    assert(e.errors.map(_._1) === Seq("0A000"))
-    assert(e.errors.head._2.contains("deferred constraint checking"))
+    // r18: DEFERRED is real now (journal + commit-time probes)
+    assert(c.query("SET CONSTRAINTS ALL DEFERRED").tags === Seq("SET CONSTRAINTS"))
+    val e = c.query("SET CONSTRAINTS nosuch_cons_xyz DEFERRED")
+    assert(e.errors.map(_._1) === Seq("42704"))
+    c.close()
+  }
+
+  test("scan metrics: shared_blks_read / records_read land from task input metrics (r18)") {
+    val c = connect()
+    c.query("SELECT pg_stat_statements_reset()")
+    c.query("DROP TABLE IF EXISTS pss_scan")
+    c.query("CREATE TABLE pss_scan (a int)")
+    c.query("INSERT INTO pss_scan SELECT explode(sequence(1, 5000))")
+    c.query("SELECT sum(a) FROM pss_scan")
+    // the listener bus is asynchronous — poll until the delta lands
+    // (attached at drain of a LATER statement on this connection if
+    // the task events lag; each probe query below is such a statement)
+    var seen = false
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!seen && System.nanoTime() < deadline) {
+      val r = c.query("SELECT shared_blks_read, records_read " +
+        "FROM pg_stat_statements WHERE query LIKE 'SELECT sum(a)%'")
+      seen = r.rows.exists(row =>
+        row.head.exists(_.toLong > 0) && row(1).exists(_.toLong >= 5000))
+      if (!seen) Thread.sleep(100)
+    }
+    assert(seen, "scan delta never attached to the stat entry")
+    c.query("DROP TABLE pss_scan")
     c.close()
   }
 }

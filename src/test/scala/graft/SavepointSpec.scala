@@ -60,7 +60,7 @@ class SavepointSpec extends SparkSpec {
     s.txn = s.Failed // the server loop marks Failed on statement error
     // any ordinary statement is now rejected...
     val blocked = intercept[PgException](run(s, "SELECT 42"))
-    assert(blocked.code === "25P01")
+    assert(blocked.code === "25P02") // in_failed_sql_transaction (live-pinned)
     // ...but ROLLBACK TO passes the guard and clears the failure
     assert(tagOf(run(s, "ROLLBACK TO sp1")) === "ROLLBACK")
     assert(s.txn === s.InTxn)

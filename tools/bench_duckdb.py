@@ -62,9 +62,18 @@ def main():
     threads = int(os.environ.get("DUCK_THREADS", "32"))
     runs = int(os.environ.get("DUCK_RUNS", "2"))
     timeout = float(os.environ.get("DUCK_TIMEOUT", "60"))
+    # DUCK_SKIP: comma-separated names to record as timeouts without
+    # running (the same-window refresh from graft.Bench passes the
+    # committed baseline's known design-timeouts here so the fresh
+    # capture doesn't burn 2x60 s per all-pairs oracle)
+    skip = set(n for n in os.environ.get("DUCK_SKIP", "").split(",") if n)
     oracles = json.load(open(oracle))
     queries, timeouts, errors = {}, [], {}
     for name in sorted(oracles):
+        if name in skip:
+            timeouts.append(name)
+            print(f"{name:40s} SKIP (known timeout)")
+            continue
         best, err = None, None
         for _ in range(runs):
             sec, e = run_once(sfdir, oracles[name], threads, timeout)
