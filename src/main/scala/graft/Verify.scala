@@ -10,14 +10,24 @@ object Verify {
     // optional extra args: only dump queries whose name starts with one of them
     val only = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master — the cluster-shaped
+    // smoke (ClusterSmokeSpec, r18) runs this same main under
+    // `local-cluster[2,4,4096]`: REAL separate executor JVMs, so any
+    // driver-JVM closure assumption in an operator fails loudly
+    // instead of silently passing in local mode. Executors in
+    // local-cluster mode need the compiled classes on their own
+    // classpath (they do not inherit the driver's).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config(Tables.sessionConfs)
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -3993,40 +3993,45 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
     // `SET id = DEFAULT WHERE p` allocates pg's exact values).
     val nondet = assigned.values.exists(e =>
       "(?i)nextval|setval|random|uuid".r.findFirstIn(e).isDefined)
-    // pg enforces constraints on UPDATE too (live-pinned: SET id to
-    // an existing key → 23505, SET a NOT NULL column to NULL → 23502,
-    // and r16: 23503 both as FK child and as referenced parent)
-    def validateUpdate(matchedNew: => DataFrame, next: => DataFrame): Unit = {
-      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-      if (PgConstraints.hasAny(table, schema)) {
-        val mn = matchedNew
-        checkNotNull(mn, schema, table, zone)
-        checkChecks(spark, mn, schema, table, zone)
-        checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema), zone,
-          table = table)
-        checkFksChild(spark, mn, schema, table, zone, Some(next))
-      }
-      // parent side: a rewritten key still referenced by a child row
-      // refuses the update (only probed when the SET list touches a
-      // referenced column)
-      val oldMatched = runSql(spark,
-        s"SELECT *$fromSql${whereOpt.map(w => s" WHERE $w").getOrElse("")}")
-      checkFksParent(spark, table, oldMatched, zone, isDelete = false,
-        selfChildState = Some(next),
-        touchedCols = Some(assigned.keySet.map(_.toLowerCase).toSet),
-        nextState = Some(next))
-    }
     if (nondet) {
-      val matched = runSql(spark, matchedSql)
+      // r18 (closes the last ON UPDATE cut): the nondeterministic
+      // values pre-draw ONCE into a persisted row-aligned (__o,__n)
+      // pair frame — the SAME one-projection shape the deterministic
+      // path feeds execFkUpdateActions — so count, RETURNING, the
+      // next state, AND the referential actions all read identical
+      // drawn values instead of re-drawing per consumer (which is
+      // why this arm was 0A000 through r17).
+      def lf(nm: String) = "'" + nm.replace("'", "''") + "'"
+      val oldS = schema.fields
+        .map(f => s"${lf(f.name)}, ${qid(f.name)}").mkString(", ")
+      val newS = schema.fields.map { f =>
+        s"${lf(f.name)}, (${assigned.getOrElse(f.name, qid(f.name))})"
+      }.mkString(", ")
+      val pairsSql = s"SELECT named_struct($oldS) AS __o, " +
+        s"named_struct($newS) AS __n$fromSql" +
+        whereOpt.map(w => s" WHERE $w").getOrElse("")
+      val pairs = runSql(spark, pairsSql)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = matched.count() // materializes: one evaluation per row
+        val n = pairs.count() // materializes: one evaluation per row
+        val matched = pairs.select(org.apache.spark.sql.functions.col("__n.*"))
         val keepSql = whereOpt match {
           case Some(w) => s"SELECT *$fromSql WHERE NOT coalesce(($w), false)"
           case None => s"SELECT *$fromSql WHERE false"
         }
-        val next = runSql(spark, keepSql).union(matched.toDF())
-        validateUpdate(matched.toDF(), next)
+        val next = runSql(spark, keepSql).union(matched)
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        if (PgConstraints.hasAny(table, schema)) {
+          checkNotNull(matched, schema, table, zone)
+          checkChecks(spark, matched, schema, table, zone)
+          checkUniqueDups(next, schema, PgConstraints.uniquesOf(table, schema),
+            zone, table = table)
+          checkFksChild(spark, matched, schema, table, zone, Some(next))
+        }
+        // parent side: referential actions execute from the PERSISTED
+        // pairs (drawn values stable across the action joins)
+        val writes = execFkUpdateActions(spark, table, pairs.toDF(), next,
+          assigned.keySet.map(_.toLowerCase).toSet, zone, session.connId)
         retList match {
           case Some(ret) =>
             val sub = alias.getOrElse(m.group(1))
@@ -4038,14 +4043,14 @@ HINT:  Use DROP ... CASCADE to drop the dependent objects too.""")
               runSql(spark, s"SELECT $ret FROM `$v` AS $sub"),
               _ => s"UPDATE $n")
             afterWrite(rs) {
-              overwriteTable(spark, table, next)
+              overwriteTables(spark, writes)
               spark.catalog.dropTempView(v)
             }
           case None =>
-            overwriteTable(spark, table, next)
+            overwriteTables(spark, writes)
             Complete(s"UPDATE $n")
         }
-      } finally matched.unpersist()
+      } finally pairs.unpersist()
     } else {
       val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
       val next = runSql(spark, s"SELECT $proj$fromSql")

@@ -207,6 +207,19 @@ class PgDmlParitySpec extends SparkSpec with BeforeAndAfterAll {
     replay("/dml/script13.sql", "/dml/live13.txt")
   }
 
+  test("sweep-45: nondeterministic SET on referenced keys fires ON UPDATE actions like live pg") {
+    // r18 — the last FK cut closed: `UPDATE parent SET id = nextval(…)`
+    // pre-draws into a persisted row-aligned (__o,__n) pair frame, so
+    // CASCADE/SET NULL/SET DEFAULT children follow the SAME drawn
+    // value the parent keeps (through r17 this arm was 0A000). 213
+    // statements, single-row rewrites (pg's heap-order value
+    // assignment is only deterministic per row), RETURNING carrying
+    // the drawn value, setval repositioning probes, and the
+    // default-key-vanishes 23503 coda. Sequence draw parity is exact
+    // value-for-value across the whole trace.
+    replay("/dml/script15.sql", "/dml/live15.txt")
+  }
+
   test("sweep-44: transaction blocks with journal undo + deferred constraints match live pg") {
     // r18 — the write journal: 221 statements over randomized
     // BEGIN/COMMIT/ROLLBACK blocks with REAL undo (hardlink-snapshot

@@ -324,13 +324,14 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(c.query("UPDATE mfcust SET id = 4 WHERE id = 3").tags ===
       Seq("UPDATE 1"))
     assert(rows(c, "SELECT cid FROM uford") === Seq(Seq("4")))
-    // …except under a nondeterministic SET on the referenced key,
-    // where evaluating the old/new pair projection would re-draw
-    // per-row sequence values — honest 0A000 (documented residual)
+    // …and (r18) ALSO under a nondeterministic SET on the referenced
+    // key: the pair projection persists before the action joins, so
+    // the drawn value is stable — pg draws 50 and the child follows
     c.query("CREATE SEQUENCE uford_s START 50")
-    val e6 = c.query("UPDATE mfcust SET id = nextval('uford_s') WHERE id = 4")
-    assert(e6.errors.map(_._1) === Seq("0A000"))
-    assert(e6.errors.head._2.contains("cascading referential action"))
+    assert(c.query("UPDATE mfcust SET id = nextval('uford_s') WHERE id = 4")
+      .tags === Seq("UPDATE 1"))
+    assert(rows(c, "SELECT id FROM mfcust WHERE id = 50") === Seq(Seq("50")))
+    assert(rows(c, "SELECT cid FROM uford") === Seq(Seq("50")))
     c.query("DROP SEQUENCE uford_s")
     c.query("DROP TABLE uford"); c.query("DROP TABLE cford")
     c.query("DROP TABLE mford"); c.query("DROP TABLE mfcust")
