@@ -344,7 +344,11 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     c.query("DROP TABLE IF EXISTS big_ret")
     assert(c.query("CREATE TABLE big_ret (id int PRIMARY KEY, v text)").errors === Nil)
     c.query("INSERT INTO big_ret VALUES (1, 'seed'), (2, 'seed')")
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    // key SET, not size: earlier tests' localCheckpoint residue is
+    // ContextCleaner-released on GC, which can fire MID-test and drop
+    // the global count below the baseline (observed after the r18
+    // nondet-SET FK test); the leak claim is "this test adds none"
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     // 50k proposed rows, 2 collide: the RETURNING rowset (49 998 rows)
     // rides the materialized-RDD stream (r14: this path collect()ed
     // the whole rowset to the driver)
@@ -355,7 +359,7 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.rows.length === 49998)
     assert(r.tags === Seq("INSERT 0 49998"))
     // the stream drained: the persisted RETURNING blocks are released
-    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
       "leaked persisted RETURNING rows")
     assert(rows(c, "SELECT count(*) FROM big_ret") === Seq(Seq("50000")))
     // portal Close mid-stream releases the constrained path too
@@ -366,7 +370,7 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(c.sync().errors === Nil)
     c.closeStmt('P', "pbig")
     assert(c.sync().errors === Nil)
-    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
       "leaked persisted RETURNING rows after portal Close")
     c.query("DROP TABLE big_ret")
     c.close()
@@ -381,13 +385,17 @@ class PgDmlSpec extends SparkSpec with BeforeAndAfterAll {
     c.query("CREATE TABLE big_ufs (k int, w text)")
     c.query("INSERT INTO big_uf SELECT CAST(id AS int), 'a' FROM range(1, 20001)")
     c.query("INSERT INTO big_ufs SELECT CAST(id AS int), 'B' FROM range(1, 10001)")
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    // key SET, not size: earlier tests' localCheckpoint residue is
+    // ContextCleaner-released on GC, which can fire MID-test and drop
+    // the global count below the baseline (observed after the r18
+    // nondet-SET FK test); the leak claim is "this test adds none"
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val r = c.query(
       "UPDATE big_uf SET v = s.w FROM big_ufs s WHERE big_uf.id = s.k RETURNING big_uf.id")
     assert(r.errors === Nil, r.errors)
     assert(r.rows.length === 10000)
     assert(r.tags === Seq("UPDATE 10000"))
-    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
       "leaked rid/matched/RETURNING caches")
     assert(rows(c, "SELECT count(*) FROM big_uf WHERE v = 'B'") === Seq(Seq("10000")))
     c.query("DROP TABLE big_uf")
