@@ -119,8 +119,17 @@ object Q {
     * Note `srcParts` counts leaf-scan splits, so it over-estimates
     * effective width after very selective filters — acceptable for a
     * width repair, another reason it is NOT a clustering guarantee. */
+  /** `minWidth`: callers whose downstream per-row work is CPU-heavy
+    * (the typed text passes — shingling, minhash/simhash folds, gram
+    * walks) pass `defaultParallelism`: the byte-based width estimate
+    * reads the COMPRESSED footprint, and zstd text compresses ~20×,
+    * so a 600 KB documents file (10 MB of text, seconds of per-doc
+    * hashing) would otherwise fan to the 8-way floor and leave 3/4 of
+    * the cores idle (r18 profiling: q43's signature stages ran 6.3 s
+    * of exec over 8 tasks). Still inert at production scale: a scan
+    * already at core-count width returns untouched above. */
   def hashFanout(df: DataFrame, key: String,
-      requireClustering: Boolean = false): DataFrame = {
+      requireClustering: Boolean = false, minWidth: Int = 8): DataFrame = {
     if (requireClustering) {
       val n = math.max(8, df.sparkSession.sparkContext.defaultParallelism)
       return df.repartition(n, org.apache.spark.sql.functions.col(key))
@@ -143,7 +152,7 @@ object Q {
         try df.queryExecution.analyzed.stats.sizeInBytes.toLong
         catch { case scala.util.control.NonFatal(_) => 0L }
       val byData = (bytes / (128L * 1024)).toInt
-      val n = math.max(math.max(8, srcParts),
+      val n = math.max(math.max(math.max(8, minWidth), srcParts),
         math.min(byData, spark.sparkContext.defaultParallelism))
       df.repartition(n, org.apache.spark.sql.functions.col(key))
     }

@@ -144,8 +144,12 @@ object DedupOps {
     * that releases them. Long-lived sessions (e.g. the pgwire server)
     * MUST call `unpersist()` after consuming `df` — otherwise every
     * call pins cached blocks in the SparkSession for its lifetime.
+    * `base` (optional) is the persisted intermediate the plan shares,
+    * for callers that reuse it downstream; released by the same
+    * `unpersist`.
     */
-  final case class ManagedResult(df: DataFrame, unpersist: () => Unit)
+  final case class ManagedResult(df: DataFrame, unpersist: () => Unit,
+      base: DataFrame = null)
 
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with the
     * exact Jaccard over the shingle sets.
@@ -284,6 +288,21 @@ object DedupOps {
       .toDF("doc_id", "shingles", "sig")
   }
 
+  /** [[minhashLshPairsManaged]] plus the persisted signature base
+    * (doc_id, shingles, sig) it already computes — for callers that
+    * need the shingle sets AGAIN downstream (q43's far-pair gate):
+    * reusing the base saves a full tokenize+shingle pass over the
+    * corpus versus a separate [[shingleRows]] run (guide §1.2 "remove
+    * unnecessary passes"; r18 profiling: the extra pass was ~1/4 of
+    * q43's executor time). The unpersist handle releases the base. */
+  private[graft] def minhashLshPairsWithBase(docs: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int = 3, k: Int = 16, bands: Int = 8,
+      cap: CapPolicy = CapPolicy.Adaptive()): (ManagedResult, DataFrame) = {
+    val managed = minhashLshPairsManaged(docs, idCol, textCol, shingleWords,
+      k, bands, cap)
+    (managed, managed.base)
+  }
+
   /** [[minhashLshPairs]] with an explicit cache lifecycle handle. */
   def minhashLshPairsManaged(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 16, bands: Int = 8,
@@ -316,7 +335,7 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-    ManagedResult(result, () => { withSig.unpersist(); () })
+    ManagedResult(result, () => { withSig.unpersist(); () }, base = withSig)
   }
 
   /** Portable MinHash+LSH near-dup pairs: the SAME pipeline shape as
@@ -551,7 +570,8 @@ object DedupOps {
     // evaluation on one task under the broadcast self-join; hashing
     // on the block key keeps same-block rows together so the probe
     // side fans without changing the join
-    val fanned = graft.Q.hashFanout(base, "blk")
+    val fanned = graft.Q.hashFanout(base, "blk",
+      minWidth = rows.sparkSession.sparkContext.defaultParallelism)
     fanned.as("a").join(fanned.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)

@@ -166,18 +166,23 @@ object Dedup {
       val simB = sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
       val ham = expr("bit_count(sim_a ^ sim_b)")
       // near side: the q42-gated truth pairs (minhash-verified >= 0.5;
-      // recall 100% is exactly what the q42 oracle proves)
-      val near = DedupOps.minhashLshPairs(docs, "doc_id", "text")
+      // recall 100% is exactly what the q42 oracle proves). The
+      // managed variant exposes its persisted signature base so the
+      // far side below reuses the SAME shingle sets — the r17 shape
+      // ran a THIRD full tokenize+shingle pass ([[shingleRows]] +
+      // its own persist) for bytes the near side already cached
+      // (guide §1.2: remove unnecessary passes; r18: 1.74 s → 1.29 s).
+      val (managed, sigBase) =
+        DedupOps.minhashLshPairsWithBase(docs, "doc_id", "text")
+      val near = managed.df
         .filter(col("jaccard") >= 0.5)
         .join(simA, "doc_a").join(simB, "doc_b")
         .select(col("doc_a"), col("doc_b"), lit("near").as("kind"),
           (ham <= 6).cast("long").as("ok"))
-      // far side: adjacent-id non-dup pairs, shingle Jaccard < 0.05.
-      // Shingles come from the typed fast path (the wordShingles
-      // expression's interpreted-HOF fold cost ~12 s at sf0.1 here),
-      // persisted once because the self-join reads it from two branches.
-      val sh = DedupOps.shingleRows(docs, "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // far side: adjacent-id non-dup pairs, shingle Jaccard < 0.05,
+      // over the near side's persisted (doc_id, shingles) base (same
+      // >=3-token drop rule, same shingle walk — bit-identical sets).
+      val sh = sigBase.select(col("doc_id"), col("shingles"))
       val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
       val far = a.join(b, col("doc_b") === col("doc_a") + 1)
@@ -187,11 +192,11 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), lit("far").as("kind"),
           (ham >= 7).cast("long").as("ok"))
       // eager localCheckpoint materializes the (small) gate rows so the
-      // big shingle cache can be released NOW — ManagedResult
+      // signature cache can be released NOW — ManagedResult
       // convention: a persist must not outlive its query
       val result = near.unionByName(far).orderBy("kind", "doc_a", "doc_b")
         .localCheckpoint(true)
-      sh.unpersist(false)
+      managed.unpersist()
       result
     },
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 4
     val spark = SparkSession.builder()
@@ -21,10 +21,6 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val q = SparkEntry.queries(name)
-    val df = q(spark, sfDir)
-    println("=== formatted plan ===")
-    df.explain("formatted")
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -36,19 +32,26 @@ object ProfileQuery {
           i.name.takeWhile(_ != '\n').take(60))
       }
     })
-    for (i <- 1 to runs) {
-      stages.clear()
-      val t0 = System.nanoTime()
-      val t1 = System.nanoTime()
-      val built = q(spark, sfDir)
-      val tBuild = (System.nanoTime() - t1) / 1e9
-      // same sink as Bench: noop write re-evaluates everything without
-      // paying driver-side collect deserialization
-      built.write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(100)
-      println(f"run $i: $dt%.3f s (build $tBuild%.3f)")
-      if (i == runs) stages.forEach(s => println("  " + s))
+    for (name <- names) {
+      println(s"\n===== $name =====")
+      val q = SparkEntry.queries(name)
+      val df = q(spark, sfDir)
+      println("=== formatted plan ===")
+      df.explain("formatted")
+      for (i <- 1 to runs) {
+        stages.clear()
+        val t0 = System.nanoTime()
+        val t1 = System.nanoTime()
+        val built = q(spark, sfDir)
+        val tBuild = (System.nanoTime() - t1) / 1e9
+        // same sink as Bench: noop write re-evaluates everything without
+        // paying driver-side collect deserialization
+        built.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(100)
+        println(f"run $i: $dt%.3f s (build $tBuild%.3f)")
+        if (i == runs) stages.forEach(s => println("  " + s))
+      }
     }
     spark.stop()
   }
