@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDef, Tables}
 import graft.operators.{DedupOps, TextAnalysisOps}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, size, slice, split, trim, when}
+import org.apache.spark.sql.functions.{call_function, col, concat, concat_ws, conv, greatest, lit, md5, min, size, slice, split, substring, trim, when}
 
 /** Text-analysis operators over the `documents` table (LLM-pipeline
   * extension; see SURVEY.md §0). Every query carries a full DuckDB
@@ -423,20 +423,40 @@ object TextAnalysis {
          |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
          |FROM w ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // Fused single-frame pipeline (r18, guide §8/§2.4): quality,
+      // language and split are PURE per-row functions of (doc_id,
+      // text), so computing them as (doc_id, signal) frames and
+      // joining each back onto docs — the r17 shape — paid 4 joins /
+      // 22 exchanges / 14 SortMergeJoins re-shuffling the text
+      // payload (plans/r18/q99_pipeline_before.txt). Inlining them as
+      // columns on ONE frame leaves exactly the two fundamental
+      // shuffles: the dedup group+semi-join and the per-shard packing
+      // window. Expressions are copied verbatim from
+      // qualityScore/langId/trainSplit so every filter and shard
+      // decision is bit-identical (oracle re-proved).
+      graft.functions.TextExpressions.install(s)
       val docs = Tables.t(s, dir, "documents")
-      val keepQ = TextAnalysisOps.qualityScore(docs, "doc_id", "text")
-        .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 5)
-        .select("doc_id")
-      val d1 = docs.join(keepQ, "doc_id")
-      val lang = TextAnalysisOps.langId(d1, "doc_id", "text")
+      val d2 = docs
+        .withColumn("__q", call_function("text_quality", col("text")))
+        .filter(
+          (col("__q.n_alpha").cast("decimal(20,6)") /
+            greatest(col("__q.n_chars"), lit(1L))).cast("double") >= 0.6 &&
+          col("__q.n_tokens") >= 5)
+        .withColumn("lang_pred",
+          call_function("lang_scores", col("text")).getField("lang_pred"))
         .filter(col("lang_pred").isin("en", "de", "es", "fr"))
-        .select("doc_id", "lang_pred")
-      val d2 = d1.join(lang, "doc_id")
-      val d3 = DedupOps.dedupKeepFirst(d2, "doc_id", "text")
-      val sp = TextAnalysisOps.trainSplit(d3, "doc_id", "text")
-        .select("doc_id", "split")
-      val d4 = d3.join(sp, "doc_id")
-        .withColumn("shard_key", concat(col("lang_pred"), lit("/"), col("split")))
+        .select("doc_id", "text", "lang_pred")
+      // keep-first dedup: same partial-agg + semi-join shape as
+      // DedupOps.dedupKeepFirst (doc_id unique + non-null on testdata)
+      val keep = d2.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id").as("doc_id"))
+      val d3 = d2.join(keep, Seq("doc_id"), "left_semi")
+      // content-hash split (trainSplit's exact expression) + shard key
+      val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val d4 = d3.withColumn("shard_key", concat(col("lang_pred"), lit("/"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")))
       TextAnalysisOps.packSequences(d4, "doc_id", "text", "shard_key", budget = 512L)
         .transform(Q.oracleOrder(_, "doc_id"))
     },
