@@ -87,6 +87,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("minhashLshPairsWithBase: base IS the shingle source (r18 q43 reuse)") {
+    // the exposed signature base must carry bit-identical shingle sets
+    // to a standalone shingleRows pass — q43's far-pair gate reads its
+    // shingles from the base instead of running a third text pass
+    val (managed, base) = DedupOps.minhashLshPairsWithBase(edgeDocs, "doc_id", "text")
+    val fromBase = base.select("doc_id", "shingles").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    val standalone = DedupOps.shingleRows(edgeDocs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    assert(fromBase.toSeq === standalone.toSeq)
+    // and the pairs frame still answers (same plan as the unmanaged path)
+    assert(managed.df.filter($"jaccard" >= 0.5).count() >= 1)
+    managed.unpersist()
+  }
+
+  test("hashFanout minWidth widens narrow inputs, never exceeds cores") {
+    val narrow = docs // in-memory 1-partition-ish local relation
+    val fanned = graft.Q.hashFanout(
+      narrow.select($"doc_id", $"text"), "doc_id",
+      minWidth = spark.sparkContext.defaultParallelism)
+    assert(fanned.rdd.getNumPartitions >= math.min(8,
+      spark.sparkContext.defaultParallelism))
+    assert(fanned.rdd.getNumPartitions <=
+      math.max(8, spark.sparkContext.defaultParallelism))
+    // identical rows, only the layout changes
+    assert(fanned.count() === narrow.count())
+  }
+
   test("portableMinhashPairs finds the same dup structure as the product path") {
     val pairs = DedupOps.portableMinhashPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
