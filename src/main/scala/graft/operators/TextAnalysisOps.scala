@@ -852,7 +852,9 @@ object TextAnalysisOps extends Serializable {
   private[graft] def gramRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(textCol)).as[String]
+    graft.Q.hashFanout(docs.select(col(textCol)), textCol,
+        minWidth = spark.sparkContext.defaultParallelism)
+      .as[String]
       .mapPartitions { it =>
         it.flatMap { text =>
           val toks = DedupOps.sparkTokens(text)
