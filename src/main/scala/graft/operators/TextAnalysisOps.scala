@@ -318,8 +318,7 @@ object TextAnalysisOps extends Serializable {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.Q.hashFanout(
-        docs.select(col(idCol).cast("long"), col(textCol)), idCol,
-        minWidth = docs.sparkSession.sparkContext.defaultParallelism)
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -366,8 +365,7 @@ object TextAnalysisOps extends Serializable {
     import spark.implicits._
     graft.Q.hashFanout(
         docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit(""))),
-        idCol,
-        minWidth = docs.sparkSession.sparkContext.defaultParallelism)
+        idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -426,8 +424,7 @@ object TextAnalysisOps extends Serializable {
     import spark.implicits._
     val stops = GopherStopwords
     graft.Q.hashFanout(
-        docs.select(col(idCol).cast("long"), col(textCol)), idCol,
-        minWidth = docs.sparkSession.sparkContext.defaultParallelism)
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -852,9 +849,7 @@ object TextAnalysisOps extends Serializable {
   private[graft] def gramRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.Q.hashFanout(docs.select(col(textCol)), textCol,
-        minWidth = spark.sparkContext.defaultParallelism)
-      .as[String]
+    docs.select(col(textCol)).as[String]
       .mapPartitions { it =>
         it.flatMap { text =>
           val toks = DedupOps.sparkTokens(text)
@@ -1101,8 +1096,7 @@ object TextAnalysisOps extends Serializable {
     val spark = docs.sparkSession
     import spark.implicits._
     val gramRows = graft.Q.hashFanout(
-        docs.select(col(idCol).cast("long"), col(textCol)), idCol,
-        minWidth = docs.sparkSession.sparkContext.defaultParallelism)
+        docs.select(col(idCol).cast("long"), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -1162,9 +1156,7 @@ object TextAnalysisOps extends Serializable {
       .na.drop().as[String].collect()
     val ac = AhoCorasick.build(pats.toSeq)
     val bc = spark.sparkContext.broadcast(ac)
-    graft.Q.hashFanout(
-        docs.select(col(idCol).cast("long"), col(textCol)), idCol,
-        minWidth = spark.sparkContext.defaultParallelism)
+    docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val a = bc.value
