@@ -570,8 +570,7 @@ object DedupOps {
     // evaluation on one task under the broadcast self-join; hashing
     // on the block key keeps same-block rows together so the probe
     // side fans without changing the join
-    val fanned = graft.Q.hashFanout(base, "blk",
-      minWidth = rows.sparkSession.sparkContext.defaultParallelism)
+    val fanned = graft.Q.hashFanout(base, "blk")
     fanned.as("a").join(fanned.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
