@@ -140,6 +140,21 @@ object DedupOps {
       b => struct(b.as("band"),
         xxhash64(b, slice(sig, b * rows + 1, lit(rows))).as("band_hash")))
 
+  /** Materialize a persisted frame NOW with one count job, and return
+    * it. The managed LSH pipelines feed their persisted base to 3+
+    * plan branches whose broadcast-build jobs run CONCURRENTLY — the
+    * first consumers race to materialize the cache and EACH computes
+    * the full signature pass before the per-partition cache locks
+    * dedupe the blocks (r19 profiling, sf0.1: every family query
+    * carried two duplicate ~1-2 s-exec cache-build stages, e.g. q42
+    * stages 119/120 at 2.07/1.89 s exec). One eager count serializes
+    * the build — every branch then reads cached blocks — and costs one
+    * extra small job over the already-cached partitions. At production
+    * scale the count is the same single corpus pass the first consumer
+    * would have paid anyway; the duplicate pass it removes grows with
+    * the corpus. */
+  private def materialize(df: DataFrame): DataFrame = { df.count(); df }
+
   /** A result whose plan references persisted blocks, plus the cleanup
     * that releases them. Long-lived sessions (e.g. the pgwire server)
     * MUST call `unpersist()` after consuming `df` — otherwise every
@@ -314,8 +329,9 @@ object DedupOps {
     // round-2 bench burned 51% of total time here). MEMORY_AND_DISK:
     // at 100 TB the shingle sets spill to local disk rather than OOM;
     // checkpointing signatures is the standard minhash-dedup shape.
-    val withSig = signatureRows(docs, idCol, textCol, shingleWords, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = materialize(
+      signatureRows(docs, idCol, textCol, shingleWords, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val exploded = withSig
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
@@ -465,8 +481,9 @@ object DedupOps {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rows = k / bands
     require(rows == 2, "band pair-encoding expects exactly 2 rows per band")
-    val base = portableSignatureRows(docs, idCol, textCol, shingleWords, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = materialize(
+      portableSignatureRows(docs, idCol, textCol, shingleWords, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val capped = portableBandRecords(base, bands, maxBucket)
     val l = capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = capped.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
@@ -507,9 +524,9 @@ object DedupOps {
       bands: Int = 4, maxBucket: Int = 64): ManagedResult = {
     require(k % bands == 0 && k / bands == 2,
       "band pair-encoding expects exactly 2 rows per band")
-    def side(docs: DataFrame) =
+    def side(docs: DataFrame) = materialize(
       portableSignatureRows(docs, idCol, textCol, shingleWords, k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tBase = side(train)
     val eBase = side(eval)
     val cand = portableBandRecords(tBase, bands, maxBucket)
@@ -620,6 +637,11 @@ object DedupOps {
       "band pair-encoding expects exactly 2 rows per band")
     val spark = newDocs.sparkSession
     val oldBase = spark.read.parquet(indexPath)
+    // NOT eagerly materialized (unlike the self-join pipelines): the
+    // new-docs side is the small daily slice with only TWO consumers —
+    // the r19 A/B showed the serialized count costing more than the
+    // overlapped duplicate compute it removes (q151 0.70→0.78,
+    // q152 0.72→0.89 regressions; reverted)
     val nBase = portableSignatureRows(newDocs, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = portableBandRecordsRaw(nBase, bands)
@@ -778,8 +800,9 @@ object DedupOps {
     */
   def portableSimhashPeersManaged(docs: DataFrame, idCol: String, textCol: String,
       maxBucket: Int = 64): ManagedResult = {
-    val base = portableSimhashRows(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = materialize(
+      portableSimhashRows(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunks = portableChunks(base)
     val capped = capBuckets(chunks, Seq("chunk", "chunk_val"), maxBucket)
     val peers = capped.as("a").join(capped.as("b"),
@@ -974,8 +997,9 @@ object DedupOps {
 
   def simhashWithPeersManaged(docs: DataFrame, idCol: String, textCol: String,
       cap: CapPolicy = CapPolicy.Adaptive()): ManagedResult = {
-    val base = simhashRows(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = materialize(
+      simhashRows(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunks = base.select(col("doc_id"), col("simhash"),
         explode(transform(sequence(lit(0), lit(3)),
           c => struct(c.as("chunk"),

@@ -161,7 +161,18 @@ object Dedup {
         |SELECT doc_a, doc_b, 'far' AS kind, CAST(1 AS BIGINT) AS ok FROM far
         |ORDER BY kind, doc_a, doc_b""".stripMargin) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
+      // the simhash base feeds FOUR broadcast-join builds (sim_a/sim_b
+      // on both the near and far sides) whose build jobs race; persist
+      // + one eager count materializes the pass once (r19 profiling:
+      // two duplicate ~0.3 s-exec simhash builds per run without it)
       val sim = DedupOps.simhashRows(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ... and that count overlaps the minhash base's own eager
+      // materialization below (guide §2.6: independent jobs submitted
+      // from a second thread back-fill idle cores) — serializing the
+      // two corpus passes cost +0.23 s in the r19 A/B
+      val simCount = scala.concurrent.Future { sim.count() }(
+        scala.concurrent.ExecutionContext.global)
       val simA = sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
       val simB = sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
       val ham = expr("bit_count(sim_a ^ sim_b)")
@@ -174,6 +185,8 @@ object Dedup {
       // (guide §1.2: remove unnecessary passes; r18: 1.74 s → 1.29 s).
       val (managed, sigBase) =
         DedupOps.minhashLshPairsWithBase(docs, "doc_id", "text")
+      scala.concurrent.Await.result(simCount,
+        scala.concurrent.duration.Duration.Inf)
       val near = managed.df
         .filter(col("jaccard") >= 0.5)
         .join(simA, "doc_a").join(simB, "doc_b")
@@ -197,6 +210,7 @@ object Dedup {
       val result = near.unionByName(far).orderBy("kind", "doc_a", "doc_b")
         .localCheckpoint(true)
       managed.unpersist()
+      sim.unpersist()
       result
     },
 
