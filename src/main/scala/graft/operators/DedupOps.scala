@@ -1151,15 +1151,28 @@ object DedupOps {
       // by binary search. Peak driver footprint at the 4M-pair bound
       // is ids (≤64 MB) + parent (≤32 MB) + one pair partition.
       import spark.implicits._
-      // primitive-array collects (Dataset[Long].collect() returns an
-      // unboxed Array[Long]): src/dst ≤64 MB at the 4M-pair bound —
-      // never GenericRows, and never toLocalIterator (which schedules
-      // one sequential job PER PARTITION; the r15 first cut paid ~64
-      // tiny jobs and tripled q129). Two column collects over the
-      // SAME persisted frame read the cached partitions in the same
-      // order.
-      val srcArr = p2.select(col("src")).as[Long].collect()
-      val dstArr = p2.select(col("dst")).as[Long].collect()
+      // ONE collect job for both endpoint columns (r19; was two
+      // column collects = two jobs + two cache passes): each task
+      // builds a primitive (src[], dst[]) chunk pair — never
+      // GenericRows (the r14 boxing trap), never toLocalIterator
+      // (the r15 one-job-per-partition trap) — and the driver
+      // concatenates chunks. Peak footprint is unchanged: ≤64 MB of
+      // longs at the 4M-pair bound, gated by the count above.
+      val chunks = p2.as[(Long, Long)].mapPartitions { it =>
+        val sb = Array.newBuilder[Long]
+        val db = Array.newBuilder[Long]
+        while (it.hasNext) { val r = it.next(); sb += r._1; db += r._2 }
+        Iterator.single((sb.result(), db.result()))
+      }.collect()
+      val nP = nPairs.toInt
+      val srcArr = new Array[Long](nP)
+      val dstArr = new Array[Long](nP)
+      var off = 0
+      for ((sc, dc) <- chunks) {
+        System.arraycopy(sc, 0, srcArr, off, sc.length)
+        System.arraycopy(dc, 0, dstArr, off, dc.length)
+        off += sc.length
+      }
       // sorted-unique node table built driver-side (a sort of ≤8M
       // longs — cheaper than the distinct+orderBy shuffle pair it
       // replaces)

@@ -325,6 +325,25 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 12L).map(i => (i, 1L, 12L)).toSet)
   }
 
+  test("dupClusters small-graph collect keeps src/dst pairing across partitions") {
+    // r19: the union-find path collects both endpoint columns in ONE
+    // job as per-partition primitive chunk pairs — a mis-ordered
+    // concatenation would mispair src[i]/dst[i] and merge the wrong
+    // components. Spread the edges over many partitions and assert
+    // the clustering is still the exact transitive closure.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),           // chain, min=1
+      (10L, 11L),                   // pair
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+      .toDF("doc_a", "doc_b").repartition(5)
+    val got = DedupOps.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
   test("dupClusters: driver union-find and distributed propagation agree") {
     // adversarial mix: chain, triangle, star with min-id center last,
     // reverse-ordered pairs, duplicate edges
