@@ -34,7 +34,18 @@ object Tables {
       // expensive projection (repartition(defaultParallelism) →
       // project → sort), which keeps full parallelism under any
       // coalescing floor and is inert at production scale.
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1MB")
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1MB",
+      // Whole-stage-codegen class cache: the default 100-entry LRU
+      // holds ~a third of one pass over this suite (148 queries × 2-5
+      // codegen units), so by the time a query comes around again its
+      // generated classes have been evicted and every execution pays
+      // Janino recompilation (~0.1-0.5 s per query, r19 profiling:
+      // warm reruns of the same query are 2-3× faster than bench
+      // samples). 2000 entries keeps every unit resident; class
+      // metadata for ~2000 small classes is a few tens of MB — noise
+      // against the 128 GiB heap, and the same knob helps any
+      // production session running a mixed query workload.
+      "spark.sql.codegen.cache.maxEntries" -> "2000")
 
   /** Read one table as a DataFrame. Pure — requires [[sessionConfs]]
     * to have been applied at session construction.

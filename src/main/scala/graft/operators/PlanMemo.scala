@@ -20,6 +20,15 @@ import org.apache.spark.sql.DataFrame
   * plan references.
   */
 private[graft] object PlanMemo {
+  /** `SPARK_GRAFT_MEMO=0` disables the memo for the session — every
+    * getOrCompute runs its cold path. Measurement knob (r18 verdict
+    * item 4): the bench's min-of-N reports the warm/serve path for
+    * memo-backed queries (sample 1 pays the build, samples 2+ hit the
+    * memo); a bench run with the knob off reports the cold/build path
+    * instead, so build and serve cost can be published separately.
+    * Results are identical either way — the memo only caches
+    * deterministic index state keyed on data fingerprints. */
+  private val disabled = sys.env.get("SPARK_GRAFT_MEMO").contains("0")
   private val MaxEntries = 64
   private val store = new java.util.LinkedHashMap[Any, Any](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Any, Any]): Boolean =
@@ -45,12 +54,14 @@ private[graft] object PlanMemo {
     * extra machinery (a persist feeding two consumers) that the warm
     * path should skip entirely. */
   def peek[V](key: Any): Option[V] =
-    Option(store.synchronized(store.get(key))).map(_.asInstanceOf[V])
+    if (disabled) None
+    else Option(store.synchronized(store.get(key))).map(_.asInstanceOf[V])
 
   /** Double-checked get-or-compute; `compute` runs outside the lock
     * (a concurrent duplicate compute is cheaper than holding the lock
     * through a Spark job). */
   def getOrCompute[V](key: Any)(compute: => V): V = {
+    if (disabled) return compute
     val hit = store.synchronized(store.get(key))
     if (hit != null) hit.asInstanceOf[V]
     else {
